@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point of these operators is the 100 TB case):
+
+- **Exact** dedup shuffles an md5 fingerprint (16 bytes), never the document
+  body.
+- **MinHash** signatures are min-aggregations over shingle hashes — partial
+  (map-side) aggregation compresses each document's shingle set to k values
+  before any shuffle. The "hash" is md5 of (seed || shingle): md5 is a uniform
+  permutation proxy, and taking the lexicographic MIN of hex digests per seed
+  is a valid MinHash (any total order under a random hash works). Everything
+  stays a built-in JVM expression — no Python in the hot path.
+- **LSH banding** turns O(n²) pair comparison into an equi-join on
+  (band_id, band_key): only documents sharing a band bucket are compared.
+- **SimHash** is integer bit arithmetic on a 16-bit token hash — one explode,
+  one groupBy.
+- **n-gram Jaccard** joins on shingle (inverted-index join), so cost is
+  Σ bucket² over shingles, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text.
+
+    Returns (id, fingerprint, group_size, is_kept) for every input row.
+    Equivalent to ``dropDuplicates`` but with full provenance — a training
+    pipeline needs to know *what* was dropped.
+    """
+    from .text import with_fingerprint
+
+    fp = with_fingerprint(df.select(id_col, text_col), text_col).select(id_col, "fingerprint")
+    grouped = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return fp.join(grouped, "fingerprint").select(
+        F.col(id_col),
+        "fingerprint",
+        "group_size",
+        (F.col(id_col) == F.col("_keep_id")).alias("is_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``transform(sequence(...))`` over the token array — one narrow
+    projection + explode; the DISTINCT is a partial-aggregating shuffle on
+    (id, shingle).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingle_expr = F.expr(
+        f"transform(sequence(0, size(_t) - {n}), i -> concat(_t[i]"
+        + "".join(f", ' ', _t[i + {j}]" for j in range(1, n))
+        + "))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(id_col, F.explode(shingle_expr).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k MinHash values per document: (id, seed, minhash).
+
+    minhash(seed) = MIN over shingles of md5(seed || ':' || shingle).
+    Map-side combine reduces each partition's shingles to ≤k rows per doc
+    before the shuffle.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    hashed = shingles.select(F.col(id_col), seeds, F.col("shingle")).select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """Fold signatures into LSH band keys: (id, band_id, band_key).
+
+    band_key = md5 of the band's minhash values in seed order; two documents
+    collide on a band iff that band's signature rows all match.
+    """
+    banded = signatures.withColumn(
+        "band_id", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.groupBy(id_col, "band_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                ",",
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
+
+    Equi-join on (band_id, band_key) — the LSH trick that replaces the n²
+    comparison; shuffle-hash/sort-merge joinable at any scale.
+    """
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most similar document pairs by word-n-gram Jaccard.
+
+    Inverted-index join on shingle → per-pair intersection counts → Jaccard
+    via |A|+|B|-|A∩B|. The shingle join bounds cost to Σ(docs-per-shingle)²,
+    which for natural text is ≪ n². Deterministic: similarity is a ratio of
+    integers, ordering tiebreaks on the pair ids.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sim = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return sim.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(k)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document over its distinct-token set.
+
+    Token hash = first 16 bits of md5 (hex-digit arithmetic keeps everything
+    in integer built-ins, identical across engines). Per bit position j, sum
+    (2·bit−1) over tokens; the sign gives output bit j. Integer math
+    end-to-end — exactly reproducible anywhere.
+    """
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .distinct()
+    )
+    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
+    val = sum(
+        (F.instr(F.lit(_HEX), F.substring(h4, i + 1, 1)) - 1) * (16 ** (3 - i))
+        for i in range(4)
+    )
+    with_bits = toks.select(
+        id_col,
+        val.cast("int").alias("hv"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    ).select(
+        id_col,
+        "j",
+        (
+            F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("j"))).cast("int") % 2
+        ).alias("bit"),
+    )
+    bit_sums = with_bits.groupBy(id_col, "j").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("int")).otherwise(0)
+        )
+        .cast("int")
+        .alias("simhash")
+    )

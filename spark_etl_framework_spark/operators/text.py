@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale corpus processing.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere on this path, so throughput scales with
+executor count, not Python serde. Designed for a documents table of shape
+``(doc_id, text, ...)`` at 100 TB: every operator is a narrow map (zero
+shuffles) except where a groupBy is semantically required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language function-word lexicons for the n-gram/stopword language
+#: heuristic. Deliberately small: language ID at corpus scale is a broadcast
+#: lookup against a lexicon, not a model inference.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "por", "para"),
+}
+
+#: English stopwords for the quality-score ratio.
+EN_STOPWORDS = LANG_LEXICONS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, characters, alpha chars, a BPE-ish
+    subword estimate (chars/4 — the classic tokens≈bytes/4 heuristic), and
+    mean token length."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    return df.select(
+        "*",
+        n_tok.cast("int").alias("n_tokens"),
+        F.length(text_col).cast("int").alias("n_chars_obs"),
+        alpha.cast("int").alias("n_alpha"),
+        F.ceil(F.length(text_col) / 4).cast("int").alias("est_bpe_tokens"),
+        F.round(
+            (F.length(text_col) - n_tok + 1) / n_tok,  # chars excl. single spaces / tokens
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality score in [0,1]:
+    0.4·min(1, n_tokens/100) + 0.3·stopword_ratio·3 (capped 1) + 0.3·alpha_ratio.
+    Length rewards substance, stopword ratio rewards natural-language-ness,
+    alpha ratio penalizes markup/garbage."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    alpha_ratio = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    stop_score = F.least(F.lit(1.0), (n_stop / F.greatest(n_tok, F.lit(1))) * 3)
+    return df.select(
+        "*",
+        n_stop.cast("int").alias("n_stopwords"),
+        F.round(0.4 * len_score + 0.3 * stop_score + 0.3 * alpha_ratio, 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon-hit language ID: per language, count tokens in its function-word
+    list; predict the argmax (ties broken alphabetically, 'und' = undetermined
+    when nothing hits). Pure column expressions — a narrow map."""
+    toks = tokens(F.col(text_col))
+
+    def _contains(arr):
+        # NB: F.filter dispatches on lambda arity — a 2-arg lambda would be
+        # treated as (element, index), so bind the lexicon via closure.
+        return lambda t: F.array_contains(arr, t)
+
+    hit_cols = []
+    for lang, words in sorted(LANG_LEXICONS.items()):
+        arr = F.array([F.lit(w) for w in words])
+        hit_cols.append(
+            F.size(F.filter(toks, _contains(arr))).cast("int").alias(f"hits_{lang}")
+        )
+    out = df.select("*", *hit_cols)
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # reverse order so the earliest alphabetical language wins ties
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return out.select("*", pred.alias("pred_lang"), best.alias("best_hits"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the whitespace-normalized,
+    lowercased text. The canonical exact-dedup key — hashing normalized
+    content instead of grouping on multi-KB strings keeps the shuffle rows
+    small at corpus scale."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select("*", F.md5(normalized).alias("fingerprint"))

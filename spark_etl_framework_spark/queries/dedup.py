@@ -1,0 +1,173 @@
+"""Deduplication queries over the documents table (oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from . import register
+
+# Shared DuckDB CTE fragments (tokens are 1-indexed in DuckDB, 0-indexed in
+# Spark — the generate_series bounds mirror the Spark sequence bounds).
+_SHINGLES_CTE = """
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(a) - 1),
+                                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+           FROM t WHERE len(a) >= 3)
+"""
+
+_SIG_CTE = (
+    _SHINGLES_CTE
+    + """,
+    hx AS (SELECT doc_id, seed, md5(seed::VARCHAR || ':' || shingle) AS h
+           FROM sh, generate_series(0, 7) AS s(seed)),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
+            FROM hx GROUP BY doc_id, seed)
+"""
+)
+
+_BANDS_CTE = (
+    _SIG_CTE
+    + """,
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_id,
+                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, (seed // 2))
+"""
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+                FROM documents),
+    g AS (SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
+          FROM fp GROUP BY fingerprint)
+    SELECT doc_id, fp.fingerprint, CAST(group_size AS BIGINT) AS group_size,
+           (doc_id = keep_id) AS is_kept
+    FROM fp JOIN g USING (fingerprint)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with provenance: fingerprint → group → keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SIG_CTE}
+    SELECT doc_id, seed, minhash FROM sig
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-seed MinHash signature rows per document (word-3-gram shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    return D.minhash_signatures(sh, "doc_id", k=8)
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_BANDS_CTE}
+    SELECT band_id,
+           CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(max(bucket_n) AS BIGINT)            AS max_bucket
+    FROM (SELECT band_id, band_key,
+                 count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+                 doc_id
+          FROM bands)
+    GROUP BY band_id
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket distribution: buckets, docs, max bucket size per band.
+    The skew check a real dedup run does before the candidate join."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    bands = D.lsh_bands(D.minhash_signatures(sh, "doc_id", k=8), "doc_id", rows_per_band=2)
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
+    )
+    return sized.groupBy("band_id").agg(
+        F.countDistinct("band_key").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("bucket_n").alias("max_bucket"),
+    )
+
+
+@register(
+    "dedup_lsh_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (equi-join on band bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    bands = D.lsh_bands(D.minhash_signatures(sh, "doc_id", k=8), "doc_id", rows_per_band=2)
+    return D.lsh_candidate_pairs(bands, "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard_topk",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by word-3-gram Jaccard (inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_topk(docs, "doc_id", "text", n=3, k=20)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id,
+                               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                        FROM documents)),
+    hv AS (SELECT doc_id,
+                  (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS hv
+           FROM toks),
+    bits AS (SELECT doc_id, j, CAST(floor(hv / power(2, j)) AS INT) % 2 AS bit
+             FROM hv, generate_series(0, 15) AS g(j)),
+    sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS INT) ELSE 0 END) AS INT)
+               AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (integer math end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16(docs, "doc_id", "text")

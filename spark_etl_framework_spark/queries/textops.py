@@ -1,0 +1,131 @@
+"""Text-analysis + multimodal-metadata queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as T
+from . import register
+
+_SW = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)       AS n_tokens,
+           CAST(length(text) AS INT)                                         AS n_chars_obs,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT)   AS n_alpha,
+           CAST(ceil(length(text) / 4) AS INT)                               AS est_bpe_tokens,
+           round((length(text) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 4)        AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish estimate) — narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.with_token_stats(docs).drop("text")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+')                       AS toks,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)                                 AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS INT) AS n_stopwords,
+           round(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * least(1.0, (len(list_filter(toks, x -> list_contains([{_SW}], x)))
+                                     / greatest(len(toks), 1)) * 3)
+                 + 0.3 * alpha_ratio, 6)                                       AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / stopword-ratio / alpha-ratio)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.with_quality_score(docs).select("doc_id", "n_stopwords", "quality_score")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_LEXICONS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, lang,
+                 CAST({_lang_hits_sql('de')} AS INT) AS hits_de,
+                 CAST({_lang_hits_sql('en')} AS INT) AS hits_en,
+                 CAST({_lang_hits_sql('es')} AS INT) AS hits_es,
+                 CAST({_lang_hits_sql('fr')} AS INT) AS hits_fr
+          FROM t)
+    SELECT doc_id, lang AS labeled_lang, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM h
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID (argmax over per-language function-word hits,
+    alphabetical tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "text"
+    )
+    out = T.with_language_id(docs)
+    return out.select(
+        "doc_id", "labeled_lang", "hits_de", "hits_en", "hits_es", "hits_fr", "pred_lang"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint over normalized text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text)                                AS content_md5,
+           hex(encode(substr(text, 1, 8)))          AS header_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: treat content as bytes (as an
+    image/audio payload would be) and extract typed metadata — size, content
+    hash, magic-header hex. The decode path proper is the mapInPandas stub in
+    operators/multimodal.py."""
+    from ..operators.multimodal import binary_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return binary_metadata(docs, "payload")

@@ -1,0 +1,236 @@
+"""Time-series / event-stream queries: tumbling & sliding windows,
+sessionization, as-of join, interval band join.
+
+The reference exercises tumbling windows and interval range joins through raw
+SQL (reference: src/test/resources/scripts/window-user-train.sql:8-9,
+stream-user-train.sql:24). Here each is a first-class batch operator with a
+scale-conscious plan; the streaming counterparts live in
+``spark_etl_framework_spark/streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+#: DuckDB reads the events parquet as TIMESTAMP_NS; truncate to µs so string
+#: rendering and epoch math line up with Spark's microsecond timestamps.
+_EV = "ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events)"
+
+
+@register(
+    "ts_tumbling_window",
+    oracle=f"""
+    WITH {_EV}
+    SELECT CAST(make_timestamp((epoch_ms(ts) // 600000) * 600000000) AS VARCHAR)
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregate via ``F.window`` — identical
+    semantics batch or streaming (epoch-aligned buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "ts_sliding_window",
+    oracle=f"""
+    WITH {_EV},
+    slid AS (
+        SELECT make_timestamp(((epoch_ms(ts) - k * 300000) // 600000) * 600000000
+                              + k * 300000000) AS window_start,
+               value
+        FROM ev, (SELECT unnest([0, 1]) AS k)
+        WHERE epoch_ms(ts) >= ((epoch_ms(ts) - k * 300000) // 600000) * 600000 + k * 300000
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(value), 2)          AS sum_value
+    FROM slid GROUP BY 1
+    """,
+)
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes (each event lands in 2
+    windows). ``F.window`` expands rows window-side — no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "ts_sessionize",
+    oracle=f"""
+    WITH {_EV},
+    marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) AS VARCHAR) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → gap flag →
+    running sum = session number → per-session aggregate. One shuffle on
+    user_id serves both windows and the final groupBy (same key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 1800000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.min("ts").cast("string").alias("session_start"),
+        F.max("ts").cast("string").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ts_band_join",
+    oracle=f"""
+    WITH {_EV}
+    SELECT a.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM ev a
+    JOIN ev b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts + INTERVAL 60 SECOND
+    GROUP BY a.user_id
+    """,
+)
+def ts_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval band self-join (reference's range-join idiom,
+    reference: src/test/resources/scripts/stream-user-train.sql:24): count
+    event pairs of the same user within ±60 s.
+
+    Scale design: a naive (user, |Δts|≤60s) join makes Spark pick a
+    nested-loop per user group. Instead each event is assigned to its 60-s
+    time bucket, the probe side is expanded to {b-1, b, b+1}, and the join is
+    a pure EQUI-join on (user_id, bucket) — shuffle-hashable at any scale —
+    with the exact band predicate applied as a post-filter.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bucket = (F.unix_millis("ts") / F.lit(60000)).cast("bigint")
+    left = ev.withColumn("b", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+    right = (
+        ev.withColumn("b", bucket)
+        .withColumnRenamed("event_id", "event_id_r")
+        .withColumnRenamed("ts", "ts_r")
+        .withColumnRenamed("user_id", "user_id_r")
+    )
+    pairs = left.join(
+        right,
+        (left.user_id == right.user_id_r) & (left.b == right.b),
+    ).filter(
+        (F.col("event_id") < F.col("event_id_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "ts_asof_join",
+    oracle=f"""
+    WITH {_EV},
+    cand AS (
+        SELECT o_orderkey, e.event_id, e.ts,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM orders
+        JOIN ev e ON e.user_id = o_custkey AND e.ts <= o_orderdate
+    )
+    SELECT o.o_orderkey,
+           c.event_id               AS last_event_id,
+           CAST(c.ts AS VARCHAR)    AS last_event_ts
+    FROM orders o
+    LEFT JOIN cand c ON o.o_orderkey = c.o_orderkey AND c.rn = 1
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event of that user at or before
+    the order date (ties on ts broken by max event_id).
+
+    Scale design: the classic sort-based as-of — union both sides tagged,
+    sort within user partitions by (ts, side, event_id), and carry the last
+    seen event forward with ``last(..., ignorenulls)``. One shuffle on
+    user_id, O(n log n) — never the quadratic join+filter the naive SQL
+    implies.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ev_side = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+        F.col("ts").alias("event_ts"),
+    )
+    od_side = od.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("side"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+    )
+    # events sort before orders at equal ts (side 0 < 1) → "at or before"
+    w = (
+        W.partitionBy("uid")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = ev_side.unionByName(od_side).select(
+        "o_orderkey",
+        "side",
+        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
+        F.last("event_ts", ignorenulls=True).over(w).cast("string").alias("last_event_ts"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "o_orderkey", "last_event_id", "last_event_ts"
+    )

@@ -1,0 +1,88 @@
+"""Similarity-search queries over the embeddings table (oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import vector as V
+from . import register
+
+
+@register(
+    "vector_cosine_topk",
+    oracle="""
+    WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT probe_id, vec_id,
+               round(list_dot_product(pv, cv)
+                     / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS cosine
+        FROM p, c WHERE vec_id <> probe_id
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cosine DESC, vec_id) AS INT) AS rn
+          FROM scored)
+    SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 10
+    """,
+)
+def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors — the exact-ANN baseline.
+    Probes broadcast; one narrow scoring pass over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return V.cosine_topk(emb, probes, "vec_id", "embedding", k=10)
+
+
+@register(
+    "vector_label_centroids",
+    oracle="""
+    WITH expl AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS u
+        FROM embeddings
+    )
+    SELECT label, CAST(u.dim AS INT) AS dim,
+           round(avg(u.x), 6)        AS centroid,
+           CAST(count(*) AS BIGINT)  AS n_vecs
+    FROM expl GROUP BY label, u.dim
+    """,
+)
+def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (the IVF coarse-quantizer build step)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.label_centroids(emb, "label", "embedding")
+
+
+@register(
+    "vector_norm_stats",
+    oracle="""
+    WITH n AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])) AS nrm
+               FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS avg_norm
+    FROM n GROUP BY label
+    """,
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — the sanity profile before ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )

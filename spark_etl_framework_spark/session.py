@@ -1,0 +1,59 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference builds its session from ``application.runtime.spark.*`` config
+(reference: src/main/scala/com/qwshen/etl/Launcher.scala:65-87). Here the same
+idea is a plain helper: a dict of spark confs merged over defaults chosen for
+correctness (UTC timestamps, Arrow on) and scale (AQE on, skew-join handling,
+partition coalescing). On a real cluster these defaults let AQE re-plan at
+runtime; on local[N] they keep shuffle partition counts sane.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session we build. Every one of these is safe on a
+#: 1000-executor cluster: AQE handles runtime partition sizing and skew, UTC
+#: pins timestamp semantics, Arrow accelerates any pandas exchange.
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the reference runs Spark 3.5 semantics (permissive casts); our
+    # SQL surface and oracle comparisons assume non-failing casts.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "spark_etl_framework_spark",
+    master: str | None = None,
+    confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass ``None`` with a pre-set master or use spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+        if master.startswith("local"):
+            # local mode: one JVM; shuffle partitions ~ cores, generous driver
+            # memory. On a cluster these come from spark-submit instead.
+            n = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+            builder = builder.config("spark.sql.shuffle.partitions", n if n.isdigit() else "32")
+            builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+            builder = builder.config("spark.ui.enabled", "false")
+    for k, v in {**DEFAULT_CONFS, **(confs or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
