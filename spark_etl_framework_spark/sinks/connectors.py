@@ -1,0 +1,119 @@
+"""Connector sink actors: Kafka / Delta / Iceberg (availability-gated).
+
+(reference: etl/sink/{KafkaWriter,DeltaWriter,IcebergWriter}.scala)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.base import Actor
+from ..plans.context import JobContext
+from ..sources.connectors import _unavailable
+
+
+class KafkaWriter(Actor):
+    """Produce a view to a topic. Key from field or monotonic id; value from
+    field or ``to_json(struct(*))`` (reference: etl/common/KafkaWriteActor.
+    scala:33-70)."""
+
+    bootstrapServers: str | None = None
+    topic: str | None = None
+    keyField: str | None = None
+    valueField: str | None = None
+    headersField: str | None = None
+    view: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.bootstrapServers or not self.topic or not self.view:
+            raise ValueError("KafkaWriter: bootstrapServers/topic/view required")
+        df = spark.table(self.view)
+        ctx.reference(self.view)
+        key = (
+            F.col(self.keyField).cast("string")
+            if self.keyField
+            else F.monotonically_increasing_id().cast("string")
+        )
+        value = (
+            F.col(self.valueField).cast("string")
+            if self.valueField
+            else F.to_json(F.struct(*df.columns))
+        )
+        cols = [key.alias("key"), value.alias("value")]
+        if self.headersField:
+            cols.append(F.col(self.headersField).alias("headers"))
+        try:
+            (
+                df.select(*cols)
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrapServers)
+                .option("topic", self.topic)
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("kafka", e) from e
+        return None
+
+
+class DeltaWriter(Actor):
+    """Delta to table or path; overwrite→saveAsTable, append→insertInto for
+    tables — the reference's asymmetric mode contract
+    (reference: etl/sink/DeltaWriter.scala:44-47) — plain mode().save for
+    paths; partitionBy + bucketBy supported."""
+
+    table: str | None = None
+    path: str | None = None
+    mode: str = "append"
+    partitionBy: str | None = None
+    bucketBy_numBuckets: int | None = None
+    bucketBy_columns: str | None = None
+    view: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.view or not (self.table or self.path):
+            raise ValueError("DeltaWriter: view and table|path required")
+        df = spark.table(self.view)
+        ctx.reference(self.view)
+        try:
+            writer = df.write.format("delta")
+            cols = [c.strip() for c in (self.partitionBy or "").split(",") if c.strip()]
+            if cols:
+                writer = writer.partitionBy(*cols)
+            if self.bucketBy_numBuckets and self.bucketBy_columns:
+                bcols = [c.strip() for c in self.bucketBy_columns.split(",")]
+                writer = writer.bucketBy(int(self.bucketBy_numBuckets), *bcols)
+            if self.path:
+                writer.mode(self.mode).save(self.path)
+            elif self.mode == "overwrite":
+                writer.mode("overwrite").saveAsTable(self.table)
+            else:
+                df.write.format("delta").insertInto(self.table)
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("delta", e) from e
+        return None
+
+
+class IcebergWriter(Actor):
+    """Iceberg write; ``tablePartitionedBy`` triggers sortWithinPartitions
+    before write (reference: etl/sink/IcebergWriter.scala:42-50) so files
+    cluster by partition value."""
+
+    table: str | None = None
+    mode: str = "append"
+    tablePartitionedBy: str | None = None
+    view: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.view or not self.table:
+            raise ValueError("IcebergWriter: view and table required")
+        df = spark.table(self.view)
+        ctx.reference(self.view)
+        cols = [c.strip() for c in (self.tablePartitionedBy or "").split(",") if c.strip()]
+        if cols:
+            df = df.sortWithinPartitions(*cols)
+        try:
+            df.write.format("iceberg").mode(self.mode).save(self.table)
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("iceberg", e) from e
+        return None

@@ -1,0 +1,115 @@
+"""Connector source actors: Kafka / Delta / Iceberg (availability-gated).
+
+The semantics are thin over Spark's own connectors (reference delegates the
+same way — etl/source/{KafkaReader,DeltaReader,IcebergReader}.scala); what we
+own is option plumbing + payload decoding. The container ships none of the
+connector jars, so these raise a clear error at run() if the format is
+unavailable — the actor contract, option surface, and decode logic are still
+unit-testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.base import Actor
+from ..plans.context import JobContext
+
+
+def _unavailable(fmt: str, err: Exception) -> RuntimeError:
+    return RuntimeError(
+        f"connector format {fmt!r} unavailable (jar not on classpath). "
+        f"Add the spark package for it. Underlying: {err}"
+    )
+
+
+def decode_kafka(df: DataFrame, key_schema: str | None, value_schema: str | None) -> DataFrame:
+    """Decode kafka key/value with Spark JSON schemas; structs flattened to
+    key.* / value.*, other kafka columns prefixed ``__kafka_``
+    (reference: etl/common/KafkaReadActor.scala:32-93).
+
+    Avro schemas (from_avro) follow the same shape but need the avro package;
+    JSON path is jar-free.
+    """
+    out = df
+    meta = [c for c in df.columns if c not in ("key", "value")]
+    selects = []
+    if key_schema:
+        kt = T.StructType.fromDDL(key_schema) if "," in key_schema else None
+        if kt is not None:
+            out = out.withColumn("__key", F.from_json(F.col("key").cast("string"), kt))
+            selects.append(F.col("__key.*"))
+        else:
+            selects.append(F.col("key").cast(key_schema).alias("key"))
+    else:
+        selects.append(F.col("key"))
+    if value_schema:
+        vt = T.StructType.fromDDL(value_schema)
+        out = out.withColumn("__value", F.from_json(F.col("value").cast("string"), vt))
+        selects.append(F.col("__value.*"))
+    else:
+        selects.append(F.col("value"))
+    selects += [F.col(c).alias(f"__kafka_{c}") for c in meta]
+    return out.select(*selects)
+
+
+class KafkaReader(Actor):
+    """Batch-read a topic (reference: etl/source/KafkaReader.scala:9-18)."""
+
+    bootstrapServers: str | None = None
+    topic: str | None = None
+    keySchema: str | None = None
+    valueSchema: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.bootstrapServers or not self.topic:
+            raise ValueError("KafkaReader: 'bootstrapServers' and 'topic' required")
+        try:
+            df = (
+                spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrapServers)
+                .option("subscribe", self.topic)
+                .load()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("kafka", e) from e
+        return decode_kafka(df, self.keySchema, self.valueSchema)
+
+
+class DeltaReader(Actor):
+    """Read delta by table or path with time-travel options
+    (reference: etl/source/DeltaReader.scala:10,18-27)."""
+
+    table: str | None = None
+    path: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        opts = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("options.")
+        }
+        try:
+            reader = spark.read.format("delta").options(**opts)
+            return reader.table(self.table) if self.table else reader.load(self.path)
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("delta", e) from e
+
+
+class IcebergReader(Actor):
+    """Read an iceberg table + optional post-filter
+    (reference: etl/source/IcebergReader.scala:12,23-30)."""
+
+    table: str | None = None
+    filter: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.table:
+            raise ValueError("IcebergReader: 'table' required")
+        try:
+            df = spark.read.format("iceberg").load(self.table)
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("iceberg", e) from e
+        return df.filter(self.filter) if self.filter else df

@@ -1,0 +1,112 @@
+"""Streaming source actors (reference: etl/source/{FileStreamReader,
+FlatStreamReader,KafkaStreamReader}.scala).
+
+Shared semantics all reference stream readers implement
+(reference: FileStreamReader.scala:31-46): mandatory schema (no streaming
+inference), optional ``__timestamp = current_timestamp()`` ingest column
+(``addTimestamp``), optional watermark (``watermark.timeField`` +
+``watermark.delayThreshold``) for late-data bounds on stateful aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.base import Actor
+from ..plans.context import JobContext
+from ..sources.file import parse_positional_ddl
+
+
+class _StreamDecorators(Actor):
+    addTimestamp: bool = False
+    watermark_timeField: str | None = None
+    watermark_delayThreshold: str | None = None
+
+    def decorate(self, df: DataFrame) -> DataFrame:
+        if self.addTimestamp:
+            df = df.withColumn("__timestamp", F.current_timestamp())
+        if self.watermark_timeField and self.watermark_delayThreshold:
+            df = df.withWatermark(self.watermark_timeField, self.watermark_delayThreshold)
+        return df
+
+
+class FileStreamReader(_StreamDecorators):
+    """``readStream`` over csv/json/parquet/avro/orc with mandatory DDL schema
+    (reference: etl/source/FileStreamReader.scala:12,31-46)."""
+
+    format: str = "parquet"
+    fileUri: str | None = None
+    ddlSchemaString: str | None = None
+    DEFERRED_KEYS = ("fileUri",)
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.fileUri or not self.ddlSchemaString:
+            raise ValueError("FileStreamReader: 'fileUri' and 'ddlSchemaString' required")
+        options = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("options.")
+        }
+        df = (
+            spark.readStream.format(self.format)
+            .options(**options)
+            .schema(T.StructType.fromDDL(self.ddlSchemaString))
+            .load(self.fileUri)
+        )
+        return self.decorate(df)
+
+
+class FlatStreamReader(_StreamDecorators):
+    """Streaming text + positional-field extraction (substr + cast)
+    (reference: etl/source/FlatStreamReader.scala:19,55-80)."""
+
+    fileUri: str | None = None
+    ddlFieldsString: str | None = None
+    row_valueField: str = "row_value"
+    DEFERRED_KEYS = ("fileUri",)
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.fileUri:
+            raise ValueError("FlatStreamReader: 'fileUri' required")
+        df = spark.readStream.format("text").load(self.fileUri).withColumnRenamed(
+            "value", self.row_valueField
+        )
+        if self.ddlFieldsString:
+            rv = F.col(self.row_valueField)
+            df = df.select(
+                *[
+                    rv.substr(start, length).cast(typ).alias(name)
+                    for name, start, length, typ in parse_positional_ddl(
+                        self.ddlFieldsString
+                    )
+                ]
+            )
+        return self.decorate(df)
+
+
+class KafkaStreamReader(_StreamDecorators):
+    """``readStream`` kafka + payload decode
+    (reference: etl/source/KafkaStreamReader.scala:11,24-43)."""
+
+    bootstrapServers: str | None = None
+    topic: str | None = None
+    keySchema: str | None = None
+    valueSchema: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable, decode_kafka
+
+        if not self.bootstrapServers or not self.topic:
+            raise ValueError("KafkaStreamReader: bootstrapServers/topic required")
+        try:
+            df = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrapServers)
+                .option("subscribe", self.topic)
+                .load()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("kafka", e) from e
+        return self.decorate(decode_kafka(df, self.keySchema, self.valueSchema))

@@ -1,0 +1,174 @@
+"""Streaming sink actors (reference: etl/sink/{FileStreamWriter,
+KafkaStreamWriter,JdbcStreamWriter}.scala).
+
+Shared contract (reference: FileStreamWriter.scala:35-63): trigger
+``continuous|processingTime|once`` (+ interval), ``outputMode``, and a
+bounded ``test.waittimeMS`` awaitTermination for deterministic tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..operators.base import Actor
+from ..plans.context import JobContext
+from ..sinks.jdbc import rewrite_param_sql
+
+
+class _StreamWriteBase(Actor):
+    trigger_mode: str | None = None  # continuous | processingTime | once
+    trigger_interval: str | None = None
+    outputMode: str = "append"
+    checkpointLocation: str | None = None
+    test_waittimeMS: int | None = None
+    view: str | None = None
+
+    def apply_trigger(self, writer: DataStreamWriter) -> DataStreamWriter:
+        if self.trigger_mode == "continuous":
+            return writer.trigger(continuous=self.trigger_interval or "1 second")
+        if self.trigger_mode == "processingTime":
+            return writer.trigger(processingTime=self.trigger_interval or "0 seconds")
+        if self.trigger_mode == "once":
+            return writer.trigger(availableNow=True)
+        return writer
+
+    def await_(self, query) -> None:
+        """Streaming writers are terminal within a job: block until stop or
+        the bounded test window elapses (reference: FileStreamWriter.scala:58-61)."""
+        if self.test_waittimeMS:
+            query.awaitTermination(int(self.test_waittimeMS) / 1000.0)
+            query.stop()
+        else:
+            query.awaitTermination()
+
+    def input_df(self, ctx: JobContext, spark: SparkSession) -> DataFrame:
+        if not self.view:
+            raise ValueError(f"{type(self).__name__}: input view required")
+        return spark.table(self.view)
+
+
+class FileStreamWriter(_StreamWriteBase):
+    format: str = "parquet"
+    fileUri: str | None = None
+    partitionBy: str | None = None
+    DEFERRED_KEYS = ("fileUri",)
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        df = self.input_df(ctx, spark)
+        options = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("options.")
+        }
+        writer = df.writeStream.format(self.format).options(**options)
+        if self.checkpointLocation:
+            writer = writer.option("checkpointLocation", self.checkpointLocation)
+        cols = [c.strip() for c in (self.partitionBy or "").split(",") if c.strip()]
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer = self.apply_trigger(writer).outputMode(self.outputMode)
+        self.await_(writer.start(self.fileUri))
+        return None
+
+
+class MemoryStreamWriter(_StreamWriteBase):
+    """Write a stream to an in-memory table — the test-bench sink
+    (no reference analog; used by our test suite the way the reference uses
+    bounded JDBC writes)."""
+
+    queryName: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        df = self.input_df(ctx, spark)
+        writer = df.writeStream.format("memory").queryName(self.queryName or self.view)
+        writer = self.apply_trigger(writer).outputMode(self.outputMode)
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
+        return None
+
+
+class KafkaStreamWriter(_StreamWriteBase):
+    bootstrapServers: str | None = None
+    topic: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable
+
+        df = self.input_df(ctx, spark)
+        try:
+            writer = (
+                df.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrapServers or "")
+                .option("topic", self.topic or "")
+            )
+            if self.checkpointLocation:
+                writer = writer.option("checkpointLocation", self.checkpointLocation)
+            writer = self.apply_trigger(writer).outputMode(self.outputMode)
+            self.await_(writer.start())
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("kafka", e) from e
+        return None
+
+
+class JdbcStreamWriter(_StreamWriteBase):
+    """foreachBatch → partition-bounded DBAPI batch upserts with the
+    ``@field`` parameterized statement + implicit ``@batchId``
+    (reference: etl/sink/JdbcStreamWriter.scala:61-86,
+    JdbcMicroBatchWriter.scala:17-34, JdbcContinuousWriter.scala:189-191).
+
+    The reference's per-row continuous ``foreach`` writer is deliberately
+    folded into foreachBatch: row-at-a-time DBAPI from Python is the
+    non-scalable path; batched upserts preserve the semantics (idempotence
+    via batchId) at executor-side batch speed.
+    """
+
+    sinkStatement: str | None = None
+    numPartitions: int | None = None
+    batchSize: int | None = None
+    connect: str | None = None
+    DEFERRED_KEYS = ("sinkStatement",)
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..functions.registration import load_class
+
+        df = self.input_df(ctx, spark)
+        if not self.sinkStatement or not self.connect:
+            raise ValueError("JdbcStreamWriter: 'sinkStatement' and 'connect' required")
+        sql, fields = rewrite_param_sql(self.sinkStatement)
+        batch = int(self.batchSize or ctx.pipeline.io_batch_size)
+        n_conn = int(self.numPartitions or ctx.pipeline.io_connections)
+        connect_path = self.connect
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            def write_partition(rows) -> None:
+                connect = load_class(connect_path)
+                conn = connect()
+                try:
+                    cur = conn.cursor()
+                    buf = []
+                    for row in rows:
+                        d = row.asDict()
+                        d["batchId"] = batch_id
+                        buf.append(tuple(d.get(f) for f in fields))
+                        if len(buf) >= batch:
+                            cur.executemany(sql, buf)
+                            conn.commit()
+                            buf = []
+                    if buf:
+                        cur.executemany(sql, buf)
+                        conn.commit()
+                finally:
+                    conn.close()
+
+            if bdf.rdd.getNumPartitions() > n_conn:
+                bdf = bdf.coalesce(n_conn)
+            bdf.foreachPartition(write_partition)
+
+        writer = df.writeStream.foreachBatch(write_batch)
+        if self.checkpointLocation:
+            writer = writer.option("checkpointLocation", self.checkpointLocation)
+        writer = self.apply_trigger(writer).outputMode(self.outputMode)
+        self.await_(writer.start())
+        return None

@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import pytest
+
+from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+from spark_etl_framework_spark.sources.file import (
+    BinaryFileReader,
+    FileReader,
+    FlatFileReader,
+    parse_delimited_ddl,
+    parse_positional_ddl,
+)
+
+
+@pytest.fixture
+def jctx(spark):
+    return JobContext(PipelineContext(), spark)
+
+
+def test_parse_positional_ddl():
+    fields = parse_positional_ddl("user:1-9 string, event:10-10 long")
+    assert fields == [("user", 1, 9, "string"), ("event", 10, 10, "long")]
+
+
+def test_parse_delimited_ddl():
+    assert parse_delimited_ddl("user:0 string, invited:2 int") == [
+        ("user", 0, "string"),
+        ("invited", 2, "int"),
+    ]
+
+
+def test_file_reader_parquet(spark, jctx, sf_dir):
+    r = FileReader(format="parquet", fileUri=f"{sf_dir}/region.parquet")
+    df = r.run(jctx, spark)
+    assert df.count() == 5
+
+
+def test_file_reader_csv_with_schema(spark, jctx, tmp_path):
+    p = tmp_path / "u.csv"
+    p.write_text("1,1990,male\n2,1985,female\n")
+    r = FileReader(
+        format="csv",
+        fileUri=str(p),
+        ddlSchemaString="user_id long, birth_year int, gender string",
+    )
+    df = r.run(jctx, spark)
+    assert df.collect()[0]["user_id"] in (1, 2)
+    assert [f.name for f in df.schema.fields] == ["user_id", "birth_year", "gender"]
+
+
+def test_file_reader_fallback_empty(spark, jctx):
+    r = FileReader(
+        format="parquet",
+        fileUri="/nonexistent/xyz.parquet",
+        fallbackRead="true",
+        ddlSchemaString="a int, b string",
+    )
+    df = r.run(jctx, spark)
+    assert df.count() == 0 and len(df.schema.fields) == 2
+
+
+def test_file_reader_rejects_bad_format(spark, jctx):
+    with pytest.raises(ValueError, match="unsupported format"):
+        FileReader(format="exotic", fileUri="/x").run(jctx, spark)
+
+
+def test_flat_file_positional_with_header(spark, jctx, tmp_path):
+    p = tmp_path / "train.txt"
+    p.write_text(
+        "HDR20240211\n"
+        "user00001 5         2012-10-02 15:53:05.7540001\n"
+        "user00002 7         2012-10-03 15:53:05.7540000\n"
+    )
+    r = FlatFileReader(
+        fileUri=str(p),
+        ddlFieldsString="user:1-9 string, event:11-1 long, interested:47-1 int",
+        header={"rowNo": 1, "view": "train_header"},
+        row={"noField": "seq"},
+    )
+    df = r.run(jctx, spark)
+    rows = {r["user"]: r for r in df.collect()}
+    assert set(rows) == {"user00001", "user00002"}
+    assert rows["user00001"]["event"] == 5 and rows["user00001"]["interested"] == 1
+    assert rows["user00001"]["seq"] == 2  # header was row 1
+    hdr = spark.table("train_header").collect()
+    assert len(hdr) == 1 and hdr[0][0].startswith("HDR")
+
+
+def test_flat_file_trailer_regex(spark, jctx, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("a,1\nb,2\nTRL,end\n")
+    r = FlatFileReader(
+        fileUri=str(p),
+        ddlDelimitedString="name:0 string, v:1 int",
+        trailer={"matchRegex": "^TRL", "view": "d_trailer"},
+    )
+    df = r.run(jctx, spark)
+    assert {r["name"] for r in df.collect()} == {"a", "b"}
+    assert spark.table("d_trailer").count() == 1
+
+
+def test_binary_reader_fixed_records(spark, jctx, tmp_path):
+    p = tmp_path / "rec.bin"
+    p.write_bytes(b"AAA01BBB02CCC03")
+    r = BinaryFileReader(
+        fileUri=str(p),
+        recordLength=5,
+        ddlFieldsString="tag:1-3 string, num:4-2 int",
+    )
+    df = r.run(jctx, spark)
+    rows = sorted((r["tag"], r["num"]) for r in df.collect())
+    assert rows == [("AAA", 1), ("BBB", 2), ("CCC", 3)]

@@ -1,0 +1,113 @@
+"""Data-pipeline operators: dedup / text / vector / multimodal sanity.
+
+Exact-value parity with DuckDB is covered by tools/check_correctness.py and
+the driver's oracle gate; these tests pin semantic invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_framework_spark.catalog import load_table
+from spark_etl_framework_spark.operators import dedup as D
+from spark_etl_framework_spark.operators import text as T
+from spark_etl_framework_spark.operators import vector as V
+from spark_etl_framework_spark.operators.multimodal import (
+    decode_images,
+    sample_audio_frames,
+)
+
+
+def test_exact_dedup_flags_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.exact_dedup(df).collect()}
+    # whitespace-normalized: 1 and 2 are the same group; min id kept
+    assert out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[1]["group_size"] == 2 and out[3]["group_size"] == 1
+
+
+def test_word_shingles_counts(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["shingle"] for r in D.word_shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different words in this one here now ok")],
+        ["doc_id", "text"],
+    )
+    sig = D.minhash_signatures(D.word_shingles(df), k=8)
+    rows = sig.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2] != by_doc[3]
+    # and LSH pairs them
+    pairs = D.lsh_candidate_pairs(D.lsh_bands(sig)).collect()
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2) and len(pairs) == 1
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash16(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_language_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog"),
+         (2, "der hund ist ein tier und das ist gut"),
+         (3, "xyzzy plugh qwerty")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in T.with_language_id(df).collect()}
+    assert out[1]["pred_lang"] == "en"
+    assert out[2]["pred_lang"] == "de"
+    assert out[3]["pred_lang"] == "und"
+    q = {r["doc_id"]: r["quality_score"] for r in T.with_quality_score(df).collect()}
+    assert 0 <= q[3] < q[1] <= 1
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(10_000))
+    corpus = emb.unionByName(dup)
+    probes = emb.filter(F.col("vec_id") == 0)
+    top = V.cosine_topk(corpus, probes, k=3).collect()
+    # the duplicated vector is the top neighbour with cosine 1.0
+    assert top[0]["vec_id"] == 10_000 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    assert all(t["cosine"] <= 1.000001 for t in top)
+
+
+def test_multimodal_decode_stub_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes-1")), (2, bytearray(b"fake-image-bytes-2"))],
+        "id long, payload binary",
+    )
+    out = decode_images(df, fake=True).collect()
+    assert {r["id"] for r in out} == {1, 2}
+    for r in out:
+        assert len(r["pixels"]) == r["width"] * r["height"] * r["channels"]
+    frames = sample_audio_frames(df, n_frames=3, frame_bytes=4, fake=True).collect()
+    assert len(frames) == 6  # 2 docs × 3 frames
+    assert all(len(r["frame"]) == 4 for r in frames)
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+    with pytest.raises(Exception, match="codec not available"):
+        decode_images(df, fake=False).collect()

@@ -1,0 +1,212 @@
+"""End-to-end pipeline runs — the reference's own test style
+(reference: src/test/scala/com/qwshen/etl/test/TestApp.scala:38-47), plus
+output-content assertions the reference lacks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from spark_etl_framework_spark.plans.builder import build_pipeline_from_file
+from spark_etl_framework_spark.plans.runner import PipelineRunner, run_pipeline_file
+
+PIPELINE_YAML = """
+version: 1.0.0
+name: users-transform
+variables:
+  - name: min_key
+    value: "1"
+jobs:
+  - name: main
+    actions:
+      - name: load-nation
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf}/nation.parquet"
+        output-view:
+          name: nation
+      - name: transform
+        actor:
+          type: sql-transformer
+          properties:
+            sqlString: >
+              select n_regionkey, count(*) as n from nation
+              where n_nationkey >= ${{min_key}}
+              group by n_regionkey
+        input-views: [nation]
+        output-view:
+          name: nation_counts
+      - name: write
+        actor:
+          type: file-writer
+          properties:
+            format: parquet
+            fileUri: "{out}"
+            mode: overwrite
+        input-views: [nation_counts]
+metrics-logging:
+  uri: "{metrics}"
+"""
+
+
+def test_yaml_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = tmp_path / "out.parquet"
+    metrics = tmp_path / "metrics"
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(PIPELINE_YAML.format(sf=sf_dir, out=out, metrics=metrics))
+
+    run_pipeline_file(spark, str(ypath))
+
+    got = spark.read.parquet(str(out))
+    rows = {r["n_regionkey"]: r["n"] for r in got.collect()}
+    assert sum(rows.values()) == 24  # 25 nations, one filtered (n_nationkey=0)
+    files = list(metrics.glob("metrics-*.json"))
+    assert files, "metrics file written"
+    recs = json.loads(files[0].read_text())
+    assert {r["action"] for r in recs} == {"load-nation", "transform"}
+    assert all(r["rowCount"] >= 0 for r in recs)
+
+
+def test_job_selection_and_missing_view(spark, sf_dir, tmp_path):
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(
+        PIPELINE_YAML.format(sf=sf_dir, out=tmp_path / "o", metrics=tmp_path / "m")
+    )
+    # selecting a non-existent job runs nothing (and writes nothing)
+    run_pipeline_file(spark, f"{ypath}#no-such-job")
+    assert not (tmp_path / "o").exists()
+
+
+def test_missing_input_view_fails_fast(spark, tmp_path):
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(
+        """
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: t
+        actor:
+          type: sql-transformer
+          properties: {sqlString: "select * from ghost"}
+        input-views: [ghost]
+"""
+    )
+    with pytest.raises(ValueError, match="missing input view 'ghost'"):
+        run_pipeline_file(spark, str(ypath))
+
+
+def test_validation_run_limits_outputs(spark, sf_dir, tmp_path):
+    out = tmp_path / "out.parquet"
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(
+        PIPELINE_YAML.format(sf=sf_dir, out=out, metrics=tmp_path / "m")
+    )
+    run_pipeline_file(spark, str(ypath), cli_vars={"validationRun": "2"})
+    assert spark.read.parquet(str(out)).count() <= 2
+
+
+def test_variable_precedence_pipeline_over_cli(spark, sf_dir, tmp_path):
+    """Pipeline-declared variables override CLI vars (reference README.md:105)."""
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(
+        PIPELINE_YAML.format(sf=sf_dir, out=tmp_path / "o", metrics=tmp_path / "m")
+    )
+    p = build_pipeline_from_file(str(ypath), cli_vars={"min_key": "99"}, spark=spark)
+    assert p.variables["min_key"] == "1"
+
+
+def test_global_view_localization(spark, sf_dir, tmp_path):
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(
+        f"""
+version: 1.0.0
+settings:
+  globalViewAsLocal: "true"
+jobs:
+  - name: one
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties: {{format: parquet, fileUri: "{sf_dir}/region.parquet"}}
+        output-view:
+          name: regions_g
+          global: "true"
+  - name: two
+    actions:
+      - name: use-it
+        actor:
+          type: sql-transformer
+          properties: {{sqlString: "select count(*) as n from regions_g"}}
+        input-views: [regions_g]
+        output-view:
+          name: region_count
+          global: "true"
+"""
+    )
+    run_pipeline_file(spark, str(ypath))
+    assert spark.table("global_temp.region_count").collect()[0]["n"] == 5
+
+
+def test_json_pipeline_build(spark, sf_dir, tmp_path):
+    jpath = tmp_path / "p.json"
+    jpath.write_text(
+        json.dumps(
+            {
+                "version": "1.0.0",
+                "name": "j",
+                "jobs": [
+                    {
+                        "name": "main",
+                        "actions": [
+                            {
+                                "name": "load",
+                                "actor": {
+                                    "type": "file-reader",
+                                    "properties": {
+                                        "format": "parquet",
+                                        "fileUri": f"{sf_dir}/region.parquet",
+                                    },
+                                },
+                                "output-view": {"name": "rj"},
+                            }
+                        ],
+                    }
+                ],
+            }
+        )
+    )
+    p = build_pipeline_from_file(str(jpath), spark=spark)
+    assert p.jobs[0].actions[0].output_view.name == "rj"
+    PipelineRunner(spark).run(p)
+
+
+def test_xml_pipeline_build(spark, sf_dir, tmp_path):
+    xpath = tmp_path / "p.xml"
+    xpath.write_text(
+        f"""<pipeline-def>
+  <version>1.0.0</version>
+  <name>x</name>
+  <jobs>
+    <name>main</name>
+    <actions>
+      <name>load</name>
+      <actor>
+        <type>file-reader</type>
+        <properties>
+          <format>parquet</format>
+          <fileUri>{sf_dir}/region.parquet</fileUri>
+        </properties>
+      </actor>
+      <output-view><name>rx</name></output-view>
+    </actions>
+  </jobs>
+</pipeline-def>"""
+    )
+    p = build_pipeline_from_file(str(xpath), spark=spark)
+    PipelineRunner(spark).run(p)
+    assert p.jobs[0].actions[0].output_view.name == "rx"

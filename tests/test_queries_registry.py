@@ -1,0 +1,46 @@
+"""Registry invariants + a fast oracle-parity spot check (full parity runs in
+tools/check_correctness.py / the driver gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spark_etl_framework_spark.catalog import TABLES
+from spark_etl_framework_spark.queries import ORACLES, QUERIES
+
+SPOT = ["q1_pricing_summary", "window_topk_per_group", "dedup_simhash"]
+
+
+def test_every_query_has_oracle():
+    assert set(ORACLES) <= set(QUERIES)
+    missing = set(QUERIES) - set(ORACLES)
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert missing == set(), f"queries without oracle: {missing}"
+
+
+def test_driver_contract_shape():
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 45
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_oracle_parity_spot(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    cur = con.execute(ORACLES[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_norm = sorted([tuple(r[i] for i in order) for r in srows], key=repr)
+    d_norm = sorted([tuple(r[i] for i in dorder) for r in drows], key=repr)
+    assert s_norm == d_norm

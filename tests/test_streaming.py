@@ -1,0 +1,127 @@
+"""Streaming: file stream → transform → memory sink; stateful processor via
+applyInPandasWithState; bounded by processAllAvailable for determinism."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pytest
+
+from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+from spark_etl_framework_spark.streaming.readers import FileStreamReader, FlatStreamReader
+from spark_etl_framework_spark.streaming.stateful import ArbitraryStatefulProcessor
+from spark_etl_framework_spark.streaming.writers import MemoryStreamWriter
+
+
+@pytest.fixture
+def jctx(spark):
+    return JobContext(PipelineContext(), spark)
+
+
+def _write_csv(tmp_path, name: str, text: str) -> str:
+    d = tmp_path / name
+    d.mkdir()
+    (d / "part-0.csv").write_text(text)
+    return str(d)
+
+
+def test_file_stream_reader_to_memory(spark, jctx, tmp_path):
+    uri = _write_csv(tmp_path, "s1", "1,a\n2,b\n3,a\n")
+    r = FileStreamReader(
+        format="csv", fileUri=uri, ddlSchemaString="id int, tag string", addTimestamp="true"
+    )
+    df = r.run(jctx, spark)
+    assert df.isStreaming and "__timestamp" in df.columns
+    jctx.register_view("s1_view", df)
+    MemoryStreamWriter(view="s1_view", queryName="s1_out").run(jctx, spark)
+    out = spark.sql("select id, tag from s1_out").collect()
+    assert sorted(r["id"] for r in out) == [1, 2, 3]
+
+
+def test_flat_stream_reader_positional(spark, jctx, tmp_path):
+    uri = _write_csv(tmp_path, "s2", "user00001 5\nuser00002 7\n")
+    r = FlatStreamReader(
+        fileUri=uri,
+        ddlFieldsString="user:1-9 string, event:11-1 long",
+        watermark={"timeField": "__timestamp", "delayThreshold": "1 minute"},
+        addTimestamp="true",
+    )
+    df = r.run(jctx, spark)
+    assert df.isStreaming
+    jctx.register_view("s2_view", df)
+    MemoryStreamWriter(view="s2_view", queryName="s2_out").run(jctx, spark)
+    rows = spark.sql("select user, event from s2_out").collect()
+    assert {(r["user"], r["event"]) for r in rows} == {("user00001", 5), ("user00002", 7)}
+
+
+def test_stateful_processor(spark, jctx, tmp_path):
+    # NB: defined inside the test so cloudpickle serializes the class by
+    # value — executor workers can't import test modules.
+    class MinMaxAge(ArbitraryStatefulProcessor):
+        """Per-gender min/max age — the reference's UserStatefulProcessor
+        shape (reference: src/test/scala/.../UserStatefulProcessor.scala:29-44)."""
+
+        group_keys = ("gender",)
+        output_schema = "gender string, minage int, maxage int, n bigint"
+        state_schema = "minage int, maxage int, n bigint"
+        output_mode = "update"
+        timeout_conf = "NoTimeout"
+
+        def process_group(
+            self, key, batches: Iterator[pd.DataFrame], state
+        ) -> Iterator[pd.DataFrame]:
+            mn, mx, n = state.get if state.exists else (None, None, 0)
+            for pdf in batches:
+                ages = pdf["age"]
+                mn = int(ages.min()) if mn is None else min(mn, int(ages.min()))
+                mx = int(ages.max()) if mx is None else max(mx, int(ages.max()))
+                n += len(pdf)
+            state.update((mn, mx, n))
+            yield pd.DataFrame([{"gender": key[0], "minage": mn, "maxage": mx, "n": n}])
+
+    uri = _write_csv(tmp_path, "s3", "m,30\nf,25\nm,40\nf,35\nm,20\n")
+    df = FileStreamReader(
+        format="csv", fileUri=uri, ddlSchemaString="gender string, age int"
+    ).run(jctx, spark)
+    out = MinMaxAge().transform_state(df)
+    jctx.register_view("s3_view", out)
+    MemoryStreamWriter(view="s3_view", queryName="s3_out", outputMode="update").run(
+        jctx, spark
+    )
+    rows = {r["gender"]: r for r in spark.sql("select * from s3_out").collect()}
+    assert rows["m"]["minage"] == 20 and rows["m"]["maxage"] == 40 and rows["m"]["n"] == 3
+    assert rows["f"]["minage"] == 25 and rows["f"]["maxage"] == 35 and rows["f"]["n"] == 2
+
+
+def test_tumbling_window_streaming_matches_batch(spark, jctx, sf_dir, tmp_path):
+    """Same window() aggregation semantics batch vs stream (events table)."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    stream_dir = str(tmp_path / "ev_parquet")
+    ev.write.parquet(stream_dir)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .parquet(stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    jctx.register_view("ev_win", sdf)
+    MemoryStreamWriter(view="ev_win", queryName="ev_win_out", outputMode="complete").run(
+        jctx, spark
+    )
+    got = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from ev_win_out").collect()
+    }
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
