@@ -43,9 +43,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
-    # warm the JVM + parquet footers so per-query numbers measure the query
-    for name in ("lineitem", "orders"):
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+    # Warm JVM codegen + parquet footers/file-index for every table so the
+    # per-query numbers measure query execution, not first-touch FS metadata.
+    from spark_etl_framework_spark.catalog import TABLES, load_table
+
+    for name in TABLES:
+        load_table(spark, sf_dir, name).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

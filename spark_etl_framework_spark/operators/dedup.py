@@ -78,28 +78,37 @@ def word_shingles(
     )
 
 
+def minhash_wide(shingles: DataFrame, id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """One row per document with k MinHash columns ``mh_0..mh_{k-1}``.
+
+    minhash(seed) = MIN over shingles of md5(seed || ':' || shingle) — k min
+    aggregates in a SINGLE groupBy: no k× row explosion, one shuffle whose
+    rows are exactly one per (doc × partition) thanks to partial aggregation.
+    The hashes are computed inline during the map phase (JVM codegen).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
-    """k MinHash values per document: (id, seed, minhash).
-
-    minhash(seed) = MIN over shingles of md5(seed || ':' || shingle).
-    Map-side combine reduces each partition's shingles to ≤k rows per doc
-    before the shuffle.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    hashed = shingles.select(F.col(id_col), seeds, F.col("shingle")).select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    """k MinHash values per document in long form: (id, seed, minhash).
+    Computed via the wide aggregation + stack unpivot (no seed explode)."""
+    wide = minhash_wide(shingles, id_col, k)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(k))
+    return wide.select(
+        id_col, F.expr(f"stack({k}, {stack_args}) AS (seed, minhash)")
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_bands(
     signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
 ) -> DataFrame:
-    """Fold signatures into LSH band keys: (id, band_id, band_key).
+    """Fold long-form signatures into LSH band keys: (id, band_id, band_key).
 
     band_key = md5 of the band's minhash values in seed order; two documents
     collide on a band iff that band's signature rows all match.
@@ -120,24 +129,60 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_bands_wide(
+    wide: DataFrame, id_col: str = "doc_id", k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band keys straight from the wide signature form — zero extra shuffles
+    (band hashing is a pure projection)."""
+    n_bands = k // rows_per_band
+    pairs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        pairs.extend([F.lit(b), F.md5(F.concat_ws(",", *cols))])
+    stack_expr = F.expr(
+        f"stack({n_bands}, "
+        + ", ".join(f"__b{i}, __k{i}" for i in range(n_bands))
+        + ") AS (band_id, band_key)"
+    )
+    named = wide.select(
+        id_col,
+        *[
+            c.alias(f"__{'b' if i % 2 == 0 else 'k'}{i // 2}")
+            for i, c in enumerate(pairs)
+        ],
+    )
+    return named.select(id_col, stack_expr)
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = 10_000
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
 
-    Equi-join on (band_id, band_key) — the LSH trick that replaces the n²
-    comparison; shuffle-hash/sort-merge joinable at any scale.
+    Instead of a bucket self-join (which would recompute the minhash lineage
+    for both sides and shuffle twice), group each bucket's members into a
+    sorted list and emit its pairwise combinations with array built-ins — one
+    aggregation shuffle total. ``max_bucket`` guards the quadratic blow-up of
+    a degenerate bucket (boilerplate-heavy corpora): oversized buckets are
+    dropped, which only loses candidates that cheaper exact passes catch.
     """
-    a = bands.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_key"
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
     )
-    return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 # --------------------------------------------------------------------------

@@ -94,7 +94,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, "doc_id", "text", n=3)
-    bands = D.lsh_bands(D.minhash_signatures(sh, "doc_id", k=8), "doc_id", rows_per_band=2)
+    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     sized = bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
     )
@@ -118,7 +118,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (equi-join on band bucket)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, "doc_id", "text", n=3)
-    bands = D.lsh_bands(D.minhash_signatures(sh, "doc_id", k=8), "doc_id", rows_per_band=2)
+    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     return D.lsh_candidate_pairs(bands, "doc_id")
 
 
