@@ -40,6 +40,7 @@ def register(name: str, oracle: str | None = None):
 def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from . import relational  # noqa: F401
+    from . import relational2  # noqa: F401
     from . import windows  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import textops  # noqa: F401
