@@ -65,6 +65,111 @@ def cosine_topk(
     )
 
 
+def centroid_vectors(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid as an array column (label, cvec).
+
+    Components are ROUNDED to 6 dp: averaging is summation-order dependent at
+    the last ulp, and rounding makes the quantizer bit-reproducible across
+    engines/partitionings — so every downstream distance is too.
+    """
+    return (
+        df.select(
+            label_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+        )
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: score probes against per-label centroids, keep the
+    ``nprobe`` nearest cells, and rerank exactly only within those cells.
+
+    This is the 100 TB shape: the corpus is partitioned by cell (here the
+    label column; in production a KMeans assignment), the probe→centroid pass
+    touches #cells rows, and the exact rerank scans only ~nprobe/#cells of
+    the corpus. Probes and centroids are broadcast — the corpus never
+    shuffles until the final per-probe top-k of the candidate set.
+    """
+    cents = centroid_vectors(corpus, label_col, vec_col)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("_pv")
+    )
+    cos_c = F.round(
+        _dot(F.col("_pv"), F.col("cvec")) / (_norm(F.col("_pv")) * _norm(F.col("cvec"))), 6
+    )
+    pc = p.crossJoin(F.broadcast(cents)).select("probe_id", "_pv", label_col, cos_c.alias("cos_c"))
+    w_cells = W.partitionBy("probe_id").orderBy(F.desc("cos_c"), F.asc(label_col))
+    top_cells = (
+        pc.withColumn("rn", F.row_number().over(w_cells))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "_pv", label_col)
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    cosine = F.round(
+        _dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv"))), 6
+    )
+    scored = (
+        c.join(F.broadcast(top_cells), label_col)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, cosine.alias("cosine"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= k
+    )
+
+
+def blocked_neardup_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    k: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates, blocked by a cluster
+    column: only same-block pairs are compared (the blocking that turns the
+    n² all-pairs scan into Σ block² — at scale the block is an LSH bucket or
+    IVF cell). Returns the top-k most similar pairs."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    cosine = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+    )
+    return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(k)
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -39,10 +39,24 @@ _BUILTIN = {
     "file-stream-reader": "spark_etl_framework_spark.streaming.readers.FileStreamReader",
     "flat-stream-reader": "spark_etl_framework_spark.streaming.readers.FlatStreamReader",
     "kafka-stream-reader": "spark_etl_framework_spark.streaming.readers.KafkaStreamReader",
+    "delta-stream-reader": "spark_etl_framework_spark.streaming.readers.DeltaStreamReader",
+    "iceberg-stream-reader": "spark_etl_framework_spark.streaming.readers.IcebergStreamReader",
+    "redis-stream-reader": "spark_etl_framework_spark.streaming.readers.RedisStreamReader",
     "file-stream-writer": "spark_etl_framework_spark.streaming.writers.FileStreamWriter",
     "memory-stream-writer": "spark_etl_framework_spark.streaming.writers.MemoryStreamWriter",
     "kafka-stream-writer": "spark_etl_framework_spark.streaming.writers.KafkaStreamWriter",
     "jdbc-stream-writer": "spark_etl_framework_spark.streaming.writers.JdbcStreamWriter",
+    "delta-stream-writer": "spark_etl_framework_spark.streaming.writers.DeltaStreamWriter",
+    "iceberg-stream-writer": "spark_etl_framework_spark.streaming.writers.IcebergStreamWriter",
+    "foreachbatch-stream-writer": "spark_etl_framework_spark.streaming.writers.ForeachBatchConnectorStreamWriter",
+    "hbase-reader": "spark_etl_framework_spark.sources.optional.HBaseReader",
+    "mongo-reader": "spark_etl_framework_spark.sources.optional.MongoReader",
+    "redis-reader": "spark_etl_framework_spark.sources.optional.RedisReader",
+    "flight-reader": "spark_etl_framework_spark.sources.optional.FlightReader",
+    "hbase-writer": "spark_etl_framework_spark.sinks.optional.HBaseWriter",
+    "mongo-writer": "spark_etl_framework_spark.sinks.optional.MongoWriter",
+    "redis-writer": "spark_etl_framework_spark.sinks.optional.RedisWriter",
+    "flight-writer": "spark_etl_framework_spark.sinks.optional.FlightWriter",
 }
 
 

@@ -128,14 +128,21 @@ def run_pipeline_file(
     path: str,
     cli_vars: dict[str, str] | None = None,
     app_conf: dict[str, str] | None = None,
+    staging_uri: str | None = None,
+    staging_actions: list[str] | None = None,
 ) -> None:
     """CLI-style entry: ``path`` may carry a job selection suffix
-    ``file.yaml#job1;job2`` (reference: Launcher.scala:42-45)."""
+    ``file.yaml#job1;job2`` (reference: Launcher.scala:42-45). CLI staging
+    overrides replace the pipeline's debug-staging section
+    (reference: etl/configuration/ArgumentParser.scala:46-60)."""
     from .builder import build_pipeline_from_file
+    from .model import DebugStaging
 
     jobs: list[str] | None = None
     if "#" in path:
         path, sel = path.split("#", 1)
         jobs = [j for j in sel.split(";") if j]
     pipeline = build_pipeline_from_file(path, cli_vars, app_conf, spark)
+    if staging_uri:
+        pipeline.debug_staging = DebugStaging(staging_uri, staging_actions or [])
     PipelineRunner(spark).run(pipeline, jobs)

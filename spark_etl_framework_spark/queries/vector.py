@@ -58,6 +58,71 @@ def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.label_centroids(emb, "label", "embedding")
 
 
+_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+
+@register(
+    "vector_ann_ivf",
+    oracle=f"""
+    WITH expl AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> {{'dim': i - 1, 'x': embedding[i]::DOUBLE}})) AS u
+        FROM embeddings
+    ),
+    cdim AS (SELECT label, u.dim AS dim, round(avg(u.x), 6) AS c
+             FROM expl GROUP BY label, u.dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cdim GROUP BY label),
+    p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+          FROM embeddings WHERE vec_id < 5),
+    pc AS (SELECT probe_id, pv, cent.label,
+                  {_COS.format(a="pv", b="cvec")} AS cos_c
+           FROM p, cent),
+    top_cells AS (SELECT probe_id, pv, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_c DESC, label) AS rn FROM pc)
+        WHERE rn <= 2),
+    cand AS (SELECT t.probe_id, t.pv, e.vec_id, e.embedding::DOUBLE[] AS cv
+             FROM embeddings e JOIN top_cells t ON e.label = t.label
+             WHERE e.vec_id <> t.probe_id),
+    scored AS (SELECT probe_id, vec_id, {_COS.format(a="pv", b="cv")} AS cosine
+               FROM cand),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cosine DESC, vec_id) AS INT) AS rn
+          FROM scored)
+    SELECT probe_id, vec_id, cosine, rn FROM r WHERE rn <= 10
+    """,
+)
+def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (nprobe=2 over label cells): the scale path that scans
+    only the probed cells instead of the whole corpus."""
+    from ..operators.vector import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, probes, "vec_id", "embedding", "label", k=10, nprobe=2)
+
+
+@register(
+    "vector_neardup_blocked",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a="a.e", b="b.e")} AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def vector_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates, blocked by label (Σ block²
+    instead of n² comparisons); top-20 most similar pairs."""
+    from ..operators.vector import blocked_neardup_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_neardup_topk(emb, "vec_id", "embedding", "label", k=20)
+
+
 @register(
     "vector_norm_stats",
     oracle="""

@@ -1,0 +1,136 @@
+"""Optional-connector sink actors: HBase, MongoDB, Redis, Arrow Flight.
+
+Same gating policy as sources/optional.py. HBaseWriter carries the
+reference's behavioral contracts: overwrite = truncate-then-put, rowkey from
+concatenated columns or UUID (reference: etl/sink/HBaseWriter.scala:14,20-35;
+etl/common/HBaseWriteActor.scala:37-79).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.base import Actor
+from ..plans.context import JobContext
+from ..sources.connectors import _unavailable
+
+
+class HBaseWriter(Actor):
+    mode: str = "merge"  # overwrite = truncate-then-put, merge = put
+    connection_table: str | None = None
+    rowKey_columns: str | None = None  # concat source cols; absent → uuid
+    rowKey_concatenator: str = ""
+    view: str | None = None
+
+    def prepared_df(self, df: DataFrame) -> DataFrame:
+        """Attach the ``__:rowKey`` column (concatenated cols or UUID —
+        reference: HBaseWriteActor.scala:69-71)."""
+        if self.rowKey_columns:
+            cols = [c.strip() for c in self.rowKey_columns.split(",")]
+            key = F.concat_ws(self.rowKey_concatenator, *[F.col(c).cast("string") for c in cols])
+        else:
+            key = F.expr("uuid()")
+        return df.withColumn("__rowKey", key)
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.connection_table or not self.view:
+            raise ValueError("HBaseWriter: 'connection.table' and view required")
+        df = self.prepared_df(spark.table(self.view))
+        ctx.reference(self.view)
+        try:
+            (
+                df.write.format("org.apache.hadoop.hbase.spark")
+                .option("hbase.table", self.connection_table)
+                .option("hbase.truncate", str(self.mode == "overwrite").lower())
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("hbase", e) from e
+        return None
+
+
+class MongoWriter(Actor):
+    host: str | None = None
+    port: int | None = None
+    database: str | None = None
+    collection: str | None = None
+    user: str | None = None
+    password: str | None = None
+    mode: str = "append"
+    view: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.host or not self.database or not self.collection or not self.view:
+            raise ValueError("MongoWriter: host/database/collection/view required")
+        df = spark.table(self.view)
+        ctx.reference(self.view)
+        auth = f"{self.user}:{self.password}@" if self.user else ""
+        try:
+            (
+                df.write.format("mongodb")
+                .option("connection.uri", f"mongodb://{auth}{self.host}:{self.port or 27017}")
+                .option("database", self.database)
+                .option("collection", self.collection)
+                .mode(self.mode)
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("mongodb", e) from e
+        return None
+
+
+class RedisWriter(Actor):
+    host: str | None = None
+    port: int | None = None
+    dbNum: int | None = None
+    auth: str | None = None
+    table: str | None = None
+    mode: str = "append"
+    view: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.host or not self.table or not self.view:
+            raise ValueError("RedisWriter: host/table/view required")
+        df = spark.table(self.view)
+        ctx.reference(self.view)
+        try:
+            writer = (
+                df.write.format("org.apache.spark.sql.redis")
+                .option("host", self.host)
+                .option("port", str(self.port or 6379))
+                .option("table", self.table)
+                .mode(self.mode)
+            )
+            if self.auth:
+                writer = writer.option("auth", self.auth)
+            writer.save()
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("redis", e) from e
+        return None
+
+
+class FlightWriter(Actor):
+    host: str | None = None
+    port: int | None = None
+    table: str | None = None
+    mode: str = "append"
+    view: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.host or not self.table or not self.view:
+            raise ValueError("FlightWriter: host/table/view required")
+        df = spark.table(self.view)
+        ctx.reference(self.view)
+        try:
+            (
+                df.write.format("flight")
+                .option("host", self.host)
+                .option("port", str(self.port or 32010))
+                .option("table", self.table)
+                .mode(self.mode)
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("flight", e) from e
+        return None

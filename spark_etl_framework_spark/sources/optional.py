@@ -1,0 +1,144 @@
+"""Optional-connector source actors: HBase, MongoDB, Redis, Arrow Flight.
+
+The reference treats these as jar-gated optional connectors
+(reference: etl/source/{HBaseReader,MongoReader,RedisReader,FlightReader}.
+scala; Flight explicitly optional per PipelineTest.scala:79-98). No pip-native
+Spark connector exists for them in this environment, so these actors own the
+full option surface + semantics contract and raise a single clear
+"unavailable" error from run() when the underlying format is missing. A
+cluster with the proper package installed gets working actors unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.base import Actor
+from ..plans.context import JobContext
+from .connectors import _unavailable
+
+
+class HBaseReader(Actor):
+    """Keyed scan → DataFrame. ``columnsMapping`` maps output columns to
+    ``cf:cq`` cells with the ``__:rowKey`` pseudo-column; scan bounded by
+    keyStart/keyStop/keyPrefix/tsStart/tsEnd
+    (reference: etl/source/HBaseReader.scala:12,30-37;
+    common/io/HBaseChannel.scala:26,46-108)."""
+
+    connection_table: str | None = None
+    keyStart: str | None = None
+    keyStop: str | None = None
+    keyPrefix: str | None = None
+    tsStart: str | None = None
+    tsEnd: str | None = None
+
+    def columns_mapping(self) -> dict[str, str]:
+        return {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("columnsMapping.")
+        }
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.connection_table:
+            raise ValueError("HBaseReader: 'connection.table' required")
+        try:
+            reader = spark.read.format("org.apache.hadoop.hbase.spark").option(
+                "hbase.table", self.connection_table
+            )
+            for k in ("keyStart", "keyStop", "keyPrefix", "tsStart", "tsEnd"):
+                v = getattr(self, k)
+                if v is not None:
+                    reader = reader.option(k, str(v))
+            return reader.load()
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("hbase", e) from e
+
+
+class MongoReader(Actor):
+    """Load a collection via the mongo-spark connector; uri assembled from
+    host/port/database/collection/user/password
+    (reference: etl/source/MongoReader.scala:12,20-34)."""
+
+    host: str | None = None
+    port: int | None = None
+    database: str | None = None
+    collection: str | None = None
+    user: str | None = None
+    password: str | None = None
+
+    def uri(self) -> str:
+        auth = f"{self.user}:{self.password}@" if self.user else ""
+        return f"mongodb://{auth}{self.host}:{self.port or 27017}"
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.host or not self.database or not self.collection:
+            raise ValueError("MongoReader: host/database/collection required")
+        try:
+            return (
+                spark.read.format("mongodb")
+                .option("connection.uri", self.uri())
+                .option("database", self.database)
+                .option("collection", self.collection)
+                .load()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("mongodb", e) from e
+
+
+class RedisReader(Actor):
+    """Load via spark-redis with optional DDL schema
+    (reference: etl/source/RedisReader.scala:14,49-66)."""
+
+    host: str | None = None
+    port: int | None = None
+    dbNum: int | None = None
+    auth: str | None = None
+    table: str | None = None
+    ddlSchemaString: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.host or not self.table:
+            raise ValueError("RedisReader: host/table required")
+        try:
+            reader = (
+                spark.read.format("org.apache.spark.sql.redis")
+                .option("host", self.host)
+                .option("port", str(self.port or 6379))
+                .option("table", self.table)
+            )
+            if self.dbNum is not None:
+                reader = reader.option("dbNum", str(self.dbNum))
+            if self.auth:
+                reader = reader.option("auth", self.auth)
+            if self.ddlSchemaString:
+                reader = reader.schema(T.StructType.fromDDL(self.ddlSchemaString))
+            return reader.load()
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("redis", e) from e
+
+
+class FlightReader(Actor):
+    """Arrow Flight endpoint read (reference: etl/source/FlightReader.scala:
+    10,18-26 via the external spark-flight-connector)."""
+
+    host: str | None = None
+    port: int | None = None
+    table: str | None = None
+    user: str | None = None
+    password: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.host or not self.table:
+            raise ValueError("FlightReader: host/table required")
+        try:
+            return (
+                spark.read.format("flight")
+                .option("host", self.host)
+                .option("port", str(self.port or 32010))
+                .option("table", self.table)
+                .load()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("flight", e) from e

@@ -86,6 +86,69 @@ class FlatStreamReader(_StreamDecorators):
         return self.decorate(df)
 
 
+class DeltaStreamReader(_StreamDecorators):
+    """``readStream`` delta by path (reference: etl/source/DeltaStreamReader.
+    scala:14,41-57)."""
+
+    path: str | None = None
+    DEFERRED_KEYS = ("path",)
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable
+
+        if not self.path:
+            raise ValueError("DeltaStreamReader: 'path' required")
+        try:
+            return self.decorate(spark.readStream.format("delta").load(self.path))
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("delta", e) from e
+
+
+class IcebergStreamReader(_StreamDecorators):
+    """``readStream`` iceberg table (reference: etl/source/IcebergStreamReader.
+    scala:12,30-46)."""
+
+    table: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable
+
+        if not self.table:
+            raise ValueError("IcebergStreamReader: 'table' required")
+        try:
+            return self.decorate(spark.readStream.format("iceberg").load(self.table))
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("iceberg", e) from e
+
+
+class RedisStreamReader(_StreamDecorators):
+    """``readStream`` a redis stream with DDL schema (reference: etl/source/
+    RedisStreamReader.scala:15,61-86)."""
+
+    host: str | None = None
+    port: int | None = None
+    streamKey: str | None = None
+    ddlSchemaString: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable
+
+        if not self.host or not self.streamKey or not self.ddlSchemaString:
+            raise ValueError("RedisStreamReader: host/streamKey/ddlSchemaString required")
+        try:
+            df = (
+                spark.readStream.format("redis")
+                .option("host", self.host)
+                .option("port", str(self.port or 6379))
+                .option("stream.keys", self.streamKey)
+                .schema(T.StructType.fromDDL(self.ddlSchemaString))
+                .load()
+            )
+            return self.decorate(df)
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("redis", e) from e
+
+
 class KafkaStreamReader(_StreamDecorators):
     """``readStream`` kafka + payload decode
     (reference: etl/source/KafkaStreamReader.scala:11,24-43)."""

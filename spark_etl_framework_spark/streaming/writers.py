@@ -112,6 +112,87 @@ class KafkaStreamWriter(_StreamWriteBase):
         return None
 
 
+class DeltaStreamWriter(_StreamWriteBase):
+    """``writeStream.format("delta")`` (reference: etl/sink/DeltaStreamWriter.
+    scala:14,41-66; outputMode complete/append per :36)."""
+
+    path: str | None = None
+    table: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable
+
+        df = self.input_df(ctx, spark)
+        try:
+            writer = df.writeStream.format("delta")
+            if self.checkpointLocation:
+                writer = writer.option("checkpointLocation", self.checkpointLocation)
+            writer = self.apply_trigger(writer).outputMode(self.outputMode)
+            q = writer.toTable(self.table) if self.table else writer.start(self.path)
+            self.await_(q)
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("delta", e) from e
+        return None
+
+
+class IcebergStreamWriter(_StreamWriteBase):
+    """``writeStream.format("iceberg")``; explicitly rejects the continuous
+    trigger (reference: etl/sink/IcebergStreamWriter.scala:13,51-70)."""
+
+    table: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources.connectors import _unavailable
+
+        if self.trigger_mode == "continuous":
+            raise ValueError("IcebergStreamWriter: continuous trigger not supported")
+        df = self.input_df(ctx, spark)
+        try:
+            writer = df.writeStream.format("iceberg")
+            if self.checkpointLocation:
+                writer = writer.option("checkpointLocation", self.checkpointLocation)
+            writer = self.apply_trigger(writer).outputMode(self.outputMode)
+            self.await_(writer.toTable(self.table))
+        except Exception as e:  # noqa: BLE001
+            raise _unavailable("iceberg", e) from e
+        return None
+
+
+class ForeachBatchConnectorStreamWriter(_StreamWriteBase):
+    """Shared foreachBatch shape for Mongo/Redis/HBase stream sinks: each
+    micro-batch re-uses the batch writer actor (checkpointLocation mandatory —
+    reference: etl/sink/{Mongo,Redis}StreamWriter.scala:76-81)."""
+
+    #: dotted path (or registry alias) of the batch sink actor to apply
+    batchWriter: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..plans.registry import resolve_actor
+
+        if not self.checkpointLocation:
+            raise ValueError(f"{type(self).__name__}: checkpointLocation mandatory")
+        if not self.batchWriter:
+            raise ValueError(f"{type(self).__name__}: 'batchWriter' required")
+        df = self.input_df(ctx, spark)
+        actor_cls = resolve_actor(self.batchWriter)
+        props = {
+            k.split(".", 1)[1]: v for k, v in self._props.items() if k.startswith("sink.")
+        }
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            view = f"__stream_batch_{batch_id}"
+            bdf.createOrReplaceTempView(view)
+            actor_cls(**props, view=view).run(ctx, bdf.sparkSession)
+
+        writer = (
+            df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", self.checkpointLocation)
+        )
+        writer = self.apply_trigger(writer).outputMode(self.outputMode)
+        self.await_(writer.start())
+        return None
+
+
 class JdbcStreamWriter(_StreamWriteBase):
     """foreachBatch → partition-bounded DBAPI batch upserts with the
     ``@field`` parameterized statement + implicit ``@batchId``
