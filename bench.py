@@ -27,15 +27,22 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
     "window_topk_per_group",
     "window_running_sum",
     "ts_sessionize",
     "ts_tumbling_window",
     "ts_asof_join",
+    "ts_band_join",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_simhash",
+    "dedup_ngram_jaccard_topk",
     "vector_cosine_topk",
+    "vector_ann_ivf",
     "text_quality_score",
 ]
 

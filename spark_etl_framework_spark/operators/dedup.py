@@ -204,7 +204,10 @@ def ngram_jaccard_topk(
     which for natural text is ≪ n². Deterministic: similarity is a ratio of
     integers, ordering tiebreaks on the pair ids.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # the shingle set feeds three consumers (both join sides + sizes) —
+    # persist it so the tokenize/explode/distinct lineage runs once, mirroring
+    # the runner's reference-count auto-cache policy
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

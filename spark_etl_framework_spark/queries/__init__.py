@@ -46,6 +46,7 @@ def _load_all() -> None:
     from . import textops  # noqa: F401
     from . import dedup  # noqa: F401
     from . import vector  # noqa: F401
+    from . import pipelines  # noqa: F401
 
 
 _load_all()

@@ -1,0 +1,152 @@
+"""Framework-driven queries: the pipeline engine itself under the oracle gate.
+
+Each query here declares a real pipeline (the reference's YAML shape), runs it
+through PipelineRunner, and returns the final view — so builders, variable
+resolution, SQL actor semantics, validators and view promotion are all inside
+the hash-checked correctness surface, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.builder import build_pipeline
+from ..plans.runner import PipelineRunner
+from . import register
+
+
+def _run(spark: SparkSession, defn: dict, final_view: str) -> DataFrame:
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.table(f"global_temp.{final_view}")
+
+
+@register(
+    "pipeline_sql_transform",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS segment_revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_totalprice > 1000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def pipeline_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileReader ×2 → SqlTransformer (set + setrun + join/aggregate) —
+    the reference's template-pipeline shape
+    (reference: src/test/resources/pipelines/template_pipeline.yaml:26-75),
+    hash-checked end-to-end."""
+    defn = {
+        "version": "1.0.0",
+        "name": "seg-revenue",
+        "variables": [{"name": "min_price", "value": "1000.0"}],
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-customer",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/customer.parquet",
+                            },
+                        },
+                        "output-view": {"name": "p_customer"},
+                    },
+                    {
+                        "name": "load-orders",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/orders.parquet",
+                            },
+                        },
+                        "output-view": {"name": "p_orders"},
+                    },
+                    {
+                        "name": "transform",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                setrun n_cust = select count(*) from p_customer;
+                                select c_mktsegment,
+                                       count(*) as n_orders,
+                                       round(sum(o_totalprice), 2) as segment_revenue
+                                from p_customer join p_orders on c_custkey = o_custkey
+                                where o_totalprice > ${min_price} and ${n_cust} > 0
+                                group by c_mktsegment
+                                """,
+                            },
+                        },
+                        "input-views": ["p_customer", "p_orders"],
+                        "output-view": {"name": "p_seg_revenue", "global": "true"},
+                    },
+                ],
+            }
+        ],
+    }
+    return _run(spark, defn, "p_seg_revenue")
+
+
+@register(
+    "pipeline_validate_filter",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_acctbal >= 0
+    """,
+)
+def pipeline_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileReader → SqlDataValidator (split valid/invalid) → SqlTransformer,
+    exercising the validator actor inside the hash-checked path."""
+    defn = {
+        "version": "1.0.0",
+        "name": "validated-customers",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/customer.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pv_customer"},
+                    },
+                    {
+                        "name": "validate",
+                        "actor": {
+                            "type": "sql-data-validator",
+                            "properties": {
+                                "validWhere": "c_acctbal >= 0",
+                                "action": "ignore",
+                            },
+                        },
+                        "input-views": ["pv_customer"],
+                        "output-view": {"name": "pv_valid"},
+                    },
+                    {
+                        "name": "project",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": "select c_custkey, c_name, "
+                                "round(c_acctbal, 2) as acctbal from pv_valid",
+                            },
+                        },
+                        "input-views": ["pv_valid"],
+                        "output-view": {"name": "pv_out", "global": "true"},
+                    },
+                ],
+            }
+        ],
+    }
+    return _run(spark, defn, "pv_out")
