@@ -47,6 +47,7 @@ def _load_all() -> None:
     from . import dedup  # noqa: F401
     from . import vector  # noqa: F401
     from . import pipelines  # noqa: F401
+    from . import streaming_q  # noqa: F401
 
 
 _load_all()

@@ -85,10 +85,20 @@ class JdbcWriter(Actor):
         n_conn = int(self.numPartitions or ctx.pipeline.io_connections)
         batch = int(self.batchSize or ctx.pipeline.io_batch_size)
         connect_path = self.connect
+        # connection.* props ship to executors inside the closure — the
+        # connect callable may take them as its single argument
+        conn_opts = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("connection.")
+        }
 
         def write_partition(rows) -> None:
             connect = load_class(connect_path)
-            conn = connect()
+            try:
+                conn = connect(conn_opts)
+            except TypeError:
+                conn = connect()
             try:
                 cur = conn.cursor()
                 buf = []

@@ -25,17 +25,33 @@ def _unavailable(fmt: str, err: Exception) -> RuntimeError:
     )
 
 
-def decode_kafka(df: DataFrame, key_schema: str | None, value_schema: str | None) -> DataFrame:
-    """Decode kafka key/value with Spark JSON schemas; structs flattened to
-    key.* / value.*, other kafka columns prefixed ``__kafka_``
+def decode_kafka(
+    df: DataFrame,
+    key_schema: str | None,
+    value_schema: str | None,
+    key_avro: str | None = None,
+    value_avro: str | None = None,
+) -> DataFrame:
+    """Decode kafka key/value; structs flattened to key.* / value.*, other
+    kafka columns prefixed ``__kafka_``
     (reference: etl/common/KafkaReadActor.scala:32-93).
 
-    Avro schemas (from_avro) follow the same shape but need the avro package;
-    JSON path is jar-free.
+    Spark-JSON DDL schemas decode via from_json (jar-free); Avro schema
+    strings decode via from_avro (needs the spark-avro package —
+    reference: KafkaReadActor.scala:45,53).
     """
     out = df
     meta = [c for c in df.columns if c not in ("key", "value")]
     selects = []
+    if key_avro or value_avro:
+        from pyspark.sql.avro.functions import from_avro
+
+        if key_avro:
+            out = out.withColumn("__key", from_avro(F.col("key"), key_avro))
+            selects.append(F.col("__key.*"))
+        if value_avro:
+            out = out.withColumn("__value", from_avro(F.col("value"), value_avro))
+            selects.append(F.col("__value.*"))
     if key_schema:
         kt = T.StructType.fromDDL(key_schema) if "," in key_schema else None
         if kt is not None:
@@ -43,13 +59,13 @@ def decode_kafka(df: DataFrame, key_schema: str | None, value_schema: str | None
             selects.append(F.col("__key.*"))
         else:
             selects.append(F.col("key").cast(key_schema).alias("key"))
-    else:
+    elif not key_avro:
         selects.append(F.col("key"))
     if value_schema:
         vt = T.StructType.fromDDL(value_schema)
         out = out.withColumn("__value", F.from_json(F.col("value").cast("string"), vt))
         selects.append(F.col("__value.*"))
-    else:
+    elif not value_avro:
         selects.append(F.col("value"))
     selects += [F.col(c).alias(f"__kafka_{c}") for c in meta]
     return out.select(*selects)

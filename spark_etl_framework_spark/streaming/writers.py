@@ -221,11 +221,19 @@ class JdbcStreamWriter(_StreamWriteBase):
         batch = int(self.batchSize or ctx.pipeline.io_batch_size)
         n_conn = int(self.numPartitions or ctx.pipeline.io_connections)
         connect_path = self.connect
+        conn_opts = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("connection.")
+        }
 
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
             def write_partition(rows) -> None:
                 connect = load_class(connect_path)
-                conn = connect()
+                try:
+                    conn = connect(conn_opts)
+                except TypeError:
+                    conn = connect()
                 try:
                     cur = conn.cursor()
                     buf = []
