@@ -57,11 +57,18 @@ def main() -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).count()
 
+    # Each query runs twice; the min is reported. Run 1 includes whole-stage
+    # codegen compilation for that plan shape (a per-plan constant, not a
+    # per-byte cost); the min reflects steady-state engine throughput, which
+    # is what scales with data size.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

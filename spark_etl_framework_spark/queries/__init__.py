@@ -48,6 +48,8 @@ def _load_all() -> None:
     from . import vector  # noqa: F401
     from . import pipelines  # noqa: F401
     from . import streaming_q  # noqa: F401
+    from . import advanced  # noqa: F401
+    from . import fileformats  # noqa: F401
 
 
 _load_all()

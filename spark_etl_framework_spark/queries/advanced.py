@@ -1,0 +1,192 @@
+"""Composite / scale-technique queries: salted aggregation, stream-batch
+join, LSH-verified near-dup, top-k per group on documents."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+    WITH ev AS (SELECT user_id, value FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value,
+           round(min(value), 4)     AS min_value,
+           round(max(value), 4)     AS max_value
+    FROM ev GROUP BY user_id
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over events.user_id — identical results
+    to the direct groupBy (hash-checked), different shuffle layout: the hot
+    key spreads across 16 reducers in phase 1."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("count", "value"),
+            "__sum_value": ("sum", "value"),
+            "__min_value": ("min", "value"),
+            "__max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("__sum_value", 2).alias("total_value"),
+        F.round("__min_value", 4).alias("min_value"),
+        F.round("__max_value", 4).alias("max_value"),
+    )
+
+
+@register(
+    "stream_batch_join",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, value FROM events)
+    SELECT c_mktsegment, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM ev JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-batch dimension join — the reference's flagship streaming
+    pattern (reference: pipeline_fileStreamRead-arbitraryState-
+    jdbcStreamWrite.yaml:27-103: batch `users` dim joined to a stream in
+    SQL): streaming events join the static customer dim, aggregate, complete
+    mode, hash-matched against the batch oracle."""
+    from .streaming_q import _events_stream
+
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "value")
+        .join(F.broadcast(cu), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    qname = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(qname).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    oracle="""
+    WITH
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(a) - 1),
+                                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+           FROM t WHERE len(a) >= 3),
+    hx AS (SELECT doc_id, seed, md5(seed::VARCHAR || ':' || shingle) AS h
+           FROM sh, generate_series(0, 7) AS s(seed)),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
+            FROM hx GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_id,
+                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, (seed // 2)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.01
+    """,
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline composed: LSH candidates → exact Jaccard
+    verification → threshold. At corpus scale the verification join touches
+    only candidate pairs (LSH recall set), never n²."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3).persist()
+    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
+    cand = D.lsh_candidate_pairs(bands, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.01)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "text_topk_quality_per_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+')                      AS toks,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)                                AS alpha_ratio
+        FROM documents
+    ),
+    q AS (SELECT doc_id, lang,
+                 round(0.4 * least(1.0, len(toks) / 100.0)
+                       + 0.3 * least(1.0, (len(list_filter(toks,
+                             x -> list_contains(['the','a','of','and','to','in','is','on','for','data'], x)))
+                             / greatest(len(toks), 1)) * 3)
+                       + 0.3 * alpha_ratio, 6) AS quality_score
+          FROM t)
+    SELECT lang, doc_id, quality_score,
+           CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY quality_score DESC, doc_id) AS rn
+          FROM q)
+    WHERE rn <= 5
+    """,
+)
+def text_topk_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation shape: top-5 highest-quality documents per language
+    label (quality operator + ranking window composed)."""
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    q = with_quality_score(docs).select("doc_id", "lang", "quality_score")
+    w = W.partitionBy("lang").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        q.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "quality_score", "rn")
+    )

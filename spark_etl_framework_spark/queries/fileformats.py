@@ -1,0 +1,85 @@
+"""File-format round-trip queries: the flat/binary readers under the oracle
+gate.
+
+Each query WRITES a deterministic fixed-width rendering of the nation table,
+re-reads it through the positional-DDL reader actors, and must reproduce the
+source rows exactly — so the mini-schema parsers, header splitting, and byte
+slicing are hash-checked against DuckDB reading the original parquet. No
+external fixtures needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.context import JobContext, PipelineContext
+from . import register
+
+#: fixed-width layout: key(4) name(20) regionkey(4) → 28 chars + newline
+_WIDTH = 28
+
+_ORACLE = """
+    SELECT CAST(n_nationkey AS INT) AS nationkey,
+           n_name                   AS name,
+           CAST(n_regionkey AS INT) AS regionkey
+    FROM nation
+"""
+
+
+def _write_fixed_width(spark: SparkSession, sf_dir: str, out_dir: str, header: bool) -> None:
+    na = load_table(spark, sf_dir, "nation")
+    line = F.concat(
+        F.rpad(F.col("n_nationkey").cast("string"), 4, " "),
+        F.rpad(F.col("n_name"), 20, " "),
+        F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
+    ).alias("value")
+    rows = na.select(line)
+    if header:
+        hdr = spark.createDataFrame([("HDR" + "0" * (_WIDTH - 3),)], ["value"])
+        rows = hdr.unionByName(rows)
+    rows.coalesce(1).write.mode("overwrite").text(out_dir)
+
+
+@register("flatfile_positional_roundtrip", oracle=_ORACLE)
+def flatfile_positional_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → fixed-width text (with a header record) → FlatFileReader with
+    positional DDL + header split → must equal the source table."""
+    from ..sources.file import FlatFileReader
+
+    import os
+
+    out = f"/tmp/_spark_etl_flat_{os.path.basename(sf_dir.rstrip('/'))}"
+    _write_fixed_width(spark, sf_dir, out, header=True)
+    jctx = JobContext(PipelineContext(), spark)
+    r = FlatFileReader(
+        fileUri=f"{out}/part-*.txt",
+        ddlFieldsString="nationkey:1-4 int, name:5-20 string, regionkey:25-4 int",
+        header={"rowNo": 1, "view": "flat_rt_header"},
+    )
+    df = r.run(jctx, spark)
+    return df.select("nationkey", F.trim("name").alias("name"), "regionkey")
+
+
+@register("binary_records_roundtrip", oracle=_ORACLE)
+def binary_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → fixed-width text → BinaryFileReader with recordLength =
+    line+newline, byte-positional fields → must equal the source table.
+    Exercises binaryRecords + byte-slice decode (the mainframe-record path)."""
+    from ..sources.file import BinaryFileReader
+
+    import os
+
+    out = f"/tmp/_spark_etl_bin_{os.path.basename(sf_dir.rstrip('/'))}"
+    _write_fixed_width(spark, sf_dir, out, header=False)
+    jctx = JobContext(PipelineContext(), spark)
+    r = BinaryFileReader(
+        fileUri=f"{out}/part-*.txt",
+        recordLength=_WIDTH + 1,  # include the newline byte
+        ddlFieldsString="nationkey:1-4 int, name:5-20 string, regionkey:25-4 int",
+    )
+    df = r.run(jctx, spark)
+    return df.select(
+        "nationkey", F.trim("name").alias("name"), "regionkey"
+    )
