@@ -25,6 +25,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def dsum(col, scale: int | None = None):
+    """Order-independent money/quantity sum: accumulate in DECIMAL(18,6)
+    (exact — the inputs carry ≤4 true decimal places); with ``scale``,
+    ROUND while still in decimal, then emit DOUBLE.
+
+    Two failure classes this removes:
+    - unordered double sums differ at the last ulp between engines AND
+      between runs (partition order), so round(sum, 2) can flip at a
+      boundary;
+    - Spark's round(double, n) rounds the shortest string representation
+      while DuckDB rounds the exact binary value — a decimal sum landing
+      exactly on x.xx5 diverges. round(DECIMAL, n) agrees in both engines
+      (half away from zero), so rounding happens before the double cast.
+    The DuckDB oracle counterpart is ``DSUM_SQL`` / ``dsum_sql()``.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.sum(col.cast("decimal(18,6)"))
+    if scale is not None:
+        s = F.round(s, scale)
+    return s.cast("double")
+
+
+#: oracle-side templates of :func:`dsum` — format with the summand expression
+DSUM_SQL = "CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def dsum_sql(expr: str, scale: int | None = None) -> str:
+    inner = f"sum(CAST({expr} AS DECIMAL(18,6)))"
+    if scale is not None:
+        inner = f"round({inner}, {scale})"
+    return f"CAST({inner} AS DOUBLE)"
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optional DuckDB oracle) to the registry."""
 
@@ -41,6 +75,8 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from . import relational  # noqa: F401
     from . import relational2  # noqa: F401
+    from . import relational3  # noqa: F401
+    from . import relational4  # noqa: F401
     from . import windows  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import textops  # noqa: F401

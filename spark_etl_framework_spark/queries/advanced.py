@@ -10,7 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import register
+from . import dsum, register
 
 
 @register(
@@ -19,7 +19,7 @@ from . import register
     WITH ev AS (SELECT user_id, value FROM events)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2)     AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
            round(min(value), 4)     AS min_value,
            round(max(value), 4)     AS max_value
     FROM ev GROUP BY user_id
@@ -31,7 +31,9 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     key spreads across 16 reducers in phase 1."""
     from ..operators.skew import salted_agg
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("value")
+    )
     out = salted_agg(
         ev,
         ["user_id"],
@@ -46,9 +48,9 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "n_events",
-        F.round("__sum_value", 2).alias("total_value"),
-        F.round("__min_value", 4).alias("min_value"),
-        F.round("__max_value", 4).alias("max_value"),
+        F.round(F.col("__sum_value"), 2).cast("double").alias("total_value"),
+        F.round(F.col("__min_value").cast("double"), 4).alias("min_value"),
+        F.round(F.col("__max_value").cast("double"), 4).alias("max_value"),
     )
 
 
@@ -58,7 +60,7 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT user_id, event_type, value FROM events)
     SELECT c_mktsegment, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2)     AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)     AS total_value
     FROM ev JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
     """,
@@ -77,7 +79,7 @@ def stream_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "value")
         .join(F.broadcast(cu), F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total_value"))
     )
     qname = f"stream_join_{uuid.uuid4().hex[:8]}"
     q = sdf.writeStream.format("memory").queryName(qname).outputMode("complete").start()

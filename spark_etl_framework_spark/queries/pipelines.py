@@ -26,7 +26,7 @@ def _run(spark: SparkSession, defn: dict, final_view: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT)    AS n_orders,
-           round(sum(o_totalprice), 2) AS segment_revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS segment_revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE o_totalprice > 1000.0
     GROUP BY c_mktsegment
@@ -76,7 +76,7 @@ def pipeline_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 setrun n_cust = select count(*) from p_customer;
                                 select c_mktsegment,
                                        count(*) as n_orders,
-                                       round(sum(o_totalprice), 2) as segment_revenue
+                                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) as segment_revenue
                                 from p_customer join p_orders on c_custkey = o_custkey
                                 where o_totalprice > ${min_price} and ${n_cust} > 0
                                 group by c_mktsegment

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import register
+from . import dsum, register
 
 # --------------------------------------------------------------------------
 # Aggregation
@@ -30,13 +30,13 @@ from . import register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-           round(avg(l_quantity), 4)                                          AS avg_qty,
-           round(avg(l_extendedprice), 4)                                     AS avg_price,
-           round(avg(l_discount), 4)                                          AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)   AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -53,13 +53,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 2).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            F.round(dsum(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice")) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(dsum(F.col("l_discount")) / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,8 +73,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT l_partkey)                   AS n_parts,
            CAST(min(l_shipdate) AS VARCHAR)            AS min_ship,
            CAST(max(l_shipdate) AS VARCHAR)            AS max_ship,
-           round(sum(l_extendedprice), 2)              AS total_price,
-           round(avg(l_discount), 6)                   AS mean_disc
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_disc
     FROM lineitem
     """,
 )
@@ -88,8 +88,8 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.min("l_shipdate").cast("string").alias("min_ship"),
         F.max("l_shipdate").cast("string").alias("max_ship"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        F.round(F.avg("l_discount"), 6).alias("mean_disc"),
+        dsum(F.col("l_extendedprice"), 2).alias("total_price"),
+        F.round(dsum(F.col("l_discount")) / F.count(F.lit(1)), 6).alias("mean_disc"),
     )
 
 
@@ -98,7 +98,7 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT)          AS n,
-           round(sum(l_quantity), 2)         AS sum_qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -108,7 +108,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum(F.col("l_quantity"), 2).alias("sum_qty"),
     )
 
 
@@ -117,7 +117,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT)      AS n,
-           round(sum(o_totalprice), 2)   AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -127,7 +127,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     return od.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -160,7 +160,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS VARCHAR)                      AS orderdate,
            o_orderpriority
     FROM customer
@@ -190,7 +190,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -209,7 +209,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -241,7 +241,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -253,7 +253,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name,
            CAST(count(o_orderkey) AS BIGINT)            AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2)   AS spent
+           round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0), 2) AS spent
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -268,7 +268,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spent"),
+            F.round(F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)), 2).alias("spent"),
         )
     )
 
@@ -454,7 +454,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT)    AS yr,
            CAST(month(o_orderdate) AS INT)   AS mo,
            CAST(count(*) AS BIGINT)          AS n,
-           round(sum(o_totalprice), 2)       AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -469,7 +469,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
         )
     )
 
@@ -525,7 +525,7 @@ def subquery_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust_orders AS (
         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS spent
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spent
         FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -535,7 +535,7 @@ def subquery_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
     )
     SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(spent), 2) AS nation_spent
+           CAST(round(sum(CAST(spent AS DECIMAL(18,6))), 2) AS DOUBLE) AS nation_spent
     FROM ranked GROUP BY nation
     """,
 )
@@ -548,7 +548,7 @@ def cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH cust_orders AS (
             SELECT o_custkey, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS spent
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spent
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
@@ -558,7 +558,7 @@ def cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN nation n   ON c.c_nationkey = n.n_nationkey
         )
         SELECT nation, count(*) AS n_customers,
-               round(sum(spent), 2) AS nation_spent
+               CAST(round(sum(CAST(spent AS DECIMAL(18,6))), 2) AS DOUBLE) AS nation_spent
         FROM ranked GROUP BY nation
         """
     )

@@ -8,13 +8,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import register
+from . import dsum, register
 
 
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT)                    AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -35,7 +35,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n"),
@@ -46,10 +46,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_share",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
                                   THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+                                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -64,8 +64,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
-                / F.sum(rev),
+                * dsum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / dsum(rev),
                 4,
             ).alias("promo_share")
         )
@@ -78,8 +78,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS orderdate,
            round(o_totalprice, 2) AS totalprice,
            round(qty_sum, 2)      AS total_qty
-    FROM (SELECT l_orderkey, sum(l_quantity) AS qty_sum
-          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+    FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150) big
     JOIN orders   ON o_orderkey = big.l_orderkey
     JOIN customer ON c_custkey = o_custkey
     """,
@@ -92,7 +93,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .agg(dsum(F.col("l_quantity")).alias("qty_sum"))
         .filter(F.col("qty_sum") > 150)
     )
     return (
@@ -111,7 +112,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT)                          AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -131,7 +132,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -142,7 +143,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -165,7 +166,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )

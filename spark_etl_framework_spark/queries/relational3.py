@@ -1,0 +1,193 @@
+"""Third coverage wave: semi-structured JSON, string aggregation, null-safe
+equality, correlated scalar subqueries, math/conditional functions, histogram
+bucketing, registered-UDF usage, and the mapInPandas stub (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    WITH ev AS (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)       AS n,
+           CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(k) AS INT)            AS min_k,
+           CAST(max(k) AS INT)            AS max_k
+    FROM ev GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a field from the JSON props column
+    (get_json_object — no schema declaration needed) and aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (sorted before joining — collect order is
+    partition-dependent, the sort makes it deterministic)."""
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations_csv")
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT r_regionkey, nullif(r_regionkey % 2, 0) AS parity FROM region),
+         b AS (SELECT r_regionkey, nullif(r_regionkey % 2, 0) AS parity FROM region)
+    SELECT a.r_regionkey AS key_a, b.r_regionkey AS key_b
+    FROM a JOIN b ON a.parity IS NOT DISTINCT FROM b.parity
+                 AND a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing."""
+    re_ = load_table(spark, sf_dir, "region")
+    parity = F.nullif(F.col("r_regionkey") % 2, F.lit(0))
+    a = re_.select(F.col("r_regionkey").alias("key_a"), parity.alias("p_a"))
+    b = re_.select(F.col("r_regionkey").alias("key_b"), parity.alias("p_b"))
+    return (
+        a.join(b, a.p_a.eqNullSafe(b.p_b) & (a.key_a < b.key_b))
+        .select("key_a", "key_b")
+    )
+
+
+@register(
+    "subquery_correlated_max",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each customer's most expensive order(s).
+    Catalyst de-correlates this into an aggregate + join — no per-row
+    re-execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6)        AS sqrt_price,
+           round(ln(l_extendedprice + 1), 6)      AS ln_price,
+           round(power(l_discount + 1, 3), 6)     AS pow_disc,
+           abs(l_discount - 0.05)                 AS abs_off,
+           CAST(sign(l_discount - 0.05) AS INT)   AS sign_off,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (sqrt/ln/pow/abs/sign/floor-bucket)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("pow_disc"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_off"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sign_off"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
+    )
+
+
+@register(
+    "histogram_price_buckets",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)                    AS n,
+           round(min(o_totalprice), 2)                 AS lo,
+           round(max(o_totalprice), 2)                 AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram via arithmetic bucketing — the one-shuffle distribution
+    profile that replaces driver-side describe() at scale."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "udf_registered_bytes",
+    oracle="""
+    SELECT doc_id,
+           lower(hex(encode(substr(text, 1, 6)))) AS head_hex
+    FROM documents
+    """,
+)
+def udf_registered_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-registered UDF surface under the gate: SQL calls
+    ``u_bytes_to_hex`` (registered Python UDF — reference: etl/common/
+    UdfRegister.scala:24-37) on binary slices."""
+    from ..functions.binary import register_binary_functions
+
+    register_binary_functions(spark, prefix="u_")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, u_bytes_to_hex(encode(substring(text, 1, 6), 'utf-8')) AS head_hex "
+        "FROM documents"
+    )
+
+
+@register("multimodal_decode_stub")  # no SQL oracle: mapInPandas plumbing op
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over opaque binary payloads (fake
+    codec — deterministic from content hash). Rows-only driver check: the
+    genuinely non-SQL-expressible operator shape."""
+    from ..operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
+    )
+    out = decode_images(docs, fake=True)
+    return out.select("id", "width", "height", "channels", "format")

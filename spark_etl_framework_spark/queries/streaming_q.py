@@ -13,7 +13,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import register
+from . import dsum, register
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,7 +46,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2)     AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)     AS total_value
     FROM ev GROUP BY 1, 2
     """,
 )
@@ -59,7 +59,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total_value"))
         .select(
             F.col("w.start").cast("string").alias("window_start"),
             "event_type",
@@ -87,7 +87,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT user_id, value FROM events)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2)     AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)     AS total_value,
            round(min(value), 4)     AS min_value,
            round(max(value), 4)     AS max_value
     FROM ev GROUP BY user_id

@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import register
+from . import dsum, register
 
 
 #: DuckDB reads the events parquet as TIMESTAMP_NS; truncate to µs so string
@@ -31,7 +31,7 @@ _EV = "ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value F
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2)     AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)     AS total_value
     FROM ev
     GROUP BY 1, 2
     """,
@@ -42,7 +42,7 @@ def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total_value"))
         .select(
             F.col("w.start").cast("string").alias("window_start"),
             "event_type",
@@ -65,7 +65,7 @@ def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(window_start AS VARCHAR) AS window_start,
            CAST(count(*) AS BIGINT)      AS n,
-           round(sum(value), 2)          AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)          AS sum_value
     FROM slid GROUP BY 1
     """,
 )
@@ -75,7 +75,7 @@ def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("sum_value"))
         .select(F.col("w.start").cast("string").alias("window_start"), "n", "sum_value")
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import register
+from . import dsum, register
 
 
 @register(
@@ -122,12 +122,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_ntile_share",
     oracle="""
+    WITH agg AS (SELECT l_suppkey,
+                        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+                 FROM lineitem GROUP BY l_suppkey)
     SELECT l_suppkey,
-           round(sum(l_extendedprice), 2) AS supp_rev,
-           CAST(ntile(4) OVER (ORDER BY sum(l_extendedprice) DESC, l_suppkey) AS INT) AS quartile,
-           round(sum(l_extendedprice) / sum(sum(l_extendedprice)) OVER (), 6) AS rev_share
-    FROM lineitem
-    GROUP BY l_suppkey
+           round(rev, 2) AS supp_rev,
+           CAST(ntile(4) OVER (ORDER BY rev DESC, l_suppkey) AS INT) AS quartile,
+           round(rev / sum(rev) OVER (), 6) AS rev_share
+    FROM agg
     """,
 )
 def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +137,7 @@ def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unpartitioned window runs over the (small) aggregated set, never the
     raw fact table — the shape to keep at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("_rev"))
+    agg = li.groupBy("l_suppkey").agg(dsum(F.col("l_extendedprice")).alias("_rev"))
     w_order = W.orderBy(F.desc("_rev"), F.asc("l_suppkey"))
     w_all = W.partitionBy()
     return agg.select(

@@ -12,11 +12,14 @@ from spark_etl_framework_spark.queries import ORACLES, QUERIES
 SPOT = ["q1_pricing_summary", "window_topk_per_group", "dedup_simhash"]
 
 
+#: genuinely non-SQL-expressible ops (mapInPandas plumbing) — rows-only check
+NO_ORACLE_ALLOWED = {"multimodal_decode_stub"}
+
+
 def test_every_query_has_oracle():
     assert set(ORACLES) <= set(QUERIES)
     missing = set(QUERIES) - set(ORACLES)
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing == set(), f"queries without oracle: {missing}"
+    assert missing <= NO_ORACLE_ALLOWED, f"queries without oracle: {missing}"
 
 
 def test_driver_contract_shape():
