@@ -125,3 +125,45 @@ def test_tumbling_window_streaming_matches_batch(spark, jctx, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_jdbc_stream_writer_foreachbatch_sqlite(spark, jctx, tmp_path):
+    """Full streaming sink path: file stream → foreachBatch → partition-bounded
+    batched upserts through a DBAPI connection, @batchId included
+    (reference: JdbcStreamWriter.scala:61-86, JdbcContinuousWriter.scala:189-191)."""
+    import sqlite3
+
+    from spark_etl_framework_spark.streaming.writers import JdbcStreamWriter
+
+    db = str(tmp_path / "stream_sink.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE user_states (user_id INT PRIMARY KEY, score REAL, batch INT)"
+    )
+    conn.commit()
+    conn.close()
+
+    uri = _write_csv(tmp_path, "s4", "1,0.9\n2,0.5\n3,0.7\n")
+    df = FileStreamReader(
+        format="csv", fileUri=uri, ddlSchemaString="user_id int, score double"
+    ).run(jctx, spark)
+    jctx.register_view("s4_view", df)
+    JdbcStreamWriter(
+        view="s4_view",
+        sinkStatement=(
+            "INSERT INTO user_states(user_id, score, batch) "
+            "VALUES(@user_id, @score, @batchId) "
+            "ON CONFLICT(user_id) DO UPDATE SET score = excluded.score"
+        ),
+        connect="spark_etl_framework_spark.testing.sqlite_connect",
+        connection={"url": db},
+        numPartitions=2,
+        batchSize=2,
+        trigger={"mode": "once"},
+        test={"waittimeMS": 30000},
+    ).run(jctx, spark)
+    rows = sqlite3.connect(db).execute(
+        "SELECT user_id, score, batch FROM user_states ORDER BY user_id"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in rows] == [(1, 0.9), (2, 0.5), (3, 0.7)]
+    assert all(r[2] == 0 for r in rows)  # first micro-batch id
