@@ -192,3 +192,73 @@ def text_topk_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "quality_score", "rn")
     )
+
+
+@register(
+    "text_ngram_frequency",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents),
+    sh AS (SELECT unnest(list_transform(range(1, len(a) - 1),
+                                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+           FROM t WHERE len(a) >= 3)
+    SELECT shingle, CAST(count(*) AS BIGINT) AS freq
+    FROM sh GROUP BY shingle
+    ORDER BY freq DESC, shingle
+    LIMIT 50
+    """,
+)
+def text_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide trigram frequency top-50 (non-distinct shingles — raw
+    occurrence counts, the corpus-statistics building block)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.expr(
+        "transform(sequence(0, size(_t) - 3), i -> concat(_t[i], ' ', _t[i + 1], ' ', _t[i + 2]))"
+    )
+    return (
+        docs.select(toks.alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select(F.explode(shingles).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "shingle")
+        .limit(50)
+    )
+
+
+@register(
+    "events_funnel_ab",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+    stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)     AS first_view,
+               max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        FROM ev GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM stages
+    """,
+)
+def events_funnel_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users whose first 'view' precedes a later
+    'purchase' — conditional min/max per user, one shuffle, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).alias("n_viewed"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("last_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
