@@ -32,15 +32,17 @@ def _binary_split(data: bytes | None, delim: bytes | None) -> list[bytes] | None
 
 
 def _com3_digits(data: bytes) -> tuple[int, int]:
-    """Packed-decimal nibbles → (unsigned value, sign). Sign nibble:
-    0xD = negative, else positive (reference: etl/functions/Decoder.scala:42-59)."""
+    """Packed-decimal nibbles → (unsigned value, sign). Sign nibble: only
+    0xC is positive, everything else (0xD, 0xB, ...) negative — matching the
+    reference exactly (etl/functions/Decoder.scala:43-57 `if last == 'c' then
+    1 else -1`; standard packed decimal also encodes negative as 0xB)."""
     value = 0
     data = bytes(data)
     for i, byte in enumerate(data):
         hi, lo = byte >> 4, byte & 0x0F
         value = value * 10 + hi
         if i == len(data) - 1:
-            sign = -1 if lo == 0x0D else 1
+            sign = 1 if lo == 0x0C else -1
             return value, sign
         value = value * 10 + lo
     return 0, 1

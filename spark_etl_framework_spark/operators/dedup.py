@@ -196,6 +196,7 @@ def ngram_jaccard_topk(
     text_col: str = "text",
     n: int = 3,
     k: int = 20,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Top-k most similar document pairs by word-n-gram Jaccard.
 
@@ -203,11 +204,31 @@ def ngram_jaccard_topk(
     via |A|+|B|-|A∩B|. The shingle join bounds cost to Σ(docs-per-shingle)²,
     which for natural text is ≪ n². Deterministic: similarity is a ratio of
     integers, ordering tiebreaks on the pair ids.
+
+    ``max_df`` is the scale guard (same idea as ``max_bucket`` in
+    :func:`lsh_candidate_pairs`): shingles appearing in more than ``max_df``
+    documents are dropped from the index BEFORE the self-join. Without it one
+    boilerplate shingle shared by millions of documents makes a single join
+    key quadratic. Trade-off: Jaccard becomes Jaccard-of-capped-shingle-sets
+    (sizes and intersections both computed on the filtered index, so the
+    ratio stays internally consistent); pairs that only matched via stopword
+    boilerplate lose recall, which exact-hash and LSH passes catch. At 100 TB
+    set ``max_df`` to a few thousand; ``None`` disables the cap (exact).
     """
     # the shingle set feeds three consumers (both join sides + sizes) —
     # persist it so the tokenize/explode/distinct lineage runs once, mirroring
     # the runner's reference-count auto-cache policy
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        # left-anti on the (small) hot-shingle list; broadcast-able by AQE
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -50,6 +50,7 @@ class JobContext:
         self._ref_counts: dict[str, int] = {}
         self._view_dfs: dict[str, DataFrame] = {}
         self._persisted: set[str] = set()
+        self._global_views: set[str] = set()
 
     @property
     def variables(self) -> dict[str, str]:
@@ -60,6 +61,7 @@ class JobContext:
         (reference: etl/pipeline/PipelineRunner.scala:137-148)."""
         if global_:
             df.createOrReplaceGlobalTempView(name)
+            self._global_views.add(name)
         else:
             df.createOrReplaceTempView(name)
         self._view_dfs[name] = df
@@ -81,11 +83,22 @@ class JobContext:
 
     def cleanup(self) -> None:
         """Unpersist + drop temp views at job end
-        (reference: PipelineRunner.scala:243-258)."""
+        (reference: PipelineRunner.scala:243-258).
+
+        Local temp views are dropped: with ``settings.singleSparkSession=
+        true`` jobs share one session, so an undropped local view would leak
+        into the next job and let its missing-input-view check pass against
+        stale data. Global temp views survive — they are the cross-job
+        sharing mechanism in both session modes (the reference likewise only
+        uncaches them, PipelineRunner.scala:243-258)."""
         for name in self._persisted:
             df = self._view_dfs.get(name)
             if df is not None:
                 df.unpersist()
+        for name in self._view_dfs:
+            if name not in self._global_views:
+                self.spark.catalog.dropTempView(name)
         self._persisted.clear()
         self._view_dfs.clear()
         self._ref_counts.clear()
+        self._global_views.clear()

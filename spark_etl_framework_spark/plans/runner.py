@@ -26,6 +26,23 @@ from .context import JobContext, PipelineContext
 from .model import Pipeline
 
 
+def _parse_validation_run(vr) -> int | None:
+    """validationRun → row limit: 'true'→0, 'false'→None, int n>=0→n,
+    negative/unparseable→None (reference: PipelineRunner.scala:21-29)."""
+    if vr is None:
+        return None
+    s = str(vr).strip()
+    if s.lower() == "true":
+        return 0
+    if s.lower() == "false":
+        return None
+    try:
+        n = int(s)
+    except ValueError:
+        return None
+    return n if n >= 0 else None
+
+
 class PipelineRunner:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -33,9 +50,12 @@ class PipelineRunner:
     def run(self, pipeline: Pipeline, jobs: list[str] | None = None) -> None:
         """Run selected jobs (all by default)."""
         ctx = PipelineContext(variables=pipeline.variables)
-        if pipeline.variables.get("validationRun"):
-            vr = pipeline.variables["validationRun"]
-            ctx.validation_limit = 0 if vr == "true" else int(vr)
+        vr = pipeline.variables.get("validationRun")
+        if vr is None:
+            # conf-driven form (reference reads the app-conf key:
+            # PipelineRunner.scala:21-29)
+            vr = pipeline.variables.get("application.runtime.validationRun")
+        ctx.validation_limit = _parse_validation_run(vr)
 
         metrics: list[dict] = []
         selected = [j for j in pipeline.jobs if jobs is None or j.name in jobs]

@@ -77,7 +77,7 @@ def stream_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         _events_stream(spark, sf_dir)
         .select("user_id", "event_type", "value")
-        .join(F.broadcast(cu), F.col("user_id") == F.col("c_custkey"))
+        .join(cu, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total_value"))
     )

@@ -124,11 +124,16 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard_topk",
+    # max_df=100 hot-shingle cap mirrored on both sides: shingles in >100
+    # documents are dropped from the inverted index before the self-join
+    # (the quadratic-join-key scale guard; see operators/dedup.py).
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    fsh AS (SELECT * FROM sh WHERE shingle IN
+              (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b,
            round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -140,9 +145,11 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 document pairs by word-3-gram Jaccard (inverted-index join)."""
+    """Top-20 document pairs by word-3-gram Jaccard (inverted-index join)
+    with the max_df hot-shingle cap engaged — the driver hash-checks the
+    capped semantics against the identically-capped SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_topk(docs, "doc_id", "text", n=3, k=20)
+    return D.ngram_jaccard_topk(docs, "doc_id", "text", n=3, k=20, max_df=100)
 
 
 @register(

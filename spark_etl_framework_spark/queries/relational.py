@@ -176,7 +176,9 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
-    customer is broadcast (dim ≪ fact); order/lineitem join shuffles on
+    customer grows with SF, so no forced broadcast — AQE's size-based
+    planning picks broadcast vs shuffle at runtime (a forced hint would
+    override it and OOM executors at 100×). order/lineitem join shuffles on
     orderkey once. Top-k has a unique tiebreak so LIMIT is deterministic."""
     cu = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     od = load_table(spark, sf_dir, "orders").filter(
@@ -187,7 +189,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
@@ -221,7 +223,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join. All dims broadcast; the only big
+    """TPC-H Q5 shape: 6-table star join. Fixed dims (nation/region)
+    broadcast; customer/supplier grow with SF so AQE sizes those joins at
+    runtime — a forced hint would OOM at 100×. The only big
     shuffle is lineitem⋈orders on orderkey. Catalyst + AQE reorder/size the
     rest."""
     cu = load_table(spark, sf_dir, "customer")
@@ -232,9 +236,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)

@@ -98,7 +98,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(od, od.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cu), cu.c_custkey == od.o_custkey)
+        .join(cu, cu.c_custkey == od.o_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -162,7 +162,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -272,18 +272,22 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name)                   AS nations,
-           CAST(len(list(n_name ORDER BY n_name)) AS INT) AS n
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           CAST(count(*) AS INT)                   AS n
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: sorted collect_list per group (deterministic via
-    sort_array — collect order is partition-dependent, so always sort)."""
+    sort_array — collect order is partition-dependent, so always sort).
+
+    The sorted array is emitted as a '|'-joined string (plus an ``n`` size
+    column) because the driver's canonicalizer hashes scalar cells; a raw
+    ``array<string>`` cell is unhashable in its pandas sort."""
     na = load_table(spark, sf_dir, "nation")
     return na.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.size(F.sort_array(F.collect_list("n_name"))).cast("int").alias("n"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+        F.count("*").cast("int").alias("n"),
     )
 
 

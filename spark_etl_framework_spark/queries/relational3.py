@@ -179,15 +179,47 @@ def udf_registered_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stub")  # no SQL oracle: mapInPandas plumbing op
+@register(
+    "multimodal_decode_stub",
+    # The fake codec is a deterministic function of md5(payload): width =
+    # 16 + digest[0] % 64, height = 16 + digest[1] % 64, pixels = w*h*3
+    # hash-seeded bytes (operators/multimodal.py:decode_images). DuckDB
+    # md5(VARCHAR) hashes the UTF-8 bytes — identical input to the Spark
+    # side's encode(text,'utf-8') — so digest bytes 0/1 are recoverable from
+    # the hex digits and the whole mapInPandas output is hash-checkable.
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    wh AS (
+      SELECT doc_id,
+        CAST(16 + ((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+                 + strpos('0123456789abcdef', substr(hx,2,1))-1) % 64 AS INT) AS width,
+        CAST(16 + ((strpos('0123456789abcdef', substr(hx,3,1))-1)*16
+                 + strpos('0123456789abcdef', substr(hx,4,1))-1) % 64 AS INT) AS height
+      FROM h
+    )
+    SELECT doc_id AS id, width, height,
+           CAST(3 AS INT)                        AS channels,
+           'fake/rgb8'                           AS format,
+           CAST(width * height * 3 AS INT)       AS n_pixel_bytes
+    FROM wh
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode over opaque binary payloads (fake
-    codec — deterministic from content hash). Rows-only driver check: the
-    genuinely non-SQL-expressible operator shape."""
+    codec — deterministic from content hash). The emitted pixel-payload
+    length pins down the produced binary, so the driver's oracle hash checks
+    the full decode plumbing, not just the row count."""
     from ..operators.multimodal import decode_images
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
     )
     out = decode_images(docs, fake=True)
-    return out.select("id", "width", "height", "channels", "format")
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.octet_length("pixels").cast("int").alias("n_pixel_bytes"),
+    )

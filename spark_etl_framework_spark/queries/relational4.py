@@ -27,7 +27,8 @@ from . import dsum, register
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume by year. The nation dim
-    joins twice (supplier side + customer side) — both broadcast."""
+    joins twice (supplier side + customer side) — both broadcast (25 rows,
+    fixed); customer/supplier joins are left to AQE sizing."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
@@ -37,8 +38,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(sn), su.s_nationkey == sn.s_nk)
         .join(F.broadcast(cn), cu.c_nationkey == cn.c_nk)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -83,7 +84,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .select(
             F.year("o_orderdate").cast("int").alias("order_year"),

@@ -27,7 +27,8 @@ from . import dsum, dsum_sql, register
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue − modeled supply cost) per nation per
-    year over a 5-table join; part/supplier/nation broadcast."""
+    year over a 5-table join; part/nation broadcast (fixed or slow-growing
+    dims); supplier grows with SF so its join is left to AQE sizing."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     pt = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
@@ -40,7 +41,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

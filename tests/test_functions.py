@@ -18,6 +18,10 @@ def test_com3_decode():
     assert _com3_to_int(bytes([0x12, 0x34, 0x5C])) == 12345
     # negative sign nibble D
     assert _com3_to_int(bytes([0x12, 0x34, 0x5D])) == -12345
+    # 0xB is the other standard negative encoding; the reference treats every
+    # nibble except 0xC as negative (Decoder.scala:43-57) — so do we
+    assert _com3_to_int(bytes([0x12, 0x34, 0x5B])) == -12345
+    assert _com3_to_double(bytes([0x12, 0x34, 0x5B]), 2) == -123.45
     assert _com3_to_double(bytes([0x12, 0x34, 0x5C]), 2) == 123.45
 
 

@@ -35,6 +35,31 @@ def test_word_shingles_counts(spark):
     assert got == {"a b c", "b c d"}
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
+    """A degenerate shingle present in every document must not dominate the
+    inverted-index join once the max_df cap is engaged. Docs 1/2 share a
+    unique tail ('x y z'); all four share the boilerplate head ('spam spam
+    spam'). Capped at max_df=3 the boilerplate shingle (df=4) is dropped, so
+    only the 1-2 pair survives with Jaccard over the remaining shingles."""
+    rows = [
+        (1, "spam spam spam x y z"),
+        (2, "spam spam spam x y z"),
+        (3, "spam spam spam p q r"),
+        (4, "spam spam spam k l m"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = D.ngram_jaccard_topk(df, n=3, k=10, max_df=3).collect()
+    # 'spam spam spam' (df=4) is gone; docs 3/4 share nothing else, so the
+    # only emitted pair is (1,2), and it's a perfect match on what remains
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(1, 2)]
+    assert capped[0]["jaccard"] == 1.0
+
+    uncapped = D.ngram_jaccard_topk(df, n=3, k=10).collect()
+    # without the cap every pair matches via the boilerplate shingle
+    assert len(uncapped) == 6
+
+
 def test_minhash_identical_docs_share_signature(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today"),

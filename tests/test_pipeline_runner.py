@@ -109,6 +109,52 @@ def test_validation_run_limits_outputs(spark, sf_dir, tmp_path):
     assert spark.read.parquet(str(out)).count() <= 2
 
 
+def test_validation_run_parsing():
+    """Reference semantics (PipelineRunner.scala:21-29): 'true'→0,
+    'false'/unparseable/negative→None, n>=0→n; conf-key form accepted."""
+    from spark_etl_framework_spark.plans.runner import _parse_validation_run
+
+    assert _parse_validation_run("true") == 0
+    assert _parse_validation_run("TRUE") == 0
+    assert _parse_validation_run("false") is None
+    assert _parse_validation_run("banana") is None
+    assert _parse_validation_run("-3") is None
+    assert _parse_validation_run("5") == 5
+    assert _parse_validation_run(None) is None
+
+
+def test_validation_run_conf_key(spark, sf_dir, tmp_path):
+    """application.runtime.validationRun (the reference's app-conf key) also
+    triggers a validation run when the plain variable is absent."""
+    out = tmp_path / "out.parquet"
+    ypath = tmp_path / "p.yaml"
+    ypath.write_text(
+        PIPELINE_YAML.format(sf=sf_dir, out=out, metrics=tmp_path / "m")
+    )
+    run_pipeline_file(
+        spark, str(ypath), cli_vars={"application.runtime.validationRun": "2"}
+    )
+    assert spark.read.parquet(str(out)).count() <= 2
+
+
+def test_cleanup_drops_temp_views(spark):
+    """Job cleanup drops LOCAL temp views (so a shared single session can't
+    leak them into the next job) but keeps GLOBAL temp views — those are the
+    cross-job sharing mechanism."""
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+
+    jctx = JobContext(PipelineContext(), spark)
+    df = spark.range(3)
+    jctx.register_view("leaky_local", df)
+    jctx.register_view("kept_global", df, global_=True)
+    assert spark.catalog.tableExists("leaky_local")
+    assert spark.catalog.tableExists("global_temp.kept_global")
+    jctx.cleanup()
+    assert not spark.catalog.tableExists("leaky_local")
+    assert spark.catalog.tableExists("global_temp.kept_global")
+    spark.catalog.dropGlobalTempView("kept_global")
+
+
 def test_variable_precedence_pipeline_over_cli(spark, sf_dir, tmp_path):
     """Pipeline-declared variables override CLI vars (reference README.md:105)."""
     ypath = tmp_path / "p.yaml"
