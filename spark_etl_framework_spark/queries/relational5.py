@@ -27,8 +27,8 @@ from . import dsum, dsum_sql, register
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue − modeled supply cost) per nation per
-    year over a 5-table join; part/nation broadcast (fixed or slow-growing
-    dims); supplier grows with SF so its join is left to AQE sizing."""
+    year over a 5-table join; nation broadcast (25 rows, fixed);
+    part/supplier grow with SF so their joins are left to AQE sizing."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     pt = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
@@ -40,7 +40,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(pt, li.l_partkey == pt.p_partkey)
         .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(
@@ -138,7 +138,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -157,3 +157,76 @@ def stream_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round("max_value", 4).alias("max_value"),
         )
     )
+
+
+@register(
+    "stream_jdbc_sink_batchid",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           CAST(0 AS BIGINT)        AS last_batch
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_jdbc_sink_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JDBC sink end to end: events stream → complete-mode
+    aggregate → foreachBatch upserts through a real DBAPI database (sqlite)
+    with the implicit ``@batchId`` parameter — then the sink table is read
+    back and hash-checked against the batch oracle. One input file ⇒ one
+    micro-batch, so every upserted row carries last_batch = 0 (the
+    idempotence key a restarted job would use to skip replayed batches).
+    Reference: etl/sink/JdbcStreamWriter.scala:61-86 + the @batchId contract
+    in JdbcContinuousWriter.scala:189-191.
+    """
+    import os
+    import sqlite3
+    import tempfile
+
+    from ..plans.context import JobContext, PipelineContext
+    from ..streaming.writers import JdbcStreamWriter
+
+    db = os.path.join(
+        tempfile.mkdtemp(prefix="stream_jdbc_sink_"), "sink.db"
+    )
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE event_stats ("
+        "event_type TEXT PRIMARY KEY, n INT, total_value REAL, last_batch INT)"
+    )
+    conn.commit()
+    conn.close()
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total_value"))
+    )
+    jctx = JobContext(PipelineContext(), spark)
+    jctx.register_view(f"ev_agg_{uuid.uuid4().hex[:8]}", agg)
+    view_name = next(iter(jctx._view_dfs))
+    JdbcStreamWriter(
+        view=view_name,
+        sinkStatement=(
+            "INSERT INTO event_stats(event_type, n, total_value, last_batch) "
+            "VALUES(@event_type, @n, @total_value, @batchId) "
+            "ON CONFLICT(event_type) DO UPDATE SET n = excluded.n, "
+            "total_value = excluded.total_value, last_batch = excluded.last_batch"
+        ),
+        connect="spark_etl_framework_spark.testing.sqlite_connect",
+        connection={"url": db},
+        outputMode="complete",
+        numPartitions=1,
+        batchSize=100,
+        trigger={"mode": "once"},
+        test={"waittimeMS": 60000},
+    ).run(jctx, spark)
+    jctx.cleanup()
+
+    rows = sqlite3.connect(db).execute(
+        "SELECT event_type, n, total_value, last_batch FROM event_stats"
+    ).fetchall()
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), float(r[2]), int(r[3])) for r in rows],
+        "event_type string, n bigint, total_value double, last_batch bigint",
+    )
