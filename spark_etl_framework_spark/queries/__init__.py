@@ -78,6 +78,7 @@ def _load_all() -> None:
     from . import relational3  # noqa: F401
     from . import relational4  # noqa: F401
     from . import relational5  # noqa: F401
+    from . import relational6  # noqa: F401
     from . import windows  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import textops  # noqa: F401

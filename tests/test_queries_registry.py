@@ -9,7 +9,13 @@ import pytest
 from spark_etl_framework_spark.catalog import TABLES
 from spark_etl_framework_spark.queries import ORACLES, QUERIES
 
-SPOT = ["q1_pricing_summary", "window_topk_per_group", "dedup_simhash"]
+SPOT = [
+    "q1_pricing_summary",
+    "window_topk_per_group",
+    "dedup_simhash",
+    # window-aggregate rewrite of the double-correlated EXISTS/NOT EXISTS
+    "q21_waiting_suppliers",
+]
 
 
 #: genuinely non-SQL-expressible ops (mapInPandas plumbing) — rows-only check
