@@ -160,6 +160,159 @@ def stream_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts, CAST(c.ts AS VARCHAR) AS click_ts
+    FROM ev p JOIN ev c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's clicks
+    in the preceding 30 minutes. Both sides carry watermarks and the join
+    condition carries the time band, so state for rows older than
+    watermark + band is evicted — the bounded-state shape this join needs
+    at 100 TB/day. Inner-join matches emit as soon as both sides arrive
+    (append mode); the result must hash-match the batch band-join oracle.
+    Reference streaming surface: SURVEY §2.D (stream joins via the SQL
+    actor over streaming views).
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("p_ts").cast("string").alias("purchase_ts"),
+        F.col("c_ts").cast("string").alias("click_ts"),
+    )
+    qname = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type FROM events)
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_bucket
+    FROM ev
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state
+    (``dropDuplicatesWithinWatermark``): one row per (user, event_type,
+    hour) — the stream-side twin of the batch exact-dedup operator a
+    training-data pipeline runs on its ingest firehose.
+
+    Equivalence to batch DISTINCT holds because duplicate keys can only be
+    generated inside one hour bucket while the watermark delay is 2 hours:
+    every repeat of a key arrives within the delay of its first
+    occurrence, so exactly one row per key is emitted AND state still
+    evicts once the watermark passes the bucket — exact dedup with
+    bounded state, which plain ``dropDuplicates`` (state never evicted)
+    cannot give at 100 TB/day.
+    """
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_ts"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("hour_ts").cast("string").alias("hour_bucket"),
+        )
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@register(
+    "stream_sliding_window",
+    # same bucket expansion as the batch ts_sliding_window oracle: each
+    # event lands in exactly two 10-minute/5-minute-slide windows
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, value FROM events),
+    slid AS (
+        SELECT make_timestamp(((epoch_ms(ts) - k * 300000) // 600000) * 600000000
+                              + k * 300000000) AS window_start,
+               value
+        FROM ev, (SELECT unnest([0, 1]) AS k)
+        WHERE epoch_ms(ts) >= ((epoch_ms(ts) - k * 300000) // 600000) * 600000 + k * 300000
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           CAST(count(*) AS BIGINT)      AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)          AS sum_value
+    FROM slid GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregate (10-minute window, 5-minute
+    slide) with watermark, complete mode — must equal the batch
+    ``ts_sliding_window`` semantics exactly (``F.window`` expands each
+    event into its two containing windows on the map side; the shuffle
+    carries partially-aggregated window rows, not events)."""
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n", "sum_value")
+    )
+    qname = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(qname).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@register(
     "stream_jdbc_sink_batchid",
     oracle="""
     SELECT event_type,
