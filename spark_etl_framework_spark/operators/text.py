@@ -110,3 +110,64 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     small at corpus scale."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select("*", F.md5(normalized).alias("fingerprint"))
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the training-sequence packing step of an LLM data pipeline
+    (``size`` tokens per chunk, new chunk every ``stride``, so consecutive
+    chunks overlap by ``size - stride``).
+
+    Entirely map-side: ``sequence`` generates the chunk starts,
+    ``transform`` + ``slice`` cut each window, one explode emits the
+    chunks. No shuffle at all — at 100 TB this runs at scan speed and
+    parallelizes per input split. The final (shorter) tail window is
+    kept: real packing pipelines pad or drop it downstream.
+    """
+    chunk_expr = F.expr(
+        f"transform(sequence(0, greatest(size(_t) - 1, 0), {stride}), "
+        f"s -> struct(CAST(s div {stride} AS INT) AS chunk_id, "
+        f"CAST(least({size}, size(_t) - s) AS INT) AS n_tokens, "
+        f"array_join(slice(_t, s + 1, {size}), ' ') AS chunk_text))"
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(id_col, F.explode(chunk_expr).alias("c"))
+        .select(id_col, "c.chunk_id", "c.n_tokens", "c.chunk_text")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str = "doc_id",
+    salt: str = "s",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 4 hex
+    digits of ``md5(salt || ':' || id)`` fall under the stratum's
+    threshold (fixed-width lowercase hex compares like the 16-bit integer
+    it encodes, in any engine). Engine-agnostic (md5 is identical
+    everywhere, unlike ``rand()`` or Spark's ``sample``), reproducible
+    across runs and resumes, and map-side only — no shuffle, no driver
+    coordination. This is how a corpus pipeline downsamples
+    over-represented strata (e.g. English) while keeping selection
+    auditable.
+    """
+    key16 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
+    )
+    thresh = F.lit(f"{int(default_rate * 65536):04x}")
+    for value, rate in rates.items():
+        thresh = F.when(
+            F.col(strata_col) == value, f"{int(rate * 65536):04x}"
+        ).otherwise(thresh)
+    return df.filter(key16 < thresh)

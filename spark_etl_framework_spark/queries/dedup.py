@@ -152,10 +152,8 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_topk(docs, "doc_id", "text", n=3, k=20, max_df=100)
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
-    WITH toks AS (SELECT DISTINCT doc_id, tok
+_SIMHASH_CTE = """
+    toks AS (SELECT DISTINCT doc_id, tok
                   FROM (SELECT doc_id,
                                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
                         FROM documents)),
@@ -167,14 +165,44 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM toks),
     bits AS (SELECT doc_id, j, CAST(floor(hv / power(2, j)) AS INT) % 2 AS bit
              FROM hv, generate_series(0, 15) AS g(j)),
-    sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, j)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS INT) ELSE 0 END) AS INT)
-               AS simhash
-    FROM sums GROUP BY doc_id
+    sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, j),
+    sh16 AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS INT) ELSE 0 END)
+                         AS INT) AS simhash
+             FROM sums GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sh16
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (integer math end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash16(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash_pairs",
+    # the oracle is the UNBANDED all-pairs Hamming filter — a hash match
+    # proves the pigeonhole band join loses no pair with distance ≤ 1
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ 1 via the
+    4-band pigeonhole equi-join (no all-pairs scan); the oracle IS the
+    all-pairs formulation, so the hash match proves zero recall loss."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        D.simhash16(docs, "doc_id", "text"), "doc_id", "simhash", max_hamming=1
+    )

@@ -129,3 +129,42 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return binary_metadata(docs, "payload")
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+               FROM documents),
+    st AS (SELECT doc_id, a, unnest(range(0, greatest(len(a) - 1, 0) + 1, 12)) AS s
+           FROM t WHERE len(a) > 0)
+    SELECT doc_id,
+           CAST(s // 12 AS INT)              AS chunk_id,
+           CAST(least(16, len(a) - s) AS INT) AS n_tokens,
+           array_to_string(a[s + 1 : s + 16], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: 16-token chunks every 12 tokens (4-token
+    overlap), generated map-side with sequence/transform/slice — zero
+    shuffles, runs at scan speed at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.chunk_token_windows(docs, "doc_id", "text", size=16, stride=12)
+
+
+@register(
+    "text_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < (CASE WHEN lang = 'en' THEN '2000' ELSE '8000' END)
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: English kept at 12.5 %
+    (0x2000/0x10000), every other language at 50 % — md5-threshold
+    selection, so the sample is reproducible and auditable (no rand())
+    and identical in any engine. Map-side only: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return T.stratified_sample(docs, "lang", {"en": 0.125}, 0.5, id_col="doc_id")

@@ -136,3 +136,58 @@ def test_multimodal_decode_stub_raises_without_fake(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
     with pytest.raises(Exception, match="codec not available"):
         decode_images(df, fake=False).collect()
+
+
+def test_simhash_hamming_pairs_banding_recall(spark):
+    """The 4-band pigeonhole join must find every pair within distance 1
+    and report exact Hamming distances (identical hashes included)."""
+    hashes = spark.createDataFrame(
+        [(1, 0b1010101010101010), (2, 0b1010101010101010),  # distance 0
+         (3, 0b1010101010101011),                            # distance 1 to 1/2
+         (4, 0b0101010101010101)],                           # distance 16 to 1
+        ["doc_id", "simhash"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(hashes, max_hamming=1).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_simhash_hamming_pairs_max_bucket_guard(spark):
+    """Oversized band buckets are dropped (the quadratic guard), losing
+    those candidates only."""
+    # 5 identical hashes -> every band bucket holds all 5 docs
+    hashes = spark.createDataFrame([(i, 7) for i in range(5)], ["doc_id", "simhash"])
+    assert D.simhash_hamming_pairs(hashes, max_bucket=4).count() == 0
+    assert D.simhash_hamming_pairs(hashes, max_bucket=5).count() == 10
+
+
+def test_chunk_token_windows_shapes(spark):
+    """Chunks tile the token array with the configured overlap; the tail
+    chunk is short but kept."""
+    df = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(20)))],
+                               ["doc_id", "text"])
+    rows = sorted(
+        T.chunk_token_windows(df, size=8, stride=6).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0,6,12,18 -> lengths 8,8,8,2
+    assert [r["n_tokens"] for r in rows] == [8, 8, 8, 2]
+    assert rows[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert rows[1]["chunk_text"].split()[0] == "t6"  # overlap of size-stride=2
+    assert rows[3]["chunk_text"] == "t18 t19"
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    s1 = {r["doc_id"] for r in T.stratified_sample(df, "lang", {"en": 0.1}, 0.9).collect()}
+    s2 = {r["doc_id"] for r in T.stratified_sample(df, "lang", {"en": 0.1}, 0.9).collect()}
+    assert s1 == s2  # reproducible, no rand()
+    en = sum(1 for d in s1 if d % 2 == 0)
+    fr = len(s1) - en
+    # 1000 docs per stratum at 10% / 90%: generous tolerance, zero flake risk
+    assert 40 <= en <= 180 and 780 <= fr <= 980
