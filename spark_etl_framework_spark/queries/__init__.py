@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_lsh_verified_pairs",
     "dedup_ngram_jaccard_topk",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     # vector / similarity search
     "vector_cosine_topk",
     "vector_ann_ivf",
@@ -118,7 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_language_id",
     "text_fingerprint",
     "text_topk_quality_per_lang",
-    "text_ngram_frequency",
+    "text_chunk_windows",
+    "text_stratified_sample",
     # time series (band/as-of range joins, sessionize, event windows)
     "ts_tumbling_window",
     "ts_sliding_window",
@@ -134,7 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     # structured streaming
     "stream_tumbling_window",
     "stream_stateful_running_stats",
-    "stream_batch_join",
+    "stream_stream_join",
+    "stream_dedup_watermark",
     "stream_jdbc_sink_batchid",
     # pipeline orchestration
     "pipeline_sql_transform",
@@ -145,21 +148,23 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal
     "multimodal_binary_meta",
     "multimodal_decode_stub",
-    # skew handling / funnel / remaining TPC-H shape
+    # skew handling / funnel / hardest TPC-H shapes (incl. the Q21
+    # EXISTS/NOT-EXISTS window rewrite, new this round)
     "agg_salted_two_phase",
     "events_funnel_ab",
     "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
     # relational representatives (agg / fixed collect / changed join plans /
-    # registered UDFs / subquery / set ops / JSON)
+    # registered UDFs). Shapes rotated OUT of the window this round
+    # (setop/json/subquery/set-agg variants, stream_batch_join,
+    # text_ngram_frequency) were driver-green in round 1 and unchanged
+    # since; the local checker still covers them every round.
     "q1_pricing_summary",
     "agg_array_collect",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q9_product_profit",
     "udf_registered_bytes",
-    "subquery_correlated_max",
-    "setop_union_except_intersect",
-    "json_extract_props",
 )
 
 
