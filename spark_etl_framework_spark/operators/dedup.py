@@ -312,6 +312,65 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster the near-duplicate pair graph into connected components:
+    (node, cluster_id) where cluster_id = min node id reachable — the step
+    that turns pairwise dedup candidates into keep-one-per-cluster groups.
+
+    Iterative min-label propagation (the Pregel/hash-min pattern): each
+    round, every node takes the min of its own label and its neighbors'
+    labels; converged when no label changes — at most graph-diameter
+    rounds, and near-dup graphs are shallow (dup clusters are cliques or
+    short chains, so typically 2-4 rounds). Each round is one join + one
+    aggregation on (node, label) int pairs; iterations persist their
+    result and unpersist the previous one, so lineage never re-executes
+    and memory stays O(|V|). The driver-side loop is control flow only
+    (one count() per round to test convergence) — the data never leaves
+    the cluster; this is how iterative algorithms are expressed on Spark
+    (GraphX connectedComponents does the same hash-min loop).
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        old = labels
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
 def simhash_hamming_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",

@@ -174,6 +174,51 @@ _SIMHASH_CTE = """
 
 
 @register(
+    "dedup_clusters",
+    # edges = the LSH candidate pairs; clusters = connected components via
+    # a recursive CTE (min reachable doc_id). The CTE enumerates full
+    # reachability — fine for an oracle, exponential state at scale; the
+    # Spark side is the hash-min propagation loop that IS the scale path.
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_CTE},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT a, a FROM e2
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN e2 e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: LSH candidate pairs → connected components
+    (iterative hash-min label propagation) → cluster id + size per member.
+    The keep-one-per-cluster step of a corpus dedup pipeline."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH {_SIMHASH_CTE}

@@ -191,3 +191,17 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     fr = len(s1) - en
     # 1000 docs per stratum at 10% / 90%: generous tolerance, zero flake risk
     assert 40 <= en <= 180 and 780 <= fr <= 980
+
+
+def test_connected_components_chain_clique_isolated(spark):
+    """Hash-min label propagation: a 4-node chain, a 3-clique, and a
+    self-loop isolated node all collapse to their min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain
+         (10, 11), (10, 12), (11, 12),    # clique
+         (20, 20)],                        # isolated self-pair
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
