@@ -183,3 +183,30 @@ def label_centroids(
         .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count(F.lit(1)).alias("n_vecs"))
         .select(label_col, F.col("dim").cast("int").alias("dim"), "centroid", "n_vecs")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|x| / 127,
+    q_i = round-half-up(x_i / scale) — the storage/bandwidth-compression
+    step an embedding store runs before ANN serving (4x smaller than f32,
+    8x than f64).
+
+    Pure map-side array expressions (no shuffle, scan speed at any corpus
+    size). Rounding is spelled ``floor(x/scale + 0.5)`` so both engines
+    compute the identical integer regardless of their round() tie rules;
+    float components are cast to double FIRST so the max/divide chain is
+    the same IEEE sequence everywhere. Zero vectors (scale 0) pass
+    through with a NULL code string rather than dividing by zero.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    scale = amax / F.lit(127.0)
+    codes = F.transform(xd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.when(amax > 0, F.array_join(codes, ",")).alias("codes"),
+        F.size(F.col(vec_col)).alias("dim"),
+    )

@@ -262,3 +262,55 @@ def events_funnel_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+@register(
+    "events_outlier_iqr",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE e.value < q1 - 1.5 * (q3 - q1)
+                                    OR e.value > q3 + 1.5 * (q3 - q1))
+                AS BIGINT) AS n_outliers,
+           round(q1, 6) AS q1,
+           round(q3, 6) AS q3
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, q1, q3
+    """,
+)
+def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screening per event type — the numeric
+    data-quality gate of an ingest pipeline. Exact interpolated quartiles
+    per group (tiny: one row per event type) broadcast back onto the
+    events; one aggregation pass each side. Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear-interpolation semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(is_out).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+        )
+    )

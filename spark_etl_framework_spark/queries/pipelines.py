@@ -94,6 +94,94 @@ def pipeline_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_dedup_writeback",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint)
+    SELECT f.doc_id, f.lang, f.fingerprint
+    FROM fp f JOIN keep k ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep_id
+    """,
+)
+def pipeline_dedup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-dedup pipeline END TO END through the framework: FileReader
+    loads documents, a SqlTransformer computes the exact-dedup keep set
+    (fingerprint → min doc_id), FileWriter materializes the deduplicated
+    corpus as parquet, and the query returns what was actually WRITTEN —
+    so the sink actor, not just the transform, sits inside the
+    hash-checked path (the reference's read→transform→write job shape,
+    template_pipeline.yaml)."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="pipeline_dedup_wb_"), "deduped"
+    )
+    defn = {
+        "version": "1.0.0",
+        "name": "dedup-writeback",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-docs",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pd_docs"},
+                    },
+                    {
+                        "name": "dedup",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                with fp as (
+                                    select doc_id, lang,
+                                           md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) as fingerprint
+                                    from pd_docs
+                                ),
+                                keep as (select fingerprint, min(doc_id) as keep_id
+                                         from fp group by fingerprint)
+                                select f.doc_id, f.lang, f.fingerprint
+                                from fp f join keep k
+                                  on f.fingerprint = k.fingerprint and f.doc_id = k.keep_id
+                                """,
+                            },
+                        },
+                        "input-views": ["pd_docs"],
+                        "output-view": {"name": "pd_deduped"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pd_deduped"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "pipeline_validate_filter",
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal

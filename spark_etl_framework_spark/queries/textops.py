@@ -168,3 +168,39 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and identical in any engine. Map-side only: no shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return T.stratified_sample(docs, "lang", {"en": 0.125}, 0.5, id_col="doc_id")
+
+
+@register(
+    "text_topk_sample_per_stratum",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, md5('k:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+                    AS INT) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def text_topk_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank documents inside
+    each language by an md5 sort key (a fixed random permutation — no
+    rand(), identical in any engine and across resumes) and keep the
+    first 5. One shuffle on the stratum key; the eval-set/holdout
+    selection step of a corpus pipeline."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.lit("k:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    w = W.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "rn")
+    )

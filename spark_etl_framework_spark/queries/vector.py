@@ -151,3 +151,33 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
         )
     )
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+               len(embedding) AS dim
+        FROM embeddings
+    ),
+    s AS (SELECT vec_id, xd, dim,
+                 list_max(list_transform(xd, v -> abs(v))) / 127.0 AS scale
+          FROM x)
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CASE WHEN scale > 0 THEN
+               array_to_string(list_transform(xd,
+                   v -> CAST(CAST(floor(v / scale + 0.5) AS INT) AS VARCHAR)), ',')
+           END AS codes,
+           CAST(dim AS INT) AS dim
+    FROM s
+    """,
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding corpus —
+    map-side only; the identical floor(x/scale + 0.5) spelling on both
+    sides makes the integer codes engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.quantize_int8(emb, "vec_id", "embedding")
