@@ -1,0 +1,241 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Decontamination, within-document repetition detection, TF-IDF term scoring,
+greedy sequence packing, and mixture rebalancing — the steps between "raw
+crawl" and "training mix" that the reference framework's users would script
+as SQL transformers (cf. /root/reference pipeline definitions, e.g.
+src/test/resources pipeline SQL), expressed here as first-class operators.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM whole-stage
+codegen, no Python UDFs). Shuffle inventory per operator is documented in
+its docstring — at 100 TB that inventory IS the cost model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation set.
+
+    The standard pre-training hygiene step (n=8..13 word-gram overlap,
+    as in GPT-3/PaLM data papers). Returns one row per train document:
+    ``(id, n_shingles, n_hits, contaminated)``.
+
+    Scale design: the eval set is fixed-size (benchmarks, not corpus), so
+    its distinct shingle set is broadcast — the 100 TB train side is never
+    shuffled on text. Train shingles stream through the broadcast hash
+    join as narrow map output; the only shuffle carries ``(id, 1)``
+    pairs for the per-document counts. Documents shorter than ``n``
+    tokens have zero shingles and are reported with n_shingles = 0.
+    """
+    from .dedup import word_shingles
+
+    eval_sh = (
+        word_shingles(eval_df, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_sh = word_shingles(train, id_col, text_col, n=n)
+    per_doc = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    base = train.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition detection: duplicate word-``n``-gram ratio
+    and the most-frequent-token share.
+
+    Boilerplate and degenerate generations repeat internally; this is the
+    per-document filter (cf. Gopher/MassiveText repetition filters). A
+    dup_ngram_ratio near 1 means the document is one phrase looped.
+
+    Entirely map-side (array expressions on each row, zero shuffles): at
+    100 TB this runs at scan speed. Ratios rounded to 6 dp for
+    cross-engine determinism.
+    """
+    toks = tokens(F.col(text_col))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, so short
+    # documents must short-circuit to an empty gram list explicitly.
+    ngrams = F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(1, size(_t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_t, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    top_tok_n = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_t")),
+            lambda t: F.size(F.filter(F.col("_t"), lambda x: x == t)),
+        )
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            id_col,
+            F.size("_t").cast("int").alias("n_tokens"),
+            ngrams.alias("_g"),
+            top_tok_n.cast("int").alias("top_token_n"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("_g").cast("int").alias("n_ngrams"),
+            F.size(F.array_distinct("_g")).cast("int").alias("n_distinct_ngrams"),
+            F.when(F.size("_g") > 0,
+                   F.round(1 - F.size(F.array_distinct("_g")) / F.size("_g"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+            F.round(F.col("top_token_n") / F.col("n_tokens"), 6).alias("top_token_share"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    scikit-learn convention); score = tf·idf rounded to 6 dp, ranked with
+    a term tiebreak so the top-k is total-order deterministic.
+
+    Shuffle inventory: one groupBy(id, term) for tf (map-side partial agg
+    collapses repeats first), one groupBy(term) for df whose output is
+    vocabulary-sized (≪ corpus) and re-enters via broadcast, and the
+    per-document top-k window keyed by id. The corpus body itself crosses
+    the wire once, as (id, term, tf) triples.
+    """
+    terms = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tfidf", "rn")
+    )
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy sequence packing: within each group, lay documents end-to-end
+    in id order and cut a new bin every ``budget`` tokens (a document whose
+    cumulative start crosses the boundary opens the next bin).
+
+    The batch-construction step of a training pipeline: bins approximate
+    fixed-token-budget training sequences. Deterministic (id order, no
+    rand) so packing is reproducible across runs/engines.
+
+    One shuffle, on the group key; the running sum is a window over
+    (group, id). At 100 TB the group key (source/shard) is chosen so
+    each group fits a partition — the same contract a real packer has.
+    """
+    w = W.partitionBy(group_col).orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.select(
+        id_col,
+        group_col,
+        F.col(size_col),
+        F.floor(cum_before / budget).cast("int").alias("bin_id"),
+        (cum_before % budget).cast("int").alias("bin_offset"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_tokens",
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Training-mixture rebalancing: per group, observed token share vs a
+    target share, and the sampling weight (target/observed) that achieves
+    the target mix in expectation.
+
+    ``targets`` maps group value → target share; groups not listed split
+    the remaining mass equally. Output is group-cardinality-sized (tiny);
+    the only shuffle is the per-group aggregation, with map-side partial
+    aggregation doing almost all the work — the classic "one small
+    result from 100 TB" shape.
+    """
+    targets = targets or {}
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("n_tokens_grp"),
+    )
+    tot = agg.select(
+        F.sum("n_tokens_grp").alias("_tot"), F.count(F.lit(1)).alias("_ngrp")
+    )
+    named_mass = sum(targets.values())
+    named_n = len(targets)
+    target_expr = F.lit(None).cast("double")
+    for val, share in targets.items():
+        target_expr = F.when(F.col(group_col) == val, F.lit(share)).otherwise(target_expr)
+    default_share = (1.0 - named_mass) / F.greatest(F.col("_ngrp") - named_n, F.lit(1))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            F.col("n_tokens_grp").alias("n_tokens"),
+            F.round(F.col("n_tokens_grp") / F.col("_tot"), 6).alias("observed_share"),
+            F.round(F.coalesce(target_expr, default_share), 6).alias("target_share"),
+            F.round(
+                F.coalesce(target_expr, default_share)
+                / (F.col("n_tokens_grp") / F.col("_tot")),
+                6,
+            ).alias("sample_weight"),
+        )
+    )

@@ -88,6 +88,7 @@ def _load_all() -> None:
     from . import streaming_q  # noqa: F401
     from . import advanced  # noqa: F401
     from . import fileformats  # noqa: F401
+    from . import corpus  # noqa: F401
 
 
 #: Registration-order priority. External correctness harnesses sample the

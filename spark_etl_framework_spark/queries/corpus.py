@@ -1,0 +1,175 @@
+"""Corpus-curation queries (decontamination, repetition, TF-IDF, packing,
+mixture rebalancing) over the documents table — all oracle-checked.
+
+The eval set for decontamination is the deterministic ``doc_id % 97 = 0``
+slice of the corpus, standing in for a benchmark suite; n-gram size 5 keeps
+overlap observable on the synthetic shared-token-pool corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import corpus as C
+from . import register
+
+# DuckDB word-5-gram shingle CTE (1-indexed lists; mirrors Spark's
+# sequence(0, size - 5) bounds → len(a) - 4 grams).
+_SH5_CTE = """
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(a) - 3),
+                         i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                              || a[i+3] || ' ' || a[i+4])) AS shingle
+           FROM t WHERE len(a) >= 5)
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_SH5_CTE},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    per AS (SELECT tr.doc_id,
+                   CAST(count(*) AS BIGINT)        AS n_shingles,
+                   CAST(count(ev.shingle) AS BIGINT) AS n_hits
+            FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+            GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           coalesce(n_shingles, 0) AS n_shingles,
+           coalesce(n_hits, 0)     AS n_hits,
+           (coalesce(n_hits, 0) > 0) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing any word-5-gram with
+    the eval slice (doc_id % 97 = 0) are flagged. Eval shingles broadcast;
+    the train side never shuffles on text."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return C.decontaminate(train, eval_df, "doc_id", "text", n=5)
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+               FROM documents),
+    g AS (SELECT doc_id, a,
+                 CASE WHEN len(a) >= 3
+                      THEN list_transform(range(1, len(a) - 1),
+                                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+                      ELSE [] END AS gr
+          FROM t WHERE len(a) > 0)
+    SELECT doc_id,
+           CAST(len(a) AS INT)                    AS n_tokens,
+           CAST(len(gr) AS INT)                   AS n_ngrams,
+           CAST(len(list_distinct(gr)) AS INT)    AS n_distinct_ngrams,
+           CASE WHEN len(gr) > 0
+                THEN round(1 - len(list_distinct(gr)) / len(gr), 6)
+                ELSE 0.0 END                      AS dup_ngram_ratio,
+           round(list_max(list_transform(list_distinct(a),
+                          tk -> len(list_filter(a, x -> x = tk)))) / len(a), 6)
+                                                  AS top_token_share
+    FROM g
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter inputs: duplicate word-3-gram ratio
+    and most-frequent-token share. Map-side only — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.repetition_stats(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH terms AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                   FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM terms WHERE term <> '' GROUP BY doc_id, term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    idf AS (SELECT term, ln((nd.n + 1) / (count(DISTINCT doc_id) + 1)) + 1 AS idf
+            FROM tf, nd GROUP BY term, nd.n),
+    scored AS (SELECT doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+               FROM tf JOIN idf ON tf.term = idf.term),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS INT) AS rn
+          FROM scored)
+    SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic term
+    tiebreak). The corpus crosses the wire once as (doc, term, tf) triples;
+    the vocabulary-sized idf table re-enters via broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "text_pack_bins",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cb // 256 AS INT) AS bin_id,
+           CAST(cb % 256 AS INT)  AS bin_offset
+    FROM c
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 256-token sequence packing per source shard: documents laid
+    end-to-end in id order, a new bin every 256 tokens. One shuffle on the
+    shard key; deterministic, so packing reproduces across runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return C.pack_greedy_bins(sized, "doc_id", "source", "n_tokens", budget=256)
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH t AS (SELECT lang,
+                      len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    a AS (SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens_grp
+          FROM t GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_tokens_grp) AS BIGINT) AS tot,
+                   count(*) AS ngrp FROM a)
+    SELECT lang,
+           CAST(n_docs AS BIGINT)      AS n_docs,
+           n_tokens_grp                AS n_tokens,
+           round(n_tokens_grp / tot, 6) AS observed_share,
+           round(CASE WHEN lang = 'en' THEN 0.4
+                      ELSE 0.6 / greatest(ngrp - 1, 1) END, 6) AS target_share,
+           round((CASE WHEN lang = 'en' THEN 0.4
+                       ELSE 0.6 / greatest(ngrp - 1, 1) END)
+                 / (n_tokens_grp / tot), 6) AS sample_weight
+    FROM a, tot
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-language token share vs a target
+    mix (en 40 %, rest equal), and the sampling weight that achieves it.
+    One aggregation; output is language-cardinality-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return C.mixture_weights(sized, "lang", "n_tokens", targets={"en": 0.4})

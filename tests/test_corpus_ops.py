@@ -1,0 +1,83 @@
+"""Unit tests for the corpus-curation operators (operators/corpus.py)."""
+
+from pyspark.sql import functions as F
+
+from spark_etl_framework_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_overlap(spark):
+    eval_df = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon other tail"),  # shares a 5-gram
+            (2, "totally different words here no overlap at all"),
+            (3, "tiny"),  # < 5 tokens → zero shingles
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.decontaminate(train, eval_df, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_shingles"] == 0 and not out[3]["contaminated"]
+
+
+def test_repetition_stats_detects_looped_text(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),  # one token looped
+            (2, "all words here are completely distinct tokens"),
+            (3, "ab"),  # shorter than the gram size
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.repetition_stats(df, n=3).collect()}
+    assert out[1]["dup_ngram_ratio"] > 0.7 and out[1]["top_token_share"] == 1.0
+    assert out[2]["dup_ngram_ratio"] == 0.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_ngram_ratio"] == 0.0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common zebra words"),
+            (2, "common filler words"),
+            (3, "common more filler"),
+        ],
+    )
+    out = C.tfidf_topk(df, k=1).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out}
+    # 'zebra' appears once in one doc; 'common' is corpus-wide → zebra wins doc 1
+    assert top1[1] == "zebra"
+
+
+def test_pack_greedy_bins_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 100), (3, "s", 100), (4, "s", 100)],
+        "doc_id long, source string, n_tokens int",
+    )
+    out = {r["doc_id"]: r for r in C.pack_greedy_bins(df, budget=256).collect()}
+    # cumulative starts: 0, 100, 200, 300 → bins 0,0,0,1
+    assert [out[i]["bin_id"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert out[4]["bin_offset"] == 300 % 256
+
+
+def test_mixture_weights_hit_targets(spark):
+    df = spark.createDataFrame(
+        [("en", 300), ("en", 300), ("de", 200), ("fr", 200)],
+        "lang string, n_tokens int",
+    )
+    out = {r["lang"]: r for r in C.mixture_weights(df, targets={"en": 0.4}).collect()}
+    assert abs(out["en"]["observed_share"] - 0.6) < 1e-9
+    assert out["en"]["target_share"] == 0.4
+    assert out["de"]["target_share"] == 0.3  # (1-0.4)/2 remaining groups
+    # weight * observed == target
+    assert abs(out["en"]["sample_weight"] * 0.6 - 0.4) < 1e-4
+    total_expected = sum(
+        r["sample_weight"] * r["observed_share"] for r in out.values()
+    )
+    assert abs(total_expected - 1.0) < 1e-3
