@@ -210,3 +210,50 @@ def quantize_int8(
         F.when(amax > 0, F.array_join(codes, ",")).alias("codes"),
         F.size(F.col(vec_col)).alias("dim"),
     )
+
+
+def srp_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for signed random projection:
+    component (p, d) = md5("p:d") first-4-hex-digits mapped to [-1, 1).
+
+    md5-derived instead of a seeded RNG so the SAME planes are computable
+    in any engine/language (the oracle inlines them as literals) and stable
+    across runs — no driver-side randomness enters the plan.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:4], 16) / 32768.0 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH bucket per vector: bit p = sign of the
+    dot product with hyperplane p (rounded to 6 dp first, so an
+    ulp-of-zero dot cannot flip a bit between engines); bucket id =
+    the bit pattern as an int. Cosine-similar vectors collide with
+    probability 1 - θ/π per bit — the classic Charikar scheme.
+
+    The planes are plan-time literals (a few KB) compiled into the
+    projection, so this is a narrow map: zero shuffles, no UDF, scan
+    speed at any corpus size. Downstream near-dup / ANN candidate joins
+    group on srp_bucket exactly like the MinHash band join.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(F.round(_dot(xd, lit_plane), 6) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return df.select(F.col(id_col), bucket.cast("int").alias("srp_bucket"))

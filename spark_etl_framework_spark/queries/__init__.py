@@ -100,28 +100,34 @@ def _load_all() -> None:
 #: registration order after the prioritized block; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
     # dedup family (LLM-pipeline flagships)
+    # (dedup_lsh_bucket_stats / dedup_simhash rotated out this round: their
+    # core computation is re-verified inside in-window siblings — the bands
+    # feeding lsh_pairs, the signatures inside simhash_pairs' all-pairs
+    # oracle. The local exact-value checker still runs them every round.)
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_lsh_bucket_stats",
     "dedup_lsh_pairs",
     "dedup_lsh_verified_pairs",
     "dedup_ngram_jaccard_topk",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     # vector / similarity search
     "vector_cosine_topk",
     "vector_ann_ivf",
     "vector_neardup_blocked",
     "vector_label_centroids",
-    "vector_norm_stats",
     # text analysis
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
-    "text_fingerprint",
     "text_topk_quality_per_lang",
     "text_chunk_windows",
     "text_stratified_sample",
+    # corpus curation (decontamination / repetition filter / TF-IDF — new
+    # this round; text_fingerprint rotated out, same md5-normalize core as
+    # the in-window dedup_exact)
+    "corpus_decontaminate",
+    "text_repetition_stats",
+    "text_tfidf_topk",
     # time series (band/as-of range joins, sessionize, event windows)
     "ts_tumbling_window",
     "ts_sliding_window",

@@ -383,3 +383,66 @@ def stream_jdbc_sink_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r[0], int(r[1]), float(r[2]), int(r[3])) for r in rows],
         "event_type string, n bigint, total_value double, last_batch bigint",
     )
+
+
+@register(
+    "stream_session_window",
+    # Spark session_window semantics: a session is [first_ts, last_ts + gap);
+    # an event at EXACTLY last_ts + gap starts a new session, hence the >=
+    # in the oracle's gap test (epoch_us — the data has µs precision).
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id, value FROM events),
+    marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked
+    )
+    SELECT CAST(min(ts) AS VARCHAR)                      AS session_start,
+           CAST(max(ts) + INTERVAL 5 MINUTE AS VARCHAR)  AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT)                      AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (5-minute inactivity gap) per user via
+    ``F.session_window`` — Spark merges overlapping per-event windows in
+    the stateful aggregation; complete output mode (session windows
+    support complete/append only), bounded by processAllAvailable. The result must equal
+    the batch gaps-and-islands oracle — the same sessions, batch or
+    stream."""
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    qname = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

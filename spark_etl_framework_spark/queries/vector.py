@@ -181,3 +181,41 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides makes the integer codes engine-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     return V.quantize_int8(emb, "vec_id", "embedding")
+
+
+def _srp_oracle() -> str:
+    """Oracle for vector_srp_buckets: the 8 md5-derived hyperplanes are
+    inlined as list literals — identical constants to the Spark plan."""
+    from ..operators.vector import srp_hyperplanes
+
+    planes = srp_hyperplanes(8, 64)
+    bits = "\n         + ".join(
+        f"(CASE WHEN round(list_dot_product(v, [{', '.join(repr(c) for c in plane)}]), 6)"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id,
+                 {bits} AS srp_bucket
+          FROM e)
+    SELECT vec_id, CAST(srp_bucket AS INT) AS srp_bucket,
+           CAST(count(*) OVER (PARTITION BY srp_bucket) AS BIGINT) AS bucket_n
+    FROM b
+    """
+
+
+@register("vector_srp_buckets", oracle=_srp_oracle())
+def vector_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bucket per embedding (8 md5-derived
+    hyperplanes → 256 buckets) plus bucket occupancy — the cosine-LSH
+    candidate-blocking step. Narrow map for the projection; one window
+    shuffle for the occupancy count."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = V.srp_hyperplanes(8, 64)
+    out = V.srp_buckets(emb, planes, "vec_id", "embedding")
+    return out.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("srp_bucket"))
+    )
