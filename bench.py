@@ -44,6 +44,11 @@ HEADLINE = [
     "vector_cosine_topk",
     "vector_ann_ivf",
     "text_quality_score",
+    # round 2 additions — corpus-curation flagships (original 20 names
+    # unchanged, so r1/r2 per-query numbers stay comparable)
+    "corpus_decontaminate",
+    "text_tfidf_topk",
+    "vector_srp_buckets",
 ]
 
 

@@ -135,9 +135,11 @@ def tfidf_topk(
 
     Shuffle inventory: one groupBy(id, term) for tf (map-side partial agg
     collapses repeats first), one groupBy(term) for df whose output is
-    vocabulary-sized (≪ corpus) and re-enters via broadcast, and the
-    per-document top-k window keyed by id. The corpus body itself crosses
-    the wire once, as (id, term, tf) triples.
+    vocabulary-sized (sublinear in corpus size but unbounded — Heaps'
+    law), and the per-document top-k window keyed by id. The idf join is
+    deliberately UNHINTED: AQE broadcasts the vocabulary when it fits and
+    falls back to a shuffle join when it doesn't, so the plan survives a
+    corpus whose vocabulary outgrows executor memory.
     """
     terms = (
         df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
@@ -151,7 +153,7 @@ def tfidf_topk(
         .crossJoin(F.broadcast(n_docs))
         .select("term", (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1).alias("idf"))
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(
         id_col, "term", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
     )
     w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))

@@ -109,7 +109,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, deterministic term
     tiebreak). The corpus crosses the wire once as (doc, term, tf) triples;
-    the vocabulary-sized idf table re-enters via broadcast."""
+    the idf join is unhinted — AQE broadcasts the vocabulary only when it fits."""
     docs = load_table(spark, sf_dir, "documents")
     return C.tfidf_topk(docs, "doc_id", "text", k=3)
 
