@@ -83,3 +83,46 @@ def binary_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "nationkey", F.trim("name").alias("name"), "regionkey"
     )
+
+
+@register(
+    "jdbc_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           n_name                      AS name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    """,
+)
+def jdbc_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → sqlite table (DBAPI insert) → JdbcReader's ``connect`` hook
+    read-back → must equal the source parquet. Exercises the reader actor's
+    DBAPI path end-to-end against a real database; the jdbc-format path
+    (partitioned JVM reads) shares the same option plumbing and is
+    availability-gated on a driver jar this sandbox doesn't ship."""
+    import os
+    import sqlite3
+
+    from ..sources.jdbc import JdbcReader
+
+    db = f"/tmp/_spark_etl_jdbcread_{os.path.basename(sf_dir.rstrip('/'))}.db"
+    rows = [
+        (int(r["n_nationkey"]), r["n_name"], int(r["n_regionkey"]))
+        for r in load_table(spark, sf_dir, "nation").collect()
+    ]
+    conn = sqlite3.connect(db)
+    try:
+        conn.execute("DROP TABLE IF EXISTS nation")
+        conn.execute(
+            "CREATE TABLE nation (nationkey INTEGER, name TEXT, regionkey INTEGER)"
+        )
+        conn.executemany("INSERT INTO nation VALUES (?, ?, ?)", rows)
+        conn.commit()
+    finally:
+        conn.close()
+    jctx = JobContext(PipelineContext(), spark)
+    r = JdbcReader(
+        connect="spark_etl_framework_spark.testing.sqlite_connect",
+        connection={"url": db, "dbtable": "nation"},
+    )
+    return r.run(jctx, spark)

@@ -16,6 +16,7 @@ from ..plans.context import JobContext
 
 
 class JdbcReader(Actor):
+    connect: str | None = None  # dotted path to a DBAPI connect fn (see run)
     connection_driver: str | None = None
     connection_url: str | None = None
     connection_dbtable: str | None = None
@@ -41,6 +42,30 @@ class JdbcReader(Actor):
         return opts
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if self.connect:
+            return self._dbapi_read(spark)
         if not self.connection_url:
             raise ValueError("JdbcReader: 'connection.url' required")
         return spark.read.format("jdbc").options(**self.jdbc_options()).load()
+
+    def _dbapi_read(self, spark: SparkSession) -> DataFrame:
+        """DBAPI fallback read (symmetric to JdbcWriter's ``connect`` hook):
+        fetch ``connection.dbtable`` through a Python DBAPI connection and
+        parallelize it. This is the SMALL-relation path — config/dimension
+        tables pulled once onto the driver and broadcast downstream; big
+        tables must use the jdbc format's partitioned reads
+        (partitionColumn/lowerBound/upperBound/numPartitions), which this
+        deliberately does not replicate."""
+        from ..functions.registration import load_class
+
+        if not self.connection_dbtable:
+            raise ValueError("JdbcReader: 'connection.dbtable' required")
+        conn = load_class(self.connect)(self.jdbc_options())
+        try:
+            cur = conn.cursor()
+            cur.execute(f"SELECT * FROM {self.connection_dbtable}")  # noqa: S608
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+        finally:
+            conn.close()
+        return spark.createDataFrame([tuple(r) for r in rows], cols)

@@ -110,3 +110,34 @@ def test_binary_reader_fixed_records(spark, jctx, tmp_path):
     df = r.run(jctx, spark)
     rows = sorted((r["tag"], r["num"]) for r in df.collect())
     assert rows == [("AAA", 1), ("BBB", 2), ("CCC", 3)]
+
+
+def test_jdbc_reader_dbapi_path(spark, tmp_path):
+    """JdbcReader's connect-hook read: rows land with cursor column names."""
+    import sqlite3
+
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+    from spark_etl_framework_spark.sources.jdbc import JdbcReader
+
+    db = str(tmp_path / "r.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    conn.executemany("INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b")])
+    conn.commit()
+    conn.close()
+
+    r = JdbcReader(
+        connect="spark_etl_framework_spark.testing.sqlite_connect",
+        connection={"url": db, "dbtable": "t"},
+    )
+    out = r.run(JobContext(PipelineContext(), spark), spark)
+    assert out.columns == ["k", "v"]
+    assert sorted(tuple(x) for x in out.collect()) == [(1, "a"), (2, "b")]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dbtable"):
+        JdbcReader(
+            connect="spark_etl_framework_spark.testing.sqlite_connect",
+            connection={"url": db},
+        ).run(JobContext(PipelineContext(), spark), spark)
