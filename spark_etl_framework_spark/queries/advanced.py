@@ -314,3 +314,45 @@ def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q3", 6).alias("q3"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    # Moments are accumulated in DECIMAL (exact, order-independent — the
+    # input carries ≤2 true decimal places so value² has ≤4) and cast to
+    # DOUBLE only for the final mean/variance scalar math, which is then
+    # the identical IEEE sequence in both engines. stddev_pop/avg built-ins
+    # would differ at the last ulp between engines (summation order).
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)        AS mean,
+               CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.mean) / sqrt(m.m2 - m.mean * m.mean), 6) AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs(round((e.value - m.mean) / sqrt(m.m2 - m.mean * m.mean), 6)) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly screening per event type (|z| > 2): the streaming-
+    telemetry counterpart of the IQR gate. One aggregation produces the
+    per-type moments (group-cardinality output, broadcast back); the event
+    scan is never shuffled. Decimal-exact moment accumulation makes the
+    cut-off engine- and partitioning-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("mean"),
+        (dsum(F.col("value") * F.col("value")) / F.count(F.lit(1))).alias("m2"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("mean")) / F.sqrt(F.col("m2") - F.col("mean") * F.col("mean")),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 2)
+    )

@@ -204,3 +204,91 @@ def text_topk_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang", "rn")
     )
+
+
+@register(
+    "text_quality_filter_median",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+')                       AS toks,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)                                 AS alpha_ratio
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               round(0.4 * least(1.0, len(toks) / 100.0)
+                     + 0.3 * least(1.0, (len(list_filter(toks, x -> list_contains([{_SW}], x)))
+                                         / greatest(len(toks), 1)) * 3)
+                     + 0.3 * alpha_ratio, 6)                                   AS quality_score
+        FROM t
+    ),
+    m AS (SELECT lang, round(quantile_cont(quality_score, 0.5), 6) AS lang_median
+          FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.quality_score, m.lang_median
+    FROM q JOIN m ON q.lang = m.lang
+    WHERE q.quality_score >= m.lang_median
+    """,
+)
+def text_quality_filter_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate: keep documents at or above their language's
+    median quality score — the relative (per-stratum) variant of a fixed
+    quality threshold, robust to quality distributions that differ by
+    language. Medians are exact interpolated percentiles computed per
+    group (group-cardinality output, re-joined via AQE-sized join); the
+    corpus is scanned once for scores and once for the gate."""
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = with_quality_score(docs).select("doc_id", "lang", "quality_score")
+    medians = scored.groupBy("lang").agg(
+        F.round(F.percentile("quality_score", F.lit(0.5)), 6).alias("lang_median")
+    )
+    return scored.join(medians, "lang").filter(
+        F.col("quality_score") >= F.col("lang_median")
+    ).select("doc_id", "lang", "quality_score", "lang_median")
+
+
+@register(
+    "text_tokenstats_pandas",
+    # Same semantics as text_token_stats' integer core, but computed on the
+    # Arrow/pandas path — the driver hash-match proves the Python escape
+    # hatch (mapInPandas) produces bit-identical results to the SQL oracle.
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)       AS n_tokens,
+           CAST(length(text) AS INT)                                         AS n_chars_obs,
+           CAST(ceil(length(text) / 4) AS INT)                               AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokenstats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics via ``mapInPandas`` (Arrow-batched, vectorized
+    pandas string ops — the shape every real Python extension op takes:
+    narrow, no shuffle, integer outputs immune to float summation order).
+    Exists alongside the pure-column text_token_stats to keep the Python
+    path itself under the correctness gate."""
+    import math
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for pdf in batches:
+            text = pdf["text"].fillna("")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": text.str.strip().str.split(r"\s+").str.len()
+                    .astype("int32"),
+                    "n_chars_obs": text.str.len().astype("int32"),
+                    "est_bpe_tokens": (text.str.len() / 4).map(math.ceil)
+                    .astype("int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        stats, "doc_id long, n_tokens int, n_chars_obs int, est_bpe_tokens int"
+    )

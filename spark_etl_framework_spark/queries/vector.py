@@ -219,3 +219,58 @@ def vector_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "bucket_n", F.count(F.lit(1)).over(W.partitionBy("srp_bucket"))
     )
+
+
+_SRP_PAIRS_COS = ("round(list_dot_product(a.v, b.v) / "
+                  "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)")
+
+
+def _srp_pairs_oracle() -> str:
+    from ..operators.vector import srp_hyperplanes
+
+    planes = srp_hyperplanes(8, 64)
+    bits = "\n         + ".join(
+        f"(CASE WHEN round(list_dot_product(v, [{', '.join(repr(c) for c in plane)}]), 6)"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bits} AS srp_bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SRP_PAIRS_COS} AS cosine
+    FROM b a JOIN b b ON a.srp_bucket = b.srp_bucket AND a.vec_id < b.vec_id
+    WHERE {_SRP_PAIRS_COS} >= 0.2
+    """
+
+
+@register("vector_srp_pairs", oracle=_srp_pairs_oracle())
+def vector_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-duplicate candidates: same-bucket pairs (equi-join on
+    the 8-bit SRP key — never all-pairs), exact-cosine verified at ≥ 0.2.
+    The embedding analogue of dedup_lsh_verified_pairs: candidate
+    generation cost is Σ bucket², bounded by the bucket histogram, and
+    the exact rerank touches only candidates."""
+    from ..operators.vector import _dot, _norm, srp_buckets, srp_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planes = srp_hyperplanes(8, 64)
+    b = srp_buckets(emb.withColumnRenamed("v", "embedding"), planes, "vec_id", "embedding")
+    keyed = emb.join(b, "vec_id")
+    a = keyed.select(
+        F.col("srp_bucket"), F.col("vec_id").alias("id_a"), F.col("v").alias("_va")
+    )
+    c = keyed.select(
+        F.col("srp_bucket"), F.col("vec_id").alias("id_b"), F.col("v").alias("_vb")
+    )
+    cosine = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6
+    )
+    return (
+        a.join(c, "srp_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.2)
+    )
