@@ -238,3 +238,84 @@ def pipeline_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return _run(spark, defn, "pv_out")
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH fp AS (SELECT doc_id, lang, text,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+                FROM documents),
+    keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
+    ded AS (SELECT fp.doc_id, fp.lang, fp.text
+            FROM fp JOIN keep ON fp.fingerprint = keep.fingerprint
+                              AND fp.doc_id = keep.keep_id),
+    tok AS (SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM ded)
+    SELECT lang,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM tok WHERE n_tokens >= ${min_tokens}
+    GROUP BY lang
+    """.replace("${min_tokens}", "30"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation chain driven through the orchestration layer:
+    FileReader → SqlTransformer (exact dedup by normalized fingerprint →
+    length gate → per-language corpus stats), with the gate threshold
+    injected as a pipeline VARIABLE — proving variable substitution,
+    multi-statement SQL, and view promotion compose with the curation
+    semantics."""
+    defn = {
+        "version": "1.0.0",
+        "name": "corpus-curation",
+        "variables": [{"name": "min_tokens", "value": "30"}],
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-documents",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "p_documents"},
+                    },
+                    {
+                        "name": "curate",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                with fp as (
+                                    select doc_id, lang, text,
+                                           md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) as fingerprint
+                                    from p_documents
+                                ),
+                                keep as (select fingerprint, min(doc_id) as keep_id
+                                         from fp group by fingerprint),
+                                ded as (select fp.doc_id, fp.lang, fp.text
+                                        from fp join keep on fp.fingerprint = keep.fingerprint
+                                                          and fp.doc_id = keep.keep_id),
+                                tok as (select lang, size(split(trim(text), '\\\\s+')) as n_tokens
+                                        from ded)
+                                select lang,
+                                       count(*) as n_docs,
+                                       cast(sum(n_tokens) as bigint) as n_tokens_total
+                                from tok where n_tokens >= ${min_tokens}
+                                group by lang
+                                """,
+                            },
+                        },
+                        "input-views": ["p_documents"],
+                        "output-view": {"name": "p_corpus_stats", "global": "true"},
+                    },
+                ],
+            }
+        ],
+    }
+    return _run(spark, defn, "p_corpus_stats")

@@ -446,3 +446,55 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@register(
+    "stream_sliding_window",
+    # same window arithmetic as the batch ts_sliding_window oracle, plus the
+    # per-event-type key the stream aggregates on
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+    slid AS (
+        SELECT make_timestamp(((epoch_ms(ts) - k * 300000) // 600000) * 600000000
+                              + k * 300000000) AS window_start,
+               event_type, value
+        FROM ev, (SELECT unnest([0, 1]) AS k)
+        WHERE epoch_ms(ts) >= ((epoch_ms(ts) - k * 300000) // 600000) * 600000 + k * 300000
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)      AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 10-minute window sliding every 5 minutes per event type —
+    each event lands in two windows, expanded stream-side by ``F.window``
+    (state per (window, type), no self-join); complete mode, bounded by
+    processAllAvailable. Must hash-match the batch sliding-window
+    semantics."""
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    qname = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
