@@ -27,18 +27,24 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table. Scans stay columnar; Catalyst prunes/pushes.
 
-    The driver's ``events`` table carries TIMESTAMP(NANOS) which Spark's
-    parquet reader rejects natively; we read nanos as long (legacy conf) and
-    rebuild a microsecond timestamp with integer division — no precision lost
-    beyond the ns→µs truncation, no driver-side round-trip.
+    The driver's ``events`` table has carried its ``ts`` column as
+    TIMESTAMP(NANOS) (readable only as long via the legacy conf) and, in
+    newer testdata drops, as TIMESTAMP_NTZ. Normalize both to TIMESTAMP
+    (LTZ): streaming watermarks REQUIRE the instant type
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), and with the UTC
+    session timezone the NTZ→LTZ cast is value- and rendering-preserving,
+    so batch/oracle string comparisons are unchanged.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -317,6 +317,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Cluster the near-duplicate pair graph into connected components:
     (node, cluster_id) where cluster_id = min node id reachable — the step
@@ -327,13 +328,26 @@ def connected_components(
     labels; converged when no label changes — at most graph-diameter
     rounds, and near-dup graphs are shallow (dup clusters are cliques or
     short chains, so typically 2-4 rounds). Each round is one join + one
-    aggregation on (node, label) int pairs; iterations persist their
-    result and unpersist the previous one, so lineage never re-executes
-    and memory stays O(|V|). The driver-side loop is control flow only
-    (one count() per round to test convergence) — the data never leaves
-    the cluster; this is how iterative algorithms are expressed on Spark
-    (GraphX connectedComponents does the same hash-min loop).
+    aggregation on (node, label) int pairs, materialized with
+    ``localCheckpoint`` — that TRUNCATES the logical plan each round
+    (each round's plan embeds the previous round's twice, so without
+    truncation Catalyst re-analysis grows 2^rounds and stalls past ~6
+    rounds; GraphFrames' connectedComponents checkpoints for exactly this
+    reason), and caches the O(|V|) label set so nothing re-executes.
+    Superseded rounds' blocks are released by Spark's ContextCleaner when
+    the old DataFrame is garbage-collected. The driver-side loop is
+    control flow only (one count() per round to test convergence) — the
+    data never leaves the cluster. On a cluster with unreliable executors
+    (dynamic allocation / spot), swap ``localCheckpoint`` for a reliable
+    ``checkpoint`` dir: local checkpoint blocks die with their executor.
+
+    If the loop hits ``max_iter`` while labels are still changing (a
+    component with diameter > max_iter — a long chain, not a dup clique),
+    the labels are WRONG, so by default this raises; pass
+    ``on_nonconverged="warn"`` to get the partial labels with a warning.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn': {on_nonconverged!r}")
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -342,32 +356,45 @@ def connected_components(
     )
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    ).persist()
+    ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # eager localCheckpoint: materializes AND truncates lineage, so the
+        # per-round plan stays O(1) instead of doubling every round
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
+            .localCheckpoint()
         )
-        new_labels = new_labels.persist()
         changed = (
-            new_labels.join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        old = labels
-        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
-        old.unpersist()
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds max_iter); labels are stale"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

@@ -161,13 +161,23 @@ def stratified_sample(
     coordination. This is how a corpus pipeline downsamples
     over-represented strata (e.g. English) while keeping selection
     auditable.
+
+    A rate ≥ 1.0 means keep-all: the threshold is clamped to the 4-hex-char
+    ceiling and compared with ``<=`` so 'ffff' keys survive (an unclamped
+    ``int(1.0*65536)`` would format as the 5-char '10000', which compares
+    LESS than any 4-char key and would keep ~0 rows).
     """
+
+    def _thresh(rate: float) -> str:
+        return f"{min(max(int(rate * 65536), 0), 65535):04x}"
+
     key16 = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
     )
-    thresh = F.lit(f"{int(default_rate * 65536):04x}")
+    thresh = F.lit(_thresh(default_rate))
+    keep_all = F.lit(default_rate >= 1.0)
     for value, rate in rates.items():
-        thresh = F.when(
-            F.col(strata_col) == value, f"{int(rate * 65536):04x}"
-        ).otherwise(thresh)
-    return df.filter(key16 < thresh)
+        is_stratum = F.col(strata_col) == value
+        thresh = F.when(is_stratum, _thresh(rate)).otherwise(thresh)
+        keep_all = F.when(is_stratum, F.lit(rate >= 1.0)).otherwise(keep_all)
+    return df.filter(keep_all | (key16 < thresh))

@@ -60,9 +60,21 @@ def dsum_sql(expr: str, scale: int | None = None) -> str:
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optional DuckDB oracle) to the registry."""
+    """Decorator: add a query (and optional DuckDB oracle) to the registry.
+
+    Raises on a duplicate name: ``QUERIES[name] = fn`` would silently
+    shadow the earlier registration (and orphan its oracle), which is
+    exactly how a correctness gap hides — a query that nobody runs but
+    everybody believes is covered.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered as {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -33,8 +33,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = spark.readStream.schema(file_schema).parquet(stream_dir)
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require the instant (LTZ) type; UTC session makes this
+        # cast value-preserving — same normalization as catalog.load_table
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
@@ -272,7 +277,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_sliding_window",
+    "stream_sliding_window_global",
     # same bucket expansion as the batch ts_sliding_window oracle: each
     # event lands in exactly two 10-minute/5-minute-slide windows
     oracle="""
@@ -290,11 +295,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM slid GROUP BY 1
     """,
 )
-def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_sliding_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window aggregate (10-minute window, 5-minute
-    slide) with watermark, complete mode — must equal the batch
-    ``ts_sliding_window`` semantics exactly (``F.window`` expands each
-    event into its two containing windows on the map side; the shuffle
+    slide, single global key) with watermark, complete mode — must equal
+    the batch ``ts_sliding_window`` semantics exactly (``F.window`` expands
+    each event into its two containing windows on the map side; the shuffle
     carries partially-aggregated window rows, not events)."""
     sdf = (
         _events_stream(spark, sf_dir)

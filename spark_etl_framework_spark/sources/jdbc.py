@@ -22,6 +22,8 @@ class JdbcReader(Actor):
     connection_dbtable: str | None = None
     connection_user: str | None = None
     connection_password: str | None = None
+    ddlSchemaString: str | None = None  # explicit schema for the DBAPI path
+    maxRows: int = 1_000_000  # DBAPI path is driver-side: hard cap, not advisory
 
     def jdbc_options(self) -> dict[str, str]:
         opts = {
@@ -55,17 +57,53 @@ class JdbcReader(Actor):
         tables pulled once onto the driver and broadcast downstream; big
         tables must use the jdbc format's partitioned reads
         (partitionColumn/lowerBound/upperBound/numPartitions), which this
-        deliberately does not replicate."""
+        deliberately does not replicate.
+
+        The small-relation contract is enforced, not conventional:
+        ``maxRows`` (default 1M) raises if exceeded so this path can't be
+        pointed at a fact table by accident. ``connection.dbtable`` must be
+        a plain (possibly schema-qualified) identifier — it is interpolated
+        into SQL text, so anything else is rejected. An explicit
+        ``ddlSchemaString`` makes empty result sets (or all-NULL columns)
+        well-typed; without it an empty table raises a clear error instead
+        of Spark's opaque can-not-infer-schema."""
+        import re
+
         from ..functions.registration import load_class
 
         if not self.connection_dbtable:
             raise ValueError("JdbcReader: 'connection.dbtable' required")
+        if not re.fullmatch(r'[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)?|"[^"]+"', self.connection_dbtable):
+            raise ValueError(
+                f"JdbcReader: 'connection.dbtable' must be a plain identifier "
+                f"for the DBAPI path, got {self.connection_dbtable!r}"
+            )
+        max_rows = int(self.maxRows)
         conn = load_class(self.connect)(self.jdbc_options())
         try:
             cur = conn.cursor()
             cur.execute(f"SELECT * FROM {self.connection_dbtable}")  # noqa: S608
             cols = [d[0] for d in cur.description]
-            rows = cur.fetchall()
+            rows = cur.fetchmany(max_rows + 1)
         finally:
             conn.close()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"JdbcReader: DBAPI read of {self.connection_dbtable!r} exceeds "
+                f"maxRows={max_rows} — this is the small/config-relation path; "
+                "use the jdbc format's partitioned read "
+                "(partitionColumn/lowerBound/upperBound/numPartitions) instead"
+            )
+        if self.ddlSchemaString:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [tuple(r) for r in rows], StructType.fromDDL(self.ddlSchemaString)
+            )
+        if not rows:
+            raise ValueError(
+                f"JdbcReader: {self.connection_dbtable!r} returned no rows and no "
+                "'ddlSchemaString' was given — provide one so the empty relation "
+                "is well-typed"
+            )
         return spark.createDataFrame([tuple(r) for r in rows], cols)

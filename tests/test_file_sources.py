@@ -141,3 +141,48 @@ def test_jdbc_reader_dbapi_path(spark, tmp_path):
             connect="spark_etl_framework_spark.testing.sqlite_connect",
             connection={"url": db},
         ).run(JobContext(PipelineContext(), spark), spark)
+
+
+def test_jdbc_reader_dbapi_guards(spark, tmp_path):
+    """The DBAPI path's small-relation contract is enforced: maxRows raises
+    past the cap, non-identifier dbtable is rejected before any SQL is built,
+    an empty table needs an explicit schema (and returns a typed empty DF
+    with one)."""
+    import sqlite3
+
+    import pytest
+
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+    from spark_etl_framework_spark.sources.jdbc import JdbcReader
+
+    db = str(tmp_path / "g.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE big (k INTEGER)")
+    conn.executemany("INSERT INTO big VALUES (?)", [(i,) for i in range(10)])
+    conn.execute("CREATE TABLE empty (k INTEGER, v TEXT)")
+    conn.commit()
+    conn.close()
+    jctx = JobContext(PipelineContext(), spark)
+
+    def reader(**kw):
+        return JdbcReader(
+            connect="spark_etl_framework_spark.testing.sqlite_connect", **kw
+        )
+
+    with pytest.raises(ValueError, match="maxRows"):
+        reader(connection={"url": db, "dbtable": "big"}, maxRows=5).run(jctx, spark)
+    # at the cap exactly: fine
+    assert reader(connection={"url": db, "dbtable": "big"}, maxRows=10).run(
+        jctx, spark
+    ).count() == 10
+    with pytest.raises(ValueError, match="identifier"):
+        reader(
+            connection={"url": db, "dbtable": "big; DROP TABLE big"}
+        ).run(jctx, spark)
+    with pytest.raises(ValueError, match="ddlSchemaString"):
+        reader(connection={"url": db, "dbtable": "empty"}).run(jctx, spark)
+    out = reader(
+        connection={"url": db, "dbtable": "empty"},
+        ddlSchemaString="k int, v string",
+    ).run(jctx, spark)
+    assert out.count() == 0 and out.columns == ["k", "v"]

@@ -205,3 +205,43 @@ def test_connected_components_chain_clique_isolated(spark):
     got = {r["node"]: r["cluster_id"]
            for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_stratified_sample_rate_one_keeps_all(spark):
+    """rate >= 1.0 must keep the whole stratum: the threshold int formats to
+    5 hex chars ('10000') which compares LESS than any 4-char key, so the
+    unclamped filter would keep ~0 rows."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    kept = {r["doc_id"] for r in T.stratified_sample(df, "lang", {"en": 1.0}, 0.0).collect()}
+    assert kept == {i for i in range(400) if i % 2 == 0}  # all en, no fr
+    # default_rate >= 1.0 keeps everything
+    assert T.stratified_sample(df, "lang", {}, 1.5).count() == 400
+
+
+def test_connected_components_nonconvergence_detected(spark):
+    """A path graph's diameter bounds the hash-min round count (the min
+    label propagates one hop per round), so max_iter below the diameter
+    CANNOT converge — that must raise (default) or warn, never silently
+    return stale labels (an 8-node chain, adversarial shape for label
+    propagation: a real dup cluster is a clique and converges in 2)."""
+    import warnings
+
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = D.connected_components(pairs, max_iter=2, on_nonconverged="warn")
+    assert any("did not converge" in str(x.message) for x in w)
+    assert partial.count() == 8  # partial labels still come back in warn mode
+    # and with enough rounds the chain does collapse to label 0
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(8)}

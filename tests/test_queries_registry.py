@@ -53,3 +53,15 @@ def test_oracle_parity_spot(spark, sf_dir, name):
     s_norm = sorted([tuple(r[i] for i in order) for r in srows], key=repr)
     d_norm = sorted([tuple(r[i] for i in dorder) for r in drows], key=repr)
     assert s_norm == d_norm
+
+
+def test_register_raises_on_duplicate_name():
+    """register() must refuse to shadow an existing query — a silently
+    overwritten registration is a query everybody believes is covered but
+    nobody runs (the round-2 stream_sliding_window bug class)."""
+    from spark_etl_framework_spark.queries import register
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        register("q1_pricing_summary")(lambda spark, sf_dir: None)
+    # the original registration is untouched
+    assert QUERIES["q1_pricing_summary"] is not None
