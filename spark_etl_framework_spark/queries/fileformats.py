@@ -126,3 +126,43 @@ def jdbc_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         connection={"url": db, "dbtable": "nation"},
     )
     return r.run(jctx, spark)
+
+
+@register(
+    "kafka_decode_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT)      AS doc_id,
+           lang,
+           CAST(n_chars AS BIGINT)     AS n_chars,
+           'docs'                      AS __kafka_topic,
+           CAST(doc_id % 4 AS INT)     AS __kafka_partition,
+           CAST(doc_id AS BIGINT)      AS __kafka_offset
+    FROM documents
+    """,
+)
+def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka payload decoding without a broker: build the exact wire shape a
+    kafka read produces (binary key/value + topic/partition/offset metadata)
+    from the documents table, push it through ``decode_kafka`` (JSON key and
+    value structs → flattened ``key.*``/``value.*`` columns, metadata
+    prefixed ``__kafka_``), and hash-check the flattened output against the
+    source rows. This is the reader's entire owned surface — Spark's kafka
+    source itself only delivers that wire shape (reference:
+    etl/common/KafkaReadActor.scala:32-93); the broker connection is the
+    availability-gated part. The decode is pure column expressions
+    (from_json on a cast binary), so it runs scan-speed and map-side only.
+    """
+    from ..sources.connectors import decode_kafka
+
+    docs = load_table(spark, sf_dir, "documents")
+    wire = docs.select(
+        F.to_json(F.struct(F.col("doc_id"))).cast("binary").alias("key"),
+        F.to_json(F.struct(F.col("lang"), F.col("n_chars"))).cast("binary").alias("value"),
+        F.lit("docs").alias("topic"),
+        (F.col("doc_id") % 4).cast("int").alias("partition"),
+        F.col("doc_id").alias("offset"),
+    )
+    out = decode_kafka(wire, key_schema="doc_id bigint", value_schema="lang string, n_chars bigint")
+    return out.select(
+        "doc_id", "lang", "n_chars", "__kafka_topic", "__kafka_partition", "__kafka_offset"
+    )

@@ -53,7 +53,13 @@ def decode_kafka(
             out = out.withColumn("__value", from_avro(F.col("value"), value_avro))
             selects.append(F.col("__value.*"))
     if key_schema:
-        kt = T.StructType.fromDDL(key_schema) if "," in key_schema else None
+        # a struct DDL ("doc_id bigint" / "a int, b string") decodes via
+        # from_json + flatten; a bare type name ("string", "long") means
+        # cast-the-raw-key. Try the struct parse — a bare type isn't one.
+        try:
+            kt = T.StructType.fromDDL(key_schema)
+        except Exception:  # noqa: BLE001
+            kt = None
         if kt is not None:
             out = out.withColumn("__key", F.from_json(F.col("key").cast("string"), kt))
             selects.append(F.col("__key.*"))

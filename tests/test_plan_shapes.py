@@ -1,0 +1,136 @@
+"""Plan-shape regression tests: make SCALE.md's promises executable.
+
+These grep physical/analyzed plans so a future edit can't silently
+reintroduce a scale-killer: a cartesian product, a forced broadcast of an
+SF-proportional table (customer/supplier/orders/part grow with the data;
+only schema-bounded relations like nation/region may carry hints — AQE
+sizes everything else at runtime), an extra shuffle in the LSH paths, or a
+scan that stops pushing filters / pruning columns.
+
+All checks run on the INITIAL plan (AdaptiveSparkPlan isFinalPlan=false):
+that is the plan our code forces; whatever AQE later improves at runtime is
+allowed, but nothing bad may be forced up front.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from spark_etl_framework_spark.queries import QUERIES
+
+#: key columns of SF-proportional tables — these must never sit under a
+#: forced broadcast hint (nation/region columns are fine: 25/5 rows forever)
+_SF_TABLE_COLS = re.compile(
+    r"\b(c_custkey|s_suppkey|o_orderkey|l_orderkey|p_partkey|ps_partkey)\b"
+)
+
+RELATIONAL = sorted(n for n in QUERIES if re.match(r"q\d+_", n))
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _hint_subtrees(df):
+    """Yield the plan-string of every ResolvedHint subtree in the analyzed
+    logical plan (the hints OUR code forced — AQE's runtime choices never
+    appear here)."""
+    out = []
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint":
+            out.append(node.toString())
+            return  # nested hints inside a hinted subtree are covered
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_no_cartesian_product(spark, sf_dir, name):
+    plan = _initial_plan(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} forces a cartesian product"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_nation_volume",
+        "q9_product_profit",
+        "q18_large_orders",
+    ],
+)
+def test_no_forced_broadcast_of_sf_proportional_tables(spark, sf_dir, name):
+    """Round-1 regression: these queries once force-broadcast customer/
+    supplier; at 100 TB that OOMs. Any remaining hint may wrap only
+    schema-bounded relations (nation/region)."""
+    for subtree in _hint_subtrees(QUERIES[name](spark, sf_dir)):
+        m = _SF_TABLE_COLS.search(subtree)
+        assert m is None, (
+            f"{name} forces a broadcast over an SF-proportional table "
+            f"(saw {m.group(0)} under a ResolvedHint)"
+        )
+
+
+def test_lsh_pairs_exchange_budget(spark, sf_dir):
+    """dedup_lsh_pairs promises: band keys are pure projection over the
+    signature aggregate, so the whole plan needs exactly 3 exchanges
+    (signature groupBy on doc_id, bucket groupBy on band key, final pair
+    distinct) — a 4th means banding started shuffling on its own."""
+    plan = _initial_plan(QUERIES["dedup_lsh_pairs"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 3, f"extra shuffle crept in:\n" + "\n".join(exchanges)
+
+
+def test_simhash_pairs_exchange_budget(spark, sf_dir):
+    plan = _initial_plan(QUERIES["dedup_simhash_pairs"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 5, f"extra shuffle crept in:\n" + "\n".join(exchanges)
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_exact", "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash_pairs"]
+)
+def test_dedup_never_shuffles_document_bodies(spark, sf_dir, name):
+    """The 100 TB contract of every dedup operator: shuffles carry digests,
+    tokens, band keys — never the raw text column."""
+    plan = _initial_plan(QUERIES[name](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\btext#\d+", line), (
+                f"{name} shuffles the raw document body:\n{line.strip()}"
+            )
+
+
+def test_q6_scan_pushdown_and_pruning(spark, sf_dir):
+    """Filters must reach the parquet scan and the scan must read only the
+    four columns the query touches — a scan reading all of lineitem for a
+    4-column aggregate is wrong at any scale."""
+    plan = _initial_plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, "no parquet scan in q6 plan?"
+    scan = scans[0]
+    assert "PushedFilters: [" in scan and "l_shipdate" in scan.split("PushedFilters:")[1], (
+        f"shipdate filter not pushed to scan:\n{scan}"
+    )
+    read_schema = scan.split("ReadSchema:")[1]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert col not in read_schema, f"q6 scan reads unneeded column {col}"
+
+
+def test_vector_topk_no_global_sort(spark, sf_dir):
+    """Per-probe cosine top-k must group-limit BEFORE the shuffle
+    (WindowGroupLimit Partial → exchange on probe_id → Final), never
+    range-partition/global-sort the scored corpus."""
+    plan = _initial_plan(QUERIES["vector_cosine_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, "per-partition group limit missing"
+    assert "Exchange rangepartitioning" not in plan, "global sort of scores"
