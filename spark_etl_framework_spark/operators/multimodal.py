@@ -3,11 +3,13 @@
 Media content rides as opaque ``binary`` columns with typed metadata — the
 lakehouse-native layout for multimodal training data. The Spark-side plumbing
 (schemas, Arrow batch shapes, mapInPandas signatures, partition sizing) is
-real and tested; the actual codec step is STUBBED because no image/audio
-libraries ship in this container — ``decode_images(..., fake=True)`` produces
-a deterministic fake so the pipeline shape can be exercised end-to-end, and
-``fake=False`` raises ``NotImplementedError`` where a real decoder (PIL,
-ffmpeg, soundfile) would plug in.
+real and tested. The codec step is REAL for formats decodable with
+numpy/stdlib alone — netpbm P5/P6 images (the interchange format PIL and
+ffmpeg emit) and RIFF/WAV PCM audio (stdlib ``wave``) — and still gated for
+compressed formats (JPEG/PNG/MP3 need PIL/ffmpeg, absent in this
+container): those raise ``NotImplementedError`` with the library to plug
+in. ``fake=True`` keeps the deterministic hash-seeded codec for exercising
+plumbing on arbitrary bytes.
 
 Scale notes: decode is a narrow ``mapInPandas`` (no shuffle); batch size is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor
@@ -46,6 +48,51 @@ def binary_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> Data
     )
 
 
+def _decode_netpbm(raw: bytes) -> tuple[str, int, int, int, bytes]:
+    """Parse a binary netpbm image (P5 grayscale / P6 RGB, maxval ≤ 255):
+    returns (format, width, height, channels, pixel bytes). Pure
+    bytes-parsing — the header is ASCII tokens (magic, width, height,
+    maxval; ``#`` comments allowed) followed by exactly one whitespace byte,
+    then the raster."""
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: magic {raw[:2]!r}")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(raw) and raw[i : i + 1].isspace():
+            i += 1
+        if i < len(raw) and raw[i : i + 1] == b"#":  # comment to end of line
+            while i < len(raw) and raw[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j : j + 1].isspace():
+            j += 1
+        toks.append(int(raw[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    width, height, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 3 if raw[:2] == b"P6" else 1
+    n = width * height * channels
+    pixels = raw[i : i + n]
+    if len(pixels) != n:
+        raise ValueError(f"truncated raster: want {n} bytes, have {len(pixels)}")
+    fmt = "ppm/rgb8" if channels == 3 else "pgm/gray8"
+    return fmt, width, height, channels, pixels
+
+
+def _resize_nearest(pixels: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize with numpy indexing — no image library."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, c)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs].tobytes()
+
+
 def decode_images(
     df: DataFrame,
     bin_col: str = "payload",
@@ -56,20 +103,46 @@ def decode_images(
     """Decode image bytes → (width, height, channels, format, pixels).
 
     Arrow-batched ``mapInPandas``: each task pulls record batches, decodes
-    rows in bulk, yields typed batches. With ``fake=True`` the "decode" is a
-    deterministic function of the content hash (stable across runs/executors)
-    so tests can exercise schema, batching and downstream ops.
+    rows in bulk, yields typed batches. ``fake=False`` REALLY decodes binary
+    netpbm (P5/P6) payloads — numpy-only, no image library — with optional
+    nearest-neighbor ``resize``; compressed formats (JPEG/PNG magic) raise
+    ``NotImplementedError`` naming the library to plug in (PIL). With
+    ``fake=True`` the "decode" is a deterministic function of the content
+    hash (stable across runs/executors) so tests can exercise schema,
+    batching and downstream ops on arbitrary bytes.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                # Real implementation: PIL.Image.open(io.BytesIO(b)) per row,
-                # optional resize, np.asarray → bytes. Libraries absent here.
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "pass fake=True to exercise the pipeline plumbing"
+                rows = []
+                for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                    raw = bytes(b)
+                    if raw[:2] in (b"P5", b"P6"):
+                        fmt, w, ht, c, px = _decode_netpbm(raw)
+                    else:
+                        raise NotImplementedError(
+                            f"no codec for magic {raw[:8]!r}: compressed image "
+                            "formats need PIL (absent here); netpbm P5/P6 decode "
+                            "natively"
+                        )
+                    if resize is not None:
+                        px = _resize_nearest(px, w, ht, c, resize[0], resize[1])
+                        w, ht = resize
+                    rows.append(
+                        {
+                            "id": int(rid),
+                            "width": int(w),
+                            "height": int(ht),
+                            "channels": int(c),
+                            "format": fmt,
+                            "pixels": px,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["id", "width", "height", "channels", "format", "pixels"]
                 )
+                continue
             rows = []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 h = hashlib.md5(bytes(b)).digest()
@@ -100,26 +173,47 @@ def sample_audio_frames(
     fake: bool = False,
 ) -> DataFrame:
     """Sample ``n_frames`` evenly spaced fixed-size frames from each audio
-    payload — one output row per frame (1→N mapInPandas)."""
+    payload — one output row per frame (1→N mapInPandas).
+
+    ``fake=False`` REALLY decodes RIFF/WAV PCM payloads with the stdlib
+    ``wave`` module (sample rate from the header, frames sliced from the
+    decoded PCM stream); compressed audio (MP3/OGG/FLAC) raises
+    ``NotImplementedError`` naming the decoder to plug in. ``fake=True``
+    slices raw bytes directly for plumbing tests."""
+
+    def _slices(raw: bytes):
+        step = max(1, (len(raw) - frame_bytes) // max(1, n_frames - 1))
+        for i in range(n_frames):
+            off = min(i * step, max(0, len(raw) - frame_bytes))
+            yield i, raw[off : off + frame_bytes]
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio codec not available; pass fake=True for plumbing tests"
-                )
             rows = []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(b)
-                step = max(1, (len(raw) - frame_bytes) // max(1, n_frames - 1))
-                for i in range(n_frames):
-                    off = min(i * step, max(0, len(raw) - frame_bytes))
+                if fake:
+                    rate, pcm = 16000, raw
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    import io
+                    import wave
+
+                    with wave.open(io.BytesIO(raw)) as wf:
+                        rate = wf.getframerate()
+                        pcm = wf.readframes(wf.getnframes())
+                else:
+                    raise NotImplementedError(
+                        f"no codec for audio magic {raw[:4]!r}: compressed audio "
+                        "needs ffmpeg/soundfile (absent here); RIFF/WAV PCM "
+                        "decodes natively"
+                    )
+                for i, frame in _slices(pcm):
                     rows.append(
                         {
                             "id": int(rid),
                             "frame_idx": i,
-                            "sample_rate": 16000,
-                            "frame": raw[off : off + frame_bytes],
+                            "sample_rate": int(rate),
+                            "frame": frame,
                         }
                     )
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "sample_rate", "frame"])

@@ -146,14 +146,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_frequency",
     "text_pack_bins",
     "text_token_stats",  # anchor
-    "text_quality_score",  # anchor
     # corpus curation
     "corpus_mixture_weights",
     "corpus_decontaminate",  # anchor
     "text_tfidf_topk",  # anchor
     # time series
     "ts_tumbling_window",  # anchor
-    "ts_asof_join",  # anchor
     # window functions
     "window_topk_per_group",  # anchor
     # structured streaming: session/sliding/stream-batch legs in
@@ -172,7 +170,9 @@ _PRIORITY: tuple[str, ...] = (
     "jdbc_read_roundtrip",
     "kafka_decode_roundtrip",
     "flatfile_positional_roundtrip",  # anchor
-    # multimodal
+    # multimodal: REAL netpbm/WAV codecs (new this round) + metadata anchor
+    "multimodal_decode_netpbm",
+    "multimodal_audio_wav_frames",
     "multimodal_binary_meta",  # anchor
     # events analytics: anomaly/outlier legs in
     "events_outlier_iqr",

@@ -223,3 +223,105 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format",
         F.octet_length("pixels").cast("int").alias("n_pixel_bytes"),
     )
+
+
+@register(
+    "multimodal_decode_netpbm",
+    # real codec, hash-checkable: each document becomes a REAL binary PPM
+    # (P6, 4x2, maxval 255) whose raster is the first 24 bytes of an
+    # md5-derived byte stream; decode_images(fake=False) parses the actual
+    # header + raster, so width/height/channels/format/pixels all come from
+    # the codec, and DuckDB reproduces the raster hex arithmetically.
+    oracle="""
+    SELECT doc_id                                            AS id,
+           CAST(4 AS INT)                                    AS width,
+           CAST(2 AS INT)                                    AS height,
+           CAST(3 AS INT)                                    AS channels,
+           'ppm/rgb8'                                        AS format,
+           UPPER(md5(text) || SUBSTR(md5(text || 'x'), 1, 16)) AS pixels_hex
+    FROM documents
+    """,
+)
+def multimodal_decode_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate — no image library: build a
+    genuine binary netpbm P6 payload per document (ASCII header + 4x2 RGB
+    raster derived from md5 so DuckDB can reproduce it), decode it with
+    ``decode_images(fake=False)`` (numpy-only netpbm parser,
+    operators/multimodal.py), and hash-check every decoded field including
+    the raster bytes. Closes the decode gap for the formats PIL/ffmpeg
+    emit as interchange (netpbm); compressed formats stay honestly gated.
+    Arrow-batched mapInPandas, narrow — no shuffle at any scale.
+    """
+    from ..operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    raster_hex = F.concat(
+        F.md5(txt), F.substring(F.md5(F.concat(txt, F.lit(b"x"))), 1, 16)
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(b"P6\n4 2\n255\n"), F.unhex(raster_hex)).alias("payload"),
+    )
+    out = decode_images(wire, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+#: constant 44-byte RIFF/WAV header: PCM, mono, 16-bit, 8000 Hz, 128 data
+#: bytes (struct.pack'd once; both engines treat it as a literal)
+_WAV_HEADER_HEX = (
+    "52494646A400000057415645666D742010000000010001"
+    "00401F0000803E0000020010006461746180000000"
+)
+
+
+@register(
+    "multimodal_audio_wav_frames",
+    # 128 PCM bytes = 8 md5 digests; 4 evenly spaced 32-byte frames start at
+    # 0/32/64/96, i.e. hex offsets 1+64*i. sample_rate comes from the REAL
+    # wave-module parse of the RIFF header, not a constant in the operator.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             UPPER(md5(text||'0')||md5(text||'1')||md5(text||'2')||md5(text||'3')
+                 ||md5(text||'4')||md5(text||'5')||md5(text||'6')||md5(text||'7'))
+               AS pcm_hex
+      FROM documents
+    )
+    SELECT doc_id                        AS id,
+           CAST(f.i AS INT)              AS frame_idx,
+           CAST(8000 AS INT)             AS sample_rate,
+           SUBSTR(pcm_hex, 1 + 64*f.i, 64) AS frame_hex
+    FROM p CROSS JOIN (VALUES (0),(1),(2),(3)) AS f(i)
+    """,
+)
+def multimodal_audio_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate — stdlib only: wrap an
+    md5-derived 128-byte PCM stream in a genuine RIFF/WAV header (constant
+    for fixed geometry), decode with ``sample_audio_frames(fake=False)``
+    (stdlib ``wave`` parses rate + frames), sample 4 evenly spaced 32-byte
+    frames, and hash-check frame bytes AND the header-derived sample rate
+    against DuckDB's arithmetic reconstruction. 1-to-N mapInPandas, narrow.
+    """
+    from ..operators.multimodal import sample_audio_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    pcm_hex = F.concat(
+        *[F.md5(F.concat(txt, F.lit(str(i).encode()))) for i in range(8)]
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.unhex(F.lit(_WAV_HEADER_HEX)), F.unhex(pcm_hex)).alias("payload"),
+    )
+    out = sample_audio_frames(wire, n_frames=4, frame_bytes=32, fake=False)
+    return out.select(
+        "id", "frame_idx", "sample_rate", F.hex("frame").alias("frame_hex")
+    )

@@ -130,12 +130,66 @@ def test_multimodal_decode_stub_plumbing(spark):
     assert all(len(r["frame"]) == 4 for r in frames)
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark):
+def test_multimodal_decode_compressed_formats_still_gated(spark):
+    """JPEG/PNG (and any non-netpbm magic) still raise: compressed codecs
+    need PIL, absent here — only the library-free formats decode for real."""
     import pytest
 
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
-    with pytest.raises(Exception, match="codec not available"):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="no codec for magic"):
         decode_images(df, fake=False).collect()
+    adf = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04mp3-ish"))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="no codec for audio magic"):
+        sample_audio_frames(adf, fake=False).collect()
+
+
+def test_multimodal_netpbm_real_decode_and_resize(spark):
+    """Real P6/P5 parsing: dims from the ASCII header (comments included),
+    raster bytes verbatim; nearest-neighbor resize doubles each pixel of a
+    2x1 image into a 4x2 block pattern."""
+    px = bytes(range(6))  # 2x1 RGB: pixel A=(0,1,2), B=(3,4,5)
+    p6 = b"P6\n# a comment\n2 1\n255\n" + px
+    pgm = b"P5\n3 2\n255\n" + bytes(range(6))
+    df = spark.createDataFrame(
+        [(1, bytearray(p6)), (2, bytearray(pgm))], "id long, payload binary"
+    )
+    out = {r["id"]: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (2, 1, 3)
+    assert out[1]["format"] == "ppm/rgb8" and bytes(out[1]["pixels"]) == px
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (3, 2, 1)
+    assert out[2]["format"] == "pgm/gray8"
+    rdf = spark.createDataFrame([(1, bytearray(p6))], "id long, payload binary")
+    r = decode_images(rdf, fake=False, resize=(4, 2)).collect()[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    a, b = px[:3], px[3:]
+    assert bytes(r["pixels"]) == (a + a + b + b) * 2  # each pixel -> 2x2 block
+
+
+def test_multimodal_wav_real_decode(spark):
+    """Real RIFF/WAV parse via stdlib wave: sample rate read from the
+    header, frames sliced from the decoded PCM stream."""
+    import io
+    import struct
+    import wave
+
+    pcm = bytes(range(64)) * 2  # 128 bytes = 64 16-bit mono samples
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(22050)
+        wf.writeframes(pcm)
+    df = spark.createDataFrame([(7, bytearray(buf.getvalue()))], "id long, payload binary")
+    rows = sorted(
+        sample_audio_frames(df, n_frames=4, frame_bytes=32, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["sample_rate"] for r in rows] == [22050] * 4
+    assert [bytes(r["frame"]) for r in rows] == [pcm[o : o + 32] for o in (0, 32, 64, 96)]
 
 
 def test_simhash_hamming_pairs_banding_recall(spark):
