@@ -241,3 +241,69 @@ def mixture_weights(
             ).alias("sample_weight"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source contamination matrix: for each unordered source pair,
+    how many distinct word ``n``-gram shingles appear in BOTH — the
+    provenance report a curation pipeline runs before mixing crawls (how
+    much of source B's content already lives in source A decides dedup
+    priority and mixture accounting). Shingle-level, not digest-level, so
+    near-duplicate mass counts, not just byte-identical documents.
+
+    Scale shape: the corpus collapses to distinct (source, shingle) pairs
+    FIRST (map-side partial-aggregated distinct; the shuffle carries
+    shingles, never documents), then a self-equi-join on shingle. Join
+    fan-out per shingle is bounded by the number of sources carrying it
+    (≤ |sources|), so the worst case is |distinct shingles| x |sources|²
+    tiny rows — bucketable on the shingle at any corpus size; output is
+    |sources|²-bounded (tiny).
+    """
+    from .dedup import word_shingles
+
+    h = word_shingles(df, id_col=group_col, text_col=text_col, n=n).select(
+        F.col(group_col).alias("src"), "shingle"
+    )
+    return (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    test_pct: float = 0.01,
+    val_pct: float = 0.01,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 4 hex digits of
+    ``md5(salt || ':' || id)`` partition the id space into contiguous
+    hash ranges (test lowest, then val, then train). Same engine-agnostic
+    keyed-hash trick as ``stratified_sample`` — reproducible across runs,
+    engines and resumes (a doc never migrates between splits when the
+    corpus grows), auditable, and map-side only: no shuffle, no rand(),
+    no driver coordination.
+    """
+    t_test = f"{min(int(test_pct * 65536), 65535):04x}"
+    t_val = f"{min(int((test_pct + val_pct) * 65536), 65535):04x}"
+    key16 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
+    )
+    return df.select(
+        id_col,
+        F.when(key16 < t_test, "test")
+        .when(key16 < t_val, "val")
+        .otherwise("train")
+        .alias("split"),
+    )

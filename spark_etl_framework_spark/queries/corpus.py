@@ -173,3 +173,60 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
     )
     return C.mixture_weights(sized, "lang", "n_tokens", targets={"en": 0.4})
+
+
+@register(
+    "corpus_source_overlap",
+    # word-5-gram shingles, 1-indexed DuckDB arrays: i = 1 .. len-4
+    oracle="""
+    WITH t AS (
+      SELECT source, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT source AS src,
+             unnest(list_transform(range(1, len(a) - 3),
+                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                              || a[i+3] || ' ' || a[i+4])) AS shingle
+      FROM t WHERE len(a) >= 5
+    )
+    SELECT a.src AS source_a,
+           b.src AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM h a JOIN h b ON a.shingle = b.shingle AND a.src < b.src
+    GROUP BY 1, 2
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix
+    (operators/corpus.py:source_overlap): distinct (source, word-5-gram)
+    pairs self-joined on shingle, counted per unordered source pair. The
+    pre-mixing provenance report of a curation pipeline."""
+    from ..operators.corpus import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "corpus_split_assign",
+    # same keyed-hash range logic, reconstructed in SQL: first 4 md5 hex
+    # chars compare as the 16-bit integer they encode
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, SUBSTR(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k4
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN k4 < '028f' THEN 'test'
+                WHEN k4 < '051e' THEN 'val'
+                ELSE 'train' END AS split
+    FROM k
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment
+    (operators/corpus.py:split_assign), 1%/1% holdouts: contiguous keyed-
+    hash ranges so membership is stable as the corpus grows. Map-side
+    only — at 100 TB this is a free column, not a job."""
+    from ..operators.corpus import split_assign
+
+    return split_assign(load_table(spark, sf_dir, "documents"), test_pct=0.01, val_pct=0.01)

@@ -81,3 +81,41 @@ def test_mixture_weights_hit_targets(spark):
         r["sample_weight"] * r["observed_share"] for r in out.values()
     )
     assert abs(total_expected - 1.0) < 1e-3
+
+
+def test_source_overlap_counts_shared_shingles(spark):
+    """Two sources sharing one 3-gram region count its distinct shingles
+    once each (set semantics, not occurrence counts); disjoint sources
+    produce no row."""
+    df = spark.createDataFrame(
+        [
+            (1, "srcA", "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "srcB", "a b c d"),          # same two
+            (3, "srcB", "a b c x"),          # adds "a b c" (dup within B), "b c x"
+            (4, "srcC", "p q r s"),          # disjoint
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in C.source_overlap(df, n=3).collect()
+    }
+    assert got == {("srcA", "srcB"): 2}  # "a b c" and "b c d"; C shares nothing
+
+
+def test_split_assign_deterministic_partition(spark):
+    """Every doc gets exactly one split, assignment is stable across calls,
+    and growing the corpus never migrates an existing doc's split."""
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    s1 = {r["doc_id"]: r["split"] for r in C.split_assign(df, test_pct=0.05, val_pct=0.05).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in C.split_assign(df, test_pct=0.05, val_pct=0.05).collect()}
+    assert s1 == s2
+    from collections import Counter
+
+    c = Counter(s1.values())
+    # 5%/5% nominal on 2000 docs — generous bounds, zero flake risk
+    assert 50 <= c["test"] <= 160 and 50 <= c["val"] <= 160
+    assert c["train"] == 2000 - c["test"] - c["val"]
+    half = {r["doc_id"]: r["split"] for r in C.split_assign(
+        df.filter(F.col("doc_id") < 1000), test_pct=0.05, val_pct=0.05).collect()}
+    assert all(s1[d] == s for d, s in half.items())  # no migration on growth
