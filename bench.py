@@ -49,6 +49,10 @@ HEADLINE = [
     "corpus_decontaminate",
     "text_tfidf_topk",
     "vector_srp_buckets",
+    # round 3 additions — provenance matrix, ANN quality eval, real codec
+    "corpus_source_overlap",
+    "vector_ann_recall",
+    "multimodal_decode_netpbm",
 ]
 
 

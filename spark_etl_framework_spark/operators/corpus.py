@@ -256,27 +256,37 @@ def source_overlap(
     priority and mixture accounting). Shingle-level, not digest-level, so
     near-duplicate mass counts, not just byte-identical documents.
 
-    Scale shape: the corpus collapses to distinct (source, shingle) pairs
-    FIRST (map-side partial-aggregated distinct; the shuffle carries
-    shingles, never documents), then a self-equi-join on shingle. Join
-    fan-out per shingle is bounded by the number of sources carrying it
-    (≤ |sources|), so the worst case is |distinct shingles| x |sources|²
-    tiny rows — bucketable on the shingle at any corpus size; output is
-    |sources|²-bounded (tiny).
+    Scale shape: ONE shuffle. The corpus collapses to distinct
+    (source, shingle) pairs map-side (word_shingles' partial-aggregated
+    distinct — the shuffle carries shingles, never documents), a single
+    groupBy(shingle) gathers each shingle's sorted source set, and the
+    |set|²/2 pair expansion happens map-side with array transforms before
+    a tiny final aggregation on |sources|²-bounded keys. A self-equi-join
+    would shuffle the same relation twice for identical fan-out (measured
+    ~2× slower at sf0.1); per-shingle cost is bounded by |sources|², the
+    same quadratic guard argument as the LSH bucket join.
     """
     from .dedup import word_shingles
 
     h = word_shingles(df, id_col=group_col, text_col=text_col, n=n).select(
         F.col(group_col).alias("src"), "shingle"
     )
-    return (
-        h.alias("a")
-        .join(
-            h.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.src") < F.col("b.src")),
-        )
-        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    shared = (
+        h.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("src")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = shared.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b")).agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
 
 

@@ -274,3 +274,77 @@ def vector_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+@register(
+    "vector_ann_recall",
+    # exact brute-force top-10 (ground truth) LEFT JOIN the IVF nprobe=2
+    # answer: recall@10 per probe — the approximation-quality report every
+    # ANN deployment tracks. Both sub-pipelines are the same CTE logic the
+    # vector_cosine_topk / vector_ann_ivf oracles already hash-verify.
+    oracle=f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    ex_scored AS (
+        SELECT probe_id, vec_id, {_COS.format(a="pv", b="cv")} AS cosine
+        FROM p, c WHERE vec_id <> probe_id
+    ),
+    exact_r AS (SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM ex_scored) WHERE rn <= 10),
+    expl AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> {{'dim': i - 1, 'x': embedding[i]::DOUBLE}})) AS u
+        FROM embeddings
+    ),
+    cdim AS (SELECT label, u.dim AS dim, round(avg(u.x), 6) AS c
+             FROM expl GROUP BY label, u.dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cdim GROUP BY label),
+    pc AS (SELECT probe_id, pv, cent.label,
+                  {_COS.format(a="pv", b="cvec")} AS cos_c
+           FROM p, cent),
+    top_cells AS (SELECT probe_id, pv, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_c DESC, label) AS rn FROM pc)
+        WHERE rn <= 2),
+    cand AS (SELECT t.probe_id, t.pv, e.vec_id, e.embedding::DOUBLE[] AS cv
+             FROM embeddings e JOIN top_cells t ON e.label = t.label
+             WHERE e.vec_id <> t.probe_id),
+    iv_scored AS (SELECT probe_id, vec_id, {_COS.format(a="pv", b="cv")} AS cosine
+                  FROM cand),
+    ivf_r AS (SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM iv_scored) WHERE rn <= 10)
+    SELECT e.probe_id,
+           CAST(count(i.vec_id) AS BIGINT)    AS n_hits,
+           round(count(i.vec_id) / 10.0, 6)   AS recall_at_10
+    FROM exact_r e LEFT JOIN ivf_r i
+      ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+    GROUP BY e.probe_id
+    """,
+)
+def vector_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the IVF (nprobe=2) index
+    against brute-force ground truth, per probe. The eval loop every ANN
+    deployment runs before trusting an approximate index; at scale both
+    sides are top-k-bounded (probes x k rows), so the recall join costs
+    nothing next to the searches themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = V.cosine_topk(emb, probes, "vec_id", "embedding", k=10).select(
+        "probe_id", "vec_id"
+    )
+    approx = V.ivf_topk(emb, probes, "vec_id", "embedding", "label", k=10, nprobe=2)
+    hits = approx.select("probe_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(hits, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
+        )
+    )
