@@ -59,6 +59,69 @@ class ArbitraryStatefulProcessor:
         )
 
 
+class ArbitraryStatefulProcessorV2:
+    """Same plug-in contract on Spark 4's ``transformWithStateInPandas`` —
+    the successor API to ``applyInPandasWithState`` (RocksDB-backed state,
+    composable typed state variables, timers). Subclasses declare keys +
+    schemas and implement ``handle_input``; ``transform_state`` wires a
+    ``StatefulProcessor`` adapter into the new API.
+
+    Availability-gated in this environment: the API's Python worker needs
+    the ``protobuf`` package (``google.protobuf.descriptor``), which is
+    not installed here (verified: StreamingPythonRunner crashes with
+    ImportError) — ``transform_state`` raises a clear unavailable-error
+    up front instead. On an environment with protobuf, it runs as-is with
+    ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDBStateStoreProvider.
+    """
+
+    group_keys: tuple[str, ...] = ()
+    output_schema: str = ""
+    state_schema: str = ""
+    #: Update | Append
+    output_mode: str = "Update"
+    #: None | ProcessingTime | EventTime
+    time_mode: str = "None"
+
+    def handle_input(
+        self, key: tuple, batches: Iterator[pd.DataFrame], value_state: Any
+    ) -> Iterator[pd.DataFrame]:
+        """Called per key per trigger; ``value_state`` is the handle's
+        ValueState for ``state_schema`` (exists()/get()/update())."""
+        raise NotImplementedError
+
+    def transform_state(self, df: DataFrame) -> DataFrame:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "transformWithStateInPandas unavailable: the 'protobuf' python "
+                "package is required by Spark's streaming python runner and is "
+                "not installed here. Use the applyInPandasWithState contract "
+                "(ArbitraryStatefulProcessor) or install protobuf."
+            ) from e
+        from pyspark.sql.streaming import StatefulProcessor
+
+        outer = self
+
+        class _Adapter(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._vs = handle.getValueState("state", outer.state_schema)
+
+            def handleInputRows(self, key, rows, timer_values):
+                return outer.handle_input(key, rows, self._vs)
+
+            def close(self) -> None:
+                pass
+
+        return df.groupBy(*self.group_keys).transformWithStateInPandas(
+            statefulProcessor=_Adapter(),
+            outputStructType=self.output_schema,
+            outputMode=self.output_mode,
+            timeMode=self.time_mode,
+        )
+
+
 class StreamStatefulTransformer(Actor):
     """Load a processor class (``processor.type``) and apply it to the input
     view (reference: etl/transform/StreamStatefulTransformer.scala:28-49).
@@ -71,8 +134,9 @@ class StreamStatefulTransformer(Actor):
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.processor_type or not self.view:
             raise ValueError("StreamStatefulTransformer: processor.type and view required")
-        processor: ArbitraryStatefulProcessor = load_class(self.processor_type)()
-        if self.processor_timeoutType:
+        processor = load_class(self.processor_type)()
+        if self.processor_timeoutType and isinstance(processor, ArbitraryStatefulProcessor):
             processor.timeout_conf = self.processor_timeoutType
         df = spark.table(self.view)
+        # both processor generations expose the same transform_state hook
         return processor.transform_state(df)

@@ -167,3 +167,55 @@ def test_jdbc_stream_writer_foreachbatch_sqlite(spark, jctx, tmp_path):
     ).fetchall()
     assert [(r[0], r[1]) for r in rows] == [(1, 0.9), (2, 0.5), (3, 0.7)]
     assert all(r[2] == 0 for r in rows)  # first micro-batch id
+
+
+def test_stateful_v2_contract_gated_or_runs(spark, jctx, tmp_path):
+    """Spark 4's transformWithStateInPandas contract: if the environment
+    has protobuf (the API's python-runner dependency), the v2 processor
+    must produce the same per-gender min/max as the v1 test; without it,
+    transform_state must raise the clear unavailable-error BEFORE any
+    stream starts (not crash mid-query)."""
+    from spark_etl_framework_spark.streaming.stateful import ArbitraryStatefulProcessorV2
+
+    class MinMaxV2(ArbitraryStatefulProcessorV2):
+        group_keys = ("gender",)
+        output_schema = "gender string, minage int, maxage int, n bigint"
+        state_schema = "minage int, maxage int, n bigint"
+
+        def handle_input(self, key, batches, value_state):
+            import pandas as pd
+
+            lo, hi, n = (value_state.get() if value_state.exists() else (None, None, 0))
+            for pdf in batches:
+                m1, m2 = int(pdf["age"].min()), int(pdf["age"].max())
+                lo = m1 if lo is None else min(lo, m1)
+                hi = m2 if hi is None else max(hi, m2)
+                n += len(pdf)
+            value_state.update((lo, hi, n))
+            yield pd.DataFrame([{"gender": key[0], "minage": lo, "maxage": hi, "n": n}])
+
+    uri = _write_csv(tmp_path, "v2src", "m,20\nf,25\nm,40\nm,30\nf,35\n")
+    sdf = spark.readStream.schema("gender string, age int").csv(uri)
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        available = True
+    except ImportError:
+        available = False
+
+    if not available:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="transformWithStateInPandas unavailable"):
+            MinMaxV2().transform_state(sdf)
+        return
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = MinMaxV2().transform_state(sdf)
+    jctx.register_view("v2_view", out)
+    MemoryStreamWriter(view="v2_view", queryName="v2_out", outputMode="update").run(jctx, spark)
+    rows = {r["gender"]: r for r in spark.sql("select * from v2_out").collect()}
+    assert rows["m"]["minage"] == 20 and rows["m"]["maxage"] == 40 and rows["m"]["n"] == 3
+    assert rows["f"]["minage"] == 25 and rows["f"]["maxage"] == 35 and rows["f"]["n"] == 2
