@@ -300,20 +300,21 @@ def split_assign(
     """Deterministic train/val/test assignment: the first 4 hex digits of
     ``md5(salt || ':' || id)`` partition the id space into contiguous
     hash ranges (test lowest, then val, then train). Same engine-agnostic
-    keyed-hash trick as ``stratified_sample`` — reproducible across runs,
-    engines and resumes (a doc never migrates between splits when the
-    corpus grows), auditable, and map-side only: no shuffle, no rand(),
-    no driver coordination.
+    keyed-hash machinery as ``stratified_sample`` (shared helpers in
+    operators/text.py) -- reproducible across runs, engines and resumes (a
+    doc never migrates between splits when the corpus grows), auditable,
+    and map-side only: no shuffle, no rand(), no driver coordination.
+    Boundary rates >= 1.0 short-circuit (a clamped 'ffff' threshold with
+    an exclusive compare would misassign 'ffff'-prefixed ids).
     """
-    t_test = f"{min(int(test_pct * 65536), 65535):04x}"
-    t_val = f"{min(int((test_pct + val_pct) * 65536), 65535):04x}"
-    key16 = F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
+    from .text import hash_key16, hash_threshold_hex
+
+    key16 = hash_key16(id_col, salt)
+    is_test = F.lit(test_pct >= 1.0) | (key16 < hash_threshold_hex(test_pct))
+    is_val = F.lit(test_pct + val_pct >= 1.0) | (
+        key16 < hash_threshold_hex(test_pct + val_pct)
     )
     return df.select(
         id_col,
-        F.when(key16 < t_test, "test")
-        .when(key16 < t_val, "val")
-        .otherwise("train")
-        .alias("split"),
+        F.when(is_test, "test").when(is_val, "val").otherwise("train").alias("split"),
     )

@@ -358,7 +358,10 @@ def connected_components(
         edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint()
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 rounds: convergence is only OBSERVABLE as a round with
+    # zero changes, so a graph whose diameter is exactly max_iter needs one
+    # extra (no-op) round to prove it converged rather than raise falsely
+    for _ in range(max_iter + 1):
         nbr_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")

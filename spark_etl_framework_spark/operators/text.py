@@ -144,6 +144,25 @@ def chunk_token_windows(
     )
 
 
+def hash_key16(id_col: str, salt: str):
+    """First 4 hex digits of ``md5(salt || ':' || id)`` — the shared
+    keyed-hash used for deterministic sampling and split assignment
+    (fixed-width lowercase hex compares like the 16-bit integer it
+    encodes, in any engine)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
+    )
+
+
+def hash_threshold_hex(rate: float) -> str:
+    """4-hex-char threshold for a [0, 1] rate, clamped so rate ≥ 1.0 maps
+    to 'ffff' (an unclamped ``int(1.0*65536)`` formats as the 5-char
+    '10000', which compares LESS than any 4-char key). Callers must pair
+    a clamped threshold with an explicit keep-all test for rates ≥ 1.0 —
+    'ffff'-prefixed keys sit ON the clamped boundary."""
+    return f"{min(max(int(rate * 65536), 0), 65535):04x}"
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -162,22 +181,15 @@ def stratified_sample(
     over-represented strata (e.g. English) while keeping selection
     auditable.
 
-    A rate ≥ 1.0 means keep-all: the threshold is clamped to the 4-hex-char
-    ceiling and compared with ``<=`` so 'ffff' keys survive (an unclamped
-    ``int(1.0*65536)`` would format as the 5-char '10000', which compares
-    LESS than any 4-char key and would keep ~0 rows).
+    A rate ≥ 1.0 means keep-all via an explicit flag (see
+    ``hash_threshold_hex`` for why the clamped threshold alone is not
+    enough).
     """
-
-    def _thresh(rate: float) -> str:
-        return f"{min(max(int(rate * 65536), 0), 65535):04x}"
-
-    key16 = F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
-    )
-    thresh = F.lit(_thresh(default_rate))
+    key16 = hash_key16(id_col, salt)
+    thresh = F.lit(hash_threshold_hex(default_rate))
     keep_all = F.lit(default_rate >= 1.0)
     for value, rate in rates.items():
         is_stratum = F.col(strata_col) == value
-        thresh = F.when(is_stratum, _thresh(rate)).otherwise(thresh)
+        thresh = F.when(is_stratum, hash_threshold_hex(rate)).otherwise(thresh)
         keep_all = F.when(is_stratum, F.lit(rate >= 1.0)).otherwise(keep_all)
     return df.filter(keep_all | (key16 < thresh))

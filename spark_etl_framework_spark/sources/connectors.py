@@ -55,10 +55,14 @@ def decode_kafka(
     if key_schema:
         # a struct DDL ("doc_id bigint" / "a int, b string") decodes via
         # from_json + flatten; a bare type name ("string", "long") means
-        # cast-the-raw-key. Try the struct parse — a bare type isn't one.
+        # cast-the-raw-key. fromDDL parses BOTH (it returns a plain
+        # DataType for a bare type rather than raising), so the dispatch
+        # must be an isinstance check, not try/except.
         try:
             kt = T.StructType.fromDDL(key_schema)
         except Exception:  # noqa: BLE001
+            kt = None
+        if not isinstance(kt, T.StructType):
             kt = None
         if kt is not None:
             out = out.withColumn("__key", F.from_json(F.col("key").cast("string"), kt))

@@ -97,9 +97,25 @@ class JdbcReader(Actor):
         if self.ddlSchemaString:
             from pyspark.sql.types import StructType
 
-            return spark.createDataFrame(
-                [tuple(r) for r in rows], StructType.fromDDL(self.ddlSchemaString)
-            )
+            schema = StructType.fromDDL(self.ddlSchemaString)
+            # createDataFrame binds rows to the schema POSITIONALLY; if the
+            # declared field names are the cursor's columns in a different
+            # order, reorder the data to the schema rather than silently
+            # mislabeling columns whose types happen to line up
+            want = [f.name for f in schema.fields]
+            if len(want) != len(cols):
+                raise ValueError(
+                    f"JdbcReader: ddlSchemaString declares {len(want)} fields "
+                    f"but {self.connection_dbtable!r} returned {len(cols)} columns"
+                )
+            lower_cols = [c.lower() for c in cols]
+            if [w.lower() for w in want] != lower_cols and set(
+                w.lower() for w in want
+            ) == set(lower_cols):
+                idx = [lower_cols.index(w.lower()) for w in want]
+                rows = [tuple(r[i] for i in idx) for r in rows]
+                return spark.createDataFrame(rows, schema)
+            return spark.createDataFrame([tuple(r) for r in rows], schema)
         if not rows:
             raise ValueError(
                 f"JdbcReader: {self.connection_dbtable!r} returned no rows and no "

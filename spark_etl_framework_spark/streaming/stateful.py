@@ -93,14 +93,14 @@ class ArbitraryStatefulProcessorV2:
     def transform_state(self, df: DataFrame) -> DataFrame:
         try:
             from google.protobuf import descriptor  # noqa: F401
+            from pyspark.sql.streaming import StatefulProcessor  # Spark 4+
         except ImportError as e:
             raise RuntimeError(
-                "transformWithStateInPandas unavailable: the 'protobuf' python "
-                "package is required by Spark's streaming python runner and is "
-                "not installed here. Use the applyInPandasWithState contract "
-                "(ArbitraryStatefulProcessor) or install protobuf."
+                "transformWithStateInPandas unavailable: it needs Spark 4's "
+                "StatefulProcessor API plus the 'protobuf' python package "
+                f"(missing here: {e}). Use the applyInPandasWithState "
+                "contract (ArbitraryStatefulProcessor) instead."
             ) from e
-        from pyspark.sql.streaming import StatefulProcessor
 
         outer = self
 
@@ -135,8 +135,18 @@ class StreamStatefulTransformer(Actor):
         if not self.processor_type or not self.view:
             raise ValueError("StreamStatefulTransformer: processor.type and view required")
         processor = load_class(self.processor_type)()
-        if self.processor_timeoutType and isinstance(processor, ArbitraryStatefulProcessor):
-            processor.timeout_conf = self.processor_timeoutType
+        if self.processor_timeoutType:
+            if isinstance(processor, ArbitraryStatefulProcessor):
+                processor.timeout_conf = self.processor_timeoutType
+            else:
+                # don't silently drop declared timeout semantics: the v2 API
+                # expresses them as time_mode + timers on the processor class
+                raise ValueError(
+                    "StreamStatefulTransformer: 'processor.timeoutType' applies "
+                    "to the applyInPandasWithState contract; this processor is "
+                    "a v2 (transformWithState) class — set its time_mode and "
+                    "register timers in the class instead"
+                )
         df = spark.table(self.view)
         # both processor generations expose the same transform_state hook
         return processor.transform_state(df)

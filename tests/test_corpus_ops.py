@@ -119,3 +119,9 @@ def test_split_assign_deterministic_partition(spark):
     half = {r["doc_id"]: r["split"] for r in C.split_assign(
         df.filter(F.col("doc_id") < 1000), test_pct=0.05, val_pct=0.05).collect()}
     assert all(s1[d] == s for d, s in half.items())  # no migration on growth
+    # boundary rates: 100% test must capture EVERY doc (incl. 'ffff'-prefix
+    # hash keys that sit on the clamped threshold), same for test+val=1.0
+    all_test = C.split_assign(df, test_pct=1.0, val_pct=0.0)
+    assert all_test.filter(F.col("split") != "test").count() == 0
+    no_train = C.split_assign(df, test_pct=0.5, val_pct=0.5)
+    assert no_train.filter(F.col("split") == "train").count() == 0

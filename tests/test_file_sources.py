@@ -186,3 +186,36 @@ def test_jdbc_reader_dbapi_guards(spark, tmp_path):
         ddlSchemaString="k int, v string",
     ).run(jctx, spark)
     assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_jdbc_reader_ddl_schema_reorders_by_name(spark, tmp_path):
+    """ddlSchemaString fields in a different order than the table's columns
+    bind BY NAME (not positionally), so compatible adjacent types can't be
+    silently swapped; a field-count mismatch errors."""
+    import sqlite3
+
+    import pytest
+
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+    from spark_etl_framework_spark.sources.jdbc import JdbcReader
+
+    db = str(tmp_path / "ro.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (a INTEGER, b INTEGER)")
+    conn.execute("INSERT INTO t VALUES (1, 2)")
+    conn.commit()
+    conn.close()
+    jctx = JobContext(PipelineContext(), spark)
+    out = JdbcReader(
+        connect="spark_etl_framework_spark.testing.sqlite_connect",
+        connection={"url": db, "dbtable": "t"},
+        ddlSchemaString="b int, a int",
+    ).run(jctx, spark)
+    r = out.collect()[0]
+    assert (r["a"], r["b"]) == (1, 2)  # values follow names, not positions
+    with pytest.raises(ValueError, match="fields"):
+        JdbcReader(
+            connect="spark_etl_framework_spark.testing.sqlite_connect",
+            connection={"url": db, "dbtable": "t"},
+            ddlSchemaString="a int, b int, c int",
+        ).run(jctx, spark)

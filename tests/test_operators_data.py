@@ -299,3 +299,10 @@ def test_connected_components_nonconvergence_detected(spark):
         for r in D.connected_components(pairs, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(8)}
+    # boundary: diameter == max_iter must SUCCEED (convergence needs one
+    # extra observation round, which the operator runs itself)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(pairs, max_iter=7).collect()
+    }
+    assert got == {i: 0 for i in range(8)}
