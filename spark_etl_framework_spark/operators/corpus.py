@@ -318,3 +318,67 @@ def split_assign(
         id_col,
         F.when(is_test, "test").when(is_val, "val").otherwise("train").alias("split"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 terms per document — the retrieval-grade sibling of
+    :func:`tfidf_topk` (Robertson/Okapi weighting: tf saturates via ``k1``
+    and is length-normalized via ``b``).
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene non-negative
+    form); score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    rounded to 6 dp with a term tiebreak so top-k is total-order
+    deterministic.
+
+    Shuffle inventory matches tfidf_topk: tf groupBy(id, term), df
+    groupBy(term) (vocabulary-sized), the top-k window on id. avgdl is a
+    1-row aggregate broadcast; the idf join is UNHINTED for the same
+    Heaps'-law reason as tfidf (AQE broadcasts the vocabulary while it
+    fits).
+    """
+    terms = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.select(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(stats.select("_n")))
+        .select(
+            "term",
+            F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(stats.select("_avgdl")))
+        .join(idf, "term")
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "bm25", "rn")
+    )

@@ -230,3 +230,38 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import split_assign
 
     return split_assign(load_table(spark, sf_dir, "documents"), test_pct=0.01, val_pct=0.01)
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    terms_f AS (SELECT * FROM terms WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms_f GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms_f GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    idf AS (SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1) AS idf
+            FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), stats s),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(idf.idf * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS bm25
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN idf ON idf.term = tf.term
+      CROSS JOIN stats s
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY bm25 DESC, term) AS INT) AS rn
+          FROM scored)
+    SELECT doc_id, term, bm25, rn FROM r WHERE rn <= 3
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (operators/corpus.py:bm25_topk) —
+    Okapi tf-saturation + length normalization, k1=1.2 b=0.75."""
+    from ..operators.corpus import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), k=3)

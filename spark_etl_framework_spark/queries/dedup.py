@@ -251,3 +251,86 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(
         D.simhash16(docs, "doc_id", "text"), "doc_id", "simhash", max_hamming=1
     )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    # estimator calibration: minhash-estimated Jaccard (matching signature
+    # components / k) vs exact shingle Jaccard, per LSH candidate pair —
+    # the dedup analogue of vector_ann_recall's quality report.
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    est AS (SELECT c.id_a, c.id_b,
+                   round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 8.0, 6)
+                       AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+            GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b)
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           round(COALESCE(i.n_inter, 0)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                 - COALESCE(i.n_inter, 0)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))), 6) AS abs_error
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    """,
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration per LSH candidate pair: signature
+    agreement (the unbiased Jaccard estimator) against exact shingle
+    Jaccard, with absolute error — how a pipeline decides whether k
+    signatures suffice before trusting estimate-only dedup at full scale.
+    Costs: the candidate set (never n²) joined against the k-wide
+    signature relation (narrow, one row per doc) and the shingle
+    inverted index (exact leg, candidates only)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3).persist()
+    wide = D.minhash_wide(sh, "doc_id", k=8)
+    bands = D.lsh_bands_wide(wide, "doc_id", k=8, rows_per_band=2)
+    cand = D.lsh_candidate_pairs(bands, "doc_id")
+    wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(8)])
+    wb = wide.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(8)])
+    match_frac = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(8)
+    ) / F.lit(8.0)
+    est = (
+        cand.join(wa, "id_a").join(wb, "id_b")
+        .select("id_a", "id_b", F.round(match_frac, 6).alias("est_jaccard"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    exact = F.coalesce("n_inter", F.lit(0)) / (
+        F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_error"),
+        )
+    )

@@ -125,3 +125,20 @@ def test_split_assign_deterministic_partition(spark):
     assert all_test.filter(F.col("split") != "test").count() == 0
     no_train = C.split_assign(df, test_pct=0.5, val_pct=0.5)
     assert no_train.filter(F.col("split") == "train").count() == 0
+
+
+def test_bm25_saturates_tf_and_rewards_rarity(spark):
+    """BM25 vs raw tf: a term repeated many times saturates (k1), so a RARE
+    term with modest tf outranks a common term with huge tf — the property
+    that distinguishes BM25 from tf-idf's linear tf."""
+    df = spark.createDataFrame(
+        [
+            (1, "rare " * 2 + "common " * 30),
+            (2, "common common filler filler"),
+            (3, "common filler other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = {r["doc_id"]: r for r in C.bm25_topk(df, k=1).collect()}
+    assert top[1]["term"] == "rare"  # tf=30 of 'common' saturates; rarity wins
+    assert top[1]["bm25"] > 0
