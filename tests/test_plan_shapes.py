@@ -134,3 +134,37 @@ def test_vector_topk_no_global_sort(spark, sf_dir):
     plan = _initial_plan(QUERIES["vector_cosine_topk"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, "per-partition group limit missing"
     assert "Exchange rangepartitioning" not in plan, "global sort of scores"
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """The co-located join path SCALE.md prescribes for repeated big-big
+    joins: both sides bucketed (and sorted) on the join key at write time →
+    SortMergeJoin with ZERO exchanges. On a 100 TB warehouse this is the
+    difference between shuffling the fact table on every query and never
+    shuffling it at all."""
+    from spark_etl_framework_spark.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("_ps_li_bucketed")
+        od.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("_ps_od_bucketed")
+        import pyspark.sql.functions as F
+
+        j = spark.table("_ps_li_bucketed").join(
+            spark.table("_ps_od_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _initial_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS _ps_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS _ps_od_bucketed")

@@ -69,3 +69,39 @@ def test_rewrite_param_sql_counts(fields):
     rewritten, got = rewrite_param_sql(sql)
     assert rewritten.count("?") == len(fields)
     assert got == fields
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_netpbm_encode_decode_roundtrip(w, h, c, with_comment, rng):
+    """Any (w, h, channels, raster) encodes to a netpbm header + raster that
+    _decode_netpbm parses back verbatim — comments and arbitrary token
+    whitespace included."""
+    from spark_etl_framework_spark.operators.multimodal import _decode_netpbm
+
+    px = bytes(rng.randrange(256) for _ in range(w * h * c))
+    magic = b"P6" if c == 3 else b"P5"
+    hdr = magic + (b"\n# comment line\n" if with_comment else b"\n")
+    raw = hdr + f"{w} {h}\n255\n".encode() + px
+    fmt, gw, gh, gc, gpx = _decode_netpbm(raw)
+    assert (gw, gh, gc, gpx) == (w, h, c, px)
+    assert fmt == ("ppm/rgb8" if c == 3 else "pgm/gray8")
+
+
+@given(st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=12))
+@settings(max_examples=30, deadline=None)
+def test_resize_nearest_identity_and_dims(w, h):
+    """Nearest-neighbor resize to the same dims is the identity; to any dims
+    it produces exactly out_w*out_h*c bytes drawn from the source pixels."""
+    from spark_etl_framework_spark.operators.multimodal import _resize_nearest
+
+    px = bytes((i * 37) % 256 for i in range(w * h * 3))
+    assert _resize_nearest(px, w, h, 3, w, h) == px
+    out = _resize_nearest(px, w, h, 3, 5, 7)
+    assert len(out) == 5 * 7 * 3
