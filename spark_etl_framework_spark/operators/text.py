@@ -193,3 +193,62 @@ def stratified_sample(
         thresh = F.when(is_stratum, hash_threshold_hex(rate)).otherwise(thresh)
         keep_all = F.when(is_stratum, F.lit(rate >= 1.0)).otherwise(keep_all)
     return df.filter(keep_all | (key16 < thresh))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-token estimate via a K-Minimum-Values sketch,
+    next to the exact count and relative error — the sketch-calibration
+    report.
+
+    KMV: hash every distinct token to (0,1]; if the k-th smallest hash is
+    h_k, the distinct count is ≈ (k-1)/h_k (uniform order statistics).
+    Unlike HyperLogLog implementations (whose registers differ by engine),
+    md5-based KMV is DETERMINISTIC and engine-agnostic, so the estimate
+    itself is oracle-checkable — and at 100 TB the k smallest hashes per
+    partition merge associatively map-side (a partial-aggregating
+    shuffle of ≤ k values per group per partition), which is the whole
+    point of a sketch: the exact leg here is the calibration baseline you
+    run at small scale before trusting the sketch alone at full scale.
+
+    One shuffle on (group, token) for the distinct, one window on group.
+    Hash = first 8 md5 hex chars as a 32-bit fraction — identical math in
+    Spark and DuckDB.
+    """
+    toks = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hashed = toks.select(
+        "grp",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("double") / F.lit(float(16**8)))
+        .alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_in_sketch"))
+    )
+    exact = hashed.groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = F.when(
+        F.col("n_in_sketch") < k, F.col("exact_distinct").cast("double")
+    ).otherwise((k - 1) / F.col("h_k"))
+    return (
+        kth.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.round(est, 2).alias("est_distinct"),
+            "exact_distinct",
+            F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6)
+            .alias("rel_error"),
+        )
+    )

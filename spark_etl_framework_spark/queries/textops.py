@@ -292,3 +292,49 @@ def text_tokenstats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         stats, "doc_id long, n_tokens int, n_chars_obs int, est_bpe_tokens int"
     )
+
+
+@register(
+    "text_kmv_distinct",
+    # KMV sketch (k=64): k-th smallest md5-fraction per lang → estimate
+    # (k-1)/h_k; groups with < k distinct tokens are exact by definition.
+    # conv(hex,16,10)/16^8 in Spark == 32-bit big-endian fraction; DuckDB
+    # reconstructs the same fraction by summing hex-digit place values.
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT lang AS grp,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT grp,
+             list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                    * power(16.0, 8 - i))) / power(16.0, 8) AS h
+      FROM toks WHERE tok <> ''
+    ),
+    kth AS (
+      SELECT grp, max(h) AS h_k, count(*) AS n_in_sketch
+      FROM (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hashed)
+      WHERE rn <= 64 GROUP BY grp
+    ),
+    exact AS (SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct FROM hashed GROUP BY grp)
+    SELECT k.grp AS lang,
+           round(CASE WHEN k.n_in_sketch < 64 THEN exact_distinct * 1.0
+                      ELSE 63 / k.h_k END, 2) AS est_distinct,
+           exact_distinct,
+           round(abs((CASE WHEN k.n_in_sketch < 64 THEN exact_distinct * 1.0
+                           ELSE 63 / k.h_k END) - exact_distinct)
+                 / exact_distinct, 6) AS rel_error
+    FROM kth k JOIN exact e ON e.grp = k.grp
+    """,
+)
+def text_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token KMV sketch estimate vs exact
+    (operators/text.py:kmv_distinct, k=64) — the deterministic,
+    engine-agnostic alternative to HLL whose estimate is itself
+    oracle-checkable."""
+    from ..operators.text import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "documents"), "lang", "text", k=64)

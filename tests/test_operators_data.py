@@ -306,3 +306,19 @@ def test_connected_components_nonconvergence_detected(spark):
         for r in D.connected_components(pairs, max_iter=7).collect()
     }
     assert got == {i: 0 for i in range(8)}
+
+
+def test_kmv_distinct_exact_small_est_close_large(spark):
+    """KMV sketch: groups with < k distinct tokens report the exact count
+    (rel_error 0); a 2000-token vocabulary at k=64 estimates within the
+    ~2/sqrt(k) (~25%) order-statistics error bound."""
+    small = " ".join(f"s{i}" for i in range(20))
+    big = " ".join(f"w{i}" for i in range(2000))
+    df = spark.createDataFrame(
+        [(1, "small", small), (2, "big", big)], ["doc_id", "grp", "text"]
+    )
+    out = {r["grp"]: r for r in T.kmv_distinct(df, "grp", "text", k=64).collect()}
+    assert out["small"]["exact_distinct"] == 20
+    assert out["small"]["rel_error"] == 0.0  # below k → exact by definition
+    assert out["big"]["exact_distinct"] == 2000
+    assert out["big"]["rel_error"] < 0.25
