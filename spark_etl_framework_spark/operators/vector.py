@@ -257,3 +257,69 @@ def srp_buckets(
         )
         bucket = bucket + bit
     return df.select(F.col(id_col), bucket.cast("int").alias("srp_bucket"))
+
+
+def kmeans_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic fixed-round Lloyd's k-means cell assignment — the
+    coarse-quantizer TRAINING step for IVF ANN (``ivf_topk`` consumes any
+    cell column; ``label`` is the given-taxonomy shortcut, this learns
+    cells from the data).
+
+    Everything is engine-reproducible by construction: seeds are the k
+    lowest-id vectors (no rand()), distances are squared-L2 left-fold sums
+    rounded to 6 dp with an id tiebreak, and centroid components are
+    rounded to 6 dp each round — so the full assignment is
+    oracle-checkable, unlike library k-means. A FIXED number of rounds
+    keeps the whole thing one static declarative plan (no driver loop, no
+    checkpointing); production IVF training runs a handful of Lloyd
+    rounds anyway — convergence polish buys little for cell routing.
+
+    Scale shape per round: assignment is a broadcast of k centroids
+    against a narrow corpus pass (corpus never shuffles for it); the
+    centroid update is one posexplode + groupBy(cell, dim) with map-side
+    partial aggregation — k*dims result rows. At 100 TB: still k
+    centroids broadcast, still one narrow pass + one tiny aggregation per
+    round.
+    """
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
+    cent = v.filter(F.col("vid") < k).select(
+        F.col("vid").cast("int").alias("cid"), F.col("e").alias("c")
+    )
+    assigned = None
+    for _ in range(iters):
+        dist = F.round(
+            F.aggregate(
+                F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vid", "e", "cid", dist.alias("d")
+        )
+        assigned = (
+            scored.groupBy("vid")
+            .agg(F.min(F.struct("d", "cid")).alias("m"), F.first("e").alias("e"))
+            .select("vid", "e", F.col("m.cid").alias("cell"))
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda s: s["cx"],
+                ).alias("c")
+            )
+            .select(F.col("cell").alias("cid"), "c")
+        )
+    return assigned.select(F.col("vid").alias(id_col), F.col("cell").cast("int").alias("cell"))

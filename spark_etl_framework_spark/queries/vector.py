@@ -348,3 +348,45 @@ def vector_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "vector_kmeans_cells",
+    # two unrolled Lloyd rounds, deterministic by construction: lowest-k-id
+    # seeds, squared-L2 rounded to 6dp with cid tiebreak, centroid
+    # components rounded to 6dp per round — byte-identical across engines.
+    oracle="""
+    WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT CAST(vid AS INT) AS cid, e AS c FROM v WHERE vid < 4),
+    s1 AS (SELECT v.vid, c0.cid,
+                  round(list_sum(list_transform(range(1, len(v.e) + 1),
+                        i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))), 6) AS d
+           FROM v, c0),
+    a1 AS (SELECT vid, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+             FROM s1) WHERE rn = 1),
+    m1 AS (SELECT cell, u.dim AS dim, round(avg(u.x), 6) AS cx
+           FROM (SELECT a1.cell,
+                        unnest(list_transform(range(1, len(v.e) + 1),
+                               i -> {'dim': i, 'x': v.e[i]})) AS u
+                 FROM a1 JOIN v ON v.vid = a1.vid)
+           GROUP BY cell, u.dim),
+    c1 AS (SELECT CAST(cell AS INT) AS cid, list(cx ORDER BY dim) AS c
+           FROM m1 GROUP BY cell),
+    s2 AS (SELECT v.vid, c1.cid,
+                  round(list_sum(list_transform(range(1, len(v.e) + 1),
+                        i -> (v.e[i] - c1.c[i]) * (v.e[i] - c1.c[i]))), 6) AS d
+           FROM v, c1),
+    a2 AS (SELECT vid, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+             FROM s2) WHERE rn = 1)
+    SELECT vid AS vec_id, CAST(cell AS INT) AS cell FROM a2
+    """,
+)
+def vector_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned IVF coarse quantizer: 2 deterministic Lloyd rounds over the
+    embeddings (operators/vector.py:kmeans_cells, k=4) — the cell
+    assignment ivf_topk routes probes through when no taxonomy column
+    exists. The full assignment hash-matches DuckDB's arithmetic replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.kmeans_cells(emb, "vec_id", "embedding", k=4, iters=2)

@@ -322,3 +322,20 @@ def test_kmv_distinct_exact_small_est_close_large(spark):
     assert out["small"]["rel_error"] == 0.0  # below k → exact by definition
     assert out["big"]["exact_distinct"] == 2000
     assert out["big"]["rel_error"] < 0.25
+
+
+def test_kmeans_cells_separates_blobs(spark):
+    """Two well-separated blobs, seeds (ids 0,1) one in each: two Lloyd
+    rounds must put every vector with its blob, deterministically."""
+    rows = []
+    for i in range(10):
+        base = 0.0 if i % 2 == 0 else 10.0  # even ids blob A, odd blob B
+        rows.append((i, [base + 0.1 * i, base - 0.05 * i, base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cell"] for r in V.kmeans_cells(df, k=2, iters=2).collect()}
+    blob_a = {got[i] for i in range(0, 10, 2)}
+    blob_b = {got[i] for i in range(1, 10, 2)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # deterministic across invocations
+    again = {r["vec_id"]: r["cell"] for r in V.kmeans_cells(df, k=2, iters=2).collect()}
+    assert got == again

@@ -168,3 +168,22 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS _ps_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS _ps_od_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (partitionBy at write) must turn an equality
+    filter on the partition column into PartitionFilters at the scan — the
+    scan lists ONE directory instead of the whole dataset. At 100 TB,
+    partition pruning on date/source/lang is the first and biggest I/O
+    lever."""
+    from spark_etl_framework_spark.catalog import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    load_table(spark, sf_dir, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter("lang = 'en'").select("doc_id", "n_chars")
+    plan = _initial_plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "lang" in pf, f"partition filter not pushed:\n{scan}"
+    # the row filter must NOT degrade to a post-scan Filter on lang
+    assert "PushedFilters: []" in scan or "lang" not in scan.split("PushedFilters:")[1]
