@@ -121,6 +121,18 @@ def repetition_stats(
     )
 
 
+def _term_counts(df: DataFrame, id_col: str, text_col: str):
+    """Shared (doc, term) explode + tf aggregation for the term scorers —
+    tfidf_topk and bm25_topk MUST tokenize identically (lower + whitespace,
+    empty terms dropped) or their paired oracles diverge."""
+    terms = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return terms, tf
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -141,11 +153,7 @@ def tfidf_topk(
     falls back to a shuffle join when it doesn't, so the plan survives a
     corpus whose vocabulary outgrows executor memory.
     """
-    terms = (
-        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    terms, tf = _term_counts(df, id_col, text_col)
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     idf = (
         tf.groupBy("term")
@@ -310,8 +318,11 @@ def split_assign(
     from .text import hash_key16, hash_threshold_hex
 
     key16 = hash_key16(id_col, salt)
-    is_test = F.lit(test_pct >= 1.0) | (key16 < hash_threshold_hex(test_pct))
-    is_val = F.lit(test_pct + val_pct >= 1.0) | (
+    # 1e-9 slack: rates that sum to 1.0 in decimal (0.7 + 0.3) land just
+    # under 1.0 in binary float, which would miss the keep-all flag and
+    # send 'ffff'-key docs to train
+    is_test = F.lit(test_pct >= 1.0 - 1e-9) | (key16 < hash_threshold_hex(test_pct))
+    is_val = F.lit(test_pct + val_pct >= 1.0 - 1e-9) | (
         key16 < hash_threshold_hex(test_pct + val_pct)
     )
     return df.select(
@@ -343,11 +354,7 @@ def bm25_topk(
     Heaps'-law reason as tfidf (AQE broadcasts the vocabulary while it
     fits).
     """
-    terms = (
-        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    terms, tf = _term_counts(df, id_col, text_col)
     dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.select(
         F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")

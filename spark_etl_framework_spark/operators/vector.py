@@ -287,9 +287,18 @@ def kmeans_cells(
     centroids broadcast, still one narrow pass + one tiny aggregation per
     round.
     """
+    if iters < 1:
+        raise ValueError(f"kmeans_cells: iters must be >= 1, got {iters}")
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
-    cent = v.filter(F.col("vid") < k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("e").alias("c")
+    # seeds = the k LOWEST ids regardless of where the id space starts
+    # (orderBy.limit compiles to TakeOrderedAndProject — per-partition
+    # heaps, scale-safe); cid = rank within those k rows (k-row window)
+    from pyspark.sql import Window as W
+
+    seeds = v.orderBy("vid").limit(k)
+    cent = seeds.select(
+        (F.row_number().over(W.orderBy("vid")) - 1).cast("int").alias("cid"),
+        F.col("e").alias("c"),
     )
     assigned = None
     for _ in range(iters):

@@ -357,7 +357,8 @@ def vector_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components rounded to 6dp per round — byte-identical across engines.
     oracle="""
     WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
-    c0 AS (SELECT CAST(vid AS INT) AS cid, e AS c FROM v WHERE vid < 4),
+    c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c FROM (
+             SELECT e, row_number() OVER (ORDER BY vid) AS rn FROM v) WHERE rn <= 4),
     s1 AS (SELECT v.vid, c0.cid,
                   round(list_sum(list_transform(range(1, len(v.e) + 1),
                         i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))), 6) AS d

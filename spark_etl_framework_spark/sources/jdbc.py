@@ -109,12 +109,23 @@ class JdbcReader(Actor):
                     f"but {self.connection_dbtable!r} returned {len(cols)} columns"
                 )
             lower_cols = [c.lower() for c in cols]
-            if [w.lower() for w in want] != lower_cols and set(
-                w.lower() for w in want
-            ) == set(lower_cols):
-                idx = [lower_cols.index(w.lower()) for w in want]
+            lower_want = [w.lower() for w in want]
+            overlap = set(lower_want) & set(lower_cols)
+            if lower_want == lower_cols:
+                pass  # same names, same order: positional == by-name
+            elif overlap == set(lower_cols):
+                # same name set, different order: bind BY NAME
+                idx = [lower_cols.index(w) for w in lower_want]
                 rows = [tuple(r[i] for i in idx) for r in rows]
-                return spark.createDataFrame(rows, schema)
+            elif overlap:
+                # partial overlap is ambiguous — one typo'd field would
+                # silently shift data under positional binding
+                raise ValueError(
+                    f"JdbcReader: ddlSchemaString fields {want} partially "
+                    f"overlap cursor columns {cols}; rename all fields "
+                    "(full positional rebind) or match the column names"
+                )
+            # disjoint names = intentional wholesale rename: positional
             return spark.createDataFrame([tuple(r) for r in rows], schema)
         if not rows:
             raise ValueError(

@@ -142,3 +142,11 @@ def test_bm25_saturates_tf_and_rewards_rarity(spark):
     top = {r["doc_id"]: r for r in C.bm25_topk(df, k=1).collect()}
     assert top[1]["term"] == "rare"  # tf=30 of 'common' saturates; rarity wins
     assert top[1]["bm25"] > 0
+
+
+def test_split_assign_decimal_sum_boundary(spark):
+    """Rates that sum to 1.0 in decimal but just under in binary float
+    (0.7 + 0.3) must still leave zero train docs."""
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = C.split_assign(df, test_pct=0.7, val_pct=0.3)
+    assert out.filter(F.col("split") == "train").count() == 0

@@ -219,3 +219,36 @@ def test_jdbc_reader_ddl_schema_reorders_by_name(spark, tmp_path):
             connection={"url": db, "dbtable": "t"},
             ddlSchemaString="a int, b int, c int",
         ).run(jctx, spark)
+
+
+def test_jdbc_reader_ddl_schema_partial_overlap_raises(spark, tmp_path):
+    """A typo'd DDL field (partial name overlap with the cursor) must raise,
+    not silently shift data positionally; fully disjoint names stay a
+    wholesale positional rename."""
+    import sqlite3
+
+    import pytest
+
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+    from spark_etl_framework_spark.sources.jdbc import JdbcReader
+
+    db = str(tmp_path / "po.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (a INTEGER, b INTEGER)")
+    conn.execute("INSERT INTO t VALUES (1, 2)")
+    conn.commit()
+    conn.close()
+    jctx = JobContext(PipelineContext(), spark)
+
+    def reader(ddl):
+        return JdbcReader(
+            connect="spark_etl_framework_spark.testing.sqlite_connect",
+            connection={"url": db, "dbtable": "t"},
+            ddlSchemaString=ddl,
+        )
+
+    with pytest.raises(ValueError, match="partially overlap"):
+        reader("b int, c int").run(jctx, spark)
+    out = reader("x int, y int").run(jctx, spark)  # disjoint: rename
+    r = out.collect()[0]
+    assert (r["x"], r["y"]) == (1, 2)

@@ -339,3 +339,18 @@ def test_kmeans_cells_separates_blobs(spark):
     # deterministic across invocations
     again = {r["vec_id"]: r["cell"] for r in V.kmeans_cells(df, k=2, iters=2).collect()}
     assert got == again
+
+
+def test_kmeans_cells_offset_id_space_and_bad_iters(spark):
+    """Seeds are the k LOWEST ids, not ids < k: an id space starting at
+    1000 must still produce k seeds and a full assignment; iters < 1 is a
+    clear error, not an AttributeError."""
+    import pytest
+
+    rows = [(1000 + i, [float(i % 2) * 10 + 0.1 * i, 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = V.kmeans_cells(df, k=2, iters=2).collect()
+    assert len(got) == 8  # every vector assigned (old code returned 0 rows)
+    assert {r["cell"] for r in got} == {0, 1}
+    with pytest.raises(ValueError, match="iters"):
+        V.kmeans_cells(df, k=2, iters=0)
