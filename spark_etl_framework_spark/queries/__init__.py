@@ -117,6 +117,13 @@ def _load_all() -> None:
 #: by the local exact-value checker every round. Everything not listed
 #: keeps its module registration order after the prioritized block; nothing
 #: is dropped.
+#:
+#: ROUND-4 ROTATION TODO: the round-3 additions registered AFTER this
+#: block have never held a driver row — rotate them in next round
+#: (swapping out round-3-green entries, keeping ≥1 anchor per family):
+#: corpus_source_overlap, corpus_split_assign, vector_ann_recall,
+#: dedup_minhash_estimate_error, text_bm25_topk, text_kmv_distinct,
+#: vector_kmeans_cells, events_retention_cohorts.
 _PRIORITY: tuple[str, ...] = (
     # hardest TPC-H correlated shapes — never driver-verified before
     "q2_min_cost_supplier",

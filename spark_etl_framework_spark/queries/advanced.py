@@ -356,3 +356,41 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 2)
     )
+
+
+@register(
+    "events_retention_cohorts",
+    # cohort = user's first-seen ISO week; cell (cohort, offset) counts the
+    # distinct users from that cohort active offset weeks later — the
+    # classic retention triangle. date_trunc('week') is Monday-based in
+    # both engines; DATE subtraction yields whole days.
+    oracle="""
+    WITH ev AS (SELECT user_id, date_trunc('week', ts::TIMESTAMP)::DATE AS w FROM events),
+    f AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id)
+    SELECT CAST(f.cw AS VARCHAR)              AS cohort_week,
+           CAST((ev.w - f.cw) // 7 AS INT)    AS week_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+    FROM ev JOIN f ON f.user_id = ev.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-seen week, each
+    cell counting distinct cohort members active N weeks later. Two
+    aggregations (first-seen per user; distinct users per cell) and one
+    user-keyed join, deliberately UNHINTED — the first-seen relation is
+    user-count-proportional, so AQE broadcasts it only while it fits.
+    Output is |weeks|² rows — the 'tiny result from a huge fact table'
+    shape event warehouses run daily."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    )
+    first = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cw").cast("string").alias("cohort_week"),
+            F.floor(F.datediff("w", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
