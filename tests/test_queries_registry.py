@@ -65,3 +65,20 @@ def test_register_raises_on_duplicate_name():
         register("q1_pricing_summary")(lambda spark, sf_dir: None)
     # the original registration is untouched
     assert QUERIES["q1_pricing_summary"] is not None
+
+
+def test_priority_window_invariants():
+    """The external gate checks exactly the first 50 registry entries, so
+    lock what makes the window valid: it IS the priority block, every slot
+    has an oracle, and every operator family keeps at least one slot."""
+    from spark_etl_framework_spark.queries import _PRIORITY
+
+    window = list(QUERIES)[:50]
+    assert len(_PRIORITY) == 50
+    assert window == list(_PRIORITY)
+    assert all(n in ORACLES for n in window)
+    for family in (
+        "dedup_", "vector_", "text_", "corpus_", "ts_", "window_",
+        "stream_", "pipeline_", "multimodal_", "events_", "agg_", "q",
+    ):
+        assert any(n.startswith(family) for n in window), f"family {family} fell out"
