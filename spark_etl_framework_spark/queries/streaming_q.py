@@ -503,3 +503,60 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet via the same symlink-directory
+    trick as ``_events_stream`` (FileStreamSource needs a directory; the
+    testdata is a single read-only file)."""
+    import os
+
+    stream_dir = f"/tmp/_spark_etl_stream_docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(file_schema).parquet(stream_dir)
+
+
+@register(
+    "stream_text_quality",
+    # IDENTICAL oracle to the batch text_quality_score: stateless text
+    # operators must produce byte-identical output under structured
+    # streaming (append mode, no watermark needed — narrow maps have no
+    # state), proving the text library composes with readStream unchanged.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+')                       AS toks,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)                                 AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'data'], x))) AS INT) AS n_stopwords,
+           round(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * least(1.0, (len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'data'], x)))
+                                     / greatest(len(toks), 1)) * 3)
+                 + 0.3 * alpha_ratio, 6)                                       AS quality_score
+    FROM t
+    """,
+)
+def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-quality operator applied to a STREAM of documents — same
+    column expressions, append mode, zero state — must hash-match the
+    batch oracle exactly. This is the batch/stream parity contract for
+    every stateless operator in the text library: narrow maps stream
+    unchanged at any scale (per-microbatch scan-speed, no shuffle)."""
+    from ..operators.text import with_quality_score
+
+    sdf = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    out = with_quality_score(sdf).select("doc_id", "n_stopwords", "quality_score")
+    qname = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
