@@ -29,8 +29,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = f"/tmp/_spark_etl_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = spark.readStream.schema(file_schema).parquet(stream_dir)
     ts_type = dict(sdf.dtypes).get("ts")
@@ -514,8 +516,10 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = f"/tmp/_spark_etl_stream_docs_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    except FileExistsError:
+        pass
     file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return spark.readStream.schema(file_schema).parquet(stream_dir)
 

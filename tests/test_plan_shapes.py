@@ -187,3 +187,31 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "lang" in pf, f"partition filter not pushed:\n{scan}"
     # the row filter must NOT degrade to a post-scan Filter on lang
     assert "PushedFilters: []" in scan or "lang" not in scan.split("PushedFilters:")[1]
+
+
+def test_source_overlap_single_shuffle_no_text(spark, sf_dir):
+    """source_overlap's one-shuffle promise: distinct + the shingle groupBy
+    + the tiny pair aggregation — and no exchange ever carries raw text."""
+    plan = _initial_plan(QUERIES["corpus_source_overlap"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 3, "extra shuffle crept in:\n" + "\n".join(exchanges)
+    for line in exchanges:
+        assert not re.search(r"\btext#\d+", line), f"raw text shuffled:\n{line.strip()}"
+
+
+def test_kmeans_exchange_inventory(spark, sf_dir):
+    """kmeans_cells (k=4, iters=2): centroids reach the corpus via
+    BroadcastExchange (never a shuffle of the k-times-expanded scored
+    relation), and the per-round shuffles are exactly the argmin partial
+    agg on vid (one partially-aggregated row per vector) and the centroid
+    update on (cell, dim)/(cell) — 6 exchanges total, 2 of them
+    broadcasts. A 7th hash exchange means scoring started shuffling."""
+    plan = _initial_plan(QUERIES["vector_kmeans_cells"](spark, sf_dir))
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    bcast = [l for l in plan.splitlines() if "BroadcastExchange" in l]
+    assert len(bcast) >= 2, "centroids not broadcast per round"
+    assert len(hash_ex) <= 4, "scoring shuffle crept in:\n" + "\n".join(hash_ex)
+    for line in hash_ex:
+        # the argmin shuffle partitions on vid, the update on cell[, dim] —
+        # never on a distance/score column of the k-times-expanded relation
+        assert re.search(r"hashpartitioning\((vid|cell)#", line), line.strip()
