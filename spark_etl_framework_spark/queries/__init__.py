@@ -123,7 +123,8 @@ def _load_all() -> None:
 #: (swapping out round-3-green entries, keeping ≥1 anchor per family):
 #: corpus_source_overlap, corpus_split_assign, vector_ann_recall,
 #: dedup_minhash_estimate_error, text_bm25_topk, text_kmv_distinct,
-#: vector_kmeans_cells, events_retention_cohorts.
+#: vector_kmeans_cells, events_retention_cohorts, stream_text_quality,
+#: corpus_split_leakage.
 _PRIORITY: tuple[str, ...] = (
     # hardest TPC-H correlated shapes — never driver-verified before
     "q2_min_cost_supplier",

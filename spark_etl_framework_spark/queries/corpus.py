@@ -265,3 +265,82 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bm25_topk
 
     return bm25_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "corpus_split_leakage",
+    # deterministic split (1%/1% keyed-hash ranges) then cross-split
+    # 5-gram contamination: every test/val doc with any shingle shared
+    # with ANY train doc. Composition of split_assign + decontaminate.
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, text,
+             SUBSTR(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k4
+      FROM documents
+    ),
+    lab AS (SELECT doc_id, text,
+                   CASE WHEN k4 < '028f' THEN 'test'
+                        WHEN k4 < '051e' THEN 'val'
+                        ELSE 'train' END AS split
+            FROM k),
+    t AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS a FROM lab),
+    sh AS (SELECT DISTINCT doc_id, split,
+                  unnest(list_transform(range(1, len(a) - 3),
+                         i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                              || a[i+3] || ' ' || a[i+4])) AS shingle
+           FROM t WHERE len(a) >= 5),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    ev AS (SELECT * FROM sh WHERE split <> 'train'),
+    per AS (SELECT ev.doc_id, ev.split,
+                   CAST(count(*) AS BIGINT)          AS n_shingles,
+                   CAST(count(tr.shingle) AS BIGINT) AS n_train_hits
+            FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+            GROUP BY ev.doc_id, ev.split)
+    SELECT l.doc_id, l.split,
+           coalesce(n_shingles, 0)     AS n_shingles,
+           coalesce(n_train_hits, 0)   AS n_train_hits,
+           (coalesce(n_train_hits, 0) > 0) AS leaked
+    FROM (SELECT doc_id, split FROM lab WHERE split <> 'train') l
+    LEFT JOIN per ON per.doc_id = l.doc_id
+    """,
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→holdout leakage report: deterministic split assignment
+    (operators/corpus.py:split_assign) composed with shingle
+    decontamination — every test/val document sharing any word-5-gram with
+    the training split is flagged before the eval set is trusted. Scale
+    shape: the holdout side is tiny by construction (2% of the corpus), so
+    its shingles behave like decontaminate's eval side; the train shingles
+    stream through one distinct + join keyed on shingle. The holdout never
+    decides anything by luck: assignments are the same keyed-hash ranges
+    the split operator itself uses."""
+    from pyspark.sql import functions as F
+
+    from ..operators.corpus import split_assign
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.join(split_assign(docs, test_pct=0.01, val_pct=0.01), "doc_id")
+    sh = word_shingles(labeled.select("doc_id", "text"), "doc_id", "text", n=5).join(
+        labeled.select("doc_id", "split"), "doc_id"
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    holdout_sh = sh.filter(F.col("split") != "train")
+    per = (
+        holdout_sh.join(
+            train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+        )
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_train_hits"),
+        )
+    )
+    base = labeled.filter(F.col("split") != "train").select("doc_id", "split")
+    return base.join(per, ["doc_id", "split"], "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_train_hits", F.lit(0)).alias("n_train_hits"),
+        (F.coalesce("n_train_hits", F.lit(0)) > 0).alias("leaked"),
+    )
