@@ -304,6 +304,7 @@ def split_assign(
     salt: str = "split",
     test_pct: float = 0.01,
     val_pct: float = 0.01,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic train/val/test assignment: the first 4 hex digits of
     ``md5(salt || ':' || id)`` partition the id space into contiguous
@@ -327,6 +328,7 @@ def split_assign(
     )
     return df.select(
         id_col,
+        *keep_cols,
         F.when(is_test, "test").when(is_val, "val").otherwise("train").alias("split"),
     )
 

@@ -209,15 +209,18 @@ def kmv_distinct(
     h_k, the distinct count is ≈ (k-1)/h_k (uniform order statistics).
     Unlike HyperLogLog implementations (whose registers differ by engine),
     md5-based KMV is DETERMINISTIC and engine-agnostic, so the estimate
-    itself is oracle-checkable — and at 100 TB the k smallest hashes per
-    partition merge associatively map-side (a partial-aggregating
-    shuffle of ≤ k values per group per partition), which is the whole
-    point of a sketch: the exact leg here is the calibration baseline you
-    run at small scale before trusting the sketch alone at full scale.
+    itself is oracle-checkable; the exact leg here is the calibration
+    baseline you run at small scale before trusting the sketch alone at
+    full scale. The k-min itself is computed as a two-stage tournament
+    (k smallest per 32 deterministic sub-buckets in parallel, then a
+    ≤ 32k-row merge per group), so no task ever sorts a group's full
+    distinct-hash set — the skew-safe way to take an exact k-min of a
+    huge group. The k surviving values are the sketch; sketches of
+    disjoint corpora merge by keeping the k smallest of their union.
 
-    One shuffle on (group, token) for the distinct, one window on group.
-    Hash = first 8 md5 hex chars as a 32-bit fraction — identical math in
-    Spark and DuckDB.
+    One shuffle on (group, token) for the distinct, then the two
+    bounded window stages. Hash = first 8 md5 hex chars as a 32-bit
+    fraction — identical math in Spark and DuckDB.
     """
     toks = (
         df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -231,10 +234,20 @@ def kmv_distinct(
     )
     from pyspark.sql import Window as W
 
+    # two-stage (tournament) exact k-min so no single task ever sorts a
+    # whole group's hash set: stage 1 takes the k smallest within each of
+    # 32 deterministic sub-buckets in parallel, stage 2 merges ≤ 32k
+    # candidates per group. The k-min RESULT is identical to a direct
+    # per-group sort, so the SQL oracle stays a plain window.
+    bucketed = hashed.withColumn("b", F.pmod(F.xxhash64("h"), F.lit(32)))
+    w1 = W.partitionBy("grp", "b").orderBy("h")
+    cand = (
+        bucketed.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= k)
+    )
     w = W.partitionBy("grp").orderBy("h")
     kth = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        cand.withColumn("rn2", F.row_number().over(w))
+        .filter(F.col("rn2") <= k)
         .groupBy("grp")
         .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_in_sketch"))
     )

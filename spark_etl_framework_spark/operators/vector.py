@@ -280,12 +280,13 @@ def kmeans_cells(
     checkpointing); production IVF training runs a handful of Lloyd
     rounds anyway — convergence polish buys little for cell routing.
 
-    Scale shape per round: assignment is a broadcast of k centroids
-    against a narrow corpus pass (corpus never shuffles for it); the
-    centroid update is one posexplode + groupBy(cell, dim) with map-side
-    partial aggregation — k*dims result rows. At 100 TB: still k
-    centroids broadcast, still one narrow pass + one tiny aggregation per
-    round.
+    Scale shape per round: the k centroids BROADCAST against a narrow
+    corpus scoring pass (the k-times-expanded scored relation never
+    shuffles); the argmin is a partial-aggregating shuffle of ONE row per
+    vector — carrying the embedding only on rounds that still need a
+    centroid update (the final round ships just (vid, argmin-struct));
+    the update itself is posexplode + groupBy(cell, dim) with map-side
+    partial aggregation — k*dims result rows.
     """
     if iters < 1:
         raise ValueError(f"kmeans_cells: iters must be >= 1, got {iters}")
@@ -301,7 +302,7 @@ def kmeans_cells(
         F.col("e").alias("c"),
     )
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         dist = F.round(
             F.aggregate(
                 F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
@@ -313,6 +314,15 @@ def kmeans_cells(
         scored = v.crossJoin(F.broadcast(cent)).select(
             "vid", "e", "cid", dist.alias("d")
         )
+        if it == iters - 1:
+            # final round: no centroid update follows, so don't carry the
+            # embedding through the argmin shuffle
+            assigned = (
+                scored.groupBy("vid")
+                .agg(F.min(F.struct("d", "cid")).alias("m"))
+                .select("vid", F.col("m.cid").alias("cell"))
+            )
+            break
         assigned = (
             scored.groupBy("vid")
             .agg(F.min(F.struct("d", "cid")).alias("m"), F.first("e").alias("e"))

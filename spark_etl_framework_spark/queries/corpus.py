@@ -314,13 +314,13 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream through one distinct + join keyed on shingle. The holdout never
     decides anything by luck: assignments are the same keyed-hash ranges
     the split operator itself uses."""
-    from pyspark.sql import functions as F
-
     from ..operators.corpus import split_assign
     from ..operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    labeled = docs.join(split_assign(docs, test_pct=0.01, val_pct=0.01), "doc_id")
+    # keep_cols keeps the labeling a pure projection — no corpus-wide join
+    # just to attach the split column
+    labeled = split_assign(docs, test_pct=0.01, val_pct=0.01, keep_cols=("text",))
     sh = word_shingles(labeled.select("doc_id", "text"), "doc_id", "text", n=5).join(
         labeled.select("doc_id", "split"), "doc_id"
     )

@@ -16,23 +16,33 @@ from pyspark.sql import functions as F
 from . import dsum, register
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (nanos ts → µs timestamp), same
-    conversion as the batch path in catalog.load_table.
-
-    FileStreamSource requires a directory; the testdata is a single file, so
-    expose it through a per-sf temp directory of symlinks (testdata itself is
-    read-only)."""
+def _file_stream_dir(sf_dir: str, filename: str, prefix: str) -> str:
+    """Per-sf /tmp directory holding a symlink to one read-only testdata
+    file (FileStreamSource needs a directory). Concurrent creation is
+    tolerated, and a pre-existing link pointing at a DIFFERENT target
+    (e.g. the sf dir moved between runs) is re-pointed rather than
+    silently reused — a stale link would make the stream read old or no
+    data while the oracle reads the new."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream_dir = f"/tmp/_spark_etl_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    target = os.path.join(sf_dir, filename)
+    stream_dir = f"/tmp/{prefix}_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
+    link = os.path.join(stream_dir, filename)
     try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(target, link)
     except FileExistsError:
-        pass
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.remove(link)
+            os.symlink(target, link)
+    return stream_dir
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts → µs timestamp), same
+    conversion as the batch path in catalog.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_dir = _file_stream_dir(sf_dir, "events.parquet", "_spark_etl_stream_src")
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = spark.readStream.schema(file_schema).parquet(stream_dir)
     ts_type = dict(sdf.dtypes).get("ts")
@@ -511,15 +521,7 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents parquet via the same symlink-directory
     trick as ``_events_stream`` (FileStreamSource needs a directory; the
     testdata is a single read-only file)."""
-    import os
-
-    stream_dir = f"/tmp/_spark_etl_stream_docs_{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    try:
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
-    except FileExistsError:
-        pass
+    stream_dir = _file_stream_dir(sf_dir, "documents.parquet", "_spark_etl_stream_docs")
     file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return spark.readStream.schema(file_schema).parquet(stream_dir)
 

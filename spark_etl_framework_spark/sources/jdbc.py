@@ -111,10 +111,14 @@ class JdbcReader(Actor):
             lower_cols = [c.lower() for c in cols]
             lower_want = [w.lower() for w in want]
             overlap = set(lower_want) & set(lower_cols)
+            unambiguous = (
+                len(set(lower_cols)) == len(cols) and len(set(lower_want)) == len(want)
+            )
             if lower_want == lower_cols:
                 pass  # same names, same order: positional == by-name
-            elif overlap == set(lower_cols):
-                # same name set, different order: bind BY NAME
+            elif set(lower_want) == set(lower_cols) and unambiguous:
+                # same name set, different order, no case-duplicates on
+                # either side: bind BY NAME
                 idx = [lower_cols.index(w) for w in lower_want]
                 rows = [tuple(r[i] for i in idx) for r in rows]
             elif overlap:

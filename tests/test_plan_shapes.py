@@ -183,6 +183,9 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     df = spark.read.parquet(out).filter("lang = 'en'").select("doc_id", "n_chars")
     plan = _initial_plan(df)
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters:" in scan and "PushedFilters:" in scan, (
+        f"scan line format changed, cannot audit pruning:\n{scan}"
+    )
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
     assert "lang" in pf, f"partition filter not pushed:\n{scan}"
     # the row filter must NOT degrade to a post-scan Filter on lang
