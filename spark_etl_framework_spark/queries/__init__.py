@@ -124,7 +124,7 @@ def _load_all() -> None:
 #: corpus_source_overlap, corpus_split_assign, vector_ann_recall,
 #: dedup_minhash_estimate_error, text_bm25_topk, text_kmv_distinct,
 #: vector_kmeans_cells, events_retention_cohorts, stream_text_quality,
-#: corpus_split_leakage.
+#: corpus_split_leakage, dedup_containment_pairs.
 _PRIORITY: tuple[str, ...] = (
     # hardest TPC-H correlated shapes — never driver-verified before
     "q2_min_cost_supplier",

@@ -334,3 +334,67 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_error"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    # asymmetric containment C(A,B) = |A ∩ B| / |A|: a small document
+    # quoted inside a big one scores near 1 on the small side while
+    # symmetric Jaccard stays low — the doc-in-doc duplication Jaccard
+    # misses. Computed only on LSH candidates, like verified_pairs.
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b)
+    SELECT c.id_a, c.id_b,
+           round(COALESCE(i.n_inter, 0) / sa.n_sh, 6) AS containment_a,
+           round(COALESCE(i.n_inter, 0) / sb.n_sh, 6) AS containment_b,
+           (greatest(COALESCE(i.n_inter, 0) / sa.n_sh,
+                     COALESCE(i.n_inter, 0) / sb.n_sh) >= 0.8) AS subset_dup
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment per LSH candidate pair — flags
+    subset-style duplication (one document quoted or embedded in another)
+    that symmetric Jaccard under-scores: C(A,B)=|A∩B|/|A| nears 1 for the
+    contained side regardless of the container's size. Same cost model as
+    the verified-pairs query: the exact leg touches candidates only."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3).persist()
+    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
+    cand = D.lsh_candidate_pairs(bands, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ni = F.coalesce("n_inter", F.lit(0))
+    ca, cb = ni / F.col("n_a"), ni / F.col("n_b")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+            (F.greatest(ca, cb) >= 0.8).alias("subset_dup"),
+        )
+    )
