@@ -107,84 +107,81 @@ def _load_all() -> None:
 #: registry in order (the round-1/2 gates evaluated exactly the first 50
 #: entries), so the first 50 slots must span EVERY operator family.
 #:
-#: Round-3 rotation policy: every query that has NEVER held a
-#: driver-verified row (28 after rounds 1+2 — the hardest TPC-H correlated
-#: shapes Q2/Q11/Q17/Q20/Q22, SRP-LSH, session/sliding stream windows,
-#: dedup_clusters, the pandas escape hatch, pipeline write-backs, the JDBC
-#: and new Kafka-decode roundtrips) moves INTO the window, and each family
-#: keeps at least one round-2-green anchor so no family drops out.
-#: Everything rotated out was driver-green in round 1 or 2 and is still run
-#: by the local exact-value checker every round. Everything not listed
-#: keeps its module registration order after the prioritized block; nothing
-#: is dropped.
-#:
-#: ROUND-4 ROTATION TODO: the round-3 additions registered AFTER this
-#: block have never held a driver row — rotate them in next round
-#: (swapping out round-3-green entries, keeping ≥1 anchor per family):
-#: corpus_source_overlap, corpus_split_assign, vector_ann_recall,
-#: dedup_minhash_estimate_error, text_bm25_topk, text_kmv_distinct,
-#: vector_kmeans_cells, events_retention_cohorts, stream_text_quality,
-#: corpus_split_leakage, dedup_containment_pairs.
+#: Round-4 rotation policy (continuing the round-3 mechanism): the 11
+#: round-3 additions that have never held a driver-verified row move INTO
+#: the window — corpus_source_overlap, corpus_split_assign,
+#: vector_ann_recall, dedup_minhash_estimate_error, text_bm25_topk,
+#: text_kmv_distinct, vector_kmeans_cells, events_retention_cohorts,
+#: stream_text_quality, corpus_split_leakage, dedup_containment_pairs.
+#: Rotated OUT to make room (all driver-green in round 3, all still run by
+#: the local exact-value checker every round): Q2/Q11/Q17/Q20/Q22,
+#: dedup_lsh_bucket_stats, dedup_clusters, vector_norm_stats,
+#: vector_quantize_int8, text_fingerprint, text_topk_sample_per_stratum.
+#: Each family keeps at least one driver-green anchor so no family drops
+#: out. With these 11 green, every registry query will have held a
+#: driver-verified row in some round (135/135 union coverage). Everything
+#: not listed keeps its module registration order after the prioritized
+#: block; nothing is dropped.
 _PRIORITY: tuple[str, ...] = (
-    # hardest TPC-H correlated shapes — never driver-verified before
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion",
-    "q22_global_sales_opportunity",
-    "q1_pricing_summary",  # anchor (r2-green)
-    # dedup family: rotating in the cluster/bucket/simhash legs
-    "dedup_lsh_bucket_stats",
-    "dedup_clusters",
-    "dedup_simhash",
+    # TPC-H: Q1 anchors; Q2/Q11/Q17/Q20/Q22 rotated out (r3-green)
+    "q1_pricing_summary",  # anchor (r2+r3-green)
+    # dedup family: estimate-error + containment legs in (never verified)
+    "dedup_minhash_estimate_error",
+    "dedup_containment_pairs",
+    "dedup_simhash",  # anchor (r3-green)
     "dedup_exact",  # anchor
     "dedup_lsh_pairs",  # anchor
-    # vector / similarity search: SRP + quantization legs in
-    "vector_norm_stats",
-    "vector_quantize_int8",
-    "vector_srp_buckets",
-    "vector_srp_pairs",
+    # vector / similarity: ANN recall + learned k-means quantizer in
+    "vector_ann_recall",
+    "vector_kmeans_cells",
+    "vector_srp_buckets",  # anchor (r3-green)
+    "vector_srp_pairs",  # anchor (r3-green)
     "vector_cosine_topk",  # anchor
     "vector_ann_ivf",  # anchor
-    # text analysis: fingerprint/median-gate/pandas/ngram/packing legs in
-    "text_fingerprint",
-    "text_topk_sample_per_stratum",
-    "text_quality_filter_median",
-    "text_tokenstats_pandas",
-    "text_ngram_frequency",
-    "text_pack_bins",
+    # text analysis: BM25 + KMV sketch legs in
+    "text_bm25_topk",
+    "text_kmv_distinct",
+    "text_quality_filter_median",  # anchor (r3-green)
+    "text_tokenstats_pandas",  # anchor (r3-green)
+    "text_ngram_frequency",  # anchor (r3-green)
+    "text_pack_bins",  # anchor (r3-green)
     "text_token_stats",  # anchor
-    # corpus curation
-    "corpus_mixture_weights",
+    # corpus curation: overlap matrix + split/leakage legs in
+    "corpus_source_overlap",
+    "corpus_split_assign",
+    "corpus_split_leakage",
+    "corpus_mixture_weights",  # anchor (r3-green)
     "corpus_decontaminate",  # anchor
     "text_tfidf_topk",  # anchor
     # time series
     "ts_tumbling_window",  # anchor
     # window functions
     "window_topk_per_group",  # anchor
-    # structured streaming: session/sliding/stream-batch legs in
-    "stream_sliding_window",
-    "stream_sliding_window_global",
-    "stream_session_window",
-    "stream_batch_join",
+    # structured streaming: text-quality gate in (never verified)
+    "stream_text_quality",
+    "stream_sliding_window",  # anchor (r3-green)
+    "stream_sliding_window_global",  # anchor (r3-green)
+    "stream_session_window",  # anchor (r3-green)
+    "stream_batch_join",  # anchor (r3-green)
     "stream_tumbling_window",  # anchor
     "stream_stateful_running_stats",  # anchor
-    # pipeline orchestration: write-back pipelines in
-    "pipeline_dedup_writeback",
-    "pipeline_corpus_curation",
+    # pipeline orchestration
+    "pipeline_dedup_writeback",  # anchor (r3-green)
+    "pipeline_corpus_curation",  # anchor (r3-green)
     "pipeline_sql_transform",  # anchor
     "pipeline_validate_filter",  # anchor
-    # external-format roundtrips: JDBC DBAPI read + kafka decode (new)
-    "jdbc_read_roundtrip",
-    "kafka_decode_roundtrip",
+    # external-format roundtrips
+    "jdbc_read_roundtrip",  # anchor (r3-green)
+    "kafka_decode_roundtrip",  # anchor (r3-green)
     "flatfile_positional_roundtrip",  # anchor
-    # multimodal: REAL netpbm/WAV codecs (new this round) + metadata anchor
-    "multimodal_decode_netpbm",
-    "multimodal_audio_wav_frames",
+    # multimodal: REAL netpbm/WAV codecs + metadata anchor
+    "multimodal_decode_netpbm",  # anchor (r3-green)
+    "multimodal_audio_wav_frames",  # anchor (r3-green)
     "multimodal_binary_meta",  # anchor
-    # events analytics: anomaly/outlier legs in
-    "events_outlier_iqr",
-    "events_anomaly_zscore",
+    # events analytics: cohort retention triangle in (never verified)
+    "events_retention_cohorts",
+    "events_outlier_iqr",  # anchor (r3-green)
+    "events_anomaly_zscore",  # anchor (r3-green)
     "events_funnel_ab",  # anchor
     # skew handling / registered UDFs
     "agg_salted_two_phase",  # anchor
