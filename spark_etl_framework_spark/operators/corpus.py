@@ -35,23 +35,27 @@ def decontaminate(
     ``(id, n_shingles, n_hits, contaminated)``.
 
     Scale design: the eval set is fixed-size (benchmarks, not corpus), so
-    its distinct shingle set is broadcast — the 100 TB train side is never
-    shuffled on text. Train shingles stream through the broadcast hash
-    join as narrow map output; the only shuffle carries ``(id, 1)``
-    pairs for the per-document counts. Documents shorter than ``n``
-    tokens have zero shingles and are reported with n_shingles = 0.
+    its distinct shingle-KEY set is broadcast — and the 100 TB train side
+    now never shuffles shingles AT ALL: per-document distinct keys come
+    from ``hashed_shingles`` (row-local ``array_distinct`` + 64-bit md5
+    prefix — zero shuffles), stream through the broadcast hash join as
+    narrow map output, and the only exchange carries ``(id, count)``
+    partials for the per-document counts. Keying on the md5 prefix also
+    shrinks the broadcast itself ~3-4× vs raw n-gram text. Documents
+    shorter than ``n`` tokens have zero shingles and are reported with
+    n_shingles = 0.
     """
-    from .dedup import word_shingles
+    from .dedup import hashed_shingles
 
     eval_sh = (
-        word_shingles(eval_df, id_col, text_col, n=n)
-        .select("shingle")
+        hashed_shingles(eval_df, id_col, text_col, n=n)
+        .select("shingle_key")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    train_sh = word_shingles(train, id_col, text_col, n=n)
+    train_sh = hashed_shingles(train, id_col, text_col, n=n)
     per_doc = (
-        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        train_sh.join(F.broadcast(eval_sh), "shingle_key", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -264,23 +268,25 @@ def source_overlap(
     priority and mixture accounting). Shingle-level, not digest-level, so
     near-duplicate mass counts, not just byte-identical documents.
 
-    Scale shape: ONE shuffle. The corpus collapses to distinct
-    (source, shingle) pairs map-side (word_shingles' partial-aggregated
-    distinct — the shuffle carries shingles, never documents), a single
-    groupBy(shingle) gathers each shingle's sorted source set, and the
-    |set|²/2 pair expansion happens map-side with array transforms before
-    a tiny final aggregation on |sources|²-bounded keys. A self-equi-join
-    would shuffle the same relation twice for identical fan-out (measured
-    ~2× slower at sf0.1); per-shingle cost is bounded by |sources|², the
+    Scale shape: ONE shuffle, and it carries 64-bit keys, not text. The
+    corpus collapses to distinct (source, shingle_key) pairs
+    (``hashed_shingles``: in-row dedup map-side, then a global distinct
+    whose partial aggregation ships only the fixed-width md5-prefix key —
+    never documents, never n-gram strings), a single groupBy(key) gathers
+    each shingle's sorted source set, and the |set|²/2 pair expansion
+    happens map-side with array transforms before a tiny final
+    aggregation on |sources|²-bounded keys. A self-equi-join would
+    shuffle the same relation twice for identical fan-out (measured ~2×
+    slower at sf0.1); per-shingle cost is bounded by |sources|², the
     same quadratic guard argument as the LSH bucket join.
     """
-    from .dedup import word_shingles
+    from .dedup import hashed_shingles
 
-    h = word_shingles(df, id_col=group_col, text_col=text_col, n=n).select(
-        F.col(group_col).alias("src"), "shingle"
-    )
+    h = hashed_shingles(
+        df, id_col=group_col, text_col=text_col, n=n, row_unique=False
+    ).select(F.col(group_col).alias("src"), "shingle_key")
     shared = (
-        h.groupBy("shingle")
+        h.groupBy("shingle_key")
         .agg(F.sort_array(F.collect_set("src")).alias("ss"))
         .filter(F.size("ss") > 1)
     )

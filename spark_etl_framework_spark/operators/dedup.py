@@ -55,27 +55,92 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # --------------------------------------------------------------------------
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built with ``transform(sequence(...))`` over the token array — one narrow
-    projection + explode; the DISTINCT is a partial-aggregating shuffle on
-    (id, shingle).
-    """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    shingle_expr = F.expr(
+def _shingle_array_expr(n: int):
+    """Array of word n-gram strings over the pre-split token column ``_t``."""
+    return F.expr(
         f"transform(sequence(0, size(_t) - {n}), i -> concat(_t[i]"
         + "".join(f", ' ', _t[i + {j}]" for j in range(1, n))
         + "))"
     )
-    return (
+
+
+def word_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle) — raw TEXT form.
+
+    ``distinct=True`` (default) globally dedups (id, shingle); that shuffle
+    carries the n-word shingle STRING, so reserve it for consumers that
+    need the raw text downstream. The two scale paths avoid it entirely:
+
+    - duplicate-insensitive consumers (MinHash's MIN) pass
+      ``distinct=False`` and get the raw exploded stream — a pure narrow
+      map, zero shuffles; the downstream groupBy's partial aggregation is
+      the only exchange.
+    - set-arithmetic consumers (Jaccard / containment / overlap / leakage)
+      use :func:`hashed_shingles` — per-row distinct + a fixed-width key,
+      so shingle text never crosses an exchange at all.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (
         df.select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") >= n)
-        .select(id_col, F.explode(shingle_expr).alias("shingle"))
-        .distinct()
+        .select(id_col, F.explode(_shingle_array_expr(n)).alias("shingle"))
     )
+    return out.distinct() if distinct else out
+
+
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    prefix_len: int = 16,
+    row_unique: bool = True,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct fixed-width shingle keys per document: (id, shingle_key)
+    with ``shingle_key = substr(md5(shingle), 1, prefix_len)``.
+
+    The scale form of :func:`word_shingles` for set arithmetic: an n-word
+    shingle string is ~40-60 bytes of natural text, the 16-hex-char key is
+    a fixed 64 bits — at 100 TB that is the difference between shuffling
+    several× corpus bytes and shuffling a narrow key column. ``md5`` +
+    ``substr`` exist in DuckDB with identical semantics, so every paired
+    oracle mirrors the key exactly (even a collision would match
+    bit-for-bit on both engines; 64 bits makes one astronomically rare
+    within a document set anyway).
+
+    With ``row_unique=True`` (``id_col`` is unique per row — the documents
+    primary key), the per-document distinct happens ROW-LOCALLY:
+    ``array_distinct`` over the in-row shingle array before the explode
+    (re-applied after hashing so even an in-row key collision cannot
+    double-count). All of a document's shingles live in its own row, so
+    the relation needs ZERO shuffles — the corpus-wide DISTINCT the text
+    form pays simply disappears. With ``row_unique=False`` (grouping keys
+    that repeat across rows, e.g. source_overlap's source column), a
+    global distinct on the narrow (id, key) pair remains.
+
+    ``keep_cols`` carries extra per-row columns through the explode
+    (map-side projection, no join needed to re-attach labels).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    keys = F.array_distinct(
+        F.transform(
+            F.array_distinct(_shingle_array_expr(n)),
+            lambda s: F.substring(F.md5(s), 1, prefix_len),
+        )
+    )
+    out = (
+        df.select(F.col(id_col), *[F.col(c) for c in keep_cols], toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(id_col, *keep_cols, F.explode(keys).alias("shingle_key"))
+    )
+    return out if row_unique else out.distinct()
 
 
 def minhash_wide(shingles: DataFrame, id_col: str = "doc_id", k: int = 8) -> DataFrame:
@@ -85,6 +150,13 @@ def minhash_wide(shingles: DataFrame, id_col: str = "doc_id", k: int = 8) -> Dat
     aggregates in a SINGLE groupBy: no k× row explosion, one shuffle whose
     rows are exactly one per (doc × partition) thanks to partial aggregation.
     The hashes are computed inline during the map phase (JVM codegen).
+
+    MIN is duplicate-insensitive, so feed the NON-distinct shingle stream
+    (``word_shingles(..., distinct=False)``): the signature values are
+    identical, and the corpus-wide (id, shingle-text) DISTINCT shuffle —
+    the widest exchange in the whole dedup family at 100 TB — disappears.
+    The only exchange left in the signature path is this groupBy's partial
+    min output: k × 32-byte digests per (doc × partition).
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
@@ -215,34 +287,37 @@ def ngram_jaccard_topk(
     lose recall, which exact-hash and LSH passes catch. At 100 TB set
     ``max_df`` to a few thousand; ``None`` disables the cap (exact).
 
-    Physical shape: the document-frequency cap is a window count over
-    ``shingle`` (one shuffle, whose hash partitioning the self-join can
-    then reuse) — measured faster than aggregating a hot-shingle list and
-    anti-joining it back (two extra stages of fixed overhead). The capped
-    relation is persisted, so the tokenize/explode/distinct lineage runs
-    once and every consumer — both self-join sides and the per-doc sizes —
-    reads the cache. The intersection itself is a Tungsten hash self-join
-    on shingle (whole-stage codegen); a bucket-grouped array expansion (as
-    in :func:`lsh_candidate_pairs`) was measured 1.5-2x SLOWER here because
+    Physical shape: the index is :func:`hashed_shingles` — per-document
+    distinct happens row-locally and only a fixed-width 64-bit key ever
+    shuffles, never the n-word string. The document-frequency cap is a
+    window count over ``shingle_key`` (one shuffle, whose hash
+    partitioning the self-join can then reuse) — measured faster than
+    aggregating a hot-shingle list and anti-joining it back (two extra
+    stages of fixed overhead). The capped relation is persisted, so the
+    tokenize/explode lineage runs once and every consumer — both
+    self-join sides and the per-doc sizes — reads the cache. The
+    intersection itself is a Tungsten hash self-join on the key
+    (whole-stage codegen); a bucket-grouped array expansion (as in
+    :func:`lsh_candidate_pairs`) was measured 1.5-2x SLOWER here because
     Σdf² struct allocations and per-element array slices beat the codegen'd
     join only when buckets are tiny, which LSH bands are and shingle
     postings are not.
     """
     from pyspark.sql import Window as W
 
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = hashed_shingles(df, id_col, text_col, n)
     if max_df is not None:
         sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle_key")))
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle_key")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle_key")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "shingle_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -218,19 +218,23 @@ def kmv_distinct(
     huge group. The k surviving values are the sketch; sketches of
     disjoint corpora merge by keeping the k smallest of their union.
 
-    One shuffle on (group, token) for the distinct, then the two
-    bounded window stages. Hash = first 8 md5 hex chars as a 32-bit
-    fraction — identical math in Spark and DuckDB.
+    The distinct happens AFTER hashing, on (group, fraction) — an 8-byte
+    double on the wire instead of token text. The sketch estimates the
+    number of distinct HASH values by construction, so distinct-hash count
+    is also the honest calibration baseline for ``exact_distinct`` (two
+    tokens sharing a 32-bit md5 prefix merge identically in both engines —
+    the md5 math is bit-for-bit mirrored in DuckDB). Hash = first 8 md5
+    hex chars as a 32-bit fraction.
     """
-    toks = (
+    hashed = (
         df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
+        .select(
+            "grp",
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("double") / F.lit(float(16**8)))
+            .alias("h"),
+        )
         .distinct()
-    )
-    hashed = toks.select(
-        "grp",
-        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("double") / F.lit(float(16**8)))
-        .alias("h"),
     )
     from pyspark.sql import Window as W
 

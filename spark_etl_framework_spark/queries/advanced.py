@@ -110,11 +110,12 @@ def stream_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM bands a JOIN bands b
                ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hsh AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS shingle_key FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              JOIN hsh a ON a.doc_id = c.id_a
+              JOIN hsh b ON b.doc_id = c.id_b AND b.shingle_key = a.shingle_key
               GROUP BY c.id_a, c.id_b)
     SELECT i.id_a, i.id_b,
            round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
@@ -127,19 +128,23 @@ def stream_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline composed: LSH candidates → exact Jaccard
     verification → threshold. At corpus scale the verification join touches
-    only candidate pairs (LSH recall set), never n²."""
+    only candidate pairs (LSH recall set), never n² — and shingle text
+    never crosses an exchange: signatures aggregate the non-distinct
+    stream map-side, the exact sets are hashed_shingles' row-local
+    64-bit keys."""
     from ..operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3).persist()
-    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
+    raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
+    bands = D.lsh_bands_wide(D.minhash_wide(raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     cand = D.lsh_candidate_pairs(bands, "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
+    b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")
     inter = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "shingle_key"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -16,14 +16,17 @@ from ..operators import corpus as C
 from . import register
 
 # DuckDB word-5-gram shingle CTE (1-indexed lists; mirrors Spark's
-# sequence(0, size - 5) bounds → len(a) - 4 grams).
+# sequence(0, size - 5) bounds → len(a) - 4 grams). hsh mirrors
+# operators/dedup.py:hashed_shingles — the fixed-width 64-bit md5-prefix
+# key the Spark side joins/counts on so shingle text stays off the wire.
 _SH5_CTE = """
     t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents),
     sh AS (SELECT DISTINCT doc_id,
                   unnest(list_transform(range(1, len(a) - 3),
                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
                               || a[i+3] || ' ' || a[i+4])) AS shingle
-           FROM t WHERE len(a) >= 5)
+           FROM t WHERE len(a) >= 5),
+    hsh AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS shingle_key FROM sh)
 """
 
 
@@ -31,12 +34,12 @@ _SH5_CTE = """
     "corpus_decontaminate",
     oracle=f"""
     WITH {_SH5_CTE},
-    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    ev AS (SELECT DISTINCT shingle_key FROM hsh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM hsh WHERE doc_id % 97 <> 0),
     per AS (SELECT tr.doc_id,
                    CAST(count(*) AS BIGINT)        AS n_shingles,
-                   CAST(count(ev.shingle) AS BIGINT) AS n_hits
-            FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+                   CAST(count(ev.shingle_key) AS BIGINT) AS n_hits
+            FROM tr LEFT JOIN ev ON tr.shingle_key = ev.shingle_key
             GROUP BY tr.doc_id)
     SELECT d.doc_id,
            coalesce(n_shingles, 0) AS n_shingles,
@@ -48,8 +51,9 @@ _SH5_CTE = """
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: training docs sharing any word-5-gram with
-    the eval slice (doc_id % 97 = 0) are flagged. Eval shingles broadcast;
-    the train side never shuffles on text."""
+    the eval slice (doc_id % 97 = 0) are flagged. Eval shingle KEYS
+    broadcast; the train side never shuffles shingles at all (row-local
+    distinct + 64-bit md5-prefix keys, operators/dedup.py:hashed_shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
@@ -177,30 +181,35 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_source_overlap",
-    # word-5-gram shingles, 1-indexed DuckDB arrays: i = 1 .. len-4
+    # word-5-gram shingles, 1-indexed DuckDB arrays: i = 1 .. len-4;
+    # keyed on the 64-bit md5 prefix exactly like the Spark side
     oracle="""
     WITH t AS (
       SELECT source, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
     ),
     h AS (
-      SELECT DISTINCT source AS src,
-             unnest(list_transform(range(1, len(a) - 3),
-                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
-                              || a[i+3] || ' ' || a[i+4])) AS shingle
-      FROM t WHERE len(a) >= 5
+      SELECT DISTINCT src, substr(md5(shingle), 1, 16) AS shingle_key
+      FROM (
+        SELECT source AS src,
+               unnest(list_transform(range(1, len(a) - 3),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                                || a[i+3] || ' ' || a[i+4])) AS shingle
+        FROM t WHERE len(a) >= 5
+      )
     )
     SELECT a.src AS source_a,
            b.src AS source_b,
            CAST(count(*) AS BIGINT) AS n_shared
-    FROM h a JOIN h b ON a.shingle = b.shingle AND a.src < b.src
+    FROM h a JOIN h b ON a.shingle_key = b.shingle_key AND a.src < b.src
     GROUP BY 1, 2
     """,
 )
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate contamination matrix
-    (operators/corpus.py:source_overlap): distinct (source, word-5-gram)
-    pairs self-joined on shingle, counted per unordered source pair. The
-    pre-mixing provenance report of a curation pipeline."""
+    (operators/corpus.py:source_overlap): distinct (source, shingle-key)
+    pairs — 64-bit md5-prefix keys, never n-gram text — grouped by key,
+    counted per unordered source pair. The pre-mixing provenance report
+    of a curation pipeline."""
     from ..operators.corpus import source_overlap
 
     return source_overlap(load_table(spark, sf_dir, "documents"), n=5)
@@ -284,17 +293,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 'train' END AS split
             FROM k),
     t AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS a FROM lab),
-    sh AS (SELECT DISTINCT doc_id, split,
-                  unnest(list_transform(range(1, len(a) - 3),
-                         i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
-                              || a[i+3] || ' ' || a[i+4])) AS shingle
-           FROM t WHERE len(a) >= 5),
-    tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    sh AS (SELECT DISTINCT doc_id, split, substr(md5(shingle), 1, 16) AS shingle_key
+           FROM (SELECT doc_id, split,
+                        unnest(list_transform(range(1, len(a) - 3),
+                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                                    || a[i+3] || ' ' || a[i+4])) AS shingle
+                 FROM t WHERE len(a) >= 5)),
+    tr AS (SELECT DISTINCT shingle_key FROM sh WHERE split = 'train'),
     ev AS (SELECT * FROM sh WHERE split <> 'train'),
     per AS (SELECT ev.doc_id, ev.split,
-                   CAST(count(*) AS BIGINT)          AS n_shingles,
-                   CAST(count(tr.shingle) AS BIGINT) AS n_train_hits
-            FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+                   CAST(count(*) AS BIGINT)              AS n_shingles,
+                   CAST(count(tr.shingle_key) AS BIGINT) AS n_train_hits
+            FROM ev LEFT JOIN tr ON ev.shingle_key = tr.shingle_key
             GROUP BY ev.doc_id, ev.split)
     SELECT l.doc_id, l.split,
            coalesce(n_shingles, 0)     AS n_shingles,
@@ -309,26 +319,26 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py:split_assign) composed with shingle
     decontamination — every test/val document sharing any word-5-gram with
     the training split is flagged before the eval set is trusted. Scale
-    shape: the holdout side is tiny by construction (2% of the corpus), so
-    its shingles behave like decontaminate's eval side; the train shingles
-    stream through one distinct + join keyed on shingle. The holdout never
-    decides anything by luck: assignments are the same keyed-hash ranges
-    the split operator itself uses."""
+    shape: the split label rides through the shingle explode as a map-side
+    keep_col (no corpus-wide join to re-attach it), per-document distinct
+    is row-local, and everything downstream is keyed on the 64-bit
+    md5-prefix shingle key — the train-side distinct and the
+    holdout↔train join ship fixed-width keys, never n-gram text. The
+    holdout never decides anything by luck: assignments are the same
+    keyed-hash ranges the split operator itself uses."""
     from ..operators.corpus import split_assign
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import hashed_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     # keep_cols keeps the labeling a pure projection — no corpus-wide join
     # just to attach the split column
     labeled = split_assign(docs, test_pct=0.01, val_pct=0.01, keep_cols=("text",))
-    sh = word_shingles(labeled.select("doc_id", "text"), "doc_id", "text", n=5).join(
-        labeled.select("doc_id", "split"), "doc_id"
-    )
-    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    sh = hashed_shingles(labeled, "doc_id", "text", n=5, keep_cols=("split",))
+    train_sh = sh.filter(F.col("split") == "train").select("shingle_key").distinct()
     holdout_sh = sh.filter(F.col("split") != "train")
     per = (
         holdout_sh.join(
-            train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+            train_sh.withColumn("_hit", F.lit(1)), "shingle_key", "left"
         )
         .groupBy("doc_id", "split")
         .agg(

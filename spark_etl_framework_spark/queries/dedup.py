@@ -18,6 +18,14 @@ _SHINGLES_CTE = """
            FROM t WHERE len(a) >= 3)
 """
 
+#: fixed-width shingle keys — mirrors operators/dedup.py:hashed_shingles
+#: (substr(md5(shingle), 1, 16)); the exact-set legs join/count on this key
+#: so shingle TEXT never crosses a Spark exchange, and DuckDB computes the
+#: identical key so values (including any collision) match bit-for-bit.
+_HSH_CTE = """,
+    hsh AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS shingle_key FROM sh)
+"""
+
 _SIG_CTE = (
     _SHINGLES_CTE
     + """,
@@ -65,9 +73,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-seed MinHash signature rows per document (word-3-gram shingles)."""
+    """8-seed MinHash signature rows per document (word-3-gram shingles).
+    The shingle stream is NON-distinct (MIN is duplicate-insensitive), so
+    the only exchange is the signature groupBy's partial-aggregated min —
+    shingle text never crosses the wire."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sh = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     return D.minhash_signatures(sh, "doc_id", k=8)
 
 
@@ -93,7 +104,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sh = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     sized = bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
@@ -117,7 +128,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (equi-join on band bucket)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sh = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     return D.lsh_candidate_pairs(bands, "doc_id")
 
@@ -126,14 +137,16 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_topk",
     # max_df=100 hot-shingle cap mirrored on both sides: shingles in >100
     # documents are dropped from the inverted index before the self-join
-    # (the quadratic-join-key scale guard; see operators/dedup.py).
+    # (the quadratic-join-key scale guard; see operators/dedup.py). The
+    # index is keyed on the fixed-width md5 prefix (hashed_shingles), so
+    # the oracle caps/joins the identical key.
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    fsh AS (SELECT * FROM sh WHERE shingle IN
-              (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+    WITH {_SHINGLES_CTE}{_HSH_CTE},
+    fsh AS (SELECT * FROM hsh WHERE shingle_key IN
+              (SELECT shingle_key FROM hsh GROUP BY shingle_key HAVING count(*) <= 100)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM fsh a JOIN fsh b ON a.shingle_key = b.shingle_key AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b,
            round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -207,7 +220,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sh = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     pairs = D.lsh_candidate_pairs(bands, "doc_id")
     comp = D.connected_components(pairs, "id_a", "id_b")
@@ -259,7 +272,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components / k) vs exact shingle Jaccard, per LSH candidate pair —
     # the dedup analogue of vector_ann_recall's quality report.
     oracle=f"""
-    WITH {_BANDS_CTE},
+    WITH {_BANDS_CTE}{_HSH_CTE},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
                ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -271,11 +284,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sig sa ON sa.doc_id = c.id_a
             JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
             GROUP BY c.id_a, c.id_b),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              JOIN hsh a ON a.doc_id = c.id_a
+              JOIN hsh b ON b.doc_id = c.id_b AND b.shingle_key = a.shingle_key
               GROUP BY c.id_a, c.id_b)
     SELECT e.id_a, e.id_b, e.est_jaccard,
            round(COALESCE(i.n_inter, 0)
@@ -295,13 +308,15 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard, with absolute error — how a pipeline decides whether k
     signatures suffice before trusting estimate-only dedup at full scale.
     Costs: the candidate set (never n²) joined against the k-wide
-    signature relation (narrow, one row per doc) and the shingle
-    inverted index (exact leg, candidates only)."""
+    signature relation (narrow, one row per doc) and the hashed-key
+    inverted index (exact leg, candidates only; shingle text never
+    shuffles — signatures come off the non-distinct stream, set
+    arithmetic off hashed_shingles' row-local 64-bit keys)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3).persist()
-    wide = D.minhash_wide(sh, "doc_id", k=8)
+    raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
+    wide = D.minhash_wide(raw, "doc_id", k=8)
     bands = D.lsh_bands_wide(wide, "doc_id", k=8, rows_per_band=2)
     cand = D.lsh_candidate_pairs(bands, "doc_id")
     wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(8)])
@@ -313,11 +328,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(wa, "id_a").join(wb, "id_b")
         .select("id_a", "id_b", F.round(match_frac, 6).alias("est_jaccard"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
+    b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")
     inter = (
-        cand.join(a, "id_a").join(b, ["id_b", "shingle"])
+        cand.join(a, "id_a").join(b, ["id_b", "shingle_key"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -343,16 +359,16 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetric Jaccard stays low — the doc-in-doc duplication Jaccard
     # misses. Computed only on LSH candidates, like verified_pairs.
     oracle=f"""
-    WITH {_BANDS_CTE},
+    WITH {_BANDS_CTE}{_HSH_CTE},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
                ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              JOIN hsh a ON a.doc_id = c.id_a
+              JOIN hsh b ON b.doc_id = c.id_b AND b.shingle_key = a.shingle_key
               GROUP BY c.id_a, c.id_b)
     SELECT c.id_a, c.id_b,
            round(COALESCE(i.n_inter, 0) / sa.n_sh, 6) AS containment_a,
@@ -370,18 +386,21 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-style duplication (one document quoted or embedded in another)
     that symmetric Jaccard under-scores: C(A,B)=|A∩B|/|A| nears 1 for the
     contained side regardless of the container's size. Same cost model as
-    the verified-pairs query: the exact leg touches candidates only."""
+    the verified-pairs query: the exact leg touches candidates only, and
+    both legs keep shingle text off the wire (non-distinct stream for
+    signatures, hashed_shingles' row-local 64-bit keys for the sets)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3).persist()
-    bands = D.lsh_bands_wide(D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
+    raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
+    bands = D.lsh_bands_wide(D.minhash_wide(raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     cand = D.lsh_candidate_pairs(bands, "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
+    b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")
     inter = (
-        cand.join(a, "id_a").join(b, ["id_b", "shingle"])
+        cand.join(a, "id_a").join(b, ["id_b", "shingle_key"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -302,12 +302,12 @@ def text_tokenstats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reconstructs the same fraction by summing hex-digit place values.
     oracle="""
     WITH toks AS (
-      SELECT DISTINCT lang AS grp,
+      SELECT lang AS grp,
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents
     ),
     hashed AS (
-      SELECT grp,
+      SELECT DISTINCT grp,
              list_sum(list_transform(range(1, 9),
                i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
                     * power(16.0, 8 - i))) / power(16.0, 8) AS h

@@ -202,6 +202,46 @@ def test_source_overlap_single_shuffle_no_text(spark, sf_dir):
         assert not re.search(r"\btext#\d+", line), f"raw text shuffled:\n{line.strip()}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_signatures",
+        "dedup_lsh_pairs",
+        "dedup_lsh_verified_pairs",
+        "dedup_minhash_estimate_error",
+        "dedup_containment_pairs",
+        "dedup_ngram_jaccard_topk",
+        "corpus_decontaminate",
+        "corpus_source_overlap",
+        "corpus_split_leakage",
+    ],
+)
+def test_no_shingle_text_crosses_exchange(spark, sf_dir, name):
+    """The round-4 dedup-family contract: raw shingle STRINGS (n words of
+    text — several× corpus bytes at 100 TB) never cross an exchange. The
+    MinHash path aggregates the non-distinct stream map-side (MIN is
+    duplicate-insensitive); every set-arithmetic leg keys on
+    hashed_shingles' fixed-width md5 prefix (column shingle_key — allowed;
+    the regex matches the text column `shingle` only)."""
+    plan = _initial_plan(QUERIES[name](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            m = re.search(r"\b(shingle|text)#\d+", line)
+            assert m is None, (
+                f"{name} shuffles raw shingle/document text:\n{line.strip()}"
+            )
+
+
+def test_minhash_signature_single_exchange(spark, sf_dir):
+    """Deleting the shingle DISTINCT must leave the signature path exactly
+    one hash exchange: the partially-aggregated k-min groupBy on doc_id
+    (k × 32-byte digests per doc-partition). A 2nd exchange means the
+    corpus-wide shingle distinct crept back in."""
+    plan = _initial_plan(QUERIES["dedup_minhash_signatures"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, "signature path regained a shuffle:\n" + "\n".join(exchanges)
+
+
 def test_kmeans_exchange_inventory(spark, sf_dir):
     """kmeans_cells (k=4, iters=2): centroids reach the corpus via
     BroadcastExchange (never a shuffle of the k-times-expanded scored
