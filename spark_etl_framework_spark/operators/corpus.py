@@ -361,16 +361,20 @@ def bm25_topk(
     1-row aggregate broadcast; the idf join is UNHINTED for the same
     Heaps'-law reason as tfidf (AQE broadcasts the vocabulary while it
     fits).
+
+    Corpus size N = countDistinct(id) over the INPUT — the same
+    definition tfidf_topk uses, so the two scorers agree on N even when
+    empty-text documents exist (avgdl still averages over documents with
+    at least one token, which is the standard Okapi denominator).
     """
     terms, tf = _term_counts(df, id_col, text_col)
     dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.select(
-        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
-    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    stats = dl.select(F.avg("dl").alias("_avgdl"))
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
-        .crossJoin(F.broadcast(stats.select("_n")))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias("idf"),
@@ -378,7 +382,7 @@ def bm25_topk(
     )
     scored = (
         tf.join(dl, id_col)
-        .crossJoin(F.broadcast(stats.select("_avgdl")))
+        .crossJoin(F.broadcast(stats))
         .join(idf, "term")
         .select(
             F.col(id_col),

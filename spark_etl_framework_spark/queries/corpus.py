@@ -251,7 +251,10 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms_f AS (SELECT * FROM terms WHERE term <> ''),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms_f GROUP BY 1, 2),
     dl AS (SELECT doc_id, count(*) AS dl FROM terms_f GROUP BY 1),
-    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    -- N = all distinct input docs (tfidf's definition); avgdl over docs
+    -- with >= 1 token (standard Okapi denominator)
+    stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+                     avg(dl) AS avgdl FROM dl),
     idf AS (SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1) AS idf
             FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), stats s),
     scored AS (

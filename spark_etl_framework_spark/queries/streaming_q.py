@@ -32,9 +32,21 @@ def _file_stream_dir(sf_dir: str, filename: str, prefix: str) -> str:
     try:
         os.symlink(target, link)
     except FileExistsError:
-        if os.path.islink(link) and os.readlink(link) != target:
-            os.remove(link)
-            os.symlink(target, link)
+        # anything already at the path that is NOT a symlink to our target
+        # (a regular file, or a link elsewhere) is stale data — remove and
+        # re-link. Both steps tolerate a concurrent process doing the same
+        # dance: a lost remove race is fine (FileNotFoundError), and a lost
+        # link race is fine iff the winner linked the same target.
+        if not (os.path.islink(link) and os.readlink(link) == target):
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                pass
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                if not (os.path.islink(link) and os.readlink(link) == target):
+                    raise
     return stream_dir
 
 

@@ -84,7 +84,17 @@ class JdbcReader(Actor):
             cur = conn.cursor()
             cur.execute(f"SELECT * FROM {self.connection_dbtable}")  # noqa: S608
             cols = [d[0] for d in cur.description]
-            rows = cur.fetchmany(max_rows + 1)
+            # DB-API only says fetchmany(size) "should try" to return size
+            # rows — a driver may return one arraysize batch per call, so a
+            # single fetchmany(max_rows + 1) could silently truncate the
+            # relation AND never trip the maxRows guard. Loop until the
+            # cursor is exhausted or the cap is provably exceeded.
+            rows: list = []
+            while len(rows) <= max_rows:
+                batch = cur.fetchmany(max_rows + 1 - len(rows))
+                if not batch:
+                    break
+                rows.extend(batch)
         finally:
             conn.close()
         if len(rows) > max_rows:

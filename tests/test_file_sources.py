@@ -188,6 +188,39 @@ def test_jdbc_reader_dbapi_guards(spark, tmp_path):
     assert out.count() == 0 and out.columns == ["k", "v"]
 
 
+def test_jdbc_reader_loops_small_fetchmany_batches(spark, tmp_path):
+    """DB-API drivers may return fewer rows per fetchmany than requested
+    ('should try'); the reader must loop to exhaustion, so a tiny-batch
+    driver neither truncates the relation nor dodges the maxRows guard."""
+    import sqlite3
+
+    import pytest
+
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+    from spark_etl_framework_spark.sources.jdbc import JdbcReader
+
+    db = str(tmp_path / "tb.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE big (k INTEGER)")
+    conn.executemany("INSERT INTO big VALUES (?)", [(i,) for i in range(10)])
+    conn.commit()
+    conn.close()
+    jctx = JobContext(PipelineContext(), spark)
+
+    def reader(**kw):
+        return JdbcReader(
+            connect="spark_etl_framework_spark.testing.sqlite_connect_tiny_batches",
+            **kw,
+        )
+
+    # full relation arrives despite 3-row batches
+    out = reader(connection={"url": db, "dbtable": "big"}).run(jctx, spark)
+    assert sorted(r["k"] for r in out.collect()) == list(range(10))
+    # and the cap still trips even though no single batch exceeds it
+    with pytest.raises(ValueError, match="maxRows"):
+        reader(connection={"url": db, "dbtable": "big"}, maxRows=5).run(jctx, spark)
+
+
 def test_jdbc_reader_ddl_schema_reorders_by_name(spark, tmp_path):
     """ddlSchemaString fields in a different order than the table's columns
     bind BY NAME (not positionally), so compatible adjacent types can't be
