@@ -242,6 +242,65 @@ def test_minhash_signature_single_exchange(spark, sf_dir):
     assert len(exchanges) == 1, "signature path regained a shuffle:\n" + "\n".join(exchanges)
 
 
+def test_bm25_idf_relation_never_force_broadcast(spark, sf_dir):
+    """bm25_topk mirrors tfidf's Heaps'-law rationale: the vocabulary (idf)
+    relation grows unboundedly with corpus size, so OUR code may hint only
+    the 1-row aggregates (N, avgdl) — the idf join must stay unhinted for
+    AQE to size at runtime. Every ResolvedHint must therefore wrap a
+    GLOBAL (grouping-free → 1-row) Aggregate; a hint whose root is grouped
+    or is the raw idf relation is a forced vocabulary broadcast."""
+    for subtree in _hint_subtrees(QUERIES["text_bm25_topk"](spark, sf_dir)):
+        root = subtree.splitlines()[1].strip().lstrip("+- ")
+        # global aggregate prints ONE bracket group: `Aggregate [avg(..) AS _avgdl#..]`;
+        # a grouped aggregate prints two: `Aggregate [term#..], [..]`
+        assert re.fullmatch(r"Aggregate \[[^\[\]]*\]", root), (
+            "bm25 forces a broadcast of a non-1-row relation:\n" + subtree[:400]
+        )
+
+
+def test_kmv_tournament_two_stage_window(spark, sf_dir):
+    """kmv_distinct's exact k-min must stay a two-stage tournament: an
+    inner row_number window partitioned by (grp, bucket) — many bounded
+    tasks — then the outer merge window on grp over ≤ 32k candidate rows.
+    A single window over the unbucketed group would sort a whole group's
+    distinct-hash set in one task (the skew cliff at 100 TB)."""
+    plan = _initial_plan(QUERIES["text_kmv_distinct"](spark, sf_dir))
+    windows = [
+        l for l in plan.splitlines()
+        if "row_number() windowspecdefinition" in l
+    ]
+    assert len(windows) == 2, f"expected 2 window stages, saw {len(windows)}"
+    assert any(re.search(r"windowspecdefinition\(grp#\d+, b#\d+", l) for l in windows), (
+        "inner tournament stage lost its bucket key — single-task group sort:\n"
+        + "\n".join(w.strip()[:150] for w in windows)
+    )
+
+
+def test_retention_cohorts_unhinted_join(spark, sf_dir):
+    """events_retention_cohorts' first-seen relation is user-count-
+    proportional; the user join must carry NO forced hint so AQE broadcasts
+    it only while it fits. (Any broadcast visible in the initial physical
+    plan here comes from size estimation, which AQE re-checks at runtime —
+    a ResolvedHint would pin it forever.)"""
+    hints = _hint_subtrees(QUERIES["events_retention_cohorts"](spark, sf_dir))
+    assert hints == [], (
+        "retention join gained a forced hint:\n" + "\n".join(h[:200] for h in hints)
+    )
+
+
+def test_split_leakage_exchange_budget(spark, sf_dir):
+    """corpus_split_leakage after the hashed-shingle rework: split labels
+    ride the explode map-side (no corpus-wide label join), so the plan
+    needs at most the train-key distinct, the holdout↔train key join
+    sides, the per-doc count, and the final report join — and (per
+    test_no_shingle_text_crosses_exchange) none of them carries text."""
+    plan = _initial_plan(QUERIES["corpus_split_leakage"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 5, "extra shuffle crept in:\n" + "\n".join(
+        e.strip()[:150] for e in exchanges
+    )
+
+
 def test_kmeans_exchange_inventory(spark, sf_dir):
     """kmeans_cells (k=4, iters=2): centroids reach the corpus via
     BroadcastExchange (never a shuffle of the k-times-expanded scored
