@@ -1,0 +1,129 @@
+"""Corpus-curation actors: dedup policies as first-class pipeline steps.
+
+The reference's pipeline model treats every transformation as a pluggable
+actor resolved by alias or dotted class path (reference:
+etl/pipeline/builder/JsonPipelineBuilder.scala:265 — reflective actor
+instantiation; the alias table is this engine's
+plans/registry.py). These actors package the LLM-data dedup operators
+(operators/dedup.py) behind that contract so a YAML pipeline can run a
+containment-aware dedup write-back without leaving the framework.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.context import JobContext
+from .base import Actor
+
+
+class ContainmentDedupTransformer(Actor):
+    """Containment-aware near-duplicate removal over an input view.
+
+    Finds LSH candidate pairs (MinHash bands over word n-gram shingles),
+    computes asymmetric shingle containment C(A,B) = |A∩B| / |A| per pair,
+    and drops documents by the subset-dup policy:
+
+    - both sides contained (>= ``threshold``): near-identical pair — keep
+      the smaller id (deterministic canonical choice);
+    - one side contained: that document is quoted/embedded inside the
+      other — drop the CONTAINED doc, keep the container, regardless of
+      which id is smaller. This is the case symmetric Jaccard dedup
+      misses: a short doc pasted into a long one scores low Jaccard but
+      containment ~1 on the short side.
+
+    A document flagged as contained in ANY pair is dropped (single-pass
+    policy; containment chains collapse to their maximal container in one
+    sweep for clique-shaped duplication, which is what boilerplate
+    reuse produces).
+
+    Scale shape is the dedup family's: signatures aggregate the
+    non-distinct shingle stream map-side, the exact legs join on
+    hashed_shingles' row-local fixed-width keys, candidates are
+    band-bucketed (never all-pairs) — shingle text never crosses an
+    exchange. The anti-join back to the corpus ships only dropped ids.
+    """
+
+    view: str | None = None
+    idField: str = "doc_id"
+    textField: str = "text"
+    n: int = 3
+    k: int = 8
+    rowsPerBand: int = 2
+    threshold: float = 0.8
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.view:
+            raise ValueError("ContainmentDedupTransformer: input view required")
+        if not (0.0 < float(self.threshold) <= 1.0):
+            raise ValueError(
+                f"ContainmentDedupTransformer: threshold must be in (0, 1], "
+                f"got {self.threshold}"
+            )
+        ctx.reference(self.view)
+        df = spark.table(self.view)
+        drops = containment_drop_ids(
+            df,
+            id_col=self.idField,
+            text_col=self.textField,
+            n=int(self.n),
+            k=int(self.k),
+            rows_per_band=int(self.rowsPerBand),
+            threshold=float(self.threshold),
+        )
+        return df.join(
+            drops, df[self.idField] == drops["drop_id"], "left_anti"
+        )
+
+
+def containment_drop_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The drop set of the containment policy: one ``drop_id`` row per
+    document to remove (see :class:`ContainmentDedupTransformer` for the
+    policy). Split out so the policy itself is unit-testable on crafted
+    pair shapes without the pipeline machinery."""
+    from . import dedup as D
+
+    raw = D.word_shingles(df, id_col, text_col, n, distinct=False)
+    bands = D.lsh_bands_wide(
+        D.minhash_wide(raw, id_col, k=k), id_col, k=k, rows_per_band=rows_per_band
+    )
+    cand = D.lsh_candidate_pairs(bands, id_col)
+    hsh = D.hashed_shingles(df, id_col, text_col, n)
+    sizes = hsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hsh.select(F.col(id_col).alias("id_a"), "shingle_key")
+    b = hsh.select(F.col(id_col).alias("id_b"), "shingle_key")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle_key"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    ni = F.coalesce("n_inter", F.lit(0))
+    ca, cb = ni / F.col("n_a"), ni / F.col("n_b")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            # mutual containment: near-identical, keep min id (id_a < id_b
+            # by construction, so id_b drops). One-sided: drop the
+            # contained side whichever id it carries.
+            F.when((ca >= threshold) & (cb >= threshold), F.col("id_b"))
+            .when(ca >= threshold, F.col("id_a"))
+            .when(cb >= threshold, F.col("id_b"))
+            .alias("drop_id")
+        )
+        .filter(F.col("drop_id").isNotNull())
+        .distinct()
+    )

@@ -165,10 +165,12 @@ _PRIORITY: tuple[str, ...] = (
     "stream_batch_join",  # anchor (r3-green)
     "stream_tumbling_window",  # anchor
     "stream_stateful_running_stats",  # anchor
-    # pipeline orchestration
+    # pipeline orchestration: NEW containment write-back policy in
+    # (round-4 addition, never driver-verified; pipeline_sql_transform
+    # rotates out — r1/r2/r3-green)
+    "pipeline_containment_writeback",
     "pipeline_dedup_writeback",  # anchor (r3-green)
     "pipeline_corpus_curation",  # anchor (r3-green)
-    "pipeline_sql_transform",  # anchor
     "pipeline_validate_filter",  # anchor
     # external-format roundtrips
     "jdbc_read_roundtrip",  # anchor (r3-green)

@@ -182,6 +182,115 @@ def pipeline_dedup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_containment_writeback",
+    # the containment policy end-to-end: LSH candidates → asymmetric
+    # containment → drop contained docs (mutual: keep min id) → write-back.
+    # CTE chain mirrors operators/curation.py:containment_drop_ids
+    # (minhash over text shingles = minhash over the non-distinct stream;
+    # exact legs on the 64-bit md5-prefix key).
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(a) - 1),
+                                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+           FROM t WHERE len(a) >= 3),
+    hx AS (SELECT doc_id, seed, md5(seed::VARCHAR || ':' || shingle) AS h
+           FROM sh, generate_series(0, 7) AS s(seed)),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
+            FROM hx GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_id,
+                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, (seed // 2)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    hsh AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS shingle_key FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN hsh a ON a.doc_id = c.id_a
+              JOIN hsh b ON b.doc_id = c.id_b AND b.shingle_key = a.shingle_key
+              GROUP BY c.id_a, c.id_b),
+    cont AS (SELECT c.id_a, c.id_b,
+                    COALESCE(i.n_inter, 0) / sa.n_sh AS ca,
+                    COALESCE(i.n_inter, 0) / sb.n_sh AS cb
+             FROM cand c
+             JOIN sizes sa ON sa.doc_id = c.id_a
+             JOIN sizes sb ON sb.doc_id = c.id_b
+             LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b),
+    drops AS (SELECT DISTINCT CASE
+                   WHEN ca >= 0.8 AND cb >= 0.8 THEN id_b
+                   WHEN ca >= 0.8 THEN id_a
+                   ELSE id_b END AS drop_id
+              FROM cont WHERE ca >= 0.8 OR cb >= 0.8)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+    """,
+)
+def pipeline_containment_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-aware dedup as a FRAMEWORK policy: FileReader loads
+    documents, the containment-dedup-transformer actor
+    (operators/curation.py) drops subset-duplicates — keep the container,
+    drop the contained; mutual containment keeps the min id — and
+    FileWriter materializes the curated corpus. The query returns what was
+    WRITTEN, so the whole policy (LSH candidates, asymmetric containment,
+    canonical choice, sink) sits inside the hash-checked path."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="pipeline_containment_wb_"), "curated"
+    )
+    defn = {
+        "version": "1.0.0",
+        "name": "containment-writeback",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-docs",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pc_docs"},
+                    },
+                    {
+                        "name": "containment-dedup",
+                        "actor": {
+                            "type": "containment-dedup-transformer",
+                            "properties": {"threshold": "0.8"},
+                        },
+                        "input-views": ["pc_docs"],
+                        "output-view": {"name": "pc_curated"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pc_curated"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir).select("doc_id", "lang", "source")
+
+
+@register(
     "pipeline_validate_filter",
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
