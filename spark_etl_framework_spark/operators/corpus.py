@@ -44,6 +44,10 @@ def decontaminate(
     shrinks the broadcast itself ~3-4× vs raw n-gram text. Documents
     shorter than ``n`` tokens have zero shingles and are reported with
     n_shingles = 0.
+
+    Precondition (inherited from hashed_shingles' row-local distinct):
+    ``id_col`` is unique per row on BOTH inputs; pre-dedup with
+    ``dropDuplicates([id_col])`` if it can repeat.
     """
     from .dedup import hashed_shingles
 

@@ -43,6 +43,9 @@ class ContainmentDedupTransformer(Actor):
     hashed_shingles' row-local fixed-width keys, candidates are
     band-bucketed (never all-pairs) — shingle text never crosses an
     exchange. The anti-join back to the corpus ships only dropped ids.
+
+    Precondition (inherited from hashed_shingles' row-local distinct):
+    ``idField`` is unique per row of the input view.
     """
 
     view: str | None = None
@@ -96,8 +99,12 @@ def containment_drop_ids(
     bands = D.lsh_bands_wide(
         D.minhash_wide(raw, id_col, k=k), id_col, k=k, rows_per_band=rows_per_band
     )
-    cand = D.lsh_candidate_pairs(bands, id_col)
-    hsh = D.hashed_shingles(df, id_col, text_col, n)
+    # narrow-relation persists (pairs and keys, never text): cand feeds
+    # the intersection AND the final policy join, hsh feeds sizes and both
+    # inverted-index sides; ContextCleaner reclaims the blocks after the
+    # returned DataFrame's lineage is garbage-collected
+    cand = D.lsh_candidate_pairs(bands, id_col).persist()
+    hsh = D.hashed_shingles(df, id_col, text_col, n).persist()
     sizes = hsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col(id_col).alias("id_a"), "shingle_key")
     b = hsh.select(F.col(id_col).alias("id_b"), "shingle_key")

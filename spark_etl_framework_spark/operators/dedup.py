@@ -127,6 +127,13 @@ def hashed_shingles(
 
     ``keep_cols`` carries extra per-row columns through the explode
     (map-side projection, no join needed to re-attach labels).
+
+    CONTRACT: with the default ``row_unique=True`` the caller promises
+    ``id_col`` appears on at most one input row. A duplicated id row
+    re-emits its keys (sizes double, intersections quadruple), which the
+    old corpus-wide text DISTINCT would have absorbed — if ids can
+    repeat, pass ``row_unique=False`` (global distinct on the narrow
+    key pair) or pre-dedup with ``dropDuplicates([id_col])``.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     keys = F.array_distinct(
@@ -302,6 +309,9 @@ def ngram_jaccard_topk(
     Σdf² struct allocations and per-element array slices beat the codegen'd
     join only when buckets are tiny, which LSH bands are and shingle
     postings are not.
+
+    Precondition (inherited from :func:`hashed_shingles` row-local
+    distinct): ``id_col`` is unique per input row.
     """
     from pyspark.sql import Window as W
 

@@ -218,23 +218,25 @@ def kmv_distinct(
     huge group. The k surviving values are the sketch; sketches of
     disjoint corpora merge by keeping the k smallest of their union.
 
-    The distinct happens AFTER hashing, on (group, fraction) — an 8-byte
-    double on the wire instead of token text. The sketch estimates the
-    number of distinct HASH values by construction, so distinct-hash count
-    is also the honest calibration baseline for ``exact_distinct`` (two
-    tokens sharing a 32-bit md5 prefix merge identically in both engines —
-    the md5 math is bit-for-bit mirrored in DuckDB). Hash = first 8 md5
-    hex chars as a 32-bit fraction.
+    The distinct happens AFTER hashing, on (group, full-md5) — a fixed
+    32-hex-char key on the wire instead of token text, and distinct-md5
+    count IS distinct-token count for any physically reachable cardinality
+    (128-bit birthday collisions need ~2^64 distinct tokens; a 32-BIT
+    prefix would already undercount ~12% at 1e9 distinct tokens, which is
+    why the distinct uses the full digest and only the FRACTION comes from
+    the first 8 hex chars). md5 is bit-for-bit mirrored in DuckDB, so the
+    exact leg stays a true baseline on both engines.
     """
     hashed = (
         df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
+        .select("grp", F.md5("tok").alias("hk"))
+        .distinct()
         .select(
             "grp",
-            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("double") / F.lit(float(16**8)))
+            (F.conv(F.substring(F.col("hk"), 1, 8), 16, 10).cast("double") / F.lit(float(16**8)))
             .alias("h"),
         )
-        .distinct()
     )
     from pyspark.sql import Window as W
 

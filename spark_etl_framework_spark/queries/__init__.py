@@ -118,10 +118,13 @@ def _load_all() -> None:
 #: dedup_lsh_bucket_stats, dedup_clusters, vector_norm_stats,
 #: vector_quantize_int8, text_fingerprint, text_topk_sample_per_stratum.
 #: Each family keeps at least one driver-green anchor so no family drops
-#: out. With these 11 green, every registry query will have held a
-#: driver-verified row in some round (135/135 union coverage). Everything
-#: not listed keeps its module registration order after the prioritized
-#: block; nothing is dropped.
+#: out. The round-4 addition pipeline_containment_writeback (registry
+#: entry #136) is ALSO in the window, displacing the thrice-verified
+#: pipeline_sql_transform — so a fully green round leaves every one of
+#: the 136 registry queries driver-verified at least once (136/136 union
+#: coverage; 11 green without it = 135/136). Everything not listed keeps
+#: its module registration order after the prioritized block; nothing is
+#: dropped.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H: Q1 anchors; Q2/Q11/Q17/Q20/Q22 rotated out (r3-green)
     "q1_pricing_summary",  # anchor (r2+r3-green)

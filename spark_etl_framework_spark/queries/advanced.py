@@ -138,7 +138,9 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     bands = D.lsh_bands_wide(D.minhash_wide(raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     cand = D.lsh_candidate_pairs(bands, "doc_id")
-    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    # hsh (narrow (id, 16-char key) rows — never text) has 3 consumers;
+    # ContextCleaner frees the blocks once the DataFrames are GC'd
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3).persist()
     sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
     b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")

@@ -316,9 +316,15 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
-    wide = D.minhash_wide(raw, "doc_id", k=8)
+    # persist the narrow multiply-consumed relations (wide: one k×32B row
+    # per doc, feeds bands + both estimator sides; cand: the pair set,
+    # joined twice; hsh below: (id, 16-char key), three consumers) so the
+    # scan+tokenize+hash lineage runs once — unlike round 3 this caches
+    # keys/digests, never shingle text, and Spark's ContextCleaner frees
+    # the blocks once the query's DataFrames are garbage-collected
+    wide = D.minhash_wide(raw, "doc_id", k=8).persist()
     bands = D.lsh_bands_wide(wide, "doc_id", k=8, rows_per_band=2)
-    cand = D.lsh_candidate_pairs(bands, "doc_id")
+    cand = D.lsh_candidate_pairs(bands, "doc_id").persist()
     wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(8)])
     wb = wide.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(8)])
     match_frac = sum(
@@ -328,7 +334,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(wa, "id_a").join(wb, "id_b")
         .select("id_a", "id_b", F.round(match_frac, 6).alias("est_jaccard"))
     )
-    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3).persist()
     sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
     b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")
@@ -394,8 +400,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     bands = D.lsh_bands_wide(D.minhash_wide(raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
-    cand = D.lsh_candidate_pairs(bands, "doc_id")
-    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    # narrow-relation persists (keys and pairs, never text): cand is
+    # consumed twice, hsh three times; ContextCleaner reclaims the blocks
+    # when the query's DataFrames go out of scope
+    cand = D.lsh_candidate_pairs(bands, "doc_id").persist()
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3).persist()
     sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
     b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")

@@ -306,12 +306,15 @@ def text_tokenstats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents
     ),
+    -- distinct on the FULL md5 (exact at any cardinality), fraction from
+    -- its first 8 hex chars — mirrors operators/text.py:kmv_distinct
+    dk AS (SELECT DISTINCT grp, md5(tok) AS hk FROM toks WHERE tok <> ''),
     hashed AS (
-      SELECT DISTINCT grp,
+      SELECT grp,
              list_sum(list_transform(range(1, 9),
-               i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+               i -> (strpos('0123456789abcdef', substr(hk, i, 1)) - 1)
                     * power(16.0, 8 - i))) / power(16.0, 8) AS h
-      FROM toks WHERE tok <> ''
+      FROM dk
     ),
     kth AS (
       SELECT grp, max(h) AS h_k, count(*) AS n_in_sketch
