@@ -1,0 +1,185 @@
+"""Warehouse-maintenance operators: SCD2 merge, snapshot CDC diff, profiling.
+
+The reference exposes upsert semantics as the JdbcWriter ``merge`` write
+mode (reference: etl/sink/JdbcWriter.scala:49,68-76 — a sink statement
+applied per incoming row) and leaves the dimension-history bookkeeping to
+the caller's SQL. These operators package the two classic shapes built on
+that primitive — slowly-changing-dimension type-2 history maintenance and
+snapshot change-data-capture — as single-join DataFrame transformations,
+plus the column-profiling pass an ETL framework runs before loading.
+
+Scale shape (all three): exactly ONE shuffle each.
+
+- ``scd2_merge``: one shuffle join current-history ⋈ updates on the
+  business key; row expansion (close + reopen) happens map-side after the
+  join via an exploded conditional array, so the changed-key fan-out never
+  re-shuffles. Closed history unions in shuffle-free.
+- ``snapshot_diff``: one full-outer shuffle join old ⋈ new on the key;
+  change classification is a map-side CASE over null-safe comparisons.
+- ``profile_columns``: one aggregation pass computing every per-column
+  metric at once (Spark plans multi-column ``countDistinct`` as a single
+  EXPAND + aggregate — |cols|× row expansion, still one exchange), then a
+  map-side ``stack`` unpivot of the 1-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    eff_date: str,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge.
+
+    ``history`` carries ``key``, ``attrs``, ``eff_from``/``eff_to``
+    (yyyy-MM-dd strings, ``eff_to`` NULL while current) and a boolean
+    ``is_current``. ``updates`` carries ``key`` + ``attrs`` — the latest
+    source snapshot for some subset of keys (at most one row per key).
+
+    Semantics per current row / update pair:
+
+    - attrs unchanged (null-safe) → row kept as-is;
+    - any attr changed → the current row is CLOSED (``eff_to=eff_date``,
+      ``is_current=false``) and a new current version OPENS with the
+      update's attrs (``eff_from=eff_date``);
+    - key only in updates → a brand-new current row opens;
+    - key only in history → untouched (SCD2 updates don't delete).
+
+    Already-closed history rows pass through untouched.
+    """
+    cur = history.filter(F.col(is_current))
+    closed = history.filter(~F.col(is_current))
+    u = updates.select(key, *[F.col(a).alias(f"__u_{a}") for a in attrs]).withColumn(
+        "__u_present", F.lit(True)
+    )
+    c = cur.withColumn("__c_present", F.lit(True))
+    j = c.join(u, on=key, how="full_outer")
+
+    changed = F.col("__c_present").isNotNull() & F.col("__u_present").isNotNull() & ~(
+        # null-safe: every attr equal
+        F.lit(True)
+        if not attrs
+        else _all_eq(attrs)
+    )
+    brand_new = F.col("__c_present").isNull()
+
+    def _row(attr_src: str | None, from_col, to_col, current):
+        """Struct in output column order; ``attr_src`` '__u_' uses update attrs."""
+        cols = [
+            (F.col(f"__u_{a}") if attr_src == "u" else F.col(a)).alias(a) for a in attrs
+        ]
+        return F.struct(
+            *cols,
+            from_col.alias(eff_from),
+            to_col.alias(eff_to),
+            F.lit(current).alias(is_current),
+        )
+
+    keep = _row(None, F.col(eff_from), F.col(eff_to), True)
+    close_old = _row(None, F.col(eff_from), F.lit(eff_date), False)
+    open_new = _row("u", F.lit(eff_date), F.lit(None).cast("string"), True)
+
+    rows = (
+        F.when(brand_new, F.array(open_new))
+        .when(changed, F.array(close_old, open_new))
+        .otherwise(F.array(keep))
+    )
+    merged = j.select(F.col(key), F.explode(rows).alias("__r")).select(key, "__r.*")
+    return merged.unionByName(closed.select(key, *attrs, eff_from, eff_to, is_current))
+
+
+def _all_eq(attrs: list[str]):
+    cond = None
+    for a in attrs:
+        eq = F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    cols: list[str],
+) -> DataFrame:
+    """Snapshot change-data-capture: classify every key as insert / delete /
+    update across two snapshots, emitting old and new values side-by-side.
+
+    Unchanged keys are filtered out map-side after the single full-outer
+    join, so the output is change-volume-, not snapshot-, sized.
+    """
+    o = old.select(key, *[F.col(c).alias(f"old_{c}") for c in cols]).withColumn(
+        "__o", F.lit(True)
+    )
+    n = new.select(key, *[F.col(c).alias(f"new_{c}") for c in cols]).withColumn(
+        "__n", F.lit(True)
+    )
+    j = o.join(n, on=key, how="full_outer")
+    same = None
+    for c in cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("insert"))
+        .when(F.col("__n").isNull(), F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    sel = [F.col(key), change.alias("change_type")]
+    for c in cols:
+        sel += [F.col(f"old_{c}"), F.col(f"new_{c}")]
+    return j.select(*sel).filter(F.col("change_type") != "unchanged")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: non-null count, null ratio, distinct count,
+    min/max (as strings) per column, unpivoted to one row per column.
+
+    All metrics compute in a single aggregation (multi-column distinct
+    plans as one EXPAND + partial/final aggregate — one exchange); the
+    unpivot runs on the single result row, i.e. driver-free and free.
+    """
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            f"'{c}'",
+            f"__nn_{c}",
+            f"__nd_{c}",
+            f"__mn_{c}",
+            f"__mx_{c}",
+        ]
+    stacked = row.select(
+        F.col("__total"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) "
+            "AS (column_name, n_nonnull, n_distinct, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        F.col("n_nonnull").cast("bigint").alias("n_nonnull"),
+        F.round(F.lit(1.0) - F.col("n_nonnull") / F.col("__total"), 6).alias(
+            "null_ratio"
+        ),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

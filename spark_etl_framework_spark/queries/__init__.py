@@ -101,6 +101,7 @@ def _load_all() -> None:
     from . import advanced  # noqa: F401
     from . import fileformats  # noqa: F401
     from . import corpus  # noqa: F401
+    from . import etlops  # noqa: F401
 
 
 #: Registration-order priority. External correctness harnesses sample the

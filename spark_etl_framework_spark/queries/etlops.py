@@ -1,0 +1,190 @@
+"""Warehouse-maintenance queries: SCD2 merge, snapshot CDC, profiling.
+
+The inputs are derived deterministically from the driver's tables (an
+"updates" snapshot simulated by arithmetic on customer/orders), so the
+DuckDB oracle reconstructs the exact same scenario and the driver's
+value-hash compare is exact. The operators being exercised live in
+``operators/etl.py`` (reference anchor: the JdbcWriter ``merge`` write
+mode, etl/sink/JdbcWriter.scala:49,68-76, is the reference's upsert
+primitive; these are the dimension-history / CDC shapes built on it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import etl as E
+from . import register
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+_SCD2_UPD_SQL = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 14 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+           c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS c_acctbal
+    FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+@register(
+    "etl_scd2_merge",
+    oracle=f"""
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    upd AS ({_SCD2_UPD_SQL}),
+    j AS (
+        SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
+               b.c_custkey IS NOT NULL AS in_b, u.c_custkey IS NOT NULL AS in_u,
+               b.c_mktsegment AS bseg, b.c_acctbal AS bbal,
+               u.c_mktsegment AS useg, u.c_acctbal AS ubal,
+               (b.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+                AND b.c_acctbal IS NOT DISTINCT FROM u.c_acctbal) AS same
+        FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    )
+    SELECT c_custkey, bseg AS c_mktsegment, bbal AS c_acctbal,
+           '2024-01-01' AS eff_from, CAST(NULL AS VARCHAR) AS eff_to,
+           true AS is_current
+    FROM j WHERE in_b AND (NOT in_u OR same)
+    UNION ALL
+    SELECT c_custkey, bseg, bbal, '2024-01-01', '2024-06-01', false
+    FROM j WHERE in_b AND in_u AND NOT same
+    UNION ALL
+    SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+    FROM j WHERE in_b AND in_u AND NOT same
+    UNION ALL
+    SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+    FROM j WHERE NOT in_b
+    """,
+)
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintenance: customer dim vs a simulated source snapshot.
+
+    The update snapshot touches keys %5/%7 (acctbal +100 on %7, segment
+    'MOVED' on %14 — so %5-only rows are genuine no-ops) and adds brand-new
+    keys (%13, shifted by 1e7). One shuffle join; close+reopen rows fan out
+    map-side (operators/etl.py:scd2_merge).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    history = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").alias("eff_from"),
+        F.lit(None).cast("string").alias("eff_to"),
+        F.lit(True).alias("is_current"),
+    )
+    touched = cust.filter((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0)).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+        ).alias("c_acctbal"),
+    )
+    fresh = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    updates = touched.unionByName(fresh)
+    return E.scd2_merge(
+        history, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], "2024-06-01"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot CDC diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_snapshot_cdc",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <= 7
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+               o_orderpriority,
+               o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.5 ELSE 0.0 END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 >= 2
+    ),
+    j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        THEN 'unchanged'
+                    ELSE 'update' END AS change_type,
+               o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+               o.o_orderpriority AS old_o_orderpriority,
+               n.o_orderpriority AS new_o_orderpriority,
+               o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM j WHERE change_type <> 'unchanged'
+    """,
+)
+def etl_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two simulated order snapshots: keys %10∈{8,9} insert,
+    {0,1} delete, %3 among the overlap update (price +1.5, status flip on
+    %9). One full-outer shuffle join, unchanged rows dropped map-side
+    (operators/etl.py:snapshot_diff)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    old = orders.filter(F.col("o_orderkey") % 10 <= 7).select("o_orderkey", *cols)
+    new = orders.filter(F.col("o_orderkey") % 10 >= 2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("R"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_orderpriority",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.5)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    return E.snapshot_diff(old, new, "o_orderkey", cols)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _profile_branch(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column_name,
+           CAST(count({c}) AS BIGINT) AS n_nonnull,
+           round(1.0 - count({c}) / count(*), 6) AS null_ratio,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM lineitem
+    """
+
+
+@register(
+    "etl_profile_columns",
+    oracle=" UNION ALL ".join(_profile_branch(c) for c in _PROFILE_COLS),
+)
+def etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-load data profiling over lineitem: null/distinct/min/max per
+    column in ONE aggregation pass (multi-column countDistinct plans as a
+    single EXPAND + aggregate), unpivoted map-side
+    (operators/etl.py:profile_columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return E.profile_columns(li, _PROFILE_COLS)

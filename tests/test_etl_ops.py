@@ -1,0 +1,94 @@
+"""Warehouse-maintenance operators: SCD2 / CDC / profiling invariants.
+
+Oracle parity runs in tools/check_correctness.py; these pin the semantics
+on adversarial micro-frames (nulls, no-op updates, already-closed history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_framework_spark.operators import etl as E
+
+
+def _scd2_fixture(spark):
+    history = spark.createDataFrame(
+        [
+            # already-closed version must pass through untouched
+            (1, "SEG_A", 10.0, "2023-01-01", "2024-01-01", False),
+            (1, "SEG_B", 10.0, "2024-01-01", None, True),
+            (2, "SEG_A", 20.0, "2024-01-01", None, True),
+            (3, "SEG_C", 30.0, "2024-01-01", None, True),
+            (4, None, 40.0, "2024-01-01", None, True),
+        ],
+        ["k", "seg", "bal", "eff_from", "eff_to", "is_current"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "SEG_Z", 10.0),  # changed seg -> close + open
+            (2, "SEG_A", 20.0),  # identical -> no-op
+            (4, None, 40.0),  # null attr identical (null-safe) -> no-op
+            (9, "SEG_N", 90.0),  # brand-new key
+        ],
+        ["k", "seg", "bal"],
+    )
+    return history, updates
+
+
+def test_scd2_merge_semantics(spark):
+    history, updates = _scd2_fixture(spark)
+    out = E.scd2_merge(history, updates, "k", ["seg", "bal"], "2024-06-01")
+    rows = sorted(
+        ((r["k"], r["seg"], r["eff_from"], r["eff_to"], r["is_current"]) for r in out.collect()),
+    )
+    assert rows == sorted(
+        [
+            (1, "SEG_A", "2023-01-01", "2024-01-01", False),  # passthrough
+            (1, "SEG_B", "2024-01-01", "2024-06-01", False),  # closed
+            (1, "SEG_Z", "2024-06-01", None, True),  # reopened
+            (2, "SEG_A", "2024-01-01", None, True),  # no-op
+            (3, "SEG_C", "2024-01-01", None, True),  # untouched (not in updates)
+            (4, None, "2024-01-01", None, True),  # null-safe no-op
+            (9, "SEG_N", "2024-06-01", None, True),  # new key
+        ]
+    )
+
+
+def test_scd2_merge_one_current_row_per_key(spark):
+    history, updates = _scd2_fixture(spark)
+    out = E.scd2_merge(history, updates, "k", ["seg", "bal"], "2024-06-01")
+    per_key = (
+        out.filter("is_current").groupBy("k").count().filter("count > 1").count()
+    )
+    assert per_key == 0
+    # every closed row has eff_to set; every current row has eff_to null
+    assert out.filter("is_current AND eff_to IS NOT NULL").count() == 0
+    assert out.filter("NOT is_current AND eff_to IS NULL").count() == 0
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0), (3, "C", 3.0), (5, None, 5.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 2.0), (3, "C", 9.0), (4, "D", 4.0), (5, None, 5.0)],
+        ["k", "s", "v"],
+    )
+    out = {r["k"]: r for r in E.snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert set(out) == {1, 3, 4}  # 2 and 5 (null-safe) unchanged -> dropped
+    assert out[1]["change_type"] == "delete" and out[1]["new_s"] is None
+    assert out[3]["change_type"] == "update" and (out[3]["old_v"], out[3]["new_v"]) == (3.0, 9.0)
+    assert out[4]["change_type"] == "insert" and out[4]["old_s"] is None
+
+
+def test_profile_columns_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (4, None)], ["a", "b"]
+    )
+    prof = {r["column_name"]: r for r in E.profile_columns(df, ["a", "b"]).collect()}
+    assert prof["a"]["n_nonnull"] == 4 and prof["a"]["null_ratio"] == 0.0
+    assert prof["a"]["n_distinct"] == 3
+    assert prof["a"]["min_str"] == "1" and prof["a"]["max_str"] == "4"
+    assert prof["b"]["n_nonnull"] == 2 and prof["b"]["null_ratio"] == 0.5
+    assert prof["b"]["n_distinct"] == 2
