@@ -102,6 +102,7 @@ def _load_all() -> None:
     from . import fileformats  # noqa: F401
     from . import corpus  # noqa: F401
     from . import etlops  # noqa: F401
+    from . import safety  # noqa: F401
 
 
 #: Registration-order priority. External correctness harnesses sample the
