@@ -234,3 +234,38 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("side") == 1).select(
         "o_orderkey", "last_event_id", "last_event_ts"
     )
+
+
+@register(
+    "ts_ewma_user_value",
+    oracle=f"""
+    WITH {_EV}
+    SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_str, value,
+           list_reduce(
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (acc, e) -> acc * 0.75 + 0.25 * e) AS ewma
+    FROM ev
+    """,
+)
+def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (α=0.25, exact in binary — see
+    operators/timeseries.py): ONE shuffle on user_id, then a C-speed
+    pandas scan per group. The DuckDB oracle reproduces the recurrence
+    bit-for-bit via a windowed list_reduce (which is O(n²) per key — fine
+    for an oracle, not for the engine; the applyInPandas path is O(n)).
+    The ewma column is emitted UNROUNDED: the doubles are bit-identical
+    across engines, while round(x, 6) is not (Spark rounds the shortest
+    decimal repr, DuckDB the exact binary value — a value landing exactly
+    on the half-boundary flips)."""
+    from ..operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma(ev, "user_id", ["ts", "event_id"], "value", alpha=0.25)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "value",
+        "ewma",
+    )
