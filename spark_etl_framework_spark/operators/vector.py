@@ -342,3 +342,60 @@ def kmeans_cells(
             .select(F.col("cell").alias("cid"), "c")
         )
     return assigned.select(F.col("vid").alias(id_col), F.col("cell").cast("int").alias("cell"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al., 2023, arXiv:2303.09540):
+    within each semantic cell (a cluster / label / IVF cell), a vector is
+    DROPPED when some smaller-id vector in the same cell has cosine ≥
+    ``threshold`` with it — keep-first with a deterministic id order, so
+    near-duplicate groups collapse to their minimum id.
+
+    Returns every input id with ``max_cos_prior`` (highest cosine to any
+    smaller-id cell-mate, null for each cell's first vector) and the
+    ``is_kept`` decision.
+
+    Scale shape: the pairwise scan is cell-blocked (Σ|cell|², never n²) —
+    exactly the economics of :func:`blocked_neardup_topk`; at 100 TB the
+    cell is a learned k-means cell (:func:`kmeans_cells`) sized so |cell|
+    fits a task. Then one aggregation by id and one id-keyed left join
+    back, both narrow (id + one double)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    cosine = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6
+    )
+    prior = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias(id_col), cosine.alias("_cos"))
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_cos_prior"))
+    )
+    return (
+        df.select(id_col, F.col(block_col).alias("cell"))
+        .join(prior, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "max_cos_prior",
+            (
+                F.col("max_cos_prior").isNull()
+                | (F.col("max_cos_prior") < F.lit(threshold))
+            ).alias("is_kept"),
+        )
+    )

@@ -391,3 +391,29 @@ def vector_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists. The full assignment hash-matches DuckDB's arithmetic replay."""
     emb = load_table(spark, sf_dir, "embeddings")
     return V.kmeans_cells(emb, "vec_id", "embedding", k=4, iters=2)
+
+
+@register(
+    "vector_semantic_dedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    prior AS (
+        SELECT b.vec_id,
+               max({_COS.format(a="a.e", b="b.e")}) AS max_cos_prior
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.label AS cell, p.max_cos_prior,
+           (p.max_cos_prior IS NULL OR p.max_cos_prior < 0.3) AS is_kept
+    FROM v LEFT JOIN prior p ON v.vec_id = p.vec_id
+    """,
+)
+def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions over the label cells (threshold 0.3 —
+    the top ~1% most similar cell-mates at the driver's SF). Cell-blocked
+    pairwise scan (never n²), then narrow id-keyed agg + join
+    (operators/vector.py:semantic_dedup)."""
+    from ..operators.vector import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.3)

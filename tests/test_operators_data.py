@@ -354,3 +354,37 @@ def test_kmeans_cells_offset_id_space_and_bad_iters(spark):
     assert {r["cell"] for r in got} == {0, 1}
     with pytest.raises(ValueError, match="iters"):
         V.kmeans_cells(df, k=2, iters=0)
+
+
+def test_semantic_dedup_keep_first_within_cell(spark):
+    """Identical vectors in one cell collapse to the minimum id; a vector
+    in another cell survives even if identical to a dropped one."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # dup of 1, same cell -> dropped
+        (3, [0.0, 1.0], 0),   # orthogonal -> kept
+        (4, [1.0, 0.0], 1),   # dup of 1 but other cell -> kept (blocking)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r for r in V.semantic_dedup(df, threshold=0.9).collect()}
+    assert out[1]["is_kept"] and out[1]["max_cos_prior"] is None
+    assert not out[2]["is_kept"] and out[2]["max_cos_prior"] == 1.0
+    assert out[3]["is_kept"] and out[3]["max_cos_prior"] == 0.0
+    assert out[4]["is_kept"] and out[4]["max_cos_prior"] is None
+
+
+def test_semantic_dedup_chain_keeps_only_first(spark):
+    """A near-dup chain (1~2, 2~3 but 1!~3) drops BOTH 2 and 3: the policy
+    is 'has ANY smaller-id neighbor above threshold', not transitive
+    closure — documented keep-first semantics."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(1, unit(0.0), 0), (2, unit(0.35), 0), (3, unit(0.7), 0)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # cos(0.35)~0.94, cos(0.7)~0.76: with threshold 0.9, 1-2 near, 1-3 not,
+    # 2-3 near -> 2 dropped (via 1), 3 dropped (via 2)
+    out = {r["vec_id"]: r["is_kept"] for r in V.semantic_dedup(df, threshold=0.9).collect()}
+    assert out == {1: True, 2: False, 3: False}
