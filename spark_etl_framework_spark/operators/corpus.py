@@ -405,3 +405,70 @@ def bm25_topk(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "bm25", "rn")
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Paragraph-style corpus-wide chunk dedup (the CCNet shape): split
+    each document into fixed ``chunk_words``-word chunks, keep only the
+    FIRST occurrence of each distinct chunk corpus-wide (ordered by
+    ``(doc_id, chunk_idx)``), and reassemble each document from its
+    surviving chunks in order. Duplicate chunks WITHIN one document drop
+    too (the first-occurrence rule is global). Returns
+    ``(id, n_chunks, n_kept, text_clean)`` — ``text_clean`` is ``''``
+    when every chunk of a document is boilerplate seen earlier.
+
+    Shuffle inventory — document TEXT crosses exactly ONE exchange:
+
+    1. rank shuffle on the chunk hash: rows are (id, idx, 16-hex-char
+       key) — fixed-width, no chunk text;
+    2. keep-list shuffle on id: (id, idx) pairs only;
+    3. the reassembly join on id: the only exchange that ships text,
+       and text has to move once to meet its keep-list anyway. Chunks
+       are re-derived map-side from the original document instead of
+       shipping per-chunk strings through shuffles 1-2.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(chunk_words))).cast("int")
+    base = df.select(id_col, text_col).withColumn("__t", toks).withColumn(
+        "__nc", n_chunks
+    )
+
+    def _chunk(i):
+        return F.array_join(
+            F.slice("__t", i * chunk_words + 1, chunk_words), " "
+        )
+
+    narrow = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("idx"),
+        "__t",
+    ).select(
+        id_col,
+        "idx",
+        F.substring(F.md5(_chunk(F.col("idx"))), 1, 16).alias("__h"),
+    )
+    w = W.partitionBy("__h").orderBy(id_col, "idx")
+    kept = (
+        narrow.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "idx")
+    )
+    keep_lists = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("idx")).alias("__keep")
+    )
+    out = base.join(keep_lists, id_col, "left")
+    keep = F.coalesce("__keep", F.array().cast("array<int>"))
+    clean = F.array_join(
+        F.transform(keep, lambda i: _chunk(i)), " "
+    )
+    return out.select(
+        id_col,
+        F.col("__nc").alias("n_chunks"),
+        F.size(keep).cast("int").alias("n_kept"),
+        clean.alias("text_clean"),
+    )

@@ -357,3 +357,47 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_train_hits", F.lit(0)).alias("n_train_hits"),
         (F.coalesce("n_train_hits", F.lit(0)) > 0).alias("leaked"),
     )
+
+
+@register(
+    "corpus_chunk_dedup",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+               CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0) AS INT)
+                   AS nc
+        FROM documents
+    ),
+    idxs AS (SELECT doc_id, t, unnest(range(0, nc)) AS idx FROM meta),
+    chunks AS (
+        SELECT doc_id, CAST(idx AS INT) AS idx,
+               array_to_string(t[(idx*8+1):(idx*8+8)], ' ') AS chunk
+        FROM idxs
+    ),
+    ranked AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (PARTITION BY substring(md5(chunk), 1, 16)
+                                  ORDER BY doc_id, idx) AS rn
+        FROM chunks
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) AS text_clean
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.nc AS n_chunks,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM meta m LEFT JOIN agg a ON m.doc_id = a.doc_id
+    """,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style chunk dedup with reassembly: first occurrence of every
+    8-word chunk wins corpus-wide; each document is rebuilt from its
+    surviving chunks. Text crosses exactly ONE exchange (the reassembly
+    join) — the rank and keep-list shuffles move fixed-width hash keys
+    and (id, idx) pairs only (operators/corpus.py:chunk_dedup)."""
+    from ..operators.corpus import chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", chunk_words=8)

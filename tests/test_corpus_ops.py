@@ -150,3 +150,38 @@ def test_split_assign_decimal_sum_boundary(spark):
     df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
     out = C.split_assign(df, test_pct=0.7, val_pct=0.3)
     assert out.filter(F.col("split") == "train").count() == 0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Doc 1 owns both chunks; doc 2 repeats doc 1's first chunk (dropped)
+    but keeps its own tail; doc 3 is pure boilerplate -> empty clean text."""
+    boiler = "a b c d e f g h"
+    rows = [
+        (1, boiler + " i j k l m n o p"),
+        (2, boiler + " q r s t u v w x"),
+        (3, boiler),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in C.chunk_dedup(df, chunk_words=8).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_clean"] == boiler + " i j k l m n o p"
+    assert out[2]["n_kept"] == 1 and out[2]["text_clean"] == "q r s t u v w x"
+    assert out[3]["n_kept"] == 0 and out[3]["text_clean"] == ""
+
+
+def test_chunk_dedup_within_doc_repeat_drops(spark):
+    df = spark.createDataFrame(
+        [(7, "x y z x y z")], ["doc_id", "text"]
+    )
+    out = C.chunk_dedup(df, chunk_words=3).collect()[0]
+    # chunks: "x y z" (idx 0) and "x y z" (idx 1) -> global first-occurrence
+    # keeps only idx 0
+    assert out["n_chunks"] == 2 and out["n_kept"] == 1
+    assert out["text_clean"] == "x y z"
+
+
+def test_chunk_dedup_tail_chunk_shorter(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    out = C.chunk_dedup(df, chunk_words=3).collect()[0]
+    assert out["n_chunks"] == 2 and out["n_kept"] == 2
+    assert out["text_clean"] == "a b c d e"
