@@ -317,3 +317,79 @@ def test_kmeans_exchange_inventory(spark, sf_dir):
         # the argmin shuffle partitions on vid, the update on cell[, dim] —
         # never on a distance/score column of the k-times-expanded relation
         assert re.search(r"hashpartitioning\((vid|cell)#", line), line.strip()
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,budget",
+    [("etl_scd2_merge", 2), ("etl_snapshot_cdc", 2)],
+)
+def test_warehouse_merge_single_join(spark, sf_dir, name, budget):
+    """SCD2 merge and snapshot CDC are each ONE full-outer join: two hash
+    exchanges (one per side), nothing else. The SCD2 close+reopen fan-out
+    must stay map-side (an explode after the join), never a second
+    shuffle; CDC's unchanged-row drop likewise."""
+    plan = _initial_plan(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= budget, f"{name} gained a shuffle:\n" + "\n".join(
+        e.strip()[:150] for e in exchanges
+    )
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """The profiler's promise is ONE pass over the table: every metric for
+    every column computes in a single EXPAND + aggregate, not one scan per
+    column (the naive UNION ALL shape — which is exactly what the DuckDB
+    oracle does, 5 scans; the engine must not)."""
+    plan = _initial_plan(QUERIES["etl_profile_columns"](spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, "profiler re-scans the table:\n" + "\n".join(
+        s.strip()[:150] for s in scans
+    )
+    assert "Expand" in plan, "multi-column distinct lost its single-pass EXPAND shape"
+
+
+def test_chunk_dedup_text_never_shuffled(spark, sf_dir):
+    """corpus_chunk_dedup ranks on a 16-hex-char chunk key and ships
+    (id, idx) keep-lists; document text crosses at most the reassembly
+    join — and never a hash exchange carrying the raw `text` column
+    alongside the chunk rank key __h."""
+    plan = _initial_plan(QUERIES["corpus_chunk_dedup"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 4
+    for line in exchanges:
+        if "__h#" in line:
+            assert re.search(r"\btext#\d+", line) is None, (
+                "chunk TEXT crosses the rank exchange:\n" + line.strip()
+            )
+
+
+def test_pii_redact_is_pure_map(spark, sf_dir):
+    """PII detection/redaction is a scan-speed map stage: ZERO exchanges,
+    whole plan in one codegen span over the parquet scan."""
+    plan = _initial_plan(QUERIES["text_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan, "PII scrub gained a shuffle:\n" + plan
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """The EWMA recurrence shuffles ONCE (groupBy user for the
+    applyInPandas scan); a second exchange would mean the per-key sort
+    escaped the group stage."""
+    plan = _initial_plan(QUERIES["ts_ewma_user_value"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, "\n".join(e.strip()[:150] for e in exchanges)
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_semantic_dedup_no_forced_broadcast(spark, sf_dir):
+    """SemDeDup's cell-blocked self-join must stay unhinted: embeddings is
+    SF-proportional, so a forced broadcast would OOM at 100 TB. (AQE may
+    still choose broadcast at tiny SF — that's runtime sizing, allowed.)"""
+    df = QUERIES["vector_semantic_dedup"](spark, sf_dir)
+    assert _hint_subtrees(df) == []
+    assert "CartesianProduct" not in _initial_plan(df)
