@@ -545,3 +545,102 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def incremental_lsh_matches(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup admission: match an INCOMING batch against an
+    EXISTING corpus without ever pairing the corpus against itself.
+
+    At 100 TB you do not re-dedup the corpus per ingest — the corpus's
+    band keys are a precomputed index (here rebuilt inline so the query
+    stays self-contained; in production they persist bucketed by
+    band_key), and each ingest batch probes it. Corpus buckets aggregate
+    to sorted id-lists with the same ``max_bucket`` degenerate-bucket
+    guard as :func:`lsh_candidate_pairs`; increment bands join those
+    buckets on the 32-char band key and explode to (new, old) candidate
+    pairs — so candidate volume is bounded by increment×bucket, never
+    corpus². Exact Jaccard verification then touches candidates only,
+    on fixed-width hashed-shingle keys (text never crosses an exchange).
+
+    Returns ONE row per increment document: its best corpus match
+    (highest verified Jaccard, smallest old id on ties; nulls when LSH
+    surfaced no candidate) and the admission decision
+    ``is_dup = jaccard >= threshold``.
+    """
+    from pyspark.sql import Window as W
+
+    cb = lsh_bands_wide(
+        minhash_wide(word_shingles(corpus, id_col, text_col, n, distinct=False), id_col, k),
+        id_col,
+        k,
+        rows_per_band,
+    )
+    ib = lsh_bands_wide(
+        minhash_wide(word_shingles(increment, id_col, text_col, n, distinct=False), id_col, k),
+        id_col,
+        k,
+        rows_per_band,
+    )
+    buckets = cb.groupBy("band_id", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("old_ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("old_ids") <= max_bucket)
+    cand = (
+        ib.select(F.col(id_col).alias("new_id"), "band_id", "band_key")
+        .join(buckets, ["band_id", "band_key"])
+        .select("new_id", F.explode("old_ids").alias("old_id"))
+        .distinct()
+    )
+
+    hs_new = hashed_shingles(increment, id_col, text_col, n).select(
+        F.col(id_col).alias("new_id"), "shingle_key"
+    )
+    hs_old = hashed_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("old_id"), "shingle_key"
+    )
+    sizes_new = hs_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_old = hs_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("n_old"))
+    inter = (
+        cand.join(hs_new, "new_id")
+        .join(hs_old, ["old_id", "shingle_key"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_new") + F.col("n_old") - F.col("n_inter"))
+    scored = (
+        inter.join(sizes_new, "new_id")
+        .join(sizes_old, "old_id")
+        .select("new_id", "old_id", jac.alias("_jac"))
+    )
+    w = W.partitionBy("new_id").orderBy(F.desc("_jac"), "old_id")
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "new_id",
+            F.col("old_id").alias("best_old_id"),
+            F.round("_jac", 6).alias("jaccard"),
+            (F.col("_jac") >= F.lit(threshold)).alias("is_dup"),
+        )
+    )
+    return (
+        increment.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            "best_old_id",
+            "jaccard",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

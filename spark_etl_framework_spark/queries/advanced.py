@@ -401,3 +401,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "dedup_incremental_admission",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+               FROM documents),
+    corp AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+    inc  AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+    shc AS (SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
+                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+            FROM corp WHERE len(a) >= 3),
+    shi AS (SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
+                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+            FROM inc WHERE len(a) >= 3),
+    sigc AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                    min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+             FROM shc, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+    sigi AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                    min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+             FROM shi, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+    bc AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_id,
+                  md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+           FROM sigc GROUP BY doc_id, (seed // 2)),
+    bi AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_id,
+                  md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+           FROM sigi GROUP BY doc_id, (seed // 2)),
+    cand AS (SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS old_id
+             FROM bi i JOIN bc c
+               ON i.band_id = c.band_id AND i.band_key = c.band_key),
+    hn AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS k FROM shi),
+    ho AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS k FROM shc),
+    sn AS (SELECT doc_id, count(*) AS n_sh FROM hn GROUP BY doc_id),
+    so AS (SELECT doc_id, count(*) AS n_sh FROM ho GROUP BY doc_id),
+    inter AS (SELECT c.new_id, c.old_id, count(*) AS n_inter
+              FROM cand c
+              JOIN hn ON hn.doc_id = c.new_id
+              JOIN ho ON ho.doc_id = c.old_id AND ho.k = hn.k
+              GROUP BY c.new_id, c.old_id),
+    scored AS (SELECT i.new_id, i.old_id,
+                      i.n_inter / (sn.n_sh + so.n_sh - i.n_inter) AS jac
+               FROM inter i
+               JOIN sn ON sn.doc_id = i.new_id
+               JOIN so ON so.doc_id = i.old_id),
+    best AS (SELECT new_id, old_id, jac,
+                    row_number() OVER (PARTITION BY new_id
+                                       ORDER BY jac DESC, old_id) AS rn
+             FROM scored)
+    SELECT i.doc_id, b.old_id AS best_old_id, round(b.jac, 6) AS jaccard,
+           COALESCE(b.jac >= 0.5, false) AS is_dup
+    FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.new_id = i.doc_id
+    """,
+)
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest admission: the %10==0 documents arrive as a new
+    batch and probe the existing corpus's LSH band index — candidate
+    volume is increment×bucket-bounded, the corpus never self-pairs, and
+    exact verification touches candidates only
+    (operators/dedup.py:incremental_lsh_matches)."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    increment = docs.filter(F.col("doc_id") % 10 == 0)
+    return D.incremental_lsh_matches(corpus, increment, threshold=0.5)

@@ -269,3 +269,45 @@ def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "ewma",
     )
+
+
+@register(
+    "ts_rolling_features",
+    oracle=f"""
+    WITH {_EV}
+    SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_str,
+           CAST(count(*) OVER w AS INT) AS n_win,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                      / count(*) OVER w, 6) AS DOUBLE) AS mean_5,
+           min(value) OVER w AS min_5,
+           max(value) OVER w AS max_5
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-5-event rolling features (count / mean / min /
+    max) — the feature-engineering window before model scoring. One
+    shuffle on user_id; the mean accumulates in DECIMAL so the windowed
+    sum is order-independent across engines (same rule as dsum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    n_win = F.count(F.lit(1)).over(w).cast("int")
+    mean5 = F.round(
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w) / F.count(F.lit(1)).over(w),
+        6,
+    ).cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        n_win.alias("n_win"),
+        mean5.alias("mean_5"),
+        F.min("value").over(w).alias("min_5"),
+        F.max("value").over(w).alias("max_5"),
+    )

@@ -388,3 +388,25 @@ def test_semantic_dedup_chain_keeps_only_first(spark):
     # 2-3 near -> 2 dropped (via 1), 3 dropped (via 2)
     out = {r["vec_id"]: r["is_kept"] for r in V.semantic_dedup(df, threshold=0.9).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_incremental_admission_matches_corpus_only(spark):
+    """New docs match against the corpus, never against each other: two
+    identical NEW docs both admit (no corpus match) while a new doc
+    identical to a corpus doc is rejected with jaccard 1.0."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus text about spark plans here")],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (20, "novel incoming document with fresh unseen words entirely"),
+         (30, "novel incoming document with fresh unseen words entirely")],  # dup of 20 — but 20 is NOT corpus
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.incremental_lsh_matches(corpus, inc).collect()}
+    assert out[10]["is_dup"] and out[10]["best_old_id"] == 1 and out[10]["jaccard"] == 1.0
+    assert not out[20]["is_dup"] and out[20]["best_old_id"] is None
+    assert not out[30]["is_dup"]  # increment never pairs with increment
+    assert len(out) == 3  # one row per incoming doc, always
