@@ -134,3 +134,47 @@ def containment_drop_ids(
         .filter(F.col("drop_id").isNotNull())
         .distinct()
     )
+
+
+class PiiScrubTransformer(Actor):
+    """PII scrub as a first-class pipeline step over an input view.
+
+    ``mode='redact'`` (default) replaces ``textField`` with the redacted
+    text (emails/IPv4/phones → typed tags, operators/pii.py order);
+    ``mode='drop'`` removes any document containing PII instead. Both
+    emit ``n_pii`` (total matches found) so downstream actors can audit
+    the scrub. Pure map stage — zero shuffles, stacks under whole-stage
+    codegen with whatever scan feeds the view.
+    """
+
+    view: str | None = None
+    textField: str = "text"
+    mode: str = "redact"
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.view:
+            raise ValueError("PiiScrubTransformer: input view required")
+        if self.mode not in ("redact", "drop"):
+            raise ValueError(
+                f"PiiScrubTransformer: mode must be redact|drop, got {self.mode!r}"
+            )
+        from .pii import with_pii_flags
+
+        ctx.reference(self.view)
+        df = spark.table(self.view)
+        flagged = with_pii_flags(df, self.textField)
+        n_pii = (
+            F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")
+        ).cast("int")
+        out_cols = [
+            (
+                F.col("redacted").alias(self.textField)
+                if c == self.textField and self.mode == "redact"
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+        out = flagged.select(*out_cols, n_pii.alias("n_pii"))
+        if self.mode == "drop":
+            out = out.filter(F.col("n_pii") == 0)
+        return out

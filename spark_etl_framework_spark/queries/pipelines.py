@@ -428,3 +428,110 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return _run(spark, defn, "p_corpus_stats")
+
+
+@register(
+    "pipeline_pii_scrub",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               concat_ws(' ', substring(text, 1, 40),
+                   CASE WHEN doc_id % 3 = 0 THEN 'contact user' || doc_id
+                             || '@mail-' || (doc_id % 7) || '.com' END,
+                   CASE WHEN doc_id % 4 = 0 THEN 'host 10.' || (doc_id % 256)
+                             || '.0.' || (doc_id % 100) END,
+                   CASE WHEN doc_id % 5 = 0 THEN 'tel +49 555-'
+                             || lpad((doc_id % 10000)::VARCHAR, 4, '0') END)
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+\\d{2}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                + len(regexp_extract_all(text, '\\+\\d{2}[- ]\\d{3}[- ]\\d{4}')) AS INT)
+               AS n_pii
+    FROM s
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub END TO END through the framework: FileReader loads
+    documents, a SqlTransformer derives the deterministic PII-bearing
+    text (the driver corpus carries none), the PiiScrubTransformer actor
+    redacts it map-side, FileWriter materializes the scrubbed corpus, and
+    the query returns what was actually WRITTEN — sink included in the
+    hash-checked path, like the other write-back pipelines."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="pipeline_pii_"), "scrubbed")
+    defn = {
+        "version": "1.0.0",
+        "name": "pii-scrub",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-docs",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pp_docs"},
+                    },
+                    {
+                        "name": "synthesize-pii",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                select doc_id, lang,
+                                       concat_ws(' ', substring(text, 1, 40),
+                                           case when doc_id % 3 = 0 then concat('contact user', cast(doc_id as string), '@mail-', cast(doc_id % 7 as string), '.com') end,
+                                           case when doc_id % 4 = 0 then concat('host 10.', cast(doc_id % 256 as string), '.0.', cast(doc_id % 100 as string)) end,
+                                           case when doc_id % 5 = 0 then concat('tel +49 555-', lpad(cast(doc_id % 10000 as string), 4, '0')) end)
+                                           as text
+                                from pp_docs
+                                """,
+                            },
+                        },
+                        "input-views": ["pp_docs"],
+                        "output-view": {"name": "pp_synth"},
+                    },
+                    {
+                        "name": "scrub",
+                        "actor": {
+                            "type": "pii-scrub-transformer",
+                            "properties": {"view": "pp_synth", "mode": "redact"},
+                        },
+                        "input-views": ["pp_synth"],
+                        "output-view": {"name": "pp_scrubbed"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pp_scrubbed"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir)

@@ -58,3 +58,35 @@ def test_registry_resolves_alias():
     from spark_etl_framework_spark.plans.registry import resolve_actor
 
     assert resolve_actor("containment-dedup-transformer") is ContainmentDedupTransformer
+
+
+def test_pii_scrub_actor_drop_mode(spark):
+    from spark_etl_framework_spark.operators.curation import PiiScrubTransformer
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+
+    df = spark.createDataFrame(
+        [(1, "clean doc"), (2, "mail me a@b.io")], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("pii_drop_in")
+    jctx = JobContext(PipelineContext(), spark)
+    actor = PiiScrubTransformer(view="pii_drop_in", mode="drop")
+    rows = actor.run(jctx, spark).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_pii"] == 0
+
+
+def test_pii_scrub_actor_redact_default_and_bad_mode(spark):
+    from spark_etl_framework_spark.operators.curation import PiiScrubTransformer
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+
+    jctx = JobContext(PipelineContext(), spark)
+    spark.createDataFrame(
+        [(2, "mail me a@b.io")], ["doc_id", "text"]
+    ).createOrReplaceTempView("pii_redact_in")
+    out = PiiScrubTransformer(view="pii_redact_in").run(jctx, spark).collect()[0]
+    assert out["text"] == "mail me <EMAIL>" and out["n_pii"] == 1
+
+    with pytest.raises(ValueError, match="redact"):
+        PiiScrubTransformer(view="pii_redact_in", mode="nuke").run(jctx, spark)
+    with pytest.raises(ValueError, match="view required"):
+        PiiScrubTransformer().run(jctx, spark)
