@@ -128,14 +128,15 @@ def _load_all() -> None:
 #: its module registration order after the prioritized block; nothing is
 #: dropped.
 #:
-#: ROUND-5 ROTATION TODO: the 9 round-4 additions register AFTER the
+#: ROUND-5 ROTATION TODO: the round-4 additions register AFTER the
 #: window (keeping this round's 136/136 union-coverage plan intact) and
 #: have never held a driver row — rotate them in next round:
 #: etl_scd2_merge, etl_snapshot_cdc, etl_profile_columns,
 #: text_pii_redact, text_pii_incidence, ts_ewma_user_value,
-#: vector_semantic_dedup, corpus_chunk_dedup, plus any further round-4
-#: additions (see git log). All are exact-value-checked locally at
-#: sf0.001 + sf0.01 every round via tools/check_correctness.py.
+#: ts_rolling_features, vector_semantic_dedup, corpus_chunk_dedup,
+#: dedup_incremental_admission, pipeline_pii_scrub, plus any further
+#: round-4 additions (see git log). All are exact-value-checked locally
+#: at sf0.001 + sf0.01 every round via tools/check_correctness.py.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H: Q1 anchors; Q2/Q11/Q17/Q20/Q22 rotated out (r3-green)
     "q1_pricing_summary",  # anchor (r2+r3-green)

@@ -578,3 +578,53 @@ def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@register(
+    "stream_pii_scrub",
+    # identical oracle shape to the batch text_pii_redact: PII scrubbing is
+    # a stateless narrow map, so streaming it (append mode, no state) must
+    # hash-match the batch result byte for byte.
+    oracle="""
+    WITH s AS (SELECT doc_id,
+        concat_ws(' ', substring(text, 1, 40),
+            CASE WHEN doc_id % 3 = 0 THEN 'contact user' || doc_id || '@mail-'
+                      || (doc_id % 7) || '.com' END,
+            CASE WHEN doc_id % 4 = 0 THEN 'host 10.' || (doc_id % 256) || '.0.'
+                      || (doc_id % 100) END,
+            CASE WHEN doc_id % 5 = 0 THEN 'tel +49 555-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0') END) AS text
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)  AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\+\\d{2}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phone,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+\\d{2}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g') AS redacted
+    FROM s
+    """,
+)
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub applied to a STREAM of documents — the batch/stream
+    parity contract extended to the round-4 safety operators: the same
+    with_pii_flags column expressions run per-microbatch at scan speed
+    (stateless, no watermark, no shuffle) and hash-match the batch
+    oracle exactly (operators/pii.py)."""
+    from ..operators.pii import with_pii_flags
+    from .safety import _synth_col
+
+    sdf = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    synth = sdf.select("doc_id", _synth_col().alias("text"))
+    out = with_pii_flags(synth).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted"
+    )
+    qname = f"stream_pii_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

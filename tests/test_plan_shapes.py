@@ -393,3 +393,28 @@ def test_semantic_dedup_no_forced_broadcast(spark, sf_dir):
     df = QUERIES["vector_semantic_dedup"](spark, sf_dir)
     assert _hint_subtrees(df) == []
     assert "CartesianProduct" not in _initial_plan(df)
+
+
+def test_rolling_features_single_exchange(spark, sf_dir):
+    """All four trailing-window aggregates share ONE user_id window spec:
+    one exchange, one sort, never per-aggregate re-shuffles."""
+    plan = _initial_plan(QUERIES["ts_rolling_features"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, "\n".join(e.strip()[:150] for e in exchanges)
+
+
+def test_incremental_admission_no_corpus_self_pair(spark, sf_dir):
+    """The incremental path must never pair the corpus against itself: no
+    cartesian products, no text column on any exchange (signatures
+    aggregate the non-distinct shingle stream map-side; exact legs ride
+    the 64-bit hashed-shingle key), and no forced broadcast (both sides
+    are SF-proportional)."""
+    df = QUERIES["dedup_incremental_admission"](spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
+    assert _hint_subtrees(df) == []
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert re.search(r"\b(shingle|text)#\d+", line) is None, (
+                "incremental dedup shuffles raw text:\n" + line.strip()
+            )
