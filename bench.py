@@ -56,6 +56,13 @@ HEADLINE = [
     # round 4 addition — the containment-policy write-back pipeline
     # (framework overhead + LSH + containment + parquet sink, end to end)
     "pipeline_containment_writeback",
+    # round 4 additions — chunk dedup (text moves once), incremental LSH
+    # admission (corpus-index probe), EWMA (applyInPandas recurrence),
+    # SCD2 (single-join warehouse merge)
+    "corpus_chunk_dedup",
+    "dedup_incremental_admission",
+    "ts_ewma_user_value",
+    "etl_scd2_merge",
 ]
 
 
