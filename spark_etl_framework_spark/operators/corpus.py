@@ -472,3 +472,37 @@ def chunk_dedup(
         F.size(keep).cast("int").alias("n_kept"),
         clean.alias("text_clean"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Self-perplexity quality scoring with a unigram LM trained on the
+    corpus itself (the CCNet/KenLM shape without the external model):
+    per document, the mean surprisal in bits of its tokens under the
+    corpus-wide MLE unigram distribution p(t) = count(t)/N. Documents of
+    common language score low; rare-token garbage scores high — the
+    standard LM-based quality axis. No smoothing needed: scoring corpus
+    == training corpus, so every token has count ≥ 1.
+
+    Shuffle inventory (the tfidf economics): one groupBy(id, term) for tf
+    (map-side partials collapse repeats), one vocabulary-sized
+    groupBy(term), one unhinted join on term (AQE sizes it — the
+    vocabulary is a Zipf-bounded relation, tiny next to the corpus), one
+    final groupBy(id). The corpus total N rides a broadcast 1-row
+    aggregate.
+    """
+    _terms, tf = _term_counts(df, id_col, text_col)
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        tf.join(vocab, "term")
+        .join(total)  # 1-row broadcast
+        .withColumn("_bits", -F.log2(F.col("cnt") / F.col("n_total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.col("_bits")) / F.sum("tf"), 6
+        ).alias("bits_per_token"),
+    )

@@ -271,3 +271,68 @@ def kmv_distinct(
             .alias("rel_error"),
         )
     )
+
+
+def with_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 10_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_ratio: float = 0.6,
+    min_stopword_hits: int = 2,
+    max_top_token_share: float = 0.25,
+) -> DataFrame:
+    """Gopher/C4-style quality RULE SET: one boolean per rule plus the
+    overall verdict, so a curation pipeline can both filter
+    (``passes_all``) and report per-rule rejection rates (the audit the
+    per-rule columns exist for — a single opaque score can't tell you
+    WHICH rule is eating your corpus).
+
+    Rules (all row-local array/length expressions — zero shuffles, scan
+    speed; thresholds are the Gopher defaults adapted to whitespace
+    tokenization):
+
+    - ``rule_min_tokens`` / ``rule_max_tokens``: length bounds;
+    - ``rule_word_len``: mean token length within [min, max] (garbage and
+      minified blobs fail low/high);
+    - ``rule_alpha``: alphabetic-character ratio ≥ threshold (markup);
+    - ``rule_stopwords``: ≥ N function-word hits (natural-language test);
+    - ``rule_repetition``: most-frequent-token share ≤ threshold (looped
+      boilerplate; the n-gram version is repetition_stats).
+    """
+    toks = tokens(F.col(text_col))
+    out = df.withColumn("_t", toks)
+    n_tok = F.size("_t")
+    sum_len = F.aggregate("_t", F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = sum_len / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
+    ) / F.greatest(F.length(text_col), F.lit(1))
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("_t"), lambda t: F.array_contains(sw, t)))
+    top_share = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_t")),
+            lambda t: F.size(F.filter(F.col("_t"), lambda x: x == t)),
+        )
+    ) / F.greatest(n_tok, F.lit(1))
+
+    rules = {
+        "rule_min_tokens": n_tok >= min_tokens,
+        "rule_max_tokens": n_tok <= max_tokens,
+        "rule_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_alpha": alpha_ratio >= min_alpha_ratio,
+        "rule_stopwords": n_stop >= min_stopword_hits,
+        "rule_repetition": top_share <= max_top_token_share,
+    }
+    cols = [F.coalesce(c, F.lit(False)).alias(name) for name, c in rules.items()]
+    out = out.select(*df.columns, *cols)
+    n_failed = sum(
+        F.when(~F.col(name), 1).otherwise(0) for name in rules
+    )
+    return out.withColumn("n_rules_failed", n_failed.cast("int")).withColumn(
+        "passes_all", F.col("n_rules_failed") == 0
+    )

@@ -401,3 +401,32 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_dedup(docs, "doc_id", "text", chunk_words=8)
+
+
+@register(
+    "corpus_unigram_surprisal",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, lower(t) AS term
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    total AS (SELECT sum(cnt) AS n_total FROM vocab)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * (-log2(vocab.cnt / total.n_total))) / sum(tf.tf), 6)
+               AS bits_per_token
+    FROM tf JOIN vocab USING (term), total
+    GROUP BY tf.doc_id
+    """,
+)
+def corpus_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM self-perplexity per document (mean token surprisal in
+    bits under the corpus's own MLE unigram distribution) — the LM-based
+    quality axis with tfidf's shuffle economics
+    (operators/corpus.py:unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.unigram_logprob(docs, "doc_id", "text")

@@ -341,3 +341,56 @@ def text_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import kmv_distinct
 
     return kmv_distinct(load_table(spark, sf_dir, "documents"), "lang", "text", k=64)
+
+
+@register(
+    "text_quality_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1) AS alpha_ratio
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tok,
+               list_sum(list_transform(toks, x -> length(x)))
+                   / greatest(len(toks), 1) AS mean_len,
+               alpha_ratio,
+               len(list_filter(toks, x -> list_contains([{_SW}], x))) AS n_stop,
+               list_max(list_transform(list_distinct(toks),
+                        t -> len(list_filter(toks, x -> x = t))))
+                   / greatest(len(toks), 1) AS top_share
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, source,
+               COALESCE(n_tok >= 10, false)                        AS rule_min_tokens,
+               COALESCE(n_tok <= 10000, false)                     AS rule_max_tokens,
+               COALESCE(mean_len >= 2.0 AND mean_len <= 12.0, false) AS rule_word_len,
+               COALESCE(alpha_ratio >= 0.6, false)                 AS rule_alpha,
+               COALESCE(n_stop >= 2, false)                        AS rule_stopwords,
+               COALESCE(top_share <= 0.25, false)                  AS rule_repetition
+        FROM m
+    )
+    SELECT doc_id, source, rule_min_tokens, rule_max_tokens, rule_word_len,
+           rule_alpha, rule_stopwords, rule_repetition,
+           CAST((CASE WHEN rule_min_tokens THEN 0 ELSE 1 END)
+              + (CASE WHEN rule_max_tokens THEN 0 ELSE 1 END)
+              + (CASE WHEN rule_word_len THEN 0 ELSE 1 END)
+              + (CASE WHEN rule_alpha THEN 0 ELSE 1 END)
+              + (CASE WHEN rule_stopwords THEN 0 ELSE 1 END)
+              + (CASE WHEN rule_repetition THEN 0 ELSE 1 END) AS INT) AS n_rules_failed,
+           (rule_min_tokens AND rule_max_tokens AND rule_word_len
+            AND rule_alpha AND rule_stopwords AND rule_repetition) AS passes_all
+    FROM r
+    """,
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-set filter with per-rule audit booleans —
+    zero-shuffle row-local expressions (operators/text.py:
+    with_quality_rules)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return T.with_quality_rules(docs).drop("text")

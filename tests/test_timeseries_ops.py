@@ -49,3 +49,27 @@ def test_ewma_input_order_irrelevant(spark):
     a = {r["i"]: r["ewma"] for r in ewma(fwd, "k", ["i"], "x").collect()}
     b = {r["i"]: r["ewma"] for r in ewma(rev, "k", ["i"], "x").collect()}
     assert a == b
+
+
+def test_ewma_carry_across_arrow_batches(spark):
+    """Force a key's rows to span many Arrow batches: the carry-seeding
+    path must continue the recurrence exactly (bit-equal to a single
+    in-memory loop)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        n = 500
+        xs = [float((i * 17) % 101) for i in range(n)]
+        df = spark.createDataFrame(
+            [("k", i, x) for i, x in enumerate(xs)], ["u", "i", "x"]
+        )
+        got = {
+            r["i"]: r["ewma"]
+            for r in ewma(df, "u", ["i"], "x").collect()
+        }
+        y = None
+        for i, x in enumerate(xs):
+            y = x if y is None else y * 0.75 + 0.25 * x
+            assert got[i] == y, f"diverged at row {i}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
