@@ -493,8 +493,16 @@ def unigram_logprob(
     aggregate.
     """
     _terms, tf = _term_counts(df, id_col, text_col)
+    # tf has three consumers (vocab, total via vocab, and the scoring
+    # join): persist the narrow (doc, term, tf) relation so the
+    # explode+aggregate lineage runs once, not per branch —
+    # ContextCleaner reclaims the blocks when the result's lineage is
+    # garbage-collected (same pattern as the dedup family's hsh/cand).
+    tf = tf.persist()
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    # N = total token occurrences — straight off the cached tf (one pass,
+    # 1-row result) instead of re-aggregating the vocabulary
+    total = tf.agg(F.sum("tf").alias("n_total"))
     scored = (
         tf.join(vocab, "term")
         .join(total)  # 1-row broadcast

@@ -185,3 +185,41 @@ def test_chunk_dedup_tail_chunk_shorter(spark):
     out = C.chunk_dedup(df, chunk_words=3).collect()[0]
     assert out["n_chunks"] == 2 and out["n_kept"] == 2
     assert out["text_clean"] == "a b c d e"
+
+
+def test_quality_rules_each_rule_fires(spark):
+    from spark_etl_framework_spark.operators import text as T
+
+    rows = [
+        (1, "the data is on the table and a key for the scan now ok"),  # passes
+        (2, "tiny doc"),                                    # min_tokens
+        (3, "spam " * 40),                                  # repetition (+stopwords)
+        (4, "aaaaaaaaaaaaaaaaaaaaaa " * 12),                # word_len high
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12"),                  # alpha + stopwords + word_len low
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.with_quality_rules(df).collect()}
+    assert out[1]["passes_all"] and out[1]["n_rules_failed"] == 0
+    assert not out[2]["rule_min_tokens"]
+    assert not out[3]["rule_repetition"]
+    assert not out[4]["rule_word_len"]
+    assert not out[5]["rule_alpha"] and not out[5]["rule_stopwords"]
+    for d in (2, 3, 4, 5):
+        assert not out[d]["passes_all"] and out[d]["n_rules_failed"] >= 1
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    """Docs made of rare tokens must score strictly higher bits/token than
+    docs made of the corpus's most common token; a doc of the single most
+    common token scores exactly -log2(p(token))."""
+    import math
+
+    rows = [(i, "common common common common") for i in range(8)]
+    rows += [(100, "rareword common common common"), (101, "unique1 unique2 unique3 unique4")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["bits_per_token"] for r in C.unigram_logprob(df).collect()}
+    n_total = 8 * 4 + 4 + 4  # 40 tokens; 'common' appears 35x
+    expect_common = round(-math.log2(35 / n_total), 6)
+    assert out[0] == expect_common
+    assert out[100] > out[0]
+    assert out[101] > out[100]

@@ -418,3 +418,29 @@ def test_incremental_admission_no_corpus_self_pair(spark, sf_dir):
             assert re.search(r"\b(shingle|text)#\d+", line) is None, (
                 "incremental dedup shuffles raw text:\n" + line.strip()
             )
+
+
+def test_quality_rules_is_pure_map(spark, sf_dir):
+    """The rule-set filter is row-local array/length expressions: ZERO
+    exchanges, like the PII scrub."""
+    plan = _initial_plan(QUERIES["text_quality_rules"](spark, sf_dir))
+    assert "Exchange" not in plan, "quality rules gained a shuffle:\n" + plan
+
+
+def test_unigram_surprisal_shuffle_inventory(spark, sf_dir):
+    """tfidf economics: tf agg, vocab agg, term join, final doc agg — and
+    the vocabulary relation stays UNHINTED (Zipf-bounded but corpus-
+    derived; AQE sizes the join)."""
+    df = QUERIES["corpus_unigram_surprisal"](spark, sf_dir)
+    assert _hint_subtrees(df) == []
+    plan = _initial_plan(df)
+    # the persisted tf relation's exchange reprints inside every
+    # InMemoryRelation occurrence — count DISTINCT exchanges by plan id
+    exchanges = {
+        re.search(r"plan_id=(\d+)", l).group(1): l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "plan_id=" in l
+    }
+    assert len(exchanges) <= 3, "\n".join(
+        e.strip()[:150] for e in exchanges.values()
+    )
