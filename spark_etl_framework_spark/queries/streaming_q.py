@@ -628,3 +628,72 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@register(
+    "stream_stateful_ewma",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, e) -> acc * 0.75 + 0.25 * e) AS final_ewma
+    FROM ev GROUP BY user_id
+    """,
+)
+def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA recurrence as arbitrary stateful STREAMING state: GroupState
+    carries each user's last smoothed value across triggers; within a
+    trigger the group's rows sort by event time so the recurrence applies
+    in order (each user's history arrives within one trigger here; with
+    out-of-order cross-trigger arrivals an EWMA needs watermark-delayed
+    emission, which is the same ordering contract the batch operator's
+    sortWithinPartitions provides). Final state per user must equal the
+    batch recurrence bit-for-bit — same exact-binary-alpha argument as
+    operators/timeseries.py, so the oracle list_reduce needs no rounding."""
+    import pandas as pd
+
+    from ..streaming.stateful import ArbitraryStatefulProcessor
+
+    class EwmaState(ArbitraryStatefulProcessor):
+        group_keys = ("user_id",)
+        output_schema = "user_id bigint, n_events bigint, final_ewma double"
+        state_schema = "n bigint, y double"
+        output_mode = "update"
+        timeout_conf = "NoTimeout"
+
+        def process_group(self, key, batches, state):
+            n, y = state.get if state.exists else (0, None)
+            pdf = pd.concat(list(batches), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            vals = pdf["value"]
+            if y is not None:
+                seeded = pd.concat(
+                    [pd.Series([y], dtype="float64"), vals], ignore_index=True
+                )
+                y = float(seeded.ewm(alpha=0.25, adjust=False).mean().iloc[-1])
+            else:
+                y = float(vals.ewm(alpha=0.25, adjust=False).mean().iloc[-1])
+            n += len(pdf)
+            state.update((n, y))
+            yield pd.DataFrame(
+                [{"user_id": int(key[0]), "n_events": n, "final_ewma": y}]
+            )
+
+    sdf = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = EwmaState().transform_state(sdf)
+    qname = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(qname).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as W
+
+    t = spark.table(qname).withColumn("__seq", F.monotonically_increasing_id())
+    w = W.partitionBy("user_id").orderBy(F.desc("__seq"))
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "final_ewma")
+    )
