@@ -178,3 +178,43 @@ class PiiScrubTransformer(Actor):
         if self.mode == "drop":
             out = out.filter(F.col("n_pii") == 0)
         return out
+
+
+class Scd2MergeTransformer(Actor):
+    """SCD2 dimension-history maintenance as a pipeline step: merge an
+    updates view into a history view (operators/etl.py:scd2_merge — one
+    full-outer join, map-side close+reopen fan-out). ``attrs`` is the
+    comma-separated list of tracked attribute columns; ``effDate`` the
+    effective date (yyyy-MM-dd) stamped on closed/opened rows. The
+    reference's upsert surface is the JdbcWriter ``merge`` write mode
+    (JdbcWriter.scala:49,68-76); this actor is the dimension-history
+    policy built on that primitive, framework-resident so a YAML pipeline
+    can maintain an SCD2 dim without leaving the runner.
+    """
+
+    historyView: str | None = None
+    updatesView: str | None = None
+    keyField: str | None = None
+    attrs: str | None = None
+    effDate: str | None = None
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        missing = [
+            n
+            for n in ("historyView", "updatesView", "keyField", "attrs", "effDate")
+            if not getattr(self, n)
+        ]
+        if missing:
+            raise ValueError(f"Scd2MergeTransformer: missing {', '.join(missing)}")
+        from .etl import scd2_merge
+
+        ctx.reference(self.historyView)
+        ctx.reference(self.updatesView)
+        attrs = [a.strip() for a in self.attrs.split(",") if a.strip()]
+        return scd2_merge(
+            spark.table(self.historyView),
+            spark.table(self.updatesView),
+            self.keyField,
+            attrs,
+            self.effDate,
+        )

@@ -535,3 +535,141 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = build_pipeline(defn, spark=spark)
     PipelineRunner(spark).run(pipeline)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "pipeline_scd2_writeback",
+    # same scenario as etl_scd2_merge, driven through the framework with
+    # the history/updates views derived by SQL transformers and the
+    # merged dimension written by the file sink.
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 14 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS c_acctbal
+        FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 13 = 0
+    ),
+    j AS (
+        SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
+               b.c_custkey IS NOT NULL AS in_b, u.c_custkey IS NOT NULL AS in_u,
+               b.c_mktsegment AS bseg, b.c_acctbal AS bbal,
+               u.c_mktsegment AS useg, u.c_acctbal AS ubal,
+               (b.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+                AND b.c_acctbal IS NOT DISTINCT FROM u.c_acctbal) AS same
+        FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    )
+    SELECT c_custkey, bseg AS c_mktsegment, bbal AS c_acctbal,
+           '2024-01-01' AS eff_from, CAST(NULL AS VARCHAR) AS eff_to, true AS is_current
+    FROM j WHERE in_b AND (NOT in_u OR same)
+    UNION ALL
+    SELECT c_custkey, bseg, bbal, '2024-01-01', '2024-06-01', false
+    FROM j WHERE in_b AND in_u AND NOT same
+    UNION ALL
+    SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+    FROM j WHERE in_b AND in_u AND NOT same
+    UNION ALL
+    SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+    FROM j WHERE NOT in_b
+    """,
+)
+def pipeline_scd2_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 maintenance END TO END through the framework: SQL transformers
+    derive the current history and the source snapshot, the
+    Scd2MergeTransformer actor reconciles them, FileWriter persists the
+    merged dimension, and the query returns what was WRITTEN."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="pipeline_scd2_"), "dim")
+    defn = {
+        "version": "1.0.0",
+        "name": "scd2-writeback",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-customer",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/customer.parquet",
+                            },
+                        },
+                        "output-view": {"name": "ps_customer"},
+                    },
+                    {
+                        "name": "derive-history",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                select c_custkey, c_mktsegment, c_acctbal,
+                                       '2024-01-01' as eff_from,
+                                       cast(null as string) as eff_to,
+                                       true as is_current
+                                from ps_customer
+                                """,
+                            },
+                        },
+                        "input-views": ["ps_customer"],
+                        "output-view": {"name": "ps_history"},
+                    },
+                    {
+                        "name": "derive-updates",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                select c_custkey,
+                                       case when c_custkey % 14 = 0 then 'MOVED' else c_mktsegment end as c_mktsegment,
+                                       c_acctbal + case when c_custkey % 7 = 0 then 100.0 else 0.0 end as c_acctbal
+                                from ps_customer where c_custkey % 5 = 0 or c_custkey % 7 = 0
+                                union all
+                                select c_custkey + 10000000, c_mktsegment, c_acctbal
+                                from ps_customer where c_custkey % 13 = 0
+                                """,
+                            },
+                        },
+                        "input-views": ["ps_customer"],
+                        "output-view": {"name": "ps_updates"},
+                    },
+                    {
+                        "name": "merge",
+                        "actor": {
+                            "type": "scd2-merge-transformer",
+                            "properties": {
+                                "historyView": "ps_history",
+                                "updatesView": "ps_updates",
+                                "keyField": "c_custkey",
+                                "attrs": "c_mktsegment, c_acctbal",
+                                "effDate": "2024-06-01",
+                            },
+                        },
+                        "input-views": ["ps_history", "ps_updates"],
+                        "output-view": {"name": "ps_merged"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["ps_merged"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir)

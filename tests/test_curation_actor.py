@@ -90,3 +90,32 @@ def test_pii_scrub_actor_redact_default_and_bad_mode(spark):
         PiiScrubTransformer(view="pii_redact_in", mode="nuke").run(jctx, spark)
     with pytest.raises(ValueError, match="view required"):
         PiiScrubTransformer().run(jctx, spark)
+
+
+def test_scd2_actor_validates_and_merges(spark):
+    from spark_etl_framework_spark.operators.curation import Scd2MergeTransformer
+    from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+
+    jctx = JobContext(PipelineContext(), spark)
+    spark.createDataFrame(
+        [(1, "A", "2024-01-01", None, True)],
+        "k int, seg string, eff_from string, eff_to string, is_current boolean",
+    ).createOrReplaceTempView("scd2_hist")
+    spark.createDataFrame([(1, "B")], ["k", "seg"]).createOrReplaceTempView(
+        "scd2_upd"
+    )
+    actor = Scd2MergeTransformer(
+        historyView="scd2_hist",
+        updatesView="scd2_upd",
+        keyField="k",
+        attrs="seg",
+        effDate="2024-06-01",
+    )
+    rows = sorted(
+        (r["seg"], r["eff_to"], r["is_current"])
+        for r in actor.run(jctx, spark).collect()
+    )
+    assert rows == [("A", "2024-06-01", False), ("B", None, True)]
+
+    with pytest.raises(ValueError, match="missing"):
+        Scd2MergeTransformer(historyView="scd2_hist").run(jctx, spark)
