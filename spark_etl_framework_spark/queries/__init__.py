@@ -134,9 +134,12 @@ def _load_all() -> None:
 #: etl_scd2_merge, etl_snapshot_cdc, etl_profile_columns,
 #: text_pii_redact, text_pii_incidence, ts_ewma_user_value,
 #: ts_rolling_features, vector_semantic_dedup, corpus_chunk_dedup,
-#: dedup_incremental_admission, pipeline_pii_scrub, plus any further
-#: round-4 additions (see git log). All are exact-value-checked locally
-#: at sf0.001 + sf0.01 every round via tools/check_correctness.py.
+#: dedup_incremental_admission, pipeline_pii_scrub, stream_pii_scrub,
+#: text_quality_rules, corpus_unigram_surprisal, stream_stateful_ewma,
+#: pipeline_scd2_writeback — 16 queries; rotate in over 2 rounds if the
+#: window can't host all while keeping every family's anchor. All are
+#: exact-value-checked locally at sf0.001 + sf0.01 every round via
+#: tools/check_correctness.py.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H: Q1 anchors; Q2/Q11/Q17/Q20/Q22 rotated out (r3-green)
     "q1_pricing_summary",  # anchor (r2+r3-green)
