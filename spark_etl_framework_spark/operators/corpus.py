@@ -101,12 +101,9 @@ def repetition_stats(
         f"i -> concat_ws(' ', slice(_t, i, {n}))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    top_tok_n = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("_t")),
-            lambda t: F.size(F.filter(F.col("_t"), lambda x: x == t)),
-        )
-    )
+    from .text import top_token_count
+
+    top_tok_n = top_token_count(F.col("_t"))
     return (
         df.select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") > 0)
@@ -432,8 +429,14 @@ def chunk_dedup(
        are re-derived map-side from the original document instead of
        shipping per-chunk strings through shuffles 1-2.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size("__t") / F.lit(float(chunk_words))).cast("int")
+    # NULL text must mean 0 chunks, not size(NULL) = -1 → __nc = 0 with a
+    # DESCENDING sequence(0, -1) = [0, -1] emitting phantom chunks (the
+    # same trap repetition_stats short-circuits); greatest + the explicit
+    # empty-sequence guard below close both halves of it.
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size("__t") / F.lit(float(chunk_words))).cast("int"), F.lit(0)
+    )
     base = df.select(id_col, text_col).withColumn("__t", toks).withColumn(
         "__nc", n_chunks
     )
@@ -443,9 +446,12 @@ def chunk_dedup(
             F.slice("__t", i * chunk_words + 1, chunk_words), " "
         )
 
+    idx_seq = F.when(
+        F.col("__nc") > 0, F.sequence(F.lit(0), F.col("__nc") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     narrow = base.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("idx"),
+        F.explode(idx_seq).alias("idx"),
         "__t",
     ).select(
         id_col,

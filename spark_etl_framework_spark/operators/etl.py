@@ -117,6 +117,8 @@ def snapshot_diff(
     Unchanged keys are filtered out map-side after the single full-outer
     join, so the output is change-volume-, not snapshot-, sized.
     """
+    if not cols:
+        raise ValueError("snapshot_diff: cols must name at least one column")
     o = old.select(key, *[F.col(c).alias(f"old_{c}") for c in cols]).withColumn(
         "__o", F.lit(True)
     )
@@ -148,23 +150,33 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     plans as one EXPAND + partial/final aggregate — one exchange); the
     unpivot runs on the single result row, i.e. driver-free and free.
     """
+    # internal aliases are POSITIONAL (__nn_0, __nd_0, ...) so arbitrary
+    # column names — spaces, dots, hyphens, quotes, backticks: exactly
+    # what a pre-load profiler gets pointed at — never leak into
+    # generated SQL identifiers; the source column resolves via a
+    # properly backtick-quoted reference (embedded backticks doubled),
+    # and the display label escapes embedded quotes.
+    def _qcol(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__mn_{c}"),
-            F.max(c).cast("string").alias(f"__mx_{c}"),
+            F.count(_qcol(c)).alias(f"__nn_{i}"),
+            F.countDistinct(_qcol(c)).alias(f"__nd_{i}"),
+            F.min(_qcol(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(_qcol(c)).cast("string").alias(f"__mx_{i}"),
         ]
     row = df.agg(*aggs)
     stack_args = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        label = c.replace("\\", "\\\\").replace("'", "\\'")
         stack_args += [
-            f"'{c}'",
-            f"__nn_{c}",
-            f"__nd_{c}",
-            f"__mn_{c}",
-            f"__mx_{c}",
+            f"'{label}'",
+            f"__nn_{i}",
+            f"__nd_{i}",
+            f"__mn_{i}",
+            f"__mx_{i}",
         ]
     stacked = row.select(
         F.col("__total"),

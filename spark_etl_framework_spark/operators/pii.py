@@ -35,14 +35,20 @@ PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def _count(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("int")
+    # coalesce BEFORE size(): size(NULL) is -1 under Spark's legacy
+    # default, which would emit count=-1 for null text and poison every
+    # downstream sum/threshold
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(pattern), F.lit(0))
+    ).cast("int")
 
 
 def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-pattern match counts (``n_email``/``n_ipv4``/``n_phone``,
     counted on the ORIGINAL text independently per pattern) plus a
     ``redacted`` column with all three patterns replaced by typed tags in
-    the order of :data:`PATTERNS`."""
+    the order of :data:`PATTERNS`. NULL text counts as 0 matches and
+    passes through as NULL ``redacted``."""
     out = df
     red = F.col(text_col)
     for name, pat, tag in PATTERNS:

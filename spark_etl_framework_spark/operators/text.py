@@ -31,6 +31,21 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def top_token_count(toks: Column) -> Column:
+    """Count of the most frequent token in an in-row token array — the
+    shared numerator of every repetition heuristic (repetition_stats'
+    top_token_share, with_quality_rules' rule_repetition). Row-local,
+    O(distinct × n) per row — fine for natural documents whose distinct
+    count saturates; a pathological all-distinct book-length row costs
+    n², which is the row's own size, not a corpus blow-up."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, characters, alpha chars, a BPE-ish
     subword estimate (chars/4 — the classic tokens≈bytes/4 heuristic), and
@@ -312,12 +327,7 @@ def with_quality_rules(
     ) / F.greatest(F.length(text_col), F.lit(1))
     sw = F.array([F.lit(w) for w in EN_STOPWORDS])
     n_stop = F.size(F.filter(F.col("_t"), lambda t: F.array_contains(sw, t)))
-    top_share = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("_t")),
-            lambda t: F.size(F.filter(F.col("_t"), lambda x: x == t)),
-        )
-    ) / F.greatest(n_tok, F.lit(1))
+    top_share = top_token_count(F.col("_t")) / F.greatest(n_tok, F.lit(1))
 
     rules = {
         "rule_min_tokens": n_tok >= min_tokens,

@@ -253,7 +253,7 @@ def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py): ONE shuffle on user_id, then a C-speed
     pandas scan per group. The DuckDB oracle reproduces the recurrence
     bit-for-bit via a windowed list_reduce (which is O(n²) per key — fine
-    for an oracle, not for the engine; the applyInPandas path is O(n)).
+    for an oracle, not for the engine; the mapInPandas scan is O(n)).
     The ewma column is emitted UNROUNDED: the doubles are bit-identical
     across engines, while round(x, 6) is not (Spark rounds the shortest
     decimal repr, DuckDB the exact binary value — a value landing exactly

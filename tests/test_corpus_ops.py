@@ -223,3 +223,12 @@ def test_unigram_surprisal_orders_rarity(spark):
     assert out[0] == expect_common
     assert out[100] > out[0]
     assert out[101] > out[100]
+
+
+def test_chunk_dedup_null_text_no_phantom_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in C.chunk_dedup(df, chunk_words=3).collect()}
+    assert out[2]["n_kept"] <= out[2]["n_chunks"]
+    assert out[1]["text_clean"] == "a b c"

@@ -92,3 +92,19 @@ def test_profile_columns_nulls_and_distinct(spark):
     assert prof["a"]["min_str"] == "1" and prof["a"]["max_str"] == "4"
     assert prof["b"]["n_nonnull"] == 2 and prof["b"]["null_ratio"] == 0.5
     assert prof["b"]["n_distinct"] == 2
+
+
+def test_profile_columns_hostile_names(spark):
+    df = spark.createDataFrame([(1, "x")], ["order key", "weird'na`me"])
+    prof = {r["column_name"]: r for r in E.profile_columns(df, ["order key", "weird'na`me"]).collect()}
+    assert prof["order key"]["n_distinct"] == 1
+    assert prof["weird'na`me"]["min_str"] == "x"
+
+
+def test_snapshot_diff_rejects_empty_cols(spark):
+    df = spark.createDataFrame([(1,)], ["k"])
+    try:
+        E.snapshot_diff(df, df, "k", [])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "at least one column" in str(e)

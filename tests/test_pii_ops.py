@@ -50,3 +50,14 @@ def test_incidence_aggregate(spark):
     out = {r["src"]: r for r in P.pii_incidence(df, "src").collect()}
     assert out["a"]["n_docs"] == 2 and out["a"]["n_docs_with_pii"] == 1
     assert out["b"]["total_email"] == 2 and out["b"]["total_ipv4"] == 1
+
+
+def test_null_text_counts_zero(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [(1, None)], StructType([StructField("id", LongType()), StructField("text", StringType())])
+    )
+    r = P.with_pii_flags(df).collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0)
+    assert r["redacted"] is None
