@@ -311,3 +311,70 @@ def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w).alias("min_5"),
         F.max("value").over(w).alias("max_5"),
     )
+
+
+@register(
+    "ts_cusum_drift",
+    oracle=f"""
+    WITH {_EV},
+    d AS (
+        SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_str,
+               CAST(value AS DECIMAL(18,6)) - CAST(55.0 AS DECIMAL(18,6)) AS dev,
+               sum(CAST(value AS DECIMAL(18,6)) - CAST(55.0 AS DECIMAL(18,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM ev
+    )
+    , m AS (
+        SELECT user_id, event_id, ts_str, c,
+               min(c) OVER (PARTITION BY user_id ORDER BY ts_str, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mc
+        FROM d
+    )
+    -- NB: DuckDB's least() on DECIMAL(38,6) coerces to DOUBLE (1-ulp
+    -- drift vs Spark's decimal path) — the CASE keeps it decimal
+    SELECT user_id, event_id, ts_str,
+           CAST(CASE WHEN mc < 0 THEN c - mc ELSE c END AS DOUBLE) AS cusum,
+           CAST(CASE WHEN mc < 0 THEN c - mc ELSE c END AS DOUBLE) > 50.0
+               AS drift_alarm
+    FROM m
+    """,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (reference level 55 ≈ just
+    above the in-control mean, alarm at 200): the sequential recurrence s_i = max(0, s_{i-1} + x_i - k)
+    has the closed form s_i = c_i - min(0, min_{j<=i} c_j) over the
+    running sum c — so unlike the EWMA it stays ENTIRELY in JVM window
+    built-ins: one shuffle on user_id, two window passes over the same
+    sort, zero Python. Deviations accumulate in DECIMAL so both engines
+    agree exactly (no float-sum order sensitivity)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dev = F.col("value").cast("decimal(18,6)") - F.lit(55.0).cast("decimal(18,6)")
+    c = F.sum(dev).over(w)
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        c.alias("c"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_str", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    mc = F.min("c").over(w2)
+    cusum = (
+        F.when(mc < 0, F.col("c") - mc).otherwise(F.col("c"))
+    ).cast("double")
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts_str",
+        cusum.alias("cusum"),
+        (cusum > 200.0).alias("drift_alarm"),
+    )
