@@ -335,7 +335,7 @@ def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- drift vs Spark's decimal path) — the CASE keeps it decimal
     SELECT user_id, event_id, ts_str,
            CAST(CASE WHEN mc < 0 THEN c - mc ELSE c END AS DOUBLE) AS cusum,
-           CAST(CASE WHEN mc < 0 THEN c - mc ELSE c END AS DOUBLE) > 50.0
+           CAST(CASE WHEN mc < 0 THEN c - mc ELSE c END AS DOUBLE) > 200.0
                AS drift_alarm
     FROM m
     """,
