@@ -378,3 +378,47 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (cusum > 200.0).alias("drift_alarm"),
     )
+
+
+@register(
+    "ts_event_gap_stats",
+    oracle=f"""
+    WITH {_EV},
+    g AS (
+        SELECT user_id, ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) AS gap_us
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           CAST(count(gap_us) AS BIGINT)       AS n_gaps,
+           CAST(min(gap_us) AS BIGINT)         AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT)         AS max_gap_us,
+           CAST(round(avg(CAST(gap_us AS DECIMAL(18,0))), 2) AS DOUBLE) AS avg_gap_us,
+           CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps_over_1h
+    FROM g GROUP BY user_id
+    """,
+)
+def ts_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-gap profile (irregular-sampling health check):
+    min/max/mean gap in µs plus the count of >1 h silences. One shuffle
+    on user_id serves both the lag window and the aggregate (same key);
+    the mean accumulates in DECIMAL (integer µs — exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select("user_id", gap.alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.round(F.avg(F.col("gap_us").cast("decimal(18,0)")), 2)
+        .cast("double")
+        .alias("avg_gap_us"),
+        F.sum(F.when(F.col("gap_us") > 3_600_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gaps_over_1h"),
+    )
