@@ -413,3 +413,64 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("latest_so_far"),
     )
+
+
+@register(
+    "agg_corr_covar",
+    # correlation/covariance from DECIMAL-exact moment sums, so the only
+    # floating-point steps are the final divisions — engine-independent
+    # regardless of partition order (plain corr()/covar_samp() stream
+    # doubles in partition order and drift at the last ulp).
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)       AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)  AS sy,
+               -- products in DECIMAL(15,3): inputs carry <=2 true decimal
+               -- places, and 15,3 x 15,3 fits DuckDB's int128 product
+               -- (18,6 x 18,6 overflows it)
+               CAST(sum(CAST(l_quantity AS DECIMAL(15,3))
+                        * CAST(l_quantity AS DECIMAL(15,3))) AS DOUBLE)     AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(15,3))
+                        * CAST(l_extendedprice AS DECIMAL(15,3))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(15,3))
+                        * CAST(l_extendedprice AS DECIMAL(15,3))) AS DOUBLE) AS sxy
+        FROM lineitem
+    )
+    SELECT n,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation of quantity vs price from
+    decimal-exact moment sums (the two-pass-free, order-independent
+    formulation; built-in corr()/covar_samp() accumulate doubles in
+    partition order and differ at the last ulp between engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,6)")
+    dp = F.col("l_extendedprice").cast("decimal(18,6)")
+    dq3 = F.col("l_quantity").cast("decimal(15,3)")
+    dp3 = F.col("l_extendedprice").cast("decimal(15,3)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq3 * dq3).cast("double").alias("sxx"),
+        F.sum(dp3 * dp3).cast("double").alias("syy"),
+        F.sum(dq3 * dp3).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1))
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return m.select(
+        "n",
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )

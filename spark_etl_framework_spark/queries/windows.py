@@ -146,3 +146,35 @@ def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_order).cast("int").alias("quartile"),
         F.round(F.col("_rev") / F.sum("_rev").over(w_all), 6).alias("rev_share"),
     )
+
+
+@register(
+    "window_cume_dist_nth",
+    oracle="""
+    WITH agg AS (SELECT l_suppkey,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+                 FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, round(qty, 2) AS supp_qty,
+           round(cume_dist() OVER (ORDER BY qty, l_suppkey), 6) AS cd,
+           round(nth_value(qty, 3) OVER (ORDER BY qty DESC, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS third_largest_qty
+    FROM agg
+    """,
+)
+def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value over the aggregated supplier set (completing
+    the analytic-window catalogue) — unpartitioned windows only ever run
+    on post-aggregation row counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(dsum(F.col("l_quantity")).alias("_q"))
+    w_cd = W.orderBy("_q", "l_suppkey")
+    w_nth = W.orderBy(F.desc("_q"), "l_suppkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return agg.select(
+        "l_suppkey",
+        F.round("_q", 2).alias("supp_qty"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("cd"),
+        F.round(F.nth_value("_q", 3).over(w_nth), 2).alias("third_largest_qty"),
+    )
