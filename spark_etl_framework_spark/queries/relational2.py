@@ -474,3 +474,73 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 4).alias("covar_qty_price"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
+
+
+@register(
+    "agg_mode_median_disc",
+    # exact order statistics DERIVED FROM COUNTS: mode (most frequent
+    # value, min-value tiebreak) and discrete median (smallest value whose
+    # cumulative count reaches half) per return flag. Both engines run the
+    # same integer logic — no reliance on either engine's mode()/
+    # quantile_disc() tiebreak or interpolation behavior.
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity AS q, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    t AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS total
+          FROM c GROUP BY l_returnflag),
+    ranked AS (
+        SELECT l_returnflag, q, cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, q) AS rn,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY q
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM c
+    ),
+    mode_v AS (SELECT l_returnflag, q AS mode_qty, cnt AS mode_count
+               FROM ranked WHERE rn = 1),
+    med AS (SELECT r.l_returnflag, min(r.q) AS median_disc_qty
+            FROM ranked r JOIN t ON r.l_returnflag = t.l_returnflag
+            WHERE r.cum * 2 >= t.total
+            GROUP BY r.l_returnflag)
+    SELECT m.l_returnflag, m.mode_qty, CAST(m.mode_count AS BIGINT) AS mode_count,
+           d.median_disc_qty
+    FROM mode_v m JOIN med d ON m.l_returnflag = d.l_returnflag
+    """,
+)
+def agg_mode_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode + discrete median per return flag from the value-count
+    relation — one fact shuffle builds the counts; windows and the median
+    scan run over the tiny (flag, value) set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_quantity").alias("q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    t = c.groupBy("l_returnflag").agg(F.sum("cnt").cast("bigint").alias("total"))
+    w_rank = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "q")
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = c.select(
+        "l_returnflag",
+        "q",
+        "cnt",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    mode_v = ranked.filter("rn = 1").select(
+        "l_returnflag",
+        F.col("q").alias("mode_qty"),
+        F.col("cnt").cast("bigint").alias("mode_count"),
+    )
+    med = (
+        ranked.join(t, "l_returnflag")
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("q").alias("median_disc_qty"))
+    )
+    return mode_v.join(med, "l_returnflag")
