@@ -219,3 +219,42 @@ def sample_audio_frames(
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "sample_rate", "frame"])
 
     return df.mapInPandas(_sample, AUDIO_FRAMES_SCHEMA)
+
+
+#: Output schema of per-channel raster statistics.
+CHANNEL_STATS_SCHEMA = (
+    "id bigint, channel int, px_sum bigint, px_min int, px_max int, n_px int"
+)
+
+
+def image_channel_stats(
+    decoded: DataFrame, id_col: str = "id", pixels_col: str = "pixels"
+) -> DataFrame:
+    """Per-channel pixel statistics over DECODED rasters (the
+    feature-extraction stage after :func:`decode_images`): one output row
+    per (image, channel) with integer sum/min/max — exact, so the oracle
+    can reproduce them arithmetically from the raster bytes. Vectorized
+    numpy per Arrow batch over a narrow ``mapInPandas`` — no shuffle;
+    executor memory bounded by bytes-per-batch exactly like the decoder."""
+    import numpy as np
+
+    ch = F.col("channels")
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "channel", "px_sum", "px_min", "px_max", "n_px")}
+            for rid, nch, px in zip(pdf[id_col], pdf["channels"], pdf[pixels_col]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, int(nch))
+                for c in range(int(nch)):
+                    col = a[:, c]
+                    out["id"].append(int(rid))
+                    out["channel"].append(c)
+                    out["px_sum"].append(int(col.sum()))
+                    out["px_min"].append(int(col.min()))
+                    out["px_max"].append(int(col.max()))
+                    out["n_px"].append(int(col.shape[0]))
+            yield pd.DataFrame(out)
+
+    return decoded.select(id_col, "channels", pixels_col).mapInPandas(
+        _stats, CHANNEL_STATS_SCHEMA
+    )

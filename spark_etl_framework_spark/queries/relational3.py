@@ -325,3 +325,48 @@ def multimodal_audio_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "frame_idx", "sample_rate", F.hex("frame").alias("frame_hex")
     )
+
+
+@register(
+    "multimodal_image_channel_stats",
+    # per-channel stats over the SAME real P6 raster as
+    # multimodal_decode_netpbm (24 bytes = 8 RGB pixels): channel c uses
+    # bytes 3i+c; DuckDB recovers each byte from its two hex digits and
+    # aggregates exactly (integer sums — no float anywhere).
+    oracle="""
+    WITH r AS (
+        SELECT doc_id,
+               lower(md5(text) || SUBSTR(md5(text || 'x'), 1, 16)) AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, CAST(u.i AS INT) AS i,
+               (strpos('0123456789abcdef', substr(hx, 2*u.i + 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(hx, 2*u.i + 2, 1)) - 1 AS byte
+        FROM r, (SELECT unnest(range(0, 24)) AS i) AS u
+    )
+    SELECT doc_id AS id, CAST(i % 3 AS INT) AS channel,
+           CAST(sum(byte) AS BIGINT) AS px_sum,
+           CAST(min(byte) AS INT)    AS px_min,
+           CAST(max(byte) AS INT)    AS px_max,
+           CAST(count(*) AS INT)     AS n_px
+    FROM b GROUP BY doc_id, i % 3
+    """,
+)
+def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction AFTER real decode: per-channel integer
+    sum/min/max over the decoded P6 raster (numpy per Arrow batch,
+    operators/multimodal.py:image_channel_stats) — decode and stats chain
+    as two narrow mapInPandas stages, zero shuffles end-to-end."""
+    from ..operators.multimodal import decode_images, image_channel_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    raster_hex = F.concat(
+        F.md5(txt), F.substring(F.md5(F.concat(txt, F.lit(b"x"))), 1, 16)
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(b"P6\n4 2\n255\n"), F.unhex(raster_hex)).alias("payload"),
+    )
+    return image_channel_stats(decode_images(wire, fake=False))

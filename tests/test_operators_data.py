@@ -410,3 +410,23 @@ def test_incremental_admission_matches_corpus_only(spark):
     assert not out[20]["is_dup"] and out[20]["best_old_id"] is None
     assert not out[30]["is_dup"]  # increment never pairs with increment
     assert len(out) == 3  # one row per incoming doc, always
+
+
+def test_image_channel_stats_known_raster(spark):
+    """A hand-built 2x1 P6 image with known RGB bytes must produce exact
+    per-channel sums through the real decode + stats chain."""
+    from spark_etl_framework_spark.operators.multimodal import (
+        decode_images,
+        image_channel_stats,
+    )
+
+    # pixels: (10, 20, 30) and (40, 60, 80)
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 60, 80])
+    df = spark.createDataFrame([(1, bytearray(payload))], "id bigint, payload binary")
+    out = {
+        r["channel"]: r
+        for r in image_channel_stats(decode_images(df, fake=False)).collect()
+    }
+    assert out[0]["px_sum"] == 50 and out[0]["px_min"] == 10 and out[0]["px_max"] == 40
+    assert out[1]["px_sum"] == 80 and out[2]["px_sum"] == 110
+    assert all(out[c]["n_px"] == 2 for c in range(3))
