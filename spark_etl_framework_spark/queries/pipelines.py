@@ -673,3 +673,67 @@ def pipeline_scd2_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = build_pipeline(defn, spark=spark)
     PipelineRunner(spark).run(pipeline)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "pipeline_export_jsonl",
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
+def pipeline_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data handoff: export the corpus as JSON-lines through
+    the framework's file sink (Spark's `json` format IS jsonl) and return
+    what a consumer reads back — a lossless parquet→jsonl→parquet-shaped
+    roundtrip under the hash gate, read back with an explicit schema so
+    inference can't mask a type drift."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="pipeline_jsonl_"), "corpus")
+    defn = {
+        "version": "1.0.0",
+        "name": "export-jsonl",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-docs",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pj_docs"},
+                    },
+                    {
+                        "name": "project",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": "select doc_id, lang, text from pj_docs",
+                            },
+                        },
+                        "input-views": ["pj_docs"],
+                        "output-view": {"name": "pj_out"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "json",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pj_out"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.schema("doc_id bigint, lang string, text string").json(out_dir)
