@@ -467,3 +467,54 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     increment = docs.filter(F.col("doc_id") % 10 == 0)
     return D.incremental_lsh_matches(corpus, increment, threshold=0.5)
+
+
+@register(
+    "events_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m,
+               abs(e.value - m) AS ad
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, m, quantile_cont(ad, 0.5) AS mad_v
+        FROM dev GROUP BY event_type, m
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE abs(d.value - mad.m) > 3.5 * 1.4826 * mad.mad_v)
+                AS BIGINT) AS n_outliers,
+           round(mad.m, 6)     AS median_value,
+           round(mad.mad_v, 6) AS mad
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type, mad.m, mad.mad_v
+    """,
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening via median absolute deviation (the
+    heavy-tail-safe alternative to z-scores: one wild value cannot drag
+    the fence the way it drags a mean/stddev). Two exact-median passes per
+    event type — each a tiny per-group aggregate — then one counting
+    pass; the modified-z cut |x − med| > 3.5·1.4826·MAD is the Iglewicz-
+    Hoaglin convention. Spark ``percentile`` ≡ DuckDB ``quantile_cont``."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    dev = ev.join(med, "event_type").withColumn("ad", F.abs(F.col("value") - F.col("m")))
+    mad = dev.groupBy("event_type", "m").agg(F.expr("percentile(ad, 0.5)").alias("mad_v"))
+    d = dev.join(mad.select("event_type", "mad_v"), "event_type")
+    out_flag = F.abs(F.col("value") - F.col("m")) > 3.5 * 1.4826 * F.col("mad_v")
+    return d.groupBy("event_type", "m", "mad_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(out_flag, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_outliers",
+        F.round("m", 6).alias("median_value"),
+        F.round("mad_v", 6).alias("mad"),
+    )

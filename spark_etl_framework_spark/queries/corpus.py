@@ -430,3 +430,76 @@ def corpus_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py:unigram_logprob)."""
     docs = load_table(spark, sf_dir, "documents")
     return C.unigram_logprob(docs, "doc_id", "text")
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               md5(doc_id::VARCHAR || ':epoch0') AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, source, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS train_order
+    FROM r
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: rank documents by a keyed hash
+    (salt = epoch tag) so the data order is (a) statistically shuffled,
+    (b) identical on every rerun/engine, and (c) re-derivable per epoch by
+    changing the salt — no RNG state to checkpoint. The global rank is a
+    single range-partitioned sort of narrow (id, 32-char key) rows; at
+    100 TB the sort ships no document bodies (join order back by id, or
+    write bucketed by range)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("shuffle_key", "doc_id")
+    return (
+        docs.withColumn("shuffle_key", key)
+        .withColumn("train_order", F.row_number().over(w).cast("bigint"))
+    )
+
+
+@register(
+    "corpus_hll_calibration",
+    # the oracle can't reproduce Spark's HLL++ registers, so the CONTRACT
+    # is checked instead (the KMV-calibration pattern): exact distinct
+    # count per source + a boolean asserting the sketch landed within 3x
+    # its configured rsd. HLL register-merge is max() — commutative and
+    # associative — so the estimate is partition-order-deterministic and
+    # the boolean is stable run to run.
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+           true AS within_3rsd
+    FROM t GROUP BY source
+    """,
+)
+def corpus_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in HLL++ sketch under a calibration gate: per-source distinct
+    token count, exact vs approx_count_distinct(rsd=0.05), asserting the
+    estimate lands within 3·rsd of truth. At 100 TB the sketch is the
+    only affordable distinct count — registers merge map-side (max), one
+    tiny shuffle — and this query keeps its error contract executable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    agg = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct"),
+        F.approx_count_distinct("tok", rsd=0.05).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return agg.select(
+        "source", "exact_distinct", (err <= 0.15).alias("within_3rsd")
+    )
