@@ -503,3 +503,92 @@ def corpus_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "exact_distinct", (err <= 0.15).alias("within_3rsd")
     )
+
+
+@register(
+    "corpus_health_report",
+    # the per-source dashboard a curation run publishes: volume, token
+    # mass, quality-rule pass rate, PII incidence — all map-side column
+    # ops composed in ONE pass over the corpus, one aggregation shuffle.
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1) AS alpha_ratio,
+               concat_ws(' ', substring(text, 1, 40),
+                   CASE WHEN doc_id % 3 = 0 THEN 'contact user' || doc_id
+                             || '@mail-' || (doc_id % 7) || '.com' END) AS pii_text
+        FROM documents
+    ),
+    m AS (
+        SELECT source,
+               len(toks) AS n_tok,
+               list_sum(list_transform(toks, x -> length(x)))
+                   / greatest(len(toks), 1) AS mean_len,
+               alpha_ratio,
+               len(regexp_extract_all(pii_text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS n_email
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tok >= 10 AND mean_len >= 2.0 AND mean_len <= 12.0
+                          AND alpha_ratio >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_core_rules,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_email
+    FROM m GROUP BY source
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus health dashboard: volume, token mass, core
+    quality-rule pass count (length/word-len/alpha), and PII incidence —
+    every metric a map-side column expression, composed in one scan and
+    one aggregation shuffle. The composition query: the same operators
+    that run standalone (quality rules, PII counts, token stats) stacked
+    into a single whole-stage-codegen pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size("toks")
+    mean_len = F.aggregate(
+        "toks", F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    d = F.col("doc_id")
+    pii_text = F.concat_ws(
+        " ",
+        F.substring("text", 1, 40),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("contact user"), d.cast("string"),
+                F.lit("@mail-"), (d % 7).cast("string"), F.lit(".com"),
+            ),
+        ),
+    )
+    from ..operators.pii import EMAIL_RE
+
+    n_email = F.size(F.regexp_extract_all(pii_text, F.lit(EMAIL_RE), F.lit(0)))
+    m = docs.withColumn("toks", toks).select(
+        "source",
+        n_tok.alias("n_tok"),
+        mean_len.alias("mean_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_email.alias("n_email"),
+    )
+    pass_core = (
+        (F.col("n_tok") >= 10)
+        & (F.col("mean_len") >= 2.0)
+        & (F.col("mean_len") <= 12.0)
+        & (F.col("alpha_ratio") >= 0.6)
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(pass_core.cast("int")).cast("bigint").alias("n_pass_core_rules"),
+        F.sum((F.col("n_email") > 0).cast("int")).cast("bigint").alias("n_docs_with_email"),
+    )

@@ -105,3 +105,28 @@ def test_chunk_dedup_invariants_random_corpus(spark):
         & (F.trim("text_clean") != F.trim("text"))
     )
     assert joined.count() == 0
+
+
+def test_scd2_two_batch_sequence(spark):
+    """History accumulates correctly across TWO merge batches: a key
+    changed in both batches ends with three versions (original closed,
+    mid closed, final current) and correct effective ranges."""
+    history = spark.createDataFrame(
+        [(1, "A", "2024-01-01", None, True), (2, "X", "2024-01-01", None, True)],
+        "k int, seg string, eff_from string, eff_to string, is_current boolean",
+    )
+    u1 = spark.createDataFrame([(1, "B")], "k int, seg string")
+    h2 = E.scd2_merge(history, u1, "k", ["seg"], "2024-03-01")
+    u2 = spark.createDataFrame([(1, "C"), (2, "X")], "k int, seg string")
+    h3 = E.scd2_merge(h2, u2, "k", ["seg"], "2024-06-01")
+
+    rows = sorted(
+        (r["k"], r["seg"], r["eff_from"], r["eff_to"], r["is_current"])
+        for r in h3.collect()
+    )
+    assert rows == [
+        (1, "A", "2024-01-01", "2024-03-01", False),
+        (1, "B", "2024-03-01", "2024-06-01", False),
+        (1, "C", "2024-06-01", None, True),
+        (2, "X", "2024-01-01", None, True),  # no-op in batch 2
+    ]
