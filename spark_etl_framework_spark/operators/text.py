@@ -346,3 +346,86 @@ def with_quality_rules(
     return out.withColumn("n_rules_failed", n_failed.cast("int")).withColumn(
         "passes_all", F.col("n_rules_failed") == 0
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width_hex: int = 3,
+) -> DataFrame:
+    """Count-Min sketch of the corpus token-frequency distribution: a
+    ``depth × 16^width_hex`` counter table (Cormode & Muthukrishnan 2005),
+    the fixed-size summary you keep when the token vocabulary itself is
+    too large to materialize per-pipeline-stage.
+
+    Row r uses hash_r(tok) = first ``width_hex`` hex chars of
+    md5("r:" || tok) — 16^width_hex buckets per row with no integer
+    conversion, so the construction is bit-identical in DuckDB and the
+    sketch itself (not just a derived answer) is oracle-checkable.
+    point_estimate(tok) = min over rows of counter[r][hash_r(tok)], which
+    never undercounts and overshoots by ≤ e/width · N total tokens with
+    probability ≥ 1 − e^−depth.
+
+    Scale story (the reason this exists next to the exact groupBy):
+    the exact token-frequency relation is vocabulary-sized — at 100 TB
+    that is billions of rows you must shuffle, store, and join. The
+    sketch's aggregation state is capped at depth × width counters PER
+    TASK regardless of corpus size, partial aggregation collapses each
+    task's stream before the exchange, and the post-shuffle relation
+    (≤ depth·width rows) broadcasts anywhere it is consumed. Sketches of
+    disjoint corpus shards merge by elementwise +, so it composes with
+    incremental ingestion. Reference context: the reference's
+    aggregation surface is exact-only (SURVEY.md §2.C); this is part of
+    the §7 North-star sketch extension surface alongside KMV and HLL.
+
+    Returns (seed int, bucket string, cnt bigint).
+    """
+    toks = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    buckets = F.array(
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("tok"))), 1, width_hex)
+            for r in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.posexplode(buckets).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    df: DataFrame,
+    sketch: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width_hex: int = 3,
+) -> DataFrame:
+    """Point-estimate each token in ``df`` against a :func:`countmin_sketch`:
+    min over rows of the counter the token hashes into. The sketch relation
+    is ≤ depth × 16^width_hex rows by construction, so it is explicitly
+    broadcast — the probe side stays unshuffled however large it is."""
+    from pyspark.sql.functions import broadcast
+
+    probes = df.select(
+        *df.columns,
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{r}:"), F.col(token_col))), 1, width_hex
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("seed", "bucket"),
+    )
+    return (
+        probes.join(broadcast(sketch), ["seed", "bucket"])
+        .groupBy(*df.columns)
+        .agg(F.min("cnt").alias("est_count"))
+    )

@@ -138,7 +138,10 @@ def _load_all() -> None:
 #: text_quality_rules, corpus_unigram_surprisal, stream_stateful_ewma,
 #: pipeline_scd2_writeback, ts_cusum_drift, ts_event_gap_stats,
 #: window_cume_dist_nth, agg_corr_covar, agg_mode_median_disc,
-#: multimodal_image_channel_stats, pipeline_export_jsonl — 23 queries; rotate in over 2 rounds if the window can't host all while
+#: multimodal_image_channel_stats, pipeline_export_jsonl,
+#: events_outlier_mad, corpus_shuffle_order, corpus_hll_calibration,
+#: corpus_health_report, text_countmin_freq — 28 queries; rotate in over
+#: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
 _PRIORITY: tuple[str, ...] = (

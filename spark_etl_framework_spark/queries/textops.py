@@ -394,3 +394,74 @@ def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_quality_rules)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return T.with_quality_rules(docs).drop("text")
+
+
+@register(
+    "text_countmin_freq",
+    oracle="""
+    WITH tk AS (
+        SELECT tok
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    seeds AS (SELECT unnest(range(4)) AS seed),
+    sketch AS (
+        SELECT seed,
+               substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 3) AS bucket,
+               count(*) AS cnt
+        FROM tk CROSS JOIN seeds
+        GROUP BY seed, bucket
+    ),
+    truec AS (
+        SELECT tok, count(*) AS true_count
+        FROM tk GROUP BY tok
+        ORDER BY true_count DESC, tok
+        LIMIT 20
+    )
+    SELECT t.tok                                        AS token,
+           CAST(t.true_count AS BIGINT)                 AS true_count,
+           CAST(min(c.cnt) AS BIGINT)                   AS est_count,
+           CAST(min(c.cnt) - t.true_count AS BIGINT)    AS overshoot
+    FROM truec t
+    CROSS JOIN seeds s
+    JOIN sketch c
+      ON c.seed = s.seed
+     AND c.bucket = substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.tok), 1, 3)
+    GROUP BY t.tok, t.true_count
+    ORDER BY true_count DESC, token
+    """,
+)
+def text_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch calibration: build the fixed-size (4 × 4096)
+    counter table over the whole token stream, then probe it with the
+    exact top-20 tokens and report estimate vs truth (overshoot ≥ 0 by
+    construction — CM never undercounts).
+
+    Plan: the sketch is one groupBy over a key space capped at 16384
+    regardless of corpus size (partial agg collapses each task's stream
+    before the exchange); the exact leg is the vocabulary groupBy feeding
+    TakeOrderedAndProject(20); the probe joins the ≤16k-row sketch
+    BROADCAST against 20×4 rows. Nothing vocabulary-sized crosses the
+    wire twice, and at 100 TB the sketch side's shuffle stays 16k rows
+    per task — the entire point of the operator (operators/text.py:
+    countmin_sketch docstring has the full scale argument)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    sketch = T.countmin_sketch(docs, "text", depth=4, width_hex=3)
+    toks = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "tok")
+        .limit(20)
+    )
+    est = T.countmin_estimate(top, sketch, "tok", depth=4, width_hex=3)
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("est_count").cast("long").alias("est_count"),
+        (F.col("est_count") - F.col("true_count")).cast("long").alias("overshoot"),
+    ).orderBy(F.desc("true_count"), "token")

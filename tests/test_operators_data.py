@@ -430,3 +430,21 @@ def test_image_channel_stats_known_raster(spark):
     assert out[0]["px_sum"] == 50 and out[0]["px_min"] == 10 and out[0]["px_max"] == 40
     assert out[1]["px_sum"] == 80 and out[2]["px_sum"] == 110
     assert all(out[c]["n_px"] == 2 for c in range(3))
+
+
+def test_countmin_never_undercounts_and_bounds_overshoot(spark):
+    """CM guarantee on a concrete corpus: estimate ≥ true count for every
+    token, sketch row count ≤ depth × 16^width, and with 16^3 buckets vs a
+    ~300-token stream the expected collision mass is tiny — overshoot 0
+    for the heavy token in practice (min over 4 independent rows)."""
+    text = " ".join(["heavy"] * 50 + [f"rare{i}" for i in range(250)])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sketch = T.countmin_sketch(df, "text", depth=4, width_hex=3)
+    rows = sketch.collect()
+    assert len(rows) <= 4 * 16**3
+    assert sum(r["cnt"] for r in rows) == 4 * 300  # every token hits each row once
+    probe = spark.createDataFrame([("heavy", 50), ("rare7", 1)], ["tok", "true_count"])
+    est = {r["tok"]: r for r in T.countmin_estimate(probe, sketch, "tok").collect()}
+    assert est["heavy"]["est_count"] >= 50
+    assert est["rare7"]["est_count"] >= 1
+    assert est["heavy"]["est_count"] - 50 <= 8  # 4-row min over ~300/4096 collision mass

@@ -444,3 +444,27 @@ def test_unigram_surprisal_shuffle_inventory(spark, sf_dir):
     assert len(exchanges) <= 3, "\n".join(
         e.strip()[:150] for e in exchanges.values()
     )
+
+
+def test_countmin_sketch_broadcast_and_bounded_state(spark, sf_dir):
+    """Count-Min contract: the sketch relation (≤ depth×16^width rows by
+    construction) is the ONLY side carrying an explicit broadcast hint,
+    and the full query's exchange inventory is the sketch agg, the exact
+    top-k agg, and the final probe agg/sort — no vocabulary-sized
+    relation crosses the wire more than once."""
+    df = QUERIES["text_countmin_freq"](spark, sf_dir)
+    hints = _hint_subtrees(df)
+    assert len(hints) == 1, f"expected exactly the sketch broadcast, got {len(hints)}"
+    assert not _SF_TABLE_COLS.search(hints[0])
+    assert "tok" not in hints[0].splitlines()[0]  # hinted subtree aggregates, not raw tokens
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
+    n_hash = len(
+        {
+            re.search(r"plan_id=(\d+)", l).group(1)
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "plan_id=" in l
+        }
+    )
+    # sketch groupBy + exact vocabulary groupBy + probe groupBy
+    assert n_hash <= 3, plan
