@@ -195,3 +195,38 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def zorder_interleave(cx, cy, bits: int = 8):
+    """Morton/z-order key for two pre-quantized non-negative int columns:
+    interleave the low ``bits`` bits of ``cx`` (odd positions) and ``cy``
+    (even positions) into one ``2·bits``-bit integer.
+
+    Sorting or range-bucketing by this key is the engine-level data-LAYOUT
+    operator (Delta/Iceberg expose it as OPTIMIZE ZORDER): consecutive key
+    ranges cover small axis-aligned rectangles in (x, y) space, so each
+    written file's per-column min/max footer spans ~2^-(bits') of BOTH
+    dimensions and parquet row-group skipping works for predicates on
+    either column — the thing a single-column sort can only give one of.
+
+    Pure bit arithmetic (shifts, masks, adds) on the driver-side constant
+    plan — no UDF, stays inside whole-stage codegen, and is reproduced
+    bit-identically by any engine with ``>>``/``&`` (the DuckDB oracle
+    mirrors it), so layout decisions are testable under the exact-value
+    gate."""
+    z = None
+    for b in range(bits):
+        term = F.shiftright(cx, b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b + 1)) + \
+            F.shiftright(cy, b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b))
+        z = term if z is None else z + term
+    return z
+
+
+def zorder_interleave_sql(cx: str = "cx", cy: str = "cy", bits: int = 8) -> str:
+    """The exact SQL mirror of :func:`zorder_interleave` (valid in both
+    Spark SQL and DuckDB), for oracle parity."""
+    return " + ".join(
+        f"((({cx} >> {b}) & 1) * {1 << (2 * b + 1)}) + "
+        f"((({cy} >> {b}) & 1) * {1 << (2 * b)})"
+        for b in range(bits)
+    )

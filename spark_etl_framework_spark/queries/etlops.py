@@ -188,3 +188,89 @@ def etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/etl.py:profile_columns)."""
     li = load_table(spark, sf_dir, "lineitem")
     return E.profile_columns(li, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+@register(
+    "etl_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(min(o_custkey) AS BIGINT) AS ck_lo,
+               CAST(max(o_custkey) AS BIGINT) AS ck_hi,
+               min(o_orderdate)               AS d_lo,
+               max(o_orderdate)               AS d_hi
+        FROM orders
+    ),
+    q AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(((CAST(o_custkey AS BIGINT) - ck_lo) * 256)
+                    // (ck_hi - ck_lo + 1) AS BIGINT)                  AS cx,
+               CAST((date_diff('day', d_lo, o_orderdate) * 256)
+                    // (date_diff('day', d_lo, d_hi) + 1) AS BIGINT)   AS cy
+        FROM orders CROSS JOIN b
+    ),
+    z AS (SELECT o_custkey, o_orderdate, ({E.zorder_interleave_sql()}) AS zv FROM q)
+    SELECT CAST(zv >> 12 AS INT)                  AS bucket,
+           CAST(count(*) AS BIGINT)               AS n_rows,
+           CAST(min(o_custkey) AS BIGINT)         AS custkey_min,
+           CAST(max(o_custkey) AS BIGINT)         AS custkey_max,
+           CAST(min(o_orderdate) AS VARCHAR)      AS date_min,
+           CAST(max(o_orderdate) AS VARCHAR)      AS date_max
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over orders on (o_custkey, o_orderdate):
+    quantize both dimensions to 8 bits against the global min/max,
+    interleave into a 16-bit Morton key (operators/etl.py:
+    zorder_interleave), split the key range into 16 layout buckets, and
+    report each bucket's row count plus per-dimension min/max — the
+    footer stats a writer laying files out in this order would give each
+    file. The z-order property under test: every bucket spans ~1/4 of
+    BOTH domains (a 4×4 grid), so predicates on either column alone
+    skip ~3/4 of the files.
+
+    Plan: one tree-aggregated 1-row bounds relation broadcast into a
+    crossJoin (value-bounded, like BM25's avgdl — never SF-proportional),
+    then the Morton key as pure codegen bit arithmetic, then ONE shuffle
+    into a 16-group aggregate. At 100 TB the real layout action is
+    ``repartitionByRange(n_files, zv)`` + write with maxRecordsPerFile —
+    the audit here is the part whose answer is exact and engine-agnostic.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    bounds = orders.agg(
+        F.min("o_custkey").cast("bigint").alias("ck_lo"),
+        F.max("o_custkey").cast("bigint").alias("ck_hi"),
+        F.min("o_orderdate").alias("d_lo"),
+        F.max("o_orderdate").alias("d_hi"),
+    )
+    q = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(
+            "CAST(((CAST(o_custkey AS BIGINT) - ck_lo) * 256)"
+            " div (ck_hi - ck_lo + 1) AS BIGINT)"
+        ).alias("cx"),
+        F.expr(
+            "CAST((datediff(o_orderdate, d_lo) * 256)"
+            " div (datediff(d_hi, d_lo) + 1) AS BIGINT)"
+        ).alias("cy"),
+    )
+    z = q.select(
+        "o_custkey", "o_orderdate",
+        E.zorder_interleave(F.col("cx"), F.col("cy"), bits=8).alias("zv"),
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("zv"), 12).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").cast("bigint").alias("custkey_min"),
+            F.max("o_custkey").cast("bigint").alias("custkey_max"),
+            F.min("o_orderdate").cast("string").alias("date_min"),
+            F.max("o_orderdate").cast("string").alias("date_max"),
+        )
+        .orderBy("bucket")
+    )

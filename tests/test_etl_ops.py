@@ -108,3 +108,53 @@ def test_snapshot_diff_rejects_empty_cols(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "at least one column" in str(e)
+
+
+def test_zorder_interleave_known_bits(spark):
+    """Morton key ground truth: (cx=0b11, cy=0b01) interleaves to
+    0b1011 = 11; full-range corners map to the extremes; and the Python
+    SQL mirror evaluates identically via Spark's own SQL engine."""
+    from spark_etl_framework_spark.operators import etl as E
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (255, 255), (255, 0), (0, 255)], ["cx", "cy"]
+    )
+    out = df.select(
+        "cx", "cy",
+        E.zorder_interleave(F.col("cx"), F.col("cy")).alias("z"),
+        F.expr(E.zorder_interleave_sql()).alias("z_sql"),
+    ).collect()
+    got = {(r["cx"], r["cy"]): (r["z"], r["z_sql"]) for r in out}
+    assert got[(3, 1)] == (11, 11)
+    assert got[(0, 0)] == (0, 0)
+    assert got[(255, 255)] == (65535, 65535)
+    assert got[(255, 0)][0] == sum(1 << (2 * b + 1) for b in range(8))  # odd bits
+    assert got[(0, 255)][0] == sum(1 << (2 * b) for b in range(8))      # even bits
+    assert all(z == zs for z, zs in got.values())
+
+
+def test_zorder_buckets_are_axis_rectangles(spark):
+    """The layout property itself: with 16 buckets (top 4 Morton bits =
+    2 bits per dimension), every bucket's cx and cy extents each span at
+    most 1/4 of the 256-wide domain — file footers cover a small
+    rectangle in BOTH dimensions."""
+    from spark_etl_framework_spark.operators import etl as E
+    from pyspark.sql import functions as F
+
+    grid = spark.range(0, 256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("cx"),
+        (F.col("id") / 256).cast("int").alias("cy"),
+    )
+    stats = (
+        grid.select(E.zorder_interleave(F.col("cx"), F.col("cy")).alias("z"), "cx", "cy")
+        .groupBy(F.shiftright("z", 12).alias("bucket"))
+        .agg(
+            F.max("cx") - F.min("cx"), F.max("cy") - F.min("cy"),
+            F.count(F.lit(1)),
+        )
+        .collect()
+    )
+    assert len(stats) == 16
+    for _, dx, dy, n in stats:
+        assert dx <= 63 and dy <= 63 and n == 4096

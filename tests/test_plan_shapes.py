@@ -468,3 +468,24 @@ def test_countmin_sketch_broadcast_and_bounded_state(spark, sf_dir):
     )
     # sketch groupBy + exact vocabulary groupBy + probe groupBy
     assert n_hash <= 3, plan
+
+
+def test_zorder_layout_bounds_broadcast_only(spark, sf_dir):
+    """Z-order audit: the only forced broadcast is the 1-row global
+    bounds aggregate (value-bounded, like BM25's avgdl); the Morton key
+    is plain codegen arithmetic (no UDF, no extra exchange) — inventory
+    is the bounds agg + the 16-group layout agg + the output sort."""
+    df = QUERIES["etl_zorder_layout"](spark, sf_dir)
+    hints = _hint_subtrees(df)
+    assert len(hints) == 1
+    assert "Aggregate" in hints[0].splitlines()[1], "broadcast must wrap the 1-row bounds agg"
+    plan = _initial_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_hash = len(
+        {
+            re.search(r"plan_id=(\d+)", l).group(1)
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "plan_id=" in l
+        }
+    )
+    assert n_hash <= 1, plan
