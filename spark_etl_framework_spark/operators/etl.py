@@ -230,3 +230,38 @@ def zorder_interleave_sql(cx: str = "cx", cy: str = "cy", bits: int = 8) -> str:
         f"((({cy} >> {b}) & 1) * {1 << (2 * b)})"
         for b in range(bits)
     )
+
+
+def asof_enrich(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+) -> DataFrame:
+    """Point-in-time (as-of) enrichment: join each fact row to the ONE
+    dimension-history version valid at the fact's timestamp
+    (``eff_from <= ts < eff_to``, open-ended current version via NULL
+    ``eff_to``) — the temporal-correctness primitive that keeps feature
+    generation leakage-free: a fact never sees attribute values that
+    only became true later.
+
+    Scale shape: the business key carries the shuffle (ONE sort-merge
+    join on ``key``); the temporal predicate rides the join as an extra
+    condition, so per-key work is |versions-of-key| — bounded by the
+    dimension's change count, never a corpus-sized range join. LEFT
+    join: facts outside all validity windows survive with NULL
+    attributes (auditable, not silently dropped). The SCD2 interval
+    invariant (non-overlapping, half-open) guarantees ≤ 1 match per
+    fact, so row count is preserved.
+    """
+    h = history.select(
+        F.col(key).alias("__hk"), *[c for c in history.columns if c != key]
+    )
+    cond = (
+        (facts[key] == h["__hk"])
+        & (h[eff_from] <= facts[ts_col])
+        & (h[eff_to].isNull() | (facts[ts_col] < h[eff_to]))
+    )
+    return facts.join(h, cond, "left").drop("__hk")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import etl as E
-from . import register
+from . import dsum_sql, register
 
 # ---------------------------------------------------------------------------
 # SCD2
@@ -32,11 +32,11 @@ _SCD2_UPD_SQL = """
     FROM customer WHERE c_custkey % 13 = 0
 """
 
-
-@register(
-    "etl_scd2_merge",
-    oracle=f"""
-    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+#: CTE chain ending in ``hist`` = the merged SCD2 history — shared by the
+#: merge query's oracle and the point-in-time enrich oracle (compose as
+#: ``WITH {_SCD2_HIST_CTES} SELECT ... FROM hist``).
+_SCD2_HIST_CTES = f"""
+    base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
     upd AS ({_SCD2_UPD_SQL}),
     j AS (
         SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
@@ -46,20 +46,31 @@ _SCD2_UPD_SQL = """
                (b.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
                 AND b.c_acctbal IS NOT DISTINCT FROM u.c_acctbal) AS same
         FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    ),
+    hist AS (
+        SELECT c_custkey, bseg AS c_mktsegment, bbal AS c_acctbal,
+               '2024-01-01' AS eff_from, CAST(NULL AS VARCHAR) AS eff_to,
+               true AS is_current
+        FROM j WHERE in_b AND (NOT in_u OR same)
+        UNION ALL
+        SELECT c_custkey, bseg, bbal, '2024-01-01', '2024-06-01', false
+        FROM j WHERE in_b AND in_u AND NOT same
+        UNION ALL
+        SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+        FROM j WHERE in_b AND in_u AND NOT same
+        UNION ALL
+        SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+        FROM j WHERE NOT in_b
     )
-    SELECT c_custkey, bseg AS c_mktsegment, bbal AS c_acctbal,
-           '2024-01-01' AS eff_from, CAST(NULL AS VARCHAR) AS eff_to,
-           true AS is_current
-    FROM j WHERE in_b AND (NOT in_u OR same)
-    UNION ALL
-    SELECT c_custkey, bseg, bbal, '2024-01-01', '2024-06-01', false
-    FROM j WHERE in_b AND in_u AND NOT same
-    UNION ALL
-    SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
-    FROM j WHERE in_b AND in_u AND NOT same
-    UNION ALL
-    SELECT c_custkey, useg, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
-    FROM j WHERE NOT in_b
+"""
+
+
+@register(
+    "etl_scd2_merge",
+    oracle=f"""
+    WITH {_SCD2_HIST_CTES}
+    SELECT c_custkey, c_mktsegment, c_acctbal, eff_from, eff_to, is_current
+    FROM hist
     """,
 )
 def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +81,12 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (%13, shifted by 1e7). One shuffle join; close+reopen rows fan out
     map-side (operators/etl.py:scd2_merge).
     """
+    return _scd2_history(spark, sf_dir)
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged SCD2 customer history of the shared scenario (Spark twin
+    of ``_SCD2_HIST_CTES``)."""
     cust = load_table(spark, sf_dir, "customer")
     history = cust.select(
         "c_custkey",
@@ -273,4 +290,73 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").cast("string").alias("date_max"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) enrichment against the SCD2 history
+# ---------------------------------------------------------------------------
+
+@register(
+    "etl_scd2_asof_enrich",
+    oracle=f"""
+    WITH {_SCD2_HIST_CTES},
+    probes AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(DATE '2024-01-01' + CAST(o_orderkey % 365 AS INT) AS VARCHAR)
+                   AS probe_date
+        FROM orders
+    ),
+    e AS (
+        SELECT p.probe_date, h.c_mktsegment, h.c_acctbal, h.is_current
+        FROM probes p
+        LEFT JOIN hist h
+          ON h.c_custkey = p.o_custkey
+         AND h.eff_from <= p.probe_date
+         AND (h.eff_to IS NULL OR p.probe_date < h.eff_to)
+    )
+    SELECT CAST(month(CAST(probe_date AS DATE)) AS INT)  AS probe_month,
+           c_mktsegment,
+           is_current,
+           CAST(count(*) AS BIGINT)                      AS n_orders,
+           {dsum_sql('c_acctbal', 2)}                    AS sum_acctbal
+    FROM e
+    GROUP BY probe_month, c_mktsegment, is_current
+    ORDER BY probe_month, c_mktsegment, is_current
+    """,
+)
+def etl_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature join: enrich a fact stream with the customer
+    attribute version valid AT EACH FACT'S OWN TIMESTAMP against the
+    shared SCD2 scenario (probe dates span 2024, straddling the
+    2024-06-01 merge: the same key serves its pre-merge segment/balance
+    to May facts and the post-merge version to June+ facts — the
+    monthly aggregate flips is_current and the +100-acctbal cohort at
+    exactly that boundary, which is what the oracle pins).
+
+    Plan: one sort-merge join on the business key with the temporal
+    predicate riding as a join condition (operators/etl.py:asof_enrich
+    has the scale argument), then one 144-row-bounded aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probes = orders.select(
+        F.col("o_custkey"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("o_orderkey") % 365).cast("int"))
+        .cast("string")
+        .alias("probe_date"),
+    )
+    hist = _scd2_history(spark, sf_dir).withColumnRenamed("c_custkey", "o_custkey")
+    enriched = E.asof_enrich(probes, hist, "o_custkey", "probe_date")
+    from . import dsum
+
+    return (
+        enriched.groupBy(
+            F.month(F.to_date("probe_date")).cast("int").alias("probe_month"),
+            "c_mktsegment",
+            "is_current",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("probe_month", "c_mktsegment", "is_current")
     )

@@ -158,3 +158,30 @@ def test_zorder_buckets_are_axis_rectangles(spark):
     assert len(stats) == 16
     for _, dx, dy, n in stats:
         assert dx <= 63 and dy <= 63 and n == 4096
+
+
+def test_asof_enrich_picks_version_valid_at_fact_time(spark):
+    """Temporal correctness: facts before the change see v1, facts on/after
+    see v2, facts before any validity window survive the LEFT join with
+    NULL attributes, and row count is preserved (≤1 version matches)."""
+    from spark_etl_framework_spark.operators import etl as E
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01", "2024-06-01", False),
+            (1, "v2", "2024-06-01", None, True),
+            (2, "only", "2024-03-01", None, True),
+        ],
+        ["k", "val", "eff_from", "eff_to", "is_current"],
+    )
+    facts = spark.createDataFrame(
+        [(1, "2024-05-31"), (1, "2024-06-01"), (2, "2024-02-28"), (3, "2024-07-01")],
+        ["k", "ts"],
+    )
+    out = E.asof_enrich(facts, hist, "k", "ts").collect()
+    assert len(out) == 4
+    got = {(r["k"], r["ts"]): r["val"] for r in out}
+    assert got[(1, "2024-05-31")] == "v1"
+    assert got[(1, "2024-06-01")] == "v2"
+    assert got[(2, "2024-02-28")] is None  # before key 2's first version
+    assert got[(3, "2024-07-01")] is None  # key never in history

@@ -489,3 +489,15 @@ def test_zorder_layout_bounds_broadcast_only(spark, sf_dir):
         }
     )
     assert n_hash <= 1, plan
+
+
+def test_asof_enrich_equi_join_no_nested_loop(spark, sf_dir):
+    """The temporal predicate must RIDE the business-key equi-join, not
+    degrade it: no cartesian/broadcast-nested-loop (which would mean the
+    equality failed to extract), no forced broadcast of the
+    SF-proportional history, and exactly one join in the plan."""
+    df = QUERIES["etl_scd2_asof_enrich"](spark, sf_dir)
+    assert _hint_subtrees(df) == []
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
