@@ -63,6 +63,11 @@ HEADLINE = [
     "dedup_incremental_admission",
     "ts_ewma_user_value",
     "etl_scd2_merge",
+    # round 4 late additions — bounded-state sketch, layout audit,
+    # temporal enrichment (each a distinct shuffle economy to track)
+    "text_countmin_freq",
+    "etl_zorder_layout",
+    "etl_scd2_asof_enrich",
 ]
 
 
