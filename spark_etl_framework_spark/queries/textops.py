@@ -465,3 +465,99 @@ def text_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_count").cast("long").alias("est_count"),
         (F.col("est_count") - F.col("true_count")).cast("long").alias("overshoot"),
     ).orderBy(F.desc("true_count"), "token")
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                                     i -> {'x': a[i], 'y': a[i+1]})) AS s
+        FROM t WHERE len(a) >= 2
+    ),
+    cxy AS (SELECT s.x AS x, s.y AS y, count(*) AS c_xy FROM bg GROUP BY x, y),
+    uni AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(a) AS tok FROM t) WHERE tok <> ''
+        GROUP BY tok
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uni) AS n1, (SELECT sum(c_xy) FROM cxy) AS n2
+    ),
+    scored AS (
+        SELECT b.x, b.y, b.c_xy,
+               round(ln((b.c_xy / t.n2) / ((ux.c / t.n1) * (uy.c / t.n1))), 6)
+                   AS pmi
+        FROM cxy b
+        JOIN uni ux ON ux.tok = b.x
+        JOIN uni uy ON uy.tok = b.y
+        CROSS JOIN tot t
+        WHERE b.c_xy >= 5
+    )
+    SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy, pmi
+    FROM scored
+    ORDER BY pmi DESC, x, y
+    LIMIT 30
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token bigrams, ln(p(xy) / (p(x)·p(y))), min count 5, top 30 — the
+    corpus-statistics pass that surfaces multi-word units ("new york")
+    before tokenizer/vocab decisions.
+
+    Plan: bigram counts (one shuffle off the in-row adjacent-pair
+    transform — text never leaves its row), unigram counts (one
+    shuffle), two UNHINTED joins of bigrams against the vocabulary
+    relation (Zipf/Heaps-bounded but corpus-derived — AQE sizes it,
+    same rationale as the tfidf idf join), 1-row totals broadcast, then
+    TakeOrderedAndProject(30). Everything on the wire is (token, count)
+    pairs — vocabulary-sized, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    t = docs.select(T.tokens(F.col("text")).alias("a"))
+    bg = (
+        t.filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS x, a[i + 1] AS y))"
+                )
+            ).alias("s")
+        )
+        .select("s.x", "s.y")
+    )
+    cxy = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        t.select(F.explode("a").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n1")).crossJoin(
+        cxy.agg(F.sum("c_xy").alias("n2"))
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n2"))
+                    / ((F.col("cx") / F.col("n1")) * (F.col("cy") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(30)

@@ -232,3 +232,20 @@ def test_chunk_dedup_null_text_no_phantom_chunks(spark):
     out = {r["doc_id"]: r for r in C.chunk_dedup(df, chunk_words=3).collect()}
     assert out[2]["n_kept"] <= out[2]["n_chunks"]
     assert out[1]["text_clean"] == "a b c"
+
+
+def test_collocations_pmi_ranks_exclusive_pair_first(spark, tmp_path):
+    """PMI semantics: a bigram whose parts ONLY occur together ("hong
+    kong") must outrank an equally frequent bigram of promiscuous tokens
+    — that's the association-vs-frequency distinction PMI exists for."""
+    from spark_etl_framework_spark.queries import QUERIES
+
+    # 10 docs: "hong kong" exclusive pair; "the cat"/"the dog" share "the"
+    rows = [(i, "hong kong the cat the dog x%d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    df.write.parquet(sf + "/documents.parquet")
+    out = QUERIES["text_collocations_pmi"](spark, sf).collect()
+    assert out[0]["x"] == "hong" and out[0]["y"] == "kong"
+    pmi = {(r["x"], r["y"]): r["pmi"] for r in out}
+    assert pmi[("hong", "kong")] > pmi[("the", "cat")]

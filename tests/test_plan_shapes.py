@@ -501,3 +501,14 @@ def test_asof_enrich_equi_join_no_nested_loop(spark, sf_dir):
     plan = _initial_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_collocations_pmi_vocab_joins_unhinted(spark, sf_dir):
+    """PMI: the vocabulary relation is corpus-derived, so the two
+    unigram joins stay UNHINTED (AQE sizes them — tfidf rationale); the
+    only forced broadcast is the 1-row totals; no cartesian beyond it."""
+    df = QUERIES["text_collocations_pmi"](spark, sf_dir)
+    hints = _hint_subtrees(df)
+    assert len(hints) == 1 and "Aggregate" in hints[0]
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
