@@ -141,7 +141,8 @@ def _load_all() -> None:
 #: multimodal_image_channel_stats, pipeline_export_jsonl,
 #: events_outlier_mad, corpus_shuffle_order, corpus_hll_calibration,
 #: corpus_health_report, text_countmin_freq, etl_zorder_layout,
-#: etl_scd2_asof_enrich, text_collocations_pmi — 31 queries; rotate in over
+#: etl_scd2_asof_enrich, text_collocations_pmi, text_weighted_sample —
+#: 32 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.

@@ -561,3 +561,77 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "x", "y").limit(30)
+
+
+@register(
+    "text_weighted_sample",
+    # Efraimidis–Spirakis A-Res with deterministic md5 randomness: the
+    # per-doc exponential-race key ln(u)/w is a monotone transform of
+    # u^(1/w), so top-k by it IS a weighted-without-replacement sample
+    # (P(first pick = i) = w_i/Σw). The hex-fraction reconstruction
+    # mirrors the KMV oracle above.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               md5('ws:' || CAST(doc_id AS VARCHAR))          AS hk
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, n_tok,
+               ln((list_sum(list_transform(range(1, 9),
+                     i -> (strpos('0123456789abcdef', substr(hk, i, 1)) - 1)
+                          * power(16.0, 8 - i))) + 1) / (power(16.0, 8) + 1))
+               / greatest(n_tok, 1) AS key
+        FROM d
+    )
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tokens, round(key, 8) AS sample_key
+    FROM k ORDER BY key DESC, doc_id LIMIT 100
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis–Spirakis A-Res), weight =
+    token count: pick 100 docs with inclusion probability ∝ length —
+    the subsampling primitive for building token-budgeted mixtures where
+    uniform doc sampling would under-represent long documents.
+
+    Determinism: u = md5-fraction of the doc id (same 32-bit big-endian
+    construction as the KMV sketch), so the sample — not just its
+    size — is reproducible and oracle-checkable. Key = ln(u)/w, the
+    monotone twin of the textbook u^(1/w).
+
+    Plan: a pure narrow map (tokenize, hash, one ln) feeding
+    TakeOrderedAndProject(100) — per-partition top-k then a k·P-row
+    merge at the driver; NO shuffle, NO window, no full sort at any
+    scale. Distributed reservoir sampling without the reservoir."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("n_tok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("double")
+        .alias("hv"),
+    )
+    k = d.select(
+        "doc_id",
+        "n_tok",
+        (
+            F.log((F.col("hv") + 1) / F.lit(float(16**8) + 1))
+            / F.greatest(F.col("n_tok"), F.lit(1))
+        ).alias("key"),
+    )
+    return (
+        k.orderBy(F.desc("key"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            F.round("key", 8).alias("sample_key"),
+        )
+    )

@@ -249,3 +249,20 @@ def test_collocations_pmi_ranks_exclusive_pair_first(spark, tmp_path):
     assert out[0]["x"] == "hong" and out[0]["y"] == "kong"
     pmi = {(r["x"], r["y"]): r["pmi"] for r in out}
     assert pmi[("hong", "kong")] > pmi[("the", "cat")]
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, tmp_path):
+    """E-S weighting property: with 100 heavy docs (400 tokens) and 100
+    light docs (4 tokens), a 100-doc sample must be dominated by heavy
+    docs — u^(1/400) crowds out u^(1/4) except for extreme draws."""
+    from spark_etl_framework_spark.queries import QUERIES
+
+    rows = [(i, " ".join(["w"] * 400)) for i in range(100)]
+    rows += [(100 + i, "a b c d") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    df.write.parquet(sf + "/documents.parquet")
+    out = QUERIES["text_weighted_sample"](spark, sf).collect()
+    assert len(out) == 100
+    n_heavy = sum(1 for r in out if r["doc_id"] < 100)
+    assert n_heavy >= 90

@@ -512,3 +512,13 @@ def test_collocations_pmi_vocab_joins_unhinted(spark, sf_dir):
     assert len(hints) == 1 and "Aggregate" in hints[0]
     plan = _initial_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_no_shuffle_no_window(spark, sf_dir):
+    """A-Res weighted sampling must stay a narrow map into
+    TakeOrderedAndProject: no Exchange hashpartitioning (a window/groupBy
+    crept in) and no global Sort node beyond the top-k operator."""
+    plan = _initial_plan(QUERIES["text_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan
