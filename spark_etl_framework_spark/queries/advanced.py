@@ -10,7 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import dsum, register
+from . import dsum, dsum_sql, register
 
 
 @register(
@@ -467,6 +467,48 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     increment = docs.filter(F.col("doc_id") % 10 == 0)
     return D.incremental_lsh_matches(corpus, increment, threshold=0.5)
+
+
+@register(
+    "join_bloom_prefilter",
+    # the Bloom stage is semantically transparent (false positives are
+    # re-checked by the exact join; false negatives impossible), so the
+    # oracle is the PLAIN join — any Bloom bug that drops or duplicates a
+    # row breaks the hash.
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+    GROUP BY p.p_brand
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered fact-dim join (operators/joinopt.py): the
+    selective part predicate becomes a ≤2^16-row occupied-position
+    relation, broadcast and probed map-side (k=2 LEFT SEMI joins) so
+    lineitem rows that cannot match never enter the join shuffle — the
+    explicit form of Spark's runtime row-level Bloom filter, usable when
+    the optimizer declines it. Result is row-identical to the plain join.
+    At 100 TB: the broadcast is bounded by m (bits), not |part|, and the
+    fact side's only shuffle is the final aggregation."""
+    from ..operators.joinopt import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    joined = bloom_prefilter_join(li, dim, "l_partkey", "p_partkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum(rev, 2).alias("revenue"),
+    )
 
 
 @register(

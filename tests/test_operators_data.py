@@ -448,3 +448,35 @@ def test_countmin_never_undercounts_and_bounds_overshoot(spark):
     assert est["heavy"]["est_count"] >= 50
     assert est["rare7"]["est_count"] >= 1
     assert est["heavy"]["est_count"] - 50 <= 8  # 4-row min over ~300/4096 collision mass
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """Row-identical to the plain join even with a tiny filter (m=16 →
+    heavy false positives, all re-checked by the exact join) and with
+    dim keys entirely absent from the fact side (no false negatives)."""
+    from spark_etl_framework_spark.operators.joinopt import bloom_prefilter_join
+
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(3, "a"), (7, "b"), (999, "absent")], ["dk", "name"]
+    )
+    got = (
+        bloom_prefilter_join(fact, dim, "k", "dk", m_bits=16, k=2)
+        .select("k", "v", "name")
+        .collect()
+    )
+    want = (
+        fact.join(dim, fact["k"] == dim["dk"]).select("k", "v", "name").collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 40  # 20 rows per present key, absent key matches none
+
+
+def test_bloom_positions_bounded_by_m(spark):
+    from spark_etl_framework_spark.operators.joinopt import bloom_positions
+
+    dim = spark.range(0, 10000).select(F.col("id").alias("k"))
+    n = bloom_positions(dim, "k", m_bits=64, k=3).count()
+    assert n <= 64  # bounded by m regardless of |dim|

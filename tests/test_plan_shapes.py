@@ -522,3 +522,24 @@ def test_weighted_sample_no_shuffle_no_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Window" not in plan
+
+
+def test_bloom_prefilter_probes_broadcast_fact_unshuffled(spark, sf_dir):
+    """join_bloom_prefilter: both Bloom probes must be broadcast LEFT SEMI
+    joins (the positions relation is ≤ m rows by construction — the ONE
+    hint this plan may carry wraps that bounded aggregate), the fact side
+    must not be force-broadcast, and no shuffle may occur below the final
+    aggregation other than the positions-distinct itself."""
+    df = QUERIES["join_bloom_prefilter"](spark, sf_dir)
+    hints = _hint_subtrees(df)
+    # one hinted subtree (the positions relation), reused for both probes
+    assert all("Aggregate" in h or "Distinct" in h or "__pos" in h for h in hints)
+    plan = _initial_plan(df)
+    semis = [
+        l
+        for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "LeftSemi" in l
+    ]
+    assert len(semis) >= 2, plan  # k=2 probes, both map-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
