@@ -429,3 +429,78 @@ def countmin_estimate(
         .groupBy(*df.columns)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    text_col: str = "text",
+    capacity: int = 80,
+    t: int = 40,
+) -> DataFrame:
+    """Frequent tokens via Misra-Gries summaries + exact recount.
+
+    The 100 TB alternative to ``groupBy(token)`` over the full explode:
+    each partition maintains a bounded ``capacity``-counter Misra-Gries
+    summary (mergeable-summaries batch form: absorb a batch's value_counts,
+    then subtract the (capacity+1)-th largest counter from all and drop
+    non-positives). Per-partition undercount is ≤ n_p/(capacity+1), so any
+    token with global frequency > n/(capacity+1) survives in at least one
+    partition summary — with ``capacity ≥ t`` the candidate union provably
+    contains every token above the ``n/t`` report threshold. Candidates
+    (≤ partitions × capacity rows) broadcast into a LEFT SEMI prefilter,
+    and only they are exactly recounted — the full token relation never
+    shuffles. Results are exact and deterministic (the sketch only gates
+    candidacy; counts come from the recount), so a plain GROUP BY/HAVING
+    oracle pins them.
+
+    Reference context: frequency profiling in the reference rides its SQL
+    aggregation (etl/transform/SqlTransformer.scala); the bounded-state
+    sketch path is this port's scale extension, same family as
+    countmin_sketch above.
+    """
+    if capacity < t:
+        raise ValueError("heavy_hitters_mg: capacity must be >= t")
+    import pandas as pd
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v - cut > 0
+                }
+        yield pd.DataFrame({"tok": list(counters) or pd.Series([], dtype=str)})
+
+    cands = toks.mapInPandas(_mg, "tok string").distinct().hint("broadcast")
+    # total token mass from the per-document array sizes — a scan of the
+    # source relation, not a second explode
+    total = df.select(
+        F.sum(
+            F.size(F.filter(tokens(F.col(text_col)), lambda x: x != ""))
+        )
+        .cast("bigint")
+        .alias("total_tokens")
+    )
+    exact = (
+        toks.join(cands, "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * t > F.col("total_tokens"))
+        .select(
+            "tok",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("total_tokens"), 6).alias(
+                "frequency"
+            ),
+        )
+    )

@@ -512,6 +512,57 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_approx_quantile_calibration",
+    # the oracle can't reproduce Spark's Greenwald-Khanna summary, so the
+    # CONTRACT is checked (the HLL/KMV-calibration pattern): exact
+    # quantiles per event type + booleans asserting the sketch landed
+    # inside the exact-quantile envelope at q ± 5·(1/accuracy). The GK
+    # rank-error guarantee (≤ 1/accuracy) holds for ANY summary merge
+    # order, so the booleans are partition-order-stable even though the
+    # approx VALUE itself may wobble between runs.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.9), 6) AS exact_p90,
+           true AS p50_in_envelope,
+           true AS p90_in_envelope
+    FROM events GROUP BY event_type
+    """,
+)
+def events_approx_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch calibration: ``approx_percentile`` (the only
+    affordable quantile at 100 TB — bounded-size GK summaries, map-side
+    mergeable, one tiny shuffle) checked against the exact percentile in
+    the same single aggregation pass. The envelope [percentile(q−ε′),
+    percentile(q+ε′)] with ε′ = 5/accuracy makes the published rank-error
+    contract executable; exact values are emitted so the oracle hash pins
+    real numbers, not just booleans."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 100
+    eps = 5.0 / acc  # generous envelope: guarantee is 1/acc rank error
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9)").alias("exact_p90"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("_a50"),
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("_a90"),
+        F.expr(f"percentile(value, {0.5 - eps})").alias("_lo50"),
+        F.expr(f"percentile(value, {0.5 + eps})").alias("_hi50"),
+        F.expr(f"percentile(value, {0.9 - eps})").alias("_lo90"),
+        F.expr(f"percentile(value, {0.9 + eps})").alias("_hi90"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round("exact_p50", 6).alias("exact_p50"),
+        F.round("exact_p90", 6).alias("exact_p90"),
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_envelope"),
+        F.col("_a90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_in_envelope"),
+    )
+
+
+@register(
     "events_outlier_mad",
     oracle="""
     WITH med AS (

@@ -635,3 +635,32 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("key", 8).alias("sample_key"),
         )
     )
+
+
+@register(
+    "text_heavyhitters_mg",
+    # the sketch only gates CANDIDACY (provable superset of everything
+    # above n/t); reported counts come from the exact recount, so the
+    # oracle is a plain GROUP BY ... HAVING over the token relation.
+    oracle=r"""
+    WITH t AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    t2 AS (SELECT tok FROM t WHERE tok <> ''),
+    tot AS (SELECT count(*) AS c FROM t2)
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(count(*) / (SELECT c FROM tot), 6) AS frequency
+    FROM t2 GROUP BY tok
+    HAVING count(*) * 40 > (SELECT c FROM tot)
+    """,
+)
+def text_heavyhitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (frequency > 1/40 of total token mass) via
+    bounded-state Misra-Gries summaries per partition + exact recount of
+    the candidate union (operators/text.py:heavy_hitters_mg). The full
+    token relation never shuffles — only ≤ partitions × capacity
+    candidate strings cross the wire, then a candidate-filtered count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.heavy_hitters_mg(docs, "text", capacity=80, t=40)

@@ -417,3 +417,43 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+@register(
+    "vector_dim_stats",
+    # DuckDB zips parallel unnests positionally, so range(len) supplies
+    # the dimension index that Spark's posexplode carries natively.
+    oracle="""
+    WITH x AS (
+        SELECT unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INT)          AS dim,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(avg(v), 6)          AS mean,
+           round(stddev_samp(v), 6)  AS std,
+           round(min(v), 6)          AS min_v,
+           round(max(v), 6)          AS max_v
+    FROM x GROUP BY dim
+    """,
+)
+def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the profiling pass that feeds
+    whitening/standardization and catches dead or exploding dimensions
+    before ANN indexing. posexplode fans each vector into (dim, value)
+    pairs, but partial aggregation collapses every partition to ≤ d rows
+    before the exchange, so the shuffle is d × #partitions tiny partials
+    regardless of corpus size — the d-row result is broadcastable to
+    whatever normalizes next. One scan, one (tiny) shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return pairs.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

@@ -480,3 +480,32 @@ def test_bloom_positions_bounded_by_m(spark):
     dim = spark.range(0, 10000).select(F.col("id").alias("k"))
     n = bloom_positions(dim, "k", m_bits=64, k=3).count()
     assert n <= 64  # bounded by m regardless of |dim|
+
+
+def test_heavy_hitters_mg_exact_and_complete(spark):
+    """Adversarial layout: the heavy token is spread evenly across
+    partitions (never locally dominant), decoys churn the counters.
+    The MG candidate stage must still surface it (guarantee: any token
+    above n/(capacity+1) survives), and reported counts are exact."""
+    from spark_etl_framework_spark.operators.text import heavy_hitters_mg
+
+    # 40 partitions x 25 docs; each doc: 1 'hot' + 4 unique decoys
+    rows = [
+        (p * 25 + i, "hot u%d_%d_a u%d_%d_b u%d_%d_c u%d_%d_d" % ((p, i) * 4))
+        for p in range(40)
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(40)
+    # n = 5000 tokens, hot = 1000 (20%); t=6 -> threshold n/6 ~ 833
+    got = heavy_hitters_mg(df, "text", capacity=8, t=6).collect()
+    assert [(r["tok"], r["n_occurrences"]) for r in got] == [("hot", 1000)]
+    assert abs(got[0]["frequency"] - 0.2) < 1e-9
+
+
+def test_heavy_hitters_mg_capacity_validation(spark):
+    from spark_etl_framework_spark.operators.text import heavy_hitters_mg
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        heavy_hitters_mg(df, "text", capacity=5, t=10)
