@@ -83,6 +83,46 @@ def _decode_netpbm(raw: bytes) -> tuple[str, int, int, int, bytes]:
     return fmt, width, height, channels, pixels
 
 
+def _decode_bmp(raw: bytes) -> tuple[str, int, int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER or later):
+    returns (format, width, height, channels, pixels) with pixels
+    normalized to TOP-DOWN RGB. Exercises the format's real quirks —
+    4-byte row stride padding, bottom-up row order when the stored height
+    is positive, and BGR channel order — with numpy slicing only.
+    Palette/compressed/16-bit variants raise, naming the gap."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError(f"not a BMP payload: magic {raw[:2]!r}")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes natively "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(raw):
+        raise ValueError("truncated BMP raster")
+    rows = (
+        np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=data_off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        rows = rows[::-1]
+    return "bmp/rgb8", w, h, 3, rows[:, :, ::-1].tobytes()  # BGR -> RGB
+
+
 def _resize_nearest(pixels: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize with numpy indexing — no image library."""
     import numpy as np
@@ -120,11 +160,13 @@ def decode_images(
                     raw = bytes(b)
                     if raw[:2] in (b"P5", b"P6"):
                         fmt, w, ht, c, px = _decode_netpbm(raw)
+                    elif raw[:2] == b"BM":
+                        fmt, w, ht, c, px = _decode_bmp(raw)
                     else:
                         raise NotImplementedError(
                             f"no codec for magic {raw[:8]!r}: compressed image "
-                            "formats need PIL (absent here); netpbm P5/P6 decode "
-                            "natively"
+                            "formats need PIL (absent here); netpbm P5/P6 and "
+                            "uncompressed 24-bit BMP decode natively"
                         )
                     if resize is not None:
                         px = _resize_nearest(px, w, ht, c, resize[0], resize[1])

@@ -274,6 +274,80 @@ def multimodal_decode_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: constant 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER):
+#: 3x2, 24-bit, uncompressed, bottom-up, data offset 54
+#: (struct.pack'd once; both engines treat it as a literal)
+_BMP_HEADER_HEX = (
+    "424D4E0000000000000036000000280000000300000002000000010018000000"
+    "000018000000130B0000130B00000000000000000000"
+)
+
+#: hex-char source order of the decoded top-down RGB raster, given an
+#: 18-byte md5-derived source stream stored bottom-up in BGR with 4-byte
+#: row padding: output row 0 = STORED row 1 (bytes 9-17), output row 1 =
+#: STORED row 0 (bytes 0-8), each pixel's (b,g,r) emitted as (r,g,b).
+_BMP_RGB_BYTE_ORDER = (11, 10, 9, 14, 13, 12, 17, 16, 15, 2, 1, 0, 5, 4, 3, 8, 7, 6)
+
+
+@register(
+    "multimodal_decode_bmp",
+    # DuckDB replays the decode arithmetically: the raster source is
+    # md5-recoverable hex, and bottom-up + BGR + padding reduce to a fixed
+    # byte permutation of that source (see _BMP_RGB_BYTE_ORDER).
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               UPPER(md5(text) || SUBSTR(md5(text || 'x'), 1, 4)) AS rhx
+        FROM documents
+    )
+    SELECT doc_id                 AS id,
+           CAST(3 AS INT)         AS width,
+           CAST(2 AS INT)         AS height,
+           CAST(3 AS INT)         AS channels,
+           'bmp/rgb8'             AS format,
+           {" || ".join(f"SUBSTR(rhx, {2 * k + 1}, 2)" for k in _BMP_RGB_BYTE_ORDER)}
+               AS pixels_hex
+    FROM r
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode under the oracle gate — no image library: build a
+    genuine uncompressed 24-bit BMP per document (54-byte header + 3x2
+    BGR raster stored bottom-up with 4-byte row padding, bytes derived
+    from md5 so DuckDB can reproduce them), decode with
+    ``decode_images(fake=False)`` (operators/multimodal.py:_decode_bmp),
+    and hash-check the normalized top-down RGB raster. The oracle's fixed
+    byte permutation proves the decoder really undoes all three BMP
+    quirks — row flip, channel swap, stride padding — not just the
+    header parse. Arrow-batched mapInPandas, narrow: no shuffle."""
+    from ..operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    src_hex = F.concat(
+        F.md5(txt), F.substring(F.md5(F.concat(txt, F.lit(b"x"))), 1, 4)
+    )
+    stored = F.concat(
+        F.substring(src_hex, 1, 18),  # stored (bottom) row: source bytes 0-8
+        F.lit("000000"),  # stride padding to 12 bytes
+        F.substring(src_hex, 19, 18),  # stored (top) row: source bytes 9-17
+        F.lit("000000"),
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.unhex(F.lit(_BMP_HEADER_HEX)), F.unhex(stored)).alias("payload"),
+    )
+    out = decode_images(wire, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
 #: constant 44-byte RIFF/WAV header: PCM, mono, 16-bit, 8000 Hz, 128 data
 #: bytes (struct.pack'd once; both engines treat it as a literal)
 _WAV_HEADER_HEX = (

@@ -509,3 +509,43 @@ def test_heavy_hitters_mg_capacity_validation(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pt.raises(ValueError):
         heavy_hitters_mg(df, "text", capacity=5, t=10)
+
+
+def test_bmp_decode_bottom_up_bgr_padding_and_topdown_variant():
+    """_decode_bmp must undo all three BMP quirks: bottom-up row order,
+    BGR channel order, 4-byte stride padding — and honor the negative-
+    height top-down variant. 1x2 image: top pixel RGB=(1,2,3), bottom
+    RGB=(4,5,6); stride = 4 bytes (3 + 1 pad)."""
+    import struct
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_bmp
+
+    def hdr(height):
+        img = 4 * 2
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + img, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1, height, 1, 24, 0, img, 0, 0, 0, 0)
+        )
+
+    # bottom-up: stored row 0 is the BOTTOM pixel, stored as BGR
+    raster_bu = bytes([6, 5, 4, 0]) + bytes([3, 2, 1, 0])
+    fmt, w, h, c, px = _decode_bmp(hdr(2) + raster_bu)
+    assert (fmt, w, h, c) == ("bmp/rgb8", 1, 2, 3)
+    assert px == bytes([1, 2, 3, 4, 5, 6])
+
+    # top-down (negative height): stored row 0 is the TOP pixel
+    raster_td = bytes([3, 2, 1, 0]) + bytes([6, 5, 4, 0])
+    assert _decode_bmp(hdr(-2) + raster_td)[4] == bytes([1, 2, 3, 4, 5, 6])
+
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):  # 8-bit palette BMP stays gated
+        _decode_bmp(
+            b"BM"
+            + struct.pack("<IHHI", 54 + 8, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 8, 0, 8, 0, 0, 0, 0)
+            + b"\0" * 8
+        )
+    with _pt.raises(ValueError):  # truncated raster detected
+        _decode_bmp(hdr(2) + raster_bu[:5])
