@@ -1,0 +1,87 @@
+"""Graph operators over edge-list relations: degree-normalized PageRank.
+
+Graphs at 100 TB are edge lists, not adjacency structures: PageRank is
+power iteration expressed as relational algebra — per iteration, one join
+of the (tiny) rank relation onto the (huge) edge relation and one
+aggregation by destination. The edge relation is hash-partitioned by
+source once and every iteration reuses that partitioning (same join key →
+no re-shuffle of edges); only the |V|-row rank relation moves. Fixed
+iteration counts keep lineage linear; beyond ~10 rounds, truncate with
+``localCheckpoint`` exactly as operators/dedup.py:connected_components
+does.
+
+Companion to the other iterative operators (k-means in operators/vector.py,
+connected components in operators/dedup.py); the reference delegates graph
+work to its SQL engine, so this is the port's scale extension
+(SURVEY.md §7 North-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected view of a directed edge list: both orientations,
+    deduplicated. One shuffle (the distinct)."""
+    a = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    b = edges.select(F.col(dst).alias("__src"), F.col(src).alias("__dst"))
+    return a.unionByName(b).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "__src",
+    dst: str = "__dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by unrolled power iteration over an edge list.
+
+    ``r_{k+1}(v) = (1-d)/n + d * Σ_{u→v} r_k(u)/deg(u)`` with uniform
+    start ``1/n``. Node universe = sources of ``edges`` (symmetrize first
+    for undirected graphs — then every node both sends and receives, so
+    no dangling-mass correction is needed; a directed sink would need
+    one). The vertex count is carried as a broadcast 1-row relation, not
+    a driver-side ``count()`` — no action, no collect. Returns
+    ``(node, rank)``.
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    tot = deg.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    ranks = (
+        deg.select("__src")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__src").alias("node"),
+            (F.lit(1.0) / F.col("__n")).alias("rank"),
+            "__n",
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "__src")
+            .join(
+                ranks.select(F.col("node").alias("__src"), "rank", "__n"),
+                "__src",
+            )
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+                "__n",
+            )
+        )
+        ranks = (
+            contrib.groupBy("node", "__n")
+            .agg(F.sum("__c").alias("__s"))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.col("__s")
+                ).alias("rank"),
+                "__n",
+            )
+        )
+    return ranks.select("node", "rank")

@@ -511,6 +511,61 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    """Unrolled power-iteration CTE chain — same recurrence, same literal
+    arithmetic ((1.0 - d), d) as the Spark side so IEEE results agree."""
+    ctes = [
+        """e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b AS src, a AS dst FROM e0),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM deg),
+    r0 AS (SELECT src AS node, 1.0/(SELECT cnt FROM n) AS r FROM deg)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+        SELECT e.dst AS node,
+               (1.0 - {damping})/(SELECT cnt FROM n)
+                   + {damping}*sum(r{k - 1}.r/deg.d) AS r
+        FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+               JOIN deg ON e.src = deg.src
+        GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(r, 6) AS rank FROM r{iters}"
+    )
+
+
+@register("graph_pagerank_bipartite", oracle=_pagerank_oracle(3, 0.85))
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (edges = distinct
+    (customer, supplier) pairs via lineitem x orders, symmetrized), 3
+    unrolled power iterations (operators/graph.py). Per iteration the
+    huge edge relation reuses its source-hash partitioning and only the
+    |V|-row rank relation moves — the relational form of Pregel that
+    survives a 100x edge-count scale-up."""
+    from ..operators.graph import pagerank, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(symmetrize(raw, "a", "b"), iters=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 @register(
     "events_approx_quantile_calibration",
     # the oracle can't reproduce Spark's Greenwald-Khanna summary, so the

@@ -549,3 +549,18 @@ def test_bmp_decode_bottom_up_bgr_padding_and_topdown_variant():
         )
     with _pt.raises(ValueError):  # truncated raster detected
         _decode_bmp(hdr(2) + raster_bu[:5])
+
+
+def test_pagerank_path_graph_invariants(spark):
+    """Undirected path a-b-c: total mass conserved (no dangling nodes
+    after symmetrize), endpoints symmetric, center ranks highest."""
+    from spark_etl_framework_spark.operators.graph import pagerank, symmetrize
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["s", "d"])
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(symmetrize(edges, "s", "d"), iters=10).collect()
+    }
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert abs(r["a"] - r["c"]) < 1e-12
+    assert r["b"] > r["a"]

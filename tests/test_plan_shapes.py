@@ -555,3 +555,14 @@ def test_heavy_hitters_recount_behind_broadcast_semi_join(spark, sf_dir):
         "BroadcastHashJoin" in l and "LeftSemi" in l for l in plan.splitlines()
     ), plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_edges_never_force_broadcast(spark, sf_dir):
+    """graph_pagerank_bipartite: the only forced broadcast is the 1-row
+    vertex-count relation — the edge/degree/rank relations stay unhinted
+    (AQE sizes them; at 100 TB they shuffle). No cartesian products."""
+    df = QUERIES["graph_pagerank_bipartite"](spark, sf_dir)
+    for h in _hint_subtrees(df):
+        assert "count(1)" in h or "__n" in h, h
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
