@@ -300,3 +300,71 @@ def image_channel_stats(
     return decoded.select(id_col, "channels", pixels_col).mapInPandas(
         _stats, CHANNEL_STATS_SCHEMA
     )
+
+
+#: Output schema of the G.711 mu-law decoder.
+MULAW_DECODE_SCHEMA = "id bigint, sample_rate int, n_samples int, pcm array<smallint>"
+
+
+def decode_audio_mulaw(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL G.711 mu-law decode of RIFF/WAV payloads (format code 7) —
+    stdlib + numpy only, since the mu-law expansion is pure integer
+    arithmetic (the table-free CCITT form): with ``u = ~b``,
+    ``t = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7)`` and
+    ``pcm = 0x84 - t`` when the sign bit of ``u`` is set else
+    ``t - 0x84``. The RIFF container is parsed by walking chunks (not a
+    fixed 44-byte assumption), so fmt/data may appear in any order with
+    extension bytes. Exactness makes the decode oracle-replayable
+    per sample. Vectorized per Arrow batch; narrow — no shuffle."""
+    import numpy as np
+
+    def _parse_riff(raw: bytes) -> tuple[int, int, bytes]:
+        if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE payload: {raw[:4]!r}")
+        fmt_code = rate = None
+        data = None
+        off = 12
+        while off + 8 <= len(raw):
+            cid = raw[off : off + 4]
+            (size,) = np.frombuffer(raw[off + 4 : off + 8], dtype="<u4")
+            body = raw[off + 8 : off + 8 + int(size)]
+            if cid == b"fmt ":
+                fmt_code = int(np.frombuffer(body[0:2], dtype="<u2")[0])
+                rate = int(np.frombuffer(body[4:8], dtype="<u4")[0])
+            elif cid == b"data":
+                data = body
+            off += 8 + int(size) + (int(size) & 1)  # chunks are word-aligned
+        if fmt_code is None or data is None:
+            raise ValueError("RIFF payload missing fmt or data chunk")
+        if fmt_code != 7:
+            raise NotImplementedError(
+                f"decode_audio_mulaw handles WAVE format 7 (mu-law); "
+                f"got format {fmt_code} — PCM goes through sample_audio_frames"
+            )
+        return rate, len(data), data
+
+    def _expand(data: bytes) -> list[int]:
+        u = 255 - np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16).tolist()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                rate, n, data = _parse_riff(bytes(b))
+                rows.append(
+                    {
+                        "id": int(rid),
+                        "sample_rate": int(rate),
+                        "n_samples": int(n),
+                        "pcm": _expand(data),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "n_samples", "pcm"]
+            )
+
+    return df.mapInPandas(_decode, MULAW_DECODE_SCHEMA)

@@ -348,6 +348,57 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: constant 44-byte RIFF/WAV header: format 7 (G.711 mu-law), mono,
+#: 8000 Hz, 8-bit, 16 data bytes (struct.pack'd once)
+_MULAW_HEADER_HEX = (
+    "524946463400000057415645666D7420100000000700010040"
+    "1F0000401F0000010008006461746110000000"
+)
+
+
+@register(
+    "multimodal_audio_mulaw_decode",
+    # mu-law expansion is exact integer arithmetic, so DuckDB replays the
+    # codec per sample: recover each payload byte from the md5 hex, then
+    # apply the same CCITT form the decoder uses (u = 255-b; t =
+    # ((u&15)*8+132) << ((u>>4)&7); sign via u's high bit).
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id            AS id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(16 AS INT)   AS n_samples,
+           list_transform(
+             list_transform(range(0, 16), i ->
+               255 - ((strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16
+                      + strpos('0123456789abcdef', hx[2*i+2]) - 1)),
+             u -> CAST(CASE WHEN u >= 128
+                  THEN 132 - ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8)))
+                  ELSE ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8))) - 132
+                  END AS SMALLINT)) AS pcm
+    FROM h
+    """,
+)
+def multimodal_audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law audio decode under the oracle gate: each document
+    becomes a genuine RIFF/WAV format-7 payload (constant header + its
+    md5 digest as 16 mu-law bytes), decoded by
+    ``decode_audio_mulaw`` (operators/multimodal.py) — chunk-walking RIFF
+    parse, vectorized integer mu-law expansion — and every 16-bit sample
+    is hash-checked against DuckDB's arithmetic replay of the codec.
+    Narrow mapInPandas; no shuffle at any scale."""
+    from ..operators.multimodal import decode_audio_mulaw
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.unhex(F.lit(_MULAW_HEADER_HEX)), F.unhex(F.md5(txt))).alias(
+            "payload"
+        ),
+    )
+    return decode_audio_mulaw(wire)
+
+
 #: constant 44-byte RIFF/WAV header: PCM, mono, 16-bit, 8000 Hz, 128 data
 #: bytes (struct.pack'd once; both engines treat it as a literal)
 _WAV_HEADER_HEX = (

@@ -564,3 +564,41 @@ def test_pagerank_path_graph_invariants(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9
     assert abs(r["a"] - r["c"]) < 1e-12
     assert r["b"] > r["a"]
+
+
+def test_mulaw_decode_known_vectors_and_chunk_order(spark):
+    """G.711 endpoints: 0x00 -> -32124, 0x7F/0xFF -> 0, 0x80 -> +32124.
+    The RIFF walk must also accept data BEFORE fmt (chunk order is not
+    fixed by the spec) and reject PCM payloads toward the PCM path."""
+    import struct
+
+    from spark_etl_framework_spark.operators.multimodal import decode_audio_mulaw
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = bytes([0x00, 0x7F, 0xFF, 0x80])
+
+    def riff(chunks):
+        body = b"".join(
+            cid + struct.pack("<I", len(c)) + c + (b"\0" if len(c) & 1 else b"")
+            for cid, c in chunks
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    wavs = [
+        (1, riff([(b"fmt ", fmt), (b"data", data)])),
+        (2, riff([(b"data", data), (b"fmt ", fmt)])),  # reversed order
+    ]
+    df = spark.createDataFrame(wavs, ["id", "payload"])
+    rows = {r["id"]: r for r in decode_audio_mulaw(df).collect()}
+    for rid in (1, 2):
+        assert rows[rid]["sample_rate"] == 8000
+        assert rows[rid]["pcm"] == [-32124, 0, 0, 32124]
+
+    import pytest as _pt
+
+    pcm_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    bad = spark.createDataFrame(
+        [(3, riff([(b"fmt ", pcm_fmt), (b"data", data)]))], ["id", "payload"]
+    )
+    with _pt.raises(Exception, match="format 1|mu-law"):
+        decode_audio_mulaw(bad).collect()
