@@ -520,3 +520,42 @@ def unigram_logprob(
             F.sum(F.col("tf") * F.col("_bits")) / F.sum("tf"), 6
         ).alias("bits_per_token"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    shingles whose FIRST corpus occurrence (minimum document id — the
+    ingestion-order proxy) is this document. The curve a curation run
+    watches for memorization risk and crawl staleness: a tail of
+    near-zero-novelty documents is re-crawled or templated content that
+    adds tokens but no information.
+
+    Built on dedup.hashed_shingles, so the two aggregation shuffles carry
+    fixed-width 64-bit keys, never shingle text; documents shorter than
+    ``n`` tokens have no shingles and drop out (their novelty is
+    undefined). Reference context: the reference's dedup surface stops at
+    duplicate detection (SURVEY.md §2); the novelty curve is this port's
+    curation extension, same family as decontaminate/source_overlap.
+    """
+    from .dedup import hashed_shingles
+
+    keys = hashed_shingles(df, id_col, text_col, n=n)
+    first = keys.groupBy("shingle_key").agg(F.min(id_col).alias("__first"))
+    per = (
+        keys.join(first, "shingle_key")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__first") == F.col(id_col)).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_ratio"),
+    )

@@ -511,6 +511,48 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    c AS (SELECT prev AS prev_type, event_type AS next_type,
+                 count(*) AS n
+          FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: adjacent
+    event-type bigrams per user (lag over a deterministic ts, event_id
+    order) aggregated into counts and row-normalized probabilities. One
+    user-keyed window shuffle + one |types|²-bounded aggregation — the
+    normalizing window runs over the tiny aggregate, never the events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("prob"),
+    )
+
+
 def _pagerank_oracle(iters: int, damping: float) -> str:
     """Unrolled power-iteration CTE chain — same recurrence, same literal
     arithmetic ((1.0 - d), d) as the Spark side so IEEE results agree."""

@@ -592,3 +592,37 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pass_core.cast("int")).cast("bigint").alias("n_pass_core_rules"),
         F.sum((F.col("n_email") > 0).cast("int")).cast("bigint").alias("n_docs_with_email"),
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    # same 3-gram md5-prefix key CTE as the dedup family (queries/dedup.py)
+    # so shingle text stays off the wire on the Spark side and DuckDB
+    # computes bit-identical keys.
+    oracle=r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(a) - 1),
+                         i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+           FROM t WHERE len(a) >= 3),
+    hsh AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS shingle_key
+            FROM sh),
+    fst AS (SELECT shingle_key, min(doc_id) AS fd FROM hsh GROUP BY shingle_key)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.fd = h.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(sum(CASE WHEN f.fd = h.doc_id THEN 1 ELSE 0 END)
+                 / count(*), 6) AS novelty_ratio
+    FROM hsh h JOIN fst f USING (shingle_key)
+    GROUP BY h.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty curve (operators/corpus.py:ngram_novelty):
+    fraction of each document's distinct 3-gram shingles first seen in
+    that document. Two fixed-width-key shuffles + one id-keyed agg —
+    shingle text never crosses an exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.ngram_novelty(docs, "doc_id", "text", n=3)

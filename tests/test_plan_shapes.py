@@ -214,6 +214,7 @@ def test_source_overlap_single_shuffle_no_text(spark, sf_dir):
         "corpus_decontaminate",
         "corpus_source_overlap",
         "corpus_split_leakage",
+        "corpus_ngram_novelty",
     ],
 )
 def test_no_shingle_text_crosses_exchange(spark, sf_dir, name):
