@@ -399,3 +399,61 @@ def semantic_dedup(
             ).alias("is_kept"),
         )
     )
+
+
+def power_iteration_pc1(
+    df,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) Gram matrix by
+    matrix-free power iteration: ``v ← normalize(Σ_rows x·(x⊤v))``, start
+    ``e₀``, fixed ``iters`` rounds. True centered PCA subtracts the
+    per-dimension means first (see vector_dim_stats) — the uncentered
+    form is the memory-layout-identical core and what similarity
+    pre-conditioning actually uses.
+
+    Distributed shape per round — the classic map-reduce eigensolver:
+    the d-element vector rides a broadcast 1-row relation onto the
+    corpus (map-side dot products), contributions posexplode to (dim,
+    x·dot) pairs whose partial aggregation collapses every partition to
+    ≤ d rows before the ONE tiny exchange, and normalization is a d-row
+    aggregate. The corpus is scanned once per round and never shuffled;
+    fixed rounds keep lineage linear (persist the input at high iters).
+    Returns (dim, component) with ‖v‖ = 1.
+
+    Deterministic: e₀ start, left-fold dots, unique-dim sort for the
+    repack — same result every run and engine (modulo last-ulp float
+    noise absorbed by the caller's rounding).
+    """
+    if iters < 1:
+        raise ValueError("power_iteration_pc1: iters must be >= 1")
+    x = df.select(F.col(vec_col).cast("array<double>").alias("x"))
+    spark = df.sparkSession
+    v = spark.range(1).select(
+        F.array(F.lit(1.0), *[F.lit(0.0)] * (dim - 1)).alias("v")
+    )
+    for it in range(iters):
+        dots = x.crossJoin(F.broadcast(v)).select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ).alias("d"),
+        )
+        pairs = dots.select(F.posexplode("x").alias("dim", "xv"), "d")
+        agg = pairs.groupBy("dim").agg(F.sum(F.col("xv") * F.col("d")).alias("val"))
+        nrm = agg.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+        comp = agg.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("val") / F.col("nrm")).alias("component")
+        )
+        if it == iters - 1:
+            return comp.select(F.col("dim").cast("int").alias("dim"), "component")
+        v = comp.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "component"))),
+                lambda s: s["component"],
+            ).alias("v")
+        )

@@ -457,3 +457,42 @@ def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+def _pc1_oracle(iters: int = 2, dim: int = 64) -> str:
+    """Unrolled power-iteration CTE chain mirroring
+    operators/vector.py:power_iteration_pc1 round for round."""
+    parts = [
+        f"""x AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+    v0 AS (SELECT list_transform(range(0, {dim}),
+                                 i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS v)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""d{k} AS (SELECT x, list_dot_product(x, (SELECT v FROM v{k - 1})) AS d
+           FROM x),
+    p{k} AS (SELECT unnest(range(0, len(x))) AS dim, unnest(x) AS xv, d FROM d{k}),
+    w{k} AS (SELECT dim, sum(xv * d) AS val FROM p{k} GROUP BY dim),
+    n{k} AS (SELECT sqrt(sum(val * val)) AS nrm FROM w{k}),
+    c{k} AS (SELECT dim, val / (SELECT nrm FROM n{k}) AS component FROM w{k}),
+    v{k} AS (SELECT list(component ORDER BY dim) AS v FROM c{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(dim AS INT) AS dim, round(component, 6) AS component"
+        + f" FROM c{iters}"
+    )
+
+
+@register("vector_pc1_power_iteration", oracle=_pc1_oracle(2, 64))
+def vector_pc1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by matrix-free
+    power iteration (operators/vector.py:power_iteration_pc1, 2 unrolled
+    rounds): per round the d-vector broadcasts onto the corpus for
+    map-side dot products and the contribution sum collapses to ≤ d rows
+    per partition before its one tiny exchange — the corpus itself never
+    shuffles. Oracle replays the identical recurrence as a CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc1 = V.power_iteration_pc1(emb, "embedding", dim=64, iters=2)
+    return pc1.select("dim", F.round("component", 6).alias("component"))

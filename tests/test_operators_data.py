@@ -602,3 +602,20 @@ def test_mulaw_decode_known_vectors_and_chunk_order(spark):
     )
     with _pt.raises(Exception, match="format 1|mu-law"):
         decode_audio_mulaw(bad).collect()
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """Vectors lie (almost) on a planted axis -> PC1 must align with it:
+    |component| ~ 1 on that dim, ~0 elsewhere, unit norm."""
+    import math
+
+    rows = [(i, [0.001 * i, 2.0 + 0.01 * i, 0.002 * i, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    comp = {
+        r["dim"]: r["component"]
+        for r in V.power_iteration_pc1(df, "embedding", dim=4, iters=5).collect()
+    }
+    assert abs(abs(comp[1]) - 1.0) < 1e-3
+    assert abs(math.sqrt(sum(c * c for c in comp.values())) - 1.0) < 1e-9
+    with __import__("pytest").raises(ValueError):
+        V.power_iteration_pc1(df, "embedding", dim=4, iters=0)

@@ -567,3 +567,15 @@ def test_pagerank_edges_never_force_broadcast(spark, sf_dir):
         assert "count(1)" in h or "__n" in h, h
     plan = _initial_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_pc1_corpus_never_shuffles(spark, sf_dir):
+    """vector_pc1_power_iteration: every exchange in the plan must be the
+    tiny per-round (dim, val) aggregation or a 1-row broadcast — a hash
+    exchange carrying the embedding array would mean the corpus itself
+    shuffles."""
+    plan = _initial_plan(QUERIES["vector_pc1_power_iteration"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\b(embedding|x)#\d+", line), line
+    assert "CartesianProduct" not in plan
