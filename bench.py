@@ -68,6 +68,13 @@ HEADLINE = [
     "text_countmin_freq",
     "etl_zorder_layout",
     "etl_scd2_asof_enrich",
+    # round 4 session-2 additions — broadcast-probe join pruning,
+    # candidate-recount sketch, iterative relational algebra (graph +
+    # eigensolver): four more distinct shuffle economies
+    "join_bloom_prefilter",
+    "text_heavyhitters_mg",
+    "graph_pagerank_bipartite",
+    "vector_pc1_power_iteration",
 ]
 
 

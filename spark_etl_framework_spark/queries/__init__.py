@@ -141,8 +141,13 @@ def _load_all() -> None:
 #: multimodal_image_channel_stats, pipeline_export_jsonl,
 #: events_outlier_mad, corpus_shuffle_order, corpus_hll_calibration,
 #: corpus_health_report, text_countmin_freq, etl_zorder_layout,
-#: etl_scd2_asof_enrich, text_collocations_pmi, text_weighted_sample —
-#: 32 queries; rotate in over
+#: etl_scd2_asof_enrich, text_collocations_pmi, text_weighted_sample,
+#: join_bloom_prefilter, events_approx_quantile_calibration,
+#: vector_dim_stats, text_heavyhitters_mg, multimodal_decode_bmp,
+#: graph_pagerank_bipartite, multimodal_audio_mulaw_decode,
+#: corpus_ngram_novelty, events_markov_transitions,
+#: vector_pc1_power_iteration —
+#: 42 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
