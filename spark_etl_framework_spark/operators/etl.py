@@ -265,3 +265,50 @@ def asof_enrich(
         & (h[eff_to].isNull() | (facts[ts_col] < h[eff_to]))
     )
     return facts.join(h, cond, "left").drop("__hk")
+
+
+def partial_agg(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
+    """Partial (combinable) aggregate of ``df`` — the stored form of an
+    incrementally maintained rollup. ``aggs`` maps output column →
+    (fn, column-expression) with fn in sum/count/min/max (the
+    self-decomposable aggregates; avg = sum/count at read time)."""
+    from .skew import _COMBINE
+
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn not in _COMBINE:
+            raise ValueError(f"partial_agg: unsupported aggregate {fn!r}")
+        exprs.append(
+            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(out)
+        )
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def incremental_agg_merge(
+    base_partials: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    aggs: dict,
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: fold a
+    delta batch into a stored partial-aggregate table WITHOUT rescanning
+    the base facts. The delta partially aggregates map-side to ≤ |keys|
+    rows per partition; the merge then combines two aggregate-sized
+    relations (sum/count → sum of partials, min/max → min/max of
+    partials). At 100 TB this is the difference between an O(delta)
+    nightly refresh and an O(history) one — the base fact scan never
+    happens again. Result is row-identical to aggregating base ∪ delta
+    from scratch (the oracle).
+
+    Reference context: the reference refreshes rollups by re-running the
+    full SqlTransformer aggregation per load
+    (etl/transform/SqlTransformer.scala); the partial-merge form is this
+    port's scale extension, reusing the salted-agg combiner table
+    (operators/skew.py:_COMBINE).
+    """
+    from .skew import _COMBINE
+
+    d = partial_agg(delta, keys, aggs)
+    u = base_partials.select(*keys, *aggs).unionByName(d)
+    comb = [_COMBINE[fn](out).alias(out) for out, (fn, _c) in aggs.items()]
+    return u.groupBy(*keys).agg(*comb)

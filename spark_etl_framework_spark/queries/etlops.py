@@ -360,3 +360,46 @@ def etl_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_month", "c_mktsegment", "is_current")
     )
+
+
+@register(
+    "etl_incremental_agg_maintenance",
+    # IVM is semantically transparent: folding the delta into the stored
+    # partials must equal aggregating everything from scratch, so the
+    # oracle is the full-table aggregate.
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql("o_totalprice", 2)} AS total_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/etl.py): history before
+    the cutover is a stored partial-aggregate table; the post-cutover
+    delta partially aggregates map-side and merges with the combiner
+    table — the base facts are never rescanned. Result hash-matches the
+    from-scratch aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1999-01-01"
+    aggs = {
+        "n_orders": ("count", None),
+        "total_price": ("sum", F.col("o_totalprice").cast("decimal(18,6)")),
+        "max_price": ("max", F.col("o_totalprice")),
+    }
+    stored = E.partial_agg(
+        orders.filter(F.col("o_orderdate") < cut), ["o_orderpriority"], aggs
+    )
+    merged = E.incremental_agg_merge(
+        stored,
+        orders.filter(F.col("o_orderdate") >= cut),
+        ["o_orderpriority"],
+        aggs,
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("total_price"), 2).cast("double").alias("total_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )

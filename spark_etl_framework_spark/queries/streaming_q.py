@@ -697,3 +697,68 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "final_ewma")
     )
+
+
+@register(
+    "stream_approx_distinct_users",
+    # exact distinct aggregation is UNSUPPORTED in streaming — the HLL++
+    # sketch is the only distinct count a stream can maintain. The oracle
+    # checks the calibration contract (corpus_hll_calibration pattern):
+    # batch-exact per-window distinct + a boolean asserting the STREAMED
+    # estimate landed within max(2, 3·rsd·exact) — the absolute floor
+    # covers the integer FLOOR Spark applies to the estimate, which on a
+    # 2-user window already is a 50% relative error. Register merges are
+    # max() — commutative/associative — so the boolean is
+    # trigger-order-stable.
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id FROM events)
+    SELECT CAST(make_timestamp((epoch_ms(ts) // 600000) * 600000000) AS VARCHAR)
+               AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_tolerance
+    FROM ev GROUP BY 1
+    """,
+)
+def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window distinct users maintained by a STREAMING HLL++ sketch
+    (approx_count_distinct inside a watermarked tumbling window, complete
+    mode), calibrated against the batch-exact count per window. At 100 TB
+    of stream history this is the only affordable shape: sketch registers
+    merge map-side per trigger and state is O(windows × 2^p), independent
+    of user cardinality."""
+    from ..catalog import load_table
+
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), "approx_users"
+        )
+    )
+    qname = f"stream_approxdistinct_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(qname)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), "exact_users"
+        )
+    )
+    diff = F.abs(F.col("approx_users") - F.col("exact_users"))
+    tol = F.greatest(F.lit(2.0), 0.15 * F.col("exact_users"))
+    return exact.join(streamed, "window_start").select(
+        "window_start", "exact_users", (diff <= tol).alias("within_tolerance")
+    )

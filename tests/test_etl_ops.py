@@ -185,3 +185,30 @@ def test_asof_enrich_picks_version_valid_at_fact_time(spark):
     assert got[(1, "2024-06-01")] == "v2"
     assert got[(2, "2024-02-28")] is None  # before key 2's first version
     assert got[(3, "2024-07-01")] is None  # key never in history
+
+
+def test_incremental_agg_merge_disjoint_and_overlapping_keys(spark):
+    """Merging must be exact when a key exists only in the stored
+    partials, only in the delta, or in both."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.operators.etl import (
+        incremental_agg_merge,
+        partial_agg,
+    )
+
+    base_rows = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], ["k", "v"]
+    )
+    delta = spark.createDataFrame([("b", 7.0), ("c", 9.0)], ["k", "v"])
+    aggs = {
+        "n": ("count", None),
+        "total": ("sum", F.col("v")),
+        "mx": ("max", F.col("v")),
+    }
+    stored = partial_agg(base_rows, ["k"], aggs)
+    got = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in incremental_agg_merge(stored, delta, ["k"], aggs).collect()
+    }
+    assert got == {"a": (2, 3.0, 2.0), "b": (2, 12.0, 7.0), "c": (1, 9.0, 9.0)}
