@@ -403,3 +403,75 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("total_price"), 2).cast("double").alias("total_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@register(
+    "etl_constraint_validation",
+    oracle="""
+    SELECT 'fk_orders_customer' AS constraint_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+               AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'unique_customer_key',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'notnull_orderdate',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+    FROM orders
+    """,
+)
+def etl_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint audit (the dbt-test surface as one relation):
+    two referential-integrity checks via unhinted LEFT joins (null probe
+    side = violation), a key-uniqueness check, and a not-null check —
+    each a count-only aggregate, unioned into a (constraint, n_checked,
+    n_violations) report. At 100 TB each FK check is one join whose probe
+    side AQE sizes; nothing materializes violating rows unless a check
+    fails and someone drills in."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    fk1 = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .select(F.lit("fk_orders_customer").alias("constraint_name"), "*")
+    )
+    fk2 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .select(F.lit("fk_lineitem_orders").alias("constraint_name"), "*")
+    )
+    uniq = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(F.lit("unique_customer_key").alias("constraint_name"), "*")
+    nn = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(F.lit("notnull_orderdate").alias("constraint_name"), "*")
+    return fk1.unionByName(fk2).unionByName(uniq).unionByName(nn)

@@ -496,3 +496,49 @@ def vector_pc1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pc1 = V.power_iteration_pc1(emb, "embedding", dim=64, iters=2)
     return pc1.select("dim", F.round("component", 6).alias("component"))
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 7) -> str:
+    """Oracle with the SAME plan-time ±1 matrix literals as jl_project —
+    both sides generated from jl_projection_matrix(seed)."""
+    from ..operators.vector import jl_projection_matrix
+
+    rows = jl_projection_matrix(in_dim, out_dim, seed)
+    comps = ", ".join(
+        "list_dot_product(x, ["
+        + ", ".join(f"{v:.1f}" for v in row)
+        + "]) * 0.25"
+        for row in rows
+    )
+    return f"""
+    WITH xx AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    r AS (SELECT vec_id, x, [{comps}] AS red FROM xx)
+    SELECT vec_id,
+           list_transform(red, v -> round(v, 6)) AS reduced,
+           round(sqrt(list_dot_product(red, red))
+                 / sqrt(list_dot_product(x, x)), 6) AS norm_ratio
+    FROM r
+    """
+
+
+@register("vector_jl_project", oracle=_jl_oracle(64, 16, 7))
+def vector_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction 64→16 dims with a seeded ±1
+    Achlioptas matrix (operators/vector.py:jl_project): a pure narrow map
+    (plan-time literal matrix, fused fold-multiply expressions, zero
+    shuffles) that shrinks every downstream ANN/dedup scan 4×. The
+    emitted per-vector norm ratio makes the JL distance-preservation
+    contract observable; the oracle replays the projection with the
+    identical literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = V.jl_project(emb, "embedding", in_dim=64, out_dim=16, seed=7)
+    x = F.col("embedding").cast("array<double>")
+    red = F.col("reduced")
+    nrm = lambda a: F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return out.select(
+        "vec_id",
+        F.transform(red, lambda v: F.round(v, 6)).alias("reduced"),
+        F.round(nrm(red) / nrm(x), 6).alias("norm_ratio"),
+    )

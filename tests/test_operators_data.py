@@ -619,3 +619,23 @@ def test_power_iteration_recovers_planted_direction(spark):
     assert abs(math.sqrt(sum(c * c for c in comp.values())) - 1.0) < 1e-9
     with __import__("pytest").raises(ValueError):
         V.power_iteration_pc1(df, "embedding", dim=4, iters=0)
+
+
+def test_jl_project_orthogonal_recovery_and_shape(spark):
+    """Projecting the projection matrix's own first row must recover
+    sqrt(k)-scaled coordinates exactly: dot(row_j, row_0)/sqrt(k) is
+    +/-in_dim/sqrt(k) when j == 0-aligned and bounded otherwise; also
+    checks output arity."""
+    from spark_etl_framework_spark.operators.vector import (
+        jl_project,
+        jl_projection_matrix,
+    )
+
+    m = jl_projection_matrix(8, 4, seed=7)
+    df = spark.createDataFrame([(0, m[0])], ["vec_id", "embedding"])
+    row = jl_project(df, "embedding", in_dim=8, out_dim=4, seed=7).first()
+    red = row["reduced"]
+    assert len(red) == 4
+    assert abs(red[0] - 8 / 2.0) < 1e-9  # dot(row0,row0)/sqrt(4) = 8/2
+    for v in red[1:]:
+        assert abs(v) <= 8 / 2.0 + 1e-9

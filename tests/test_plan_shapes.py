@@ -579,3 +579,10 @@ def test_pc1_corpus_never_shuffles(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert not re.search(r"\b(embedding|x)#\d+", line), line
     assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_zero_shuffle(spark, sf_dir):
+    """vector_jl_project is a pure narrow map: the plan may contain NO
+    exchange of any kind — the matrix is plan-time literals."""
+    plan = _initial_plan(QUERIES["vector_jl_project"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
