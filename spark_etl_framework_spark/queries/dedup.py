@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup as D
@@ -424,5 +425,99 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ca, 6).alias("containment_a"),
             F.round(cb, 6).alias("containment_b"),
             (F.greatest(ca, cb) >= 0.8).alias("subset_dup"),
+        )
+    )
+
+
+@register(
+    "dedup_lsh_eval_pr",
+    # evaluation harness for the LSH index itself: candidate pairs from
+    # the band join (the _BANDS_CTE replay) scored against exact-Jaccard
+    # ground truth >= 0.5 from the hashed-shingle inverted index. Both
+    # sides reuse the family's existing CTE fragments verbatim.
+    oracle=f"""
+    WITH {_BANDS_CTE}{_HSH_CTE},
+    pred AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM hsh a JOIN hsh b
+                ON a.shingle_key = b.shingle_key AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON inter.id_a = sa.doc_id
+              JOIN sizes sb ON inter.id_b = sb.doc_id
+              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    tp AS (SELECT count(*) AS n FROM pred JOIN truth USING (id_a, id_b))
+    SELECT CAST((SELECT count(*) FROM pred)  AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT n FROM tp)           AS BIGINT) AS n_true_positives,
+           round((SELECT n FROM tp) / (SELECT count(*) FROM pred), 6)  AS precision,
+           round((SELECT n FROM tp) / (SELECT count(*) FROM truth), 6) AS recall
+    """,
+)
+def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH index against exact-Jaccard
+    ground truth (>= 0.5) — the eval every dedup deployment runs before
+    trusting its band geometry (here 4 bands x 2 rows: the S-curve says
+    ~97% recall at J=0.5). Ground truth comes from the hashed-shingle
+    inverted index WITHOUT a max_df cap — completeness is the point of an
+    eval; at 100 TB this harness runs on a sampled stratum, not the full
+    corpus, while the LSH side scales as usual. All joins on fixed-width
+    keys; the three metric counts are 1-row relations cross-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
+    pred = D.lsh_candidate_pairs(
+        D.lsh_bands_wide(
+            D.minhash_wide(sh_raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2
+        ),
+        "doc_id",
+    ).select("id_a", "id_b")
+
+    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)
+    sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        hsh.alias("a")
+        .join(
+            hsh.alias("b"),
+            (F.col("a.shingle_key") == F.col("b.shingle_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_inter") / (F.col("_na") + F.col("_nb") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    tp = pred.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_true_positives")
+    )
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        n_pred.crossJoin(n_truth)
+        .crossJoin(tp)
+        .select(
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_true_positives").cast("bigint").alias("n_true_positives"),
+            F.round(
+                F.col("n_true_positives") / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(F.col("n_true_positives") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
         )
     )
