@@ -40,12 +40,18 @@ def pagerank(
     """PageRank by unrolled power iteration over an edge list.
 
     ``r_{k+1}(v) = (1-d)/n + d * Σ_{u→v} r_k(u)/deg(u)`` with uniform
-    start ``1/n``. Node universe = sources of ``edges`` (symmetrize first
-    for undirected graphs — then every node both sends and receives, so
-    no dangling-mass correction is needed; a directed sink would need
-    one). The vertex count is carried as a broadcast 1-row relation, not
-    a driver-side ``count()`` — no action, no collect. Returns
-    ``(node, rank)``.
+    start ``1/n``.
+
+    CONTRACT: every destination must also be a source (closed under
+    out-edges) — i.e. pass a :func:`symmetrize`-d edge list, or a
+    directed graph with no sinks. The iteration keys ranks by
+    destination, so on an open directed graph (a DAG, a single edge
+    a→b) mass reaching a sink cannot propagate and the result degrades
+    toward empty — that input needs the dangling-mass correction this
+    operator deliberately omits (symmetrized graphs, the intended use,
+    never have dangling nodes). The vertex count is carried as a
+    broadcast 1-row relation, not a driver-side ``count()`` — no
+    action, no collect. Returns ``(node, rank)``.
     """
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))

@@ -330,6 +330,11 @@ def decode_audio_mulaw(
             cid = raw[off : off + 4]
             (size,) = np.frombuffer(raw[off + 4 : off + 8], dtype="<u4")
             body = raw[off + 8 : off + 8 + int(size)]
+            if len(body) != int(size):
+                raise ValueError(
+                    f"truncated RIFF chunk {cid!r}: declares {int(size)} "
+                    f"bytes, {len(body)} remain"
+                )
             if cid == b"fmt ":
                 fmt_code = int(np.frombuffer(body[0:2], dtype="<u2")[0])
                 rate = int(np.frombuffer(body[4:8], dtype="<u4")[0])

@@ -468,7 +468,9 @@ def heavy_hitters_mg(
 
     def _mg(batches):
         counters: dict[str, int] = {}
+        part_tokens = 0
         for pdf in batches:
+            part_tokens += len(pdf)
             for tok, cnt in pdf["tok"].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(cnt)
             if len(counters) > capacity:
@@ -476,26 +478,45 @@ def heavy_hitters_mg(
                 counters = {
                     k: v - cut for k, v in counters.items() if v - cut > 0
                 }
-        yield pd.DataFrame({"tok": list(counters) or pd.Series([], dtype=str)})
-
-    cands = toks.mapInPandas(_mg, "tok string").distinct().hint("broadcast")
-    # total token mass from the per-document array sizes — a scan of the
-    # source relation, not a second explode
-    total = df.select(
-        F.sum(
-            F.size(F.filter(tokens(F.col(text_col)), lambda x: x != ""))
+        # candidate rows + ONE sentinel row carrying this partition's token
+        # mass — the total comes out of the same pass, so the source is
+        # tokenized twice (candidates + recount), never a third time, and
+        # the mass counts exactly the exploded stream the recount sees
+        # (NULL/short texts contribute nothing on either side).
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "part_tokens": [None] * len(counters) + [part_tokens],
+            }
         )
-        .cast("bigint")
-        .alias("total_tokens")
+
+    mg_out = toks.mapInPandas(_mg, "tok string, part_tokens bigint")
+    # ONE linear plan over a single MG pass: the corpus-wide token mass is
+    # a global window sum over the tiny candidate relation (≤ partitions ×
+    # (capacity+1) rows shuffled to one reducer), attached to every
+    # candidate row; the broadcast INNER join then both prefilters the
+    # recount and carries total_tokens — no second branch off mg_out, so
+    # the expensive candidate pass runs exactly once.
+    from pyspark.sql import Window as _W
+
+    cand = (
+        mg_out.select(
+            "tok",
+            F.sum("part_tokens").over(_W.partitionBy()).cast("bigint").alias(
+                "total_tokens"
+            ),
+        )
+        .filter(F.col("tok").isNotNull())
+        .dropDuplicates(["tok"])
+        .hint("broadcast")
     )
     exact = (
-        toks.join(cands, "tok", "left_semi")
-        .groupBy("tok")
+        toks.join(cand, "tok")
+        .groupBy("tok", "total_tokens")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
     )
     return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") * t > F.col("total_tokens"))
+        exact.filter(F.col("n_occurrences") * t > F.col("total_tokens"))
         .select(
             "tok",
             "n_occurrences",

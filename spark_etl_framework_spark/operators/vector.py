@@ -423,9 +423,13 @@ def power_iteration_pc1(
     fixed rounds keep lineage linear (persist the input at high iters).
     Returns (dim, component) with ‖v‖ = 1.
 
-    Deterministic: e₀ start, left-fold dots, unique-dim sort for the
-    repack — same result every run and engine (modulo last-ulp float
-    noise absorbed by the caller's rounding).
+    Deterministic up to float summation order: e₀ start, left-fold dots,
+    unique-dim sort for the repack. The per-dimension contribution sums
+    are unordered double additions (no exact accumulator exists for this
+    recurrence), so results can differ in the last ulps between engines
+    and partitionings; the caller's 6-dp rounding absorbs this except for
+    the astronomically rare sum landing within ~1 ulp of a rounding
+    boundary — accepted residual risk, same class as vector_norm_stats.
     """
     if iters < 1:
         raise ValueError("power_iteration_pc1: iters must be >= 1")

@@ -591,7 +591,11 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled power iterations (operators/graph.py). Per iteration the
     huge edge relation reuses its source-hash partitioning and only the
     |V|-row rank relation moves — the relational form of Pregel that
-    survives a 100x edge-count scale-up."""
+    survives a 100x edge-count scale-up. Rank values are unordered double
+    sums rounded at 6 dp; unlike the dsum family there is no exact
+    accumulator for this recurrence, so a sum landing within ~1 ulp of a
+    rounding boundary could in principle flip between engines — accepted
+    residual risk, same class as vector_norm_stats."""
     from ..operators.graph import pagerank, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

@@ -469,11 +469,15 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys; the three metric counts are 1-row relations cross-joined."""
     docs = load_table(spark, sf_dir, "documents")
     sh_raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
+    # max_bucket=None: the eval measures the band geometry itself, so the
+    # degenerate-bucket production guard must not drop candidates here
+    # (and the oracle's pred CTE replays the band join uncapped).
     pred = D.lsh_candidate_pairs(
         D.lsh_bands_wide(
             D.minhash_wide(sh_raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2
         ),
         "doc_id",
+        max_bucket=None,
     ).select("id_a", "id_b")
 
     hsh = D.hashed_shingles(docs, "doc_id", "text", n=3)

@@ -504,10 +504,13 @@ def _jl_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 7) -> str:
     from ..operators.vector import jl_projection_matrix
 
     rows = jl_projection_matrix(in_dim, out_dim, seed)
+    # scale literal derived from out_dim (repr round-trips the exact
+    # double); jl_project computes the same 1/sqrt(k)
+    inv = repr(1.0 / float(out_dim) ** 0.5)
     comps = ", ".join(
         "list_dot_product(x, ["
         + ", ".join(f"{v:.1f}" for v in row)
-        + "]) * 0.25"
+        + f"]) * {inv}"
         for row in rows
     )
     return f"""

@@ -639,3 +639,19 @@ def test_jl_project_orthogonal_recovery_and_shape(spark):
     assert abs(red[0] - 8 / 2.0) < 1e-9  # dot(row0,row0)/sqrt(4) = 8/2
     for v in red[1:]:
         assert abs(v) <= 8 / 2.0 + 1e-9
+
+
+def test_heavy_hitters_mg_null_and_empty_text(spark):
+    """NULL/empty texts must contribute nothing to the token mass (the
+    pre-fix total subtracted 1 per NULL doc via legacy size(NULL) = -1):
+    3 'hot' among 6 real tokens -> frequency 0.5 exactly."""
+    from spark_etl_framework_spark.operators.text import heavy_hitters_mg
+
+    df = spark.createDataFrame(
+        [(1, "hot hot hot"), (2, None), (3, ""), (4, "x y z")],
+        ["doc_id", "text"],
+    )
+    got = heavy_hitters_mg(df, "text", capacity=8, t=3).collect()
+    assert [(r["tok"], r["n_occurrences"], r["frequency"]) for r in got] == [
+        ("hot", 3, 0.5)
+    ]

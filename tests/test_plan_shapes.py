@@ -546,15 +546,14 @@ def test_bloom_prefilter_probes_broadcast_fact_unshuffled(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_heavy_hitters_recount_behind_broadcast_semi_join(spark, sf_dir):
+def test_heavy_hitters_recount_behind_broadcast_join(spark, sf_dir):
     """text_heavyhitters_mg: the exact recount must sit behind a broadcast
-    LEFT SEMI candidate prefilter — a plain groupBy over the full token
-    explode (the thing the sketch exists to avoid) would show as a hash
-    exchange with no semi-join above the scan."""
+    candidate prefilter (the inner join that also carries total_tokens) —
+    a plain groupBy over the full token explode (the thing the sketch
+    exists to avoid) would show as a hash exchange with no broadcast join
+    above the scan."""
     plan = _initial_plan(QUERIES["text_heavyhitters_mg"](spark, sf_dir))
-    assert any(
-        "BroadcastHashJoin" in l and "LeftSemi" in l for l in plan.splitlines()
-    ), plan
+    assert any("BroadcastHashJoin" in l for l in plan.splitlines()), plan
     assert "CartesianProduct" not in plan
 
 
