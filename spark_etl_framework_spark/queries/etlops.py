@@ -12,6 +12,7 @@ primitive; these are the dimension-history / CDC shapes built on it).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -475,3 +476,43 @@ def etl_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violations"),
     ).select(F.lit("notnull_orderdate").alias("constraint_name"), "*")
     return fk1.unionByName(fk2).unionByName(uniq).unionByName(nn)
+
+
+@register(
+    "etl_partition_skew_report",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(l_shipdate) AS INT)  AS yr,
+               CAST(month(l_shipdate) AS INT) AS mon,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT yr, mon, CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / (sum(n_rows) OVER () / count(*) OVER ()), 4)
+               AS skew_factor
+    FROM m
+    """,
+)
+def etl_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout skew audit for a date-partitioned fact table:
+    rows per (year, month) shipping partition and each partition's ratio
+    to the mean — the report that decides whether a layout needs
+    salting/re-bucketing before it burns a 1000-executor stage on one
+    reducer. One aggregation shuffle; the normalizing window runs over
+    the partition-count-sized aggregate only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.month("l_shipdate").cast("int").alias("mon"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    wall = W.partitionBy()
+    return m.select(
+        "yr",
+        "mon",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(
+            F.col("n_rows")
+            / (F.sum("n_rows").over(wall) / F.count(F.lit(1)).over(wall)),
+            4,
+        ).alias("skew_factor"),
+    )

@@ -762,3 +762,68 @@ def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(streamed, "window_start").select(
         "window_start", "exact_users", (diff <= tol).alias("within_tolerance")
     )
+
+
+@register(
+    "stream_windowed_topk",
+    # the STREAM maintains the per-(window, event_type) counts (complete
+    # mode); the top-3 rank runs as a batch window over the streamed
+    # result table — ranking is not a streaming-supported operation, and
+    # this split (stream aggregates, batch serves ranked views) is
+    # exactly how a 100 TB leaderboard pipeline is laid out.
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+    c AS (
+        SELECT CAST(make_timestamp((epoch_ms(ts) // 600000) * 600000000)
+                    AS VARCHAR) AS window_start,
+               event_type, count(*) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    r AS (SELECT window_start, event_type, n,
+                 row_number() OVER (PARTITION BY window_start
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: event-type counts per 10-minute window
+    maintained by a watermarked streaming aggregation, then the top-3
+    rank applied as a BATCH window over the streamed state (ranking
+    is unsupported inside a stream — the aggregate/serve split is the
+    production shape). Deterministic tiebreak on event_type."""
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    qname = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        spark.table(qname)
+        .withColumn("rn", rn.cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"), "rn")
+    )

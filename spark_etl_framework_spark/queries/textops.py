@@ -664,3 +664,61 @@ def text_heavyhitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate strings cross the wire, then a candidate-filtered count."""
     docs = load_table(spark, sf_dir, "documents")
     return T.heavy_hitters_mg(docs, "text", capacity=80, t=40)
+
+
+@register(
+    "text_char_entropy",
+    # both sides fold the per-character terms in the SAME sorted-distinct
+    # order (list_sort / array_sort), so the float sums are the identical
+    # IEEE sequence, not just close.
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]') AS arr
+        FROM documents
+    ),
+    s AS (SELECT doc_id, arr, list_sort(list_distinct(arr)) AS d,
+                 len(arr) AS n
+          FROM c)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_letters,
+           CASE WHEN n = 0 THEN 0.0 ELSE round(
+             -list_sum(list_transform(d, ch ->
+                (len(list_filter(arr, x -> x = ch)) / CAST(n AS DOUBLE))
+                * log2(len(list_filter(arr, x -> x = ch)) / CAST(n AS DOUBLE))
+             )), 6) END AS char_entropy
+    FROM s
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap gibberish
+    and base64-blob detector (natural English sits ~4.1 bits/letter;
+    uniform noise near log2(26)). Entirely ROW-LOCAL array expressions
+    (distinct -> per-char counts -> fold), zero shuffles at any corpus
+    size — the same O(distinct x n)-per-row shape as top_token_count."""
+    docs = load_table(spark, sf_dir, "documents")
+    # staged projections so the regex extraction materializes ONCE per
+    # row (arr is referenced twice below — CollapseProject keeps
+    # multiply-referenced non-cheap aliases, so the lambda scans the
+    # extracted array, not the regex)
+    a = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]', 0)").alias("arr"),
+    )
+    b = a.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("n_letters"),
+        F.expr(
+            "transform(array_sort(array_distinct(arr)), "
+            "ch -> size(filter(arr, x -> x = ch)))"
+        ).alias("counts"),
+    )
+    return b.select(
+        "doc_id",
+        "n_letters",
+        F.expr(
+            "CASE WHEN n_letters = 0 THEN 0.0 ELSE round(-aggregate(counts, "
+            "CAST(0.0 AS DOUBLE), (acc, cnt) -> acc "
+            "+ (cnt / CAST(n_letters AS DOUBLE)) "
+            "* log2(cnt / CAST(n_letters AS DOUBLE))), 6) END"
+        ).alias("char_entropy"),
+    )

@@ -422,3 +422,57 @@ def ts_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_gaps_over_1h"),
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    # Spark dayofweek() is 1..7 Sunday=1; DuckDB dayofweek() is 0..6
+    # Sunday=0 — the Spark side subtracts 1 so both emit 0=Sunday.
+    oracle=f"""
+    WITH {_EV},
+    p AS (SELECT CAST(dayofweek(ts) AS INT) AS dow,
+                 CAST(hour(ts) AS INT)      AS hour,
+                 count(*) AS n_events, avg(value) AS mv
+          FROM ev GROUP BY 1, 2)
+    SELECT p.dow, p.hour,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           round(p.mv, 6)             AS mean_value,
+           CAST(count(*) FILTER (WHERE e.value > 2 * p.mv) AS BIGINT)
+               AS n_above_2x
+    FROM ev e JOIN p ON CAST(dayofweek(e.ts) AS INT) = p.dow
+                    AND CAST(hour(e.ts) AS INT) = p.hour
+    GROUP BY 1, 2, 3, p.mv
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal profile (the load-shape baseline behind
+    anomaly thresholds): per (dow, hour) slot the event count, mean
+    value, and how many events exceed 2x the slot mean. Profile is one
+    168-slot aggregate; the exceedance pass joins the tiny profile back
+    UNHINTED and re-aggregates — two shuffles total, both on the narrow
+    slot key."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = [
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ]
+    e = ev.select(*slot, "value")
+    prof = e.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("mv")
+    )
+    j = e.join(prof, ["dow", "hour"])
+    return (
+        j.groupBy("dow", "hour", "n_events", "mv")
+        .agg(
+            F.sum(F.when(F.col("value") > 2 * F.col("mv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_2x")
+        )
+        .select(
+            "dow",
+            "hour",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("mv", 6).alias("mean_value"),
+            "n_above_2x",
+        )
+    )
