@@ -146,8 +146,11 @@ def _load_all() -> None:
 #: vector_dim_stats, text_heavyhitters_mg, multimodal_decode_bmp,
 #: graph_pagerank_bipartite, multimodal_audio_mulaw_decode,
 #: corpus_ngram_novelty, events_markov_transitions,
-#: vector_pc1_power_iteration —
-#: 42 queries; rotate in over
+#: vector_pc1_power_iteration, stream_approx_distinct_users,
+#: etl_incremental_agg_maintenance, etl_constraint_validation,
+#: vector_jl_project, dedup_lsh_eval_pr, ts_seasonal_profile,
+#: text_char_entropy, etl_partition_skew_report, stream_windowed_topk —
+#: 51 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
