@@ -495,3 +495,82 @@ def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.concat(F.lit(b"P6\n4 2\n255\n"), F.unhex(raster_hex)).alias("payload"),
     )
     return image_channel_stats(decode_images(wire, fake=False))
+
+
+@register(
+    "multimodal_tar_index",
+    # fixed archive geometry (16- and 24-byte members each pad to one
+    # 512 block): data offsets are constants, names derive from doc_id,
+    # contents from md5 — DuckDB replays the whole index arithmetically.
+    oracle="""
+    SELECT doc_id AS id,
+           'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name,
+           CAST(512 AS BIGINT)  AS data_offset,
+           CAST(16 AS BIGINT)   AS size,
+           UPPER(md5(text))     AS content_hex
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'doc' || CAST(doc_id AS VARCHAR) || '.bin',
+           CAST(1536 AS BIGINT),
+           CAST(24 AS BIGINT),
+           UPPER(md5(text || 'x') || SUBSTR(md5(text || 'y'), 1, 16))
+    FROM documents
+    """,
+)
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-shard indexing under the oracle gate: each document
+    becomes a REAL USTAR archive (written by the stdlib tarfile module —
+    two md5-derived members), then ``index_tar_members``
+    (operators/multimodal.py) walks headers, validates checksums, and
+    emits (name, offset, size, content) per member — the random-access
+    index a 100 TB multimodal shard store needs. Parser is validated
+    against a genuine tar writer, not its own inverse; every offset and
+    content byte is hash-checked. Two chained narrow mapInPandas stages,
+    no shuffle."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from ..operators.multimodal import index_tar_members
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _pack(batches):
+        for pdf in batches:
+            rows = []
+            for rid, txt in zip(pdf["doc_id"], pdf["text"]):
+                t = txt.encode("utf-8")
+                m1 = hashlib.md5(t).digest()
+                m2 = (
+                    hashlib.md5(t + b"x").digest()
+                    + hashlib.md5(t + b"y").digest()[:8]
+                )
+                buf = io.BytesIO()
+                tf = tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                )
+                for name, data in (
+                    (f"doc{rid}.txt", m1),
+                    (f"doc{rid}.bin", m2),
+                ):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    tf.addfile(ti, io.BytesIO(data))
+                tf.close()
+                rows.append({"id": int(rid), "payload": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    wire = docs.mapInPandas(_pack, "id bigint, payload binary")
+    out = index_tar_members(wire)
+    return out.select(
+        "id",
+        "member_name",
+        "data_offset",
+        "size",
+        F.hex("content").alias("content_hex"),
+    )

@@ -655,3 +655,48 @@ def test_heavy_hitters_mg_null_and_empty_text(spark):
     assert [(r["tok"], r["n_occurrences"], r["frequency"]) for r in got] == [
         ("hot", 3, 0.5)
     ]
+
+
+def test_tar_index_skips_dirs_validates_checksum_and_truncation(spark):
+    """index_tar_members: directory members are skipped, a corrupted
+    header checksum raises, and a member whose declared size overruns
+    the archive raises."""
+    import io
+    import struct
+    import tarfile
+
+    from spark_etl_framework_spark.operators.multimodal import index_tar_members
+
+    buf = io.BytesIO()
+    tf = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    d = tarfile.TarInfo("subdir/")
+    d.type = tarfile.DIRTYPE
+    tf.addfile(d)
+    ti = tarfile.TarInfo("subdir/a.bin")
+    data = b"hello tar"
+    ti.size = len(data)
+    tf.addfile(ti, io.BytesIO(data))
+    tf.close()
+    raw = buf.getvalue()
+
+    rows = index_tar_members(
+        spark.createDataFrame([(1, raw)], ["id", "payload"])
+    ).collect()
+    assert [(r["member_name"], r["size"], bytes(r["content"])) for r in rows] == [
+        ("subdir/a.bin", 9, b"hello tar")
+    ]
+    assert rows[0]["data_offset"] == 1024  # dir header block, then file header
+
+    import pytest as _pt
+
+    corrupt = bytearray(raw)
+    corrupt[0] ^= 0xFF  # name byte flips -> checksum mismatch
+    with _pt.raises(Exception, match="checksum"):
+        index_tar_members(
+            spark.createDataFrame([(2, bytes(corrupt))], ["id", "payload"])
+        ).collect()
+
+    with _pt.raises(Exception, match="truncated tar"):
+        index_tar_members(
+            spark.createDataFrame([(3, raw[:1030])], ["id", "payload"])
+        ).collect()
