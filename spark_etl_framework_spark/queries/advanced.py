@@ -712,3 +712,58 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("median_value"),
         F.round("mad_v", 6).alias("mad"),
     )
+
+
+@register(
+    "events_funnel_timebound",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click'
+             AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+           GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_step1_view,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_step2_click_24h,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_step3_purchase_24h
+    """,
+)
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded sequential funnel (the windowFunnel semantics):
+    view → click within 24h of the FIRST view → purchase within 24h of
+    that earliest qualifying click. Each stage is a per-user aggregate
+    joined forward — the sequential dependency is three user-keyed
+    shuffles that all reuse the same hash partitioning; no self-join of
+    the raw events against themselves."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_step1_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_step2_click_24h"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_step3_purchase_24h"))
+    return c1.crossJoin(c2).crossJoin(c3)
