@@ -767,3 +767,41 @@ def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_step2_click_24h"))
     c3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_step3_purchase_24h"))
     return c1.crossJoin(c2).crossJoin(c3)
+
+
+@register(
+    "events_user_growth_curve",
+    # cumulative distinct users by day WITHOUT a running count-distinct
+    # (quadratic state): each user collapses to a first-seen day (one
+    # aggregate), days count their news (second, day-keyed aggregate),
+    # and the cumulative sum runs over the tiny per-day relation.
+    oracle="""
+    WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+    f AS (SELECT user_id, CAST(min(ts)::DATE AS VARCHAR) AS first_day
+          FROM ev GROUP BY user_id),
+    d AS (SELECT first_day, count(*) AS n_new FROM f GROUP BY first_day)
+    SELECT first_day AS day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(sum(n_new) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM d
+    """,
+)
+def events_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth by day — computed as first-seen
+    collapse + per-day news + running sum over the per-day relation,
+    never as a running COUNT(DISTINCT) (whose state grows with the user
+    universe). Two narrow aggregates; the unpartitioned window only ever
+    sees #days rows."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").cast("string").alias("day")
+    )
+    d = f.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return d.select(
+        "day",
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )

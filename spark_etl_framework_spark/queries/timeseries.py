@@ -476,3 +476,79 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above_2x",
         )
     )
+
+
+@register(
+    "ts_interval_coverage",
+    # islands-and-gaps: an interval starts a new island when it begins
+    # after the running max end of everything earlier (strictly ordered
+    # by start with event_id tiebreak). Union length = sum of island
+    # spans, all computed in one user-keyed window pass — no self-join.
+    oracle=f"""
+    WITH {_EV},
+    iv AS (SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+           FROM ev),
+    m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM iv),
+    g AS (SELECT user_id, s, e,
+                 CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+                     AS is_new
+          FROM m),
+    isl AS (SELECT user_id, s, e,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+            FROM g),
+    spans AS (SELECT user_id, island,
+                     epoch_ms(max(e)) - epoch_ms(min(s)) AS span_ms
+              FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)            AS n_islands,
+           CAST(sum(span_ms) AS BIGINT)    AS covered_ms
+    FROM spans GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of per-user activity intervals (each event covers 5
+    minutes): the islands-and-gaps algorithm — running max of interval
+    ends marks island starts, a running sum numbers the islands, one
+    aggregate sizes them. Everything rides ONE user-keyed window
+    partitioning; the O(n²) interval self-join never happens. Integer
+    millisecond arithmetic end to end (no second-rounding: double→int
+    casts round in DuckDB but truncate in Spark) — exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    g = m.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = g.withColumn("island", F.sum("is_new").over(w_cum))
+    spans = isl.groupBy("user_id", "island").agg(
+        (
+            F.unix_millis(F.max("e")) - F.unix_millis(F.min("s"))
+        ).alias("span_ms")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("span_ms").cast("bigint").alias("covered_ms"),
+    )
