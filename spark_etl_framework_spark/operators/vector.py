@@ -510,3 +510,98 @@ def jl_project(
     return tmp.withColumn(
         "reduced", F.array(*[F.col(f"__jl{j}") for j in range(out_dim)])
     ).drop(*[f"__jl{j}" for j in range(out_dim)])
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub: int = 8,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization code assignment: train all ``m`` subspace
+    quantizers in ONE plan (not m independent DAGs). The vector explodes
+    into (subspace, subvector) rows once; per Lloyd round the m×k
+    centroid relation broadcasts onto that stream, the argmin is a
+    partial-aggregating shuffle of one row per (vector, subspace), and
+    the centroid update is a (subspace, cell, dim)-keyed aggregate —
+    identical arithmetic per subspace to :func:`kmeans_cells` (same
+    deterministic seeds, 6-dp rounding, cid tiebreak), so the DuckDB
+    replay of the single-subspace quantizer extends per slice. Seeds are
+    the k lowest ids, found once via TakeOrderedAndProject and broadcast
+    — no full-relation ranking window. Returns (id, subspace, code).
+    """
+    if iters < 1:
+        raise ValueError(f"pq_codes: iters must be >= 1, got {iters}")
+    from pyspark.sql import Window as W
+
+    arr = F.col(vec_col).cast("array<double>")
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.slice(arr, s * sub + 1, sub).alias("e"),
+            )
+            for s in range(m)
+        ]
+    )
+    v = (
+        df.select(F.col(id_col).alias("vid"), F.explode(slices).alias("z"))
+        .select("vid", F.col("z.s").alias("s"), F.col("z.e").alias("e"))
+    )
+    low = df.select(F.col(id_col).alias("vid")).orderBy("vid").limit(k)
+    cent = (
+        v.join(F.broadcast(low), "vid")
+        .withColumn(
+            "cid",
+            (F.row_number().over(W.partitionBy("s").orderBy("vid")) - 1).cast(
+                "int"
+            ),
+        )
+        .select("s", "cid", F.col("e").alias("c"))
+    )
+    assigned = None
+    for it in range(iters):
+        dist = F.round(
+            F.aggregate(
+                F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        scored = v.join(F.broadcast(cent), "s").select(
+            "vid", "s", "e", "cid", dist.alias("d")
+        )
+        if it == iters - 1:
+            assigned = (
+                scored.groupBy("vid", "s")
+                .agg(F.min(F.struct("d", "cid")).alias("mm"))
+                .select("vid", "s", F.col("mm.cid").alias("code"))
+            )
+            break
+        a = (
+            scored.groupBy("vid", "s")
+            .agg(F.min(F.struct("d", "cid")).alias("mm"), F.first("e").alias("e"))
+            .select("vid", "s", F.col("mm.cid").alias("cell"), "e")
+        )
+        cent = (
+            a.select("s", "cell", F.posexplode("e").alias("dim", "x"))
+            .groupBy("s", "cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .groupBy("s", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda t: t["cx"],
+                ).alias("c")
+            )
+            .select("s", F.col("cell").alias("cid"), "c")
+        )
+    return assigned.select(
+        F.col("vid").alias(id_col),
+        F.col("s").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )

@@ -545,3 +545,67 @@ def vector_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(red, lambda v: F.round(v, 6)).alias("reduced"),
         F.round(nrm(red) / nrm(x), 6).alias("norm_ratio"),
     )
+
+
+def _pq_subspace_cte(s: int, lo: int, hi: int, k: int) -> str:
+    """One subspace's deterministic-Lloyd replay (identical arithmetic to
+    the vector_kmeans_cells oracle, over a 1-based inclusive slice of the
+    embedding); CTE names suffixed with the subspace index so all 8
+    chains share one flat WITH."""
+    return f"""
+    v{s} AS (SELECT vec_id AS vid,
+                    list_slice(embedding::DOUBLE[], {lo}, {hi}) AS e
+             FROM embeddings),
+    c0{s} AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c FROM (
+              SELECT e, row_number() OVER (ORDER BY vid) AS rn FROM v{s})
+              WHERE rn <= {k}),
+    s1{s} AS (SELECT v{s}.vid, c0{s}.cid,
+                     round(list_sum(list_transform(range(1, len(v{s}.e) + 1),
+                           i -> (v{s}.e[i] - c0{s}.c[i]) * (v{s}.e[i] - c0{s}.c[i]))), 6) AS d
+              FROM v{s}, c0{s}),
+    a1{s} AS (SELECT vid, cid AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+              FROM s1{s}) WHERE rn = 1),
+    m1{s} AS (SELECT cell, u.dim AS dim, round(avg(u.x), 6) AS cx
+              FROM (SELECT a1{s}.cell,
+                           unnest(list_transform(range(1, len(v{s}.e) + 1),
+                                  i -> {{'dim': i, 'x': v{s}.e[i]}})) AS u
+                    FROM a1{s} JOIN v{s} ON v{s}.vid = a1{s}.vid)
+              GROUP BY cell, u.dim),
+    c1{s} AS (SELECT CAST(cell AS INT) AS cid, list(cx ORDER BY dim) AS c
+              FROM m1{s} GROUP BY cell),
+    s2{s} AS (SELECT v{s}.vid, c1{s}.cid,
+                     round(list_sum(list_transform(range(1, len(v{s}.e) + 1),
+                           i -> (v{s}.e[i] - c1{s}.c[i]) * (v{s}.e[i] - c1{s}.c[i]))), 6) AS d
+              FROM v{s}, c1{s}),
+    a2{s} AS (SELECT vid, cid AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+              FROM s2{s}) WHERE rn = 1)"""
+
+
+def _pq_oracle(m: int = 8, sub: int = 8, k: int = 4) -> str:
+    ctes = ",".join(
+        _pq_subspace_cte(s, s * sub + 1, (s + 1) * sub, k) for s in range(m)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT vid AS vec_id, CAST({s} AS INT) AS subspace, "
+        f"CAST(cell AS INT) AS code FROM a2{s}"
+        for s in range(m)
+    )
+    return "WITH " + ctes + " " + selects
+
+
+@register("vector_pq_codes", oracle=_pq_oracle(8, 8, 4))
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the 64-dim embedding splits into 8
+    subvectors of 8 dims, each assigned to one of 4 codewords learned by
+    the SAME deterministic fixed-round Lloyd as the IVF coarse quantizer
+    — but all 8 subspace quantizers train in ONE plan
+    (operators/vector.py:pq_codes): the vector explodes once, centroids
+    broadcast per round, the argmin shuffles one row per (vector,
+    subspace). PQ codes compress a vector to m log2(k) bits (2 bytes vs
+    256) — what an IVF-PQ index scans instead of raw floats. The full
+    code table hash-matches DuckDB's arithmetic replay of all 8
+    quantizers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.pq_codes(emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2)

@@ -700,3 +700,28 @@ def test_tar_index_skips_dirs_validates_checksum_and_truncation(spark):
         index_tar_members(
             spark.createDataFrame([(3, raw[:1030])], ["id", "payload"])
         ).collect()
+
+
+def test_pq_codes_equal_per_slice_kmeans(spark, sf_dir):
+    """The grouped single-plan PQ trainer must assign exactly the codes
+    the per-slice kmeans_cells quantizer assigns (same seeds, rounding,
+    tiebreaks) — subspace grouping is a plan optimization, not a
+    semantics change."""
+    from spark_etl_framework_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in V.pq_codes(emb, "vec_id", "embedding", m=4, sub=16, k=3, iters=2).collect()
+    }
+    for s in range(4):
+        sliced = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16).alias("sub"),
+        )
+        want = {
+            r["vec_id"]: r["cell"]
+            for r in V.kmeans_cells(sliced, "vec_id", "sub", k=3, iters=2).collect()
+        }
+        for vid, cell in want.items():
+            assert got[(vid, s)] == cell, (vid, s)

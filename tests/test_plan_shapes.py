@@ -585,3 +585,15 @@ def test_jl_projection_zero_shuffle(spark, sf_dir):
     exchange of any kind — the matrix is plan-time literals."""
     plan = _initial_plan(QUERIES["vector_jl_project"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_pq_codes_single_plan_no_embedding_shuffle(spark, sf_dir):
+    """vector_pq_codes trains all 8 subspaces in one plan: the only
+    forced broadcasts are the k-seed id list and the m*k centroid
+    relations; no exchange carries the raw embedding array column."""
+    df = QUERIES["vector_pq_codes"](spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\bembedding#\d+", line), line
