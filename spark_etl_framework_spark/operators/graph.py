@@ -53,6 +53,15 @@ def pagerank(
     broadcast 1-row relation, not a driver-side ``count()`` — no
     action, no collect. Returns ``(node, rank)``.
     """
+    # NOT persisted, deliberately: the edge relation feeds deg + every
+    # round's contribution join, so its upstream lineage re-executes per
+    # round — but an A/B at sf0.1 measured .persist() ~1.7x SLOWER
+    # (6.7-9.8 s vs 3.8-4.7 s for 3 rounds): the cache barrier breaks
+    # whole-stage codegen fusion and pays serialization, which costs
+    # more than recomputing a narrow join. When the edge derivation is
+    # genuinely expensive (multi-join, corpus-scale), materialize it to
+    # parquet once and pass the scan in — a columnar scan per round is
+    # the scale answer, not executor cache.
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     tot = deg.agg(F.count(F.lit(1)).cast("double").alias("__n"))
