@@ -149,8 +149,10 @@ def _load_all() -> None:
 #: vector_pc1_power_iteration, stream_approx_distinct_users,
 #: etl_incremental_agg_maintenance, etl_constraint_validation,
 #: vector_jl_project, dedup_lsh_eval_pr, ts_seasonal_profile,
-#: text_char_entropy, etl_partition_skew_report, stream_windowed_topk —
-#: 51 queries; rotate in over
+#: text_char_entropy, etl_partition_skew_report, stream_windowed_topk,
+#: multimodal_tar_index, events_funnel_timebound, ts_interval_coverage,
+#: events_user_growth_curve, vector_pq_codes —
+#: 56 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
