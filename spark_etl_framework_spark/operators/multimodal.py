@@ -447,3 +447,37 @@ def index_tar_members(
             )
 
     return df.mapInPandas(_index, TAR_INDEX_SCHEMA)
+
+
+#: Output schema of the perceptual-hash stage.
+PHASH_SCHEMA = "id bigint, ahash_bits string, mean_px double"
+
+
+def image_ahash(
+    decoded: DataFrame, id_col: str = "id", pixels_col: str = "pixels"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over DECODED grayscale
+    rasters: bit i = 1 iff pixel i > mean(pixels). The image-dedup
+    primitive — near-identical images (re-encodes, small crops after
+    normalization) agree on most bits, so Hamming distance over these
+    hashes buckets image near-dups exactly like SimHash buckets text.
+    Emitted as an explicit bit string (MSB = pixel 0) so the oracle can
+    replay the thresholding arithmetically; integer pixel sums keep the
+    mean engine-exact. Vectorized numpy per Arrow batch, narrow — no
+    shuffle; compose with decode_images(resize=(8, 8)) for the standard
+    64-bit form."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, px in zip(pdf[id_col], pdf[pixels_col]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8)
+                mean = a.sum() / a.shape[0]
+                bits = "".join("1" if v > mean else "0" for v in a)
+                rows.append(
+                    {"id": int(rid), "ahash_bits": bits, "mean_px": float(mean)}
+                )
+            yield pd.DataFrame(rows, columns=["id", "ahash_bits", "mean_px"])
+
+    return decoded.select(id_col, pixels_col).mapInPandas(_hash, PHASH_SCHEMA)

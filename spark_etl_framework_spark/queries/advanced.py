@@ -805,3 +805,76 @@ def events_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "events_ab_ztest",
+    # two-proportion z-test on funnel conversion, variant = user_id
+    # parity. All inputs are exact integers; the z arithmetic is a fixed
+    # IEEE expression over them, rounded at 6 dp on both sides.
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+    s AS (SELECT user_id,
+                 CAST(user_id % 2 AS INT) AS variant,
+                 min(CASE WHEN event_type = 'view' THEN ts END)     AS fv,
+                 max(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+          FROM ev GROUP BY user_id),
+    v AS (SELECT variant,
+                 count(*) FILTER (WHERE fv IS NOT NULL) AS n,
+                 count(*) FILTER (WHERE fv IS NOT NULL AND lp > fv) AS x
+          FROM s GROUP BY variant),
+    w AS (SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n0,
+            max(CASE WHEN variant = 0 THEN x END) AS x0,
+            max(CASE WHEN variant = 1 THEN n END) AS n1,
+            max(CASE WHEN variant = 1 THEN x END) AS x1
+          FROM v)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(x0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat,   CAST(x1 AS BIGINT) AS conv_treat,
+           round((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+                 / sqrt((x0 + x1) / CAST(n0 + n1 AS DOUBLE)
+                        * (1 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score,
+           abs((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+                 / sqrt((x0 + x1) / CAST(n0 + n1 AS DOUBLE)
+                        * (1 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / n0 + 1.0 / n1))) > 1.959963984540054
+               AS significant_95
+    FROM w
+    """,
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion significance: the pooled two-proportion z-test over
+    funnel conversion (view -> later purchase), variant = user parity.
+    Two tiny aggregates then pure scalar arithmetic on a 1-row relation —
+    the statistics layer every experimentation pipeline bolts onto its
+    funnel counts. Exact integer inputs; fixed IEEE expression; 1.96
+    critical value spelled at full double precision on both sides."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("lp"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    conv = F.col("fv").isNotNull() & (F.col("lp") > F.col("fv"))
+    v = s.groupBy("variant").agg(
+        F.sum(F.when(F.col("fv").isNotNull(), 1).otherwise(0)).alias("n"),
+        F.sum(F.when(conv, 1).otherwise(0)).alias("x"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0") / F.col("n0").cast("double")
+    p1 = F.col("x1") / F.col("n1").cast("double")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1")).cast("double")
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("x0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("x1").cast("bigint").alias("conv_treat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.959963984540054).alias("significant_95"),
+    )

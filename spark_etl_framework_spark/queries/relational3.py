@@ -574,3 +574,55 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         F.hex("content").alias("content_hex"),
     )
+
+
+@register(
+    "multimodal_image_ahash",
+    # 8x8 grayscale raster = 64 md5-derived bytes; mean = integer sum /
+    # 64.0 (a power of two — the division is IEEE-exact, so the
+    # threshold compare is engine-exact without rounding).
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(text) || md5(text || 'x') || md5(text || 'y')
+                         || md5(text || 'z') AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i ->
+                   (strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16
+                   + strpos('0123456789abcdef', hx[2*i+2]) - 1) AS px
+        FROM h
+    )
+    SELECT doc_id AS id,
+           array_to_string(list_transform(px, v ->
+               CASE WHEN v > list_sum(px) / 64.0 THEN '1' ELSE '0' END), '')
+               AS ahash_bits,
+           list_sum(px) / 64.0 AS mean_px
+    FROM b
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup fingerprint under the oracle gate: each
+    document becomes a REAL 8x8 binary P5 grayscale image (64 md5-derived
+    raster bytes), decoded by the netpbm codec, then average-hashed
+    (operators/multimodal.py:image_ahash) — the Hamming-bucketable
+    near-dup key for images, mirroring what SimHash does for text. Every
+    bit and the exact mean are hash-checked against DuckDB's arithmetic
+    replay. Two chained narrow mapInPandas stages, no shuffle."""
+    from ..operators.multimodal import decode_images, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    raster_hex = F.concat(
+        *[
+            F.md5(F.concat(txt, F.lit(suf)))
+            for suf in (b"", b"x", b"y", b"z")
+        ]
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(raster_hex)).alias("payload"),
+    )
+    return image_ahash(decode_images(wire, fake=False))

@@ -725,3 +725,17 @@ def test_pq_codes_equal_per_slice_kmeans(spark, sf_dir):
         }
         for vid, cell in want.items():
             assert got[(vid, s)] == cell, (vid, s)
+
+
+def test_image_ahash_known_bits(spark):
+    """2x2 gray raster [10, 20, 30, 200]: mean 65 -> bits 0001; and the
+    all-equal raster hashes to all zeros (strict >)."""
+    from spark_etl_framework_spark.operators.multimodal import image_ahash
+
+    df = spark.createDataFrame(
+        [(1, bytes([10, 20, 30, 200])), (2, bytes([7, 7, 7, 7]))],
+        ["id", "pixels"],
+    )
+    got = {r["id"]: (r["ahash_bits"], r["mean_px"]) for r in image_ahash(df).collect()}
+    assert got[1] == ("0001", 65.0)
+    assert got[2] == ("0000", 7.0)
