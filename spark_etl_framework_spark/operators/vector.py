@@ -520,6 +520,7 @@ def pq_codes(
     sub: int = 8,
     k: int = 4,
     iters: int = 2,
+    with_model: bool = False,
 ) -> DataFrame:
     """Product-quantization code assignment: train all ``m`` subspace
     quantizers in ONE plan (not m independent DAGs). The vector explodes
@@ -531,7 +532,9 @@ def pq_codes(
     deterministic seeds, 6-dp rounding, cid tiebreak), so the DuckDB
     replay of the single-subspace quantizer extends per slice. Seeds are
     the k lowest ids, found once via TakeOrderedAndProject and broadcast
-    — no full-relation ranking window. Returns (id, subspace, code).
+    — no full-relation ranking window. Returns (id, subspace, code);
+    with ``with_model=True`` also returns the (subspace, code, c)
+    codebook relation the final assignment used, for ADC scoring.
     """
     if iters < 1:
         raise ValueError(f"pq_codes: iters must be >= 1, got {iters}")
@@ -600,8 +603,15 @@ def pq_codes(
             )
             .select("s", F.col("cell").alias("cid"), "c")
         )
-    return assigned.select(
+    out = assigned.select(
         F.col("vid").alias(id_col),
         F.col("s").alias("subspace"),
         F.col("code").cast("int").alias("code"),
     )
+    if with_model:
+        # the codebook the FINAL assignment used — what ADC scoring must
+        # build its distance tables against
+        return out, cent.select(
+            F.col("s").alias("subspace"), F.col("cid").alias("code"), "c"
+        )
+    return out

@@ -609,3 +609,108 @@ def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizers."""
     emb = load_table(spark, sf_dir, "embeddings")
     return V.pq_codes(emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2)
+
+
+def _pq_adc_oracle(m: int = 8, sub: int = 8, k: int = 4, n_probes: int = 3) -> str:
+    """ADC replay: the PQ training CTEs (codebooks c1{s} + codes a2{s})
+    plus per-subspace probe distance tables, summed in DECIMAL so the
+    8-term accumulation is exact on both engines."""
+    ctes = ",".join(
+        _pq_subspace_cte(s, s * sub + 1, (s + 1) * sub, k) for s in range(m)
+    )
+    dts = ",".join(
+        f"""
+    dt{s} AS (SELECT p.probe_id, c1{s}.cid AS code,
+                     CAST(round(list_sum(list_transform(range(1, {sub + 1}),
+                          i -> (p.pe[{s * sub} + i] - c1{s}.c[i])
+                               * (p.pe[{s * sub} + i] - c1{s}.c[i]))), 6)
+                          AS DECIMAL(18,6)) AS d
+              FROM probes p, c1{s})"""
+        for s in range(m)
+    )
+    un = " UNION ALL ".join(
+        f"SELECT vid, {s} AS sp, cell FROM a2{s}" for s in range(m)
+    )
+    dun = " UNION ALL ".join(
+        f"SELECT probe_id, {s} AS sp, code, d FROM dt{s}" for s in range(m)
+    )
+    return f"""
+    WITH {ctes},
+    probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+               FROM embeddings WHERE vec_id < {n_probes}),
+    {dts},
+    un AS ({un}),
+    dun AS ({dun}),
+    sc AS (SELECT dun.probe_id, un.vid, sum(dun.d) AS dist
+           FROM un JOIN dun ON un.sp = dun.sp AND un.cell = dun.code
+           WHERE un.vid <> dun.probe_id
+           GROUP BY dun.probe_id, un.vid),
+    r AS (SELECT probe_id, vid, dist,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dist, vid) AS rn
+          FROM sc)
+    SELECT probe_id, vid AS vec_id,
+           CAST(dist AS DOUBLE) AS adc_dist, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 10
+    """
+
+
+@register("vector_pq_ann_adc", oracle=_pq_adc_oracle(8, 8, 4, 3))
+def vector_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN scan (ADC): probes build an m×k
+    distance table against the trained codebooks (96 rows — broadcast),
+    and the corpus is scored from its 2-byte PQ codes alone via a
+    broadcast join + (probe, vector)-keyed sum — the raw embeddings are
+    NEVER touched at query time, which is the entire point of PQ at
+    100 TB (the codes relation is ~128× smaller than the float corpus).
+    Per-subspace distances round to 6 dp then accumulate in DECIMAL, so
+    the 8-term sum is engine-exact; top-10 per probe with id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, book = V.pq_codes(
+        emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
+    )
+    arr = F.col("embedding").cast("array<double>")
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                F.slice(arr, s * 8 + 1, 8).alias("pe"),
+            )
+            for s in range(8)
+        ]
+    )
+    p = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("probe_id"), F.explode(slices).alias("z"))
+        .select("probe_id", F.col("z.subspace").alias("subspace"), F.col("z.pe").alias("pe"))
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("pe", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    dtab = p.join(F.broadcast(book), "subspace").select(
+        "probe_id", "subspace", "code", d.alias("d")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            "rn",
+        )
+    )
