@@ -722,3 +722,81 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* log2(cnt / CAST(n_letters AS DOUBLE))), 6) END"
         ).alias("char_entropy"),
     )
+
+
+#: domain stoplist for RAKE phrase boundaries — the corpus's most frequent
+#: function-like tokens (RAKE is stoplist-parameterized by design)
+_RAKE_STOP_PAT = r"\b(?:join|hash|row|batch|scan|filter|column|customer)\b"
+
+
+@register(
+    "text_rake_keywords",
+    # same regex on both engines (verified: Spark split == DuckDB
+    # regexp_split_to_array on this corpus incl. empty-fragment
+    # handling); word scores round to 6 dp then accumulate in DECIMAL so
+    # phrase scores are engine-exact.
+    oracle=rf"""
+    WITH f AS (SELECT unnest(regexp_split_to_array(lower(text),
+                    '{_RAKE_STOP_PAT}')) AS frag
+               FROM documents),
+    p0 AS (SELECT trim(frag) AS frag FROM f WHERE trim(frag) <> ''),
+    ph AS (SELECT regexp_split_to_array(frag, '\s+') AS ws FROM p0
+           WHERE len(regexp_split_to_array(frag, '\s+')) BETWEEN 1 AND 4),
+    phw AS (SELECT unnest(ws) AS w, len(ws) AS l FROM ph),
+    wsc AS (SELECT w,
+                   CAST(round(CAST(sum(l) AS DOUBLE) / count(*), 6)
+                        AS DECIMAL(18,6)) AS score
+            FROM phw GROUP BY w),
+    pc AS (SELECT array_to_string(ws, ' ') AS phrase, count(*) AS n_occ
+           FROM ph GROUP BY 1),
+    psc AS (SELECT pc.phrase, pc.n_occ, sum(wsc.score) AS rake
+            FROM pc, unnest(regexp_split_to_array(pc.phrase, ' ')) AS t(w)
+            JOIN wsc ON t.w = wsc.w
+            GROUP BY pc.phrase, pc.n_occ)
+    SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(rake AS DOUBLE) AS rake_score
+    FROM psc ORDER BY rake DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases are maximal runs
+    between stoplist tokens (regex split — row-local), word scores are
+    degree/frequency over the phrase corpus, phrase scores sum their
+    words' scores. Two narrow aggregations (word stats, phrase counts) +
+    one UNHINTED word-score join (corpus-derived relation — AQE sizes
+    it), then a 20-row top-k. The standard keyphrase baseline a corpus
+    profile ships alongside TF-IDF/BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    frags = F.explode(F.split(F.lower(F.col("text")), _RAKE_STOP_PAT)).alias(
+        "frag"
+    )
+    p0 = docs.select(frags).select(F.trim("frag").alias("frag")).filter(
+        F.col("frag") != ""
+    )
+    ph = p0.select(F.split("frag", r"\s+").alias("ws")).filter(
+        F.size("ws").between(1, 4)
+    )
+    phw = ph.select(F.explode("ws").alias("w"), F.size("ws").alias("l"))
+    wsc = phw.groupBy("w").agg(
+        F.round(F.sum("l").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("score")
+    )
+    pc = ph.select(F.array_join("ws", " ").alias("phrase")).groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    psc = (
+        pc.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wsc, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("score").alias("rake"))
+    )
+    return (
+        psc.orderBy(F.desc("rake"), F.asc("phrase"))
+        .limit(20)
+        .select(
+            "phrase",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.col("rake").cast("double").alias("rake_score"),
+        )
+    )
