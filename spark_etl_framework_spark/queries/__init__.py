@@ -151,8 +151,9 @@ def _load_all() -> None:
 #: vector_jl_project, dedup_lsh_eval_pr, ts_seasonal_profile,
 #: text_char_entropy, etl_partition_skew_report, stream_windowed_topk,
 #: multimodal_tar_index, events_funnel_timebound, ts_interval_coverage,
-#: events_user_growth_curve, vector_pq_codes —
-#: 56 queries; rotate in over
+#: events_user_growth_curve, vector_pq_codes, vector_pq_ann_adc,
+#: multimodal_image_ahash, events_ab_ztest, text_rake_keywords —
+#: 60 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
