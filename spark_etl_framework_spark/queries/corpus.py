@@ -9,6 +9,7 @@ overlap observable on the synthetic shared-token-pool corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -626,3 +627,91 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle text never crosses an exchange."""
     docs = load_table(spark, sf_dir, "documents")
     return C.ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "corpus_js_divergence",
+    # distribution-shift monitor: JS divergence between two sources'
+    # token distributions. Per-token contributions are fixed IEEE
+    # expressions over exact count ratios, rounded to 9 dp and summed in
+    # DECIMAL so the corpus total is engine-exact.
+    oracle=r"""
+    WITH t AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    g AS (SELECT tok,
+                 count(*) FILTER (WHERE source = 'src0') AS cp,
+                 count(*) FILTER (WHERE source = 'src1') AS cq
+          FROM t WHERE tok <> '' GROUP BY tok),
+    tt AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp,
+                  CAST(sum(cq) AS DOUBLE) AS tq FROM g),
+    c AS (SELECT tok, cp / tp AS p, cq / tq AS q,
+                 (cp / tp + cq / tq) / 2 AS mm
+          FROM g, tt),
+    k AS (SELECT tok, p, q,
+                 CAST(round(
+                    0.5 * (CASE WHEN p > 0 THEN p * log2(p / mm) ELSE 0 END)
+                  + 0.5 * (CASE WHEN q > 0 THEN q * log2(q / mm) ELSE 0 END),
+                 9) AS DECIMAL(18,9)) AS contrib
+          FROM c)
+    SELECT tok,
+           round(p, 6) AS p_src0,
+           round(q, 6) AS q_src1,
+           CAST(contrib AS DOUBLE) AS js_contribution,
+           round(CAST(sum(contrib) OVER () AS DOUBLE), 6) AS js_total
+    FROM k ORDER BY contrib DESC, tok LIMIT 10
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' token
+    distributions — the drift monitor a training-data pipeline runs
+    between crawl snapshots/sources before mixing them. One conditional
+    aggregation shuffle on the token key, a broadcast 1-row totals
+    relation, per-token contributions summed in DECIMAL (engine-exact
+    total), top-10 shifted tokens reported with the corpus-level JS."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    g = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cq"),
+    )
+    tt = g.agg(
+        F.sum("cp").cast("double").alias("tp"),
+        F.sum("cq").cast("double").alias("tq"),
+    )
+    c = g.crossJoin(F.broadcast(tt)).select(
+        "tok",
+        (F.col("cp") / F.col("tp")).alias("p"),
+        (F.col("cq") / F.col("tq")).alias("q"),
+        ((F.col("cp") / F.col("tp") + F.col("cq") / F.col("tq")) / 2).alias("mm"),
+    )
+    term = lambda x: F.when(
+        F.col(x) > 0, F.col(x) * F.log2(F.col(x) / F.col("mm"))
+    ).otherwise(F.lit(0.0))
+    k = c.select(
+        "tok",
+        "p",
+        "q",
+        F.round(0.5 * term("p") + 0.5 * term("q"), 9)
+        .cast("decimal(18,9)")
+        .alias("contrib"),
+    )
+    wall = W.partitionBy()
+    return (
+        k.select(
+            "tok",
+            F.round("p", 6).alias("p_src0"),
+            F.round("q", 6).alias("q_src1"),
+            F.col("contrib").cast("double").alias("js_contribution"),
+            F.round(F.sum("contrib").over(wall).cast("double"), 6).alias(
+                "js_total"
+            ),
+        )
+        .orderBy(F.desc("js_contribution"), F.asc("tok"))
+        .limit(10)
+    )

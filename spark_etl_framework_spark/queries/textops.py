@@ -800,3 +800,84 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rake").cast("double").alias("rake_score"),
         )
     )
+
+
+@register(
+    "text_bigram_lm_eval",
+    # train a bigram LM on even doc_ids, evaluate next-token top-1
+    # accuracy on odd doc_ids. argmax over train counts is deterministic
+    # (count DESC, token ASC); everything integer until the final ratio.
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS a
+               FROM documents),
+    bg AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS prev, unnest(a[2:len(a)]) AS nxt
+           FROM t WHERE len(a) >= 2),
+    tr AS (SELECT prev, nxt, count(*) AS n FROM bg
+           WHERE doc_id % 2 = 0 GROUP BY prev, nxt),
+    pred AS (SELECT prev, nxt AS predicted FROM (
+               SELECT prev, nxt,
+                      row_number() OVER (PARTITION BY prev
+                                         ORDER BY n DESC, nxt) AS rn
+               FROM tr) WHERE rn = 1),
+    ev AS (SELECT bg.prev, bg.nxt, pred.predicted
+           FROM bg LEFT JOIN pred ON bg.prev = pred.prev
+           WHERE bg.doc_id % 2 = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_bigrams,
+           CAST(count(*) FILTER (WHERE predicted IS NOT NULL) AS BIGINT)
+               AS n_covered,
+           CAST(count(*) FILTER (WHERE predicted = nxt) AS BIGINT) AS n_correct,
+           round(count(*) FILTER (WHERE predicted = nxt)
+                 / CAST(count(*) AS DOUBLE), 6) AS top1_accuracy
+    FROM ev
+    """,
+)
+def text_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model backtest: train next-token counts on the
+    even-id half of the corpus, predict argmax(count) with a
+    deterministic tiebreak, score top-1 accuracy on the odd-id half —
+    the train/eval-split evaluation shape every data-quality experiment
+    reuses. Adjacent pairs come from parallel array slices (row-local);
+    two token-keyed shuffles (train counts, eval join) + a 1-row
+    metric."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("a")
+    ).filter(F.size("a") >= 2)
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("a", 1, F.size("a") - 1).alias("prev"),
+                F.slice("a", 2, F.size("a") - 1).alias("nxt"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.prev").alias("prev"), F.col("z.nxt").alias("nxt"))
+    tr = (
+        pairs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("prev").orderBy(F.desc("n"), F.asc("nxt"))
+    )
+    pred = (
+        tr.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    ev = pairs.filter(F.col("doc_id") % 2 == 1).join(pred, "prev", "left")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_bigrams"),
+        F.count("predicted").cast("bigint").alias("n_covered"),
+        F.sum(F.when(F.col("predicted") == F.col("nxt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("predicted") == F.col("nxt"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("top1_accuracy"),
+    )
