@@ -75,6 +75,10 @@ HEADLINE = [
     "text_heavyhitters_mg",
     "graph_pagerank_bipartite",
     "vector_pc1_power_iteration",
+    # round 4 session-2 late additions — code-only ANN scan (PQ/ADC) and
+    # single-partitioning window algebra (interval union)
+    "vector_pq_ann_adc",
+    "ts_interval_coverage",
 ]
 
 

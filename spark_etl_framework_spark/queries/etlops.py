@@ -516,3 +516,56 @@ def etl_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "etl_late_arriving_dimension",
+    oracle="""
+    WITH f AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_custkey, c.c_mktsegment
+        FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND c.c_custkey % 7 <> 0
+    )
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+               AS n_orphaned,
+           CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+                                    THEN o_custkey END) AS BIGINT)
+               AS n_backfill_keys
+    FROM f GROUP BY 1
+    """,
+)
+def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts whose dimension row hasn't
+    landed yet (simulated: every 7th customer withheld) route to an
+    UNKNOWN segment instead of being dropped, and the report counts the
+    orphaned rows plus the DISTINCT keys a backfill job must replay —
+    the inferred-member pattern every warehouse load needs. One unhinted
+    left join + one aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 != 0
+    )
+    f = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left"
+    )
+    return (
+        f.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "mktsegment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphaned"),
+            F.countDistinct(
+                F.when(F.col("c_custkey").isNull(), F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("n_backfill_keys"),
+        )
+    )
