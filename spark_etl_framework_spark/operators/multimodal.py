@@ -403,9 +403,11 @@ def index_tar_members(
 
     def _walk(raw: bytes):
         off = 0
+        terminated = False
         while off + 512 <= len(raw):
             hdr = raw[off : off + 512]
             if hdr == b"\0" * 512:
+                terminated = True
                 break
             stored = int(hdr[148:156].split(b"\0")[0].strip() or b"0", 8)
             calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
@@ -415,6 +417,12 @@ def index_tar_members(
                     f"stored {stored}, computed {calc}"
                 )
             name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
+            # USTAR prefix field (long paths): leading directories live at
+            # bytes 345-500 and rejoin the name with '/'
+            if hdr[257:262] == b"ustar":
+                prefix = hdr[345:500].split(b"\0", 1)[0].decode("utf-8")
+                if prefix:
+                    name = prefix + "/" + name
             size = int(hdr[124:136].split(b"\0")[0].strip() or b"0", 8)
             typeflag = hdr[156:157]
             data_off = off + 512
@@ -426,6 +434,12 @@ def index_tar_members(
             if typeflag in (b"0", b"\0"):
                 yield name, data_off, size, raw[data_off : data_off + size]
             off = data_off + ((size + 511) // 512) * 512
+        if not terminated:
+            # a shard cut at a block boundary would otherwise pass as a
+            # complete (shorter) archive — a partial download must fail
+            raise ValueError(
+                "truncated tar: end-of-archive zero block never seen"
+            )
 
     def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -474,7 +488,8 @@ def image_ahash(
             for rid, px in zip(pdf[id_col], pdf[pixels_col]):
                 a = np.frombuffer(bytes(px), dtype=np.uint8)
                 mean = a.sum() / a.shape[0]
-                bits = "".join("1" if v > mean else "0" for v in a)
+                # compare vectorized in C; one join over the result list
+                bits = "".join(np.where(a > mean, "1", "0").tolist())
                 rows.append(
                     {"id": int(rid), "ahash_bits": bits, "mean_px": float(mean)}
                 )

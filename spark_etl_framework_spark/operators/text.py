@@ -447,9 +447,12 @@ def heavy_hitters_mg(
     token with global frequency > n/(capacity+1) survives in at least one
     partition summary — with ``capacity ≥ t`` the candidate union provably
     contains every token above the ``n/t`` report threshold. Candidates
-    (≤ partitions × capacity rows) broadcast into a LEFT SEMI prefilter,
-    and only they are exactly recounted — the full token relation never
-    shuffles. Results are exact and deterministic (the sketch only gates
+    (≤ partitions × (capacity + 1) rows, each partition adding one
+    sentinel row carrying its token mass) broadcast into an INNER-join
+    prefilter that simultaneously attaches the corpus total, and only
+    candidates are exactly recounted — the full token relation never
+    shuffles and the source is tokenized exactly twice (candidate pass +
+    recount). Results are exact and deterministic (the sketch only gates
     candidacy; counts come from the recount), so a plain GROUP BY/HAVING
     oracle pins them.
 

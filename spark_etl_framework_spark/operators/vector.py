@@ -521,7 +521,7 @@ def pq_codes(
     k: int = 4,
     iters: int = 2,
     with_model: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Product-quantization code assignment: train all ``m`` subspace
     quantizers in ONE plan (not m independent DAGs). The vector explodes
     into (subspace, subvector) rows once; per Lloyd round the m×k
@@ -575,6 +575,13 @@ def pq_codes(
             ),
             6,
         )
+        if with_model and it == iters - 1:
+            # the final-round centroids are returned as the model AND
+            # consumed by the final assignment: persist the m*k-row
+            # relation so the training DAG under it runs ONCE, not once
+            # per consumer (measured 2x otherwise — two seed subtrees,
+            # eight duplicate corpus scans in the ADC plan)
+            cent = cent.persist()
         scored = v.join(F.broadcast(cent), "s").select(
             "vid", "s", "e", "cid", dist.alias("d")
         )

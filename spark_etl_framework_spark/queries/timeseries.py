@@ -450,7 +450,11 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, and how many events exceed 2x the slot mean. Profile is one
     168-slot aggregate; the exceedance pass joins the tiny profile back
     UNHINTED and re-aggregates — two shuffles total, both on the narrow
-    slot key."""
+    slot key. The slot mean is an unordered double average, so an event
+    within ulps of exactly 2x the mean could flip the exceedance count
+    between engines — accepted residual risk, same class as
+    pagerank/pc1 (no exact accumulator exists for a mean fed into a
+    comparison)."""
     ev = load_table(spark, sf_dir, "events")
     slot = [
         (F.dayofweek("ts") - 1).cast("int").alias("dow"),
@@ -488,17 +492,17 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_EV},
     iv AS (SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
            FROM ev),
-    m AS (SELECT user_id, s, e,
+    m AS (SELECT user_id, event_id, s, e,
                  max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                      AS prev_max
           FROM iv),
-    g AS (SELECT user_id, s, e,
+    g AS (SELECT user_id, event_id, s, e,
                  CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
                      AS is_new
           FROM m),
     isl AS (SELECT user_id, s, e,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
                                      ROWS UNBOUNDED PRECEDING) AS island
             FROM g),
     spans AS (SELECT user_id, island,
@@ -539,7 +543,7 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     isl = g.withColumn("island", F.sum("is_new").over(w_cum))

@@ -739,3 +739,58 @@ def test_image_ahash_known_bits(spark):
     got = {r["id"]: (r["ahash_bits"], r["mean_px"]) for r in image_ahash(df).collect()}
     assert got[1] == ("0001", 65.0)
     assert got[2] == ("0000", 7.0)
+
+
+def test_tar_index_ustar_prefix_and_block_boundary_truncation(spark):
+    """Long paths (>100 chars) must rejoin the USTAR prefix field, and an
+    archive cut at a BLOCK boundary (no zero terminator) must raise."""
+    import io
+    import tarfile
+
+    from spark_etl_framework_spark.operators.multimodal import index_tar_members
+
+    long_name = "train/shard_000/" + "d" * 80 + "/sample_000123.bin"
+    assert len(long_name) > 100
+    buf = io.BytesIO()
+    tf = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    ti = tarfile.TarInfo(long_name)
+    ti.size = 4
+    tf.addfile(ti, io.BytesIO(b"abcd"))
+    tf.close()
+    raw = buf.getvalue()
+    rows = index_tar_members(
+        spark.createDataFrame([(1, raw)], ["id", "payload"])
+    ).collect()
+    assert rows[0]["member_name"] == long_name
+
+    import pytest as _pt
+
+    cut = raw[:1024]  # header block + data block, terminator stripped
+    with _pt.raises(Exception, match="zero block"):
+        index_tar_members(
+            spark.createDataFrame([(2, cut)], ["id", "payload"])
+        ).collect()
+
+
+def test_interval_coverage_tied_timestamps(spark, tmp_path):
+    """Two events at the IDENTICAL timestamp must land in one island with
+    span exactly 5 minutes — the island-numbering tiebreak (s, event_id)
+    keeps tied starts attached to the right island."""
+    import datetime as dt
+
+    from spark_etl_framework_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base, 7, "click", 1.0, "{}"),  # tied start
+        (3, base + dt.timedelta(minutes=30), 7, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf_tiny")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    out = {r["user_id"]: r for r in QUERIES["ts_interval_coverage"](spark, d).collect()}
+    assert out[7]["n_islands"] == 2
+    assert out[7]["covered_ms"] == 2 * 5 * 60 * 1000
