@@ -528,3 +528,78 @@ def heavy_hitters_mg(
             ),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Byte-pair-encoding merge training — the tokenizer-building step of
+    an LLM data pipeline, unrolled for a fixed number of merge rounds.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
+    first aggregation collapses the corpus to (word, freq) — vocab-sized
+    — and every round after that touches only that narrow relation.
+    Words are represented as ``||``-fenced symbol strings
+    (``||a||b||c||``): each gap carries two pipes, so the merge of pair
+    (l, r) is the plain string rewrite ``|l||r| → |lr|`` — leftmost,
+    non-overlapping, exactly BPE's left-to-right merge order, and
+    identical in any engine's ``replace``. Per round: adjacent-pair
+    counts (one narrow keyed aggregation, freq-weighted), a 1-row argmax
+    (count DESC, pair ASC tiebreak) broadcast back, and the map-side
+    rewrite. Returns (round, left, right, pair_count) — the learned
+    merge table.
+    """
+    if rounds < 1:
+        raise ValueError("bpe_train_merges: rounds must be >= 1")
+    toks = F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    words = (
+        df.select(toks)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # ||-fenced char representation: '(.)' -> '$1||', then lead fence
+    rep = F.concat(
+        F.lit("||"), F.regexp_replace(F.col("w"), "(.)", "$1||")
+    ).alias("r")
+    state = words.select(rep, "freq")
+    merges = None
+    for rnd in range(1, rounds + 1):
+        syms = F.expr("slice(split(r, '\\\\|\\\\|'), 2, size(split(r, '\\\\|\\\\|')) - 2)")
+        pairs = (
+            state.select("freq", syms.alias("s"))
+            .filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(s, 1, size(s) - 1)").alias("l"),
+                        F.expr("slice(s, 2, size(s) - 1)").alias("r2"),
+                    )
+                ).alias("z"),
+            )
+            .select(F.col("z.l").alias("l"), F.col("z.r2").alias("r2"), "freq")
+        )
+        counts = pairs.groupBy("l", "r2").agg(F.sum("freq").alias("cnt"))
+        best = (
+            counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r2"))
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("l").alias("left"),
+                F.col("r2").alias("right"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        state = state.crossJoin(
+            F.broadcast(best.select("left", "right"))
+        ).select(
+            F.replace(
+                F.col("r"),
+                F.concat(F.lit("|"), "left", F.lit("||"), "right", F.lit("|")),
+                F.concat(F.lit("|"), "left", "right", F.lit("|")),
+            ).alias("r"),
+            "freq",
+        )
+    return merges

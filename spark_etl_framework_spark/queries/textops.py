@@ -881,3 +881,57 @@ def text_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1_accuracy"),
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE-merge replay: same ||-fenced representation, same
+    leftmost-non-overlapping replace, same (count DESC, pair ASC)
+    argmax."""
+    ctes = [
+        r"""w AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS wd
+           FROM documents),
+    words AS (SELECT wd, count(*) AS freq FROM w WHERE wd <> '' GROUP BY wd),
+    s0 AS (SELECT '||' || regexp_replace(wd, '(.)', '\1||', 'g') AS r, freq
+           FROM words)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+    sy{k} AS (SELECT freq,
+                     list_slice(string_split(r, '||'), 2,
+                                len(string_split(r, '||')) - 1) AS sy
+              FROM s{k - 1}),
+    p{k} AS (SELECT l, r2, sum(freq) AS cnt FROM (
+               SELECT freq, unnest(sy[1:len(sy)-1]) AS l,
+                      unnest(sy[2:len(sy)]) AS r2
+               FROM sy{k} WHERE len(sy) >= 2)
+             GROUP BY l, r2),
+    b{k} AS (SELECT {k} AS rnd, l AS lft, r2 AS rgt, cnt
+             FROM p{k} ORDER BY cnt DESC, l, r2 LIMIT 1),
+    s{k} AS (SELECT replace(r,
+                 '|' || (SELECT lft FROM b{k}) || '||'
+                     || (SELECT rgt FROM b{k}) || '|',
+                 '|' || (SELECT lft FROM b{k})
+                     || (SELECT rgt FROM b{k}) || '|') AS r, freq
+             FROM s{k - 1})""")
+    un = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT CAST(rnd AS INT) AS round, lft AS "left", rgt AS "right",
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM ({un})"""
+    )
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle(3))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge training, 3 unrolled rounds
+    (operators/text.py:bpe_train_merges): the corpus collapses once to a
+    vocab-sized word-frequency table, then each round is one narrow
+    pair-count aggregation, a broadcast 1-row argmax, and a map-side
+    fenced-string rewrite whose leftmost-non-overlapping semantics equal
+    BPE's merge order in any engine. The learned merge table
+    hash-matches DuckDB's replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_train_merges(docs, "text", rounds=3)

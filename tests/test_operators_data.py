@@ -794,3 +794,24 @@ def test_interval_coverage_tied_timestamps(spark, tmp_path):
     out = {r["user_id"]: r for r in QUERIES["ts_interval_coverage"](spark, d).collect()}
     assert out[7]["n_islands"] == 2
     assert out[7]["covered_ms"] == 2 * 5 * 60 * 1000
+
+
+def test_bpe_train_merges_classic_example(spark):
+    """The textbook corpus 'low low lower': merges must be (l,o)x3 —
+    tiebreak over (o,w) — then (lo,w)x3, then (e,r)x1 — tiebreak over
+    (low,e)."""
+    from spark_etl_framework_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "low low lower")], ["doc_id", "text"])
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, "text", rounds=3)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == [(1, "l", "o", 3), (2, "lo", "w", 3), (3, "e", "r", 1)]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bpe_train_merges(df, "text", rounds=0)
