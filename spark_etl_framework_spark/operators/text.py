@@ -531,8 +531,11 @@ def heavy_hitters_mg(
 
 
 def bpe_train_merges(
-    df: DataFrame, text_col: str = "text", rounds: int = 3
-) -> DataFrame:
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    with_vocab: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Byte-pair-encoding merge training — the tokenizer-building step of
     an LLM data pipeline, unrolled for a fixed number of merge rounds.
 
@@ -547,7 +550,9 @@ def bpe_train_merges(
     counts (one narrow keyed aggregation, freq-weighted), a 1-row argmax
     (count DESC, pair ASC tiebreak) broadcast back, and the map-side
     rewrite. Returns (round, left, right, pair_count) — the learned
-    merge table.
+    merge table; with ``with_vocab=True`` returns (merges, vocab) where
+    vocab is the fully-merged word table (w, n_symbols) the encoder
+    joins against.
     """
     if rounds < 1:
         raise ValueError("bpe_train_merges: rounds must be >= 1")
@@ -562,7 +567,7 @@ def bpe_train_merges(
     rep = F.concat(
         F.lit("||"), F.regexp_replace(F.col("w"), "(.)", "$1||")
     ).alias("r")
-    state = words.select(rep, "freq")
+    state = words.select("w", rep, "freq")
     merges = None
     for rnd in range(1, rounds + 1):
         syms = F.expr("slice(split(r, '\\\\|\\\\|'), 2, size(split(r, '\\\\|\\\\|')) - 2)")
@@ -595,6 +600,7 @@ def bpe_train_merges(
         state = state.crossJoin(
             F.broadcast(best.select("left", "right"))
         ).select(
+            "w",
             F.replace(
                 F.col("r"),
                 F.concat(F.lit("|"), "left", F.lit("||"), "right", F.lit("|")),
@@ -602,4 +608,7 @@ def bpe_train_merges(
             ).alias("r"),
             "freq",
         )
+    if with_vocab:
+        n_sym = (F.size(F.split("r", r"\|\|")) - 2).cast("int")
+        return merges, state.select("w", n_sym.alias("n_symbols"))
     return merges

@@ -883,15 +883,14 @@ def text_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int = 3) -> str:
-    """Unrolled BPE-merge replay: same ||-fenced representation, same
-    leftmost-non-overlapping replace, same (count DESC, pair ASC)
-    argmax."""
+def _bpe_ctes(rounds: int = 3) -> str:
+    """The shared BPE training CTE chain (s0..s{rounds}, b1..b{rounds}),
+    word carried through every rewrite so encoders can join on it."""
     ctes = [
         r"""w AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS wd
            FROM documents),
     words AS (SELECT wd, count(*) AS freq FROM w WHERE wd <> '' GROUP BY wd),
-    s0 AS (SELECT '||' || regexp_replace(wd, '(.)', '\1||', 'g') AS r, freq
+    s0 AS (SELECT wd, '||' || regexp_replace(wd, '(.)', '\1||', 'g') AS r, freq
            FROM words)"""
     ]
     for k in range(1, rounds + 1):
@@ -907,16 +906,22 @@ def _bpe_oracle(rounds: int = 3) -> str:
              GROUP BY l, r2),
     b{k} AS (SELECT {k} AS rnd, l AS lft, r2 AS rgt, cnt
              FROM p{k} ORDER BY cnt DESC, l, r2 LIMIT 1),
-    s{k} AS (SELECT replace(r,
+    s{k} AS (SELECT wd, replace(r,
                  '|' || (SELECT lft FROM b{k}) || '||'
                      || (SELECT rgt FROM b{k}) || '|',
                  '|' || (SELECT lft FROM b{k})
                      || (SELECT rgt FROM b{k}) || '|') AS r, freq
              FROM s{k - 1})""")
+    return "WITH " + ",".join(ctes)
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE-merge replay: same ||-fenced representation, same
+    leftmost-non-overlapping replace, same (count DESC, pair ASC)
+    argmax."""
     un = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(1, rounds + 1))
     return (
-        "WITH "
-        + ",".join(ctes)
+        _bpe_ctes(rounds)
         + f"""
     SELECT CAST(rnd AS INT) AS round, lft AS "left", rgt AS "right",
            CAST(cnt AS BIGINT) AS pair_count
@@ -935,3 +940,53 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches DuckDB's replay."""
     docs = load_table(spark, sf_dir, "documents")
     return T.bpe_train_merges(docs, "text", rounds=3)
+
+
+@register(
+    "text_bpe_encode_stats",
+    # the trained vocab (same 3-round replay, word carried through the
+    # rewrite chain) joined back onto per-document tokens: chars vs BPE
+    # symbols per document.
+    oracle=_bpe_ctes(3)
+    + r""",
+    v AS (SELECT wd, CAST(len(string_split(r, '||')) - 2 AS INT) AS n_sym
+          FROM s3),
+    dt AS (SELECT doc_id,
+                  lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS wd
+           FROM documents),
+    dtn AS (SELECT doc_id, wd FROM dt WHERE wd <> '')
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           CAST(sum(length(d.wd)) AS BIGINT) AS n_chars,
+           CAST(sum(v.n_sym) AS BIGINT)      AS n_bpe_symbols,
+           round(sum(length(d.wd)) / CAST(sum(v.n_sym) AS DOUBLE), 6)
+               AS chars_per_symbol
+    FROM dtn d JOIN v ON d.wd = v.wd
+    GROUP BY d.doc_id
+    """,
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding statistics per document: tokens, characters, BPE
+    symbols under the 3-round trained vocabulary, and chars-per-symbol
+    compression — the measurement that decides whether a tokenizer's
+    merge budget is paying for itself on a corpus. The vocab is
+    vocab-sized and joins the per-document tokens UNHINTED (both
+    corpus-derived; AQE sizes them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = T.bpe_train_merges(docs, "text", rounds=3, with_vocab=True)
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    j = dt.join(vocab, "w")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum("n_symbols").cast("bigint").alias("n_bpe_symbols"),
+        F.round(
+            F.sum(F.length("w")) / F.sum("n_symbols").cast("double"), 6
+        ).alias("chars_per_symbol"),
+    )
