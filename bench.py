@@ -79,6 +79,8 @@ HEADLINE = [
     # single-partitioning window algebra (interval union)
     "vector_pq_ann_adc",
     "ts_interval_coverage",
+    # the tokenizer-training flagship: vocab-sized iterative rounds
+    "text_bpe_train_merges",
 ]
 
 

@@ -152,8 +152,10 @@ def _load_all() -> None:
 #: text_char_entropy, etl_partition_skew_report, stream_windowed_topk,
 #: multimodal_tar_index, events_funnel_timebound, ts_interval_coverage,
 #: events_user_growth_curve, vector_pq_codes, vector_pq_ann_adc,
-#: multimodal_image_ahash, events_ab_ztest, text_rake_keywords —
-#: 60 queries; rotate in over
+#: multimodal_image_ahash, events_ab_ztest, text_rake_keywords,
+#: corpus_js_divergence, text_bigram_lm_eval, etl_late_arriving_dimension,
+#: text_bpe_train_merges, text_bpe_encode_stats —
+#: 65 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
