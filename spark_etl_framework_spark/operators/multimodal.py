@@ -496,3 +496,32 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=["id", "ahash_bits", "mean_px"])
 
     return decoded.select(id_col, pixels_col).mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def decimate_pcm(
+    decoded: DataFrame, pcm_col: str = "pcm", rate_col: str = "sample_rate",
+    factor: int = 2,
+) -> DataFrame:
+    """Integer-factor downsampling of decoded PCM with a boxcar (mean)
+    anti-alias filter: output sample i = mean of input samples
+    [i*factor, (i+1)*factor). Pure JVM column expressions — no Python on
+    the sample path, zero shuffles; the mean of integers divided by a
+    power-of-two factor is IEEE-exact, so the result oracle-replays.
+    Appends ``pcm_ds`` (array<double>) and ``new_rate``; trailing
+    samples that do not fill a window are dropped (standard decimator
+    behavior)."""
+    if factor < 2:
+        raise ValueError("decimate_pcm: factor must be >= 2")
+    terms = " + ".join(
+        f"CAST(element_at({pcm_col}, {factor}*i + {j + 1}) AS DOUBLE)"
+        for j in range(factor)
+    )
+    ds = F.expr(
+        f"transform(sequence(0, CAST(size({pcm_col}) / {factor} AS INT) - 1), "
+        f"i -> ({terms}) / {float(factor)})"
+    )
+    return decoded.select(
+        "*",
+        ds.alias("pcm_ds"),
+        (F.col(rate_col) / factor).cast("int").alias("new_rate"),
+    )

@@ -626,3 +626,50 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(raster_hex)).alias("payload"),
     )
     return image_ahash(decode_images(wire, fake=False))
+
+
+@register(
+    "multimodal_audio_decimate",
+    # mu-law expansion replay (same CCITT arithmetic as
+    # multimodal_audio_mulaw_decode) + pair means; sums of integers over
+    # a power-of-two factor are IEEE-exact, no rounding needed.
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    x AS (SELECT doc_id,
+                 list_transform(
+                   list_transform(range(0, 16), i ->
+                     255 - ((strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16
+                            + strpos('0123456789abcdef', hx[2*i+2]) - 1)),
+                   u -> CASE WHEN u >= 128
+                        THEN 132 - ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8)))
+                        ELSE ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8))) - 132
+                        END) AS pcm
+          FROM h)
+    SELECT doc_id           AS id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(4000 AS INT) AS new_rate,
+           CAST(16 AS INT)  AS n_samples,
+           list_transform(range(0, 8), i ->
+               (CAST(pcm[2*i+1] AS DOUBLE) + CAST(pcm[2*i+2] AS DOUBLE)) / 2.0)
+               AS pcm_ds
+    FROM x
+    """,
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio downsampling under the oracle gate: the mu-law payloads
+    decode (REAL codec) and then decimate 2x with a boxcar mean filter
+    (operators/multimodal.py:decimate_pcm — pure column expressions, no
+    Python on the sample path). Every output sample is hash-checked
+    against DuckDB's arithmetic replay of expansion + averaging."""
+    from ..operators.multimodal import decimate_pcm, decode_audio_mulaw
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.unhex(F.lit(_MULAW_HEADER_HEX)), F.unhex(F.md5(txt))).alias(
+            "payload"
+        ),
+    )
+    out = decimate_pcm(decode_audio_mulaw(wire), factor=2)
+    return out.select("id", "sample_rate", "new_rate", "n_samples", "pcm_ds")

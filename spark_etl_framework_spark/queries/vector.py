@@ -714,3 +714,65 @@ def vector_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "vector_truncated_dim_recall",
+    # Matryoshka-style evaluation: does the 16-dim PREFIX of the
+    # embedding preserve the full-64-dim top-10 neighbours? Both sides
+    # are exact top-k computations (rounded cosine, id tiebreak).
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      list_slice(embedding::DOUBLE[], 1, 16) AS t
+               FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, e AS pe, t AS pt FROM v WHERE vec_id < 5),
+    full_s AS (SELECT p.probe_id, v.vec_id,
+                      {_COS.format(a="p.pe", b="v.e")} AS cosine
+               FROM v, p WHERE v.vec_id <> p.probe_id),
+    full_r AS (SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM full_s) WHERE rn <= 10),
+    tr_s AS (SELECT p.probe_id, v.vec_id,
+                    {_COS.format(a="p.pt", b="v.t")} AS cosine
+             FROM v, p WHERE v.vec_id <> p.probe_id),
+    tr_r AS (SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM tr_s) WHERE rn <= 10)
+    SELECT f.probe_id,
+           CAST(count(t.vec_id) AS BIGINT)  AS n_hits,
+           round(count(t.vec_id) / 10.0, 6) AS recall_at_10
+    FROM full_r f LEFT JOIN tr_r t
+      ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+    GROUP BY f.probe_id
+    """,
+)
+def vector_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation evaluation: recall@10 of top-k search over
+    the FIRST 16 dimensions against the full-64-dim ground truth — the
+    measurement behind shipping truncated embeddings (4x less memory
+    and bandwidth) when the head dimensions carry the signal. Both
+    searches are the same broadcast-probe scan; the recall join is
+    probes x k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("t"),
+    )
+    probes_f = emb.filter(F.col("vec_id") < 5)
+    probes_t = trunc.filter(F.col("vec_id") < 5)
+    full = V.cosine_topk(emb, probes_f, "vec_id", "embedding", k=10).select(
+        "probe_id", "vec_id"
+    )
+    tr = V.cosine_topk(trunc, probes_t, "vec_id", "t", k=10).select(
+        "probe_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        full.join(tr, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
+        )
+    )
