@@ -878,3 +878,40 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.959963984540054).alias("significant_95"),
     )
+
+
+@register(
+    "events_top_paths_trigram",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p2,
+               lag(event_type, 2) OVER w AS p1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (SELECT p1, p2, event_type AS p3, count(*) AS n
+          FROM o WHERE p1 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT p1, p2, p3, CAST(n AS BIGINT) AS n_paths
+    FROM c ORDER BY n DESC, p1, p2, p3 LIMIT 15
+    """,
+)
+def events_top_paths_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavior paths (the sankey feed): two lags over one
+    deterministic user-keyed window, a |types|³-bounded aggregation, and
+    a 15-row top-k with full tiebreak. Extends the Markov bigram matrix
+    to path shapes; the window and the aggregation reuse the same
+    user-key shuffle the other events queries ride."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.lag("event_type", 2).over(w).alias("p1"),
+        F.lag("event_type", 1).over(w).alias("p2"),
+        F.col("event_type").alias("p3"),
+    ).filter(F.col("p1").isNotNull())
+    c = o.groupBy("p1", "p2", "p3").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.orderBy(F.desc("n"), "p1", "p2", "p3")
+        .limit(15)
+        .select("p1", "p2", "p3", F.col("n").cast("bigint").alias("n_paths"))
+    )
