@@ -715,3 +715,91 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("js_contribution"), F.asc("tok"))
         .limit(10)
     )
+
+
+@register(
+    "corpus_split_ks_test",
+    # two-sample Kolmogorov-Smirnov on document length between the
+    # train/val splits: D = max ECDF gap over the distinct-value
+    # relation; ECDF values are exact integer ratios so each gap is the
+    # identical IEEE number in both engines. Critical value expressed as
+    # the same formula (sqrt(-ln(a/2)/2)) rather than a decimal literal.
+    oracle="""
+    WITH a AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '3333' THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    ),
+    g AS (SELECT n_chars,
+                 count(*) FILTER (WHERE split = 'train') AS ct,
+                 count(*) FILTER (WHERE split = 'val')   AS cv
+          FROM a GROUP BY n_chars),
+    c AS (SELECT n_chars,
+                 sum(ct) OVER (ORDER BY n_chars) AS cum_t,
+                 sum(cv) OVER (ORDER BY n_chars) AS cum_v,
+                 sum(ct) OVER () AS n_t, sum(cv) OVER () AS n_v
+          FROM g),
+    d AS (SELECT max(abs(cum_t / CAST(n_t AS DOUBLE)
+                         - cum_v / CAST(n_v AS DOUBLE))) AS ks_d,
+                 max(n_t) AS n_train, max(n_v) AS n_val
+          FROM c)
+    SELECT CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT)   AS n_val,
+           round(ks_d, 6)          AS ks_d,
+           round(sqrt(-ln(0.025) / 2)
+                 * sqrt((n_train + n_val) / (CAST(n_train AS DOUBLE) * n_val)),
+                 6) AS ks_crit_05,
+           ks_d <= sqrt(-ln(0.025) / 2)
+                   * sqrt((n_train + n_val) / (CAST(n_train AS DOUBLE) * n_val))
+               AS split_uniform_ok
+    FROM d
+    """,
+)
+def corpus_split_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-quality gate: two-sample KS test on document length between
+    the deterministic train/val splits (20% holdout via the shared
+    keyed-hash ranges). A biased splitter (e.g. hashing something
+    correlated with length) fails this before any model ever trains on
+    the leak. One aggregation to the distinct-length relation, one
+    ordered window over it — at 100 TB the windowed relation is
+    value-histogram-sized, not corpus-sized."""
+    from ..operators.corpus import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = split_assign(
+        docs, test_pct=0.0, val_pct=0.2, keep_cols=("n_chars",)
+    )
+    g = a.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+    )
+    w_ord = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    c = g.select(
+        (F.sum("ct").over(w_ord)).alias("cum_t"),
+        (F.sum("cv").over(w_ord)).alias("cum_v"),
+        F.sum("ct").over(wall).alias("n_t"),
+        F.sum("cv").over(wall).alias("n_v"),
+    )
+    d = c.agg(
+        F.max(
+            F.abs(
+                F.col("cum_t") / F.col("n_t").cast("double")
+                - F.col("cum_v") / F.col("n_v").cast("double")
+            )
+        ).alias("ks_d"),
+        F.max("n_t").alias("n_train"),
+        F.max("n_v").alias("n_val"),
+    )
+    crit = F.sqrt(F.lit(-1.0) * F.log(F.lit(0.025)) / 2) * F.sqrt(
+        (F.col("n_train") + F.col("n_val"))
+        / (F.col("n_train").cast("double") * F.col("n_val"))
+    )
+    return d.select(
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_val").cast("bigint").alias("n_val"),
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        (F.col("ks_d") <= crit).alias("split_uniform_ok"),
+    )
