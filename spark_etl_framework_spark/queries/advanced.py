@@ -915,3 +915,75 @@ def events_top_paths_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("p1", "p2", "p3", F.col("n").cast("bigint").alias("n_paths"))
     )
+
+
+@register(
+    "events_value_concentration",
+    # Gini + top-20% share of per-user value by event type, from
+    # DECIMAL-exact rank-weighted sums (rank x value products stay in
+    # decimal; the only doubles are the final ratios).
+    oracle="""
+    WITH u AS (
+        SELECT event_type, user_id,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY event_type, user_id
+    ),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY v, user_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 sum(v) OVER (PARTITION BY event_type) AS tot
+          FROM u)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(round(max(tot), 2) AS DOUBLE) AS total_value,
+           round(2.0 * CAST(sum(rk * v) AS DOUBLE)
+                 / (max(n) * CAST(max(tot) AS DOUBLE))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           round(CAST(sum(CASE WHEN rk > max_rk_cut THEN v ELSE 0 END)
+                      AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+               AS top20_share
+    FROM (SELECT *, n - CAST(ceil(n * 0.2) AS BIGINT) AS max_rk_cut FROM r)
+    GROUP BY event_type
+    """,
+)
+def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration profile per event type: Gini coefficient and
+    the top-20% users' share — the Pareto check behind skew planning
+    (a 0.9-Gini key column is tomorrow's hot-partition incident; see
+    operators/skew.py). Rank-weighted sums stay in DECIMAL so the only
+    floating-point steps are the final ratios; one user-keyed aggregate
+    + one per-type window over the user-totals relation."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    wt = W.partitionBy("event_type")
+    r = u.select(
+        "event_type",
+        "v",
+        F.row_number().over(wt.orderBy("v", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("v").over(wt).alias("tot"),
+    ).withColumn(
+        "max_rk_cut", F.col("n") - F.ceil(F.col("n") * 0.2).cast("bigint")
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(F.max("tot"), 2).cast("double").alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("v")).cast("double")
+            / (F.max("n") * F.max("tot").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("rk") > F.col("max_rk_cut"), F.col("v")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).cast("double")
+            / F.max("tot").cast("double"),
+            6,
+        ).alias("top20_share"),
+    )

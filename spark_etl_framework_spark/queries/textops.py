@@ -990,3 +990,77 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("w")) / F.sum("n_symbols").cast("double"), 6
         ).alias("chars_per_symbol"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    # Zipf exponent via least squares on (ln rank, ln freq) over the
+    # top-200 tokens: ln of integers is the identical IEEE value in both
+    # engines, each rounds to 6 dp into DECIMAL(12,6), and all moment
+    # sums stay decimal (products fit int128 per the corr/covar note) —
+    # only the final slope/intercept divisions are floating point.
+    oracle=r"""
+    WITH f AS (
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents) t
+        WHERE tok <> '' GROUP BY tok
+    ),
+    r AS (SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok) AS rk
+          FROM f),
+    x AS (SELECT CAST(round(ln(rk), 6) AS DECIMAL(12,6)) AS xl,
+                 CAST(round(ln(n), 6) AS DECIMAL(12,6))  AS yl
+          FROM r WHERE rk <= 200),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(xl) AS DOUBLE) AS sx, CAST(sum(yl) AS DOUBLE) AS sy,
+                 CAST(sum(xl * xl) AS DOUBLE) AS sxx,
+                 CAST(sum(xl * yl) AS DOUBLE) AS sxy
+          FROM x)
+    SELECT cnt AS n_ranks,
+           round((sxy - sx * sy / cnt) / (sxx - sx * sx / cnt), 6)
+               AS zipf_slope,
+           round(sy / cnt - (sxy - sx * sy / cnt) / (sxx - sx * sx / cnt)
+                 * sx / cnt, 6) AS intercept
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the frequency head: least-squares slope of
+    ln(freq) vs ln(rank) for the top-200 tokens (natural corpora sit
+    near −1; synthetic/templated ones flatten toward 0 — a one-number
+    naturalness check). One token aggregation + a 200-row ranked window;
+    moment sums in DECIMAL so the fit is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    r = f.withColumn(
+        "rk", F.row_number().over(_W.orderBy(F.desc("n"), F.asc("tok")))
+    ).filter(F.col("rk") <= 200)
+    x = r.select(
+        F.round(F.log("rk"), 6).cast("decimal(12,6)").alias("xl"),
+        F.round(F.log("n"), 6).cast("decimal(12,6)").alias("yl"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("xl").cast("double").alias("sx"),
+        F.sum("yl").cast("double").alias("sy"),
+        F.sum(F.col("xl") * F.col("xl")).cast("double").alias("sxx"),
+        F.sum(F.col("xl") * F.col("yl")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("cnt")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("cnt")
+    )
+    return m.select(
+        F.col("cnt").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("cnt") - slope * F.col("sx") / F.col("cnt"), 6
+        ).alias("intercept"),
+    )
