@@ -987,3 +987,111 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top20_share"),
     )
+
+
+@register(
+    "events_kaplan_meier",
+    # Kaplan-Meier survival over user activity spans (censored = still
+    # active within 3 days of corpus end). The cumulative product rides
+    # exp(cumsum(round(ln(1 - d/n), 9))) with the logs in DECIMAL, so
+    # the running product is engine-exact; a risk set that fully dies
+    # (n = d) forces survival to 0 from that point on.
+    oracle="""
+    WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+    mx AS (SELECT max(ts) AS max_d FROM ev),
+    u AS (SELECT user_id,
+                 (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 3600000 AS dur,
+                 max(ts) < (SELECT max_d FROM mx) - INTERVAL 12 HOUR
+                     AS observed
+          FROM ev GROUP BY user_id),
+    g AS (SELECT dur,
+                 count(*) AS total,
+                 count(*) FILTER (WHERE observed) AS d
+          FROM u GROUP BY dur),
+    r AS (SELECT dur, d, total,
+                 sum(total) OVER () 
+                   - coalesce(sum(total) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS n_risk
+          FROM g),
+    s AS (SELECT dur, d, total, n_risk,
+                 CASE WHEN n_risk = d THEN NULL
+                      ELSE CAST(round(ln(1 - d / CAST(n_risk AS DOUBLE)), 9)
+                                AS DECIMAL(18,9)) END AS lnf,
+                 max(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead
+          FROM r)
+    SELECT CAST(dur AS INT)            AS duration_hours,
+           CAST(n_risk AS BIGINT)      AS n_at_risk,
+           CAST(d AS BIGINT)           AS n_events,
+           CAST(total - d AS BIGINT)   AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(CAST(sum(lnf) OVER (ORDER BY dur
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END
+               AS survival
+    FROM s
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity spans — the
+    censoring-aware retention estimator (users still active within 12
+    hours of the corpus edge are censored, not churned — the mistake
+    naive retention math makes). Activity spans are hour-granularity. Risk sets come from one window over the duration
+    histogram (never the users), and the running product is
+    exp(cumsum(decimal ln factors)) so the curve is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_d"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            ((F.unix_millis("l") - F.unix_millis("f"))
+             / F.lit(3600000)).cast("long").alias("dur"),
+            (F.col("l") < F.col("max_d") - F.expr("INTERVAL 12 HOURS")).alias(
+                "observed"
+            ),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+    )
+    wall = W.partitionBy()
+    w_prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    r = g.select(
+        "dur",
+        "d",
+        "total",
+        (
+            F.sum("total").over(wall)
+            - F.coalesce(F.sum("total").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lnf = F.when(F.col("n_risk") == F.col("d"), F.lit(None)).otherwise(
+        F.round(F.log(1 - F.col("d") / F.col("n_risk").cast("double")), 9).cast(
+            "decimal(18,9)"
+        )
+    )
+    s = r.select(
+        "dur",
+        "d",
+        "total",
+        "n_risk",
+        lnf.alias("lnf"),
+        F.max(F.when(F.col("n_risk") == F.col("d"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("dead"),
+    )
+    return s.select(
+        F.col("dur").cast("int").alias("duration_hours"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        (F.col("total") - F.col("d")).cast("bigint").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("lnf").over(w_cum).cast("double")), 6)
+        )
+        .alias("survival"),
+    )

@@ -815,3 +815,42 @@ def test_bpe_train_merges_classic_example(spark):
 
     with _pt.raises(ValueError):
         bpe_train_merges(df, "text", rounds=0)
+
+
+def test_kaplan_meier_censoring_textbook(spark, tmp_path):
+    """Constructed cohort: at t=1h two of four at-risk users churn
+    (S=0.5), at t=2h one of the remaining... censored users reduce the
+    risk set without counting as events. Verifies against the hand
+    KM product."""
+    import datetime as dt
+
+    from spark_etl_framework_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    end = dt.datetime(2024, 1, 20)
+
+    def span(uid, hours, churned):
+        last = base + dt.timedelta(hours=hours)
+        if not churned:
+            last = end  # active at the very edge -> censored
+        return [(uid * 10, base, uid, "view", 1.0, "{}"),
+                (uid * 10 + 1, last, uid, "view", 1.0, "{}")]
+
+    rows = (
+        span(1, 1, True) + span(2, 1, True) + span(3, 2, True) + span(4, 5, False)
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "km")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    out = {r["duration_hours"]: r for r in QUERIES["events_kaplan_meier"](spark, d).collect()}
+    # t=1: n=4, d=2 -> S=0.5 ; t=2: n=2, d=1 -> S=0.25 ; censored user at 456h
+    assert out[1]["n_at_risk"] == 4 and out[1]["n_events"] == 2
+    assert abs(out[1]["survival"] - 0.5) < 1e-6
+    assert out[2]["n_at_risk"] == 2 and out[2]["n_events"] == 1
+    assert abs(out[2]["survival"] - 0.25) < 1e-6
+    cens = max(out)
+    assert out[cens]["n_events"] == 0 and out[cens]["n_censored"] == 1
+    assert abs(out[cens]["survival"] - 0.25) < 1e-6
