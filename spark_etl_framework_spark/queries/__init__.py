@@ -154,8 +154,11 @@ def _load_all() -> None:
 #: events_user_growth_curve, vector_pq_codes, vector_pq_ann_adc,
 #: multimodal_image_ahash, events_ab_ztest, text_rake_keywords,
 #: corpus_js_divergence, text_bigram_lm_eval, etl_late_arriving_dimension,
-#: text_bpe_train_merges, text_bpe_encode_stats —
-#: 65 queries; rotate in over
+#: text_bpe_train_merges, text_bpe_encode_stats,
+#: vector_truncated_dim_recall, multimodal_audio_decimate,
+#: events_top_paths_trigram, corpus_split_ks_test,
+#: events_value_concentration, text_zipf_slope, events_kaplan_meier —
+#: 72 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
