@@ -218,3 +218,29 @@ class Scd2MergeTransformer(Actor):
             attrs,
             self.effDate,
         )
+
+
+class BpeTrainTransformer(Actor):
+    """BPE tokenizer-merge training as a pipeline step: learns the merge
+    table (operators/text.py:bpe_train_merges — vocab-sized training
+    relation, fixed unrolled rounds) over an input view's text column,
+    so a YAML curation pipeline can publish the tokenizer artifact next
+    to the corpus it was trained on. Output = (round, left, right,
+    pair_count)."""
+
+    view: str | None = None
+    textField: str = "text"
+    rounds: int = 3
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        if not self.view:
+            raise ValueError("BpeTrainTransformer: input view required")
+        r = int(self.rounds)
+        if r < 1:
+            raise ValueError(
+                f"BpeTrainTransformer: rounds must be >= 1, got {self.rounds!r}"
+            )
+        from .text import bpe_train_merges
+
+        ctx.reference(self.view)
+        return bpe_train_merges(spark.table(self.view), self.textField, rounds=r)

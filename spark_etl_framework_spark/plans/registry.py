@@ -27,6 +27,7 @@ _BUILTIN = {
     "containment-dedup-transformer": "spark_etl_framework_spark.operators.curation.ContainmentDedupTransformer",
     "pii-scrub-transformer": "spark_etl_framework_spark.operators.curation.PiiScrubTransformer",
     "scd2-merge-transformer": "spark_etl_framework_spark.operators.curation.Scd2MergeTransformer",
+    "bpe-train-transformer": "spark_etl_framework_spark.operators.curation.BpeTrainTransformer",
     "schema-validator": "spark_etl_framework_spark.operators.validators.SchemaValidator",
     "sql-data-validator": "spark_etl_framework_spark.operators.validators.SqlDataValidator",
     "view-partitioner": "spark_etl_framework_spark.operators.utils.ViewPartitioner",

@@ -737,3 +737,72 @@ def pipeline_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = build_pipeline(defn, spark=spark)
     PipelineRunner(spark).run(pipeline)
     return spark.read.schema("doc_id bigint, lang string, text string").json(out_dir)
+
+
+def _bpe_pipeline_oracle() -> str:
+    from .textops import _bpe_oracle
+
+    return _bpe_oracle(3)
+
+
+@register("pipeline_bpe_writeback", oracle=_bpe_pipeline_oracle())
+def pipeline_bpe_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training END TO END through the framework: FileReader
+    loads the corpus, the BpeTrainTransformer actor learns the 3-round
+    merge table, FileWriter persists the tokenizer artifact, and the
+    query returns what was WRITTEN — hash-checked against the same
+    unrolled-round replay that gates the operator directly."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="pipeline_bpe_"), "merges")
+    defn = {
+        "version": "1.0.0",
+        "name": "bpe-writeback",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-docs",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pb_docs"},
+                    },
+                    {
+                        "name": "train-bpe",
+                        "actor": {
+                            "type": "bpe-train-transformer",
+                            "properties": {
+                                "view": "pb_docs",
+                                "textField": "text",
+                                "rounds": "3",
+                            },
+                        },
+                        "input-views": ["pb_docs"],
+                        "output-view": {"name": "pb_merges"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pb_merges"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir)
