@@ -525,3 +525,77 @@ def decimate_pcm(
         ds.alias("pcm_ds"),
         (F.col(rate_col) / factor).cast("int").alias("new_rate"),
     )
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """Deterministic USTAR header (mode 0644, uid/gid 0, mtime 0): the
+    write-side twin of the indexer's parser. Long paths split into the
+    prefix field at a '/' boundary; checksum computed with the field
+    blanked to spaces, per spec."""
+    nb = name.encode("utf-8")
+    prefix = b""
+    if len(nb) > 100:
+        # first '/' that leaves the tail <= 100 bytes; its prefix must
+        # also fit the 155-byte field
+        cut = nb.find(b"/", max(0, len(nb) - 101))
+        if cut < 0 or cut > 155 or len(nb) - cut - 1 > 100:
+            raise ValueError(f"tar member name too long to split: {name!r}")
+        prefix, nb = nb[:cut], nb[cut + 1 :]
+    hdr = bytearray(512)
+    hdr[0:len(nb)] = nb
+    hdr[100:108] = b"0000644\0"
+    hdr[108:116] = b"0000000\0"
+    hdr[116:124] = b"0000000\0"
+    hdr[124:136] = f"{size:011o}".encode() + b"\0"
+    hdr[136:148] = b"00000000000\0"
+    hdr[148:156] = b" " * 8  # checksum field blanked for the sum
+    hdr[156:157] = b"0"
+    hdr[257:263] = b"ustar\0"
+    hdr[263:265] = b"00"
+    hdr[345:345 + len(prefix)] = prefix
+    chk = sum(hdr)
+    hdr[148:156] = f"{chk:06o}".encode() + b"\0 "
+    return bytes(hdr)
+
+
+def pack_tar_members(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "member_name",
+    content_col: str = "content",
+) -> DataFrame:
+    """Pack member rows into USTAR archive payloads — the WebDataset
+    shard WRITER: one output row per ``id_col`` group with the archive
+    bytes (members in deterministic name order, data blocks zero-padded,
+    two terminating zero blocks). Written archives parse with the stdlib
+    ``tarfile`` module (tested) and round-trip through
+    :func:`index_tar_members`. Groups are assembled per Arrow batch
+    after a ``groupBy(id)`` shuffle of the member rows — each archive
+    must fit an executor's batch, the same bound every shard writer
+    has."""
+    import pandas as pd
+
+    grouped = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("n"),
+        F.col(content_col).alias("c"),
+    ).groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("n", "c"))).alias("members")
+    )
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, members in zip(pdf["id"], pdf["members"]):
+                out = bytearray()
+                for m in members:
+                    data = bytes(m["c"])
+                    out += _tar_header(m["n"], len(data))
+                    out += data
+                    pad = (-len(data)) % 512
+                    out += b"\0" * pad
+                out += b"\0" * 1024
+                rows.append({"id": int(rid), "payload": bytes(out)})
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    return grouped.mapInPandas(_pack, "id bigint, payload binary")

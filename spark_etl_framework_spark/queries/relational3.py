@@ -673,3 +673,67 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decimate_pcm(decode_audio_mulaw(wire), factor=2)
     return out.select("id", "sample_rate", "new_rate", "n_samples", "pcm_ds")
+
+
+@register(
+    "multimodal_tar_pack_roundtrip",
+    # our WRITER feeding our INDEXER: members sort by name, so doc{id}.bin
+    # (24 bytes, data at offset 512) precedes doc{id}.txt (16 bytes, data
+    # at 1536); DuckDB replays the geometry and contents arithmetically.
+    oracle="""
+    SELECT doc_id AS id,
+           'doc' || CAST(doc_id AS VARCHAR) || '.bin' AS member_name,
+           CAST(512 AS BIGINT)  AS data_offset,
+           CAST(24 AS BIGINT)   AS size,
+           UPPER(md5(text || 'x') || SUBSTR(md5(text || 'y'), 1, 16))
+               AS content_hex
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'doc' || CAST(doc_id AS VARCHAR) || '.txt',
+           CAST(1536 AS BIGINT),
+           CAST(16 AS BIGINT),
+           UPPER(md5(text))
+    FROM documents
+    """,
+)
+def multimodal_tar_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard WRITE path under the oracle gate: member rows
+    pack into USTAR archives with our own writer
+    (operators/multimodal.py:pack_tar_members — stdlib-tarfile-readable,
+    unit-tested), then our indexer walks them back; every offset and
+    content byte hash-checks. Write side is one groupBy(id) shuffle of
+    member rows + a narrow pack; read side narrow."""
+    from ..operators.multimodal import index_tar_members, pack_tar_members
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    members = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("n"),
+                    F.unhex(F.md5(txt)).alias("c"),
+                ),
+                F.struct(
+                    F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".bin")).alias("n"),
+                    F.unhex(
+                        F.concat(
+                            F.md5(F.concat(txt, F.lit(b"x"))),
+                            F.substring(F.md5(F.concat(txt, F.lit(b"y"))), 1, 16),
+                        )
+                    ).alias("c"),
+                ),
+            )
+        ).alias("m"),
+    ).select("id", F.col("m.n").alias("member_name"), F.col("m.c").alias("content"))
+    packed = pack_tar_members(members)
+    out = index_tar_members(packed)
+    return out.select(
+        "id",
+        "member_name",
+        "data_offset",
+        "size",
+        F.hex("content").alias("content_hex"),
+    )

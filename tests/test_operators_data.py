@@ -854,3 +854,39 @@ def test_kaplan_meier_censoring_textbook(spark, tmp_path):
     cens = max(out)
     assert out[cens]["n_events"] == 0 and out[cens]["n_censored"] == 1
     assert abs(out[cens]["survival"] - 0.25) < 1e-6
+
+
+def test_pack_tar_members_stdlib_readable_and_roundtrips(spark):
+    """Archives from pack_tar_members must parse with the stdlib tarfile
+    module (an independent implementation) AND round-trip through our
+    own indexer, including a >100-char prefixed path."""
+    import io
+    import tarfile
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        index_tar_members,
+        pack_tar_members,
+    )
+
+    long_name = "train/" + "p" * 70 + "/x" * 20 + "/sample.bin"
+    rows = [
+        (1, "a.txt", b"hello"),
+        (1, long_name, b"world!!"),
+        (2, "b.bin", b"\x00\x01\x02"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "member_name", "content"])
+    packed = {r["id"]: bytes(r["payload"]) for r in pack_tar_members(df).collect()}
+
+    with tarfile.open(fileobj=io.BytesIO(packed[1])) as tf:
+        got = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    assert got == {"a.txt": b"hello", long_name: b"world!!"}
+
+    idx = index_tar_members(
+        spark.createDataFrame(
+            [(k, v) for k, v in packed.items()], ["id", "payload"]
+        )
+    ).collect()
+    back = {(r["id"], r["member_name"]): bytes(r["content"]) for r in idx}
+    assert back[(1, "a.txt")] == b"hello"
+    assert back[(1, long_name)] == b"world!!"
+    assert back[(2, "b.bin")] == b"\x00\x01\x02"
