@@ -157,8 +157,9 @@ def _load_all() -> None:
 #: text_bpe_train_merges, text_bpe_encode_stats,
 #: vector_truncated_dim_recall, multimodal_audio_decimate,
 #: events_top_paths_trigram, corpus_split_ks_test,
-#: events_value_concentration, text_zipf_slope, events_kaplan_meier —
-#: 72 queries; rotate in over
+#: events_value_concentration, text_zipf_slope, events_kaplan_meier,
+#: pipeline_bpe_writeback, multimodal_tar_pack_roundtrip —
+#: 74 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
