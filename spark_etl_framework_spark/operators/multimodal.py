@@ -516,9 +516,13 @@ def decimate_pcm(
         f"CAST(element_at({pcm_col}, {factor}*i + {j + 1}) AS DOUBLE)"
         for j in range(factor)
     )
+    # guard size < factor explicitly: Spark's sequence(0, -1) silently
+    # DESCENDS ([0, -1]) instead of going empty, which would crash
+    # element_at / emit phantom samples on short payloads
     ds = F.expr(
-        f"transform(sequence(0, CAST(size({pcm_col}) / {factor} AS INT) - 1), "
-        f"i -> ({terms}) / {float(factor)})"
+        f"CASE WHEN size({pcm_col}) < {factor} THEN array() "
+        f"ELSE transform(sequence(0, CAST(size({pcm_col}) / {factor} AS INT) - 1), "
+        f"i -> ({terms}) / {float(factor)}) END"
     )
     return decoded.select(
         "*",
@@ -533,6 +537,11 @@ def _tar_header(name: str, size: int) -> bytes:
     prefix field at a '/' boundary; checksum computed with the field
     blanked to spaces, per spec."""
     nb = name.encode("utf-8")
+    if size >= 8**11:
+        raise ValueError(
+            f"tar member {name!r} size {size} exceeds the 11-digit octal "
+            "ustar field (8 GiB)"
+        )
     prefix = b""
     if len(nb) > 100:
         # first '/' that leaves the tail <= 100 bytes; its prefix must

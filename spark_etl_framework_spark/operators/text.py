@@ -546,7 +546,13 @@ def bpe_train_merges(
     (``||a||b||c||``): each gap carries two pipes, so the merge of pair
     (l, r) is the plain string rewrite ``|l||r| → |lr|`` — leftmost,
     non-overlapping, exactly BPE's left-to-right merge order, and
-    identical in any engine's ``replace``. Per round: adjacent-pair
+    identical in any engine's ``replace``. Literal ``|`` characters in
+    tokens are escaped to ``\x1a`` before fencing (and unescaped in the
+    returned merge table) so they cannot collide with the fence; tokens
+    containing ``\x1a`` itself are outside the contract. A round whose
+    pair relation is empty (``rounds`` exceeds the corpus's possible
+    merges) leaves the state unchanged and contributes no merge row —
+    the returned table is simply shorter than requested. Per round: adjacent-pair
     counts (one narrow keyed aggregation, freq-weighted), a 1-row argmax
     (count DESC, pair ASC tiebreak) broadcast back, and the map-side
     rewrite. Returns (round, left, right, pair_count) — the learned
@@ -563,9 +569,11 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # ||-fenced char representation: '(.)' -> '$1||', then lead fence
+    # ||-fenced char representation over the pipe-escaped word:
+    # '(.)' -> '$1||', then lead fence
+    esc = F.replace(F.col("w"), F.lit("|"), F.lit("\x1a"))
     rep = F.concat(
-        F.lit("||"), F.regexp_replace(F.col("w"), "(.)", "$1||")
+        F.lit("||"), F.regexp_replace(esc, "(.)", "$1||")
     ).alias("r")
     state = words.select("w", rep, "freq")
     merges = None
@@ -596,16 +604,32 @@ def bpe_train_merges(
                 F.col("cnt").cast("bigint").alias("pair_count"),
             )
         )
-        merges = best if merges is None else merges.unionByName(best)
-        state = state.crossJoin(
-            F.broadcast(best.select("left", "right"))
-        ).select(
+        unesc = lambda c: F.replace(F.col(c), F.lit("\x1a"), F.lit("|"))
+        out_row = best.select(
+            "round",
+            unesc("left").alias("left"),
+            unesc("right").alias("right"),
+            "pair_count",
+        )
+        merges = out_row if merges is None else merges.unionByName(out_row)
+        # LEFT join on TRUE instead of crossJoin: an empty argmax (no
+        # pairs left) must leave the state UNCHANGED, not annihilate it
+        b = F.broadcast(
+            best.select(F.col("left").alias("__l"), F.col("right").alias("__r"))
+        )
+        state = state.join(b, F.lit(True), "left").select(
             "w",
-            F.replace(
-                F.col("r"),
-                F.concat(F.lit("|"), "left", F.lit("||"), "right", F.lit("|")),
-                F.concat(F.lit("|"), "left", "right", F.lit("|")),
-            ).alias("r"),
+            F.when(F.col("__l").isNull(), F.col("r"))
+            .otherwise(
+                F.replace(
+                    F.col("r"),
+                    F.concat(
+                        F.lit("|"), "__l", F.lit("||"), "__r", F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), "__l", "__r", F.lit("|")),
+                )
+            )
+            .alias("r"),
             "freq",
         )
     if with_vocab:

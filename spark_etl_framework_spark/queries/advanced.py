@@ -992,7 +992,7 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_kaplan_meier",
     # Kaplan-Meier survival over user activity spans (censored = still
-    # active within 3 days of corpus end). The cumulative product rides
+    # active within 12 hours of corpus end). The cumulative product rides
     # exp(cumsum(round(ln(1 - d/n), 9))) with the logs in DECIMAL, so
     # the running product is engine-exact; a risk set that fully dies
     # (n = d) forces survival to 0 from that point on.

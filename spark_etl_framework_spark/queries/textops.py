@@ -906,11 +906,13 @@ def _bpe_ctes(rounds: int = 3) -> str:
              GROUP BY l, r2),
     b{k} AS (SELECT {k} AS rnd, l AS lft, r2 AS rgt, cnt
              FROM p{k} ORDER BY cnt DESC, l, r2 LIMIT 1),
-    s{k} AS (SELECT wd, replace(r,
+    s{k} AS (SELECT wd,
+                 CASE WHEN (SELECT lft FROM b{k}) IS NULL THEN r
+                 ELSE replace(r,
                  '|' || (SELECT lft FROM b{k}) || '||'
                      || (SELECT rgt FROM b{k}) || '|',
                  '|' || (SELECT lft FROM b{k})
-                     || (SELECT rgt FROM b{k}) || '|') AS r, freq
+                     || (SELECT rgt FROM b{k}) || '|') END AS r, freq
              FROM s{k - 1})""")
     return "WITH " + ",".join(ctes)
 
@@ -923,7 +925,9 @@ def _bpe_oracle(rounds: int = 3) -> str:
     return (
         _bpe_ctes(rounds)
         + f"""
-    SELECT CAST(rnd AS INT) AS round, lft AS "left", rgt AS "right",
+    SELECT CAST(rnd AS INT) AS round,
+           replace(lft, chr(26), '|') AS "left",
+           replace(rgt, chr(26), '|') AS "right",
            CAST(cnt AS BIGINT) AS pair_count
     FROM ({un})"""
     )
@@ -974,10 +978,11 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-derived; AQE sizes them)."""
     docs = load_table(spark, sf_dir, "documents")
     _merges, vocab = T.bpe_train_merges(docs, "text", rounds=3, with_vocab=True)
+    # MUST be the training-side tokenizer (operators/text.py:tokens) —
+    # any divergence silently drops tokens at the vocab join
     dt = (
         docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+            "doc_id", F.explode(T.tokens(F.lower("text"))).alias("w")
         )
         .filter(F.col("w") != "")
     )
@@ -1033,16 +1038,19 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment sums in DECIMAL so the fit is engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
     f = (
-        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     from pyspark.sql import Window as _W
 
-    r = f.withColumn(
+    # top-200 via TakeOrderedAndProject (per-partition heaps), THEN rank
+    # the 200-row result — never a full-vocabulary single-partition window
+    top = f.orderBy(F.desc("n"), F.asc("tok")).limit(200)
+    r = top.withColumn(
         "rk", F.row_number().over(_W.orderBy(F.desc("n"), F.asc("tok")))
-    ).filter(F.col("rk") <= 200)
+    )
     x = r.select(
         F.round(F.log("rk"), 6).cast("decimal(12,6)").alias("xl"),
         F.round(F.log("n"), 6).cast("decimal(12,6)").alias("yl"),

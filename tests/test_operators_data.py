@@ -890,3 +890,23 @@ def test_pack_tar_members_stdlib_readable_and_roundtrips(spark):
     assert back[(1, "a.txt")] == b"hello"
     assert back[(1, long_name)] == b"world!!"
     assert back[(2, "b.bin")] == b"\x00\x01\x02"
+
+
+def test_bpe_pipe_tokens_and_exhausted_rounds(spark):
+    """Tokens containing '|' must decompose as real characters (escaped
+    fencing), and rounds beyond the corpus's possible merges must leave
+    the vocabulary intact and simply emit fewer merge rows."""
+    from spark_etl_framework_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "a|b a|b x")], ["doc_id", "text"])
+    merges, vocab = bpe_train_merges(df, "text", rounds=5, with_vocab=True)
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in merges.orderBy("round").collect()
+    ]
+    # 'a|b' x2: pairs (a,|) and (|,b) tie at 2; the tiebreak compares
+    # ESCAPED symbols (\x1a < 'a'), so (|,b) merges first, then (a,|b) —
+    # deterministic and engine-consistent. After that nothing mergeable.
+    assert got == [(1, "|", "b", 2), (2, "a", "|b", 2)]
+    v = {r["w"]: r["n_symbols"] for r in vocab.collect()}
+    assert v == {"a|b": 1, "x": 1}  # vocabulary survives the empty rounds
