@@ -375,6 +375,47 @@ def decode_audio_mulaw(
     return df.mapInPandas(_decode, MULAW_DECODE_SCHEMA)
 
 
+def _walk_tar(raw: bytes):
+    off = 0
+    terminated = False
+    while off + 512 <= len(raw):
+        hdr = raw[off : off + 512]
+        if hdr == b"\0" * 512:
+            terminated = True
+            break
+        stored = int(hdr[148:156].split(b"\0")[0].strip() or b"0", 8)
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError(
+                f"tar header checksum mismatch at offset {off}: "
+                f"stored {stored}, computed {calc}"
+            )
+        name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
+        # USTAR prefix field (long paths): leading directories live at
+        # bytes 345-500 and rejoin the name with '/'
+        if hdr[257:262] == b"ustar":
+            prefix = hdr[345:500].split(b"\0", 1)[0].decode("utf-8")
+            if prefix:
+                name = prefix + "/" + name
+        size = int(hdr[124:136].split(b"\0")[0].strip() or b"0", 8)
+        typeflag = hdr[156:157]
+        data_off = off + 512
+        if data_off + size > len(raw):
+            raise ValueError(
+                f"truncated tar: member {name!r} declares {size} bytes "
+                f"at offset {data_off}, archive has {len(raw)}"
+            )
+        if typeflag in (b"0", b"\0"):
+            yield name, data_off, size, raw[data_off : data_off + size]
+        off = data_off + ((size + 511) // 512) * 512
+    if not terminated:
+        # a shard cut at a block boundary would otherwise pass as a
+        # complete (shorter) archive — a partial download must fail
+        raise ValueError(
+            "truncated tar: end-of-archive zero block never seen"
+        )
+
+
 #: Output schema of the tar member indexer.
 TAR_INDEX_SCHEMA = (
     "id bigint, member_name string, data_offset bigint, size bigint, "
@@ -401,51 +442,11 @@ def index_tar_members(
     1→N mapInPandas, narrow — no shuffle.
     """
 
-    def _walk(raw: bytes):
-        off = 0
-        terminated = False
-        while off + 512 <= len(raw):
-            hdr = raw[off : off + 512]
-            if hdr == b"\0" * 512:
-                terminated = True
-                break
-            stored = int(hdr[148:156].split(b"\0")[0].strip() or b"0", 8)
-            calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
-            if stored != calc:
-                raise ValueError(
-                    f"tar header checksum mismatch at offset {off}: "
-                    f"stored {stored}, computed {calc}"
-                )
-            name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
-            # USTAR prefix field (long paths): leading directories live at
-            # bytes 345-500 and rejoin the name with '/'
-            if hdr[257:262] == b"ustar":
-                prefix = hdr[345:500].split(b"\0", 1)[0].decode("utf-8")
-                if prefix:
-                    name = prefix + "/" + name
-            size = int(hdr[124:136].split(b"\0")[0].strip() or b"0", 8)
-            typeflag = hdr[156:157]
-            data_off = off + 512
-            if data_off + size > len(raw):
-                raise ValueError(
-                    f"truncated tar: member {name!r} declares {size} bytes "
-                    f"at offset {data_off}, archive has {len(raw)}"
-                )
-            if typeflag in (b"0", b"\0"):
-                yield name, data_off, size, raw[data_off : data_off + size]
-            off = data_off + ((size + 511) // 512) * 512
-        if not terminated:
-            # a shard cut at a block boundary would otherwise pass as a
-            # complete (shorter) archive — a partial download must fail
-            raise ValueError(
-                "truncated tar: end-of-archive zero block never seen"
-            )
-
     def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
-                for name, doff, size, content in _walk(bytes(b)):
+                for name, doff, size, content in _walk_tar(bytes(b)):
                     rows.append(
                         {
                             "id": int(rid),

@@ -105,3 +105,76 @@ def test_resize_nearest_identity_and_dims(w, h):
     assert _resize_nearest(px, w, h, 3, w, h) == px
     out = _resize_nearest(px, w, h, 3, 5, 7)
     assert len(out) == 5 * 7 * 3
+
+
+def test_mulaw_expand_is_codec_exact_all_256_codes():
+    """Value-level G.711 identity over the full code space: re-encoding
+    any expanded sample with the standard compressor reproduces a code
+    that expands to the SAME value (0x7F and 0xFF both mean zero, so
+    byte-level roundtrip is checked for all codes except that alias)."""
+    import numpy as np
+
+    def expand(bts):
+        u = 255 - np.frombuffer(bytes(bts), dtype=np.uint8).astype(np.int32)
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    def compress(pcm):  # standard CCITT linear -> mu-law encoder
+        sign = 0x80 if pcm < 0 else 0
+        if pcm < 0:
+            pcm = -pcm
+        pcm = min(pcm, 32635) + 0x84
+        exp, mask = 7, 0x4000
+        while exp > 0 and not (pcm & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (pcm >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    codes = bytes(range(256))
+    vals = expand(codes)
+    for b, v in zip(codes, vals):
+        rb = compress(int(v))
+        assert expand(bytes([rb]))[0] == v, (b, v, rb)
+        if b != 0x7F:  # 0x7F is the negative-zero alias of 0xFF
+            assert rb == b, (b, v, rb)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[A-Za-z0-9_.][A-Za-z0-9_./-]{0,60}", fullmatch=True),
+            st.binary(min_size=0, max_size=1200),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda m: m[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_header_walk_roundtrip_random_members(members):
+    """Property: archives assembled from our header writer parse back
+    with our walker AND with stdlib tarfile, byte-for-byte, for random
+    member names/sizes (including zero-length and multi-block data)."""
+    import io
+    import tarfile
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        _tar_header,
+        _walk_tar,
+    )
+
+    out = bytearray()
+    for name, data in members:
+        out += _tar_header(name, len(data))
+        out += data
+        out += b"\0" * ((-len(data)) % 512)
+    out += b"\0" * 1024
+    raw = bytes(out)
+
+    got = {n: bytes(c) for n, _o, _s, c in _walk_tar(raw)}
+    assert got == dict(members)
+
+    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+        std = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    assert std == dict(members)
