@@ -1095,3 +1095,79 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+@register(
+    "events_rfm_segments",
+    # RFM quartile segmentation: recency/frequency/monetary per user,
+    # each cut into ntile(4) with full deterministic tiebreaks (metric,
+    # user_id), composed into a 3-digit segment code. Monetary sums in
+    # DECIMAL; recency as exact epoch seconds.
+    oracle="""
+    WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    mx AS (SELECT max(ts) AS m FROM ev),
+    u AS (SELECT user_id,
+                 (epoch_ms((SELECT m FROM mx)) - epoch_ms(max(ts))) // 1000
+                     AS recency_s,
+                 count(*) AS frequency,
+                 sum(CAST(value AS DECIMAL(18,6))) AS monetary
+          FROM ev GROUP BY user_id),
+    q AS (SELECT user_id, recency_s, frequency, monetary,
+                 ntile(4) OVER (ORDER BY recency_s, user_id)       AS r_q,
+                 ntile(4) OVER (ORDER BY frequency DESC, user_id)  AS f_q,
+                 ntile(4) OVER (ORDER BY monetary DESC, user_id)   AS m_q
+          FROM u)
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_value
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (seconds since last event,
+    exact epoch arithmetic), frequency, and decimal monetary total, each
+    quartiled by ntile(4) with deterministic tiebreaks, then aggregated
+    per segment code — the classic lifecycle grid. The ntile windows run
+    over the user-totals relation (one row per user), not the events; at
+    true scale swap ntile for approx-quantile boundaries and a map-side
+    bucket join."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            ((F.unix_millis("m") - F.unix_millis("last_ts")) / 1000)
+            .cast("long")
+            .alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = u.select(
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency_s", "user_id")).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "user_id")).alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),
+    ).select(
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("segment"),
+        "n_users",
+        "segment_value",
+    )

@@ -803,3 +803,46 @@ def corpus_split_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("ks_crit_05"),
         (F.col("ks_d") <= crit).alias("split_uniform_ok"),
     )
+
+
+@register(
+    "corpus_template_prefixes",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, substr(md5(substr(text, 1, 80)), 1, 16) AS pfx_key,
+               substr(text, 1, 40) AS sample_prefix
+        FROM documents
+    ),
+    g AS (SELECT pfx_key, count(*) AS n_docs,
+                 min(doc_id) AS exemplar_id,
+                 min(sample_prefix) AS sample_prefix
+          FROM p GROUP BY pfx_key
+          HAVING count(*) >= 3)
+    SELECT pfx_key, CAST(n_docs AS BIGINT) AS n_docs,
+           exemplar_id, sample_prefix
+    FROM g
+    """,
+)
+def corpus_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: documents sharing an identical
+    80-char prefix (hashed to a fixed-width key so no text crosses the
+    exchange) grouped into template clusters of >= 3 — the cheap first
+    pass that catches scraped headers, cookie banners and license
+    preambles before the expensive near-dup machinery runs. One
+    fixed-width-key aggregation; a 40-char sample rides along map-side
+    for triage."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.substring("text", 1, 80)), 1, 16).alias("pfx_key"),
+        F.substring("text", 1, 40).alias("sample_prefix"),
+    )
+    return (
+        p.groupBy("pfx_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("exemplar_id"),
+            F.min("sample_prefix").alias("sample_prefix"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )

@@ -1072,3 +1072,55 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy") / F.col("cnt") - slope * F.col("sx") / F.col("cnt"), 6
         ).alias("intercept"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, lang,
+                 CAST({_lang_hits_sql('de')} AS INT) AS hits_de,
+                 CAST({_lang_hits_sql('en')} AS INT) AS hits_en,
+                 CAST({_lang_hits_sql('es')} AS INT) AS hits_es,
+                 CAST({_lang_hits_sql('fr')} AS INT) AS hits_fr
+          FROM t),
+    p AS (SELECT lang AS labeled_lang,
+                 CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                      WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                      WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                      WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM h)
+    SELECT labeled_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(sum(count(*))
+                 OVER (PARTITION BY labeled_lang) AS DOUBLE), 6) AS row_frac
+    FROM p GROUP BY labeled_lang, pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the evaluation the classifier query
+    (text_language_id) feeds — per (labeled, predicted) cell the doc
+    count and its row-normalized fraction. One aggregation over the
+    classifier's map-side output; the normalizing window runs over the
+    |langs|² cells."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "text"
+    )
+    p = T.with_language_id(docs).select("labeled_lang", "pred_lang")
+    c = p.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("labeled_lang")
+    return c.select(
+        "labeled_lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias(
+            "row_frac"
+        ),
+    )
