@@ -525,3 +525,74 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    # survivorship POLICY on top of the cluster relation: instead of the
+    # min-id canonical, keep each cluster's highest-quality member
+    # (longest text, id tiebreak) — the policy a curation run actually
+    # wants. Oracle reuses the recursive-CTE component labels.
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_CTE},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT a, a FROM e2
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN e2 e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+    scored AS (SELECT c.doc_id, c.cluster_id, length(d.text) AS n_len
+               FROM comp c JOIN documents d USING (doc_id)),
+    best AS (SELECT cluster_id, doc_id AS keep_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_len DESC, doc_id) AS rn
+               FROM scored) WHERE rn = 1)
+    SELECT s.doc_id, s.cluster_id, CAST(s.n_len AS INT) AS n_len,
+           (s.doc_id = b.keep_id) AS is_kept
+    FROM scored s JOIN best b USING (cluster_id)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: connected-component clusters
+    (same machinery as dedup_clusters) but the canonical member is the
+    HIGHEST-QUALITY one (longest text, id tiebreak) instead of min-id —
+    what a curation pipeline actually keeps. The quality join and the
+    per-cluster argmax both run over the cluster-member relation, never
+    the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
+    bands = D.lsh_bands_wide(
+        D.minhash_wide(sh, "doc_id", k=8), "doc_id", k=8, rows_per_band=2
+    )
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    comp = D.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    scored = comp.join(
+        docs.select("doc_id", F.length("text").alias("n_len")), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_len"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    best = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keep_id")
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n_len").cast("int").alias("n_len"),
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        )
+    )

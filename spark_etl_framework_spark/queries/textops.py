@@ -1124,3 +1124,40 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_frac"
         ),
     )
+
+
+@register(
+    "text_feature_hashing",
+    # the hashing-trick vectorizer: token -> bucket via the first md5
+    # hex digit (16 buckets), counts assembled row-locally — both
+    # engines compute the identical bucket from the identical hash.
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           list_transform(range(0, 16), d ->
+               CAST(len(list_filter(toks, tk -> tk <> '' AND
+                    strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = d))
+                    AS INT)) AS features
+    FROM t
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: each document becomes
+    a fixed 16-dim bag-of-words count vector with bucket = first md5 hex
+    digit of the token — no vocabulary to build, ship, or keep in sync,
+    which is the entire point at 100 TB. Entirely row-local array
+    expressions (O(dims × tokens) per row), zero shuffles; the
+    engine-portable hash means the oracle replays every count."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    feats = F.expr(
+        "transform(sequence(0, 15), d -> CAST(size(filter(toks, "
+        "tk -> tk != '' AND "
+        "(position(substring(md5(tk), 1, 1) IN '0123456789abcdef') - 1) = d"
+        ")) AS INT))"
+    )
+    return a.select("doc_id", feats.alias("features"))
