@@ -737,3 +737,107 @@ def multimodal_tar_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "size",
         F.hex("content").alias("content_hex"),
     )
+
+
+@register(
+    "multimodal_image_neardup_pairs",
+    # image near-dup join: aHash bit strings band into 4x16-bit keys
+    # (substring equi-join — the SimHash pigeonhole argument: Hamming
+    # <= 3 guarantees one identical band), candidates verified by exact
+    # Hamming distance. Rasters derive from the 80-char text PREFIX, so
+    # template documents (shared boilerplate) produce identical images —
+    # real positives, not hash accidents.
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(substr(text, 1, 80)) || md5(substr(text, 1, 80) || 'x')
+               || md5(substr(text, 1, 80) || 'y')
+               || md5(substr(text, 1, 80) || 'z') AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i ->
+                   (strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16
+                   + strpos('0123456789abcdef', hx[2*i+2]) - 1) AS px
+        FROM h
+    ),
+    ah AS (SELECT doc_id,
+                  array_to_string(list_transform(px, v ->
+                      CASE WHEN v > list_sum(px) / 64.0 THEN '1' ELSE '0' END),
+                      '') AS bits
+           FROM b),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+               a.bits AS ba, b2.bits AS bb
+        FROM ah a JOIN ah b2
+          ON a.doc_id < b2.doc_id
+         AND (substr(a.bits, 1, 16) = substr(b2.bits, 1, 16)
+           OR substr(a.bits, 17, 16) = substr(b2.bits, 17, 16)
+           OR substr(a.bits, 33, 16) = substr(b2.bits, 33, 16)
+           OR substr(a.bits, 49, 16) = substr(b2.bits, 49, 16))
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, 65), i -> ba[i] <> bb[i])) AS INT)
+               AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 65), i -> ba[i] <> bb[i])) <= 3
+    """,
+)
+def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs end to end: real 8x8 grayscale decode →
+    aHash → 4×16-bit band bucketing (the SimHash pigeonhole: Hamming ≤ 3
+    guarantees a shared band) → exact Hamming verification. Rasters seed
+    from each document's 80-char prefix, so boilerplate templates
+    produce genuinely identical images. The band join is an equi-join on
+    short keys; verification touches candidates only."""
+    from ..operators.multimodal import decode_images, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.encode(F.substring("text", 1, 80), "utf-8")
+    raster_hex = F.concat(
+        *[F.md5(F.concat(pfx, F.lit(sfx))) for sfx in (b"", b"x", b"y", b"z")]
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(raster_hex)).alias("payload"),
+    )
+    ah = image_ahash(decode_images(wire, fake=False)).select(
+        F.col("id").alias("doc_id"), F.col("ahash_bits").alias("bits")
+    )
+    # scale path: EXPLODE the 4 bands and equi-join on (band_idx, key) —
+    # never the OR-of-substrings theta join (a nested-loop product)
+    bands = ah.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring("bits", 1 + 16 * j, 16).alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("z"),
+    ).select("doc_id", "bits", F.col("z.band").alias("band"), F.col("z.key").alias("key"))
+    l = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("bits").alias("ba"), "band", "key"
+    )
+    r = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("bits").alias("bb"), "band", "key"
+    )
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ba", "bb")
+        .distinct()
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), i -> substring(ba, i, 1) != substring(bb, i, 1)))"
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

@@ -597,3 +597,12 @@ def test_pq_codes_single_plan_no_embedding_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert not re.search(r"\bembedding#\d+", line), line
+
+
+def test_image_neardup_band_equi_join_no_nested_loop(spark, sf_dir):
+    """multimodal_image_neardup_pairs: the candidate stage must be the
+    exploded band EQUI-join — an OR-of-substrings theta join would plan
+    as a nested-loop product over all image pairs."""
+    plan = _initial_plan(QUERIES["multimodal_image_neardup_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
