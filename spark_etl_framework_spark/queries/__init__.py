@@ -158,8 +158,11 @@ def _load_all() -> None:
 #: vector_truncated_dim_recall, multimodal_audio_decimate,
 #: events_top_paths_trigram, corpus_split_ks_test,
 #: events_value_concentration, text_zipf_slope, events_kaplan_meier,
-#: pipeline_bpe_writeback, multimodal_tar_pack_roundtrip —
-#: 74 queries; rotate in over
+#: pipeline_bpe_writeback, multimodal_tar_pack_roundtrip,
+#: text_langid_confusion, events_rfm_segments, corpus_template_prefixes,
+#: dedup_keep_best_quality, text_feature_hashing,
+#: multimodal_image_neardup_pairs —
+#: 80 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
