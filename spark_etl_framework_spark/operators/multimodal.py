@@ -306,6 +306,16 @@ def image_channel_stats(
 MULAW_DECODE_SCHEMA = "id bigint, sample_rate int, n_samples int, pcm array<smallint>"
 
 
+def _expand_mulaw(data: bytes) -> list[int]:
+    """G.711 mu-law expansion (table-free CCITT form) — module-scope so
+    the exhaustive codec-identity property test exercises THIS code."""
+    import numpy as np
+
+    u = 255 - np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16).tolist()
+
+
 def decode_audio_mulaw(
     df: DataFrame, bin_col: str = "payload", id_col: str = "id"
 ) -> DataFrame:
@@ -350,10 +360,6 @@ def decode_audio_mulaw(
             )
         return rate, len(data), data
 
-    def _expand(data: bytes) -> list[int]:
-        u = 255 - np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
-        return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16).tolist()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -365,7 +371,7 @@ def decode_audio_mulaw(
                         "id": int(rid),
                         "sample_rate": int(rate),
                         "n_samples": int(n),
-                        "pcm": _expand(data),
+                        "pcm": _expand_mulaw(data),
                     }
                 )
             yield pd.DataFrame(

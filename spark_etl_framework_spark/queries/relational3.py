@@ -576,6 +576,20 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p5_8x8_wire(docs, seed_bytes):
+    """(id, payload) wire frame: a REAL 8x8 binary P5 image whose 64
+    raster bytes chain from md5(seed), md5(seed||x/y/z) — the one place
+    the raster recipe lives, so the paired oracles can't drift from a
+    missed copy."""
+    raster_hex = F.concat(
+        *[F.md5(F.concat(seed_bytes, F.lit(sfx))) for sfx in (b"", b"x", b"y", b"z")]
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(raster_hex)).alias("payload"),
+    )
+
+
 @register(
     "multimodal_image_ahash",
     # 8x8 grayscale raster = 64 md5-derived bytes; mean = integer sum /
@@ -614,17 +628,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_images, image_ahash
 
     docs = load_table(spark, sf_dir, "documents")
-    txt = F.encode("text", "utf-8")
-    raster_hex = F.concat(
-        *[
-            F.md5(F.concat(txt, F.lit(suf)))
-            for suf in (b"", b"x", b"y", b"z")
-        ]
-    )
-    wire = docs.select(
-        F.col("doc_id").alias("id"),
-        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(raster_hex)).alias("payload"),
-    )
+    wire = _p5_8x8_wire(docs, F.encode("text", "utf-8"))
     return image_ahash(decode_images(wire, fake=False))
 
 
@@ -794,19 +798,15 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.multimodal import decode_images, image_ahash
 
     docs = load_table(spark, sf_dir, "documents")
-    pfx = F.encode(F.substring("text", 1, 80), "utf-8")
-    raster_hex = F.concat(
-        *[F.md5(F.concat(pfx, F.lit(sfx))) for sfx in (b"", b"x", b"y", b"z")]
-    )
-    wire = docs.select(
-        F.col("doc_id").alias("id"),
-        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(raster_hex)).alias("payload"),
-    )
+    wire = _p5_8x8_wire(docs, F.encode(F.substring("text", 1, 80), "utf-8"))
     ah = image_ahash(decode_images(wire, fake=False)).select(
         F.col("id").alias("doc_id"), F.col("ahash_bits").alias("bits")
     )
-    # scale path: EXPLODE the 4 bands and equi-join on (band_idx, key) —
-    # never the OR-of-substrings theta join (a nested-loop product)
+    # scale path: explode the 4 bands, then expand pairs IN-BUCKET from a
+    # collect_list (the lsh_candidate_pairs shape) — a bucket self-join
+    # would recompute the decode+aHash Python lineage on both sides and
+    # shuffle twice; this runs the lineage ONCE with one aggregation
+    # shuffle. Bits ride inside the bucket structs so no join-back.
     bands = ah.select(
         "doc_id",
         "bits",
@@ -822,16 +822,23 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("z"),
     ).select("doc_id", "bits", F.col("z.band").alias("band"), F.col("z.key").alias("key"))
-    l = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("bits").alias("ba"), "band", "key"
-    )
-    r = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("bits").alias("bb"), "band", "key"
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "bits"))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
     cand = (
-        l.join(r, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ba", "bb")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+                    "x.bits AS ba, y.bits AS bb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.ba", "p.bb")
         .distinct()
     )
     hamming = F.expr(

@@ -61,24 +61,41 @@ def _lang_hits_sql(lang: str) -> str:
     return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
 
 
-@register(
-    "text_language_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, lang,
-                      regexp_split_to_array(trim(text), '\\s+') AS toks
-               FROM documents),
+#: shared oracle fragments: token/hit CTEs + the argmax prediction CASE —
+#: text_language_id and text_langid_confusion MUST stay tiebreak-identical
+_LANGID_HITS_CTE = f"""
+    t AS (SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
     h AS (SELECT doc_id, lang,
-                 CAST({_lang_hits_sql('de')} AS INT) AS hits_de,
-                 CAST({_lang_hits_sql('en')} AS INT) AS hits_en,
-                 CAST({_lang_hits_sql('es')} AS INT) AS hits_es,
-                 CAST({_lang_hits_sql('fr')} AS INT) AS hits_fr
-          FROM t)
-    SELECT doc_id, lang AS labeled_lang, hits_de, hits_en, hits_es, hits_fr,
-           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                 CAST({{de}} AS INT) AS hits_de,
+                 CAST({{en}} AS INT) AS hits_en,
+                 CAST({{es}} AS INT) AS hits_es,
+                 CAST({{fr}} AS INT) AS hits_fr
+          FROM t)"""
+
+_LANGID_PRED_CASE = """CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
                 WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
                 WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
                 WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
-                ELSE 'fr' END AS pred_lang
+                ELSE 'fr' END"""
+
+
+def _langid_hits_cte() -> str:
+    return _LANGID_HITS_CTE.format(
+        de=_lang_hits_sql("de"),
+        en=_lang_hits_sql("en"),
+        es=_lang_hits_sql("es"),
+        fr=_lang_hits_sql("fr"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH {_langid_hits_cte()}
+    SELECT doc_id, lang AS labeled_lang, hits_de, hits_en, hits_es, hits_fr,
+           {_LANGID_PRED_CASE} AS pred_lang
     FROM h
     """,
 )
@@ -1077,21 +1094,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_langid_confusion",
     oracle=f"""
-    WITH t AS (SELECT doc_id, lang,
-                      regexp_split_to_array(trim(text), '\\s+') AS toks
-               FROM documents),
-    h AS (SELECT doc_id, lang,
-                 CAST({_lang_hits_sql('de')} AS INT) AS hits_de,
-                 CAST({_lang_hits_sql('en')} AS INT) AS hits_en,
-                 CAST({_lang_hits_sql('es')} AS INT) AS hits_es,
-                 CAST({_lang_hits_sql('fr')} AS INT) AS hits_fr
-          FROM t),
+    WITH {_langid_hits_cte()},
     p AS (SELECT lang AS labeled_lang,
-                 CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
-                      WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
-                      WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
-                      WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
-                      ELSE 'fr' END AS pred_lang
+                 {_LANGID_PRED_CASE} AS pred_lang
           FROM h)
     SELECT labeled_lang, pred_lang,
            CAST(count(*) AS BIGINT) AS n_docs,

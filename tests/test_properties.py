@@ -112,12 +112,10 @@ def test_mulaw_expand_is_codec_exact_all_256_codes():
     any expanded sample with the standard compressor reproduces a code
     that expands to the SAME value (0x7F and 0xFF both mean zero, so
     byte-level roundtrip is checked for all codes except that alias)."""
-    import numpy as np
+    from spark_etl_framework_spark.operators.multimodal import _expand_mulaw
 
-    def expand(bts):
-        u = 255 - np.frombuffer(bytes(bts), dtype=np.uint8).astype(np.int32)
-        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
-        return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    def expand(bts):  # the PRODUCTION expander, not a local re-derivation
+        return _expand_mulaw(bytes(bts))
 
     def compress(pcm):  # standard CCITT linear -> mu-law encoder
         sign = 0x80 if pcm < 0 else 0
