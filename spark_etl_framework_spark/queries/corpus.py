@@ -846,3 +846,77 @@ def corpus_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 3)
     )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    # CCNet-style tertile bucketing of the unigram surprisal: head =
+    # lowest-perplexity third, tail = highest. ntile runs over the
+    # per-document surprisal relation (doc_id tiebreak), and the bucket
+    # summary emits decimal-exact token mass per bucket.
+    oracle=r"""
+    WITH terms AS (
+        SELECT doc_id, lower(t) AS term
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    total AS (SELECT sum(cnt) AS n_total FROM vocab),
+    d AS (SELECT tf.doc_id,
+                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                 round(sum(tf.tf * (-log2(vocab.cnt / total.n_total)))
+                       / sum(tf.tf), 6) AS bpt
+          FROM tf JOIN vocab USING (term), total
+          GROUP BY tf.doc_id),
+    b AS (SELECT doc_id, n_tokens, bpt,
+                 ntile(3) OVER (ORDER BY bpt, doc_id) AS bucket
+          FROM d)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(bpt), 6) AS min_bpt,
+           round(max(bpt), 6) AS max_bpt
+    FROM b GROUP BY bucket
+    """,
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: documents split into
+    head/middle/tail tertiles by unigram surprisal — the standard
+    recipe keeps head+middle for training and inspects the tail. The
+    ntile runs over the per-document surprisal relation (one row per
+    doc, deterministic tiebreak); bucket stats are one |3|-group
+    aggregate. At true scale swap ntile for approx-quantile cut points
+    exactly as events_rfm_segments notes."""
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = C.unigram_logprob(docs, "doc_id", "text")
+    b = d.select(
+        "n_tokens",
+        "bits_per_token",
+        F.ntile(3).over(_W.orderBy("bits_per_token", "doc_id")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.min("bits_per_token"), 6).alias("min_bpt"),
+            F.round(F.max("bits_per_token"), 6).alias("max_bpt"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket_name"),
+            "n_docs",
+            "n_tokens",
+            "min_bpt",
+            "max_bpt",
+        )
+    )
