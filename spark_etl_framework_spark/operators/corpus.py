@@ -559,3 +559,55 @@ def ngram_novelty(
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_ratio"),
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom pre-filter on the train side —
+    the shape for when the eval suite's shingle set is itself large: the
+    occupied-position relation (operators/joinopt.py) is ≤ m rows
+    REGARDLESS of eval size, so the map-side probes drop almost every
+    non-matching train shingle before the exact membership join, which
+    then touches candidates only. Row-identical to the plain operator
+    (false positives re-checked, false negatives impossible) — the same
+    oracle gates both. n_shingles counts ALL of a document's shingles
+    (sized before the prefilter); only the hit counting rides the
+    filtered stream.
+    """
+    from .dedup import hashed_shingles
+    from .joinopt import bloom_positions, bloom_prefilter
+
+    eval_keys = (
+        hashed_shingles(eval_df, id_col, text_col, n=n)
+        .select("shingle_key")
+        .distinct()
+    )
+    pos = bloom_positions(eval_keys, "shingle_key", m_bits=m_bits, k=k)
+    train_sh = hashed_shingles(train, id_col, text_col, n=n)
+    sizes = train_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    cand = bloom_prefilter(train_sh, pos, "shingle_key", m_bits=m_bits, k=k)
+    hits = (
+        cand.join(F.broadcast(eval_keys), "shingle_key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

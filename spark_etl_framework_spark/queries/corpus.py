@@ -920,3 +920,39 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bpt",
         )
     )
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    # SAME oracle as corpus_decontaminate: the Bloom stage is
+    # semantically transparent, so any prefilter bug that drops or
+    # duplicates a hit breaks the hash.
+    oracle=f"""
+    WITH {_SH5_CTE},
+    ev AS (SELECT DISTINCT shingle_key FROM hsh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM hsh WHERE doc_id % 97 <> 0),
+    per AS (SELECT tr.doc_id,
+                   CAST(count(*) AS BIGINT)        AS n_shingles,
+                   CAST(count(ev.shingle_key) AS BIGINT) AS n_hits
+            FROM tr LEFT JOIN ev ON tr.shingle_key = ev.shingle_key
+            GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           coalesce(n_shingles, 0) AS n_shingles,
+           coalesce(n_hits, 0)     AS n_hits,
+           (coalesce(n_hits, 0) > 0) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination
+    (operators/corpus.py:decontaminate_bloom): the eval shingle set
+    compresses to a ≤2^16-row occupied-position relation probed map-side
+    on the train stream, so the exact membership join touches candidates
+    only — the shape for LARGE eval suites whose raw shingle broadcast
+    would not fit. Row-identical to corpus_decontaminate under the same
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return C.decontaminate_bloom(train, eval_df, "doc_id", "text", n=5)
