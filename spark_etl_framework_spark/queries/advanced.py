@@ -1171,3 +1171,47 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "segment_value",
     )
+
+
+@register(
+    "events_error_budget_burn",
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+    w AS (SELECT CAST(make_timestamp((epoch_ms(ts) // 3600000) * 3600000000)
+                      AS VARCHAR) AS window_start,
+                 count(*) AS n,
+                 count(*) FILTER (WHERE event_type = 'error') AS n_err
+          FROM ev GROUP BY 1)
+    SELECT window_start,
+           CAST(n AS BIGINT)     AS n_events,
+           CAST(n_err AS BIGINT) AS n_errors,
+           round(n_err / CAST(n AS DOUBLE), 6) AS error_rate,
+           round((n_err / CAST(n AS DOUBLE)) / 0.01, 4) AS burn_rate,
+           (n_err / CAST(n AS DOUBLE)) > 0.01 * 14.4 AS page_alert
+    FROM w
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate per hour window (the multiwindow-alert
+    arithmetic from the SRE workbook): error share vs a 1% budget, with
+    the 14.4x fast-burn page threshold as a boolean. One windowed
+    aggregate; exact integer ratios so both engines agree without
+    rounding tricks."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+    )
+    rate = F.col("n_err") / F.col("n").cast("double")
+    return w.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_err").cast("bigint").alias("n_errors"),
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / 0.01, 4).alias("burn_rate"),
+        (rate > 0.01 * 14.4).alias("page_alert"),
+    )
