@@ -1215,3 +1215,55 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate / 0.01, 4).alias("burn_rate"),
         (rate > 0.01 * 14.4).alias("page_alert"),
     )
+
+
+@register(
+    "events_peak_detection",
+    # local maxima on the per-user value sequence: strictly greater than
+    # the previous value AND at least the next (deterministic ts,
+    # event_id order; sequence edges can't be peaks). Pure lag/lead —
+    # one window pass.
+    oracle="""
+    WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
+                FROM events),
+    l AS (SELECT user_id, event_id, value,
+                 lag(value)  OVER w AS prev_v,
+                 lead(value) OVER w AS next_v
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round(prev_v, 4) AS prev_v, round(next_v, 4) AS next_v
+    FROM l
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND value > prev_v AND value >= next_v
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on each user's value sequence (strict rise
+    into the point, non-rise out; edges excluded) — the spike-picking
+    primitive behind alerting and changepoint seeding. One lag/lead pass
+    on the shared deterministic user window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return (
+        l.filter(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("value") > F.col("prev_v"))
+            & (F.col("value") >= F.col("next_v"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.round("prev_v", 4).alias("prev_v"),
+            F.round("next_v", 4).alias("next_v"),
+        )
+    )

@@ -178,3 +178,45 @@ def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_cd), 6).alias("cd"),
         F.round(F.nth_value("_q", 3).over(w_nth), 2).alias("third_largest_qty"),
     )
+
+
+@register(
+    "window_rolling_median",
+    # exact trailing-5 discrete median per user: both engines aggregate
+    # the frame into a sorted list and take element (n+1)//2 — no
+    # reliance on engine median() interpolation rules.
+    oracle="""
+    WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
+                FROM events),
+    f AS (SELECT user_id, event_id,
+                 list_sort(array_agg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+          FROM ev)
+    SELECT user_id, event_id,
+           CAST(len(fr) AS INT) AS frame_n,
+           round(fr[(len(fr) + 1) // 2], 6) AS rolling_median
+    FROM f
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (trailing 5 rows per user, deterministic
+    (ts, event_id) order): the robust smoother a mean-based rolling
+    feature can't give you. Both engines materialize the ≤5-element
+    frame and index the sorted list — constant per-row state, one
+    user-keyed window shuffle shared with the other rolling features."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    fr = F.sort_array(F.collect_list("value").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(fr).cast("int").alias("frame_n"),
+        F.round(
+            F.element_at(fr, ((F.size(fr) + 1) / 2).cast("int")), 6
+        ).alias("rolling_median"),
+    )
