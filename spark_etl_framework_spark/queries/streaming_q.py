@@ -827,3 +827,64 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"), "rn")
     )
+
+
+@register(
+    "stream_error_budget_burn",
+    # the STREAM maintains per-hour-window event/error counts (complete
+    # mode); burn-rate arithmetic runs over the streamed state. Same
+    # semantics as the batch events_error_budget_burn — the batch/stream
+    # parity proof for the SLO pipeline.
+    oracle="""
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+    w AS (SELECT CAST(make_timestamp((epoch_ms(ts) // 3600000) * 3600000000)
+                      AS VARCHAR) AS window_start,
+                 count(*) AS n,
+                 count(*) FILTER (WHERE event_type = 'error') AS n_err
+          FROM ev GROUP BY 1)
+    SELECT window_start,
+           CAST(n AS BIGINT)     AS n_events,
+           CAST(n_err AS BIGINT) AS n_errors,
+           round((n_err / CAST(n AS DOUBLE)) / 0.01, 4) AS burn_rate
+    FROM w
+    """,
+)
+def stream_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO burn rate: hourly event/error counts maintained by a
+    watermarked streaming aggregation, burn arithmetic applied over the
+    streamed state — hash-matched against the batch oracle, proving the
+    alerting pipeline computes identical numbers batch or stream."""
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_err"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), "n", "n_err"
+        )
+    )
+    qname = f"stream_burn_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = spark.table(qname)
+    return t.select(
+        "window_start",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_err").cast("bigint").alias("n_errors"),
+        F.round((F.col("n_err") / F.col("n").cast("double")) / 0.01, 4).alias(
+            "burn_rate"
+        ),
+    )
