@@ -1267,3 +1267,58 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("next_v", 4).alias("next_v"),
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    # DAU/WAU per day: the rolling 7-day distinct-user count comes from a
+    # range self-join of the NARROW (day, user) relation (never the
+    # events), then one distinct count per anchor day.
+    oracle="""
+    WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+    du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM ev),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+    wau AS (SELECT days.d, count(DISTINCT du.user_id) AS wau
+            FROM days JOIN du
+              ON du.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d)
+    SELECT CAST(dau.d AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every growth
+    dashboard leads with. The trailing-7-day distinct-user count is a
+    range self-join over the deduplicated (day, user) relation (days ×
+    active users — tiny next to events), then a distinct count per
+    anchor day; DAU is one aggregate of the same relation."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    d2 = du.select(F.col("d").alias("d2"), "user_id")
+    wau = (
+        days.join(
+            d2,
+            (F.col("d2") >= F.date_sub("d", 6)) & (F.col("d2") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
