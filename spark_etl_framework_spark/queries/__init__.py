@@ -164,8 +164,8 @@ def _load_all() -> None:
 #: multimodal_image_neardup_pairs, corpus_perplexity_buckets,
 #: corpus_decontaminate_bloom, events_error_budget_burn,
 #: window_rolling_median, events_peak_detection,
-#: stream_error_budget_burn —
-#: 86 queries; rotate in over
+#: stream_error_budget_burn, events_dau_wau_stickiness —
+#: 87 queries; rotate in over
 #: 2 rounds if the window can't host all while
 #: keeping every family's anchor. All are exact-value-checked locally at
 #: sf0.001 + sf0.01 every round via tools/check_correctness.py.
