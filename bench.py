@@ -61,6 +61,11 @@ HEADLINE = [
     # SCD2 (single-join warehouse merge)
     "corpus_chunk_dedup",
     "dedup_incremental_admission",
+    # round 5: the production shape — corpus index persisted to parquet
+    # once per session; run 1 builds it, so the min-of-3 reported here is
+    # the steady-state per-ingest PROBE cost (compare with the inline
+    # variant above, whose number includes the index rebuild)
+    "dedup_incremental_admission_steady",
     "ts_ewma_user_value",
     "etl_scd2_merge",
     # round 4 late additions — bounded-state sketch, layout audit,
@@ -121,19 +126,36 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only the LAST 2000 chars of stdout and parses the
+    # final line as JSON — BENCH_r04 overflowed that budget (parsed: null)
+    # by putting both the min and median dicts on one line. So: medians go
+    # to stderr for humans/history, and the final stdout line is the
+    # compact min-only JSON (~1.4k chars at 42 queries; asserted < 2000 so
+    # growth of HEADLINE fails loudly here instead of silently at the
+    # driver).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
+                "metric": "headline_queries_median_total",
                 "median_total": round(sum(medians.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+                "queries_median": medians,
+            },
+            separators=(",", ":"),
+        ),
+        file=sys.stderr,
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 2000, f"bench JSON line {len(line)} chars overflows driver tail"
+    print(line)
 
 
 if __name__ == "__main__":

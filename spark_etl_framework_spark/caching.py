@@ -1,0 +1,54 @@
+"""Deterministic lifecycle for intra-query persisted relations.
+
+Several queries/operators persist narrow multiply-consumed relations
+(LSH candidate pairs, hashed shingle keys, tf term counts, trained PQ
+centroids) so a scan+tokenize lineage runs once instead of once per
+consumer. ``DataFrame.persist`` alone leaks by default: the JVM keeps
+the blocks registered until ``unpersist`` or until ContextCleaner's
+weak references fire after a driver GC — so a long session sweeping
+hundreds of queries accumulates storage blocks between GCs (the round-4
+ADVICE finding on ``pq_codes``).
+
+:func:`scoped_persist` fixes the lifecycle without giving up laziness:
+the persist is recorded in a session-wide registry, and
+:func:`release_scoped` unpersists everything recorded so far. The query
+registry's ``register`` wrapper calls ``release_scoped`` at the START of
+every query invocation, so one query's cache lives exactly until the
+next query begins — by which point every sequential consumer (the
+driver, bench.py, tools/check_correctness.py, a user loop) has
+materialized the previous result. Storage growth is bounded by ONE
+query's working set instead of the whole sweep. ``unpersist`` is always
+semantically safe (lineage recomputes), so a caller that interleaves
+query building never gets wrong results — at worst a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist ``df`` and record it for the next :func:`release_scoped`."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _SCOPED.append(df)
+    return df
+
+
+def release_scoped() -> int:
+    """Unpersist every scoped relation recorded so far; returns how many.
+
+    Non-blocking: block removal proceeds asynchronously on the JVM side
+    while the caller's next query starts planning.
+    """
+    n = 0
+    while _SCOPED:
+        df = _SCOPED.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            # a dead session's DataFrame — nothing left to free
+            pass
+    return n

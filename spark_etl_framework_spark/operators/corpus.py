@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 from .text import tokens
 
 
@@ -501,10 +503,10 @@ def unigram_logprob(
     _terms, tf = _term_counts(df, id_col, text_col)
     # tf has three consumers (vocab, total via vocab, and the scoring
     # join): persist the narrow (doc, term, tf) relation so the
-    # explode+aggregate lineage runs once, not per branch —
-    # ContextCleaner reclaims the blocks when the result's lineage is
-    # garbage-collected (same pattern as the dedup family's hsh/cand).
-    tf = tf.persist()
+    # explode+aggregate lineage runs once, not per branch — scoped, so
+    # the next registered-query invocation releases the blocks
+    # (same lifecycle as the dedup family's hsh/cand, caching.py).
+    tf = scoped_persist(tf)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     # N = total token occurrences — straight off the cached tf (one pass,
     # 1-row result) instead of re-aggregating the vocabulary

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 from ..plans.context import JobContext
 from .base import Actor
 
@@ -101,10 +103,10 @@ def containment_drop_ids(
     )
     # narrow-relation persists (pairs and keys, never text): cand feeds
     # the intersection AND the final policy join, hsh feeds sizes and both
-    # inverted-index sides; ContextCleaner reclaims the blocks after the
-    # returned DataFrame's lineage is garbage-collected
-    cand = D.lsh_candidate_pairs(bands, id_col).persist()
-    hsh = D.hashed_shingles(df, id_col, text_col, n).persist()
+    # inverted-index sides; scoped_persist bounds the lifecycle (released
+    # on the next registered-query invocation, caching.py)
+    cand = scoped_persist(D.lsh_candidate_pairs(bands, id_col))
+    hsh = scoped_persist(D.hashed_shingles(df, id_col, text_col, n))
     sizes = hsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col(id_col).alias("id_a"), "shingle_key")
     b = hsh.select(F.col(id_col).alias("id_b"), "shingle_key")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -322,7 +324,7 @@ def ngram_jaccard_topk(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-    sh = sh.persist()
+    sh = scoped_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle_key")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle_key")
@@ -547,46 +549,32 @@ def simhash_hamming_pairs(
     )
 
 
-def incremental_lsh_matches(
+def build_corpus_lsh_index(
     corpus: DataFrame,
-    increment: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
-    threshold: float = 0.5,
     max_bucket: int | None = 10_000,
-) -> DataFrame:
-    """Incremental near-dup admission: match an INCOMING batch against an
-    EXISTING corpus without ever pairing the corpus against itself.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus side of incremental admission as a PERSISTABLE index:
+    ``(buckets, shingles, sizes)``.
 
-    At 100 TB you do not re-dedup the corpus per ingest — the corpus's
-    band keys are a precomputed index (here rebuilt inline so the query
-    stays self-contained; in production they persist bucketed by
-    band_key), and each ingest batch probes it. Corpus buckets aggregate
-    to sorted id-lists with the same ``max_bucket`` degenerate-bucket
-    guard as :func:`lsh_candidate_pairs`; increment bands join those
-    buckets on the 32-char band key and explode to (new, old) candidate
-    pairs — so candidate volume is bounded by increment×bucket, never
-    corpus². Exact Jaccard verification then touches candidates only,
-    on fixed-width hashed-shingle keys (text never crosses an exchange).
+    - ``buckets``: (band_id, band_key, old_ids sorted array) — corpus LSH
+      band buckets with the same ``max_bucket`` degenerate-bucket guard as
+      :func:`lsh_candidate_pairs`;
+    - ``shingles``: (old_id, shingle_key) — the fixed-width hashed-shingle
+      inverted index for exact verification (text never in the index);
+    - ``sizes``: (old_id, n_old) — per-document distinct-shingle counts.
 
-    Returns ONE row per increment document: its best corpus match
-    (highest verified Jaccard, smallest old id on ties; nulls when LSH
-    surfaced no candidate) and the admission decision
-    ``is_dup = jaccard >= threshold``.
-    """
-    from pyspark.sql import Window as W
-
+    In production these three relations are written once (bucketed by
+    band_key / shingle_key) and every ingest batch probes them via
+    :func:`probe_corpus_lsh_index`; rebuilding them per ingest would make
+    every batch pay a corpus-scale scan. :func:`incremental_lsh_matches`
+    composes build+probe inline for the self-contained form."""
     cb = lsh_bands_wide(
         minhash_wide(word_shingles(corpus, id_col, text_col, n, distinct=False), id_col, k),
-        id_col,
-        k,
-        rows_per_band,
-    )
-    ib = lsh_bands_wide(
-        minhash_wide(word_shingles(increment, id_col, text_col, n, distinct=False), id_col, k),
         id_col,
         k,
         rows_per_band,
@@ -596,6 +584,47 @@ def incremental_lsh_matches(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("old_ids") <= max_bucket)
+    shingles = hashed_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("old_id"), "shingle_key"
+    )
+    sizes = shingles.groupBy("old_id").agg(F.count(F.lit(1)).alias("n_old"))
+    return buckets, shingles, sizes
+
+
+def probe_corpus_lsh_index(
+    buckets: DataFrame,
+    shingles: DataFrame,
+    sizes: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a prebuilt corpus index (:func:`build_corpus_lsh_index`) with
+    an ingest batch. All corpus-scale work happened at index-build time;
+    the probe's cost is increment-bands x bucket joins plus candidate-only
+    exact verification — the steady-state per-ingest cost at 100 TB.
+
+    Returns ONE row per increment document: its best corpus match
+    (highest verified Jaccard, smallest old id on ties; nulls when LSH
+    surfaced no candidate) and the admission decision
+    ``is_dup = jaccard >= threshold``."""
+    from pyspark.sql import Window as W
+
+    ib = lsh_bands_wide(
+        minhash_wide(word_shingles(increment, id_col, text_col, n, distinct=False), id_col, k),
+        id_col,
+        k,
+        rows_per_band,
+    )
+    # cand/hs_new are multiply consumed but deliberately NOT persisted:
+    # an A/B at sf0.1 measured the cache barrier ~0.2 s SLOWER than
+    # recomputing the narrow tokenize/minhash lineage (same finding as
+    # operators/graph.py's pagerank note — fused codegen beats the cache
+    # for cheap narrow subtrees)
     cand = (
         ib.select(F.col(id_col).alias("new_id"), "band_id", "band_key")
         .join(buckets, ["band_id", "band_key"])
@@ -603,24 +632,30 @@ def incremental_lsh_matches(
         .distinct()
     )
 
+    # Only candidate old_ids matter downstream, so pre-restrict the two
+    # corpus-sized index relations with an UNHINTED semi-join on the
+    # candidate id set (bounded by increment x bucket): AQE broadcasts the
+    # small id set at runtime and the full index never crosses an exchange
+    # — without this the verification join shuffles the whole corpus
+    # shingle index per ingest batch (measured 1.2 s -> 0.6 s at sf0.1).
+    old_ids = cand.select("old_id").distinct()
+    shingles = shingles.join(old_ids, "old_id", "left_semi")
+    sizes = sizes.join(old_ids, "old_id", "left_semi")
+
     hs_new = hashed_shingles(increment, id_col, text_col, n).select(
         F.col(id_col).alias("new_id"), "shingle_key"
     )
-    hs_old = hashed_shingles(corpus, id_col, text_col, n).select(
-        F.col(id_col).alias("old_id"), "shingle_key"
-    )
     sizes_new = hs_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
-    sizes_old = hs_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("n_old"))
     inter = (
         cand.join(hs_new, "new_id")
-        .join(hs_old, ["old_id", "shingle_key"])
+        .join(shingles, ["old_id", "shingle_key"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_new") + F.col("n_old") - F.col("n_inter"))
     scored = (
         inter.join(sizes_new, "new_id")
-        .join(sizes_old, "old_id")
+        .join(sizes, "old_id")
         .select("new_id", "old_id", jac.alias("_jac"))
     )
     w = W.partitionBy("new_id").orderBy(F.desc("_jac"), "old_id")
@@ -643,4 +678,42 @@ def incremental_lsh_matches(
             "jaccard",
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
+    )
+
+
+def incremental_lsh_matches(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup admission: match an INCOMING batch against an
+    EXISTING corpus without ever pairing the corpus against itself.
+
+    At 100 TB you do not re-dedup the corpus per ingest — the corpus's
+    band keys are a precomputed index (here rebuilt inline so the query
+    stays self-contained; in production they persist bucketed by
+    band_key — :func:`build_corpus_lsh_index` /
+    :func:`probe_corpus_lsh_index` are exactly that split), and each
+    ingest batch probes it. Corpus buckets aggregate to sorted id-lists
+    with the same ``max_bucket`` degenerate-bucket guard as
+    :func:`lsh_candidate_pairs`; increment bands join those buckets on
+    the 32-char band key and explode to (new, old) candidate pairs — so
+    candidate volume is bounded by increment x bucket, never corpus^2.
+    Exact Jaccard verification then touches candidates only, on
+    fixed-width hashed-shingle keys (text never crosses an exchange).
+
+    Returns ONE row per increment document — see
+    :func:`probe_corpus_lsh_index`."""
+    buckets, shingles, sizes = build_corpus_lsh_index(
+        corpus, id_col, text_col, n, k, rows_per_band, max_bucket
+    )
+    return probe_corpus_lsh_index(
+        buckets, shingles, sizes, increment, id_col, text_col, n, k,
+        rows_per_band, threshold,
     )

@@ -110,6 +110,11 @@ def _decode_bmp(raw: bytes) -> tuple[str, int, int, int, bytes]:
         )
     bottom_up = h > 0
     h = abs(h)
+    # w <= 0 (and h == 0) is a malformed header, same class as the
+    # truncation check below — fail with the clear error, not an opaque
+    # numpy reshape failure downstream
+    if w <= 0 or h == 0:
+        raise ValueError(f"malformed BMP dimensions: {w}x{h}")
     stride = (w * 3 + 3) & ~3
     if data_off + stride * h > len(raw):
         raise ValueError("truncated BMP raster")

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -580,8 +582,11 @@ def pq_codes(
             # consumed by the final assignment: persist the m*k-row
             # relation so the training DAG under it runs ONCE, not once
             # per consumer (measured 2x otherwise — two seed subtrees,
-            # eight duplicate corpus scans in the ADC plan)
-            cent = cent.persist()
+            # eight duplicate corpus scans in the ADC plan). Scoped: the
+            # round-4 ADVICE leak — released on the next query invocation
+            # (caching.py); callers needing a longer-lived model own the
+            # persist themselves
+            cent = scoped_persist(cent)
         scored = v.join(F.broadcast(cent), "s").select(
             "vid", "s", "e", "cid", dist.alias("d")
         )

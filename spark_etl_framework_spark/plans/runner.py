@@ -68,6 +68,7 @@ class PipelineRunner:
             if pipeline.global_view_as_local:
                 self._localize_global_views(session)
             jctx = JobContext(ctx, session)
+            metrics_persisted: list = []
             try:
                 for action in job.actions:
                     t0 = time.time()
@@ -85,8 +86,19 @@ class PipelineRunner:
                         jctx.register_view(
                             action.output_view.name, df, action.output_view.global_
                         )
-                    self._metrics_and_staging(pipeline, action, df, metrics, t0)
+                    self._metrics_and_staging(
+                        pipeline, action, df, metrics, t0, metrics_persisted
+                    )
             finally:
+                # release the metrics persists deterministically — the
+                # sinks have materialized by job end, so the blocks are
+                # dead weight (ContextCleaner would only free them after
+                # a later driver GC)
+                for pdf in metrics_persisted:
+                    try:
+                        pdf.unpersist(blocking=False)
+                    except Exception:
+                        pass
                 jctx.cleanup()
                 if not pipeline.single_spark_session:
                     session.catalog.clearCache()
@@ -115,14 +127,18 @@ class PipelineRunner:
         df: DataFrame | None,
         metrics: list[dict],
         t0: float,
+        metrics_persisted: list | None = None,
     ) -> None:
         ml = pipeline.metrics_logging
         if ml and df is not None and not df.isStreaming and (
             not ml.actions or action.name in ml.actions
         ):
             # persist-before-count so metrics don't recompute the plan
-            # (reference: PipelineRunner.scala:162-170)
+            # (reference: PipelineRunner.scala:162-170); recorded so run()
+            # can unpersist at job end instead of leaking until driver GC
             df.persist()
+            if metrics_persisted is not None:
+                metrics_persisted.append(df)
             record = {
                 "action": action.name,
                 "schema": df.schema.simpleString(),

@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 from ..catalog import load_table
 from ..operators import dedup as D
 from . import register
@@ -321,11 +323,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per doc, feeds bands + both estimator sides; cand: the pair set,
     # joined twice; hsh below: (id, 16-char key), three consumers) so the
     # scan+tokenize+hash lineage runs once — unlike round 3 this caches
-    # keys/digests, never shingle text, and Spark's ContextCleaner frees
-    # the blocks once the query's DataFrames are garbage-collected
-    wide = D.minhash_wide(raw, "doc_id", k=8).persist()
+    # keys/digests, never shingle text; lifecycle is deterministic —
+    # scoped_persist registers the blocks and the NEXT query invocation
+    # releases them (caching.py), so a registry sweep never accumulates
+    wide = scoped_persist(D.minhash_wide(raw, "doc_id", k=8))
     bands = D.lsh_bands_wide(wide, "doc_id", k=8, rows_per_band=2)
-    cand = D.lsh_candidate_pairs(bands, "doc_id").persist()
+    cand = scoped_persist(D.lsh_candidate_pairs(bands, "doc_id"))
     wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(8)])
     wb = wide.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(8)])
     match_frac = sum(
@@ -335,7 +338,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(wa, "id_a").join(wb, "id_b")
         .select("id_a", "id_b", F.round(match_frac, 6).alias("est_jaccard"))
     )
-    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3).persist()
+    hsh = scoped_persist(D.hashed_shingles(docs, "doc_id", "text", n=3))
     sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
     b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")
@@ -402,10 +405,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = D.word_shingles(docs, "doc_id", "text", n=3, distinct=False)
     bands = D.lsh_bands_wide(D.minhash_wide(raw, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
     # narrow-relation persists (keys and pairs, never text): cand is
-    # consumed twice, hsh three times; ContextCleaner reclaims the blocks
-    # when the query's DataFrames go out of scope
-    cand = D.lsh_candidate_pairs(bands, "doc_id").persist()
-    hsh = D.hashed_shingles(docs, "doc_id", "text", n=3).persist()
+    # consumed twice, hsh three times; scoped_persist releases the blocks
+    # when the next query starts (caching.py)
+    cand = scoped_persist(D.lsh_candidate_pairs(bands, "doc_id"))
+    hsh = scoped_persist(D.hashed_shingles(docs, "doc_id", "text", n=3))
     sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = hsh.select(F.col("doc_id").alias("id_a"), "shingle_key")
     b = hsh.select(F.col("doc_id").alias("id_b"), "shingle_key")

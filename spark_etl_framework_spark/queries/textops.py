@@ -907,7 +907,10 @@ def _bpe_ctes(rounds: int = 3) -> str:
         r"""w AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS wd
            FROM documents),
     words AS (SELECT wd, count(*) AS freq FROM w WHERE wd <> '' GROUP BY wd),
-    s0 AS (SELECT wd, '||' || regexp_replace(wd, '(.)', '\1||', 'g') AS r, freq
+    s0 AS (SELECT wd,
+                  '||' || regexp_replace(replace(wd, '|', chr(26)),
+                                         '(.)', '\1||', 'g') AS r,
+                  freq
            FROM words)"""
     ]
     for k in range(1, rounds + 1):

@@ -1,0 +1,55 @@
+"""Scoped-persist lifecycle: intra-query caches must not outlive the query.
+
+The round-4 ADVICE flagged ``pq_codes(with_model=True)`` leaking its
+persisted centroid relation; the audit found the same pattern (persist,
+rely on ContextCleaner + driver GC) in the dedup/corpus query family. The
+fix routes every intra-query persist through ``caching.scoped_persist``
+and has the query registry release the previous query's caches when the
+next query is invoked — these tests pin that contract with the JVM's
+persistent-RDD registry, not with mocks.
+"""
+
+from __future__ import annotations
+
+from spark_etl_framework_spark.caching import _SCOPED, release_scoped, scoped_persist
+from spark_etl_framework_spark.queries import QUERIES
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_release_scoped_unpersists(spark):
+    base = _n_persistent(spark)
+    df = scoped_persist(spark.range(100))
+    df.count()
+    assert _n_persistent(spark) == base + 1
+    assert release_scoped() == 1
+    assert _n_persistent(spark) == base
+    assert not _SCOPED
+
+
+def test_query_invocation_releases_previous_caches(spark, sf_dir):
+    """Running a persist-heavy query then ANY other registered query must
+    free the first query's blocks: a full-registry sweep's storage
+    footprint stays bounded by one query's working set."""
+    release_scoped()
+    base = _n_persistent(spark)
+    # dedup_containment_pairs scope-persists cand + hsh
+    QUERIES["dedup_containment_pairs"](spark, sf_dir).count()
+    assert _n_persistent(spark) > base, "expected scoped persists while live"
+    # next query invocation (any query) releases them at entry
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
+    assert _n_persistent(spark) == base
+    assert not _SCOPED
+
+
+def test_pq_codes_model_centroids_released_by_next_query(spark, sf_dir):
+    """The ADVICE finding verbatim: vector_pq_ann_adc trains with
+    with_model=True (persisted centroids); the next query invocation must
+    leave no residue in the JVM's persistent-RDD registry."""
+    release_scoped()
+    base = _n_persistent(spark)
+    QUERIES["vector_pq_ann_adc"](spark, sf_dir).count()
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
+    assert _n_persistent(spark) == base

@@ -550,6 +550,22 @@ def test_bmp_decode_bottom_up_bgr_padding_and_topdown_variant():
     with _pt.raises(ValueError):  # truncated raster detected
         _decode_bmp(hdr(2) + raster_bu[:5])
 
+    # crafted w <= 0 / h == 0 headers: clear ValueError, not an opaque
+    # numpy frombuffer/reshape error (round-4 ADVICE)
+    def dims_hdr(width, height):
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+        )
+
+    with _pt.raises(ValueError, match="malformed BMP dimensions"):
+        _decode_bmp(dims_hdr(0, 2))
+    with _pt.raises(ValueError, match="malformed BMP dimensions"):
+        _decode_bmp(dims_hdr(-3, 2))
+    with _pt.raises(ValueError, match="malformed BMP dimensions"):
+        _decode_bmp(dims_hdr(1, 0))
+
 
 def test_pagerank_path_graph_invariants(spark):
     """Undirected path a-b-c: total mass conserved (no dangling nodes

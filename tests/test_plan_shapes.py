@@ -606,3 +606,17 @@ def test_image_neardup_band_equi_join_no_nested_loop(spark, sf_dir):
     plan = _initial_plan(QUERIES["multimodal_image_neardup_pairs"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_fact_join_runs_once(spark, sf_dir):
+    """graph_pagerank_bipartite materializes the join-derived edge
+    relation (repartition by __src + localCheckpoint) BEFORE iterating:
+    the final plan must read the checkpointed blocks (Scan ExistingRDD),
+    and the lineitem x orders derivation must appear zero times — it ran
+    once, eagerly, at checkpoint time, not once per power iteration."""
+    plan = _initial_plan(QUERIES["graph_pagerank_bipartite"](spark, sf_dir))
+    assert "ExistingRDD" in plan, plan
+    assert "lineitem" not in plan and "orders" not in plan, (
+        "fact-join lineage leaked past the checkpoint — the corpus-scale "
+        "join would re-execute every power iteration"
+    )

@@ -82,3 +82,36 @@ def test_priority_window_invariants():
         "stream_", "pipeline_", "multimodal_", "events_", "agg_", "q",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
+
+
+def test_bpe_oracle_parity_with_pipe_corpus(spark, tmp_path):
+    """Round-4 ADVICE: the DuckDB BPE oracle fenced raw words while the
+    Spark operator escapes '|' to \\x1a before fencing, so a corpus token
+    containing '|' made the engines learn different merges. Pin parity on
+    exactly that corpus: pipes both as standalone tokens and embedded."""
+    import duckdb
+
+    rows = [
+        (1, "a|b a|b a|b pipe pipe pipe pipe", "s"),
+        (2, "| | | a|b ab ab ab ab pipe", "s"),
+        (3, "ab ab pipe a|b ||x ||x", "s"),
+    ]
+    sdf_in = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    sdf_in.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    sdf = QUERIES["text_bpe_train_merges"](spark, str(tmp_path))
+    srows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(ORACLES["text_bpe_train_merges"])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_norm = sorted([tuple(r[i] for i in order) for r in srows], key=repr)
+    d_norm = sorted([tuple(r[i] for i in dorder) for r in drows], key=repr)
+    assert s_norm == d_norm
