@@ -559,6 +559,18 @@ def bpe_train_merges(
     merge table; with ``with_vocab=True`` returns (merges, vocab) where
     vocab is the fully-merged word table (w, n_symbols) the encoder
     joins against.
+
+    Each round's state and argmax are materialized with eager
+    ``localCheckpoint`` (the connected_components pattern,
+    operators/dedup.py): a round's state plan embeds the previous state
+    TWICE (once via the pair counts under the argmax, once directly
+    under the rewrite), so without truncation the lineage — and the
+    number of corpus scans at execution — doubles per round (measured 7
+    scans of the documents table for 3 rounds, 2^rounds - 1 generally).
+    With it, the corpus is scanned exactly once (the initial word-freq
+    collapse) and every later round touches only the checkpointed
+    vocab-sized state. The checkpoints hold vocab-sized/1-row relations
+    — the 100 TB corpus is never cached.
     """
     if rounds < 1:
         raise ValueError("bpe_train_merges: rounds must be >= 1")
@@ -575,7 +587,10 @@ def bpe_train_merges(
     rep = F.concat(
         F.lit("||"), F.regexp_replace(esc, "(.)", "$1||")
     ).alias("r")
-    state = words.select("w", rep, "freq")
+    # the ONE corpus scan: collapse to the vocab-sized word-frequency
+    # table and checkpoint it, so round 1's two consumers (pair counts
+    # and the rewrite) read the materialized collapse, not the corpus
+    state = words.select("w", rep, "freq").localCheckpoint(eager=True)
     merges = None
     for rnd in range(1, rounds + 1):
         syms = F.expr("slice(split(r, '\\\\|\\\\|'), 2, size(split(r, '\\\\|\\\\|')) - 2)")
@@ -594,6 +609,9 @@ def bpe_train_merges(
             .select(F.col("z.l").alias("l"), F.col("z.r2").alias("r2"), "freq")
         )
         counts = pairs.groupBy("l", "r2").agg(F.sum("freq").alias("cnt"))
+        # eager checkpoint: 1-row relation, consumed by BOTH the merge
+        # table and the rewrite broadcast — and the truncation point that
+        # stops the per-round lineage doubling (see docstring)
         best = (
             counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r2"))
             .limit(1)
@@ -603,6 +621,7 @@ def bpe_train_merges(
                 F.col("r2").alias("right"),
                 F.col("cnt").cast("bigint").alias("pair_count"),
             )
+            .localCheckpoint(eager=True)
         )
         unesc = lambda c: F.replace(F.col(c), F.lit("\x1a"), F.lit("|"))
         out_row = best.select(
@@ -631,7 +650,7 @@ def bpe_train_merges(
             )
             .alias("r"),
             "freq",
-        )
+        ).localCheckpoint(eager=True)
     if with_vocab:
         n_sym = (F.size(F.split("r", r"\|\|")) - 2).cast("int")
         return merges, state.select("w", n_sym.alias("n_symbols"))

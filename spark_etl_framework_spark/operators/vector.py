@@ -614,6 +614,12 @@ def pq_codes(
                 ).alias("c")
             )
             .select("s", F.col("cell").alias("cid"), "c")
+            # eager checkpoint (m*k rows): truncates the per-round lineage
+            # so the next round's two consumers (scoring join + update)
+            # read the materialized centroids instead of re-executing the
+            # corpus-wide training subtree — same doubling fix as
+            # bpe_train_merges / connected_components
+            .localCheckpoint(eager=True)
         )
     out = assigned.select(
         F.col("vid").alias(id_col),

@@ -923,6 +923,85 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_perplexity_buckets_approx",
+    # The 100 TB form of the tertile bucketing: approx_percentile cut
+    # points instead of a global ntile sort. The sketch value itself is
+    # not engine-reproducible, so the oracle checks the CONTRACT (the
+    # events_approx_quantile_calibration pattern): exact corpus totals +
+    # booleans asserting each bucket's share landed within ±5% of the
+    # exact third and the cut points are ordered.
+    oracle=r"""
+    WITH terms AS (
+        SELECT doc_id, lower(t) AS term
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    total AS (SELECT sum(cnt) AS n_total FROM vocab),
+    d AS (SELECT tf.doc_id,
+                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                 round(sum(tf.tf * (-log2(vocab.cnt / total.n_total)))
+                       / sum(tf.tf), 6) AS bpt
+          FROM tf JOIN vocab USING (term), total
+          GROUP BY tf.doc_id)
+    SELECT CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           true AS head_share_ok,
+           true AS middle_share_ok,
+           true AS tail_share_ok,
+           true AS cuts_ordered
+    FROM d
+    """,
+)
+def corpus_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity bucketing, scale path: tertile CUT POINTS come from one
+    ``approx_percentile`` pass (bounded GK summaries, map-side mergeable
+    — the only affordable quantile at 100 TB) and bucket assignment is a
+    map-side comparison against the broadcast 1-row cut relation; no
+    global sort, no ntile window over the corpus. The exact sibling
+    (corpus_perplexity_buckets) pins the values; this one pins the
+    contract — each bucket's share within ±5% of a third (GK rank error
+    is ≤0.1% at accuracy 1000; the slack absorbs surprisal ties) and
+    ordered cut points — so the 100 TB form is itself under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = C.unigram_logprob(docs, "doc_id", "text").select(
+        "n_tokens", "bits_per_token"
+    )
+    cuts = d.agg(
+        F.expr(
+            "approx_percentile(bits_per_token, array(0.3333333, 0.6666667), 1000)"
+        ).alias("c")
+    ).select(F.col("c")[0].alias("c1"), F.col("c")[1].alias("c2"))
+    b = d.crossJoin(F.broadcast(cuts)).select(
+        "n_tokens",
+        F.when(F.col("bits_per_token") <= F.col("c1"), 1)
+        .when(F.col("bits_per_token") <= F.col("c2"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+        "c1",
+        "c2",
+    )
+    tol = 0.05
+    share = lambda k: (
+        F.sum(F.when(F.col("bucket") == k, 1).otherwise(0))
+        / F.count(F.lit(1)).cast("double")
+    )
+    ok = lambda k: (
+        (share(k) >= F.lit(1.0 / 3 - tol)) & (share(k) <= F.lit(1.0 / 3 + tol))
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        ok(1).alias("head_share_ok"),
+        ok(2).alias("middle_share_ok"),
+        ok(3).alias("tail_share_ok"),
+        (F.max("c1") <= F.max("c2")).alias("cuts_ordered"),
+    )
+
+
+@register(
     "corpus_decontaminate_bloom",
     # SAME oracle as corpus_decontaminate: the Bloom stage is
     # semantically transparent, so any prefilter bug that drops or

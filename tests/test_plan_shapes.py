@@ -620,3 +620,59 @@ def test_pagerank_fact_join_runs_once(spark, sf_dir):
         "fact-join lineage leaked past the checkpoint — the corpus-scale "
         "join would re-execute every power iteration"
     )
+
+
+def test_bpe_training_no_corpus_in_round_lineage(spark, sf_dir):
+    """text_bpe_train_merges: the corpus collapses ONCE to the vocab-sized
+    word-frequency table, which is checkpointed — so the final merge-table
+    plan reads checkpointed rounds (Scan ExistingRDD) and contains NO scan
+    of the documents table and no exchange carrying the raw text column.
+    Without the per-round truncation the lineage (and the corpus scan
+    count) doubles per round — measured 7 documents scans for 3 rounds."""
+    plan = _initial_plan(QUERIES["text_bpe_train_merges"](spark, sf_dir))
+    assert "ExistingRDD" in plan, plan
+    assert "documents" not in plan, (
+        "corpus lineage leaked past the round checkpoints"
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\btext#\d+", line), line
+
+
+def test_pq_adc_scores_codes_only_tables_broadcast(spark, sf_dir):
+    """vector_pq_ann_adc: after training (whose centroids are checkpointed
+    per Lloyd round), the embeddings table is scanned exactly twice — the
+    code assignment and the query probes; every distance-table join is a
+    broadcast; no exchange carries the raw embedding array."""
+    plan = _initial_plan(QUERIES["vector_pq_ann_adc"](spark, sf_dir))
+    assert plan.count("embeddings.parquet") == 2, plan.count("embeddings.parquet")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\bembedding#\d+", line), line
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_kaplan_meier", "corpus_split_ks_test", "events_value_concentration"],
+)
+def test_statistics_windows_only_over_aggregates(spark, sf_dir, name):
+    """Statistics layer (Kaplan-Meier, KS test, Gini/Pareto): every window
+    function runs over a relation that was AGGREGATED first — a Window
+    whose subtree reaches a table scan with no aggregate in between would
+    rank/cumsum the raw fact table, which is the 100 TB scale-killer the
+    family's design doc rules out."""
+    df = QUERIES[name](spark, sf_dir)
+
+    def walk(node):
+        if "Window" in node.nodeName():
+            assert "Aggregate" in node.toString(), (
+                f"{name}: window over un-aggregated input:\n{node.toString()[:500]}"
+            )
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
