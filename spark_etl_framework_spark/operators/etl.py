@@ -312,3 +312,49 @@ def incremental_agg_merge(
     u = base_partials.select(*keys, *aggs).unionByName(d)
     comb = [_COMBINE[fn](out).alias(out) for out, (fn, _c) in aggs.items()]
     return u.groupBy(*keys).agg(*comb)
+
+
+def file_row_counts(df: DataFrame) -> DataFrame:
+    """Per-file row counts off the hidden ``_metadata`` column of a file
+    source: (file_name, n_rows). The input must still be file-backed
+    lineage (projections/filters are fine; a join/aggregate severs the
+    metadata column). The scan itself is the only cost — at 100 TB this
+    is the discovery pass of every layout-maintenance job."""
+    return df.groupBy(F.col("_metadata.file_name").alias("file_name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
+def compaction_plan(
+    files: DataFrame, target_rows: int, file_col: str = "file_name"
+) -> DataFrame:
+    """Bin-pack small files into compaction groups of ~``target_rows``:
+    (file_name, n_rows, compact_group) — the planning half of the
+    small-files problem (the #1 recurring maintenance job on a big
+    object-store table; compaction execution is then one
+    ``coalesce``/`repartition`` write per group).
+
+    Next-fit-decreasing over the cumulative row count: files sort by
+    n_rows DESC (name tiebreak), and a file opens a new group when the
+    running total crosses the next ``target_rows`` boundary — so a file
+    larger than the target gets its own group, and the assignment is a
+    single window over the FILE-LIST relation (bounded: one row per
+    file, never per data row). Deterministic and engine-agnostic: the
+    same ordered cumulative sum produces the same groups in any SQL
+    engine, which is what the paired oracle replays."""
+    if target_rows <= 0:
+        raise ValueError(f"compaction_plan: target_rows must be > 0, got {target_rows}")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.orderBy(F.desc("n_rows"), F.col(file_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_rows").over(w)
+    return files.select(
+        file_col,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.floor((cum - F.col("n_rows")) / F.lit(target_rows))
+        .cast("int")
+        .alias("compact_group"),
+    )

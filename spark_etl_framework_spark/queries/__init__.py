@@ -157,8 +157,11 @@ def _load_all() -> None:
 #: events_dau_wau_stickiness, vector_dim_stats, vector_pc1_power_iteration,
 #: vector_jl_project, vector_truncated_dim_recall, dedup_lsh_eval_pr,
 #: dedup_keep_best_quality — plus the round-5 additions
-#: dedup_incremental_admission_steady (persisted-index probe form) and
-#: corpus_perplexity_buckets_approx (approx-quantile tertile form).
+#: dedup_incremental_admission_steady (persisted-index probe form),
+#: corpus_perplexity_buckets_approx (approx-quantile tertile form),
+#: etl_bucketed_colocated_join (zero-exchange bucketed SMJ),
+#: etl_compaction_plan (_metadata small-files planner), and
+#: stream_incremental_admission (stream-static foreachBatch probe).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

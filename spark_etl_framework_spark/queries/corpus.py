@@ -1002,6 +1002,38 @@ def corpus_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "corpus_decontaminate_fuzzy",
+    # The admission oracle with the roles recast: the LSH index is built
+    # over the EVAL suite (doc_id % 97 == 0) and every TRAIN document
+    # probes it — one row per train doc with its best fuzzy eval match.
+    oracle=None,  # assigned below: _INCR_ADMISSION_ORACLE with swapped splits
+)
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — the Dolma/FineWeb recipe when eval
+    contamination is paraphrased rather than verbatim: exact shingle
+    membership (corpus_decontaminate) misses edited copies, so the train
+    set LSH-probes an index built over the eval suite and every train
+    document gets its best verified-Jaccard eval match plus a
+    contamination verdict (jaccard >= 0.5). Reuses the incremental-
+    admission machinery with the roles recast
+    (operators/dedup.py:build_corpus_lsh_index over EVAL — the SMALL
+    side, so the index is eval-suite-sized — probed by the train
+    stream; candidates are train-bands x bucket bounded, never
+    train x eval)."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    buckets, shingles, sizes = D.build_corpus_lsh_index(eval_df)
+    return D.probe_corpus_lsh_index(
+        buckets, shingles, sizes, train, threshold=0.5
+    ).withColumnRenamed("is_dup", "contaminated").withColumnRenamed(
+        "best_old_id", "best_eval_id"
+    )
+
+
+@register(
     "corpus_decontaminate_bloom",
     # SAME oracle as corpus_decontaminate: the Bloom stage is
     # semantically transparent, so any prefilter bug that drops or
@@ -1035,3 +1067,16 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return C.decontaminate_bloom(train, eval_df, "doc_id", "text", n=5)
+
+
+# corpus_decontaminate_fuzzy shares the admission oracle's CTE chain with
+# the roles recast: index side = eval (% 97 == 0), probe side = train.
+from .advanced import _INCR_ADMISSION_ORACLE as _ADM
+from . import ORACLES as _ORACLES
+
+_ORACLES["corpus_decontaminate_fuzzy"] = (
+    _ADM.replace("doc_id % 10 <> 0", "doc_id % 97 = 0")
+    .replace("doc_id % 10 = 0", "doc_id % 97 <> 0")
+    .replace("AS best_old_id", "AS best_eval_id")
+    .replace("AS is_dup", "AS contaminated")
+)

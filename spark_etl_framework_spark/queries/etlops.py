@@ -569,3 +569,128 @@ def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_backfill_keys"),
         )
     )
+
+
+#: session-scoped bucketed-table locations, keyed by sf_dir (the bucketed
+#: layout is written once per corpus version, like the dedup corpus index)
+_BUCKETED: dict[str, str] = {}
+
+
+@register(
+    "etl_bucketed_colocated_join",
+    # the bucketed layout is semantically transparent — the oracle is the
+    # PLAIN join+agg over the original parquet, so any row lost or
+    # duplicated by the bucketed write/read path breaks the hash
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def etl_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the layout answer to the
+    biggest recurring shuffle at 100 TB. lineitem and orders are written
+    ONCE as external tables bucketed (8 buckets) and sorted by the join
+    key; the join then reads bucket i against bucket i directly, so the
+    sort-merge join needs NO exchange on either side (pinned by
+    test_bucketed_join_has_no_exchange). The MERGE hint keeps AQE from
+    broadcasting the demo-sized side — at production scale neither side
+    broadcasts anyway. Bucket counts must match (or divide) across the
+    two tables; production picks buckets so each bucket's data fits an
+    executor's sort buffer. Results are row-identical to the plain join
+    (same oracle shape as join_bloom_prefilter)."""
+    import tempfile
+
+    if sf_dir not in _BUCKETED:
+        tag = abs(hash(sf_dir)) % 10**8
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        (
+            li.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base}/lineitem")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"li_bkt_{tag}")
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (
+            orders.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base}/orders")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"ord_bkt_{tag}")
+        )
+        _BUCKETED[sf_dir] = str(tag)
+    tag = _BUCKETED[sf_dir]
+    li = spark.table(f"li_bkt_{tag}")
+    orders = spark.table(f"ord_bkt_{tag}")
+    joined = li.hint("MERGE").join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    from . import dsum
+
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum(rev, 2).alias("revenue"),
+    )
+
+
+@register(
+    "etl_compaction_plan",
+    # The oracle counts rows per TABLE view and labels them with the
+    # known one-file-per-table layout of the testdata (TESTDATA.md); the
+    # Spark side derives the same relation from the files themselves via
+    # _metadata. The multi-file behavior of the planner (the part this
+    # layout can't exercise) is pinned by
+    # tests/test_etl_ops.py::test_compaction_plan_multi_file.
+    oracle="""
+    WITH f AS (
+        SELECT 'region.parquet' AS file_name, count(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation.parquet', count(*) FROM nation
+        UNION ALL SELECT 'customer.parquet', count(*) FROM customer
+        UNION ALL SELECT 'supplier.parquet', count(*) FROM supplier
+        UNION ALL SELECT 'part.parquet', count(*) FROM part
+        UNION ALL SELECT 'orders.parquet', count(*) FROM orders
+        UNION ALL SELECT 'lineitem.parquet', count(*) FROM lineitem
+        UNION ALL SELECT 'events.parquet', count(*) FROM events
+        UNION ALL SELECT 'documents.parquet', count(*) FROM documents
+        UNION ALL SELECT 'embeddings.parquet', count(*) FROM embeddings
+    )
+    SELECT file_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(floor(
+               (sum(n_rows) OVER (ORDER BY n_rows DESC, file_name
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_rows)
+               / 100000.0) AS INT) AS compact_group
+    FROM f
+    """,
+)
+def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning across the lake's tables: per-file
+    row counts off the hidden ``_metadata`` column (the discovery pass —
+    one metadata-cheap scan per table), bin-packed into ~100k-row output
+    groups by next-fit-decreasing (operators/etl.py:compaction_plan).
+    The planning window runs over the FILE-LIST relation — one row per
+    file, bounded — never over data rows; at 100 TB the file list is
+    millions of rows where the data is trillions."""
+    from ..catalog import TABLES
+
+    from ..operators.etl import compaction_plan, file_row_counts
+
+    per_table = [
+        file_row_counts(load_table(spark, sf_dir, t)) for t in TABLES
+    ]
+    files = per_table[0]
+    for p in per_table[1:]:
+        files = files.unionByName(p)
+    return compaction_plan(files, target_rows=100_000)

@@ -888,3 +888,65 @@ def stream_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burn_rate"
         ),
     )
+
+
+from .advanced import _INCR_ADMISSION_ORACLE
+
+
+@register(
+    "stream_incremental_admission",
+    # SAME oracle as the batch dedup_incremental_admission: the ingest
+    # stream arrives in micro-batches that each probe the static corpus
+    # index, and with the whole increment in one source file the streamed
+    # union must hash-match the batch admission row for row.
+    oracle=_INCR_ADMISSION_ORACLE,
+)
+def stream_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup admission as a STREAM-STATIC job — the
+    production ingest topology: the corpus LSH index (buckets + shingle
+    inverted index + sizes) is built once on the static side and cached;
+    each micro-batch of arriving documents runs the batch probe
+    (operators/dedup.py:probe_corpus_lsh_index) inside ``foreachBatch``
+    — the standard pattern when the per-batch logic needs multi-agg +
+    window shapes append-mode streaming can't express — and appends its
+    admission decisions to the sink. Per-batch cost is the steady-state
+    probe (increment-bands x bucket joins, candidate-only verification);
+    the corpus is never rescanned after index build."""
+    import tempfile
+
+    from ..catalog import load_table as _lt
+    from ..caching import scoped_persist
+    from ..operators import dedup as D
+
+    corpus = _lt(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    buckets, shingles, sizes = (
+        scoped_persist(r) for r in D.build_corpus_lsh_index(corpus)
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="stream_admission_")
+    ckpt = tempfile.mkdtemp(prefix="stream_admission_ckpt_")
+
+    def _probe_batch(batch_df, batch_id):
+        (
+            D.probe_corpus_lsh_index(
+                buckets, shingles, sizes, batch_df, threshold=0.5
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    sdf = (
+        _documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)

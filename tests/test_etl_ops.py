@@ -212,3 +212,34 @@ def test_incremental_agg_merge_disjoint_and_overlapping_keys(spark):
         for r in incremental_agg_merge(stored, delta, ["k"], aggs).collect()
     }
     assert got == {"a": (2, 3.0, 2.0), "b": (2, 12.0, 7.0), "c": (1, 9.0, 9.0)}
+
+
+def test_compaction_plan_multi_file(spark, tmp_path):
+    """The planner over a genuinely multi-file table (the layout the
+    oracle's one-file-per-table testdata can't exercise): 4 part files,
+    target sized so the big file opens its own group and the small ones
+    pack together; and a file LARGER than the target still gets exactly
+    one group of its own."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.operators.etl import (
+        compaction_plan,
+        file_row_counts,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(1000).repartition(4).write.mode("overwrite").parquet(p)
+    files = file_row_counts(spark.read.parquet(p))
+    rows = files.collect()
+    assert len(rows) == 4 and sum(r.n_rows for r in rows) == 1000
+
+    plan = {r.file_name: r.compact_group for r in
+            compaction_plan(files, target_rows=300).collect()}
+    # NFD order: 4 files of 250 rows each (range splits evenly) — cum
+    # 250/500/750/1000 → groups floor((cum-250)/300) = 0,0,1,2
+    assert sorted(plan.values()) == [0, 0, 1, 2], plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        compaction_plan(files, target_rows=0)

@@ -676,3 +676,18 @@ def test_statistics_windows_only_over_aggregates(spark, sf_dir, name):
             walk(kids.apply(i))
 
     walk(df._jdf.queryExecution().executedPlan())
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """etl_bucketed_colocated_join: both sides are bucketed+sorted by the
+    join key, so the SortMergeJoin must read bucket-aligned scans with NO
+    exchange beneath it — the only exchange allowed in the whole plan is
+    the final priority aggregation. An exchange feeding the join means
+    the bucketed layout was ignored (bucketing disabled, bucket-count
+    mismatch, or a lost hint) and the biggest shuffle at scale is back."""
+    plan = _initial_plan(QUERIES["etl_bucketed_colocated_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    join_at = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_at:], (
+        "exchange under the bucketed join:\n" + plan[join_at:][:600]
+    )
