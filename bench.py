@@ -86,6 +86,10 @@ HEADLINE = [
     "ts_interval_coverage",
     # the tokenizer-training flagship: vocab-sized iterative rounds
     "text_bpe_train_merges",
+    # round 5 additions — zero-exchange bucketed layout join and the
+    # IVF-PQ composite ANN (coarse-cell pruning + code-only ADC scan)
+    "etl_bucketed_colocated_join",
+    "vector_ann_ivfpq",
 ]
 
 

@@ -27,6 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+#: JVM RDD handles captured by scoped_localcheckpoint: localCheckpoint
+#: registers its cached RDD in the persistent-RDD registry, and unlike a
+#: DataFrame persist there is no public unpersist on the result — so the
+#: handle itself is recorded for release.
+_SCOPED_RDDS: list = []
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -36,11 +41,34 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def scoped_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with the same scoped lifecycle as
+    :func:`scoped_persist`: the checkpoint's cached RDD (which otherwise
+    lives in the JVM registry until a driver GC) is captured by diffing
+    the persistent-RDD registry around the checkpoint and released on the
+    next :func:`release_scoped`. Used by the iterative operators
+    (pagerank edges, BPE rounds, PQ Lloyd rounds) whose per-round state
+    must materialize to stop lineage doubling but must not outlive the
+    query."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=eager)
+    after = jsc.getPersistentRDDs()
+    for rid in after.keySet().toArray():
+        if rid not in before:
+            _SCOPED_RDDS.append(after.get(rid))
+    return out
+
+
 def release_scoped() -> int:
     """Unpersist every scoped relation recorded so far; returns how many.
 
     Non-blocking: block removal proceeds asynchronously on the JVM side
-    while the caller's next query starts planning.
+    while the caller's next query starts planning. Releasing a
+    checkpointed RDD that a later plan still references is safe only
+    because scoped lifecycles end at query boundaries — nothing hands a
+    checkpointed relation across queries (the session-scoped indexes are
+    parquet files, not cached RDDs).
     """
     n = 0
     while _SCOPED:
@@ -50,5 +78,12 @@ def release_scoped() -> int:
             n += 1
         except Exception:
             # a dead session's DataFrame — nothing left to free
+            pass
+    while _SCOPED_RDDS:
+        rdd = _SCOPED_RDDS.pop()
+        try:
+            rdd.unpersist(False)
+            n += 1
+        except Exception:
             pass
     return n

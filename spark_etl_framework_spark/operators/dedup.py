@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import scoped_persist
+from ..caching import scoped_localcheckpoint, scoped_persist
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -441,9 +441,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    ).localCheckpoint()
+    labels = scoped_localcheckpoint(
+        edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node")),
+        eager=True,
+    )
     converged = False
     # max_iter + 1 rounds: convergence is only OBSERVABLE as a round with
     # zero changes, so a graph whose diameter is exactly max_iter needs one
@@ -462,8 +463,8 @@ def connected_components(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
         )
+        new_labels = scoped_localcheckpoint(new_labels, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_localcheckpoint
+
 #: Tiny per-language function-word lexicons for the n-gram/stopword language
 #: heuristic. Deliberately small: language ID at corpus scale is a broadcast
 #: lookup against a lexicon, not a model inference.
@@ -590,7 +592,7 @@ def bpe_train_merges(
     # the ONE corpus scan: collapse to the vocab-sized word-frequency
     # table and checkpoint it, so round 1's two consumers (pair counts
     # and the rewrite) read the materialized collapse, not the corpus
-    state = words.select("w", rep, "freq").localCheckpoint(eager=True)
+    state = scoped_localcheckpoint(words.select("w", rep, "freq"))
     merges = None
     for rnd in range(1, rounds + 1):
         syms = F.expr("slice(split(r, '\\\\|\\\\|'), 2, size(split(r, '\\\\|\\\\|')) - 2)")
@@ -621,8 +623,8 @@ def bpe_train_merges(
                 F.col("r2").alias("right"),
                 F.col("cnt").cast("bigint").alias("pair_count"),
             )
-            .localCheckpoint(eager=True)
         )
+        best = scoped_localcheckpoint(best)
         unesc = lambda c: F.replace(F.col(c), F.lit("\x1a"), F.lit("|"))
         out_row = best.select(
             "round",
@@ -650,7 +652,8 @@ def bpe_train_merges(
             )
             .alias("r"),
             "freq",
-        ).localCheckpoint(eager=True)
+        )
+        state = scoped_localcheckpoint(state)
     if with_vocab:
         n_sym = (F.size(F.split("r", r"\|\|")) - 2).cast("int")
         return merges, state.select("w", n_sym.alias("n_symbols"))

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..caching import scoped_persist
+from ..caching import scoped_localcheckpoint, scoped_persist
 
 
 def _dot(a, b):
@@ -614,13 +614,14 @@ def pq_codes(
                 ).alias("c")
             )
             .select("s", F.col("cell").alias("cid"), "c")
-            # eager checkpoint (m*k rows): truncates the per-round lineage
-            # so the next round's two consumers (scoring join + update)
-            # read the materialized centroids instead of re-executing the
-            # corpus-wide training subtree — same doubling fix as
-            # bpe_train_merges / connected_components
-            .localCheckpoint(eager=True)
         )
+        # eager checkpoint (m*k rows): truncates the per-round lineage
+        # so the next round's two consumers (scoring join + update)
+        # read the materialized centroids instead of re-executing the
+        # corpus-wide training subtree — same doubling fix as
+        # bpe_train_merges / connected_components; scoped so the cached
+        # RDD is released when the next query starts
+        cent = scoped_localcheckpoint(cent)
     out = assigned.select(
         F.col("vid").alias(id_col),
         F.col("s").alias("subspace"),

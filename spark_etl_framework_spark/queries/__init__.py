@@ -160,8 +160,12 @@ def _load_all() -> None:
 #: dedup_incremental_admission_steady (persisted-index probe form),
 #: corpus_perplexity_buckets_approx (approx-quantile tertile form),
 #: etl_bucketed_colocated_join (zero-exchange bucketed SMJ),
-#: etl_compaction_plan (_metadata small-files planner), and
-#: stream_incremental_admission (stream-static foreachBatch probe).
+#: etl_compaction_plan (_metadata small-files planner),
+#: stream_incremental_admission (stream-static foreachBatch probe),
+#: corpus_decontaminate_fuzzy (LSH decontamination, roles recast),
+#: events_attribution_last_touch (running-max conversion credit),
+#: etl_partitioned_layout_pruned_scan (PartitionFilters proof), and
+#: vector_ann_ivfpq (coarse-cell routing + code-only ADC).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

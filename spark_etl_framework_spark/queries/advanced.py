@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..caching import scoped_persist
+from ..caching import scoped_localcheckpoint, scoped_persist
 
 from ..catalog import load_table
 from . import dsum, dsum_sql, register
@@ -672,8 +672,8 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        symmetrize(raw, "a", "b").repartition("__src").localCheckpoint(eager=True)
+    edges = scoped_localcheckpoint(
+        symmetrize(raw, "a", "b").repartition("__src")
     )
     ranks = pagerank(edges, iters=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
@@ -1388,4 +1388,85 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stickiness"
             ),
         )
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    # Last-touch marketing attribution: each purchase credits the user's
+    # most recent prior 'click' (NULL when the purchase is organic — no
+    # preceding click). Revenue then aggregates per attribution outcome.
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      ts::TIMESTAMP AS ts
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    j AS (SELECT user_id, event_id, event_type, value, ts,
+                 max(CASE WHEN event_type = 'click'
+                          THEN ts END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS last_click_ts
+          FROM e)
+    SELECT (last_click_ts IS NOT NULL) AS attributed,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue,
+           round(CAST(sum(CASE WHEN last_click_ts IS NOT NULL THEN
+                          epoch_us(ts) - epoch_us(last_click_ts) END)
+                      AS BIGINT)
+                 / 1000000.0
+                 / sum(CASE WHEN last_click_ts IS NOT NULL
+                       THEN 1 ELSE 0 END), 6)
+               AS avg_latency_sec
+    FROM j WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the conversion-credit workhorse of every
+    product-analytics stack: each purchase joins to the user's most
+    recent preceding click via ONE running-max window over the
+    type-filtered event stream (clicks + purchases only, so the filter
+    prunes the scan before the single user-keyed shuffle); organic
+    purchases (no prior click) stay NULL and report as their own
+    cohort. The alternative formulations — a self-join on
+    click.ts < purchase.ts (quadratic in events per user) or a lateral
+    per-purchase lookup — lose to the window at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    j = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("last_click_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    return j.groupBy(
+        F.col("last_click_ts").isNotNull().alias("attributed")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        dsum(F.col("value"), 2).alias("revenue"),
+        # exact integer-microsecond sum on both engines, then one double
+        # division — avoids both unix_timestamp's second truncation and
+        # order-dependent double accumulation
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("last_click_ts").isNotNull(),
+                    F.unix_micros("ts") - F.unix_micros("last_click_ts"),
+                )
+            ).cast("bigint")
+            / 1000000.0
+            / F.sum(
+                F.when(F.col("last_click_ts").isNotNull(), 1).otherwise(0)
+            ),
+            6,
+        ).alias("avg_latency_sec"),
     )

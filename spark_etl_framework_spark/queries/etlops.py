@@ -694,3 +694,55 @@ def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_table[1:]:
         files = files.unionByName(p)
     return compaction_plan(files, target_rows=100_000)
+
+
+#: session-scoped partitioned-layout locations, keyed by sf_dir
+_PARTITIONED: dict[str, str] = {}
+
+
+@register(
+    "etl_partitioned_layout_pruned_scan",
+    # the partitioned rewrite is semantically transparent — the oracle is
+    # the plain filtered aggregate over the original events view
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def etl_partitioned_layout_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout + partition-pruned scan — the other
+    half of the layout story next to bucketing (etl_bucketed_colocated_
+    join) and Z-order (etl_zorder_layout): events are rewritten ONCE
+    partitioned by event_type, and the filtered read must touch only the
+    matching partition directory — the scan's PartitionFilters prune at
+    PLANNING time, before any file is opened (pinned by
+    test_partitioned_scan_prunes_partitions). At 100 TB the difference
+    is reading 1/|types| of the table instead of all of it. The
+    partition column round-trips through the directory name (string),
+    so the aggregate is over the identical rows the plain filter sees."""
+    import tempfile
+
+    from ..catalog import load_table as _lt
+
+    if sf_dir not in _PARTITIONED:
+        base = tempfile.mkdtemp(prefix="events_parted_")
+        (
+            _lt(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(base)
+        )
+        _PARTITIONED[sf_dir] = base
+    ev = spark.read.parquet(_PARTITIONED[sf_dir]).filter(
+        F.col("event_type") == "purchase"
+    )
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -776,3 +776,168 @@ def vector_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+def _ivfpq_oracle(m: int = 8, sub: int = 8, k: int = 4, n_probes: int = 3, nprobe: int = 2) -> str:
+    """IVF-PQ replay: the PQ training CTEs plus label-cell centroid
+    selection (L2, nprobe cells per probe) restricting the ADC scoring
+    join to members of the probed cells."""
+    ctes = ",".join(
+        _pq_subspace_cte(s, s * sub + 1, (s + 1) * sub, k) for s in range(m)
+    )
+    dts = ",".join(
+        f"""
+    dt{s} AS (SELECT p.probe_id, c1{s}.cid AS code,
+                     CAST(round(list_sum(list_transform(range(1, {sub + 1}),
+                          i -> (p.pe[{s * sub} + i] - c1{s}.c[i])
+                               * (p.pe[{s * sub} + i] - c1{s}.c[i]))), 6)
+                          AS DECIMAL(18,6)) AS d
+              FROM probes p, c1{s})"""
+        for s in range(m)
+    )
+    un = " UNION ALL ".join(
+        f"SELECT vid, {s} AS sp, cell FROM a2{s}" for s in range(m)
+    )
+    dun = " UNION ALL ".join(
+        f"SELECT probe_id, {s} AS sp, code, d FROM dt{s}" for s in range(m)
+    )
+    return f"""
+    WITH {ctes},
+    probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+               FROM embeddings WHERE vec_id < {n_probes}),
+    {dts},
+    expl AS (SELECT label,
+                    unnest(list_transform(range(1, len(embedding) + 1),
+                           i -> {{'dim': i, 'x': embedding[i]::DOUBLE}})) AS u
+             FROM embeddings),
+    cdim AS (SELECT label, u.dim AS dim, round(avg(u.x), 6) AS c
+             FROM expl GROUP BY label, u.dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cdim GROUP BY label),
+    pc AS (SELECT p.probe_id, cent.label,
+                  round(list_sum(list_transform(range(1, len(cent.cvec) + 1),
+                        i -> (p.pe[i] - cent.cvec[i]) * (p.pe[i] - cent.cvec[i]))), 6)
+                      AS dc
+           FROM probes p, cent),
+    top_cells AS (SELECT probe_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dc, label) AS rn FROM pc)
+        WHERE rn <= {nprobe}),
+    vlab AS (SELECT vec_id AS vid, label FROM embeddings),
+    un AS ({un}),
+    dun AS ({dun}),
+    sc AS (SELECT dun.probe_id, un.vid, sum(dun.d) AS dist
+           FROM un JOIN dun ON un.sp = dun.sp AND un.cell = dun.code
+           JOIN vlab ON vlab.vid = un.vid
+           JOIN top_cells t ON t.probe_id = dun.probe_id
+                           AND t.label = vlab.label
+           WHERE un.vid <> dun.probe_id
+           GROUP BY dun.probe_id, un.vid),
+    r AS (SELECT probe_id, vid, dist,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dist, vid) AS rn
+          FROM sc)
+    SELECT probe_id, vid AS vec_id,
+           CAST(dist AS DOUBLE) AS adc_dist, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 10
+    """
+
+
+@register("vector_ann_ivfpq", oracle=_ivfpq_oracle(8, 8, 4, 3, 2))
+def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS-default shape at corpus scale:
+    a coarse quantizer (label cells, centroid = per-dim mean) routes
+    each probe to its nprobe=2 nearest cells by L2, and only THOSE
+    cells' members are scored, from their 2-byte PQ codes via the
+    broadcast ADC distance tables (vector_pq_ann_adc). The two
+    reductions compose: IVF prunes the candidate set to nprobe/|cells|
+    of the corpus (in production the code relation is partitioned by
+    cell, so pruning is partition pruning — see
+    etl_partitioned_layout_pruned_scan for the layout proof), and PQ
+    shrinks what is read per candidate ~128x. The raw embedding column
+    is touched only at train time; query-time inputs are the code
+    relation, the broadcast distance tables, and the broadcast
+    (probe, cell) routing relation."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, book = V.pq_codes(
+        emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
+    )
+    arr = F.col("embedding").cast("array<double>")
+
+    # coarse centroids: per-dim mean per label cell, 6-dp rounded
+    cdim = (
+        emb.select("label", F.posexplode(arr).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda t: t["c"]
+        ).alias("cvec")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), arr.alias("pe")
+    )
+    dc = F.round(
+        F.aggregate(
+            F.zip_with("pe", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wc = W.partitionBy("probe_id").orderBy("dc", "label")
+    top_cells = (
+        probes.join(F.broadcast(cent))
+        .select("probe_id", "label", dc.alias("dc"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 2)
+        .select("probe_id", "label")
+    )
+
+    # ADC distance tables (identical arithmetic to vector_pq_ann_adc)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                F.slice(F.col("pe"), s * 8 + 1, 8).alias("spe"),
+            )
+            for s in range(8)
+        ]
+    )
+    p = probes.select("probe_id", F.explode(slices).alias("z")).select(
+        "probe_id", F.col("z.subspace").alias("subspace"), F.col("z.spe").alias("pe")
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("pe", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    dtab = p.join(F.broadcast(book), "subspace").select(
+        "probe_id", "subspace", "code", d.alias("d")
+    )
+
+    vlab = emb.select(F.col("vec_id"), "label")
+    scored = (
+        codes.join(vlab, "vec_id")
+        .join(F.broadcast(top_cells), "label")
+        .join(F.broadcast(dtab), ["probe_id", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    wr = W.partitionBy("probe_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            F.col("rn").cast("int"),
+        )
+    )

@@ -53,3 +53,16 @@ def test_pq_codes_model_centroids_released_by_next_query(spark, sf_dir):
     QUERIES["vector_pq_ann_adc"](spark, sf_dir).count()
     QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
     assert _n_persistent(spark) == base
+
+
+def test_iterative_checkpoints_released_by_next_query(spark, sf_dir):
+    """The iterative operators' per-round localCheckpoints (BPE state,
+    PQ centroids, pagerank edges, connected-components labels) register
+    cached RDDs in the JVM; the scoped mechanism must release them at the
+    next query boundary just like persists."""
+    release_scoped()
+    base = _n_persistent(spark)
+    for q in ("text_bpe_train_merges", "graph_pagerank_bipartite", "dedup_clusters"):
+        QUERIES[q](spark, sf_dir).count()
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
+    assert _n_persistent(spark) == base

@@ -691,3 +691,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan[join_at:], (
         "exchange under the bucketed join:\n" + plan[join_at:][:600]
     )
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """etl_partitioned_layout_pruned_scan: the event_type predicate must
+    land in the scan's PartitionFilters (pruned at planning time — other
+    partitions' files never open), not just as a post-scan Filter."""
+    plan = _initial_plan(
+        QUERIES["etl_partitioned_layout_pruned_scan"](spark, sf_dir)
+    )
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*purchase[^\]]*\]", plan)
+    assert m, "event_type=purchase not in PartitionFilters:\n" + plan[:800]
+
+
+def test_ivfpq_query_time_broadcasts_and_no_embedding_shuffle(spark, sf_dir):
+    """vector_ann_ivfpq: the routing relation (probe, cell) and the ADC
+    distance tables ride broadcasts; no exchange carries the raw
+    embedding array (embeddings are touched only under the training
+    checkpoints and the bounded centroid/probe subtrees)."""
+    plan = _initial_plan(QUERIES["vector_ann_ivfpq"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\bembedding#\d+", line), line
