@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..caching import release_scoped
+from ..shipping import ensure_worker_imports
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -86,6 +87,17 @@ def register(name: str, oracle: str | None = None):
             # working set (see caching.py; unpersist is always safe —
             # lineage recomputes)
             release_scoped()
+            # vanilla driver sessions (the correctness harness) have no
+            # PYTHONPATH for executor workers — ship the package once so
+            # module-level Arrow UDF helpers unpickle there (shipping.py)
+            ensure_worker_imports(spark)
+            # queries are authored against non-ANSI division/cast
+            # semantics (x/0 -> NULL, matching the paired DuckDB NULLIF
+            # guards); Spark 4's vanilla default is ANSI ON, which turns
+            # an edge-case divisor into a hard DIVIDE_BY_ZERO error
+            # (found by the round-5 vanilla-session sim on
+            # events_ab_ztest). Runtime-settable, so pin it per session.
+            spark.conf.set("spark.sql.ansi.enabled", "false")
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

@@ -1080,3 +1080,69 @@ _ORACLES["corpus_decontaminate_fuzzy"] = (
     .replace("AS best_old_id", "AS best_eval_id")
     .replace("AS is_dup", "AS contaminated")
 )
+
+
+@register(
+    "corpus_token_budget_plan",
+    # Epoch planning for a fixed training-token budget: target shares per
+    # language (the mixture_weights recipe), budget = half the corpus's
+    # total tokens; per group the plan emits planned tokens, the epoch
+    # count (upsampling ratio — how many times the group's data repeats),
+    # and a >2-epoch repetition flag (the over-repetition warning line
+    # from the data-constrained-scaling literature).
+    oracle=r"""
+    WITH t AS (SELECT lang,
+                      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+               FROM documents),
+    a AS (SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens_grp
+          FROM t GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_tokens_grp) AS BIGINT) AS tot,
+                   count(*) AS ngrp FROM a)
+    SELECT lang,
+           n_tokens_grp AS available_tokens,
+           CAST(floor((CASE WHEN lang = 'en' THEN 0.4
+                            ELSE 0.6 / greatest(ngrp - 1, 1) END)
+                      * (tot * 0.5)) AS BIGINT) AS planned_tokens,
+           round(floor((CASE WHEN lang = 'en' THEN 0.4
+                             ELSE 0.6 / greatest(ngrp - 1, 1) END)
+                       * (tot * 0.5)) / n_tokens_grp, 6) AS epochs,
+           (floor((CASE WHEN lang = 'en' THEN 0.4
+                        ELSE 0.6 / greatest(ngrp - 1, 1) END)
+                  * (tot * 0.5)) / n_tokens_grp > 2.0) AS over_repeated
+    FROM a, tot
+    """,
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planning — the step between mixture weights and
+    an actual training run: given target shares per language and a total
+    budget (here 0.5x the corpus), how many tokens does each group
+    contribute and how many EPOCHS of its data does that mean?
+    epochs > 1 is deliberate upsampling; > 2 epochs is flagged
+    (diminishing returns from repeating data — the over-repetition
+    guard). One groupBy + a broadcast 1-row total: the plan relation is
+    |groups|-sized regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    a = docs.select("lang", toks.alias("n_tokens")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_grp"),
+    )
+    tot = a.agg(
+        F.sum("n_tokens_grp").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("ngrp"),
+    )
+    target = F.when(F.col("lang") == "en", F.lit(0.4)).otherwise(
+        F.lit(0.6) / F.greatest(F.col("ngrp") - 1, F.lit(1))
+    )
+    planned = F.floor(target * (F.col("tot") * 0.5))
+    return (
+        a.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_tokens_grp").alias("available_tokens"),
+            planned.cast("bigint").alias("planned_tokens"),
+            F.round(planned / F.col("n_tokens_grp"), 6).alias("epochs"),
+            (planned / F.col("n_tokens_grp") > 2.0).alias("over_repeated"),
+        )
+    )
