@@ -177,7 +177,9 @@ def _load_all() -> None:
 #: corpus_decontaminate_fuzzy (LSH decontamination, roles recast),
 #: events_attribution_last_touch (running-max conversion credit),
 #: etl_partitioned_layout_pruned_scan (PartitionFilters proof), and
-#: vector_ann_ivfpq (coarse-cell routing + code-only ADC).
+#: vector_ann_ivfpq (coarse-cell routing + code-only ADC),
+#: corpus_token_budget_plan (epoch planning under a token budget), and
+#: multimodal_video_frame_sample (strided raw-video frame sampling).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

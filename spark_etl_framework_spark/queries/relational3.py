@@ -848,3 +848,53 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "multimodal_video_frame_sample",
+    # DuckDB replays the sampled frames arithmetically: frame k's 2x2 RGB
+    # raster is the first 12 bytes of md5(text || ':' || k), and striding
+    # (every 2nd frame from offset 1) keeps frames 1, 3, 5 of 6.
+    oracle="""
+    SELECT d.doc_id AS id,
+           CAST(k AS INT)  AS frame_idx,
+           CAST(6 AS INT)  AS n_frames,
+           CAST(2 AS INT)  AS width,
+           CAST(2 AS INT)  AS height,
+           CAST(3 AS INT)  AS channels,
+           UPPER(SUBSTR(md5(d.text || ':' || k), 1, 24)) AS pixels_hex
+    FROM documents d, (VALUES (1), (3), (5)) AS f(k)
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling under the oracle gate: each document
+    becomes a 6-frame raw video container (concatenated binary P6 frames
+    — the image2pipe/yuv4mpeg shape; rasters md5-derived so DuckDB can
+    reproduce them), and ``sample_video_frames`` strides every 2nd frame
+    from offset 1, parsing real frame boundaries from the self-
+    describing headers (operators/multimodal.py:_split_netpbm_frames).
+    The dropped frames' bytes never leave the scan task — at 100 TB of
+    video the sampled-raster output is the only thing that moves.
+    Compressed containers (MP4/MKV) stay honestly gated on ffmpeg."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    frames = [
+        F.concat(
+            F.lit(b"P6\n2 2\n255\n"),
+            F.unhex(F.substring(F.md5(F.concat(txt, F.lit(f":{k}".encode()))), 1, 24)),
+        )
+        for k in range(6)
+    ]
+    wire = docs.select(F.col("doc_id").alias("id"), F.concat(*frames).alias("payload"))
+    out = sample_video_frames(wire, every_n=2, offset=1)
+    return out.select(
+        "id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )

@@ -926,3 +926,38 @@ def test_bpe_pipe_tokens_and_exhausted_rounds(spark):
     assert got == [(1, "|", "b", 2), (2, "a", "|b", 2)]
     v = {r["w"]: r["n_symbols"] for r in vocab.collect()}
     assert v == {"a|b": 1, "x": 1}  # vocabulary survives the empty rounds
+
+
+def test_video_frame_splitting_and_sampling(spark):
+    """_split_netpbm_frames: variable-size frames split on real header
+    arithmetic; sample_video_frames strides correctly and rejects corrupt
+    containers and bad stride parameters."""
+    import pytest as _pt
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        _split_netpbm_frames,
+        sample_video_frames,
+    )
+
+    f1 = b"P6\n2 1\n255\n" + bytes(6)        # 2x1 RGB
+    f2 = b"P5\n3 2\n255\n" + bytes(6)        # 3x2 gray — different size
+    f3 = b"P6\n1 1\n255\n" + bytes([9, 8, 7])
+    frames = _split_netpbm_frames(f1 + f2 + f3)
+    assert [fr[:2] for fr in frames] == [b"P6", b"P5", b"P6"]
+    assert frames[2][-3:] == bytes([9, 8, 7])
+
+    with _pt.raises(ValueError, match="no netpbm magic"):
+        _split_netpbm_frames(f1 + b"XX junk")
+    with _pt.raises(ValueError, match="truncated"):
+        _split_netpbm_frames(f1[:-2])
+
+    df = spark.createDataFrame([(1, bytearray(f1 + f2 + f3))], "id bigint, payload binary")
+    out = sample_video_frames(df, every_n=2, offset=0).collect()
+    assert [(r.frame_idx, r.n_frames, r.width, r.height, r.channels) for r in out] == [
+        (0, 3, 2, 1, 3),
+        (2, 3, 1, 1, 3),
+    ]
+    with _pt.raises(ValueError):
+        sample_video_frames(df, every_n=0)
+    with _pt.raises(ValueError):
+        sample_video_frames(df, offset=-1)
