@@ -176,3 +176,61 @@ def test_tar_header_walk_roundtrip_random_members(members):
     with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
         std = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
     assert std == dict(members)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([b"P5", b"P6"]),
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(deadline=None)
+def test_video_container_split_roundtrip(shapes, rng):
+    """Concatenating arbitrary mixed-size netpbm frames and splitting the
+    container recovers exactly the original frame byte-slices."""
+    from spark_etl_framework_spark.operators.multimodal import _split_netpbm_frames
+
+    frames = []
+    for magic, w, h in shapes:
+        c = 3 if magic == b"P6" else 1
+        raster = bytes(rng.randrange(256) for _ in range(w * h * c))
+        frames.append(magic + f"\n{w} {h}\n255\n".encode() + raster)
+    got = _split_netpbm_frames(b"".join(frames))
+    assert got == frames
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                  st.integers(min_value=1, max_value=10_000)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5_000),
+)
+@settings(deadline=None, max_examples=15)
+def test_compaction_plan_partitions_every_file_once(spark_files, target):
+    """compaction_plan: every file appears exactly once, group ids are a
+    dense 0..max range in NFD order, and a group's cumulative row total
+    only crosses a target boundary at a group switch."""
+    from spark_etl_framework_spark.operators.etl import compaction_plan
+    from spark_etl_framework_spark.session import get_session
+
+    spark = get_session("tests", master="local[4]")
+    files = spark.createDataFrame(spark_files, "file_name string, n_rows long")
+    plan = sorted(
+        compaction_plan(files, target_rows=target).collect(),
+        key=lambda r: (-r.n_rows, r.file_name),
+    )
+    assert {r.file_name for r in plan} == {f for f, _ in spark_files}
+    cum = 0
+    for r in plan:
+        assert r.compact_group == cum // target
+        cum += r.n_rows
