@@ -179,7 +179,8 @@ def _load_all() -> None:
 #: etl_partitioned_layout_pruned_scan (PartitionFilters proof), and
 #: vector_ann_ivfpq (coarse-cell routing + code-only ADC),
 #: corpus_token_budget_plan (epoch planning under a token budget), and
-#: multimodal_video_frame_sample (strided raw-video frame sampling).
+#: multimodal_video_frame_sample / stream_video_frame_sample (strided
+#: raw-video frame sampling, batch + stream parity).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

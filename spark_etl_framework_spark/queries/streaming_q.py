@@ -956,3 +956,58 @@ def stream_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "stream_video_frame_sample",
+    # identical oracle to the batch multimodal_video_frame_sample: frame
+    # striding + decode is a stateless narrow map, so streaming it
+    # (append mode, no state) must hash-match the batch result exactly —
+    # the batch/stream parity contract extended to the video modality.
+    oracle="""
+    SELECT d.doc_id AS id,
+           CAST(k AS INT)  AS frame_idx,
+           CAST(6 AS INT)  AS n_frames,
+           CAST(2 AS INT)  AS width,
+           CAST(2 AS INT)  AS height,
+           CAST(3 AS INT)  AS channels,
+           UPPER(SUBSTR(md5(d.text || ':' || k), 1, 24)) AS pixels_hex
+    FROM documents d, (VALUES (1), (3), (5)) AS f(k)
+    """,
+)
+def stream_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling on a STREAM of documents-turned-containers:
+    the same strided decode as the batch multimodal_video_frame_sample
+    (6-frame concatenated-netpbm payloads built per micro-batch, every
+    2nd frame from offset 1), run through readStream -> mapInPandas ->
+    memory sink. Stateless and narrow, so each micro-batch decodes at
+    scan speed with no watermark or state — the ingest-side shape for
+    sampling frames as video lands rather than in a nightly sweep."""
+    from ..operators.multimodal import sample_video_frames
+
+    sdf = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    txt = F.encode("text", "utf-8")
+    frames = [
+        F.concat(
+            F.lit(b"P6\n2 2\n255\n"),
+            F.unhex(F.substring(F.md5(F.concat(txt, F.lit(f":{k}".encode()))), 1, 24)),
+        )
+        for k in range(6)
+    ]
+    wire = sdf.select(F.col("doc_id").alias("id"), F.concat(*frames).alias("payload"))
+    out = sample_video_frames(wire, every_n=2, offset=1).select(
+        "id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+    qname = f"stream_video_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
