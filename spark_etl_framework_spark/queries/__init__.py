@@ -180,7 +180,9 @@ def _load_all() -> None:
 #: vector_ann_ivfpq (coarse-cell routing + code-only ADC),
 #: corpus_token_budget_plan (epoch planning under a token budget), and
 #: multimodal_video_frame_sample / stream_video_frame_sample (strided
-#: raw-video frame sampling, batch + stream parity).
+#: raw-video frame sampling, batch + stream parity), and
+#: source_tar_datasource_roundtrip (Spark 4 Python DataSource over
+#: WebDataset-style tar shards).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

@@ -166,3 +166,67 @@ def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_chars", "__kafka_topic", "__kafka_partition", "__kafka_offset"
     )
+
+
+#: session-scoped WebDataset-style tar shard directories, keyed by sf_dir
+_TAR_SHARDS: dict[str, str] = {}
+
+
+@register(
+    "source_tar_datasource_roundtrip",
+    # the tar layout is semantically transparent: member doc_<id>.txt
+    # carries the utf-8 text, so size = utf-8 byte length and the payload
+    # md5 = md5 of the text — any member lost, duplicated, or corrupted
+    # by the shard write or the custom source breaks the hash.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def source_tar_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API) end-to-end: the documents
+    table is sharded into WebDataset-style tar archives (executors write
+    one tar per partition via foreachPartition — the layout multimodal
+    corpora actually ship in), then read back with
+    ``spark.read.format("tar")`` (sources/pysource.py:TarDataSource —
+    one scan task per archive, members streamed with stdlib tarfile,
+    nothing concentrates on the driver) and verified member-for-member
+    against the original rows. This is the no-jar connector path the
+    reference's custom readers map onto under Spark 4."""
+    import tarfile as _tarfile
+    import tempfile
+
+    from ..sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    if sf_dir not in _TAR_SHARDS:
+        base = tempfile.mkdtemp(prefix="tar_shards_")
+
+        def _write_shard(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            import io as _io
+
+            path = f"{base}/shard_{pid:04d}.tar"
+            with _tarfile.open(path, "w") as tf:
+                for r in rows:
+                    data = r.text.encode("utf-8")
+                    ti = _tarfile.TarInfo(name=f"doc_{r.doc_id}.txt")
+                    ti.size = len(data)
+                    tf.addfile(ti, _io.BytesIO(data))
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(4, "doc_id").foreachPartition(_write_shard)
+        _TAR_SHARDS[sf_dir] = base
+    base = _TAR_SHARDS[sf_dir]
+    members = spark.read.format("tar").load(f"{base}/shard_*.tar")
+    return members.select(
+        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("size").cast("bigint").alias("size"),
+        F.md5("payload").alias("content_md5"),
+    )

@@ -285,3 +285,33 @@ def test_jdbc_reader_ddl_schema_partial_overlap_raises(spark, tmp_path):
     out = reader("x int, y int").run(jctx, spark)  # disjoint: rename
     r = out.collect()[0]
     assert (r["x"], r["y"]) == (1, 2)
+
+
+def test_tar_python_datasource(spark, tmp_path):
+    """Spark 4 custom Python DataSource: one scan task per archive, files
+    streamed member-by-member; globs resolve; missing paths fail loudly."""
+    import io
+    import tarfile
+
+    import pytest as _pt
+
+    from spark_etl_framework_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    for a in range(3):
+        with tarfile.open(tmp_path / f"d{a}.tar", "w") as tf:
+            for i in range(2):
+                data = f"payload {a}/{i}".encode()
+                ti = tarfile.TarInfo(name=f"m_{a}_{i}.bin")
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+    df = spark.read.format("tar").load(str(tmp_path / "d*.tar"))
+    rows = df.collect()
+    assert len(rows) == 6
+    assert df.rdd.getNumPartitions() == 3  # one task per archive
+    by_name = {r.member_name: r for r in rows}
+    assert bytes(by_name["m_2_1.bin"].payload) == b"payload 2/1"
+    assert by_name["m_0_0.bin"].size == len(b"payload 0/0")
+
+    with _pt.raises(Exception, match="no archives match|does not exist"):
+        spark.read.format("tar").load(str(tmp_path / "missing_*.tar")).collect()
