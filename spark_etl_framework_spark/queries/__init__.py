@@ -182,7 +182,8 @@ def _load_all() -> None:
 #: multimodal_video_frame_sample / stream_video_frame_sample (strided
 #: raw-video frame sampling, batch + stream parity), and
 #: source_tar_datasource_roundtrip (Spark 4 Python DataSource over
-#: WebDataset-style tar shards).
+#: WebDataset-style tar shards), and stream_docfeed_source_roundtrip
+#: (offset-managed streaming Python source, exactly-once delivery).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

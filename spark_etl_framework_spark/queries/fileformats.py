@@ -230,3 +230,50 @@ def source_tar_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("size").cast("bigint").alias("size"),
         F.md5("payload").alias("content_md5"),
     )
+
+
+@register(
+    "stream_docfeed_source_roundtrip",
+    # exactly-once delivery through the offset contract: every document
+    # arrives exactly once across the rate-limited micro-batches, so the
+    # streamed union hash-matches the batch table row for row.
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def stream_docfeed_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python data source end-to-end
+    (sources/pysource.py:DocFeedStreamReader): the documents table
+    arrives as an offset-managed stream — rate-limited micro-batches
+    (maxRowsPerBatch), each split into executor-side row-range tasks —
+    and the appended union must contain every document exactly once,
+    proving the offset arithmetic (no gap, no overlap, deterministic
+    replay) that checkpoint recovery depends on. This is the
+    source-side streaming-connector contract the gated Kafka reader
+    implements against a broker, demonstrated jar-free."""
+    import uuid as _uuid
+
+    from ..sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    sdf = (
+        spark.readStream.format("docfeed")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("maxRowsPerBatch", "997")  # deliberately not a divisor
+        .load()
+    )
+    out = sdf.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("content_md5"),
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+    )
+    qname = f"stream_docfeed_{_uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

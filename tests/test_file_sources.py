@@ -315,3 +315,31 @@ def test_tar_python_datasource(spark, tmp_path):
 
     with _pt.raises(Exception, match="no archives match|does not exist"):
         spark.read.format("tar").load(str(tmp_path / "missing_*.tar")).collect()
+
+
+def test_docfeed_stream_reader_offset_contract(spark, sf_dir):
+    """DocFeedStreamReader: rate limiting caps each batch, partitions()
+    tile an offset range without gap/overlap, and replaying the same
+    range yields identical rows (the checkpoint-recovery property)."""
+    from spark_etl_framework_spark.sources.pysource import DocFeedStreamReader
+
+    r = DocFeedStreamReader(
+        {"path": f"{sf_dir}/documents.parquet", "maxRowsPerBatch": "150",
+         "tasksPerBatch": "3"}
+    )
+    assert r.initialOffset() == {"row": 0}
+    o1, o2 = r.latestOffset(), r.latestOffset()
+    assert o1 == {"row": 150} and o2 == {"row": 300}
+    parts = r.partitions({"row": 0}, {"row": 150})
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 150
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))  # no gap/overlap
+    rows1 = [row for p in parts for row in r.read(p)]
+    rows2 = [row for p in r.partitions({"row": 0}, {"row": 150}) for row in r.read(p)]
+    assert rows1 == rows2 and len(rows1) == 150  # deterministic replay
+    assert r.partitions({"row": 10}, {"row": 10}) == []
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="requires a path"):
+        DocFeedStreamReader({})
