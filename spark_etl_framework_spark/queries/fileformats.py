@@ -195,31 +195,30 @@ def source_tar_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     nothing concentrates on the driver) and verified member-for-member
     against the original rows. This is the no-jar connector path the
     reference's custom readers map onto under Spark 4."""
-    import tarfile as _tarfile
     import tempfile
 
     from ..sources.pysource import register_python_sources
 
     register_python_sources(spark)
     if sf_dir not in _TAR_SHARDS:
-        base = tempfile.mkdtemp(prefix="tar_shards_")
-
-        def _write_shard(rows):
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            import io as _io
-
-            path = f"{base}/shard_{pid:04d}.tar"
-            with _tarfile.open(path, "w") as tf:
-                for r in rows:
-                    data = r.text.encode("utf-8")
-                    ti = _tarfile.TarInfo(name=f"doc_{r.doc_id}.txt")
-                    ti.size = len(data)
-                    tf.addfile(ti, _io.BytesIO(data))
-
+        base = tempfile.mkdtemp(prefix="tar_shards_") + "/shards"
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        docs.repartition(4, "doc_id").foreachPartition(_write_shard)
+        # the WRITE side of the same custom source: one shard per task,
+        # two-phase commit (tasks stage _tmp_*.tar, the driver's commit
+        # renames + drops a _SUCCESS marker) — TarDataSourceWriter
+        (
+            docs.repartition(4, "doc_id")
+            .select(
+                F.concat(
+                    F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+                ).alias("member_name"),
+                F.encode("text", "utf-8").alias("payload"),
+            )
+            .write.format("tar")
+            .option("path", base)
+            .mode("append")
+            .save()
+        )
         _TAR_SHARDS[sf_dir] = base
     base = _TAR_SHARDS[sf_dir]
     members = spark.read.format("tar").load(f"{base}/shard_*.tar")

@@ -76,6 +76,9 @@ class TarDataSource(DataSource):
     def reader(self, schema) -> TarDataSourceReader:
         return TarDataSourceReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "TarDataSourceWriter":
+        return TarDataSourceWriter(self.options, overwrite)
+
 
 
 
@@ -165,6 +168,74 @@ class DocFeedDataSource(DataSource):
 
     def streamReader(self, schema) -> DocFeedStreamReader:
         return DocFeedStreamReader(self.options)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Batch writer: WebDataset-style tar shards with two-phase commit
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclasses.dataclass
+class _TarCommit(WriterCommitMessage):
+    tmp_path: str
+    n_members: int
+
+
+class TarDataSourceWriter(DataSourceWriter):
+    """Write (member_name string, payload binary) rows as tar shards —
+    one shard per task — under the OFFICIAL two-phase commit contract:
+    each task writes to a ``_tmp_<uuid>`` file and returns a commit
+    message; only if EVERY task succeeds does the driver's ``commit``
+    rename the temporaries to ``shard_<i>.tar`` (plus a ``_SUCCESS``
+    marker), and ``abort`` removes them — so a half-failed job never
+    leaves a readable partial dataset. This is the job-commit protocol
+    every real sink implements (the FileOutputCommitter story), here in
+    ~40 lines of Python."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tar writer requires a path option")
+        self._overwrite = overwrite
+
+    def write(self, rows) -> _TarCommit:
+        import io
+        import tarfile as _tar
+        import uuid as _uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f"_tmp_{_uuid.uuid4().hex}.tar")
+        n = 0
+        with _tar.open(tmp, "w") as tf:
+            for r in rows:
+                data = bytes(r.payload)
+                ti = _tar.TarInfo(name=r.member_name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+                n += 1
+        return _TarCommit(tmp_path=tmp, n_members=n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.tmp_path
+        )):
+            os.replace(m.tmp_path, os.path.join(self._path, f"shard_{i:04d}.tar"))
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except FileNotFoundError:
+                    pass
 
 
 def register_python_sources(spark) -> None:

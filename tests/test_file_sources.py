@@ -343,3 +343,44 @@ def test_docfeed_stream_reader_offset_contract(spark, sf_dir):
 
     with _pt.raises(ValueError, match="requires a path"):
         DocFeedStreamReader({})
+
+
+def test_tar_writer_two_phase_commit(spark, tmp_path):
+    """TarDataSourceWriter: a successful job leaves shard_*.tar plus
+    _SUCCESS and no temporaries; abort() removes staged files so a failed
+    job leaves nothing readable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.sources.pysource import (
+        TarDataSourceWriter,
+        _TarCommit,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "shards")
+    df = spark.range(6).select(
+        F.concat(F.lit("m_"), F.col("id").cast("string")).alias("member_name"),
+        F.encode(F.concat(F.lit("p"), F.col("id").cast("string")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    df.repartition(2).write.format("tar").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert names == ["_SUCCESS", "shard_0000.tar", "shard_0001.tar"]
+    back = spark.read.format("tar").load(f"{out}/shard_*.tar")
+    assert back.count() == 6
+
+    # abort path: staged temporaries are removed
+    w = TarDataSourceWriter({"path": out}, overwrite=False)
+    staged = str(tmp_path / "shards" / "_tmp_deadbeef.tar")
+    open(staged, "wb").write(b"partial")
+    w.abort([_TarCommit(tmp_path=staged, n_members=1), None])
+    assert not os.path.exists(staged)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="requires a path"):
+        TarDataSourceWriter({}, overwrite=False)
