@@ -32,8 +32,9 @@ TAR_SCHEMA = "archive string, member_name string, size long, payload binary"
 
 
 class _TarPartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pushed=()):
         self.path = path
+        self.pushed = list(pushed)
 
 
 class TarDataSourceReader(DataSourceReader):
@@ -48,16 +49,62 @@ class TarDataSourceReader(DataSourceReader):
         for p in self._paths:
             if not os.path.exists(p):
                 raise FileNotFoundError(f"tar data source: {p!r} does not exist")
+        self._pushed = []
+
+    def pushFilters(self, filters):
+        """Accept member_name equality/prefix and size bounds; everything
+        else is returned to Spark to evaluate post-scan. A pushed filter
+        is applied DURING the member walk (read below) BEFORE
+        ``extractfile`` — so filtered members' payload bytes are never
+        read off disk, which is the whole point of pushdown on a format
+        whose per-member metadata (name, size) lives in the header."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            LessThan,
+            StringStartsWith,
+        )
+
+        for f in filters:
+            attr = ".".join(f.attribute) if hasattr(f, "attribute") else None
+            if isinstance(f, (EqualTo, StringStartsWith)) and attr == "member_name":
+                self._pushed.append(f)
+            elif isinstance(f, (GreaterThan, LessThan)) and attr == "size":
+                self._pushed.append(f)
+            else:
+                yield f  # unsupported — Spark evaluates it after the scan
+
+    def _keep(self, name: str, size: int) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            LessThan,
+            StringStartsWith,
+        )
+
+        for f in self._pushed:
+            if isinstance(f, EqualTo) and name != f.value:
+                return False
+            if isinstance(f, StringStartsWith) and not name.startswith(f.value):
+                return False
+            if isinstance(f, GreaterThan) and not size > f.value:
+                return False
+            if isinstance(f, LessThan) and not size < f.value:
+                return False
+        return True
 
     def partitions(self):
         # one task per archive: the scan parallelism IS the archive list
-        return [_TarPartition(p) for p in self._paths]
+        return [_TarPartition(p, self._pushed) for p in self._paths]
 
     def read(self, partition: _TarPartition) -> Iterator[tuple]:
+        self._pushed = partition.pushed
         with tarfile.open(partition.path, "r") as tf:
             for m in tf:
                 if not m.isfile():
                     continue
+                if not self._keep(m.name, m.size):
+                    continue  # header-only skip: payload never read
                 f = tf.extractfile(m)
                 payload = f.read() if f is not None else b""
                 yield (partition.path, m.name, m.size, payload)
@@ -239,6 +286,12 @@ class TarDataSourceWriter(DataSourceWriter):
 
 
 def register_python_sources(spark) -> None:
-    """Register all custom Python data sources on ``spark`` (idempotent)."""
+    """Register all custom Python data sources on ``spark`` (idempotent).
+
+    Also enables Python-source filter pushdown (off by default in
+    Spark 4.1, and a reader implementing ``pushFilters`` hard-errors
+    without it — runtime-settable, so pinned here where the sources are
+    registered)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TarDataSource)
     spark.dataSource.register(DocFeedDataSource)

@@ -384,3 +384,59 @@ def test_tar_writer_two_phase_commit(spark, tmp_path):
 
     with _pt.raises(ValueError, match="requires a path"):
         TarDataSourceWriter({}, overwrite=False)
+
+
+def test_tar_source_filter_pushdown(spark, tmp_path):
+    """pushFilters: member_name prefix/equality and size bounds apply
+    during the header walk (payloads of filtered members never read);
+    unsupported filters are returned to Spark and still enforced."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.sources.pysource import (
+        TarDataSourceReader,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    with tarfile.open(tmp_path / "a.tar", "w") as tf:
+        for i in range(6):
+            data = b"x" * (i + 1)
+            ti = tarfile.TarInfo(name=f"{'img' if i % 2 else 'txt'}_{i}.bin")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    df = spark.read.format("tar").load(str(tmp_path / "a.tar"))
+    got = sorted(
+        (r.member_name, r.size)
+        for r in df.filter(
+            F.col("member_name").startswith("img") & (F.col("size") > 2)
+        ).collect()
+    )
+    assert got == [("img_3.bin", 4), ("img_5.bin", 6)]
+    # equality + an unsupported filter (payload contains) together
+    got2 = df.filter(
+        (F.col("member_name") == "txt_4.bin") & (F.octet_length("payload") == 5)
+    ).collect()
+    assert [(r.member_name, r.size) for r in got2] == [("txt_4.bin", 5)]
+
+    # unit: the reader keeps supported filters and yields back the rest
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    r = TarDataSourceReader({"path": str(tmp_path / "a.tar")})
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("member_name",), "img_1.bin"),
+                GreaterThan(("size",), 1),
+                LessThan(("size",), 99),
+                EqualTo(("archive",), "zzz"),  # unsupported attribute
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]
+    assert len(r._pushed) == 3
+    assert [t for t in r.read(r.partitions()[0])] == [
+        (str(tmp_path / "a.tar"), "img_1.bin", 2, b"xx")
+    ]
