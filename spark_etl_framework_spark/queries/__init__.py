@@ -183,7 +183,8 @@ def _load_all() -> None:
 #: raw-video frame sampling, batch + stream parity), and
 #: source_tar_datasource_roundtrip (Spark 4 Python DataSource over
 #: WebDataset-style tar shards), and stream_docfeed_source_roundtrip
-#: (offset-managed streaming Python source, exactly-once delivery).
+#: (offset-managed streaming Python source, exactly-once delivery), and
+#: kafka_avro_decode_roundtrip (jar-free Avro decode fallback).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

@@ -276,3 +276,66 @@ def stream_docfeed_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@register(
+    "kafka_avro_decode_roundtrip",
+    # Avro wire bytes are built by the same codec family that decodes
+    # them, so the oracle never touches bytes: an encode->decode identity
+    # means the flattened output must equal the source rows (any
+    # asymmetry between writer and reader — zigzag, lengths, union
+    # branches — breaks the hash). Nullable branch exercised: lang is
+    # NULL on every 7th document.
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT)  AS doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           'docs'                  AS __kafka_topic,
+           CAST(doc_id % 4 AS INT) AS __kafka_partition,
+           CAST(doc_id AS BIGINT)  AS __kafka_offset
+    FROM documents
+    """,
+)
+def kafka_avro_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AVRO branch of the Kafka decode surface, no jar and no broker:
+    value payloads are real Avro BINARY records (zigzag varints,
+    length-prefixed strings, [null, string] union — functions/avro.py,
+    wire format validated against the Avro spec's canonical examples)
+    built by ``py_to_avro`` and decoded back through ``decode_kafka``,
+    which prefers spark-avro's from_avro and falls back to the
+    pure-Python codec when the jar is absent. Flattened output
+    hash-checks against the source rows, nullable union included."""
+    import json as _json
+
+    from ..functions.avro import py_to_avro
+    from ..sources.connectors import decode_kafka
+
+    value_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": ["null", "string"]},
+                {"name": "n_chars", "type": "long"},
+            ],
+        }
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    rec = F.struct(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("lang"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    wire = docs.select(
+        F.lit(None).cast("binary").alias("key"),
+        py_to_avro(rec, value_schema).alias("value"),
+        F.lit("docs").alias("topic"),
+        (F.col("doc_id") % 4).cast("int").alias("partition"),
+        F.col("doc_id").alias("offset"),
+    )
+    out = decode_kafka(wire, None, None, value_avro=value_schema)
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        "__kafka_topic", "__kafka_partition", "__kafka_offset",
+    )

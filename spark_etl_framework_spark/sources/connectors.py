@@ -36,21 +36,36 @@ def decode_kafka(
     kafka columns prefixed ``__kafka_``
     (reference: etl/common/KafkaReadActor.scala:32-93).
 
-    Spark-JSON DDL schemas decode via from_json (jar-free); Avro schema
-    strings decode via from_avro (needs the spark-avro package —
-    reference: KafkaReadActor.scala:45,53).
+    Spark-JSON DDL schemas decode via from_json (jar-free). Avro schema
+    strings prefer spark-avro's ``from_avro`` (reference:
+    KafkaReadActor.scala:45,53); when that jar is absent (this sandbox),
+    flat records of primitives decode via the pure-Python codec in
+    functions/avro.py — same struct shape, same ``key.*``/``value.*``
+    flatten — so the Avro path is no longer gated for the common case.
+    Nested Avro still needs the jar and says so.
     """
     out = df
     meta = [c for c in df.columns if c not in ("key", "value")]
     selects = []
     if key_avro or value_avro:
-        from pyspark.sql.avro.functions import from_avro
+        def _avro_decode(col, schema_json):
+            try:
+                from pyspark.sql.avro.functions import from_avro
+
+                c = from_avro(F.col(col), schema_json)
+                # the jar's absence surfaces lazily — force analysis now
+                df.select(c).schema  # noqa: B018
+                return c
+            except Exception:  # noqa: BLE001 — AVRO_NOT_LOADED and kin
+                from ..functions.avro import py_from_avro
+
+                return py_from_avro(F.col(col), schema_json)
 
         if key_avro:
-            out = out.withColumn("__key", from_avro(F.col("key"), key_avro))
+            out = out.withColumn("__key", _avro_decode("key", key_avro))
             selects.append(F.col("__key.*"))
         if value_avro:
-            out = out.withColumn("__value", from_avro(F.col("value"), value_avro))
+            out = out.withColumn("__value", _avro_decode("value", value_avro))
             selects.append(F.col("__value.*"))
     if key_schema:
         # a struct DDL ("doc_id bigint" / "a int, b string") decodes via

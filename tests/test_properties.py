@@ -234,3 +234,78 @@ def test_compaction_plan_partitions_every_file_once(spark_files, target):
     for r in plan:
         assert r.compact_group == cum // target
         cum += r.n_rows
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.booleans(),
+            st.binary(max_size=16),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(deadline=None)
+def test_avro_codec_roundtrip(rows):
+    """Pure-Python Avro binary codec: encode->decode identity over longs
+    (zigzag incl. extreme negatives), nullable strings (union branches),
+    doubles, booleans, and bytes."""
+    import json
+
+    from spark_etl_framework_spark.functions.avro import (
+        decode_record,
+        encode_record,
+        parse_schema,
+    )
+
+    schema = parse_schema(
+        json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "a", "type": "long"},
+                    {"name": "b", "type": ["null", "string"]},
+                    {"name": "c", "type": "double"},
+                    {"name": "d", "type": "boolean"},
+                    {"name": "e", "type": "bytes"},
+                ],
+            }
+        )
+    )
+    for a, b, c, d, e in rows:
+        vals = {"a": a, "b": b, "c": c, "d": d, "e": e}
+        assert decode_record(encode_record(vals, schema), schema) == vals
+
+
+def test_avro_schema_gates_and_wire_examples():
+    """Unsupported Avro shapes raise with the spark-avro pointer; the
+    zigzag wire bytes match the Avro spec's canonical examples."""
+    import json
+
+    import pytest as _pt
+
+    from spark_etl_framework_spark.functions.avro import (
+        decode_record,
+        encode_record,
+        parse_schema,
+    )
+
+    with _pt.raises(NotImplementedError, match="spark-avro"):
+        parse_schema(json.dumps({"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "array", "items": "int"}}]}))
+    with _pt.raises(ValueError, match="must be a record"):
+        parse_schema(json.dumps("string"))
+
+    f = parse_schema(json.dumps({"type": "record", "name": "r",
+                                 "fields": [{"name": "a", "type": "long"}]}))
+    # spec: 1 -> 0x02, -1 -> 0x01, 64 -> 0x80 0x01
+    assert encode_record({"a": 1}, f).hex() == "02"
+    assert encode_record({"a": -1}, f).hex() == "01"
+    assert encode_record({"a": 64}, f).hex() == "8001"
+    with _pt.raises(ValueError, match="trailing bytes"):
+        decode_record(b"\x02\x02", f)
