@@ -184,7 +184,8 @@ def _load_all() -> None:
 #: source_tar_datasource_roundtrip (Spark 4 Python DataSource over
 #: WebDataset-style tar shards), and stream_docfeed_source_roundtrip
 #: (offset-managed streaming Python source, exactly-once delivery), and
-#: kafka_avro_decode_roundtrip (jar-free Avro decode fallback).
+#: kafka_avro_decode_roundtrip (jar-free Avro decode fallback), and
+#: etl_schema_evolution_read (mergeSchema across column-add vintages).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

@@ -746,3 +746,69 @@ def etl_partitioned_layout_pruned_scan(spark: SparkSession, sf_dir: str) -> Data
         .cast("double")
         .alias("total_value"),
     )
+
+
+#: session-scoped evolving-layout locations, keyed by sf_dir
+_EVOLVED: dict[str, str] = {}
+
+
+@register(
+    "etl_schema_evolution_read",
+    # v1 partitions predate the `region_name` column; mergeSchema unifies
+    # them with NULLs exactly like the SQL union below — any column
+    # misalignment or dropped partition breaks the hash.
+    oracle="""
+    WITH v1 AS (SELECT c_custkey, c_mktsegment, CAST(NULL AS VARCHAR) AS region_name
+                FROM customer WHERE c_custkey % 2 = 0),
+    v2 AS (SELECT c.c_custkey, c.c_mktsegment, r.r_name AS region_name
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE c.c_custkey % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT c_mktsegment,
+           COALESCE(region_name, '<pre-evolution>') AS region_name,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM u GROUP BY 1, 2
+    """,
+)
+def etl_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing table — the lakehouse reality that a
+    column added in March must not break February's files: v1 batches
+    (even custkeys) are written WITHOUT ``region_name``, v2 batches (odd
+    custkeys, enriched through nation x region) WITH it, into the same
+    dataset directory; the read uses ``mergeSchema`` so old files
+    surface the new column as NULL, and the aggregate accounts every
+    customer exactly once across both vintages. At 100 TB the
+    alternative — rewriting history on every column add — is the thing
+    this feature exists to avoid. (Footer-schema merging costs one
+    metadata pass; production pins the unified schema in a catalog
+    instead of re-merging per read.)"""
+    import tempfile
+
+    if sf_dir not in _EVOLVED:
+        base = tempfile.mkdtemp(prefix="evolving_")
+        cust = load_table(spark, sf_dir, "customer")
+        v1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_mktsegment"
+        )
+        v1.write.mode("append").parquet(base)
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey"
+        )
+        region = load_table(spark, sf_dir, "region").select(
+            "r_regionkey", F.col("r_name").alias("region_name")
+        )
+        v2 = (
+            cust.filter(F.col("c_custkey") % 2 == 1)
+            .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .select("c_custkey", "c_mktsegment", "region_name")
+        )
+        v2.write.mode("append").parquet(base)
+        _EVOLVED[sf_dir] = base
+    u = spark.read.option("mergeSchema", "true").parquet(_EVOLVED[sf_dir])
+    return u.groupBy(
+        "c_mktsegment",
+        F.coalesce("region_name", F.lit("<pre-evolution>")).alias("region_name"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))

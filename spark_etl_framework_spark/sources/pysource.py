@@ -172,13 +172,26 @@ class DocFeedStreamReader(DataSourceStreamReader):
         return {"row": 0}
 
     def latestOffset(self):
-        # advance by one rate-limited batch per trigger until exhausted
+        # Advance by one rate-limited batch per trigger until exhausted.
+        # RESTART SAFETY: a recovered query builds a FRESH reader whose
+        # counter would restart at 0 — returning an offset BELOW the
+        # checkpointed position would make the engine WAL a backward
+        # offset and later re-serve already-delivered rows as a new batch
+        # (observed as exact one-batch duplication in the recovery test).
+        # partitions()/commit() therefore feed the committed position
+        # back into the counter, and latestOffset never goes backward.
         if not hasattr(self, "_cur"):
             self._cur = 0
         self._cur = min(self._cur + self._batch, self._n)
         return {"row": self._cur}
 
+    def commit(self, end) -> None:
+        self._cur = max(getattr(self, "_cur", 0), end["row"])
+
     def partitions(self, start, end):
+        # the engine's offsets are authoritative (checkpoint WAL) — sync
+        # the rate-limit counter so a recovered reader resumes, not rewinds
+        self._cur = max(getattr(self, "_cur", 0), start["row"], end["row"])
         lo, hi = start["row"], end["row"]
         if lo >= hi:
             return []
@@ -198,9 +211,6 @@ class DocFeedStreamReader(DataSourceStreamReader):
         ids = sl.column("doc_id").to_pylist()
         txts = sl.column("text").to_pylist()
         return iter(zip(ids, txts))
-
-    def commit(self, end):
-        pass  # offsets are deterministic row positions — nothing to persist
 
 
 class DocFeedDataSource(DataSource):

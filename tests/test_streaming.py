@@ -219,3 +219,57 @@ def test_stateful_v2_contract_gated_or_runs(spark, jctx, tmp_path):
     rows = {r["gender"]: r for r in spark.sql("select * from v2_out").collect()}
     assert rows["m"]["minage"] == 20 and rows["m"]["maxage"] == 40 and rows["m"]["n"] == 3
     assert rows["f"]["minage"] == 25 and rows["f"]["maxage"] == 35 and rows["f"]["n"] == 2
+
+
+def test_docfeed_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
+    """Exactly-once across a RESTART: run the docfeed stream with a
+    checkpoint, stop it mid-feed, start a NEW query from the same
+    checkpoint — the union of both runs must contain every document
+    exactly once (committed offsets resume, no replayed batch lands
+    twice in the file sink)."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        sdf = (
+            spark.readStream.format("docfeed")
+            .option("path", f"{sf_dir}/documents.parquet")
+            .option("maxRowsPerBatch", "120")
+            .load()
+            .select("doc_id", F.length("text").alias("n"))
+        )
+        return (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    # let at least one micro-batch commit, then stop mid-feed
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        lp = q.lastProgress
+        if lp is not None and lp.numInputRows > 0:
+            break
+        _t.sleep(0.3)
+    q.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    total = got.count()
+    distinct = got.select("doc_id").distinct().count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert distinct == n_docs, f"missing docs: {distinct}/{n_docs}"
+    assert total == n_docs, f"duplicates after recovery: {total} rows for {n_docs} docs"
