@@ -339,3 +339,54 @@ def kafka_avro_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         "__kafka_topic", "__kafka_partition", "__kafka_offset",
     )
+
+
+@register(
+    "stream_tar_autoload_roundtrip",
+    # same oracle as the batch tar roundtrip: streaming the shards one
+    # archive per micro-batch must surface every member exactly once.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def stream_tar_autoload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-loader ingestion of tar shards
+    (sources/pysource.py:TarStreamReader): the session's WebDataset
+    shards (written once by the tar writer's two-phase commit) arrive as
+    a STREAM, one archive per micro-batch with one executor task per
+    archive — the pattern for corpora that land shard-by-shard in object
+    storage. The appended union must contain every member of every shard
+    exactly once (offset-per-archive accounting), hash-checked against
+    the source table like the batch read."""
+    import uuid as _uuid
+
+    from ..sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    # ensure the shards exist (built by the batch roundtrip's writer path)
+    if sf_dir not in _TAR_SHARDS:
+        source_tar_datasource_roundtrip(spark, sf_dir)
+    base = _TAR_SHARDS[sf_dir]
+    sdf = (
+        spark.readStream.format("tar")
+        .option("path", f"{base}/shard_*.tar")
+        .option("maxFilesPerBatch", "1")
+        .load()
+    )
+    out = sdf.select(
+        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("size").cast("bigint").alias("size"),
+        F.md5("payload").alias("content_md5"),
+    )
+    qname = f"stream_tar_{_uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

@@ -126,6 +126,9 @@ class TarDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "TarDataSourceWriter":
         return TarDataSourceWriter(self.options, overwrite)
 
+    def streamReader(self, schema) -> "TarStreamReader":
+        return TarStreamReader(self.options)
+
 
 
 
@@ -293,6 +296,58 @@ class TarDataSourceWriter(DataSourceWriter):
                     os.remove(m.tmp_path)
                 except FileNotFoundError:
                     pass
+
+
+class _TarStreamPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TarStreamReader(DataSourceStreamReader):
+    """Auto-loader over tar shards: offsets are positions in the SORTED
+    archive list, so each micro-batch ingests the next newly-arrived
+    archives (``maxFilesPerBatch`` per trigger) — the cloud-files
+    ingestion pattern (new shards land in a directory; the stream picks
+    each up exactly once), with one executor task per archive. Restart
+    safety follows the docfeed lesson: the engine's checkpointed offsets
+    are authoritative, the reader's rate counter syncs from them in
+    ``partitions``/``commit`` and ``latestOffset`` never goes backward —
+    so recovery resumes, never re-serves an archive."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tar stream source requires a path option")
+        self._glob = path
+        self._per_batch = int(options.get("maxFilesPerBatch", "1"))
+        self._cur = 0
+
+    def _archives(self) -> list[str]:
+        return sorted(_glob.glob(self._glob))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def latestOffset(self):
+        n = len(self._archives())
+        self._cur = min(self._cur + self._per_batch, n)
+        return {"idx": self._cur}
+
+    def commit(self, end) -> None:
+        self._cur = max(self._cur, end["idx"])
+
+    def partitions(self, start, end):
+        self._cur = max(self._cur, start["idx"], end["idx"])
+        archives = self._archives()
+        return [_TarStreamPartition(p) for p in archives[start["idx"] : end["idx"]]]
+
+    def read(self, partition: _TarStreamPartition):
+        with tarfile.open(partition.path, "r") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                f = tf.extractfile(m)
+                yield (partition.path, m.name, m.size, f.read() if f else b"")
 
 
 def register_python_sources(spark) -> None:

@@ -440,3 +440,32 @@ def test_tar_source_filter_pushdown(spark, tmp_path):
     assert [t for t in r.read(r.partitions()[0])] == [
         (str(tmp_path / "a.tar"), "img_1.bin", 2, b"xx")
     ]
+
+
+def test_tar_stream_reader_paces_one_archive_per_batch(spark, tmp_path):
+    """TarStreamReader: offsets advance maxFilesPerBatch archives per
+    trigger; restart-safe (never below engine offsets); partitions slice
+    the sorted archive list."""
+    import io
+    import tarfile
+
+    from spark_etl_framework_spark.sources.pysource import TarStreamReader
+
+    for a in range(3):
+        with tarfile.open(tmp_path / f"s{a}.tar", "w") as tf:
+            data = f"x{a}".encode()
+            ti = tarfile.TarInfo(name=f"m{a}")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    r = TarStreamReader({"path": str(tmp_path / "s*.tar"), "maxFilesPerBatch": "1"})
+    assert r.initialOffset() == {"idx": 0}
+    assert r.latestOffset() == {"idx": 1}
+    assert r.latestOffset() == {"idx": 2}
+    parts = r.partitions({"idx": 0}, {"idx": 2})
+    assert [p.path.endswith(f"s{i}.tar") for i, p in enumerate(parts)] == [True, True]
+    rows = [row for p in parts for row in r.read(p)]
+    assert [(r2[1], bytes(r2[3])) for r2 in rows] == [("m0", b"x0"), ("m1", b"x1")]
+    # restart: a fresh reader fed the checkpointed offset resumes past it
+    r2 = TarStreamReader({"path": str(tmp_path / "s*.tar"), "maxFilesPerBatch": "1"})
+    r2.partitions({"idx": 2}, {"idx": 2})
+    assert r2.latestOffset() == {"idx": 3}  # not a rewind to 1
