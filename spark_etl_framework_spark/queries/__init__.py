@@ -186,7 +186,8 @@ def _load_all() -> None:
 #: (offset-managed streaming Python source, exactly-once delivery), and
 #: kafka_avro_decode_roundtrip (jar-free Avro decode fallback), and
 #: etl_schema_evolution_read (mergeSchema across column-add vintages),
-#: and stream_tar_autoload_roundtrip (auto-loader over tar shards).
+#: stream_tar_autoload_roundtrip (auto-loader over tar shards), and
+#: events_cuped_adjustment (CUPED experiment variance reduction).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

@@ -1470,3 +1470,75 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("avg_latency_sec"),
     )
+
+
+@register(
+    "events_cuped_adjustment",
+    # CUPED variance reduction: theta = cov(pre, post) / var(pre) over
+    # users (population covariance/variance — both engines' covar_pop /
+    # var_pop), adjusted post-metric = post - theta * (pre - mean_pre).
+    # All moments accumulate in DECIMAL before the final double ratios.
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS variant,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS pre,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT covar_pop(CAST(pre AS DOUBLE), CAST(post AS DOUBLE))
+                     / var_pop(CAST(pre AS DOUBLE)) AS theta,
+                 avg(CAST(pre AS DOUBLE)) AS mean_pre,
+                 corr(CAST(pre AS DOUBLE), CAST(post AS DOUBLE)) AS rho
+          FROM u)
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(CAST(post AS DOUBLE)), 6) AS mean_post,
+           round(avg(CAST(post AS DOUBLE)
+                     - g.theta * (CAST(pre AS DOUBLE) - g.mean_pre)), 6)
+               AS mean_post_cuped,
+           round(g.rho * g.rho, 6) AS variance_reduction
+    FROM u, g GROUP BY variant, g.theta, g.mean_pre, g.rho
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data) — the
+    standard variance-reduction adjustment every experimentation
+    platform applies before the t-test: per user, a PRE-period covariate
+    (value before Jan 15) and the POST-period metric; theta =
+    cov(pre, post)/var(pre) fitted on the pooled population (one 2-row
+    broadcast relation), and each variant reports its raw and adjusted
+    post-metric means plus the theoretical variance-reduction rho^2.
+    Two aggregations over the user relation + a broadcast of the fitted
+    scalars — nothing beyond the user rollup ever shuffles, so the shape
+    holds at any user count."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cutoff, F.col("value").cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= cutoff, F.col("value").cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("post"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    pre_d = F.col("pre").cast("double")
+    post_d = F.col("post").cast("double")
+    g = u.agg(
+        (F.covar_pop(pre_d, post_d) / F.var_pop(pre_d)).alias("theta"),
+        F.avg(pre_d).alias("mean_pre"),
+        F.corr(pre_d, post_d).alias("rho"),
+    )
+    joined = u.crossJoin(F.broadcast(g))
+    return joined.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg(post_d), 6).alias("mean_post"),
+        F.round(
+            F.avg(post_d - F.col("theta") * (pre_d - F.col("mean_pre"))), 6
+        ).alias("mean_post_cuped"),
+        F.round(F.max("rho") * F.max("rho"), 6).alias("variance_reduction"),
+    )
