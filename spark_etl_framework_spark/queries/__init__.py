@@ -187,7 +187,8 @@ def _load_all() -> None:
 #: kafka_avro_decode_roundtrip (jar-free Avro decode fallback), and
 #: etl_schema_evolution_read (mergeSchema across column-add vintages),
 #: stream_tar_autoload_roundtrip (auto-loader over tar shards), and
-#: events_cuped_adjustment (CUPED experiment variance reduction).
+#: events_cuped_adjustment (CUPED experiment variance reduction), and
+#: etl_compaction_execute (the OPTIMIZE-style rewrite of the plan).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

@@ -812,3 +812,112 @@ def etl_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.coalesce("region_name", F.lit("<pre-evolution>")).alias("region_name"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+#: session-scoped compaction-execution outputs, keyed by sf_dir
+_COMPACTED: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "etl_compaction_execute",
+    # deterministic replay: the fragmented layout is one file per
+    # doc_id % 16 bucket, so per-bucket row counts — and therefore the
+    # NFD group assignment and per-group totals — are pure SQL; the
+    # one_file_per_group boolean pins that the rewrite actually coalesced
+    # each group, and group row totals pin that no row was lost.
+    oracle="""
+    WITH b AS (SELECT 'bucket=' || CAST(doc_id % 16 AS VARCHAR) AS bucket,
+                      count(*) AS n_rows
+               FROM documents GROUP BY 1),
+    p AS (SELECT bucket, n_rows,
+                 CAST(floor(
+                     (sum(n_rows) OVER (ORDER BY n_rows DESC, bucket
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_rows)
+                     / 700.0) AS INT) AS compact_group
+          FROM b)
+    SELECT compact_group,
+           CAST(count(*) AS BIGINT)      AS n_inputs,
+           CAST(sum(n_rows) AS BIGINT)   AS n_rows,
+           true AS one_file_per_group
+    FROM p GROUP BY compact_group
+    """,
+)
+def etl_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTION half of small-files maintenance (the planner is
+    etl_compaction_plan): a deliberately fragmented copy of documents
+    (one parquet file per doc_id%16 bucket) is planned into ~700-row
+    compaction groups and each group is REWRITTEN as one coalesced file.
+    The result reads back the compacted layout and reports, per group,
+    its input-file count, row total (no row lost), and a boolean that
+    the group really is one output file now — at scale this loop is the
+    nightly OPTIMIZE job, one bounded write per group, driven by the
+    |files|-sized plan relation, never by data rows."""
+    import glob as _g
+    import tempfile
+
+    from ..operators.etl import compaction_plan
+
+    if sf_dir not in _COMPACTED:
+        frag = tempfile.mkdtemp(prefix="fragmented_") + "/t"
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "bucket", (F.col("doc_id") % 16).cast("int")
+        )
+        docs.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(frag)
+        files = (
+            spark.read.parquet(frag)
+            .groupBy(F.concat(F.lit("bucket="), F.col("bucket").cast("string")).alias("file_name"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        )
+        plan = compaction_plan(files, target_rows=700).collect()
+        out = tempfile.mkdtemp(prefix="compacted_") + "/t"
+        groups: dict[int, list[str]] = {}
+        for r in plan:
+            groups.setdefault(r.compact_group, []).append(r.file_name)
+        for gid, buckets in groups.items():
+            ids = [int(b.split("=")[1]) for b in buckets]
+            (
+                spark.read.parquet(frag)
+                .filter(F.col("bucket").isin(ids))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out}/compact_group={gid}")
+            )
+        _COMPACTED[sf_dir] = (frag, out)
+    frag, out = _COMPACTED[sf_dir]
+    compacted = spark.read.option("basePath", out).parquet(f"{out}/compact_group=*")
+    per_group_files = {
+        int(d.rsplit("=", 1)[1]): len(_g.glob(f"{d}/part-*.parquet"))
+        for d in _g.glob(f"{out}/compact_group=*")
+    }
+    n_files_map = F.create_map(
+        *[F.lit(x) for kv in per_group_files.items() for x in kv]
+    )
+    files = (
+        spark.read.parquet(frag)
+        .groupBy(F.concat(F.lit("bucket="), F.col("bucket").cast("string")).alias("file_name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    plan_df = compaction_plan(files, target_rows=700)
+    return (
+        compacted.groupBy("compact_group")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_out"))
+        .join(
+            plan_df.groupBy("compact_group").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_inputs"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+            ),
+            "compact_group",
+        )
+        .select(
+            F.col("compact_group").cast("int").alias("compact_group"),
+            "n_inputs",
+            "n_rows",
+            (
+                (F.col("n_rows_out") == F.col("n_rows"))
+                & (n_files_map[F.col("compact_group")] == 1)
+            ).alias("one_file_per_group"),
+        )
+    )
