@@ -1,0 +1,115 @@
+"""Versioned parquet tables: commit log, snapshot reads, time travel.
+
+The reference's Delta path (DeltaReader's ``versionAsOf``/
+``timestampAsOf``, DeltaWriter's upserts —
+DeltaPipelineTest.scala:24-30) needs the delta-spark jar, absent here.
+This module implements the SEMANTICS jar-free, the way Delta itself
+does at the storage layer: a ``_log/`` directory of JSON commit entries,
+each listing the data files that make up that version (copy-on-write —
+a new version references a fresh file set, old files are never
+mutated), so
+
+- ``read_version(path, n)`` = read exactly version n's file list
+  (time travel is just resolving an older commit entry);
+- ``latest_version(path)`` = max committed entry (readers never see a
+  half-written commit: the JSON is written to a temp name and renamed,
+  and the data files are fully written before the commit lands);
+- ``write_version`` / ``merge_upsert`` append a new commit (upsert =
+  read-latest ⟕ updates, keyed; the merge itself is ONE join, the same
+  shape as operators/etl.py's SCD1/SCD2 family).
+
+On a real object store the rename-as-commit needs the store's
+conditional-put (as Delta/Iceberg use); the layout and read path are
+identical. Scale: the log is O(versions) tiny JSON; data files are
+normal parquet, and a snapshot read costs exactly its own files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version, or -1 for an empty/absent table."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return -1
+    versions = [
+        int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+    ]
+    return max(versions, default=-1)
+
+
+def _commit(path: str, version: int, files: list[str], op: str) -> None:
+    d = _log_dir(path)
+    os.makedirs(d, exist_ok=True)
+    entry = {"version": version, "op": op, "files": files}
+    tmp = os.path.join(d, f"_tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    final = os.path.join(d, f"{version:012d}.json")
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit: version {version} already exists at {path}"
+        )
+    os.rename(tmp, final)
+
+
+def _files_of(path: str, version: int) -> list[str]:
+    f = os.path.join(_log_dir(path), f"{version:012d}.json")
+    if not os.path.exists(f):
+        raise FileNotFoundError(
+            f"version {version} of {path} does not exist "
+            f"(latest: {latest_version(path)})"
+        )
+    with open(f) as fh:
+        return json.load(fh)["files"]
+
+
+def write_version(df: DataFrame, path: str, op: str = "write") -> int:
+    """Write ``df`` as the table's next version (full snapshot,
+    copy-on-write); returns the new version number."""
+    version = latest_version(path) + 1
+    data_dir = os.path.join(path, f"v{version:012d}_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    _commit(path, version, files, op)
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the file list of ``version`` (default latest) —
+    the ``versionAsOf`` time travel of the Delta reader."""
+    v = latest_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    return spark.read.parquet(*_files_of(path, v))
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> int:
+    """SCD1 MERGE as a new version: rows matching on ``key`` are replaced
+    by the update, unmatched update rows are inserted, everything else
+    carries over — one full-outer-free join shape (left-anti + union),
+    committed copy-on-write. Returns the new version."""
+    current = read_version(spark, path)
+    kept = current.join(updates.select(key), key, "left_anti")
+    merged = kept.unionByName(updates)
+    return write_version(merged, path, op="merge")

@@ -188,7 +188,8 @@ def _load_all() -> None:
 #: etl_schema_evolution_read (mergeSchema across column-add vintages),
 #: stream_tar_autoload_roundtrip (auto-loader over tar shards), and
 #: events_cuped_adjustment (CUPED experiment variance reduction), and
-#: etl_compaction_execute (the OPTIMIZE-style rewrite of the plan).
+#: etl_compaction_execute (the OPTIMIZE-style rewrite of the plan), and
+#: etl_versioned_time_travel (jar-free commit-log snapshots + MERGE).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

@@ -921,3 +921,80 @@ def etl_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("one_file_per_group"),
         )
     )
+
+
+#: session-scoped versioned-table locations, keyed by sf_dir
+_VERSIONED: dict[str, str] = {}
+
+
+@register(
+    "etl_versioned_time_travel",
+    # v0 = original customer balances; v1 = MERGE of the %10==0 customers
+    # with doubled balances plus one brand-new row. Reading BOTH versions
+    # side by side replays exactly in SQL — time travel done right means
+    # v0's aggregate is untouched by v1's merge.
+    oracle="""
+    WITH v0 AS (SELECT c_mktsegment, c_acctbal FROM customer),
+    upd AS (SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0),
+    v1 AS (SELECT c_mktsegment, c_acctbal FROM customer
+           WHERE c_custkey % 10 <> 0
+           UNION ALL SELECT c_mktsegment, c_acctbal FROM upd
+           UNION ALL SELECT 'MACHINERY', 999.99),
+    a0 AS (SELECT c_mktsegment, count(*) AS n,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+           FROM v0 GROUP BY 1),
+    a1 AS (SELECT c_mktsegment, count(*) AS n,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+           FROM v1 GROUP BY 1)
+    SELECT a0.c_mktsegment,
+           CAST(a0.n AS BIGINT) AS n_v0,
+           a0.bal               AS bal_v0,
+           CAST(a1.n AS BIGINT) AS n_v1,
+           a1.bal               AS bal_v1
+    FROM a0 JOIN a1 ON a0.c_mktsegment = a1.c_mktsegment
+    """,
+)
+def etl_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-semantics time travel without the jar
+    (operators/tablelog.py): customers commit as version 0; a MERGE
+    (doubled balances for the %10==0 keys + one inserted row) commits as
+    version 1 copy-on-write; then BOTH snapshots are read side by side —
+    ``read_version(path, 0)`` must be byte-identical to pre-merge state
+    (old files are never mutated; the commit log resolves each
+    version's file list), which is the whole contract behind
+    ``versionAsOf``. Aggregates of the two snapshots join per segment so
+    one hash checks both the merge semantics and the travel isolation."""
+    import tempfile
+
+    from ..operators import tablelog as TL
+
+    if sf_dir not in _VERSIONED:
+        base = tempfile.mkdtemp(prefix="versioned_") + "/customers"
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        TL.write_version(cust, base)
+        upd = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        )
+        new_row = spark.createDataFrame(
+            [(-1, "MACHINERY", 999.99)], "c_custkey bigint, c_mktsegment string, c_acctbal double"
+        )
+        TL.merge_upsert(spark, base, upd.unionByName(new_row), "c_custkey")
+        _VERSIONED[sf_dir] = base
+    base = _VERSIONED[sf_dir]
+
+    def agg(df, n_name, bal_name):
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias(bal_name),
+        )
+
+    a0 = agg(TL.read_version(spark, base, 0), "n_v0", "bal_v0")
+    a1 = agg(TL.read_version(spark, base, 1), "n_v1", "bal_v1")
+    return a0.join(a1, "c_mktsegment").select(
+        "c_mktsegment", "n_v0", "bal_v0", "n_v1", "bal_v1"
+    )

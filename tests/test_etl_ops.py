@@ -243,3 +243,34 @@ def test_compaction_plan_multi_file(spark, tmp_path):
 
     with _pt.raises(ValueError):
         compaction_plan(files, target_rows=0)
+
+
+def test_tablelog_versioning_and_merge(spark, tmp_path):
+    """Versioned-table layer: commit log resolves snapshots, old versions
+    are immutable under copy-on-write merges, concurrent duplicate
+    commits are rejected, and a missing version fails loudly."""
+    import pytest as _pt
+
+    from spark_etl_framework_spark.operators import tablelog as TL
+
+    base = str(tmp_path / "t")
+    assert TL.latest_version(base) == -1
+    with _pt.raises(FileNotFoundError):
+        TL.read_version(spark, base)
+
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    assert TL.write_version(df0, base) == 0
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string")
+    assert TL.merge_upsert(spark, base, upd, "k") == 1
+
+    v0 = {(r.k, r.v) for r in TL.read_version(spark, base, 0).collect()}
+    v1 = {(r.k, r.v) for r in TL.read_version(spark, base, 1).collect()}
+    assert v0 == {(1, "a"), (2, "b")}          # time travel: untouched
+    assert v1 == {(1, "a"), (2, "B"), (3, "c")}  # replace + insert
+    assert TL.latest_version(base) == 1
+
+    with _pt.raises(FileNotFoundError, match="version 9"):
+        TL.read_version(spark, base, 9)
+    # duplicate version commit rejected (the conditional-put contract)
+    with _pt.raises(RuntimeError, match="concurrent commit"):
+        TL._commit(base, 1, [], "write")
