@@ -189,7 +189,8 @@ def _load_all() -> None:
 #: stream_tar_autoload_roundtrip (auto-loader over tar shards), and
 #: events_cuped_adjustment (CUPED experiment variance reduction), and
 #: etl_compaction_execute (the OPTIMIZE-style rewrite of the plan), and
-#: etl_versioned_time_travel (jar-free commit-log snapshots + MERGE).
+#: etl_versioned_time_travel (jar-free commit-log snapshots + MERGE),
+#: and events_diff_in_diff (2x2 DiD causal estimator).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3-green) — sole already-verified slot
     "q1_pricing_summary",

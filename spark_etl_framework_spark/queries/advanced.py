@@ -1542,3 +1542,74 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_post_cuped"),
         F.round(F.max("rho") * F.max("rho"), 6).alias("variance_reduction"),
     )
+
+
+@register(
+    "events_diff_in_diff",
+    # Difference-in-differences over the natural 2x2: treatment = odd
+    # users, pre/post split at Jan 15; DiD = (T_post - T_pre) -
+    # (C_post - C_pre) on per-user-period mean value. Cell means come
+    # from DECIMAL sums over exact integer counts, so the 2x2 and the
+    # final estimate replay exactly.
+    oracle="""
+    WITH c AS (
+        SELECT CAST(user_id % 2 AS INT)              AS treated,
+               CAST(ts >= TIMESTAMP '2024-01-15' AS INT) AS post,
+               sum(CAST(value AS DECIMAL(18,6)))     AS total,
+               count(*)                              AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT treated, post,
+                 CAST(total AS DOUBLE) / n AS mean_value,
+                 n FROM c)
+    SELECT treated, post,
+           CAST(n AS BIGINT)            AS n_events,
+           round(mean_value, 6)         AS mean_value,
+           round(
+               (SELECT mean_value FROM m WHERE treated = 1 AND post = 1)
+             - (SELECT mean_value FROM m WHERE treated = 1 AND post = 0)
+             - (SELECT mean_value FROM m WHERE treated = 0 AND post = 1)
+             + (SELECT mean_value FROM m WHERE treated = 0 AND post = 0),
+               6) AS did_estimate
+    FROM m
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference workhorse when
+    randomization isn't available: the 2x2 of treated/control x pre/post
+    mean outcomes, and the DiD estimate (treatment's post-pre delta
+    minus the control's, which nets out the shared time trend) attached
+    to every cell. One 4-row aggregation then pure scalar arithmetic on
+    the broadcast cells — the estimator's cost is a single pass at any
+    event count."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    m = (
+        ev.groupBy(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            (F.col("ts") >= cutoff).cast("int").alias("post"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            (F.col("total").cast("double") / F.col("n")).alias("mean_value"),
+        )
+    )
+    cell = lambda t, p: F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_value"))
+    )
+    did = m.agg(
+        (cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0)).alias("did")
+    )
+    return m.crossJoin(F.broadcast(did)).select(
+        "treated",
+        "post",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("did", 6).alias("did_estimate"),
+    )
