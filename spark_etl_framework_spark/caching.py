@@ -17,9 +17,18 @@ every query invocation, so one query's cache lives exactly until the
 next query begins — by which point every sequential consumer (the
 driver, bench.py, tools/check_correctness.py, a user loop) has
 materialized the previous result. Storage growth is bounded by ONE
-query's working set instead of the whole sweep. ``unpersist`` is always
-semantically safe (lineage recomputes), so a caller that interleaves
-query building never gets wrong results — at worst a recompute.
+query's working set instead of the whole sweep.
+
+Interleaving safety differs by mechanism. ``unpersist`` on a persisted
+DataFrame is always semantically safe (lineage recomputes), so those are
+released every boundary. A ``localCheckpoint`` RDD has TRUNCATED lineage
+— once its blocks are dropped, a still-unmaterialized plan referencing
+it fails with "checkpoint block not found" rather than recomputing. So
+checkpointed RDDs are released one generation LATE (generation N-2 at
+the N-th boundary): a caller that builds query A's DataFrame, invokes
+query B, and only then collects A stays safe; only a plan held across
+TWO subsequent query invocations can lose its checkpoint, and nothing
+in the repo (driver, bench, checker) holds plans that long.
 """
 
 from __future__ import annotations

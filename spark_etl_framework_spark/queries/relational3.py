@@ -361,21 +361,23 @@ _MULAW_HEADER_HEX = (
     # mu-law expansion is exact integer arithmetic, so DuckDB replays the
     # codec per sample: recover each payload byte from the md5 hex, then
     # apply the same CCITT form the decoder uses (u = 255-b; t =
-    # ((u&15)*8+132) << ((u>>4)&7); sign via u's high bit).
+    # ((u&15)*8+132) << ((u>>4)&7); sign via u's high bit). One row per
+    # sample (driver-hashable scalar schema; see queries/__init__ notes).
     oracle="""
-    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id, CAST(g.i AS INT) AS idx,
+                 255 - ((strpos('0123456789abcdef', hx[2*g.i+1]) - 1) * 16
+                        + strpos('0123456789abcdef', hx[2*g.i+2]) - 1) AS u
+          FROM h, (SELECT unnest(range(0, 16)) AS i) AS g)
     SELECT doc_id            AS id,
            CAST(8000 AS INT) AS sample_rate,
            CAST(16 AS INT)   AS n_samples,
-           list_transform(
-             list_transform(range(0, 16), i ->
-               255 - ((strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16
-                      + strpos('0123456789abcdef', hx[2*i+2]) - 1)),
-             u -> CAST(CASE WHEN u >= 128
-                  THEN 132 - ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8)))
-                  ELSE ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8))) - 132
-                  END AS SMALLINT)) AS pcm
-    FROM h
+           idx,
+           CAST(CASE WHEN u >= 128
+                THEN 132 - ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8)))
+                ELSE ((((u % 16) * 8) + 132) * (1 << ((u // 16) % 8))) - 132
+                END AS INT) AS sample
+    FROM b
     """,
 )
 def multimodal_audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +387,10 @@ def multimodal_audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     ``decode_audio_mulaw`` (operators/multimodal.py) — chunk-walking RIFF
     parse, vectorized integer mu-law expansion — and every 16-bit sample
     is hash-checked against DuckDB's arithmetic replay of the codec.
-    Narrow mapInPandas; no shuffle at any scale."""
+    Narrow mapInPandas; no shuffle at any scale. The registered projection
+    posexplodes the pcm array to one scalar row per sample (the driver's
+    pandas canonicalizer cannot hash array cells); the operator API stays
+    array-returning."""
     from ..operators.multimodal import decode_audio_mulaw
 
     docs = load_table(spark, sf_dir, "documents")
@@ -396,7 +401,19 @@ def multimodal_audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame
             "payload"
         ),
     )
-    return decode_audio_mulaw(wire)
+    out = decode_audio_mulaw(wire)
+    return out.select(
+        "id",
+        "sample_rate",
+        "n_samples",
+        F.posexplode("pcm").alias("idx", "sample"),
+    ).select(
+        "id",
+        "sample_rate",
+        "n_samples",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("sample").cast("int").alias("sample"),
+    )
 
 
 #: constant 44-byte RIFF/WAV header: PCM, mono, 16-bit, 8000 Hz, 128 data
@@ -653,10 +670,10 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(8000 AS INT) AS sample_rate,
            CAST(4000 AS INT) AS new_rate,
            CAST(16 AS INT)  AS n_samples,
-           list_transform(range(0, 8), i ->
-               (CAST(pcm[2*i+1] AS DOUBLE) + CAST(pcm[2*i+2] AS DOUBLE)) / 2.0)
-               AS pcm_ds
-    FROM x
+           CAST(g.i AS INT)  AS idx,
+           (CAST(pcm[2*g.i+1] AS DOUBLE) + CAST(pcm[2*g.i+2] AS DOUBLE)) / 2.0
+               AS sample_ds
+    FROM x, (SELECT unnest(range(0, 8)) AS i) AS g
     """,
 )
 def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,7 +681,10 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode (REAL codec) and then decimate 2x with a boxcar mean filter
     (operators/multimodal.py:decimate_pcm — pure column expressions, no
     Python on the sample path). Every output sample is hash-checked
-    against DuckDB's arithmetic replay of expansion + averaging."""
+    against DuckDB's arithmetic replay of expansion + averaging. The
+    registered projection posexplodes the downsampled array to scalar
+    rows (driver-hashable schema); the operator API stays array-returning.
+    """
     from ..operators.multimodal import decimate_pcm, decode_audio_mulaw
 
     docs = load_table(spark, sf_dir, "documents")
@@ -676,7 +696,20 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = decimate_pcm(decode_audio_mulaw(wire), factor=2)
-    return out.select("id", "sample_rate", "new_rate", "n_samples", "pcm_ds")
+    return out.select(
+        "id",
+        "sample_rate",
+        "new_rate",
+        "n_samples",
+        F.posexplode("pcm_ds").alias("idx", "sample_ds"),
+    ).select(
+        "id",
+        "sample_rate",
+        "new_rate",
+        "n_samples",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("sample_ds").cast("double").alias("sample_ds"),
+    )
 
 
 @register(

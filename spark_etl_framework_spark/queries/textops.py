@@ -1144,11 +1144,11 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       regexp_split_to_array(trim(text), '\s+') AS toks
                FROM documents)
     SELECT doc_id,
-           list_transform(range(0, 16), d ->
-               CAST(len(list_filter(toks, tk -> tk <> '' AND
-                    strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = d))
-                    AS INT)) AS features
-    FROM t
+           CAST(g.d AS INT) AS dim,
+           CAST(len(list_filter(toks, tk -> tk <> '' AND
+                strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = g.d))
+                AS INT) AS feature
+    FROM t, (SELECT unnest(range(0, 16)) AS d) AS g
     """,
 )
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,7 +1157,10 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit of the token — no vocabulary to build, ship, or keep in sync,
     which is the entire point at 100 TB. Entirely row-local array
     expressions (O(dims × tokens) per row), zero shuffles; the
-    engine-portable hash means the oracle replays every count."""
+    engine-portable hash means the oracle replays every count. The
+    registered projection posexplodes the 16-dim vector to one scalar
+    row per (doc, dim) — the driver's pandas canonicalizer cannot hash
+    array cells."""
     docs = load_table(spark, sf_dir, "documents")
     a = docs.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
@@ -1168,4 +1171,10 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(position(substring(md5(tk), 1, 1) IN '0123456789abcdef') - 1) = d"
         ")) AS INT))"
     )
-    return a.select("doc_id", feats.alias("features"))
+    return a.select("doc_id", feats.alias("features")).select(
+        "doc_id", F.posexplode("features").alias("dim", "feature")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("feature").cast("int").alias("feature"),
+    )

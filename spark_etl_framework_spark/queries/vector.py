@@ -517,10 +517,11 @@ def _jl_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 7) -> str:
     WITH xx AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
     r AS (SELECT vec_id, x, [{comps}] AS red FROM xx)
     SELECT vec_id,
-           list_transform(red, v -> round(v, 6)) AS reduced,
+           CAST(g.i AS INT) AS dim,
+           round(red[g.i + 1], 6) AS component,
            round(sqrt(list_dot_product(red, red))
                  / sqrt(list_dot_product(x, x)), 6) AS norm_ratio
-    FROM r
+    FROM r, (SELECT unnest(range(0, {out_dim})) AS i) AS g
     """
 
 
@@ -532,7 +533,10 @@ def vector_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles) that shrinks every downstream ANN/dedup scan 4×. The
     emitted per-vector norm ratio makes the JL distance-preservation
     contract observable; the oracle replays the projection with the
-    identical literals."""
+    identical literals. The registered projection posexplodes the reduced
+    vector to one scalar row per (vec, dim) — the driver's pandas
+    canonicalizer cannot hash array cells; ``jl_project`` itself stays
+    array-returning."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = V.jl_project(emb, "embedding", in_dim=64, out_dim=16, seed=7)
     x = F.col("embedding").cast("array<double>")
@@ -542,8 +546,19 @@ def vector_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "vec_id",
-        F.transform(red, lambda v: F.round(v, 6)).alias("reduced"),
+        red.alias("reduced"),
         F.round(nrm(red) / nrm(x), 6).alias("norm_ratio"),
+    ).select(
+        "vec_id",
+        F.posexplode(F.transform("reduced", lambda v: F.round(v, 6))).alias(
+            "dim", "component"
+        ),
+        "norm_ratio",
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        "component",
+        "norm_ratio",
     )
 
 
