@@ -39,8 +39,11 @@ _SCOPED: list[DataFrame] = []
 #: JVM RDD handles captured by scoped_localcheckpoint: localCheckpoint
 #: registers its cached RDD in the persistent-RDD registry, and unlike a
 #: DataFrame persist there is no public unpersist on the result — so the
-#: handle itself is recorded for release.
+#: handle itself is recorded for release. Two generations: the current
+#: query's checkpoints survive ONE release_scoped boundary (truncated
+#: lineage can't recompute — see module docstring).
 _SCOPED_RDDS: list = []
+_SCOPED_RDDS_PREV: list = []
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -70,14 +73,15 @@ def scoped_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 def release_scoped() -> int:
-    """Unpersist every scoped relation recorded so far; returns how many.
+    """Release scoped relations; returns how many were unpersisted.
 
     Non-blocking: block removal proceeds asynchronously on the JVM side
-    while the caller's next query starts planning. Releasing a
-    checkpointed RDD that a later plan still references is safe only
-    because scoped lifecycles end at query boundaries — nothing hands a
-    checkpointed relation across queries (the session-scoped indexes are
-    parquet files, not cached RDDs).
+    while the caller's next query starts planning. DataFrame persists are
+    released immediately (unpersist is recompute-safe). Checkpointed RDDs
+    are released one generation LATE: the previous query's checkpoints go
+    now, the current query's move to the previous slot — so a caller that
+    builds query A's (checkpoint-backed) DataFrame, invokes query B, and
+    only then collects A never hits "checkpoint block not found".
     """
     n = 0
     while _SCOPED:
@@ -88,11 +92,13 @@ def release_scoped() -> int:
         except Exception:
             # a dead session's DataFrame — nothing left to free
             pass
-    while _SCOPED_RDDS:
-        rdd = _SCOPED_RDDS.pop()
+    while _SCOPED_RDDS_PREV:
+        rdd = _SCOPED_RDDS_PREV.pop()
         try:
             rdd.unpersist(False)
             n += 1
         except Exception:
             pass
+    _SCOPED_RDDS_PREV.extend(_SCOPED_RDDS)
+    _SCOPED_RDDS.clear()
     return n

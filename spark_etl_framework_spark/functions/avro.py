@@ -108,6 +108,13 @@ def encode_record(values: dict, fields) -> bytes:
     out = bytearray()
     for name, t, nullable in fields:
         v = values.get(name)
+        # pandas represents a null int/double cell as NaN, which is not
+        # None — without this check a nullable numeric null crashed in
+        # int(v)/struct.pack instead of taking the null union branch
+        # (v != v is the NaN test). Only for NULLABLE fields: a NaN in a
+        # non-nullable double is a legitimate IEEE value and encodes as-is.
+        if nullable and isinstance(v, float) and v != v:
+            v = None
         if nullable:
             if v is None:
                 _write_long(0, out)  # union branch 0 = null

@@ -253,6 +253,7 @@ def stream_docfeed_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     replay) that checkpoint recovery depends on. This is the
     source-side streaming-connector contract the gated Kafka reader
     implements against a broker, demonstrated jar-free."""
+    import tempfile
     import uuid as _uuid
 
     from ..sources.pysource import register_python_sources
@@ -262,6 +263,12 @@ def stream_docfeed_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         spark.readStream.format("docfeed")
         .option("path", f"{sf_dir}/documents.parquet")
         .option("maxRowsPerBatch", "997")  # deliberately not a divisor
+        # position WAL paired with this run's (temp) checkpoint: restart
+        # safety when every batch was committed (sources/pysource.py)
+        .option(
+            "positionFile",
+            tempfile.mktemp(prefix="docfeed_pos_", suffix=".txt"),
+        )
         .load()
     )
     out = sdf.select(
@@ -361,6 +368,7 @@ def stream_tar_autoload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     storage. The appended union must contain every member of every shard
     exactly once (offset-per-archive accounting), hash-checked against
     the source table like the batch read."""
+    import tempfile
     import uuid as _uuid
 
     from ..sources.pysource import register_python_sources
@@ -374,6 +382,9 @@ def stream_tar_autoload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.readStream.format("tar")
         .option("path", f"{base}/shard_*.tar")
         .option("maxFilesPerBatch", "1")
+        # batch→file-list log on disk: offsets replay by file identity
+        # across restarts (sources/pysource.py:TarStreamReader)
+        .option("stateDir", tempfile.mkdtemp(prefix="tar_autoload_state_"))
         .load()
     )
     out = sdf.select(

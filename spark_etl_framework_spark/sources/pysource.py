@@ -167,29 +167,54 @@ class DocFeedStreamReader(DataSourceStreamReader):
             raise ValueError("docfeed requires a path option (documents parquet)")
         self._batch = int(options.get("maxRowsPerBatch", "2000"))
         self._tasks = int(options.get("tasksPerBatch", "4"))
+        # reader-side position WAL: offset management runs on the DRIVER,
+        # and a RESTARTED query whose batches were all committed calls
+        # latestOffset() FIRST — before any partitions()/commit() could
+        # feed the checkpointed position back into a fresh counter. With
+        # no durable position the counter restarts at 0, latestOffset
+        # returns an offset BELOW the checkpoint, the engine WALs it, and
+        # a later batch re-serves already-delivered rows (round-6 ADVICE).
+        # The position file closes that hole; on a real cluster it lives
+        # next to the checkpoint dir (shared storage).
+        self._posfile = options.get("positionFile")
         import pyarrow.parquet as pq
 
         self._n = pq.ParquetFile(self._path).metadata.num_rows
+
+    def _load_pos(self) -> int:
+        if not self._posfile or not os.path.exists(self._posfile):
+            return 0
+        try:
+            with open(self._posfile) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _save_pos(self, pos: int) -> None:
+        if not self._posfile:
+            return
+        tmp = self._posfile + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(pos))
+        os.replace(tmp, self._posfile)  # atomic — no torn position
 
     def initialOffset(self):
         return {"row": 0}
 
     def latestOffset(self):
         # Advance by one rate-limited batch per trigger until exhausted.
-        # RESTART SAFETY: a recovered query builds a FRESH reader whose
-        # counter would restart at 0 — returning an offset BELOW the
-        # checkpointed position would make the engine WAL a backward
-        # offset and later re-serve already-delivered rows as a new batch
-        # (observed as exact one-batch duplication in the recovery test).
-        # partitions()/commit() therefore feed the committed position
-        # back into the counter, and latestOffset never goes backward.
+        # The counter is seeded from the position WAL on the first call
+        # (restart safety, above) and partitions()/commit() keep feeding
+        # the engine's authoritative offsets back in, so latestOffset
+        # never goes backward within or across incarnations.
         if not hasattr(self, "_cur"):
-            self._cur = 0
+            self._cur = self._load_pos()
         self._cur = min(self._cur + self._batch, self._n)
         return {"row": self._cur}
 
     def commit(self, end) -> None:
         self._cur = max(getattr(self, "_cur", 0), end["row"])
+        self._save_pos(self._cur)
 
     def partitions(self, start, end):
         # the engine's offsets are authoritative (checkpoint WAL) — sync
@@ -207,10 +232,28 @@ class DocFeedStreamReader(DataSourceStreamReader):
     def read(self, partition: _DocFeedPartition):
         import pyarrow.parquet as pq
 
-        # row-range slice off the columnar file: executor-side, reads only
-        # the needed columns; at scale row groups bound what is scanned
-        t = pq.read_table(partition.path, columns=["doc_id", "text"])
-        sl = t.slice(partition.start, partition.end - partition.start)
+        # Row-group-pruned slice off the columnar file (executor-side):
+        # only row groups overlapping [start, end) are decoded, so a task
+        # reading rows 2000–3000 of a 10M-row file touches one group's
+        # pages, not the whole file — the difference between O(batch) and
+        # O(file) work per micro-batch at scale.
+        pf = pq.ParquetFile(partition.path)
+        md = pf.metadata
+        groups, first = [], 0
+        for g in range(md.num_row_groups):
+            n = md.row_group(g).num_rows
+            if first < partition.end and first + n > partition.start:
+                groups.append((g, first))
+            first += n
+        if not groups:
+            return iter(())
+        base = groups[0][1]  # file-absolute row index of the first group
+        t = pf.read_row_groups(
+            [g for g, _ in groups], columns=["doc_id", "text"]
+        )
+        sl = t.slice(
+            partition.start - base, partition.end - partition.start
+        )
         ids = sl.column("doc_id").to_pylist()
         txts = sl.column("text").to_pylist()
         return iter(zip(ids, txts))
@@ -259,10 +302,16 @@ class TarDataSourceWriter(DataSourceWriter):
     ~40 lines of Python."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid as _uuid
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError("tar writer requires a path option")
         self._overwrite = overwrite
+        # per-job unique shard-name component: two append jobs into the
+        # same directory must not collide on shard_0000.tar (the second
+        # silently destroyed the first's data — round-6 ADVICE)
+        self._job = _uuid.uuid4().hex[:12]
 
     def write(self, rows) -> _TarCommit:
         import io
@@ -282,10 +331,24 @@ class TarDataSourceWriter(DataSourceWriter):
         return _TarCommit(tmp_path=tmp, n_members=n)
 
     def commit(self, messages) -> None:
+        # overwrite mode clears the PREVIOUS job's committed shards (and
+        # its marker) exactly once, at commit time — after every task of
+        # this job has staged successfully, so a failed overwrite job
+        # never destroys the existing dataset
+        if self._overwrite:
+            for old in _glob.glob(os.path.join(self._path, "shard_*.tar")):
+                os.remove(old)
+            try:
+                os.remove(os.path.join(self._path, "_SUCCESS"))
+            except FileNotFoundError:
+                pass
         for i, m in enumerate(sorted(
             (m for m in messages if m is not None), key=lambda m: m.tmp_path
         )):
-            os.replace(m.tmp_path, os.path.join(self._path, f"shard_{i:04d}.tar"))
+            os.replace(
+                m.tmp_path,
+                os.path.join(self._path, f"shard_{self._job}_{i:04d}.tar"),
+            )
         with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
             f.write("")
 
@@ -304,15 +367,25 @@ class _TarStreamPartition(InputPartition):
 
 
 class TarStreamReader(DataSourceStreamReader):
-    """Auto-loader over tar shards: offsets are positions in the SORTED
-    archive list, so each micro-batch ingests the next newly-arrived
-    archives (``maxFilesPerBatch`` per trigger) — the cloud-files
+    """Auto-loader over tar shards: each micro-batch ingests up to
+    ``maxFilesPerBatch`` NEWLY-ARRIVED archives — the cloud-files
     ingestion pattern (new shards land in a directory; the stream picks
-    each up exactly once), with one executor task per archive. Restart
-    safety follows the docfeed lesson: the engine's checkpointed offsets
-    are authoritative, the reader's rate counter syncs from them in
-    ``partitions``/``commit`` and ``latestOffset`` never goes backward —
-    so recovery resumes, never re-serves an archive."""
+    each up exactly once), with one executor task per archive.
+
+    Archives are tracked by FILENAME IDENTITY, never by position in the
+    sorted listing: an offset that meant "the first N sorted names" shifts
+    when a lexicographically-earlier archive lands late, re-ingesting an
+    old shard and permanently skipping the new one (round-6 ADVICE). The
+    design here is Spark's own FileStreamSource contract: the offset
+    payload is a plain batch counter, and the reader keeps its own
+    batch→file-list log (in memory, and — when ``stateDir`` is set —
+    persisted as one JSON file per batch with atomic rename), so
+    ``partitions(start, end)`` replays exactly the files those batches
+    contained regardless of what the directory looks like now. The
+    persisted log also seeds the counter on restart, so a fresh reader's
+    ``latestOffset`` can never regress below the checkpoint (the docfeed
+    lesson); on a real cluster ``stateDir`` lives next to the query
+    checkpoint on shared storage."""
 
     def __init__(self, options):
         path = options.get("path")
@@ -320,26 +393,71 @@ class TarStreamReader(DataSourceStreamReader):
             raise ValueError("tar stream source requires a path option")
         self._glob = path
         self._per_batch = int(options.get("maxFilesPerBatch", "1"))
+        self._state_dir = options.get("stateDir")
+        self._batches: dict[int, list[str]] = {}
+        self._seen: set[str] = set()
         self._cur = 0
+        self._load_state()
+
+    def _load_state(self) -> None:
+        import json as _json
+
+        if not self._state_dir:
+            return
+        os.makedirs(self._state_dir, exist_ok=True)
+        for p in _glob.glob(os.path.join(self._state_dir, "batch-*.json")):
+            k = int(os.path.basename(p)[len("batch-") : -len(".json")])
+            with open(p) as f:
+                files = _json.load(f)
+            self._batches[k] = files
+            self._seen.update(files)
+            self._cur = max(self._cur, k)
+
+    def _save_batch(self, k: int, files: list[str]) -> None:
+        import json as _json
+
+        if not self._state_dir:
+            return
+        final = os.path.join(self._state_dir, f"batch-{k}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(files, f)
+        os.replace(tmp, final)  # atomic: a torn log entry never exists
 
     def _archives(self) -> list[str]:
         return sorted(_glob.glob(self._glob))
 
     def initialOffset(self):
-        return {"idx": 0}
+        return {"batch": 0}
 
     def latestOffset(self):
-        n = len(self._archives())
-        self._cur = min(self._cur + self._per_batch, n)
-        return {"idx": self._cur}
+        # identity-based discovery: whatever is on disk MINUS what any
+        # prior batch ingested, in sorted order for determinism — a
+        # late-arriving lexically-earlier name is simply new
+        fresh = [p for p in self._archives() if p not in self._seen]
+        fresh = fresh[: self._per_batch]
+        if fresh:
+            self._cur += 1
+            self._batches[self._cur] = fresh
+            self._save_batch(self._cur, fresh)  # WAL before the offset escapes
+            self._seen.update(fresh)
+        return {"batch": self._cur}
 
     def commit(self, end) -> None:
-        self._cur = max(self._cur, end["idx"])
+        self._cur = max(self._cur, end["batch"])
 
     def partitions(self, start, end):
-        self._cur = max(self._cur, start["idx"], end["idx"])
-        archives = self._archives()
-        return [_TarStreamPartition(p) for p in archives[start["idx"] : end["idx"]]]
+        self._cur = max(self._cur, start["batch"], end["batch"])
+        files: list[str] = []
+        for k in range(start["batch"] + 1, end["batch"] + 1):
+            if k not in self._batches:
+                raise RuntimeError(
+                    f"tar stream source: batch {k} is not in the reader's "
+                    "file log — a restarted query needs the stateDir "
+                    "option (persisted batch→file log) to replay offsets"
+                )
+            files.extend(self._batches[k])
+        return [_TarStreamPartition(p) for p in files]
 
     def read(self, partition: _TarStreamPartition):
         with tarfile.open(partition.path, "r") as tf:

@@ -44,25 +44,45 @@ def test_query_invocation_releases_previous_caches(spark, sf_dir):
     assert not _SCOPED
 
 
-def test_pq_codes_model_centroids_released_by_next_query(spark, sf_dir):
-    """The ADVICE finding verbatim: vector_pq_ann_adc trains with
-    with_model=True (persisted centroids); the next query invocation must
-    leave no residue in the JVM's persistent-RDD registry."""
+def test_pq_codes_model_centroids_released_within_two_queries(spark, sf_dir):
+    """The round-4 ADVICE finding: vector_pq_ann_adc trains with
+    with_model=True (persisted centroids + checkpointed Lloyd state).
+    Checkpointed RDDs release one generation LATE (truncated lineage
+    can't recompute — round-6 ADVICE), so residue must be gone after TWO
+    subsequent query boundaries, and storage in a sweep stays bounded by
+    two queries' (small) checkpoint state plus one query's persists."""
+    release_scoped()
     release_scoped()
     base = _n_persistent(spark)
     QUERIES["vector_pq_ann_adc"](spark, sf_dir).count()
     QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
     assert _n_persistent(spark) == base
 
 
-def test_iterative_checkpoints_released_by_next_query(spark, sf_dir):
+def test_iterative_checkpoints_released_within_two_queries(spark, sf_dir):
     """The iterative operators' per-round localCheckpoints (BPE state,
     PQ centroids, pagerank edges, connected-components labels) register
-    cached RDDs in the JVM; the scoped mechanism must release them at the
-    next query boundary just like persists."""
+    cached RDDs in the JVM; the scoped mechanism must release them within
+    two query boundaries (one late — deferred-generation contract)."""
+    release_scoped()
     release_scoped()
     base = _n_persistent(spark)
     for q in ("text_bpe_train_merges", "graph_pagerank_bipartite", "dedup_clusters"):
         QUERIES[q](spark, sf_dir).count()
     QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
     assert _n_persistent(spark) == base
+
+
+def test_checkpointed_plan_survives_one_interleaved_query(spark, sf_dir):
+    """The round-6 ADVICE scenario: build an iterative query's DataFrame
+    (checkpoint-backed, truncated lineage), invoke ANOTHER registered
+    query, and only then collect the first. With immediate release this
+    died with 'checkpoint block not found'; the deferred generation makes
+    it safe — the collect must succeed and match a fresh run's count."""
+    release_scoped()
+    release_scoped()
+    df = QUERIES["text_bpe_train_merges"](spark, sf_dir)
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).count()
+    assert df.count() > 0

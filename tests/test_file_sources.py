@@ -369,9 +369,23 @@ def test_tar_writer_two_phase_commit(spark, tmp_path):
     )
     df.repartition(2).write.format("tar").option("path", out).mode("append").save()
     names = sorted(os.listdir(out))
-    assert names == ["_SUCCESS", "shard_0000.tar", "shard_0001.tar"]
+    assert names[0] == "_SUCCESS"
+    shards = [n for n in names if n != "_SUCCESS"]
+    assert len(shards) == 2
+    assert all(n.startswith("shard_") and n.endswith(".tar") for n in shards)
     back = spark.read.format("tar").load(f"{out}/shard_*.tar")
     assert back.count() == 6
+
+    # append is ADDITIVE: a second job must not clobber the first's shards
+    # (per-job unique shard names — the round-6 ADVICE data-loss finding)
+    df.repartition(2).write.format("tar").option("path", out).mode("append").save()
+    assert spark.read.format("tar").load(f"{out}/shard_*.tar").count() == 12
+
+    # overwrite clears previous shards at commit time, leaving only its own
+    df.repartition(2).write.format("tar").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert spark.read.format("tar").load(f"{out}/shard_*.tar").count() == 6
 
     # abort path: staged temporaries are removed
     w = TarDataSourceWriter({"path": out}, overwrite=False)
@@ -442,30 +456,151 @@ def test_tar_source_filter_pushdown(spark, tmp_path):
     ]
 
 
-def test_tar_stream_reader_paces_one_archive_per_batch(spark, tmp_path):
-    """TarStreamReader: offsets advance maxFilesPerBatch archives per
-    trigger; restart-safe (never below engine offsets); partitions slice
-    the sorted archive list."""
+def _mk_tar(path, member: str, data: bytes) -> None:
     import io
     import tarfile
 
+    with tarfile.open(path, "w") as tf:
+        ti = tarfile.TarInfo(name=member)
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+
+
+def test_tar_stream_reader_paces_one_archive_per_batch(spark, tmp_path):
+    """TarStreamReader: offsets are batch counters over a file-identity
+    log — maxFilesPerBatch new archives per trigger, deterministic replay
+    of a batch range, no advance when nothing new arrived."""
     from spark_etl_framework_spark.sources.pysource import TarStreamReader
 
     for a in range(3):
-        with tarfile.open(tmp_path / f"s{a}.tar", "w") as tf:
-            data = f"x{a}".encode()
-            ti = tarfile.TarInfo(name=f"m{a}")
-            ti.size = len(data)
-            tf.addfile(ti, io.BytesIO(data))
+        _mk_tar(tmp_path / f"s{a}.tar", f"m{a}", f"x{a}".encode())
     r = TarStreamReader({"path": str(tmp_path / "s*.tar"), "maxFilesPerBatch": "1"})
-    assert r.initialOffset() == {"idx": 0}
-    assert r.latestOffset() == {"idx": 1}
-    assert r.latestOffset() == {"idx": 2}
-    parts = r.partitions({"idx": 0}, {"idx": 2})
+    assert r.initialOffset() == {"batch": 0}
+    assert r.latestOffset() == {"batch": 1}
+    assert r.latestOffset() == {"batch": 2}
+    parts = r.partitions({"batch": 0}, {"batch": 2})
     assert [p.path.endswith(f"s{i}.tar") for i, p in enumerate(parts)] == [True, True]
     rows = [row for p in parts for row in r.read(p)]
     assert [(r2[1], bytes(r2[3])) for r2 in rows] == [("m0", b"x0"), ("m1", b"x1")]
-    # restart: a fresh reader fed the checkpointed offset resumes past it
-    r2 = TarStreamReader({"path": str(tmp_path / "s*.tar"), "maxFilesPerBatch": "1"})
-    r2.partitions({"idx": 2}, {"idx": 2})
-    assert r2.latestOffset() == {"idx": 3}  # not a rewind to 1
+    assert r.latestOffset() == {"batch": 3}
+    # exhausted: no new files → the offset must NOT advance
+    assert r.latestOffset() == {"batch": 3}
+    assert r.partitions({"batch": 3}, {"batch": 3}) == []
+
+
+def test_tar_stream_late_lexically_earlier_archive(spark, tmp_path):
+    """The round-6 ADVICE bug: with index-into-sorted-list offsets, an
+    'aaa.tar' landing AFTER 'zzz.tar' was committed shifted the mapping —
+    re-ingesting an old archive and permanently skipping the new one.
+    File-identity tracking must ingest exactly the new archive."""
+    from spark_etl_framework_spark.sources.pysource import TarStreamReader
+
+    _mk_tar(tmp_path / "zzz.tar", "mz", b"zz")
+    r = TarStreamReader({"path": str(tmp_path / "*.tar"), "maxFilesPerBatch": "4"})
+    assert r.latestOffset() == {"batch": 1}
+    assert [p.path for p in r.partitions({"batch": 0}, {"batch": 1})] == [
+        str(tmp_path / "zzz.tar")
+    ]
+    # a lexically-earlier archive lands late
+    _mk_tar(tmp_path / "aaa.tar", "ma", b"aa")
+    assert r.latestOffset() == {"batch": 2}
+    parts = r.partitions({"batch": 1}, {"batch": 2})
+    assert [p.path for p in parts] == [str(tmp_path / "aaa.tar")]  # only the new one
+    rows = [row for p in parts for row in r.read(p)]
+    assert [(x[1], bytes(x[3])) for x in rows] == [("ma", b"aa")]
+
+
+def test_tar_stream_restart_all_committed_does_not_rewind(spark, tmp_path):
+    """A restarted query whose batches were ALL committed calls
+    latestOffset() on a fresh reader before any partitions()/commit()
+    sync. With stateDir the persisted batch log seeds the counter, so the
+    offset never regresses and nothing is re-served; replaying a logged
+    range returns the identical files."""
+    from spark_etl_framework_spark.sources.pysource import TarStreamReader
+
+    state = str(tmp_path / "state")
+    opts = {
+        "path": str(tmp_path / "*.tar"),
+        "maxFilesPerBatch": "1",
+        "stateDir": state,
+    }
+    _mk_tar(tmp_path / "b.tar", "mb", b"b")
+    _mk_tar(tmp_path / "c.tar", "mc", b"c")
+    r = TarStreamReader(opts)
+    assert r.latestOffset() == {"batch": 1}
+    assert r.latestOffset() == {"batch": 2}
+    r.commit({"batch": 2})
+    # restart 1: all committed — fresh reader must resume at 2, not 1
+    r2 = TarStreamReader(opts)
+    assert r2.latestOffset() == {"batch": 2}  # nothing new, no rewind
+    # restart 2 (the double-restart poison path): still no rewind
+    r3 = TarStreamReader(opts)
+    assert r3.latestOffset() == {"batch": 2}
+    # replay of a logged range reconstructs file identity from the log
+    assert [p.path for p in r3.partitions({"batch": 0}, {"batch": 1})] == [
+        str(tmp_path / "b.tar")
+    ]
+    # and a late lexically-earlier file is new data after restart
+    _mk_tar(tmp_path / "a.tar", "ma", b"a")
+    assert r3.latestOffset() == {"batch": 3}
+    assert [p.path for p in r3.partitions({"batch": 2}, {"batch": 3})] == [
+        str(tmp_path / "a.tar")
+    ]
+
+
+def test_docfeed_restart_all_committed_does_not_rewind(spark, sf_dir, tmp_path):
+    """The round-6 ADVICE docfeed finding: on an all-committed restart the
+    engine's FIRST call is latestOffset(), so a fresh reader's counter
+    must seed from the position WAL — otherwise it returns an offset
+    below the checkpoint and a later batch re-serves delivered rows."""
+    from spark_etl_framework_spark.sources.pysource import DocFeedStreamReader
+
+    pos = str(tmp_path / "pos.txt")
+    opts = {
+        "path": f"{sf_dir}/documents.parquet",
+        "maxRowsPerBatch": "100",
+        "positionFile": pos,
+    }
+    r = DocFeedStreamReader(opts)
+    assert r.latestOffset() == {"row": 100}
+    assert r.latestOffset() == {"row": 200}
+    r.commit({"row": 200})
+    # restart 1: seeded from the WAL — continues forward, never below 200
+    r2 = DocFeedStreamReader(opts)
+    assert r2.latestOffset() == {"row": 300}
+    r2.commit({"row": 300})
+    # restart 2: same invariant (the double-restart poison path)
+    r3 = DocFeedStreamReader(opts)
+    assert r3.latestOffset() == {"row": 400}
+
+
+def test_docfeed_read_prunes_row_groups(spark, tmp_path):
+    """read() must decode only row groups overlapping the task's range —
+    O(batch) not O(file) per micro-batch — and still return exactly the
+    requested rows across group boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_etl_framework_spark.sources.pysource import (
+        DocFeedStreamReader,
+        _DocFeedPartition,
+    )
+
+    path = str(tmp_path / "docs.parquet")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "text": [f"t{i}" for i in range(1000)],
+        }
+    )
+    pq.write_table(t, path, row_group_size=100)  # 10 groups of 100
+    r = DocFeedStreamReader({"path": path})
+    # spans groups 2..4 (rows 250..450): exact rows, in order
+    rows = list(r.read(_DocFeedPartition(path, 250, 450)))
+    assert [x[0] for x in rows] == list(range(250, 450))
+    assert rows[0][1] == "t250" and rows[-1][1] == "t449"
+    # empty range
+    assert list(r.read(_DocFeedPartition(path, 70, 70))) == []
+    # aligned exactly on a group boundary
+    rows2 = list(r.read(_DocFeedPartition(path, 100, 200)))
+    assert [x[0] for x in rows2] == list(range(100, 200))

@@ -309,3 +309,27 @@ def test_avro_schema_gates_and_wire_examples():
     assert encode_record({"a": 64}, f).hex() == "8001"
     with _pt.raises(ValueError, match="trailing bytes"):
         decode_record(b"\x02\x02", f)
+
+
+def test_avro_nan_is_null_for_nullable_fields_only():
+    """The pandas path surfaces a null numeric cell as NaN, not None —
+    a nullable field must take the null union branch (round-6 ADVICE);
+    a NON-nullable double keeps NaN as a legitimate IEEE value."""
+    import json
+    import math
+
+    from spark_etl_framework_spark.functions.avro import (
+        decode_record,
+        encode_record,
+        parse_schema,
+    )
+
+    s = parse_schema(json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "long"]},
+        {"name": "y", "type": ["null", "double"]},
+        {"name": "z", "type": "double"},
+    ]}))
+    out = decode_record(encode_record({"x": float("nan"), "y": float("nan"),
+                                       "z": float("nan")}, s), s)
+    assert out["x"] is None and out["y"] is None
+    assert math.isnan(out["z"])
