@@ -102,14 +102,22 @@ def read_version(
     return spark.read.parquet(*_files_of(path, v))
 
 
+def merge_plan(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """The MERGE relation: rows matching on ``key`` are replaced by the
+    update, unmatched update rows are inserted, everything else carries
+    over — ONE left-anti join plus a union, never a full-outer join. The
+    snapshot crosses at most one key-partitioned exchange (the anti
+    join); the union is exchange-free. Factored out of
+    :func:`merge_upsert` so plan-shape tests can pin exactly that
+    (tests/test_plan_shapes.py)."""
+    kept = current.join(updates.select(key), key, "left_anti")
+    return kept.unionByName(updates)
+
+
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> int:
-    """SCD1 MERGE as a new version: rows matching on ``key`` are replaced
-    by the update, unmatched update rows are inserted, everything else
-    carries over — one full-outer-free join shape (left-anti + union),
-    committed copy-on-write. Returns the new version."""
-    current = read_version(spark, path)
-    kept = current.join(updates.select(key), key, "left_anti")
-    merged = kept.unionByName(updates)
+    """SCD1 MERGE as a new version (:func:`merge_plan`), committed
+    copy-on-write. Returns the new version."""
+    merged = merge_plan(read_version(spark, path), updates, key)
     return write_version(merged, path, op="merge")

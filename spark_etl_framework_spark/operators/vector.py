@@ -615,13 +615,18 @@ def pq_codes(
             )
             .select("s", F.col("cell").alias("cid"), "c")
         )
-        # eager checkpoint (m*k rows): truncates the per-round lineage
-        # so the next round's two consumers (scoring join + update)
-        # read the materialized centroids instead of re-executing the
+        # NON-EAGER checkpoint (m*k rows): truncates the per-round plan
+        # so the next round's two consumers (scoring join + update) read
+        # the materialized centroids instead of re-executing the
         # corpus-wide training subtree — same doubling fix as
         # bpe_train_merges / connected_components; scoped so the cached
-        # RDD is released when the next query starts
-        cent = scoped_localcheckpoint(cent)
+        # RDD is released when the next query starts. eager=False because
+        # the state materializes inside the NEXT round's first action
+        # anyway: an eager barrier job per round cost ~0.3 s at sf0.1 for
+        # nothing (round-6 A/B, min of 4 runs: eager 2.02 s / lazy 1.73 s
+        # / no-checkpoint 1.90 s with the 8-scan plan — lazy keeps the
+        # 2-scan plan AND is fastest).
+        cent = scoped_localcheckpoint(cent, eager=False)
     out = assigned.select(
         F.col("vid").alias(id_col),
         F.col("s").alias("subspace"),

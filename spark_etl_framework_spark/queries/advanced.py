@@ -490,7 +490,7 @@ def dedup_incremental_admission_steady(spark: SparkSession, sf_dir: str) -> Data
     (after its first run populates the session's index) is the per-ingest
     probe alone: increment-bands x bucket join + candidate-only exact
     verification, all scans columnar off the index files."""
-    import tempfile
+    import re as _re
 
     from ..operators import dedup as D
 
@@ -498,19 +498,39 @@ def dedup_incremental_admission_steady(spark: SparkSession, sf_dir: str) -> Data
         docs = load_table(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 10 != 0)
         buckets, shingles, sizes = D.build_corpus_lsh_index(corpus)
+        # BUCKETED index tables (SCALE.md's co-partitioned probe): the
+        # verification joins key on old_id, so persisting shingles/sizes
+        # bucketed by old_id makes the index side of every probe join
+        # exchange-free (the band join already is — the increment's band
+        # relation broadcasts onto the buckets scan). band-bucket relation
+        # bucketed by band_key for the same reason when AQE declines the
+        # broadcast at larger increments.
+        import tempfile
+
+        tag = _re.sub(r"\W", "_", sf_dir.strip("/"))
         base = tempfile.mkdtemp(prefix="corpus_lsh_index_")
-        buckets.write.mode("overwrite").parquet(f"{base}/buckets")
-        shingles.write.mode("overwrite").parquet(f"{base}/shingles")
-        sizes.write.mode("overwrite").parquet(f"{base}/sizes")
-        _CORPUS_INDEX[sf_dir] = base
-    base = _CORPUS_INDEX[sf_dir]
+        names = {k: f"corpus_lsh_{k}_{tag}" for k in ("buckets", "shingles", "sizes")}
+        # external tables (explicit path): saveAsTable's default location
+        # is $PWD/spark-warehouse, and the driver harness runs from a
+        # foreign, possibly read-only cwd
+        buckets.write.mode("overwrite").format("parquet").bucketBy(8, "band_key").sortBy(
+            "band_key"
+        ).option("path", f"{base}/buckets").saveAsTable(names["buckets"])
+        shingles.write.mode("overwrite").format("parquet").bucketBy(8, "old_id").sortBy(
+            "old_id"
+        ).option("path", f"{base}/shingles").saveAsTable(names["shingles"])
+        sizes.write.mode("overwrite").format("parquet").bucketBy(8, "old_id").sortBy(
+            "old_id"
+        ).option("path", f"{base}/sizes").saveAsTable(names["sizes"])
+        _CORPUS_INDEX[sf_dir] = names
+    names = _CORPUS_INDEX[sf_dir]
     increment = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
     return D.probe_corpus_lsh_index(
-        spark.read.parquet(f"{base}/buckets"),
-        spark.read.parquet(f"{base}/shingles"),
-        spark.read.parquet(f"{base}/sizes"),
+        spark.table(names["buckets"]),
+        spark.table(names["shingles"]),
+        spark.table(names["sizes"]),
         increment,
         threshold=0.5,
     )

@@ -857,43 +857,17 @@ def _ivfpq_oracle(m: int = 8, sub: int = 8, k: int = 4, n_probes: int = 3, nprob
     """
 
 
-@register("vector_ann_ivfpq", oracle=_ivfpq_oracle(8, 8, 4, 3, 2))
-def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composite ANN — the FAISS-default shape at corpus scale:
-    a coarse quantizer (label cells, centroid = per-dim mean) routes
-    each probe to its nprobe=2 nearest cells by L2, and only THOSE
-    cells' members are scored, from their 2-byte PQ codes via the
-    broadcast ADC distance tables (vector_pq_ann_adc). The two
-    reductions compose: IVF prunes the candidate set to nprobe/|cells|
-    of the corpus (in production the code relation is partitioned by
-    cell, so pruning is partition pruning — see
-    etl_partitioned_layout_pruned_scan for the layout proof), and PQ
-    shrinks what is read per candidate ~128x. The raw embedding column
-    is touched only at train time; query-time inputs are the code
-    relation, the broadcast distance tables, and the broadcast
-    (probe, cell) routing relation."""
+def _ivfpq_query_time(codes_lab: DataFrame, book: DataFrame, cent: DataFrame,
+                      probes: DataFrame) -> DataFrame:
+    """The QUERY-TIME half of IVF-PQ, shared by the inline and steady
+    variants: route each probe to its nprobe=2 nearest coarse cells (L2
+    against the broadcast centroid relation), build the broadcast ADC
+    distance tables against the codebook, and score ONLY the routed
+    cells' members from their 2-byte codes. Inputs: codes_lab
+    (vec_id, subspace, code, label), book (subspace, code, c), cent
+    (label, cvec), probes (probe_id, pe)."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes, book = V.pq_codes(
-        emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
-    )
-    arr = F.col("embedding").cast("array<double>")
-
-    # coarse centroids: per-dim mean per label cell, 6-dp rounded
-    cdim = (
-        emb.select("label", F.posexplode(arr).alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-    )
-    cent = cdim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda t: t["c"]
-        ).alias("cvec")
-    )
-    probes = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), arr.alias("pe")
-    )
     dc = F.round(
         F.aggregate(
             F.zip_with("pe", "cvec", lambda a, b: (a - b) * (a - b)),
@@ -911,7 +885,6 @@ def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "label")
     )
 
-    # ADC distance tables (identical arithmetic to vector_pq_ann_adc)
     slices = F.array(
         *[
             F.struct(
@@ -936,10 +909,8 @@ def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "subspace", "code", d.alias("d")
     )
 
-    vlab = emb.select(F.col("vec_id"), "label")
     scored = (
-        codes.join(vlab, "vec_id")
-        .join(F.broadcast(top_cells), "label")
+        codes_lab.join(F.broadcast(top_cells), "label")
         .join(F.broadcast(dtab), ["probe_id", "subspace", "code"])
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
@@ -955,4 +926,104 @@ def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("double").alias("adc_dist"),
             F.col("rn").cast("int"),
         )
+    )
+
+
+@register("vector_ann_ivfpq", oracle=_ivfpq_oracle(8, 8, 4, 3, 2))
+def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS-default shape at corpus scale:
+    a coarse quantizer (label cells, centroid = per-dim mean) routes
+    each probe to its nprobe=2 nearest cells by L2, and only THOSE
+    cells' members are scored, from their 2-byte PQ codes via the
+    broadcast ADC distance tables (vector_pq_ann_adc). The two
+    reductions compose: IVF prunes the candidate set to nprobe/|cells|
+    of the corpus (in production the code relation is partitioned by
+    cell, so pruning is partition pruning — see
+    etl_partitioned_layout_pruned_scan for the layout proof), and PQ
+    shrinks what is read per candidate ~128x. The raw embedding column
+    is touched only at train time; query-time inputs are the code
+    relation, the broadcast distance tables, and the broadcast
+    (probe, cell) routing relation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, book = V.pq_codes(
+        emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
+    )
+    arr = F.col("embedding").cast("array<double>")
+
+    # coarse centroids: per-dim mean per label cell, 6-dp rounded
+    cdim = (
+        emb.select("label", F.posexplode(arr).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda t: t["c"]
+        ).alias("cvec")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), arr.alias("pe")
+    )
+    codes_lab = codes.join(emb.select("vec_id", "label"), "vec_id")
+    return _ivfpq_query_time(codes_lab, book, cent, probes)
+
+
+#: session-scoped trained IVF-PQ index locations, keyed by sf_dir — the
+#: steady query trains and persists once per session, exactly as
+#: production persists a trained index once per corpus version
+_IVFPQ_INDEX: dict[str, str] = {}
+
+
+@register("vector_ann_ivfpq_steady", oracle=_ivfpq_oracle(8, 8, 4, 3, 2))
+def vector_ann_ivfpq_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of IVF-PQ ANN (the
+    dedup_incremental_admission_steady pattern applied to vector
+    search): training — PQ codebook, code assignment, coarse centroids
+    — runs ONCE per corpus version and persists to parquet; every query
+    reads only the trained artifacts. Same result as vector_ann_ivfpq
+    (one oracle serves both); the difference is WHAT the steady run
+    measures — query-time routing + ADC scoring alone: the probe
+    vectors, two broadcast-sized artifacts (centroids |cells| rows,
+    codebook m*k rows), and a columnar scan of the 2-byte code relation
+    restricted to the routed cells. At 100 TB the code relation is
+    additionally partitioned by cell so routing becomes partition
+    pruning (etl_partitioned_layout_pruned_scan proves that layout);
+    the raw embedding column is never touched at query time."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    if sf_dir not in _IVFPQ_INDEX:
+        codes, book = V.pq_codes(
+            emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
+        )
+        cdim = (
+            emb.select("label", F.posexplode(arr).alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        cent = cdim.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda t: t["c"],
+            ).alias("cvec")
+        )
+        base = tempfile.mkdtemp(prefix="ivfpq_index_")
+        # codes carry their coarse cell so query-time needs no join back
+        # to the embeddings table (and can partition by label at scale)
+        codes.join(emb.select("vec_id", "label"), "vec_id").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/codes")
+        book.write.mode("overwrite").parquet(f"{base}/book")
+        cent.write.mode("overwrite").parquet(f"{base}/cent")
+        _IVFPQ_INDEX[sf_dir] = base
+    base = _IVFPQ_INDEX[sf_dir]
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), arr.alias("pe")
+    )
+    return _ivfpq_query_time(
+        spark.read.parquet(f"{base}/codes"),
+        spark.read.parquet(f"{base}/book"),
+        spark.read.parquet(f"{base}/cent"),
+        probes,
     )

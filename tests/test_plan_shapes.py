@@ -715,3 +715,108 @@ def test_ivfpq_query_time_broadcasts_and_no_embedding_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert not re.search(r"\bembedding#\d+", line), line
+
+
+def test_ivfpq_steady_query_never_touches_raw_embeddings(spark, sf_dir):
+    """vector_ann_ivfpq_steady: query time reads ONLY the persisted index
+    artifacts plus the probe rows — the corpus embedding column must not
+    appear in any scan's ReadSchema except the bounded probe scan
+    (vec_id < 3 pushed down). A corpus-wide embedding read at query time
+    means the trained index is being ignored."""
+    plan = _initial_plan(QUERIES["vector_ann_ivfpq_steady"](spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    emb_scans = [l for l in scans if "embedding:" in l]
+    # probes only: every embedding-reading scan must carry the vec_id
+    # pushdown that bounds it to the probe set
+    for l in emb_scans:
+        assert "LessThan(vec_id" in l or "vec_id), LessThan" in l, l
+    # and the code relation is scanned WITHOUT the embedding column
+    assert any("code:" in l and "embedding:" not in l for l in scans), plan
+
+
+def test_versioned_merge_one_anti_join_key_only_shuffle(spark, tmp_path):
+    """tablelog.merge_plan: the MERGE is ONE left-anti join + union —
+    no full-outer join, no cartesian, and every hash exchange keys on
+    the merge key alone, so the snapshot never shuffles on anything
+    wider than the key (the claim in operators/tablelog.py)."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.operators import tablelog as TL
+
+    t = str(tmp_path / "vt")
+    cur = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TL.write_version(cur, t)
+    updates = spark.range(1500, 2500).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    df = TL.merge_plan(TL.read_version(spark, t), updates, "k")
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" not in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert re.search(r"hashpartitioning\(k#\d+L?(,| )", line), line
+
+
+def test_compaction_rewrite_reads_only_its_group(spark, sf_dir, tmp_path):
+    """etl_compaction_execute's per-group rewrite job: the group's bucket
+    predicate must land in the scan's PartitionFilters (other groups'
+    files never open) and the coalesce(1) must not introduce an exchange
+    — the OPTIMIZE loop's unit of work is one bounded read+write, driven
+    by the |files|-sized plan relation, never a table-wide shuffle."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_framework_spark.catalog import load_table
+
+    frag = str(tmp_path / "frag")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket", (F.col("doc_id") % 16).cast("int")
+    )
+    docs.repartition("bucket").write.partitionBy("bucket").parquet(frag)
+    rewrite = (
+        spark.read.parquet(frag).filter(F.col("bucket").isin([1, 5])).coalesce(1)
+    )
+    plan = _initial_plan(rewrite)
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan), plan[:800]
+    assert "Exchange" not in plan, plan
+
+
+def test_steady_admission_probe_uses_bucketed_index(spark, sf_dir):
+    """dedup_incremental_admission_steady: the persisted LSH index is
+    bucketed by its join keys (band_key / old_id), so the probe engages
+    the bucketed layout (≥3 Bucketed:true scans) and the band join
+    never shuffles on band_key — the index side of the probe is
+    exchange-free (SCALE.md's co-partitioned probe; round-6 A/B:
+    bucketed 0.94 s vs plain parquet 1.16 s at sf0.1)."""
+    plan = _initial_plan(QUERIES["dedup_incremental_admission_steady"](spark, sf_dir))
+    assert plan.count("Bucketed: true") >= 3, plan[:800]
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "band_key" not in line, line
+
+
+@pytest.mark.parametrize("name", ["events_cuped_adjustment", "events_diff_in_diff"])
+def test_causal_estimators_single_pass_broadcast_scalars(spark, sf_dir, name):
+    """CUPED / diff-in-diff: the estimator aggregates the fact table to a
+    bounded relation (per-user rollup / the 2x2 cells), fits scalars on
+    it, and broadcasts them back — so every hash exchange keys on the
+    rollup keys (user_id / treated,post), never on raw event columns,
+    and the only nested-loop join is against the broadcast 1-row
+    scalar relation."""
+    df = QUERIES[name](spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan
+    # the scalar attach: broadcast nested-loop against a 1-row aggregate
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not re.search(r"\b(value|ts|event_type)#\d+", line), (
+                f"{name}: raw event column crosses an exchange:\n{line}"
+            )
