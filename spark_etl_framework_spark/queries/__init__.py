@@ -160,8 +160,11 @@ def _load_all() -> None:
 #: events_funnel_timebound, events_user_growth_curve, events_ab_ztest,
 #: events_top_paths_trigram, events_value_concentration,
 #: events_kaplan_meier, events_rfm_segments, events_error_budget_burn,
-#: events_peak_detection, events_dau_wau_stickiness — plus any round-6
-#: additions registered this round.
+#: events_peak_detection, events_dau_wau_stickiness — plus the round-6
+#: additions: vector_ann_ivfpq_steady (persisted trained index,
+#: query-time routing + code-only ADC) and
+#: etl_incremental_join_maintenance (delta propagation for an
+#: aggregate-over-join view, stored partials never rescan the base).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3/r5-green) — sole already-verified slot
     "q1_pricing_summary",

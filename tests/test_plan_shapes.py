@@ -788,6 +788,27 @@ def test_compaction_rewrite_reads_only_its_group(spark, sf_dir, tmp_path):
     assert "Exchange" not in plan, plan
 
 
+def test_join_view_refresh_scans_fact_once(spark, sf_dir):
+    """etl_incremental_join_maintenance: the refresh plan reads the fact
+    table exactly once — the DELTA slice — plus the stored partials
+    parquet; a second lineitem scan means the base facts are being
+    re-aggregated and the O(delta) refresh promise is broken."""
+    plan = _initial_plan(
+        QUERIES["etl_incremental_join_maintenance"](spark, sf_dir)
+    )
+    fact_scans = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "l_extendedprice" in l
+    ]
+    assert len(fact_scans) == 1, plan[:1200]
+    # and the stored-partials relation is present (the parquet view)
+    assert any(
+        "ReadSchema" in l and "n_items" in l and "revenue" in l
+        for l in plan.splitlines()
+    ), plan[:1200]
+
+
 def test_steady_admission_probe_uses_bucketed_index(spark, sf_dir):
     """dedup_incremental_admission_steady: the persisted LSH index is
     bucketed by its join keys (band_key / old_id), so the probe engages
