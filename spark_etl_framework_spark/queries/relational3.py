@@ -348,6 +348,122 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: constant 54-byte BMP header for the RLE8 query (BITMAPFILEHEADER +
+#: BITMAPINFOHEADER): 8x4, 8-bit paletted, BI_RLE8 compression, 8 palette
+#: entries, 26-byte pixel stream, data offset 86 (54 + 32-byte palette)
+_BMP_RLE_HEADER_HEX = (
+    "424D70000000000000005600000028000000080000000400000001000800"
+    "010000001A00000000000000000000000800000000000000"
+)
+
+
+def _bmp_rle_pixels_sql() -> str:
+    """Expected top-down RGB hex of the RLE8 decode: display row i is
+    STORED row 3-i (bottom-up); stored row r is two 4-pixel runs of
+    palette indices nib(2r), nib(2r+1) (each md5 nibble folded into 0-7
+    by the same translate both engines apply)."""
+    parts = []
+    for i in range(4):
+        r = 3 - i
+        for half in (1, 2):
+            k = 2 * r + half
+            idx = f"(strpos('01234567', substr(ih, {k}, 1)) - 1)"
+            parts.append(f"repeat(substr(pal, 6 * {idx} + 1, 6), 4)")
+    return " || ".join(parts)
+
+
+@register(
+    "multimodal_decode_bmp_rle",
+    # DuckDB replays the whole codec arithmetically: palette bytes and
+    # run indices are md5-recoverable, and RLE expansion of fixed-width
+    # runs reduces to repeat() over palette slices — any decoder bug in
+    # run expansion, palette lookup (BGRA->RGB), or the bottom-up flip
+    # breaks the pixel hash.
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               md5(text) || SUBSTR(md5(text || 'p'), 1, 16) AS pal,
+               translate(md5(text || 'i'), '89abcdef', '01234567') AS ih
+        FROM documents
+    )
+    SELECT doc_id          AS id,
+           CAST(8 AS INT)  AS width,
+           CAST(4 AS INT)  AS height,
+           CAST(3 AS INT)  AS channels,
+           'bmp/rle8'      AS format,
+           UPPER({_bmp_rle_pixels_sql()}) AS pixels_hex
+    FROM r
+    """,
+)
+def multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-raster decode under the oracle gate — stdlib+numpy
+    only: each document becomes a genuine 8-bit paletted BMP with BI_RLE8
+    compression (54-byte header + md5-derived 8-entry BGRA palette + an
+    RLE packet stream of two 4-pixel runs per row with end-of-line /
+    end-of-bitmap escapes), decoded by ``decode_images(fake=False)`` →
+    ``_decode_bmp_rle8`` (operators/multimodal.py): packet walk, palette
+    expansion, bottom-up flip. Every output pixel hash-checks against
+    DuckDB's arithmetic replay of the codec — the first COMPRESSED image
+    format in the suite (absolute-mode and delta packets are covered by
+    unit tests; JPEG/PNG still gate on PIL). Arrow-batched mapInPandas,
+    narrow: no shuffle at any scale."""
+    from ..operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    pal_hex = F.concat(
+        F.md5(txt), F.substring(F.md5(F.concat(txt, F.lit(b"p"))), 1, 16)
+    )
+    # palette stored as BGRA: reorder each md5-derived RGB triple
+    pal_bgra = F.concat(
+        *[
+            F.concat(
+                F.substring(pal_hex, 6 * e + 5, 2),
+                F.substring(pal_hex, 6 * e + 3, 2),
+                F.substring(pal_hex, 6 * e + 1, 2),
+                F.lit("00"),
+            )
+            for e in range(8)
+        ]
+    )
+    # run indices: md5 nibbles folded into palette range 0-7
+    ih = F.translate(
+        F.md5(F.concat(txt, F.lit(b"i"))), "89abcdef", "01234567"
+    )
+    stream = F.concat(
+        *[
+            F.concat(
+                F.lit("04"),
+                F.lit("0"),
+                F.substring(ih, 2 * r + 1, 1),
+                F.lit("04"),
+                F.lit("0"),
+                F.substring(ih, 2 * r + 2, 1),
+                F.lit("0000"),  # end of line
+            )
+            for r in range(4)
+        ],
+        F.lit("0001"),  # end of bitmap
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.unhex(F.lit(_BMP_RLE_HEADER_HEX)),
+            F.unhex(pal_bgra),
+            F.unhex(stream),
+        ).alias("payload"),
+    )
+    out = decode_images(wire, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
 #: constant 44-byte RIFF/WAV header: format 7 (G.711 mu-law), mono,
 #: 8000 Hz, 8-bit, 16 data bytes (struct.pack'd once)
 _MULAW_HEADER_HEX = (

@@ -169,6 +169,71 @@ def test_multimodal_netpbm_real_decode_and_resize(spark):
     assert bytes(r["pixels"]) == (a + a + b + b) * 2  # each pixel -> 2x2 block
 
 
+def _rle8_bmp(w, h, palette, stream, clr_used=None):
+    """Assemble an 8-bit BI_RLE8 BMP from (r,g,b) palette entries and a
+    raw RLE packet stream (pure struct — independent of the decoder)."""
+    import struct
+
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    if clr_used is None:
+        clr_used = len(palette)
+    data_off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(stream), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, clr_used, 0
+    )
+    return hdr + info + pal + stream
+
+
+def test_multimodal_bmp_rle8_absolute_delta_and_errors():
+    """_decode_bmp_rle8 beyond the oracle query's run packets: absolute
+    mode (with its word-boundary padding byte), delta jumps (skipped
+    pixels = index 0), bottom-up flip, and the loud-failure paths
+    (truncated stream, overflowing run, out-of-range palette index)."""
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_bmp_rle8
+
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    # 5x2, bottom-up. Stored row 0 (display row 1): run 2x pal[1], then
+    # an ABSOLUTE run (count >= 3 — count 2 would be the delta escape) of
+    # indices 2,3,2 plus its odd-count word-padding byte. Stored row 1
+    # (display row 0): a delta skip of 1 column (skipped pixel = index 0)
+    # then run 4x pal[2].
+    stream = bytes(
+        [2, 1]  # run: 2 pixels of palette[1]
+        + [0, 3, 2, 3, 2, 0]  # absolute: indices 2,3,2 + pad byte
+        + [0, 0]  # end of line
+        + [0, 2, 1, 0]  # delta: skip 1 right
+        + [4, 2]  # run: 4 pixels of palette[2]
+        + [0, 1]  # end of bitmap
+    )
+    fmt, w, h, c, px = _decode_bmp_rle8(_rle8_bmp(5, 2, pal, stream))
+    assert (fmt, w, h, c) == ("bmp/rle8", 5, 2, 3)
+    rows = [px[i * 15 : (i + 1) * 15] for i in range(2)]
+    # display row 0 = stored row 1: [pal0 (delta-skipped), pal2 x4]
+    assert rows[0] == bytes((10, 20, 30) + (70, 80, 90) * 4)
+    # display row 1 = stored row 0: [pal1, pal1, pal2, pal3, pal2]
+    assert rows[1] == bytes(
+        (40, 50, 60) * 2
+        + (70, 80, 90)
+        + (100, 110, 120)
+        + (70, 80, 90)
+    )
+
+    # absolute run with ODD length consumes a padding byte
+    stream_odd = bytes([0, 3, 1, 2, 3, 0] + [0, 0] + [4, 0] + [0, 1])
+    fmt2, _, _, _, px2 = _decode_bmp_rle8(_rle8_bmp(4, 2, pal, stream_odd))
+    assert px2[12 + 0 : 12 + 9] == bytes((40, 50, 60) + (70, 80, 90) + (100, 110, 120))
+
+    with pytest.raises(ValueError, match="truncated RLE8"):
+        _decode_bmp_rle8(_rle8_bmp(4, 2, pal, bytes([2, 1])))
+    with pytest.raises(ValueError, match="overflows row"):
+        _decode_bmp_rle8(_rle8_bmp(4, 2, pal, bytes([5, 1, 0, 1])))
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _decode_bmp_rle8(_rle8_bmp(4, 2, pal, bytes([2, 9, 0, 1])))
+
+
 def test_multimodal_wav_real_decode(spark):
     """Real RIFF/WAV parse via stdlib wave: sample rate read from the
     header, frames sliced from the decoded PCM stream."""
