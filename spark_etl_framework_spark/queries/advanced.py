@@ -471,10 +471,13 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_lsh_matches(corpus, increment, threshold=0.5)
 
 
-#: session-scoped corpus-index locations, keyed by sf_dir — the steady
+#: session-scoped corpus-index table names, keyed by sf_dir — the steady
 #: query builds the parquet index once per session, exactly as production
-#: persists it once per corpus version
-_CORPUS_INDEX: dict[str, str] = {}
+#: persists it once per corpus version. Catalog registrations live in the
+#: SparkSession's in-memory catalog, so a cache hit is only valid while
+#: those tables still exist — guarded below with catalog.tableExists()
+#: (a recreated session re-runs the build; the overwrite is idempotent).
+_CORPUS_INDEX: dict[str, dict[str, str]] = {}
 
 
 @register("dedup_incremental_admission_steady", oracle=_INCR_ADMISSION_ORACLE)
@@ -494,6 +497,12 @@ def dedup_incremental_admission_steady(spark: SparkSession, sf_dir: str) -> Data
 
     from ..operators import dedup as D
 
+    if sf_dir in _CORPUS_INDEX and not all(
+        spark.catalog.tableExists(t) for t in _CORPUS_INDEX[sf_dir].values()
+    ):
+        # stale hit: the process-global dict survived a SparkSession
+        # recreate but the in-memory catalog did not — rebuild
+        del _CORPUS_INDEX[sf_dir]
     if sf_dir not in _CORPUS_INDEX:
         docs = load_table(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 10 != 0)

@@ -264,10 +264,13 @@ def stream_docfeed_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         .option("path", f"{sf_dir}/documents.parquet")
         .option("maxRowsPerBatch", "997")  # deliberately not a divisor
         # position WAL paired with this run's (temp) checkpoint: restart
-        # safety when every batch was committed (sources/pysource.py)
+        # safety when every batch was committed (sources/pysource.py).
+        # mkdtemp (not the race-prone, deprecated mktemp): the reader owns
+        # every path under the fresh directory, so its first os.replace
+        # cannot collide with another process
         .option(
             "positionFile",
-            tempfile.mktemp(prefix="docfeed_pos_", suffix=".txt"),
+            f"{tempfile.mkdtemp(prefix='docfeed_pos_')}/position.txt",
         )
         .load()
     )

@@ -331,24 +331,25 @@ class TarDataSourceWriter(DataSourceWriter):
         return _TarCommit(tmp_path=tmp, n_members=n)
 
     def commit(self, messages) -> None:
-        # overwrite mode clears the PREVIOUS job's committed shards (and
-        # its marker) exactly once, at commit time — after every task of
-        # this job has staged successfully, so a failed overwrite job
-        # never destroys the existing dataset
-        if self._overwrite:
-            for old in _glob.glob(os.path.join(self._path, "shard_*.tar")):
-                os.remove(old)
-            try:
-                os.remove(os.path.join(self._path, "_SUCCESS"))
-            except FileNotFoundError:
-                pass
+        # rename the NEW shards in first (their per-job names cannot
+        # collide with any previous job's), THEN remove the previous
+        # job's shards. Ordering matters for crash safety: a failure
+        # before commit() leaves the old dataset untouched, and a crash
+        # INSIDE commit() can only leave old+new side by side (duplicate
+        # rows, recoverable by re-running the overwrite) — never data
+        # loss, which the old delete-first ordering risked if the crash
+        # landed between the removal loop and the renames
+        new_names: set[str] = set()
         for i, m in enumerate(sorted(
             (m for m in messages if m is not None), key=lambda m: m.tmp_path
         )):
-            os.replace(
-                m.tmp_path,
-                os.path.join(self._path, f"shard_{self._job}_{i:04d}.tar"),
-            )
+            dst = os.path.join(self._path, f"shard_{self._job}_{i:04d}.tar")
+            os.replace(m.tmp_path, dst)
+            new_names.add(dst)
+        if self._overwrite:
+            for old in _glob.glob(os.path.join(self._path, "shard_*.tar")):
+                if old not in new_names:
+                    os.remove(old)
         with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
             f.write("")
 
@@ -385,7 +386,13 @@ class TarStreamReader(DataSourceStreamReader):
     persisted log also seeds the counter on restart, so a fresh reader's
     ``latestOffset`` can never regress below the checkpoint (the docfeed
     lesson); on a real cluster ``stateDir`` lives next to the query
-    checkpoint on shared storage."""
+    checkpoint on shared storage. ``stateDir`` is therefore effectively
+    REQUIRED for any query that must survive restart — without it a
+    restarted reader has no log to replay and ``partitions()`` fails
+    loudly rather than guessing. ``commit()`` prunes the log up to the
+    committed offset (in memory and on disk), folding pruned batches into
+    one compact ``seen.json`` snapshot, so a long-running stream's state
+    is O(live batches + one file-name set), not O(triggers)."""
 
     def __init__(self, options):
         path = options.get("path")
@@ -405,6 +412,15 @@ class TarStreamReader(DataSourceStreamReader):
         if not self._state_dir:
             return
         os.makedirs(self._state_dir, exist_ok=True)
+        # compact snapshot first: the committed-and-pruned history folded
+        # into one {batch, files} record by commit() — seeds both the
+        # seen-set and the counter floor
+        snap = os.path.join(self._state_dir, "seen.json")
+        if os.path.exists(snap):
+            with open(snap) as f:
+                d = _json.load(f)
+            self._seen.update(d["files"])
+            self._cur = max(self._cur, d["batch"])
         for p in _glob.glob(os.path.join(self._state_dir, "batch-*.json")):
             k = int(os.path.basename(p)[len("batch-") : -len(".json")])
             with open(p) as f:
@@ -444,7 +460,41 @@ class TarStreamReader(DataSourceStreamReader):
         return {"batch": self._cur}
 
     def commit(self, end) -> None:
+        import json as _json
+
         self._cur = max(self._cur, end["batch"])
+        # prune the log up to the committed offset: per-batch file lists
+        # (memory + one JSON per trigger on disk) would otherwise grow
+        # without bound over a long-running stream. Fold the pruned
+        # batches' files into ONE compact seen-snapshot BEFORE deleting
+        # their log entries — a crash between the two leaves both records,
+        # which re-load merges harmlessly (sets union)
+        done = end["batch"]
+        pruned = sorted(k for k in self._batches if k <= done)
+        if not pruned:
+            return
+        if self._state_dir:
+            snap = os.path.join(self._state_dir, "seen.json")
+            prev = {"batch": 0, "files": []}
+            if os.path.exists(snap):
+                with open(snap) as f:
+                    prev = _json.load(f)
+            files = set(prev["files"])
+            for k in pruned:
+                files.update(self._batches[k])
+            tmp = snap + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(
+                    {"batch": max(done, prev["batch"]), "files": sorted(files)}, f
+                )
+            os.replace(tmp, snap)
+            for k in pruned:
+                try:
+                    os.remove(os.path.join(self._state_dir, f"batch-{k}.json"))
+                except FileNotFoundError:
+                    pass
+        for k in pruned:
+            del self._batches[k]
 
     def partitions(self, start, end):
         self._cur = max(self._cur, start["batch"], end["batch"])

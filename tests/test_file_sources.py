@@ -536,16 +536,105 @@ def test_tar_stream_restart_all_committed_does_not_rewind(spark, tmp_path):
     # restart 2 (the double-restart poison path): still no rewind
     r3 = TarStreamReader(opts)
     assert r3.latestOffset() == {"batch": 2}
-    # replay of a logged range reconstructs file identity from the log
-    assert [p.path for p in r3.partitions({"batch": 0}, {"batch": 1})] == [
-        str(tmp_path / "b.tar")
-    ]
+    # committed batches were PRUNED from the log (commit() folds them into
+    # the compact seen-snapshot) — the engine never replans a committed
+    # batch, and asking for one fails loudly instead of guessing
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="not in the reader's"):
+        r3.partitions({"batch": 0}, {"batch": 1})
     # and a late lexically-earlier file is new data after restart
     _mk_tar(tmp_path / "a.tar", "ma", b"a")
     assert r3.latestOffset() == {"batch": 3}
     assert [p.path for p in r3.partitions({"batch": 2}, {"batch": 3})] == [
         str(tmp_path / "a.tar")
     ]
+
+
+def test_tar_stream_commit_prunes_log_bounded_state(spark, tmp_path):
+    """The round-7 ADVICE unbounded-state finding: commit() must prune
+    per-batch log entries (memory AND the one-JSON-per-trigger disk log)
+    up to the committed offset, folding them into one compact seen.json —
+    a month-long stream's state is O(live batches), not O(triggers). The
+    snapshot must still carry file identity (no re-ingest) and the
+    counter floor (no offset rewind on restart)."""
+    import json
+    import os
+
+    from spark_etl_framework_spark.sources.pysource import TarStreamReader
+
+    state = str(tmp_path / "state")
+    opts = {
+        "path": str(tmp_path / "*.tar"),
+        "maxFilesPerBatch": "1",
+        "stateDir": state,
+    }
+    r = TarStreamReader(opts)
+    for i in range(5):
+        _mk_tar(tmp_path / f"s{i}.tar", f"m{i}", f"x{i}".encode())
+        assert r.latestOffset() == {"batch": i + 1}
+        r.commit({"batch": i + 1})
+        # disk log: never more than the snapshot after each commit
+        logs = [n for n in os.listdir(state) if n.startswith("batch-")]
+        assert logs == [], f"uncommitted log entries left: {logs}"
+        assert r._batches == {}
+    with open(os.path.join(state, "seen.json")) as f:
+        snap = json.load(f)
+    assert snap["batch"] == 5
+    assert len(snap["files"]) == 5
+    # restart: snapshot alone seeds identity + counter
+    r2 = TarStreamReader(opts)
+    assert r2.latestOffset() == {"batch": 5}  # nothing new, no rewind
+    _mk_tar(tmp_path / "s5.tar", "m5", b"x5")
+    assert r2.latestOffset() == {"batch": 6}
+    assert [p.path for p in r2.partitions({"batch": 5}, {"batch": 6})] == [
+        str(tmp_path / "s5.tar")
+    ]
+
+
+def test_tar_overwrite_commit_renames_before_delete(spark, tmp_path, monkeypatch):
+    """The round-7 ADVICE crash-window finding: overwrite commit() must
+    rename the new shards IN before deleting the old ones, so a crash
+    inside commit() can only leave old+new side by side (duplicates,
+    recoverable) — never lose the previous dataset. Simulated by making
+    the delete step explode: the new shards must already be on disk."""
+    import os
+
+    from spark_etl_framework_spark.sources.pysource import TarDataSourceWriter
+
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    # a previously-committed dataset
+    w0 = TarDataSourceWriter({"path": out}, overwrite=False)
+    m0 = w0.write(iter([]))
+    w0.commit([m0])
+    old = [n for n in os.listdir(out) if n.endswith(".tar")]
+    assert len(old) == 1
+
+    w1 = TarDataSourceWriter({"path": out}, overwrite=True)
+    m1 = w1.write(iter([]))
+    real_remove = os.remove
+
+    def exploding_remove(p):
+        raise OSError(f"simulated crash deleting {p}")
+
+    monkeypatch.setattr(os, "remove", exploding_remove)
+    try:
+        import pytest as _pt
+
+        with _pt.raises(OSError, match="simulated crash"):
+            w1.commit([m1])
+    finally:
+        monkeypatch.setattr(os, "remove", real_remove)
+    names = [n for n in os.listdir(out) if n.endswith(".tar")]
+    # new shard IS in place despite the crash; old shard also still there
+    assert len(names) == 2, names
+    assert any(w1._job in n for n in names)
+    # a clean re-run of the overwrite converges: only the new job's shards
+    w2 = TarDataSourceWriter({"path": out}, overwrite=True)
+    w2.commit([w2.write(iter([]))])
+    names = [n for n in os.listdir(out) if n.endswith(".tar")]
+    assert len(names) == 1 and w2._job in names[0]
 
 
 def test_docfeed_restart_all_committed_does_not_rewind(spark, sf_dir, tmp_path):
