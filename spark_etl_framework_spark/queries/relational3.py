@@ -350,35 +350,51 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: constant 54-byte BMP header for the RLE8 query (BITMAPFILEHEADER +
 #: BITMAPINFOHEADER): 8x4, 8-bit paletted, BI_RLE8 compression, 8 palette
-#: entries, 26-byte pixel stream, data offset 86 (54 + 32-byte palette)
+#: entries, 40-byte pixel stream, data offset 86 (54 + 32-byte palette)
 _BMP_RLE_HEADER_HEX = (
-    "424D70000000000000005600000028000000080000000400000001000800"
-    "010000001A00000000000000000000000800000000000000"
+    "424D7E000000000000005600000028000000080000000400000001000800"
+    "010000002800000000000000000000000800000000000000"
 )
+
+
+def _bmp_rle_pal6(k: int) -> str:
+    """SQL for the 6-hex-char RGB of palette entry nib(k) (md5 nibble k
+    folded into 0-7 by the same translate both engines apply)."""
+    idx = f"(strpos('01234567', substr(ih, {k}, 1)) - 1)"
+    return f"substr(pal, 6 * {idx} + 1, 6)"
 
 
 def _bmp_rle_pixels_sql() -> str:
     """Expected top-down RGB hex of the RLE8 decode: display row i is
-    STORED row 3-i (bottom-up); stored row r is two 4-pixel runs of
-    palette indices nib(2r), nib(2r+1) (each md5 nibble folded into 0-7
-    by the same translate both engines apply)."""
-    parts = []
-    for i in range(4):
-        r = 3 - i
-        for half in (1, 2):
-            k = 2 * r + half
-            idx = f"(strpos('01234567', substr(ih, {k}, 1)) - 1)"
-            parts.append(f"repeat(substr(pal, 6 * {idx} + 1, 6), 4)")
-    return " || ".join(parts)
+    STORED row 3-i (bottom-up). The four stored rows exercise every
+    BI_RLE8 packet type the decoder handles:
+
+    - row 0: two 4-pixel RUN packets (nibbles 1, 2)
+    - row 1: a 5-index ABSOLUTE run (nibbles 3-7, odd count -> one word-
+      padding byte the decoder must skip) then a 3-pixel run (nibble 8)
+    - row 2: 2-pixel run (nibble 9), a DELTA jump of (+4, 0) — the
+      skipped pixels stay palette index 0 — then a 2-pixel run (nib 10)
+    - row 3: a 4-index ABSOLUTE run (nibbles 11-14, even count -> no
+      padding) then a 4-pixel run (nibble 15)
+    """
+    p = _bmp_rle_pal6
+    rows = {
+        0: f"repeat({p(1)}, 4) || repeat({p(2)}, 4)",
+        1: " || ".join(p(k) for k in range(3, 8)) + f" || repeat({p(8)}, 3)",
+        2: f"repeat({p(9)}, 2) || repeat(substr(pal, 1, 6), 4) || repeat({p(10)}, 2)",
+        3: " || ".join(p(k) for k in range(11, 15)) + f" || repeat({p(15)}, 4)",
+    }
+    return " || ".join(rows[3 - i] for i in range(4))
 
 
 @register(
     "multimodal_decode_bmp_rle",
     # DuckDB replays the whole codec arithmetically: palette bytes and
-    # run indices are md5-recoverable, and RLE expansion of fixed-width
-    # runs reduces to repeat() over palette slices — any decoder bug in
-    # run expansion, palette lookup (BGRA->RGB), or the bottom-up flip
-    # breaks the pixel hash.
+    # packet indices are md5-recoverable, and expansion reduces to
+    # repeat()/concat over palette slices — any decoder bug in run
+    # expansion, absolute-mode copies (incl. the odd-count word-padding
+    # skip), delta jumps (skipped pixels = entry 0), palette lookup
+    # (BGRA->RGB), or the bottom-up flip breaks the pixel hash.
     oracle=f"""
     WITH r AS (
         SELECT doc_id,
@@ -398,15 +414,17 @@ def _bmp_rle_pixels_sql() -> str:
 def multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-raster decode under the oracle gate — stdlib+numpy
     only: each document becomes a genuine 8-bit paletted BMP with BI_RLE8
-    compression (54-byte header + md5-derived 8-entry BGRA palette + an
-    RLE packet stream of two 4-pixel runs per row with end-of-line /
-    end-of-bitmap escapes), decoded by ``decode_images(fake=False)`` →
-    ``_decode_bmp_rle8`` (operators/multimodal.py): packet walk, palette
-    expansion, bottom-up flip. Every output pixel hash-checks against
-    DuckDB's arithmetic replay of the codec — the first COMPRESSED image
-    format in the suite (absolute-mode and delta packets are covered by
-    unit tests; JPEG/PNG still gate on PIL). Arrow-batched mapInPandas,
-    narrow: no shuffle at any scale."""
+    compression (54-byte header + md5-derived 8-entry BGRA palette + a
+    packet stream exercising EVERY BI_RLE8 packet type: run packets,
+    absolute runs with and without the odd-count word-padding byte, a
+    delta jump whose skipped pixels fall back to palette entry 0, and
+    end-of-line / end-of-bitmap escapes), decoded by
+    ``decode_images(fake=False)`` → ``_decode_bmp_rle8``
+    (operators/multimodal.py): packet walk, palette expansion, bottom-up
+    flip. Every output pixel hash-checks against DuckDB's arithmetic
+    replay of the codec — the first COMPRESSED image format in the suite
+    (JPEG/PNG still gate on PIL). Arrow-batched mapInPandas, narrow: no
+    shuffle at any scale."""
     from ..operators.multimodal import decode_images
 
     docs = load_table(spark, sf_dir, "documents")
@@ -426,23 +444,30 @@ def multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for e in range(8)
         ]
     )
-    # run indices: md5 nibbles folded into palette range 0-7
+    # palette indices: md5 nibbles folded into palette range 0-7
     ih = F.translate(
         F.md5(F.concat(txt, F.lit(b"i"))), "89abcdef", "01234567"
     )
+
+    def nib(k: int):
+        # one palette-index byte (00-07) from nibble k
+        return F.concat(F.lit("0"), F.substring(ih, k, 1))
+
+    # the packet stream mirrors _bmp_rle_pixels_sql row by row: runs,
+    # absolute (odd count -> word padding byte), delta jump, absolute
+    # (even count), so every packet type is oracle-checked
     stream = F.concat(
-        *[
-            F.concat(
-                F.lit("04"),
-                F.lit("0"),
-                F.substring(ih, 2 * r + 1, 1),
-                F.lit("04"),
-                F.lit("0"),
-                F.substring(ih, 2 * r + 2, 1),
-                F.lit("0000"),  # end of line
-            )
-            for r in range(4)
-        ],
+        # stored row 0: two 4-pixel runs
+        F.lit("04"), nib(1), F.lit("04"), nib(2), F.lit("0000"),
+        # stored row 1: absolute(5) + pad + run(3)
+        F.lit("0005"), nib(3), nib(4), nib(5), nib(6), nib(7), F.lit("00"),
+        F.lit("03"), nib(8), F.lit("0000"),
+        # stored row 2: run(2) + delta(+4,0) + run(2)
+        F.lit("02"), nib(9), F.lit("00020400"), F.lit("02"), nib(10),
+        F.lit("0000"),
+        # stored row 3: absolute(4) + run(4)
+        F.lit("0004"), nib(11), nib(12), nib(13), nib(14),
+        F.lit("04"), nib(15), F.lit("0000"),
         F.lit("0001"),  # end of bitmap
     )
     wire = docs.select(

@@ -841,3 +841,39 @@ def test_causal_estimators_single_pass_broadcast_scalars(spark, sf_dir, name):
             assert not re.search(r"\b(value|ts|event_type)#\d+", line), (
                 f"{name}: raw event column crosses an exchange:\n{line}"
             )
+
+
+def test_pq_adc_steady_query_never_touches_raw_embeddings(spark, sf_dir):
+    """vector_pq_ann_adc_steady: exhaustive ADC at query time reads ONLY
+    the persisted code relation + codebook plus the probe rows — the
+    corpus embedding column must not appear in any scan's ReadSchema
+    except the bounded probe scan (vec_id < 3 pushed down), and the code
+    scan must prune to the three code columns (no label — routing is the
+    IVF variant's business)."""
+    plan = _initial_plan(QUERIES["vector_pq_ann_adc_steady"](spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    emb_scans = [l for l in scans if "embedding:" in l]
+    for l in emb_scans:
+        assert "LessThan(vec_id" in l or "vec_id), LessThan" in l, l
+    assert any(
+        "code:" in l and "embedding:" not in l and "label" not in l for l in scans
+    ), plan
+
+
+def test_bmp_rle_decode_no_exchange(spark, sf_dir):
+    """multimodal_decode_bmp_rle: wire build -> mapInPandas decode ->
+    hex projection is a pure narrow pipeline — no exchange of any kind,
+    so the decode scales with input splits alone (the multimodal codec
+    contract: per-document work, embarrassingly parallel at 100 TB)."""
+    plan = _initial_plan(QUERIES["multimodal_decode_bmp_rle"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_jl_project_zero_shuffle(spark, sf_dir):
+    """vector_jl_project: the JL matrix is plan-time literal and the
+    registered posexploded projection is still a pure narrow map — the
+    round-6 reshape (array -> one row per (vec, dim)) must not have
+    introduced an exchange."""
+    plan = _initial_plan(QUERIES["vector_jl_project"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
