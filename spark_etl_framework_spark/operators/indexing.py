@@ -1,0 +1,251 @@
+"""Steady-state index actors: build-once / probe-many as pipeline steps.
+
+The two amortized artifacts a 100 TB deployment maintains per corpus
+version — the LSH admission index (band buckets + hashed-shingle inverted
+index + sizes) and the trained ANN index (PQ codebook + code relation +
+coarse centroids) — exist in this engine as operator functions
+(operators/dedup.py:build_corpus_lsh_index / probe_corpus_lsh_index,
+operators/vector.py:pq_codes / ivfpq_search / adc_search). The reference's
+user surface is config-driven actors resolved by alias (reference:
+etl/common/Actor.scala:15, etl/pipeline/builder/JsonPipelineBuilder.scala:265),
+so these classes package build and probe behind that contract: a YAML
+pipeline builds the index once (persisting bucketed/partitioned tables)
+and any number of downstream actions probe it as an ordinary view.
+
+Scale notes:
+- LSH index tables persist BUCKETED (buckets by band_key, shingles/sizes
+  by old_id) so the probe's joins are exchange-free on the index side —
+  the same co-partitioned layout the steady admission benchmark pins
+  (tests/test_plan_shapes.py:test_steady_admission_probe_uses_bucketed_index).
+- ANN artifacts persist as plain parquet: book (m*k rows) and cent
+  (|cells| rows) broadcast at query time; codes is the only corpus-sized
+  relation and is scanned columnar, 2 bytes per vector-subspace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.context import JobContext
+from .base import Actor
+
+
+class LshIndexBuilder(Actor):
+    """Build the corpus LSH admission index from an input view and
+    persist it as three BUCKETED external tables under ``path``:
+    ``<tablePrefix>_buckets`` (band_id, band_key, old_ids — bucketed by
+    band_key), ``<tablePrefix>_shingles`` (old_id, shingle_key — bucketed
+    by old_id), ``<tablePrefix>_sizes`` (old_id, n_old — bucketed by
+    old_id). Run once per corpus version; every ingest batch probes via
+    :class:`LshIndexProbe`. Emits a 1-row build summary (table names +
+    bucket count) as its output view."""
+
+    view: str | None = None
+    path: str | None = None
+    tablePrefix: str = "corpus_lsh"
+    idField: str = "doc_id"
+    textField: str = "text"
+    n: int = 3
+    k: int = 8
+    rowsPerBand: int = 2
+    numBuckets: int = 8
+    maxBucket: int = 10_000
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from . import dedup as D
+
+        if not self.view:
+            raise ValueError("LshIndexBuilder: input view required")
+        if not self.path:
+            raise ValueError("LshIndexBuilder: path required (index location)")
+        ctx.reference(self.view)
+        corpus = spark.table(self.view)
+        buckets, shingles, sizes = D.build_corpus_lsh_index(
+            corpus,
+            id_col=self.idField,
+            text_col=self.textField,
+            n=int(self.n),
+            k=int(self.k),
+            rows_per_band=int(self.rowsPerBand),
+            max_bucket=int(self.maxBucket),
+        )
+        nb = int(self.numBuckets)
+        spec = {
+            "buckets": (buckets, "band_key"),
+            "shingles": (shingles, "old_id"),
+            "sizes": (sizes, "old_id"),
+        }
+        for part, (df, key) in spec.items():
+            name = f"{self.tablePrefix}_{part}"
+            # external table (explicit path): saveAsTable's default
+            # location is $PWD/spark-warehouse and pipelines may run from
+            # a read-only cwd
+            df.write.mode("overwrite").format("parquet").bucketBy(nb, key).sortBy(
+                key
+            ).option("path", f"{self.path}/{part}").saveAsTable(name)
+        return spark.createDataFrame(
+            [
+                (
+                    f"{self.tablePrefix}_buckets",
+                    f"{self.tablePrefix}_shingles",
+                    f"{self.tablePrefix}_sizes",
+                    nb,
+                )
+            ],
+            "buckets_table string, shingles_table string, sizes_table string, "
+            "num_buckets int",
+        )
+
+
+class LshIndexProbe(Actor):
+    """Probe a persisted LSH admission index with an ingest-batch view:
+    per increment document, its best verified corpus match and the
+    ``is_dup`` admission decision (operators/dedup.py:
+    probe_corpus_lsh_index). All corpus-scale work happened at build
+    time; the probe costs increment-bands x bucket joins plus
+    candidate-only exact verification."""
+
+    view: str | None = None
+    tablePrefix: str = "corpus_lsh"
+    idField: str = "doc_id"
+    textField: str = "text"
+    n: int = 3
+    k: int = 8
+    rowsPerBand: int = 2
+    threshold: float = 0.5
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from . import dedup as D
+
+        if not self.view:
+            raise ValueError("LshIndexProbe: input view required")
+        for part in ("buckets", "shingles", "sizes"):
+            if not spark.catalog.tableExists(f"{self.tablePrefix}_{part}"):
+                raise ValueError(
+                    f"LshIndexProbe: index table {self.tablePrefix}_{part} "
+                    "not found — run LshIndexBuilder first"
+                )
+        ctx.reference(self.view)
+        return D.probe_corpus_lsh_index(
+            spark.table(f"{self.tablePrefix}_buckets"),
+            spark.table(f"{self.tablePrefix}_shingles"),
+            spark.table(f"{self.tablePrefix}_sizes"),
+            spark.table(self.view),
+            id_col=self.idField,
+            text_col=self.textField,
+            n=int(self.n),
+            k=int(self.k),
+            rows_per_band=int(self.rowsPerBand),
+            threshold=float(self.threshold),
+        )
+
+
+class AnnIndexBuilder(Actor):
+    """Train the PQ/IVF ANN index from an embeddings view and persist the
+    three artifacts under ``path``: ``codes`` (vec_id, subspace, code,
+    label — the coarse cell rides along so probes never join back to the
+    raw vectors), ``book`` (subspace, code, c), ``cent`` (label, cvec).
+    Train once per corpus version; probe any number of times via
+    :class:`AnnIndexProbe`. Emits a 1-row summary with the artifact
+    paths."""
+
+    view: str | None = None
+    path: str | None = None
+    idField: str = "vec_id"
+    vecField: str = "embedding"
+    labelField: str = "label"
+    m: int = 8
+    sub: int = 8
+    k: int = 4
+    iters: int = 2
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from . import vector as V
+
+        if not self.view:
+            raise ValueError("AnnIndexBuilder: input view required")
+        if not self.path:
+            raise ValueError("AnnIndexBuilder: path required (index location)")
+        ctx.reference(self.view)
+        emb = spark.table(self.view)
+        codes, book = V.pq_codes(
+            emb,
+            self.idField,
+            self.vecField,
+            m=int(self.m),
+            sub=int(self.sub),
+            k=int(self.k),
+            iters=int(self.iters),
+            with_model=True,
+        )
+        codes = codes.withColumnRenamed(self.idField, "vec_id")
+        lab = emb.select(
+            F.col(self.idField).alias("vec_id"),
+            F.col(self.labelField).alias("label"),
+        )
+        codes.join(lab, "vec_id").write.mode("overwrite").parquet(
+            f"{self.path}/codes"
+        )
+        book.write.mode("overwrite").parquet(f"{self.path}/book")
+        V.coarse_centroids(emb, self.labelField, self.vecField).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/cent")
+        return spark.createDataFrame(
+            [(f"{self.path}/codes", f"{self.path}/book", f"{self.path}/cent")],
+            "codes_path string, book_path string, cent_path string",
+        )
+
+
+class AnnIndexProbe(Actor):
+    """ANN search over a persisted trained index. The input view holds
+    the probe vectors (``idField``, ``vecField`` array<double>); ``mode``
+    picks the query shape: ``ivf`` routes each probe to its ``nprobe``
+    nearest coarse cells and ADC-scores only those members
+    (operators/vector.py:ivfpq_search); ``adc`` scores the whole code
+    relation exhaustively (adc_search). Either way the corpus is read as
+    2-byte codes — raw embeddings are never touched at probe time."""
+
+    view: str | None = None
+    path: str | None = None
+    mode: str = "ivf"
+    idField: str = "probe_id"
+    vecField: str = "pe"
+    m: int = 8
+    sub: int = 8
+    nprobe: int = 2
+    topK: int = 10
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from . import vector as V
+
+        if not self.view:
+            raise ValueError("AnnIndexProbe: input view required")
+        if not self.path:
+            raise ValueError("AnnIndexProbe: path required (index location)")
+        if self.mode not in ("ivf", "adc"):
+            raise ValueError(f"AnnIndexProbe: mode must be ivf|adc, got {self.mode!r}")
+        ctx.reference(self.view)
+        probes = spark.table(self.view).select(
+            F.col(self.idField).alias("probe_id"),
+            F.col(self.vecField).cast("array<double>").alias("pe"),
+        )
+        book = spark.read.parquet(f"{self.path}/book")
+        if self.mode == "adc":
+            codes = spark.read.parquet(f"{self.path}/codes").select(
+                "vec_id", "subspace", "code"
+            )
+            return V.adc_search(
+                codes, book, probes, m=int(self.m), sub=int(self.sub),
+                topk=int(self.topK),
+            )
+        return V.ivfpq_search(
+            spark.read.parquet(f"{self.path}/codes"),
+            book,
+            spark.read.parquet(f"{self.path}/cent"),
+            probes,
+            m=int(self.m),
+            sub=int(self.sub),
+            nprobe=int(self.nprobe),
+            topk=int(self.topK),
+        )

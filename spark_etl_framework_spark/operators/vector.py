@@ -639,3 +639,146 @@ def pq_codes(
             F.col("s").alias("subspace"), F.col("cid").alias("code"), "c"
         )
     return out
+
+
+def _adc_distance_tables(
+    probes: DataFrame, book: DataFrame, m: int, sub: int,
+    id_col: str = "probe_id", vec_col: str = "pe",
+) -> DataFrame:
+    """Per-probe ADC distance tables: slice each probe vector into the m
+    subspaces and score every codebook entry — m*k rows per probe
+    (broadcast-sized), the lookup table asymmetric-distance scoring sums
+    over. Distances round to 6 dp then cast to DECIMAL(18,6) so the
+    m-term accumulation is engine-exact (the oracle contract)."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("pe"),
+            )
+            for s in range(m)
+        ]
+    )
+    p = probes.select(F.col(id_col), F.explode(slices).alias("z")).select(
+        id_col, F.col("z.subspace").alias("subspace"), F.col("z.pe").alias("pe")
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("pe", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return p.join(F.broadcast(book), "subspace").select(
+        id_col, "subspace", "code", d.alias("d")
+    )
+
+
+def adc_search(
+    codes: DataFrame,
+    book: DataFrame,
+    probes: DataFrame,
+    m: int = 8,
+    sub: int = 8,
+    topk: int = 10,
+) -> DataFrame:
+    """Exhaustive PQ asymmetric-distance search over a trained index:
+    score the whole code relation (vec_id, subspace, code) from the
+    broadcast per-probe distance tables — the corpus is read as 2-byte
+    codes only, never as raw floats. Probes: (probe_id, pe
+    array<double>). Returns (probe_id, vec_id, adc_dist, rn) top-k per
+    probe with id tiebreak."""
+    dtab = _adc_distance_tables(probes, book, m, sub)
+    scored = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            "rn",
+        )
+    )
+
+
+def ivfpq_search(
+    codes_lab: DataFrame,
+    book: DataFrame,
+    cent: DataFrame,
+    probes: DataFrame,
+    m: int = 8,
+    sub: int = 8,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ search over a trained index — the query-time half of the
+    FAISS-default composite: route each probe to its ``nprobe`` nearest
+    coarse cells (L2 against the broadcast centroid relation), then ADC-
+    score ONLY the routed cells' members from their codes. Inputs:
+    codes_lab (vec_id, subspace, code, label), book (subspace, code, c),
+    cent (label, cvec), probes (probe_id, pe array<double>). At 100 TB
+    the code relation partitions by label so the routed-cell restriction
+    becomes partition pruning."""
+    dc = F.round(
+        F.aggregate(
+            F.zip_with("pe", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wc = W.partitionBy("probe_id").orderBy("dc", "label")
+    top_cells = (
+        probes.join(F.broadcast(cent))
+        .select("probe_id", "label", dc.alias("dc"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "label")
+    )
+    dtab = _adc_distance_tables(probes, book, m, sub)
+    scored = (
+        codes_lab.join(F.broadcast(top_cells), "label")
+        .join(F.broadcast(dtab), ["probe_id", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    wr = W.partitionBy("probe_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            F.col("rn").cast("int"),
+        )
+    )
+
+
+def coarse_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell coarse centroids (label, cvec): per-dim mean, 6-dp
+    rounded — the IVF routing relation (|cells| rows, broadcast at query
+    time)."""
+    arr = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(arr).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda t: t["c"]
+            ).alias("cvec")
+        )
+    )

@@ -25,6 +25,10 @@ _BUILTIN = {
     "sql-transformer": "spark_etl_framework_spark.operators.sql.SqlTransformer",
     "stream-stateful-transformer": "spark_etl_framework_spark.streaming.stateful.StreamStatefulTransformer",
     "containment-dedup-transformer": "spark_etl_framework_spark.operators.curation.ContainmentDedupTransformer",
+    "lsh-index-builder": "spark_etl_framework_spark.operators.indexing.LshIndexBuilder",
+    "lsh-index-probe": "spark_etl_framework_spark.operators.indexing.LshIndexProbe",
+    "ann-index-builder": "spark_etl_framework_spark.operators.indexing.AnnIndexBuilder",
+    "ann-index-probe": "spark_etl_framework_spark.operators.indexing.AnnIndexProbe",
     "pii-scrub-transformer": "spark_etl_framework_spark.operators.curation.PiiScrubTransformer",
     "scd2-merge-transformer": "spark_etl_framework_spark.operators.curation.Scd2MergeTransformer",
     "bpe-train-transformer": "spark_etl_framework_spark.operators.curation.BpeTrainTransformer",

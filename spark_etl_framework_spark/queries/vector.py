@@ -860,73 +860,10 @@ def _ivfpq_oracle(m: int = 8, sub: int = 8, k: int = 4, n_probes: int = 3, nprob
 def _ivfpq_query_time(codes_lab: DataFrame, book: DataFrame, cent: DataFrame,
                       probes: DataFrame) -> DataFrame:
     """The QUERY-TIME half of IVF-PQ, shared by the inline and steady
-    variants: route each probe to its nprobe=2 nearest coarse cells (L2
-    against the broadcast centroid relation), build the broadcast ADC
-    distance tables against the codebook, and score ONLY the routed
-    cells' members from their 2-byte codes. Inputs: codes_lab
-    (vec_id, subspace, code, label), book (subspace, code, c), cent
-    (label, cvec), probes (probe_id, pe)."""
-    from pyspark.sql import Window as W
-
-    dc = F.round(
-        F.aggregate(
-            F.zip_with("pe", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    wc = W.partitionBy("probe_id").orderBy("dc", "label")
-    top_cells = (
-        probes.join(F.broadcast(cent))
-        .select("probe_id", "label", dc.alias("dc"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= 2)
-        .select("probe_id", "label")
-    )
-
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("int").alias("subspace"),
-                F.slice(F.col("pe"), s * 8 + 1, 8).alias("spe"),
-            )
-            for s in range(8)
-        ]
-    )
-    p = probes.select("probe_id", F.explode(slices).alias("z")).select(
-        "probe_id", F.col("z.subspace").alias("subspace"), F.col("z.spe").alias("pe")
-    )
-    d = F.round(
-        F.aggregate(
-            F.zip_with("pe", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    dtab = p.join(F.broadcast(book), "subspace").select(
-        "probe_id", "subspace", "code", d.alias("d")
-    )
-
-    scored = (
-        codes_lab.join(F.broadcast(top_cells), "label")
-        .join(F.broadcast(dtab), ["probe_id", "subspace", "code"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("d").alias("dist"))
-    )
-    wr = W.partitionBy("probe_id").orderBy("dist", "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 10)
-        .select(
-            "probe_id",
-            "vec_id",
-            F.col("dist").cast("double").alias("adc_dist"),
-            F.col("rn").cast("int"),
-        )
-    )
+    variants — now the operator :func:`operators.vector.ivfpq_search`
+    (also the ann-index-probe pipeline actor's engine), pinned here to
+    the suite's m=8/sub=8/nprobe=2/top-10 shape."""
+    return V.ivfpq_search(codes_lab, book, cent, probes, m=8, sub=8, nprobe=2, topk=10)
 
 
 @register("vector_ann_ivfpq", oracle=_ivfpq_oracle(8, 8, 4, 3, 2))
@@ -949,18 +886,8 @@ def vector_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
     )
     arr = F.col("embedding").cast("array<double>")
-
     # coarse centroids: per-dim mean per label cell, 6-dp rounded
-    cdim = (
-        emb.select("label", F.posexplode(arr).alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-    )
-    cent = cdim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda t: t["c"]
-        ).alias("cvec")
-    )
+    cent = V.coarse_centroids(emb, "label", "embedding")
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), arr.alias("pe")
     )
@@ -989,21 +916,10 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _IVFPQ_INDEX:
         return _IVFPQ_INDEX[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings")
-    arr = F.col("embedding").cast("array<double>")
     codes, book = V.pq_codes(
         emb, "vec_id", "embedding", m=8, sub=8, k=4, iters=2, with_model=True
     )
-    cdim = (
-        emb.select("label", F.posexplode(arr).alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-    )
-    cent = cdim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))),
-            lambda t: t["c"],
-        ).alias("cvec")
-    )
+    cent = V.coarse_centroids(emb, "label", "embedding")
     base = tempfile.mkdtemp(prefix="ivfpq_index_")
     codes.join(emb.select("vec_id", "label"), "vec_id").write.mode(
         "overwrite"
@@ -1063,52 +979,11 @@ def vector_pq_ann_adc_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _ensure_ivfpq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     arr = F.col("embedding").cast("array<double>")
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("int").alias("subspace"),
-                F.slice(arr, s * 8 + 1, 8).alias("pe"),
-            )
-            for s in range(8)
-        ]
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), arr.alias("pe")
     )
-    p = (
-        emb.filter(F.col("vec_id") < 3)
-        .select(F.col("vec_id").alias("probe_id"), F.explode(slices).alias("z"))
-        .select(
-            "probe_id", F.col("z.subspace").alias("subspace"), F.col("z.pe").alias("pe")
-        )
-    )
-    book = spark.read.parquet(f"{base}/book")
     # exhaustive ADC ignores the coarse cell: scan only the code columns
     codes = spark.read.parquet(f"{base}/codes").select("vec_id", "subspace", "code")
-    d = F.round(
-        F.aggregate(
-            F.zip_with("pe", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    dtab = p.join(F.broadcast(book), "subspace").select(
-        "probe_id", "subspace", "code", d.alias("d")
-    )
-    scored = (
-        codes.join(F.broadcast(dtab), ["subspace", "code"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("d").alias("dist"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= 10)
-        .select(
-            "probe_id",
-            "vec_id",
-            F.col("dist").cast("double").alias("adc_dist"),
-            "rn",
-        )
+    return V.adc_search(
+        codes, spark.read.parquet(f"{base}/book"), probes, m=8, sub=8, topk=10
     )
