@@ -1,0 +1,61 @@
+"""README count enforcement — the round-6 verdict's doc-rot fix.
+
+Two manual "correct the counts" commits (411d1d6, 038994f) proved manual
+upkeep fails: nothing stopped the README's query/test counts from
+drifting as the registry grew. These tests parse the numbers OUT of
+README.md and assert them against the live registry and the collected
+test count, so the doc can never rot silently again — a registry change
+without the README edit fails CI, with the regeneration commands printed
+in the assertion message.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+_README = Path(__file__).resolve().parent.parent / "README.md"
+
+
+def _readme_count(pattern: str) -> int:
+    m = re.search(pattern, _README.read_text())
+    assert m, f"README.md no longer matches {pattern!r} — keep the counts line"
+    return int(m.group(1))
+
+
+def test_readme_query_count_matches_registry():
+    from spark_etl_framework_spark.queries import ORACLES, QUERIES
+
+    documented = _readme_count(r"(\d+) query definitions")
+    documented_oracled = _readme_count(r"all (\d+) oracle-checked")
+    assert documented == len(QUERIES), (
+        f"README says {documented} queries, registry has {len(QUERIES)} — "
+        'regenerate: python -c "from spark_etl_framework_spark.queries '
+        'import QUERIES; print(len(QUERIES))"'
+    )
+    assert documented_oracled == len(ORACLES), (
+        f"README says all {documented_oracled} oracle-checked, ORACLES has "
+        f"{len(ORACLES)} — update the line (and add oracles for new queries "
+        "unless genuinely non-SQL-expressible)"
+    )
+
+
+def test_readme_test_count_matches_collected():
+    documented = _readme_count(r"(\d+) tests \(e2e")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only", "-p",
+         "no:cacheprovider"],
+        capture_output=True,
+        text=True,
+        cwd=_README.parent,
+        timeout=120,
+    )
+    m = re.search(r"(\d+) tests? collected", proc.stdout)
+    assert m, f"could not parse collection output:\n{proc.stdout[-2000:]}"
+    collected = int(m.group(1))
+    assert documented == collected, (
+        f"README says {documented} tests, pytest collects {collected} — "
+        "regenerate: python -m pytest tests/ -q --collect-only | tail -1"
+    )
