@@ -135,101 +135,86 @@ def _load_all() -> None:
 #: registry in order (the round-1/2 gates evaluated exactly the first 50
 #: entries), so the first 50 slots are the round's evidence window.
 #:
-#: Round-6 rotation policy (continuing the round-3/4/5 mechanism): union
-#: driver-green coverage after r5 is 184/244; the 60 never-driver-verified
-#: queries are the whole remaining gap. This window takes 49 of them:
-#: the FOUR array-output queries reshaped this round to driver-hashable
-#: scalar rows (multimodal_audio_mulaw_decode — the r5 red row — plus
-#: multimodal_audio_decimate, text_feature_hashing, vector_jl_project),
-#: ALL 21 round-5 additions (tar DataSource batch+stream, docfeed source,
-#: jar-free Avro decode, versioned time travel, compaction plan+execute,
-#: schema evolution, bucketed co-located join, partition-pruning proof,
-#: video frame sampling batch+stream, CUPED, diff-in-diff, last-touch
-#: attribution, IVF-PQ ANN, steady-state admission, approx perplexity
-#: buckets, token budget planning, fuzzy decontamination, streaming
-#: admission), and 24 of the round-4 residue spread across ts_/corpus_/
-#: text_/vector_/dedup_/multimodal_ families. q1_pricing_summary stays as
-#: the TPC-H anchor. Rotated OUT: all 49 round-5-green non-anchors (their
-#: union rows are banked; everything rotated out is still
-#: exact-value-checked locally every round via tools/check_correctness.py).
-#: A fully green round lifts union coverage to 233/244.
+#: Round-7 rotation policy (continuing the round-3..6 mechanism): union
+#: driver-green coverage after r6 is 233/247 and the registry grew to 250
+#: this round. This window CLOSES the evidence program: the 14
+#: never-driver-verified queries (11 events_ residue + the three round-6
+#: additions), the 3 round-7 additions (vector_pq_ann_adc_steady — the
+#: persisted-index retirement of the two-round perf-weak —
+#: pipeline_lsh_index_probe / pipeline_ann_index_probe — the steady-state
+#: indexes as framework actors), the q1 anchor, and the remaining 32
+#: slots refresh the OLDEST union evidence (r1-vintage: every TPC-H,
+#: subquery and join-variant row first, then aggregates/set ops). A fully
+#: green round lifts union coverage to 250/250 — every registered query
+#: driver-verified at least once.
 #:
-#: ROUND-7 ROTATION TODO — the remaining 11 never-driver-verified
-#: queries (all events_ residue; the family keeps fresh r6 rows via
-#: cuped/did/attribution): events_approx_quantile_calibration,
-#: events_funnel_timebound, events_user_growth_curve, events_ab_ztest,
-#: events_top_paths_trigram, events_value_concentration,
-#: events_kaplan_meier, events_rfm_segments, events_error_budget_burn,
-#: events_peak_detection, events_dau_wau_stickiness — plus the round-6
-#: additions: vector_ann_ivfpq_steady (persisted trained index,
-#: query-time routing + code-only ADC) and
-#: etl_incremental_join_maintenance (delta propagation for an
-#: aggregate-over-join view, stored partials never rescan the base).
+#: ROUND-8 ROTATION TODO — nothing left unverified if r7 lands green;
+#: keep refreshing the oldest-vintage union rows, starting with the 11
+#: r1 rows this window could not fit: date_funcs, distinct_pairs,
+#: histogram_price_buckets, json_extract_props, latest_event_per_user,
+#: scalar_math_funcs, scalar_regexp_funcs, scalar_string_funcs,
+#: topk_orders, window_first_last_value, window_percent_rank — then the
+#: r2-vintage rows.
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H anchor (r2/r3/r5-green) — sole already-verified slot
+    # TPC-H anchor (r2/r3/r5/r6-green) — sole already-fresh slot
     "q1_pricing_summary",
-    # the four queries reshaped to scalar rows this round (r5 red row first)
-    "multimodal_audio_mulaw_decode",
-    "multimodal_audio_decimate",
-    "text_feature_hashing",
-    "vector_jl_project",
-    # round-5 additions: Python DataSources (batch + streaming)
-    "source_tar_datasource_roundtrip",
-    "stream_tar_autoload_roundtrip",
-    "stream_docfeed_source_roundtrip",
-    "kafka_avro_decode_roundtrip",
-    # round-5 additions: versioned tables + layout ops
-    "etl_versioned_time_travel",
-    "etl_compaction_plan",
-    "etl_compaction_execute",
-    "etl_schema_evolution_read",
-    "etl_bucketed_colocated_join",
-    "etl_partitioned_layout_pruned_scan",
-    # round-5 additions: multimodal video (batch + stream parity)
-    "multimodal_video_frame_sample",
-    "stream_video_frame_sample",
-    # round-5 additions: causal / experimentation estimators
-    "events_cuped_adjustment",
-    "events_diff_in_diff",
-    "events_attribution_last_touch",
-    # round-5 additions: ANN + admission (steady-state forms)
-    "vector_ann_ivfpq",
-    "dedup_incremental_admission_steady",
-    "stream_incremental_admission",
-    # round-5 additions: corpus curation
-    "corpus_perplexity_buckets_approx",
-    "corpus_token_budget_plan",
-    "corpus_decontaminate_fuzzy",
-    # round-4 residue: time series
-    "ts_event_gap_stats",
-    "ts_seasonal_profile",
-    "ts_interval_coverage",
-    # round-4 residue: multimodal
-    "multimodal_image_channel_stats",
-    # round-4 residue: corpus analytics
-    "corpus_shuffle_order",
-    "corpus_health_report",
-    "corpus_ngram_novelty",
-    "corpus_js_divergence",
-    "corpus_split_ks_test",
-    "corpus_template_prefixes",
-    "corpus_perplexity_buckets",
-    "corpus_decontaminate_bloom",
-    # round-4 residue: text analytics
-    "text_collocations_pmi",
-    "text_weighted_sample",
-    "text_char_entropy",
-    "text_rake_keywords",
-    "text_bigram_lm_eval",
-    "text_zipf_slope",
-    "text_langid_confusion",
-    # round-4 residue: vector stats
-    "vector_dim_stats",
-    "vector_pc1_power_iteration",
-    "vector_truncated_dim_recall",
-    # round-4 residue: dedup evaluation + survivorship
-    "dedup_lsh_eval_pr",
-    "dedup_keep_best_quality",
+    # never driver-verified: round-6 additions
+    "multimodal_decode_bmp_rle",
+    "vector_ann_ivfpq_steady",
+    "etl_incremental_join_maintenance",
+    # never driver-verified: events_ residue
+    "events_approx_quantile_calibration",
+    "events_funnel_timebound",
+    "events_user_growth_curve",
+    "events_ab_ztest",
+    "events_top_paths_trigram",
+    "events_value_concentration",
+    "events_kaplan_meier",
+    "events_rfm_segments",
+    "events_error_budget_burn",
+    "events_peak_detection",
+    "events_dau_wau_stickiness",
+    # round-7 additions (would otherwise become the new never-verified)
+    "vector_pq_ann_adc_steady",
+    "pipeline_lsh_index_probe",
+    "pipeline_ann_index_probe",
+    # oldest union evidence (r1-vintage): TPC-H single-table/join suite
+    "q4_priority_with_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_case_sum",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    # r1-vintage: subquery forms
+    "subquery_correlated_max",
+    "subquery_in_filter",
+    "subquery_scalar_above_avg",
+    # r1-vintage: join variants
+    "join_anti",
+    "join_cross_small",
+    "join_full_outer",
+    "join_left_outer",
+    "join_null_safe_eq",
+    "join_semi",
+    "join_theta_ranges",
+    # r1-vintage: aggregation surfaces
+    "agg_cube",
+    "agg_exact_percentiles",
+    "agg_global_stats",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "agg_string_concat",
+    # r1-vintage: query-shape forms
+    "cte_chain",
+    "setop_union_except_intersect",
+    "pivot_status_by_priority",
+    "unpivot_stack",
 )
 
 
