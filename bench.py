@@ -95,6 +95,11 @@ HEADLINE = [
     # query-time routing + code-only ADC alone (compare the inline
     # variant above, whose number includes training)
     "vector_ann_ivfpq_steady",
+    # round 7: exhaustive ADC over the same persisted trained index —
+    # retires the two-round vector_pq_ann_adc perf-weak the honest way:
+    # the headline tracks the per-query broadcast-ADC scan over the
+    # 2-byte code relation, not the Lloyd training a pipeline amortizes
+    "vector_pq_ann_adc_steady",
 ]
 
 
