@@ -92,11 +92,15 @@ def test_register_raises_on_duplicate_name():
 def test_priority_window_invariants():
     """The external gate checks exactly the first 50 registry entries, so
     lock what makes the window valid: it IS the priority block and every
-    slot has an oracle. Round-6 policy: the window maximizes NEVER-verified
-    rows, so fully-driver-verified families (window_/agg_/pipeline_ and
-    the classic events analytics) rotate out entirely — their green rows
-    are banked in the r1–r5 union; the family list below is the families
-    that still had unverified entries this round."""
+    slot has an oracle. Round-7 policy: the window CLOSES the evidence
+    program — every never-driver-verified query (the 11 events_ residue,
+    the three round-6 additions, the three round-7 registrations) plus
+    the OLDEST-verified union rows (r1 vintage: TPC-H, subqueries, join
+    variants, aggregates, set ops). Families whose every member is
+    freshly verified (r5/r6 green: dedup_/text_/corpus_/ts_/stream_/
+    source_/kafka_) rotate out entirely this round — their union rows
+    are banked and exact-value re-checked locally every round; the
+    family list below is what THIS rotation targets."""
     from spark_etl_framework_spark.queries import _PRIORITY
 
     window = list(QUERIES)[:50]
@@ -104,8 +108,8 @@ def test_priority_window_invariants():
     assert window == list(_PRIORITY)
     assert all(n in ORACLES for n in window)
     for family in (
-        "dedup_", "vector_", "text_", "corpus_", "ts_", "etl_",
-        "stream_", "source_", "kafka_", "multimodal_", "events_", "q",
+        "events_", "vector_", "etl_", "multimodal_", "pipeline_",
+        "q", "join_", "subquery_", "agg_",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
 
