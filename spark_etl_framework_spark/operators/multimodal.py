@@ -194,6 +194,132 @@ def _decode_bmp_rle8(raw: bytes) -> tuple[str, int, int, int, bytes]:
     return "bmp/rle8", w, h, 3, rows.tobytes()
 
 
+def _decode_gif_lzw(raw: bytes) -> tuple[str, int, int, int, bytes]:
+    """Parse a GIF87a/89a image — the suite's second REAL compressed
+    raster codec, stdlib+numpy only: logical screen descriptor, global/
+    local color table, extension-block skipping, and a COMPLETE LZW
+    decoder (LSB-first variable-width codes 3..12 bits, clear /
+    end-of-information handling, dynamic table growth incl. the KwKwK
+    self-reference case). Returns TOP-DOWN RGB like the other decoders.
+    Validates truncated sub-blocks/streams, non-root starts, palette
+    overruns and pixel-count mismatches so a corrupt shard fails loudly.
+    Interlaced images raise NotImplementedError (a row-reorder pass, not
+    a codec difference — add when a source needs it)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: magic {raw[:6]!r}")
+    if len(raw) < 14:
+        raise ValueError("truncated GIF header")
+    packed = raw[10]
+    i = 13
+    pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + n * 3 > len(raw):
+            raise ValueError("truncated GIF global color table")
+        pal = np.frombuffer(raw, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    # block walk: skip extensions (0x21 label + sub-blocks) until the
+    # image descriptor
+    while True:
+        if i >= len(raw):
+            raise ValueError("truncated GIF (no image descriptor)")
+        b = raw[i]
+        i += 1
+        if b == 0x2C:
+            break
+        if b == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        if b != 0x21:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        i += 1  # extension label
+        while True:
+            if i >= len(raw):
+                raise ValueError("truncated GIF extension")
+            n = raw[i]
+            i += 1 + n
+            if n == 0:
+                break
+    if i + 9 > len(raw):
+        raise ValueError("truncated GIF image descriptor")
+    _, _, w, h, ipacked = struct.unpack_from("<HHHHB", raw, i)
+    i += 9
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIFs not supported")
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        if i + n * 3 > len(raw):
+            raise ValueError("truncated GIF local color table")
+        pal = np.frombuffer(raw, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    if pal is None:
+        raise ValueError("GIF image has no color table")
+    if w == 0 or h == 0:
+        raise ValueError(f"malformed GIF dimensions: {w}x{h}")
+    if i >= len(raw):
+        raise ValueError("truncated GIF (no LZW minimum code size)")
+    min_code = raw[i]
+    i += 1
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code}")
+    data = bytearray()
+    while True:
+        if i >= len(raw):
+            raise ValueError("truncated GIF data sub-blocks")
+        n = raw[i]
+        i += 1
+        if n == 0:
+            break
+        if i + n > len(raw):
+            raise ValueError("truncated GIF data sub-block")
+        data += raw[i : i + n]
+        i += n
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    roots = {c: bytes([c]) for c in range(clear)}
+    table: dict[int, bytes] = dict(roots)
+    next_code, width = eoi + 1, min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated LZW stream (no end-of-information)")
+        bi = bitpos >> 3
+        code = (
+            int.from_bytes(data[bi : bi + 3], "little") >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = dict(roots)
+            next_code, width, prev = eoi + 1, min_code + 1, None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK self-reference case
+        else:
+            raise ValueError(f"LZW code {code} not in table (next={next_code})")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError(f"LZW output {len(out)} pixels, expected {w * h}")
+    idx = np.frombuffer(bytes(out), dtype=np.uint8)
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("GIF palette index out of range")
+    return "gif/lzw", w, h, 3, pal[idx.reshape(h, w)].tobytes()
+
+
 def _resize_nearest(pixels: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize with numpy indexing — no image library."""
     import numpy as np
@@ -233,11 +359,13 @@ def decode_images(
                         fmt, w, ht, c, px = _decode_netpbm(raw)
                     elif raw[:2] == b"BM":
                         fmt, w, ht, c, px = _decode_bmp(raw)
+                    elif raw[:4] == b"GIF8":
+                        fmt, w, ht, c, px = _decode_gif_lzw(raw)
                     else:
                         raise NotImplementedError(
-                            f"no codec for magic {raw[:8]!r}: compressed image "
-                            "formats need PIL (absent here); netpbm P5/P6 and "
-                            "uncompressed 24-bit BMP decode natively"
+                            f"no codec for magic {raw[:8]!r}: JPEG/PNG need "
+                            "PIL (absent here); netpbm P5/P6, BMP (24-bit + "
+                            "RLE8) and GIF87a/89a (full LZW) decode natively"
                         )
                     if resize is not None:
                         px = _resize_nearest(px, w, ht, c, resize[0], resize[1])

@@ -489,6 +489,109 @@ def multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GIF87a constants for the LZW query — header through the screen
+#: descriptor (8x4, global color table of 8 entries, packed 0xF2 =
+#: GCT flag | color-resolution 7 | size 2^(2+1)=8), and the image
+#: descriptor + LZW minimum-code-size 3 + sub-block length 0x21 (33
+#: bytes: 32 pixel bytes + the end-of-information byte)
+_GIF_PRE_PAL_HEX = "474946383761" + "08000400" + "F2" + "0000"
+_GIF_POST_PAL_HEX = "2C" + "00000000" + "08000400" + "00" + "03" + "21"
+
+
+def _gif_pixels_sql() -> str:
+    """Expected top-down RGB hex of the GIF decode: pixel k is palette
+    entry nib(k) (GIF stores top-down — no flip; palette is plain RGB —
+    no channel reorder)."""
+    parts = []
+    for k in range(1, 33):
+        idx = f"(strpos('01234567', substr(ih, {k}, 1)) - 1)"
+        parts.append(f"substr(pal, 6 * {idx} + 1, 6)")
+    return " || ".join(parts)
+
+
+@register(
+    "multimodal_decode_gif_lzw",
+    # DuckDB replays the wire AND the decode arithmetically. The LZW
+    # stream interleaves a CLEAR code before every pixel code, so each
+    # 4-bit-code pair packs LSB-first into exactly one byte (low nibble
+    # 8 = clear, high nibble = the palette index) and the table never
+    # grows — the expected pixel stream is a pure palette lookup per md5
+    # nibble, while the decoder still runs its full LZW machinery (width
+    # management, table reset, EOI) over every byte. Table-growth and
+    # KwKwK paths are exercised by the unit tests' real encoder
+    # (tests/test_operators_data.py).
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               md5(text) || SUBSTR(md5(text || 'p'), 1, 16) AS pal,
+               translate(md5(text || 'i'), '89abcdef', '01234567') AS ih
+        FROM documents
+    )
+    SELECT doc_id          AS id,
+           CAST(8 AS INT)  AS width,
+           CAST(4 AS INT)  AS height,
+           CAST(3 AS INT)  AS channels,
+           'gif/lzw'       AS format,
+           UPPER({_gif_pixels_sql()}) AS pixels_hex
+    FROM r
+    """,
+)
+def multimodal_decode_gif_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suite's SECOND real compressed raster codec under the oracle
+    gate — GIF87a with genuine LZW entropy coding, stdlib+numpy only:
+    each document becomes a valid GIF (screen descriptor + md5-derived
+    8-entry RGB color table + an LZW code stream), decoded by
+    ``decode_images(fake=False)`` → ``_decode_gif_lzw``
+    (operators/multimodal.py): block walk, sub-block reassembly, LSB-
+    first variable-width code reading, clear/EOI handling, palette
+    expansion. The generated stream clears before every pixel code so
+    DuckDB can replay the decode arithmetically; dynamic-table growth,
+    KwKwK self-reference and 12-bit width bumps are covered by the unit
+    tests' real LZW encoder roundtrip. Arrow-batched mapInPandas,
+    narrow: no shuffle at any scale."""
+    from ..operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.encode("text", "utf-8")
+    # 8-entry RGB palette straight from the md5 hex (GIF color tables are
+    # plain RGB — no BGRA reorder, unlike BMP)
+    pal_hex = F.concat(
+        F.md5(txt), F.substring(F.md5(F.concat(txt, F.lit(b"p"))), 1, 16)
+    )
+    ih = F.translate(
+        F.md5(F.concat(txt, F.lit(b"i"))), "89abcdef", "01234567"
+    )
+    # one byte per pixel: LSB-first 4-bit codes (clear=8 low nibble, the
+    # palette index high nibble), then the end-of-information byte 0x09
+    stream = F.concat(
+        *[
+            F.concat(F.substring(ih, k, 1), F.lit("8"))
+            for k in range(1, 33)
+        ],
+        F.lit("09"),
+        F.lit("00"),  # block terminator
+        F.lit("3B"),  # trailer
+    )
+    wire = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.unhex(F.lit(_GIF_PRE_PAL_HEX)),
+            F.unhex(pal_hex),
+            F.unhex(F.lit(_GIF_POST_PAL_HEX)),
+            F.unhex(stream),
+        ).alias("payload"),
+    )
+    out = decode_images(wire, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
 #: constant 44-byte RIFF/WAV header: format 7 (G.711 mu-law), mono,
 #: 8000 Hz, 8-bit, 16 data bytes (struct.pack'd once)
 _MULAW_HEADER_HEX = (

@@ -234,6 +234,129 @@ def test_multimodal_bmp_rle8_absolute_delta_and_errors():
         _decode_bmp_rle8(_rle8_bmp(4, 2, pal, bytes([2, 9, 0, 1])))
 
 
+def _lzw_encode(indices, min_code):
+    """Real GIF LZW encoder (test-side only): clear, greedy longest-match
+    codes with dynamic table growth and width bumps, end-of-information;
+    LSB-first bit packing — the encoder half the repo deliberately does
+    not ship, used to prove the decoder's growth paths."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits: list[int] = []
+    width = min_code + 1
+
+    def emit(code):
+        for b in range(width):
+            bits.append((code >> b) & 1)
+
+    table = {bytes([c]): c for c in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for ix in indices:
+        nxt = cur + bytes([ix])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # encoder bumps one entry AFTER the decoder's threshold —
+            # the classic off-by-one both sides must agree on
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([ix])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    return bytes(data)
+
+
+def _gif(w, h, palette, indices, min_code=3, interlaced=False, data=None):
+    import struct
+
+    nbits = max(2, (len(palette) - 1).bit_length())
+    hdr = b"GIF87a" + struct.pack("<HH", w, h) + bytes([0x80 | (nbits - 1), 0, 0])
+    gct = b"".join(bytes(p) for p in palette)
+    gct += b"\x00" * ((2 << (nbits - 1)) * 3 - len(gct))
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    payload = _lzw_encode(indices, min_code) if data is None else data
+    blocks = b""
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return hdr + gct + img + bytes([min_code]) + blocks + b"\x00" + b"\x3b"
+
+
+def test_multimodal_gif_lzw_growth_kwkwk_and_errors():
+    """_decode_gif_lzw beyond the oracle query's clear-per-pixel stream:
+    a real encoder drives dynamic table growth across width bumps, the
+    KwKwK self-reference case, multi-sub-block payloads, and 8-bit root
+    codes; corrupt shards fail loudly."""
+    import random
+
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_gif_lzw
+
+    pal8 = [(i * 30 % 256, i * 7 % 256, i * 13 % 256) for i in range(8)]
+    # repetitive pattern -> table growth; leading run -> KwKwK
+    indices = [5] * 20 + [(i // 3) % 8 for i in range(300)]
+    fmt, w, h, c, px8 = _decode_gif_lzw(_gif(16, 20, pal8, indices))
+    assert (fmt, w, h, c) == ("gif/lzw", 16, 20, 3)
+    assert px8 == b"".join(bytes(pal8[i]) for i in indices)
+
+    # 256-color table, >255-byte LZW payload (multi-sub-block), width
+    # bumps through 9..12 bits
+    rng = random.Random(7)
+    pal256 = [(i, 255 - i, (i * 3) % 256) for i in range(256)]
+    big = [rng.randrange(256) for _ in range(4000)] + [9] * 1000
+    fmt, w, h, _, px = _decode_gif_lzw(_gif(100, 50, pal256, big, min_code=8))
+    assert (w, h) == (100, 50)
+    assert px == b"".join(bytes(pal256[i]) for i in big)
+
+    # an extension block before the image descriptor is skipped (89a path)
+    # and the decode is byte-identical
+    g = _gif(16, 20, pal8, indices)
+    ext = b"\x21\xfe\x05hello\x00"  # comment extension
+    g2 = b"GIF89a" + g[6 : 13 + 24] + ext + g[13 + 24 :]
+    assert _decode_gif_lzw(g2)[4] == px8
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_gif_lzw(_gif(16, 20, pal8, indices, interlaced=True))
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif_lzw(b"BM" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="no end-of-information"):
+        # chop the EOI off: re-encode then truncate the final sub-block
+        data = _lzw_encode([1, 2, 3, 4], 3)[:-1]
+        _decode_gif_lzw(_gif(4, 1, pal8, [], data=data))
+    with pytest.raises(ValueError, match="expected"):
+        _decode_gif_lzw(_gif(5, 1, pal8, [1, 2, 3, 4]))  # 4 pixels for 5x1
+    with pytest.raises(ValueError, match="not in table"):
+        # code 200 with an 8-entry table: invalid immediately after clear.
+        # width is 4 post-clear, so use two bytes: clear(8) then 0xF|... ->
+        # craft code 15 (> next_code) right after the clear
+        bad = bytes([0x08 | (0xF << 4), 0x09])
+        _decode_gif_lzw(_gif(1, 1, pal8, [], data=bad))
+
+
+def test_multimodal_gif_palette_range_check():
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_gif_lzw
+
+    # 4-entry palette but min_code 3 admits root codes up to 7: index 6
+    # decodes fine as LZW yet overruns the palette -> loud failure
+    pal4 = [(0, 0, 0), (1, 1, 1), (2, 2, 2), (3, 3, 3)]
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _decode_gif_lzw(_gif(2, 1, pal4, [1, 6]))
+
+
 def test_multimodal_wav_real_decode(spark):
     """Real RIFF/WAV parse via stdlib wave: sample rate read from the
     header, frames sliced from the decoded PCM stream."""
