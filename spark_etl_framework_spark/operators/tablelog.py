@@ -121,3 +121,58 @@ def merge_upsert(
     copy-on-write. Returns the new version."""
     merged = merge_plan(read_version(spark, path), updates, key)
     return write_version(merged, path, op="merge")
+
+
+def vacuum(path: str, retain_last: int = 1) -> tuple[int, int]:
+    """Retention for the versioned table — Delta's VACUUM semantics
+    jar-free: expire every version except the newest ``retain_last``,
+    deleting data files referenced ONLY by expired versions and dropping
+    the expired commit entries, so time travel beyond the retention
+    window fails loudly (version-not-found) instead of half-reading a
+    gutted snapshot. Files are removed BEFORE their log entries: a crash
+    between the two leaves an entry whose read fails on missing files,
+    and re-running vacuum converges. Returns
+    ``(versions_expired, files_removed)``.
+
+    Scale: the referenced-file set is O(retained versions x files) of
+    PATH STRINGS — driver-side metadata, same class as the commit log
+    itself; data deletion is one os.remove per expired file (on an
+    object store, a bulk-delete of the same list)."""
+    import shutil
+
+    if retain_last < 1:
+        raise ValueError(f"vacuum: retain_last must be >= 1, got {retain_last}")
+    latest = latest_version(path)
+    if latest < 0:
+        return (0, 0)
+    cutoff = latest - retain_last + 1
+    d = _log_dir(path)
+    all_versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+    )
+    expired = [v for v in all_versions if v < cutoff]
+    if not expired:
+        return (0, 0)
+    keep_files: set[str] = set()
+    for v in all_versions:
+        if v >= cutoff:
+            keep_files.update(_files_of(path, v))
+    removed = 0
+    for v in expired:
+        for f in _files_of(path, v):
+            if f not in keep_files and os.path.exists(f):
+                os.remove(f)
+                removed += 1
+    for v in expired:
+        os.remove(os.path.join(d, f"{v:012d}.json"))
+    # sweep snapshot dirs whose parquet is fully gone (write markers like
+    # _SUCCESS are all that remain)
+    for entry in os.listdir(path):
+        p = os.path.join(path, entry)
+        if (
+            entry.startswith("v")
+            and os.path.isdir(p)
+            and not any(f.endswith(".parquet") for f in os.listdir(p))
+        ):
+            shutil.rmtree(p)
+    return (len(expired), removed)

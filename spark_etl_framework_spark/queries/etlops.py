@@ -1069,3 +1069,158 @@ def etl_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a0.join(a1, "c_mktsegment").select(
         "c_mktsegment", "n_v0", "bal_v0", "n_v1", "bal_v1"
     )
+
+
+@register(
+    "etl_dynamic_partition_overwrite",
+    # expected FINAL table state: the 'O' partition replaced by the
+    # updated rows (price + 100, exact decimal arithmetic — no rounding
+    # ambiguity), every other partition untouched. A static-overwrite
+    # bug (clobbering untouched partitions) collapses the F/P groups'
+    # counts; a non-replacement bug (append) doubles the O group — both
+    # break the hash.
+    oracle=f"""
+    WITH final AS (
+        SELECT o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6))
+               + CASE WHEN o_orderstatus = 'O' THEN 100 ELSE 0 END AS price
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the warehouse primitive for
+    idempotent partition-level backfills: write orders partitioned by
+    status, then OVERWRITE with a batch touching only the 'O' partition
+    under ``spark.sql.sources.partitionOverwriteMode=dynamic``. Spark
+    replaces exactly the partitions present in the incoming batch; the
+    'F'/'P' partitions survive byte-for-byte (under the default STATIC
+    mode the same write would delete them — the failure squashed here).
+    The query returns the re-read FINAL table state, so the overwrite
+    semantics sit inside the hash-checked path. At 100 TB this is the
+    daily-reprocess shape: recompute one day's partition, overwrite in
+    place, never rewrite (or lose) the other 3,650."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="etl_dyn_overwrite_")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    v1.write.mode("overwrite").partitionBy("o_orderstatus").parquet(f"{base}/t")
+    # cast the sum back to decimal(18,6): decimal addition widens to
+    # (19,6), which parquet stores as FIXED_LEN_BYTE_ARRAY while the
+    # untouched partitions' (18,6) files are INT64 — a schema-merge
+    # read error, not an overwrite bug
+    updates = v1.filter(F.col("o_orderstatus") == "O").withColumn(
+        "price", (F.col("price") + F.lit(100)).cast("decimal(18,6)")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updates.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+            f"{base}/t"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    final = spark.read.parquet(f"{base}/t")
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+    )
+
+
+#: session-scoped vacuumed-table locations, keyed by sf_dir (path-based —
+#: survives a SparkSession recreate; setup + vacuum run once, later
+#: invocations only read the retained snapshots)
+_VACUUMED: dict[str, str] = {}
+
+
+@register(
+    "etl_versioned_vacuum",
+    # the retained window after vacuum(retain_last=2) over v0..v2:
+    # v1 = MERGE of doubled %10==0 balances + one inserted row over the
+    # original customers; v2 = MERGE of +100 balances for the %4==0 keys
+    # over v1. Both retained snapshots must read back exactly — a vacuum
+    # that deletes a still-referenced file breaks either aggregate.
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    upd1 AS (SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS c_acctbal
+             FROM base WHERE c_custkey % 10 = 0),
+    v1 AS (SELECT * FROM base WHERE c_custkey % 10 <> 0
+           UNION ALL SELECT * FROM upd1
+           UNION ALL SELECT -1, 'MACHINERY', 999.99),
+    upd2 AS (SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+             FROM v1 WHERE c_custkey % 4 = 0),
+    v2 AS (SELECT * FROM v1 WHERE c_custkey % 4 <> 0
+           UNION ALL SELECT * FROM upd2),
+    a1 AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_v1,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal_v1
+           FROM v1 GROUP BY 1),
+    a2 AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_v2,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal_v2
+           FROM v2 GROUP BY 1)
+    SELECT a1.c_mktsegment, a1.n_v1, a1.bal_v1, a2.n_v2, a2.bal_v2
+    FROM a1 JOIN a2 ON a1.c_mktsegment = a2.c_mktsegment
+    """,
+)
+def etl_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the jar-free versioned table
+    (operators/tablelog.py:vacuum): three commits (v0 original, v1
+    MERGE doubling the %10==0 balances + one insert, v2 MERGE adding 100
+    to the %4==0 keys), then ``vacuum(retain_last=2)`` expires v0 —
+    deleting its data files and commit entry. The query reads BOTH
+    retained snapshots side by side after the vacuum, so the hash proves
+    retention removed only what it should: v1 and v2 are byte-intact
+    while v0 is gone (the version-not-found failure is pinned by
+    tests/test_etl_ops.py). The daily reality at 100 TB: copy-on-write
+    tables grow a full snapshot per merge; retention is what makes the
+    pattern affordable."""
+    import tempfile
+
+    from ..operators import tablelog as TL
+
+    if sf_dir not in _VACUUMED:
+        base = tempfile.mkdtemp(prefix="versioned_vacuum_") + "/customers"
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        TL.write_version(cust, base)
+        upd1 = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        )
+        new_row = spark.createDataFrame(
+            [(-1, "MACHINERY", 999.99)],
+            "c_custkey bigint, c_mktsegment string, c_acctbal double",
+        )
+        TL.merge_upsert(spark, base, upd1.unionByName(new_row), "c_custkey")
+        v1 = TL.read_version(spark, base, 1)
+        upd2 = v1.filter(F.col("c_custkey") % 4 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100
+        )
+        TL.merge_upsert(spark, base, upd2, "c_custkey")
+        expired, _removed = TL.vacuum(base, retain_last=2)
+        assert expired == 1, f"vacuum expired {expired} versions, expected 1"
+        _VACUUMED[sf_dir] = base
+    base = _VACUUMED[sf_dir]
+
+    def agg(df, n_name, bal_name):
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias(bal_name),
+        )
+
+    a1 = agg(TL.read_version(spark, base, 1), "n_v1", "bal_v1")
+    a2 = agg(TL.read_version(spark, base, 2), "n_v2", "bal_v2")
+    return a1.join(a2, "c_mktsegment").select(
+        "c_mktsegment", "n_v1", "bal_v1", "n_v2", "bal_v2"
+    )

@@ -274,3 +274,52 @@ def test_tablelog_versioning_and_merge(spark, tmp_path):
     # duplicate version commit rejected (the conditional-put contract)
     with _pt.raises(RuntimeError, match="concurrent commit"):
         TL._commit(base, 1, [], "write")
+
+
+def test_tablelog_vacuum_retention(spark, tmp_path):
+    """vacuum(retain_last): expired versions' files and log entries are
+    gone (time travel fails with version-not-found, not a parquet read
+    error), retained snapshots are byte-intact, the next commit keeps
+    numbering monotonic, and vacuum is idempotent."""
+    import os
+
+    import pytest as _pt
+
+    from spark_etl_framework_spark.operators import tablelog as TL
+
+    base = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    TL.write_version(df0, base)
+    TL.merge_upsert(
+        spark, base, spark.createDataFrame([(2, "B")], "k bigint, v string"), "k"
+    )
+    TL.merge_upsert(
+        spark, base, spark.createDataFrame([(3, "c")], "k bigint, v string"), "k"
+    )
+    assert TL.latest_version(base) == 2
+
+    expired, removed = TL.vacuum(base, retain_last=2)
+    assert expired == 1 and removed >= 1
+    # v0 is GONE — loudly, as a missing version
+    with _pt.raises(FileNotFoundError, match="version 0"):
+        TL.read_version(spark, base, 0)
+    # retained snapshots intact
+    v1 = {(r.k, r.v) for r in TL.read_version(spark, base, 1).collect()}
+    v2 = {(r.k, r.v) for r in TL.read_version(spark, base, 2).collect()}
+    assert v1 == {(1, "a"), (2, "B")}
+    assert v2 == {(1, "a"), (2, "B"), (3, "c")}
+    # v0's snapshot dir fully swept
+    assert not any(n.startswith("v000000000000_") for n in os.listdir(base))
+    # idempotent
+    assert TL.vacuum(base, retain_last=2) == (0, 0)
+    # numbering stays monotonic after vacuum
+    assert (
+        TL.merge_upsert(
+            spark, base, spark.createDataFrame([(4, "d")], "k bigint, v string"), "k"
+        )
+        == 3
+    )
+    # a no-op / empty-table vacuum and the argument guard
+    assert TL.vacuum(str(tmp_path / "missing")) == (0, 0)
+    with _pt.raises(ValueError, match="retain_last"):
+        TL.vacuum(base, retain_last=0)
