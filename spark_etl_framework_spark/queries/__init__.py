@@ -148,9 +148,13 @@ def _load_all() -> None:
 #: green round lifts union coverage to 250/250 — every registered query
 #: driver-verified at least once.
 #:
-#: ROUND-8 ROTATION TODO — nothing left unverified if r7 lands green;
-#: keep refreshing the oldest-vintage union rows, starting with the 11
-#: r1 rows this window could not fit: date_funcs, distinct_pairs,
+#: ROUND-8 ROTATION TODO — first the round-7 LATE additions (registered
+#: after the window was frozen, so they are the only never-driver-
+#: verified rows left): multimodal_decode_gif_lzw (full-LZW GIF decode),
+#: etl_dynamic_partition_overwrite, etl_versioned_vacuum,
+#: flight_read_roundtrip (live gRPC Flight endpoint read). Then keep
+#: refreshing the oldest-vintage union rows, starting with the 11 r1
+#: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,
 #: scalar_math_funcs, scalar_regexp_funcs, scalar_string_funcs,
 #: topk_orders, window_first_last_value, window_percent_rank — then the

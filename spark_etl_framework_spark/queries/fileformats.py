@@ -404,3 +404,59 @@ def stream_tar_autoload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(qname)
+
+
+#: session-scoped in-process Flight servers, keyed by sf_dir — the
+#: server (and the grpc port it owns) lives for the process, like a real
+#: endpoint would; queries only connect
+_FLIGHT_SRV: dict[str, object] = {}
+
+
+def _flight_server_for(sf_dir: str):
+    if sf_dir not in _FLIGHT_SRV:
+        import pyarrow.parquet as pq
+
+        from ..sources.flight_server import InMemoryFlightServer
+
+        srv = InMemoryFlightServer()
+        # nation is 25 rows at every SF; TWO endpoints so the query's
+        # scan provably parallelizes across flight endpoints
+        srv.serve("nation", pq.read_table(f"{sf_dir}/nation.parquet"), endpoints=2)
+        _FLIGHT_SRV[sf_dir] = srv
+    return _FLIGHT_SRV[sf_dir]
+
+
+@register(
+    "flight_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def flight_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow Flight read against a REAL gRPC endpoint — no jar, no gate:
+    an in-process Flight server (sources/flight_server.py) serves the
+    nation table over grpc://127.0.0.1 split into two endpoints, and the
+    FlightReader actor resolves it through one GetFlightInfo (schema +
+    endpoint list) into a two-partition scan whose tasks each stream
+    their own DoGet (sources/flight.py). The rows must equal the source
+    parquet byte for byte. The reference reaches Flight through the
+    external spark-flight-connector jar
+    (etl/source/FlightReader.scala:10,18-26); this is the same contract
+    with pyarrow as the client, which is why the endpoint→partition
+    mapping — the connector's entire scale story — is pinned by
+    tests/test_flight_connector.py."""
+    from ..plans.context import JobContext, PipelineContext
+    from ..sources.optional import FlightReader
+
+    srv = _flight_server_for(sf_dir)
+    jctx = JobContext(PipelineContext(), spark)
+    r = FlightReader(host="127.0.0.1", port=srv.port, table="nation")
+    df = r.run(jctx, spark)
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )

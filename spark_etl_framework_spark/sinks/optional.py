@@ -111,6 +111,13 @@ class RedisWriter(Actor):
 
 
 class FlightWriter(Actor):
+    """Arrow Flight write — a REAL connector (sources/flight.py): one
+    DoPut stream per task, so the sink parallelism is the DataFrame's
+    partitioning (reference: etl/sink/FlightWriter.scala via the
+    external jar). Only append: replacement semantics belong to the
+    server, and the Python DataSource writer rejects overwrite with a
+    clear error."""
+
     host: str | None = None
     port: int | None = None
     table: str | None = None
@@ -122,15 +129,21 @@ class FlightWriter(Actor):
             raise ValueError("FlightWriter: host/table/view required")
         df = spark.table(self.view)
         ctx.reference(self.view)
-        try:
-            (
-                df.write.format("flight")
-                .option("host", self.host)
-                .option("port", str(self.port or 32010))
-                .option("table", self.table)
-                .mode(self.mode)
-                .save()
+        from ..sources.flight import register_flight_source
+
+        register_flight_source(spark)
+        w = (
+            df.write.format("flight")
+            .option("host", self.host)
+            .option("port", str(self.port or 32010))
+            .option("table", self.table)
+        )
+        if getattr(self, "user", None) is not None:
+            w = w.option("user", self.user).option(
+                "password", getattr(self, "password", "") or ""
             )
+        try:
+            w.mode(self.mode).save()
         except Exception as e:  # noqa: BLE001
             raise _unavailable("flight", e) from e
         return None

@@ -2,11 +2,15 @@
 
 The reference treats these as jar-gated optional connectors
 (reference: etl/source/{HBaseReader,MongoReader,RedisReader,FlightReader}.
-scala; Flight explicitly optional per PipelineTest.scala:79-98). No pip-native
-Spark connector exists for them in this environment, so these actors own the
-full option surface + semantics contract and raise a single clear
-"unavailable" error from run() when the underlying format is missing. A
-cluster with the proper package installed gets working actors unchanged.
+scala; Flight explicitly optional per PipelineTest.scala:79-98). For
+HBase/Mongo/Redis no pip-native Spark connector exists in this
+environment, so those actors own the full option surface + semantics
+contract and raise a single clear "unavailable" error from run() when the
+underlying format is missing; a cluster with the proper package installed
+gets working actors unchanged. Arrow Flight is NOT gated: pyarrow.flight
+ships in the base environment, so FlightReader is a real distributed
+client (sources/flight.py) exercised end-to-end against a live gRPC
+server in tests and under the oracle gate (flight_read_roundtrip).
 """
 
 from __future__ import annotations
@@ -120,8 +124,13 @@ class RedisReader(Actor):
 
 
 class FlightReader(Actor):
-    """Arrow Flight endpoint read (reference: etl/source/FlightReader.scala:
-    10,18-26 via the external spark-flight-connector)."""
+    """Arrow Flight endpoint read — a REAL connector, not a gate
+    (reference: etl/source/FlightReader.scala:10,18-26, which needs the
+    external spark-flight-connector jar; here the client is
+    pyarrow.flight behind a Python DataSource, sources/flight.py). One
+    driver-side GetFlightInfo resolves schema + endpoints; each endpoint
+    becomes a scan partition whose task streams its own DoGet — the
+    server's sharding IS the scan parallelism."""
 
     host: str | None = None
     port: int | None = None
@@ -132,13 +141,18 @@ class FlightReader(Actor):
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.host or not self.table:
             raise ValueError("FlightReader: host/table required")
+        from .flight import register_flight_source
+
+        register_flight_source(spark)
+        r = (
+            spark.read.format("flight")
+            .option("host", self.host)
+            .option("port", str(self.port or 32010))
+            .option("table", self.table)
+        )
+        if self.user is not None:
+            r = r.option("user", self.user).option("password", self.password or "")
         try:
-            return (
-                spark.read.format("flight")
-                .option("host", self.host)
-                .option("port", str(self.port or 32010))
-                .option("table", self.table)
-                .load()
-            )
+            return r.load()
         except Exception as e:  # noqa: BLE001
             raise _unavailable("flight", e) from e

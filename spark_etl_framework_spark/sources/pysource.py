@@ -518,6 +518,38 @@ class TarStreamReader(DataSourceStreamReader):
                 yield (partition.path, m.name, m.size, f.read() if f else b"")
 
 
+def register_python_source(spark, cls) -> None:
+    """Register one Python data source on ``spark``, robust to Spark
+    4.1's split registries: ``newSession()`` SHARES the duplicate-check
+    registry with its parent but NOT the lookup registry, so on a child
+    session the public ``spark.dataSource.register`` raises
+    DATA_SOURCE_ALREADY_EXISTS while ``format(name)`` still fails with
+    DATA_SOURCE_NOT_FOUND (observed with the pipeline runner's per-job
+    sessions: the read half of a flight roundtrip resolved, the write
+    half did not). When the public route trips the duplicate check,
+    register straight into THIS session's ``DataSourceManager`` — the
+    registry lookup actually consults."""
+    name = cls.name()
+    try:
+        spark.dataSource.register(cls)
+        return
+    except Exception as e:  # noqa: BLE001
+        if "ALREADY_EXISTS" not in str(e):
+            raise
+    mgr = spark._jsparkSession.sessionState().dataSourceManager()
+    if mgr.dataSourceExists(name):
+        return
+    from pyspark.sql.udf import _wrap_function
+
+    sc = spark.sparkContext
+    wrapped = _wrap_function(sc, cls)
+    ds = getattr(
+        sc._jvm,
+        "org.apache.spark.sql.execution.datasources.v2.python.UserDefinedPythonDataSource",
+    )(wrapped)
+    mgr.registerDataSource(name, ds)
+
+
 def register_python_sources(spark) -> None:
     """Register all custom Python data sources on ``spark`` (idempotent).
 
@@ -526,5 +558,5 @@ def register_python_sources(spark) -> None:
     without it — runtime-settable, so pinned here where the sources are
     registered)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(TarDataSource)
-    spark.dataSource.register(DocFeedDataSource)
+    register_python_source(spark, TarDataSource)
+    register_python_source(spark, DocFeedDataSource)
