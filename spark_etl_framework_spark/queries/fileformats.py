@@ -460,3 +460,59 @@ def flight_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
+
+
+#: session-scoped in-process Redis servers, keyed by sf_dir — loaded once
+#: with the nation table via the writer's own wire path
+_REDIS_SRV: dict[str, object] = {}
+
+
+@register(
+    "redis_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def redis_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redis hash-table roundtrip over a REAL RESP2 socket — no jar, no
+    gate: the RedisWriter actor stores nation as ``nation:<key>`` hashes
+    on an in-process MiniRedisServer (per-partition pipelined HSETs,
+    sources/resp.py), and the RedisReader actor reads it back — driver
+    SCAN for the key list, executor tasks pipelining HGETALLs over their
+    own connections, DDL casts from the wire strings. The rows must
+    equal the source parquet. The reference reaches Redis through
+    spark-redis (etl/source/RedisReader.scala:14,49-66); this is the
+    same HASH table model with the wire protocol implemented directly,
+    preferred-jar/fallback order preserved for clusters that ship the
+    package."""
+    from ..plans.context import JobContext, PipelineContext
+    from ..sinks.optional import RedisWriter
+    from ..sources.optional import RedisReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    if sf_dir not in _REDIS_SRV:
+        from ..sources.resp import MiniRedisServer
+
+        srv = MiniRedisServer()
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).createOrReplaceTempView("_redis_rt_nation")
+        RedisWriter(
+            host="127.0.0.1",
+            port=srv.port,
+            table="nation",
+            view="_redis_rt_nation",
+            keyColumn="n_nationkey",
+        ).run(jctx, spark)
+        _REDIS_SRV[sf_dir] = srv
+    srv = _REDIS_SRV[sf_dir]
+    return RedisReader(
+        host="127.0.0.1",
+        port=srv.port,
+        table="nation",
+        ddlSchemaString="n_nationkey bigint, n_name string, n_regionkey bigint",
+        keyColumn="n_nationkey",
+    ).run(jctx, spark)

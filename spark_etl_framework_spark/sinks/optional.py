@@ -81,6 +81,13 @@ class MongoWriter(Actor):
 
 
 class RedisWriter(Actor):
+    """Redis hash-table write — a REAL connector (reference:
+    etl/sink/RedisWriter.scala via the spark-redis jar). Prefers the jar;
+    without it, the RESP2 fallback (sources/resp.py:write_hashes) opens
+    one connection per partition and pipelines HSETs in batches;
+    ``keyColumn`` names the id column (spark-redis ``key.column``),
+    overwrite clears the table's keys driver-side before any task runs."""
+
     host: str | None = None
     port: int | None = None
     dbNum: int | None = None
@@ -88,10 +95,13 @@ class RedisWriter(Actor):
     table: str | None = None
     mode: str = "append"
     view: str | None = None
+    keyColumn: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.host or not self.table or not self.view:
             raise ValueError("RedisWriter: host/table/view required")
+        if self.mode not in ("append", "overwrite"):
+            raise ValueError(f"RedisWriter: mode must be append|overwrite, got {self.mode!r}")
         df = spark.table(self.view)
         ctx.reference(self.view)
         try:
@@ -104,7 +114,28 @@ class RedisWriter(Actor):
             )
             if self.auth:
                 writer = writer.option("auth", self.auth)
+            if self.keyColumn:
+                writer = writer.option("key.column", self.keyColumn)
             writer.save()
+            return None
+        except Exception as jar_err:  # noqa: BLE001
+            if "DATA_SOURCE_NOT_FOUND" not in str(jar_err) and (
+                "ClassNotFound" not in str(jar_err)
+            ):
+                raise _unavailable("redis", jar_err) from jar_err
+        from ..sources.resp import write_hashes
+
+        try:
+            write_hashes(
+                df,
+                self.host,
+                int(self.port or 6379),
+                self.table,
+                db=int(self.dbNum or 0),
+                auth=self.auth,
+                key_column=self.keyColumn,
+                overwrite=self.mode == "overwrite",
+            )
         except Exception as e:  # noqa: BLE001
             raise _unavailable("redis", e) from e
         return None

@@ -92,8 +92,15 @@ class MongoReader(Actor):
 
 
 class RedisReader(Actor):
-    """Load via spark-redis with optional DDL schema
-    (reference: etl/source/RedisReader.scala:14,49-66)."""
+    """Redis hash-table read — a REAL connector (reference:
+    etl/source/RedisReader.scala:14,49-66 via the spark-redis jar).
+    Prefers the jar when a cluster ships it; without it, falls back to
+    the engine's own RESP2 wire client (sources/resp.py): one driver-side
+    cursor-paged SCAN lists ``<table>:*`` keys, the key list fans out
+    across tasks, and each task pipelines HGETALLs over its own
+    connection — the spark-redis partitioning story with the
+    executor-side fetch made explicit. ``keyColumn`` surfaces the key
+    suffix as a column (spark-redis ``key.column``)."""
 
     host: str | None = None
     port: int | None = None
@@ -101,6 +108,7 @@ class RedisReader(Actor):
     auth: str | None = None
     table: str | None = None
     ddlSchemaString: str | None = None
+    keyColumn: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.host or not self.table:
@@ -116,9 +124,29 @@ class RedisReader(Actor):
                 reader = reader.option("dbNum", str(self.dbNum))
             if self.auth:
                 reader = reader.option("auth", self.auth)
+            if self.keyColumn:
+                reader = reader.option("key.column", self.keyColumn)
             if self.ddlSchemaString:
                 reader = reader.schema(T.StructType.fromDDL(self.ddlSchemaString))
             return reader.load()
+        except Exception as jar_err:  # noqa: BLE001
+            if "DATA_SOURCE_NOT_FOUND" not in str(jar_err) and (
+                "ClassNotFound" not in str(jar_err)
+            ):
+                raise _unavailable("redis", jar_err) from jar_err
+        from .resp import read_hashes
+
+        try:
+            return read_hashes(
+                spark,
+                self.host,
+                int(self.port or 6379),
+                self.table,
+                db=int(self.dbNum or 0),
+                auth=self.auth,
+                ddl=self.ddlSchemaString,
+                key_column=self.keyColumn,
+            )
         except Exception as e:  # noqa: BLE001
             raise _unavailable("redis", e) from e
 
