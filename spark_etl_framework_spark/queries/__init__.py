@@ -152,7 +152,9 @@ def _load_all() -> None:
 #: after the window was frozen, so they are the only never-driver-
 #: verified rows left): multimodal_decode_gif_lzw (full-LZW GIF decode),
 #: etl_dynamic_partition_overwrite, etl_versioned_vacuum,
-#: flight_read_roundtrip (live gRPC Flight endpoint read). Then keep
+#: flight_read_roundtrip (live gRPC Flight endpoint read),
+#: redis_read_roundtrip and stream_redis_xadd_roundtrip (live RESP2
+#: hash-table read + Redis-Streams micro-batch consumption). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

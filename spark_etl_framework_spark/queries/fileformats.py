@@ -516,3 +516,76 @@ def redis_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ddlSchemaString="n_nationkey bigint, n_name string, n_regionkey bigint",
         keyColumn="n_nationkey",
     ).run(jctx, spark)
+
+
+#: session-scoped Redis-Streams servers preloaded with one XADD per
+#: document, keyed by sf_dir
+_REDIS_STREAM_SRV: dict[str, object] = {}
+
+
+@register(
+    "stream_redis_xadd_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def stream_redis_xadd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over a REAL Redis Stream: every document is
+    XADDed once to a live RESP server (pipelined, driver-side ingest
+    simulation), then the RedisStreamReader actor consumes the stream —
+    per-stream last-id offsets, (start, end] XRANGE micro-batches, typed
+    casts — into a memory sink until exhausted. The delivered rows must
+    equal the documents table. This is the jar-free half of spark-redis'
+    stream source (reference: etl/source/RedisStreamReader.scala:
+    15,61-86) under the oracle gate; offset monotonicity and
+    exactly-once re-delivery are pinned by tests/test_redis_connector.py."""
+    import uuid as _uuid
+
+    from ..plans.context import JobContext, PipelineContext
+    from ..streaming.readers import RedisStreamReader
+
+    if sf_dir not in _REDIS_STREAM_SRV:
+        from ..sources.resp import MiniRedisServer, RespClient
+
+        srv = MiniRedisServer()
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("m"))
+            .collect()
+        )
+        c = RespClient("127.0.0.1", srv.port)
+        try:
+            batch = [
+                ("XADD", "docs", "*", "doc_id", str(r["doc_id"]), "lang",
+                 r["lang"], "content_md5", r["m"])
+                for r in docs
+            ]
+            for i in range(0, len(batch), 500):
+                c.pipeline(batch[i : i + 500])
+        finally:
+            c.close()
+        _REDIS_STREAM_SRV[sf_dir] = srv
+    srv = _REDIS_STREAM_SRV[sf_dir]
+    jctx = JobContext(PipelineContext(), spark)
+    sdf = RedisStreamReader(
+        host="127.0.0.1",
+        port=srv.port,
+        streamKey="docs",
+        ddlSchemaString="doc_id bigint, lang string, content_md5 string",
+    ).run(jctx, spark)
+    qname = f"redis_xadd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.select("doc_id", "lang", "content_md5")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

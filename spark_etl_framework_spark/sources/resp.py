@@ -140,6 +140,8 @@ class MiniRedisServer:
 
     def __init__(self, requirepass: str | None = None):
         self._dbs: list[dict[str, dict[str, str]]] = [dict() for _ in range(16)]
+        #: Redis Streams: (db, key) -> append-only [(entry_id, fields)]
+        self._streams: dict[tuple, list] = {}
         self._lock = threading.Lock()
         self._pass = requirepass
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -218,6 +220,50 @@ class MiniRedisServer:
                 return f":{n}\r\n".encode()
             if cmd == "KEYS":
                 return _multi(sorted(k for k in store if _match(rest[0], k)))
+            if cmd == "XADD":
+                key, eid, fv = rest[0], rest[1], rest[2:]
+                entries = self._streams.setdefault((dbref(), key), [])
+                if eid == "*":
+                    last = int(entries[-1][0].split("-")[0]) if entries else 0
+                    eid = f"{last + 1}-0"
+                entries.append((eid, dict(zip(fv[::2], fv[1::2]))))
+                return _bulk(eid)
+            if cmd == "XLEN":
+                return f":{len(self._streams.get((dbref(), rest[0]), []))}\r\n".encode()
+            if cmd in ("XRANGE", "XREVRANGE"):
+                key = rest[0]
+                lo, hi = (rest[1], rest[2]) if cmd == "XRANGE" else (rest[2], rest[1])
+                count = None
+                for i in range(3, len(rest) - 1):
+                    if rest[i].upper() == "COUNT":
+                        count = int(rest[i + 1])
+                entries = self._streams.get((dbref(), key), [])
+
+                def _pid(s, default):
+                    if s in ("-", "+"):
+                        return default
+                    s = s.lstrip("(")
+                    ms, _, seq = s.partition("-")
+                    return (int(ms), int(seq or 0))
+
+                lo_x = lo.startswith("(")
+                lo_t = _pid(lo, (0, 0))
+                hi_t = _pid(hi, (1 << 62, 1 << 62))
+                sel = [
+                    (eid, fields)
+                    for eid, fields in entries
+                    if (lo_t < _pid(eid, None) if lo_x else lo_t <= _pid(eid, None))
+                    and _pid(eid, None) <= hi_t
+                ]
+                if cmd == "XREVRANGE":
+                    sel = sel[::-1]
+                if count is not None:
+                    sel = sel[:count]
+                parts = []
+                for eid, fields in sel:
+                    flat = _multi([x for kv in fields.items() for x in kv])
+                    parts.append(b"*2\r\n" + _bulk(eid) + flat)
+                return f"*{len(sel)}\r\n".encode() + b"".join(parts)
             if cmd == "SCAN":
                 cursor = int(rest[0])
                 pattern = "*"
@@ -402,3 +448,118 @@ def write_hashes(
             client.close()
 
     df.foreachPartition(write_partition)
+
+
+# ---------------------------------------------------------------------------
+# Redis Streams as a Spark streaming source
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _StreamPartition(InputPartition):
+    def __init__(self, stream: str, lo: str, hi: str):
+        self.stream = stream
+        self.lo = lo
+        self.hi = hi
+
+
+class RedisStreamSourceReader(DataSourceStreamReader):
+    """Micro-batch reader over Redis Streams — the XADD log IS a
+    Kafka-shaped offset space: offsets are per-stream last-delivered
+    entry ids, a batch is the (start, end] XRANGE of each stream, and
+    one task per stream key preserves per-stream order while
+    parallelizing across keys (exactly spark-redis' stream model,
+    reference: etl/source/RedisStreamReader.scala:15,61-86)."""
+
+    def __init__(self, options):
+        host = options.get("host")
+        keys = options.get("streamkeys") or options.get("streamKeys")
+        if not host or not keys:
+            raise ValueError("redis stream source requires host and streamKeys")
+        self._host = host
+        self._port = int(options.get("port", "6379"))
+        self._db = int(options.get("dbnum", options.get("dbNum", "0")))
+        self._auth = options.get("auth")
+        self._streams = [k.strip() for k in keys.split(",") if k.strip()]
+        self._fields = [
+            f.strip() for f in (options.get("fields") or "").split(",") if f.strip()
+        ]
+        if not self._fields:
+            raise ValueError("redis stream source requires a fields option")
+
+    def initialOffset(self):
+        return {"ids": {s: "0-0" for s in self._streams}}
+
+    def latestOffset(self):
+        c = RespClient(self._host, self._port, self._db, self._auth)
+        try:
+            out = {}
+            for s in self._streams:
+                last = c.command("XREVRANGE", s, "+", "-", "COUNT", 1)
+                out[s] = last[0][0] if last else "0-0"
+            return {"ids": out}
+        finally:
+            c.close()
+
+    def partitions(self, start, end):
+        parts = []
+        for s in self._streams:
+            lo = start["ids"].get(s, "0-0")
+            hi = end["ids"].get(s, "0-0")
+            if lo != hi:
+                parts.append(_StreamPartition(s, lo, hi))
+        return parts
+
+    def read(self, partition):
+        c = RespClient(self._host, self._port, self._db, self._auth)
+        try:
+            entries = c.command(
+                "XRANGE", partition.stream, f"({partition.lo}", partition.hi
+            )
+            for eid, flat in entries:
+                d = dict(zip(flat[::2], flat[1::2]))
+                yield (
+                    partition.stream,
+                    eid,
+                    *[d.get(f) for f in self._fields],
+                )
+        finally:
+            c.close()
+
+    def commit(self, end) -> None:
+        return None
+
+
+class RedisStreamDataSource(DataSource):
+    """``spark.readStream.format("redisstream")`` — options: host, port,
+    dbNum, auth, streamKeys (comma-separated), fields (comma-separated
+    hash field names; every field arrives as a string column, cast
+    downstream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "redisstream"
+
+    def schema(self) -> str:
+        fields = [
+            f.strip()
+            for f in (self.options.get("fields") or "").split(",")
+            if f.strip()
+        ]
+        cols = ", ".join(f"`{f}` string" for f in fields)
+        return f"__stream string, __entry_id string{', ' + cols if cols else ''}"
+
+    def streamReader(self, schema) -> RedisStreamSourceReader:
+        return RedisStreamSourceReader(self.options)
+
+
+def register_redis_stream_source(spark) -> None:
+    from .pysource import register_python_source
+
+    register_python_source(spark, RedisStreamDataSource)

@@ -122,11 +122,20 @@ class IcebergStreamReader(_StreamDecorators):
 
 
 class RedisStreamReader(_StreamDecorators):
-    """``readStream`` a redis stream with DDL schema (reference: etl/source/
-    RedisStreamReader.scala:15,61-86)."""
+    """``readStream`` a redis stream with DDL schema — a REAL streaming
+    source (reference: etl/source/RedisStreamReader.scala:15,61-86 via
+    spark-redis; the jar stays preferred). Without the jar, the engine's
+    own Redis-Streams micro-batch source takes over
+    (sources/resp.py:RedisStreamSourceReader): offsets are per-stream
+    last-delivered XADD ids, each batch XRANGEs the (start, end] slice,
+    one task per stream key — Kafka's partitioned-log model on the RESP
+    wire. The DDL schema names and types the hash fields; wire strings
+    cast to the declared types."""
 
     host: str | None = None
     port: int | None = None
+    dbNum: int | None = None
+    auth: str | None = None
     streamKey: str | None = None
     ddlSchemaString: str | None = None
 
@@ -143,6 +152,39 @@ class RedisStreamReader(_StreamDecorators):
                 .option("stream.keys", self.streamKey)
                 .schema(T.StructType.fromDDL(self.ddlSchemaString))
                 .load()
+            )
+            return self.decorate(df)
+        except Exception as jar_err:  # noqa: BLE001
+            if "DATA_SOURCE_NOT_FOUND" not in str(jar_err) and (
+                "ClassNotFound" not in str(jar_err)
+            ):
+                raise _unavailable("redis", jar_err) from jar_err
+        from pyspark.sql import functions as F
+
+        from ..sources.resp import register_redis_stream_source
+
+        register_redis_stream_source(spark)
+        schema = T.StructType.fromDDL(self.ddlSchemaString)
+        try:
+            reader = (
+                spark.readStream.format("redisstream")
+                .option("host", self.host)
+                .option("port", str(self.port or 6379))
+                .option("streamKeys", self.streamKey)
+                .option("fields", ",".join(f.name for f in schema.fields))
+            )
+            if self.dbNum is not None:
+                reader = reader.option("dbNum", str(self.dbNum))
+            if self.auth:
+                reader = reader.option("auth", self.auth)
+            raw = reader.load()
+            df = raw.select(
+                "__stream",
+                "__entry_id",
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ],
             )
             return self.decorate(df)
         except Exception as e:  # noqa: BLE001
