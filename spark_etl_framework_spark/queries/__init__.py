@@ -154,7 +154,10 @@ def _load_all() -> None:
 #: etl_dynamic_partition_overwrite, etl_versioned_vacuum,
 #: flight_read_roundtrip (live gRPC Flight endpoint read),
 #: redis_read_roundtrip and stream_redis_xadd_roundtrip (live RESP2
-#: hash-table read + Redis-Streams micro-batch consumption). Then keep
+#: hash-table read + Redis-Streams micro-batch consumption),
+#: delta_write_read_roundtrip / delta_time_travel / stream_delta_autoload
+#: (the pure-Python _delta_log protocol un-gating the Delta actors).
+#: Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

@@ -589,3 +589,157 @@ def stream_redis_xadd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@register(
+    "delta_write_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*)                    AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def delta_write_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table roundtrip through the REAL ``_delta_log`` protocol —
+    no jar, no gate: the DeltaWriter actor commits nation partitioned by
+    region (v0 overwrite), then appends a slice (v1), and the DeltaReader
+    actor replays the log — JSON action commits, add-file reconciliation,
+    partition values rebuilt from partitionValues in the log, the file
+    map broadcast onto input_file_name() so the fact scan never shuffles
+    (sources/deltalog.py). The reference reaches Delta through delta-spark
+    (etl/source/DeltaReader.scala:10,18-27, etl/sink/DeltaWriter.scala:
+    44-47); the jar stays preferred when a cluster ships it."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_rt_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(1).createOrReplaceTempView("_delta_rt_full")
+    na.filter("n_nationkey < 10").coalesce(1).createOrReplaceTempView(
+        "_delta_rt_slice"
+    )
+    DeltaWriter(
+        view="_delta_rt_full", path=tbl, mode="overwrite", partitionBy="n_regionkey"
+    ).run(jctx, spark)
+    DeltaWriter(
+        view="_delta_rt_slice", path=tbl, mode="append", partitionBy="n_regionkey"
+    ).run(jctx, spark)
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
+    "delta_time_travel",
+    oracle="""
+    SELECT 0 AS version,
+           COUNT(*) AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 1 AS version,
+           COUNT(*) AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation WHERE n_regionkey <> 2
+    """,
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """versionAsOf time travel on the pure-Python delta log: v0 holds all
+    of nation, v1 overwrites it dropping region 2; reading both versions
+    through the DeltaReader actor's options.versionAsOf must reproduce
+    the pre- and post-overwrite states exactly — the overwrite's remove
+    tombstones are what make v1 smaller, and replaying only to v0 must
+    resurrect the removed files (reference time-travel option surface:
+    etl/source/DeltaReader.scala:18-27)."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_tt_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(1).createOrReplaceTempView("_delta_tt_v0")
+    na.filter("n_regionkey <> 2").coalesce(1).createOrReplaceTempView("_delta_tt_v1")
+    DeltaWriter(view="_delta_tt_v0", path=tbl, mode="overwrite").run(jctx, spark)
+    DeltaWriter(view="_delta_tt_v1", path=tbl, mode="overwrite").run(jctx, spark)
+
+    outs = []
+    for v in (0, 1):
+        r = DeltaReader(path=tbl)
+        r._props["options.versionAsOf"] = str(v)
+        outs.append(
+            r.run(jctx, spark).select(
+                F.lit(v).alias("version"),
+                F.col("n_nationkey").cast("bigint").alias("k"),
+            )
+        )
+    both = outs[0].unionByName(outs[1])
+    return both.groupBy("version").agg(
+        F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+    )
+
+
+@register(
+    "stream_delta_autoload",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def stream_delta_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming delta source over the log-version offset space — no jar,
+    no gate: nation lands in a delta table as two commits (regions < 2,
+    then the rest), and the DeltaStreamReader actor consumes BOTH
+    versions' dataChange add-files as micro-batches (one task per file)
+    into a memory sink; the union of batches must equal the source table
+    (reference: etl/source/DeltaStreamReader.scala:14,41-57 — delta-spark's
+    source uses exactly this version-offset model)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sinks.connectors import DeltaWriter
+    from ..streaming.readers import DeltaStreamReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_al_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.filter("n_regionkey < 2").coalesce(1).createOrReplaceTempView("_delta_al_a")
+    na.filter("n_regionkey >= 2").coalesce(1).createOrReplaceTempView("_delta_al_b")
+    DeltaWriter(view="_delta_al_a", path=tbl, mode="append").run(jctx, spark)
+    DeltaWriter(view="_delta_al_b", path=tbl, mode="append").run(jctx, spark)
+
+    sdf = DeltaStreamReader(path=tbl).run(jctx, spark)
+    qname = f"delta_autoload_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(F.count("*").alias("n_rows"))

@@ -90,6 +90,21 @@ class DeltaWriter(Actor):
             else:
                 df.write.format("delta").insertInto(self.table)
         except Exception as e:  # noqa: BLE001
+            # jar absent: path writes commit through the pure-Python
+            # _delta_log protocol writer (sources/deltalog.py) — real
+            # add/remove actions, optimistic-concurrency publish,
+            # checkpoints. bucketBy has no delta-protocol encoding, and
+            # catalog tables need the jar's catalog plugin.
+            if self.path and not (self.bucketBy_numBuckets and self.bucketBy_columns):
+                from ..sources.deltalog import write_delta
+
+                write_delta(
+                    df,
+                    self.path,
+                    mode=self.mode,
+                    partition_by=cols or None,
+                )
+                return None
             raise _unavailable("delta", e) from e
         return None
 

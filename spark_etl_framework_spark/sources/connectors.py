@@ -121,7 +121,16 @@ class KafkaReader(Actor):
 
 class DeltaReader(Actor):
     """Read delta by table or path with time-travel options
-    (reference: etl/source/DeltaReader.scala:10,18-27)."""
+    (reference: etl/source/DeltaReader.scala:10,18-27).
+
+    The delta jar stays preferred when present; without it (this
+    sandbox), path-based reads — including versionAsOf / timestampAsOf —
+    go through the engine's own pure-Python transaction-log reader
+    (sources/deltalog.py), which replays the REAL ``_delta_log``
+    protocol: checkpoint + JSON commits, add/remove reconciliation,
+    partition values rebuilt from the log. Catalog-table reads still
+    need the jar (there is no delta catalog to resolve against) and say
+    so."""
 
     table: str | None = None
     path: str | None = None
@@ -136,6 +145,16 @@ class DeltaReader(Actor):
             reader = spark.read.format("delta").options(**opts)
             return reader.table(self.table) if self.table else reader.load(self.path)
         except Exception as e:  # noqa: BLE001
+            if self.path:
+                from .deltalog import read_delta
+
+                v = opts.get("versionAsOf")
+                return read_delta(
+                    spark,
+                    self.path,
+                    version_as_of=int(v) if v is not None else None,
+                    timestamp_as_of=opts.get("timestampAsOf"),
+                )
             raise _unavailable("delta", e) from e
 
 

@@ -1,0 +1,740 @@
+"""Pure-Python Delta Lake transaction log — the REAL on-disk protocol.
+
+The reference reaches Delta through delta-spark
+(etl/source/DeltaReader.scala:10,18-27, etl/sink/DeltaWriter.scala:44-47,
+etl/source/DeltaStreamReader.scala:14,41-57); this sandbox ships no delta
+jar, so until round 7 those actors were availability-gated. The Delta
+transaction log itself, however, is a fully PUBLIC specification
+(delta.io PROTOCOL.md): a ``_delta_log/`` directory of numbered JSON
+commit files (one action per line: ``protocol`` / ``metaData`` / ``add``
+/ ``remove`` / ``txn`` / ``commitInfo``), periodically compacted into a
+parquet checkpoint referenced by ``_last_checkpoint``. Nothing in it
+needs the jar — JSON + parquet + an atomic file create. This module
+implements that spec directly:
+
+- :func:`write_delta` — stage parquet with Spark's own writer, move the
+  data files under the table root, publish one atomic commit (``os.link``
+  gives exclusive create, so two concurrent writers of the same version
+  conflict loudly — Delta's optimistic concurrency). ``append`` and
+  ``overwrite`` modes, hive-style ``partitionBy`` layout, ``txn``
+  actions for exactly-once streaming sinks, a parquet checkpoint +
+  ``_last_checkpoint`` every ``CHECKPOINT_INTERVAL`` commits.
+- :func:`read_delta` — snapshot reconstruction: newest checkpoint at or
+  below the requested version, JSON replay after it, add/remove
+  reconciliation keyed by path, last ``metaData`` wins. Time travel by
+  ``version_as_of`` / ``timestamp_as_of`` (commitInfo timestamps).
+  Partition columns are NOT in the data files (spec) — they come back by
+  broadcast-joining the file→partitionValues map onto
+  ``input_file_name()``, so any layout works, hive-style or not, and the
+  fact scan never shuffles.
+- :class:`DeltaLogStreamReader` — a micro-batch streaming source whose
+  offset space is the log version (exactly how delta-spark's source
+  works): each batch reads the ``dataChange`` add-files of the version
+  slice ``(start, end]``, one task per file.
+
+Scale note: the driver holds the action log and the live-file list —
+the same driver-side metadata Delta itself replays — while all data I/O
+stays distributed. Checkpoints bound replay cost at O(files since last
+checkpoint), not O(history).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG = "_delta_log"
+CHECKPOINT_INTERVAL = 10
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: RFC-3986 pchar set — matches how delta-spark URI-encodes add paths:
+#: ``=`` in hive dirs stays literal, spaces/non-ASCII get %-escaped
+_PATH_SAFE = "/=:@!$&'()*+,;~-._"
+
+
+def _quote_path(p: str) -> str:
+    return quote(p, safe=_PATH_SAFE)
+
+
+class DeltaConcurrentModification(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+# ---------------------------------------------------------------------------
+# snapshot model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AddFile:
+    path: str  # RELATIVE, url-encoded per spec (we keep it decoded in memory)
+    partition_values: dict
+    size: int
+    modification_time: int
+    stats: str | None = None
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    files: list[AddFile] = field(default_factory=list)
+    txns: dict[str, int] = field(default_factory=dict)
+    metadata_id: str = ""
+
+    @property
+    def data_schema(self) -> T.StructType:
+        return T.StructType(
+            [f for f in self.schema.fields if f.name not in self.partition_columns]
+        )
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _commit_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version, -1 if the table does not exist."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return -1
+    best = -1
+    for name in os.listdir(d):
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                best = max(best, int(name[:20]))
+            except ValueError:
+                continue
+    return best
+
+
+def _read_last_checkpoint(path: str) -> int | None:
+    p = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, encoding="utf-8") as fh:
+            return int(json.load(fh)["version"])
+    except (ValueError, KeyError, OSError):
+        return None
+
+
+def _commit_timestamp(path: str, version: int) -> int:
+    """Commit time in epoch-ms: commitInfo.timestamp, else file mtime."""
+    p = _commit_path(path, version)
+    try:
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    ts = act["commitInfo"].get("timestamp")
+                    if ts is not None:
+                        return int(ts)
+    except OSError:
+        pass
+    return int(os.path.getmtime(p) * 1000)
+
+
+def _apply_action(snap: Snapshot, act: dict, adds: dict) -> None:
+    if "add" in act:
+        a = act["add"]
+        pv = a.get("partitionValues") or {}
+        if not isinstance(pv, dict):  # checkpoint map columns -> kv tuples
+            pv = dict(pv)
+        adds[unquote(a["path"])] = AddFile(
+            path=unquote(a["path"]),
+            partition_values=pv,
+            size=int(a.get("size", 0)),
+            modification_time=int(a.get("modificationTime", 0)),
+            stats=a.get("stats"),
+        )
+    elif "remove" in act:
+        adds.pop(unquote(act["remove"]["path"]), None)
+    elif "metaData" in act:
+        m = act["metaData"]
+        snap.schema = T.StructType.fromJson(json.loads(m["schemaString"]))
+        snap.partition_columns = list(m.get("partitionColumns") or [])
+        snap.metadata_id = m.get("id", "")
+    elif "txn" in act:
+        t = act["txn"]
+        prev = snap.txns.get(t["appId"], -1)
+        snap.txns[t["appId"]] = max(prev, int(t["version"]))
+
+
+def snapshot(path: str, version: int | None = None) -> Snapshot:
+    """Reconstruct table state at ``version`` (default: latest)."""
+    latest = latest_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"not a delta table (no {_LOG}): {path}")
+    if version is None:
+        version = latest
+    if version > latest or version < 0:
+        raise ValueError(
+            f"versionAsOf {version} out of range [0, {latest}] for {path}"
+        )
+
+    snap = Snapshot(version=version, schema=T.StructType([]), partition_columns=[])
+    adds: dict[str, AddFile] = {}
+    start = 0
+
+    # newest checkpoint at or below the requested version bounds the replay
+    cp = _read_last_checkpoint(path)
+    if cp is None or cp > version:
+        cp = None
+        for name in os.listdir(_log_dir(path)):
+            if name.endswith(".checkpoint.parquet"):
+                v = int(name[:20])
+                if v <= version and (cp is None or v > cp):
+                    cp = v
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(_checkpoint_path(path, cp))
+        for row in tbl.to_pylist():
+            act = {k: v for k, v in row.items() if v is not None}
+            _apply_action(snap, act, adds)
+        start = cp + 1
+
+    for v in range(start, version + 1):
+        with open(_commit_path(path, v), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(snap, json.loads(line), adds)
+
+    snap.files = sorted(adds.values(), key=lambda a: a.path)
+    return snap
+
+
+def _version_at_timestamp(path: str, ts_ms: int) -> int:
+    """Greatest version whose commit timestamp <= ts_ms (Delta's rule)."""
+    latest = latest_version(path)
+    best = None
+    for v in range(latest + 1):
+        if os.path.exists(_commit_path(path, v)) and _commit_timestamp(
+            path, v
+        ) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestampAsOf {ts_ms} is before the earliest available commit"
+        )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+def _cast_partition_literal(value: str | None, dtype: T.DataType):
+    """Partition values travel as strings in the log (spec); cast back."""
+    if value is None or value == _HIVE_NULL:
+        return None
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(value)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(value)
+    if isinstance(dtype, T.BooleanType):
+        return value.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(value)
+    if isinstance(dtype, T.DecimalType):
+        import decimal
+
+        return decimal.Decimal(value)
+    return value
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: str | int | None = None,
+) -> DataFrame:
+    """Materialize a snapshot as a DataFrame, time-travel included.
+
+    Partition columns are re-attached by broadcast-joining the
+    file→partitionValues map (driver-small, one row per live file) onto
+    ``input_file_name()`` — works for ANY data layout because the log,
+    not the directory structure, is the source of truth. The fact scan
+    stays exchange-free: the join broadcasts the file map.
+    """
+    if timestamp_as_of is not None and version_as_of is None:
+        if isinstance(timestamp_as_of, str):
+            ts = _dt.datetime.fromisoformat(timestamp_as_of)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts_ms = int(ts.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp_as_of)
+        version_as_of = _version_at_timestamp(path, ts_ms)
+
+    snap = snapshot(path, version_as_of)
+    if not snap.files:
+        return spark.createDataFrame([], snap.schema)
+
+    abs_paths = [os.path.join(path, f.path) for f in snap.files]
+    if not snap.partition_columns:
+        return spark.read.schema(snap.data_schema).parquet(*abs_paths)
+
+    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+
+    def _literals(f: AddFile) -> list:
+        return [
+            _cast_partition_literal(f.partition_values.get(c), ptypes[c])
+            for c in snap.partition_columns
+        ]
+
+    basenames = [os.path.basename(f.path) for f in snap.files]
+    if len(set(basenames)) == len(basenames):
+        # The common case (every delta writer names files with a uuid):
+        # broadcast the basename -> typed-partition-literal map onto
+        # input_file_name(), keeping the fact scan exchange-free.
+        map_schema = T.StructType(
+            [T.StructField("__file_name", T.StringType(), False)]
+            + [T.StructField(c, ptypes[c], True) for c in snap.partition_columns]
+        )
+        fmap = spark.createDataFrame(
+            [(b, *_literals(f)) for b, f in zip(basenames, snap.files)],
+            map_schema,
+        )
+        df = spark.read.schema(snap.data_schema).parquet(*abs_paths)
+        out = (
+            df.withColumn(
+                "__file_name",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(fmap), "__file_name", "left")
+            .drop("__file_name")
+        )
+    else:  # pragma: no cover - foreign tables with colliding basenames
+        # Fall back to one scan per distinct partition tuple with literal
+        # columns — layout-independent and always correct.
+        groups: dict[tuple, list[str]] = {}
+        for f, ap in zip(snap.files, abs_paths):
+            groups.setdefault(tuple(_literals(f)), []).append(ap)
+        parts = []
+        for lits, paths in groups.items():
+            g = spark.read.schema(snap.data_schema).parquet(*paths)
+            for c, v in zip(snap.partition_columns, lits):
+                g = g.withColumn(c, F.lit(v).cast(ptypes[c]))
+            parts.append(g)
+        out = parts[0]
+        for g in parts[1:]:
+            out = out.unionByName(g)
+    return out.select(*[F.col(f.name) for f in snap.schema.fields])
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+
+
+def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
+    """Atomic exclusive create of the commit file via hard link —
+    optimistic concurrency exactly as the spec requires of a filesystem
+    LogStore: two writers racing version N -> exactly one wins."""
+    d = _log_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in actions:
+            fh.write(json.dumps(act, separators=(",", ":")) + "\n")
+    final = _commit_path(path, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise DeltaConcurrentModification(
+            f"version {version} of {path} was committed concurrently"
+        ) from e
+    finally:
+        os.unlink(tmp)
+
+
+def _parse_hive_dirs(relpath: str) -> dict:
+    vals = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            vals[k] = None if v == _HIVE_NULL else unquote(v)
+    return vals
+
+
+def _file_row_count(p: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(p).metadata.num_rows
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    operation: str | None = None,
+) -> int:
+    """Commit ``df`` to the delta table at ``path``; returns the version.
+
+    Data files are staged with Spark's own distributed parquet writer
+    (hive-style partition dirs when ``partition_by``), moved under the
+    table root with fresh uuid names, and described by ``add`` actions
+    carrying partitionValues + numRecords stats. ``overwrite`` also
+    emits ``remove`` tombstones for every previously-live file. A
+    ``txn`` (appId, version) action makes replays idempotent — the
+    streaming sink's exactly-once contract.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_delta: unsupported mode {mode!r}")
+    spark = df.sparkSession
+    prev = latest_version(path)
+    partition_by = list(partition_by or [])
+    if prev >= 0:
+        snap = snapshot(path)
+        if snap.partition_columns != partition_by:
+            raise ValueError(
+                f"partition columns {partition_by} != table's "
+                f"{snap.partition_columns}"
+            )
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return prev  # replayed batch — already committed, idempotent
+    else:
+        snap = None
+
+    staging = tempfile.mkdtemp(prefix="deltastage_")
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                n_rows = _file_row_count(src)
+                shutil.move(src, dst)
+                pvals = _parse_hive_dirs(rel) if partition_by else {}
+                adds.append(
+                    {
+                        "add": {
+                            "path": _quote_path(rel),
+                            "partitionValues": {
+                                c: pvals.get(c) for c in partition_by
+                            },
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": n_rows}),
+                        }
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    version = prev + 1
+    op = operation or ("WRITE" if mode == "append" else "OVERWRITE")
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": op,
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    if prev < 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
+    if mode == "overwrite" and snap is not None:
+        ts = int(time.time() * 1000)
+        actions.extend(
+            {
+                "remove": {
+                    "path": _quote_path(f.path),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+            for f in snap.files
+        )
+    actions.extend(adds)
+    _publish_commit(path, version, actions)
+
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            _write_checkpoint(path, version)
+        except DeltaConcurrentModification:  # pragma: no cover - benign race
+            pass
+    return version
+
+
+# ---------------------------------------------------------------------------
+# checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Compact the snapshot into the classic single-file parquet
+    checkpoint + ``_last_checkpoint`` pointer. Tombstones older than the
+    checkpoint are dropped (readers of this module never need them; a
+    VACUUM-window reader re-reads the JSON commits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = snapshot(path, version)
+    schema = pa.schema(
+        [
+            pa.field(
+                "txn",
+                pa.struct(
+                    [pa.field("appId", pa.string()), pa.field("version", pa.int64())]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field(
+                            "partitionValues", pa.map_(pa.string(), pa.string())
+                        ),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field(
+                                        "options", pa.map_(pa.string(), pa.string())
+                                    ),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field(
+                            "configuration", pa.map_(pa.string(), pa.string())
+                        ),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": snap.metadata_id,
+                "format": {"provider": "parquet", "options": []},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": [],
+                "createdTime": None,
+            }
+        },
+    ]
+    rows.extend(
+        {"txn": {"appId": app, "version": v}} for app, v in sorted(snap.txns.items())
+    )
+    rows.extend(
+        {
+            "add": {
+                "path": _quote_path(f.path),
+                "partitionValues": list(f.partition_values.items()),
+                "size": f.size,
+                "modificationTime": f.modification_time,
+                "dataChange": False,
+                "stats": f.stats,
+            }
+        }
+        for f in snap.files
+    )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    cp = _checkpoint_path(path, version)
+    tmp = cp + f".{uuid.uuid4().hex}.tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp)
+
+    lc_tmp = os.path.join(_log_dir(path), f"._last_checkpoint.{uuid.uuid4().hex}")
+    with open(lc_tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
+
+
+def clean_log(path: str, keep_from_version: int | None = None) -> int:
+    """Delete JSON commits already folded into a checkpoint (metadata
+    retention — the log-cleanup half of VACUUM). Returns files removed."""
+    cp = _read_last_checkpoint(path)
+    if cp is None:
+        return 0
+    cutoff = cp if keep_from_version is None else min(cp, keep_from_version)
+    removed = 0
+    for v in range(cutoff):
+        p = _commit_path(path, v)
+        if os.path.exists(p):
+            os.unlink(p)
+            removed += 1
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# streaming source
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(self, abs_path: str, partition_values: dict):
+        self.abs_path = abs_path
+        self.partition_values = partition_values
+
+
+class DeltaLogStreamReader(DataSourceStreamReader):
+    """Micro-batch source whose offsets are log versions — delta-spark's
+    own streaming model (reference: etl/source/DeltaStreamReader.scala:
+    14,41-57). A batch is every ``dataChange`` add-file in the version
+    slice ``(start, end]``, one task per file; ``startingVersion``
+    (default 0) replays history, ``startingVersion=latest`` tails."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("delta stream source requires a path option")
+        sv = options.get("startingversion", options.get("startingVersion", "0"))
+        self._starting = sv
+        snap = snapshot(self._path)
+        self._names = [f.name for f in snap.schema.fields]
+        self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
+
+    def initialOffset(self):
+        if str(self._starting).lower() == "latest":
+            return {"version": latest_version(self._path)}
+        return {"version": int(self._starting) - 1}
+
+    def latestOffset(self):
+        return {"version": latest_version(self._path)}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts = []
+        for v in range(max(lo + 1, 0), hi + 1):
+            with open(_commit_path(self._path, v), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    a = act.get("add")
+                    if a and a.get("dataChange", True):
+                        parts.append(
+                            _DeltaFilePartition(
+                                os.path.join(self._path, unquote(a["path"])),
+                                a.get("partitionValues") or {},
+                            )
+                        )
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        pvals = {
+            c: _cast_partition_literal(v, self._ptypes[c])
+            for c, v in partition.partition_values.items()
+        }
+        for i in range(tbl.num_rows):
+            yield tuple(
+                pvals[c] if c in pvals else cols[c][i] for c in self._names
+            )
+
+    def commit(self, end) -> None:
+        return None
+
+
+class DeltaLogDataSource(DataSource):
+    """``spark.readStream.format("deltalog")`` — options: path,
+    startingVersion (int | 'latest')."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalog"
+
+    def schema(self):
+        return snapshot(self.options["path"]).schema
+
+    def streamReader(self, schema) -> DeltaLogStreamReader:
+        return DeltaLogStreamReader(self.options)

@@ -88,20 +88,34 @@ class FlatStreamReader(_StreamDecorators):
 
 class DeltaStreamReader(_StreamDecorators):
     """``readStream`` delta by path (reference: etl/source/DeltaStreamReader.
-    scala:14,41-57)."""
+    scala:14,41-57).
+
+    Jar preferred; without it the engine's own micro-batch source over
+    the ``_delta_log`` takes over (sources/deltalog.py:
+    DeltaLogStreamReader) — offsets are log versions, each batch reads
+    the dataChange add-files of the new commits, one task per file.
+    Options pass through (``startingVersion`` int | 'latest')."""
 
     path: str | None = None
     DEFERRED_KEYS = ("path",)
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
-        from ..sources.connectors import _unavailable
-
         if not self.path:
             raise ValueError("DeltaStreamReader: 'path' required")
         try:
-            return self.decorate(spark.readStream.format("delta").load(self.path))
-        except Exception as e:  # noqa: BLE001
-            raise _unavailable("delta", e) from e
+            df = spark.readStream.format("delta").load(self.path)
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
+            return self.decorate(df)
+        except Exception:  # noqa: BLE001
+            from ..sources.deltalog import DeltaLogDataSource
+            from ..sources.pysource import register_python_source
+
+            register_python_source(spark, DeltaLogDataSource)
+            reader = spark.readStream.format("deltalog").option("path", self.path)
+            sv = self._props.get("options.startingVersion")
+            if sv is not None:
+                reader = reader.option("startingVersion", str(sv))
+            return self.decorate(reader.load())
 
 
 class IcebergStreamReader(_StreamDecorators):

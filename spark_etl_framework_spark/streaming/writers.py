@@ -114,10 +114,17 @@ class KafkaStreamWriter(_StreamWriteBase):
 
 class DeltaStreamWriter(_StreamWriteBase):
     """``writeStream.format("delta")`` (reference: etl/sink/DeltaStreamWriter.
-    scala:14,41-66; outputMode complete/append per :36)."""
+    scala:14,41-66; outputMode complete/append per :36).
+
+    Jar preferred; without it, path sinks run as foreachBatch commits
+    through the pure-Python ``_delta_log`` writer with a ``txn``
+    (appId=query id, version=batchId) action per batch — Delta's own
+    exactly-once recipe, so a replayed micro-batch after checkpoint
+    recovery is a no-op instead of a duplicate."""
 
     path: str | None = None
     table: str | None = None
+    partitionBy: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         from ..sources.connectors import _unavailable
@@ -131,7 +138,33 @@ class DeltaStreamWriter(_StreamWriteBase):
             q = writer.toTable(self.table) if self.table else writer.start(self.path)
             self.await_(q)
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("delta", e) from e
+            if not self.path or self.outputMode != "append":
+                raise _unavailable("delta", e) from e
+            from ..sources.deltalog import write_delta
+
+            path = self.path
+            cols = [
+                c.strip() for c in (self.partitionBy or "").split(",") if c.strip()
+            ]
+            # restart-stable app id: the checkpoint IS the batch ledger,
+            # so key the txn to it (falling back to the sink path)
+            txn_app = f"deltastream:{self.checkpointLocation or path}"
+
+            def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+                write_delta(
+                    batch_df,
+                    path,
+                    mode="append",
+                    partition_by=cols or None,
+                    txn=(txn_app, batch_id),
+                    operation="STREAMING UPDATE",
+                )
+
+            writer = df.writeStream.foreachBatch(_commit_batch)
+            if self.checkpointLocation:
+                writer = writer.option("checkpointLocation", self.checkpointLocation)
+            writer = self.apply_trigger(writer).outputMode("append")
+            self.await_(writer.start())
         return None
 
 
