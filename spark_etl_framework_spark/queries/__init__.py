@@ -156,8 +156,10 @@ def _load_all() -> None:
 #: redis_read_roundtrip and stream_redis_xadd_roundtrip (live RESP2
 #: hash-table read + Redis-Streams micro-batch consumption),
 #: delta_write_read_roundtrip / delta_time_travel / stream_delta_autoload
-#: (the pure-Python _delta_log protocol un-gating the Delta actors).
-#: Then keep
+#: (the pure-Python _delta_log protocol un-gating the Delta actors),
+#: kafka_read_roundtrip / stream_kafka_topic_roundtrip (the Kafka wire
+#: protocol — RecordBatch v2 + live mini-broker — un-gating the Kafka
+#: actors). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

@@ -743,3 +743,137 @@ def stream_delta_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).groupBy(
         F.col("n_regionkey").cast("bigint").alias("n_regionkey")
     ).agg(F.count("*").alias("n_rows"))
+
+
+#: session-scoped in-process Kafka brokers, keyed by sf_dir — nation
+#: produced once through the writer's own wire path
+_KAFKA_SRV: dict[str, object] = {}
+
+
+def _kafka_broker_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _KAFKA_SRV:
+        from ..sinks.connectors import KafkaWriter
+        from ..sources.kwire import MiniKafkaBroker
+
+        srv = MiniKafkaBroker(num_partitions=2)
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).createOrReplaceTempView("_kafka_rt_nation")
+        KafkaWriter(
+            bootstrapServers=f"127.0.0.1:{srv.port}",
+            topic="nation",
+            keyField="n_nationkey",
+            view="_kafka_rt_nation",
+        ).run(JobContext(PipelineContext(), spark), spark)
+        _KAFKA_SRV[sf_dir] = srv
+    return _KAFKA_SRV[sf_dir]
+
+
+@register(
+    "kafka_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def kafka_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka topic roundtrip over the REAL wire protocol — no jar, no
+    gate: the KafkaWriter actor produces nation as RecordBatch-v2 frames
+    (CRC-32C guarded, key-hash partitioned across the broker's two
+    partitions) to a live in-process MiniKafkaBroker, and the KafkaReader
+    actor reads it back — driver Metadata + ListOffsets, one executor
+    task per Kafka partition fetching its own slice, ``decode_kafka``
+    JSON-typing the values (sources/kwire.py). The rows must equal the
+    source parquet. The reference reaches Kafka through spark-sql-kafka
+    (etl/source/KafkaReader.scala:9-18); this is the same relation schema
+    and partition→task scale model with the wire implemented directly,
+    jar preferred when a cluster ships it."""
+    from ..sources.connectors import KafkaReader
+
+    srv = _kafka_broker_for(spark, sf_dir)
+    out = KafkaReader(
+        bootstrapServers=f"127.0.0.1:{srv.port}",
+        topic="nation",
+        valueSchema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).run(JobContext(PipelineContext(), spark), spark)
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+#: session-scoped Kafka brokers preloaded with one document per record
+_KAFKA_STREAM_SRV: dict[str, object] = {}
+
+
+@register(
+    "stream_kafka_topic_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def stream_kafka_topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over a REAL Kafka topic: every document is
+    produced once (key=doc_id, value=JSON with the text's md5) through
+    the wire client to a live broker, then the KafkaStreamReader actor
+    consumes the topic — per-partition next-offset positions exactly
+    like spark-sql-kafka's offset JSON, one task per partition per
+    micro-batch — into a memory sink until exhausted. The delivered rows
+    must equal the documents table (reference:
+    etl/source/KafkaStreamReader.scala:11,24-43); restart-without-
+    duplicates is pinned by tests/test_kafka_connector.py."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..streaming.readers import KafkaStreamReader
+
+    if sf_dir not in _KAFKA_STREAM_SRV:
+        from ..sources.kwire import KafkaWireClient, MiniKafkaBroker
+
+        srv = MiniKafkaBroker(num_partitions=2)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("m"))
+            .collect()
+        )
+        c = KafkaWireClient("127.0.0.1", srv.port)
+        try:
+            for p in (0, 1):
+                batch = [
+                    {
+                        "key": str(r["doc_id"]).encode(),
+                        "value": _json.dumps(
+                            {"doc_id": r["doc_id"], "lang": r["lang"],
+                             "content_md5": r["m"]}
+                        ).encode(),
+                        "timestamp": i,
+                    }
+                    for i, r in enumerate(docs)
+                    if r["doc_id"] % 2 == p
+                ]
+                for lo in range(0, len(batch), 500):
+                    c.produce("docs", p, batch[lo : lo + 500])
+        finally:
+            c.close()
+        _KAFKA_STREAM_SRV[sf_dir] = srv
+    srv = _KAFKA_STREAM_SRV[sf_dir]
+    sdf = KafkaStreamReader(
+        bootstrapServers=f"127.0.0.1:{srv.port}",
+        topic="docs",
+        valueSchema="doc_id bigint, lang string, content_md5 string",
+    ).run(JobContext(PipelineContext(), spark), spark)
+    qname = f"kafka_topic_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.select("doc_id", "lang", "content_md5")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

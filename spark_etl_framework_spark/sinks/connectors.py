@@ -43,16 +43,24 @@ class KafkaWriter(Actor):
         cols = [key.alias("key"), value.alias("value")]
         if self.headersField:
             cols.append(F.col(self.headersField).alias("headers"))
+        out = df.select(*cols)
         try:
             (
-                df.select(*cols)
-                .write.format("kafka")
+                out.write.format("kafka")
                 .option("kafka.bootstrap.servers", self.bootstrapServers)
                 .option("topic", self.topic)
                 .save()
             )
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("kafka", e) from e
+            # jar absent: produce over the engine's own wire client —
+            # per-task connections, RecordBatch v2 frames, one Produce
+            # RPC per (task, partition) (sources/kwire.py)
+            try:
+                from ..sources.kwire import write_topic
+
+                write_topic(out, self.bootstrapServers, self.topic)
+            except (ConnectionError, OSError) as wire_err:
+                raise _unavailable("kafka", wire_err) from e
         return None
 
 

@@ -97,7 +97,15 @@ def decode_kafka(
 
 
 class KafkaReader(Actor):
-    """Batch-read a topic (reference: etl/source/KafkaReader.scala:9-18)."""
+    """Batch-read a topic (reference: etl/source/KafkaReader.scala:9-18).
+
+    The spark-sql-kafka jar stays preferred when a cluster ships it;
+    without it the engine speaks the Kafka wire protocol itself
+    (sources/kwire.py): Metadata for the partition list, ListOffsets for
+    the earliest/latest bounds, and one executor task per Kafka
+    partition fetching RecordBatch-v2 frames over its own connection —
+    the same relation schema and partition→task scale model as the
+    jar."""
 
     bootstrapServers: str | None = None
     topic: str | None = None
@@ -114,8 +122,11 @@ class KafkaReader(Actor):
                 .option("subscribe", self.topic)
                 .load()
             )
-        except Exception as e:  # noqa: BLE001
-            raise _unavailable("kafka", e) from e
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
+        except Exception:  # noqa: BLE001
+            from .kwire import read_topic
+
+            df = read_topic(spark, self.bootstrapServers, self.topic)
         return decode_kafka(df, self.keySchema, self.valueSchema)
 
 

@@ -207,15 +207,23 @@ class RedisStreamReader(_StreamDecorators):
 
 class KafkaStreamReader(_StreamDecorators):
     """``readStream`` kafka + payload decode
-    (reference: etl/source/KafkaStreamReader.scala:11,24-43)."""
+    (reference: etl/source/KafkaStreamReader.scala:11,24-43).
+
+    Jar preferred; without it the engine's own micro-batch source takes
+    over (sources/kwire.py: KafkaStreamSourceReader) — offsets are
+    per-partition next-fetch positions exactly like spark-sql-kafka's
+    offset JSON, each batch fetches the (start, end] slice with one task
+    per Kafka partition, and the relation schema is identical, so
+    ``decode_kafka`` applies unchanged."""
 
     bootstrapServers: str | None = None
     topic: str | None = None
     keySchema: str | None = None
     valueSchema: str | None = None
+    startingOffsets: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
-        from ..sources.connectors import _unavailable, decode_kafka
+        from ..sources.connectors import decode_kafka
 
         if not self.bootstrapServers or not self.topic:
             raise ValueError("KafkaStreamReader: bootstrapServers/topic required")
@@ -226,6 +234,17 @@ class KafkaStreamReader(_StreamDecorators):
                 .option("subscribe", self.topic)
                 .load()
             )
-        except Exception as e:  # noqa: BLE001
-            raise _unavailable("kafka", e) from e
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
+        except Exception:  # noqa: BLE001
+            from ..sources.kwire import KafkaWireDataSource
+            from ..sources.pysource import register_python_source
+
+            register_python_source(spark, KafkaWireDataSource)
+            df = (
+                spark.readStream.format("kafkawire")
+                .option("kafka.bootstrap.servers", self.bootstrapServers)
+                .option("subscribe", self.topic)
+                .option("startingOffsets", self.startingOffsets or "earliest")
+                .load()
+            )
         return self.decorate(decode_kafka(df, self.keySchema, self.valueSchema))

@@ -90,6 +90,10 @@ class MemoryStreamWriter(_StreamWriteBase):
 
 
 class KafkaStreamWriter(_StreamWriteBase):
+    """Jar preferred; without it each micro-batch produces over the
+    engine's own wire client (sources/kwire.py) via foreachBatch —
+    RecordBatch v2 frames, per-task connections."""
+
     bootstrapServers: str | None = None
     topic: str | None = None
 
@@ -108,7 +112,19 @@ class KafkaStreamWriter(_StreamWriteBase):
             writer = self.apply_trigger(writer).outputMode(self.outputMode)
             self.await_(writer.start())
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("kafka", e) from e
+            bootstrap, topic = self.bootstrapServers, self.topic
+            if not bootstrap or not topic:
+                raise _unavailable("kafka", e) from e
+            from ..sources.kwire import write_topic
+
+            def _produce_batch(batch_df: DataFrame, _batch_id: int) -> None:
+                write_topic(batch_df, bootstrap, topic)
+
+            writer = df.writeStream.foreachBatch(_produce_batch)
+            if self.checkpointLocation:
+                writer = writer.option("checkpointLocation", self.checkpointLocation)
+            writer = self.apply_trigger(writer).outputMode(self.outputMode)
+            self.await_(writer.start())
         return None
 
 

@@ -1,0 +1,286 @@
+"""Kafka connector e2e over the engine's own wire protocol
+(sources/kwire.py): RecordBatch v2 byte format validated against the
+spec (CRC-32C published vectors, zigzag varints, 61-byte batch header),
+then the four RPCs driven live against an in-process MiniKafkaBroker —
+the client and broker share nothing but bytes. Un-gates the reference's
+Kafka actors (etl/source/KafkaReader.scala:9-18,
+etl/common/KafkaWriteActor.scala:33-70, etl/source/KafkaStreamReader.scala).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+from spark_etl_framework_spark.sources.kwire import (
+    KafkaWireClient,
+    MiniKafkaBroker,
+    crc32c,
+    decode_record_batches,
+    encode_record_batch,
+    read_topic,
+    read_varint,
+    write_varint,
+)
+
+
+@pytest.fixture()
+def broker():
+    srv = MiniKafkaBroker(num_partitions=2)
+    yield srv
+    srv.shutdown()
+
+
+def _jctx(spark):
+    return JobContext(PipelineContext(), spark)
+
+
+# ---------------------------------------------------------------------------
+# byte format vs the public spec
+# ---------------------------------------------------------------------------
+
+
+def test_crc32c_published_vectors():
+    # RFC 3720 (iSCSI) appendix B.4 test vectors
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    assert crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+    assert crc32c(b"") == 0
+
+
+def test_varint_zigzag_spec_examples_and_roundtrip():
+    import io
+
+    # protobuf/kafka zigzag: 0→0, -1→1, 1→2, -2→3
+    assert write_varint(0) == b"\x00"
+    assert write_varint(-1) == b"\x01"
+    assert write_varint(1) == b"\x02"
+    assert write_varint(-2) == b"\x03"
+    assert write_varint(300) == b"\xd8\x04"  # zigzag(300)=600=0b1001011000
+    for n in (0, 1, -1, 127, -128, 300, -301, 2**31, -(2**31), 2**62):
+        assert read_varint(io.BytesIO(write_varint(n))) == n
+
+
+def test_record_batch_layout_and_crc_region():
+    recs = [{"key": b"k", "value": b"v", "timestamp": 1_000}]
+    raw = encode_record_batch(5, recs)
+    # header: baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4)...
+    assert struct.unpack(">q", raw[0:8])[0] == 5
+    batch_len = struct.unpack(">i", raw[8:12])[0]
+    assert len(raw) == 12 + batch_len
+    assert raw[16] == 2  # magic v2
+    crc = struct.unpack(">I", raw[17:21])[0]
+    assert crc == crc32c(raw[21:])  # crc covers attributes..end (spec)
+
+
+def test_record_batch_roundtrip_headers_nulls_and_corruption():
+    recs = [
+        {"key": b"k1", "value": b"v1", "timestamp": 1000,
+         "headers": [("h1", b"x"), ("h2", None)]},
+        {"key": None, "value": None, "timestamp": 1500},
+    ]
+    raw = encode_record_batch(7, recs)
+    back = decode_record_batches(raw + encode_record_batch(9, recs[:1]))
+    assert [(r["offset"], r["key"], r["value"]) for r in back] == [
+        (7, b"k1", b"v1"), (8, None, None), (9, b"k1", b"v1")]
+    assert back[0]["headers"] == [("h1", b"x"), ("h2", None)]
+    assert back[0]["timestamp"] == 1000 and back[1]["timestamp"] == 1500
+    bad = bytearray(raw)
+    bad[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_record_batches(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# live broker RPCs (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_wire_rpcs_against_live_broker(broker):
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        assert c.metadata(["t"]) == {"t": [0, 1]}
+        base = c.produce("t", 0, [
+            {"key": b"a", "value": b"1", "timestamp": 100},
+            {"key": b"b", "value": b"2", "timestamp": 200},
+        ])
+        assert base == 0
+        assert c.produce("t", 0, [{"key": b"c", "value": b"3", "timestamp": 300}]) == 2
+        assert c.list_offsets("t", 0, -2) == 0  # earliest
+        assert c.list_offsets("t", 0, -1) == 3  # latest
+        recs, hw = c.fetch("t", 0, 1)
+        assert hw == 3
+        assert [(r["offset"], r["value"]) for r in recs] == [(1, b"2"), (2, b"3")]
+        empty, hw2 = c.fetch("t", 1, 0)
+        assert empty == [] and hw2 == 0
+    finally:
+        c.close()
+
+
+def test_fetch_respects_max_bytes_pagination(broker):
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        c.produce("big", 0, [
+            {"key": None, "value": bytes(1000), "timestamp": i} for i in range(50)
+        ])
+        recs, _ = c.fetch("big", 0, 0, max_bytes=5_000)
+        assert 0 < len(recs) < 50  # bounded page, not everything
+        # the batch-read loop pages through the rest
+        got, off = [], 0
+        while off < 50:
+            page, _ = c.fetch("big", 0, off, max_bytes=5_000)
+            if not page:
+                break
+            got.extend(page)
+            off = page[-1]["offset"] + 1
+        assert [r["offset"] for r in got] == list(range(50))
+    finally:
+        c.close()
+
+
+# ---------------------------------------------------------------------------
+# Spark actors over the wire
+# ---------------------------------------------------------------------------
+
+
+def test_writer_then_reader_typed_roundtrip(spark, broker):
+    from spark_etl_framework_spark.sinks.connectors import KafkaWriter
+    from spark_etl_framework_spark.sources.connectors import KafkaReader
+
+    bootstrap = f"127.0.0.1:{broker.port}"
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.5) for i in range(40)],
+        "id bigint, name string, score double",
+    )
+    df.createOrReplaceTempView("kr_in")
+    KafkaWriter(
+        bootstrapServers=bootstrap, topic="people", keyField="id", view="kr_in"
+    ).run(_jctx(spark), spark)
+
+    # rows really spread across BOTH broker partitions (scale unit)
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        n0 = c.list_offsets("people", 0, -1)
+        n1 = c.list_offsets("people", 1, -1)
+    finally:
+        c.close()
+    assert n0 + n1 == 40 and n0 > 0 and n1 > 0
+
+    out = KafkaReader(
+        bootstrapServers=bootstrap,
+        topic="people",
+        valueSchema="id bigint, name string, score double",
+    ).run(_jctx(spark), spark)
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {i: (f"n{i}", i * 1.5) for i in range(40)}
+    # kafka metadata columns survive with the jar's exact names
+    meta_cols = {c for c in out.columns if c.startswith("__kafka_")}
+    assert {"__kafka_topic", "__kafka_partition", "__kafka_offset"} <= meta_cols
+
+
+def test_read_topic_one_task_per_partition(spark, broker):
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        for p in (0, 1):
+            c.produce("par", p, [
+                {"key": None, "value": str(i).encode(), "timestamp": i}
+                for i in range(10)
+            ])
+    finally:
+        c.close()
+    df = read_topic(spark, f"127.0.0.1:{broker.port}", "par")
+    assert df.rdd.getNumPartitions() == 2  # one task per Kafka partition
+    assert df.count() == 20
+    per = {r["partition"]: r["n"] for r in
+           df.groupBy("partition").agg({"*": "count"})
+           .withColumnRenamed("count(1)", "n").collect()}
+    assert per == {0: 10, 1: 10}
+
+
+def test_stream_reader_restart_no_duplicates(spark, broker, tmp_path):
+    from spark_etl_framework_spark.streaming.readers import KafkaStreamReader
+
+    bootstrap = f"127.0.0.1:{broker.port}"
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        c.produce("evts", 0, [
+            {"key": str(i).encode(), "value": b"x", "timestamp": i} for i in range(8)
+        ])
+    finally:
+        c.close()
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = KafkaStreamReader(bootstrapServers=bootstrap, topic="evts").run(
+            _jctx(spark), spark
+        )
+        q = (
+            sdf.selectExpr("cast(key as string) as k", "__kafka_offset")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 8
+    # more records arrive; a RESTARTED query resumes from the checkpoint
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        c.produce("evts", 1, [
+            {"key": str(i).encode(), "value": b"y", "timestamp": i}
+            for i in range(8, 12)
+        ])
+    finally:
+        c.close()
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 12  # 8 + 4, no replays
+    assert got.select("k").distinct().count() == 12
+
+
+def test_stream_writer_relays_topic_to_topic(spark, broker):
+    from spark_etl_framework_spark.streaming.readers import KafkaStreamReader
+    from spark_etl_framework_spark.streaming.writers import KafkaStreamWriter
+
+    bootstrap = f"127.0.0.1:{broker.port}"
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        c.produce("src", 0, [
+            {"key": str(i).encode(), "value": str(i * i).encode(), "timestamp": i}
+            for i in range(6)
+        ])
+    finally:
+        c.close()
+    sdf = KafkaStreamReader(bootstrapServers=bootstrap, topic="src").run(
+        _jctx(spark), spark
+    )
+    sdf.selectExpr(
+        "cast(key as string) as key", "cast(value as string) as value"
+    ).createOrReplaceTempView("kafka_relay_in")
+    KafkaStreamWriter(
+        bootstrapServers=bootstrap,
+        topic="dst",
+        view="kafka_relay_in",
+        trigger_mode="once",
+        test_waittimeMS=30_000,
+    ).run(_jctx(spark), spark)
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        total = sum(c.list_offsets("dst", p, -1) for p in (0, 1))
+        vals = set()
+        for p in (0, 1):
+            recs, _ = c.fetch("dst", p, 0)
+            vals |= {r["value"] for r in recs}
+    finally:
+        c.close()
+    assert total == 6
+    assert vals == {str(i * i).encode() for i in range(6)}
