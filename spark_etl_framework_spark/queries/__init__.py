@@ -159,7 +159,8 @@ def _load_all() -> None:
 #: (the pure-Python _delta_log protocol un-gating the Delta actors),
 #: kafka_read_roundtrip / stream_kafka_topic_roundtrip (the Kafka wire
 #: protocol — RecordBatch v2 + live mini-broker — un-gating the Kafka
-#: actors). Then keep
+#: actors), mongo_read_roundtrip (BSON + OP_MSG wire un-gating the
+#: Mongo actors). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

@@ -877,3 +877,58 @@ def stream_kafka_topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+#: session-scoped in-process Mongo servers, keyed by sf_dir
+_MONGO_SRV: dict[str, object] = {}
+
+
+@register(
+    "mongo_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS _id,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def mongo_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo collection roundtrip over the REAL wire — no jar, no gate:
+    the MongoWriter actor inserts nation as BSON documents over OP_MSG
+    (per-task batched inserts, ``_id`` from the key column) into a live
+    in-process MiniMongoServer, and the MongoReader actor reads it back —
+    the driver samples ``_id`` range boundaries, each executor task finds
+    its own ``{_id: {$gte, $lt}}`` slice over its own connection
+    (mongo-spark's default range partitioner), DDL casts from the decoded
+    BSON (sources/bsonwire.py). The rows must equal the source parquet.
+    The reference reaches Mongo through the mongo-spark jar
+    (etl/source/MongoReader.scala:12,20-34); the jar stays preferred when
+    a cluster ships it."""
+    from ..sinks.optional import MongoWriter
+    from ..sources.optional import MongoReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    if sf_dir not in _MONGO_SRV:
+        from ..sources.bsonwire import MiniMongoServer
+
+        srv = MiniMongoServer()
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).createOrReplaceTempView("_mongo_rt_nation")
+        MongoWriter(
+            host="127.0.0.1",
+            port=srv.port,
+            database="tpch",
+            collection="nation",
+            view="_mongo_rt_nation",
+            idColumn="n_nationkey",
+        ).run(jctx, spark)
+        _MONGO_SRV[sf_dir] = srv
+    srv = _MONGO_SRV[sf_dir]
+    return MongoReader(
+        host="127.0.0.1",
+        port=srv.port,
+        database="tpch",
+        collection="nation",
+        ddlSchemaString="_id bigint, n_name string, n_regionkey bigint",
+    ).run(jctx, spark)

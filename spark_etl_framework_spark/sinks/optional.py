@@ -51,6 +51,10 @@ class HBaseWriter(Actor):
 
 
 class MongoWriter(Actor):
+    """Jar preferred; without it, per-task batched OP_MSG inserts over
+    the engine's own wire client (sources/bsonwire.py) — ``overwrite``
+    drops the collection first, ``idColumn`` becomes ``_id``."""
+
     host: str | None = None
     port: int | None = None
     database: str | None = None
@@ -59,6 +63,7 @@ class MongoWriter(Actor):
     password: str | None = None
     mode: str = "append"
     view: str | None = None
+    idColumn: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.host or not self.database or not self.collection or not self.view:
@@ -76,7 +81,21 @@ class MongoWriter(Actor):
                 .save()
             )
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("mongodb", e) from e
+            from ..sources.bsonwire import MongoWireClient, write_collection
+
+            try:  # probe driver-side so an unreachable server errors clearly
+                MongoWireClient(self.host, int(self.port or 27017)).close()
+            except (ConnectionError, OSError) as wire_err:
+                raise _unavailable("mongodb", wire_err) from e
+            write_collection(
+                df,
+                self.host,
+                int(self.port or 27017),
+                self.database,
+                self.collection,
+                mode=self.mode,
+                id_column=self.idColumn,
+            )
         return None
 
 

@@ -63,7 +63,14 @@ class HBaseReader(Actor):
 class MongoReader(Actor):
     """Load a collection via the mongo-spark connector; uri assembled from
     host/port/database/collection/user/password
-    (reference: etl/source/MongoReader.scala:12,20-34)."""
+    (reference: etl/source/MongoReader.scala:12,20-34).
+
+    The jar stays preferred when a cluster ships it; without it the
+    engine speaks the MongoDB wire protocol itself (sources/bsonwire.py:
+    BSON + OP_MSG): the driver samples ``_id`` range boundaries and each
+    executor task finds its own ``{_id: {$gte, $lt}}`` slice over its
+    own connection — mongo-spark's default range partitioner.
+    ``ddlSchemaString`` types the columns."""
 
     host: str | None = None
     port: int | None = None
@@ -71,6 +78,7 @@ class MongoReader(Actor):
     collection: str | None = None
     user: str | None = None
     password: str | None = None
+    ddlSchemaString: str | None = None
 
     def uri(self) -> str:
         auth = f"{self.user}:{self.password}@" if self.user else ""
@@ -80,15 +88,29 @@ class MongoReader(Actor):
         if not self.host or not self.database or not self.collection:
             raise ValueError("MongoReader: host/database/collection required")
         try:
-            return (
+            df = (
                 spark.read.format("mongodb")
                 .option("connection.uri", self.uri())
                 .option("database", self.database)
                 .option("collection", self.collection)
                 .load()
             )
-        except Exception as e:  # noqa: BLE001
-            raise _unavailable("mongodb", e) from e
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
+            return df
+        except Exception as jar_err:  # noqa: BLE001
+            from .bsonwire import read_collection
+
+            try:
+                return read_collection(
+                    spark,
+                    self.host,
+                    int(self.port or 27017),
+                    self.database,
+                    self.collection,
+                    ddl=self.ddlSchemaString,
+                )
+            except (ConnectionError, OSError) as wire_err:
+                raise _unavailable("mongodb", wire_err) from jar_err
 
 
 class RedisReader(Actor):
