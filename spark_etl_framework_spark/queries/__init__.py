@@ -160,7 +160,10 @@ def _load_all() -> None:
 #: kafka_read_roundtrip / stream_kafka_topic_roundtrip (the Kafka wire
 #: protocol — RecordBatch v2 + live mini-broker — un-gating the Kafka
 #: actors), mongo_read_roundtrip (BSON + OP_MSG wire un-gating the
-#: Mongo actors). Then keep
+#: Mongo actors), iceberg_write_read_roundtrip /
+#: iceberg_snapshot_travel / stream_iceberg_autoload (the Iceberg v1
+#: format — avro manifests + metadata JSON — un-gating the Iceberg
+#: actors). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

@@ -932,3 +932,164 @@ def mongo_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         collection="nation",
         ddlSchemaString="_id bigint, n_name string, n_regionkey bigint",
     ).run(jctx, spark)
+
+
+@register(
+    "iceberg_write_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*)                    AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_write_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v1 table roundtrip through the REAL on-disk format — no
+    jar, no gate: the IcebergWriter actor commits nation partitioned by
+    region (snapshot 1, overwrite) then appends a slice (snapshot 2),
+    each commit writing a real Avro manifest + manifest list
+    (functions/avro_ocf.py) and a new vN.metadata.json behind
+    version-hint.text; the IcebergReader actor replays that chain —
+    metadata → snapshot → manifest list → manifests → live parquet,
+    typed identity-partition values broadcast onto the scan
+    (sources/iceberg.py). The reference reaches Iceberg through the
+    iceberg-spark runtime (etl/source/IcebergReader.scala:12,23-30,
+    etl/sink/IcebergWriter.scala:42-50); the jar stays preferred when a
+    cluster ships it."""
+    import tempfile
+
+    from ..sinks.connectors import IcebergWriter
+    from ..sources.connectors import IcebergReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    loc = tempfile.mkdtemp(prefix="ice_rt_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(1).createOrReplaceTempView("_ice_rt_full")
+    na.filter("n_nationkey < 10").coalesce(1).createOrReplaceTempView(
+        "_ice_rt_slice"
+    )
+    IcebergWriter(
+        view="_ice_rt_full", table=loc, mode="overwrite",
+        tablePartitionedBy="n_regionkey",
+    ).run(jctx, spark)
+    IcebergWriter(
+        view="_ice_rt_slice", table=loc, mode="append",
+        tablePartitionedBy="n_regionkey",
+    ).run(jctx, spark)
+    out = IcebergReader(table=loc).run(jctx, spark)
+    return out.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
+    "iceberg_snapshot_travel",
+    oracle="""
+    SELECT 0 AS step,
+           COUNT(*) AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 1 AS step,
+           COUNT(*) AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation WHERE n_regionkey <> 2
+    """,
+)
+def iceberg_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the pure-Python Iceberg table: snapshot 0
+    holds all of nation, snapshot 1 overwrites it dropping region 2;
+    reading both through the IcebergReader actor's options.snapshotId
+    must reproduce the pre- and post-overwrite states — iceberg has no
+    tombstones, each snapshot's manifest list IS its full live set, so
+    travel is just reading an older list (reference option surface:
+    etl/source/IcebergReader.scala:23-30)."""
+    import tempfile
+
+    from ..sinks.connectors import IcebergWriter
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import load_metadata
+
+    jctx = JobContext(PipelineContext(), spark)
+    loc = tempfile.mkdtemp(prefix="ice_tt_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(1).createOrReplaceTempView("_ice_tt_v0")
+    na.filter("n_regionkey <> 2").coalesce(1).createOrReplaceTempView("_ice_tt_v1")
+    IcebergWriter(view="_ice_tt_v0", table=loc, mode="overwrite").run(jctx, spark)
+    IcebergWriter(view="_ice_tt_v1", table=loc, mode="overwrite").run(jctx, spark)
+
+    sids = [s["snapshot-id"] for s in load_metadata(loc)["snapshots"]]
+    outs = []
+    for step, sid in enumerate(sids):
+        r = IcebergReader(table=loc)
+        r._props["options.snapshotId"] = str(sid)
+        outs.append(
+            r.run(jctx, spark).select(
+                F.lit(step).alias("step"),
+                F.col("n_nationkey").cast("bigint").alias("k"),
+            )
+        )
+    both = outs[0].unionByName(outs[1])
+    return both.groupBy("step").agg(
+        F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+    )
+
+
+@register(
+    "stream_iceberg_autoload",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def stream_iceberg_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Iceberg source over the snapshot log — no jar, no gate:
+    nation lands as two append snapshots (regions < 2, then the rest),
+    and the IcebergStreamReader actor consumes the data files ADDED by
+    each snapshot as micro-batches (one task per file) into a memory
+    sink; the union of batches must equal the source table (reference:
+    etl/source/IcebergStreamReader.scala:12,30-46 — the java source uses
+    the same incremental snapshot model)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sinks.connectors import IcebergWriter
+    from ..streaming.readers import IcebergStreamReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    loc = tempfile.mkdtemp(prefix="ice_al_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.filter("n_regionkey < 2").coalesce(1).createOrReplaceTempView("_ice_al_a")
+    na.filter("n_regionkey >= 2").coalesce(1).createOrReplaceTempView("_ice_al_b")
+    IcebergWriter(view="_ice_al_a", table=loc, mode="append").run(jctx, spark)
+    IcebergWriter(view="_ice_al_b", table=loc, mode="append").run(jctx, spark)
+
+    sdf = IcebergStreamReader(table=loc).run(jctx, spark)
+    qname = f"ice_autoload_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(F.count("*").alias("n_rows"))

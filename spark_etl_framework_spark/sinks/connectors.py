@@ -5,6 +5,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,7 +122,14 @@ class DeltaWriter(Actor):
 class IcebergWriter(Actor):
     """Iceberg write; ``tablePartitionedBy`` triggers sortWithinPartitions
     before write (reference: etl/sink/IcebergWriter.scala:42-50) so files
-    cluster by partition value."""
+    cluster by partition value.
+
+    Jar preferred; without it, path-shaped tables commit through the
+    engine's own Iceberg v1 writer (sources/iceberg.py): Avro manifests
+    + manifest lists (functions/avro_ocf.py), ``vN.metadata.json`` +
+    version-hint flip, identity partitioning from
+    ``tablePartitionedBy``. Catalog names still need the jar's catalog
+    plugin and say so."""
 
     table: str | None = None
     mode: str = "append"
@@ -138,5 +147,11 @@ class IcebergWriter(Actor):
         try:
             df.write.format("iceberg").mode(self.mode).save(self.table)
         except Exception as e:  # noqa: BLE001
+            if os.sep in self.table or "/" in self.table:
+                from ..sources.iceberg import write_iceberg
+
+                write_iceberg(df, self.table, mode=self.mode,
+                              partition_by=cols or None)
+                return None
             raise _unavailable("iceberg", e) from e
         return None

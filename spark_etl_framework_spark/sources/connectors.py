@@ -171,7 +171,15 @@ class DeltaReader(Actor):
 
 class IcebergReader(Actor):
     """Read an iceberg table + optional post-filter
-    (reference: etl/source/IcebergReader.scala:12,23-30)."""
+    (reference: etl/source/IcebergReader.scala:12,23-30).
+
+    Jar preferred; without it, path-shaped tables go through the
+    engine's pure-Python Iceberg v1 reader (sources/iceberg.py):
+    version-hint → metadata JSON → snapshot → Avro manifest list →
+    manifests → live parquet files, typed identity-partition values
+    broadcast onto the scan. ``options.snapshotId`` /
+    ``options.asOfTimestamp`` time-travel like the jar's read options.
+    Catalog names still need the jar and say so."""
 
     table: str | None = None
     filter: str | None = None
@@ -181,6 +189,18 @@ class IcebergReader(Actor):
             raise ValueError("IcebergReader: 'table' required")
         try:
             df = spark.read.format("iceberg").load(self.table)
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("iceberg", e) from e
+            if "/" not in self.table:
+                raise _unavailable("iceberg", e) from e
+            from .iceberg import read_iceberg
+
+            sid = self._props.get("options.snapshotId")
+            ts = self._props.get("options.asOfTimestamp")
+            df = read_iceberg(
+                spark,
+                self.table,
+                snapshot_id=int(sid) if sid is not None else None,
+                as_of_timestamp=int(ts) if ts is not None else None,
+            )
         return df.filter(self.filter) if self.filter else df

@@ -120,7 +120,13 @@ class DeltaStreamReader(_StreamDecorators):
 
 class IcebergStreamReader(_StreamDecorators):
     """``readStream`` iceberg table (reference: etl/source/IcebergStreamReader.
-    scala:12,30-46)."""
+    scala:12,30-46).
+
+    Jar preferred; without it, path-shaped tables stream through the
+    engine's snapshot-log micro-batch source (sources/iceberg.py:
+    IcebergLogStreamReader): offsets are snapshot positions, each batch
+    reads the data files ADDED by the new snapshots, one task per
+    file."""
 
     table: str | None = None
 
@@ -130,9 +136,21 @@ class IcebergStreamReader(_StreamDecorators):
         if not self.table:
             raise ValueError("IcebergStreamReader: 'table' required")
         try:
-            return self.decorate(spark.readStream.format("iceberg").load(self.table))
+            df = spark.readStream.format("iceberg").load(self.table)
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
+            return self.decorate(df)
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("iceberg", e) from e
+            if "/" not in self.table:
+                raise _unavailable("iceberg", e) from e
+            from ..sources.iceberg import IcebergLogDataSource
+            from ..sources.pysource import register_python_source
+
+            register_python_source(spark, IcebergLogDataSource)
+            return self.decorate(
+                spark.readStream.format("iceberglog")
+                .option("path", self.table)
+                .load()
+            )
 
 
 class RedisStreamReader(_StreamDecorators):

@@ -186,9 +186,14 @@ class DeltaStreamWriter(_StreamWriteBase):
 
 class IcebergStreamWriter(_StreamWriteBase):
     """``writeStream.format("iceberg")``; explicitly rejects the continuous
-    trigger (reference: etl/sink/IcebergStreamWriter.scala:13,51-70)."""
+    trigger (reference: etl/sink/IcebergStreamWriter.scala:13,51-70).
+
+    Jar preferred; without it, path-shaped tables run as foreachBatch
+    snapshot commits through the pure-Python Iceberg writer
+    (sources/iceberg.py) — one append snapshot per micro-batch."""
 
     table: str | None = None
+    tablePartitionedBy: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         from ..sources.connectors import _unavailable
@@ -203,7 +208,26 @@ class IcebergStreamWriter(_StreamWriteBase):
             writer = self.apply_trigger(writer).outputMode(self.outputMode)
             self.await_(writer.toTable(self.table))
         except Exception as e:  # noqa: BLE001
-            raise _unavailable("iceberg", e) from e
+            if not self.table or "/" not in self.table or self.outputMode != "append":
+                raise _unavailable("iceberg", e) from e
+            from ..sources.iceberg import write_iceberg
+
+            loc = self.table
+            cols = [
+                c.strip()
+                for c in (self.tablePartitionedBy or "").split(",")
+                if c.strip()
+            ]
+
+            def _commit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+                write_iceberg(batch_df, loc, mode="append",
+                              partition_by=cols or None)
+
+            writer = df.writeStream.foreachBatch(_commit_batch)
+            if self.checkpointLocation:
+                writer = writer.option("checkpointLocation", self.checkpointLocation)
+            writer = self.apply_trigger(writer).outputMode("append")
+            self.await_(writer.start())
         return None
 
 
