@@ -1093,3 +1093,66 @@ def stream_iceberg_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).groupBy(
         F.col("n_regionkey").cast("bigint").alias("n_regionkey")
     ).agg(F.count("*").alias("n_rows"))
+
+
+#: session-scoped in-process HBase REST servers, keyed by sf_dir
+_HBASE_SRV: dict[str, object] = {}
+
+
+@register(
+    "hbase_read_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def hbase_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase table roundtrip over the REST (Stargate) protocol — no jar,
+    no gate: the HBaseWriter actor PUTs nation as multi-row CellSet
+    documents (rowKey from the key column, cells routed through
+    columnsMapping) to a live in-process MiniStargateServer, and the
+    HBaseReader actor scans it back — the driver samples row-key range
+    boundaries, each executor task drains its own [start, stop) scanner
+    over its own connection (the region-parallel scan model), the
+    ``__:rowKey`` pseudo-column and DDL casts exactly as the reference's
+    channel contract (etl/common/io/HBaseChannel.scala:26,46-108). The
+    rows must equal the source parquet; the hbase-spark jar stays
+    preferred when a cluster ships it."""
+    from ..sinks.optional import HBaseWriter
+    from ..sources.optional import HBaseReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    if sf_dir not in _HBASE_SRV:
+        from ..sources.stargate import MiniStargateServer
+
+        srv = MiniStargateServer()
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).createOrReplaceTempView("_hbase_rt_nation")
+        w = HBaseWriter(
+            connection_table="nation",
+            connection_restHost="127.0.0.1",
+            connection_restPort=srv.port,
+            rowKey_columns="n_nationkey",
+            view="_hbase_rt_nation",
+        )
+        w._props["columnsMapping.n_name"] = "cf:name"
+        w._props["columnsMapping.n_regionkey"] = "cf:region"
+        w._props["columnsMapping.n_nationkey"] = "cf:key"
+        w.run(jctx, spark)
+        _HBASE_SRV[sf_dir] = srv
+    srv = _HBASE_SRV[sf_dir]
+    r = HBaseReader(
+        connection_table="nation",
+        connection_restHost="127.0.0.1",
+        connection_restPort=srv.port,
+        ddlSchemaString=(
+            "n_nationkey bigint, n_name string, n_regionkey bigint"
+        ),
+    )
+    r._props["columnsMapping.n_nationkey"] = "__:rowKey"
+    r._props["columnsMapping.n_name"] = "cf:name"
+    r._props["columnsMapping.n_regionkey"] = "cf:region"
+    return r.run(jctx, spark)

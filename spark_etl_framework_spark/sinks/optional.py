@@ -17,8 +17,15 @@ from ..sources.connectors import _unavailable
 
 
 class HBaseWriter(Actor):
+    """Jar preferred; with ``connection.restHost`` set, falls back to
+    the REST (Stargate) protocol (sources/stargate.py): per-task
+    multi-row CellSet PUTs, ``columnsMapping.{col}`` routing to
+    ``cf:cq`` (default family ``d``), overwrite = truncate-then-put."""
+
     mode: str = "merge"  # overwrite = truncate-then-put, merge = put
     connection_table: str | None = None
+    connection_restHost: str | None = None
+    connection_restPort: int | None = None
     rowKey_columns: str | None = None  # concat source cols; absent → uuid
     rowKey_concatenator: str = ""
     view: str | None = None
@@ -46,6 +53,30 @@ class HBaseWriter(Actor):
                 .save()
             )
         except Exception as e:  # noqa: BLE001
+            if self.connection_restHost:
+                from ..sources.stargate import StargateClient, write_table
+
+                try:  # probe driver-side so an unreachable server errors clearly
+                    StargateClient(
+                        self.connection_restHost,
+                        int(self.connection_restPort or 8080),
+                    )._request("GET", "/version/cluster")
+                except (ConnectionError, OSError) as wire_err:
+                    raise _unavailable("hbase", wire_err) from e
+                mapping = {
+                    k.split(".", 1)[1]: str(v)
+                    for k, v in self._props.items()
+                    if k.startswith("columnsMapping.")
+                }
+                write_table(
+                    df,
+                    self.connection_restHost,
+                    int(self.connection_restPort or 8080),
+                    self.connection_table,
+                    columns_mapping=mapping or None,
+                    truncate=self.mode == "overwrite",
+                )
+                return None
             raise _unavailable("hbase", e) from e
         return None
 

@@ -31,11 +31,14 @@ class HBaseReader(Actor):
     common/io/HBaseChannel.scala:26,46-108)."""
 
     connection_table: str | None = None
+    connection_restHost: str | None = None
+    connection_restPort: int | None = None
     keyStart: str | None = None
     keyStop: str | None = None
     keyPrefix: str | None = None
     tsStart: str | None = None
     tsEnd: str | None = None
+    ddlSchemaString: str | None = None
 
     def columns_mapping(self) -> dict[str, str]:
         return {
@@ -55,8 +58,34 @@ class HBaseReader(Actor):
                 v = getattr(self, k)
                 if v is not None:
                     reader = reader.option(k, str(v))
-            return reader.load()
+            df = reader.load()
+            df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
+            return df
         except Exception as e:  # noqa: BLE001
+            # jar absent: when connection.restHost points at the
+            # deployment's REST (Stargate) server, scan over HTTP —
+            # columnsMapping (__:rowKey pseudo-column), key bounds, and
+            # ts bounds preserved (sources/stargate.py); range-sliced
+            # scanners give the same region-parallel scan model
+            if self.connection_restHost:
+                from .stargate import read_table
+
+                try:
+                    return read_table(
+                        spark,
+                        self.connection_restHost,
+                        int(self.connection_restPort or 8080),
+                        self.connection_table,
+                        self.columns_mapping(),
+                        ddl=self.ddlSchemaString,
+                        key_start=self.keyStart,
+                        key_stop=self.keyStop,
+                        key_prefix=self.keyPrefix,
+                        ts_start=int(self.tsStart) if self.tsStart else None,
+                        ts_end=int(self.tsEnd) if self.tsEnd else None,
+                    )
+                except (ConnectionError, OSError) as wire_err:
+                    raise _unavailable("hbase", wire_err) from e
             raise _unavailable("hbase", e) from e
 
 
