@@ -4,12 +4,14 @@ Media content rides as opaque ``binary`` columns with typed metadata — the
 lakehouse-native layout for multimodal training data. The Spark-side plumbing
 (schemas, Arrow batch shapes, mapInPandas signatures, partition sizing) is
 real and tested. The codec step is REAL for formats decodable with
-numpy/stdlib alone — netpbm P5/P6 images (the interchange format PIL and
-ffmpeg emit) and RIFF/WAV PCM audio (stdlib ``wave``) — and still gated for
-compressed formats (JPEG/PNG/MP3 need PIL/ffmpeg, absent in this
-container): those raise ``NotImplementedError`` with the library to plug
-in. ``fake=True`` keeps the deterministic hash-seeded codec for exercising
-plumbing on arbitrary bytes.
+numpy/stdlib alone — netpbm P5/P6, BMP (24-bit and RLE8-compressed),
+GIF87a/89a (full LZW), PNG (real DEFLATE via stdlib zlib + all five
+scanline filters), and RIFF/WAV PCM / G.711 audio (stdlib ``wave``) —
+and still gated for formats that genuinely need a native library
+(JPEG/MP3/MP4 → PIL/ffmpeg, absent in this container): those raise
+``NotImplementedError`` with the library to plug in. ``fake=True`` keeps
+the deterministic hash-seeded codec for exercising plumbing on arbitrary
+bytes.
 
 Scale notes: decode is a narrow ``mapInPandas`` (no shuffle); batch size is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor
@@ -320,6 +322,117 @@ def _decode_gif_lzw(raw: bytes) -> tuple[str, int, int, int, bytes]:
     return "gif/lzw", w, h, 3, pal[idx.reshape(h, w)].tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(raw: bytes) -> tuple[str, int, int, int, bytes]:
+    """PNG (the suite's third REAL compressed raster codec) — stdlib
+    zlib + numpy, no image library. Full spec path for the common
+    profile: chunk walk with CRC-32 verification, IHDR, concatenated
+    IDAT → zlib inflate (real DEFLATE, adler32 checked by zlib), and
+    the five scanline filters (None/Sub/Up/Average/Paeth) inverted per
+    the filtering algorithm in the PNG specification. Bit depth 8;
+    color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 6 (RGBA);
+    interlace 0. Everything else raises with the exact unsupported
+    feature named — corrupt shards must fail loudly, not decode
+    quietly wrong."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = b""
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length : pos + 12 + length])
+        actual = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        if actual != crc:
+            raise ValueError(
+                f"PNG chunk {ctype!r} CRC mismatch: {actual:#x} != {crc:#x}"
+            )
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise ValueError("PNG Adam7 interlacing unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG non-zero compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type} unsupported")
+
+    decoded = zlib.decompress(idat)  # verifies the zlib adler32
+    stride = w * channels
+    if len(decoded) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG data {len(decoded)} bytes, expected {(stride + 1) * h}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per complete pixel (depth 8)
+    for y in range(h):
+        line_start = y * (stride + 1)
+        ftype = decoded[line_start]
+        raw_line = np.frombuffer(
+            decoded, dtype=np.uint8, count=stride, offset=line_start + 1
+        ).astype(np.int32)
+        above = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            recon = raw_line
+        elif ftype == 2:  # Up
+            recon = (raw_line + above) & 0xFF
+        else:
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                up = above[x]
+                ul = above[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = left
+                elif ftype == 3:  # Average
+                    pred = (left + up) // 2
+                elif ftype == 4:  # Paeth
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                    )
+                else:
+                    raise ValueError(f"PNG filter type {ftype} invalid")
+                recon[x] = (raw_line[x] + pred) & 0xFF
+        out[y] = recon.astype(np.uint8)
+
+    if color_type == 3:
+        if not plte:
+            raise ValueError("PNG palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return "png/palette", w, h, 3, pal[idx].tobytes()
+    names = {0: "png/gray", 2: "png/rgb", 6: "png/rgba"}
+    return names[color_type], w, h, channels, out.tobytes()
+
+
 def _resize_nearest(pixels: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize with numpy indexing — no image library."""
     import numpy as np
@@ -361,11 +474,14 @@ def decode_images(
                         fmt, w, ht, c, px = _decode_bmp(raw)
                     elif raw[:4] == b"GIF8":
                         fmt, w, ht, c, px = _decode_gif_lzw(raw)
+                    elif raw[:8] == _PNG_SIG:
+                        fmt, w, ht, c, px = _decode_png(raw)
                     else:
                         raise NotImplementedError(
-                            f"no codec for magic {raw[:8]!r}: JPEG/PNG need "
+                            f"no codec for magic {raw[:8]!r}: JPEG needs "
                             "PIL (absent here); netpbm P5/P6, BMP (24-bit + "
-                            "RLE8) and GIF87a/89a (full LZW) decode natively"
+                            "RLE8), GIF87a/89a (full LZW) and PNG "
+                            "(DEFLATE + all five filters) decode natively"
                         )
                     if resize is not None:
                         px = _resize_nearest(px, w, ht, c, resize[0], resize[1])

@@ -1175,3 +1175,112 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "channels",
         F.hex("pixels").alias("pixels_hex"),
     )
+
+
+@register(
+    "multimodal_decode_png",
+    # The decoder must invert REAL zlib DEFLATE and all five PNG
+    # scanline filters to recover the md5-derived pixels; DuckDB only
+    # replays the expected OUTPUT (the pixels are the md5 bytes by
+    # construction), so the oracle is arithmetic while the Spark side
+    # exercises the full codec: chunk CRCs, inflate + adler32, and the
+    # None/Sub/Up/Average/Paeth inverses — one filter type per row.
+    oracle="""
+    SELECT doc_id          AS id,
+           CAST(4 AS INT)  AS width,
+           CAST(5 AS INT)  AS height,
+           CAST(1 AS INT)  AS channels,
+           'png/gray'      AS format,
+           UPPER(md5(text) || SUBSTR(md5(text || 'x'), 1, 8)) AS pixels_hex
+    FROM documents
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suite's THIRD real compressed raster codec under the oracle
+    gate — PNG with genuine DEFLATE entropy coding, stdlib zlib + numpy
+    only: each document becomes a valid 4x5 grayscale PNG whose
+    RECONSTRUCTED pixels are its md5 bytes, encoded with one scanline
+    filter of each type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) and
+    real zlib compression, then decoded by ``decode_images(fake=False)``
+    → ``_decode_png`` (operators/multimodal.py): chunk walk with CRC-32
+    verification, IDAT inflate (adler32-checked), filter inversion,
+    and the recovered pixel stream must equal the md5 bytes exactly.
+    Unlike the BMP-RLE8/GIF queries the payload generation itself runs
+    compressed — zlib has no SQL form — so generation lives in the same
+    Arrow-batched mapInPandas stage; the oracle replays the OUTPUT.
+    Narrow plan: no shuffle at any scale."""
+    import hashlib
+    import struct
+    import zlib
+
+    from ..operators.multimodal import decode_images
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                px = (
+                    hashlib.md5(raw).digest()
+                    + hashlib.md5(raw + b"x").digest()[:4]
+                )
+                arr = np.frombuffer(px, np.uint8).reshape(5, 4).astype(np.int32)
+                lines = bytearray()
+                for y, ftype in enumerate((0, 1, 2, 3, 4)):
+                    cur = arr[y]
+                    above = arr[y - 1] if y > 0 else np.zeros(4, np.int32)
+                    out = np.zeros(4, np.int32)
+                    for x in range(4):
+                        left = cur[x - 1] if x >= 1 else 0
+                        up = above[x]
+                        ul = above[x - 1] if x >= 1 else 0
+                        if ftype == 0:
+                            pred = 0
+                        elif ftype == 1:
+                            pred = left
+                        elif ftype == 2:
+                            pred = up
+                        elif ftype == 3:
+                            pred = (left + up) // 2
+                        else:
+                            p = left + up - ul
+                            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                            pred = (
+                                left
+                                if pa <= pb and pa <= pc
+                                else up if pb <= pc else ul
+                            )
+                        out[x] = (cur[x] - pred) & 0xFF
+                    lines += bytes([ftype]) + out.astype(np.uint8).tobytes()
+                ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0)
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(lines)))
+                    + chunk(b"IEND", b"")
+                )
+                rows.append({"id": int(rid), "payload": payload})
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wire = docs.mapInPandas(_gen, "id long, payload binary")
+    out = decode_images(wire, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.hex("pixels").alias("pixels_hex"),
+    )

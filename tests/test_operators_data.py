@@ -131,15 +131,22 @@ def test_multimodal_decode_stub_plumbing(spark):
 
 
 def test_multimodal_decode_compressed_formats_still_gated(spark):
-    """JPEG/PNG (and any non-netpbm magic) still raise: compressed codecs
-    need PIL, absent here — only the library-free formats decode for real."""
+    """JPEG (and any unknown magic) still raises: DCT codecs need PIL,
+    absent here — only the library-free formats decode for real. A
+    TRUNCATED PNG must fail loudly too (PNG itself decodes natively
+    since round 7), never quietly wrong."""
     import pytest
 
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "id long, payload binary"
+        [(1, bytearray(b"\xff\xd8\xff\xe0jpeg-ish"))], "id long, payload binary"
     )
     with pytest.raises(Exception, match="no codec for magic"):
         decode_images(df, fake=False).collect()
+    tdf = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="missing IHDR"):
+        decode_images(tdf, fake=False).collect()
     adf = spark.createDataFrame(
         [(1, bytearray(b"ID3\x04mp3-ish"))], "id long, payload binary"
     )
@@ -1149,3 +1156,162 @@ def test_video_frame_splitting_and_sampling(spark):
         sample_video_frames(df, every_n=0)
     with _pt.raises(ValueError):
         sample_video_frames(df, offset=-1)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real DEFLATE + all five scanline filters (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(pixels, color_type: int, filters, palette=None) -> bytes:
+    """Reference encoder for the roundtrip tests: applies the REQUESTED
+    filter type per scanline exactly as the spec's filtering algorithm,
+    then real zlib DEFLATE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    lines = bytearray()
+    for y, ftype in zip(range(h), filters):
+        cur = flat[y]
+        above = flat[y - 1] if y > 0 else np.zeros_like(cur)
+        raw = np.zeros_like(cur)
+        for x in range(w * c):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = above[x]
+            ul = above[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc_ else up if pb <= pc_ else ul
+            raw[x] = (cur[x] - pred) & 0xFF
+        lines += bytes([ftype]) + raw.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_multimodal_png_all_filters_all_color_types():
+    import numpy as np
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_png
+
+    rng = (np.arange(20 * 24 * 4, dtype=np.int64) * 157 + 13) % 251
+    # gray: 24 rows cycle through every filter type
+    gray = rng[: 20 * 24].astype(np.uint8).reshape(24, 20)
+    fmt, w, h, c, px = _decode_png(
+        _png_encode(gray, 0, [y % 5 for y in range(24)])
+    )
+    assert (fmt, w, h, c) == ("png/gray", 20, 24, 1)
+    assert px == gray.tobytes()
+    # rgb + rgba: Paeth everywhere (the hardest inverse)
+    rgb = rng[: 20 * 24 * 3].astype(np.uint8).reshape(24, 20, 3)
+    fmt, w, h, c, px = _decode_png(_png_encode(rgb, 2, [4] * 24))
+    assert (fmt, c) == ("png/rgb", 3) and px == rgb.tobytes()
+    rgba = rng.astype(np.uint8).reshape(24, 20, 4)
+    fmt, w, h, c, px = _decode_png(_png_encode(rgba, 6, [3] * 24))
+    assert (fmt, c) == ("png/rgba", 4) and px == rgba.tobytes()
+    # palette: indices expand through PLTE to rgb
+    pal = bytes(range(48))  # 16 rgb entries
+    idx = (rng[: 8 * 6] % 16).astype(np.uint8).reshape(6, 8)
+    fmt, w, h, c, px = _decode_png(
+        _png_encode(idx, 3, [1] * 6, palette=pal)
+    )
+    assert (fmt, w, h, c) == ("png/palette", 8, 6, 3)
+    exp = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx.reshape(-1)]
+    assert px == exp.tobytes()
+
+
+def test_multimodal_png_hand_checked_sub_filter():
+    """2x2 gray, filter Sub on both rows: recon[x] = raw[x] + recon[x-1]
+    mod 256 — the expected bytes are computed by hand, so the decoder
+    can't be self-consistently wrong with the test encoder."""
+    import struct
+    import zlib
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_png
+
+    # filtered scanlines: [1, 200, 100] and [1, 7, 250] (type byte first)
+    lines = bytes([1, 200, 100, 1, 7, 250])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    _f, _w, _h, _c, px = _decode_png(raw)
+    # row0: 200, (100+200)%256=44 ; row1: 7, (250+7)%256=1
+    assert list(px) == [200, 44, 7, 1]
+
+
+def test_multimodal_png_failures_are_loud():
+    import numpy as np
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_png
+
+    gray = np.zeros((4, 4), dtype=np.uint8)
+    good = _png_encode(gray, 0, [0, 1, 2, 4])
+    bad = bytearray(good)
+    bad[40] ^= 0x01  # flip a bit inside a chunk body
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        _decode_png(b"\x89PNJ" + good[4:])
+    # 16-bit depth and interlace must be refused by name, not mis-decoded
+    import struct
+    import zlib as _z
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p16 = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        _decode_png(p16)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    pi = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlacing"):
+        _decode_png(pi)
+    # corrupt DEFLATE stream -> zlib error surfaces, not silent garbage
+    idat_broken = _png_chunk(b"IDAT", b"\x00bogus")
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    pz = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + idat_broken
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(_z.error):
+        _decode_png(pz)

@@ -861,11 +861,16 @@ def test_pq_adc_steady_query_never_touches_raw_embeddings(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["multimodal_decode_bmp_rle", "multimodal_decode_gif_lzw"]
+    "name",
+    [
+        "multimodal_decode_bmp_rle",
+        "multimodal_decode_gif_lzw",
+        "multimodal_decode_png",
+    ],
 )
 def test_compressed_codec_decode_no_exchange(spark, sf_dir, name):
-    """Compressed-codec queries (RLE8 BMP, LZW GIF): wire build ->
-    mapInPandas decode -> hex projection is a pure narrow pipeline — no
+    """Compressed-codec queries (RLE8 BMP, LZW GIF, DEFLATE PNG): wire
+    build -> mapInPandas decode -> hex projection is a pure narrow pipeline — no
     exchange of any kind, so the decode scales with input splits alone
     (the multimodal codec contract: per-document work, embarrassingly
     parallel at 100 TB)."""
