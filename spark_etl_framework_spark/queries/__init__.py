@@ -166,7 +166,9 @@ def _load_all() -> None:
 #: actors), hbase_read_roundtrip (the REST/Stargate protocol un-gating
 #: the HBase actors — with this, EVERY connector family is un-gated),
 #: multimodal_decode_png (the third real compressed codec: DEFLATE +
-#: all five PNG filters). Then keep
+#: all five PNG filters), multimodal_decode_jpeg (the fourth: baseline
+#: JPEG — canonical huffman, dequant, exact IDCT — the format the
+#: README previously said needs PIL). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

@@ -1284,3 +1284,153 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format",
         F.hex("pixels").alias("pixels_hex"),
     )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    # DC-only baseline JPEG with even block values and Q=16 decodes
+    # EXACTLY (DC = 8*(v-128) quantizes by 16 without remainder for
+    # even v), so DuckDB replays the expected pixels arithmetically —
+    # each md5 byte (forced even) paints one constant 8x8 block — while
+    # the decoder still runs its full machinery: marker walk, canonical
+    # huffman decode of the DC categories + EOB symbols, dequant,
+    # zigzag inversion, the exact IDCT. AC coefficients, subsampling,
+    # restart intervals and error bounds are covered by the unit tests'
+    # full baseline encoder (tests/test_operators_data.py).
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+        SELECT doc_id, g.i AS i,
+               ((strpos('0123456789abcdef', hx[2*g.i+1]) - 1) * 16
+                + strpos('0123456789abcdef', hx[2*g.i+2]) - 1) // 2 * 2 AS v
+        FROM h, (SELECT unnest(range(0, 8)) AS i) AS g
+    ),
+    px AS (
+        SELECT doc_id,
+               string_agg(repeat(lpad(upper(to_hex(v)), 2, '0'), 8), ''
+                          ORDER BY i) AS blocks
+        FROM b WHERE i < 4 GROUP BY doc_id
+    ),
+    px2 AS (
+        SELECT doc_id,
+               string_agg(repeat(lpad(upper(to_hex(v)), 2, '0'), 8), ''
+                          ORDER BY i) AS blocks
+        FROM b WHERE i >= 4 GROUP BY doc_id
+    )
+    SELECT px.doc_id        AS id,
+           CAST(32 AS INT)  AS width,
+           CAST(16 AS INT)  AS height,
+           CAST(1 AS INT)   AS channels,
+           'jpeg/gray'      AS format,
+           repeat(px.blocks, 8) || repeat(px2.blocks, 8) AS pixels_hex
+    FROM px JOIN px2 ON px.doc_id = px2.doc_id
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suite's FOURTH real compressed codec under the oracle gate —
+    baseline JPEG with genuine Huffman entropy coding and transform
+    coding, stdlib + numpy only: each document becomes a valid SOF0
+    JPEG (DQT all-16s, annex-K huffman tables, one DC-coded constant
+    8x8 block per md5 byte forced even, 32x16 gray), decoded by
+    ``decode_images(fake=False)`` → ``_decode_jpeg``
+    (operators/multimodal.py): marker walk, canonical huffman decode
+    with byte-stuffing handling, dequantization, zigzag inversion, the
+    exact orthonormal IDCT, level shift — and the recovered raster must
+    equal the md5-derived blocks byte for byte. AC run-lengths, 4:2:0
+    chroma, restart intervals and lossy error bounds are pinned by the
+    unit tests' full baseline encoder. Narrow plan: no shuffle."""
+    import hashlib
+    import struct
+
+    from ..operators.multimodal import decode_images
+
+    # annex-K standard DC luminance table: category t -> (length, code);
+    # the AC table is a MINIMAL legal DHT — one 4-bit code for EOB, the
+    # only AC symbol a DC-only stream emits
+    dc_counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_symbols = list(range(12))
+    ac_counts = [0, 0, 0, 1] + [0] * 12
+    ac_symbols = [0x00]
+
+    def codes(counts, symbols):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[symbols[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc = codes(dc_counts, dc_symbols)
+    eob_len, eob_code = codes(ac_counts, ac_symbols)[0x00]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([16] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 32) + bytes([1, 1, 0x11, 0]))
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(dc_counts) + bytes(dc_symbols)
+            + bytes([0x10]) + bytes(ac_counts) + bytes(ac_symbols),
+        )
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = [
+                    b & 0xFE
+                    for b in hashlib.md5(text.encode("utf-8")).digest()[:8]
+                ]
+                acc = n = 0
+                bits = bytearray()
+
+                def put(value, nbits):
+                    nonlocal acc, n
+                    for i in range(nbits - 1, -1, -1):
+                        acc = (acc << 1) | ((value >> i) & 1)
+                        n += 1
+                        if n == 8:
+                            bits.append(acc)
+                            if acc == 0xFF:
+                                bits.append(0x00)
+                            acc = 0
+                            n = 0
+
+                pred = 0
+                for v in vals:
+                    dcq = (8 * (v - 128)) // 16  # exact for even v
+                    diff = dcq - pred
+                    pred = dcq
+                    t = int(diff != 0 and abs(diff).bit_length())
+                    ln, cd = dc[t]
+                    put(cd, ln)
+                    if t:
+                        put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                    put(eob_code, eob_len)
+                while n:
+                    put(1, 1)
+                rows.append(
+                    {"id": int(rid), "payload": head + bytes(bits) + b"\xff\xd9"}
+                )
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wire = docs.mapInPandas(_gen, "id long, payload binary")
+    out = decode_images(wire, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        "format",
+        F.hex("pixels").alias("pixels_hex"),
+    )

@@ -131,14 +131,13 @@ def test_multimodal_decode_stub_plumbing(spark):
 
 
 def test_multimodal_decode_compressed_formats_still_gated(spark):
-    """JPEG (and any unknown magic) still raises: DCT codecs need PIL,
-    absent here — only the library-free formats decode for real. A
-    TRUNCATED PNG must fail loudly too (PNG itself decodes natively
-    since round 7), never quietly wrong."""
+    """Unknown magic still raises with the codec inventory named; and
+    the native compressed decoders (PNG/JPEG since round 7) must fail
+    LOUDLY on truncated payloads, never quietly wrong."""
     import pytest
 
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0jpeg-ish"))], "id long, payload binary"
+        [(1, bytearray(b"\x00\x00\x01\xbampeg-ps"))], "id long, payload binary"
     )
     with pytest.raises(Exception, match="no codec for magic"):
         decode_images(df, fake=False).collect()
@@ -147,6 +146,11 @@ def test_multimodal_decode_compressed_formats_still_gated(spark):
     )
     with pytest.raises(Exception, match="missing IHDR"):
         decode_images(tdf, fake=False).collect()
+    jdf = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xd9"))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="missing SOF0 or SOS"):
+        decode_images(jdf, fake=False).collect()
     adf = spark.createDataFrame(
         [(1, bytearray(b"ID3\x04mp3-ish"))], "id long, payload binary"
     )
@@ -1315,3 +1319,271 @@ def test_multimodal_png_failures_are_loud():
     )
     with pytest.raises(_z.error):
         _decode_png(pz)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: baseline huffman + IDCT (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+#: standard huffman tables from the JPEG spec annex K (public)
+_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = list(range(12))
+_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_codes(counts, symbols):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_encode(arr, quant, subsample=(1, 1), restart=0):
+    """Reference baseline encoder: FDCT -> quantize -> zigzag ->
+    annex-K huffman; gray (2-D input) or RGB (3-D, BT.601 forward,
+    chroma subsampled by ``subsample``)."""
+    import struct
+
+    import numpy as np
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+    )
+
+    A = _idct_matrix()
+    dc = _jpeg_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac = _jpeg_codes(_AC_COUNTS, _AC_SYMBOLS)
+    q = np.asarray(quant, dtype=np.int32)
+
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    if gray:
+        planes = [arr]
+        samps = [(1, 1)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        sh, sv = subsample
+
+        def down(p):
+            if sh == 1 and sv == 1:
+                return p
+            ph = -(-p.shape[0] // sv) * sv
+            pw = -(-p.shape[1] // sh) * sh
+            pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                         mode="edge")
+            return pad.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+        planes = [y, down(cb), down(cr)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    padded = []
+    for p, (sh_, sv_) in zip(planes, samps):
+        ph, pw = mcuy * sv_ * 8, mcux * sh_ * 8
+        padded.append(
+            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        )
+
+    bw = _JpegBitWriter()
+    segments = [bw]  # entropy segments split by restarts
+
+    def encode_block(plane, y0, x0, pred):
+        f = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        F = A @ f @ A.T
+        coeffs = np.round(F.reshape(64)[np.argsort(_JPEG_ZIGZAG)])
+        zz = np.zeros(64, dtype=np.int64)
+        for i, z in enumerate(_JPEG_ZIGZAG):
+            zz[i] = int(round(F.reshape(64)[z] / q[i]))
+        diff = int(zz[0]) - pred
+        t = int(diff != 0 and int(abs(diff)).bit_length())
+        lw = segments[-1]
+        ln, cd = dc[t]
+        lw.put(cd, ln)
+        if t:
+            lw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        run = 0
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, cd = ac[0xF0]
+                lw.put(cd, ln)
+                run -= 16
+            v = int(zz[i])
+            s = int(abs(v)).bit_length()
+            ln, cd = ac[(run << 4) | s]
+            lw.put(cd, ln)
+            lw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            ln, cd = ac[0x00]
+            lw.put(cd, ln)
+        return int(zz[0])
+
+    preds = [0] * len(planes)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                segments[-1].flush()
+                segments.append(_JpegBitWriter())
+                preds = [0] * len(planes)  # spec: RST resets DC predictors
+            mcu_i += 1
+            for ci, (plane, (sh_, sv_)) in enumerate(zip(padded, samps)):
+                for by in range(sv_):
+                    for bx in range(sh_):
+                        preds[ci] = encode_block(
+                            plane, (my * sv_ + by) * 8, (mx * sh_ + bx) * 8,
+                            preds[ci],
+                        )
+    segments[-1].flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(int(x) for x in q)
+    out = b"\xff\xd8" + seg(0xDB, b"\x00" + zz_q)
+    nc = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sh_, sv_ = samps[ci]
+        sof += bytes([ci + 1, (sh_ << 4) | sv_, 0])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+        + bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS),
+    )
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    for i, s in enumerate(segments):
+        out += bytes(s.out)
+        if i < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    return out + b"\xff\xd9"
+
+
+def test_multimodal_jpeg_dc_only_exact():
+    """Constant 8x8 blocks with even values and Q=16: DC quantization is
+    exact by construction, so the baseline decode must reproduce the
+    input byte-for-byte — a hand-checkable anchor (DC = 8*(v-128),
+    quantized by 16 → (v-128)/2 integral for even v)."""
+    import numpy as np
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_jpeg
+
+    vals = [2, 64, 130, 254, 16, 200, 88, 100]
+    img = np.zeros((16, 32), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 4)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    raw = _jpeg_encode(img, [16] * 64)
+    fmt, w, h, c, px = _decode_jpeg(raw)
+    assert (fmt, w, h, c) == ("jpeg/gray", 32, 16, 1)
+    assert px == img.tobytes()
+
+
+def test_multimodal_jpeg_gray_roundtrip_error_bound():
+    import numpy as np
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_jpeg
+
+    rng = ((np.arange(24 * 17, dtype=np.int64) * 97 + 31) % 256).astype(np.uint8)
+    img = rng.reshape(17, 24)  # non-multiple-of-8: exercises crop
+    raw = _jpeg_encode(img, [1] * 64)  # Q=1: only FDCT rounding loss
+    fmt, w, h, c, px = _decode_jpeg(raw)
+    assert (w, h) == (24, 17)
+    got = np.frombuffer(px, np.uint8).reshape(17, 24).astype(np.int32)
+    assert int(np.abs(got - img.astype(np.int32)).max()) <= 2
+
+
+def test_multimodal_jpeg_color_420_and_restart():
+    import numpy as np
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_jpeg
+
+    # constant-chroma image: 4:2:0 subsampling is exact for chroma;
+    # 16x64 = four 16x16 MCUs, so restart=2 emits a mid-scan RST
+    r = ((np.arange(64 * 16, dtype=np.int64) * 53) % 200 + 20).astype(np.float64)
+    y = r.reshape(16, 64)
+    img = np.stack([y, y, y], axis=-1)  # gray-ish RGB → Cb=Cr=128
+    raw = _jpeg_encode(img, [1] * 64, subsample=(2, 2), restart=2)
+    assert b"\xff\xd0" in raw  # RST0 marker present mid-scan
+    fmt, w, h, c, px = _decode_jpeg(raw)
+    assert (fmt, w, h, c) == ("jpeg/rgb", 64, 16, 3)
+    got = np.frombuffer(px, np.uint8).reshape(16, 64, 3).astype(np.int32)
+    assert int(np.abs(got - img.astype(np.int32)).max()) <= 3
+
+
+def test_multimodal_jpeg_failures_are_loud():
+    import numpy as np
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = _jpeg_encode(img, [16] * 64)
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        _decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"nope" + good)

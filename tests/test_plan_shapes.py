@@ -866,6 +866,7 @@ def test_pq_adc_steady_query_never_touches_raw_embeddings(spark, sf_dir):
         "multimodal_decode_bmp_rle",
         "multimodal_decode_gif_lzw",
         "multimodal_decode_png",
+        "multimodal_decode_jpeg",
     ],
 )
 def test_compressed_codec_decode_no_exchange(spark, sf_dir, name):
