@@ -1231,6 +1231,49 @@ def _split_netpbm_frames(raw: bytes) -> list[bytes]:
     return frames
 
 
+def _split_avi_mjpeg_frames(raw: bytes) -> list[bytes]:
+    """Split an MJPEG-in-AVI container into its JPEG frames.
+
+    AVI is RIFF (a public Microsoft format): ``RIFF<size>AVI `` followed
+    by LIST chunks; the ``movi`` LIST holds the stream data as
+    ``NNdc``/``NNdb`` chunks (compressed/uncompressed video of stream
+    NN), each word-aligned. MJPEG AVIs carry one whole baseline JPEG per
+    ``dc`` chunk — which the native ``_decode_jpeg`` decodes, so this
+    container needs no ffmpeg. Non-video chunks (``wb`` audio, ``idx1``
+    index) are skipped; a chunk that overruns the file raises."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI  magic missing)")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            cid = raw[pos : pos + 4]
+            (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(
+                    f"corrupt AVI: chunk {cid!r} at {pos} overruns the file"
+                )
+            if cid == b"LIST":
+                ltype = raw[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frame = raw[body_start : body_start + size]
+                if frame[:2] != b"\xff\xd8":
+                    raise ValueError(
+                        f"AVI video chunk {cid!r} is not JPEG (MJPEG expected)"
+                    )
+                frames.append(frame)
+            pos = body_start + size + (size & 1)  # word alignment
+
+    walk(12, len(raw))
+    return frames
+
+
 def sample_video_frames(
     df: DataFrame,
     bin_col: str = "payload",
@@ -1243,10 +1286,13 @@ def sample_video_frames(
     video→training-frames step (you never decode all frames of 100 TB of
     video; you stride).
 
-    Container format: concatenated binary netpbm frames
+    Container formats: concatenated binary netpbm frames
     (:func:`_split_netpbm_frames` — really parsed, variable frame sizes
-    allowed). Compressed containers (MP4/MKV magic) raise a clear
-    ``NotImplementedError`` naming the library to plug in (ffmpeg), same
+    allowed) and MJPEG-in-AVI (:func:`_split_avi_mjpeg_frames` — RIFF
+    chunk walk, each ``dc`` chunk a whole baseline JPEG decoded by the
+    native ``_decode_jpeg``). Containers needing a real demuxer
+    (MP4/MKV magic) raise a clear ``NotImplementedError`` naming the
+    library to plug in (ffmpeg), same
     policy as the image codecs. Arrow-batched ``mapInPandas``, narrow:
     splitting + striding is per-row work at scan speed, and the output
     carries only the SAMPLED frames' rasters — the dropped frames' bytes
@@ -1267,12 +1313,17 @@ def sample_video_frames(
                 if raw[:4] in (b"\x1aE\xdf\xa3",) or raw[4:8] == b"ftyp":
                     raise NotImplementedError(
                         "compressed video containers (MP4/MKV) need ffmpeg "
-                        "(absent here); concatenated-netpbm raw video "
-                        "decodes natively"
+                        "(absent here); concatenated-netpbm raw video and "
+                        "MJPEG-in-AVI decode natively"
                     )
-                frames = _split_netpbm_frames(raw)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    frames = _split_avi_mjpeg_frames(raw)
+                    decode_frame = _decode_jpeg
+                else:
+                    frames = _split_netpbm_frames(raw)
+                    decode_frame = _decode_netpbm
                 for idx in range(offset, len(frames), every_n):
-                    fmt, w, h, c, px = _decode_netpbm(frames[idx])
+                    fmt, w, h, c, px = decode_frame(frames[idx])
                     rows.append(
                         {
                             "id": int(rid),

@@ -1434,3 +1434,143 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format",
         F.hex("pixels").alias("pixels_hex"),
     )
+
+
+@register(
+    "multimodal_video_mjpeg_sample",
+    # each document becomes a 4-frame MJPEG AVI whose frames are
+    # constant DC-only JPEGs (md5 byte forced even -> exact decode);
+    # striding keeps frames 0 and 2, so DuckDB replays the sampled
+    # frames arithmetically: per doc, two rows whose 64 pixels all
+    # carry the frame's md5-derived value
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    f AS (
+        SELECT doc_id, CAST(g.i AS INT) AS frame_idx,
+               ((strpos('0123456789abcdef', hx[2*g.i+1]) - 1) * 16
+                + strpos('0123456789abcdef', hx[2*g.i+2]) - 1) // 2 * 2 AS v
+        FROM h, (SELECT unnest([0, 2]) AS i) AS g
+    )
+    SELECT doc_id          AS id,
+           frame_idx,
+           CAST(4 AS INT)  AS n_frames,
+           CAST(8 AS INT)  AS width,
+           CAST(8 AS INT)  AS height,
+           CAST(1 AS INT)  AS channels,
+           repeat(lpad(upper(to_hex(v)), 2, '0'), 64) AS pixels_hex
+    FROM f
+    """,
+)
+def multimodal_video_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling a REAL compressed video container — MJPEG-in-AVI,
+    no ffmpeg: each document becomes a RIFF/AVI whose movi LIST holds
+    four DC-only baseline JPEGs (one per md5 byte, forced even for
+    exact decode), interleaved with an audio chunk and an idx1 index
+    the splitter must skip; ``sample_video_frames(every_n=2)`` walks
+    the RIFF chunks (word alignment included), keeps frames 0 and 2,
+    and decodes the kept frames through the native JPEG path
+    (operators/multimodal.py:_split_avi_mjpeg_frames + _decode_jpeg).
+    Dropped frames' bytes never leave the scan task — the 100 TB video
+    contract. Narrow plan: no shuffle."""
+    import hashlib
+    import struct
+
+    from ..operators.multimodal import sample_video_frames
+
+    dc_counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_symbols = list(range(12))
+    ac_counts = [0, 0, 0, 1] + [0] * 12
+    ac_symbols = [0x00]
+
+    def codes(counts, symbols):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[symbols[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc = codes(dc_counts, dc_symbols)
+    eob_len, eob_code = codes(ac_counts, ac_symbols)[0x00]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([16] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(dc_counts) + bytes(dc_symbols)
+            + bytes([0x10]) + bytes(ac_counts) + bytes(ac_symbols),
+        )
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+
+    def jpeg_const(v: int) -> bytes:
+        acc = n = 0
+        bits = bytearray()
+
+        def put(value, nbits):
+            nonlocal acc, n
+            for i in range(nbits - 1, -1, -1):
+                acc = (acc << 1) | ((value >> i) & 1)
+                n += 1
+                if n == 8:
+                    bits.append(acc)
+                    if acc == 0xFF:
+                        bits.append(0x00)
+                    acc = 0
+                    n = 0
+
+        diff = (8 * (v - 128)) // 16
+        t = int(diff != 0 and abs(diff).bit_length())
+        ln, cd = dc[t]
+        put(cd, ln)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        put(eob_code, eob_len)
+        while n:
+            put(1, 1)
+        return head + bytes(bits) + b"\xff\xd9"
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = [
+                    b & 0xFE
+                    for b in hashlib.md5(text.encode("utf-8")).digest()[:4]
+                ]
+                movi = b"movi"
+                for i, v in enumerate(vals):
+                    movi += chunk(b"00dc", jpeg_const(v))
+                    if i == 1:  # foreign chunks the walker must skip
+                        movi += chunk(b"01wb", b"audio-bytes")
+                movi += chunk(b"idx1", b"\x00" * 16)
+                body = b"AVI " + chunk(b"LIST", movi)
+                avi = b"RIFF" + struct.pack("<I", len(body)) + body
+                rows.append({"id": int(rid), "payload": avi})
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wire = docs.mapInPandas(_gen, "id long, payload binary")
+    out = sample_video_frames(wire, every_n=2)
+    return out.select(
+        "id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )

@@ -1587,3 +1587,74 @@ def test_multimodal_jpeg_failures_are_loud():
         _decode_jpeg(bytes(prog))
     with pytest.raises(ValueError, match="SOI"):
         _decode_jpeg(b"nope" + good)
+
+
+def _avi(frames, extra_chunks=()):
+    """Minimal MJPEG AVI: RIFF/AVI with a movi LIST of 00dc chunks
+    (word-aligned), plus optional foreign chunks the splitter must skip."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    movi = b"movi"
+    for f in frames:
+        movi += chunk(b"00dc", f)
+    for cid, body in extra_chunks:
+        movi += chunk(cid, body)
+    body = b"AVI " + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_avi_mjpeg_frame_sampling(spark):
+    """MJPEG-in-AVI: the RIFF walk yields the 00dc JPEG frames in order
+    (skipping audio/index chunks), the stride keeps every 2nd, and the
+    DC-only frames decode EXACTLY to their constant values."""
+    import numpy as np
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        _split_avi_mjpeg_frames,
+        sample_video_frames,
+    )
+
+    vals = [40, 90, 140, 190]
+    frames = [
+        _jpeg_encode(np.full((8, 8), v, dtype=np.uint8), [16] * 64)
+        for v in vals
+    ]
+    avi = _avi(frames, extra_chunks=[(b"01wb", b"audio!"), (b"idx1", b"\x00" * 16)])
+    assert [f[:2] for f in _split_avi_mjpeg_frames(avi)] == [b"\xff\xd8"] * 4
+
+    df = spark.createDataFrame([(1, bytearray(avi))], "id long, payload binary")
+    out = sample_video_frames(df, every_n=2).collect()
+    assert [(r.frame_idx, r.n_frames, r.width, r.height) for r in out] == [
+        (0, 4, 8, 8), (2, 4, 8, 8)]
+    assert [bytes(r.pixels) for r in out] == [
+        bytes([vals[0]]) * 64, bytes([vals[2]]) * 64]
+
+
+def test_multimodal_avi_corrupt_fails_loudly():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        _split_avi_mjpeg_frames,
+    )
+
+    f = _jpeg_encode(np.zeros((8, 8), dtype=np.uint8), [16] * 64)
+    good = _avi([f])
+    with pytest.raises(ValueError, match="RIFF"):
+        _split_avi_mjpeg_frames(b"JUNK" + good[4:])
+    # a dc chunk whose payload is not JPEG
+    bad = _avi([b"not-a-jpeg!!"])
+    with pytest.raises(ValueError, match="not JPEG"):
+        _split_avi_mjpeg_frames(bad)
+    # declared size overrunning the file
+    trunc = bytearray(good)
+    trunc[-10:] = b""  # chop the tail off the last chunk
+    trunc[4:8] = struct.pack("<I", len(trunc) - 8)
+    with pytest.raises(ValueError, match="overruns"):
+        _split_avi_mjpeg_frames(bytes(trunc))
