@@ -206,3 +206,41 @@ def test_unreachable_rest_server_errors_clearly(spark):
             connection_table="t", connection_restHost="127.0.0.1",
             connection_restPort=1, rowKey_columns="id", view="hb_one",
         ).run(_jctx(spark), spark)
+
+
+def test_stream_sink_foreachbatch_to_live_hbase(spark, hbase_srv, tmp_path):
+    """Streaming sink evidence for the un-gated connector: micro-batches
+    land as multi-row CellSet PUTs through the batch HBaseWriter — the
+    reference's HBase stream-sink shape, against a LIVE REST server."""
+    from spark_etl_framework_spark.streaming.writers import (
+        ForeachBatchConnectorStreamWriter,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"n{i}", i * 0.5) for i in range(9)],
+        "id bigint, name string, score double",
+    ).coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("id bigint, name string, score double").parquet(
+        str(src)
+    )
+    sdf.createOrReplaceTempView("hbase_stream_in")
+    w = ForeachBatchConnectorStreamWriter(
+        view="hbase_stream_in",
+        batchWriter="spark_etl_framework_spark.sinks.optional.HBaseWriter",
+        checkpointLocation=str(tmp_path / "ckpt"),
+        trigger_mode="once",
+        test_waittimeMS=30_000,
+    )
+    w._props.update(
+        {
+            "sink.connection_table": "t",
+            "sink.connection_restHost": "127.0.0.1",
+            "sink.connection_restPort": hbase_srv.port,
+            "sink.rowKey_columns": "id",
+        }
+    )
+    w.run(_jctx(spark), spark)
+    t = hbase_srv.table("t")
+    assert len(t) == 9
+    assert t["4"]["d:name"] == b"n4"  # default family when unmapped

@@ -169,3 +169,40 @@ def test_unreachable_server_errors_clearly(spark):
         MongoWriter(
             host="127.0.0.1", port=1, database="d", collection="c", view="mg_one"
         ).run(_jctx(spark), spark)
+
+
+def test_stream_sink_foreachbatch_to_live_mongo(spark, mongo_srv, tmp_path):
+    """Streaming sink evidence for the un-gated connector: a rate-less
+    file stream drains into Mongo through ForeachBatchConnectorStreamWriter
+    reusing the batch MongoWriter per micro-batch — the reference's
+    MongoStreamWriter shape (etl/sink/MongoStreamWriter.scala:76-81),
+    now against a LIVE wire server."""
+    from spark_etl_framework_spark.streaming.writers import (
+        ForeachBatchConnectorStreamWriter,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(12)], "id bigint, name string"
+    ).coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("id bigint, name string").parquet(str(src))
+    sdf.createOrReplaceTempView("mongo_stream_in")
+    w = ForeachBatchConnectorStreamWriter(
+        view="mongo_stream_in",
+        batchWriter="spark_etl_framework_spark.sinks.optional.MongoWriter",
+        checkpointLocation=str(tmp_path / "ckpt"),
+        trigger_mode="once",
+        test_waittimeMS=30_000,
+    )
+    w._props.update(
+        {
+            "sink.host": "127.0.0.1",
+            "sink.port": mongo_srv.port,
+            "sink.database": "db",
+            "sink.collection": "evts",
+            "sink.idColumn": "id",
+        }
+    )
+    w.run(_jctx(spark), spark)
+    stored = {d["_id"]: d["name"] for d in mongo_srv.collection("db", "evts")}
+    assert stored == {i: f"n{i}" for i in range(12)}
