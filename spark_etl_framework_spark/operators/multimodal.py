@@ -811,11 +811,22 @@ def sample_audio_frames(
                     with wave.open(io.BytesIO(raw)) as wf:
                         rate = wf.getframerate()
                         pcm = wf.readframes(wf.getnframes())
+                elif raw[:4] == b"fLaC":
+                    import struct as _struct
+
+                    rate, _nch, _bps, chans = _decode_flac(raw)
+                    pcm = b"".join(
+                        _struct.pack(
+                            "<" + "h" * len(chans), *(ch[i] for ch in chans)
+                        )
+                        for i in range(len(chans[0]))
+                    )
                 else:
                     raise NotImplementedError(
-                        f"no codec for audio magic {raw[:4]!r}: compressed audio "
-                        "needs ffmpeg/soundfile (absent here); RIFF/WAV PCM "
-                        "decodes natively"
+                        f"no codec for audio magic {raw[:4]!r}: MP3/OGG need "
+                        "ffmpeg/soundfile (absent here); RIFF/WAV PCM, G.711 "
+                        "mu-law and FLAC (Rice + fixed/LPC prediction) decode "
+                        "natively"
                     )
                 for i, frame in _slices(pcm):
                     rows.append(
@@ -872,6 +883,263 @@ def image_channel_stats(
 
 #: Output schema of the G.711 mu-law decoder.
 MULAW_DECODE_SCHEMA = "id bigint, sample_rate int, n_samples int, pcm array<smallint>"
+
+
+class _FlacBits:
+    """MSB-first bit reader over the whole stream (FLAC is bit-packed)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bytepos = pos
+        self.bitpos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            b = self.data[self.bytepos]
+            v = (v << 1) | ((b >> (7 - self.bitpos)) & 1)
+            self.bitpos += 1
+            if self.bitpos == 8:
+                self.bitpos = 0
+                self.bytepos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.bytepos += 1
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_rice_residual(r: _FlacBits, n: int, predictor_order: int) -> list[int]:
+    """Partitioned Rice residual (spec 9.2.7): method 0 = 4-bit params,
+    method 1 = 5-bit; escape code means verbatim n-bit residuals."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"FLAC reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    out: list[int] = []
+    nparts = 1 << porder
+    for p in range(nparts):
+        count = (n >> porder) - (predictor_order if p == 0 else 0)
+        param = r.read(pbits)
+        if param == escape:
+            raw_bits = r.read(5)
+            for _ in range(count):
+                out.append(r.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(count):
+                q = r.read_unary()
+                low = r.read(param) if param else 0
+                u = (q << param) | low
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(r: _FlacBits, n: int, bps: int) -> list[int]:
+    if r.read(1) != 0:
+        raise ValueError("FLAC subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.read_unary()
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        out = [r.read_signed(eff)] * n
+    elif stype == 1:  # VERBATIM
+        out = [r.read_signed(eff) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [r.read_signed(eff) for _ in range(order)]
+        resid = _flac_rice_residual(r, n, order)
+        out = list(warm)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for i, e in enumerate(resid):
+            pred = sum(c * out[order + i - 1 - j] for j, c in enumerate(coefs))
+            out.append(pred + e)
+    elif stype >= 32:  # LPC order 1-32
+        order = (stype & 31) + 1
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC invalid LPC precision escape")
+        shift = r.read_signed(5)
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _flac_rice_residual(r, n, order)
+        out = list(warm)
+        for e in resid:
+            acc = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append((acc >> shift) + e)
+    else:
+        raise ValueError(f"FLAC reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _decode_flac(raw: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """FLAC — REAL compressed lossless audio, stdlib-only: STREAMINFO,
+    frame-header parse with CRC-8 and frame CRC-16 verification,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned Rice residuals
+    (both methods + verbatim escape), wasted bits, and the four channel
+    assignments (independent, left/side, right/side, mid/side). Returns
+    (sample_rate, channels, bits_per_sample, per-channel sample lists).
+    Spec: the FLAC format (public, xiph.org / RFC 9639)."""
+    if raw[:4] != b"fLaC":
+        raise ValueError("not FLAC (fLaC magic missing)")
+    pos = 4
+    sample_rate = channels = bps = None
+    total = None
+    while True:
+        hdr = raw[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        length = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 4 + length]
+        if btype == 0:  # STREAMINFO
+            b = _FlacBits(body)
+            b.read(16)  # min block
+            b.read(16)  # max block
+            b.read(24)
+            b.read(24)
+            sample_rate = b.read(20)
+            channels = b.read(3) + 1
+            bps = b.read(5) + 1
+            total = b.read(36)
+        pos += 4 + length
+        if last:
+            break
+    if sample_rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+
+    out: list[list[int]] = [[] for _ in range(channels)]
+    blocksize_codes = {1: 192, 6: -1, 7: -2}
+    blocksize_codes.update({i: 576 << (i - 2) for i in range(2, 6)})
+    blocksize_codes.update({i: 256 << (i - 8) for i in range(8, 16)})
+
+    while pos < len(raw) and (total is None or len(out[0]) < total):
+        frame_start = pos
+        r = _FlacBits(raw, pos)
+        sync = r.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"FLAC bad frame sync at byte {pos}")
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)  # reserved
+        # UTF-8 coded frame/sample number
+        first = r.read(8)
+        extra = 0
+        if first >= 0xC0:
+            x = first
+            while x & 0x40:
+                extra += 1
+                x <<= 1
+        for _ in range(extra):
+            r.read(8)
+        if bs_code == 6:
+            n = r.read(8) + 1
+        elif bs_code == 7:
+            n = r.read(16) + 1
+        else:
+            n = blocksize_codes[bs_code]
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        # CRC-8 covers the header bytes up to here
+        r.align()
+        hdr_crc = r.read(8)
+        actual = _crc8(raw[frame_start : r.bytepos - 1])
+        if actual != hdr_crc:
+            raise ValueError(
+                f"FLAC frame header CRC-8 mismatch: {actual:#x} != {hdr_crc:#x}"
+            )
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            sub_bps = [bps] * nch
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # the SIDE channel carries one extra bit (spec 9.2.2)
+            sub_bps = {8: [bps, bps + 1], 9: [bps + 1, bps], 10: [bps, bps + 1]}[
+                ch_code
+            ]
+        else:
+            raise ValueError(f"FLAC reserved channel assignment {ch_code}")
+        if nch != channels:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        del ss_code  # sample size comes from STREAMINFO here
+
+        subs = [_flac_subframe(r, n, sub_bps[c]) for c in range(nch)]
+        r.align()
+        crc16 = r.read(16)
+        actual16 = _crc16(raw[frame_start : r.bytepos - 2])
+        if actual16 != crc16:
+            raise ValueError(
+                f"FLAC frame CRC-16 mismatch: {actual16:#x} != {crc16:#x}"
+            )
+        pos = r.bytepos
+
+        if ch_code == 8:  # left/side -> right = left - side
+            left, side = subs
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # right/side -> left = right + side
+            side, right = subs
+            subs = [[rr + s for rr, s in zip(right, side)], right]
+        elif ch_code == 10:  # mid/side
+            mid, side = subs
+            subs = [
+                [(2 * m + (s & 1) + s) >> 1 for m, s in zip(mid, side)],
+                [(2 * m + (s & 1) - s) >> 1 for m, s in zip(mid, side)],
+            ]
+        for c in range(channels):
+            out[c].extend(subs[c])
+
+    if total is not None:
+        out = [ch[:total] for ch in out]
+    return sample_rate, channels, bps, out
 
 
 def _expand_mulaw(data: bytes) -> list[int]:

@@ -1574,3 +1574,118 @@ def multimodal_video_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "channels",
         F.hex("pixels").alias("pixels_hex"),
     )
+
+
+@register(
+    "multimodal_audio_flac_decode",
+    # FLAC is LOSSLESS, so the oracle replays the expected samples
+    # directly from the md5 hex: each pair of md5 bytes is one signed
+    # 16-bit big-endian sample; the decoder must undo the Rice coding
+    # and the order-1 fixed predictor to recover them exactly. One row
+    # per sample (driver-hashable scalar schema).
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+        SELECT doc_id, CAST(g.i AS INT) AS idx,
+               (strpos('0123456789abcdef', hx[4*g.i+1]) - 1) * 4096
+             + (strpos('0123456789abcdef', hx[4*g.i+2]) - 1) * 256
+             + (strpos('0123456789abcdef', hx[4*g.i+3]) - 1) * 16
+             + (strpos('0123456789abcdef', hx[4*g.i+4]) - 1) AS u
+        FROM h, (SELECT unnest(range(0, 8)) AS i) AS g
+    )
+    SELECT doc_id            AS id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(8 AS INT)    AS n_samples,
+           idx,
+           CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS pcm
+    FROM s
+    """,
+)
+def multimodal_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed lossless audio under the oracle gate — FLAC,
+    stdlib-only: each document's md5 becomes eight signed 16-bit
+    samples, Rice-coded behind an order-1 fixed predictor into a valid
+    FLAC stream (STREAMINFO + one frame with header CRC-8 and frame
+    CRC-16), then decoded by ``_decode_flac``
+    (operators/multimodal.py): sync + header parse, CRC verification,
+    subframe decode, Rice de-zigzag, predictor reconstruction — and the
+    recovered samples must equal the md5-derived ones bit for bit.
+    Stereo decorrelation (left/side, mid/side), LPC subframes,
+    verbatim-escape partitions and wasted bits are pinned by the unit
+    tests (tests/test_operators_data.py). Narrow plan: no shuffle."""
+    import hashlib
+
+    from ..operators.multimodal import _crc8, _crc16, _decode_flac
+
+    def _gen_and_decode(batches):
+        import pandas as pd
+
+        def encode(samples):
+            out = bytearray()
+            acc = [0, 0]  # acc value, nbits
+
+            def put(value, nbits):
+                for i in range(nbits - 1, -1, -1):
+                    acc[0] = (acc[0] << 1) | ((value >> i) & 1)
+                    acc[1] += 1
+                    if acc[1] == 8:
+                        out.append(acc[0])
+                        acc[0] = acc[1] = 0
+
+            n = len(samples)
+            put(n, 16); put(n, 16); put(0, 24); put(0, 24)
+            put(8000, 20); put(0, 3); put(15, 5); put(n, 36)
+            si = bytes(out) + b"\x00" * 16
+            head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+            out.clear(); acc[0] = acc[1] = 0
+            put(0x3FFE, 14); put(0, 1); put(0, 1)
+            put(7, 4); put(0, 4); put(0, 4); put(0, 3); put(0, 1)
+            put(0, 8)  # frame 0
+            put(n - 1, 16)
+            hdr = bytes(out)
+            put(_crc8(hdr), 8)
+            put(0, 1); put(9, 6); put(0, 1)  # FIXED order 1
+            put(samples[0] & 0xFFFF, 16)  # warmup
+            put(0, 2); put(0, 4); put(14, 4)  # rice method 0, 1 part, p=14
+            for i in range(1, n):
+                e = samples[i] - samples[i - 1]
+                u = (e << 1) if e >= 0 else ((-e) << 1) - 1
+                for _ in range(u >> 14):
+                    put(0, 1)
+                put(1, 1)
+                put(u & 0x3FFF, 14)
+            while acc[1]:
+                put(0, 1)
+            body = bytes(out)
+            put(_crc16(body), 16)
+            return head + bytes(out)
+
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                samples = []
+                for i in range(8):
+                    u = (dig[2 * i] << 8) | dig[2 * i + 1]
+                    samples.append(u - 65536 if u >= 32768 else u)
+                rate, _nch, _bps, chans = _decode_flac(encode(samples))
+                for idx, pcm in enumerate(chans[0]):
+                    rows.append(
+                        {
+                            "id": int(rid),
+                            "sample_rate": int(rate),
+                            "n_samples": len(chans[0]),
+                            "idx": idx,
+                            "pcm": int(pcm),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "n_samples", "idx", "pcm"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _gen_and_decode,
+        "id long, sample_rate int, n_samples int, idx int, pcm int",
+    )

@@ -1658,3 +1658,159 @@ def test_multimodal_avi_corrupt_fails_loudly():
     trunc[4:8] = struct.pack("<I", len(trunc) - 8)
     with pytest.raises(ValueError, match="overruns"):
         _split_avi_mjpeg_frames(bytes(trunc))
+
+
+# ---------------------------------------------------------------------------
+# FLAC: Rice + fixed/LPC prediction (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def put_signed(self, value, nbits):
+        self.put(value & ((1 << nbits) - 1), nbits)
+
+    def put_unary(self, q):
+        for _ in range(q):
+            self.put(0, 1)
+        self.put(1, 1)
+
+    def align(self):
+        while self.n:
+            self.put(0, 1)
+
+
+def _flac_encode(channels, sample_rate=8000, bps=16, fixed_order=1,
+                 rice_param=10, subframe="fixed"):
+    """Reference encoder: one frame, FIXED predictor (or constant /
+    verbatim subframes), single Rice partition. FLAC is lossless so the
+    decoder must reproduce the samples exactly."""
+    from spark_etl_framework_spark.operators.multimodal import _crc8, _crc16
+
+    n = len(channels[0])
+    nch = len(channels)
+    w = _FlacBitWriter()
+    # STREAMINFO
+    si = _FlacBitWriter()
+    si.put(n, 16)
+    si.put(n, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(sample_rate, 20)
+    si.put(nch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(n, 36)
+    si_body = bytes(si.out) + b"\x00" * 16  # md5 unset
+    head = b"fLaC" + bytes([0x80]) + len(si_body).to_bytes(3, "big") + si_body
+
+    f = _FlacBitWriter()
+    f.put(0x3FFE, 14)
+    f.put(0, 1)
+    f.put(0, 1)  # fixed blocksize stream
+    f.put(7, 4)  # block size: 16-bit at end of header
+    f.put(0, 4)  # sample rate: from STREAMINFO
+    f.put(nch - 1, 4)  # independent channels
+    f.put(0, 3)  # sample size: from STREAMINFO
+    f.put(0, 1)
+    f.put(0, 8)  # frame number 0 (utf8)
+    f.put(n - 1, 16)  # block size field
+    f.align()
+    hdr = bytes(f.out)
+    f.put(_crc8(hdr), 8)
+
+    for ch in channels:
+        f.put(0, 1)  # padding
+        if subframe == "constant":
+            f.put(0, 6)
+            f.put(0, 1)
+            f.put_signed(ch[0], bps)
+            continue
+        if subframe == "verbatim":
+            f.put(1, 6)
+            f.put(0, 1)
+            for v in ch:
+                f.put_signed(v, bps)
+            continue
+        f.put(8 + fixed_order, 6)  # FIXED
+        f.put(0, 1)  # no wasted bits
+        for v in ch[:fixed_order]:
+            f.put_signed(v, bps)
+        coefs = {0: [], 1: [1], 2: [2, -1]}[fixed_order]
+        f.put(0, 2)  # rice method 0
+        f.put(0, 4)  # partition order 0
+        f.put(rice_param, 4)
+        for i in range(fixed_order, n):
+            pred = sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+            e = ch[i] - pred
+            u = (e << 1) if e >= 0 else ((-e) << 1) - 1
+            f.put_unary(u >> rice_param)
+            f.put(u & ((1 << rice_param) - 1), rice_param)
+    f.align()
+    body = bytes(f.out)
+    f.put(_crc16(body), 16)
+    return head + bytes(f.out)
+
+
+def test_flac_fixed_orders_and_subframe_types_lossless():
+    from spark_etl_framework_spark.operators.multimodal import _decode_flac
+
+    samples = [((i * 251 + 17) % 4001) - 2000 for i in range(64)]
+    for order in (0, 1, 2):
+        raw = _flac_encode([samples], fixed_order=order)
+        rate, nch, bps, chans = _decode_flac(raw)
+        assert (rate, nch, bps) == (8000, 1, 16)
+        assert chans[0] == samples, f"order {order} mismatch"
+    for kind in ("constant", "verbatim"):
+        src = [137] * 64 if kind == "constant" else samples
+        rate, _n, _b, chans = _decode_flac(_flac_encode([src], subframe=kind))
+        assert chans[0] == src
+    # stereo independent
+    right = [-v for v in samples]
+    _r, nch, _b, chans = _decode_flac(_flac_encode([samples, right]))
+    assert nch == 2 and chans[0] == samples and chans[1] == right
+
+
+def test_flac_crc_guards_and_magic():
+    import pytest
+
+    from spark_etl_framework_spark.operators.multimodal import _decode_flac
+
+    samples = [i * 3 - 50 for i in range(32)]
+    good = _flac_encode([samples])
+    with pytest.raises(ValueError, match="fLaC magic"):
+        _decode_flac(b"OggS" + good[4:])
+    bad = bytearray(good)
+    bad[-3] ^= 0x01  # corrupt inside the last subframe byte region
+    with pytest.raises(ValueError, match="CRC-16|CRC-8|sync"):
+        _decode_flac(bytes(bad))
+
+
+def test_flac_audio_frame_sampling(spark):
+    """sample_audio_frames over a FLAC payload: decode to PCM16 then
+    slice — rate from STREAMINFO, samples exact (lossless)."""
+    import struct
+
+    from spark_etl_framework_spark.operators.multimodal import (
+        sample_audio_frames,
+    )
+
+    samples = [((i * 97) % 2001) - 1000 for i in range(256)]
+    raw = _flac_encode([samples], sample_rate=16000)
+    df = spark.createDataFrame([(1, bytearray(raw))], "id long, payload binary")
+    out = sample_audio_frames(df, n_frames=2, frame_bytes=64).collect()
+    assert [r.sample_rate for r in out] == [16000, 16000]
+    first = struct.unpack("<32h", bytes(out[0].frame))
+    assert list(first) == samples[:32]
