@@ -718,3 +718,76 @@ def incremental_lsh_matches(
         buckets, shingles, sizes, increment, id_col, text_col, n, k,
         rows_per_band, threshold,
     )
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-span detection (cross-document substring dedup)
+# --------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Find maximal token spans (length >= ``k``) duplicated across
+    documents — the exact-substring training-data dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (public:
+    arXiv 2107.06499), whose reference implementation builds a corpus
+    suffix array. A suffix array is the wrong shape for a shuffle
+    engine; the SAME spans fall out relationally:
+
+    1. every k-token rolling window becomes a 16-byte hash (JVM-only:
+       ``transform(sequence(...))`` over the split tokens, md5 of the
+       window text — the text itself NEVER leaves the scan task);
+    2. a window is a duplicate seed iff its hash occurs in >=
+       ``min_docs`` DISTINCT documents (one groupBy with map-side
+       partial aggregation — the only corpus-wide shuffle, carrying
+       hash+id pairs only);
+    3. per document, consecutive seed positions merge into maximal
+       spans by gaps-and-islands (``pos - row_number()`` over one
+       per-document window): a run of seeds at positions p..q is
+       exactly the duplicated span [p, q + k - 1].
+
+    Returns (id, span_start, span_end, span_tokens) with token indices
+    0-based inclusive. 100 TB: cost is O(tokens) map-side + one hash
+    shuffle + one id-partitioned window; no all-pairs stage exists."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    seeds = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    dup = grams.join(seeds, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .drop("grp")
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+    )

@@ -171,8 +171,10 @@ def _load_all() -> None:
 #: README previously said needs PIL), multimodal_video_mjpeg_sample
 #: (frame-sampling a REAL compressed container: MJPEG-in-AVI RIFF walk
 #: + per-frame JPEG decode), multimodal_audio_flac_decode (REAL
-#: compressed lossless audio: Rice + fixed/LPC prediction, CRC-8/16).
-#: Then keep
+#: compressed lossless audio: Rice + fixed/LPC prediction, CRC-8/16),
+#: dedup_duplicate_spans (Lee et al. exact-substring training-data
+#: dedup re-derived relationally: rolling-gram seeds + gaps-and-islands
+#: maximal spans). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

@@ -599,3 +599,51 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
         )
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    # DuckDB replays the whole relational re-derivation of the
+    # suffix-array method: rolling 8-gram hashes, seeds in >= 2 distinct
+    # docs, gaps-and-islands merge to maximal spans
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos,
+               md5(array_to_string(toks[u.i+1:u.i+8], ' ')) AS h
+        FROM t, LATERAL unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)
+    ),
+    seeds AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos FROM g JOIN seeds USING (h)),
+    i AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT)  AS id,
+           CAST(MIN(pos) AS INT)   AS span_start,
+           CAST(MAX(pos) + 7 AS INT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS span_tokens
+    FROM i GROUP BY doc_id, grp
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup — maximal duplicated token
+    spans of length >= 8, the training-data dedup of Lee et al. (arXiv
+    2107.06499, public), whose reference builds a corpus suffix array.
+    Re-derived for a shuffle engine (operators/dedup.py:duplicate_spans):
+    rolling-gram hashes JVM-side (document text never crosses an
+    exchange — only 16-byte hashes), one corpus-wide groupBy for the
+    >=2-distinct-docs seeds, one per-document window for the
+    gaps-and-islands merge into maximal spans. Output is every (doc,
+    span) pair a removal pass would cut."""
+    from ..operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, k=8, min_docs=2)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_tokens").cast("int").alias("span_tokens"),
+    )

@@ -887,3 +887,17 @@ def test_jl_project_zero_shuffle(spark, sf_dir):
     introduced an exchange."""
     plan = _initial_plan(QUERIES["vector_jl_project"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_duplicate_spans_no_text_crosses_exchange(spark, sf_dir):
+    """dedup_duplicate_spans (the suffix-array method re-derived
+    relationally): every exchange carries only 16-byte gram hashes and
+    integer positions — document/gram TEXT never shuffles, so corpus
+    bytes never amplify across the wire at 100 TB."""
+    plan = _initial_plan(QUERIES["dedup_duplicate_spans"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            m = re.search(r"\b(text|gram|toks)#\d+", line)
+            assert m is None, (
+                f"duplicate_spans shuffles raw text:\n{line.strip()}"
+            )
