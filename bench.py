@@ -66,6 +66,8 @@ HEADLINE = [
     # the steady-state per-ingest PROBE cost (compare with the inline
     # variant above, whose number includes the index rebuild)
     "dedup_incremental_admission_steady",
+    # round 7: exact-substring span dedup (one hash shuffle + id window)
+    "dedup_duplicate_spans",
     "ts_ewma_user_value",
     "etl_scd2_merge",
     # round 4 late additions — bounded-state sketch, layout audit,

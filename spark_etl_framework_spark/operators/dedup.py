@@ -739,37 +739,40 @@ def duplicate_spans(
     suffix array. A suffix array is the wrong shape for a shuffle
     engine; the SAME spans fall out relationally:
 
-    1. every k-token rolling window becomes a 16-byte hash (JVM-only:
-       ``transform(sequence(...))`` over the split tokens, md5 of the
-       window text — the text itself NEVER leaves the scan task);
-    2. a window is a duplicate seed iff its hash occurs in >=
+    1. every token becomes an 8-byte xxhash64 at the SCAN (the text
+       dies inside the scan task — only hashes + positions ever move);
+    2. each k-token window's hash combines the k token hashes with
+       ``lead()`` over one id-partitioned window — O(1) per token, and
+       the work lands AFTER the exchange, so it parallelizes across the
+       cluster instead of being trapped in however few input splits the
+       corpus file layout gives the scan;
+    3. a window is a duplicate seed iff its hash occurs in >=
        ``min_docs`` DISTINCT documents (one groupBy with map-side
-       partial aggregation — the only corpus-wide shuffle, carrying
-       hash+id pairs only);
-    3. per document, consecutive seed positions merge into maximal
-       spans by gaps-and-islands (``pos - row_number()`` over one
-       per-document window): a run of seeds at positions p..q is
+       partial aggregation, carrying hash+id pairs only);
+    4. per document, consecutive seed positions merge into maximal
+       spans by gaps-and-islands (``pos - row_number()`` over an
+       id-partitioned window): a run of seeds at positions p..q is
        exactly the duplicated span [p, q + k - 1].
 
     Returns (id, span_start, span_end, span_tokens) with token indices
-    0-based inclusive. 100 TB: cost is O(tokens) map-side + one hash
-    shuffle + one id-partitioned window; no all-pairs stage exists."""
+    0-based inclusive. 100 TB: cost is O(tokens) map-side + one
+    id-keyed token-hash shuffle + one gram-hash shuffle; no all-pairs
+    stage and no suffix array to build."""
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), " ")
-    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    tok_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).select("id", "pos", F.xxhash64("tok").alias("th"))
+    wseq = Window.partitionBy("id").orderBy("pos")
+    gram_cols = [F.col("th")] + [
+        F.lead("th", i).over(wseq) for i in range(1, k)
+    ]
     grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_grams),
-                    lambda i: F.unhex(
-                        F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
-                    ),
-                )
-            ).alias("pos", "h"),
-        )
+        tok_rows.select("id", "pos", F.xxhash64(*gram_cols).alias("h"),
+                        F.lead("th", k - 1).over(wseq).alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
     )
     seeds = (
         grams.groupBy("h")

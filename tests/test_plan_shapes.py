@@ -891,13 +891,14 @@ def test_jl_project_zero_shuffle(spark, sf_dir):
 
 def test_duplicate_spans_no_text_crosses_exchange(spark, sf_dir):
     """dedup_duplicate_spans (the suffix-array method re-derived
-    relationally): every exchange carries only 16-byte gram hashes and
-    integer positions — document/gram TEXT never shuffles, so corpus
-    bytes never amplify across the wire at 100 TB."""
+    relationally): every exchange carries only 8-byte hashes and
+    integer positions — document/token TEXT never shuffles (the token
+    dies at the scan projection), so corpus bytes never amplify across
+    the wire at 100 TB."""
     plan = _initial_plan(QUERIES["dedup_duplicate_spans"](spark, sf_dir))
     for line in plan.splitlines():
         if "Exchange" in line:
-            m = re.search(r"\b(text|gram|toks)#\d+", line)
+            m = re.search(r"\b(text|gram|toks|tok)#\d+", line)
             assert m is None, (
                 f"duplicate_spans shuffles raw text:\n{line.strip()}"
             )
