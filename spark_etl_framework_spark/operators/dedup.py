@@ -794,3 +794,52 @@ def duplicate_spans(
             "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
         )
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a duplicated-span report (:func:`duplicate_spans` output) to
+    the corpus: remove every reported token span from every document —
+    the hard-cut policy of exact-substring training-data dedup. Returns
+    every input document as (id, text_deduped, n_tokens, n_tokens_removed).
+
+    Shape: spans aggregate to one small array per document (they are
+    duplicate REGIONS, orders of magnitude fewer than tokens), join back
+    on id, and the splice is a pure JVM expression — ``filter`` over the
+    indexed token array with an ``exists`` probe against the span array.
+    The document text moves across exactly one id-keyed exchange (the
+    join), once — there is no way to edit a document without routing it
+    to its spans."""
+    per_doc = spans.groupBy(F.col("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.col("__spans"),
+            lambda s: x["i"].between(s["span_start"], s["span_end"]),
+        ),
+    )
+    out = (
+        df.join(per_doc, df[id_col] == per_doc["id"], "left")
+        .withColumn("__spans", F.coalesce(F.col("__spans"), F.array()))
+        .select(
+            F.col(id_col).alias("id"),
+            F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(
+                "text_deduped"
+            ),
+            F.size(toks).alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+        )
+    )
+    return out

@@ -174,7 +174,9 @@ def _load_all() -> None:
 #: compressed lossless audio: Rice + fixed/LPC prediction, CRC-8/16),
 #: dedup_duplicate_spans (Lee et al. exact-substring training-data
 #: dedup re-derived relationally: rolling-gram seeds + gaps-and-islands
-#: maximal spans). Then keep
+#: maximal spans), dedup_cut_duplicate_spans (the apply half: hard-cut
+#: splice of every detected span, text meets its spans across exactly
+#: one exchange). Then keep
 #: refreshing the oldest-vintage union rows, starting with the 11 r1
 #: rows this window could not fit: date_funcs, distinct_pairs,
 #: histogram_price_buckets, json_extract_props, latest_event_per_user,

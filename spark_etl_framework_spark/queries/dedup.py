@@ -647,3 +647,69 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("int").alias("span_end"),
         F.col("span_tokens").cast("int").alias("span_tokens"),
     )
+
+
+@register(
+    "dedup_cut_duplicate_spans",
+    # the full detect + apply chain replayed in DuckDB: span detection as
+    # in dedup_duplicate_spans, then per-token NOT-EXISTS against the
+    # covering spans and order-preserving reassembly; md5 of the deduped
+    # text keeps the compared values compact
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos,
+               md5(array_to_string(toks[u.i+1:u.i+8], ' ')) AS h
+        FROM t, LATERAL unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)
+    ),
+    seeds AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos FROM g JOIN seeds USING (h)),
+    i AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        FROM i GROUP BY doc_id, grp
+    ),
+    tok AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos, toks[u.i+1] AS tk
+        FROM t, LATERAL unnest(range(0, len(toks))) AS u(i)
+    ),
+    kept AS (
+        SELECT tok.doc_id, pos, tk FROM tok
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = tok.doc_id AND tok.pos BETWEEN sp.s AND sp.e
+        )
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS id,
+           md5(COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '')) AS deduped_md5,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(len(t.toks) - COUNT(k.pos) AS INT) AS n_tokens_removed
+    FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.toks
+    """,
+)
+def dedup_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of exact-substring dedup: detect maximal
+    cross-document duplicated spans (operators/dedup.py:duplicate_spans)
+    and cut them out of every document (cut_spans) — the hard-cut policy
+    of Lee et al.'s training-data dedup, end to end under the oracle
+    gate. The splice is pure JVM array arithmetic (filter + exists over
+    the indexed token array); document text crosses exactly one id-keyed
+    exchange, once, to meet its spans. Every document comes back (rows =
+    corpus size) with its deduped-text md5 and removal counts — the
+    exact relation a curation pipeline persists."""
+    from ..operators.dedup import cut_spans, duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=8, min_docs=2)
+    out = cut_spans(docs, spans)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.md5(F.encode("text_deduped", "utf-8")).alias("deduped_md5"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+    )
