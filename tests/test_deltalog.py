@@ -259,3 +259,36 @@ def test_read_plan_broadcasts_file_map_no_fact_shuffle(spark, tbl):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     first_exchange = plan.find("Exchange hashpartitioning")
     assert first_exchange == -1, f"fact side shuffled:\n{plan}"
+
+
+def test_stream_restart_resumes_from_version_offset(spark, tbl, tmp_path):
+    """Version-offset checkpoint recovery: a RESTARTED query must resume
+    from the committed log version — new commits stream, old ones never
+    replay (the same contract the kafka source pins)."""
+    from spark_etl_framework_spark.streaming.readers import DeltaStreamReader
+
+    dl.write_delta(_mk(spark, [(1, "a", 0), (2, "b", 1)]).coalesce(1), tbl,
+                   partition_by=["grp"])
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = DeltaStreamReader(path=tbl).run(_jctx(spark), spark)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 2
+    dl.write_delta(_mk(spark, [(3, "c", 0)]).coalesce(1), tbl, mode="append",
+                   partition_by=["grp"])
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3  # 2 + 1, no replays
+    assert {r.id for r in got.collect()} == {1, 2, 3}
