@@ -160,13 +160,27 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    # Self-adjudicating drift block (round-8 order): round-over-round
+    # comparisons kept needing a judge re-measure to separate box-epoch
+    # drift from code regressions, because the medians only survived as a
+    # truncated stderr fragment. Two scalars inside the parsed JSON fix
+    # that: med_over_min (median_total/min_total — ≫1 means the box was
+    # contended DURING this run, so absolute numbers are suspect) and the
+    # q1 sentinel min (a plan untouched since round 1 — if IT moved
+    # round-over-round, the box epoch moved, not the code).
+    min_total = round(sum(timings.values()), 3)
+    drift = {
+        "med_over_min": round(sum(medians.values()) / min_total, 3),
+        "sentinel_q1_min": timings["q1_pricing_summary"],
+    }
     line = json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": round(sum(timings.values()), 3),
+            "value": min_total,
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "drift": drift,
         },
         separators=(",", ":"),
     )

@@ -551,20 +551,24 @@ def stream_redis_xadd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.resp import MiniRedisServer, RespClient
 
         srv = MiniRedisServer()
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("m"))
-            .collect()
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("m")
         )
         c = RespClient("127.0.0.1", srv.port)
         try:
-            batch = [
-                ("XADD", "docs", "*", "doc_id", str(r["doc_id"]), "lang",
-                 r["lang"], "content_md5", r["m"])
-                for r in docs
-            ]
-            for i in range(0, len(batch), 500):
-                c.pipeline(batch[i : i + 500])
+            # toLocalIterator: the driver holds one partition at a time,
+            # not the whole table — the seed stays O(partition) at any sf
+            batch: list[tuple] = []
+            for r in docs.toLocalIterator():
+                batch.append(
+                    ("XADD", "docs", "*", "doc_id", str(r["doc_id"]),
+                     "lang", r["lang"], "content_md5", r["m"])
+                )
+                if len(batch) >= 500:
+                    c.pipeline(batch)
+                    batch = []
+            if batch:
+                c.pipeline(batch)
         finally:
             c.close()
         _REDIS_STREAM_SRV[sf_dir] = srv
@@ -833,15 +837,18 @@ def stream_kafka_topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.kwire import KafkaWireClient, MiniKafkaBroker
 
         srv = MiniKafkaBroker(num_partitions=2)
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("m"))
-            .collect()
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("m")
         )
         c = KafkaWireClient("127.0.0.1", srv.port)
         try:
-            for p in (0, 1):
-                batch = [
+            # one streamed pass (toLocalIterator — O(partition) driver
+            # memory at any sf), rows routed to their topic partition by
+            # key hash, produced in 500-record batches per partition
+            batches: dict[int, list] = {0: [], 1: []}
+            for i, r in enumerate(docs.toLocalIterator()):
+                p = r["doc_id"] % 2
+                batches[p].append(
                     {
                         "key": str(r["doc_id"]).encode(),
                         "value": _json.dumps(
@@ -850,11 +857,13 @@ def stream_kafka_topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).encode(),
                         "timestamp": i,
                     }
-                    for i, r in enumerate(docs)
-                    if r["doc_id"] % 2 == p
-                ]
-                for lo in range(0, len(batch), 500):
-                    c.produce("docs", p, batch[lo : lo + 500])
+                )
+                if len(batches[p]) >= 500:
+                    c.produce("docs", p, batches[p])
+                    batches[p] = []
+            for p, batch in batches.items():
+                if batch:
+                    c.produce("docs", p, batch)
         finally:
             c.close()
         _KAFKA_STREAM_SRV[sf_dir] = srv

@@ -48,9 +48,20 @@ class _Reader:
         self._sock = sock
         self._buf = b""
 
+    def _recv(self) -> bytes:
+        # A peer tearing down mid-read (server stops before client, or
+        # vice versa) surfaces as ConnectionResetError/OSError from the
+        # blocking recv; in the thread-per-connection server that became
+        # an unhandled-thread-exception warning. Normalize to RespError —
+        # every reader loop already treats that as clean EOF.
+        try:
+            return self._sock.recv(65536)
+        except (ConnectionResetError, OSError) as e:
+            raise RespError(f"connection closed ({e.__class__.__name__})") from e
+
     def _line(self) -> bytes:
         while b"\r\n" not in self._buf:
-            chunk = self._sock.recv(65536)
+            chunk = self._recv()
             if not chunk:
                 raise RespError("connection closed mid-reply")
             self._buf += chunk
@@ -59,7 +70,7 @@ class _Reader:
 
     def _exact(self, n: int) -> bytes:
         while len(self._buf) < n + 2:
-            chunk = self._sock.recv(65536)
+            chunk = self._recv()
             if not chunk:
                 raise RespError("connection closed mid-bulk")
             self._buf += chunk
@@ -171,7 +182,7 @@ class MiniRedisServer:
             while True:
                 try:
                     args = reader.reply()
-                except RespError:
+                except (RespError, OSError):
                     return
                 if not isinstance(args, list) or not args:
                     conn.sendall(b"-ERR protocol\r\n")
@@ -190,6 +201,8 @@ class MiniRedisServer:
                 conn.sendall(self._dispatch(cmd, rest, lambda: db) or b"+OK\r\n")
                 if cmd == "SELECT":
                     db = int(rest[0])
+        except OSError:
+            return  # peer went away between reply and send — clean EOF
         finally:
             conn.close()
 
