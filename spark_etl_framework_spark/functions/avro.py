@@ -1,25 +1,36 @@
-"""Pure-Python Avro binary codec for flat records — un-gates Kafka Avro.
+"""Pure-Python Avro binary codec — nested records, arrays, maps, enums,
+fixed — un-gates the Kafka Avro path for arbitrary record schemas.
 
 The reference's Kafka reader decodes Avro payloads via spark-avro
-(KafkaReadActor.scala:45,53); that jar is absent here, so the Avro
-branch of ``decode_kafka`` was gated. This module implements the Avro
-BINARY encoding itself (per the public Apache Avro specification) for
-the schema subset Kafka keys/values overwhelmingly use — a flat record
-of primitives, each optionally nullable via a ``["null", T]`` union:
+(KafkaReadActor.scala:45,53); that jar is absent here, so ``decode_kafka``
+falls back to this module. Rounds 1–7 covered only flat records of
+primitives; real Kafka payloads are overwhelmingly NESTED (a record with
+an array-of-records field is the canonical event envelope), so this now
+implements the full Avro BINARY encoding (per the public Apache Avro
+specification, avro.apache.org/docs/current/specification) recursively:
 
 - ``int``/``long``: zigzag-encoded variable-length integers
 - ``float``/``double``: little-endian IEEE 754
 - ``boolean``: one byte; ``null``: zero bytes
 - ``string``/``bytes``: long length prefix + payload
-- record: field values concatenated in schema order
-- union ``["null", T]``: long branch index then the datum
+- record: field values concatenated in schema order (any nesting depth)
+- array/map: block runs — count (negative count ⇒ a byte-size long
+  follows, which readers must honour), items, 0-terminator
+- enum: zigzag varint of the symbol index (decodes to the symbol string)
+- fixed: exactly ``size`` raw bytes
+- union ``["null", T]`` / ``[T, "null"]``: branch index then the datum
+- named-type references: a record/enum/fixed name used later in the
+  schema resolves to its definition (including recursive references,
+  which are rejected with a clear error — Spark has no recursive types)
 
-Exposed as Arrow-batched pandas UDFs (``py_from_avro`` returning the
-record struct, ``py_to_avro`` returning bytes), so ``decode_kafka``
-falls back to them when the spark-avro jar is missing — same column
-shape as ``from_avro``, flattened to ``key.*``/``value.*`` downstream.
-Nested records/arrays/maps/enums/fixed/logical types raise a clear
-``NotImplementedError`` pointing at spark-avro for full coverage.
+Remaining gates (clear ``NotImplementedError`` pointing at spark-avro):
+multi-branch unions of non-null types (no Spark struct shape exists for
+them short of spark-avro's member-struct encoding). ``logicalType``
+annotations decode as their base type (the spec's required fallback).
+
+Spark mapping: record→struct, array→array, map→map<string,·>,
+enum→string, fixed→binary. Exposed as Arrow-batched pandas UDFs
+(``py_from_avro`` returning the struct, ``py_to_avro`` returning bytes).
 """
 
 from __future__ import annotations
@@ -39,41 +50,107 @@ _PRIMITIVES = {
     "string": "string",
 }
 
+#: type-tree nodes (plain tuples so they pickle cheaply into UDFs):
+#:   ("prim", name) | ("record", [(field, node), ...])
+#:   ("array", item) | ("map", value) | ("enum", [symbols])
+#:   ("fixed", size) | ("nullable", node)
 
-def _field_type(t) -> tuple[str, bool]:
-    """(avro primitive name, nullable) for a field's type declaration."""
+
+def _parse_type(t, names: dict, stack: set):
+    """Recursively parse one Avro type declaration into a node."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return ("prim", t)
+        if t == "null":
+            raise NotImplementedError(
+                "bare 'null' type outside a union is not a column shape "
+                "(use spark-avro)"
+            )
+        if t in names:
+            if t in stack:
+                raise NotImplementedError(
+                    f"recursive named type {t!r}: Spark has no recursive "
+                    "struct type (use spark-avro)"
+                )
+            return names[t]
+        raise NotImplementedError(
+            f"unsupported/unknown Avro type {t!r} (use spark-avro)"
+        )
     if isinstance(t, list):
         if len(t) == 2 and "null" in t:
             other = t[0] if t[1] == "null" else t[1]
-            name, _ = _field_type(other)
-            return name, True
+            return ("nullable", _parse_type(other, names, stack))
         raise NotImplementedError(
             f"only [null, T] unions are supported, got {t!r} (use spark-avro)"
         )
-    if isinstance(t, str) and t in _PRIMITIVES:
-        return t, False
+    if isinstance(t, dict):
+        kind = t.get("type")
+        # logicalType: the spec mandates falling back to the base type
+        if kind == "record":
+            fields: list = []
+            node = ("record", fields)
+            nm = t.get("name")
+            if nm:
+                names[nm] = node
+                stack = stack | {nm}
+            for f in t["fields"]:
+                fields.append((f["name"], _parse_type(f["type"], names, stack)))
+            return node
+        if kind == "array":
+            return ("array", _parse_type(t["items"], names, stack))
+        if kind == "map":
+            return ("map", _parse_type(t["values"], names, stack))
+        if kind == "enum":
+            node = ("enum", list(t["symbols"]))
+            if t.get("name"):
+                names[t["name"]] = node
+            return node
+        if kind == "fixed":
+            node = ("fixed", int(t["size"]))
+            if t.get("name"):
+                names[t["name"]] = node
+            return node
+        if isinstance(kind, (str, list, dict)):
+            return _parse_type(kind, names, stack)  # {"type": "long"} wrapper
     raise NotImplementedError(
-        f"unsupported Avro type {t!r}: flat records of primitives only "
-        "(nested/array/map/enum/fixed/logical types need spark-avro)"
+        f"unsupported Avro type {t!r} (use spark-avro)"
     )
 
 
-def parse_schema(schema_json: str) -> list[tuple[str, str, bool]]:
-    """Validate and flatten a record schema to [(name, primitive, nullable)]."""
+def parse_schema(schema_json: str):
+    """Parse a top-level record schema to its field list
+    ``[(name, node), ...]`` — the form encode/decode_record consume."""
     s = json.loads(schema_json)
     if not isinstance(s, dict) or s.get("type") != "record":
         raise ValueError(f"top-level Avro schema must be a record, got {s!r}")
-    out = []
-    for f in s["fields"]:
-        name, nullable = _field_type(f["type"])
-        out.append((f["name"], name, nullable))
-    return out
+    node = _parse_type(s, {}, set())
+    return node[1]
+
+
+def _spark_type(node) -> str:
+    kind = node[0]
+    if kind == "prim":
+        return _PRIMITIVES[node[1]]
+    if kind == "nullable":
+        return _spark_type(node[1])
+    if kind == "record":
+        inner = ",".join(f"`{n}`:{_spark_type(t)}" for n, t in node[1])
+        return f"struct<{inner}>"
+    if kind == "array":
+        return f"array<{_spark_type(node[1])}>"
+    if kind == "map":
+        return f"map<string,{_spark_type(node[1])}>"
+    if kind == "enum":
+        return "string"
+    if kind == "fixed":
+        return "binary"
+    raise AssertionError(node)
 
 
 def spark_ddl(schema_json: str) -> str:
     """The record's Spark struct DDL (for pandas_udf return types)."""
     return ", ".join(
-        f"{n} {_PRIMITIVES[t]}" for n, t, _ in parse_schema(schema_json)
+        f"`{n}` {_spark_type(t)}" for n, t in parse_schema(schema_json)
     )
 
 
@@ -104,24 +181,33 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos  # un-zigzag
 
 
-def encode_record(values: dict, fields) -> bytes:
-    out = bytearray()
-    for name, t, nullable in fields:
-        v = values.get(name)
-        # pandas represents a null int/double cell as NaN, which is not
-        # None — without this check a nullable numeric null crashed in
-        # int(v)/struct.pack instead of taking the null union branch
-        # (v != v is the NaN test). Only for NULLABLE fields: a NaN in a
-        # non-nullable double is a legitimate IEEE value and encodes as-is.
-        if nullable and isinstance(v, float) and v != v:
-            v = None
-        if nullable:
-            if v is None:
-                _write_long(0, out)  # union branch 0 = null
-                continue
-            _write_long(1, out)
-        elif v is None:
-            raise ValueError(f"field {name!r} is not nullable but got None")
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
+def _as_pairs(v):
+    """A map cell arrives as a dict (python path) or a list of (k, v)
+    tuples (Arrow's map→pandas representation) — normalize to pairs."""
+    if isinstance(v, dict):
+        return list(v.items())
+    return [(k, w) for k, w in v]
+
+
+def _encode_value(v, node, out: bytearray, path: str) -> None:
+    kind = node[0]
+    if kind == "nullable":
+        # pandas represents a null cell as NaN/NaT/None depending on
+        # dtype — all of them take the null union branch (round-6 ADVICE)
+        if v is None or _is_nan(v):
+            _write_long(0, out)  # union branch 0 = null
+            return
+        _write_long(1, out)
+        _encode_value(v, node[1], out, path)
+        return
+    if v is None:
+        raise ValueError(f"field {path!r} is not nullable but got None")
+    if kind == "prim":
+        t = node[1]
         if t in ("int", "long"):
             _write_long(int(v), out)
         elif t == "boolean":
@@ -130,39 +216,129 @@ def encode_record(values: dict, fields) -> bytes:
             out += _struct.pack("<f", float(v))
         elif t == "double":
             out += _struct.pack("<d", float(v))
-        elif t in ("string", "bytes"):
+        else:  # string | bytes
             raw = v.encode("utf-8") if t == "string" else bytes(v)
             _write_long(len(raw), out)
             out += raw
+        return
+    if kind == "record":
+        get = v.get if isinstance(v, dict) else lambda n, _v=v: getattr(_v, n)
+        for fname, ftype in node[1]:
+            _encode_value(get(fname), ftype, out, f"{path}.{fname}")
+        return
+    if kind == "array":
+        items = list(v)  # ndarray from Arrow, list from python
+        if items:
+            _write_long(len(items), out)
+            for i, item in enumerate(items):
+                _encode_value(item, node[1], out, f"{path}[{i}]")
+        _write_long(0, out)  # block terminator
+        return
+    if kind == "map":
+        pairs = _as_pairs(v)
+        if pairs:
+            _write_long(len(pairs), out)
+            for k, w in pairs:
+                raw = str(k).encode("utf-8")
+                _write_long(len(raw), out)
+                out += raw
+                _encode_value(w, node[1], out, f"{path}[{k!r}]")
+        _write_long(0, out)
+        return
+    if kind == "enum":
+        try:
+            idx = node[1].index(v)
+        except ValueError:
+            raise ValueError(
+                f"field {path!r}: {v!r} is not one of the enum symbols "
+                f"{node[1]}"
+            ) from None
+        _write_long(idx, out)
+        return
+    if kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != node[1]:
+            raise ValueError(
+                f"field {path!r}: fixed({node[1]}) got {len(raw)} bytes"
+            )
+        out += raw
+        return
+    raise AssertionError(node)
+
+
+def _decode_value(buf: bytes, pos: int, node, path: str):
+    kind = node[0]
+    if kind == "nullable":
+        branch, pos = _read_long(buf, pos)
+        if branch == 0:
+            return None, pos
+        return _decode_value(buf, pos, node[1], path)
+    if kind == "prim":
+        t = node[1]
+        if t in ("int", "long"):
+            return _read_long(buf, pos)
+        if t == "boolean":
+            return buf[pos] == 1, pos + 1
+        if t == "float":
+            return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if t == "double":
+            return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+        n, pos = _read_long(buf, pos)
+        raw = buf[pos : pos + n]
+        if len(raw) != n:
+            raise ValueError(f"truncated Avro {t} for field {path!r}")
+        return (raw.decode("utf-8") if t == "string" else bytes(raw)), pos + n
+    if kind == "record":
+        values = {}
+        for fname, ftype in node[1]:
+            values[fname], pos = _decode_value(buf, pos, ftype, f"{path}.{fname}")
+        return values, pos
+    if kind in ("array", "map"):
+        out_list: list = []
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                break
+            if count < 0:
+                # negative count: a block byte-size follows (writers may
+                # emit it to let readers skip blocks) — read and ignore
+                _, pos = _read_long(buf, pos)
+                count = -count
+            for i in range(count):
+                if kind == "map":
+                    klen, pos = _read_long(buf, pos)
+                    k = buf[pos : pos + klen].decode("utf-8")
+                    pos += klen
+                    w, pos = _decode_value(buf, pos, node[1], f"{path}[{k!r}]")
+                    out_list.append((k, w))
+                else:
+                    w, pos = _decode_value(buf, pos, node[1], f"{path}[{i}]")
+                    out_list.append(w)
+        return (dict(out_list) if kind == "map" else out_list), pos
+    if kind == "enum":
+        idx, pos = _read_long(buf, pos)
+        try:
+            return node[1][idx], pos
+        except IndexError:
+            raise ValueError(
+                f"field {path!r}: enum index {idx} out of range"
+            ) from None
+    if kind == "fixed":
+        raw = buf[pos : pos + node[1]]
+        if len(raw) != node[1]:
+            raise ValueError(f"truncated Avro fixed for field {path!r}")
+        return bytes(raw), pos + node[1]
+    raise AssertionError(node)
+
+
+def encode_record(values: dict, fields) -> bytes:
+    out = bytearray()
+    _encode_value(values, ("record", fields), out, "$")
     return bytes(out)
 
 
 def decode_record(buf: bytes, fields) -> dict:
-    pos, values = 0, {}
-    for name, t, nullable in fields:
-        if nullable:
-            branch, pos = _read_long(buf, pos)
-            if branch == 0:
-                values[name] = None
-                continue
-        if t in ("int", "long"):
-            values[name], pos = _read_long(buf, pos)
-        elif t == "boolean":
-            values[name] = buf[pos] == 1
-            pos += 1
-        elif t == "float":
-            values[name] = _struct.unpack_from("<f", buf, pos)[0]
-            pos += 4
-        elif t == "double":
-            values[name] = _struct.unpack_from("<d", buf, pos)[0]
-            pos += 8
-        elif t in ("string", "bytes"):
-            n, pos = _read_long(buf, pos)
-            raw = buf[pos : pos + n]
-            if len(raw) != n:
-                raise ValueError(f"truncated Avro {t} for field {name!r}")
-            values[name] = raw.decode("utf-8") if t == "string" else bytes(raw)
-            pos += n
+    values, pos = _decode_value(buf, 0, ("record", fields), "$")
     if pos != len(buf):
         raise ValueError(
             f"trailing bytes after Avro record: consumed {pos} of {len(buf)}"
@@ -175,11 +351,12 @@ def decode_record(buf: bytes, fields) -> dict:
 
 def py_from_avro(col, schema_json: str):
     """Jar-free ``from_avro``: decode an Avro-binary column into the record
-    struct (Arrow-batched pandas UDF)."""
+    struct — nested records/arrays/maps/enums/fixed included (Arrow-batched
+    pandas UDF)."""
     from pyspark.sql.functions import pandas_udf
 
     fields = parse_schema(schema_json)
-    names = [n for n, _, _ in fields]
+    names = [n for n, _ in fields]
     ddl = spark_ddl(schema_json)
 
     @pandas_udf(ddl)

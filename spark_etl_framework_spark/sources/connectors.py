@@ -39,10 +39,11 @@ def decode_kafka(
     Spark-JSON DDL schemas decode via from_json (jar-free). Avro schema
     strings prefer spark-avro's ``from_avro`` (reference:
     KafkaReadActor.scala:45,53); when that jar is absent (this sandbox),
-    flat records of primitives decode via the pure-Python codec in
-    functions/avro.py — same struct shape, same ``key.*``/``value.*``
-    flatten — so the Avro path is no longer gated for the common case.
-    Nested Avro still needs the jar and says so.
+    records decode via the pure-Python codec in functions/avro.py — same
+    struct shape, same ``key.*``/``value.*`` flatten — including NESTED
+    records, arrays, maps, enums and fixed (round 8). Only multi-branch
+    non-null unions and recursive named types still need the jar, and
+    say so.
     """
     out = df
     meta = [c for c in df.columns if c not in ("key", "value")]
@@ -111,6 +112,12 @@ class KafkaReader(Actor):
     topic: str | None = None
     keySchema: str | None = None
     valueSchema: str | None = None
+    #: Avro schema JSON for key/value payloads (reference accepts avro
+    #: key/value schemas, KafkaActor.scala:21-46) — decoded by spark-avro
+    #: when the jar is present, else the pure-Python codec in
+    #: functions/avro.py (nested records/arrays/maps/enums/fixed included)
+    keyAvro: str | None = None
+    valueAvro: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.bootstrapServers or not self.topic:
@@ -127,7 +134,13 @@ class KafkaReader(Actor):
             from .kwire import read_topic
 
             df = read_topic(spark, self.bootstrapServers, self.topic)
-        return decode_kafka(df, self.keySchema, self.valueSchema)
+        return decode_kafka(
+            df,
+            self.keySchema,
+            self.valueSchema,
+            key_avro=self.keyAvro,
+            value_avro=self.valueAvro,
+        )
 
 
 class DeltaReader(Actor):

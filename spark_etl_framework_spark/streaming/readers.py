@@ -238,6 +238,9 @@ class KafkaStreamReader(_StreamDecorators):
     topic: str | None = None
     keySchema: str | None = None
     valueSchema: str | None = None
+    #: Avro schema JSON (nested OK — functions/avro.py), like KafkaReader
+    keyAvro: str | None = None
+    valueAvro: str | None = None
     startingOffsets: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -265,4 +268,12 @@ class KafkaStreamReader(_StreamDecorators):
                 .option("startingOffsets", self.startingOffsets or "earliest")
                 .load()
             )
-        return self.decorate(decode_kafka(df, self.keySchema, self.valueSchema))
+        return self.decorate(
+            decode_kafka(
+                df,
+                self.keySchema,
+                self.valueSchema,
+                key_avro=self.keyAvro,
+                value_avro=self.valueAvro,
+            )
+        )

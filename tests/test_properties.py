@@ -295,9 +295,14 @@ def test_avro_schema_gates_and_wire_examples():
         parse_schema,
     )
 
+    # multi-branch non-null unions stay gated (no Spark struct shape);
+    # recursive named types stay gated (Spark has no recursive structs)
     with _pt.raises(NotImplementedError, match="spark-avro"):
         parse_schema(json.dumps({"type": "record", "name": "r", "fields": [
-            {"name": "x", "type": {"type": "array", "items": "int"}}]}))
+            {"name": "x", "type": ["int", "string"]}]}))
+    with _pt.raises(NotImplementedError, match="spark-avro"):
+        parse_schema(json.dumps({"type": "record", "name": "node", "fields": [
+            {"name": "next", "type": ["null", "node"]}]}))
     with _pt.raises(ValueError, match="must be a record"):
         parse_schema(json.dumps("string"))
 
@@ -333,3 +338,73 @@ def test_avro_nan_is_null_for_nullable_fields_only():
                                        "z": float("nan")}, s), s)
     assert out["x"] is None and out["y"] is None
     assert math.isnan(out["z"])
+
+
+def test_avro_nested_codec_roundtrip():
+    """Round-8 extension: the codec handles arbitrary nesting — records
+    within records, arrays of records, maps, enums, fixed, named-type
+    references — per the Avro spec's recursive binary encoding. Includes
+    the negative-block-count read path (a writer that emits block sizes)."""
+    import json
+
+    from spark_etl_framework_spark.functions.avro import (
+        decode_record,
+        encode_record,
+        parse_schema,
+        spark_ddl,
+    )
+
+    schema = {
+        "type": "record", "name": "envelope", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "who", "type": {"type": "record", "name": "user",
+             "fields": [{"name": "name", "type": "string"},
+                        {"name": "score", "type": ["null", "double"]}]}},
+            {"name": "events", "type": {"type": "array", "items": {
+                "type": "record", "name": "ev", "fields": [
+                    {"name": "kind", "type": {"type": "enum", "name": "k",
+                     "symbols": ["view", "click", "buy"]}},
+                    {"name": "n", "type": "int"}]}}},
+            {"name": "tags", "type": {"type": "map", "values": "long"}},
+            {"name": "mac", "type": {"type": "fixed", "name": "mac6",
+                                     "size": 6}},
+            # named-type reference: 'user' defined above, reused here
+            {"name": "friend", "type": ["null", "user"]},
+        ],
+    }
+    fields = parse_schema(json.dumps(schema))
+    assert spark_ddl(json.dumps(schema)) == (
+        "`id` bigint, `who` struct<`name`:string,`score`:double>, "
+        "`events` array<struct<`kind`:string,`n`:int>>, "
+        "`tags` map<string,bigint>, `mac` binary, "
+        "`friend` struct<`name`:string,`score`:double>"
+    )
+    v = {
+        "id": 7,
+        "who": {"name": "ada", "score": None},
+        "events": [{"kind": "view", "n": 1}, {"kind": "buy", "n": 2}],
+        "tags": {"a": 1, "b": -2},
+        "mac": b"\x01\x02\x03\x04\x05\x06",
+        "friend": {"name": "bob", "score": 1.5},
+    }
+    assert decode_record(encode_record(v, fields), fields) == v
+    empty = {"id": 0, "who": {"name": "", "score": 0.0}, "events": [],
+             "tags": {}, "mac": b"\0" * 6, "friend": None}
+    assert decode_record(encode_record(empty, fields), fields) == empty
+
+    # negative block count per the spec: count=-2 then byte-size, items, 0
+    arr_fields = parse_schema(json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "int"}}],
+    }))
+    from spark_etl_framework_spark.functions.avro import _write_long
+
+    buf = bytearray()
+    _write_long(-2, buf)
+    body = bytearray()
+    _write_long(3, body)
+    _write_long(4, body)
+    _write_long(len(body), buf)
+    buf += body
+    _write_long(0, buf)
+    assert decode_record(bytes(buf), arr_fields) == {"xs": [3, 4]}
