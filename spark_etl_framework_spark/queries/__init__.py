@@ -148,101 +148,91 @@ def _load_all() -> None:
 #: green round lifts union coverage to 250/250 — every registered query
 #: driver-verified at least once.
 #:
-#: ROUND-8 ROTATION TODO — first the round-7 LATE additions (registered
-#: after the window was frozen, so they are the only never-driver-
-#: verified rows left): multimodal_decode_gif_lzw (full-LZW GIF decode),
-#: etl_dynamic_partition_overwrite, etl_versioned_vacuum,
-#: flight_read_roundtrip (live gRPC Flight endpoint read),
-#: redis_read_roundtrip and stream_redis_xadd_roundtrip (live RESP2
-#: hash-table read + Redis-Streams micro-batch consumption),
-#: delta_write_read_roundtrip / delta_time_travel / stream_delta_autoload
-#: (the pure-Python _delta_log protocol un-gating the Delta actors),
-#: kafka_read_roundtrip / stream_kafka_topic_roundtrip (the Kafka wire
-#: protocol — RecordBatch v2 + live mini-broker — un-gating the Kafka
-#: actors), mongo_read_roundtrip (BSON + OP_MSG wire un-gating the
-#: Mongo actors), iceberg_write_read_roundtrip /
-#: iceberg_snapshot_travel / stream_iceberg_autoload (the Iceberg v1
-#: format — avro manifests + metadata JSON — un-gating the Iceberg
-#: actors), hbase_read_roundtrip (the REST/Stargate protocol un-gating
-#: the HBase actors — with this, EVERY connector family is un-gated),
-#: multimodal_decode_png (the third real compressed codec: DEFLATE +
-#: all five PNG filters), multimodal_decode_jpeg (the fourth: baseline
-#: JPEG — canonical huffman, dequant, exact IDCT — the format the
-#: README previously said needs PIL), multimodal_video_mjpeg_sample
-#: (frame-sampling a REAL compressed container: MJPEG-in-AVI RIFF walk
-#: + per-frame JPEG decode), multimodal_audio_flac_decode (REAL
-#: compressed lossless audio: Rice + fixed/LPC prediction, CRC-8/16),
-#: dedup_duplicate_spans (Lee et al. exact-substring training-data
-#: dedup re-derived relationally: rolling-gram seeds + gaps-and-islands
-#: maximal spans), dedup_cut_duplicate_spans (the apply half: hard-cut
-#: splice of every detected span, text meets its spans across exactly
-#: one exchange). Then keep
-#: refreshing the oldest-vintage union rows, starting with the 11 r1
-#: rows this window could not fit: date_funcs, distinct_pairs,
-#: histogram_price_buckets, json_extract_props, latest_event_per_user,
-#: scalar_math_funcs, scalar_regexp_funcs, scalar_string_funcs,
-#: topk_orders, window_first_last_value, window_percent_rank — then the
-#: r2-vintage rows.
+#: Round-8 rotation (the round-7 judge's order item 1): the 22 round-7
+#: LATE additions — registered after the r7 window froze, so they are the
+#: ONLY never-driver-verified rows left (union after r7: 250/272) — all
+#: go in, plus the round-8 additions AT REGISTRATION TIME (the freeze
+#: policy below), plus the oldest union evidence: the 11 r1-vintage rows
+#: the r7 window could not fit, then the first r2-vintage rows. A fully
+#: green round lifts union coverage to every-registered-query-verified.
+#:
+#: FREEZE POLICY (round 8 onward, closing the re-opening loophole): any
+#: query registered in the CURRENT round must be added to _PRIORITY in
+#: the same commit that registers it, so the never-driver-verified set
+#: cannot re-open. Enforced by tests/test_registry_window.py: every
+#: registered query that has never appeared green in a CORRECTNESS_r*.json
+#: must sit inside the first-50 window.
+#:
+#: ROUND-9 ROTATION TODO — continue oldest-vintage refresh with the 30
+#: r2-vintage rows this window could not fit: q3_shipping_priority,
+#: q5_local_supplier_volume, q9_product_profit, q16_supplier_part_counts,
+#: q21_waiting_suppliers, stream_dedup_watermark, stream_jdbc_sink_batchid,
+#: stream_stream_join, text_chunk_windows, text_language_id,
+#: text_quality_score, text_repetition_stats, text_stratified_sample,
+#: text_topk_quality_per_lang, ts_asof_join, ts_band_join, ts_sessionize,
+#: ts_sliding_window, vector_label_centroids, vector_neardup_blocked,
+#: window_lag_lead, window_ntile_share, window_rank_dense,
+#: window_running_sum, multimodal_decode_stub, binary_records_roundtrip,
+#: (then r3 vintage: flatfile/json/orc/avro format rows etc.).
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H anchor (r2/r3/r5/r6-green) — sole already-fresh slot
+    # TPC-H anchor (r2/r3/r5/r6/r7-green) — sole already-fresh slot
     "q1_pricing_summary",
-    # never driver-verified: round-6 additions
-    "multimodal_decode_bmp_rle",
-    "vector_ann_ivfpq_steady",
-    "etl_incremental_join_maintenance",
-    # never driver-verified: events_ residue
-    "events_approx_quantile_calibration",
-    "events_funnel_timebound",
-    "events_user_growth_curve",
-    "events_ab_ztest",
-    "events_top_paths_trigram",
-    "events_value_concentration",
-    "events_kaplan_meier",
-    "events_rfm_segments",
-    "events_error_budget_burn",
-    "events_peak_detection",
-    "events_dau_wau_stickiness",
-    # round-7 additions (would otherwise become the new never-verified)
-    "vector_pq_ann_adc_steady",
-    "pipeline_lsh_index_probe",
-    "pipeline_ann_index_probe",
-    # oldest union evidence (r1-vintage): TPC-H single-table/join suite
-    "q4_priority_with_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_case_sum",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    # r1-vintage: subquery forms
-    "subquery_correlated_max",
-    "subquery_in_filter",
-    "subquery_scalar_above_avg",
-    # r1-vintage: join variants
-    "join_anti",
-    "join_cross_small",
-    "join_full_outer",
-    "join_left_outer",
-    "join_null_safe_eq",
-    "join_semi",
-    "join_theta_ranges",
-    # r1-vintage: aggregation surfaces
-    "agg_cube",
-    "agg_exact_percentiles",
-    "agg_global_stats",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "agg_string_concat",
-    # r1-vintage: query-shape forms
-    "cte_chain",
-    "setop_union_except_intersect",
-    "pivot_status_by_priority",
-    "unpivot_stack",
+    # never driver-verified: round-7 late connector/table-format rows
+    "kafka_read_roundtrip",
+    "stream_kafka_topic_roundtrip",
+    "delta_write_read_roundtrip",
+    "delta_time_travel",
+    "stream_delta_autoload",
+    "iceberg_write_read_roundtrip",
+    "iceberg_snapshot_travel",
+    "stream_iceberg_autoload",
+    "hbase_read_roundtrip",
+    "mongo_read_roundtrip",
+    "redis_read_roundtrip",
+    "stream_redis_xadd_roundtrip",
+    "flight_read_roundtrip",
+    "etl_dynamic_partition_overwrite",
+    "etl_versioned_vacuum",
+    # never driver-verified: round-7 late compressed codecs
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_gif_lzw",
+    "multimodal_audio_flac_decode",
+    "multimodal_video_mjpeg_sample",
+    # never driver-verified: round-7 late span dedup (detect + apply)
+    "dedup_duplicate_spans",
+    "dedup_cut_duplicate_spans",
+    # round-8 additions (registered this round, windowed at registration
+    # per the freeze policy above)
+    "kafka_avro_nested_roundtrip",
+    "delta_checkpoint_replay",
+    "stream_mongo_sink_roundtrip",
+    "stream_hbase_sink_roundtrip",
+    # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
+    "date_funcs",
+    "distinct_pairs",
+    "histogram_price_buckets",
+    "json_extract_props",
+    "latest_event_per_user",
+    "scalar_math_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "topk_orders",
+    "window_first_last_value",
+    "window_percent_rank",
+    # next-oldest (r2-vintage), alphabetical — the rest continue in r9
+    "agg_array_collect",
+    "binary_records_roundtrip",
+    "dedup_lsh_verified_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_topk",
+    "dedup_simhash_pairs",
+    "multimodal_decode_stub",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
 )
 
 
