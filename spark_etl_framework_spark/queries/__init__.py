@@ -208,6 +208,8 @@ _PRIORITY: tuple[str, ...] = (
     "delta_checkpoint_replay",
     "stream_mongo_sink_roundtrip",
     "stream_hbase_sink_roundtrip",
+    "delta_catalog_table_roundtrip",
+    "iceberg_catalog_table_roundtrip",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -231,8 +233,6 @@ _PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
 )
 
 

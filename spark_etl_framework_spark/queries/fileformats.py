@@ -1528,3 +1528,126 @@ def stream_hbase_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r._props["columnsMapping.n_name"] = "cf:name"
     r._props["columnsMapping.n_regionkey"] = "cf:region"
     return r.run(jctx, spark)
+
+
+@register(
+    "delta_catalog_table_roundtrip",
+    oracle="""
+    SELECT 0 AS version,
+           COUNT(*) AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 1 AS version,
+           COUNT(*) AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation WHERE n_regionkey <> 2
+    """,
+)
+def delta_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta by catalog NAME, jar-free (round 8): the reference reads
+    Delta as ``spark.read.format("delta").table(db.name)`` against the
+    jar's catalog plugin (etl/source/DeltaReader.scala:10-31); without
+    the jar the actors now resolve the name through the engine's native
+    warehouse catalog (sources/catalog.py — metadata-only JSON entries,
+    atomic publish). The writer registers the name, two overwrite
+    commits build history, and the reader resolves the SAME name for
+    both the current version and ``versionAsOf=0`` — name resolution
+    composes with log-replay time travel."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources import catalog as _cat
+    from ..sources.connectors import DeltaReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    name = f"lake.nation_{_uuid.uuid4().hex[:10]}"
+    _cat.register_table(
+        spark, name, "delta", tempfile.mkdtemp(prefix="delta_cat_") + "/t"
+    )
+    try:
+        na = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        na.coalesce(1).createOrReplaceTempView("_delta_cat_v0")
+        na.filter("n_regionkey <> 2").coalesce(1).createOrReplaceTempView(
+            "_delta_cat_v1"
+        )
+        DeltaWriter(view="_delta_cat_v0", table=name, mode="overwrite").run(
+            jctx, spark
+        )
+        DeltaWriter(view="_delta_cat_v1", table=name, mode="overwrite").run(
+            jctx, spark
+        )
+        outs = []
+        for v in (0, 1):
+            r = DeltaReader(table=name)
+            r._props["options.versionAsOf"] = str(v)
+            outs.append(
+                r.run(jctx, spark).select(
+                    F.lit(v).alias("version"),
+                    F.col("n_nationkey").cast("bigint").alias("k"),
+                )
+            )
+        both = outs[0].unionByName(outs[1])
+        return both.groupBy("version").agg(
+            F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+        )
+    finally:
+        _cat.drop_table(spark, name)
+
+
+@register(
+    "iceberg_catalog_table_roundtrip",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*)                    AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation
+    WHERE n_regionkey <> 0
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg by catalog NAME with managed auto-create (round 8): the
+    writer is given a bare ``db.table`` with NO prior registration — the
+    native catalog creates the entry at the warehouse default location
+    (the Hive ``{warehouse}/{db}.db/{table}`` convention) and the v1
+    snapshot commit lands there; the reader resolves the same name and
+    applies the actor's ``filter=`` post-filter on the resolved scan
+    (reference name-based read: etl/source/IcebergReader.scala:12,23-30)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..sinks.connectors import IcebergWriter
+    from ..sources import catalog as _cat
+    from ..sources.connectors import IcebergReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    name = f"lake.nation_{_uuid.uuid4().hex[:10]}"
+    try:
+        na = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        na.coalesce(1).createOrReplaceTempView("_ice_cat_v")
+        IcebergWriter(view="_ice_cat_v", table=name, mode="overwrite").run(
+            jctx, spark
+        )
+        out = IcebergReader(table=name, filter="n_regionkey <> 0").run(jctx, spark)
+        agg = out.groupBy(
+            F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+        )
+        # materialize the |regions|-row aggregate BEFORE the finally
+        # deletes the managed files the lazy plan still points at —
+        # metadata-sized collect, not a data path
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        entry = _cat.resolve_table(spark, name)
+        _cat.drop_table(spark, name)
+        if entry:
+            _shutil.rmtree(entry["location"], ignore_errors=True)

@@ -47,6 +47,16 @@ def _file_stream_dir(sf_dir: str, filename: str, prefix: str) -> str:
             except FileExistsError:
                 if not (os.path.islink(link) and os.readlink(link) == target):
                     raise
+    # self-heal: any OTHER entry in the directory is foreign — a file a
+    # past run (or an abandoned intermediate build) linked here would be
+    # picked up by the schema'd FileStreamSource and corrupt the stream
+    # (observed: a stray documents.parquet turned events keys into NaN).
+    for entry in os.listdir(stream_dir):
+        if entry != filename:
+            try:
+                os.remove(os.path.join(stream_dir, entry))
+            except FileNotFoundError:
+                pass
     return stream_dir
 
 

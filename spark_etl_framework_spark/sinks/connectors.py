@@ -103,19 +103,28 @@ class DeltaWriter(Actor):
             # jar absent: path writes commit through the pure-Python
             # _delta_log protocol writer (sources/deltalog.py) — real
             # add/remove actions, optimistic-concurrency publish,
-            # checkpoints. bucketBy has no delta-protocol encoding, and
-            # catalog tables need the jar's catalog plugin.
-            if self.path and not (self.bucketBy_numBuckets and self.bucketBy_columns):
-                from ..sources.deltalog import write_delta
+            # checkpoints. Table NAMES resolve (or auto-create managed
+            # at the warehouse default location) through the native
+            # catalog (sources/catalog.py, round 8). bucketBy has no
+            # delta-protocol encoding and still needs the jar.
+            if self.bucketBy_numBuckets and self.bucketBy_columns:
+                raise _unavailable("delta", e) from e
+            target = self.path
+            if not target:
+                from ..sources.catalog import resolve_or_create
 
-                write_delta(
-                    df,
-                    self.path,
-                    mode=self.mode,
-                    partition_by=cols or None,
-                )
-                return None
-            raise _unavailable("delta", e) from e
+                target = resolve_or_create(
+                    spark, self.table, "delta", cols or None
+                )["location"]
+            from ..sources.deltalog import write_delta
+
+            write_delta(
+                df,
+                target,
+                mode=self.mode,
+                partition_by=cols or None,
+            )
+            return None
         return None
 
 
@@ -128,8 +137,9 @@ class IcebergWriter(Actor):
     engine's own Iceberg v1 writer (sources/iceberg.py): Avro manifests
     + manifest lists (functions/avro_ocf.py), ``vN.metadata.json`` +
     version-hint flip, identity partitioning from
-    ``tablePartitionedBy``. Catalog names still need the jar's catalog
-    plugin and say so."""
+    ``tablePartitionedBy``. Catalog names resolve (or auto-create
+    managed) through the native warehouse catalog (sources/catalog.py,
+    round 8); the jar's catalog plugin stays preferred."""
 
     table: str | None = None
     mode: str = "append"
@@ -147,11 +157,18 @@ class IcebergWriter(Actor):
         try:
             df.write.format("iceberg").mode(self.mode).save(self.table)
         except Exception as e:  # noqa: BLE001
-            if os.sep in self.table or "/" in self.table:
-                from ..sources.iceberg import write_iceberg
+            target = self.table
+            if not (os.sep in target or "/" in target):
+                # name-shaped: resolve or auto-create managed through the
+                # native catalog (sources/catalog.py, round 8)
+                from ..sources.catalog import resolve_or_create
 
-                write_iceberg(df, self.table, mode=self.mode,
-                              partition_by=cols or None)
-                return None
-            raise _unavailable("iceberg", e) from e
+                target = resolve_or_create(
+                    spark, target, "iceberg", cols or None
+                )["location"]
+            from ..sources.iceberg import write_iceberg
+
+            write_iceberg(df, target, mode=self.mode,
+                          partition_by=cols or None)
+            return None
         return None

@@ -152,9 +152,9 @@ class DeltaReader(Actor):
     go through the engine's own pure-Python transaction-log reader
     (sources/deltalog.py), which replays the REAL ``_delta_log``
     protocol: checkpoint + JSON commits, add/remove reconciliation,
-    partition values rebuilt from the log. Catalog-table reads still
-    need the jar (there is no delta catalog to resolve against) and say
-    so."""
+    partition values rebuilt from the log. Catalog-table reads resolve
+    ``table=`` through the native warehouse catalog (sources/catalog.py,
+    round 8) — the jar's catalog plugin stays preferred when present."""
 
     table: str | None = None
     path: str | None = None
@@ -169,13 +169,25 @@ class DeltaReader(Actor):
             reader = spark.read.format("delta").options(**opts)
             return reader.table(self.table) if self.table else reader.load(self.path)
         except Exception as e:  # noqa: BLE001
-            if self.path:
+            target = self.path
+            if not target and self.table:
+                from .catalog import resolve_table
+
+                entry = resolve_table(spark, self.table)
+                if entry is None or entry["format"] != "delta":
+                    raise _unavailable("delta", e) from RuntimeError(
+                        f"table {self.table!r} is not in the native catalog "
+                        "either — register it (sources/catalog.py:"
+                        "register_table) or write it by name first"
+                    )
+                target = entry["location"]
+            if target:
                 from .deltalog import read_delta
 
                 v = opts.get("versionAsOf")
                 return read_delta(
                     spark,
-                    self.path,
+                    target,
                     version_as_of=int(v) if v is not None else None,
                     timestamp_as_of=opts.get("timestampAsOf"),
                 )
@@ -192,7 +204,9 @@ class IcebergReader(Actor):
     manifests → live parquet files, typed identity-partition values
     broadcast onto the scan. ``options.snapshotId`` /
     ``options.asOfTimestamp`` time-travel like the jar's read options.
-    Catalog names still need the jar and say so."""
+    Catalog names resolve through the native warehouse catalog
+    (sources/catalog.py, round 8); the jar's SparkCatalog stays
+    preferred when present."""
 
     table: str | None = None
     filter: str | None = None
@@ -204,15 +218,25 @@ class IcebergReader(Actor):
             df = spark.read.format("iceberg").load(self.table)
             df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
         except Exception as e:  # noqa: BLE001
-            if "/" not in self.table:
-                raise _unavailable("iceberg", e) from e
+            target = self.table
+            if "/" not in target:
+                from .catalog import resolve_table
+
+                entry = resolve_table(spark, target)
+                if entry is None or entry["format"] != "iceberg":
+                    raise _unavailable("iceberg", e) from RuntimeError(
+                        f"table {target!r} is not in the native catalog "
+                        "either — register it (sources/catalog.py:"
+                        "register_table) or write it by name first"
+                    )
+                target = entry["location"]
             from .iceberg import read_iceberg
 
             sid = self._props.get("options.snapshotId")
             ts = self._props.get("options.asOfTimestamp")
             df = read_iceberg(
                 spark,
-                self.table,
+                target,
                 snapshot_id=int(sid) if sid is not None else None,
                 as_of_timestamp=int(ts) if ts is not None else None,
             )

@@ -92,15 +92,15 @@ def test_register_raises_on_duplicate_name():
 def test_priority_window_invariants():
     """The external gate checks exactly the first 50 registry entries, so
     lock what makes the window valid: it IS the priority block and every
-    slot has an oracle. Round-7 policy: the window CLOSES the evidence
-    program — every never-driver-verified query (the 11 events_ residue,
-    the three round-6 additions, the three round-7 registrations) plus
-    the OLDEST-verified union rows (r1 vintage: TPC-H, subqueries, join
-    variants, aggregates, set ops). Families whose every member is
-    freshly verified (r5/r6 green: dedup_/text_/corpus_/ts_/stream_/
-    source_/kafka_) rotate out entirely this round — their union rows
-    are banked and exact-value re-checked locally every round; the
-    family list below is what THIS rotation targets."""
+    slot has an oracle. Round-8 policy (the r7 judge's order item 1): the
+    22 round-7 LATE registrations (connector/table-format roundtrips,
+    compressed codecs, span dedup) — the only never-driver-verified rows
+    — plus the round-8 registrations at registration time (freeze policy,
+    tests/test_registry_window.py) and the oldest union evidence
+    (r1-vintage scalars/windows, then r2 vintage). Families freshly
+    verified in the r7 window (events_/vector_/pipeline_/subquery_/
+    join variants) rotate out; the family list below is what THIS
+    rotation targets."""
     from spark_etl_framework_spark.queries import _PRIORITY
 
     window = list(QUERIES)[:50]
@@ -108,8 +108,8 @@ def test_priority_window_invariants():
     assert window == list(_PRIORITY)
     assert all(n in ORACLES for n in window)
     for family in (
-        "events_", "vector_", "etl_", "multimodal_", "pipeline_",
-        "q", "join_", "subquery_", "agg_",
+        "kafka_", "delta_", "iceberg_", "stream_", "multimodal_",
+        "dedup_", "etl_", "scalar_", "window_", "agg_", "q",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
 
