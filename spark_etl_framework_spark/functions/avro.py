@@ -23,10 +23,18 @@ specification, avro.apache.org/docs/current/specification) recursively:
   schema resolves to its definition (including recursive references,
   which are rejected with a clear error — Spark has no recursive types)
 
+``logicalType`` annotations (round 8) decode to the same Spark types
+spark-avro produces: ``decimal`` on bytes/fixed → DecimalType(p, s)
+(big-endian two's-complement unscaled int, per the spec), ``date`` on
+int → DateType (epoch days), ``timestamp-millis``/``timestamp-micros``
+on long → TimestampType (UTC instants), ``local-timestamp-*`` →
+TimestampNTZType. Every other logical type (uuid, time-*, duration)
+falls back to its base type — the spec's required fallback, and the
+same shape spark-avro yields for uuid/time anyway.
+
 Remaining gates (clear ``NotImplementedError`` pointing at spark-avro):
 multi-branch unions of non-null types (no Spark struct shape exists for
-them short of spark-avro's member-struct encoding). ``logicalType``
-annotations decode as their base type (the spec's required fallback).
+them short of spark-avro's member-struct encoding).
 
 Spark mapping: record→struct, array→array, map→map<string,·>,
 enum→string, fixed→binary. Exposed as Arrow-batched pandas UDFs
@@ -35,10 +43,16 @@ enum→string, fixed→binary. Exposed as Arrow-batched pandas UDFs
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct as _struct
 
 import pandas as pd
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
 
 _PRIMITIVES = {
     "boolean": "boolean",
@@ -54,6 +68,24 @@ _PRIMITIVES = {
 #:   ("prim", name) | ("record", [(field, node), ...])
 #:   ("array", item) | ("map", value) | ("enum", [symbols])
 #:   ("fixed", size) | ("nullable", node)
+
+
+def _logical_node(lt: str, kind, t: dict):
+    """Map a logicalType annotation to a typed node, or None to fall back
+    to the base type (the spec's rule for unrecognized/invalid ones)."""
+    if lt == "decimal" and kind in ("bytes", "fixed"):
+        prec, scale = int(t.get("precision", 0)), int(t.get("scale", 0))
+        if not (1 <= prec <= 38 and 0 <= scale <= prec):
+            return None  # invalid annotation: spec says use the base type
+        size = int(t["size"]) if kind == "fixed" else None
+        return ("decimal", prec, scale, size)
+    if lt == "date" and kind == "int":
+        return ("date",)
+    if lt in ("timestamp-millis", "timestamp-micros") and kind == "long":
+        return ("ts", lt.rsplit("-", 1)[1], True)
+    if lt in ("local-timestamp-millis", "local-timestamp-micros") and kind == "long":
+        return ("ts", lt.rsplit("-", 1)[1], False)
+    return None
 
 
 def _parse_type(t, names: dict, stack: set):
@@ -85,7 +117,16 @@ def _parse_type(t, names: dict, stack: set):
         )
     if isinstance(t, dict):
         kind = t.get("type")
-        # logicalType: the spec mandates falling back to the base type
+        lt = t.get("logicalType")
+        if lt:
+            node = _logical_node(lt, kind, t)
+            if node is not None:
+                # a named fixed-decimal is referenceable like any fixed
+                if kind == "fixed" and t.get("name"):
+                    names[t["name"]] = node
+                return node
+            # unhandled logical types fall THROUGH to the base type —
+            # the spec's mandated fallback (uuid→string, time-*→int/long)
         if kind == "record":
             fields: list = []
             node = ("record", fields)
@@ -144,6 +185,12 @@ def _spark_type(node) -> str:
         return "string"
     if kind == "fixed":
         return "binary"
+    if kind == "decimal":
+        return f"decimal({node[1]},{node[2]})"
+    if kind == "date":
+        return "date"
+    if kind == "ts":
+        return "timestamp" if node[2] else "timestamp_ntz"
     raise AssertionError(node)
 
 
@@ -182,7 +229,7 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _is_nan(v) -> bool:
-    return isinstance(v, float) and v != v
+    return (isinstance(v, float) and v != v) or v is pd.NaT
 
 
 def _as_pairs(v):
@@ -193,7 +240,7 @@ def _as_pairs(v):
     return [(k, w) for k, w in v]
 
 
-def _encode_value(v, node, out: bytearray, path: str) -> None:
+def _encode_value(v, node, out: bytearray, path: str, tz: str = "UTC") -> None:
     kind = node[0]
     if kind == "nullable":
         # pandas represents a null cell as NaN/NaT/None depending on
@@ -202,7 +249,7 @@ def _encode_value(v, node, out: bytearray, path: str) -> None:
             _write_long(0, out)  # union branch 0 = null
             return
         _write_long(1, out)
-        _encode_value(v, node[1], out, path)
+        _encode_value(v, node[1], out, path, tz)
         return
     if v is None:
         raise ValueError(f"field {path!r} is not nullable but got None")
@@ -224,14 +271,14 @@ def _encode_value(v, node, out: bytearray, path: str) -> None:
     if kind == "record":
         get = v.get if isinstance(v, dict) else lambda n, _v=v: getattr(_v, n)
         for fname, ftype in node[1]:
-            _encode_value(get(fname), ftype, out, f"{path}.{fname}")
+            _encode_value(get(fname), ftype, out, f"{path}.{fname}", tz)
         return
     if kind == "array":
         items = list(v)  # ndarray from Arrow, list from python
         if items:
             _write_long(len(items), out)
             for i, item in enumerate(items):
-                _encode_value(item, node[1], out, f"{path}[{i}]")
+                _encode_value(item, node[1], out, f"{path}[{i}]", tz)
         _write_long(0, out)  # block terminator
         return
     if kind == "map":
@@ -242,7 +289,7 @@ def _encode_value(v, node, out: bytearray, path: str) -> None:
                 raw = str(k).encode("utf-8")
                 _write_long(len(raw), out)
                 out += raw
-                _encode_value(w, node[1], out, f"{path}[{k!r}]")
+                _encode_value(w, node[1], out, f"{path}[{k!r}]", tz)
         _write_long(0, out)
         return
     if kind == "enum":
@@ -262,6 +309,40 @@ def _encode_value(v, node, out: bytearray, path: str) -> None:
                 f"field {path!r}: fixed({node[1]}) got {len(raw)} bytes"
             )
         out += raw
+        return
+    if kind == "decimal":
+        _, prec, scale, size = node
+        d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(str(v))
+        unscaled = int(d.scaleb(scale))
+        if _decimal.Decimal(unscaled).scaleb(-scale) != d:
+            raise ValueError(
+                f"field {path!r}: {v!r} does not fit decimal scale {scale}"
+            )
+        if size is not None:  # fixed-backed: exactly `size` bytes
+            raw = unscaled.to_bytes(size, "big", signed=True)
+        else:  # bytes-backed: minimal two's-complement length
+            raw = unscaled.to_bytes(unscaled.bit_length() // 8 + 1, "big",
+                                    signed=True)
+            _write_long(len(raw), out)
+        out += raw
+        return
+    if kind == "date":
+        if isinstance(v, (pd.Timestamp, _dt.datetime)):
+            v = v.date()
+        _write_long((v - _EPOCH_DATE).days, out)
+        return
+    if kind == "ts":
+        _, unit, ltz = node
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        elif ltz and tz != "UTC":
+            # Spark hands pandas UDFs session-tz-NAIVE timestamps; a
+            # timestamp-{millis,micros} field is a UTC instant, so
+            # localize in the session zone first (py_to_avro passes it)
+            ts = ts.tz_localize(tz).tz_convert("UTC").tz_localize(None)
+        micros = ts.value // 1_000  # pandas stores ns
+        _write_long(micros if unit == "micros" else micros // 1_000, out)
         return
     raise AssertionError(node)
 
@@ -328,12 +409,32 @@ def _decode_value(buf: bytes, pos: int, node, path: str):
         if len(raw) != node[1]:
             raise ValueError(f"truncated Avro fixed for field {path!r}")
         return bytes(raw), pos + node[1]
+    if kind == "decimal":
+        _, prec, scale, size = node
+        if size is None:
+            n, pos = _read_long(buf, pos)
+        else:
+            n = size
+        raw = buf[pos : pos + n]
+        if len(raw) != n:
+            raise ValueError(f"truncated Avro decimal for field {path!r}")
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-scale), pos + n
+    if kind == "date":
+        days, pos = _read_long(buf, pos)
+        return _EPOCH_DATE + _dt.timedelta(days=days), pos
+    if kind == "ts":
+        _, unit, ltz = node
+        n, pos = _read_long(buf, pos)
+        micros = n if unit == "micros" else n * 1_000
+        epoch = _EPOCH_UTC if ltz else _EPOCH_NAIVE
+        return epoch + _dt.timedelta(microseconds=micros), pos
     raise AssertionError(node)
 
 
-def encode_record(values: dict, fields) -> bytes:
+def encode_record(values: dict, fields, tz: str = "UTC") -> bytes:
     out = bytearray()
-    _encode_value(values, ("record", fields), out, "$")
+    _encode_value(values, ("record", fields), out, "$", tz)
     return bytes(out)
 
 
@@ -369,9 +470,15 @@ def py_from_avro(col, schema_json: str):
 
 def py_to_avro(col, schema_json: str):
     """Jar-free ``to_avro``: encode a struct column to Avro binary."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     fields = parse_schema(schema_json)
+    # Arrow hands the UDF session-tz-NAIVE timestamps; capture the tz at
+    # definition time so timestamp-ltz fields encode the right instant
+    # even when the session is not UTC (the pickled closure carries it)
+    active = SparkSession.getActiveSession()
+    tz = active.conf.get("spark.sql.session.timeZone", "UTC") if active else "UTC"
 
     # a struct input column arrives as a pandas DataFrame; pyspark's
     # type-hint inference only accepts Series annotations, so the hint
@@ -380,7 +487,8 @@ def py_to_avro(col, schema_json: str):
     def enc(s: pd.Series) -> pd.Series:
         frame = s if isinstance(s, pd.DataFrame) else pd.DataFrame({"_v": s})
         return pd.Series(
-            [encode_record(dict(row), fields) for row in frame.to_dict("records")]
+            [encode_record(dict(row), fields, tz)
+             for row in frame.to_dict("records")]
         )
 
     return enc(col)

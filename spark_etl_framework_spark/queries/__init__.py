@@ -210,6 +210,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_hbase_sink_roundtrip",
     "delta_catalog_table_roundtrip",
     "iceberg_catalog_table_roundtrip",
+    "kafka_avro_logical_roundtrip",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -231,7 +232,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "multimodal_decode_stub",
     "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
     "q3_shipping_priority",
 )
 

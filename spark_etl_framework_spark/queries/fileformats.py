@@ -1651,3 +1651,109 @@ def iceberg_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         _cat.drop_table(spark, name)
         if entry:
             _shutil.rmtree(entry["location"], ignore_errors=True)
+
+
+_AVRO_LOGICAL_SCHEMA: str | None = None
+
+
+def _avro_logical_schema() -> str:
+    global _AVRO_LOGICAL_SCHEMA
+    if _AVRO_LOGICAL_SCHEMA is None:
+        import json as _json
+
+        _AVRO_LOGICAL_SCHEMA = _json.dumps(
+            {
+                "type": "record",
+                "name": "order_rec",
+                "fields": [
+                    {"name": "ok", "type": "long"},
+                    {"name": "price", "type": {
+                        "type": "bytes", "logicalType": "decimal",
+                        "precision": 12, "scale": 2}},
+                    {"name": "disc", "type": ["null", {
+                        "type": "fixed", "name": "d4", "size": 4,
+                        "logicalType": "decimal",
+                        "precision": 8, "scale": 4}]},
+                    {"name": "day", "type": {
+                        "type": "int", "logicalType": "date"}},
+                    {"name": "at", "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros"}},
+                ],
+            }
+        )
+    return _AVRO_LOGICAL_SCHEMA
+
+
+#: session-scoped brokers preloaded with logical-typed Avro orders
+_KAFKA_LOGICAL_SRV: dict[str, object] = {}
+
+
+@register(
+    "kafka_avro_logical_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS ok,
+           CAST(CAST(CAST(o_orderkey % 100000 AS DECIMAL(12,2)) / 4
+                     AS DECIMAL(12,2)) AS VARCHAR)          AS price_s,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(CAST(CAST(o_orderkey % 1000 AS DECIMAL(8,4)) / 1000
+                               AS DECIMAL(8,4)) AS VARCHAR) END AS disc_s,
+           CAST(o_orderdate AS DATE)                        AS day,
+           epoch_us(o_orderdate + (o_orderkey % 86400) * INTERVAL 1 SECOND)
+                                                            AS at_us
+    FROM orders
+    """,
+)
+def kafka_avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES over the real Kafka wire (round 8): every order
+    becomes an Avro record with a bytes-backed decimal(12,2) (big-endian
+    two's-complement unscaled int, minimal length), a NULLABLE
+    fixed(4)-backed decimal(8,4), an epoch-days date, and a
+    timestamp-micros instant — encoded executor-side by ``py_to_avro``
+    (session-tz aware), produced to a live broker, decoded back by the
+    KafkaReader actor's ``valueAvro`` into Spark decimal/date/timestamp
+    columns (the same types spark-avro yields — the reference decodes
+    arbitrary Avro payloads via spark-avro, KafkaActor.scala:21-46).
+    Decimals hash-compare as strings, the instant as tz-independent
+    epoch micros. Map-side only: no exchange on either half."""
+    from ..sources.connectors import KafkaReader
+
+    if sf_dir not in _KAFKA_LOGICAL_SRV:
+        from ..functions.avro import py_to_avro
+        from ..sources.kwire import MiniKafkaBroker, write_topic
+
+        srv = MiniKafkaBroker(num_partitions=2)
+        orders = load_table(spark, sf_dir, "orders")
+        rec = F.struct(
+            F.col("o_orderkey").alias("ok"),
+            ((F.col("o_orderkey") % 100000).cast("decimal(12,2)") / 4)
+            .cast("decimal(12,2)").alias("price"),
+            F.when(
+                F.col("o_orderkey") % 5 != 0,
+                ((F.col("o_orderkey") % 1000).cast("decimal(8,4)") / 1000)
+                .cast("decimal(8,4)"),
+            ).alias("disc"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            (F.col("o_orderdate")
+             + (F.col("o_orderkey") % 86400).cast("int")
+             * F.expr("INTERVAL 1 SECOND")).alias("at"),
+        )
+        wire = orders.select(
+            F.col("o_orderkey").cast("string").cast("binary").alias("key"),
+            py_to_avro(rec, _avro_logical_schema()).alias("value"),
+        )
+        write_topic(wire, f"127.0.0.1:{srv.port}", "orders_avro_lt")
+        _KAFKA_LOGICAL_SRV[sf_dir] = srv
+    srv = _KAFKA_LOGICAL_SRV[sf_dir]
+    out = KafkaReader(
+        bootstrapServers=f"127.0.0.1:{srv.port}",
+        topic="orders_avro_lt",
+        valueAvro=_avro_logical_schema(),
+    ).run(JobContext(PipelineContext(), spark), spark)
+    return out.select(
+        F.col("ok"),
+        F.col("price").cast("string").alias("price_s"),
+        F.col("disc").cast("string").alias("disc_s"),
+        F.col("day"),
+        F.unix_micros("at").alias("at_us"),
+    )

@@ -408,3 +408,118 @@ def test_avro_nested_codec_roundtrip():
     buf += body
     _write_long(0, buf)
     assert decode_record(bytes(buf), arr_fields) == {"xs": [3, 4]}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.decimals(min_value=-(10**10), max_value=10**10, places=2,
+                        allow_nan=False, allow_infinity=False),
+            st.dates(min_value=__import__("datetime").date(1900, 1, 1),
+                     max_value=__import__("datetime").date(2200, 1, 1)),
+            st.integers(min_value=-(2**52), max_value=2**52),  # epoch micros
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(deadline=None)
+def test_avro_logical_types_roundtrip(rows):
+    """Round-8 logical types: decimal (bytes- and fixed-backed, big-endian
+    two's-complement unscaled int per the spec), date (epoch days),
+    timestamp-micros/millis (UTC instants), local-timestamp (naive) —
+    encode->decode identity, and the Spark DDL matches spark-avro's
+    mapping."""
+    import datetime
+    import decimal
+    import json
+
+    from spark_etl_framework_spark.functions.avro import (
+        decode_record,
+        encode_record,
+        parse_schema,
+        spark_ddl,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "amount", "type": {"type": "bytes",
+             "logicalType": "decimal", "precision": 14, "scale": 2}},
+            {"name": "amount_f", "type": {"type": "fixed", "name": "d8",
+             "size": 8, "logicalType": "decimal", "precision": 14,
+             "scale": 2}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "at_us", "type": {"type": "long",
+             "logicalType": "timestamp-micros"}},
+            {"name": "at_ms", "type": {"type": "long",
+             "logicalType": "timestamp-millis"}},
+            {"name": "local_us", "type": ["null", {"type": "long",
+             "logicalType": "local-timestamp-micros"}]},
+        ],
+    })
+    assert spark_ddl(schema) == (
+        "`amount` decimal(14,2), `amount_f` decimal(14,2), `day` date, "
+        "`at_us` timestamp, `at_ms` timestamp, `local_us` timestamp_ntz"
+    )
+    fields = parse_schema(schema)
+    utc = datetime.timezone.utc
+    for dec, day, micros in rows:
+        ts = datetime.datetime(1970, 1, 1, tzinfo=utc) + datetime.timedelta(
+            microseconds=micros
+        )
+        ms_ts = datetime.datetime(1970, 1, 1, tzinfo=utc) + datetime.timedelta(
+            milliseconds=micros // 1000
+        )
+        vals = {
+            "amount": dec, "amount_f": dec, "day": day,
+            "at_us": ts, "at_ms": ms_ts,
+            "local_us": ts.replace(tzinfo=None),
+        }
+        out = decode_record(encode_record(vals, fields), fields)
+        assert out["amount"] == dec and out["amount_f"] == dec
+        assert isinstance(out["amount"], decimal.Decimal)
+        assert out["day"] == day
+        assert out["at_us"] == ts and out["at_ms"] == ms_ts
+        assert out["local_us"] == ts.replace(tzinfo=None)
+        assert out["local_us"].tzinfo is None
+
+
+def test_avro_logical_types_spec_bytes_and_fallback():
+    """Canonical wire bytes for decimal per the spec (unscaled big-endian
+    two's complement, minimal length for bytes-backed), scale-overflow
+    rejection, and the mandated base-type fallback for unhandled/invalid
+    logical annotations (uuid, time-micros, decimal on string)."""
+    import decimal
+    import json
+
+    import pytest as _pt
+
+    from spark_etl_framework_spark.functions.avro import (
+        encode_record,
+        parse_schema,
+        spark_ddl,
+    )
+
+    s2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 2}}]})
+    f = parse_schema(s2)
+    # 0.01 -> unscaled 1 -> length 1, byte 0x01 (length prefix 0x02)
+    assert encode_record({"d": decimal.Decimal("0.01")}, f).hex() == "0201"
+    # -0.01 -> unscaled -1 -> 0xff
+    assert encode_record({"d": decimal.Decimal("-0.01")}, f).hex() == "02ff"
+    # 1.28 -> unscaled 128 needs TWO bytes signed (0x0080)
+    assert encode_record({"d": decimal.Decimal("1.28")}, f).hex() == "040080"
+    with _pt.raises(ValueError, match="scale"):
+        encode_record({"d": decimal.Decimal("0.001")}, f)
+
+    # fallback: uuid -> string, time-micros -> bigint, invalid decimal
+    # placement (on string) -> string
+    fb = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "t", "type": {"type": "long",
+                               "logicalType": "time-micros"}},
+        {"name": "x", "type": {"type": "string",
+                               "logicalType": "decimal", "precision": 4}},
+    ]})
+    assert spark_ddl(fb) == "`u` string, `t` bigint, `x` string"
