@@ -195,9 +195,13 @@ def encode_record_batch(
     base_offset: int,
     records: list[dict],
     base_timestamp: int | None = None,
+    compression: int = 0,
 ) -> bytes:
     """``records``: dicts with key: bytes|None, value: bytes|None,
-    timestamp: int (epoch-ms), headers: list[(str, bytes)]."""
+    timestamp: int (epoch-ms), headers: list[(str, bytes)].
+    ``compression``: attribute codec bits (kcodecs.GZIP supported
+    produce-side; the records section compresses, the header stays
+    plain, exactly per the spec)."""
     if not records:
         raise ValueError("empty record batch")
     base_ts = base_timestamp if base_timestamp is not None else records[0]["timestamp"]
@@ -230,9 +234,14 @@ def encode_record_batch(
                 rec += write_varint(len(hv)) + hv
         body += write_varint(len(rec)) + rec
 
+    if compression:
+        from .kcodecs import compress
+
+        body = bytearray(compress(compression, bytes(body)))
+
     # crc covers attributes (int16) .. records end
     crcable = _Writer()
-    crcable.i16(0)  # attributes: no compression, CREATE_TIME
+    crcable.i16(compression & 0x07)  # attributes: codec bits, CREATE_TIME
     crcable.i32(len(records) - 1)  # lastOffsetDelta
     crcable.i64(base_ts).i64(max_ts)
     crcable.i64(-1).i16(-1).i32(-1)  # producerId/Epoch, baseSequence
@@ -276,8 +285,6 @@ def decode_record_batches(data: bytes) -> list[dict]:
         if actual != crc:
             raise ValueError(f"record batch CRC mismatch: {actual:#x} != {crc:#x}")
         attributes = br.i16()
-        if attributes & 0x07:
-            raise ValueError("compressed batches not supported (attributes)")
         br.i32()  # lastOffsetDelta
         base_ts = br.i64()
         br.i64()  # maxTimestamp
@@ -285,6 +292,13 @@ def decode_record_batches(data: bytes) -> list[dict]:
         br.i16()  # producerEpoch
         br.i32()  # baseSequence
         n = br.i32()
+        codec = attributes & 0x07
+        if codec:
+            # the records section (everything after recordCount) is the
+            # compressed region per the spec — inflate, then parse as usual
+            from .kcodecs import decompress
+
+            br = _Reader(decompress(codec, body[br.buf.tell():]))
         for _ in range(n):
             rec_len = read_varint(br.buf)
             rec = _Reader(br._take(rec_len))
@@ -404,9 +418,10 @@ class KafkaWireClient:
                 out[name] = sorted(parts)
         return out
 
-    def produce(self, topic: str, partition: int, records: list[dict]) -> int:
+    def produce(self, topic: str, partition: int, records: list[dict],
+                compression: int = 0) -> int:
         """Produce v3 (acks=-1) → base offset assigned by the broker."""
-        batch = encode_record_batch(0, records)
+        batch = encode_record_batch(0, records, compression=compression)
         w = _Writer()
         w.string(None)  # transactional_id
         w.i16(-1).i32(30_000)  # acks, timeout
@@ -770,10 +785,13 @@ def read_topic(spark, bootstrap: str, topic: str):
     return sdf.mapInPandas(fetch, schema)
 
 
-def write_topic(df, bootstrap: str, topic: str) -> None:
+def write_topic(df, bootstrap: str, topic: str, compression: int = 0) -> None:
     """Produce key/value(/headers) rows; each task produces its own rows
     to ``partition = hash(key) % n`` over its own connection, batched per
-    partition — one Produce RPC per (task, partition)."""
+    partition — one Produce RPC per (task, partition). ``compression``:
+    kcodecs.GZIP compresses each batch's records section (the common
+    wire setting; the reader side also inflates snappy/lz4 batches from
+    foreign producers)."""
     host, port = _parse_bootstrap(bootstrap)
     c = KafkaWireClient(host, port)
     try:
@@ -806,7 +824,7 @@ def write_topic(df, bootstrap: str, topic: str) -> None:
                     ]
                 per_part.setdefault(p, []).append(rec)
             for p, recs in per_part.items():
-                client.produce(topic, p, recs)
+                client.produce(topic, p, recs, compression)
         finally:
             client.close()
 

@@ -284,3 +284,158 @@ def test_stream_writer_relays_topic_to_topic(spark, broker):
         c.close()
     assert total == 6
     assert vals == {str(i * i).encode() for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# compressed batches (round 8): gzip/snappy/lz4 decode, gzip produce
+# ---------------------------------------------------------------------------
+
+
+def _recs(n=5):
+    return [
+        {"key": f"k{i}".encode(), "value": f"v{i}".encode(),
+         "timestamp": 1_700_000_000_000 + i}
+        for i in range(n)
+    ]
+
+
+def test_gzip_batch_roundtrip_and_crc():
+    """attributes codec bits = 1: the records section compresses, the
+    header stays plain, the CRC covers the COMPRESSED bytes — flipping a
+    compressed byte must fail loudly before any inflate."""
+    from spark_etl_framework_spark.sources.kcodecs import GZIP
+
+    batch = encode_record_batch(40, _recs(), compression=GZIP)
+    # attributes (big-endian i16) start at offset 21 after
+    # offset(8)+len(4)+epoch(4)+magic(1)+crc(4); codec bits in the low byte
+    assert batch[22] & 0x07 == 1
+    out = decode_record_batches(batch)
+    assert [r["value"] for r in out] == [f"v{i}".encode() for i in range(5)]
+    assert [r["offset"] for r in out] == list(range(40, 45))
+    corrupted = bytearray(batch)
+    corrupted[-3] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_record_batches(bytes(corrupted))
+
+
+def test_snappy_block_and_xerial_frame_decode():
+    """Hand-built raw snappy block per format_description.txt: a literal
+    then an OVERLAPPING copy (the RLE trick — byte-at-a-time), plus the
+    xerial/snappy-java stream framing kafka's java producer emits."""
+    from spark_etl_framework_spark.sources.kcodecs import (
+        SNAPPY,
+        decompress,
+        snappy_decompress,
+    )
+
+    # "abcabcabcabc": varint(12), literal(3)="abc", copy len=9 offset=3
+    block = bytes([12, (3 - 1) << 2]) + b"abc" + bytes([((9 - 4) << 2) | 1, 3])
+    assert snappy_decompress(block) == b"abcabcabcabc"
+    framed = (
+        b"\x82SNAPPY\x00" + struct.pack(">ii", 1, 1)
+        + struct.pack(">i", len(block)) + block
+    )
+    assert snappy_decompress(framed) == b"abcabcabcabc"
+
+    # a compressed record batch built by hand around the snappy body:
+    recs_plain = encode_record_batch(0, _recs(3))
+    records_section = recs_plain[61:]  # after the 61-byte v2 header
+    n_out = len(records_section)
+    lit = bytearray()
+    # emit as one big literal (length >= 60 uses the 1-byte extension)
+    if n_out - 1 >= 60:
+        lit += bytes([(60 << 2), n_out - 1])
+    else:
+        lit += bytes([(n_out - 1) << 2])
+    snappy_body = bytes([n_out]) + bytes(lit) + records_section
+    assert decompress(SNAPPY, snappy_body) == records_section
+
+
+def test_compressed_batch_snappy_and_lz4_e2e():
+    """Splice hand-compressed records sections into real v2 batches (CRC
+    recomputed) and decode them through decode_record_batches — the path
+    a foreign snappy/lz4 producer exercises."""
+    from spark_etl_framework_spark.sources.kcodecs import LZ4, SNAPPY
+
+    plain = encode_record_batch(7, _recs(4))
+    header, records_section = plain[:61], plain[61:]
+
+    def rebuild(codec: int, compressed: bytes) -> bytes:
+        # header layout: offset(8) len(4) epoch(4) magic(1) crc(4) attrs(2)...
+        crc_region = bytearray(header[21:]) + compressed
+        struct.pack_into(">h", crc_region, 0, codec)  # attributes
+        crc = crc32c(bytes(crc_region))
+        out = bytearray()
+        out += struct.pack(">q", 7)
+        out += struct.pack(">i", 4 + 1 + 4 + len(crc_region))
+        out += header[12:16]  # partitionLeaderEpoch
+        out += b"\x02"  # magic
+        out += struct.pack(">I", crc)
+        out += crc_region
+        return bytes(out)
+
+    # snappy: single literal run (tag 60 ⇒ 1 extra length byte, 61 ⇒ 2)
+    n = len(records_section)
+    assert n < 2**16
+    if n - 1 > 255:
+        lit = bytes([61 << 2, (n - 1) & 0xFF, (n - 1) >> 8])
+    else:
+        lit = bytes([60 << 2, n - 1])
+    varlen = bytearray()
+    m = n
+    while True:
+        b = m & 0x7F
+        m >>= 7
+        if m:
+            varlen.append(b | 0x80)
+        else:
+            varlen.append(b)
+            break
+    snappy_body = bytes(varlen) + lit + records_section
+    out = decode_record_batches(rebuild(SNAPPY, snappy_body))
+    assert [r["value"] for r in out] == [f"v{i}".encode() for i in range(4)]
+
+    # lz4 frame: one stored (uncompressed-bit) block + EndMark
+    frame = struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+    frame += struct.pack("<I", 0x80000000 | n) + records_section
+    frame += struct.pack("<I", 0)
+    out = decode_record_batches(rebuild(LZ4, frame))
+    assert [r["key"] for r in out] == [f"k{i}".encode() for i in range(4)]
+
+
+def test_lz4_block_match_copy_decode():
+    """A real compressed LZ4 block (token nibbles, 2-byte LE offset,
+    overlapping match) inside a frame."""
+    from spark_etl_framework_spark.sources.kcodecs import lz4_decompress
+
+    # literals "hello " + match(offset=6, len=12) + last-seq literals "!"
+    block = bytes([0x68]) + b"hello " + struct.pack("<H", 6) + bytes([0x10]) + b"!"
+    frame = (
+        struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+        + struct.pack("<I", len(block)) + block + struct.pack("<I", 0)
+    )
+    assert lz4_decompress(frame) == b"hello hello hello !"
+
+
+def test_zstd_stays_gated_with_clear_error():
+    from spark_etl_framework_spark.sources.kcodecs import ZSTD, decompress
+
+    with pytest.raises(ValueError, match="zstd"):
+        decompress(ZSTD, b"\x28\xb5\x2f\xfd")
+
+
+def test_gzip_produce_through_live_broker(broker):
+    """Produce gzip batches over the wire; the broker (which decodes
+    every produce with CRC verification) must store and re-serve the
+    records exactly."""
+    from spark_etl_framework_spark.sources.kcodecs import GZIP
+
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        base = c.produce("gz_topic", 0, _recs(50), compression=GZIP)
+        assert base == 0
+        got, hw = c.fetch("gz_topic", 0, 0)
+        assert hw == 50
+        assert [r["value"] for r in got] == [f"v{i}".encode() for i in range(50)]
+    finally:
+        c.close()
