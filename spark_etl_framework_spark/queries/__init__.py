@@ -211,6 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_catalog_table_roundtrip",
     "iceberg_catalog_table_roundtrip",
     "kafka_avro_logical_roundtrip",
+    "iceberg_row_level_delete",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -231,7 +232,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_topk",
     "dedup_simhash_pairs",
     "multimodal_decode_stub",
-    "q16_supplier_part_counts",
     "q3_shipping_priority",
 )
 

@@ -1757,3 +1757,51 @@ def kafka_avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day"),
         F.unix_micros("at").alias("at_us"),
     )
+
+
+@register(
+    "iceberg_row_level_delete",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*)                    AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM (
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 2
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 5
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ row deletes (round 8): nation lands as a
+    v1 table, ``delete_where`` erases region 2 by committing POSITION
+    DELETE files (spec field ids 2147483546/2147483545, content=1 delete
+    manifest, v1→v2 upgrade, next sequence number) — no data file is
+    rewritten — then an APPEND re-inserts keys < 5 (region-2 ones
+    included) at a later sequence number, and those survive because
+    position deletes name exact (file, pos) coordinates in OLDER files.
+    The read subtracts deletes with a broadcast anti-join on the tiny
+    (file, pos) set; the jar's MoR reader does the same join per scan
+    task (iceberg.apache.org/spec §Row-level deletes; reference reads
+    through iceberg-spark, etl/source/IcebergReader.scala:12)."""
+    import tempfile
+
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import delete_where, write_iceberg
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="iceberg_del_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg(na.coalesce(2), tbl, mode="overwrite")
+    delete_where(spark, tbl, "n_regionkey = 2")
+    write_iceberg(na.filter("n_nationkey < 5").coalesce(1), tbl, mode="append")
+    out = IcebergReader(table=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )

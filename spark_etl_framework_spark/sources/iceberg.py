@@ -258,6 +258,82 @@ _MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+#: v2 manifest-list entries (spec §Manifest Lists): ``content`` routes a
+#: manifest to the data (0) or delete (1) pipeline; sequence numbers give
+#: row-level deletes their ordering semantics. v1-era entries rewritten
+#: into a v2 list carry content=0, sequence numbers 0.
+_MANIFEST_FILE_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+#: positional-delete file columns carry RESERVED field ids (spec
+#: §Position Delete Files)
+_POS_DELETE_PATH_FID = 2147483546
+_POS_DELETE_POS_FID = 2147483545
+
+
+def _delete_manifest_entry_schema() -> dict:
+    """v2 manifest entry for DELETE files: data_file gains ``content``
+    (1 = position deletes, 2 = equality deletes) and ``equality_ids``."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102",
+                                     "fields": []},
+                        },
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                        {"name": "equality_ids", "type": ["null", {
+                            "type": "array", "items": "int",
+                            "element-id": 136}],
+                         "default": None, "field-id": 135},
+                    ],
+                },
+            },
+        ],
+    }
+
 
 # ---------------------------------------------------------------------------
 # write
@@ -416,8 +492,12 @@ def write_iceberg(
     }
 
     # ---- manifest list: previous manifests + new on append, new only on
-    # overwrite (the snapshot enumerates its complete live set)
-    manifests = [new_manifest]
+    # overwrite (the snapshot enumerates its complete live set). On a v2
+    # table (after a row-level delete upgraded it) the list carries
+    # content + sequence numbers; new data files get the next sequence.
+    fmt = meta.get("format-version", 1) if meta else 1
+    new_seq = (meta.get("last-sequence-number", 0) + 1) if fmt == 2 else None
+    prev: list[dict] = []
     if mode == "append" and meta and meta.get("current-snapshot-id", -1) != -1:
         cur = next(
             s
@@ -425,12 +505,19 @@ def write_iceberg(
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         _schema2, _m2, prev = read_ocf(cur["manifest-list"])
-        manifests = prev + [new_manifest]
     list_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
-    write_ocf(list_path, _MANIFEST_FILE_SCHEMA, manifests,
-              metadata={"format-version": "1"})
+    if fmt == 2:
+        v2_new = _as_v2_list_entry(new_manifest)
+        v2_new["sequence_number"] = v2_new["min_sequence_number"] = new_seq
+        manifests = [_as_v2_list_entry(mf) for mf in prev] + [v2_new]
+        write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2, manifests,
+                  metadata={"format-version": "2"})
+    else:
+        manifests = prev + [new_manifest]
+        write_ocf(list_path, _MANIFEST_FILE_SCHEMA, manifests,
+                  metadata={"format-version": "1"})
 
     # ---- new table metadata version
     snapshot = {
@@ -440,6 +527,8 @@ def write_iceberg(
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if fmt == 2:
+        snapshot["sequence-number"] = new_seq
     if meta is None:
         meta = {
             "format-version": 1,
@@ -459,12 +548,234 @@ def write_iceberg(
         }
     meta = dict(meta)
     meta["last-updated-ms"] = now_ms
+    if fmt == 2:
+        meta["last-sequence-number"] = new_seq
     meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
     _publish_metadata(loc, v + 1, meta)
+    return snapshot_id
+
+
+def _as_v2_list_entry(mf: dict) -> dict:
+    """Normalize a manifest-list entry (v1 or v2 field names) into the v2
+    shape — v1-era manifests get content=0 and sequence numbers 0 (the
+    upgrade rule: pre-v2 data has data sequence number 0)."""
+    return {
+        "manifest_path": mf["manifest_path"],
+        "manifest_length": mf["manifest_length"],
+        "partition_spec_id": mf.get("partition_spec_id", 0),
+        "content": mf.get("content", 0),
+        "sequence_number": mf.get("sequence_number") or 0,
+        "min_sequence_number": mf.get("min_sequence_number") or 0,
+        "added_snapshot_id": mf.get("added_snapshot_id") or 0,
+        "added_files_count": mf.get(
+            "added_files_count", mf.get("added_data_files_count")
+        ) or 0,
+        "existing_files_count": mf.get(
+            "existing_files_count", mf.get("existing_data_files_count")
+        ) or 0,
+        "deleted_files_count": mf.get(
+            "deleted_files_count", mf.get("deleted_data_files_count")
+        ) or 0,
+        "added_rows_count": mf.get("added_rows_count") or 0,
+        "existing_rows_count": mf.get("existing_rows_count") or 0,
+        "deleted_rows_count": mf.get("deleted_rows_count") or 0,
+    }
+
+
+def _upgrade_meta_v2(meta: dict) -> dict:
+    """v1 → v2 metadata upgrade (spec §Table Metadata): sequence numbers
+    begin at 0 for all pre-upgrade snapshots; a second, UNPARTITIONED
+    spec (id 1) is registered for global position-delete files."""
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta.setdefault("last-sequence-number", 0)
+    spec0 = {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+    meta["partition-specs"] = [spec0, {"spec-id": 1, "fields": []}]
+    meta.setdefault("default-spec-id", 0)
+    meta["last-partition-id"] = max(
+        [f["field-id"] for f in spec0["fields"]] + [999]
+    )
+    meta.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
+    meta.setdefault("default-sort-order-id", 0)
+    return meta
+
+
+def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
+    """Row-level DELETE as an Iceberg v2 merge-on-read commit — the
+    row-rewrite-free warehouse primitive (GDPR erasure, late-arriving
+    retractions). The table upgrades v1→v2 on first use (spec-legal).
+
+    Matching rows are located by (data file path, row position) — Spark's
+    ``_metadata.row_index`` gives positions natively, executor-side — and
+    written as POSITION DELETE parquet files (reserved field ids
+    2147483546/2147483545, sorted by file_path, pos as the spec asks),
+    committed under a delete manifest (content=1) with the next sequence
+    number. Readers subtract them with a broadcast anti-join; no data
+    file is rewritten, no text column ever moves.
+
+    Returns the new snapshot id, or None when nothing matched (no empty
+    commit)."""
+    import pyarrow.parquet as pq
+
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    files, cur_deletes = _scan_snapshot(meta, snap)
+    if not files:
+        return None
+    schema = iceberg_to_spark_schema(meta["schema"])
+    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_cols]
+    )
+    df = (
+        spark.read.schema(data_schema)
+        .parquet(*[f["file_path"] for f in files])
+        .withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    map_schema = T.StructType(
+        [T.StructField("__file_name", T.StringType(), False)]
+        + [T.StructField(c, ptypes[c], True) for c in partition_cols]
+        + [T.StructField("__seq", T.LongType(), False),
+           T.StructField("__path", T.StringType(), False)]
+    )
+    fmap = spark.createDataFrame(
+        [
+            (
+                os.path.basename(f["file_path"]),
+                *[_avro_to_partition(f["partition"].get(c), ptypes[c])
+                  for c in partition_cols],
+                int(f.get("__seq", 0)),
+                f["file_path"],
+            )
+            for f in files
+        ],
+        map_schema,
+    )
+    df = df.join(F.broadcast(fmap), "__file_name", "left")
+    if cur_deletes:
+        # rows already deleted must not re-enter the delete file set
+        df = _apply_deletes(spark, df, cur_deletes)
+    matched = (
+        df.filter(predicate)
+        .select(F.col("__path").alias("file_path"),
+                F.col("__pos").alias("pos"))
+        # range-partition so each delete FILE is sorted by (file_path,
+        # pos) as the spec requires; AQE coalesces the tiny ones
+        .repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .withMetadata("file_path", {"parquet.field.id": _POS_DELETE_PATH_FID})
+        .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
+    )
+
+    # stage the delete parquet, then move under data/ (same dance as data)
+    staging = tempfile.mkdtemp(prefix="icedel_")
+    delete_entries = []
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    try:
+        matched.write.mode("overwrite").parquet(staging)
+        total = 0
+        for root, _dirs, fnames in os.walk(staging):
+            for name in fnames:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                total += n_rows
+                dst = os.path.join(
+                    loc, "data", f"{uuid.uuid4().hex}-deletes.parquet"
+                )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                delete_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,  # inherit from the list
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # position deletes
+                            "file_path": dst,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                            "equality_ids": None,
+                        },
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    if not delete_entries:
+        return None
+
+    if meta.get("format-version", 1) != 2:
+        meta = _upgrade_meta_v2(meta)
+    new_seq = meta.get("last-sequence-number", 0) + 1
+
+    manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
+    write_ocf(
+        manifest_path,
+        _delete_manifest_entry_schema(),
+        delete_entries,
+        metadata={
+            "schema": json.dumps(meta["schema"]),
+            "partition-spec": "[]",
+            "partition-spec-id": "1",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    _s, _m, prev = read_ocf(snap["manifest-list"])
+    manifests = [_as_v2_list_entry(mf) for mf in prev] + [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 1,
+            "content": 1,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(delete_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    list_path = os.path.join(
+        _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2, manifests,
+              metadata={"format-version": "2"})
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "summary": {"operation": "delete"},
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    meta["last-updated-ms"] = now_ms
+    meta["last-sequence-number"] = new_seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    _publish_metadata(loc, current_version(loc) + 1, meta)
     return snapshot_id
 
 
@@ -475,12 +786,36 @@ def write_iceberg(
 
 def _live_files(meta: dict, snapshot: dict) -> list[dict]:
     """data_file entries (with typed partition dicts) live in ``snapshot``."""
+    return _scan_snapshot(meta, snapshot)[0]
+
+
+def _scan_snapshot(meta: dict, snapshot: dict) -> tuple[list[dict], list[dict]]:
+    """Walk the snapshot's manifest list into (data_files, delete_files).
+
+    Every returned entry dict gains ``__seq`` — the file's data sequence
+    number, inherited from the manifest-list entry when the manifest's
+    own entries carry none (the v2 inheritance rule; v1-era manifests
+    have no sequence numbers at all and inherit 0)."""
     _s, _m, manifests = read_ocf(snapshot["manifest-list"])
-    out = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for mf in manifests:
+        mf_seq = mf.get("sequence_number") or 0
         _es, _em, entries = read_ocf(mf["manifest_path"])
-        out.extend(e["data_file"] for e in entries if e["status"] != 2)
-    return out
+        for e in entries:
+            if e["status"] == 2:  # DELETED entry: file left the table
+                continue
+            f = dict(e["data_file"])
+            f["__seq"] = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf_seq
+            )
+            if mf.get("content", 0) == 1 or f.get("content", 0) in (1, 2):
+                deletes.append(f)
+            else:
+                data.append(f)
+    return data, deletes
 
 
 def _pick_snapshot(
@@ -520,7 +855,7 @@ def read_iceberg(
     meta = load_metadata(loc)
     schema = iceberg_to_spark_schema(meta["schema"])
     snap = _pick_snapshot(meta, snapshot_id, as_of_timestamp)
-    files = _live_files(meta, snap)
+    files, delete_files = _scan_snapshot(meta, snap)
     if not files:
         return spark.createDataFrame([], schema)
     partition_cols = [f["name"] for f in meta["partition-spec"]]
@@ -529,34 +864,102 @@ def read_iceberg(
         [f for f in schema.fields if f.name not in partition_cols]
     )
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not partition_cols:
-        return df
-    ptypes = {f.name: f.dataType for f in schema.fields}
-    map_schema = T.StructType(
-        [T.StructField("__file_name", T.StringType(), False)]
-        + [T.StructField(c, ptypes[c], True) for c in partition_cols]
-    )
-    fmap = spark.createDataFrame(
-        [
-            (
-                os.path.basename(f["file_path"]),
-                *[
-                    _avro_to_partition(f["partition"].get(c), ptypes[c])
-                    for c in partition_cols
-                ],
-            )
-            for f in files
-        ],
-        map_schema,
-    )
-    out = (
-        df.withColumn(
-            "__file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    needs_meta = bool(partition_cols) or bool(delete_files)
+    if needs_meta:
+        df = df.withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         )
-        .join(F.broadcast(fmap), "__file_name", "left")
-        .drop("__file_name")
-    )
-    return out.select(*[F.col(f.name) for f in schema.fields])
+    if delete_files:
+        df = df.withColumn("__pos", F.col("_metadata.row_index"))
+    if partition_cols or delete_files:
+        # one broadcast map: basename → typed partition values + data seq
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        map_schema = T.StructType(
+            [T.StructField("__file_name", T.StringType(), False)]
+            + [T.StructField(c, ptypes[c], True) for c in partition_cols]
+            + [T.StructField("__seq", T.LongType(), False)]
+        )
+        fmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f["file_path"]),
+                    *[
+                        _avro_to_partition(f["partition"].get(c), ptypes[c])
+                        for c in partition_cols
+                    ],
+                    int(f.get("__seq", 0)),
+                )
+                for f in files
+            ],
+            map_schema,
+        )
+        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    if delete_files:
+        df = _apply_deletes(spark, df, delete_files)
+    return df.select(*[F.col(f.name) for f in schema.fields])
+
+
+def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict]):
+    """Merge-on-read: subtract v2 delete files from the scan.
+
+    - position deletes (content=1): anti-join on (file basename, pos)
+      where the delete's sequence number >= the data file's — a delete
+      names exact row coordinates, so the join key is tiny and exact.
+    - equality deletes (content=2): per equality_ids group, anti-join on
+      those columns where the delete's sequence number is STRICTLY
+      greater (spec: equality deletes apply to rows of OLDER data files
+      only, so a row re-inserted in the same-or-later commit survives).
+
+    Scale: delete sets are dwarfed by data in any healthy table; both
+    joins broadcast the delete side. A pathological delete set falls
+    back to a shuffled anti-join via AQE — still no row of TEXT moves
+    twice, only join keys."""
+    pos_paths = [f["file_path"] for f in delete_files
+                 if f.get("content", 0) == 1]
+    if pos_paths:
+        dels = (
+            spark.read.parquet(*pos_paths)
+            .select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1)
+                .alias("__file_name"),
+                F.col("pos").alias("__pos"),
+                F.col("_metadata.file_path").alias("__del_file"),
+            )
+        )
+        # each delete FILE carries one sequence number — attach via map
+        seq_rows = [
+            (os.path.basename(f["file_path"]), int(f.get("__seq", 0)))
+            for f in delete_files
+            if f.get("content", 0) == 1
+        ]
+        seq_map = spark.createDataFrame(
+            seq_rows, "`__del_name` string, `__del_seq` long"
+        )
+        dels = (
+            dels.withColumn(
+                "__del_name",
+                F.element_at(F.split(F.col("__del_file"), "/"), -1),
+            )
+            .join(F.broadcast(seq_map), "__del_name")
+            .select("__file_name", "__pos", "__del_seq")
+        )
+        df = df.join(
+            F.broadcast(dels),
+            on=[
+                df["__file_name"] == dels["__file_name"],
+                df["__pos"] == dels["__pos"],
+                dels["__del_seq"] >= df["__seq"],
+            ],
+            how="left_anti",
+        )
+    eq_files = [f for f in delete_files if f.get("content", 0) == 2]
+    for f in eq_files:
+        eq = spark.read.parquet(f["file_path"])
+        cond = [df[c].eqNullSafe(eq[c]) for c in eq.columns]
+        cond.append(F.lit(int(f.get("__seq", 0))) > df["__seq"])
+        df = df.join(F.broadcast(eq), on=cond, how="left_anti")
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -241,3 +241,164 @@ def test_read_plan_broadcasts_file_map_no_fact_shuffle(spark, loc):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.find("Exchange hashpartitioning") == -1, f"fact shuffled:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# v2 row-level deletes (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _ids(spark, loc, **kw):
+    return sorted(
+        r.id for r in ice.read_iceberg(spark, loc, **kw).collect()
+    )
+
+
+def test_delete_where_positional_merge_on_read(spark, loc):
+    """delete_where commits POSITION DELETE files (spec field ids, sorted
+    by file_path/pos) under a content=1 manifest; the table upgrades
+    v1→v2; reads subtract the deleted rows without rewriting any data
+    file."""
+    ice.write_iceberg(
+        _mk(spark, [(i, f"n{i}", i % 3) for i in range(30)]).coalesce(2),
+        loc, mode="overwrite", partition_by=["grp"],
+    )
+    data_files_before = {
+        f["file_path"] for f in ice._live_files(
+            ice.load_metadata(loc), ice._pick_snapshot(ice.load_metadata(loc))
+        )
+    }
+    sid = ice.delete_where(spark, loc, "grp = 1 and id < 10")
+    assert sid is not None
+    meta = ice.load_metadata(loc)
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    snap = ice._pick_snapshot(meta)
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["sequence-number"] == 1
+    # no data file rewritten — the delete is pure addition
+    data_files_after = {
+        f["file_path"] for f in ice._scan_snapshot(meta, snap)[0]
+    }
+    assert data_files_after == data_files_before
+    _d, dels = ice._scan_snapshot(meta, snap)
+    assert dels and all(f["content"] == 1 for f in dels)
+    assert _ids(spark, loc) == [i for i in range(30) if not (i % 3 == 1 and i < 10)]
+    # the delete parquet itself is spec-shaped: file_path + pos, sorted
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(dels[0]["file_path"])
+    assert tbl.column_names == ["file_path", "pos"]
+    rows = list(zip(tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist()))
+    assert rows == sorted(rows)
+
+
+def test_append_after_delete_rows_survive(spark, loc):
+    """Position deletes name exact (file, pos) coordinates — rows appended
+    AFTER the delete match the same predicate yet stay live, and the v2
+    append carries the next sequence number."""
+    ice.write_iceberg(_mk(spark, [(i, f"n{i}", 0) for i in range(10)]), loc,
+                      mode="overwrite")
+    ice.delete_where(spark, loc, "id < 5")
+    assert _ids(spark, loc) == [5, 6, 7, 8, 9]
+    ice.write_iceberg(_mk(spark, [(i, f"re{i}", 0) for i in range(3)]), loc,
+                      mode="append")
+    meta = ice.load_metadata(loc)
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 2
+    assert _ids(spark, loc) == [0, 1, 2, 5, 6, 7, 8, 9]
+    # time travel back across the delete still works
+    snaps = meta["snapshots"]
+    assert _ids(spark, loc, snapshot_id=snaps[0]["snapshot-id"]) == list(range(10))
+    assert _ids(spark, loc, snapshot_id=snaps[1]["snapshot-id"]) == [5, 6, 7, 8, 9]
+
+
+def test_delete_where_no_match_is_no_commit(spark, loc):
+    ice.write_iceberg(_mk(spark, [(1, "a", 0)]), loc, mode="overwrite")
+    v = ice.current_version(loc)
+    assert ice.delete_where(spark, loc, "id > 100") is None
+    assert ice.current_version(loc) == v
+    # re-deleting already-deleted rows is also a no-op commit
+    ice.delete_where(spark, loc, "id = 1")
+    v2 = ice.current_version(loc)
+    assert ice.delete_where(spark, loc, "id = 1") is None
+    assert ice.current_version(loc) == v2
+    assert _ids(spark, loc) == []
+
+
+def test_overwrite_drops_delete_manifests(spark, loc):
+    ice.write_iceberg(_mk(spark, [(i, "x", 0) for i in range(6)]), loc,
+                      mode="overwrite")
+    ice.delete_where(spark, loc, "id % 2 = 0")
+    ice.write_iceberg(_mk(spark, [(99, "y", 0)]), loc, mode="overwrite")
+    meta = ice.load_metadata(loc)
+    _d, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    assert dels == []
+    assert _ids(spark, loc) == [99]
+
+
+def test_equality_delete_read_side(spark, loc, tmp_path):
+    """Read-side equality deletes (content=2, what Flink CDC writers emit):
+    rows matching the delete file's equality columns disappear from data
+    files with a STRICTLY OLDER sequence number; a same-key row written
+    at the same-or-later sequence survives (the spec's re-insert rule)."""
+    ice.write_iceberg(_mk(spark, [(i, f"n{i}", 0) for i in range(6)]), loc,
+                      mode="overwrite")
+    # upgrade via a positional delete of nothing-shaped predicate? No —
+    # hand-commit the equality delete exactly as a CDC writer would:
+    meta = ice._upgrade_meta_v2(ice.load_metadata(loc))
+    snap = ice._pick_snapshot(meta)
+    new_seq = 1
+    eq_path = str(tmp_path / "eqdel.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"id": pa.array([2, 4], type=pa.int32())}), eq_path)
+    manifest_path = os.path.join(loc, "metadata", "eq-m0.avro")
+    write_ocf(
+        manifest_path,
+        ice._delete_manifest_entry_schema(),
+        [{
+            "status": 1, "snapshot_id": 1, "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 2, "file_path": eq_path,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(eq_path),
+                "equality_ids": [1],
+            },
+        }],
+        metadata={"format-version": "2", "content": "deletes",
+                  "partition-spec": "[]", "partition-spec-id": "1",
+                  "schema": json.dumps(meta["schema"])},
+    )
+    _s, _m, prev = read_ocf(snap["manifest-list"])
+    manifests = [ice._as_v2_list_entry(mf) for mf in prev] + [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 1, "content": 1,
+        "sequence_number": new_seq, "min_sequence_number": new_seq,
+        "added_snapshot_id": 1, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": 2, "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+    list_path = os.path.join(loc, "metadata", "snap-eq.avro")
+    write_ocf(list_path, ice._MANIFEST_FILE_SCHEMA_V2, manifests,
+              metadata={"format-version": "2"})
+    sid = 999_001
+    meta["last-sequence-number"] = new_seq
+    meta["current-snapshot-id"] = sid
+    meta["snapshots"] = list(meta["snapshots"]) + [{
+        "snapshot-id": sid, "sequence-number": new_seq,
+        "timestamp-ms": snap["timestamp-ms"] + 1,
+        "summary": {"operation": "delete"},
+        "manifest-list": list_path, "schema-id": 0,
+    }]
+    ice._publish_metadata(loc, ice.current_version(loc) + 1, meta)
+    assert _ids(spark, loc) == [0, 1, 3, 5]
+    # a row with a deleted key appended at a LATER sequence survives
+    ice.write_iceberg(_mk(spark, [(2, "back", 0)]), loc, mode="append")
+    assert _ids(spark, loc) == [0, 1, 2, 3, 5]
