@@ -1805,3 +1805,60 @@ def iceberg_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "delta_row_level_delete",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*)                    AS n_rows,
+           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM (
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 2
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 5
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def delta_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row-level DELETE as a pruned copy-on-write commit (round 8):
+    nation lands partitioned by region, ``delete_where`` erases region 2
+    — only the files CONTAINING a match rewrite; the other partitions'
+    physical files survive untouched (the jar's DELETE planner does the
+    same remove+add pruning, delta.io PROTOCOL.md) — then an append
+    re-inserts keys < 5 and the DeltaReader actor replays the log:
+    remove tombstones for the rewritten files, adds for the survivors
+    and the appended slice, v0 history intact underneath (reference
+    reaches Delta through delta-spark, etl/source/DeltaReader.scala:10)."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import delete_where
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_del_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(2).createOrReplaceTempView("_delta_del_full")
+    na.filter("n_nationkey < 5").coalesce(1).createOrReplaceTempView(
+        "_delta_del_slice"
+    )
+    DeltaWriter(
+        view="_delta_del_full", table=None, path=tbl, mode="overwrite",
+        partitionBy="n_regionkey",
+    ).run(jctx, spark)
+    delete_where(spark, tbl, "n_regionkey = 2")
+    DeltaWriter(
+        view="_delta_del_slice", path=tbl, mode="append",
+        partitionBy="n_regionkey",
+    ).run(jctx, spark)
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )

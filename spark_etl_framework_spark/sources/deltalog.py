@@ -387,6 +387,55 @@ def _file_row_count(p: str) -> int:
     return pq.ParquetFile(p).metadata.num_rows
 
 
+def _stage_adds(df: DataFrame, path: str, partition_by: list[str]) -> list[dict]:
+    """Stage ``df`` with Spark's distributed parquet writer, move the
+    files under the table root with fresh uuid names, return their
+    ``add`` actions (partitionValues + numRecords stats)."""
+    staging = tempfile.mkdtemp(prefix="deltastage_")
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                n_rows = _file_row_count(src)
+                if n_rows == 0:
+                    os.unlink(src)
+                    continue
+                shutil.move(src, dst)
+                pvals = _parse_hive_dirs(rel) if partition_by else {}
+                adds.append(
+                    {
+                        "add": {
+                            "path": _quote_path(rel),
+                            "partitionValues": {
+                                c: pvals.get(c) for c in partition_by
+                            },
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": n_rows}),
+                        }
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -422,45 +471,7 @@ def write_delta(
     else:
         snap = None
 
-    staging = tempfile.mkdtemp(prefix="deltastage_")
-    try:
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(staging)
-
-        adds = []
-        now_ms = int(time.time() * 1000)
-        for root, _dirs, names in os.walk(staging):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
-                dst = os.path.join(path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                n_rows = _file_row_count(src)
-                shutil.move(src, dst)
-                pvals = _parse_hive_dirs(rel) if partition_by else {}
-                adds.append(
-                    {
-                        "add": {
-                            "path": _quote_path(rel),
-                            "partitionValues": {
-                                c: pvals.get(c) for c in partition_by
-                            },
-                            "size": os.path.getsize(dst),
-                            "modificationTime": now_ms,
-                            "dataChange": True,
-                            "stats": json.dumps({"numRecords": n_rows}),
-                        }
-                    }
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_adds(df, path, partition_by)
 
     version = prev + 1
     op = operation or ("WRITE" if mode == "append" else "OVERWRITE")
@@ -507,6 +518,107 @@ def write_delta(
     actions.extend(adds)
     _publish_commit(path, version, actions)
 
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            _write_checkpoint(path, version)
+        except DeltaConcurrentModification:  # pragma: no cover - benign race
+            pass
+    return version
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
+    """Row-level DELETE as a PRUNED copy-on-write commit — what OSS Delta's
+    DELETE does without deletion vectors (delta.io PROTOCOL.md: ``remove``
+    tombstones + ``add`` actions, dataChange=true, operation DELETE).
+
+    Only files that CONTAIN a matching row are rewritten: one distributed
+    scan finds the affected file set (file-level pruning falls out for
+    partition-column predicates — untouched partitions never rewrite),
+    survivors of those files restage, and the commit removes exactly the
+    affected files. Row order inside rewritten files is preserved-enough
+    for analytics (Delta itself guarantees none). NULL predicate rows
+    survive (DELETE removes rows where the predicate is TRUE, SQL
+    three-valued semantics).
+
+    Returns the committed version, or None when nothing matched (no
+    empty commit). Scale: the affected-file list is driver-side metadata
+    (exactly what the jar's DELETE planner holds); rows move only for
+    rewritten files."""
+    prev = latest_version(path)
+    if prev < 0:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    snap = snapshot(path)
+    if not snap.files:
+        return None
+    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+    abs_paths = [os.path.join(path, f.path) for f in snap.files]
+    df = spark.read.schema(snap.data_schema).parquet(*abs_paths).withColumn(
+        "__file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    if snap.partition_columns:
+        map_schema = T.StructType(
+            [T.StructField("__file_name", T.StringType(), False)]
+            + [
+                T.StructField(c, ptypes[c], True)
+                for c in snap.partition_columns
+            ]
+        )
+        fmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f.path),
+                    *[
+                        _cast_partition_literal(
+                            f.partition_values.get(c), ptypes[c]
+                        )
+                        for c in snap.partition_columns
+                    ],
+                )
+                for f in snap.files
+            ],
+            map_schema,
+        )
+        df = df.join(F.broadcast(fmap), "__file_name", "left")
+
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    affected = {
+        r["__file_name"]
+        for r in df.filter(pred).select("__file_name").distinct().collect()
+    }
+    if not affected:
+        return None
+    survivors = (
+        df.filter(F.col("__file_name").isin(list(affected)))
+        .filter(~pred)
+        .select(*[F.col(f.name) for f in snap.schema.fields])
+    )
+    adds = _stage_adds(survivors, path, snap.partition_columns)
+
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": _quote_path(f.path),
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+        }
+        for f in snap.files
+        if os.path.basename(f.path) in affected
+    )
+    actions.extend(adds)
+    version = prev + 1
+    _publish_commit(path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
             _write_checkpoint(path, version)

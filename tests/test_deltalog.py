@@ -292,3 +292,54 @@ def test_stream_restart_resumes_from_version_offset(spark, tbl, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 3  # 2 + 1, no replays
     assert {r.id for r in got.collect()} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# row-level DELETE (round 8): pruned copy-on-write
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tbl):
+    """DELETE rewrites exactly the files containing a match — a
+    partition-column predicate prunes at file level, so untouched
+    partitions keep their ORIGINAL physical files (the jar's DELETE
+    planner does the same remove+add pruning, delta.io PROTOCOL.md)."""
+    df = _mk(spark, [(i, f"n{i}", i % 3) for i in range(30)])
+    dl.write_delta(df, tbl, mode="overwrite", partition_by=["grp"])
+    before = {f.path for f in dl.snapshot(tbl).files}
+    v = dl.delete_where(spark, tbl, "grp = 1 and id < 10")
+    assert v == 1
+    snap = dl.snapshot(tbl)
+    after = {f.path for f in snap.files}
+    # pruning is per FILE-containing-a-match: everything outside grp=1
+    # is untouched, and every removed file sat in grp=1
+    untouched_before = {p for p in before if "grp=1" not in p}
+    assert untouched_before <= after
+    removed = before - after
+    assert removed and all("grp=1" in p for p in removed)
+    out = dl.read_delta(spark, tbl)
+    assert sorted(r.id for r in out.collect()) == [
+        i for i in range(30) if not (i % 3 == 1 and i < 10)
+    ]
+    # history intact: version 0 still has all rows
+    assert dl.read_delta(spark, tbl, version_as_of=0).count() == 30
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 20)], "id int, score int"
+    )
+    dl.write_delta(df, tbl, mode="overwrite")
+    dl.delete_where(spark, tbl, "score > 10")
+    assert sorted(r.id for r in dl.read_delta(spark, tbl).collect()) == [1, 2]
+
+
+def test_delete_where_no_match_no_commit_and_full_file_delete(spark, tbl):
+    df = _mk(spark, [(i, "x", 0) for i in range(4)])
+    dl.write_delta(df, tbl, mode="overwrite")
+    assert dl.delete_where(spark, tbl, "id > 99") is None
+    assert dl.latest_version(tbl) == 0
+    # deleting EVERY row of the only file leaves a live, empty table
+    assert dl.delete_where(spark, tbl, "id >= 0") == 1
+    assert dl.read_delta(spark, tbl).count() == 0
+    assert dl.snapshot(tbl).files == []

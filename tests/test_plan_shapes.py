@@ -902,3 +902,27 @@ def test_duplicate_spans_no_text_crosses_exchange(spark, sf_dir):
             assert m is None, (
                 f"duplicate_spans shuffles raw text:\n{line.strip()}"
             )
+
+
+def test_iceberg_mor_read_no_fact_shuffle(spark, tmp_path):
+    """Iceberg v2 merge-on-read: applying position deletes must not
+    shuffle the fact scan — the delete set joins as a BroadcastExchange
+    anti-join and the partition/seq file map as another broadcast; zero
+    hash exchanges touch the data rows (SCALE.md round-8: deletes are
+    dwarfed by data; a pathological delete set degrades via AQE, never
+    by a forced shuffle)."""
+    from spark_etl_framework_spark.sources import iceberg as ice
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(60)], "id int, name string, grp int"
+    )
+    ice.write_iceberg(df.coalesce(2), loc, mode="overwrite", partition_by=["grp"])
+    ice.delete_where(spark, loc, "id < 10")
+    out = ice.read_iceberg(spark, loc)
+    plan = _initial_plan(out)
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert not hash_ex, "MoR read forced a shuffle:\n" + plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 50
