@@ -213,6 +213,7 @@ _PRIORITY: tuple[str, ...] = (
     "kafka_avro_logical_roundtrip",
     "iceberg_row_level_delete",
     "delta_row_level_delete",
+    "delta_deletion_vectors",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -232,7 +233,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard_topk",
     "dedup_simhash_pairs",
-    "multimodal_decode_stub",
 )
 
 

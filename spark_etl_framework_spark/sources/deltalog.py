@@ -83,6 +83,9 @@ class AddFile:
     size: int
     modification_time: int
     stats: str | None = None
+    #: deletionVector descriptor (PROTOCOL.md): dict with storageType
+    #: ("u"/"i"/"p"), pathOrInlineDv, offset, sizeInBytes, cardinality
+    deletion_vector: dict | None = None
 
 
 @dataclass
@@ -161,12 +164,18 @@ def _apply_action(snap: Snapshot, act: dict, adds: dict) -> None:
         pv = a.get("partitionValues") or {}
         if not isinstance(pv, dict):  # checkpoint map columns -> kv tuples
             pv = dict(pv)
+        dv = a.get("deletionVector")
+        if dv is not None and not isinstance(dv, dict):
+            dv = dict(dv)  # checkpoint struct column -> mapping
+        if dv is not None and not dv.get("storageType"):
+            dv = None  # checkpoint null struct reads as all-None fields
         adds[unquote(a["path"])] = AddFile(
             path=unquote(a["path"]),
             partition_values=pv,
             size=int(a.get("size", 0)),
             modification_time=int(a.get("modificationTime", 0)),
             stats=a.get("stats"),
+            deletion_vector=dv,
         )
     elif "remove" in act:
         adds.pop(unquote(act["remove"]["path"]), None)
@@ -295,8 +304,17 @@ def read_delta(
         return spark.createDataFrame([], snap.schema)
 
     abs_paths = [os.path.join(path, f.path) for f in snap.files]
+    dv_files = [f for f in snap.files if f.deletion_vector]
     if not snap.partition_columns:
-        return spark.read.schema(snap.data_schema).parquet(*abs_paths)
+        df = spark.read.schema(snap.data_schema).parquet(*abs_paths)
+        if not dv_files:
+            return df
+        df = df.withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        df = _subtract_dvs(spark, df, path, dv_files)
+        return df.select(*[F.col(f.name) for f in snap.schema.fields])
 
     ptypes = {f.name: f.dataType for f in snap.schema.fields}
 
@@ -320,17 +338,24 @@ def read_delta(
             map_schema,
         )
         df = spark.read.schema(snap.data_schema).parquet(*abs_paths)
-        out = (
-            df.withColumn(
-                "__file_name",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-            )
-            .join(F.broadcast(fmap), "__file_name", "left")
-            .drop("__file_name")
+        out = df.withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         )
+        if dv_files:
+            out = out.withColumn("__pos", F.col("_metadata.row_index"))
+        out = out.join(F.broadcast(fmap), "__file_name", "left")
+        if dv_files:
+            out = _subtract_dvs(spark, out, path, dv_files)
+        out = out.drop("__file_name")
     else:  # pragma: no cover - foreign tables with colliding basenames
         # Fall back to one scan per distinct partition tuple with literal
         # columns — layout-independent and always correct.
+        if dv_files:
+            raise NotImplementedError(
+                "deletion vectors on a foreign table with colliding file "
+                "basenames are not supported jar-free"
+            )
         groups: dict[tuple, list[str]] = {}
         for f, ap in zip(snap.files, abs_paths):
             groups.setdefault(tuple(_literals(f)), []).append(ap)
@@ -526,24 +551,154 @@ def write_delta(
     return version
 
 
-def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
-    """Row-level DELETE as a PRUNED copy-on-write commit — what OSS Delta's
-    DELETE does without deletion vectors (delta.io PROTOCOL.md: ``remove``
-    tombstones + ``add`` actions, dataChange=true, operation DELETE).
+def _dv_commit_actions(
+    spark, path: str, df, pred, affected: set, by_name: dict, ts: int
+) -> list[dict]:
+    """Write one deletion-vector file per affected data file — EXECUTOR
+    side, one ``applyInPandas`` group per file (the driver sees only the
+    |affected|-row descriptor list) — and return the remove + re-add
+    actions. Prior DV positions union in (a descriptor replaces, never
+    merges, so the new bitmap must carry the old dead rows too)."""
+    matched = (
+        df.filter(pred)
+        .filter(F.col("__file_name").isin(list(affected)))
+        .select("__file_name", "__pos")
+    )
+    old_dvs = {
+        name: f.deletion_vector
+        for name, f in by_name.items()
+        if f.deletion_vector
+    }
+    table_path = path
 
-    Only files that CONTAIN a matching row are rewritten: one distributed
-    scan finds the affected file set (file-level pruning falls out for
-    partition-column predicates — untouched partitions never rewrite),
-    survivors of those files restage, and the commit removes exactly the
-    affected files. Row order inside rewritten files is preserved-enough
-    for analytics (Delta itself guarantees none). NULL predicate rows
-    survive (DELETE removes rows where the predicate is TRUE, SQL
-    three-valued semantics).
+    def per_file(key, pdf):
+        import os as _os
+        import uuid as _uuid
 
-    Returns the committed version, or None when nothing matched (no
-    empty commit). Scale: the affected-file list is driver-side metadata
-    (exactly what the jar's DELETE planner holds); rows move only for
-    rewritten files."""
+        import pandas as pd
+
+        from .roaring import dv_positions, write_dv_file
+
+        name = key[0]
+        positions = {int(x) for x in pdf["__pos"]}
+        old = old_dvs.get(name)
+        if old:
+            positions |= dv_positions(old, table_path)
+        dst = _os.path.join(
+            table_path, f"deletion_vector_{_uuid.uuid4().hex}.bin"
+        )
+        offset, size = write_dv_file(dst, positions)
+        return pd.DataFrame(
+            {
+                "file_name": [name],
+                "dv_path": [dst],
+                "offset": [offset],
+                "size": [size],
+                "card": [len(positions)],
+            }
+        )
+
+    descriptors = matched.groupBy("__file_name").applyInPandas(
+        per_file,
+        "file_name string, dv_path string, offset int, size int, card long",
+    ).collect()
+
+    acts: list[dict] = []
+    for r in descriptors:
+        f = by_name[r["file_name"]]
+        acts.append(
+            {
+                "remove": {
+                    "path": _quote_path(f.path),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+        acts.append(
+            {
+                "add": {
+                    "path": _quote_path(f.path),
+                    "partitionValues": dict(f.partition_values),
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": True,
+                    "stats": f.stats,
+                    "deletionVector": {
+                        "storageType": "p",
+                        "pathOrInlineDv": r["dv_path"],
+                        "offset": r["offset"],
+                        "sizeInBytes": r["size"],
+                        "cardinality": r["card"],
+                    },
+                }
+            }
+        )
+    return acts
+
+
+def _subtract_dvs(spark, df, table_path: str, dv_files) -> DataFrame:
+    """Subtract deletion-vector positions from a scan carrying
+    ``__file_name`` + ``__pos``. The descriptor set is driver-small (one
+    per file); position decoding runs EXECUTOR-side in an Arrow batch
+    (a DV can carry millions of positions — they never materialize on
+    the driver) and joins back as a broadcast anti-join, so the fact
+    scan stays exchange-free."""
+    import json as _json
+
+    rows = [
+        (os.path.basename(f.path), _json.dumps(f.deletion_vector))
+        for f in dv_files
+    ]
+    spec = spark.createDataFrame(rows, "`__file_name` string, `__dv` string")
+
+    def gen(batches):
+        import pandas as pd
+
+        from .roaring import dv_positions
+
+        for pdf in batches:
+            names: list[str] = []
+            poss: list[int] = []
+            for name, dvj in zip(pdf["__file_name"], pdf["__dv"]):
+                for pos in sorted(dv_positions(_json.loads(dvj), table_path)):
+                    names.append(name)
+                    poss.append(pos)
+            yield pd.DataFrame({"__file_name": names, "__pos": poss})
+
+    dead = spec.mapInPandas(gen, "`__file_name` string, `__pos` long")
+    return df.join(
+        F.broadcast(dead),
+        on=[df["__file_name"] == dead["__file_name"],
+            df["__pos"] == dead["__pos"]],
+        how="left_anti",
+    )
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate: str, use_dvs: bool = False
+) -> int | None:
+    """Row-level DELETE, two spec modes (delta.io PROTOCOL.md):
+
+    - **copy-on-write** (default): ``remove`` tombstones + ``add``
+      actions, dataChange=true, operation DELETE — only files that
+      CONTAIN a matching row rewrite (partition predicates prune whole
+      partitions for free); survivors of exactly those files restage.
+    - **deletion vectors** (``use_dvs=True``): matched row positions are
+      serialized as RoaringBitmapArray DV files (sources/roaring.py) and
+      the affected adds re-commit with a ``deletionVector`` descriptor —
+      NO data file rewrites, the modern merge-on-read path; the commit
+      carries the protocol upgrade (readerVersion 3 / writerVersion 7,
+      deletionVectors feature). Existing DV positions union in, so
+      repeated deletes stack.
+
+    Both modes honor prior deletion vectors when matching (a DV-dead row
+    can neither re-match nor resurrect). NULL predicate rows survive
+    (DELETE removes rows where the predicate is TRUE, SQL three-valued
+    semantics). Returns the committed version, or None when nothing
+    matched (no empty commit). Scale: the affected-file list and DV
+    descriptors are driver-side metadata (exactly the jar's DELETE
+    planner state); positions are decoded/encoded executor-side."""
     prev = latest_version(path)
     if prev < 0:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -552,8 +707,14 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
         return None
     ptypes = {f.name: f.dataType for f in snap.schema.fields}
     abs_paths = [os.path.join(path, f.path) for f in snap.files]
-    df = spark.read.schema(snap.data_schema).parquet(*abs_paths).withColumn(
-        "__file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    df = (
+        spark.read.schema(snap.data_schema)
+        .parquet(*abs_paths)
+        .withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
     )
     if snap.partition_columns:
         map_schema = T.StructType(
@@ -580,6 +741,10 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
         )
         df = df.join(F.broadcast(fmap), "__file_name", "left")
 
+    dv_files = [f for f in snap.files if f.deletion_vector]
+    if dv_files:
+        df = _subtract_dvs(spark, df, path, dv_files)
+
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     affected = {
         r["__file_name"]
@@ -587,12 +752,6 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
     }
     if not affected:
         return None
-    survivors = (
-        df.filter(F.col("__file_name").isin(list(affected)))
-        .filter(~pred)
-        .select(*[F.col(f.name) for f in snap.schema.fields])
-    )
-    adds = _stage_adds(survivors, path, snap.partition_columns)
 
     ts = int(time.time() * 1000)
     actions: list[dict] = [
@@ -605,18 +764,39 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
             }
         }
     ]
-    actions.extend(
-        {
-            "remove": {
-                "path": _quote_path(f.path),
-                "deletionTimestamp": ts,
-                "dataChange": True,
+    by_name = {os.path.basename(f.path): f for f in snap.files}
+    if use_dvs:
+        actions.insert(0, {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
             }
-        }
-        for f in snap.files
-        if os.path.basename(f.path) in affected
-    )
-    actions.extend(adds)
+        })
+        actions.extend(
+            _dv_commit_actions(
+                spark, path, df, pred, affected, by_name, ts
+            )
+        )
+    else:
+        survivors = (
+            df.filter(F.col("__file_name").isin(list(affected)))
+            .filter(~pred)
+            .select(*[F.col(f.name) for f in snap.schema.fields])
+        )
+        actions.extend(
+            {
+                "remove": {
+                    "path": _quote_path(f.path),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+            for f in snap.files
+            if os.path.basename(f.path) in affected
+        )
+        actions.extend(_stage_adds(survivors, path, snap.partition_columns))
     version = prev + 1
     _publish_commit(path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -661,6 +841,18 @@ def _write_checkpoint(path: str, version: int) -> None:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -725,6 +917,7 @@ def _write_checkpoint(path: str, version: int) -> None:
                 "modificationTime": f.modification_time,
                 "dataChange": False,
                 "stats": f.stats,
+                "deletionVector": f.deletion_vector,
             }
         }
         for f in snap.files
