@@ -173,6 +173,8 @@ def _load_all() -> None:
 #: ts_sliding_window, vector_label_centroids, vector_neardup_blocked,
 #: window_lag_lead, window_ntile_share, window_rank_dense,
 #: window_running_sum, multimodal_decode_stub, binary_records_roundtrip,
+#: dedup_ngram_jaccard_topk, dedup_simhash_pairs (displaced by the round-8
+#: additions — 11 new rows registered+windowed this round),
 #: (then r3 vintage: flatfile/json/orc/avro format rows etc.).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3/r5/r6/r7-green) — sole already-fresh slot
@@ -214,6 +216,8 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_row_level_delete",
     "delta_row_level_delete",
     "delta_deletion_vectors",
+    "delta_row_level_update",
+    "iceberg_row_level_update",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -231,8 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "binary_records_roundtrip",
     "dedup_lsh_verified_pairs",
     "dedup_minhash_signatures",
-    "dedup_ngram_jaccard_topk",
-    "dedup_simhash_pairs",
 )
 
 

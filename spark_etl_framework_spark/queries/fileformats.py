@@ -1919,3 +1919,106 @@ def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "delta_row_level_update",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           SUM(CAST(CASE WHEN n_regionkey = 1 THEN n_nationkey + 1000
+                         ELSE n_nationkey END AS BIGINT)) AS key_sum,
+           CAST(SUM(CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_marked
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def delta_row_level_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row-level UPDATE as a pruned copy-on-write commit (round 8):
+    region-1 rows get ``n_nationkey + 1000`` and a name marker in ONE
+    UPDATE commit (operation UPDATE, remove + add of exactly the
+    match-containing files, assignments evaluated over the pre-update
+    row); the row count must be invariant and untouched regions keep
+    their physical files (sources/deltalog.py:update_where; the jar's
+    UPDATE emits the same pruned remove+add, delta.io PROTOCOL.md)."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import update_where
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_upd_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(2).createOrReplaceTempView("_delta_upd_full")
+    DeltaWriter(
+        view="_delta_upd_full", path=tbl, mode="overwrite",
+        partitionBy="n_regionkey",
+    ).run(jctx, spark)
+    update_where(
+        spark, tbl, "n_regionkey = 1",
+        {"n_nationkey": "n_nationkey + 1000",
+         "n_name": "concat(n_name, '!')"},
+    )
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+        F.sum(
+            F.when(F.col("n_name").endswith("!"), 1).otherwise(0)
+        ).cast("bigint").alias("n_marked"),
+    )
+
+
+@register(
+    "iceberg_row_level_update",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           SUM(CAST(CASE WHEN n_regionkey = 1 THEN n_nationkey + 1000
+                         ELSE n_nationkey END AS BIGINT)) AS key_sum,
+           CAST(SUM(CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_marked
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_row_level_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg row-level UPDATE as ONE atomic v2 row-delta snapshot
+    (round 8): matched rows become position deletes AND transformed
+    copies in the SAME commit (operation ``overwrite`` — a reader never
+    sees the in-between state); no data file rewrites, row count
+    invariant, pre-update snapshot time-travels intact
+    (sources/iceberg.py:update_where; iceberg.apache.org/spec
+    §Row-level deletes)."""
+    import tempfile
+
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import update_where, write_iceberg
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="iceberg_upd_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg(na.coalesce(2), tbl, mode="overwrite")
+    update_where(
+        spark, tbl, "n_regionkey = 1",
+        {"n_nationkey": "n_nationkey + 1000",
+         "n_name": "concat(n_name, '!')"},
+    )
+    out = IcebergReader(table=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+        F.sum(
+            F.when(F.col("n_name").endswith("!"), 1).otherwise(0)
+        ).cast("bigint").alias("n_marked"),
+    )

@@ -807,6 +807,120 @@ def delete_where(
     return version
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int | None:
+    """Row-level UPDATE as a pruned copy-on-write commit (operation
+    UPDATE, remove + add, dataChange=true) — the same file-level pruning
+    as :func:`delete_where`: only files CONTAINING a matched row rewrite,
+    every row of those files re-stages with the assignment applied
+    conditionally (matched rows transform, neighbors pass through).
+    ``assignments`` maps column → SQL expression (evaluated against the
+    pre-update row, standard UPDATE semantics). Updating a partition
+    column is allowed — moved rows re-stage into their new partition
+    directory. Prior deletion vectors are honored and cleared by the
+    rewrite (dead rows stay dead and leave the new files entirely).
+
+    Returns the committed version, or None when nothing matched."""
+    unknown = set(assignments) - {f.name for f in snapshot(path).schema.fields}
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+    prev = latest_version(path)
+    snap = snapshot(path)
+    if not snap.files:
+        return None
+    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+    abs_paths = [os.path.join(path, f.path) for f in snap.files]
+    df = (
+        spark.read.schema(snap.data_schema)
+        .parquet(*abs_paths)
+        .withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    if snap.partition_columns:
+        map_schema = T.StructType(
+            [T.StructField("__file_name", T.StringType(), False)]
+            + [T.StructField(c, ptypes[c], True) for c in snap.partition_columns]
+        )
+        fmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f.path),
+                    *[
+                        _cast_partition_literal(
+                            f.partition_values.get(c), ptypes[c]
+                        )
+                        for c in snap.partition_columns
+                    ],
+                )
+                for f in snap.files
+            ],
+            map_schema,
+        )
+        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    dv_files = [f for f in snap.files if f.deletion_vector]
+    if dv_files:
+        df = _subtract_dvs(spark, df, path, dv_files)
+
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    affected = {
+        r["__file_name"]
+        for r in df.filter(pred).select("__file_name").distinct().collect()
+    }
+    if not affected:
+        return None
+    rewritten = df.filter(F.col("__file_name").isin(list(affected))).select(
+        *[
+            (
+                F.when(pred, F.expr(assignments[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+            )
+            for f in snap.schema.fields
+        ]
+    )
+    adds = _stage_adds(rewritten, path, snap.partition_columns)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": _quote_path(f.path),
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+        }
+        for f in snap.files
+        if os.path.basename(f.path) in affected
+    )
+    actions.extend(adds)
+    version = prev + 1
+    _publish_commit(path, version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            _write_checkpoint(path, version)
+        except DeltaConcurrentModification:  # pragma: no cover - benign race
+            pass
+    return version
+
+
 # ---------------------------------------------------------------------------
 # checkpoints
 # ---------------------------------------------------------------------------

@@ -371,6 +371,73 @@ def _avro_to_partition(value, dt: T.DataType):
     return value
 
 
+def _stage_data_entries(
+    df: DataFrame,
+    loc: str,
+    schema: T.StructType,
+    partition_by: list[str],
+    snapshot_id: int,
+) -> list[dict]:
+    """Stage ``df`` with Spark's distributed writer, move the parquet
+    files under ``data/`` with fresh uuid names, return their ADDED
+    manifest entries (typed identity-partition tuples from the hive
+    staging dirs)."""
+    staging = tempfile.mkdtemp(prefix="icestage_")
+    entries: list[dict] = []
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        import pyarrow.parquet as pq
+
+        for root, _dirs, fnames in os.walk(staging):
+            for name in fnames:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    os.unlink(src)
+                    continue
+                new_name = f"{uuid.uuid4().hex}.parquet"
+                rel = (
+                    os.path.join("data", rel_dir, new_name)
+                    if rel_dir
+                    else os.path.join("data", new_name)
+                )
+                dst = os.path.join(loc, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                pvals = _parse_hive_dirs(
+                    os.path.relpath(dst, os.path.join(loc, "data"))
+                )
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snapshot_id,
+                        "data_file": {
+                            "file_path": dst,
+                            "file_format": "PARQUET",
+                            "partition": {
+                                c: _partition_to_avro(
+                                    pvals.get(c), schema[c].dataType
+                                )
+                                for c in partition_by
+                            },
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                            "block_size_in_bytes": 64 * 1024 * 1024,
+                        },
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
 def write_iceberg(
     df: DataFrame,
     loc: str,
@@ -403,57 +470,7 @@ def write_iceberg(
         meta = None
         schema = df.schema
 
-    # ---- stage data files with Spark's own writer, move under data/
-    staging = tempfile.mkdtemp(prefix="icestage_")
-    entries = []
-    try:
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(staging)
-        import pyarrow.parquet as pq
-
-        for root, _dirs, fnames in os.walk(staging):
-            for name in fnames:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                new_name = f"{uuid.uuid4().hex}.parquet"
-                rel = (
-                    os.path.join("data", rel_dir, new_name)
-                    if rel_dir
-                    else os.path.join("data", new_name)
-                )
-                dst = os.path.join(loc, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                n_rows = pq.ParquetFile(src).metadata.num_rows
-                shutil.move(src, dst)
-                pvals = _parse_hive_dirs(
-                    os.path.relpath(dst, os.path.join(loc, "data"))
-                )
-                entries.append(
-                    {
-                        "status": 1,  # ADDED
-                        "snapshot_id": snapshot_id,
-                        "data_file": {
-                            "file_path": dst,
-                            "file_format": "PARQUET",
-                            "partition": {
-                                c: _partition_to_avro(
-                                    pvals.get(c), schema[c].dataType
-                                )
-                                for c in partition_by
-                            },
-                            "record_count": n_rows,
-                            "file_size_in_bytes": os.path.getsize(dst),
-                            "block_size_in_bytes": 64 * 1024 * 1024,
-                        },
-                    }
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    entries = _stage_data_entries(df, loc, schema, partition_by, snapshot_id)
 
     # ---- one manifest for this commit
     os.makedirs(_meta_dir(loc), exist_ok=True)
@@ -604,28 +621,63 @@ def _upgrade_meta_v2(meta: dict) -> dict:
     return meta
 
 
-def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
-    """Row-level DELETE as an Iceberg v2 merge-on-read commit — the
-    row-rewrite-free warehouse primitive (GDPR erasure, late-arriving
-    retractions). The table upgrades v1→v2 on first use (spec-legal).
-
-    Matching rows are located by (data file path, row position) — Spark's
-    ``_metadata.row_index`` gives positions natively, executor-side — and
-    written as POSITION DELETE parquet files (reserved field ids
-    2147483546/2147483545, sorted by file_path, pos as the spec asks),
-    committed under a delete manifest (content=1) with the next sequence
-    number. Readers subtract them with a broadcast anti-join; no data
-    file is rewritten, no text column ever moves.
-
-    Returns the new snapshot id, or None when nothing matched (no empty
-    commit)."""
+def _stage_position_deletes(
+    matched: DataFrame, loc: str, snapshot_id: int
+) -> tuple[list[dict], int]:
+    """Stage a (file_path, pos) DataFrame as POSITION DELETE parquet files
+    under ``data/``; returns (manifest entries, total deleted rows)."""
     import pyarrow.parquet as pq
 
-    meta = load_metadata(loc)
-    snap = _pick_snapshot(meta)
+    staging = tempfile.mkdtemp(prefix="icedel_")
+    delete_entries: list[dict] = []
+    total = 0
+    try:
+        matched.write.mode("overwrite").parquet(staging)
+        for root, _dirs, fnames in os.walk(staging):
+            for name in fnames:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                total += n_rows
+                dst = os.path.join(
+                    loc, "data", f"{uuid.uuid4().hex}-deletes.parquet"
+                )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                delete_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,  # inherit from the list
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # position deletes
+                            "file_path": dst,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                            "equality_ids": None,
+                        },
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return delete_entries, total
+
+
+def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
+    """Build the merge-on-read scan a row-level operation matches
+    against: live data files with ``__file_name`` / ``__pos`` /
+    ``__seq`` / ``__path`` attached (broadcast file map), current
+    delete files already subtracted. Returns (df, spark schema), or
+    (None, None) for an empty table."""
     files, cur_deletes = _scan_snapshot(meta, snap)
     if not files:
-        return None
+        return None, None
     schema = iceberg_to_spark_schema(meta["schema"])
     partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
     data_schema = T.StructType(
@@ -662,67 +714,31 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
     )
     df = df.join(F.broadcast(fmap), "__file_name", "left")
     if cur_deletes:
-        # rows already deleted must not re-enter the delete file set
+        # rows already dead must neither re-match nor resurrect
         df = _apply_deletes(spark, df, cur_deletes)
-    matched = (
-        df.filter(predicate)
-        .select(F.col("__path").alias("file_path"),
-                F.col("__pos").alias("pos"))
-        # range-partition so each delete FILE is sorted by (file_path,
-        # pos) as the spec requires; AQE coalesces the tiny ones
-        .repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .withMetadata("file_path", {"parquet.field.id": _POS_DELETE_PATH_FID})
-        .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
-    )
+    return df, schema
 
-    # stage the delete parquet, then move under data/ (same dance as data)
-    staging = tempfile.mkdtemp(prefix="icedel_")
-    delete_entries = []
-    now_ms = int(time.time() * 1000)
-    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
-    try:
-        matched.write.mode("overwrite").parquet(staging)
-        total = 0
-        for root, _dirs, fnames in os.walk(staging):
-            for name in fnames:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                n_rows = pq.ParquetFile(src).metadata.num_rows
-                if n_rows == 0:
-                    continue
-                total += n_rows
-                dst = os.path.join(
-                    loc, "data", f"{uuid.uuid4().hex}-deletes.parquet"
-                )
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
-                delete_entries.append(
-                    {
-                        "status": 1,
-                        "snapshot_id": snapshot_id,
-                        "sequence_number": None,  # inherit from the list
-                        "file_sequence_number": None,
-                        "data_file": {
-                            "content": 1,  # position deletes
-                            "file_path": dst,
-                            "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": n_rows,
-                            "file_size_in_bytes": os.path.getsize(dst),
-                            "equality_ids": None,
-                        },
-                    }
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    if not delete_entries:
-        return None
 
+def _commit_row_delta(
+    loc: str,
+    meta: dict,
+    snap: dict,
+    snapshot_id: int,
+    now_ms: int,
+    delete_entries: list[dict],
+    total_deleted: int,
+    data_entries: list[dict],
+    operation: str,
+) -> int:
+    """Publish one v2 snapshot carrying a position-delete manifest and
+    (optionally) a data manifest — the spec's row-delta commit shape
+    (DELETE emits deletes only; UPDATE/MERGE emit both atomically)."""
     if meta.get("format-version", 1) != 2:
         meta = _upgrade_meta_v2(meta)
     new_seq = meta.get("last-sequence-number", 0) + 1
+
+    _s, _m, prev = read_ocf(snap["manifest-list"])
+    manifests = [_as_v2_list_entry(mf) for mf in prev]
 
     manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
@@ -737,8 +753,7 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
             "content": "deletes",
         },
     )
-    _s, _m, prev = read_ocf(snap["manifest-list"])
-    manifests = [_as_v2_list_entry(mf) for mf in prev] + [
+    manifests.append(
         {
             "manifest_path": manifest_path,
             "manifest_length": os.path.getsize(manifest_path),
@@ -750,11 +765,50 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
             "added_files_count": len(delete_entries),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": total,
+            "added_rows_count": total_deleted,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
-    ]
+    )
+    if data_entries:
+        pfields = _partition_avro_fields(
+            iceberg_to_spark_schema(meta["schema"]),
+            [f["name"] for f in meta.get("partition-spec", [])],
+        )
+        data_manifest = os.path.join(
+            _meta_dir(loc), f"{uuid.uuid4().hex}-m1.avro"
+        )
+        write_ocf(
+            data_manifest,
+            _manifest_entry_schema(pfields),
+            data_entries,
+            metadata={
+                "schema": json.dumps(meta["schema"]),
+                "partition-spec": json.dumps(meta.get("partition-spec", [])),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        manifests.append(
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in data_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     list_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
@@ -764,7 +818,7 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
         "snapshot-id": snapshot_id,
         "sequence-number": new_seq,
         "timestamp-ms": now_ms,
-        "summary": {"operation": "delete"},
+        "summary": {"operation": operation},
         "manifest-list": list_path,
         "schema-id": 0,
     }
@@ -777,6 +831,114 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
     ]
     _publish_metadata(loc, current_version(loc) + 1, meta)
     return snapshot_id
+
+
+def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
+    """Row-level DELETE as an Iceberg v2 merge-on-read commit — the
+    row-rewrite-free warehouse primitive (GDPR erasure, late-arriving
+    retractions). The table upgrades v1→v2 on first use (spec-legal).
+
+    Matching rows are located by (data file path, row position) — Spark's
+    ``_metadata.row_index`` gives positions natively, executor-side — and
+    written as POSITION DELETE parquet files (reserved field ids
+    2147483546/2147483545, sorted by file_path, pos as the spec asks),
+    committed under a delete manifest (content=1) with the next sequence
+    number. Readers subtract them with a broadcast anti-join; no data
+    file is rewritten, no text column ever moves.
+
+    Returns the new snapshot id, or None when nothing matched (no empty
+    commit)."""
+    import pyarrow.parquet as pq
+
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    df, schema = _mor_scan(spark, loc, meta, snap)
+    if df is None:
+        return None
+    matched = (
+        df.filter(predicate)
+        .select(F.col("__path").alias("file_path"),
+                F.col("__pos").alias("pos"))
+        # range-partition so each delete FILE is sorted by (file_path,
+        # pos) as the spec requires; AQE coalesces the tiny ones
+        .repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .withMetadata("file_path", {"parquet.field.id": _POS_DELETE_PATH_FID})
+        .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
+    )
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    delete_entries, total = _stage_position_deletes(matched, loc, snapshot_id)
+    if not delete_entries:
+        return None
+
+    return _commit_row_delta(
+        loc, meta, snap, snapshot_id, now_ms,
+        delete_entries, total, [], "delete",
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    loc: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int | None:
+    """Row-level UPDATE as ONE atomic Iceberg v2 row-delta snapshot:
+    matched rows become position deletes AND their transformed copies
+    land as new data files, both manifests published in the same commit
+    (operation ``overwrite`` — the spec's shape for commits that add
+    data and delete rows together). Unmatched rows are untouched — no
+    data file rewrites. ``assignments`` maps column → SQL expression
+    over the pre-update row. Returns the snapshot id, or None when
+    nothing matched."""
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    schema_probe = iceberg_to_spark_schema(meta["schema"])
+    unknown = set(assignments) - {f.name for f in schema_probe.fields}
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+    df, schema = _mor_scan(spark, loc, meta, snap)
+    if df is None:
+        return None
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    matched = df.filter(pred)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+
+    coords = (
+        matched.select(
+            F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        .repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .withMetadata("file_path", {"parquet.field.id": _POS_DELETE_PATH_FID})
+        .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
+    )
+    delete_entries, total = _stage_position_deletes(coords, loc, snapshot_id)
+    if not delete_entries:
+        return None
+
+    updated = matched.select(
+        *[
+            (
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
+    data_entries = _stage_data_entries(
+        updated, loc, schema, partition_cols, snapshot_id
+    )
+    return _commit_row_delta(
+        loc, meta, snap, snapshot_id, now_ms,
+        delete_entries, total, data_entries, "overwrite",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -343,3 +343,30 @@ def test_delete_where_no_match_no_commit_and_full_file_delete(spark, tbl):
     assert dl.delete_where(spark, tbl, "id >= 0") == 1
     assert dl.read_delta(spark, tbl).count() == 0
     assert dl.snapshot(tbl).files == []
+
+
+def test_update_where_pruned_cow(spark, tbl):
+    """UPDATE rewrites only match-containing files; matched rows take the
+    assignment (evaluated over the PRE-update row), neighbors pass
+    through; a partition-column assignment moves rows across partitions."""
+    df = _mk(spark, [(i, f"n{i}", i % 3) for i in range(12)])
+    dl.write_delta(df, tbl, mode="overwrite", partition_by=["grp"])
+    before = {f.path for f in dl.snapshot(tbl).files}
+    v = dl.update_where(
+        spark, tbl, "grp = 1 and id < 7", {"name": "concat(name, '!')", "id": "id + 100"}
+    )
+    assert v == 1
+    out = {r.id: r for r in dl.read_delta(spark, tbl).collect()}
+    assert 101 in out and out[101].name == "n1!"  # pre-update row fed the expr
+    assert 4 not in out and 104 in out
+    assert out[2].name == "n2" and out[0].name == "n0"  # untouched
+    removed = {p for p in before if p not in {f.path for f in dl.snapshot(tbl).files}}
+    assert removed and all("grp=1" in p for p in removed)
+    # partition move: send grp 2 rows to grp 9
+    dl.update_where(spark, tbl, "grp = 2", {"grp": "9"})
+    moved = dl.read_delta(spark, tbl).filter("grp = 9").count()
+    assert moved == 4
+    assert dl.read_delta(spark, tbl).filter("grp = 2").count() == 0
+    with __import__("pytest").raises(ValueError, match="unknown columns"):
+        dl.update_where(spark, tbl, "true", {"nope": "1"})
+    assert dl.update_where(spark, tbl, "id > 9999", {"name": "'x'"}) is None

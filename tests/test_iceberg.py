@@ -402,3 +402,41 @@ def test_equality_delete_read_side(spark, loc, tmp_path):
     # a row with a deleted key appended at a LATER sequence survives
     ice.write_iceberg(_mk(spark, [(2, "back", 0)]), loc, mode="append")
     assert _ids(spark, loc) == [0, 1, 2, 3, 5]
+
+
+def test_update_where_single_snapshot_row_delta(spark, loc):
+    """UPDATE = ONE v2 snapshot carrying position deletes AND the
+    transformed copies: old versions time-travel intact, no data file
+    rewrites, matched rows transformed from their pre-update values."""
+    ice.write_iceberg(
+        _mk(spark, [(i, f"n{i}", i % 2) for i in range(10)]).coalesce(2),
+        loc, mode="overwrite",
+    )
+    files_v1 = {
+        f["file_path"]
+        for f in ice._live_files(ice.load_metadata(loc),
+                                 ice._pick_snapshot(ice.load_metadata(loc)))
+    }
+    sid = ice.update_where(
+        spark, loc, "grp = 1 and id < 6", {"name": "upper(name)"}
+    )
+    assert sid is not None
+    meta = ice.load_metadata(loc)
+    snap = ice._pick_snapshot(meta)
+    assert snap["summary"]["operation"] == "overwrite"
+    data, dels = ice._scan_snapshot(meta, snap)
+    # all original files still live (plus the update's new data files)
+    assert files_v1 <= {f["file_path"] for f in data}
+    assert dels and all(f["content"] == 1 for f in dels)
+    rows = {r.id: r.name for r in ice.read_iceberg(spark, loc).collect()}
+    assert rows[1] == "N1" and rows[3] == "N3" and rows[5] == "N5"
+    assert rows[7] == "n7" and rows[0] == "n0"
+    assert len(rows) == 10  # an update never changes the row count
+    # the pre-update snapshot is intact
+    prev_snap = meta["snapshots"][0]["snapshot-id"]
+    old = {r.id: r.name
+           for r in ice.read_iceberg(spark, loc, snapshot_id=prev_snap).collect()}
+    assert old[1] == "n1"
+    assert ice.update_where(spark, loc, "id > 999", {"name": "'x'"}) is None
+    with __import__("pytest").raises(ValueError, match="unknown columns"):
+        ice.update_where(spark, loc, "true", {"nope": "1"})
