@@ -218,6 +218,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_deletion_vectors",
     "delta_row_level_update",
     "iceberg_row_level_update",
+    "delta_merge_upsert",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -234,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_array_collect",
     "binary_records_roundtrip",
     "dedup_lsh_verified_pairs",
-    "dedup_minhash_signatures",
 )
 
 

@@ -2022,3 +2022,71 @@ def iceberg_row_level_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_name").endswith("!"), 1).otherwise(0)
         ).cast("bigint").alias("n_marked"),
     )
+
+
+@register(
+    "delta_merge_upsert",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           SUM(CAST(k AS BIGINT)) AS key_sum,
+           CAST(SUM(CASE WHEN nm LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated
+    FROM (
+        SELECT n_nationkey AS k,
+               CASE WHEN n_regionkey = 1 THEN n_name || '*' ELSE n_name END
+                   AS nm,
+               n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey + 500, 'NEW', 0
+        FROM nation WHERE n_nationkey < 3
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert on the REAL ``_delta_log`` (round 8): the source
+    carries region-1 rows with marked names (matched → update) plus
+    three brand-new keys (not matched → insert); ONE pruned
+    copy-on-write commit (operation MERGE) rewrites only the files
+    containing a key collision — the jar's MERGE planner shape
+    (delta.io PROTOCOL.md; reference merge surface:
+    etl/sink/DeltaWriter.scala:44-47 via delta-spark)."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import merge_upsert
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_mrg_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(2).createOrReplaceTempView("_delta_mrg_full")
+    DeltaWriter(view="_delta_mrg_full", path=tbl, mode="overwrite").run(
+        jctx, spark
+    )
+    src = na.filter("n_regionkey = 1").select(
+        "n_nationkey",
+        F.concat("n_name", F.lit("*")).alias("n_name"),
+        "n_regionkey",
+    ).unionByName(
+        na.filter("n_nationkey < 3").select(
+            (F.col("n_nationkey") + 500).alias("n_nationkey"),
+            F.lit("NEW").alias("n_name"),
+            F.lit(0).cast("long").alias("n_regionkey"),
+        )
+    )
+    merge_upsert(spark, tbl, src, ["n_nationkey"])
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+        F.sum(
+            F.when(F.col("n_name").endswith("*"), 1).otherwise(0)
+        ).cast("bigint").alias("n_updated"),
+    )

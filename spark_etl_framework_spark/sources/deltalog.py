@@ -921,6 +921,131 @@ def update_where(
     return version
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE (upsert: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    INSERT *) as a pruned copy-on-write commit on the REAL ``_delta_log``.
+
+    Only target files CONTAINING a key collision rewrite (found by one
+    distributed semi-join); their surviving rows anti-join the source
+    and restage TOGETHER with every source row, so matched keys take the
+    source version and new keys insert — one commit, operation MERGE.
+    An all-new-keys source degenerates to a pure append (zero rewrites).
+    Prior deletion vectors are honored (a DV-dead row cannot block an
+    insert-as-new or resurrect). Returns the committed version.
+
+    Scale: the affected-file list is driver metadata; the join keys
+    shuffle, target text moves only for rewritten files — the same
+    pruning the jar's MERGE planner does."""
+    prev = latest_version(path)
+    if prev < 0:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    snap = snapshot(path)
+    missing = [k for k in keys if k not in [f.name for f in snap.schema.fields]]
+    if missing:
+        raise ValueError(f"MERGE keys not in table schema: {missing}")
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in snap.schema.fields]
+    )
+    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+    adds: list[dict] = []
+    affected: set[str] = set()
+    if snap.files:
+        abs_paths = [os.path.join(path, f.path) for f in snap.files]
+        df = (
+            spark.read.schema(snap.data_schema)
+            .parquet(*abs_paths)
+            .withColumn(
+                "__file_name",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        if snap.partition_columns:
+            map_schema = T.StructType(
+                [T.StructField("__file_name", T.StringType(), False)]
+                + [T.StructField(c, ptypes[c], True)
+                   for c in snap.partition_columns]
+            )
+            fmap = spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(f.path),
+                        *[
+                            _cast_partition_literal(
+                                f.partition_values.get(c), ptypes[c]
+                            )
+                            for c in snap.partition_columns
+                        ],
+                    )
+                    for f in snap.files
+                ],
+                map_schema,
+            )
+            df = df.join(F.broadcast(fmap), "__file_name", "left")
+        dv_files = [f for f in snap.files if f.deletion_vector]
+        if dv_files:
+            df = _subtract_dvs(spark, df, path, dv_files)
+        affected = {
+            r["__file_name"]
+            for r in df.join(src.select(*keys).distinct(), keys, "left_semi")
+            .select("__file_name")
+            .distinct()
+            .collect()
+        }
+        if affected:
+            survivors = (
+                df.filter(F.col("__file_name").isin(list(affected)))
+                .join(src.select(*keys).distinct(), keys, "left_anti")
+                .select(*[F.col(f.name) for f in snap.schema.fields])
+            )
+            adds.extend(
+                _stage_adds(survivors, path, snap.partition_columns)
+            )
+    adds.extend(_stage_adds(src, path, snap.partition_columns))
+
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {"matchedPredicates": json.dumps(
+                    [{"actionType": "update"}]
+                ), "notMatchedPredicates": json.dumps(
+                    [{"actionType": "insert"}]
+                )},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": _quote_path(f.path),
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+        }
+        for f in snap.files
+        if os.path.basename(f.path) in affected
+    )
+    actions.extend(adds)
+    version = prev + 1
+    _publish_commit(path, version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            _write_checkpoint(path, version)
+        except DeltaConcurrentModification:  # pragma: no cover - benign race
+            pass
+    return version
+
+
 # ---------------------------------------------------------------------------
 # checkpoints
 # ---------------------------------------------------------------------------

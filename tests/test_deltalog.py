@@ -370,3 +370,29 @@ def test_update_where_pruned_cow(spark, tbl):
     with __import__("pytest").raises(ValueError, match="unknown columns"):
         dl.update_where(spark, tbl, "true", {"nope": "1"})
     assert dl.update_where(spark, tbl, "id > 9999", {"name": "'x'"}) is None
+
+
+def test_merge_upsert_pruned(spark, tbl):
+    """MERGE: matched keys take the source row, new keys insert, only
+    collision-containing files rewrite; an all-new-keys merge is a pure
+    append (zero rewrites)."""
+    dl.write_delta(
+        _mk(spark, [(i, f"n{i}", i % 2) for i in range(8)]), tbl,
+        mode="overwrite", partition_by=["grp"],
+    )
+    before = {f.path for f in dl.snapshot(tbl).files}
+    src = _mk(spark, [(1, "UP1", 1), (3, "UP3", 1), (100, "NEW", 0)])
+    v = dl.merge_upsert(spark, tbl, src, ["id"])
+    assert v == 1
+    out = {r.id: r.name for r in dl.read_delta(spark, tbl).collect()}
+    assert out[1] == "UP1" and out[3] == "UP3" and out[100] == "NEW"
+    assert out[0] == "n0" and len(out) == 9
+    removed = before - {f.path for f in dl.snapshot(tbl).files}
+    assert removed and all("grp=1" in p for p in removed)  # 1,3 live in grp=1
+    # all-new keys: no file rewrites, just an append
+    before2 = {f.path for f in dl.snapshot(tbl).files}
+    dl.merge_upsert(spark, tbl, _mk(spark, [(200, "N2", 0)]), ["id"])
+    assert before2 <= {f.path for f in dl.snapshot(tbl).files}
+    assert dl.read_delta(spark, tbl).count() == 10
+    with pytest.raises(ValueError, match="MERGE keys"):
+        dl.merge_upsert(spark, tbl, src, ["nope"])
