@@ -219,6 +219,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_row_level_update",
     "iceberg_row_level_update",
     "delta_merge_upsert",
+    "delta_history_audit",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -234,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     # next-oldest (r2-vintage), alphabetical — the rest continue in r9
     "agg_array_collect",
     "binary_records_roundtrip",
-    "dedup_lsh_verified_pairs",
 )
 
 

@@ -2090,3 +2090,48 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_name").endswith("*"), 1).otherwise(0)
         ).cast("bigint").alias("n_updated"),
     )
+
+
+@register(
+    "delta_history_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 'OVERWRITE'), (1, 'DELETE'), (2, 'UPDATE'),
+        (3, 'MERGE'), (4, 'WRITE')
+    ) AS t(version, operation)
+    """,
+)
+def delta_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the full DML lifecycle (round 8): a nation
+    table takes an overwrite, a deletion-vector DELETE, a copy-on-write
+    UPDATE, a MERGE upsert and an append, and ``table_history`` must
+    replay the commitInfo audit trail in exact version order — the jar's
+    DESCRIBE HISTORY surface over the same ``_delta_log`` JSON
+    (delta.io PROTOCOL.md commitInfo actions)."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        delete_where,
+        merge_upsert,
+        table_history,
+        update_where,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="delta_hist_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1)
+    write_delta(na, tbl, mode="overwrite")
+    delete_where(spark, tbl, "n_regionkey = 4", use_dvs=True)
+    update_where(spark, tbl, "n_regionkey = 3", {"n_name": "upper(n_name)"})
+    merge_upsert(
+        spark, tbl,
+        na.filter("n_nationkey < 2").select(
+            (F.col("n_nationkey") + 900).alias("n_nationkey"),
+            "n_name", "n_regionkey",
+        ),
+        ["n_nationkey"],
+    )
+    write_delta(na.filter("n_nationkey = 0"), tbl, mode="append")
+    return table_history(spark, tbl).select("version", "operation")

@@ -1046,6 +1046,85 @@ def merge_upsert(
     return version
 
 
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per surviving commit JSON — version,
+    timestamp, operation, operationParameters (JSON string), and the
+    commit's add/remove counts. Driver-side metadata only (the log IS
+    driver metadata); versions folded into a cleaned checkpoint no
+    longer have a JSON to describe, exactly like the jar after log
+    cleanup."""
+    rows = []
+    for v in range(latest_version(path) + 1):
+        p = _commit_path(path, v)
+        if not os.path.exists(p):
+            continue
+        op, params, ts = None, None, None
+        n_add = n_remove = 0
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    ci = act["commitInfo"]
+                    op = ci.get("operation")
+                    params = json.dumps(ci.get("operationParameters") or {})
+                    ts = ci.get("timestamp")
+                elif "add" in act:
+                    n_add += 1
+                elif "remove" in act:
+                    n_remove += 1
+        rows.append((v, ts, op, params, n_add, n_remove))
+    return spark.createDataFrame(
+        rows,
+        "version int, timestamp long, operation string, "
+        "operationParameters string, n_added_files int, n_removed_files int",
+    )
+
+
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> int:
+    """VACUUM: physically delete data files under the table root that
+    the CURRENT snapshot no longer references (their remove tombstones
+    or mtimes older than ``retention_ms``), including orphaned
+    deletion-vector files. Time travel beyond the retention window dies
+    with the files — the jar's documented trade. Returns files removed
+    (or would-remove when ``dry_run``)."""
+    snap = snapshot(path)
+    live = {os.path.join(path, f.path) for f in snap.files}
+    for f in snap.files:
+        dv = f.deletion_vector
+        if dv and dv.get("storageType") == "p":
+            live.add(dv["pathOrInlineDv"])
+        elif dv and dv.get("storageType") == "u":
+            from .roaring import z85_decode
+
+            suffix = dv["pathOrInlineDv"][-20:]
+            prefix = dv["pathOrInlineDv"][:-20]
+            u = uuid.UUID(bytes=z85_decode(suffix))
+            live.add(os.path.join(path, prefix, f"deletion_vector_{u}.bin"))
+    cutoff = time.time() - retention_ms / 1000.0
+    removed = 0
+    for root, dirs, names in os.walk(path):
+        if _LOG in root.split(os.sep):
+            continue
+        dirs[:] = [d for d in dirs if d != _LOG]
+        for name in names:
+            p = os.path.join(root, name)
+            if p in live:
+                continue
+            if not (name.endswith(".parquet") or name.endswith(".bin")):
+                continue
+            if os.path.getmtime(p) > cutoff:
+                continue
+            removed += 1
+            if not dry_run:
+                os.unlink(p)
+    return removed
+
+
 # ---------------------------------------------------------------------------
 # checkpoints
 # ---------------------------------------------------------------------------

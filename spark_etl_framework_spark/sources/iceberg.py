@@ -1124,6 +1124,68 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict])
     return df
 
 
+def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
+    """Metadata tables — the jar's ``SELECT * FROM tbl.snapshots /
+    .history / .files`` surface, driver-side metadata only:
+
+    - ``snapshots``: one row per snapshot (id, sequence number,
+      timestamp, operation, manifest list)
+    - ``history``: the snapshot log with an ``is_current`` flag
+    - ``files``: the CURRENT snapshot's data + delete files (content 0 =
+      data, 1 = position deletes, 2 = equality deletes) with record
+      counts, sizes, partition tuple as JSON, and data sequence numbers
+    """
+    meta = load_metadata(loc)
+    if kind == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                int(s.get("sequence-number", 0)),
+                s["timestamp-ms"],
+                s.get("summary", {}).get("operation"),
+                s["manifest-list"],
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, committed_at_ms long, "
+            "operation string, manifest_list string",
+        )
+    if kind == "history":
+        cur = meta.get("current-snapshot-id", -1)
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] == cur)
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, is_current boolean"
+        )
+    if kind == "files":
+        data, deletes = _scan_snapshot(meta, _pick_snapshot(meta))
+        rows = [
+            (
+                int(f.get("content", 0)),
+                f["file_path"],
+                f["file_format"],
+                json.dumps(f.get("partition", {})),
+                int(f["record_count"]),
+                int(f["file_size_in_bytes"]),
+                int(f.get("__seq", 0)),
+            )
+            for f in data + deletes
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "partition string, record_count long, file_size_in_bytes long, "
+            "sequence_number long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots | history | files)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming source
 # ---------------------------------------------------------------------------

@@ -396,3 +396,30 @@ def test_merge_upsert_pruned(spark, tbl):
     assert dl.read_delta(spark, tbl).count() == 10
     with pytest.raises(ValueError, match="MERGE keys"):
         dl.merge_upsert(spark, tbl, src, ["nope"])
+
+
+def test_table_history_and_vacuum(spark, tbl):
+    """DESCRIBE HISTORY rows track the DML sequence; VACUUM(0) deletes
+    exactly the unreferenced data + DV files, after which time travel
+    beyond the current version is physically gone but the current read
+    is intact."""
+    dl.write_delta(_mk(spark, [(i, f"n{i}", 0) for i in range(6)]).coalesce(1),
+                   tbl, mode="overwrite")
+    dl.delete_where(spark, tbl, "id = 0", use_dvs=True)   # DV file
+    dl.delete_where(spark, tbl, "id = 1")                 # COW: clears the DV
+    dl.update_where(spark, tbl, "id = 2", {"name": "'X'"})
+    dl.merge_upsert(spark, tbl, _mk(spark, [(9, "m", 0)]).coalesce(1), ["id"])
+    hist = {r.version: r for r in dl.table_history(spark, tbl).collect()}
+    assert [hist[v].operation for v in range(5)] == [
+        "OVERWRITE", "DELETE", "DELETE", "UPDATE", "MERGE"
+    ]
+    assert hist[1].n_removed_files == 1 and hist[1].n_added_files == 1  # DV re-add
+    assert json.loads(hist[2].operationParameters)["predicate"] == "id = 1"
+    n = dl.vacuum(spark, tbl, retention_ms=0, dry_run=True)
+    assert n > 0
+    assert dl.vacuum(spark, tbl, retention_ms=0) == n
+    out = {r.id: r.name for r in dl.read_delta(spark, tbl).collect()}
+    assert out == {2: "X", 3: "n3", 4: "n4", 5: "n5", 9: "m"}
+    # pre-vacuum versions now reference deleted files
+    with pytest.raises(Exception):
+        dl.read_delta(spark, tbl, version_as_of=0).collect()

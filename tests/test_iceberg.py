@@ -440,3 +440,20 @@ def test_update_where_single_snapshot_row_delta(spark, loc):
     assert ice.update_where(spark, loc, "id > 999", {"name": "'x'"}) is None
     with __import__("pytest").raises(ValueError, match="unknown columns"):
         ice.update_where(spark, loc, "true", {"nope": "1"})
+
+
+def test_metadata_tables(spark, loc):
+    ice.write_iceberg(_mk(spark, [(1, "a", 0), (2, "b", 1)]).coalesce(1), loc,
+                      mode="overwrite")
+    ice.delete_where(spark, loc, "id = 1")
+    snaps = ice.read_meta(spark, loc, "snapshots").collect()
+    assert [s.operation for s in snaps] == ["overwrite", "delete"]
+    assert snaps[1].sequence_number == 1
+    hist = ice.read_meta(spark, loc, "history").collect()
+    assert [h.is_current for h in hist] == [False, True]
+    files = ice.read_meta(spark, loc, "files").collect()
+    assert {f.content for f in files} == {0, 1}
+    dele = [f for f in files if f.content == 1]
+    assert dele and all(f.sequence_number == 1 for f in dele)
+    with pytest.raises(ValueError, match="metadata table"):
+        ice.read_meta(spark, loc, "nope")
