@@ -220,6 +220,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_row_level_update",
     "delta_merge_upsert",
     "delta_history_audit",
+    "iceberg_merge_upsert",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
@@ -234,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_percent_rank",
     # next-oldest (r2-vintage), alphabetical — the rest continue in r9
     "agg_array_collect",
-    "binary_records_roundtrip",
 )
 
 

@@ -2135,3 +2135,69 @@ def delta_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta(na.filter("n_nationkey = 0"), tbl, mode="append")
     return table_history(spark, tbl).select("version", "operation")
+
+
+@register(
+    "iceberg_merge_upsert",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           SUM(CAST(k AS BIGINT)) AS key_sum,
+           CAST(SUM(CASE WHEN nm LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated
+    FROM (
+        SELECT n_nationkey AS k,
+               CASE WHEN n_regionkey = 1 THEN n_name || '*' ELSE n_name END
+                   AS nm,
+               n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey + 500, 'NEW', 0
+        FROM nation WHERE n_nationkey < 3
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE via EQUALITY DELETES (round 8): the CDC-writer shape
+    — one atomic row-delta snapshot whose equality delete file (on the
+    key column, spec ``equality_ids``) retires every colliding prior
+    row while the same commit's source rows land as new data files and
+    survive their own delete under the strictly-older sequence rule;
+    the target is never read or rewritten — O(source) total work
+    (iceberg.apache.org/spec §Equality Delete Files; same scenario as
+    delta_merge_upsert so the two MERGE strategies hash-check against
+    one oracle)."""
+    import tempfile
+
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import merge_upsert, write_iceberg
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="iceberg_mrg_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg(na.coalesce(2), tbl, mode="overwrite")
+    src = na.filter("n_regionkey = 1").select(
+        "n_nationkey",
+        F.concat("n_name", F.lit("*")).alias("n_name"),
+        "n_regionkey",
+    ).unionByName(
+        na.filter("n_nationkey < 3").select(
+            (F.col("n_nationkey") + 500).alias("n_nationkey"),
+            F.lit("NEW").alias("n_name"),
+            F.lit(0).cast("long").alias("n_regionkey"),
+        )
+    )
+    merge_upsert(spark, tbl, src, ["n_nationkey"])
+    out = IcebergReader(table=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+        F.sum(
+            F.when(F.col("n_name").endswith("*"), 1).otherwise(0)
+        ).cast("bigint").alias("n_updated"),
+    )

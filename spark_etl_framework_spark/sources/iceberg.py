@@ -941,6 +941,95 @@ def update_where(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    loc: str,
+    source: DataFrame,
+    keys: list[str],
+) -> int | None:
+    """MERGE (upsert) as ONE atomic v2 row-delta snapshot, the CDC-writer
+    shape (what Flink's Iceberg sink emits): an EQUALITY DELETE file on
+    the key columns retires every prior row with a colliding key —
+    no target scan at all, O(source) work — and the source rows land as
+    new data files in the same commit. The equality delete's sequence
+    number applies STRICTLY to older data files (spec), so the same
+    commit's inserts survive their own delete. Returns the snapshot id.
+
+    Scale: unlike the copy-on-write MERGE (deltalog.py), the target is
+    never read or rewritten — the entire cost is O(source) + manifest
+    metadata; readers pay one broadcast anti-join per scan until
+    compaction folds the deletes."""
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    schema = iceberg_to_spark_schema(meta["schema"])
+    missing = [k for k in keys if k not in [f.name for f in schema.fields]]
+    if missing:
+        raise ValueError(f"MERGE keys not in table schema: {missing}")
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in schema.fields]
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+
+    # equality delete file: just the key columns, with their schema
+    # field ids written into the parquet (the spec's equality_ids link)
+    field_ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    eq = src.select(*keys).distinct()
+    for k in keys:
+        eq = eq.withMetadata(k, {"parquet.field.id": field_ids[k]})
+    staging = tempfile.mkdtemp(prefix="iceeq_")
+    delete_entries: list[dict] = []
+    total = 0
+    try:
+        eq.coalesce(1).write.mode("overwrite").parquet(staging)
+        import pyarrow.parquet as pq
+
+        for root, _dirs, fnames in os.walk(staging):
+            for name in fnames:
+                if not name.endswith(".parquet"):
+                    continue
+                src_f = os.path.join(root, name)
+                n_rows = pq.ParquetFile(src_f).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                total += n_rows
+                dst = os.path.join(
+                    loc, "data", f"{uuid.uuid4().hex}-eq-deletes.parquet"
+                )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src_f, dst)
+                delete_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 2,  # equality deletes
+                            "file_path": dst,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                            "equality_ids": [field_ids[k] for k in keys],
+                        },
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    if not delete_entries:
+        return None
+    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
+    data_entries = _stage_data_entries(
+        src, loc, schema, partition_cols, snapshot_id
+    )
+    return _commit_row_delta(
+        loc, meta, snap, snapshot_id, now_ms,
+        delete_entries, total, data_entries, "overwrite",
+    )
+
+
 # ---------------------------------------------------------------------------
 # read
 # ---------------------------------------------------------------------------

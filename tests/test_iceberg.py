@@ -457,3 +457,36 @@ def test_metadata_tables(spark, loc):
     assert dele and all(f.sequence_number == 1 for f in dele)
     with pytest.raises(ValueError, match="metadata table"):
         ice.read_meta(spark, loc, "nope")
+
+
+def test_merge_upsert_equality_delete_cdc_shape(spark, loc):
+    """MERGE = equality delete on the keys + the source rows, one
+    snapshot: colliding keys take the source version, new keys insert,
+    the same commit's inserts survive their own equality delete (the
+    strictly-older rule), and the target is never read or rewritten."""
+    ice.write_iceberg(
+        _mk(spark, [(i, f"n{i}", i % 2) for i in range(6)]).coalesce(1),
+        loc, mode="overwrite",
+    )
+    files_before = {
+        f["file_path"]
+        for f in ice._live_files(ice.load_metadata(loc),
+                                 ice._pick_snapshot(ice.load_metadata(loc)))
+    }
+    src = _mk(spark, [(1, "UP1", 1), (50, "NEW", 0)])
+    sid = ice.merge_upsert(spark, loc, src, ["id"])
+    assert sid is not None
+    rows = {r.id: r.name for r in ice.read_iceberg(spark, loc).collect()}
+    assert rows[1] == "UP1" and rows[50] == "NEW"
+    assert rows[0] == "n0" and len(rows) == 7
+    meta = ice.load_metadata(loc)
+    data, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    assert files_before <= {f["file_path"] for f in data}  # target untouched
+    eq = [f for f in dels if f["content"] == 2]
+    assert eq and eq[0]["equality_ids"] == [1]  # 'id' is schema field 1
+    # a second merge stacks (strictly-older rule keeps the latest)
+    ice.merge_upsert(spark, loc, _mk(spark, [(1, "UP1b", 1)]), ["id"])
+    rows2 = {r.id: r.name for r in ice.read_iceberg(spark, loc).collect()}
+    assert rows2[1] == "UP1b" and len(rows2) == 7
+    with pytest.raises(ValueError, match="MERGE keys"):
+        ice.merge_upsert(spark, loc, src, ["nope"])
