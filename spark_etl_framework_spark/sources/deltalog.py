@@ -1046,6 +1046,86 @@ def merge_upsert(
     return version
 
 
+def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
+    """Maintenance rewrite that folds deletion vectors away: every
+    DV-carrying file restages WITHOUT its dead rows and recommits clean
+    (operation OPTIMIZE, ``dataChange=false`` adds — the jar's PURGE /
+    OPTIMIZE convention for logically-unchanged rewrites); files without
+    a DV are untouched. Readers drop the per-scan anti-join afterwards.
+    Returns the committed version, or None when no file carries a DV."""
+    prev = latest_version(path)
+    snap = snapshot(path)
+    dv_files = [f for f in snap.files if f.deletion_vector]
+    if not dv_files:
+        return None
+    names = [os.path.basename(f.path) for f in dv_files]
+    abs_paths = [os.path.join(path, f.path) for f in dv_files]
+    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+    df = (
+        spark.read.schema(snap.data_schema)
+        .parquet(*abs_paths)
+        .withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    if snap.partition_columns:
+        map_schema = T.StructType(
+            [T.StructField("__file_name", T.StringType(), False)]
+            + [T.StructField(c, ptypes[c], True)
+               for c in snap.partition_columns]
+        )
+        fmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f.path),
+                    *[
+                        _cast_partition_literal(
+                            f.partition_values.get(c), ptypes[c]
+                        )
+                        for c in snap.partition_columns
+                    ],
+                )
+                for f in dv_files
+            ],
+            map_schema,
+        )
+        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    survivors = _subtract_dvs(spark, df, path, dv_files).select(
+        *[F.col(f.name) for f in snap.schema.fields]
+    )
+    adds = _stage_adds(survivors, path, snap.partition_columns)
+    for a in adds:
+        a["add"]["dataChange"] = False  # logically unchanged rewrite
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"purgeDeletionVectors": "true"},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": _quote_path(f.path),
+                "deletionTimestamp": ts,
+                "dataChange": False,
+            }
+        }
+        for f in snap.files
+        if os.path.basename(f.path) in set(names)
+    )
+    actions.extend(adds)
+    version = prev + 1
+    _publish_commit(path, version, actions)
+    return version
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per surviving commit JSON — version,
     timestamp, operation, operationParameters (JSON string), and the

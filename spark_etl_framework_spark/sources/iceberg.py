@@ -1030,6 +1030,89 @@ def merge_upsert(
     )
 
 
+def rewrite_data_files(spark: SparkSession, loc: str) -> int | None:
+    """Maintenance compaction that FOLDS delete files away: the current
+    snapshot's live rows (position + equality deletes applied) restage
+    as fresh data files and commit as a full replacement snapshot with
+    no delete manifests — reads drop their per-scan anti-joins until
+    the next row-level operation. The jar's
+    ``rewrite_data_files``/``rewrite_position_delete_files`` pair
+    collapses to this one action at our manifest granularity. Returns
+    the snapshot id, or None when the table carries no deletes (nothing
+    to fold — no empty commits)."""
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    _data, dels = _scan_snapshot(meta, snap)
+    if not dels:
+        return None
+    df, schema = _mor_scan(spark, loc, meta, snap)
+    if df is None:
+        return None
+    live = df.select(*[F.col(f.name) for f in schema.fields])
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
+    data_entries = _stage_data_entries(
+        live, loc, schema, partition_cols, snapshot_id
+    )
+    if meta.get("format-version", 1) != 2:
+        meta = _upgrade_meta_v2(meta)
+    new_seq = meta.get("last-sequence-number", 0) + 1
+    pfields = _partition_avro_fields(schema, partition_cols)
+    manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
+    write_ocf(
+        manifest_path,
+        _manifest_entry_schema(pfields),
+        data_entries,
+        metadata={
+            "schema": json.dumps(meta["schema"]),
+            "partition-spec": json.dumps(meta.get("partition-spec", [])),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    manifests = [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(data_entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in data_entries
+        ),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+    list_path = os.path.join(
+        _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2, manifests,
+              metadata={"format-version": "2"})
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "summary": {"operation": "replace"},
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    meta["last-updated-ms"] = now_ms
+    meta["last-sequence-number"] = new_seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return snapshot_id
+
+
 # ---------------------------------------------------------------------------
 # read
 # ---------------------------------------------------------------------------

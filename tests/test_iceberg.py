@@ -490,3 +490,30 @@ def test_merge_upsert_equality_delete_cdc_shape(spark, loc):
     assert rows2[1] == "UP1b" and len(rows2) == 7
     with pytest.raises(ValueError, match="MERGE keys"):
         ice.merge_upsert(spark, loc, src, ["nope"])
+
+
+def test_rewrite_data_files_folds_deletes(spark, loc):
+    """Compaction folds position + equality deletes into fresh data
+    files: reads identical before/after, delete manifests gone, and a
+    no-delete table refuses the empty commit."""
+    ice.write_iceberg(
+        _mk(spark, [(i, f"n{i}", i % 2) for i in range(10)]).coalesce(1),
+        loc, mode="overwrite",
+    )
+    ice.delete_where(spark, loc, "id < 3")
+    ice.merge_upsert(spark, loc, _mk(spark, [(5, "UP5", 1)]), ["id"])
+    before = sorted(
+        (r.id, r.name) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    sid = ice.rewrite_data_files(spark, loc)
+    assert sid is not None
+    meta = ice.load_metadata(loc)
+    snap = ice._pick_snapshot(meta)
+    assert snap["summary"]["operation"] == "replace"
+    data, dels = ice._scan_snapshot(meta, snap)
+    assert dels == [] and data
+    after = sorted(
+        (r.id, r.name) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert after == before
+    assert ice.rewrite_data_files(spark, loc) is None

@@ -201,3 +201,26 @@ def test_dv_survives_checkpoint(spark, tmp_path):
     assert sorted(r.id for r in dl.read_delta(spark, tbl).collect()) == [
         3, 4, 5, 6, 7
     ]
+
+
+def test_purge_deletion_vectors_folds_dvs(spark, tmp_path):
+    """OPTIMIZE-style purge: DV'd files rewrite clean (dataChange=false),
+    non-DV files are untouched, reads stay identical before/after and
+    no descriptor survives."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(12)], "id int, grp int"
+    )
+    dl.write_delta(df, tbl, mode="overwrite", partition_by=["grp"])
+    dl.delete_where(spark, tbl, "grp = 0 and id < 6", use_dvs=True)
+    before = sorted(r.id for r in dl.read_delta(spark, tbl).collect())
+    untouched = {
+        f.path for f in dl.snapshot(tbl).files if not f.deletion_vector
+    }
+    v = dl.purge_deletion_vectors(spark, tbl)
+    assert v == 2
+    snap = dl.snapshot(tbl)
+    assert all(f.deletion_vector is None for f in snap.files)
+    assert untouched <= {f.path for f in snap.files}
+    assert sorted(r.id for r in dl.read_delta(spark, tbl).collect()) == before
+    assert dl.purge_deletion_vectors(spark, tbl) is None  # nothing to fold
