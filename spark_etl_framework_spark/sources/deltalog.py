@@ -461,6 +461,37 @@ def _stage_adds(df: DataFrame, path: str, partition_by: list[str]) -> list[dict]
     return adds
 
 
+def _check_write_schema(
+    write_schema: T.StructType,
+    table_schema: T.StructType,
+    merge_schema: bool,
+) -> T.StructType | None:
+    """Delta schema enforcement: same-name columns must type-match
+    exactly; new or absent columns reject unless ``merge_schema``.
+    Returns the evolved schema when new columns append, else None."""
+    table_types = {f.name: f.dataType for f in table_schema.fields}
+    write_types = {f.name: f.dataType for f in write_schema.fields}
+    for name, dt in write_types.items():
+        if name in table_types and dt != table_types[name]:
+            raise ValueError(
+                f"schema mismatch on {name!r}: writing "
+                f"{dt.simpleString()} into {table_types[name].simpleString()}"
+                " (type changes need an explicit overwriteSchema)"
+            )
+    new = [f for f in write_schema.fields if f.name not in table_types]
+    absent = [n for n in table_types if n not in write_types]
+    if (new or absent) and not merge_schema:
+        raise ValueError(
+            "schema mismatch: "
+            + (f"new columns {[f.name for f in new]} " if new else "")
+            + (f"absent columns {absent} " if absent else "")
+            + "— pass merge_schema=True (delta's mergeSchema) to evolve"
+        )
+    if new:
+        return T.StructType(list(table_schema.fields) + new)
+    return None
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -468,6 +499,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     operation: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the delta table at ``path``; returns the version.
 
@@ -478,12 +510,20 @@ def write_delta(
     emits ``remove`` tombstones for every previously-live file. A
     ``txn`` (appId, version) action makes replays idempotent — the
     streaming sink's exactly-once contract.
+
+    SCHEMA ENFORCEMENT (delta's default): a write whose columns mismatch
+    the table schema is rejected; ``merge_schema=True`` (the jar's
+    ``mergeSchema`` option) evolves instead — new columns append to the
+    schema in a fresh ``metaData`` action, absent columns read back as
+    null. Type changes always reject (delta requires an explicit
+    overwriteSchema, unsupported here).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta: unsupported mode {mode!r}")
     spark = df.sparkSession
     prev = latest_version(path)
     partition_by = list(partition_by or [])
+    evolved: T.StructType | None = None
     if prev >= 0:
         snap = snapshot(path)
         if snap.partition_columns != partition_by:
@@ -493,6 +533,7 @@ def write_delta(
             )
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return prev  # replayed batch — already committed, idempotent
+        evolved = _check_write_schema(df.schema, snap.schema, merge_schema)
     else:
         snap = None
 
@@ -523,6 +564,20 @@ def write_delta(
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    elif evolved is not None:
+        # mergeSchema evolution: the commit re-states metaData with the
+        # widened schema (same table id — the spec's evolution shape)
+        actions.append(
+            {
+                "metaData": {
+                    "id": snap.metadata_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
                 }
             }
         )

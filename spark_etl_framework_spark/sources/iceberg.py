@@ -443,6 +443,7 @@ def write_iceberg(
     loc: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -450,7 +451,12 @@ def write_iceberg(
     snapshot's manifest list carries the previous manifests too on
     ``append`` and only the new one on ``overwrite`` — the snapshot
     model needs no delete tombstones because each snapshot enumerates
-    its full live set."""
+    its full live set.
+
+    SCHEMA ENFORCEMENT: mismatched columns reject; ``merge_schema=True``
+    evolves instead — new columns join the schema with FRESH field ids
+    (``last-column-id`` advances; ids are never reused — the spec's
+    evolution rule), old files read the new column as null."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_iceberg: unsupported mode {mode!r}")
     partition_by = list(partition_by or [])
@@ -466,6 +472,38 @@ def write_iceberg(
                 f"partition columns {partition_by} != table's {prev_cols}"
             )
         schema = iceberg_to_spark_schema(meta["schema"])
+        table_types = {f.name: f.dataType for f in schema.fields}
+        write_types = {f.name: f.dataType for f in df.schema.fields}
+        for name, dt in write_types.items():
+            if name in table_types and dt != table_types[name]:
+                raise ValueError(
+                    f"schema mismatch on {name!r}: writing "
+                    f"{dt.simpleString()} into "
+                    f"{table_types[name].simpleString()}"
+                )
+        new = [f for f in df.schema.fields if f.name not in table_types]
+        absent = [n for n in table_types if n not in write_types]
+        if (new or absent) and not merge_schema:
+            raise ValueError(
+                "schema mismatch: "
+                + (f"new columns {[f.name for f in new]} " if new else "")
+                + (f"absent columns {absent} " if absent else "")
+                + "— pass merge_schema=True to evolve"
+            )
+        if new:
+            meta = dict(meta)
+            next_id = int(meta.get("last-column-id",
+                                   len(meta["schema"]["fields"])))
+            ice_fields = list(meta["schema"]["fields"])
+            add_ice = spark_to_iceberg_schema(T.StructType(new))["fields"]
+            for f in add_ice:
+                next_id += 1
+                f["id"] = next_id
+                ice_fields.append(f)
+            meta["schema"] = dict(meta["schema"], fields=ice_fields)
+            meta["schemas"] = [meta["schema"]]
+            meta["last-column-id"] = next_id
+            schema = iceberg_to_spark_schema(meta["schema"])
     else:
         meta = None
         schema = df.schema

@@ -423,3 +423,27 @@ def test_table_history_and_vacuum(spark, tbl):
     # pre-vacuum versions now reference deleted files
     with pytest.raises(Exception):
         dl.read_delta(spark, tbl, version_as_of=0).collect()
+
+
+def test_schema_enforcement_and_merge_schema(spark, tbl):
+    """Writes with mismatched columns reject (delta's default); with
+    merge_schema=True new columns evolve the metaData and old files read
+    them back as null; type changes always reject."""
+    dl.write_delta(_mk(spark, [(1, "a", 0)]).coalesce(1), tbl, mode="overwrite")
+    wide = spark.createDataFrame(
+        [(2, "b", 1, 9.5)], "id int, name string, grp int, score double"
+    )
+    with pytest.raises(ValueError, match="new columns.*score"):
+        dl.write_delta(wide, tbl, mode="append")
+    narrow = spark.createDataFrame([(3, "c")], "id int, name string")
+    with pytest.raises(ValueError, match="absent columns"):
+        dl.write_delta(narrow, tbl, mode="append")
+    retyped = spark.createDataFrame([(4, "d", 2)], "id int, name string, grp long")
+    with pytest.raises(ValueError, match="type changes"):
+        dl.write_delta(retyped, tbl, mode="append", merge_schema=True)
+    v = dl.write_delta(wide.coalesce(1), tbl, mode="append", merge_schema=True)
+    assert v == 1
+    out = dl.read_delta(spark, tbl)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "grp", "score"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5  # old file → null

@@ -517,3 +517,27 @@ def test_rewrite_data_files_folds_deletes(spark, loc):
     )
     assert after == before
     assert ice.rewrite_data_files(spark, loc) is None
+
+
+def test_schema_enforcement_and_evolution_field_ids(spark, loc):
+    """Mismatched writes reject; merge_schema evolves with FRESH field
+    ids (last-column-id advances, ids never reused) and old files read
+    the new column as null."""
+    ice.write_iceberg(_mk(spark, [(1, "a", 0)]).coalesce(1), loc,
+                      mode="overwrite")
+    wide = spark.createDataFrame(
+        [(2, "b", 1, 9.5)], "id int, name string, grp int, score double"
+    )
+    with pytest.raises(ValueError, match="new columns"):
+        ice.write_iceberg(wide, loc, mode="append")
+    retyped = spark.createDataFrame([(3, "c", 2)],
+                                    "id int, name string, grp long")
+    with pytest.raises(ValueError, match="schema mismatch on 'grp'"):
+        ice.write_iceberg(retyped, loc, mode="append", merge_schema=True)
+    ice.write_iceberg(wide.coalesce(1), loc, mode="append", merge_schema=True)
+    meta = ice.load_metadata(loc)
+    ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    assert ids["score"] == 4 and meta["last-column-id"] == 4
+    out = ice.read_iceberg(spark, loc)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
