@@ -173,9 +173,10 @@ def _load_all() -> None:
 #: ts_sliding_window, vector_label_centroids, vector_neardup_blocked,
 #: window_lag_lead, window_ntile_share, window_rank_dense,
 #: window_running_sum, multimodal_decode_stub, binary_records_roundtrip,
-#: dedup_ngram_jaccard_topk, dedup_simhash_pairs (displaced by the round-8
-#: additions — 11 new rows registered+windowed this round),
-#: (then r3 vintage: flatfile/json/orc/avro format rows etc.).
+#: dedup_ngram_jaccard_topk, dedup_simhash_pairs, dedup_minhash_signatures,
+#: dedup_lsh_verified_pairs (the last four displaced by the round-8
+#: additions — 15 new rows registered+windowed this round under the
+#: freeze policy), (then r3 vintage: flatfile/json/orc/avro format rows).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3/r5/r6/r7-green) — sole already-fresh slot
     "q1_pricing_summary",

@@ -926,3 +926,25 @@ def test_iceberg_mor_read_no_fact_shuffle(spark, tmp_path):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert out.count() == 50
+
+
+def test_delta_dv_read_no_fact_shuffle(spark, tmp_path):
+    """Delta deletion-vector reads: subtracting DV positions must not
+    shuffle the fact scan — the executor-decoded position set joins as a
+    BroadcastExchange anti-join (plus the broadcast partition map); zero
+    hash exchanges touch data rows."""
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(60)], "id int, name string, grp int"
+    )
+    dl.write_delta(df.coalesce(2), tbl, mode="overwrite", partition_by=["grp"])
+    dl.delete_where(spark, tbl, "id < 10", use_dvs=True)
+    out = dl.read_delta(spark, tbl)
+    plan = _initial_plan(out)
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert not hash_ex, "DV read forced a shuffle:\n" + plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 50
