@@ -2201,3 +2201,47 @@ def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_name").endswith("*"), 1).otherwise(0)
         ).cast("bigint").alias("n_updated"),
     )
+
+
+@register(
+    "delta_data_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_orderkey AS BIGINT)) AS key_sum
+    FROM orders
+    WHERE o_orderkey < 5000
+    GROUP BY o_orderpriority
+    """,
+)
+def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING from add-action stats (round 8, delta's
+    core scan optimization): orders lands range-partitioned on
+    o_orderkey so every data file carries disjoint min/max stats in its
+    add action (delta stats JSON: numRecords/minValues/maxValues/
+    nullCount harvested from the parquet footers), and the DeltaReader
+    actor's ``filter`` prunes the FILE LIST against those intervals
+    before Spark plans the scan — row-group pushdown can only skip
+    within files already listed; this skips the files themselves
+    (pruning count pinned by tests/test_deltalog.py:
+    test_data_skipping_prunes_file_list). The surviving rows must
+    hash-match the plain SQL filter exactly."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_skip_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).repartitionByRange(8, "o_orderkey")
+    orders.createOrReplaceTempView("_delta_skip_orders")
+    DeltaWriter(view="_delta_skip_orders", path=tbl, mode="overwrite").run(
+        jctx, spark
+    )
+    out = DeltaReader(path=tbl, filter="o_orderkey < 5000").run(jctx, spark)
+    return out.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
+    )

@@ -158,6 +158,11 @@ class DeltaReader(Actor):
 
     table: str | None = None
     path: str | None = None
+    #: optional row filter — on the engine-native path simple
+    #: ``col <op> literal`` AND-chains also DATA-SKIP: the file list
+    #: prunes against each add action's min/max stats before the scan
+    #: is planned (deltalog.py:read_delta)
+    filter: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         opts = {
@@ -167,7 +172,8 @@ class DeltaReader(Actor):
         }
         try:
             reader = spark.read.format("delta").options(**opts)
-            return reader.table(self.table) if self.table else reader.load(self.path)
+            df = reader.table(self.table) if self.table else reader.load(self.path)
+            return df.filter(self.filter) if self.filter else df
         except Exception as e:  # noqa: BLE001
             target = self.path
             if not target and self.table:
@@ -190,6 +196,7 @@ class DeltaReader(Actor):
                     target,
                     version_as_of=int(v) if v is not None else None,
                     timestamp_as_of=opts.get("timestampAsOf"),
+                    where=self.filter,
                 )
             raise _unavailable("delta", e) from e
 

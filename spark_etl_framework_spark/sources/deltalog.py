@@ -275,11 +275,77 @@ def _cast_partition_literal(value: str | None, dtype: T.DataType):
     return value
 
 
+_SKIP_RE = None
+
+
+def _parse_skippable(predicate: str):
+    """Parse a predicate into [(col, op, literal)] conjuncts usable for
+    file skipping, or None when any part is not a simple
+    ``col <op> literal`` AND-chain (OR / NOT / parens / functions make
+    skipping unsafe — the caller keeps every file, which is always
+    correct, and row-level filtering still applies)."""
+    import re
+
+    global _SKIP_RE
+    if _SKIP_RE is None:
+        _SKIP_RE = re.compile(
+            r"^\s*`?(\w+)`?\s*(<=|>=|==|=|<|>)\s*"
+            r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+        )
+    low = predicate.lower()
+    if "(" in predicate or " or " in f" {low} " or low.startswith("not ")             or " not " in f" {low} ":
+        return None
+    out = []
+    for part in re.split(r"(?i)\s+and\s+", predicate):
+        m = _SKIP_RE.match(part)
+        if not m:
+            return None
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if lit.startswith("'"):
+            val: object = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _file_survives(stats_json: str | None, conjuncts) -> bool:
+    """min/max interval test — a file is SKIPPED only when its stats
+    PROVE no row can match; absent/unparseable stats keep the file."""
+    if not stats_json:
+        return True
+    try:
+        st = json.loads(stats_json)
+    except ValueError:
+        return True
+    mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+    for col, op, val in conjuncts:
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+            continue  # type mismatch: don't risk a wrong prune
+        if op in ("=",) and not (lo <= val <= hi):
+            return False
+        if op == "<" and not (lo < val):
+            return False
+        if op == "<=" and not (lo <= val):
+            return False
+        if op == ">" and not (hi > val):
+            return False
+        if op == ">=" and not (hi >= val):
+            return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version_as_of: int | None = None,
     timestamp_as_of: str | int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Materialize a snapshot as a DataFrame, time-travel included.
 
@@ -288,6 +354,13 @@ def read_delta(
     ``input_file_name()`` — works for ANY data layout because the log,
     not the directory structure, is the source of truth. The fact scan
     stays exchange-free: the join broadcasts the file map.
+
+    ``where`` enables DATA SKIPPING — delta's core scan optimization:
+    simple ``col <op> literal`` AND-chains prune the FILE LIST against
+    each add action's min/max stats before Spark ever plans the scan
+    (row-group pushdown can only skip within files already listed), then
+    apply as a row filter for exactness. Non-skippable predicate shapes
+    (OR/NOT/parens/functions) skip nothing but still filter correctly.
     """
     if timestamp_as_of is not None and version_as_of is None:
         if isinstance(timestamp_as_of, str):
@@ -300,21 +373,53 @@ def read_delta(
         version_as_of = _version_at_timestamp(path, ts_ms)
 
     snap = snapshot(path, version_as_of)
-    if not snap.files:
+    files = snap.files
+    if where:
+        conjuncts = _parse_skippable(where)
+        if conjuncts:
+            # partition values participate too: a hive-partitioned file
+            # has no stats for its partition column, but the literal is
+            # exact — treat it as min == max
+            def _with_pv(f: AddFile) -> bool:
+                st = f.stats
+                if f.partition_values:
+                    try:
+                        d = json.loads(st) if st else {"numRecords": 0}
+                    except ValueError:
+                        d = {"numRecords": 0}
+                    mins = dict(d.get("minValues") or {})
+                    maxs = dict(d.get("maxValues") or {})
+                    for c, v in f.partition_values.items():
+                        if v is None:
+                            continue
+                        for conj in conjuncts:
+                            if conj[0] == c and isinstance(conj[2], (int, float)):
+                                try:
+                                    mins[c] = maxs[c] = type(conj[2])(v)
+                                except ValueError:
+                                    pass
+                            elif conj[0] == c:
+                                mins[c] = maxs[c] = v
+                    d["minValues"], d["maxValues"] = mins, maxs
+                    st = json.dumps(d)
+                return _file_survives(st, conjuncts)
+
+            files = [f for f in files if _with_pv(f)]
+    if not files:
         return spark.createDataFrame([], snap.schema)
 
-    abs_paths = [os.path.join(path, f.path) for f in snap.files]
-    dv_files = [f for f in snap.files if f.deletion_vector]
+    abs_paths = [os.path.join(path, f.path) for f in files]
+    dv_files = [f for f in files if f.deletion_vector]
     if not snap.partition_columns:
         df = spark.read.schema(snap.data_schema).parquet(*abs_paths)
-        if not dv_files:
-            return df
-        df = df.withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        ).withColumn("__pos", F.col("_metadata.row_index"))
-        df = _subtract_dvs(spark, df, path, dv_files)
-        return df.select(*[F.col(f.name) for f in snap.schema.fields])
+        if dv_files:
+            df = df.withColumn(
+                "__file_name",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+            df = _subtract_dvs(spark, df, path, dv_files)
+            df = df.select(*[F.col(f.name) for f in snap.schema.fields])
+        return df.filter(where) if where else df
 
     ptypes = {f.name: f.dataType for f in snap.schema.fields}
 
@@ -324,7 +429,7 @@ def read_delta(
             for c in snap.partition_columns
         ]
 
-    basenames = [os.path.basename(f.path) for f in snap.files]
+    basenames = [os.path.basename(f.path) for f in files]
     if len(set(basenames)) == len(basenames):
         # The common case (every delta writer names files with a uuid):
         # broadcast the basename -> typed-partition-literal map onto
@@ -334,7 +439,7 @@ def read_delta(
             + [T.StructField(c, ptypes[c], True) for c in snap.partition_columns]
         )
         fmap = spark.createDataFrame(
-            [(b, *_literals(f)) for b, f in zip(basenames, snap.files)],
+            [(b, *_literals(f)) for b, f in zip(basenames, files)],
             map_schema,
         )
         df = spark.read.schema(snap.data_schema).parquet(*abs_paths)
@@ -357,7 +462,7 @@ def read_delta(
                 "basenames are not supported jar-free"
             )
         groups: dict[tuple, list[str]] = {}
-        for f, ap in zip(snap.files, abs_paths):
+        for f, ap in zip(files, abs_paths):
             groups.setdefault(tuple(_literals(f)), []).append(ap)
         parts = []
         for lits, paths in groups.items():
@@ -368,7 +473,8 @@ def read_delta(
         out = parts[0]
         for g in parts[1:]:
             out = out.unionByName(g)
-    return out.select(*[F.col(f.name) for f in snap.schema.fields])
+    out = out.select(*[F.col(f.name) for f in snap.schema.fields])
+    return out.filter(where) if where else out
 
 
 # ---------------------------------------------------------------------------
@@ -406,16 +512,64 @@ def _parse_hive_dirs(relpath: str) -> dict:
     return vals
 
 
-def _file_row_count(p: str) -> int:
+def _file_stats(src: str) -> dict:
+    """Delta's per-file stats JSON from the parquet footer: numRecords +
+    minValues/maxValues/nullCount per column (the data-skipping input).
+    Values serialize as JSON-natural types; dates/timestamps as ISO
+    strings (they compare lexically, which is all skipping needs).
+    Columns without footer min/max (e.g. binary) are simply absent —
+    absent stats can never prune a file."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(p).metadata.num_rows
+    md = pq.ParquetFile(src).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+
+    def _j(v):
+        import datetime as _d
+        import decimal as _dec
+
+        if isinstance(v, (_d.datetime, _d.date)):
+            return v.isoformat(sep=" ") if isinstance(v, _d.datetime) else v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return str(v)
+        if isinstance(v, bytes):
+            return None
+        return v
+
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (top-level skipping only)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if not st.has_min_max:
+                continue
+            lo, hi = _j(st.min), _j(st.max)
+            if lo is None or hi is None:
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
 
 
 def _stage_adds(df: DataFrame, path: str, partition_by: list[str]) -> list[dict]:
     """Stage ``df`` with Spark's distributed parquet writer, move the
     files under the table root with fresh uuid names, return their
-    ``add`` actions (partitionValues + numRecords stats)."""
+    ``add`` actions (partitionValues + numRecords/min/max stats — the
+    data-skipping substrate)."""
     staging = tempfile.mkdtemp(prefix="deltastage_")
     try:
         w = df.write.mode("overwrite")
@@ -436,8 +590,8 @@ def _stage_adds(df: DataFrame, path: str, partition_by: list[str]) -> list[dict]
                 rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
                 dst = os.path.join(path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                n_rows = _file_row_count(src)
-                if n_rows == 0:
+                stats = _file_stats(src)
+                if stats["numRecords"] == 0:
                     os.unlink(src)
                     continue
                 shutil.move(src, dst)
@@ -452,7 +606,7 @@ def _stage_adds(df: DataFrame, path: str, partition_by: list[str]) -> list[dict]
                             "size": os.path.getsize(dst),
                             "modificationTime": now_ms,
                             "dataChange": True,
-                            "stats": json.dumps({"numRecords": n_rows}),
+                            "stats": json.dumps(stats),
                         }
                     }
                 )

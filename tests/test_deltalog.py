@@ -447,3 +447,56 @@ def test_schema_enforcement_and_merge_schema(spark, tbl):
     assert [f.name for f in out.schema.fields] == ["id", "name", "grp", "score"]
     rows = {r.id: r for r in out.collect()}
     assert rows[1].score is None and rows[2].score == 9.5  # old file → null
+
+
+def test_data_skipping_prunes_file_list(spark, tbl):
+    """File-level data skipping from add-action min/max stats: a
+    skippable predicate shrinks the PLANNED file list (inputFiles), the
+    result equals the unpruned filter exactly, and partition values
+    participate as exact min==max intervals. Unsafe predicate shapes
+    (OR) prune nothing but stay correct."""
+    parts = []
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        parts.append(
+            spark.range(lo, lo + 50).selectExpr(
+                "CAST(id AS INT) id", "CAST(id % 2 AS INT) grp"
+            ).coalesce(1)
+        )
+    dl.write_delta(parts[0], tbl, mode="overwrite")
+    for p in parts[1:]:
+        dl.write_delta(p, tbl, mode="append")
+    total_files = len(dl.snapshot(tbl).files)
+    assert total_files >= 3
+    # stats landed in the log
+    st = json.loads(dl.snapshot(tbl).files[0].stats)
+    assert "minValues" in st and "id" in st["minValues"]
+
+    pruned = dl.read_delta(spark, tbl, where="id >= 200")
+    assert len(pruned.inputFiles()) < total_files
+    assert sorted(r.id for r in pruned.collect()) == list(range(200, 250))
+    eq = dl.read_delta(spark, tbl, where="id = 123 and grp = 1")
+    assert len(eq.inputFiles()) == 1
+    assert [r.id for r in eq.collect()] == [123]
+    # string literals prune too
+    dl.write_delta(
+        spark.createDataFrame([("aa", 1), ("bb", 2)], "name string, n int")
+        .coalesce(1),
+        str(tbl) + "_s", mode="overwrite",
+    )
+    s = dl.read_delta(spark, str(tbl) + "_s", where="name = 'zz'")
+    assert s.count() == 0
+    # OR is not skippable: full file list, correct rows
+    ored = dl.read_delta(spark, tbl, where="id = 1 or id = 249")
+    assert len(ored.inputFiles()) == total_files
+    assert sorted(r.id for r in ored.collect()) == [1, 249]
+
+
+def test_data_skipping_with_partition_values(spark, tbl):
+    df = spark.range(0, 40).selectExpr(
+        "CAST(id AS INT) id", "CAST(id % 4 AS INT) grp"
+    )
+    dl.write_delta(df, tbl, mode="overwrite", partition_by=["grp"])
+    total = len(dl.snapshot(tbl).files)
+    pruned = dl.read_delta(spark, tbl, where="grp = 2")
+    assert len(pruned.inputFiles()) < total
+    assert sorted(r.id for r in pruned.collect()) == list(range(2, 40, 4))
