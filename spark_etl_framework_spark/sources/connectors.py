@@ -241,10 +241,14 @@ class IcebergReader(Actor):
 
             sid = self._props.get("options.snapshotId")
             ts = self._props.get("options.asOfTimestamp")
-            df = read_iceberg(
+            # filter= rides into the native read as `where`, which also
+            # DATA-SKIPS: files prune against manifest column bounds
+            # before the scan plans (iceberg.py:_prune_files_by_bounds)
+            return read_iceberg(
                 spark,
                 target,
                 snapshot_id=int(sid) if sid is not None else None,
                 as_of_timestamp=int(ts) if ts is not None else None,
+                where=self.filter,
             )
         return df.filter(self.filter) if self.filter else df

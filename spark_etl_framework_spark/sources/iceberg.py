@@ -231,6 +231,30 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                          "field-id": 104},
                         {"name": "block_size_in_bytes", "type": "long",
                          "field-id": 105},
+                        # column bounds (spec fields 125/128): Avro maps
+                        # key by STRING, so the spec encodes these as
+                        # arrays of (int key, binary value) records —
+                        # single-value serialization per Appendix D
+                        {"name": "lower_bounds", "field-id": 125,
+                         "default": None,
+                         "type": ["null", {"type": "array", "items": {
+                             "type": "record", "name": "k126_v127",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 126},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 127},
+                             ]}}]},
+                        {"name": "upper_bounds", "field-id": 128,
+                         "default": None,
+                         "type": ["null", {"type": "array", "items": {
+                             "type": "record", "name": "k129_v130",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 129},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 130},
+                             ]}}]},
                     ],
                 },
             },
@@ -371,6 +395,87 @@ def _avro_to_partition(value, dt: T.DataType):
     return value
 
 
+# -- single-value serialization (spec Appendix D) for column bounds --------
+
+import struct as _struct  # noqa: E402
+
+
+def _encode_bound(v, ice_type: str) -> bytes | None:
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "date":
+        days = (v - _dt.date(1970, 1, 1)).days if isinstance(v, _dt.date) else int(v)
+        return _struct.pack("<i", days)
+    return None  # unsupported bound type: absent bounds never prune
+
+
+def _decode_bound(raw: bytes, ice_type: str):
+    if raw is None:
+        return None
+    if ice_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=_struct.unpack("<i", raw)[0]
+        )
+    return None
+
+
+def _footer_bounds(src: str, field_ids: dict, ice_types: dict):
+    """(lower_bounds, upper_bounds) as the spec's key/value record lists,
+    harvested from the parquet footer statistics."""
+    import datetime as _d
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(src).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in field_ids:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, _d.datetime):
+                continue  # timestamptz bounds: skip (tz pitfalls > value)
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    lower = []
+    upper = []
+    for name, lo in mins.items():
+        b = _encode_bound(lo, ice_types[name])
+        if b is not None:
+            lower.append({"key": field_ids[name], "value": b})
+    for name, hi in maxs.items():
+        b = _encode_bound(hi, ice_types[name])
+        if b is not None:
+            upper.append({"key": field_ids[name], "value": b})
+    return (lower or None), (upper or None)
+
+
 def _stage_data_entries(
     df: DataFrame,
     loc: str,
@@ -384,6 +489,11 @@ def _stage_data_entries(
     staging dirs)."""
     staging = tempfile.mkdtemp(prefix="icestage_")
     entries: list[dict] = []
+    ice = spark_to_iceberg_schema(
+        T.StructType([f for f in schema.fields if f.name not in partition_by])
+    )
+    field_ids = {f["name"]: f["id"] for f in ice["fields"]}
+    ice_types = {f["name"]: f["type"] for f in ice["fields"]}
     try:
         w = df.write.mode("overwrite")
         if partition_by:
@@ -414,6 +524,7 @@ def _stage_data_entries(
                 pvals = _parse_hive_dirs(
                     os.path.relpath(dst, os.path.join(loc, "data"))
                 )
+                lower, upper = _footer_bounds(dst, field_ids, ice_types)
                 entries.append(
                     {
                         "status": 1,  # ADDED
@@ -430,6 +541,8 @@ def _stage_data_entries(
                             "record_count": n_rows,
                             "file_size_in_bytes": os.path.getsize(dst),
                             "block_size_in_bytes": 64 * 1024 * 1024,
+                            "lower_bounds": lower,
+                            "upper_bounds": upper,
                         },
                     }
                 )
@@ -1215,19 +1328,70 @@ def _pick_snapshot(
     )
 
 
+def _prune_files_by_bounds(files: list[dict], meta: dict, where: str):
+    """FILE skipping against manifest column bounds (spec fields
+    125/128) and identity partition values: simple ``col op literal``
+    AND-chains drop files whose bounds PROVE no row matches; anything
+    unparseable keeps every file (always correct). Mirrors the delta
+    data-skipping path (deltalog.py)."""
+    from .deltalog import _parse_skippable
+
+    conjuncts = _parse_skippable(where)
+    if not conjuncts:
+        return files
+    ids_to_type = {f["id"]: f["type"] for f in meta["schema"]["fields"]}
+    name_to_id = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+
+    def survives(f: dict) -> bool:
+        lower = {e["key"]: e["value"] for e in (f.get("lower_bounds") or [])}
+        upper = {e["key"]: e["value"] for e in (f.get("upper_bounds") or [])}
+        pvals = f.get("partition") or {}
+        for col, op, val in conjuncts:
+            fid = name_to_id.get(col)
+            lo = hi = None
+            if fid is not None and fid in lower and fid in upper:
+                lo = _decode_bound(lower[fid], ids_to_type[fid])
+                hi = _decode_bound(upper[fid], ids_to_type[fid])
+            elif col in pvals and pvals[col] is not None:
+                lo = hi = pvals[col]  # identity partition: exact value
+            if lo is None or hi is None:
+                continue
+            if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+                continue
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        return True
+
+    return [f for f in files if survives(f)]
+
+
 def read_iceberg(
     spark: SparkSession,
     loc: str,
     snapshot_id: int | None = None,
     as_of_timestamp: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Materialize a snapshot; identity partition values come TYPED from
     the manifests and broadcast onto ``input_file_name()`` — the fact
-    scan stays exchange-free, any data layout reads correctly."""
+    scan stays exchange-free, any data layout reads correctly.
+    ``where`` additionally DATA-SKIPS: the file list prunes against the
+    manifests' column bounds before the scan plans (the jar's scan
+    planning does exactly this), then applies as a row filter."""
     meta = load_metadata(loc)
     schema = iceberg_to_spark_schema(meta["schema"])
     snap = _pick_snapshot(meta, snapshot_id, as_of_timestamp)
     files, delete_files = _scan_snapshot(meta, snap)
+    if where and files:
+        files = _prune_files_by_bounds(files, meta, where)
     if not files:
         return spark.createDataFrame([], schema)
     partition_cols = [f["name"] for f in meta["partition-spec"]]
@@ -1269,7 +1433,8 @@ def read_iceberg(
         df = df.join(F.broadcast(fmap), "__file_name", "left")
     if delete_files:
         df = _apply_deletes(spark, df, delete_files)
-    return df.select(*[F.col(f.name) for f in schema.fields])
+    df = df.select(*[F.col(f.name) for f in schema.fields])
+    return df.filter(where) if where else df
 
 
 def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict]):

@@ -541,3 +541,52 @@ def test_schema_enforcement_and_evolution_field_ids(spark, loc):
     out = ice.read_iceberg(spark, loc)
     rows = {r.id: r for r in out.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_column_bounds_written_and_pruned(spark, loc):
+    """Manifests carry per-file column bounds (spec fields 125/128,
+    single-value serialization); a skippable ``where`` prunes the file
+    list before the scan plans (inputFiles shrinks) and the rows equal
+    the unpruned filter; identity partition values prune too; OR shapes
+    prune nothing but stay correct."""
+    parts = [
+        spark.range(lo, lo + 50).selectExpr(
+            "CAST(id AS INT) id", "CAST(id % 2 AS INT) grp",
+            "CONCAT('n', id) name"
+        ).coalesce(1)
+        for lo in (0, 100, 200)
+    ]
+    ice.write_iceberg(parts[0], loc, mode="overwrite")
+    for p in parts[1:]:
+        ice.write_iceberg(p, loc, mode="append")
+    meta = ice.load_metadata(loc)
+    files = ice._live_files(meta, ice._pick_snapshot(meta))
+    assert len(files) == 3
+    f0 = files[0]
+    assert f0.get("lower_bounds") and f0.get("upper_bounds")
+    ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    lo = {e["key"]: e["value"] for e in f0["lower_bounds"]}
+    assert ice._decode_bound(lo[ids["id"]], "int") in (0, 100, 200)
+
+    pruned = ice.read_iceberg(spark, loc, where="id >= 200")
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.id for r in pruned.collect()) == list(range(200, 250))
+    s = ice.read_iceberg(spark, loc, where="name = 'n123' and id = 123")
+    assert len(s.inputFiles()) == 1 and s.count() == 1
+    ored = ice.read_iceberg(spark, loc, where="id = 1 or id = 249")
+    assert len(ored.inputFiles()) == 3
+    assert sorted(r.id for r in ored.collect()) == [1, 249]
+
+
+def test_partitioned_bounds_pruning_via_reader_actor(spark, loc):
+    from spark_etl_framework_spark.sources.connectors import IcebergReader
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id int, grp int"
+    )
+    ice.write_iceberg(df, loc, mode="overwrite", partition_by=["grp"])
+    total = len(ice._live_files(ice.load_metadata(loc),
+                                ice._pick_snapshot(ice.load_metadata(loc))))
+    out = IcebergReader(table=loc, filter="grp = 2").run(_jctx(spark), spark)
+    assert len(out.inputFiles()) < total
+    assert sorted(r.id for r in out.collect()) == list(range(2, 40, 4))
