@@ -1587,6 +1587,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             raise ValueError("delta stream source requires a path option")
         sv = options.get("startingversion", options.get("startingVersion", "0"))
         self._starting = sv
+        # delta-spark's contract: a streaming source requires append-only
+        # commits; a version with data-changing removes (UPDATE / DELETE /
+        # MERGE / overwrite) fails the stream unless skipChangeCommits
+        # skips those versions wholesale
+        self._skip_change_commits = str(
+            options.get("skipchangecommits",
+                        options.get("skipChangeCommits", "false"))
+        ).lower() == "true"
         snap = snapshot(self._path)
         self._names = [f.name for f in snap.schema.fields]
         self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
@@ -1603,20 +1611,37 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         parts = []
         for v in range(max(lo + 1, 0), hi + 1):
+            acts = []
             with open(_commit_path(self._path, v), encoding="utf-8") as fh:
                 for line in fh:
                     line = line.strip()
-                    if not line:
-                        continue
-                    act = json.loads(line)
-                    a = act.get("add")
-                    if a and a.get("dataChange", True):
-                        parts.append(
-                            _DeltaFilePartition(
-                                os.path.join(self._path, unquote(a["path"])),
-                                a.get("partitionValues") or {},
-                            )
+                    if line:
+                        acts.append(json.loads(line))
+            # dataChange=false removes (OPTIMIZE rewrites) are fine; a
+            # data-changing remove means rows were updated or deleted
+            changed = any(
+                a.get("remove", {}).get("dataChange", True)
+                for a in acts
+                if "remove" in a
+            )
+            if changed:
+                if self._skip_change_commits:
+                    continue  # the version skips wholesale, like the jar
+                raise ValueError(
+                    f"delta stream source: version {v} contains "
+                    "data-changing removes (UPDATE/DELETE/MERGE/overwrite)"
+                    " — streaming requires append-only commits; set "
+                    "skipChangeCommits=true to skip such versions"
+                )
+            for act in acts:
+                a = act.get("add")
+                if a and a.get("dataChange", True):
+                    parts.append(
+                        _DeltaFilePartition(
+                            os.path.join(self._path, unquote(a["path"])),
+                            a.get("partitionValues") or {},
                         )
+                    )
         return parts
 
     def read(self, partition):

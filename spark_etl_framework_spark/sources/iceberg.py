@@ -1589,6 +1589,17 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         self._loc = options.get("path") or options.get("table")
         if not self._loc:
             raise ValueError("iceberg stream source requires a path option")
+        # the jar's contract: streaming reads are append-only; delete /
+        # overwrite snapshots fail the stream unless the matching
+        # streaming-skip-* option skips them; replace (compaction)
+        # snapshots are logically no-ops and always skip
+        def _flag(name: str) -> bool:
+            return str(
+                options.get(name.lower(), options.get(name, "false"))
+            ).lower() == "true"
+
+        self._skip_delete = _flag("streaming-skip-delete-snapshots")
+        self._skip_overwrite = _flag("streaming-skip-overwrite-snapshots")
         meta = load_metadata(self._loc)
         self._schema = iceberg_to_spark_schema(meta["schema"])
         self._pcols = [f["name"] for f in meta["partition-spec"]]
@@ -1603,11 +1614,30 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         meta = load_metadata(self._loc)
         snaps = meta.get("snapshots", [])[int(start["pos"]) : int(end["pos"])]
         parts = []
-        for s in snaps:
+        for idx, s in enumerate(snaps, start=int(start["pos"])):
+            op = s.get("summary", {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: logically no new rows
+            if idx == 0:
+                op = "append"  # the table-creating snapshot IS the content
+            if op != "append":
+                skip = (self._skip_delete if op == "delete"
+                        else self._skip_overwrite)
+                if skip:
+                    continue
+                raise ValueError(
+                    f"iceberg stream source: snapshot "
+                    f"{s['snapshot-id']} is a {op!r} (row-level change) — "
+                    "streaming requires append-only snapshots; set "
+                    f"streaming-skip-{'delete' if op == 'delete' else 'overwrite'}"
+                    "-snapshots=true to skip them"
+                )
             _s, _m, manifests = read_ocf(s["manifest-list"])
             for mf in manifests:
                 if mf.get("added_snapshot_id") != s["snapshot-id"]:
                     continue  # carried over from a previous snapshot
+                if mf.get("content", 0) != 0:
+                    continue  # delete manifests never stream as rows
                 _es, _em, entries = read_ocf(mf["manifest_path"])
                 parts.extend(
                     _IceFilePartition(
@@ -1616,6 +1646,7 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                     )
                     for e in entries
                     if e["status"] == 1
+                    and e["data_file"].get("content", 0) == 0
                 )
         return parts
 

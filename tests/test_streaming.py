@@ -273,3 +273,100 @@ def test_docfeed_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert distinct == n_docs, f"missing docs: {distinct}/{n_docs}"
     assert total == n_docs, f"duplicates after recovery: {total} rows for {n_docs} docs"
+
+
+# ---------------------------------------------------------------------------
+# append-only contracts for the table-format stream sources (round 8):
+# a row-level change must FAIL the stream loudly, not silently duplicate
+# ---------------------------------------------------------------------------
+
+
+def _drain_delta(spark, tbl, opts=None):
+    import uuid as _uuid
+
+    from spark_etl_framework_spark.sources.deltalog import DeltaLogDataSource
+
+    try:
+        spark.dataSource.register(DeltaLogDataSource)
+    except Exception:  # noqa: BLE001 - already registered
+        pass
+    qname = f"delta_guard_{_uuid.uuid4().hex[:8]}"
+    r = spark.readStream.format("deltalog").option("path", tbl)
+    for k, v in (opts or {}).items():
+        r = r.option(k, v)
+    q = r.load().writeStream.format("memory").queryName(qname) \
+        .trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def test_delta_stream_fails_on_change_commit_unless_skipped(spark, tmp_path):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, "x") for i in range(6)], "id int, v string")
+    dl.write_delta(df.coalesce(1), tbl, mode="overwrite")
+    dl.delete_where(spark, tbl, "id = 0", use_dvs=True)  # change commit v1
+    dl.write_delta(
+        spark.createDataFrame([(9, "y")], "id int, v string").coalesce(1),
+        tbl, mode="append",
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        _drain_delta(spark, tbl).count()
+    out = _drain_delta(spark, tbl, {"skipChangeCommits": "true"})
+    # v0 and v2 stream; the change commit's rewritten adds skip wholesale
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4, 5, 9]
+    # OPTIMIZE (dataChange=false) does not trip the guard
+    dl.purge_deletion_vectors(spark, tbl)
+    out2 = _drain_delta(spark, tbl, {"skipChangeCommits": "true"})
+    assert sorted(r.id for r in out2.collect()) == [0, 1, 2, 3, 4, 5, 9]
+
+
+def test_iceberg_stream_fails_on_row_level_change_unless_skipped(
+    spark, tmp_path
+):
+    import uuid as _uuid
+
+    from spark_etl_framework_spark.sources import iceberg as ice
+    from spark_etl_framework_spark.sources.iceberg import IcebergLogDataSource
+
+    try:
+        spark.dataSource.register(IcebergLogDataSource)
+    except Exception:  # noqa: BLE001
+        pass
+    loc = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.createDataFrame([(i, "x") for i in range(4)],
+                              "id int, v string").coalesce(1),
+        loc, mode="overwrite",
+    )
+    ice.delete_where(spark, loc, "id = 1")
+
+    def drain(opts=None):
+        qname = f"ice_guard_{_uuid.uuid4().hex[:8]}"
+        r = spark.readStream.format("iceberglog").option("path", loc)
+        for k, v in (opts or {}).items():
+            r = r.option(k, v)
+        q = r.load().writeStream.format("memory").queryName(qname) \
+            .trigger(availableNow=True).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(qname)
+
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        drain().count()
+    out = drain({"streaming-skip-delete-snapshots": "true"})
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3]
+    # compaction (replace) snapshots always skip silently
+    ice.rewrite_data_files(spark, loc)
+    out2 = drain({"streaming-skip-delete-snapshots": "true"})
+    assert sorted(r.id for r in out2.collect()) == [0, 1, 2, 3]
