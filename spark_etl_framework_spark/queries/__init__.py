@@ -174,9 +174,10 @@ def _load_all() -> None:
 #: window_lag_lead, window_ntile_share, window_rank_dense,
 #: window_running_sum, multimodal_decode_stub, binary_records_roundtrip,
 #: dedup_ngram_jaccard_topk, dedup_simhash_pairs, dedup_minhash_signatures,
-#: dedup_lsh_verified_pairs, scalar_math_funcs (the last five displaced by
-#: the round-8 additions — 16 new rows registered+windowed this round
-#: under the freeze policy), (then r3: flatfile/json/orc/avro rows).
+#: dedup_lsh_verified_pairs, scalar_math_funcs, histogram_price_buckets
+#: (the last six displaced by the round-8 additions — 17 new rows
+#: registered+windowed this round under the freeze policy),
+#: (then r3: flatfile/json/orc/avro rows).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor (r2/r3/r5/r6/r7-green) — sole already-fresh slot
     "q1_pricing_summary",
@@ -223,10 +224,10 @@ _PRIORITY: tuple[str, ...] = (
     "delta_history_audit",
     "iceberg_merge_upsert",
     "delta_data_skipping",
+    "delta_change_data_feed",
     # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
     "date_funcs",
     "distinct_pairs",
-    "histogram_price_buckets",
     "json_extract_props",
     "latest_event_per_user",
     "scalar_regexp_funcs",

@@ -2245,3 +2245,79 @@ def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "delta_change_data_feed",
+    oracle="""
+    SELECT 'insert' AS change_type, 0 AS commit_version,
+           COUNT(*) AS n_rows, SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'delete', 1, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    FROM nation WHERE n_regionkey = 2
+    UNION ALL
+    SELECT 'update_preimage', 2, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    SELECT 'update_postimage', 2, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    -- key 2 sits in region 2 (synthetic nation: region = key % 5) and was
+    -- DV-deleted at v1, so the merge UPDATES only the still-live keys...
+    SELECT 'update_preimage', 3, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    FROM nation WHERE n_nationkey < 3 AND n_regionkey <> 2
+    UNION ALL
+    SELECT 'update_postimage', 3, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    FROM nation WHERE n_nationkey < 3 AND n_regionkey <> 2
+    UNION ALL
+    -- ...and RE-INSERTS key 2 alongside the two new 900-series keys
+    SELECT 'insert', 3, 3, 1803
+    """,
+)
+def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the DML lifecycle (round 8): nation lands
+    (v0 insert), a deletion-vector DELETE retires region 2 (v1), an
+    UPDATE marks region 1 (v2, pre+post images), and a MERGE updates
+    the still-live keys < 3, RE-INSERTS the DV-deleted key 2, and
+    inserts keys 900/901 (v3) — ``table_changes`` must
+    replay every change typed and versioned exactly (delta.io
+    PROTOCOL.md §Add CDC File: change commits are described by their cdc
+    files alone; the insert derivation reads v0's dataChange adds).
+    nation is fixed-size at every SF, so every count is deterministic."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        delete_where,
+        merge_upsert,
+        table_changes,
+        update_where,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="delta_cdf_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1)
+    write_delta(na, tbl, mode="overwrite")
+    delete_where(spark, tbl, "n_regionkey = 2", use_dvs=True)
+    update_where(spark, tbl, "n_regionkey = 1", {"n_name": "upper(n_name)"})
+    merge_upsert(
+        spark, tbl,
+        na.filter("n_nationkey < 3").unionByName(
+            na.filter("n_nationkey < 2").select(
+                (F.col("n_nationkey") + 900).alias("n_nationkey"),
+                F.lit("NEW").alias("n_name"),
+                F.col("n_regionkey"),
+            )
+        ),
+        ["n_nationkey"],
+    )
+    ch = table_changes(spark, tbl, 0)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )

@@ -745,6 +745,7 @@ def write_delta(
                     "path": _quote_path(f.path),
                     "deletionTimestamp": ts,
                     "dataChange": True,
+                    "partitionValues": dict(f.partition_values),
                 }
             }
             for f in snap.files
@@ -884,6 +885,142 @@ def _subtract_dvs(spark, df, table_path: str, dv_files) -> DataFrame:
     )
 
 
+def _stage_cdc(df_changes: DataFrame, path: str) -> list[dict]:
+    """Stage change rows (schema columns + ``_change_type``) as CHANGE
+    DATA FILES under ``_change_data/`` and return their ``cdc`` actions
+    (delta.io PROTOCOL.md §Add CDC File: dataChange=false — CDF rows are
+    metadata about a commit, not table data). All columns inline, no
+    hive layout — the reader takes them whole."""
+    staging = tempfile.mkdtemp(prefix="deltacdc_")
+    actions: list[dict] = []
+    try:
+        df_changes.write.mode("overwrite").parquet(staging)
+        import pyarrow.parquet as pq
+
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    os.unlink(src)
+                    continue
+                rel = os.path.join(
+                    "_change_data", f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+                )
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": _quote_path(rel),
+                            "partitionValues": {},
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED: every row-level change in the version range as
+    a DataFrame of the table columns plus ``_change_type`` (insert /
+    delete / update_preimage / update_postimage), ``_commit_version``,
+    ``_commit_timestamp`` (epoch ms) — delta's ``table_changes`` /
+    ``readChangeFeed`` surface.
+
+    Per the spec's reader rule: a commit carrying ``cdc`` actions is
+    described BY those change files alone (our DELETE/UPDATE/MERGE
+    commits write them); commits without cdc derive — dataChange adds
+    are inserts, dataChange removes are deletes whose file contents are
+    re-read (pre-vacuum, exactly like the jar)."""
+    latest = latest_version(path)
+    hi = latest if ending_version is None else min(ending_version, latest)
+    out: DataFrame | None = None
+    for v in range(max(starting_version, 0), hi + 1):
+        cp = _commit_path(path, v)
+        if not os.path.exists(cp):
+            raise ValueError(
+                f"change data feed: commit {v} was cleaned from the log "
+                "(raise starting_version past the last checkpoint)"
+            )
+        acts = [json.loads(x) for x in open(cp, encoding="utf-8") if x.strip()]
+        ts = next(
+            (a["commitInfo"].get("timestamp") for a in acts
+             if "commitInfo" in a), None,
+        )
+        snap_v = snapshot(path, v)
+        ptypes = {f.name: f.dataType for f in snap_v.schema.fields}
+        names = [f.name for f in snap_v.schema.fields]
+
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        pieces: list[DataFrame] = []
+        if cdc:
+            paths = [os.path.join(path, unquote(c["path"])) for c in cdc]
+            pieces.append(spark.read.parquet(*paths))
+        else:
+            adds = [a["add"] for a in acts
+                    if "add" in a and a["add"].get("dataChange", True)]
+            removes = [a["remove"] for a in acts
+                       if "remove" in a
+                       and a["remove"].get("dataChange", True)]
+
+            def _with_parts(files, change):
+                dfs = []
+                for f in files:
+                    df = spark.read.schema(snap_v.data_schema).parquet(
+                        os.path.join(path, unquote(f["path"]))
+                    )
+                    for c in snap_v.partition_columns:
+                        df = df.withColumn(
+                            c,
+                            F.lit(
+                                _cast_partition_literal(
+                                    (f.get("partitionValues") or {}).get(c),
+                                    ptypes[c],
+                                )
+                            ).cast(ptypes[c]),
+                        )
+                    dfs.append(
+                        df.select(*names).withColumn(
+                            "_change_type", F.lit(change)
+                        )
+                    )
+                return dfs
+
+            pieces.extend(_with_parts(adds, "insert"))
+            pieces.extend(_with_parts(removes, "delete"))
+        for piece in pieces:
+            piece = piece.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn(
+                "_commit_timestamp",
+                F.lit(ts).cast("long"),
+            )
+            out = piece if out is None else out.unionByName(piece)
+    if out is None:
+        snap = snapshot(path)
+        empty = T.StructType(
+            list(snap.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+                T.StructField("_commit_timestamp", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    return out
+
+
 def delete_where(
     spark: SparkSession, path: str, predicate: str, use_dvs: bool = False
 ) -> int | None:
@@ -962,6 +1099,14 @@ def delete_where(
     if not affected:
         return None
 
+    names = [f.name for f in snap.schema.fields]
+    cdc_actions = _stage_cdc(
+        df.filter(pred).select(*names).withColumn(
+            "_change_type", F.lit("delete")
+        ),
+        path,
+    )
+
     ts = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -973,6 +1118,7 @@ def delete_where(
             }
         }
     ]
+    actions.extend(cdc_actions)
     by_name = {os.path.basename(f.path): f for f in snap.files}
     if use_dvs:
         actions.insert(0, {
@@ -1084,6 +1230,26 @@ def update_where(
     }
     if not affected:
         return None
+    names = [f.name for f in snap.schema.fields]
+    matched = df.filter(pred)
+    post = matched.select(
+        *[
+            (
+                F.when(pred, F.expr(assignments[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+            )
+            for f in snap.schema.fields
+        ]
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    cdc_actions = _stage_cdc(
+        matched.select(*names)
+        .withColumn("_change_type", F.lit("update_preimage"))
+        .unionByName(post),
+        path,
+    )
     rewritten = df.filter(F.col("__file_name").isin(list(affected))).select(
         *[
             (
@@ -1108,12 +1274,14 @@ def update_where(
             }
         }
     ]
+    actions.extend(cdc_actions)
     actions.extend(
         {
             "remove": {
                 "path": _quote_path(f.path),
                 "deletionTimestamp": ts,
                 "dataChange": True,
+                "partitionValues": dict(f.partition_values),
             }
         }
         for f in snap.files
@@ -1218,6 +1386,33 @@ def merge_upsert(
             )
     adds.extend(_stage_adds(src, path, snap.partition_columns))
 
+    # change data feed: matched target rows are preimages, their source
+    # versions postimages, collision-free source rows inserts
+    names = [f.name for f in snap.schema.fields]
+    if snap.files:
+        pre = (
+            df.join(src.select(*keys).distinct(), keys, "left_semi")
+            .select(*names)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        tgt_keys = df.select(*keys).distinct()
+        post = (
+            src.join(tgt_keys, keys, "left_semi")
+            .select(*names)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        ins = (
+            src.join(tgt_keys, keys, "left_anti")
+            .select(*names)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        changes = pre.unionByName(post).unionByName(ins)
+    else:
+        changes = src.select(*names).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    cdc_actions = _stage_cdc(changes, path)
+
     ts = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1233,12 +1428,14 @@ def merge_upsert(
             }
         }
     ]
+    actions.extend(cdc_actions)
     actions.extend(
         {
             "remove": {
                 "path": _quote_path(f.path),
                 "deletionTimestamp": ts,
                 "dataChange": True,
+                "partitionValues": dict(f.partition_values),
             }
         }
         for f in snap.files

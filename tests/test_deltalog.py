@@ -500,3 +500,51 @@ def test_data_skipping_with_partition_values(spark, tbl):
     pruned = dl.read_delta(spark, tbl, where="grp = 2")
     assert len(pruned.inputFiles()) < total
     assert sorted(r.id for r in pruned.collect()) == list(range(2, 40, 4))
+
+
+def test_change_data_feed_full_lifecycle(spark, tbl):
+    """table_changes: inserts derive from append adds; DELETE / UPDATE /
+    MERGE commits are described by their cdc files (pre/post images);
+    overwrite derives deletes by re-reading the removed files with their
+    remove-action partitionValues."""
+    df = _mk(spark, [(i, f"n{i}", i % 2) for i in range(6)])
+    dl.write_delta(df.coalesce(1), tbl, mode="overwrite", partition_by=["grp"])
+    dl.delete_where(spark, tbl, "id = 0")                       # v1 COW
+    dl.delete_where(spark, tbl, "id = 1", use_dvs=True)         # v2 DV
+    dl.update_where(spark, tbl, "id = 2", {"name": "'UP'"})     # v3
+    dl.merge_upsert(
+        spark, tbl, _mk(spark, [(3, "M3", 1), (9, "NEW", 1)]).coalesce(1),
+        ["id"],
+    )                                                            # v4
+    ch = dl.table_changes(spark, tbl, 0)
+    assert set(ch.columns) == {
+        "id", "name", "grp", "_change_type", "_commit_version",
+        "_commit_timestamp",
+    }
+    rows = [(r.id, r._change_type, r._commit_version) for r in ch.collect()]
+    assert (0, "insert", 0) in rows and len(
+        [r for r in rows if r[2] == 0]) == 6
+    assert (0, "delete", 1) in rows
+    assert (1, "delete", 2) in rows
+    assert (2, "update_preimage", 3) in rows
+    assert (2, "update_postimage", 3) in rows
+    v4 = {(r[0], r[1]) for r in rows if r[2] == 4}
+    assert v4 == {(3, "update_preimage"), (3, "update_postimage"),
+                  (9, "insert")}
+    names = {(r.id, r._commit_version): r.name for r in ch.collect()}
+    assert names[(2, 3)] in ("n2", "UP")  # both images present
+    pre = [r for r in ch.collect()
+           if r.id == 2 and r._change_type == "update_preimage"]
+    assert pre[0].name == "n2"
+    # version-range slicing
+    assert dl.table_changes(spark, tbl, 3, 3).count() == 2
+    # a table-replacing overwrite derives deletes from removed files
+    dl.write_delta(_mk(spark, [(99, "z", 0)]).coalesce(1), tbl,
+                   mode="overwrite", partition_by=["grp"])
+    last = dl.latest_version(tbl)
+    ov = dl.table_changes(spark, tbl, last, last)
+    kinds = {(r.id, r._change_type) for r in ov.collect()}
+    assert (99, "insert") in kinds
+    assert all(k[1] in ("insert", "delete") for k in kinds)
+    deleted_grps = {r.grp for r in ov.collect() if r._change_type == "delete"}
+    assert deleted_grps <= {0, 1} and deleted_grps  # partition cols typed
