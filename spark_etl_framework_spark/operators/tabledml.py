@@ -1,0 +1,159 @@
+"""Row-level DML and table maintenance as PIPELINE ACTORS.
+
+The reference expresses work as YAML actors; round 8's jar-free DML
+family (deltalog.py / iceberg.py) gets the same framework surface, so a
+pipeline can delete / update / merge / vacuum / compact a lakehouse
+table declaratively — the shape the reference reaches only via
+``SqlWriter`` isDML on catalog tables (etl/write/SqlWriter.scala).
+
+Both actors share the option surface:
+
+- ``op``: delete | update | merge | vacuum | optimize | history
+- ``path``/``table``: the table location (names resolve through the
+  native catalog for delta/iceberg, sources/catalog.py)
+- ``predicate``: DELETE/UPDATE row filter
+- ``set.<col>``: UPDATE assignments (SQL expressions over the pre-update
+  row)
+- ``sourceView`` + ``keys``: MERGE input view and comma-separated keys
+- ``useDVs`` (delta DELETE): deletion vectors instead of copy-on-write
+- ``retentionMs`` (vacuum)
+- ``view``: where ``history`` / ``metadata`` output registers
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.context import JobContext
+from .base import Actor
+
+
+class _TableDmlBase(Actor):
+    op: str | None = None
+    path: str | None = None
+    table: str | None = None
+    predicate: str | None = None
+    sourceView: str | None = None
+    keys: str | None = None
+    retentionMs: int = 7 * 24 * 3600 * 1000
+    view: str | None = None
+
+    _FORMAT = ""
+
+    def _location(self, spark: SparkSession) -> str:
+        target = self.path or self.table
+        if not target:
+            raise ValueError(f"{type(self).__name__}: path|table required")
+        if "/" not in target:
+            from ..sources.catalog import resolve_table
+
+            entry = resolve_table(spark, target)
+            if entry is None or entry["format"] != self._FORMAT:
+                raise ValueError(
+                    f"table {target!r} is not a {self._FORMAT} table in "
+                    "the native catalog"
+                )
+            target = entry["location"]
+        return target
+
+    def _assignments(self) -> dict[str, str]:
+        out = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("set.")
+        }
+        if not out:
+            raise ValueError(f"{type(self).__name__}: update needs set.<col>")
+        return out
+
+    def _merge_inputs(self, ctx: JobContext, spark: SparkSession):
+        if not self.sourceView or not self.keys:
+            raise ValueError(
+                f"{type(self).__name__}: merge needs sourceView and keys"
+            )
+        ctx.reference(self.sourceView)
+        return (
+            spark.table(self.sourceView),
+            [k.strip() for k in self.keys.split(",") if k.strip()],
+        )
+
+
+class DeltaDmlActor(_TableDmlBase):
+    """DML on a delta table through the pure-Python ``_delta_log``
+    writer (sources/deltalog.py): pruned-COW / deletion-vector DELETE,
+    UPDATE, MERGE upsert, VACUUM, OPTIMIZE (purge DVs), and DESCRIBE
+    HISTORY into a view."""
+
+    useDVs: bool = False
+    _FORMAT = "delta"
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources import deltalog as dl
+
+        loc = self._location(spark)
+        op = (self.op or "").lower()
+        if op == "delete":
+            if not self.predicate:
+                raise ValueError("DeltaDmlActor: delete needs predicate")
+            dl.delete_where(spark, loc, self.predicate, use_dvs=self.useDVs)
+            return None
+        if op == "update":
+            if not self.predicate:
+                raise ValueError("DeltaDmlActor: update needs predicate")
+            dl.update_where(spark, loc, self.predicate, self._assignments())
+            return None
+        if op == "merge":
+            src, keys = self._merge_inputs(ctx, spark)
+            dl.merge_upsert(spark, loc, src, keys)
+            return None
+        if op == "vacuum":
+            dl.vacuum(spark, loc, retention_ms=int(self.retentionMs))
+            return None
+        if op == "optimize":
+            dl.purge_deletion_vectors(spark, loc)
+            return None
+        if op == "history":
+            df = dl.table_history(spark, loc)
+            if self.view:
+                df.createOrReplaceTempView(self.view)
+            return df
+        raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
+
+
+class IcebergDmlActor(_TableDmlBase):
+    """DML on an iceberg table through the pure-Python v2 writer
+    (sources/iceberg.py): merge-on-read DELETE, atomic row-delta UPDATE,
+    equality-delete MERGE, REWRITE (fold deletes), and metadata tables
+    into a view (``metadataTable``: snapshots | history | files)."""
+
+    metadataTable: str = "snapshots"
+    _FORMAT = "iceberg"
+
+    def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sources import iceberg as ice
+
+        loc = self._location(spark)
+        op = (self.op or "").lower()
+        if op == "delete":
+            if not self.predicate:
+                raise ValueError("IcebergDmlActor: delete needs predicate")
+            ice.delete_where(spark, loc, self.predicate)
+            return None
+        if op == "update":
+            if not self.predicate:
+                raise ValueError("IcebergDmlActor: update needs predicate")
+            ice.update_where(spark, loc, self.predicate, self._assignments())
+            return None
+        if op == "merge":
+            src, keys = self._merge_inputs(ctx, spark)
+            ice.merge_upsert(spark, loc, src, keys)
+            return None
+        if op in ("optimize", "rewrite"):
+            ice.rewrite_data_files(spark, loc)
+            return None
+        if op == "history":
+            df = ice.read_meta(spark, loc, self.metadataTable)
+            if self.view:
+                df.createOrReplaceTempView(self.view)
+            return df
+        raise ValueError(f"IcebergDmlActor: unknown op {self.op!r}")

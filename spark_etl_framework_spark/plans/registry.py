@@ -41,6 +41,8 @@ _BUILTIN = {
     "jdbc-writer": "spark_etl_framework_spark.sinks.jdbc.JdbcWriter",
     "kafka-writer": "spark_etl_framework_spark.sinks.connectors.KafkaWriter",
     "delta-writer": "spark_etl_framework_spark.sinks.connectors.DeltaWriter",
+    "delta-dml": "spark_etl_framework_spark.operators.tabledml.DeltaDmlActor",
+    "iceberg-dml": "spark_etl_framework_spark.operators.tabledml.IcebergDmlActor",
     "iceberg-writer": "spark_etl_framework_spark.sinks.connectors.IcebergWriter",
     "sql-writer": "spark_etl_framework_spark.operators.sql.SqlWriter",
     "sql-table-writer": "spark_etl_framework_spark.operators.sql.SqlTableWriter",

@@ -256,3 +256,145 @@ def test_xml_pipeline_build(spark, sf_dir, tmp_path):
     p = build_pipeline_from_file(str(xpath), spark=spark)
     PipelineRunner(spark).run(p)
     assert p.jobs[0].actions[0].output_view.name == "rx"
+
+
+def test_delta_dml_actor_pipeline(spark, sf_dir, tmp_path):
+    """Row-level DML as YAML actors: write -> DV delete -> update ->
+    merge -> history into a view -> file sink, one declarative pipeline."""
+    tbl = tmp_path / "nation_delta"
+    out = tmp_path / "hist.parquet"
+    ypath = tmp_path / "dml.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: src
+        actor:
+          type: sql-transformer
+          properties:
+            sqlString: >-
+              SELECT n_nationkey, 'MERGED' AS n_name, n_regionkey
+              FROM nation WHERE n_nationkey < 2
+        input-views: [nation]
+        output-view: {{name: merge_src, global: false}}
+      - name: write
+        actor:
+          type: delta-writer
+          properties: {{view: nation, path: "{tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: del
+        actor:
+          type: delta-dml
+          properties:
+            op: delete
+            path: "{tbl}"
+            predicate: "n_regionkey = 2"
+            useDVs: true
+      - name: upd
+        actor:
+          type: delta-dml
+          properties:
+            op: update
+            path: "{tbl}"
+            predicate: "n_regionkey = 1"
+            set: {{n_name: "concat(n_name, '!')"}}
+      - name: mrg
+        actor:
+          type: delta-dml
+          properties:
+            op: merge
+            path: "{tbl}"
+            sourceView: merge_src
+            keys: n_nationkey
+        input-views: [merge_src]
+      - name: hist
+        actor:
+          type: delta-dml
+          properties: {{op: history, path: "{tbl}", view: tbl_history}}
+        output-view: {{name: tbl_history, global: false}}
+      - name: sink
+        actor:
+          type: file-writer
+          properties:
+            format: parquet
+            fileUri: "{out}"
+            mode: overwrite
+            view: tbl_history
+        input-views: [tbl_history]
+""")
+    run_pipeline_file(spark, str(ypath))
+    hist = spark.read.parquet(str(out))
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    assert ops == ["OVERWRITE", "DELETE", "UPDATE", "MERGE"]
+    from spark_etl_framework_spark.sources.deltalog import read_delta
+
+    rows = {r.n_nationkey: r.n_name for r in read_delta(spark, str(tbl)).collect()}
+    assert rows[0] == "MERGED"
+    assert all(
+        name.endswith("!") for k, name in rows.items()
+        if k % 5 == 1 and k >= 2 and name != "MERGED"
+    )
+    assert not any(k % 5 == 2 for k in rows if k >= 2)  # region 2 gone
+
+
+def test_iceberg_dml_actor_pipeline(spark, sf_dir, tmp_path):
+    tbl = tmp_path / "nation_ice"
+    out = tmp_path / "snaps.parquet"
+    ypath = tmp_path / "idml.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write
+        actor:
+          type: iceberg-writer
+          properties: {{view: nation, table: "{tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: del
+        actor:
+          type: iceberg-dml
+          properties:
+            op: delete
+            path: "{tbl}"
+            predicate: "n_regionkey = 0"
+      - name: meta
+        actor:
+          type: iceberg-dml
+          properties:
+            op: history
+            path: "{tbl}"
+            metadataTable: snapshots
+            view: snaps
+        output-view: {{name: snaps, global: false}}
+      - name: sink
+        actor:
+          type: file-writer
+          properties:
+            format: parquet
+            fileUri: "{out}"
+            mode: overwrite
+            view: snaps
+        input-views: [snaps]
+""")
+    run_pipeline_file(spark, str(ypath))
+    snaps = spark.read.parquet(str(out)).orderBy("committed_at_ms").collect()
+    assert [s.operation for s in snaps] == ["overwrite", "delete"]
+    from spark_etl_framework_spark.sources.iceberg import read_iceberg
+
+    assert read_iceberg(spark, str(tbl)).filter("n_regionkey = 0").count() == 0
