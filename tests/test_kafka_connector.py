@@ -439,3 +439,43 @@ def test_gzip_produce_through_live_broker(broker):
         assert [r["value"] for r in got] == [f"v{i}".encode() for i in range(50)]
     finally:
         c.close()
+
+
+def test_snappy_and_lz4_extension_paths():
+    """Decoder paths the wire roundtrips don't reach: snappy tag-61
+    two-byte literal extension and copy kinds 2/3; LZ4 literal/match
+    length extensions and the content-size + content-checksum frame
+    flags (parsed past, not verified)."""
+    from spark_etl_framework_spark.sources import kcodecs as kc
+
+    big = bytes(range(256)) * 20
+    lit = bytes([61 << 2, (len(big) - 1) & 0xFF, (len(big) - 1) >> 8]) + big
+    varlen = bytearray()
+    m = len(big)
+    while True:
+        b = m & 0x7F
+        m >>= 7
+        varlen.append(b | 0x80 if m else b)
+        if not m:
+            break
+    assert kc.snappy_decompress(bytes(varlen) + lit) == big
+
+    blk = (bytes([(60 - 1) << 2]) + b"x" * 60
+           + bytes([((64 - 1) << 2) | 2]) + struct.pack("<H", 60))
+    assert kc.snappy_decompress_block(bytes([124]) + blk) == b"x" * 124
+    blk3 = (bytes([(60 - 1) << 2]) + b"y" * 60
+            + bytes([((30 - 1) << 2) | 3]) + struct.pack("<I", 60))
+    assert kc.snappy_decompress_block(bytes([90]) + blk3) == b"y" * 90
+
+    lits = b"A" * 40
+    block = bytes([0xFF, 25]) + lits + struct.pack("<H", 40) + bytes([200])
+    frame = (struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+             + struct.pack("<I", len(block)) + block + struct.pack("<I", 0))
+    assert kc.lz4_decompress(frame) == b"A" * (40 + 4 + 15 + 200)
+
+    flg = 0x40 | 0x08 | 0x04
+    frame2 = (struct.pack("<I", 0x184D2204) + bytes([flg, 0x40])
+              + struct.pack("<q", 10) + b"\x00"
+              + struct.pack("<I", 0x80000000 | 10) + b"0123456789"
+              + struct.pack("<I", 0) + b"\x00\x00\x00\x00")
+    assert kc.lz4_decompress(frame2) == b"0123456789"

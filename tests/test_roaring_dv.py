@@ -224,3 +224,25 @@ def test_purge_deletion_vectors_folds_dvs(spark, tmp_path):
     assert untouched <= {f.path for f in snap.files}
     assert sorted(r.id for r in dl.read_delta(spark, tbl).collect()) == before
     assert dl.purge_deletion_vectors(spark, tbl) is None  # nothing to fold
+
+
+def test_roaring_structural_edges():
+    """Empty arrays, >=4 run containers (offset header WITH the run
+    cookie), a full 65536-container, container-boundary values, the
+    4096 array/bitmap threshold, and u64 bucket boundaries."""
+    assert rb.deserialize_rbm_array(rb.serialize_rbm_array(set())) == set()
+    vals = set()
+    for k in range(5):
+        vals |= set(range(k * 65536 + 10, k * 65536 + 500))
+    assert rb.deserialize_roaring32(rb.serialize_roaring32(vals))[0] == vals
+    full = set(range(65536))
+    assert rb.deserialize_roaring32(rb.serialize_roaring32(full))[0] == full
+    for s in ({0}, {65535}, {65536}, {(1 << 32) - 1}, {0, (1 << 32) - 1}):
+        assert rb.deserialize_roaring32(rb.serialize_roaring32(s))[0] == s
+    for s in ({0}, {(1 << 64) - 1}, {1 << 32}, {(1 << 32) - 1, 1 << 32}):
+        assert rb.deserialize_rbm_array(rb.serialize_rbm_array(s)) == s
+    a = set(range(0, 8192, 2))
+    assert len(a) == 4096  # array-container limit exactly
+    assert rb.deserialize_roaring32(rb.serialize_roaring32(a))[0] == a
+    b = a | {8193}
+    assert rb.deserialize_roaring32(rb.serialize_roaring32(b))[0] == b
