@@ -548,3 +548,39 @@ def test_change_data_feed_full_lifecycle(spark, tbl):
     assert all(k[1] in ("insert", "delete") for k in kinds)
     deleted_grps = {r.grp for r in ov.collect() if r._change_type == "delete"}
     assert deleted_grps <= {0, 1} and deleted_grps  # partition cols typed
+
+
+def test_data_skipping_never_loses_rows_randomized(spark, tbl):
+    """Property: for ANY predicate, the pruned read equals the unpruned
+    read + row filter exactly — a wrong file prune would silently LOSE
+    rows, the worst failure mode a scan optimization can have."""
+    import random
+
+    rng = random.Random(8)
+    for lo in (0, 77, 200, 1000):
+        df = spark.range(lo, lo + 60).selectExpr(
+            "CAST(id AS INT) id",
+            "CAST(id % 7 AS INT) grp",
+            "CONCAT('s', LPAD(CAST(id AS STRING), 5, '0')) tag",
+        ).coalesce(1)
+        dl.write_delta(df, tbl, mode="overwrite" if lo == 0 else "append")
+    full = dl.read_delta(spark, tbl)
+    ops = ["<", "<=", "=", ">", ">="]
+    preds = []
+    for _ in range(24):
+        kind = rng.randrange(3)
+        if kind == 0:
+            preds.append(f"id {rng.choice(ops)} {rng.randrange(-5, 1100)}")
+        elif kind == 1:
+            preds.append(
+                f"id {rng.choice(ops)} {rng.randrange(0, 300)} and "
+                f"grp {rng.choice(ops)} {rng.randrange(0, 7)}"
+            )
+        else:
+            preds.append(f"tag {rng.choice(ops)} 's{rng.randrange(1100):05d}'")
+    preds += ["id = 77", "id < 0", "id >= 1059", "tag = 's00205'",
+              "grp = 3 and id > 994"]
+    for p in preds:
+        expect = sorted(r.id for r in full.filter(p).collect())
+        got = sorted(r.id for r in dl.read_delta(spark, tbl, where=p).collect())
+        assert got == expect, f"prune lost/invented rows for {p!r}"
