@@ -590,3 +590,39 @@ def test_partitioned_bounds_pruning_via_reader_actor(spark, loc):
     out = IcebergReader(table=loc, filter="grp = 2").run(_jctx(spark), spark)
     assert len(out.inputFiles()) < total
     assert sorted(r.id for r in out.collect()) == list(range(2, 40, 4))
+
+
+def test_bounds_pruning_never_loses_rows_randomized(spark, loc):
+    """Property twin of the delta test: for ANY predicate the
+    bounds-pruned read equals the full read + row filter exactly."""
+    import random
+
+    rng = random.Random(9)
+    for i, lo in enumerate((0, 77, 200, 1000)):
+        df = spark.range(lo, lo + 60).selectExpr(
+            "CAST(id AS INT) id",
+            "CAST(id % 7 AS INT) grp",
+            "CONCAT('s', LPAD(CAST(id AS STRING), 5, '0')) tag",
+        ).coalesce(1)
+        ice.write_iceberg(df, loc, mode="overwrite" if i == 0 else "append")
+    full = ice.read_iceberg(spark, loc)
+    ops = ["<", "<=", "=", ">", ">="]
+    preds = []
+    for _ in range(20):
+        kind = rng.randrange(3)
+        if kind == 0:
+            preds.append(f"id {rng.choice(ops)} {rng.randrange(-5, 1100)}")
+        elif kind == 1:
+            preds.append(
+                f"id {rng.choice(ops)} {rng.randrange(0, 300)} and "
+                f"grp {rng.choice(ops)} {rng.randrange(0, 7)}"
+            )
+        else:
+            preds.append(f"tag {rng.choice(ops)} 's{rng.randrange(1100):05d}'")
+    preds += ["id = 77", "id < 0", "id >= 1059", "tag = 's00205'"]
+    for p in preds:
+        expect = sorted(r.id for r in full.filter(p).collect())
+        got = sorted(
+            r.id for r in ice.read_iceberg(spark, loc, where=p).collect()
+        )
+        assert got == expect, f"bounds prune lost/invented rows for {p!r}"
