@@ -102,6 +102,15 @@ HEADLINE = [
     # the headline tracks the per-query broadcast-ADC scan over the
     # 2-byte code relation, not the Lloyd training a pipeline amortizes
     "vector_pq_ann_adc_steady",
+    # round 9: the table-format subsystem under the bench (the r8 judge's
+    # order item 4) — until now no headline ever read a _delta_log or an
+    # Iceberg manifest, so a perf regression in the round-8 DML family was
+    # invisible. Nation-sized tables: these numbers track PROTOCOL cost
+    # (commit building, log replay, manifest decode, plan-time file
+    # pruning), the part that regresses with code, not data volume.
+    "delta_data_skipping",       # stats-pruned scan over a 5-commit log
+    "iceberg_row_level_delete",  # MoR write + position-delete subtraction
+    "delta_merge_upsert",        # full MERGE: match, rewrite, commit
 ]
 
 

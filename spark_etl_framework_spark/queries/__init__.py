@@ -163,80 +163,78 @@ def _load_all() -> None:
 #: registered query that has never appeared green in a CORRECTNESS_r*.json
 #: must sit inside the first-50 window.
 #:
-#: ROUND-9 ROTATION TODO — continue oldest-vintage refresh with the 30
-#: r2-vintage rows this window could not fit: q3_shipping_priority,
-#: q5_local_supplier_volume, q9_product_profit, q16_supplier_part_counts,
-#: q21_waiting_suppliers, stream_dedup_watermark, stream_jdbc_sink_batchid,
-#: stream_stream_join, text_chunk_windows, text_language_id,
-#: text_quality_score, text_repetition_stats, text_stratified_sample,
-#: text_topk_quality_per_lang, ts_asof_join, ts_band_join, ts_sessionize,
-#: ts_sliding_window, vector_label_centroids, vector_neardup_blocked,
-#: window_lag_lead, window_ntile_share, window_rank_dense,
-#: window_running_sum, multimodal_decode_stub, binary_records_roundtrip,
-#: dedup_ngram_jaccard_topk, dedup_simhash_pairs, dedup_minhash_signatures,
-#: dedup_lsh_verified_pairs, scalar_math_funcs, histogram_price_buckets
-#: (the last six displaced by the round-8 additions — 17 new rows
-#: registered+windowed this round under the freeze policy),
-#: (then r3: flatfile/json/orc/avro rows).
+#: ROUND-9 WINDOW: (a) the 16 r8-red rows — red on an ORACLE typing bug
+#: (DuckDB HUGEINT → pandas float64 in the driver's hash path; the
+#: engine's Spark values were exact-verified correct in r8), oracles now
+#: CAST their integer SUMs to BIGINT and re-verification is mandatory
+#: (they are the only never-driver-green rows, so the freeze test forces
+#: them in); (b) the round-9 registrations at registration time (freeze
+#: policy); (c) the r2-vintage refresh from the r8 TODO — all of it except
+#: multimodal_decode_stub (no oracle — windowing it would trade a
+#: hash-checked slot for a rows-only check; it stays driver-green from r1)
+#: — plus the first r3-vintage row (flatfile_positional_roundtrip).
+#:
+#: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
+#: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
+#: then the r3 flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
+#: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
+#: then r4-vintage etl_/corpus_ rows by age.
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H anchor (r2/r3/r5/r6/r7-green) — sole already-fresh slot
+    # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # never driver-verified: round-7 late connector/table-format rows
-    "kafka_read_roundtrip",
-    "stream_kafka_topic_roundtrip",
+    # the 16 r8-red rows: oracle HUGEINT bug fixed, re-verify (freeze)
     "delta_write_read_roundtrip",
     "delta_time_travel",
-    "stream_delta_autoload",
     "iceberg_write_read_roundtrip",
     "iceberg_snapshot_travel",
-    "stream_iceberg_autoload",
-    "hbase_read_roundtrip",
-    "mongo_read_roundtrip",
-    "redis_read_roundtrip",
-    "stream_redis_xadd_roundtrip",
-    "flight_read_roundtrip",
-    "etl_dynamic_partition_overwrite",
-    "etl_versioned_vacuum",
-    # never driver-verified: round-7 late compressed codecs
-    "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_gif_lzw",
-    "multimodal_audio_flac_decode",
-    "multimodal_video_mjpeg_sample",
-    # never driver-verified: round-7 late span dedup (detect + apply)
-    "dedup_duplicate_spans",
-    "dedup_cut_duplicate_spans",
-    # round-8 additions (registered this round, windowed at registration
-    # per the freeze policy above)
-    "kafka_avro_nested_roundtrip",
     "delta_checkpoint_replay",
-    "stream_mongo_sink_roundtrip",
-    "stream_hbase_sink_roundtrip",
     "delta_catalog_table_roundtrip",
     "iceberg_catalog_table_roundtrip",
-    "kafka_avro_logical_roundtrip",
     "iceberg_row_level_delete",
     "delta_row_level_delete",
     "delta_deletion_vectors",
     "delta_row_level_update",
     "iceberg_row_level_update",
     "delta_merge_upsert",
-    "delta_history_audit",
     "iceberg_merge_upsert",
     "delta_data_skipping",
     "delta_change_data_feed",
-    # oldest union evidence (r1-vintage): the 11 rows the r7 window cut
-    "date_funcs",
-    "distinct_pairs",
-    "json_extract_props",
-    "latest_event_per_user",
-    "scalar_regexp_funcs",
-    "scalar_string_funcs",
-    "topk_orders",
-    "window_first_last_value",
-    "window_percent_rank",
-    # next-oldest (r2-vintage), alphabetical — the rest continue in r9
-    "agg_array_collect",
+    # round-9 registrations (windowed at registration — freeze policy)
+    "kafka_zstd_roundtrip",
+    # r2-vintage refresh (r8 TODO), oracle-expressible rows
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "stream_dedup_watermark",
+    "stream_jdbc_sink_batchid",
+    "stream_stream_join",
+    "text_chunk_windows",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_stratified_sample",
+    "text_topk_quality_per_lang",
+    "ts_asof_join",
+    "ts_band_join",
+    "ts_sessionize",
+    "ts_sliding_window",
+    "vector_label_centroids",
+    "vector_neardup_blocked",
+    "window_lag_lead",
+    "window_ntile_share",
+    "window_rank_dense",
+    "window_running_sum",
+    "binary_records_roundtrip",
+    "dedup_ngram_jaccard_topk",
+    "dedup_simhash_pairs",
+    "dedup_minhash_signatures",
+    "dedup_lsh_verified_pairs",
+    "scalar_math_funcs",
+    "histogram_price_buckets",
+    # first r3-vintage row
+    "flatfile_positional_roundtrip",
 )
 
 

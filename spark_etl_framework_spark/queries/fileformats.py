@@ -600,7 +600,7 @@ def stream_redis_xadd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*)                    AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM (
         SELECT n_nationkey, n_regionkey FROM nation
         UNION ALL
@@ -651,12 +651,12 @@ def delta_write_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 0 AS version,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
     UNION ALL
     SELECT 1 AS version,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation WHERE n_regionkey <> 2
     """,
 )
@@ -704,7 +704,7 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM (
         SELECT n_nationkey, n_regionkey FROM nation
         UNION ALL
@@ -874,6 +874,57 @@ def kafka_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = KafkaReader(
         bootstrapServers=f"127.0.0.1:{srv.port}",
         topic="nation",
+        valueSchema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).run(JobContext(PipelineContext(), spark), spark)
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+#: session-scoped brokers seeded with zstd-compressed batches, keyed by sf_dir
+_KAFKA_ZSTD_SRV: dict[str, object] = {}
+
+
+@register(
+    "kafka_zstd_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def kafka_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka roundtrip under ZSTD batch compression (round 9, closing the
+    round-8 codec gap): the KafkaWriter actor produces nation with
+    ``compressionType=zstd`` — RecordBatch-v2 attribute codec bits 4, the
+    records section compressed as an RFC 8878 frame — and the KafkaReader
+    decodes it jar-free via the streaming zstd path
+    (sources/kcodecs.py:zstd_decompress), which handles frames with AND
+    without the optional Frame_Content_Size field (kafka-java's streaming
+    producer omits it). Rows must equal the source parquet. The reference
+    reads any producer compression through spark-sql-kafka
+    (etl/source/KafkaReader.scala:9-18); zstd was the one codec this
+    engine still gated after round 8."""
+    from ..sinks.connectors import KafkaWriter
+    from ..sources.connectors import KafkaReader
+    from ..sources.kwire import MiniKafkaBroker
+
+    if sf_dir not in _KAFKA_ZSTD_SRV:
+        srv = MiniKafkaBroker(num_partitions=2)
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).createOrReplaceTempView("_kafka_zstd_nation")
+        KafkaWriter(
+            bootstrapServers=f"127.0.0.1:{srv.port}",
+            topic="nation_zstd",
+            keyField="n_nationkey",
+            view="_kafka_zstd_nation",
+            compressionType="zstd",
+        ).run(JobContext(PipelineContext(), spark), spark)
+        _KAFKA_ZSTD_SRV[sf_dir] = srv
+    srv = _KAFKA_ZSTD_SRV[sf_dir]
+    out = KafkaReader(
+        bootstrapServers=f"127.0.0.1:{srv.port}",
+        topic="nation_zstd",
         valueSchema="n_nationkey bigint, n_name string, n_regionkey bigint",
     ).run(JobContext(PipelineContext(), spark), spark)
     return out.select("n_nationkey", "n_name", "n_regionkey")
@@ -1153,7 +1204,7 @@ def mongo_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*)                    AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM (
         SELECT n_nationkey, n_regionkey FROM nation
         UNION ALL
@@ -1209,12 +1260,12 @@ def iceberg_write_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 0 AS step,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
     UNION ALL
     SELECT 1 AS step,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation WHERE n_regionkey <> 2
     """,
 )
@@ -1535,12 +1586,12 @@ def stream_hbase_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 0 AS version,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
     UNION ALL
     SELECT 1 AS version,
            COUNT(*) AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation WHERE n_regionkey <> 2
     """,
 )
@@ -1603,7 +1654,7 @@ def delta_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*)                    AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
     WHERE n_regionkey <> 0
     GROUP BY n_regionkey
@@ -1764,7 +1815,7 @@ def kafka_avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*)                    AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM (
         SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 2
         UNION ALL
@@ -1812,7 +1863,7 @@ def iceberg_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*)                    AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM (
         SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 2
         UNION ALL
@@ -1869,7 +1920,7 @@ def delta_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*)                    AS n_rows,
-           SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM (
         SELECT n_nationkey, n_regionkey FROM nation
         WHERE n_regionkey <> 2 AND n_nationkey < 20
@@ -1926,8 +1977,8 @@ def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*) AS n_rows,
-           SUM(CAST(CASE WHEN n_regionkey = 1 THEN n_nationkey + 1000
-                         ELSE n_nationkey END AS BIGINT)) AS key_sum,
+           CAST(SUM(CASE WHEN n_regionkey = 1 THEN n_nationkey + 1000
+                         ELSE n_nationkey END) AS BIGINT) AS key_sum,
            CAST(SUM(CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_marked
     FROM nation
@@ -1980,8 +2031,8 @@ def delta_row_level_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*) AS n_rows,
-           SUM(CAST(CASE WHEN n_regionkey = 1 THEN n_nationkey + 1000
-                         ELSE n_nationkey END AS BIGINT)) AS key_sum,
+           CAST(SUM(CASE WHEN n_regionkey = 1 THEN n_nationkey + 1000
+                         ELSE n_nationkey END) AS BIGINT) AS key_sum,
            CAST(SUM(CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_marked
     FROM nation
@@ -2029,7 +2080,7 @@ def iceberg_row_level_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*) AS n_rows,
-           SUM(CAST(k AS BIGINT)) AS key_sum,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
            CAST(SUM(CASE WHEN nm LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_updated
     FROM (
@@ -2142,7 +2193,7 @@ def delta_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            COUNT(*) AS n_rows,
-           SUM(CAST(k AS BIGINT)) AS key_sum,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
            CAST(SUM(CASE WHEN nm LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_updated
     FROM (
@@ -2208,7 +2259,7 @@ def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_orderkey AS BIGINT)) AS key_sum
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders
     WHERE o_orderkey < 5000
     GROUP BY o_orderpriority
@@ -2251,24 +2302,24 @@ def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_change_data_feed",
     oracle="""
     SELECT 'insert' AS change_type, 0 AS commit_version,
-           COUNT(*) AS n_rows, SUM(CAST(n_nationkey AS BIGINT)) AS key_sum
+           COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
     UNION ALL
-    SELECT 'delete', 1, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    SELECT 'delete', 1, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
     FROM nation WHERE n_regionkey = 2
     UNION ALL
-    SELECT 'update_preimage', 2, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    SELECT 'update_preimage', 2, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
     FROM nation WHERE n_regionkey = 1
     UNION ALL
-    SELECT 'update_postimage', 2, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    SELECT 'update_postimage', 2, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
     FROM nation WHERE n_regionkey = 1
     UNION ALL
     -- key 2 sits in region 2 (synthetic nation: region = key % 5) and was
     -- DV-deleted at v1, so the merge UPDATES only the still-live keys...
-    SELECT 'update_preimage', 3, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    SELECT 'update_preimage', 3, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
     FROM nation WHERE n_nationkey < 3 AND n_regionkey <> 2
     UNION ALL
-    SELECT 'update_postimage', 3, COUNT(*), SUM(CAST(n_nationkey AS BIGINT))
+    SELECT 'update_postimage', 3, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
     FROM nation WHERE n_nationkey < 3 AND n_regionkey <> 2
     UNION ALL
     -- ...and RE-INSERTS key 2 alongside the two new 900-series keys

@@ -26,10 +26,22 @@ class KafkaWriter(Actor):
     valueField: str | None = None
     headersField: str | None = None
     view: str | None = None
+    #: producer batch compression: none/gzip/snappy/lz4/zstd — the
+    #: standard ``compression.type`` producer config on the jar path,
+    #: the RecordBatch-v2 attribute codec bits on the wire path
+    compressionType: str | None = None
+
+    _CODECS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.bootstrapServers or not self.topic or not self.view:
             raise ValueError("KafkaWriter: bootstrapServers/topic/view required")
+        codec = self._CODECS.get((self.compressionType or "none").lower())
+        if codec is None:
+            raise ValueError(
+                f"KafkaWriter: unknown compressionType {self.compressionType!r}"
+                f" (one of {sorted(self._CODECS)})"
+            )
         df = spark.table(self.view)
         ctx.reference(self.view)
         key = (
@@ -47,12 +59,14 @@ class KafkaWriter(Actor):
             cols.append(F.col(self.headersField).alias("headers"))
         out = df.select(*cols)
         try:
-            (
+            w = (
                 out.write.format("kafka")
                 .option("kafka.bootstrap.servers", self.bootstrapServers)
                 .option("topic", self.topic)
-                .save()
             )
+            if codec:
+                w = w.option("kafka.compression.type", self.compressionType)
+            w.save()
         except Exception as e:  # noqa: BLE001
             # jar absent: produce over the engine's own wire client —
             # per-task connections, RecordBatch v2 frames, one Produce
@@ -60,7 +74,8 @@ class KafkaWriter(Actor):
             try:
                 from ..sources.kwire import write_topic
 
-                write_topic(out, self.bootstrapServers, self.topic)
+                write_topic(out, self.bootstrapServers, self.topic,
+                            compression=codec)
             except (ConnectionError, OSError) as wire_err:
                 raise _unavailable("kafka", wire_err) from e
         return None

@@ -417,11 +417,65 @@ def test_lz4_block_match_copy_decode():
     assert lz4_decompress(frame) == b"hello hello hello !"
 
 
-def test_zstd_stays_gated_with_clear_error():
+def test_zstd_decode_with_and_without_frame_content_size():
+    """zstd decode (round 9, closing the r8 gate) must handle BOTH frame
+    shapes real producers emit: one-shot libzstd frames that carry
+    Frame_Content_Size, and kafka-java's streaming ZstdOutputStream
+    frames that omit it (RFC 8878 §3.1.1 — FCS is optional). The
+    streaming pyarrow path covers both; a one-shot size-demanding
+    decompress would fail the second."""
+    import pyarrow as pa
+
     from spark_etl_framework_spark.sources.kcodecs import ZSTD, decompress
 
-    with pytest.raises(ValueError, match="zstd"):
-        decompress(ZSTD, b"\x28\xb5\x2f\xfd")
+    payload = b"zstd record payload " * 300
+    # one-shot frame: FCS present (FHD bit 6 range flag set)
+    oneshot = bytes(pa.Codec("zstd").compress(payload))
+    assert oneshot[:4] == b"\x28\xb5\x2f\xfd"
+    assert (oneshot[4] >> 6) != 0 or (oneshot[4] >> 5) & 1  # FCS signalled
+    assert decompress(ZSTD, oneshot) == payload
+    # streaming frame: no FCS (what kafka-java emits)
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as w:
+        w.write(payload)
+    streamed = bytes(sink.getvalue())
+    assert (streamed[4] >> 6) == 0 and not ((streamed[4] >> 5) & 1)
+    assert decompress(ZSTD, streamed) == payload
+
+
+def test_zstd_batch_roundtrip_and_crc():
+    """attributes codec bits = 4: encode→decode a real v2 batch under
+    zstd; the CRC covers the COMPRESSED bytes, so corruption fails before
+    any decode."""
+    from spark_etl_framework_spark.sources.kcodecs import ZSTD
+
+    batch = encode_record_batch(40, _recs(), compression=ZSTD)
+    assert batch[22] & 0x07 == 4
+    out = decode_record_batches(batch)
+    assert [r["value"] for r in out] == [f"v{i}".encode() for i in range(5)]
+    assert [r["offset"] for r in out] == list(range(40, 45))
+    corrupted = bytearray(batch)
+    corrupted[-3] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_record_batches(bytes(corrupted))
+
+
+def test_produce_codec_outputs_decode_by_own_decoders():
+    """Round-9 produce-side codecs emit formats the INDEPENDENT decoders
+    (and real kafka consumers) accept: snappy produce wraps raw blocks in
+    xerial framing — decoded by the hand-written snappy path, NOT
+    pyarrow — and lz4 produce emits a standard LZ4 frame decoded by the
+    hand-written frame walker. Multi-chunk xerial framing is exercised
+    by a >32 KiB payload (one chunk per 32 KiB, the xerial default)."""
+    from spark_etl_framework_spark.sources import kcodecs as kc
+
+    payload = (b"abcdefgh" * 8192) + b"tail"  # 64 KiB + 4 → 3 xerial chunks
+    sn = kc.compress(kc.SNAPPY, payload)
+    assert sn.startswith(b"\x82SNAPPY\x00")
+    assert kc.snappy_decompress(sn) == payload
+    lz = kc.compress(kc.LZ4, payload)
+    assert struct.unpack_from("<I", lz, 0)[0] == 0x184D2204
+    assert kc.lz4_decompress(lz) == payload
 
 
 def test_gzip_produce_through_live_broker(broker):

@@ -92,15 +92,13 @@ def test_register_raises_on_duplicate_name():
 def test_priority_window_invariants():
     """The external gate checks exactly the first 50 registry entries, so
     lock what makes the window valid: it IS the priority block and every
-    slot has an oracle. Round-8 policy (the r7 judge's order item 1): the
-    22 round-7 LATE registrations (connector/table-format roundtrips,
-    compressed codecs, span dedup) — the only never-driver-verified rows
-    — plus the round-8 registrations at registration time (freeze policy,
-    tests/test_registry_window.py) and the oldest union evidence
-    (r1-vintage scalars/windows, then r2 vintage). Families freshly
-    verified in the r7 window (events_/vector_/pipeline_/subquery_/
-    join variants) rotate out; the family list below is what THIS
-    rotation targets."""
+    slot has an oracle. Round-9 policy (the r8 judge's order items 1-2):
+    the 16 r8-red rows (oracle HUGEINT typing — fixed, re-verification
+    mandatory), the round-9 registrations at registration time (freeze
+    policy, tests/test_registry_window.py), and the r2-vintage refresh
+    from the r8 rotation TODO. Families freshly verified in the r8
+    window (multimodal_/etl_/agg_/date_/json_ rows) rotate out; the
+    family list below is what THIS rotation targets."""
     from spark_etl_framework_spark.queries import _PRIORITY
 
     window = list(QUERIES)[:50]
@@ -108,8 +106,8 @@ def test_priority_window_invariants():
     assert window == list(_PRIORITY)
     assert all(n in ORACLES for n in window)
     for family in (
-        "kafka_", "delta_", "iceberg_", "stream_", "multimodal_",
-        "dedup_", "etl_", "scalar_", "window_", "agg_", "q",
+        "kafka_", "delta_", "iceberg_", "stream_", "text_", "ts_",
+        "dedup_", "vector_", "scalar_", "window_", "q",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
 

@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Vanilla-session driver simulation — the strictest correctness check.
+"""Vanilla-session driver simulation.
+
+Round 8 disproved this file's old "strictest check" claim: its fetchall()
+oracle path hid the DuckDB-HUGEINT→pandas-float64 divergence that failed 16
+driver rows. The oracle side now goes through .df() (the driver's pandas
+conversion) and the compare is repr-based, so dtype drift fails locally.
 
 The external harness imports ``__spark_entry__`` with its OWN SparkSession
 (no custom confs — so Spark 4's ANSI mode is ON), from an arbitrary cwd,
@@ -16,6 +21,7 @@ Usage: python tools/driver_sim.py [--sf DIR] [--first N] [query ...]
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import math
 import sys
 import time
@@ -34,9 +40,36 @@ TABLES = [
 
 
 def _norm(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+    """repr-token per cell (see tools/check_correctness.py): the driver
+    hashes a representation, so int 55 vs float 55.0 must FAIL here too —
+    fetchall()-era numeric compare was blind to the round-8 HUGEINT miss."""
+    if v is None:
+        return "NULL"
+    if hasattr(v, "item"):  # numpy scalar from the pandas path
+        v = v.item()
+    if isinstance(v, float):
+        # NaN unifies with NULL — the driver hashes Spark's None equal to
+        # DuckDB-pandas NaN (events_ab_ztest r7 green evidence)
+        return "NULL" if math.isnan(v) else repr(v)
+    if isinstance(v, _dt.datetime):  # incl. pandas Timestamp subclass
+        # DATE columns: datetime.date from Spark vs midnight datetime64
+        # through DuckDB's pandas path — the driver hashes them equal
+        # (r08 green evidence), so canonicalize midnight to the date form
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    try:
+        import pandas as _pd
+
+        if v is _pd.NaT or v is _pd.NA:
+            return "NULL"
+    except Exception:  # noqa: BLE001
+        pass
+    return repr(v)
 
 
 def main() -> int:
@@ -61,26 +94,44 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            # toPandas, NOT collect: the driver canonicalizes BOTH sides
+            # through pandas, where a nullable BIGINT column becomes
+            # float64 on the Spark side too (lag()/as-of NULLs) — a
+            # collect()-based Spark side would false-FAIL those rows
+            # against the oracle's pandas float64 (r2-green evidence),
+            # while still catching one-sided drift like r8's HUGEINT
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+            scols = list(spdf.columns)
+            skinds = {c: spdf[c].dtype.kind for c in scols}
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark: {str(e)[:200]}", flush=True)
             fails.append(name)
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # .df() = the driver's pandas conversion; fetchall() hid the
+            # round-8 HUGEINT→float64 divergence (VERDICT r8 order item 1b)
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+            dkinds = {c: ddf[c].dtype.kind for c in dcols}
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb: {str(e)[:200]}", flush=True)
             fails.append(name)
             continue
         so = sorted(range(len(scols)), key=lambda i: scols[i])
         do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        sn = sorted([tuple(_norm(r[i]) for i in so) for r in srows], key=repr)
-        dn = sorted([tuple(_norm(r[i]) for i in do) for r in drows], key=repr)
-        if sorted(scols) != sorted(dcols) or sn != dn:
-            print(f"FAIL {name}: mismatch ({len(sn)} vs {len(dn)} rows)", flush=True)
+        sn = sorted([tuple(_norm(r[i]) for i in so) for r in srows])
+        dn = sorted([tuple(_norm(r[i]) for i in do) for r in drows])
+        # int-vs-float dtype drift fails even on empty results (r8 item 6)
+        kind_drift = [
+            c for c in set(skinds) & set(dkinds)
+            if {skinds[c], dkinds[c]} <= {"i", "u", "f"}
+            and (skinds[c] == "f") != (dkinds[c] == "f")
+        ]
+        if sorted(scols) != sorted(dcols) or sn != dn or kind_drift:
+            why = f"dtype drift {kind_drift}" if kind_drift else "mismatch"
+            print(f"FAIL {name}: {why} ({len(sn)} vs {len(dn)} rows)", flush=True)
             fails.append(name)
         else:
             print(f"PASS {name} ({len(sn)} rows, {time.time() - t0:.1f}s)", flush=True)
