@@ -81,10 +81,15 @@ class _TableDmlBase(Actor):
 class DeltaDmlActor(_TableDmlBase):
     """DML on a delta table through the pure-Python ``_delta_log``
     writer (sources/deltalog.py): pruned-COW / deletion-vector DELETE,
-    UPDATE, MERGE upsert, VACUUM, OPTIMIZE (purge DVs), and DESCRIBE
-    HISTORY into a view."""
+    UPDATE, MERGE upsert, VACUUM, OPTIMIZE (purge DVs), DESCRIBE
+    HISTORY into a view, and the column-mapping DDL family (round 9):
+    ``enableColumnMapping``, metadata-only ``renameColumn``
+    (``oldColumn``/``newColumn``) and ``dropColumn`` (``column``)."""
 
     useDVs: bool = False
+    oldColumn: str | None = None
+    newColumn: str | None = None
+    column: str | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -117,6 +122,21 @@ class DeltaDmlActor(_TableDmlBase):
             if self.view:
                 df.createOrReplaceTempView(self.view)
             return df
+        if op == "enablecolumnmapping":
+            dl.enable_column_mapping(loc)
+            return None
+        if op == "renamecolumn":
+            if not self.oldColumn or not self.newColumn:
+                raise ValueError(
+                    "DeltaDmlActor: renameColumn needs oldColumn and newColumn"
+                )
+            dl.rename_column(loc, self.oldColumn, self.newColumn)
+            return None
+        if op == "dropcolumn":
+            if not self.column:
+                raise ValueError("DeltaDmlActor: dropColumn needs column")
+            dl.drop_column(loc, self.column)
+            return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 
 

@@ -176,7 +176,9 @@ def _load_all() -> None:
 #:
 #: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
 #: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
-#: then the r3 flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
+#: flatfile_positional_roundtrip (displaced by the round-9
+#: delta_column_mapping_rename registration), then the r3
+#: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
 #: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
 #: then r4-vintage etl_/corpus_ rows by age.
 _PRIORITY: tuple[str, ...] = (
@@ -201,6 +203,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_change_data_feed",
     # round-9 registrations (windowed at registration — freeze policy)
     "kafka_zstd_roundtrip",
+    "delta_column_mapping_rename",
     # r2-vintage refresh (r8 TODO), oracle-expressible rows
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -233,8 +236,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_lsh_verified_pairs",
     "scalar_math_funcs",
     "histogram_price_buckets",
-    # first r3-vintage row
-    "flatfile_positional_roundtrip",
 )
 
 

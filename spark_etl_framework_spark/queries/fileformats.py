@@ -700,6 +700,64 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_column_mapping_rename",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MAX(n_name) AS max_label
+    FROM nation
+    WHERE n_regionkey <> 2
+    GROUP BY n_regionkey
+    """,
+)
+def delta_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping end to end (round 9, delta.io PROTOCOL.md §Column
+    Mapping): nation commits as a MAPPED delta table (columnMapping=name
+    — parquet columns stored as ``col-<uuid>``, partitionValues and
+    stats keyed physically, reader 2 / writer 5 protocol), then
+    ``n_name`` RENAMES to ``nation_label`` as a METADATA-ONLY commit
+    (zero data files touched — the query asserts the live file set is
+    byte-identical across the rename and fails loudly otherwise), then a
+    pruned COW DELETE drops region 2 under the new schema. Reading back
+    through the DeltaReader actor must resolve every logical column
+    through its physicalName. The reference reads such tables through
+    delta-spark (etl/source/DeltaReader.scala:10-27); any real table
+    that ever ran ALTER COLUMN RENAME needs this mode. Scale: the rename
+    cost is one JSON commit at ANY table size — the alternative is a
+    full-table rewrite."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import delete_where, rename_column, snapshot
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_cm_") + "/nation"
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(2).createOrReplaceTempView("_delta_cm_nation")
+    DeltaWriter(
+        view="_delta_cm_nation", path=tbl, mode="overwrite",
+        partitionBy="n_regionkey", columnMapping="name",
+    ).run(jctx, spark)
+    files_before = {f.path for f in snapshot(tbl).files}
+    rename_column(tbl, "n_name", "nation_label")
+    files_after = {f.path for f in snapshot(tbl).files}
+    if files_after != files_before:  # metadata-only contract
+        raise AssertionError("RENAME COLUMN rewrote data files")
+    delete_where(spark, tbl, "n_regionkey = 2")
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+        F.max("nation_label").alias("max_label"),
+    )
+
+
+@register(
     "delta_checkpoint_replay",
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

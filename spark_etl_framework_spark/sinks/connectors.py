@@ -94,6 +94,10 @@ class DeltaWriter(Actor):
     bucketBy_numBuckets: int | None = None
     bucketBy_columns: str | None = None
     view: str | None = None
+    #: table-creation option: 'name'|'id' stamps column-mapping metadata
+    #: (the delta.columnMapping.mode TBLPROPERTY) — enables metadata-only
+    #: RENAME/DROP COLUMN on the created table
+    columnMapping: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.view or not (self.table or self.path):
@@ -102,6 +106,10 @@ class DeltaWriter(Actor):
         ctx.reference(self.view)
         try:
             writer = df.write.format("delta")
+            if self.columnMapping:
+                writer = writer.option(
+                    "delta.columnMapping.mode", self.columnMapping
+                )
             cols = [c.strip() for c in (self.partitionBy or "").split(",") if c.strip()]
             if cols:
                 writer = writer.partitionBy(*cols)
@@ -138,6 +146,7 @@ class DeltaWriter(Actor):
                 target,
                 mode=self.mode,
                 partition_by=cols or None,
+                column_mapping=self.columnMapping,
             )
             return None
         return None

@@ -704,11 +704,27 @@ def _file_stats(src: str) -> dict:
     }
 
 
-def _stage_adds(df: DataFrame, path: str, partition_by: list[str]) -> list[dict]:
+def _stage_adds(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mapping: dict[str, str] | None = None,
+) -> list[dict]:
     """Stage ``df`` with Spark's distributed parquet writer, move the
     files under the table root with fresh uuid names, return their
     ``add`` actions (partitionValues + numRecords/min/max stats — the
-    data-skipping substrate)."""
+    data-skipping substrate).
+
+    ``mapping`` (logical → physical, column-mapped tables): the staged
+    parquet stores PHYSICAL column names and the add actions key
+    partitionValues/stats physically, per PROTOCOL.md §Column Mapping —
+    callers keep working in logical names; this is the write half of the
+    physical/logical boundary (:func:`_lineage_scan` is the read half)."""
+    if mapping:
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+        partition_by = [mapping.get(c, c) for c in partition_by]
     staging = tempfile.mkdtemp(prefix="deltastage_")
     try:
         w = df.write.mode("overwrite")
@@ -785,6 +801,16 @@ def _check_write_schema(
     return None
 
 
+def _mapped_field(f: T.StructField, col_id: int) -> T.StructField:
+    """Stamp column-mapping metadata onto a schema field: a stable
+    numeric id and a ``col-<uuid>`` physical name (what delta-spark
+    generates on table creation with columnMapping.mode=name)."""
+    md = dict(f.metadata or {})
+    md.setdefault("delta.columnMapping.id", col_id)
+    md.setdefault("delta.columnMapping.physicalName", f"col-{uuid.uuid4()}")
+    return T.StructField(f.name, f.dataType, f.nullable, md)
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -793,6 +819,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     operation: str | None = None,
     merge_schema: bool = False,
+    column_mapping: str | None = None,
 ) -> int:
     """Commit ``df`` to the delta table at ``path``; returns the version.
 
@@ -810,15 +837,38 @@ def write_delta(
     schema in a fresh ``metaData`` action, absent columns read back as
     null. Type changes always reject (delta requires an explicit
     overwriteSchema, unsupported here).
+
+    COLUMN MAPPING (PROTOCOL.md §Column Mapping): ``column_mapping=
+    "name"`` (or ``"id"``) on table CREATION stamps every schema field
+    with ``delta.columnMapping.id`` + a ``col-<uuid>`` physicalName,
+    sets the mode in the table configuration (reader 2 / writer 5
+    protocol), and stores parquet columns under the physical names —
+    the substrate for metadata-only RENAME/DROP COLUMN
+    (:func:`rename_column`, :func:`drop_column`). Appends to a mapped
+    table convert transparently; schema evolution assigns fresh ids
+    from ``delta.columnMapping.maxColumnId``.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta: unsupported mode {mode!r}")
+    if column_mapping not in (None, "name", "id"):
+        raise ValueError(
+            f"write_delta: column_mapping must be 'name' or 'id', "
+            f"got {column_mapping!r}"
+        )
     spark = df.sparkSession
     prev = latest_version(path)
     partition_by = list(partition_by or [])
     evolved: T.StructType | None = None
+    mapped_schema: T.StructType | None = None
+    configuration: dict = {}
+    mapping: dict[str, str] | None = None
     if prev >= 0:
         snap = snapshot(path)
+        if column_mapping and snap.column_mapping_mode == "none":
+            raise ValueError(
+                "column_mapping is a table-creation option; use "
+                "enable_column_mapping() to upgrade an existing table"
+            )
         if snap.partition_columns != partition_by:
             raise ValueError(
                 f"partition columns {partition_by} != table's "
@@ -827,10 +877,42 @@ def write_delta(
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return prev  # replayed batch — already committed, idempotent
         evolved = _check_write_schema(df.schema, snap.schema, merge_schema)
+        if snap.column_mapping_mode != "none":
+            configuration = dict(snap.configuration)
+            if evolved is not None:
+                # evolution on a mapped table: carried-over fields keep
+                # their metadata (evolved reuses table fields); NEW fields
+                # get fresh ids past maxColumnId + fresh physical names
+                next_id = int(
+                    configuration.get("delta.columnMapping.maxColumnId", 0)
+                )
+                out_fields = []
+                for f in evolved.fields:
+                    if (f.metadata or {}).get("delta.columnMapping.physicalName"):
+                        out_fields.append(f)
+                    else:
+                        next_id += 1
+                        out_fields.append(_mapped_field(f, next_id))
+                evolved = T.StructType(out_fields)
+                configuration["delta.columnMapping.maxColumnId"] = str(next_id)
+                mapped_schema = evolved
+            mapping = {
+                f.name: _physical_name(f)
+                for f in (evolved or snap.schema).fields
+            }
     else:
         snap = None
+        if column_mapping:
+            mapped_schema = T.StructType(
+                [_mapped_field(f, i + 1) for i, f in enumerate(df.schema.fields)]
+            )
+            configuration = {
+                "delta.columnMapping.mode": column_mapping,
+                "delta.columnMapping.maxColumnId": str(len(df.schema.fields)),
+            }
+            mapping = {f.name: _physical_name(f) for f in mapped_schema.fields}
 
-    adds = _stage_adds(df, path, partition_by)
+    adds = _stage_adds(df, path, partition_by, mapping=mapping)
 
     version = prev + 1
     op = operation or ("WRITE" if mode == "append" else "OVERWRITE")
@@ -845,17 +927,21 @@ def write_delta(
         }
     ]
     if prev < 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        proto = (
+            # column mapping requires reader 2 / writer 5 (PROTOCOL.md)
+            {"minReaderVersion": 2, "minWriterVersion": 5}
+            if column_mapping
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
         )
+        actions.append({"protocol": proto})
         actions.append(
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": (mapped_schema or df.schema).json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": int(time.time() * 1000),
                 }
             }
@@ -870,7 +956,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": configuration,
                 }
             }
         )
@@ -1048,12 +1134,23 @@ def _subtract_dvs(spark, df, table_path: str, dv_files) -> DataFrame:
     )
 
 
-def _stage_cdc(df_changes: DataFrame, path: str) -> list[dict]:
+def _stage_cdc(
+    df_changes: DataFrame, path: str, mapping: dict[str, str] | None = None
+) -> list[dict]:
     """Stage change rows (schema columns + ``_change_type``) as CHANGE
     DATA FILES under ``_change_data/`` and return their ``cdc`` actions
     (delta.io PROTOCOL.md §Add CDC File: dataChange=false — CDF rows are
     metadata about a commit, not table data). All columns inline, no
-    hive layout — the reader takes them whole."""
+    hive layout — the reader takes them whole. Column-mapped tables
+    store PHYSICAL data column names in change files too (``mapping``);
+    ``_change_type`` is CDF metadata and never maps."""
+    if mapping:
+        df_changes = df_changes.select(
+            *[
+                F.col(c).alias(mapping.get(c, c)) if c != "_change_type" else F.col(c)
+                for c in df_changes.columns
+            ]
+        )
     staging = tempfile.mkdtemp(prefix="deltacdc_")
     actions: list[dict] = []
     try:
@@ -1108,6 +1205,18 @@ def table_changes(
     re-read (pre-vacuum, exactly like the jar)."""
     latest = latest_version(path)
     hi = latest if ending_version is None else min(ending_version, latest)
+    # the whole range projects onto the END version's schema; renames and
+    # drops inside the range resolve through the column-mapping PHYSICAL
+    # name, which is stable across renames — a commit from before a
+    # rename reports its rows under the column's CURRENT logical name,
+    # and columns added later in the range read as null for earlier
+    # commits (mergeSchema evolution)
+    end_snap = snapshot(path, hi)
+    end_names = [f.name for f in end_snap.schema.fields]
+    end_logical_of_phys = {
+        _physical_name(f): f.name for f in end_snap.schema.fields
+    }
+    end_types = {f.name: f.dataType for f in end_snap.schema.fields}
     out: DataFrame | None = None
     for v in range(max(starting_version, 0), hi + 1):
         cp = _commit_path(path, v)
@@ -1124,12 +1233,21 @@ def table_changes(
         snap_v = snapshot(path, v)
         ptypes = {f.name: f.dataType for f in snap_v.schema.fields}
         names = [f.name for f in snap_v.schema.fields]
+        phys_of = snap_v.physical_of
 
         cdc = [a["cdc"] for a in acts if "cdc" in a]
         pieces: list[DataFrame] = []
         if cdc:
             paths = [os.path.join(path, unquote(c["path"])) for c in cdc]
-            pieces.append(spark.read.parquet(*paths))
+            cdf = spark.read.parquet(*paths)
+            # change files store PHYSICAL data column names on mapped
+            # tables (spec); _change_type is CDF metadata, never mapped
+            pieces.append(
+                cdf.select(
+                    *[F.col(phys_of[n]).alias(n) for n in names],
+                    "_change_type",
+                )
+            )
         else:
             adds = [a["add"] for a in acts
                     if "add" in a and a["add"].get("dataChange", True)]
@@ -1140,15 +1258,24 @@ def table_changes(
             def _with_parts(files, change):
                 dfs = []
                 for f in files:
-                    df = spark.read.schema(snap_v.data_schema).parquet(
+                    df = spark.read.schema(snap_v.physical_data_schema).parquet(
                         os.path.join(path, unquote(f["path"]))
+                    )
+                    df = df.select(
+                        *[
+                            F.col(phys_of[fd.name]).alias(fd.name)
+                            for fd in snap_v.schema.fields
+                            if fd.name not in snap_v.partition_columns
+                        ]
                     )
                     for c in snap_v.partition_columns:
                         df = df.withColumn(
                             c,
                             F.lit(
                                 _cast_partition_literal(
-                                    (f.get("partitionValues") or {}).get(c),
+                                    snap_v.pv_get(
+                                        f.get("partitionValues") or {}, c
+                                    ),
                                     ptypes[c],
                                 )
                             ).cast(ptypes[c]),
@@ -1162,7 +1289,24 @@ def table_changes(
 
             pieces.extend(_with_parts(adds, "insert"))
             pieces.extend(_with_parts(removes, "delete"))
+        # project this commit's piece (snap_v logical names) onto the END
+        # schema: physicalName is the join key across renames
+        v_end_name = {
+            f.name: end_logical_of_phys.get(_physical_name(f))
+            for f in snap_v.schema.fields
+        }
         for piece in pieces:
+            cols = []
+            for en in end_names:
+                src = next(
+                    (vn for vn, e in v_end_name.items() if e == en), None
+                )
+                cols.append(
+                    F.col(src).alias(en)
+                    if src is not None
+                    else F.lit(None).cast(end_types[en]).alias(en)
+                )
+            piece = piece.select(*cols, "_change_type")
             piece = piece.withColumn(
                 "_commit_version", F.lit(v).cast("long")
             ).withColumn(
@@ -1214,41 +1358,8 @@ def delete_where(
     snap = snapshot(path)
     if not snap.files:
         return None
-    ptypes = {f.name: f.dataType for f in snap.schema.fields}
-    abs_paths = [os.path.join(path, f.path) for f in snap.files]
-    df = (
-        spark.read.schema(snap.data_schema)
-        .parquet(*abs_paths)
-        .withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    if snap.partition_columns:
-        map_schema = T.StructType(
-            [T.StructField("__file_name", T.StringType(), False)]
-            + [
-                T.StructField(c, ptypes[c], True)
-                for c in snap.partition_columns
-            ]
-        )
-        fmap = spark.createDataFrame(
-            [
-                (
-                    os.path.basename(f.path),
-                    *[
-                        _cast_partition_literal(
-                            f.partition_values.get(c), ptypes[c]
-                        )
-                        for c in snap.partition_columns
-                    ],
-                )
-                for f in snap.files
-            ],
-            map_schema,
-        )
-        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
+    df = _lineage_scan(spark, path, snap)
 
     dv_files = [f for f in snap.files if f.deletion_vector]
     if dv_files:
@@ -1268,6 +1379,7 @@ def delete_where(
             "_change_type", F.lit("delete")
         ),
         path,
+        mapping=mapping,
     )
 
     ts = int(time.time() * 1000)
@@ -1284,12 +1396,21 @@ def delete_where(
     actions.extend(cdc_actions)
     by_name = {os.path.basename(f.path): f for f in snap.files}
     if use_dvs:
+        # table-features protocol (3/7) must list EVERY active feature —
+        # a mapped table carries columnMapping alongside deletionVectors
+        rfeat = set(snap.protocol.get("readerFeatures") or [])
+        wfeat = set(snap.protocol.get("writerFeatures") or [])
+        rfeat.add("deletionVectors")
+        wfeat.add("deletionVectors")
+        if snap.column_mapping_mode != "none":
+            rfeat.add("columnMapping")
+            wfeat.add("columnMapping")
         actions.insert(0, {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": sorted(rfeat),
+                "writerFeatures": sorted(wfeat),
             }
         })
         actions.extend(
@@ -1314,7 +1435,9 @@ def delete_where(
             for f in snap.files
             if os.path.basename(f.path) in affected
         )
-        actions.extend(_stage_adds(survivors, path, snap.partition_columns))
+        actions.extend(
+            _stage_adds(survivors, path, snap.partition_columns, mapping=mapping)
+        )
     version = prev + 1
     _publish_commit(path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -1350,38 +1473,8 @@ def update_where(
     snap = snapshot(path)
     if not snap.files:
         return None
-    ptypes = {f.name: f.dataType for f in snap.schema.fields}
-    abs_paths = [os.path.join(path, f.path) for f in snap.files]
-    df = (
-        spark.read.schema(snap.data_schema)
-        .parquet(*abs_paths)
-        .withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    if snap.partition_columns:
-        map_schema = T.StructType(
-            [T.StructField("__file_name", T.StringType(), False)]
-            + [T.StructField(c, ptypes[c], True) for c in snap.partition_columns]
-        )
-        fmap = spark.createDataFrame(
-            [
-                (
-                    os.path.basename(f.path),
-                    *[
-                        _cast_partition_literal(
-                            f.partition_values.get(c), ptypes[c]
-                        )
-                        for c in snap.partition_columns
-                    ],
-                )
-                for f in snap.files
-            ],
-            map_schema,
-        )
-        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
+    df = _lineage_scan(spark, path, snap)
     dv_files = [f for f in snap.files if f.deletion_vector]
     if dv_files:
         df = _subtract_dvs(spark, df, path, dv_files)
@@ -1412,6 +1505,7 @@ def update_where(
         .withColumn("_change_type", F.lit("update_preimage"))
         .unionByName(post),
         path,
+        mapping=mapping,
     )
     rewritten = df.filter(F.col("__file_name").isin(list(affected))).select(
         *[
@@ -1425,7 +1519,7 @@ def update_where(
             for f in snap.schema.fields
         ]
     )
-    adds = _stage_adds(rewritten, path, snap.partition_columns)
+    adds = _stage_adds(rewritten, path, snap.partition_columns, mapping=mapping)
     ts = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1492,42 +1586,11 @@ def merge_upsert(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in snap.schema.fields]
     )
-    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+    mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
     adds: list[dict] = []
     affected: set[str] = set()
     if snap.files:
-        abs_paths = [os.path.join(path, f.path) for f in snap.files]
-        df = (
-            spark.read.schema(snap.data_schema)
-            .parquet(*abs_paths)
-            .withColumn(
-                "__file_name",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            )
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-        if snap.partition_columns:
-            map_schema = T.StructType(
-                [T.StructField("__file_name", T.StringType(), False)]
-                + [T.StructField(c, ptypes[c], True)
-                   for c in snap.partition_columns]
-            )
-            fmap = spark.createDataFrame(
-                [
-                    (
-                        os.path.basename(f.path),
-                        *[
-                            _cast_partition_literal(
-                                f.partition_values.get(c), ptypes[c]
-                            )
-                            for c in snap.partition_columns
-                        ],
-                    )
-                    for f in snap.files
-                ],
-                map_schema,
-            )
-            df = df.join(F.broadcast(fmap), "__file_name", "left")
+        df = _lineage_scan(spark, path, snap)
         dv_files = [f for f in snap.files if f.deletion_vector]
         if dv_files:
             df = _subtract_dvs(spark, df, path, dv_files)
@@ -1545,9 +1608,11 @@ def merge_upsert(
                 .select(*[F.col(f.name) for f in snap.schema.fields])
             )
             adds.extend(
-                _stage_adds(survivors, path, snap.partition_columns)
+                _stage_adds(
+                    survivors, path, snap.partition_columns, mapping=mapping
+                )
             )
-    adds.extend(_stage_adds(src, path, snap.partition_columns))
+    adds.extend(_stage_adds(src, path, snap.partition_columns, mapping=mapping))
 
     # change data feed: matched target rows are preimages, their source
     # versions postimages, collision-free source rows inserts
@@ -1574,7 +1639,7 @@ def merge_upsert(
         changes = src.select(*names).withColumn(
             "_change_type", F.lit("insert")
         )
-    cdc_actions = _stage_cdc(changes, path)
+    cdc_actions = _stage_cdc(changes, path, mapping=mapping)
 
     ts = int(time.time() * 1000)
     actions: list[dict] = [
@@ -1615,6 +1680,148 @@ def merge_upsert(
     return version
 
 
+def _commit_metadata_change(
+    path: str,
+    snap: Snapshot,
+    new_schema: T.StructType,
+    new_partition_columns: list[str],
+    configuration: dict,
+    operation: str,
+    op_params: dict,
+    protocol: dict | None = None,
+) -> int:
+    """Publish a METADATA-ONLY commit (no data file moves) — the shape
+    shared by column-mapping DDL. One metaData action restates the table
+    with the new schema/configuration; an optional protocol action
+    upgrades first (PROTOCOL.md orders protocol before metaData)."""
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": op_params,
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    if protocol is not None:
+        actions.append({"protocol": protocol})
+    actions.append(
+        {
+            "metaData": {
+                "id": snap.metadata_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": new_partition_columns,
+                "configuration": configuration,
+            }
+        }
+    )
+    version = latest_version(path) + 1
+    _publish_commit(path, version, actions)
+    return version
+
+
+def enable_column_mapping(path: str) -> int:
+    """Upgrade an existing table to columnMapping.mode=name — the ALTER
+    TABLE SET TBLPROPERTIES path (PROTOCOL.md §Column Mapping upgrade
+    rule): every EXISTING field's physicalName is set to its CURRENT
+    name, so every parquet file already on disk keeps matching; only
+    columns added/renamed afterwards get ``col-<uuid>`` physical names.
+    Metadata-only commit + protocol upgrade to reader 2 / writer 5.
+    Returns the committed version."""
+    snap = snapshot(path)
+    if snap.column_mapping_mode != "none":
+        return snap.version  # already mapped — idempotent
+    fields = []
+    for i, f in enumerate(snap.schema.fields):
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = f.name  # keep files valid
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    conf = dict(snap.configuration)
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    return _commit_metadata_change(
+        path,
+        snap,
+        T.StructType(fields),
+        snap.partition_columns,
+        conf,
+        "SET TBLPROPERTIES",
+        {"properties": json.dumps({"delta.columnMapping.mode": "name"})},
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+    )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — THE operation column mapping exists
+    for: the logical name changes in the schemaString, the physicalName
+    (and every parquet file, stat, and partition value keyed by it) is
+    untouched, so the commit is metadata-only at ANY table size — zero
+    data rewrite where an unmapped table would need a full-table COW
+    (delta-spark raises DELTA_UNSUPPORTED_RENAME_COLUMN without the
+    mode, same as this). Returns the committed version."""
+    snap = snapshot(path)
+    if snap.column_mapping_mode == "none":
+        raise ValueError(
+            "RENAME COLUMN requires column mapping "
+            "(enable_column_mapping() first) — without it every data file "
+            "would need a rewrite"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"RENAME COLUMN: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"RENAME COLUMN: {new!r} already exists")
+    fields = [
+        T.StructField(new if f.name == old else f.name, f.dataType, f.nullable,
+                      dict(f.metadata or {}))
+        for f in snap.schema.fields
+    ]
+    parts = [new if c == old else c for c in snap.partition_columns]
+    return _commit_metadata_change(
+        path,
+        snap,
+        T.StructType(fields),
+        parts,
+        dict(snap.configuration),
+        "RENAME COLUMN",
+        {"oldColumnPath": old, "newColumnPath": new},
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only under column mapping: the
+    field leaves the schemaString, the physical column stays in existing
+    parquet files but no reader path references it again (the spec's
+    soft-drop; a later OPTIMIZE rewrite physically sheds it). Partition
+    columns cannot drop. Returns the committed version."""
+    snap = snapshot(path)
+    if snap.column_mapping_mode == "none":
+        raise ValueError(
+            "DROP COLUMN requires column mapping (enable_column_mapping() "
+            "first) — without it every data file would need a rewrite"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if name not in names:
+        raise ValueError(f"DROP COLUMN: no column {name!r} (have {names})")
+    if name in snap.partition_columns:
+        raise ValueError(f"DROP COLUMN: {name!r} is a partition column")
+    if len(names) == 1:
+        raise ValueError("DROP COLUMN: cannot drop the only column")
+    fields = [f for f in snap.schema.fields if f.name != name]
+    return _commit_metadata_change(
+        path,
+        snap,
+        T.StructType(fields),
+        snap.partition_columns,
+        dict(snap.configuration),
+        "DROP COLUMNS",
+        {"columns": json.dumps([name])},
+    )
+
+
 def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     """Maintenance rewrite that folds deletion vectors away: every
     DV-carrying file restages WITHOUT its dead rows and recommits clean
@@ -1628,43 +1835,12 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     if not dv_files:
         return None
     names = [os.path.basename(f.path) for f in dv_files]
-    abs_paths = [os.path.join(path, f.path) for f in dv_files]
-    ptypes = {f.name: f.dataType for f in snap.schema.fields}
-    df = (
-        spark.read.schema(snap.data_schema)
-        .parquet(*abs_paths)
-        .withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    if snap.partition_columns:
-        map_schema = T.StructType(
-            [T.StructField("__file_name", T.StringType(), False)]
-            + [T.StructField(c, ptypes[c], True)
-               for c in snap.partition_columns]
-        )
-        fmap = spark.createDataFrame(
-            [
-                (
-                    os.path.basename(f.path),
-                    *[
-                        _cast_partition_literal(
-                            f.partition_values.get(c), ptypes[c]
-                        )
-                        for c in snap.partition_columns
-                    ],
-                )
-                for f in dv_files
-            ],
-            map_schema,
-        )
-        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
+    df = _lineage_scan(spark, path, snap, files=dv_files)
     survivors = _subtract_dvs(spark, df, path, dv_files).select(
         *[F.col(f.name) for f in snap.schema.fields]
     )
-    adds = _stage_adds(survivors, path, snap.partition_columns)
+    adds = _stage_adds(survivors, path, snap.partition_columns, mapping=mapping)
     for a in adds:
         a["add"]["dataChange"] = False  # logically unchanged rewrite
     ts = int(time.time() * 1000)
@@ -1854,20 +2030,32 @@ def _write_checkpoint(path: str, version: int) -> None:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
         ]
     )
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # restate the TABLE'S protocol (a DV or column-mapping upgrade
+        # must survive the checkpoint — hardcoding 1/2 here would
+        # silently downgrade on log cleanup)
+        {
+            "protocol": {
+                "minReaderVersion": snap.protocol.get("minReaderVersion", 1),
+                "minWriterVersion": snap.protocol.get("minWriterVersion", 2),
+                "readerFeatures": snap.protocol.get("readerFeatures"),
+                "writerFeatures": snap.protocol.get("writerFeatures"),
+            }
+        },
         {
             "metaData": {
                 "id": snap.metadata_id,
                 "format": {"provider": "parquet", "options": []},
                 "schemaString": snap.schema.json(),
                 "partitionColumns": snap.partition_columns,
-                "configuration": [],
+                "configuration": list(snap.configuration.items()),
                 "createdTime": None,
             }
         },
@@ -1958,6 +2146,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         snap = snapshot(self._path)
         self._names = [f.name for f in snap.schema.fields]
         self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
+        #: logical -> physical parquet column (identity unless mapped)
+        self._phys = snap.physical_of
 
     def initialOffset(self):
         if str(self._starting).lower() == "latest":
@@ -2009,13 +2199,22 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.abs_path)
         cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
-        pvals = {
-            c: _cast_partition_literal(v, self._ptypes[c])
-            for c, v in partition.partition_values.items()
-        }
+        # add-action partitionValues key by PHYSICAL name on mapped tables
+        pvals = {}
+        for c in self._names:
+            phys = self._phys.get(c, c)
+            if phys in partition.partition_values:
+                pvals[c] = _cast_partition_literal(
+                    partition.partition_values[phys], self._ptypes[c]
+                )
+            elif c in partition.partition_values:
+                pvals[c] = _cast_partition_literal(
+                    partition.partition_values[c], self._ptypes[c]
+                )
         for i in range(tbl.num_rows):
             yield tuple(
-                pvals[c] if c in pvals else cols[c][i] for c in self._names
+                pvals[c] if c in pvals else cols[self._phys.get(c, c)][i]
+                for c in self._names
             )
 
     def commit(self, end) -> None:

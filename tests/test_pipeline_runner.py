@@ -398,3 +398,53 @@ jobs:
     from spark_etl_framework_spark.sources.iceberg import read_iceberg
 
     assert read_iceberg(spark, str(tbl)).filter("n_regionkey = 0").count() == 0
+
+
+def test_delta_column_mapping_ddl_pipeline(spark, sf_dir, tmp_path):
+    """Column-mapping DDL as YAML actors (round 9): create MAPPED via
+    delta-writer columnMapping=name, metadata-only renameColumn +
+    dropColumn through delta-dml, read back under the final schema."""
+    tbl = tmp_path / "nation_cm"
+    ypath = tmp_path / "cm.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write
+        actor:
+          type: delta-writer
+          properties:
+            view: nation
+            path: "{tbl}"
+            mode: overwrite
+            columnMapping: name
+        input-views: [nation]
+      - name: ren
+        actor:
+          type: delta-dml
+          properties:
+            op: renameColumn
+            path: "{tbl}"
+            oldColumn: n_name
+            newColumn: nation_label
+      - name: drop
+        actor:
+          type: delta-dml
+          properties: {{op: dropColumn, path: "{tbl}", column: n_regionkey}}
+""")
+    run_pipeline_file(spark, str(ypath))
+    from spark_etl_framework_spark.sources.deltalog import read_delta, snapshot
+
+    snap = snapshot(str(tbl))
+    assert snap.column_mapping_mode == "name"
+    out = read_delta(spark, str(tbl))
+    assert out.columns == ["n_nationkey", "nation_label"]
+    assert out.count() == 25
