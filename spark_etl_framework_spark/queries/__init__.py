@@ -176,8 +176,9 @@ def _load_all() -> None:
 #:
 #: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
 #: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
-#: flatfile_positional_roundtrip (displaced by the round-9
-#: delta_column_mapping_rename registration), then the r3
+#: flatfile_positional_roundtrip and histogram_price_buckets (displaced
+#: by the round-9 delta_column_mapping_rename /
+#: iceberg_hidden_partitioning registrations), then the r3
 #: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
 #: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
 #: then r4-vintage etl_/corpus_ rows by age.
@@ -204,6 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-9 registrations (windowed at registration — freeze policy)
     "kafka_zstd_roundtrip",
     "delta_column_mapping_rename",
+    "iceberg_hidden_partitioning",
     # r2-vintage refresh (r8 TODO), oracle-expressible rows
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -235,7 +237,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_lsh_verified_pairs",
     "scalar_math_funcs",
-    "histogram_price_buckets",
 )
 
 

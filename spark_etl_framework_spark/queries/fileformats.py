@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.context import JobContext, PipelineContext
-from . import register
+from . import dsum, register
 
 #: fixed-width layout: key(4) name(20) regionkey(4) → 28 chars + newline
 _WIDTH = 28
@@ -1310,6 +1310,74 @@ def iceberg_write_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey")).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
+    "iceberg_hidden_partitioning",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= '1997-01-01'
+    GROUP BY order_year
+    """,
+)
+def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING end to end (round 9,
+    iceberg.apache.org/spec/#partition-transforms): orders commits as an
+    iceberg table partitioned by ``bucket(4, o_custkey)`` +
+    ``year(o_orderdate)`` — the partition tuple stores DERIVED values
+    (murmur3 bucket per the spec's Appendix-B hash, years since 1970),
+    the source columns stay in the data files, and the spec JSON carries
+    the transform forms. The read then filters on the SOURCE column
+    ``o_orderdate`` alone — never mentioning a partition field — and the
+    scan planner must prune year-partitions through the order-preserving
+    transform (the query hard-asserts the planned file list shrank; at
+    100 TB this pruning IS the feature: a time-ranged query reads only
+    its years no matter how the user phrases it). The reference reaches
+    transforms through the iceberg-spark runtime DDL
+    (etl/sink/IcebergWriter.scala:42-50)."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        _live_files,
+        _pick_snapshot,
+        load_metadata,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    loc = tempfile.mkdtemp(prefix="ice_hidden_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        # vanilla sessions read this parquet as TIMESTAMP_NTZ; the
+        # iceberg schema map covers instant timestamps — normalize
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    write_iceberg(
+        orders, loc, mode="overwrite",
+        partition_by=["bucket(4, o_custkey)", "year(o_orderdate)"],
+    )
+    meta = load_metadata(loc)
+    total = len(_live_files(meta, _pick_snapshot(meta)))
+    out = read_iceberg(spark, loc, where="o_orderdate >= '1997-01-01'")
+    planned = len(out.inputFiles())
+    if not planned < total:  # pruning contract — fail loudly, not quietly
+        raise AssertionError(
+            f"hidden-partition pruning planned {planned}/{total} files"
+        )
+    return out.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
     )
 
 

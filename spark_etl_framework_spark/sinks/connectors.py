@@ -170,14 +170,39 @@ class IcebergWriter(Actor):
     tablePartitionedBy: str | None = None
     view: str | None = None
 
+    @staticmethod
+    def _split_spec(s: str) -> list[str]:
+        """Split on commas OUTSIDE parens — ``tablePartitionedBy`` may
+        carry transform expressions like ``bucket(4, id), day(ts)``
+        (round 9 hidden partitioning)."""
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
+        return out
+
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.view or not self.table:
             raise ValueError("IcebergWriter: view and table required")
         df = spark.table(self.view)
         ctx.reference(self.view)
-        cols = [c.strip() for c in (self.tablePartitionedBy or "").split(",") if c.strip()]
+        cols = self._split_spec(self.tablePartitionedBy or "")
         if cols:
-            df = df.sortWithinPartitions(*cols)
+            # sort by the SOURCE columns (a transform entry's sort key is
+            # its source — transform results cluster with it)
+            from ..sources.icetransforms import parse_partition_spec
+
+            sort_cols = [e["source"] for e in parse_partition_spec(cols)]
+            df = df.sortWithinPartitions(*sort_cols)
         try:
             df.write.format("iceberg").mode(self.mode).save(self.table)
         except Exception as e:  # noqa: BLE001

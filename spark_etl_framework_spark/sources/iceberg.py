@@ -41,6 +41,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -170,9 +171,42 @@ def _publish_metadata(loc: str, version: int, meta: dict) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _spec_entries(meta: dict) -> list[dict]:
+    """Normalize ``meta["partition-spec"]`` into runtime entries with
+    keys ``source`` (column name), ``transform``, ``name``, ``param``
+    (N/W for bucket/truncate), ``result_dt`` (Spark type of the
+    partition VALUE). Handles both pre-round-9 identity-only specs and
+    transformed specs (hidden partitioning)."""
+    from .icetransforms import result_type
+
+    id_to_name = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    schema = iceberg_to_spark_schema(meta["schema"])
+    out = []
+    for f in meta.get("partition-spec", []):
+        t = f.get("transform", "identity")
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", t)
+        param = int(m.group(2)) if m else None
+        source = id_to_name.get(f.get("source-id"), f["name"])
+        entry = {
+            "source": source,
+            "transform": t,
+            "name": f["name"],
+            "param": param,
+        }
+        entry["result_dt"] = result_type(entry, schema[source].dataType)
+        out.append(entry)
+    return out
+
+
+def _identity_names(entries: list[dict]) -> list[str]:
+    return [e["name"] for e in entries if e["transform"] == "identity"]
+
+
 def _partition_avro_fields(
-    schema: T.StructType, partition_cols: list[str]
+    schema: T.StructType, entries: list[dict]
 ) -> list[dict]:
+    """Partition-tuple avro fields, typed by the transform RESULT (a
+    bucket/temporal value is int regardless of the source type)."""
     amap = {
         T.IntegerType: "int",
         T.LongType: "long",
@@ -180,18 +214,22 @@ def _partition_avro_fields(
         T.DateType: "int",  # days since epoch per spec
     }
     fields = []
-    for i, c in enumerate(partition_cols):
-        dt = schema[c].dataType
+    for i, e in enumerate(entries):
+        dt = e.get("result_dt")
+        if dt is None:
+            from .icetransforms import result_type
+
+            dt = result_type(e, schema[e["source"]].dataType)
         try:
             at = amap[type(dt)]
         except KeyError:
             raise ValueError(
-                "iceberg identity partitioning supports int/long/string/date "
-                f"columns; {c} is {dt.simpleString()}"
+                "iceberg partition values support int/long/string/date "
+                f"results; {e['name']} is {dt.simpleString()}"
             ) from None
         fields.append(
             {
-                "name": c,
+                "name": e["name"],
                 "type": ["null", at],
                 "default": None,
                 "field-id": 1000 + i,
@@ -480,24 +518,49 @@ def _stage_data_entries(
     df: DataFrame,
     loc: str,
     schema: T.StructType,
-    partition_by: list[str],
+    spec: list[dict],
     snapshot_id: int,
 ) -> list[dict]:
     """Stage ``df`` with Spark's distributed writer, move the parquet
     files under ``data/`` with fresh uuid names, return their ADDED
-    manifest entries (typed identity-partition tuples from the hive
-    staging dirs)."""
+    manifest entries (typed partition tuples from the hive staging
+    dirs).
+
+    HIDDEN PARTITIONING (round 9): identity entries partition by the
+    source column (excluded from the data files, reattached on read —
+    this engine's layout since round 7); TRANSFORMED entries
+    (bucket/truncate/year/month/day/hour) compute the transform
+    executor-side (sources/icetransforms.py — numpy murmur3 for bucket,
+    JVM built-ins otherwise), partition the staging write by the RESULT
+    column, and keep the SOURCE column in the data files, exactly the
+    spec's model: the partition tuple stores derived values, queries
+    never reference them directly."""
+    from .icetransforms import transform_column
+
     staging = tempfile.mkdtemp(prefix="icestage_")
     entries: list[dict] = []
+    identity_cols = _identity_names(spec)
+    transformed = [e for e in spec if e["transform"] != "identity"]
+    stage_by = identity_cols + [e["name"] for e in transformed]
+    for e in transformed:
+        df = df.withColumn(
+            e["name"], transform_column(e, schema[e["source"]].dataType)
+        )
+    result_dts = {
+        e["name"]: e.get("result_dt", schema[e["source"]].dataType)
+        for e in spec
+    }
+    for c in identity_cols:
+        result_dts[c] = schema[c].dataType
     ice = spark_to_iceberg_schema(
-        T.StructType([f for f in schema.fields if f.name not in partition_by])
+        T.StructType([f for f in schema.fields if f.name not in identity_cols])
     )
     field_ids = {f["name"]: f["id"] for f in ice["fields"]}
     ice_types = {f["name"]: f["type"] for f in ice["fields"]}
     try:
         w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if stage_by:
+            w = w.partitionBy(*stage_by)
         w.parquet(staging)
         import pyarrow.parquet as pq
 
@@ -533,10 +596,11 @@ def _stage_data_entries(
                             "file_path": dst,
                             "file_format": "PARQUET",
                             "partition": {
-                                c: _partition_to_avro(
-                                    pvals.get(c), schema[c].dataType
+                                e["name"]: _partition_to_avro(
+                                    pvals.get(e["name"]),
+                                    result_dts[e["name"]],
                                 )
-                                for c in partition_by
+                                for e in spec
                             },
                             "record_count": n_rows,
                             "file_size_in_bytes": os.path.getsize(dst),
@@ -569,20 +633,34 @@ def write_iceberg(
     SCHEMA ENFORCEMENT: mismatched columns reject; ``merge_schema=True``
     evolves instead — new columns join the schema with FRESH field ids
     (``last-column-id`` advances; ids are never reused — the spec's
-    evolution rule), old files read the new column as null."""
+    evolution rule), old files read the new column as null.
+
+    HIDDEN PARTITIONING (round 9): ``partition_by`` entries may be
+    transform expressions — ``"bucket(16, id)"``, ``"truncate(8, s)"``,
+    ``"year(ts)"/"month(ts)"/"day(ts)"/"hour(ts)"`` — alongside bare
+    identity columns. The partition tuple stores the DERIVED values
+    (iceberg.apache.org/spec/#partition-transforms) and reads prune on
+    source-column predicates through the transforms
+    (sources/icetransforms.py), the scan-planning behavior that makes
+    iceberg partitioning "hidden"."""
+    from .icetransforms import parse_partition_spec, result_type
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_iceberg: unsupported mode {mode!r}")
-    partition_by = list(partition_by or [])
+    requested = parse_partition_spec(list(partition_by or []))
     v = current_version(loc)
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
 
     if v > 0:
         meta = load_metadata(loc)
-        prev_cols = [f["name"] for f in meta["partition-spec"]]
-        if prev_cols != partition_by:
+        prev = [
+            (e["name"], e["transform"]) for e in _spec_entries(meta)
+        ]
+        req = [(e["name"], e["transform"]) for e in requested]
+        if prev != req:
             raise ValueError(
-                f"partition columns {partition_by} != table's {prev_cols}"
+                f"partition spec {req} != table's {prev}"
             )
         schema = iceberg_to_spark_schema(meta["schema"])
         table_types = {f.name: f.dataType for f in schema.fields}
@@ -621,20 +699,30 @@ def write_iceberg(
         meta = None
         schema = df.schema
 
-    entries = _stage_data_entries(df, loc, schema, partition_by, snapshot_id)
+    # resolve the requested spec against the (possibly evolved) schema
+    spec_entries = []
+    for e in requested:
+        if e["source"] not in [f.name for f in schema.fields]:
+            raise ValueError(
+                f"partition transform source {e['source']!r} not in schema"
+            )
+        e = dict(e, result_dt=result_type(e, schema[e["source"]].dataType))
+        spec_entries.append(e)
+
+    entries = _stage_data_entries(df, loc, schema, spec_entries, snapshot_id)
 
     # ---- one manifest for this commit
     os.makedirs(_meta_dir(loc), exist_ok=True)
-    pfields = _partition_avro_fields(schema, partition_by)
+    pfields = _partition_avro_fields(schema, spec_entries)
     manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
     ice_schema = meta["schema"] if meta else spark_to_iceberg_schema(schema)
     field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     partition_spec = [
         # source-id is the SOURCE COLUMN's schema field id (spec), not
         # the position within the partition list
-        {"name": c, "transform": "identity", "source-id": field_ids[c],
-         "field-id": 1000 + i}
-        for i, c in enumerate(partition_by)
+        {"name": e["name"], "transform": e["transform"],
+         "source-id": field_ids[e["source"]], "field-id": 1000 + i}
+        for i, e in enumerate(spec_entries)
     ]
     write_ocf(
         manifest_path,
@@ -830,7 +918,9 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
     if not files:
         return None, None
     schema = iceberg_to_spark_schema(meta["schema"])
-    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
+    # only IDENTITY partition values reattach as data columns; transformed
+    # entries (bucket/day/...) are derived metadata, never output columns
+    partition_cols = _identity_names(_spec_entries(meta))
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in partition_cols]
     )
@@ -923,8 +1013,7 @@ def _commit_row_delta(
     )
     if data_entries:
         pfields = _partition_avro_fields(
-            iceberg_to_spark_schema(meta["schema"]),
-            [f["name"] for f in meta.get("partition-spec", [])],
+            iceberg_to_spark_schema(meta["schema"]), _spec_entries(meta)
         )
         data_manifest = os.path.join(
             _meta_dir(loc), f"{uuid.uuid4().hex}-m1.avro"
@@ -1082,9 +1171,8 @@ def update_where(
             for f in schema.fields
         ]
     )
-    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
     data_entries = _stage_data_entries(
-        updated, loc, schema, partition_cols, snapshot_id
+        updated, loc, schema, _spec_entries(meta), snapshot_id
     )
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
@@ -1171,9 +1259,8 @@ def merge_upsert(
         shutil.rmtree(staging, ignore_errors=True)
     if not delete_entries:
         return None
-    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
     data_entries = _stage_data_entries(
-        src, loc, schema, partition_cols, snapshot_id
+        src, loc, schema, _spec_entries(meta), snapshot_id
     )
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
@@ -1202,14 +1289,14 @@ def rewrite_data_files(spark: SparkSession, loc: str) -> int | None:
     live = df.select(*[F.col(f.name) for f in schema.fields])
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
-    partition_cols = [f["name"] for f in meta.get("partition-spec", [])]
+    spec = _spec_entries(meta)
     data_entries = _stage_data_entries(
-        live, loc, schema, partition_cols, snapshot_id
+        live, loc, schema, spec, snapshot_id
     )
     if meta.get("format-version", 1) != 2:
         meta = _upgrade_meta_v2(meta)
     new_seq = meta.get("last-sequence-number", 0) + 1
-    pfields = _partition_avro_fields(schema, partition_cols)
+    pfields = _partition_avro_fields(schema, spec)
     manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
         manifest_path,
@@ -1330,17 +1417,35 @@ def _pick_snapshot(
 
 def _prune_files_by_bounds(files: list[dict], meta: dict, where: str):
     """FILE skipping against manifest column bounds (spec fields
-    125/128) and identity partition values: simple ``col op literal``
-    AND-chains drop files whose bounds PROVE no row matches; anything
-    unparseable keeps every file (always correct). Mirrors the delta
-    data-skipping path (deltalog.py)."""
+    125/128) and partition values: simple ``col op literal`` AND-chains
+    drop files whose bounds PROVE no row matches; anything unparseable
+    keeps every file (always correct). Mirrors the delta data-skipping
+    path (deltalog.py).
+
+    HIDDEN-PARTITIONING pruning (round 9): a predicate on the SOURCE
+    column of a transformed partition field maps through the transform —
+    ``ts >= X`` prunes on ``ts_day >= day(X)`` because the temporal and
+    truncate transforms are ORDER-PRESERVING (v1<=v2 ⟹ t(v1)<=t(v2),
+    so every row of a file with t(v) < t(X) has v < X ... not quite: it
+    proves t(v) <= t(X)-1 < t(X) hence v < X only through monotonicity's
+    contrapositive — v >= X would force t(v) >= t(X)); bucket is not
+    order-preserving, so only equality prunes (file bucket != bucket(X)
+    ⟹ no row equals X). This is the spec's scan-planning rule and the
+    reason iceberg queries never need to mention partition columns."""
     from .deltalog import _parse_skippable
+    from .icetransforms import is_order_preserving, transform_literal
 
     conjuncts = _parse_skippable(where)
     if not conjuncts:
         return files
     ids_to_type = {f["id"]: f["type"] for f in meta["schema"]["fields"]}
     name_to_id = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    schema = iceberg_to_spark_schema(meta["schema"])
+    #: transformed spec entries indexed by SOURCE column
+    by_source: dict[str, list[dict]] = {}
+    for e in _spec_entries(meta):
+        if e["transform"] != "identity":
+            by_source.setdefault(e["source"], []).append(e)
 
     def survives(f: dict) -> bool:
         lower = {e["key"]: e["value"] for e in (f.get("lower_bounds") or [])}
@@ -1354,20 +1459,56 @@ def _prune_files_by_bounds(files: list[dict], meta: dict, where: str):
                 hi = _decode_bound(upper[fid], ids_to_type[fid])
             elif col in pvals and pvals[col] is not None:
                 lo = hi = pvals[col]  # identity partition: exact value
-            if lo is None or hi is None:
-                continue
-            if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
-                continue
-            if op == "=" and not (lo <= val <= hi):
-                return False
-            if op == "<" and not (lo < val):
-                return False
-            if op == "<=" and not (lo <= val):
-                return False
-            if op == ">" and not (hi > val):
-                return False
-            if op == ">=" and not (hi >= val):
-                return False
+            bval = val
+            if isinstance(lo, (_dt.date, _dt.datetime)) and isinstance(val, str):
+                # date/timestamp bounds vs a string literal: parse the
+                # literal (ISO, the only form the skippable parser emits);
+                # unparseable → no bounds pruning for this conjunct
+                try:
+                    bval = (
+                        _dt.date.fromisoformat(val)
+                        if isinstance(lo, _dt.date)
+                        and not isinstance(lo, _dt.datetime)
+                        else _dt.datetime.fromisoformat(val)
+                    )
+                except ValueError:
+                    lo = hi = None
+            if lo is not None and hi is not None and (
+                isinstance(bval, (int, float)) == isinstance(lo, (int, float))
+                and not (isinstance(bval, str) != isinstance(lo, str))
+            ):
+                if op == "=" and not (lo <= bval <= hi):
+                    return False
+                if op == "<" and not (lo < bval):
+                    return False
+                if op == "<=" and not (lo <= bval):
+                    return False
+                if op == ">" and not (hi > bval):
+                    return False
+                if op == ">=" and not (hi >= bval):
+                    return False
+            # transformed partition values prune on the SOURCE predicate
+            for e in by_source.get(col, ()):
+                pv = pvals.get(e["name"])
+                if pv is None:
+                    continue
+                tv = transform_literal(e, val, schema[col].dataType)
+                if tv is None:
+                    continue
+                if not is_order_preserving(e["transform"]):
+                    if op == "=" and pv != tv:
+                        return False
+                    continue
+                if op == "=" and pv != tv:
+                    return False
+                # order-preserving: t monotonic non-decreasing, so
+                # v < val ⟸ ... file-level: all rows have t(v) == pv;
+                # pv > t(val) ⟹ every v > val (kills <, <=, =);
+                # pv < t(val) ⟹ every v < val (kills >, >=, =)
+                if op in ("<", "<=") and pv > tv:
+                    return False
+                if op in (">", ">=") and pv < tv:
+                    return False
         return True
 
     return [f for f in files if survives(f)]
@@ -1394,7 +1535,10 @@ def read_iceberg(
         files = _prune_files_by_bounds(files, meta, where)
     if not files:
         return spark.createDataFrame([], schema)
-    partition_cols = [f["name"] for f in meta["partition-spec"]]
+    # identity values reattach as data columns; TRANSFORMED partition
+    # values (bucket/day/... — hidden partitioning) exist only for the
+    # plan-time pruning above and never surface as output columns
+    partition_cols = _identity_names(_spec_entries(meta))
     paths = [f["file_path"] for f in files]
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in partition_cols]
@@ -1602,7 +1746,9 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         self._skip_overwrite = _flag("streaming-skip-overwrite-snapshots")
         meta = load_metadata(self._loc)
         self._schema = iceberg_to_spark_schema(meta["schema"])
-        self._pcols = [f["name"] for f in meta["partition-spec"]]
+        # only IDENTITY partition values are schema columns; transformed
+        # fields (hidden partitioning) never surface as output columns
+        self._pcols = _identity_names(_spec_entries(meta))
 
     def initialOffset(self):
         return {"pos": 0}
@@ -1657,9 +1803,21 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         ptypes = {f.name: f.dataType for f in self._schema.fields}
         tbl = pq.read_table(partition.path)
         cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        # pyarrow yields tz-NAIVE datetimes for timestamp[us]; Spark's
+        # Python-source serializer calls tz_convert on them and dies —
+        # localize to UTC (parquet timestamps are instant-based)
+        for c, dt_ in ptypes.items():
+            if isinstance(dt_, T.TimestampType) and c in cols:
+                cols[c] = [
+                    v.replace(tzinfo=_dt.timezone.utc)
+                    if v is not None and v.tzinfo is None
+                    else v
+                    for v in cols[c]
+                ]
         pvals = {
             c: _avro_to_partition(v, ptypes[c])
             for c, v in partition.partition_values.items()
+            if c in self._pcols  # identity only — transforms are derived
         }
         for i in range(tbl.num_rows):
             yield tuple(pvals[c] if c in pvals else cols[c][i] for c in names)

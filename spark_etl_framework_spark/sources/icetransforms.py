@@ -1,0 +1,344 @@
+"""Iceberg partition TRANSFORMS (hidden partitioning) — pure Python.
+
+The Iceberg spec (iceberg.apache.org/spec/#partition-transforms) defines
+partitioning as *derived* values: ``bucket[N]`` (Murmur3 hash mod N),
+``truncate[W]``, and the temporal family ``year/month/day/hour`` (periods
+elapsed since 1970-01-01 UTC). Data files keep the source column; the
+partition tuple stores only the transform RESULT — which is why Iceberg
+queries never mention partition columns ("hidden" partitioning) and why
+the planner can prune files from a predicate on the SOURCE column alone.
+
+This module supplies the three pieces the writer/reader need:
+
+- spec parsing: ``"bucket(4, id)"`` / ``"day(ts)"`` / bare ``"grp"``
+  (identity) → typed spec entries with Iceberg's default result naming
+  (``id_bucket``, ``ts_day``, ...);
+- Spark Column expressions evaluating each transform executor-side —
+  temporal + truncate through JVM built-ins (whole-stage codegen),
+  bucket through a VECTORIZED Arrow-batched pandas UDF whose Murmur3 is
+  numpy uint32 arithmetic over the spec's little-endian-long layout (no
+  per-row Python for int/long/date/timestamp; strings hash per-row,
+  unavoidably — variable length);
+- driver-side literal evaluation for plan-time file pruning
+  (bucket: equality only; temporal/truncate: order-preserving, so
+  range predicates map through monotonically).
+
+The Murmur3 here is murmur3_x86_32 seed 0 over Iceberg's single-value
+serialization (ints WIDEN to 8-byte little-endian long — the spec rule
+that makes ``bucket(v int)`` agree with ``bucket(v long)``); verified
+against the hash vectors published in the spec's Appendix B
+(tests/test_iceberg_transforms.py). Spark's own ``F.hash`` is the same
+algorithm but seed 42 with different input layout — NOT interchangeable.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import struct
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# murmur3_x86_32 (scalar reference + numpy-vectorized 8-byte-block variant)
+# ---------------------------------------------------------------------------
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Scalar murmur3_x86_32 → SIGNED int32 (Iceberg's hash contract)."""
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    nblocks = n // 4
+    for i in range(nblocks):
+        (k,) = struct.unpack_from("<I", data, i * 4)
+        k = (k * _C1) & 0xFFFFFFFF
+        k = _rotl32(k, 15)
+        k = (k * _C2) & 0xFFFFFFFF
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[nblocks * 4 :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _C1) & 0xFFFFFFFF
+        k = _rotl32(k, 15)
+        k = (k * _C2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def murmur3_32_long_np(values):
+    """Vectorized murmur3_x86_32(little-endian-8-byte(long)) over a numpy
+    int64 array → signed int32 array. The 8-byte fixed width means
+    exactly two 4-byte block rounds and no tail — fully expressible as
+    numpy uint32 arithmetic, so bucketing a billion-row write is two
+    vector passes, not a Python loop."""
+    import numpy as np
+
+    v = values.astype(np.uint64)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    h = np.zeros(len(v), dtype=np.uint32)  # seed 0
+
+    def mix(h, k):
+        k = (k * np.uint32(_C1)).astype(np.uint32)
+        k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype(np.uint32)
+        k = (k * np.uint32(_C2)).astype(np.uint32)
+        h = h ^ k
+        h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype(np.uint32)
+        return (h * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+
+    h = mix(h, lo)
+    h = mix(h, hi)
+    h = h ^ np.uint32(8)  # length
+    h = h ^ (h >> np.uint32(16))
+    h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h = h ^ (h >> np.uint32(13))
+    h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    h = h ^ (h >> np.uint32(16))
+    return h.astype(np.int32)
+
+
+def _to_hash_long(value, dt: T.DataType) -> int:
+    """Iceberg single-value hash layout for the long-widening types."""
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(value)
+    if isinstance(dt, T.DateType):
+        d = value if isinstance(value, _dt.date) else _dt.date.fromisoformat(str(value))
+        return (d - _EPOCH).days
+    ts_types = (T.TimestampType,) + (
+        (T.TimestampNTZType,) if hasattr(T, "TimestampNTZType") else ()
+    )
+    if isinstance(dt, ts_types):
+        ts = value
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    raise ValueError(f"bucket transform unsupported for {dt.simpleString()}")
+
+
+def bucket_value(value, dt: T.DataType, n: int) -> int | None:
+    """Driver-side bucket of one literal (plan-time pruning)."""
+    if value is None:
+        return None
+    if isinstance(dt, T.StringType):
+        h = murmur3_32(str(value).encode("utf-8"))
+    else:
+        h = murmur3_32(struct.pack("<q", _to_hash_long(value, dt)))
+    return (h & 0x7FFFFFFF) % n
+
+
+# ---------------------------------------------------------------------------
+# spec parsing
+# ---------------------------------------------------------------------------
+
+_SPEC_RE = re.compile(
+    r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+
+def parse_partition_spec(specs: list[str]) -> list[dict]:
+    """``["bucket(4, id)", "day(ts)", "grp"]`` → entries with keys
+    ``source`` (column), ``transform`` (spec string form, e.g.
+    ``bucket[4]``), ``name`` (Iceberg default result naming), ``param``
+    (N/W or None). Bare names are identity — the pre-round-9 surface is
+    a strict subset."""
+    out = []
+    for s in specs:
+        m = _SPEC_RE.match(s)
+        if not m:
+            raise ValueError(f"unparseable partition spec entry: {s!r}")
+        if m.group(1):  # bucket/truncate
+            kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+            out.append(
+                {
+                    "source": col,
+                    "transform": f"{kind}[{param}]",
+                    "name": f"{col}_{'bucket' if kind == 'bucket' else 'trunc'}",
+                    "param": param,
+                }
+            )
+        elif m.group(4):  # temporal
+            kind, col = m.group(4), m.group(5)
+            out.append(
+                {"source": col, "transform": kind, "name": f"{col}_{kind}",
+                 "param": None}
+            )
+        else:  # identity
+            col = m.group(6)
+            out.append(
+                {"source": col, "transform": "identity", "name": col,
+                 "param": None}
+            )
+    return out
+
+
+def result_type(entry: dict, src_dt: T.DataType) -> T.DataType:
+    """Spark type of the transform RESULT (what the partition tuple and
+    hive staging dirs carry)."""
+    t = entry["transform"]
+    if t == "identity":
+        return src_dt
+    if t.startswith("bucket["):
+        return T.IntegerType()
+    if t.startswith("truncate["):
+        return src_dt
+    return T.IntegerType()  # year/month/day/hour
+
+
+def transform_column(entry: dict, src_dt: T.DataType) -> Column:
+    """Spark Column computing the transform executor-side. Temporal and
+    truncate stay in JVM built-ins (codegen); bucket crosses into one
+    Arrow-batched numpy pass."""
+    t = entry["transform"]
+    col = F.col(entry["source"])
+    if t == "identity":
+        return col
+    if t.startswith("truncate["):
+        w = entry["param"]
+        if isinstance(src_dt, T.StringType):
+            return F.substring(col, 1, w)
+        if isinstance(src_dt, (T.IntegerType, T.LongType)):
+            # spec: v - (v % W) with FLOORED modulo (negatives round down)
+            return (col - ((col % w) + w) % w).cast(src_dt)
+        raise ValueError(
+            f"truncate transform unsupported for {src_dt.simpleString()}"
+        )
+    if t == "year":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if t == "month":
+        return ((F.year(col) - 1970) * 12 + F.month(col) - 1).cast("int")
+    if t == "day":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
+    if t == "hour":
+        if isinstance(src_dt, T.DateType):
+            raise ValueError("hour transform needs a timestamp column")
+        return F.floor(F.unix_timestamp(col) / 3600).cast("int")
+    if t.startswith("bucket["):
+        n = entry["param"]
+        if isinstance(src_dt, T.StringType):
+
+            @F.pandas_udf("int")
+            def _bucket_str(s):
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        None
+                        if v is None
+                        else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
+                        for v in s
+                    ],
+                    dtype="Int32",
+                )
+
+            return _bucket_str(col)
+
+        # int/long/date/timestamp: widen to long per the spec, then the
+        # fixed-8-byte numpy murmur path
+        if isinstance(src_dt, T.DateType):
+            as_long = F.datediff(col, F.lit("1970-01-01")).cast("long")
+        elif isinstance(src_dt, T.TimestampType):
+            as_long = (F.unix_micros(col)).cast("long")
+        elif isinstance(src_dt, (T.IntegerType, T.LongType)):
+            as_long = col.cast("long")
+        else:
+            raise ValueError(
+                f"bucket transform unsupported for {src_dt.simpleString()}"
+            )
+
+        @F.pandas_udf("int")
+        def _bucket_long(s):
+            import numpy as np
+            import pandas as pd
+
+            mask = s.isna()
+            vals = s.fillna(0).to_numpy(dtype="int64")
+            out = (murmur3_32_long_np(vals).astype(np.int64) & 0x7FFFFFFF) % n
+            res = pd.Series(out, dtype="Int32", index=s.index)
+            res[mask] = None
+            return res
+
+        return _bucket_long(as_long)
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def transform_literal(entry: dict, value, src_dt: T.DataType):
+    """Driver-side transform of a pruning literal; None = not computable
+    (never prune)."""
+    t = entry["transform"]
+    if value is None:
+        return None
+    try:
+        if t == "identity":
+            return value
+        if t.startswith("bucket["):
+            return bucket_value(value, src_dt, entry["param"])
+        if t.startswith("truncate["):
+            w = entry["param"]
+            if isinstance(value, str):
+                return value[:w]
+            v = int(value)
+            return v - (((v % w) + w) % w)
+        if t in ("year", "month", "day", "hour"):
+            if isinstance(value, str):
+                value = (
+                    _dt.datetime.fromisoformat(value)
+                    if ("T" in value or " " in value or t == "hour")
+                    else _dt.date.fromisoformat(value)
+                )
+            if isinstance(value, _dt.datetime):
+                d, ts = value.date(), value
+            else:
+                d, ts = value, _dt.datetime(value.year, value.month, value.day)
+            if t == "year":
+                return d.year - 1970
+            if t == "month":
+                return (d.year - 1970) * 12 + d.month - 1
+            if t == "day":
+                return (d - _EPOCH).days
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            return int(ts.timestamp() // 3600)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+#: transforms where v1 <= v2 implies t(v1) <= t(v2) — range predicates on
+#: the SOURCE column map through to the partition value (spec: these are
+#: the "order-preserving" transforms; bucket is NOT one)
+ORDER_PRESERVING = ("identity", "truncate[", "year", "month", "day", "hour")
+
+
+def is_order_preserving(transform: str) -> bool:
+    return transform == "identity" or any(
+        transform.startswith(p) for p in ORDER_PRESERVING[1:]
+    ) or transform.startswith("truncate[")

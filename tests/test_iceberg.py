@@ -175,7 +175,7 @@ def test_concurrent_metadata_publish_conflicts(spark, loc):
 def test_partition_mismatch_and_bad_mode_rejected(spark, loc):
     ice.write_iceberg(_mk(spark, [(1, "a", 0)]).coalesce(1), loc,
                       partition_by=["grp"])
-    with pytest.raises(ValueError, match="partition columns"):
+    with pytest.raises(ValueError, match="partition spec"):
         ice.write_iceberg(_mk(spark, [(2, "b", 1)]).coalesce(1), loc,
                           mode="append")
     with pytest.raises(ValueError, match="unsupported mode"):
