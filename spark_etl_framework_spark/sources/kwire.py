@@ -292,6 +292,15 @@ def decode_record_batches(data: bytes) -> list[dict]:
         br.i16()  # producerEpoch
         br.i32()  # baseSequence
         n = br.i32()
+        if attributes & 0x20:
+            # CONTROL batch (attribute bit 5): transaction COMMIT/ABORT
+            # markers a transactional producer writes into the log.
+            # Consumers never surface them as data (kafka.apache.org/
+            # protocol §control batches) — a real broker running
+            # transactions sends these inline with ordinary fetches, so
+            # emitting them would hand marker bytes to decode_kafka as
+            # if they were rows.
+            continue
         codec = attributes & 0x07
         if codec:
             # the records section (everything after recordCount) is the

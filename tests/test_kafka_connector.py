@@ -533,3 +533,36 @@ def test_snappy_and_lz4_extension_paths():
               + struct.pack("<I", 0x80000000 | 10) + b"0123456789"
               + struct.pack("<I", 0) + b"\x00\x00\x00\x00")
     assert kc.lz4_decompress(frame2) == b"0123456789"
+
+
+def test_control_batches_are_skipped():
+    """attribute bit 5 = CONTROL batch (transaction COMMIT/ABORT
+    markers): a real broker running transactions interleaves these with
+    data batches in every fetch, and a consumer must never surface them
+    as rows (kafka protocol §record batch / control batches). Build a
+    data + control + data concatenation (CRC-valid, attributes patched
+    before the CRC recompute) and decode: only the data records come
+    back."""
+    d1 = encode_record_batch(0, _recs(2))
+    d2 = encode_record_batch(5, _recs(3))
+
+    # a control batch: same v2 layout, attributes bit 5 set; its record
+    # is a COMMIT marker (key: version i16 + type i16), never data
+    plain = encode_record_batch(2, [{
+        "key": struct.pack(">hh", 0, 1), "value": b"",
+        "timestamp": 1_700_000_000_000,
+    }])
+    header, records_section = plain[:61], plain[61:]
+    crc_region = bytearray(header[21:]) + records_section
+    struct.pack_into(">h", crc_region, 0, 0x20)  # attributes: control
+    ctl = bytearray()
+    ctl += struct.pack(">q", 2)
+    ctl += struct.pack(">i", 4 + 1 + 4 + len(crc_region))
+    ctl += header[12:16]
+    ctl += b"\x02"
+    ctl += struct.pack(">I", crc32c(bytes(crc_region)))
+    ctl += crc_region
+
+    out = decode_record_batches(d1 + bytes(ctl) + d2)
+    assert [r["offset"] for r in out] == [0, 1, 5, 6, 7]
+    assert all(r["value"].startswith(b"v") for r in out)
