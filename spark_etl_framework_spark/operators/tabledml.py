@@ -90,6 +90,7 @@ class DeltaDmlActor(_TableDmlBase):
     oldColumn: str | None = None
     newColumn: str | None = None
     column: str | None = None
+    constraintName: str | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -136,6 +137,23 @@ class DeltaDmlActor(_TableDmlBase):
             if not self.column:
                 raise ValueError("DeltaDmlActor: dropColumn needs column")
             dl.drop_column(loc, self.column)
+            return None
+        if op == "addconstraint":
+            if not self.constraintName or not self.predicate:
+                raise ValueError(
+                    "DeltaDmlActor: addConstraint needs constraintName "
+                    "and predicate"
+                )
+            dl.add_check_constraint(
+                spark, loc, self.constraintName, self.predicate
+            )
+            return None
+        if op == "dropconstraint":
+            if not self.constraintName:
+                raise ValueError(
+                    "DeltaDmlActor: dropConstraint needs constraintName"
+                )
+            dl.drop_check_constraint(loc, self.constraintName)
             return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 

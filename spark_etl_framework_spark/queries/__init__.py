@@ -176,9 +176,10 @@ def _load_all() -> None:
 #:
 #: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
 #: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
-#: flatfile_positional_roundtrip and histogram_price_buckets (displaced
-#: by the round-9 delta_column_mapping_rename /
-#: iceberg_hidden_partitioning registrations), then the r3
+#: flatfile_positional_roundtrip, histogram_price_buckets and
+#: scalar_math_funcs (displaced by the round-9
+#: delta_column_mapping_rename / iceberg_hidden_partitioning /
+#: delta_check_constraints registrations), then the r3
 #: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
 #: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
 #: then r4-vintage etl_/corpus_ rows by age.
@@ -206,6 +207,7 @@ _PRIORITY: tuple[str, ...] = (
     "kafka_zstd_roundtrip",
     "delta_column_mapping_rename",
     "iceberg_hidden_partitioning",
+    "delta_check_constraints",
     # r2-vintage refresh (r8 TODO), oracle-expressible rows
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -236,7 +238,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_minhash_signatures",
     "dedup_lsh_verified_pairs",
-    "scalar_math_funcs",
 )
 
 

@@ -758,6 +758,90 @@ def delta_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_check_constraints",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 5
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end to end (round 9, delta.io PROTOCOL.md
+    §CHECK Constraints): nation commits to delta, ``ALTER TABLE ADD
+    CONSTRAINT key_nonneg CHECK (n_nationkey >= 0)`` scan-validates the
+    existing rows and lands as a ``delta.constraints.*`` property
+    (writer version 3); a VIOLATING append must then fail INSIDE the
+    write job (codegen'd per-row guard, no second scan) without
+    committing — the query hard-asserts both the raise and the
+    unchanged version — and a valid append flows. Read-back aggregates
+    must equal the oracle. The reference enforces row validity only via
+    its SqlDataValidator actor (etl/validate/SqlDataValidator.scala);
+    table-level constraints push the same contract into the storage
+    layer, where EVERY writer obeys it. At 100 TB the enforcement cost
+    is one codegen'd predicate per row inside the write — no extra
+    scan, no shuffle."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import (
+        CheckConstraintViolation,
+        add_check_constraint,
+        latest_version,
+        write_delta,
+    )
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_chk_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(2).createOrReplaceTempView("_delta_chk_full")
+    DeltaWriter(
+        view="_delta_chk_full", path=tbl, mode="overwrite",
+        partitionBy="n_regionkey",
+    ).run(jctx, spark)
+    add_check_constraint(spark, tbl, "key_nonneg", "n_nationkey >= 0")
+    before = latest_version(tbl)
+    bad = spark.createDataFrame(
+        [(-1, "BAD", 0)], "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).select(na.columns)  # exact table column order/types
+    try:
+        write_delta(
+            bad.select(
+                *[F.col(c).cast(t) for c, t in na.dtypes]
+            ),
+            tbl,
+            partition_by=["n_regionkey"],
+        )
+        raise AssertionError("violating append was accepted")
+    except CheckConstraintViolation:
+        pass
+    if latest_version(tbl) != before:  # failed write must commit NOTHING
+        raise AssertionError("violating append left a commit behind")
+    na.filter("n_nationkey < 5").coalesce(1).createOrReplaceTempView(
+        "_delta_chk_slice"
+    )
+    DeltaWriter(
+        view="_delta_chk_slice", path=tbl, mode="append",
+        partitionBy="n_regionkey",
+    ).run(jctx, spark)
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
     "delta_checkpoint_replay",
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

@@ -141,6 +141,19 @@ class Snapshot:
             ]
         )
 
+    @property
+    def check_constraints(self) -> dict[str, str]:
+        """name -> SQL expression from ``delta.constraints.<name>``
+        table properties (PROTOCOL.md §CHECK Constraints, writer
+        version 3): every writer must verify all rows satisfy each
+        expression before committing."""
+        pre = "delta.constraints."
+        return {
+            k[len(pre):]: v
+            for k, v in self.configuration.items()
+            if k.startswith(pre)
+        }
+
     def pv_get(self, partition_values: dict, logical_col: str):
         """Partition value for a logical column: mapped tables key
         add.partitionValues by PHYSICAL name (spec), but tolerate the
@@ -704,11 +717,42 @@ def _file_stats(src: str) -> dict:
     }
 
 
+class CheckConstraintViolation(ValueError):
+    """A row failed a ``delta.constraints.<name>`` expression."""
+
+
+def _with_constraint_guards(df: DataFrame, constraints: dict[str, str]):
+    """Fold CHECK-constraint enforcement INTO the write job — one
+    codegen'd ``assert_true`` per constraint per row, no second scan
+    (the jar's CheckDeltaInvariant does exactly this). Delta semantics:
+    the expression must evaluate to TRUE; FALSE **and NULL** both
+    violate. The guards nest inside the first output column's
+    projection so the staged schema is unchanged."""
+    if not constraints:
+        return df
+    first = df.columns[0]
+    # nested whens with raise_error in the violation branch — NOT a
+    # same-branch when() (Catalyst's SimplifyConditionals would elide
+    # that, silently dropping enforcement) and NOT a side-effecting
+    # condition the optimizer may skip
+    guarded = F.col(first)
+    for name, expr in sorted(constraints.items(), reverse=True):
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        msg = F.concat(
+            F.lit(f"CHECK constraint {name} ({expr}) violated by row "),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+        )
+        guarded = F.when(ok, guarded).otherwise(F.raise_error(msg))
+    dt = df.schema[first].dataType.simpleString()
+    return df.withColumn(first, guarded.cast(dt))
+
+
 def _stage_adds(
     df: DataFrame,
     path: str,
     partition_by: list[str],
     mapping: dict[str, str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> list[dict]:
     """Stage ``df`` with Spark's distributed parquet writer, move the
     files under the table root with fresh uuid names, return their
@@ -720,6 +764,9 @@ def _stage_adds(
     partitionValues/stats physically, per PROTOCOL.md §Column Mapping —
     callers keep working in logical names; this is the write half of the
     physical/logical boundary (:func:`_lineage_scan` is the read half)."""
+    if constraints:
+        # guards apply in LOGICAL names, before any physical renaming
+        df = _with_constraint_guards(df, constraints)
     if mapping:
         df = df.select(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
@@ -730,7 +777,17 @@ def _stage_adds(
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(staging)
+        try:
+            w.parquet(staging)
+        except Exception as e:  # noqa: BLE001
+            s = str(e)
+            if "CHECK constraint" in s:
+                line = next(
+                    (ln for ln in s.split("\n") if "CHECK constraint" in ln),
+                    s[:500],
+                )
+                raise CheckConstraintViolation(line.strip()[:500]) from e
+            raise
 
         adds = []
         now_ms = int(time.time() * 1000)
@@ -912,7 +969,10 @@ def write_delta(
             }
             mapping = {f.name: _physical_name(f) for f in mapped_schema.fields}
 
-    adds = _stage_adds(df, path, partition_by, mapping=mapping)
+    adds = _stage_adds(
+        df, path, partition_by, mapping=mapping,
+        constraints=snap.check_constraints if snap else None,
+    )
 
     version = prev + 1
     op = operation or ("WRITE" if mode == "append" else "OVERWRITE")
@@ -1436,7 +1496,10 @@ def delete_where(
             if os.path.basename(f.path) in affected
         )
         actions.extend(
-            _stage_adds(survivors, path, snap.partition_columns, mapping=mapping)
+            _stage_adds(
+                survivors, path, snap.partition_columns, mapping=mapping,
+                constraints=snap.check_constraints,
+            )
         )
     version = prev + 1
     _publish_commit(path, version, actions)
@@ -1519,7 +1582,10 @@ def update_where(
             for f in snap.schema.fields
         ]
     )
-    adds = _stage_adds(rewritten, path, snap.partition_columns, mapping=mapping)
+    adds = _stage_adds(
+        rewritten, path, snap.partition_columns, mapping=mapping,
+        constraints=snap.check_constraints,
+    )
     ts = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1609,10 +1675,16 @@ def merge_upsert(
             )
             adds.extend(
                 _stage_adds(
-                    survivors, path, snap.partition_columns, mapping=mapping
+                    survivors, path, snap.partition_columns, mapping=mapping,
+                    constraints=snap.check_constraints,
                 )
             )
-    adds.extend(_stage_adds(src, path, snap.partition_columns, mapping=mapping))
+    adds.extend(
+        _stage_adds(
+            src, path, snap.partition_columns, mapping=mapping,
+            constraints=snap.check_constraints,
+        )
+    )
 
     # change data feed: matched target rows are preimages, their source
     # versions postimages, collision-free source rows inserts
@@ -1822,6 +1894,72 @@ def drop_column(path: str, name: str) -> int:
     )
 
 
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) — PROTOCOL.md
+    §CHECK Constraints: the expression lands in table configuration as
+    ``delta.constraints.<name>`` and EVERY subsequent write (append,
+    overwrite, UPDATE, MERGE, rewrites) must verify all rows evaluate it
+    to TRUE — enforcement is one codegen'd assert per row inside the
+    write job, no second scan (:func:`_with_constraint_guards`). Like
+    the jar's ALTER TABLE, the EXISTING rows validate first (one scan,
+    short-circuit on the first violation). The commit upgrades
+    minWriterVersion to >= 3 (the constraint writer version; tables
+    already on table-features (7) list ``checkConstraints`` instead).
+    FALSE and NULL both violate — delta's invariant semantics, stricter
+    than SQL-standard CHECK."""
+    snap = snapshot(path)
+    key = f"delta.constraints.{name}"
+    if key in snap.configuration:
+        raise ValueError(f"constraint {name!r} already exists")
+    ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+    bad = read_delta(spark, path).filter(~ok).limit(1).collect()
+    if bad:
+        raise CheckConstraintViolation(
+            f"cannot ADD CONSTRAINT {name} ({expr}): existing row "
+            f"violates it: {bad[0].asDict()}"
+        )
+    conf = dict(snap.configuration)
+    conf[key] = expr
+    proto = dict(snap.protocol)
+    if proto.get("minWriterVersion", 2) >= 7:
+        wf = set(proto.get("writerFeatures") or [])
+        wf.add("checkConstraints")
+        proto["writerFeatures"] = sorted(wf)
+    elif proto.get("minWriterVersion", 2) < 3:
+        proto["minWriterVersion"] = 3
+    return _commit_metadata_change(
+        path,
+        snap,
+        snap.schema,
+        snap.partition_columns,
+        conf,
+        "ADD CONSTRAINT",
+        {"name": name, "expr": expr},
+        protocol=proto,
+    )
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only removal of the
+    ``delta.constraints.<name>`` property."""
+    snap = snapshot(path)
+    key = f"delta.constraints.{name}"
+    if key not in snap.configuration:
+        raise ValueError(f"no constraint {name!r} on this table")
+    conf = {k: v for k, v in snap.configuration.items() if k != key}
+    return _commit_metadata_change(
+        path,
+        snap,
+        snap.schema,
+        snap.partition_columns,
+        conf,
+        "DROP CONSTRAINT",
+        {"name": name},
+    )
+
+
 def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     """Maintenance rewrite that folds deletion vectors away: every
     DV-carrying file restages WITHOUT its dead rows and recommits clean
@@ -1840,7 +1978,10 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     survivors = _subtract_dvs(spark, df, path, dv_files).select(
         *[F.col(f.name) for f in snap.schema.fields]
     )
-    adds = _stage_adds(survivors, path, snap.partition_columns, mapping=mapping)
+    adds = _stage_adds(
+        survivors, path, snap.partition_columns, mapping=mapping,
+        constraints=snap.check_constraints,
+    )
     for a in adds:
         a["add"]["dataChange"] = False  # logically unchanged rewrite
     ts = int(time.time() * 1000)

@@ -448,3 +448,58 @@ jobs:
     out = read_delta(spark, str(tbl))
     assert out.columns == ["n_nationkey", "nation_label"]
     assert out.count() == 25
+
+
+def test_delta_constraint_ddl_pipeline(spark, sf_dir, tmp_path):
+    """CHECK constraints as YAML actors (round 9): addConstraint guards
+    the table, a later violating write in ANOTHER pipeline fails, and
+    dropConstraint lifts it."""
+    tbl = tmp_path / "nation_chk"
+    ypath = tmp_path / "chk.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write
+        actor:
+          type: delta-writer
+          properties: {{view: nation, path: "{tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: guard
+        actor:
+          type: delta-dml
+          properties:
+            op: addConstraint
+            path: "{tbl}"
+            constraintName: key_nonneg
+            predicate: "n_nationkey >= 0"
+""")
+    run_pipeline_file(spark, str(ypath))
+    from spark_etl_framework_spark.sources.deltalog import (
+        CheckConstraintViolation,
+        drop_check_constraint,
+        snapshot,
+        write_delta,
+    )
+
+    assert snapshot(str(tbl)).check_constraints == {
+        "key_nonneg": "n_nationkey >= 0"
+    }
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet").limit(1)
+    bad = src.withColumn(
+        "n_nationkey",
+        F.lit(-1).cast(dict(src.dtypes)["n_nationkey"]),
+    )
+    with pytest.raises(CheckConstraintViolation):
+        write_delta(bad, str(tbl))
+    drop_check_constraint(str(tbl), "key_nonneg")
