@@ -91,6 +91,7 @@ class DeltaDmlActor(_TableDmlBase):
     newColumn: str | None = None
     column: str | None = None
     constraintName: str | None = None
+    version: int | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -155,6 +156,11 @@ class DeltaDmlActor(_TableDmlBase):
                 )
             dl.drop_check_constraint(loc, self.constraintName)
             return None
+        if op == "restore":
+            if self.version is None:
+                raise ValueError("DeltaDmlActor: restore needs version")
+            dl.restore_table(spark, loc, int(self.version))
+            return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 
 
@@ -165,6 +171,9 @@ class IcebergDmlActor(_TableDmlBase):
     into a view (``metadataTable``: snapshots | history | files)."""
 
     metadataTable: str = "snapshots"
+    snapshotId: int | None = None
+    olderThanMs: int | None = None
+    retainLast: int = 1
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -194,4 +203,19 @@ class IcebergDmlActor(_TableDmlBase):
             if self.view:
                 df.createOrReplaceTempView(self.view)
             return df
+        if op == "rollback":
+            if self.snapshotId is None:
+                raise ValueError("IcebergDmlActor: rollback needs snapshotId")
+            ice.rollback_to_snapshot(loc, int(self.snapshotId))
+            return None
+        if op == "expiresnapshots":
+            ice.expire_snapshots(
+                loc,
+                older_than_ms=(
+                    int(self.olderThanMs) if self.olderThanMs is not None
+                    else None
+                ),
+                retain_last=int(self.retainLast),
+            )
+            return None
         raise ValueError(f"IcebergDmlActor: unknown op {self.op!r}")

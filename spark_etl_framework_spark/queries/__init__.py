@@ -176,10 +176,10 @@ def _load_all() -> None:
 #:
 #: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
 #: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
-#: flatfile_positional_roundtrip, histogram_price_buckets and
-#: scalar_math_funcs (displaced by the round-9
-#: delta_column_mapping_rename / iceberg_hidden_partitioning /
-#: delta_check_constraints registrations), then the r3
+#: flatfile_positional_roundtrip, histogram_price_buckets,
+#: scalar_math_funcs, dedup_simhash_pairs and dedup_lsh_verified_pairs
+#: (displaced by the six round-9 registrations under the freeze
+#: policy), then the r3
 #: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
 #: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
 #: then r4-vintage etl_/corpus_ rows by age.
@@ -208,6 +208,8 @@ _PRIORITY: tuple[str, ...] = (
     "delta_column_mapping_rename",
     "iceberg_hidden_partitioning",
     "delta_check_constraints",
+    "delta_restore_roundtrip",
+    "iceberg_expire_snapshots",
     # r2-vintage refresh (r8 TODO), oracle-expressible rows
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -235,9 +237,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_sum",
     "binary_records_roundtrip",
     "dedup_ngram_jaccard_topk",
-    "dedup_simhash_pairs",
     "dedup_minhash_signatures",
-    "dedup_lsh_verified_pairs",
 )
 
 

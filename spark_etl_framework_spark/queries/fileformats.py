@@ -842,6 +842,126 @@ def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_restore_roundtrip",
+    oracle="""
+    SELECT 'restored' AS state,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'pre_restore', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_regionkey <> 2
+    """,
+)
+def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION AS OF (round 9 — delta's rollback
+    command): nation commits (v0), a DELETE drops region 2 (v1), RESTORE
+    rolls the table back to v0 as a NEW commit (v2) — history is
+    append-only, so the damaged v1 state stays time-travelable and the
+    restore itself is PURE LOG METADATA (remove/re-add actions, zero
+    data file moves at any table size). The query returns the restored
+    state AND the v1 state read via versionAsOf after the restore —
+    both must match the oracle, proving the rollback neither lost rows
+    nor rewrote history. Reference surface: delta-spark's RESTORE
+    (etl/source/DeltaReader.scala time-travel options are the read
+    half)."""
+    import tempfile
+
+    from ..sinks.connectors import DeltaWriter
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import delete_where, restore_table
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_restore_") + "/nation"
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(2).createOrReplaceTempView("_delta_restore_nation")
+    DeltaWriter(
+        view="_delta_restore_nation", path=tbl, mode="overwrite",
+        partitionBy="n_regionkey",
+    ).run(jctx, spark)
+    delete_where(spark, tbl, "n_regionkey = 2")  # v1: the damage
+    restore_table(spark, tbl, 0)                 # v2: the rollback
+    restored = DeltaReader(path=tbl).run(jctx, spark).select(
+        F.lit("restored").alias("state"),
+        F.col("n_nationkey").cast("bigint").alias("k"),
+    )
+    pre = DeltaReader(path=tbl)
+    pre._props["options.versionAsOf"] = "1"
+    pre_df = pre.run(jctx, spark).select(
+        F.lit("pre_restore").alias("state"),
+        F.col("n_nationkey").cast("bigint").alias("k"),
+    )
+    return restored.unionByName(pre_df).groupBy("state").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+    )
+
+
+@register(
+    "iceberg_expire_snapshots",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_nationkey >= 10
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expire_snapshots maintenance (round 9 — the spec's
+    snapshot-retention procedure, delta-VACUUM's iceberg counterpart):
+    nation commits (s0), appends (s1), then an OVERWRITE (s2) orphans
+    the earlier data; expiry retains only the current snapshot, deletes
+    every manifest-list/manifest/data file no survivor references — the
+    query HARD-ASSERTS snapshots and physical parquet files were
+    actually reclaimed — and the surviving snapshot must still read
+    exactly. Driver-side metadata walks + one os.remove per orphan; at
+    100 TB this is what keeps the metadata dir O(live files), not
+    O(history)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from ..sources.iceberg import (
+        expire_snapshots,
+        load_metadata,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    loc = tempfile.mkdtemp(prefix="ice_expire_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg(na.filter("n_nationkey < 5").coalesce(1), loc,
+                  mode="overwrite", partition_by=["n_regionkey"])
+    write_iceberg(na.filter("n_nationkey BETWEEN 5 AND 9").coalesce(1), loc,
+                  mode="append", partition_by=["n_regionkey"])
+    write_iceberg(na.filter("n_nationkey >= 10").coalesce(1), loc,
+                  mode="overwrite", partition_by=["n_regionkey"])
+    n_before = len(_glob.glob(
+        _os.path.join(loc, "data", "**", "*.parquet"), recursive=True
+    ))
+    out = expire_snapshots(loc, retain_last=1)
+    n_after = len(_glob.glob(
+        _os.path.join(loc, "data", "**", "*.parquet"), recursive=True
+    ))
+    if not (out["snapshots"] == 2 and out["files"] > 0 and n_after < n_before):
+        raise AssertionError(
+            f"expiry reclaimed nothing: {out}, files {n_before}->{n_after}"
+        )
+    if len(load_metadata(loc)["snapshots"]) != 1:
+        raise AssertionError("expired snapshots still in metadata")
+    return read_iceberg(spark, loc).groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
     "delta_checkpoint_replay",
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

@@ -1960,6 +1960,100 @@ def drop_check_constraint(path: str, name: str) -> int:
     )
 
 
+def restore_table(
+    spark: SparkSession, path: str, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the CURRENT state back
+    to an earlier version as a NEW commit (delta's RESTORE command: the
+    history is append-only, so a rollback is itself a version — time
+    travel to the bad versions keeps working until VACUUM ages them
+    out). The commit removes files live now but not then, re-adds files
+    live then but not now (with their original stats/DV descriptors),
+    and restates the old metaData when schema or configuration changed
+    (a restore across a RENAME COLUMN restores the old names). Purely
+    log metadata — zero data file moves at any table size. Returns the
+    new version."""
+    cur = snapshot(path)
+    old = snapshot(path, version)
+    cur_by_path = {f.path: f for f in cur.files}
+    old_by_path = {f.path: f for f in old.files}
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    if (
+        old.schema != cur.schema
+        or old.partition_columns != cur.partition_columns
+        or old.configuration != cur.configuration
+    ):
+        actions.append(
+            {
+                "metaData": {
+                    "id": cur.metadata_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": old.schema.json(),
+                    "partitionColumns": old.partition_columns,
+                    "configuration": old.configuration,
+                }
+            }
+        )
+    actions.extend(
+        {
+            "remove": {
+                "path": _quote_path(p),
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(cur_by_path.keys() - old_by_path.keys())
+    )
+    for p in sorted(old_by_path.keys() - cur_by_path.keys()):
+        f = old_by_path[p]
+        if not os.path.exists(os.path.join(path, f.path)):
+            raise ValueError(
+                f"RESTORE to version {version} needs {f.path}, which "
+                "VACUUM already deleted — restore inside the retention "
+                "window"
+            )
+        add = {
+            "path": _quote_path(f.path),
+            "partitionValues": dict(f.partition_values),
+            "size": f.size,
+            "modificationTime": f.modification_time,
+            "dataChange": True,
+            "stats": f.stats,
+        }
+        if f.deletion_vector:
+            add["deletionVector"] = dict(f.deletion_vector)
+        actions.append({"add": add})
+    # files live in BOTH versions but with different DV state must
+    # re-add with the OLD descriptor (a later DV delete rolls back too)
+    for p in sorted(cur_by_path.keys() & old_by_path.keys()):
+        fo, fc = old_by_path[p], cur_by_path[p]
+        if fo.deletion_vector != fc.deletion_vector:
+            add = {
+                "path": _quote_path(fo.path),
+                "partitionValues": dict(fo.partition_values),
+                "size": fo.size,
+                "modificationTime": fo.modification_time,
+                "dataChange": True,
+                "stats": fo.stats,
+            }
+            if fo.deletion_vector:
+                add["deletionVector"] = dict(fo.deletion_vector)
+            actions.append({"add": add})
+    new_version = latest_version(path) + 1
+    _publish_commit(path, new_version, actions)
+    return new_version
+
+
 def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     """Maintenance rewrite that folds deletion vectors away: every
     DV-carrying file restages WITHOUT its dead rows and recommits clean

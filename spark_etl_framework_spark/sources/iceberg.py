@@ -1643,6 +1643,97 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict])
     return df
 
 
+def rollback_to_snapshot(loc: str, snapshot_id: int) -> int:
+    """Roll the table's CURRENT pointer back to an existing snapshot —
+    iceberg's ``rollback_to_snapshot`` procedure: metadata-only (the
+    snapshot list keeps every state, so current-snapshot-id just moves),
+    zero file operations at any table size. The rolled-past snapshots
+    stay readable by id until :func:`expire_snapshots` ages them out.
+    Returns the new metadata version."""
+    meta = load_metadata(loc)
+    if not any(s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])):
+        raise ValueError(f"rollback: snapshot {snapshot_id} not in the table")
+    meta = dict(meta)
+    now_ms = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    v = current_version(loc) + 1
+    _publish_metadata(loc, v, meta)
+    return v
+
+
+def expire_snapshots(
+    loc: str,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+) -> dict:
+    """``expire_snapshots`` maintenance (the spec's snapshot-retention
+    procedure): drop snapshots older than ``older_than_ms`` while always
+    retaining the current snapshot and the ``retain_last`` most recent,
+    then DELETE every manifest-list, manifest, data and delete file no
+    surviving snapshot references — the disk-reclaim half of table
+    maintenance (delta's VACUUM counterpart; time travel beyond the
+    retention dies with the files, the documented trade). All decisions
+    are driver-side metadata walks over manifest lists; file deletion is
+    one os.remove per orphan. Returns counts:
+    ``{"snapshots": n, "files": n}``."""
+    meta = load_metadata(loc)
+    snaps = list(meta.get("snapshots", []))
+    if not snaps:
+        return {"snapshots": 0, "files": 0}
+    current_id = meta.get("current-snapshot-id")
+    by_ts = sorted(snaps, key=lambda s: s["timestamp-ms"], reverse=True)
+    keep_ids = {s["snapshot-id"] for s in by_ts[: max(retain_last, 1)]}
+    keep_ids.add(current_id)
+    kept, expired = [], []
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids or (
+            older_than_ms is not None and s["timestamp-ms"] >= older_than_ms
+        ):
+            kept.append(s)
+        else:
+            expired.append(s)
+    if not expired:
+        return {"snapshots": 0, "files": 0}
+
+    def _referenced(snapshot_set) -> set[str]:
+        refs: set[str] = set()
+        for s in snapshot_set:
+            ml = s["manifest-list"]
+            refs.add(os.path.abspath(ml))
+            _s, _m, manifests = read_ocf(ml)
+            for mf in manifests:
+                refs.add(os.path.abspath(mf["manifest_path"]))
+                _es, _em, entries = read_ocf(mf["manifest_path"])
+                for e in entries:
+                    if e["status"] != 2:
+                        refs.add(os.path.abspath(e["data_file"]["file_path"]))
+        return refs
+
+    live = _referenced(kept)
+    dead = _referenced(expired) - live
+    n_files = 0
+    for p in sorted(dead):
+        try:
+            os.remove(p)
+            n_files += 1
+        except OSError:
+            pass
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    kept_ids = {s["snapshot-id"] for s in kept}
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in kept_ids
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return {"snapshots": len(expired), "files": n_files}
+
+
 def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
     """Metadata tables — the jar's ``SELECT * FROM tbl.snapshots /
     .history / .files`` surface, driver-side metadata only:

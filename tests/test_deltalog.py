@@ -584,3 +584,61 @@ def test_data_skipping_never_loses_rows_randomized(spark, tbl):
         expect = sorted(r.id for r in full.filter(p).collect())
         got = sorted(r.id for r in dl.read_delta(spark, tbl, where=p).collect())
         assert got == expect, f"prune lost/invented rows for {p!r}"
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, tbl):
+    df = _mk(spark, [(i, f"n{i}", i % 3) for i in range(12)])
+    dl.write_delta(df.coalesce(1), tbl, mode="overwrite", partition_by=["grp"])
+    dl.delete_where(spark, tbl, "id < 4")                     # v1
+    dl.write_delta(_mk(spark, [(99, "x", 0)]).coalesce(1), tbl,
+                   partition_by=["grp"])                      # v2
+    assert dl.read_delta(spark, tbl).count() == 9
+    v = dl.restore_table(spark, tbl, 0)
+    assert v == 3  # history is append-only: the rollback IS a commit
+    out = dl.read_delta(spark, tbl)
+    assert sorted(r.id for r in out.collect()) == list(range(12))
+    # the bad states stay time-travelable until vacuum
+    assert dl.read_delta(spark, tbl, version_as_of=2).count() == 9
+    # restore forward again works too (v2 state)
+    dl.restore_table(spark, tbl, 2)
+    assert sorted(r.id for r in dl.read_delta(spark, tbl).collect()) == [
+        4, 5, 6, 7, 8, 9, 10, 11, 99,
+    ]
+    ops = [r.operation for r in dl.table_history(spark, tbl).collect()]
+    assert ops.count("RESTORE") == 2
+
+
+def test_restore_rolls_back_dv_state_and_schema(spark, tbl):
+    df = _mk(spark, [(i, f"n{i}", i % 3) for i in range(8)])
+    dl.write_delta(df.coalesce(1), tbl, mode="overwrite")
+    dl.delete_where(spark, tbl, "id = 1", use_dvs=True)       # v1: DV
+    dl.delete_where(spark, tbl, "id = 2", use_dvs=True)       # v2: DV union
+    assert dl.read_delta(spark, tbl).count() == 6
+    # restore to v1: same physical file, OLDER deletion vector
+    dl.restore_table(spark, tbl, 1)
+    assert sorted(r.id for r in dl.read_delta(spark, tbl).collect()) == [
+        0, 2, 3, 4, 5, 6, 7,
+    ]
+    # restore to v0: no DV at all
+    dl.restore_table(spark, tbl, 0)
+    assert dl.read_delta(spark, tbl).count() == 8
+    # schema/config roll back too: restore across a rename
+    dl.enable_column_mapping(tbl)
+    dl.rename_column(tbl, "name", "title")
+    assert dl.read_delta(spark, tbl).columns == ["id", "title", "grp"]
+    dl.restore_table(spark, tbl, 4)  # the pre-mapping restored state
+    assert dl.read_delta(spark, tbl).columns == ["id", "name", "grp"]
+
+
+def test_restore_refuses_past_vacuumed_files(spark, tbl):
+    df = _mk(spark, [(i, "x", 0) for i in range(6)])
+    dl.write_delta(df.coalesce(1), tbl, mode="overwrite")
+    dl.write_delta(df.coalesce(1), tbl, mode="overwrite")  # v1 tombstones v0
+    dl.vacuum(spark, tbl, retention_ms=0)                  # v0 files die
+    with pytest.raises(ValueError, match="VACUUM already deleted"):
+        dl.restore_table(spark, tbl, 0)

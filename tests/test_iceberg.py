@@ -626,3 +626,64 @@ def test_bounds_pruning_never_loses_rows_randomized(spark, loc):
             r.id for r in ice.read_iceberg(spark, loc, where=p).collect()
         )
         assert got == expect, f"bounds prune lost/invented rows for {p!r}"
+
+
+# ---------------------------------------------------------------------------
+# rollback + expire_snapshots (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_rollback_to_snapshot_is_metadata_only(spark, loc):
+    s0 = ice.write_iceberg(_mk(spark, [(1, "a", 0)]).coalesce(1), loc,
+                           partition_by=["grp"])
+    s1 = ice.write_iceberg(_mk(spark, [(2, "b", 1)]).coalesce(1), loc,
+                           mode="append", partition_by=["grp"])
+    assert ice.read_iceberg(spark, loc).count() == 2
+    ice.rollback_to_snapshot(loc, s0)
+    assert [r.id for r in ice.read_iceberg(spark, loc).collect()] == [1]
+    # the rolled-past snapshot stays readable by id
+    assert ice.read_iceberg(spark, loc, snapshot_id=s1).count() == 2
+    with pytest.raises(ValueError, match="not in the table"):
+        ice.rollback_to_snapshot(loc, 42)
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, loc):
+    import glob as _glob
+
+    ice.write_iceberg(_mk(spark, [(1, "a", 0), (2, "b", 1)]).coalesce(1),
+                      loc, partition_by=["grp"])
+    ice.write_iceberg(_mk(spark, [(3, "c", 0)]).coalesce(1), loc,
+                      mode="append", partition_by=["grp"])
+    # overwrite orphans the first two snapshots' data
+    ice.write_iceberg(_mk(spark, [(9, "z", 2)]).coalesce(1), loc,
+                      mode="overwrite", partition_by=["grp"])
+    files_before = len(_glob.glob(os.path.join(loc, "data", "**", "*.parquet"),
+                                  recursive=True))
+    out = ice.expire_snapshots(loc, retain_last=1)
+    assert out["snapshots"] == 2
+    assert out["files"] > 0
+    files_after = len(_glob.glob(os.path.join(loc, "data", "**", "*.parquet"),
+                                 recursive=True))
+    assert files_after < files_before
+    # the surviving snapshot still reads exactly
+    assert [(r.id, r.grp) for r in ice.read_iceberg(spark, loc).collect()] == [
+        (9, 2)
+    ]
+    meta = ice.load_metadata(loc)
+    assert len(meta["snapshots"]) == 1
+    # expiring again is a no-op
+    assert ice.expire_snapshots(loc, retain_last=1) == {
+        "snapshots": 0, "files": 0,
+    }
+
+
+def test_expire_keeps_files_shared_with_live_snapshots(spark, loc):
+    ice.write_iceberg(_mk(spark, [(1, "a", 0)]).coalesce(1), loc,
+                      partition_by=["grp"])
+    ice.write_iceberg(_mk(spark, [(2, "b", 1)]).coalesce(1), loc,
+                      mode="append", partition_by=["grp"])  # shares s0's file
+    out = ice.expire_snapshots(loc, retain_last=1)
+    assert out["snapshots"] == 1
+    # the APPEND snapshot references snapshot-0's data file — it must
+    # survive the expiry of snapshot 0
+    assert sorted(r.id for r in ice.read_iceberg(spark, loc).collect()) == [1, 2]
