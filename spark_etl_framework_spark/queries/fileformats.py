@@ -842,6 +842,58 @@ def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_generated_columns",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderdate >= '1997-06-01'
+    GROUP BY order_month
+    """,
+)
+def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS end to end (round 9, delta.io PROTOCOL.md
+    §Generated Columns, writer v4): orders commits to delta with
+    ``order_month GENERATED ALWAYS AS (date_format(o_orderdate,
+    'yyyy-MM'))`` as the PARTITION column — the classic time-derived
+    layout. The writer derives the absent column (the input df never
+    contains it), the expression lands in the field metadata, and the
+    derived partition column then drives FILE PRUNING on reads (the
+    query hard-asserts the planned file list shrank under an
+    order_month predicate). A divergent explicit value is rejected per
+    row by the same guard machinery as CHECK constraints (pinned in
+    pytest). At 100 TB this is how time-partitioned fact tables are
+    laid out without trusting every writer to compute the partition key
+    consistently."""
+    import tempfile
+
+    from ..sources.deltalog import read_delta, write_delta
+
+    tbl = tempfile.mkdtemp(prefix="delta_gen_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    ).filter("o_orderdate >= '1997-01-01'").coalesce(4)
+    write_delta(
+        orders,
+        tbl,
+        mode="overwrite",
+        partition_by=["order_month"],
+        generated_columns={"order_month": "date_format(o_orderdate, 'yyyy-MM')"},
+    )
+    total = len(read_delta(spark, tbl).inputFiles())
+    out = read_delta(spark, tbl, where="order_month >= '1997-06'")
+    if not len(out.inputFiles()) < total:  # derived-partition pruning
+        raise AssertionError("generated partition column did not prune")
+    return out.groupBy(F.col("order_month")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
     "delta_restore_roundtrip",
     oracle="""
     SELECT 'restored' AS state,

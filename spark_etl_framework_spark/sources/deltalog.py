@@ -142,6 +142,20 @@ class Snapshot:
         )
 
     @property
+    def generated_expressions(self) -> dict[str, str]:
+        """column -> SQL generation expression from field metadata
+        ``delta.generationExpression`` (PROTOCOL.md §Generated Columns,
+        writer version 4): a writer must derive the value when the
+        column is absent from the input and verify equality when
+        present."""
+        out = {}
+        for f in self.schema.fields:
+            expr = (f.metadata or {}).get("delta.generationExpression")
+            if expr:
+                out[f.name] = expr
+        return out
+
+    @property
     def check_constraints(self) -> dict[str, str]:
         """name -> SQL expression from ``delta.constraints.<name>``
         table properties (PROTOCOL.md §CHECK Constraints, writer
@@ -718,7 +732,33 @@ def _file_stats(src: str) -> dict:
 
 
 class CheckConstraintViolation(ValueError):
-    """A row failed a ``delta.constraints.<name>`` expression."""
+    """A row failed a ``delta.constraints.<name>`` expression (or a
+    generated column's provided value diverged from its expression —
+    enforced through the same per-row guard)."""
+
+
+def _fill_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Derive ABSENT generated columns from their expressions (the
+    writer obligation of PROTOCOL.md §Generated Columns). Present
+    columns pass through — equality is enforced by the per-row guard
+    the caller folds into the write."""
+    for name, expr in gen.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def _generated_guards(
+    df: DataFrame, gen: dict[str, str]
+) -> dict[str, str]:
+    """Per-row guards for generated columns the input PROVIDED: the
+    value must null-safely equal the generation expression (delta
+    rejects divergent explicit values)."""
+    return {
+        f"generated:{name}": f"{name} <=> ({expr})"
+        for name, expr in gen.items()
+        if name in df.columns
+    }
 
 
 def _with_constraint_guards(df: DataFrame, constraints: dict[str, str]):
@@ -877,6 +917,7 @@ def write_delta(
     operation: str | None = None,
     merge_schema: bool = False,
     column_mapping: str | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the delta table at ``path``; returns the version.
 
@@ -904,6 +945,17 @@ def write_delta(
     (:func:`rename_column`, :func:`drop_column`). Appends to a mapped
     table convert transparently; schema evolution assigns fresh ids
     from ``delta.columnMapping.maxColumnId``.
+
+    GENERATED COLUMNS (PROTOCOL.md §Generated Columns, writer v4):
+    ``generated_columns={"col": "sql expr"}`` on CREATION stamps
+    ``delta.generationExpression`` into the field metadata. Every
+    subsequent write DERIVES absent generated columns and ENFORCES
+    null-safe equality when the input provides them explicitly (per-row
+    guard, same mechanism as CHECK constraints). The input df may omit
+    the generated columns entirely — the classic use is a partition
+    column derived from a timestamp (``{"event_date": "CAST(ts AS
+    DATE)"}``), which composes with ``partition_by`` so readers prune
+    on the derived column.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta: unsupported mode {mode!r}")
@@ -919,8 +971,17 @@ def write_delta(
     mapped_schema: T.StructType | None = None
     configuration: dict = {}
     mapping: dict[str, str] | None = None
+    gen_guards: dict[str, str] = {}
     if prev >= 0:
         snap = snapshot(path)
+        if generated_columns:
+            raise ValueError(
+                "generated_columns is a table-creation option"
+            )
+        gen = snap.generated_expressions
+        if gen:
+            gen_guards = _generated_guards(df, gen)  # BEFORE the fill
+            df = _fill_generated(df, gen)
         if column_mapping and snap.column_mapping_mode == "none":
             raise ValueError(
                 "column_mapping is a table-creation option; use "
@@ -959,6 +1020,12 @@ def write_delta(
             }
     else:
         snap = None
+        if generated_columns:
+            gen_guards = _generated_guards(df, generated_columns)
+            df = _fill_generated(df, generated_columns)
+            missing = set(generated_columns) - set(df.columns)
+            if missing:  # pragma: no cover — fill adds them
+                raise ValueError(f"generated columns not derivable: {missing}")
         if column_mapping:
             mapped_schema = T.StructType(
                 [_mapped_field(f, i + 1) for i, f in enumerate(df.schema.fields)]
@@ -968,10 +1035,23 @@ def write_delta(
                 "delta.columnMapping.maxColumnId": str(len(df.schema.fields)),
             }
             mapping = {f.name: _physical_name(f) for f in mapped_schema.fields}
+        if generated_columns:
+            # stamp delta.generationExpression into the field metadata
+            # (composes with mapping — both live in the same metadata)
+            base = mapped_schema or df.schema
+            fields = []
+            for f in base.fields:
+                md = dict(f.metadata or {})
+                if f.name in generated_columns:
+                    md["delta.generationExpression"] = generated_columns[f.name]
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            mapped_schema = T.StructType(fields)
 
+    constraints = dict(snap.check_constraints) if snap else {}
+    constraints.update(gen_guards)
     adds = _stage_adds(
         df, path, partition_by, mapping=mapping,
-        constraints=snap.check_constraints if snap else None,
+        constraints=constraints or None,
     )
 
     version = prev + 1
@@ -987,12 +1067,14 @@ def write_delta(
         }
     ]
     if prev < 0:
-        proto = (
-            # column mapping requires reader 2 / writer 5 (PROTOCOL.md)
-            {"minReaderVersion": 2, "minWriterVersion": 5}
-            if column_mapping
-            else {"minReaderVersion": 1, "minWriterVersion": 2}
-        )
+        if column_mapping:
+            # column mapping requires reader 2 / writer 5 (covers the
+            # generated-column writer version 4 as well)
+            proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        elif generated_columns:
+            proto = {"minReaderVersion": 1, "minWriterVersion": 4}
+        else:
+            proto = {"minReaderVersion": 1, "minWriterVersion": 2}
         actions.append({"protocol": proto})
         actions.append(
             {
@@ -1534,6 +1616,15 @@ def update_where(
         raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
     prev = latest_version(path)
     snap = snapshot(path)
+    gen = snap.generated_expressions
+    gen_assigned = set(assignments) & set(gen)
+    if gen_assigned:
+        # delta rejects explicit SET on generated columns — they
+        # RECOMPUTE from their expressions after the other assignments
+        raise ValueError(
+            f"UPDATE cannot assign generated columns {sorted(gen_assigned)} "
+            "— they recompute from their generation expressions"
+        )
     if not snap.files:
         return None
     mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
@@ -1562,7 +1653,17 @@ def update_where(
             )
             for f in snap.schema.fields
         ]
-    ).withColumn("_change_type", F.lit("update_postimage"))
+    )
+    if gen:  # postimages carry the RECOMPUTED generated values
+        post = post.select(
+            *[
+                F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in gen
+                else F.col(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+    post = post.withColumn("_change_type", F.lit("update_postimage"))
     cdc_actions = _stage_cdc(
         matched.select(*names)
         .withColumn("_change_type", F.lit("update_preimage"))
@@ -1582,6 +1683,17 @@ def update_where(
             for f in snap.schema.fields
         ]
     )
+    if gen:
+        # generated columns recompute over the POST-assignment row (the
+        # writer obligation: their value must equal the expression)
+        rewritten = rewritten.select(
+            *[
+                F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in gen
+                else F.col(f.name)
+                for f in snap.schema.fields
+            ]
+        )
     adds = _stage_adds(
         rewritten, path, snap.partition_columns, mapping=mapping,
         constraints=snap.check_constraints,
@@ -1648,6 +1760,11 @@ def merge_upsert(
     missing = [k for k in keys if k not in [f.name for f in snap.schema.fields]]
     if missing:
         raise ValueError(f"MERGE keys not in table schema: {missing}")
+    gen = snap.generated_expressions
+    if gen:
+        # derive absent generated columns on the source; provided ones
+        # are equality-enforced by the staging guard below
+        source = _fill_generated(source, gen)
     src = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in snap.schema.fields]
@@ -1679,10 +1796,14 @@ def merge_upsert(
                     constraints=snap.check_constraints,
                 )
             )
+    src_cons = dict(snap.check_constraints)
+    src_cons.update(
+        {f"generated:{n}": f"{n} <=> ({e})" for n, e in gen.items()}
+    )
     adds.extend(
         _stage_adds(
             src, path, snap.partition_columns, mapping=mapping,
-            constraints=snap.check_constraints,
+            constraints=src_cons or None,
         )
     )
 

@@ -119,3 +119,93 @@ def test_guard_not_elided_by_catalyst(spark):
     assert "raise_error" in plan
     with pytest.raises(Exception, match="CHECK constraint pos"):
         guarded.collect()
+
+
+# ---------------------------------------------------------------------------
+# generated columns (round 9) — enforced through the same guard machinery
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(rows, "id int, ts timestamp")
+
+
+def test_generated_column_derives_and_partitions(spark, tmp_path):
+    import datetime as dt
+
+    t = str(tmp_path / "g")
+    df = _ts_df(spark, [(i, dt.datetime(2020, 1 + i % 3, 1 + i, 10))
+                        for i in range(9)])
+    dl.write_delta(
+        df, t, mode="overwrite", partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    snap = dl.snapshot(t)
+    assert snap.generated_expressions == {"event_date": "CAST(ts AS DATE)"}
+    assert snap.protocol == {"minReaderVersion": 1, "minWriterVersion": 4}
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "ts", "event_date"]
+    assert all(r.event_date == r.ts.date() for r in out.collect())
+    # the derived column is a REAL partition column: file-list pruning
+    total = len(dl.read_delta(spark, t).inputFiles())
+    pruned = dl.read_delta(spark, t, where="event_date = '2020-02-02'")
+    assert pruned.count() == 1 and len(pruned.inputFiles()) < total
+    # appends derive when absent...
+    dl.write_delta(
+        _ts_df(spark, [(99, dt.datetime(2021, 5, 6, 1))]), t,
+        partition_by=["event_date"],
+    )
+    assert dl.read_delta(spark, t).filter("id = 99").collect()[0].event_date \
+        == dt.date(2021, 5, 6)
+    # ...and a creation-only option elsewhere
+    with pytest.raises(ValueError, match="table-creation option"):
+        dl.write_delta(df, t, partition_by=["event_date"],
+                       generated_columns={"event_date": "CAST(ts AS DATE)"})
+
+
+def test_generated_column_explicit_values_enforced(spark, tmp_path):
+    import datetime as dt
+
+    t = str(tmp_path / "g")
+    dl.write_delta(
+        _ts_df(spark, [(1, dt.datetime(2020, 1, 1, 5))]), t,
+        mode="overwrite",
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    good = spark.createDataFrame(
+        [(2, dt.datetime(2021, 1, 1), dt.date(2021, 1, 1))],
+        "id int, ts timestamp, event_date date",
+    )
+    dl.write_delta(good, t)
+    bad = spark.createDataFrame(
+        [(3, dt.datetime(2021, 1, 1), dt.date(1999, 9, 9))],
+        "id int, ts timestamp, event_date date",
+    )
+    with pytest.raises(dl.CheckConstraintViolation, match="generated:event_date"):
+        dl.write_delta(bad, t)
+    assert dl.read_delta(spark, t).count() == 2
+
+
+def test_generated_recomputes_on_update_and_merge(spark, tmp_path):
+    import datetime as dt
+
+    t = str(tmp_path / "g")
+    dl.write_delta(
+        _ts_df(spark, [(1, dt.datetime(2020, 1, 1, 5)),
+                       (2, dt.datetime(2020, 2, 2, 5))]), t,
+        mode="overwrite",
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    with pytest.raises(ValueError, match="cannot assign generated"):
+        dl.update_where(spark, t, "id = 1", {"event_date": "'2000-01-01'"})
+    dl.update_where(spark, t, "id = 1",
+                    {"ts": "timestamp'2022-07-08 09:00:00'"})
+    rows = {r.id: r.event_date for r in dl.read_delta(spark, t).collect()}
+    assert rows[1] == dt.date(2022, 7, 8)      # recomputed with the update
+    assert rows[2] == dt.date(2020, 2, 2)      # untouched row unchanged
+    # merge: source omits the generated column entirely
+    src = _ts_df(spark, [(2, dt.datetime(2023, 3, 3, 3)),
+                         (5, dt.datetime(2023, 4, 4, 4))])
+    dl.merge_upsert(spark, t, src, ["id"])
+    rows = {r.id: r.event_date for r in dl.read_delta(spark, t).collect()}
+    assert rows[2] == dt.date(2023, 3, 3) and rows[5] == dt.date(2023, 4, 4)
