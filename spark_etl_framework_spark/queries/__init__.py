@@ -177,9 +177,9 @@ def _load_all() -> None:
 #: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
 #: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
 #: flatfile_positional_roundtrip, histogram_price_buckets,
-#: scalar_math_funcs, dedup_simhash_pairs, dedup_lsh_verified_pairs and
-#: binary_records_roundtrip (displaced by the seven round-9
-#: registrations under the freeze policy), then the r3
+#: scalar_math_funcs, dedup_simhash_pairs, dedup_lsh_verified_pairs,
+#: binary_records_roundtrip and window_running_sum (displaced by the
+#: eight round-9 registrations under the freeze policy), then the r3
 #: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
 #: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
 #: then r4-vintage etl_/corpus_ rows by age.
@@ -211,6 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_restore_roundtrip",
     "iceberg_expire_snapshots",
     "delta_generated_columns",
+    "iceberg_dynamic_overwrite",
     # r2-vintage refresh (r8 TODO), oracle-expressible rows
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -235,7 +236,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_ntile_share",
     "window_rank_dense",
-    "window_running_sum",
     "dedup_ngram_jaccard_topk",
     "dedup_minhash_signatures",
 )

@@ -951,6 +951,76 @@ def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_dynamic_overwrite",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM (
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 1
+        UNION ALL
+        SELECT n_nationkey + 1000, n_regionkey FROM nation
+        WHERE n_regionkey = 1
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (round 9 — iceberg's INSERT OVERWRITE
+    semantics): nation commits partitioned by region, then a write in
+    ``overwrite_partitions`` mode replaces ONLY region 1 (keys shifted
+    +1000 so replacement is observable); untouched partitions keep their
+    original manifests BYTE-identical — the query hard-asserts at least
+    one prior manifest path survived into the new manifest list — and
+    the pre-overwrite snapshot stays time-travelable. The reference
+    reaches this through the iceberg-spark runtime's
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``
+    (etl/sink/IcebergWriter.scala:42-50). At 100 TB this is THE
+    idempotent-backfill write shape: re-running a day's pipeline
+    replaces that day alone, no read-modify-write of the table."""
+    import tempfile
+
+    from ..functions.avro_ocf import read_ocf
+    from ..sources.iceberg import load_metadata, read_iceberg, write_iceberg
+
+    loc = tempfile.mkdtemp(prefix="ice_dynow_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # two appends → separate manifests, so region 1's replacement can
+    # leave the other manifest untouched
+    write_iceberg(na.filter("n_regionkey <> 1").coalesce(1), loc,
+                  mode="overwrite", partition_by=["n_regionkey"])
+    write_iceberg(na.filter("n_regionkey = 1").coalesce(1), loc,
+                  mode="append", partition_by=["n_regionkey"])
+    meta0 = load_metadata(loc)
+    paths0 = {
+        mf["manifest_path"]
+        for mf in read_ocf(meta0["snapshots"][-1]["manifest-list"])[2]
+    }
+    repl = na.filter("n_regionkey = 1").select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+    )
+    write_iceberg(repl.coalesce(1), loc, mode="overwrite_partitions",
+                  partition_by=["n_regionkey"])
+    meta1 = load_metadata(loc)
+    paths1 = {
+        mf["manifest_path"]
+        for mf in read_ocf(meta1["snapshots"][-1]["manifest-list"])[2]
+    }
+    if not paths0 & paths1:  # untouched partitions must NOT rewrite
+        raise AssertionError("dynamic overwrite rewrote untouched manifests")
+    return read_iceberg(spark, loc).groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
     "iceberg_expire_snapshots",
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

@@ -645,7 +645,7 @@ def write_iceberg(
     iceberg partitioning "hidden"."""
     from .icetransforms import parse_partition_spec, result_type
 
-    if mode not in ("append", "overwrite"):
+    if mode not in ("append", "overwrite", "overwrite_partitions"):
         raise ValueError(f"write_iceberg: unsupported mode {mode!r}")
     requested = parse_partition_spec(list(partition_by or []))
     v = current_version(loc)
@@ -751,16 +751,77 @@ def write_iceberg(
     # overwrite (the snapshot enumerates its complete live set). On a v2
     # table (after a row-level delete upgraded it) the list carries
     # content + sequence numbers; new data files get the next sequence.
+    # ``overwrite_partitions`` (dynamic partition overwrite / the jar's
+    # INSERT OVERWRITE semantics): previous manifests carry over MINUS
+    # every entry whose partition tuple is replaced by an incoming file —
+    # untouched partitions keep their original manifests byte-identical
+    # (no rewrite when nothing in a manifest is replaced), partially-hit
+    # manifests rewrite with the survivors as EXISTING entries keeping
+    # their snapshot ids, and the manifest-list entry preserves the
+    # original sequence numbers so v2 inheritance stays exact.
     fmt = meta.get("format-version", 1) if meta else 1
     new_seq = (meta.get("last-sequence-number", 0) + 1) if fmt == 2 else None
     prev: list[dict] = []
-    if mode == "append" and meta and meta.get("current-snapshot-id", -1) != -1:
+    if (
+        mode in ("append", "overwrite_partitions")
+        and meta
+        and meta.get("current-snapshot-id", -1) != -1
+    ):
         cur = next(
             s
             for s in meta["snapshots"]
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         _schema2, _m2, prev = read_ocf(cur["manifest-list"])
+    if mode == "overwrite_partitions" and prev:
+        replaced = {
+            tuple(sorted(e["data_file"]["partition"].items()))
+            for e in entries
+        }
+        kept_manifests: list[dict] = []
+        for mf in prev:
+            if mf.get("content", 0) != 0:
+                kept_manifests.append(mf)  # delete manifests carry over
+                continue
+            _es, _em, m_entries = read_ocf(mf["manifest_path"])
+            live = [e for e in m_entries if e["status"] != 2]
+            kept = [
+                e for e in live
+                if tuple(sorted(e["data_file"]["partition"].items()))
+                not in replaced
+            ]
+            if len(kept) == len(live):
+                kept_manifests.append(mf)  # untouched: reuse byte-identical
+                continue
+            if not kept:
+                continue  # fully replaced: drops from the new snapshot
+            rewritten = [
+                dict(e, status=0)  # EXISTING, original snapshot_id kept
+                for e in kept
+            ]
+            new_path = os.path.join(
+                _meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro"
+            )
+            write_ocf(
+                new_path,
+                _manifest_entry_schema(pfields),
+                rewritten,
+                metadata={
+                    "schema": json.dumps(ice_schema),
+                    "partition-spec": json.dumps(partition_spec),
+                    "partition-spec-id": "0",
+                    "format-version": str(fmt),
+                    "content": "data",
+                },
+            )
+            mf2 = dict(mf)
+            mf2["manifest_path"] = new_path
+            mf2["manifest_length"] = os.path.getsize(new_path)
+            mf2["added_data_files_count"] = 0
+            mf2["existing_data_files_count"] = len(rewritten)
+            mf2["deleted_data_files_count"] = len(live) - len(kept)
+            kept_manifests.append(mf2)
+        prev = kept_manifests
     list_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )

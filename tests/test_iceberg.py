@@ -687,3 +687,74 @@ def test_expire_keeps_files_shared_with_live_snapshots(spark, loc):
     # the APPEND snapshot references snapshot-0's data file — it must
     # survive the expiry of snapshot 0
     assert sorted(r.id for r in ice.read_iceberg(spark, loc).collect()) == [1, 2]
+
+
+def test_dynamic_partition_overwrite(spark, loc):
+    """overwrite_partitions (INSERT OVERWRITE semantics): only the
+    partitions present in the incoming df replace; untouched partitions
+    keep their ORIGINAL manifests byte-identical (no rewrite), and the
+    pre-overwrite snapshot stays time-travelable."""
+    df = _mk(spark, [(i, f"n{i}", i % 3) for i in range(12)])
+    s0 = ice.write_iceberg(df.coalesce(1), loc, mode="overwrite",
+                           partition_by=["grp"])
+    new = _mk(spark, [(100, "r1", 1), (101, "r2", 1)])
+    ice.write_iceberg(new.coalesce(1), loc, mode="overwrite_partitions",
+                      partition_by=["grp"])
+    out = {(r.id, r.grp) for r in ice.read_iceberg(spark, loc).collect()}
+    assert out == {(i, i % 3) for i in range(12) if i % 3 != 1} | {
+        (100, 1), (101, 1)
+    }
+    meta = ice.load_metadata(loc)
+    m0 = read_ocf(meta["snapshots"][0]["manifest-list"])[2]
+    m1 = read_ocf(meta["snapshots"][1]["manifest-list"])[2]
+    # grp 0/2 entries lived in the same single manifest as grp 1 (one
+    # coalesced write), so THAT manifest rewrote; assert the rewrite
+    # marked survivors EXISTING with original snapshot ids
+    rewritten = [mf for mf in m1
+                 if mf["manifest_path"] not in {x["manifest_path"] for x in m0}
+                 and mf.get("added_data_files_count", 1) == 0]
+    assert rewritten, "partially-replaced manifest was not rewritten"
+    entries = read_ocf(rewritten[0]["manifest_path"])[2]
+    assert all(e["status"] == 0 for e in entries)
+    assert all(e["snapshot_id"] == s0 for e in entries)
+    assert ice.read_iceberg(spark, loc, snapshot_id=s0).count() == 12
+
+
+def test_dynamic_overwrite_untouched_manifests_reused(spark, loc):
+    # two separate appends → two manifests; replacing only the second
+    # append's partition must leave the first manifest BYTE-identical
+    ice.write_iceberg(_mk(spark, [(1, "a", 0)]).coalesce(1), loc,
+                      partition_by=["grp"])
+    ice.write_iceberg(_mk(spark, [(2, "b", 1)]).coalesce(1), loc,
+                      mode="append", partition_by=["grp"])
+    meta0 = ice.load_metadata(loc)
+    paths0 = {mf["manifest_path"]
+              for mf in read_ocf(meta0["snapshots"][-1]["manifest-list"])[2]}
+    ice.write_iceberg(_mk(spark, [(9, "z", 1)]).coalesce(1), loc,
+                      mode="overwrite_partitions", partition_by=["grp"])
+    meta1 = ice.load_metadata(loc)
+    paths1 = {mf["manifest_path"]
+              for mf in read_ocf(meta1["snapshots"][-1]["manifest-list"])[2]}
+    # grp=0's manifest carried over untouched; grp=1's dropped entirely
+    # (fully replaced) and the new manifest joined
+    assert len(paths0 & paths1) == 1
+    assert sorted((r.id, r.grp) for r in
+                  ice.read_iceberg(spark, loc).collect()) == [(1, 0), (9, 1)]
+
+
+def test_dynamic_overwrite_with_hidden_partitions_and_deletes(spark, loc):
+    import datetime as dt
+
+    rows = [(i, dt.date(2020, 1 + i % 3, 5)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, d date")
+    ice.write_iceberg(df.coalesce(1), loc, mode="overwrite",
+                      partition_by=["month(d)"])
+    ice.delete_where(spark, loc, "id = 0")  # v2 upgrade + position delete
+    repl = spark.createDataFrame([(900, dt.date(2020, 2, 9))], "id int, d date")
+    ice.write_iceberg(repl.coalesce(1), loc, mode="overwrite_partitions",
+                      partition_by=["month(d)"])
+    out = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    # month 2 replaced by id=900; id=0 (month 1) stays DV-dead
+    assert out == sorted(
+        [i for i in range(1, 12) if 1 + i % 3 != 2] + [900]
+    )
