@@ -92,6 +92,8 @@ class DeltaDmlActor(_TableDmlBase):
     column: str | None = None
     constraintName: str | None = None
     version: int | None = None
+    partitionBy: str | None = None
+    partitionSchema: str | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -160,6 +162,16 @@ class DeltaDmlActor(_TableDmlBase):
             if self.version is None:
                 raise ValueError("DeltaDmlActor: restore needs version")
             dl.restore_table(spark, loc, int(self.version))
+            return None
+        if op == "convert":
+            parts = [
+                c.strip() for c in (self.partitionBy or "").split(",")
+                if c.strip()
+            ]
+            dl.convert_to_delta(
+                spark, loc, partition_by=parts or None,
+                partition_schema=self.partitionSchema,
+            )
             return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 

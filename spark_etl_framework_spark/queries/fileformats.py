@@ -894,6 +894,67 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_convert_in_place",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (round 9 — delta's in-place onboarding command):
+    nation is first written as a PLAIN hive-partitioned parquet
+    directory by Spark's own writer (no delta anywhere), then
+    ``convert_to_delta`` puts a ``_delta_log`` beside the existing files
+    — the query hard-asserts the parquet CONTENT BYTES are untouched
+    (collision renames are filesystem metadata, not data) — with
+    footer-harvested stats so data skipping works from commit zero.
+    Reading back through the DeltaReader actor must equal the source.
+    At 100 TB this is the only viable migration: a rewrite-based
+    onboarding of an existing lake costs a full copy; CONVERT costs one
+    commit."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from ..sources.connectors import DeltaReader
+    from ..sources.deltalog import convert_to_delta
+
+    d = tempfile.mkdtemp(prefix="delta_convert_") + "/lake"
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.partitionBy("n_regionkey").parquet(d)
+
+    def _hashes() -> set:
+        out = set()
+        for root, _dirs, names in _os.walk(d):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    with open(_os.path.join(root, n), "rb") as fh:
+                        out.add(hashlib.md5(fh.read()).hexdigest())
+        return out
+
+    before = _hashes()
+    convert_to_delta(
+        spark, d, partition_by=["n_regionkey"],
+        partition_schema="n_regionkey bigint",
+    )
+    if _hashes() != before:  # in-place contract: zero bytes rewritten
+        raise AssertionError("CONVERT rewrote parquet content")
+    out = DeltaReader(path=d).run(JobContext(PipelineContext(), spark), spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
     "delta_restore_roundtrip",
     oracle="""
     SELECT 'restored' AS state,

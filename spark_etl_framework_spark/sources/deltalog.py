@@ -440,6 +440,16 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
     names only, so the physical/logical boundary lives in exactly this
     function plus the staging half (:func:`_stage_adds`)."""
     files = snap.files if files is None else files
+    basenames = [os.path.basename(f.path) for f in files]
+    if len(set(basenames)) != len(basenames):
+        # the broadcast file-map joins on basename; a collision would
+        # silently MULTIPLY rows through the join — fail loudly instead
+        # (read_delta has a grouped-scan fallback; row-level ops do not;
+        # convert_to_delta renames collisions away at takeover)
+        raise NotImplementedError(
+            "row-level operations on a foreign table with colliding file "
+            "basenames are not supported jar-free"
+        )
     abs_paths = [os.path.join(path, f.path) for f in files]
     phys_of = snap.physical_of
     df = (
@@ -2079,6 +2089,128 @@ def drop_check_constraint(path: str, name: str) -> int:
         "DROP CONSTRAINT",
         {"name": name},
     )
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    partition_schema: str | None = None,
+) -> int:
+    """CONVERT TO DELTA — turn an existing parquet DIRECTORY into a
+    delta table IN PLACE: the data files stay exactly where they are
+    (zero rewrite, zero copy — at 100 TB this is the only viable
+    onboarding path for an existing lake), and a ``_delta_log`` appears
+    beside them with one add action per file carrying footer-harvested
+    stats, so data skipping works from commit zero. Hive-style
+    ``col=value`` directories become partition columns
+    (``partition_by`` + DDL ``partition_schema``, e.g. ``"grp int"`` —
+    delta's CONVERT requires the partition schema spelled out too,
+    since hive dir names are untyped strings). Fails if the directory
+    is already a delta table."""
+    if latest_version(path) >= 0:
+        raise ValueError(f"already a delta table: {path}")
+    partition_by = list(partition_by or [])
+    ptypes: dict[str, T.DataType] = {}
+    if partition_by:
+        if not partition_schema:
+            raise ValueError(
+                "convert_to_delta: partitioned conversion needs "
+                "partition_schema DDL (hive dir values are untyped)"
+            )
+        pstruct = T.StructType.fromDDL(partition_schema)
+        ptypes = {f.name: f.dataType for f in pstruct.fields}
+        missing = [c for c in partition_by if c not in ptypes]
+        if missing:
+            raise ValueError(
+                f"partition_schema lacks columns {missing}"
+            )
+    data_files: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        if _LOG in root:
+            continue
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("."):
+                data_files.append(os.path.join(root, name))
+    if not data_files:
+        raise ValueError(f"no parquet files under {path}")
+    # Spark's partitionBy reuses basenames ACROSS partition dirs
+    # (grp=0/part-00000-x, grp=1/part-00000-x) while this engine
+    # identifies files by unique basename everywhere (the broadcast
+    # file-map pattern). Conversion is a TAKEOVER: colliding files get a
+    # unique suffix via os.rename — an O(files) filesystem metadata op,
+    # still zero bytes of data moved or rewritten (delta owns the layout
+    # from here on, exactly like the jar's CONVERT owns the directory).
+    seen: set[str] = set()
+    renamed: list[str] = []
+    for src in sorted(data_files):
+        base = os.path.basename(src)
+        if base in seen:
+            stem, ext = os.path.splitext(base)
+            dst = os.path.join(
+                os.path.dirname(src), f"{stem}-{uuid.uuid4().hex[:8]}{ext}"
+            )
+            os.rename(src, dst)
+            renamed.append(dst)
+            seen.add(os.path.basename(dst))
+        else:
+            seen.add(base)
+            renamed.append(src)
+    data_files = renamed
+    # table schema: data columns from one footer + typed partition cols
+    sample = spark.read.parquet(data_files[0])
+    schema = T.StructType(
+        list(sample.schema.fields)
+        + [T.StructField(c, ptypes[c], True) for c in partition_by]
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(data_files),
+                    "partitionedBy": json.dumps(partition_by),
+                },
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for src in sorted(data_files):
+        rel = os.path.relpath(src, path)
+        pvals = _parse_hive_dirs(rel) if partition_by else {}
+        unknown = set(pvals) - set(partition_by)
+        if partition_by and (unknown or set(partition_by) - set(pvals)):
+            raise ValueError(
+                f"file {rel} partition dirs {sorted(pvals)} != declared "
+                f"{partition_by}"
+            )
+        actions.append(
+            {
+                "add": {
+                    "path": _quote_path(rel),
+                    "partitionValues": {c: pvals.get(c) for c in partition_by},
+                    "size": os.path.getsize(src),
+                    "modificationTime": int(os.path.getmtime(src) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(_file_stats(src)),
+                }
+            }
+        )
+    _publish_commit(path, 0, actions)
+    return 0
 
 
 def restore_table(

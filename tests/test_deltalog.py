@@ -642,3 +642,68 @@ def test_restore_refuses_past_vacuumed_files(spark, tbl):
     dl.vacuum(spark, tbl, retention_ms=0)                  # v0 files die
     with pytest.raises(ValueError, match="VACUUM already deleted"):
         dl.restore_table(spark, tbl, 0)
+
+
+# ---------------------------------------------------------------------------
+# CONVERT TO DELTA (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    """A plain hive-partitioned parquet directory becomes a delta table
+    with ZERO data rewrite: same bytes (collision renames are pure
+    filesystem metadata), footer-harvested stats so skipping works from
+    commit zero, and the converted table is fully delta (DML works)."""
+    d = str(tmp_path / "lake")
+    df = _mk(spark, [(i, f"n{i}", i % 3) for i in range(30)])
+    df.write.partitionBy("grp").parquet(d)
+    import hashlib
+
+    def content_hashes():
+        out = set()
+        for root, _dirs, names in os.walk(d):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.add(hashlib.md5(
+                        open(os.path.join(root, n), "rb").read()
+                    ).hexdigest())
+        return out
+
+    before = content_hashes()
+    v = dl.convert_to_delta(spark, d, partition_by=["grp"],
+                            partition_schema="grp int")
+    assert v == 0
+    assert content_hashes() == before  # zero bytes rewritten
+    out = dl.read_delta(spark, d)
+    assert {(r.id, r.grp) for r in out.collect()} == {
+        (i, i % 3) for i in range(30)
+    }
+    # stats harvested at convert time: data skipping from commit zero
+    total = len(dl.read_delta(spark, d).inputFiles())
+    pruned = dl.read_delta(spark, d, where="id < 3")
+    assert len(pruned.inputFiles()) < total
+    # full delta from here: DML, constraints
+    dl.delete_where(spark, d, "id = 0")
+    assert dl.read_delta(spark, d).count() == 29
+    dl.merge_upsert(
+        spark, d, _mk(spark, [(99, "m", 0)]), ["id"]
+    )
+    assert dl.read_delta(spark, d).count() == 30
+    with pytest.raises(ValueError, match="already a delta table"):
+        dl.convert_to_delta(spark, d, partition_by=["grp"],
+                            partition_schema="grp int")
+
+
+def test_convert_guards(spark, tmp_path):
+    d = str(tmp_path / "flat")
+    _mk(spark, [(1, "a", 0)]).drop("grp").write.parquet(d)
+    dl.convert_to_delta(spark, d)  # unpartitioned needs no schema
+    assert dl.read_delta(spark, d).count() == 1
+    d2 = str(tmp_path / "p")
+    _mk(spark, [(1, "a", 0)]).write.partitionBy("grp").parquet(d2)
+    with pytest.raises(ValueError, match="partition_schema"):
+        dl.convert_to_delta(spark, d2, partition_by=["grp"])
+    with pytest.raises(ValueError, match="no parquet files"):
+        dl.convert_to_delta(spark, str(tmp_path / "empty"))
