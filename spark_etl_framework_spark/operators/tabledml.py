@@ -186,6 +186,8 @@ class IcebergDmlActor(_TableDmlBase):
     snapshotId: int | None = None
     olderThanMs: int | None = None
     retainLast: int = 1
+    partitionBy: str | None = None
+    partitionSchema: str | None = None
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -228,6 +230,16 @@ class IcebergDmlActor(_TableDmlBase):
                     else None
                 ),
                 retain_last=int(self.retainLast),
+            )
+            return None
+        if op == "convert":
+            parts = [
+                c.strip() for c in (self.partitionBy or "").split(",")
+                if c.strip()
+            ]
+            ice.convert_to_iceberg(
+                spark, loc, partition_by=parts or None,
+                partition_schema=self.partitionSchema,
             )
             return None
         raise ValueError(f"IcebergDmlActor: unknown op {self.op!r}")

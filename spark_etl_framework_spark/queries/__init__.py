@@ -178,9 +178,9 @@ def _load_all() -> None:
 #: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
 #: flatfile_positional_roundtrip, histogram_price_buckets,
 #: scalar_math_funcs, dedup_simhash_pairs, dedup_lsh_verified_pairs,
-#: binary_records_roundtrip, window_running_sum and window_rank_dense
-#: (displaced by the nine round-9 registrations under the freeze
-#: policy), then the r3
+#: binary_records_roundtrip, window_running_sum, window_rank_dense and
+#: window_ntile_share (displaced by the ten round-9 registrations under
+#: the freeze policy), then the r3
 #: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
 #: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
 #: then r4-vintage etl_/corpus_ rows by age.
@@ -214,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_generated_columns",
     "iceberg_dynamic_overwrite",
     "delta_convert_in_place",
+    "iceberg_convert_in_place",
     # r2-vintage refresh (r8 TODO), oracle-expressible rows
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -236,7 +237,6 @@ _PRIORITY: tuple[str, ...] = (
     "vector_label_centroids",
     "vector_neardup_blocked",
     "window_lag_lead",
-    "window_ntile_share",
     "dedup_ngram_jaccard_topk",
     "dedup_minhash_signatures",
 )

@@ -1082,6 +1082,64 @@ def iceberg_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_convert_in_place",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def iceberg_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migrate/add_files onboarding (round 9 — the iceberg counterpart
+    of CONVERT TO DELTA): nation written as a PLAIN hive-partitioned
+    parquet directory, then ``convert_to_iceberg`` creates metadata +
+    one manifest describing the files IN PLACE — the query hard-asserts
+    the parquet content bytes are untouched — with footer column bounds
+    harvested so pruning works from snapshot one. Read back through the
+    IcebergReader actor. The reference reaches this through the
+    runtime's migrate/add_files procedures."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import convert_to_iceberg
+
+    d = tempfile.mkdtemp(prefix="ice_convert_") + "/lake"
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.partitionBy("n_regionkey").parquet(d)
+
+    def _hashes() -> set:
+        out = set()
+        for root, _dirs, names in _os.walk(d):
+            if "metadata" in _os.path.relpath(root, d).split(_os.sep):
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    with open(_os.path.join(root, n), "rb") as fh:
+                        out.add(hashlib.md5(fh.read()).hexdigest())
+        return out
+
+    before = _hashes()
+    convert_to_iceberg(
+        spark, d, partition_by=["n_regionkey"],
+        partition_schema="n_regionkey bigint",
+    )
+    if _hashes() != before:
+        raise AssertionError("migrate rewrote parquet content")
+    out = IcebergReader(table=d).run(JobContext(PipelineContext(), spark), spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+
+
+@register(
     "iceberg_expire_snapshots",
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

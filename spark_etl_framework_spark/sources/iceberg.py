@@ -1704,6 +1704,175 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict])
     return df
 
 
+def convert_to_iceberg(
+    spark: SparkSession,
+    loc: str,
+    partition_by: list[str] | None = None,
+    partition_schema: str | None = None,
+) -> int:
+    """Migrate an existing parquet directory to an Iceberg table IN
+    PLACE (the jar's ``migrate``/``add_files`` procedures): metadata +
+    one manifest describing the files exactly where they are — zero
+    bytes of data moved or rewritten. Hive ``col=value`` dirs become
+    identity partition values (``partition_schema`` DDL types them);
+    footer column bounds land in the manifest (spec fields 125/128) so
+    file pruning works from snapshot one. Conversion is a TAKEOVER:
+    basename collisions (Spark's partitionBy reuses part-00000-... per
+    dir) resolve by filesystem rename, matching
+    deltalog.convert_to_delta. Returns the snapshot id."""
+    if current_version(loc) > 0:
+        raise ValueError(f"already an iceberg table: {loc}")
+    partition_by = list(partition_by or [])
+    ptypes: dict[str, T.DataType] = {}
+    if partition_by:
+        if not partition_schema:
+            raise ValueError(
+                "convert_to_iceberg: partitioned conversion needs "
+                "partition_schema DDL (hive dir values are untyped)"
+            )
+        pstruct = T.StructType.fromDDL(partition_schema)
+        ptypes = {f.name: f.dataType for f in pstruct.fields}
+        missing = [c for c in partition_by if c not in ptypes]
+        if missing:
+            raise ValueError(f"partition_schema lacks columns {missing}")
+    data_files: list[str] = []
+    for root, _dirs, names in os.walk(loc):
+        if "metadata" in os.path.relpath(root, loc).split(os.sep):
+            continue
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("."):
+                data_files.append(os.path.join(root, name))
+    if not data_files:
+        raise ValueError(f"no parquet files under {loc}")
+    seen: set[str] = set()
+    renamed: list[str] = []
+    for src in sorted(data_files):
+        base = os.path.basename(src)
+        if base in seen:
+            stem, ext = os.path.splitext(base)
+            dst = os.path.join(
+                os.path.dirname(src), f"{stem}-{uuid.uuid4().hex[:8]}{ext}"
+            )
+            os.rename(src, dst)
+            renamed.append(dst)
+            seen.add(os.path.basename(dst))
+        else:
+            seen.add(base)
+            renamed.append(src)
+    data_files = renamed
+
+    sample = spark.read.parquet(data_files[0])
+    schema = T.StructType(
+        list(sample.schema.fields)
+        + [T.StructField(c, ptypes[c], True) for c in partition_by]
+    )
+    ice_schema = spark_to_iceberg_schema(schema)
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    import pyarrow.parquet as pq
+
+    entries = []
+    for src in sorted(data_files):
+        pvals = _parse_hive_dirs(os.path.relpath(src, loc)) if partition_by else {}
+        if partition_by and set(partition_by) - set(pvals):
+            raise ValueError(
+                f"file {os.path.relpath(src, loc)} lacks partition dirs "
+                f"{sorted(set(partition_by) - set(pvals))}"
+            )
+        lower, upper = _footer_bounds(src, field_ids, ice_types)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": src,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: _partition_to_avro(pvals.get(c), ptypes[c])
+                        for c in partition_by
+                    },
+                    "record_count": pq.ParquetFile(src).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(src),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                },
+            }
+        )
+    os.makedirs(_meta_dir(loc), exist_ok=True)
+    spec_entries = [
+        {"source": c, "transform": "identity", "name": c, "param": None,
+         "result_dt": ptypes[c]}
+        for c in partition_by
+    ]
+    pfields = _partition_avro_fields(schema, spec_entries)
+    partition_spec = [
+        {"name": c, "transform": "identity", "source-id": field_ids[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(partition_by)
+    ]
+    manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
+    write_ocf(
+        manifest_path,
+        _manifest_entry_schema(pfields),
+        entries,
+        metadata={
+            "schema": json.dumps(ice_schema),
+            "partition-spec": json.dumps(partition_spec),
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    list_path = os.path.join(
+        _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(
+        list_path,
+        _MANIFEST_FILE_SCHEMA,
+        [{
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+            ),
+        }],
+        metadata={"format-version": "1"},
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": loc,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(schema.fields),
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": partition_spec,
+        "default-spec-id": 0,
+        "properties": {"migrated-from": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append"},
+            "manifest-list": list_path,
+            "schema-id": 0,
+        }],
+        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        "metadata-log": [],
+    }
+    _publish_metadata(loc, 1, meta)
+    return snapshot_id
+
+
 def rollback_to_snapshot(loc: str, snapshot_id: int) -> int:
     """Roll the table's CURRENT pointer back to an existing snapshot —
     iceberg's ``rollback_to_snapshot`` procedure: metadata-only (the

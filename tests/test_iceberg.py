@@ -758,3 +758,50 @@ def test_dynamic_overwrite_with_hidden_partitions_and_deletes(spark, loc):
     assert out == sorted(
         [i for i in range(1, 12) if 1 + i % 3 != 2] + [900]
     )
+
+
+def test_convert_to_iceberg_in_place(spark, tmp_path):
+    """migrate/add_files: an existing hive-partitioned parquet dir
+    becomes an iceberg table with zero data rewrite; manifest bounds
+    harvested at convert time prune from snapshot one; the converted
+    table takes the full v2 surface."""
+    import hashlib
+
+    d = str(tmp_path / "lake")
+    _mk(spark, [(i, f"n{i}", i % 3) for i in range(30)]) \
+        .write.partitionBy("grp").parquet(d)
+
+    def content_hashes():
+        out = set()
+        for root, _dirs, names in os.walk(d):
+            if "metadata" in os.path.relpath(root, d).split(os.sep):
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.add(hashlib.md5(
+                        open(os.path.join(root, n), "rb").read()
+                    ).hexdigest())
+        return out
+
+    before = content_hashes()
+    ice.convert_to_iceberg(spark, d, partition_by=["grp"],
+                           partition_schema="grp int")
+    assert content_hashes() == before  # zero bytes rewritten
+    out = ice.read_iceberg(spark, d)
+    assert {(r.id, r.grp) for r in out.collect()} == {
+        (i, i % 3) for i in range(30)
+    }
+    total = len(ice.read_iceberg(spark, d).inputFiles())
+    pruned = ice.read_iceberg(spark, d, where="id < 3")
+    assert len(pruned.inputFiles()) < total
+    ice.delete_where(spark, d, "id = 0")      # v2 MoR works post-convert
+    assert ice.read_iceberg(spark, d).count() == 29
+    ice.write_iceberg(_mk(spark, [(99, "x", 0)]).coalesce(1), d,
+                      mode="append", partition_by=["grp"])
+    assert ice.read_iceberg(spark, d).count() == 30
+    with pytest.raises(ValueError, match="already an iceberg table"):
+        ice.convert_to_iceberg(spark, d, partition_by=["grp"],
+                               partition_schema="grp int")
+    with pytest.raises(ValueError, match="partition_schema"):
+        ice.convert_to_iceberg(spark, str(tmp_path / "x"),
+                               partition_by=["grp"])
