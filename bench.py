@@ -111,6 +111,10 @@ HEADLINE = [
     "delta_data_skipping",       # stats-pruned scan over a 5-commit log
     "iceberg_row_level_delete",  # MoR write + position-delete subtraction
     "delta_merge_upsert",        # full MERGE: match, rewrite, commit
+    # round 9 flagships under the bench for the same reason: protocol
+    # cost of the new subsystems must be regression-visible
+    "iceberg_hidden_partitioning",  # transform write + pruned scan
+    "delta_column_mapping_rename",  # mapped write + metadata DDL + read
 ]
 
 
