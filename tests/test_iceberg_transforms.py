@@ -238,3 +238,36 @@ def test_stream_source_over_hidden_partitioned_table(spark, loc):
     out = spark.table(qname)
     assert out.columns == ["id", "s", "d", "ts"]
     assert sorted(r.id for r in out.collect()) == list(range(20))
+
+
+# ---------------------------------------------------------------------------
+# property pins
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=50))
+def test_vectorized_murmur_equals_scalar_property(vals):
+    import numpy as np
+
+    arr = np.array(vals, dtype=np.int64)
+    assert list(tr.murmur3_32_long_np(arr)) == [
+        tr.murmur3_32(struct.pack("<q", int(v))) for v in vals
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=1000))
+def test_truncate_is_floored_and_order_preserving(v, w):
+    e = {"transform": f"truncate[{w}]", "param": w}
+    t = tr.transform_literal(e, v, T.IntegerType())
+    # spec: v - (v mod W) with floored modulo — result <= v, multiple of W
+    assert t % w == 0 and t <= v < t + w
+    # order preservation at the boundary
+    t2 = tr.transform_literal(e, v + 1, T.IntegerType())
+    assert t2 >= t
