@@ -96,10 +96,22 @@ class KafkaStreamWriter(_StreamWriteBase):
 
     bootstrapServers: str | None = None
     topic: str | None = None
+    #: producer batch compression (none/gzip/snappy/lz4/zstd) — same
+    #: surface as the batch KafkaWriter (round 9)
+    compressionType: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
+        from ..sinks.connectors import KafkaWriter
         from ..sources.connectors import _unavailable
 
+        codec = KafkaWriter._CODECS.get(
+            (self.compressionType or "none").lower()
+        )
+        if codec is None:
+            raise ValueError(
+                f"KafkaStreamWriter: unknown compressionType "
+                f"{self.compressionType!r}"
+            )
         df = self.input_df(ctx, spark)
         try:
             writer = (
@@ -107,6 +119,10 @@ class KafkaStreamWriter(_StreamWriteBase):
                 .option("kafka.bootstrap.servers", self.bootstrapServers or "")
                 .option("topic", self.topic or "")
             )
+            if codec:
+                writer = writer.option(
+                    "kafka.compression.type", self.compressionType
+                )
             if self.checkpointLocation:
                 writer = writer.option("checkpointLocation", self.checkpointLocation)
             writer = self.apply_trigger(writer).outputMode(self.outputMode)
@@ -118,7 +134,7 @@ class KafkaStreamWriter(_StreamWriteBase):
             from ..sources.kwire import write_topic
 
             def _produce_batch(batch_df: DataFrame, _batch_id: int) -> None:
-                write_topic(batch_df, bootstrap, topic)
+                write_topic(batch_df, bootstrap, topic, compression=codec)
 
             writer = df.writeStream.foreachBatch(_produce_batch)
             if self.checkpointLocation:

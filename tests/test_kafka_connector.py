@@ -566,3 +566,50 @@ def test_control_batches_are_skipped():
     out = decode_record_batches(d1 + bytes(ctl) + d2)
     assert [r["offset"] for r in out] == [0, 1, 5, 6, 7]
     assert all(r["value"].startswith(b"v") for r in out)
+
+
+def test_stream_writer_zstd_compression(spark, broker):
+    """The stream sink's compressionType flows into the wire produce:
+    zstd batches land on the broker (which CRC-verifies and decodes
+    every produce), and a reader round-trips them exactly."""
+    from spark_etl_framework_spark.streaming.readers import KafkaStreamReader
+    from spark_etl_framework_spark.streaming.writers import KafkaStreamWriter
+
+    bootstrap = f"127.0.0.1:{broker.port}"
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        c.produce("zsrc", 0, [
+            {"key": str(i).encode(), "value": f"payload-{i}".encode(),
+             "timestamp": i}
+            for i in range(10)
+        ])
+    finally:
+        c.close()
+    sdf = KafkaStreamReader(bootstrapServers=bootstrap, topic="zsrc").run(
+        _jctx(spark), spark
+    )
+    sdf.selectExpr(
+        "cast(key as string) as key", "cast(value as string) as value"
+    ).createOrReplaceTempView("kafka_zstd_relay")
+    KafkaStreamWriter(
+        bootstrapServers=bootstrap,
+        topic="zdst",
+        view="kafka_zstd_relay",
+        compressionType="zstd",
+        trigger_mode="once",
+        test_waittimeMS=30_000,
+    ).run(_jctx(spark), spark)
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        vals = set()
+        for p in (0, 1):
+            recs, _ = c.fetch("zdst", p, 0)
+            vals |= {r["value"] for r in recs}
+    finally:
+        c.close()
+    assert vals == {f"payload-{i}".encode() for i in range(10)}
+    with pytest.raises(ValueError, match="unknown compressionType"):
+        KafkaStreamWriter(
+            bootstrapServers=bootstrap, topic="x", view="kafka_zstd_relay",
+            compressionType="brotli",
+        ).run(_jctx(spark), spark)
