@@ -2091,6 +2091,32 @@ def drop_check_constraint(path: str, name: str) -> int:
     )
 
 
+def _assert_uniform_footers(files: list[str]) -> None:
+    """CONVERT safety: every parquet footer must agree on name → arrow
+    type. Conversion infers the table schema from ONE footer, so a
+    directory with heterogeneous footers (columns added over time) would
+    silently lose the extra columns behind the forced read schema
+    (round-10 advisor finding) — fail loudly instead. Footer-only reads
+    (``pq.read_schema``), O(files) metadata at any data size."""
+    import pyarrow.parquet as pq
+
+    ref_file = files[0]
+    ref = {f.name: f.type for f in pq.read_schema(ref_file)}
+    for p in files[1:]:
+        got = {f.name: f.type for f in pq.read_schema(p)}
+        if got != ref:
+            extra = sorted(set(got) - set(ref))
+            missing = sorted(set(ref) - set(got))
+            changed = sorted(n for n in set(ref) & set(got) if ref[n] != got[n])
+            raise ValueError(
+                f"convert: heterogeneous parquet footers — {p} vs {ref_file}: "
+                + (f"extra columns {extra} " if extra else "")
+                + (f"missing columns {missing} " if missing else "")
+                + (f"type-changed columns {changed} " if changed else "")
+                + "— unify the files (or convert a uniform subset) first"
+            )
+
+
 def convert_to_delta(
     spark: SparkSession,
     path: str,
@@ -2157,7 +2183,9 @@ def convert_to_delta(
             seen.add(base)
             renamed.append(src)
     data_files = renamed
+    _assert_uniform_footers(data_files)
     # table schema: data columns from one footer + typed partition cols
+    # (safe: the footer-uniformity assert above just proved they agree)
     sample = spark.read.parquet(data_files[0])
     schema = T.StructType(
         list(sample.schema.fields)

@@ -701,10 +701,20 @@ def write_iceberg(
 
     # resolve the requested spec against the (possibly evolved) schema
     spec_entries = []
+    schema_names = [f.name for f in schema.fields]
     for e in requested:
-        if e["source"] not in [f.name for f in schema.fields]:
+        if e["source"] not in schema_names:
             raise ValueError(
                 f"partition transform source {e['source']!r} not in schema"
+            )
+        if e["transform"] != "identity" and e["name"] in schema_names:
+            # the derived result column would silently OVERWRITE the
+            # real data column during staging and partitionBy would then
+            # strip it from the data files (round-10 advisor finding)
+            raise ValueError(
+                f"partition transform {e['transform']!r} derives column "
+                f"{e['name']!r}, which collides with a real schema column "
+                "— rename the data column or choose a different transform"
             )
         e = dict(e, result_dt=result_type(e, schema[e["source"]].dataType))
         spec_entries.append(e)
@@ -1476,7 +1486,9 @@ def _pick_snapshot(
     )
 
 
-def _prune_files_by_bounds(files: list[dict], meta: dict, where: str):
+def _prune_files_by_bounds(
+    files: list[dict], meta: dict, where: str, tz: str | None = "UTC"
+):
     """FILE skipping against manifest column bounds (spec fields
     125/128) and partition values: simple ``col op literal`` AND-chains
     drop files whose bounds PROVE no row matches; anything unparseable
@@ -1553,7 +1565,7 @@ def _prune_files_by_bounds(files: list[dict], meta: dict, where: str):
                 pv = pvals.get(e["name"])
                 if pv is None:
                     continue
-                tv = transform_literal(e, val, schema[col].dataType)
+                tv = transform_literal(e, val, schema[col].dataType, tz)
                 if tv is None:
                     continue
                 if not is_order_preserving(e["transform"]):
@@ -1593,7 +1605,13 @@ def read_iceberg(
     snap = _pick_snapshot(meta, snapshot_id, as_of_timestamp)
     files, delete_files = _scan_snapshot(meta, snap)
     if where and files:
-        files = _prune_files_by_bounds(files, meta, where)
+        # naive timestamp literals in `where` mean an instant in the
+        # SESSION timezone (Spark's own literal rule) — the hour/bucket
+        # transforms prune through the same zone (icetransforms.py)
+        files = _prune_files_by_bounds(
+            files, meta, where,
+            tz=spark.conf.get("spark.sql.session.timeZone", "UTC"),
+        )
     if not files:
         return spark.createDataFrame([], schema)
     # identity values reattach as data columns; TRANSFORMED partition
@@ -1760,7 +1778,10 @@ def convert_to_iceberg(
             seen.add(base)
             renamed.append(src)
     data_files = renamed
+    from .deltalog import _assert_uniform_footers
 
+    _assert_uniform_footers(data_files)
+    # safe: the footer-uniformity assert above just proved they agree
     sample = spark.read.parquet(data_files[0])
     schema = T.StructType(
         list(sample.schema.fields)

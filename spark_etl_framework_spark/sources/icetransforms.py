@@ -43,6 +43,36 @@ from pyspark.sql import types as T
 
 _EPOCH = _dt.date(1970, 1, 1)
 
+#: session-timezone names that mean plain UTC (Spark accepts all of these)
+_UTC_ALIASES = {"utc", "gmt", "z", "etc/utc", "etc/gmt", "gmt0", "utc0", "+00:00"}
+
+_OFFSET_RE = re.compile(r"^(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?$")
+
+
+def session_tzinfo(tz: str | None):
+    """Resolve a Spark ``spark.sql.session.timeZone`` value to a tzinfo,
+    or None when unresolvable (callers must then SKIP pruning — never
+    guess a zone; a wrong zone silently drops matching files).
+
+    Spark accepts region IDs (``America/Los_Angeles``), aliases
+    (``UTC``/``GMT``), and fixed offsets (``GMT+8``, ``+01:00``)."""
+    if not tz or tz.strip().lower() in _UTC_ALIASES:
+        return _dt.timezone.utc
+    name = tz.strip()
+    m = _OFFSET_RE.match(name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = _dt.timedelta(
+            hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+        )
+        return _dt.timezone(sign * delta)
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:  # noqa: BLE001 — unknown zone: caller must not prune
+        return None
+
 
 # ---------------------------------------------------------------------------
 # murmur3_x86_32 (scalar reference + numpy-vectorized 8-byte-block variant)
@@ -122,8 +152,15 @@ def murmur3_32_long_np(values):
     return h.astype(np.int32)
 
 
-def _to_hash_long(value, dt: T.DataType) -> int:
-    """Iceberg single-value hash layout for the long-widening types."""
+def _to_hash_long(value, dt: T.DataType, tz: str | None = "UTC") -> int:
+    """Iceberg single-value hash layout for the long-widening types.
+
+    ``tz`` is the Spark session timezone: a NAIVE timestamp literal in a
+    predicate is interpreted by Spark in the session zone, so the epoch
+    here must resolve through the same zone or bucket/hour pruning under
+    a non-UTC session silently drops files with matching rows (round-10
+    advisor finding). An unresolvable zone raises — the pruning caller
+    catches and keeps every file."""
     if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
         return int(value)
     if isinstance(dt, T.DateType):
@@ -137,19 +174,24 @@ def _to_hash_long(value, dt: T.DataType) -> int:
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)
         if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=_dt.timezone.utc)
+            zone = session_tzinfo(tz)
+            if zone is None:
+                raise ValueError(f"unresolvable session timezone {tz!r}")
+            ts = ts.replace(tzinfo=zone)
         return int(ts.timestamp() * 1_000_000)
     raise ValueError(f"bucket transform unsupported for {dt.simpleString()}")
 
 
-def bucket_value(value, dt: T.DataType, n: int) -> int | None:
+def bucket_value(
+    value, dt: T.DataType, n: int, tz: str | None = "UTC"
+) -> int | None:
     """Driver-side bucket of one literal (plan-time pruning)."""
     if value is None:
         return None
     if isinstance(dt, T.StringType):
         h = murmur3_32(str(value).encode("utf-8"))
     else:
-        h = murmur3_32(struct.pack("<q", _to_hash_long(value, dt)))
+        h = murmur3_32(struct.pack("<q", _to_hash_long(value, dt, tz)))
     return (h & 0x7FFFFFFF) % n
 
 
@@ -279,20 +321,31 @@ def transform_column(entry: dict, src_dt: T.DataType) -> Column:
             import numpy as np
             import pandas as pd
 
-            mask = s.isna()
-            vals = s.fillna(0).to_numpy(dtype="int64")
+            # inputs are null-free (nulls masked JVM-side below), so the
+            # Arrow batch lands as exact int64 — a null in the batch
+            # would coerce the series to float64 and corrupt |v| > 2^53
+            # (round-10 advisor finding); nullable Int64 is belt-and-
+            # braces for any float-typed arrival
+            vals = s.astype("Int64").fillna(0).to_numpy(dtype="int64")
             out = (murmur3_32_long_np(vals).astype(np.int64) & 0x7FFFFFFF) % n
-            res = pd.Series(out, dtype="Int32", index=s.index)
-            res[mask] = None
-            return res
+            return pd.Series(out, dtype="Int32", index=s.index)
 
-        return _bucket_long(as_long)
+        # null-mask OUTSIDE the UDF: the batch Spark ships stays pure
+        # int64 (no float widening), null rows get a null bucket
+        return F.when(as_long.isNull(), F.lit(None).cast("int")).otherwise(
+            _bucket_long(F.coalesce(as_long, F.lit(0)))
+        )
     raise ValueError(f"unknown transform {t!r}")
 
 
-def transform_literal(entry: dict, value, src_dt: T.DataType):
+def transform_literal(entry: dict, value, src_dt: T.DataType,
+                      tz: str | None = "UTC"):
     """Driver-side transform of a pruning literal; None = not computable
-    (never prune)."""
+    (never prune). ``tz`` is the READING session's
+    ``spark.sql.session.timeZone`` — naive timestamp literals resolve to
+    an instant through it (matching how Spark itself interprets the
+    predicate literal) before the instant-based transforms (hour,
+    bucket-on-timestamp) apply; an unresolvable zone yields None."""
     t = entry["transform"]
     if value is None:
         return None
@@ -300,7 +353,7 @@ def transform_literal(entry: dict, value, src_dt: T.DataType):
         if t == "identity":
             return value
         if t.startswith("bucket["):
-            return bucket_value(value, src_dt, entry["param"])
+            return bucket_value(value, src_dt, entry["param"], tz)
         if t.startswith("truncate["):
             w = entry["param"]
             if isinstance(value, str):
@@ -325,7 +378,10 @@ def transform_literal(entry: dict, value, src_dt: T.DataType):
             if t == "day":
                 return (d - _EPOCH).days
             if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
+                zone = session_tzinfo(tz)
+                if zone is None:  # unknown session zone: never prune
+                    return None
+                ts = ts.replace(tzinfo=zone)
             return int(ts.timestamp() // 3600)
     except (ValueError, TypeError):
         return None
