@@ -84,7 +84,9 @@ class DeltaDmlActor(_TableDmlBase):
     UPDATE, MERGE upsert, VACUUM, OPTIMIZE (purge DVs), DESCRIBE
     HISTORY into a view, and the column-mapping DDL family (round 9):
     ``enableColumnMapping``, metadata-only ``renameColumn``
-    (``oldColumn``/``newColumn``) and ``dropColumn`` (``column``)."""
+    (``oldColumn``/``newColumn``) and ``dropColumn`` (``column``);
+    ``checkpointV2`` (round 10) emits the sidecar checkpoint layout
+    (``checkpointParts``)."""
 
     useDVs: bool = False
     oldColumn: str | None = None
@@ -94,6 +96,7 @@ class DeltaDmlActor(_TableDmlBase):
     version: int | None = None
     partitionBy: str | None = None
     partitionSchema: str | None = None
+    checkpointParts: int = 1
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -173,14 +176,21 @@ class DeltaDmlActor(_TableDmlBase):
                 partition_schema=self.partitionSchema,
             )
             return None
+        if op == "checkpointv2":
+            dl.write_checkpoint_v2(loc, parts=int(self.checkpointParts))
+            return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 
 
 class IcebergDmlActor(_TableDmlBase):
     """DML on an iceberg table through the pure-Python v2 writer
     (sources/iceberg.py): merge-on-read DELETE, atomic row-delta UPDATE,
-    equality-delete MERGE, REWRITE (fold deletes), and metadata tables
-    into a view (``metadataTable``: snapshots | history | files)."""
+    equality-delete MERGE, REWRITE (fold deletes), metadata tables
+    into a view (``metadataTable``: snapshots | history | files), and
+    the snapshot-ref family (round 10): ``createTag`` / ``createBranch``
+    (``refName``, optional ``snapshotId``, ``overwriteRef``) and
+    ``dropRef`` — the spec's refs map, read back through
+    iceberg-reader ``options.tag`` / ``options.branch``."""
 
     metadataTable: str = "snapshots"
     snapshotId: int | None = None
@@ -188,6 +198,8 @@ class IcebergDmlActor(_TableDmlBase):
     retainLast: int = 1
     partitionBy: str | None = None
     partitionSchema: str | None = None
+    refName: str | None = None
+    overwriteRef: bool = False
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -231,6 +243,25 @@ class IcebergDmlActor(_TableDmlBase):
                 ),
                 retain_last=int(self.retainLast),
             )
+            return None
+        if op in ("createtag", "createbranch"):
+            if not self.refName:
+                raise ValueError(f"IcebergDmlActor: {op} needs refName")
+            ice.create_ref(
+                loc,
+                self.refName,
+                kind="tag" if op == "createtag" else "branch",
+                snapshot_id=(
+                    int(self.snapshotId) if self.snapshotId is not None
+                    else None
+                ),
+                overwrite=bool(self.overwriteRef),
+            )
+            return None
+        if op == "dropref":
+            if not self.refName:
+                raise ValueError("IcebergDmlActor: dropRef needs refName")
+            ice.drop_ref(loc, self.refName)
             return None
         if op == "convert":
             parts = [

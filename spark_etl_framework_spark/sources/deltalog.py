@@ -203,20 +203,49 @@ def _checkpoint_path(path: str, version: int) -> str:
 _CP_NAME_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.([0-9a-f][0-9a-f-]{7,}))?\.parquet$"
 )
+#: classic MULTI-PART naming ``<v>.checkpoint.<i>.<n>.parquet`` (what
+#: delta-spark emits past spark.databricks.delta.checkpoint.partSize —
+#: the layout big production tables actually carry); all-digit middle
+#: tokens cannot collide with the V2 uuid pattern above ('.' not in its
+#: character class)
+_CP_MULTI_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 
-def _find_checkpoint_file(path: str, version: int) -> str | None:
-    """Resolve the checkpoint FILE for ``version`` — classic name first,
-    else a V2 uuid-named one discovered by listing (the protocol's V2
-    discovery rule: readers find v2 checkpoints by file listing)."""
+def _checkpoint_version_of(name: str) -> int | None:
+    m = _CP_NAME_RE.match(name) or _CP_MULTI_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def _checkpoint_files(path: str, version: int) -> list[str]:
+    """Resolve the checkpoint FILE SET for ``version``: classic single
+    file, else the complete multi-part set (ordered, count-validated —
+    a partial set must fail loudly, not replay a partial table state),
+    else a V2 uuid-named top file discovered by listing (the protocol's
+    V2 discovery rule). Empty list = no checkpoint materialized."""
     classic = _checkpoint_path(path, version)
     if os.path.exists(classic):
-        return classic
-    for name in os.listdir(_log_dir(path)):
+        return [classic]
+    d = _log_dir(path)
+    parts: list[tuple[int, int, str]] = []
+    v2: str | None = None
+    for name in os.listdir(d):
+        m = _CP_MULTI_RE.match(name)
+        if m and int(m.group(1)) == version:
+            parts.append((int(m.group(2)), int(m.group(3)), os.path.join(d, name)))
+            continue
         m = _CP_NAME_RE.match(name)
         if m and m.group(2) and int(m.group(1)) == version:
-            return os.path.join(_log_dir(path), name)
-    return None
+            v2 = os.path.join(d, name)
+    if parts:
+        parts.sort()
+        n = parts[0][1]
+        if len(parts) != n or any(p[1] != n for p in parts):
+            raise ValueError(
+                f"multi-part checkpoint at version {version} is incomplete: "
+                f"found {len(parts)} of {n} declared parts"
+            )
+        return [p[2] for p in parts]
+    return [v2] if v2 else []
 
 
 def _sidecar_dir(path: str) -> str:
@@ -327,17 +356,14 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     if cp is None or cp > version:
         cp = None
         for name in os.listdir(_log_dir(path)):
-            m = _CP_NAME_RE.match(name)
-            if m:
-                v = int(m.group(1))
-                if v <= version and (cp is None or v > cp):
-                    cp = v
-    cp_file = _find_checkpoint_file(path, cp) if cp is not None and cp <= version else None
-    if cp_file is not None:
+            v = _checkpoint_version_of(name)
+            if v is not None and v <= version and (cp is None or v > cp):
+                cp = v
+    cp_files = _checkpoint_files(path, cp) if cp is not None and cp <= version else []
+    if cp_files:
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(cp_file)
-        for row in tbl.to_pylist():
+        for row in (r for f in cp_files for r in pq.read_table(f).to_pylist()):
             act = {k: v for k, v in row.items() if v is not None}
             if "checkpointMetadata" in act:
                 continue  # V2 marker row — the version is in the file name

