@@ -200,6 +200,7 @@ class IcebergDmlActor(_TableDmlBase):
     partitionSchema: str | None = None
     refName: str | None = None
     overwriteRef: bool = False
+    toRef: str = "main"
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -262,6 +263,11 @@ class IcebergDmlActor(_TableDmlBase):
             if not self.refName:
                 raise ValueError("IcebergDmlActor: dropRef needs refName")
             ice.drop_ref(loc, self.refName)
+            return None
+        if op == "fastforward":
+            if not self.refName:
+                raise ValueError("IcebergDmlActor: fastForward needs refName")
+            ice.fast_forward(loc, self.refName, to=self.toRef)
             return None
         if op == "convert":
             parts = [

@@ -175,17 +175,18 @@ def _load_all() -> None:
 #: — plus the first r3-vintage row (flatfile_positional_roundtrip).
 #:
 #: ROUND-10 WINDOW (executing the round-9 TODO): union coverage is
-#: complete (r1–r9: 299/299), so beyond the anchor and the two round-10
+#: complete (r1–r9: 299/299), so beyond the anchor and the three round-10
 #: registrations (freeze policy) every slot refreshes the OLDEST
 #: evidence, computed from the CORRECTNESS_r*.json artifacts themselves
 #: (latest-green round per query): the 2 r1-vintage rows, the 7
-#: r2-vintage rows (incl. multimodal_decode_stub, rows-only, named
-#: first in the TODO), all 12 r3-vintage rows, then 26 r4-vintage rows
+#: r2-vintage rows (incl. multimodal_decode_stub, named
+#: first in the TODO), all 12 r3-vintage rows, then 25 r4-vintage rows
 #: in registration order. A fully-green round advances the oldest
 #: evidence vintage from r1 to r4.
 #:
 #: ROUND-11 ROTATION TODO — continue the r4 vintage refresh with the r4
-#: rows this window could not fit (events_anomaly_zscore,
+#: rows this window could not fit (events_outlier_iqr,
+#: events_anomaly_zscore,
 #: events_retention_cohorts, pipeline_dedup_writeback,
 #: pipeline_containment_writeback, pipeline_validate_filter,
 #: pipeline_corpus_curation, the stream_* r4 rows,
@@ -199,6 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-10 registrations (windowed at registration — freeze policy)
     "iceberg_ref_read",
     "delta_v2_checkpoint_replay",
+    "iceberg_wap_publish",
     # r1-vintage (oldest evidence in the union)
     "scalar_math_funcs",
     "histogram_price_buckets",
@@ -249,7 +251,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_batch_join",
     "text_ngram_frequency",
     "events_funnel_ab",
-    "events_outlier_iqr",
 )
 
 

@@ -2018,6 +2018,85 @@ def iceberg_ref_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_wap_publish",
+    oracle="""
+    SELECT 0 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT 1 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 2 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on branches (round 10): main holds nation
+    minus region 2; the region-2 rows are STAGED as an append on branch
+    ``audit`` through the IcebergWriter actor's ``branch`` option (main
+    provably untouched — step 0), audited by a ref-pinned read (step 1 =
+    the full table on the branch), then PUBLISHED by the IcebergDmlActor
+    ``fastForward`` op — one metadata flip moves main to the audited
+    head (step 2). The spec's refs model is what makes WAP a zero-copy
+    pattern at 100 TB: staging shares every data file with main, and
+    publish moves a pointer (jar surface: the ``branch`` write option +
+    the ``fast_forward`` procedure; reference reader options:
+    etl/source/IcebergReader.scala:23-30)."""
+    import tempfile
+
+    from ..sinks.connectors import IcebergWriter
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import read_iceberg
+
+    jctx = JobContext(PipelineContext(), spark)
+    loc = tempfile.mkdtemp(prefix="ice_wap_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.filter("n_regionkey <> 2").coalesce(1).createOrReplaceTempView(
+        "_ice_wap_main"
+    )
+    na.filter("n_regionkey = 2").coalesce(1).createOrReplaceTempView(
+        "_ice_wap_stage"
+    )
+    IcebergWriter(view="_ice_wap_main", table=loc, mode="overwrite").run(
+        jctx, spark
+    )
+    IcebergWriter(
+        view="_ice_wap_stage", table=loc, mode="append", branch="audit"
+    ).run(jctx, spark)
+
+    def _step(step: int, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(step).alias("step"),
+            F.col("n_nationkey").cast("bigint").alias("k"),
+        )
+
+    # step 0: main is UNTOUCHED by the staged branch commit
+    out = _step(0, read_iceberg(spark, loc))
+    # step 1: the audit read sees the full table on the branch
+    r = IcebergReader(table=loc)
+    r._props["options.branch"] = "audit"
+    out = out.unionByName(_step(1, r.run(jctx, spark)))
+    # publish through the DML actor: one metadata flip
+    from ..operators.tabledml import IcebergDmlActor
+
+    IcebergDmlActor(op="fastForward", path=loc, refName="audit").run(
+        jctx, spark
+    )
+    out = out.unionByName(_step(2, read_iceberg(spark, loc)))
+    return out.groupBy("step").agg(
+        F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+    )
+
+
+@register(
     "stream_iceberg_autoload",
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

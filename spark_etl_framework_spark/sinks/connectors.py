@@ -169,6 +169,10 @@ class IcebergWriter(Actor):
     mode: str = "append"
     tablePartitionedBy: str | None = None
     view: str | None = None
+    #: write to a named branch instead of main (round 10 — the spec's
+    #: write-audit-publish staging; publish via IcebergDmlActor
+    #: fastForward). The jar path maps to its ``branch`` write option.
+    branch: str | None = None
 
     @staticmethod
     def _split_spec(s: str) -> list[str]:
@@ -204,7 +208,10 @@ class IcebergWriter(Actor):
             sort_cols = [e["source"] for e in parse_partition_spec(cols)]
             df = df.sortWithinPartitions(*sort_cols)
         try:
-            df.write.format("iceberg").mode(self.mode).save(self.table)
+            w = df.write.format("iceberg").mode(self.mode)
+            if self.branch:
+                w = w.option("branch", self.branch)
+            w.save(self.table)
         except Exception as e:  # noqa: BLE001
             target = self.table
             if not (os.sep in target or "/" in target):
@@ -218,6 +225,6 @@ class IcebergWriter(Actor):
             from ..sources.iceberg import write_iceberg
 
             write_iceberg(df, target, mode=self.mode,
-                          partition_by=cols or None)
+                          partition_by=cols or None, branch=self.branch)
             return None
         return None

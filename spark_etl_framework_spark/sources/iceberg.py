@@ -656,6 +656,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -684,6 +685,17 @@ def write_iceberg(
         raise ValueError(f"write_iceberg: unsupported mode {mode!r}")
     requested = parse_partition_spec(list(partition_by or []))
     v = current_version(loc)
+    # BRANCH WRITES (round 10 — the spec's write-audit-publish shape):
+    # the commit's base snapshot and the ref it advances are the
+    # branch's, not main's; `main` stays untouched until fast_forward
+    # publishes the audited branch head.
+    if branch == "main":
+        branch = None
+    if branch is not None and v == 0:
+        raise ValueError(
+            "write_iceberg: cannot create a table on a branch — write "
+            "main first, then branch from it"
+        )
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
 
@@ -807,15 +819,24 @@ def write_iceberg(
     fmt = meta.get("format-version", 1) if meta else 1
     new_seq = (meta.get("last-sequence-number", 0) + 1) if fmt == 2 else None
     prev: list[dict] = []
+    base_id = (meta or {}).get("current-snapshot-id", -1)
+    if branch is not None and meta:
+        r = (meta.get("refs") or {}).get(branch)
+        if r is not None:
+            if r.get("type") != "branch":
+                raise ValueError(
+                    f"write_iceberg: ref {branch!r} is a tag — tags are "
+                    "immutable; write to a branch"
+                )
+            base_id = r["snapshot-id"]
+        # a new branch forks from the current snapshot
     if (
         mode in ("append", "overwrite_partitions")
         and meta
-        and meta.get("current-snapshot-id", -1) != -1
+        and base_id != -1
     ):
         cur = next(
-            s
-            for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
+            s for s in meta["snapshots"] if s["snapshot-id"] == base_id
         )
         _schema2, _m2, prev = read_ocf(cur["manifest-list"])
     if mode == "overwrite_partitions" and prev:
@@ -912,11 +933,18 @@ def write_iceberg(
     meta["last-updated-ms"] = now_ms
     if fmt == 2:
         meta["last-sequence-number"] = new_seq
-    meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
-    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
+    if branch is not None:
+        # advance ONLY the branch ref — main (current-snapshot-id) and
+        # the snapshot-log (which tracks main per the spec) stay put
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+    else:
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
     _publish_metadata(loc, v + 1, meta)
     return snapshot_id
 
@@ -1997,6 +2025,40 @@ def create_tag(loc: str, name: str, snapshot_id: int | None = None,
 def create_branch(loc: str, name: str, snapshot_id: int | None = None,
                   overwrite: bool = False) -> int:
     return create_ref(loc, name, "branch", snapshot_id, overwrite)
+
+
+def fast_forward(loc: str, branch: str, to: str = "main") -> int:
+    """Publish a branch: move ``to`` (default the ``main`` branch, i.e.
+    ``current-snapshot-id``) to ``branch``'s head — the jar's
+    ``fast_forward`` procedure and the PUBLISH half of write-audit-
+    publish: stage commits on a branch (``write_iceberg(branch=...)``),
+    audit them with ref-pinned reads, then make them current in ONE
+    metadata flip. Metadata-only at any table size. Returns the new
+    metadata version."""
+    meta = load_metadata(loc)
+    refs = dict(meta.get("refs") or {})
+    r = refs.get(branch)
+    if r is None or r.get("type") != "branch":
+        raise ValueError(
+            f"fast_forward: {branch!r} is not a branch of the table"
+        )
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    if to == "main":
+        meta["current-snapshot-id"] = r["snapshot-id"]
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": r["snapshot-id"]}
+        ]
+    else:
+        tgt = refs.get(to)
+        if tgt is not None and tgt.get("type") != "branch":
+            raise ValueError(f"fast_forward: target {to!r} is a tag")
+        refs[to] = {"snapshot-id": r["snapshot-id"], "type": "branch"}
+        meta["refs"] = refs
+    meta["last-updated-ms"] = now_ms
+    ver = current_version(loc) + 1
+    _publish_metadata(loc, ver, meta)
+    return ver
 
 
 def drop_ref(loc: str, name: str) -> int:

@@ -95,6 +95,35 @@ def test_expire_retains_ref_targets(spark, loc):
         ice.read_iceberg(spark, loc, ref="keepme")
 
 
+def test_branch_writes_and_fast_forward_publish(spark, loc):
+    """Write-audit-publish: commits staged on a branch leave main
+    untouched; fast_forward publishes the branch head in one metadata
+    flip. Branch appends chain on the BRANCH's own history."""
+    df3 = spark.createDataFrame([(i, f"s{i}") for i in range(3)], "id int, s string")
+    ice.write_iceberg(df3.coalesce(1), loc, mode="overwrite")
+    _write(spark, loc, range(3, 5))  # main: 0..4
+    # stage two commits on a branch forked from main's head
+    dfa = spark.createDataFrame([(10, "a")], "id int, s string")
+    dfb = spark.createDataFrame([(11, "b")], "id int, s string")
+    ice.write_iceberg(dfa.coalesce(1), loc, branch="audit")
+    ice.write_iceberg(dfb.coalesce(1), loc, branch="audit")
+    assert _ids(spark, loc) == list(range(5))  # main untouched
+    assert _ids(spark, loc, ref="audit") == [0, 1, 2, 3, 4, 10, 11]
+    # a tag is immutable
+    ice.create_tag(loc, "pin")
+    with pytest.raises(ValueError, match="tag"):
+        ice.write_iceberg(dfa, loc, branch="pin")
+    # publish: main fast-forwards to the audited head
+    ice.fast_forward(loc, "audit")
+    assert _ids(spark, loc) == [0, 1, 2, 3, 4, 10, 11]
+    # the tag still pins the pre-publish state
+    assert _ids(spark, loc, ref="pin") == list(range(5))
+    with pytest.raises(ValueError, match="not a branch"):
+        ice.fast_forward(loc, "pin")
+    with pytest.raises(ValueError, match="cannot create"):
+        ice.write_iceberg(dfa, str(loc) + "_nope", branch="audit")
+
+
 def test_reader_actor_branch_and_tag_options(spark, loc, sf_dir):
     from spark_etl_framework_spark.plans.context import (
         JobContext,
