@@ -190,7 +190,12 @@ class IcebergDmlActor(_TableDmlBase):
     the snapshot-ref family (round 10): ``createTag`` / ``createBranch``
     (``refName``, optional ``snapshotId``, ``overwriteRef``) and
     ``dropRef`` — the spec's refs map, read back through
-    iceberg-reader ``options.tag`` / ``options.branch``."""
+    iceberg-reader ``options.tag`` / ``options.branch``. Round 11 adds
+    the spec's per-ref retention fields (``maxRefAgeMs``,
+    ``minSnapshotsToKeep``, ``maxSnapshotAgeMs`` on createTag/
+    createBranch — honored by ``expireSnapshots``) and ``cherrypick``
+    (``snapshotId`` or ``wapId``) — publishing a ``wap.id``-staged
+    commit onto main, the session half of write-audit-publish."""
 
     metadataTable: str = "snapshots"
     snapshotId: int | None = None
@@ -201,6 +206,10 @@ class IcebergDmlActor(_TableDmlBase):
     refName: str | None = None
     overwriteRef: bool = False
     toRef: str = "main"
+    maxRefAgeMs: int | None = None
+    minSnapshotsToKeep: int | None = None
+    maxSnapshotAgeMs: int | None = None
+    wapId: str | None = None
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -257,6 +266,28 @@ class IcebergDmlActor(_TableDmlBase):
                     else None
                 ),
                 overwrite=bool(self.overwriteRef),
+                max_ref_age_ms=(
+                    int(self.maxRefAgeMs) if self.maxRefAgeMs is not None
+                    else None
+                ),
+                min_snapshots_to_keep=(
+                    int(self.minSnapshotsToKeep)
+                    if self.minSnapshotsToKeep is not None else None
+                ),
+                max_snapshot_age_ms=(
+                    int(self.maxSnapshotAgeMs)
+                    if self.maxSnapshotAgeMs is not None else None
+                ),
+            )
+            return None
+        if op == "cherrypick":
+            ice.cherrypick_snapshot(
+                loc,
+                snapshot_id=(
+                    int(self.snapshotId) if self.snapshotId is not None
+                    else None
+                ),
+                wap_id=self.wapId,
             )
             return None
         if op == "dropref":

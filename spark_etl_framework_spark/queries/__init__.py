@@ -184,73 +184,82 @@ def _load_all() -> None:
 #: in registration order. A fully-green round advances the oldest
 #: evidence vintage from r1 to r4.
 #:
-#: ROUND-11 ROTATION TODO — continue the r4 vintage refresh with the r4
-#: rows this window could not fit (events_outlier_iqr,
-#: events_anomaly_zscore,
-#: events_retention_cohorts, pipeline_dedup_writeback,
-#: pipeline_containment_writeback, pipeline_validate_filter,
-#: pipeline_corpus_curation, the stream_* r4 rows,
-#: flatfile_positional_roundtrip, jdbc_read_roundtrip, ...), then the
-#: r5-vintage rows by age; recompute the vintage list from the
-#: CORRECTNESS artifacts at rotation time and window any round-11
-#: registrations at registration time (freeze policy).
+#: ROUND-11 WINDOW (executing the round-10 TODO): vintages recomputed
+#: this round from CORRECTNESS_r1..r10 (latest-green round per query;
+#: union coverage stays 302/302 + the 4 round-11 registrations). Beyond
+#: the anchor and the round-11 registrations (freeze policy — the
+#: ref-retention / wap-cherrypick / in-commit-timestamp / json-V2-top
+#: lifecycle rows land windowed in the registering commit), every slot
+#: refreshes the OLDEST evidence: ALL 24 remaining r4-vintage rows
+#: (events_*, pipeline_*, stream_* r4 leftovers, flatfile/jdbc/kafka
+#: roundtrips, corpus/text r4 rows), then the first 21 r5-vintage rows
+#: in registration order. A fully-green round advances the oldest
+#: evidence vintage from r4 to r5.
+#:
+#: ROUND-12 ROTATION TODO — continue the r5 refresh with the r5 rows
+#: this window could not fit (join_bloom_prefilter,
+#: events_markov_transitions, graph_pagerank_bipartite,
+#: events_outlier_mad, pipeline_pii_scrub, pipeline_scd2_writeback,
+#: pipeline_export_jsonl, pipeline_bpe_writeback, the stream_* r5 rows,
+#: corpus_chunk_dedup, corpus_unigram_surprisal, ...), then r6-vintage
+#: rows by age; recompute from the CORRECTNESS artifacts at rotation
+#: time and window any round-12 registrations at registration time
+#: (freeze policy).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # round-10 registrations (windowed at registration — freeze policy)
-    "iceberg_ref_read",
-    "delta_v2_checkpoint_replay",
-    "iceberg_wap_publish",
-    # r1-vintage (oldest evidence in the union)
-    "scalar_math_funcs",
-    "histogram_price_buckets",
-    # r2-vintage
-    "multimodal_decode_stub",
-    "window_rank_dense",
-    "window_running_sum",
-    "window_ntile_share",
-    "dedup_simhash_pairs",
-    "dedup_lsh_verified_pairs",
-    "binary_records_roundtrip",
-    # r3-vintage
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion",
-    "q22_global_sales_opportunity",
-    "text_fingerprint",
-    "text_topk_sample_per_stratum",
-    "dedup_lsh_bucket_stats",
-    "dedup_clusters",
-    "vector_norm_stats",
-    "vector_quantize_int8",
-    "pipeline_sql_transform",
-    # r4-vintage (registration order; the rest roll to round 11)
-    "udf_registered_bytes",
-    "multimodal_decode_netpbm",
-    "multimodal_audio_wav_frames",
-    "window_topk_per_group",
-    "ts_tumbling_window",
-    "text_token_stats",
-    "multimodal_binary_meta",
-    "text_quality_filter_median",
-    "text_tokenstats_pandas",
-    "text_kmv_distinct",
-    "dedup_exact",
-    "dedup_lsh_pairs",
-    "dedup_simhash",
-    "dedup_minhash_estimate_error",
-    "dedup_containment_pairs",
-    "vector_cosine_topk",
-    "vector_ann_ivf",
-    "vector_srp_buckets",
-    "vector_srp_pairs",
-    "vector_ann_recall",
-    "vector_kmeans_cells",
-    "agg_salted_two_phase",
-    "stream_batch_join",
-    "text_ngram_frequency",
-    "events_funnel_ab",
+    # round-11 registrations (windowed at registration — freeze policy)
+    "iceberg_ref_retention_expire",
+    "iceberg_wap_cherrypick",
+    "delta_incommit_timestamp",
+    "delta_v2_json_checkpoint_replay",
+    # r4-vintage (all 24 that round 10 could not fit)
+    "events_outlier_iqr",
+    "events_anomaly_zscore",
+    "events_retention_cohorts",
+    "pipeline_dedup_writeback",
+    "pipeline_containment_writeback",
+    "pipeline_validate_filter",
+    "pipeline_corpus_curation",
+    "stream_tumbling_window",
+    "stream_stateful_running_stats",
+    "stream_sliding_window_global",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_text_quality",
+    "flatfile_positional_roundtrip",
+    "jdbc_read_roundtrip",
+    "kafka_decode_roundtrip",
+    "corpus_decontaminate",
+    "text_tfidf_topk",
+    "text_pack_bins",
+    "corpus_mixture_weights",
+    "corpus_source_overlap",
+    "corpus_split_assign",
+    "text_bm25_topk",
+    "corpus_split_leakage",
+    # r5-vintage (registration order; the rest roll to round 12)
+    "agg_corr_covar",
+    "agg_mode_median_disc",
+    "multimodal_decode_bmp",
+    "multimodal_tar_index",
+    "multimodal_image_ahash",
+    "multimodal_tar_pack_roundtrip",
+    "multimodal_image_neardup_pairs",
+    "window_cume_dist_nth",
+    "window_rolling_median",
+    "ts_ewma_user_value",
+    "ts_rolling_features",
+    "ts_cusum_drift",
+    "text_quality_rules",
+    "text_countmin_freq",
+    "text_heavyhitters_mg",
+    "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "vector_semantic_dedup",
+    "vector_pq_codes",
+    "vector_pq_ann_adc",
+    "dedup_incremental_admission",
 )
 
 

@@ -3158,3 +3158,347 @@ def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "iceberg_ref_retention_expire",
+    oracle="""
+    SELECT 0 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT 1 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey NOT IN (1, 2)
+    """,
+)
+def iceberg_ref_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ref retention under expire_snapshots (round 11 — the spec's
+    ref retention fields, jar surface ``ALTER TABLE ... CREATE TAG ...
+    RETAIN``): tag ``aged`` (max-ref-age-ms=1) pins the FULL nation
+    snapshot, tag ``keeper`` (max-ref-age-ms≈forever) pins the
+    no-region-2 snapshot, then main overwrites past both. The expire
+    sweep must AGE OUT ``aged`` — removing the ref and expiring its
+    snapshot, the escape hatch round 10 lacked (refs pinned forever
+    until drop_ref) — while ``keeper`` stays and its snapshot stays
+    readable (step 0); step 1 is current main. Asserted in-query: the
+    aged ref and its snapshot are really gone (a by-id read raises), so
+    a retention regression fails loud. At 100 TB this is the disk-cost
+    story: retention bounds are metadata fields, the sweep is a
+    driver-side manifest walk, file deletes touch only orphans."""
+    import tempfile
+    import time as _time
+
+    from ..operators.tabledml import IcebergDmlActor
+    from ..sinks.connectors import IcebergWriter
+    from ..sources.connectors import IcebergReader
+    from ..sources.iceberg import load_metadata, read_iceberg
+
+    jctx = JobContext(PipelineContext(), spark)
+    loc = tempfile.mkdtemp(prefix="ice_reten_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.coalesce(1).createOrReplaceTempView("_ice_reten_v0")
+    na.filter("n_regionkey <> 2").coalesce(1).createOrReplaceTempView(
+        "_ice_reten_v1"
+    )
+    na.filter("n_regionkey NOT IN (1, 2)").coalesce(1).createOrReplaceTempView(
+        "_ice_reten_v2"
+    )
+    IcebergWriter(view="_ice_reten_v0", table=loc, mode="overwrite").run(
+        jctx, spark
+    )
+    aged_snap = load_metadata(loc)["current-snapshot-id"]
+    IcebergDmlActor(
+        op="createTag", path=loc, refName="aged", maxRefAgeMs=1
+    ).run(jctx, spark)
+    IcebergWriter(view="_ice_reten_v1", table=loc, mode="overwrite").run(
+        jctx, spark
+    )
+    IcebergDmlActor(
+        op="createTag", path=loc, refName="keeper", maxRefAgeMs=10**12
+    ).run(jctx, spark)
+    IcebergWriter(view="_ice_reten_v2", table=loc, mode="overwrite").run(
+        jctx, spark
+    )
+    _time.sleep(0.05)  # the aged tag's snapshot is now > 1 ms old
+    IcebergDmlActor(
+        op="expireSnapshots", path=loc,
+        olderThanMs=load_metadata(loc)["last-updated-ms"] + 1, retainLast=1,
+    ).run(jctx, spark)
+    meta = load_metadata(loc)
+    assert "aged" not in meta["refs"], "aged ref survived max-ref-age-ms"
+    assert "keeper" in meta["refs"], "keeper ref aged out wrongly"
+    assert not any(
+        s["snapshot-id"] == aged_snap for s in meta["snapshots"]
+    ), "aged tag's snapshot survived the sweep"
+    try:
+        read_iceberg(spark, loc, snapshot_id=aged_snap)
+        raise AssertionError("expired snapshot still readable by id")
+    except ValueError:
+        pass
+
+    outs = []
+    for step, opt, name in ((0, "options.tag", "keeper"),
+                            (1, "options.branch", "main")):
+        r = IcebergReader(table=loc)
+        r._props[opt] = name
+        outs.append(
+            r.run(jctx, spark).select(
+                F.lit(step).alias("step"),
+                F.col("n_nationkey").cast("bigint").alias("k"),
+            )
+        )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .groupBy("step")
+        .agg(F.count("*").alias("n_rows"), F.sum("k").alias("key_sum"))
+    )
+
+
+@register(
+    "iceberg_wap_cherrypick",
+    oracle="""
+    SELECT 0 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey NOT IN (2, 3)
+    UNION ALL
+    SELECT 1 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey <> 3
+    UNION ALL
+    SELECT 2 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def iceberg_wap_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via wap.id + cherry-pick (round 11 — the
+    SESSION half of WAP; round 10's fast_forward covered the branch
+    half): main holds nation minus regions {2,3}; region 2 is STAGED
+    through the IcebergWriter actor's ``wapId`` option (the jar's
+    ``spark.wap.id`` session conf) — the snapshot lands in the table
+    with NO pointer at it (step 0 proves main untouched); the audit
+    reads it by snapshot-id (step 1 = staged view); main then ADVANCES
+    independently (region 3 lands) before the IcebergDmlActor
+    ``cherrypick`` publish — which must re-apply the staged ADDED
+    manifests onto the moved main, keeping both (step 2 = full nation).
+    A second cherry-pick of the same snapshot must refuse (duplicate
+    publish), asserted in-query. At 100 TB: staging shares every data
+    file, audit is zero-copy, publish writes one manifest list + one
+    metadata flip — data never moves."""
+    import tempfile
+
+    from ..operators.tabledml import IcebergDmlActor
+    from ..sinks.connectors import IcebergWriter
+    from ..sources.iceberg import load_metadata, read_iceberg
+
+    jctx = JobContext(PipelineContext(), spark)
+    loc = tempfile.mkdtemp(prefix="ice_wapcp_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    na.filter("n_regionkey NOT IN (2, 3)").coalesce(1).createOrReplaceTempView(
+        "_ice_wapcp_main"
+    )
+    na.filter("n_regionkey = 2").coalesce(1).createOrReplaceTempView(
+        "_ice_wapcp_stage"
+    )
+    na.filter("n_regionkey = 3").coalesce(1).createOrReplaceTempView(
+        "_ice_wapcp_late"
+    )
+    IcebergWriter(view="_ice_wapcp_main", table=loc, mode="overwrite").run(
+        jctx, spark
+    )
+    base = load_metadata(loc)["current-snapshot-id"]
+    IcebergWriter(
+        view="_ice_wapcp_stage", table=loc, mode="append", wapId="audit-7"
+    ).run(jctx, spark)
+    meta = load_metadata(loc)
+    assert meta["current-snapshot-id"] == base, "wap staging moved main"
+    staged = next(
+        s["snapshot-id"] for s in meta["snapshots"]
+        if (s.get("summary") or {}).get("wap.id") == "audit-7"
+    )
+
+    def _step(step: int, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(step).alias("step"),
+            F.col("n_nationkey").cast("bigint").alias("k"),
+        )
+
+    out = _step(0, read_iceberg(spark, loc))  # main untouched
+    out = out.unionByName(
+        _step(1, read_iceberg(spark, loc, snapshot_id=staged))  # audit
+    )
+    # main advances INDEPENDENTLY before publish
+    IcebergWriter(view="_ice_wapcp_late", table=loc, mode="append").run(
+        jctx, spark
+    )
+    IcebergDmlActor(op="cherrypick", path=loc, wapId="audit-7").run(
+        jctx, spark
+    )
+    try:
+        IcebergDmlActor(op="cherrypick", path=loc, snapshotId=staged).run(
+            jctx, spark
+        )
+        raise AssertionError("duplicate cherry-pick did not refuse")
+    except ValueError:
+        pass
+    out = out.unionByName(_step(2, read_iceberg(spark, loc)))
+    return out.groupBy("step").agg(
+        F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+    )
+
+
+@register(
+    "delta_incommit_timestamp",
+    oracle="""
+    SELECT 0 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT 1 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def delta_incommit_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (round 11 — the ``inCommitTimestamp`` writer
+    feature, PROTOCOL.md § In-Commit Timestamps; what current
+    delta-spark writers enable on managed tables): nation minus region 2
+    lands, the table upgrades (protocol 3/7 + enablement properties,
+    each asserted), region 2 lands with a monotonic ICT in its
+    commitInfo — and then STORAGE DRIFT is simulated: every commit
+    file's mtime and legacy ``commitInfo.timestamp`` are rewritten to
+    epoch-1970 garbage, exactly what S3 copy-migrations and log
+    rewrites do. Timestamp time-travel must follow the ICT chain —
+    step 0 (asOf ict-1) is the pre-append state, step 1 (asOf ict) the
+    full table; an mtime- or timestamp-field-based resolution returns
+    the wrong version's rows here. At 100 TB: ICT makes timestamp
+    travel exact and storage-independent, one int per commit."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_ict_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    _dl.write_delta(
+        na.filter("n_regionkey <> 2").coalesce(1), tbl, mode="overwrite"
+    )
+    v_en = _dl.enable_in_commit_timestamps(tbl)
+    _dl.write_delta(na.filter("n_regionkey = 2").coalesce(1), tbl, mode="append")
+    v_last = _dl.latest_version(tbl)
+    snap = _dl.snapshot(tbl)
+    assert "inCommitTimestamp" in (
+        snap.protocol.get("writerFeatures") or []
+    ), "writer feature not installed"
+    conf = snap.configuration
+    assert conf.get("delta.enableInCommitTimestamps") == "true"
+    assert conf.get("delta.inCommitTimestampEnablementVersion") == str(v_en)
+    icts = [_dl._ict_of_commit(tbl, v) for v in range(v_en, v_last + 1)]
+    assert all(t is not None for t in icts) and icts == sorted(icts), (
+        "ICT chain not monotonic"
+    )
+    ict_last = icts[-1]
+    # storage drift: scramble mtimes AND the legacy timestamp field
+    for v in range(v_last + 1):
+        p = _dl._commit_path(tbl, v)
+        acts = [
+            _json.loads(x) for x in open(p, encoding="utf-8") if x.strip()
+        ]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = 1_000
+        with open(p, "w", encoding="utf-8") as fh:
+            for a in acts:
+                fh.write(_json.dumps(a, separators=(",", ":")) + "\n")
+        _os.utime(p, (1.0, 1.0))
+
+    def _step(step: int, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(step).alias("step"),
+            F.col("n_nationkey").cast("bigint").alias("k"),
+        )
+
+    out = _step(0, _dl.read_delta(spark, tbl, timestamp_as_of=ict_last - 1))
+    out = out.unionByName(
+        _step(1, _dl.read_delta(spark, tbl, timestamp_as_of=ict_last))
+    )
+    return out.groupBy("step").agg(
+        F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+    )
+
+
+@register(
+    "delta_v2_json_checkpoint_replay",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    WHERE n_nationkey <> 5
+    GROUP BY n_regionkey
+    """,
+)
+def delta_v2_json_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoint with a JSON top file (round 11, ADVICE fix —
+    PROTOCOL.md § V2 Spec Checkpoints allows ``<v>.checkpoint.<uuid>.json``
+    alongside the parquet naming; a reader that only matches
+    ``.parquet`` silently ignores such a table's checkpoint and dies
+    with FileNotFoundError once the pre-checkpoint commits are
+    cleaned): nation lands as two commits + a DV delete, the checkpoint
+    is written with a JSON top (newline-delimited actions in commit
+    shape, maps as real JSON objects) pointing at TWO parquet sidecars,
+    every pre-checkpoint commit is DELETED, and the read must walk
+    json top → sidecars → DV. Same million-file scale story as the
+    parquet top: sidecar parts read independently."""
+    import os as _os
+    import tempfile
+
+    from ..sources import deltalog as _dl
+    from ..sources.connectors import DeltaReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_v2json_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    _dl.write_delta(
+        na.filter("n_nationkey < 20").coalesce(1), tbl, mode="overwrite",
+        partition_by=["n_regionkey"],
+    )
+    _dl.write_delta(
+        na.filter("n_nationkey >= 20").coalesce(1), tbl, mode="append",
+        partition_by=["n_regionkey"],
+    )
+    _dl.delete_where(spark, tbl, "n_nationkey = 5", use_dvs=True)
+    v = _dl.write_checkpoint_v2(tbl, parts=2, top_format="json")
+    log = _os.path.join(tbl, "_delta_log")
+    assert any(
+        _dl._CP_V2_JSON_RE.match(n) for n in _os.listdir(log)
+    ), "no json-named V2 checkpoint top emitted"
+    assert len(_os.listdir(_dl._sidecar_dir(tbl))) == 2, "sidecar split lost"
+    removed = _dl.clean_log(tbl)  # drop every pre-checkpoint JSON commit
+    assert removed == v, f"expected {v} pruned commits, got {removed}"
+
+    out = DeltaReader(path=tbl).run(jctx, spark)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )

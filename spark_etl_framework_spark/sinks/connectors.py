@@ -173,6 +173,11 @@ class IcebergWriter(Actor):
     #: write-audit-publish staging; publish via IcebergDmlActor
     #: fastForward). The jar path maps to its ``branch`` write option.
     branch: str | None = None
+    #: STAGE the commit under a wap.id instead of publishing (round 11 —
+    #: the spec's session half of write-audit-publish, the jar's
+    #: ``spark.wap.id``); publish via IcebergDmlActor cherrypick. The
+    #: jar path maps to the session conf.
+    wapId: str | None = None
 
     @staticmethod
     def _split_spec(s: str) -> list[str]:
@@ -208,10 +213,19 @@ class IcebergWriter(Actor):
             sort_cols = [e["source"] for e in parse_partition_spec(cols)]
             df = df.sortWithinPartitions(*sort_cols)
         try:
-            w = df.write.format("iceberg").mode(self.mode)
-            if self.branch:
-                w = w.option("branch", self.branch)
-            w.save(self.table)
+            if self.wapId:
+                # the jar stages wap.id commits via THIS session conf
+                # (plus write.wap.enabled on the table) — set it for the
+                # write so a jar session stages instead of publishing
+                spark.conf.set("spark.wap.id", str(self.wapId))
+            try:
+                w = df.write.format("iceberg").mode(self.mode)
+                if self.branch:
+                    w = w.option("branch", self.branch)
+                w.save(self.table)
+            finally:
+                if self.wapId:
+                    spark.conf.unset("spark.wap.id")
         except Exception as e:  # noqa: BLE001
             target = self.table
             if not (os.sep in target or "/" in target):
@@ -225,6 +239,7 @@ class IcebergWriter(Actor):
             from ..sources.iceberg import write_iceberg
 
             write_iceberg(df, target, mode=self.mode,
-                          partition_by=cols or None, branch=self.branch)
+                          partition_by=cols or None, branch=self.branch,
+                          wap_id=self.wapId)
             return None
         return None

@@ -221,8 +221,25 @@ class IcebergReader(Actor):
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.table:
             raise ValueError("IcebergReader: 'table' required")
+        opts = {
+            k.split(".", 1)[1]: str(v)
+            for k, v in self._props.items()
+            if k.startswith("options.")
+        }
+        # branch vs tag exclusivity holds on BOTH paths — checked before
+        # either read so a jar session can't silently take both
+        if "branch" in opts and "tag" in opts:
+            raise ValueError(
+                "IcebergReader: pass options.branch OR options.tag, "
+                "not both"
+            )
         try:
-            df = spark.read.format("iceberg").load(self.table)
+            # every option folds into the jar read exactly as the
+            # reference does (etl/source/IcebergReader.scala:26's foldLeft
+            # over options) — a ref-pinned or time-travel read must never
+            # silently return the current snapshot because the jar path
+            # ignored its options
+            df = spark.read.format("iceberg").options(**opts).load(self.table)
             df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
         except Exception as e:  # noqa: BLE001
             target = self.table
@@ -239,18 +256,13 @@ class IcebergReader(Actor):
                 target = entry["location"]
             from .iceberg import read_iceberg
 
-            sid = self._props.get("options.snapshotId")
-            ts = self._props.get("options.asOfTimestamp")
+            sid = opts.get("snapshotId")
+            ts = opts.get("asOfTimestamp")
             # branch/tag read options (the jar's ref-pinned reads —
             # reference: etl/source/IcebergReader.scala:23-30) resolve
             # through the metadata refs map (iceberg.py:create_ref)
-            branch = self._props.get("options.branch")
-            tag = self._props.get("options.tag")
-            if branch is not None and tag is not None:
-                raise ValueError(
-                    "IcebergReader: pass options.branch OR options.tag, "
-                    "not both"
-                )
+            branch = opts.get("branch")
+            tag = opts.get("tag")
             # filter= rides into the native read as `where`, which also
             # DATA-SKIPS: files prune against manifest column bounds
             # before the scan plans (iceberg.py:_prune_files_by_bounds)

@@ -72,6 +72,27 @@ class DeltaConcurrentModification(RuntimeError):
     """Another writer committed this version first (optimistic concurrency)."""
 
 
+class DeltaUnsupportedProtocol(RuntimeError):
+    """The table's protocol demands reader capabilities this module does
+    not implement — reading anyway could silently return wrong rows
+    (PROTOCOL.md: readers MUST refuse, not degrade)."""
+
+
+#: reader features this module actually implements (PROTOCOL.md Reader
+#: Version Requirements): columnMapping (physical-name resolution),
+#: deletionVectors (roaring-bitmap subtraction), v2Checkpoint (uuid tops
+#: + sidecars), timestampNtz (Spark 4 reads TIMESTAMP_NTZ natively),
+#: vacuumProtocolCheck (reader side is a no-op by definition). Anything
+#: else (typeWidening, variantType, v3 features, …) must refuse loudly —
+#: e.g. typeWidening read without widening logic returns wrong values
+#: from pre-widening files.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "deletionVectors", "v2Checkpoint", "timestampNtz",
+     "vacuumProtocolCheck"}
+)
+_MAX_READER_VERSION = 3
+
+
 # ---------------------------------------------------------------------------
 # snapshot model
 # ---------------------------------------------------------------------------
@@ -103,6 +124,12 @@ class Snapshot:
     protocol: dict = field(
         default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
     )
+    #: live domainMetadata actions keyed by domain (PROTOCOL.md § Domain
+    #: Metadata — what liquid clustering rides on): readers need not
+    #: UNDERSTAND a domain, but checkpoints MUST restate the latest
+    #: per-domain action or log cleanup silently strips another engine's
+    #: clustering/monitoring state from the table
+    domain_metadata: dict[str, dict] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -209,10 +236,22 @@ _CP_NAME_RE = re.compile(
 #: tokens cannot collide with the V2 uuid pattern above ('.' not in its
 #: character class)
 _CP_MULTI_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+#: the V2 top file may ALSO be JSON — ``<v>.checkpoint.<uuid>.json``
+#: (PROTOCOL.md § V2 Spec Checkpoints allows either; a json top holds the
+#: same actions newline-delimited). Ignoring it would silently fall back
+#: to full JSON replay and then FileNotFoundError once pre-checkpoint
+#: commits are cleaned — so it is a first-class naming here
+_CP_V2_JSON_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-f][0-9a-f-]{7,})\.json$"
+)
 
 
 def _checkpoint_version_of(name: str) -> int | None:
-    m = _CP_NAME_RE.match(name) or _CP_MULTI_RE.match(name)
+    m = (
+        _CP_NAME_RE.match(name)
+        or _CP_MULTI_RE.match(name)
+        or _CP_V2_JSON_RE.match(name)
+    )
     return int(m.group(1)) if m else None
 
 
@@ -235,6 +274,10 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
             continue
         m = _CP_NAME_RE.match(name)
         if m and m.group(2) and int(m.group(1)) == version:
+            v2 = os.path.join(d, name)
+            continue
+        m = _CP_V2_JSON_RE.match(name)
+        if m and int(m.group(1)) == version:
             v2 = os.path.join(d, name)
     if parts:
         parts.sort()
@@ -279,14 +322,24 @@ def _read_last_checkpoint(path: str) -> int | None:
 
 
 def _commit_timestamp(path: str, version: int) -> int:
-    """Commit time in epoch-ms: commitInfo.timestamp, else file mtime."""
+    """Commit time in epoch-ms: ``commitInfo.inCommitTimestamp`` when the
+    commit carries one (the ``inCommitTimestamp`` writer feature —
+    PROTOCOL.md § In-Commit Timestamps: once enabled, THIS field is the
+    authoritative, monotonic commit time and readers must ignore the
+    file's modification time and the legacy ``timestamp`` field, both of
+    which storage can rewrite), else ``commitInfo.timestamp``, else file
+    mtime."""
     p = _commit_path(path, version)
     try:
         with open(p, encoding="utf-8") as fh:
             for line in fh:
                 act = json.loads(line)
                 if "commitInfo" in act:
-                    ts = act["commitInfo"].get("timestamp")
+                    ci = act["commitInfo"]
+                    ict = ci.get("inCommitTimestamp")
+                    if ict is not None:
+                        return int(ict)
+                    ts = ci.get("timestamp")
                     if ts is not None:
                         return int(ts)
     except OSError:
@@ -333,6 +386,54 @@ def _apply_action(snap: Snapshot, act: dict, adds: dict) -> None:
         t = act["txn"]
         prev = snap.txns.get(t["appId"], -1)
         snap.txns[t["appId"]] = max(prev, int(t["version"]))
+    elif "domainMetadata" in act:
+        d = act["domainMetadata"]
+        if d.get("removed"):
+            snap.domain_metadata.pop(d["domain"], None)
+        else:
+            snap.domain_metadata[d["domain"]] = {
+                "domain": d["domain"],
+                "configuration": d.get("configuration", ""),
+                "removed": False,
+            }
+
+
+#: the action columns a snapshot replay consumes — everything else a
+#: foreign writer may have checkpointed (commitInfo, domainMetadata, …)
+#: is skipped AT THE SCAN by column projection
+_CP_ACTION_COLUMNS = (
+    "add", "remove", "metaData", "protocol", "txn", "domainMetadata",
+    "sidecar", "checkpointMetadata",
+)
+
+
+def _iter_checkpoint_actions(
+    f: str, columns: tuple[str, ...] = _CP_ACTION_COLUMNS
+):
+    """Stream one checkpoint (or sidecar) file's actions WITHOUT
+    materializing the file: JSON V2 tops read line-wise; parquet reads
+    are COLUMN-PROJECTED to the action columns and batch-iterated
+    (pyarrow ``iter_batches``), so a million-file checkpoint replays as
+    bounded batches instead of one driver-side pylist of every row —
+    the metadata walk stays bounded by batch size, not table size."""
+    if f.endswith(".json"):
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    act = json.loads(line)
+                    yield {k: v for k, v in act.items() if v is not None}
+        return
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f)
+    names = set(pf.schema_arrow.names)
+    cols = [c for c in columns if c in names]
+    if not cols:
+        return
+    for batch in pf.iter_batches(columns=cols, batch_size=4096):
+        for row in batch.to_pylist():
+            yield {k: v for k, v in row.items() if v is not None}
 
 
 def snapshot(path: str, version: int | None = None) -> Snapshot:
@@ -361,10 +462,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                 cp = v
     cp_files = _checkpoint_files(path, cp) if cp is not None and cp <= version else []
     if cp_files:
-        import pyarrow.parquet as pq
-
-        for row in (r for f in cp_files for r in pq.read_table(f).to_pylist()):
-            act = {k: v for k, v in row.items() if v is not None}
+        for act in (a for f in cp_files for a in _iter_checkpoint_actions(f)):
             if "checkpointMetadata" in act:
                 continue  # V2 marker row — the version is in the file name
             sc = act.get("sidecar")
@@ -379,8 +477,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                     if os.path.isabs(p)
                     else os.path.join(_sidecar_dir(path), os.path.basename(p))
                 )
-                for srow in pq.read_table(sc_path).to_pylist():
-                    sact = {k: v for k, v in srow.items() if v is not None}
+                for sact in _iter_checkpoint_actions(sc_path):
                     _apply_action(snap, sact, adds)
                 continue
             _apply_action(snap, act, adds)
@@ -394,6 +491,30 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                     _apply_action(snap, json.loads(line), adds)
 
     snap.files = sorted(adds.values(), key=lambda a: a.path)
+    # protocol gate (PROTOCOL.md Reader Version Requirements): a reader
+    # MUST refuse — not degrade — when the table demands capabilities it
+    # lacks; e.g. typeWidening read without widening logic returns wrong
+    # values from pre-widening files. Mirrors the iceberg
+    # format-version bound (round 10).
+    mrv = int(snap.protocol.get("minReaderVersion", 1))
+    if mrv > _MAX_READER_VERSION:
+        raise DeltaUnsupportedProtocol(
+            f"delta table {path} requires minReaderVersion {mrv}; this "
+            f"reader implements up to {_MAX_READER_VERSION} — refusing "
+            "rather than silently misreading (PROTOCOL.md Reader Version "
+            "Requirements)"
+        )
+    unknown = set(snap.protocol.get("readerFeatures") or []) - (
+        _SUPPORTED_READER_FEATURES
+    )
+    if unknown:
+        raise DeltaUnsupportedProtocol(
+            f"delta table {path} requires reader features "
+            f"{sorted(unknown)} this reader does not implement "
+            f"(supported: {sorted(_SUPPORTED_READER_FEATURES)}) — "
+            "refusing rather than silently misreading (PROTOCOL.md "
+            "Reader Version Requirements)"
+        )
     return snap
 
 
@@ -732,10 +853,73 @@ def read_delta(
 # ---------------------------------------------------------------------------
 
 
+def _ict_of_commit(path: str, version: int) -> int | None:
+    """``inCommitTimestamp`` of a committed version's commitInfo, or None
+    when the commit is missing (checkpointed away) or pre-ICT."""
+    p = _commit_path(path, version)
+    try:
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    ict = act["commitInfo"].get("inCommitTimestamp")
+                    return int(ict) if ict is not None else None
+    except OSError:
+        return None
+    return None
+
+
+def _maybe_stamp_ict(path: str, version: int, actions: list[dict]) -> list[dict]:
+    """Enforce the ``inCommitTimestamp`` writer feature at the ONE commit
+    funnel (PROTOCOL.md § In-Commit Timestamps): when the table property
+    ``delta.enableInCommitTimestamps`` is on, every commit's commitInfo
+    must be the FIRST action and carry ``inCommitTimestamp`` strictly
+    greater than the previous commit's. Enablement is read from this
+    commit's own metaData action when it restates the table, else from
+    the previous commit (ICT present ⇒ enabled), else — when log cleanup
+    removed the previous commit — from the snapshot's configuration.
+    A caller-preset inCommitTimestamp is respected (the enablement commit
+    pins its own so ``delta.inCommitTimestampEnablementTimestamp`` can
+    equal it exactly)."""
+    conf = None
+    for a in actions:
+        if "metaData" in a:
+            c = a["metaData"].get("configuration") or {}
+            conf = dict(c) if not isinstance(c, dict) else c
+    prev_ict = _ict_of_commit(path, version - 1) if version > 0 else None
+    if conf is not None:
+        enabled = str(
+            conf.get("delta.enableInCommitTimestamps", "false")
+        ).lower() == "true"
+    elif prev_ict is not None:
+        enabled = True
+    elif version > 0 and not os.path.exists(_commit_path(path, version - 1)):
+        try:
+            snap_conf = snapshot(path, version - 1).configuration
+        except (OSError, ValueError):
+            return actions
+        enabled = str(
+            snap_conf.get("delta.enableInCommitTimestamps", "false")
+        ).lower() == "true"
+    else:
+        enabled = False
+    if not enabled:
+        return actions
+    ci = next((a for a in actions if "commitInfo" in a), None)
+    rest = [a for a in actions if "commitInfo" not in a]
+    info = dict(ci["commitInfo"]) if ci else {"timestamp": int(time.time() * 1000)}
+    if info.get("inCommitTimestamp") is None:
+        info["inCommitTimestamp"] = max(
+            int(time.time() * 1000), (prev_ict or 0) + 1
+        )
+    return [{"commitInfo": info}] + rest
+
+
 def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic exclusive create of the commit file via hard link —
     optimistic concurrency exactly as the spec requires of a filesystem
     LogStore: two writers racing version N -> exactly one wins."""
+    actions = _maybe_stamp_ict(path, version, actions)
     d = _log_dir(path)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".{uuid.uuid4().hex}.json.tmp")
@@ -1453,8 +1637,9 @@ def table_changes(
             )
         acts = [json.loads(x) for x in open(cp, encoding="utf-8") if x.strip()]
         ts = next(
-            (a["commitInfo"].get("timestamp") for a in acts
-             if "commitInfo" in a), None,
+            (a["commitInfo"].get("inCommitTimestamp",
+                                 a["commitInfo"].get("timestamp"))
+             for a in acts if "commitInfo" in a), None,
         )
         snap_v = snapshot(path, v)
         ptypes = {f.name: f.dataType for f in snap_v.schema.fields}
@@ -2029,6 +2214,110 @@ def enable_column_mapping(path: str) -> int:
         {"properties": json.dumps({"delta.columnMapping.mode": "name"})},
         protocol={"minReaderVersion": 2, "minWriterVersion": 5},
     )
+
+
+def enable_in_commit_timestamps(path: str) -> int:
+    """Upgrade an existing table to the ``inCommitTimestamp`` writer
+    feature (PROTOCOL.md § In-Commit Timestamps — what a current
+    delta-spark writer enables on managed tables): one metadata-only
+    commit installs the writer feature (protocol 3/7, implied features
+    restated), sets ``delta.enableInCommitTimestamps=true`` plus the two
+    enablement properties the protocol requires when the feature turns on
+    after table creation — ``delta.inCommitTimestampEnablementVersion``
+    (this commit's version) and ``delta.inCommitTimestampEnablementTimestamp``
+    (this commit's own inCommitTimestamp, pinned here so they are equal
+    by construction). Every later commit is stamped automatically at the
+    commit funnel (_maybe_stamp_ict); timestamp time-travel then follows
+    the monotonic ICT chain for versions >= the enablement version and
+    file times before it. Returns the committed version. Idempotent."""
+    snap = snapshot(path)
+    if str(
+        snap.configuration.get("delta.enableInCommitTimestamps", "false")
+    ).lower() == "true":
+        return snap.version  # already enabled — idempotent
+    version = latest_version(path) + 1
+    prev_ict = _ict_of_commit(path, version - 1)
+    ict = max(int(time.time() * 1000), (prev_ict or 0) + 1)
+    upgrade = _protocol_upgrade_actions(
+        snap, writer_only=("inCommitTimestamp",)
+    )
+    conf = dict(snap.configuration)
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestampEnablementVersion"] = str(version)
+    conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ict,
+                "inCommitTimestamp": ict,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.enableInCommitTimestamps": "true"}
+                    )
+                },
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        },
+        upgrade[1],  # the protocol action (upgrade[0] is its commitInfo)
+        {
+            "metaData": {
+                "id": snap.metadata_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+            }
+        },
+    ]
+    _publish_commit(path, version, actions)
+    return version
+
+
+def set_domain_metadata(
+    path: str, domain: str, configuration: str, removed: bool = False
+) -> int:
+    """Set (or, with ``removed=True``, tombstone) a domainMetadata action
+    — PROTOCOL.md § Domain Metadata, the writer feature liquid
+    clustering's state rides on (domain ``delta.clustering`` carrying
+    the clustering column set): one metadata-only commit installs the
+    ``domainMetadata`` writer feature if absent and records the latest
+    per-domain configuration; checkpoints restate live domains so log
+    cleanup never strips them. ``delta.*`` domains are system-reserved —
+    this module writes them only through its own helpers, but a FOREIGN
+    table's system domains are preserved verbatim through checkpoint /
+    replay (the reader-side obligation). Returns the committed
+    version."""
+    snap = snapshot(path)
+    if "domainMetadata" in (snap.protocol.get("writerFeatures") or []):
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                    "engineInfo": (
+                        "spark-etl-framework-spark/pure-python-deltalog"
+                    ),
+                }
+            }
+        ]
+    else:
+        actions = _protocol_upgrade_actions(
+            snap, writer_only=("domainMetadata",)
+        )
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": configuration,
+                "removed": bool(removed),
+            }
+        }
+    )
+    version = latest_version(path) + 1
+    _publish_commit(path, version, actions)
+    return version
 
 
 def rename_column(path: str, old: str, new: str) -> int:
@@ -2621,6 +2910,16 @@ def _checkpoint_pa_fields() -> dict:
                     ]
                 ),
             ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     }
 
@@ -2656,6 +2955,13 @@ def _checkpoint_rows(snap: Snapshot) -> tuple[list[dict], list[dict]]:
     meta_rows.extend(
         {"txn": {"appId": app, "version": v}} for app, v in sorted(snap.txns.items())
     )
+    # PROTOCOL.md § Domain Metadata: checkpoints restate the latest
+    # non-removed action per domain — dropping them here would strip
+    # another engine's clustering/monitoring state on log cleanup
+    meta_rows.extend(
+        {"domainMetadata": dm}
+        for _, dm in sorted(snap.domain_metadata.items())
+    )
     add_rows = [
         {
             "add": {
@@ -2688,7 +2994,10 @@ def _write_checkpoint(path: str, version: int) -> None:
 
     snap = snapshot(path, version)
     fields = _checkpoint_pa_fields()
-    schema = pa.schema([fields[k] for k in ("txn", "add", "metaData", "protocol")])
+    schema = pa.schema(
+        [fields[k] for k in
+         ("txn", "add", "metaData", "protocol", "domainMetadata")]
+    )
     meta_rows, add_rows = _checkpoint_rows(snap)
     rows = meta_rows + add_rows
     tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -2699,7 +3008,9 @@ def _write_checkpoint(path: str, version: int) -> None:
     _write_last_checkpoint(path, version, len(rows))
 
 
-def write_checkpoint_v2(path: str, parts: int = 1) -> int:
+def write_checkpoint_v2(
+    path: str, parts: int = 1, top_format: str = "parquet"
+) -> int:
     """V2 (sidecar) checkpoint — PROTOCOL.md § V2 Spec Checkpoints, the
     format modern delta writers emit on feature-rich tables and the
     likeliest real-world encounter for a reader (round-9 judge order
@@ -2715,10 +3026,22 @@ def write_checkpoint_v2(path: str, parts: int = 1) -> int:
     on a legacy protocol gets ONE protocol-upgrade commit first (reader
     3 / writer 7 with every implicitly-enabled legacy feature restated —
     the protocol's upgrade rule), so jar readers know to look for the V2
-    naming. Returns the version the checkpoint covers."""
+    naming.
+
+    ``top_format`` picks the top file's encoding: ``parquet`` (the
+    default, what delta-spark emits) or ``json`` — the protocol's other
+    legal V2 top naming ``<v>.checkpoint.<uuid>.json``, the same actions
+    newline-delimited in commit-file shape. Sidecars are ALWAYS parquet
+    (the protocol allows nothing else). Returns the version the
+    checkpoint covers."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if top_format not in ("parquet", "json"):
+        raise ValueError(
+            f"write_checkpoint_v2: top_format must be parquet|json, "
+            f"got {top_format!r}"
+        )
     version = latest_version(path)
     if version < 0:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -2756,6 +3079,46 @@ def write_checkpoint_v2(path: str, parts: int = 1) -> int:
         )
         if not add_rows:
             break
+    if top_format == "json":
+        # commit-file-shaped actions: maps are real JSON objects (the
+        # parquet rows carry them as kv-pair lists for Arrow map columns)
+        def _as_json_action(row: dict) -> dict:
+            ((k, body),) = row.items()
+            if not isinstance(body, dict):
+                return {k: body}
+            fixed = {}
+            for kk, vv in body.items():
+                if vv is None:
+                    continue
+                # metaData.configuration / add.partitionValues are MAP
+                # columns (kv-pair lists in parquet shape); note
+                # domainMetadata.configuration is a plain STRING — only
+                # list-shaped values convert
+                if kk in ("partitionValues", "configuration") and isinstance(
+                    vv, (list, tuple)
+                ):
+                    fixed[kk] = dict(vv)
+                elif kk == "format" and isinstance(vv, dict):
+                    fixed[kk] = dict(vv, options=dict(vv.get("options") or {}))
+                else:
+                    fixed[kk] = vv
+            return {k: fixed}
+
+        cp = os.path.join(
+            _log_dir(path), f"{version:020d}.checkpoint.{uuid.uuid4().hex}.json"
+        )
+        tmp = cp + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for act in (
+                [{"checkpointMetadata": {"version": version}}]
+                + [_as_json_action(r) for r in meta_rows]
+                + sidecar_rows
+            ):
+                fh.write(json.dumps(act, separators=(",", ":")) + "\n")
+        os.replace(tmp, cp)
+        _write_last_checkpoint(path, version, 1 + len(meta_rows)
+                               + len(sidecar_rows) + len(add_rows))
+        return version
     top_schema = pa.schema(
         [
             pa.field(
@@ -2773,7 +3136,7 @@ def write_checkpoint_v2(path: str, parts: int = 1) -> int:
                 ),
             ),
         ]
-        + [fields[k] for k in ("txn", "metaData", "protocol")]
+        + [fields[k] for k in ("txn", "metaData", "protocol", "domainMetadata")]
     )
     top_rows = (
         [{"checkpointMetadata": {"version": version}}] + meta_rows + sidecar_rows
@@ -2801,10 +3164,14 @@ _IMPLIED_WRITER_FEATURES = {
 _IMPLIED_READER_FEATURES = {2: ("columnMapping",)}
 
 
-def _protocol_upgrade_actions(snap: Snapshot, *features: str) -> list[dict]:
+def _protocol_upgrade_actions(
+    snap: Snapshot, *features: str, writer_only: tuple[str, ...] = ()
+) -> list[dict]:
     """commitInfo + protocol actions upgrading ``snap``'s protocol to
-    table features (3/7) with ``features`` added and every implicitly-
-    enabled legacy feature restated."""
+    table features (3/7) with ``features`` added (to BOTH feature lists)
+    and ``writer_only`` features added to writerFeatures alone (e.g.
+    ``inCommitTimestamp`` — old readers stay compatible), every
+    implicitly-enabled legacy feature restated."""
     rfeat = set(snap.protocol.get("readerFeatures") or [])
     wfeat = set(snap.protocol.get("writerFeatures") or [])
     mrv = int(snap.protocol.get("minReaderVersion", 1))
@@ -2818,12 +3185,15 @@ def _protocol_upgrade_actions(snap: Snapshot, *features: str) -> list[dict]:
                 rfeat.update(fs)
     rfeat.update(features)
     wfeat.update(features)
+    wfeat.update(writer_only)
     return [
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
                 "operation": "UPGRADE PROTOCOL",
-                "operationParameters": {"features": json.dumps(sorted(features))},
+                "operationParameters": {
+                    "features": json.dumps(sorted({*features, *writer_only}))
+                },
                 "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
             }
         },
@@ -2838,9 +3208,21 @@ def _protocol_upgrade_actions(snap: Snapshot, *features: str) -> list[dict]:
     ]
 
 
-def clean_log(path: str, keep_from_version: int | None = None) -> int:
+def clean_log(
+    path: str,
+    keep_from_version: int | None = None,
+    expire_checkpoints: bool = False,
+) -> int:
     """Delete JSON commits already folded into a checkpoint (metadata
-    retention — the log-cleanup half of VACUUM). Returns files removed."""
+    retention — the log-cleanup half of VACUUM), plus any ``_sidecars/``
+    part no surviving checkpoint references (a crashed V2 writer's
+    leftovers; on a million-file table sidecars are the bulk of the
+    log's disk). ``expire_checkpoints=True`` additionally deletes
+    SUPERSEDED checkpoints below the cutoff (classic, multi-part and V2
+    tops) — their sidecars then reclaim as orphans — at the documented
+    cost that time travel to those exact versions dies with them (the
+    jar's log-retention trade; default False keeps them replayable).
+    Returns total files removed."""
     cp = _read_last_checkpoint(path)
     if cp is None:
         return 0
@@ -2851,6 +3233,30 @@ def clean_log(path: str, keep_from_version: int | None = None) -> int:
         if os.path.exists(p):
             os.unlink(p)
             removed += 1
+    d = _log_dir(path)
+    survivors: list[str] = []
+    for name in sorted(os.listdir(d)):
+        v = _checkpoint_version_of(name)
+        if v is None:
+            continue
+        if expire_checkpoints and v < cutoff:
+            os.unlink(os.path.join(d, name))
+            removed += 1
+        else:
+            survivors.append(os.path.join(d, name))
+    sdir = _sidecar_dir(path)
+    if os.path.isdir(sdir):
+        live: set[str] = set()
+        for top in survivors:
+            for act in _iter_checkpoint_actions(top, columns=("sidecar",)):
+                sc = act.get("sidecar")
+                if sc:
+                    sc = dict(sc) if not isinstance(sc, dict) else sc
+                    live.add(os.path.basename(sc["path"]))
+        for name in sorted(os.listdir(sdir)):
+            if name not in live:
+                os.unlink(os.path.join(sdir, name))
+                removed += 1
     return removed
 
 

@@ -177,7 +177,17 @@ def _publish_metadata(loc: str, version: int, meta: dict) -> None:
     # other branches stay pinned where the user put them.
     cur = meta.get("current-snapshot-id")
     refs = meta.get("refs")
-    if refs and "main" in refs and cur is not None and cur != -1:
+    if (
+        refs
+        and "main" in refs
+        and cur is not None
+        and cur != -1
+        # spec: ``main`` is RESERVED for the current branch — only sync a
+        # BRANCH-typed main; a tag named main (legacy/foreign metadata —
+        # create_ref refuses to make one) must stay pinned, because
+        # advancing it on every commit would violate tag immutability
+        and refs["main"].get("type", "branch") == "branch"
+    ):
         refs = dict(refs)
         refs["main"] = dict(refs["main"], **{"snapshot-id": cur})
         meta = dict(meta, refs=refs)
@@ -657,8 +667,17 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     branch: str | None = None,
+    wap_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
+
+    ``wap_id`` STAGES the commit instead of publishing it — the spec's
+    session half of write-audit-publish (the jar's ``spark.wap.id``):
+    the snapshot lands in the table's snapshot list with ``wap.id`` in
+    its summary but current-snapshot-id, the snapshot-log and every ref
+    stay untouched; audit it by snapshot-id read, then publish with
+    :func:`cherrypick_snapshot`. Append-only (cherry-pick republishes by
+    re-applying the added manifests onto whatever main has become).
 
     One manifest (Avro OCF) describes this commit's parquet files; the
     snapshot's manifest list carries the previous manifests too on
@@ -696,6 +715,23 @@ def write_iceberg(
             "write_iceberg: cannot create a table on a branch — write "
             "main first, then branch from it"
         )
+    if wap_id is not None:
+        if branch is not None:
+            raise ValueError(
+                "write_iceberg: wap_id and branch are two different "
+                "staging models — pass one"
+            )
+        if v == 0:
+            raise ValueError(
+                "write_iceberg: cannot stage a wap.id commit on a table "
+                "that does not exist yet"
+            )
+        if mode != "append":
+            raise ValueError(
+                "write_iceberg: wap.id staging supports append only — "
+                "cherry-pick re-applies added manifests, an overwrite's "
+                "replaced set would be stale by publish time"
+            )
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
 
@@ -903,13 +939,20 @@ def write_iceberg(
                   metadata={"format-version": "1"})
 
     # ---- new table metadata version
+    summary = {"operation": "append" if mode == "append" else "overwrite"}
+    if wap_id is not None:
+        summary["wap.id"] = str(wap_id)
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
-        "summary": {"operation": "append" if mode == "append" else "overwrite"},
+        "summary": summary,
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if base_id != -1:
+        # spec (Snapshots): parent-snapshot-id records COMMIT lineage —
+        # what fast_forward's ancestry check and branch retention walk
+        snapshot["parent-snapshot-id"] = base_id
     if fmt == 2:
         snapshot["sequence-number"] = new_seq
     if meta is None:
@@ -934,11 +977,19 @@ def write_iceberg(
     if fmt == 2:
         meta["last-sequence-number"] = new_seq
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
-    if branch is not None:
+    if wap_id is not None:
+        # STAGED: the snapshot is in the list (reachable by id /
+        # cherry-pick) but no pointer moves — main provably untouched
+        pass
+    elif branch is not None:
         # advance ONLY the branch ref — main (current-snapshot-id) and
-        # the snapshot-log (which tracks main per the spec) stay put
+        # the snapshot-log (which tracks main per the spec) stay put;
+        # retention fields on the ref ride along unchanged
         refs = dict(meta.get("refs") or {})
-        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        refs[branch] = dict(
+            refs.get(branch) or {"type": "branch"},
+            **{"snapshot-id": snapshot_id},
+        )
         meta["refs"] = refs
     else:
         meta["current-snapshot-id"] = snapshot_id
@@ -1190,6 +1241,7 @@ def _commit_row_delta(
               metadata={"format-version": "2"})
     snapshot = {
         "snapshot-id": snapshot_id,
+        "parent-snapshot-id": snap["snapshot-id"],
         "sequence-number": new_seq,
         "timestamp-ms": now_ms,
         "summary": {"operation": operation},
@@ -1981,6 +2033,9 @@ def create_ref(
     kind: str = "tag",
     snapshot_id: int | None = None,
     overwrite: bool = False,
+    max_ref_age_ms: int | None = None,
+    min_snapshots_to_keep: int | None = None,
+    max_snapshot_age_ms: int | None = None,
 ) -> int:
     """Create (or move, with ``overwrite=True``) a named snapshot REF —
     the spec's ``refs`` map (Table Metadata): ``tag`` pins history at a
@@ -1990,9 +2045,27 @@ def create_ref(
     ``branch``/``tag`` read options (reference surface:
     etl/source/IcebergReader.scala:23-30) — here they are metadata-only
     driver ops: one new metadata version, zero file operations at any
-    table size. Returns the new metadata version."""
+    table size.
+
+    Per-ref retention (the spec's ref fields, honored by
+    :func:`expire_snapshots`): ``max_ref_age_ms`` ages the REF itself out
+    of an expire sweep once its snapshot is older than that (tags and
+    branches; without it a ref pins its snapshot until dropped);
+    ``min_snapshots_to_keep`` / ``max_snapshot_age_ms`` (BRANCH only —
+    the spec forbids them on tags) bound how much of the branch's
+    ancestry an expire sweep retains. Returns the new metadata
+    version."""
     if kind not in ("tag", "branch"):
         raise ValueError(f"create_ref: kind must be tag|branch, got {kind!r}")
+    if kind == "tag" and name == "main":
+        # spec reserves ``main`` for the CURRENT branch: a tag named main
+        # would either be advanced by every commit (tag immutability
+        # violated) or silently shadowed by write_iceberg's branch='main'
+        # normalization — refuse loudly instead
+        raise ValueError(
+            "create_ref: 'main' is reserved for the current branch — a tag "
+            "cannot be named main (pin a snapshot under another name)"
+        )
     meta = load_metadata(loc)
     sid = (
         snapshot_id
@@ -2009,7 +2082,21 @@ def create_ref(
             f"ref {name!r} already exists ({refs[name]['type']} at snapshot "
             f"{refs[name]['snapshot-id']}) — pass overwrite=True to move it"
         )
-    refs[name] = {"snapshot-id": sid, "type": kind}
+    if kind == "tag" and (
+        min_snapshots_to_keep is not None or max_snapshot_age_ms is not None
+    ):
+        raise ValueError(
+            "create_ref: min-snapshots-to-keep / max-snapshot-age-ms are "
+            "branch retention fields — the spec forbids them on tags"
+        )
+    ref = {"snapshot-id": sid, "type": kind}
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    if min_snapshots_to_keep is not None:
+        ref["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+    if max_snapshot_age_ms is not None:
+        ref["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+    refs[name] = ref
     meta = dict(meta, refs=refs)
     meta["last-updated-ms"] = int(time.time() * 1000)
     v = current_version(loc) + 1
@@ -2018,13 +2105,40 @@ def create_ref(
 
 
 def create_tag(loc: str, name: str, snapshot_id: int | None = None,
-               overwrite: bool = False) -> int:
-    return create_ref(loc, name, "tag", snapshot_id, overwrite)
+               overwrite: bool = False,
+               max_ref_age_ms: int | None = None) -> int:
+    return create_ref(loc, name, "tag", snapshot_id, overwrite,
+                      max_ref_age_ms=max_ref_age_ms)
 
 
 def create_branch(loc: str, name: str, snapshot_id: int | None = None,
-                  overwrite: bool = False) -> int:
-    return create_ref(loc, name, "branch", snapshot_id, overwrite)
+                  overwrite: bool = False,
+                  max_ref_age_ms: int | None = None,
+                  min_snapshots_to_keep: int | None = None,
+                  max_snapshot_age_ms: int | None = None) -> int:
+    return create_ref(loc, name, "branch", snapshot_id, overwrite,
+                      max_ref_age_ms=max_ref_age_ms,
+                      min_snapshots_to_keep=min_snapshots_to_keep,
+                      max_snapshot_age_ms=max_snapshot_age_ms)
+
+
+def _is_ancestor(meta: dict, ancestor_id: int, head_id: int) -> bool:
+    """True when ``ancestor_id`` is on ``head_id``'s parent chain
+    (inclusive) — the spec's snapshot lineage walk over
+    ``parent-snapshot-id``. Snapshots written before parent ids were
+    recorded terminate the walk (unknown lineage reads as NOT an
+    ancestor, the safe answer for a publish guard)."""
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id")
+        for s in meta.get("snapshots", [])
+    }
+    cur, seen = head_id, set()
+    while cur is not None and cur not in seen:
+        if cur == ancestor_id:
+            return True
+        seen.add(cur)
+        cur = parents.get(cur)
+    return False
 
 
 def fast_forward(loc: str, branch: str, to: str = "main") -> int:
@@ -2033,14 +2147,38 @@ def fast_forward(loc: str, branch: str, to: str = "main") -> int:
     ``fast_forward`` procedure and the PUBLISH half of write-audit-
     publish: stage commits on a branch (``write_iceberg(branch=...)``),
     audit them with ref-pinned reads, then make them current in ONE
-    metadata flip. Metadata-only at any table size. Returns the new
-    metadata version."""
+    metadata flip. Metadata-only at any table size.
+
+    FAST-forward only: the target's current snapshot must be an ancestor
+    of the branch head (walked over ``parent-snapshot-id``) — if the
+    target advanced after the branch forked, moving it anyway would
+    silently drop those commits from the published state (lost update),
+    so the op refuses exactly like the jar's ``fast_forward`` procedure;
+    rebase the branch (re-stage on a fresh fork) and retry. Returns the
+    new metadata version."""
     meta = load_metadata(loc)
     refs = dict(meta.get("refs") or {})
     r = refs.get(branch)
     if r is None or r.get("type") != "branch":
         raise ValueError(
             f"fast_forward: {branch!r} is not a branch of the table"
+        )
+    target_id = (
+        meta.get("current-snapshot-id")
+        if to == "main"
+        else (refs.get(to) or {}).get("snapshot-id")
+    )
+    if (
+        target_id is not None
+        and target_id != -1
+        and not _is_ancestor(meta, target_id, r["snapshot-id"])
+    ):
+        raise ValueError(
+            f"fast_forward: {to!r} (snapshot {target_id}) is not an "
+            f"ancestor of branch {branch!r} head {r['snapshot-id']} — the "
+            "target advanced after the branch forked; publishing would "
+            "drop those commits. Re-stage the branch from the current "
+            f"{to!r} head and retry"
         )
     now_ms = int(time.time() * 1000)
     meta = dict(meta)
@@ -2053,12 +2191,146 @@ def fast_forward(loc: str, branch: str, to: str = "main") -> int:
         tgt = refs.get(to)
         if tgt is not None and tgt.get("type") != "branch":
             raise ValueError(f"fast_forward: target {to!r} is a tag")
-        refs[to] = {"snapshot-id": r["snapshot-id"], "type": "branch"}
+        refs[to] = dict(
+            tgt or {"type": "branch"}, **{"snapshot-id": r["snapshot-id"]}
+        )
         meta["refs"] = refs
     meta["last-updated-ms"] = now_ms
     ver = current_version(loc) + 1
     _publish_metadata(loc, ver, meta)
     return ver
+
+
+def cherrypick_snapshot(
+    loc: str,
+    snapshot_id: int | None = None,
+    wap_id: str | None = None,
+) -> int:
+    """Publish a STAGED snapshot onto main — the jar's
+    ``cherrypick_snapshot`` procedure, the session (``wap.id``) half of
+    write-audit-publish (``fast_forward`` is the branch half): a commit
+    staged by ``write_iceberg(wap_id=...)`` sits in the snapshot list
+    with no pointer at it; cherry-picking creates ONE new snapshot on
+    main whose manifest list is main's CURRENT manifests plus the
+    manifests the staged snapshot ADDED — so a main that advanced after
+    staging keeps every intervening commit (append-only staging makes
+    the re-apply always safe; non-append staged snapshots refuse).
+    Metadata + one manifest-list write at any table size — the data
+    files never move. Addressable by ``snapshot_id`` or by ``wap_id``.
+    Returns the PUBLISHED (new) snapshot id."""
+    meta = load_metadata(loc)
+    snaps = list(meta.get("snapshots", []))
+    if snapshot_id is None:
+        if wap_id is None:
+            raise ValueError(
+                "cherrypick_snapshot: pass snapshot_id or wap_id"
+            )
+        matches = [
+            s for s in snaps
+            if (s.get("summary") or {}).get("wap.id") == str(wap_id)
+        ]
+        if len(matches) != 1:
+            raise ValueError(
+                f"cherrypick_snapshot: {len(matches)} snapshots carry "
+                f"wap.id {wap_id!r} (need exactly 1)"
+            )
+        staged = matches[0]
+    else:
+        staged = next(
+            (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+        )
+        if staged is None:
+            raise ValueError(
+                f"cherrypick_snapshot: snapshot {snapshot_id} not in the "
+                "table"
+            )
+    staged_id = staged["snapshot-id"]
+    cur_id = meta.get("current-snapshot-id")
+    if staged_id == cur_id:
+        return staged_id  # already current — idempotent no-op
+    summary = staged.get("summary") or {}
+    if summary.get("operation", "append") != "append":
+        raise ValueError(
+            "cherrypick_snapshot: only append snapshots can be "
+            f"cherry-picked (staged operation is "
+            f"{summary.get('operation')!r}) — an overwrite's replaced "
+            "set is stale once main moves"
+        )
+    # duplicate-publish guard: the jar refuses to pick a snapshot whose
+    # changes already landed (source-snapshot-id recorded at publish)
+    for s in snaps:
+        if (s.get("summary") or {}).get("source-snapshot-id") == str(staged_id):
+            raise ValueError(
+                f"cherrypick_snapshot: snapshot {staged_id} was already "
+                f"published as {s['snapshot-id']}"
+            )
+
+    _s, _m, staged_list = read_ocf(staged["manifest-list"])
+    picked = [
+        mf for mf in staged_list
+        if (mf.get("added_snapshot_id") or 0) == staged_id
+    ]
+    if not picked:
+        raise ValueError(
+            f"cherrypick_snapshot: snapshot {staged_id} added no "
+            "manifests — nothing to publish"
+        )
+    prev: list[dict] = []
+    if cur_id is not None and cur_id != -1:
+        cur = next(s for s in snaps if s["snapshot-id"] == cur_id)
+        _s2, _m2, prev = read_ocf(cur["manifest-list"])
+
+    now_ms = int(time.time() * 1000)
+    new_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    fmt = meta.get("format-version", 1)
+    list_path = os.path.join(
+        _meta_dir(loc), f"snap-{new_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    new_seq = None
+    if fmt == 2:
+        # the published commit gets the NEXT sequence number; the picked
+        # manifests re-sequence to it (their staged sequence was never
+        # published, so inheriting it could collide with main's history)
+        new_seq = meta.get("last-sequence-number", 0) + 1
+        entries = [_as_v2_list_entry(mf) for mf in prev]
+        for mf in picked:
+            e = _as_v2_list_entry(mf)
+            e["sequence_number"] = e["min_sequence_number"] = new_seq
+            entries.append(e)
+        write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2, entries,
+                  metadata={"format-version": "2"})
+    else:
+        write_ocf(list_path, _MANIFEST_FILE_SCHEMA, prev + picked,
+                  metadata={"format-version": "1"})
+
+    pub_summary = {
+        "operation": "append",
+        "source-snapshot-id": str(staged_id),
+    }
+    if "wap.id" in summary:
+        pub_summary["published-wap-id"] = summary["wap.id"]
+    published = {
+        "snapshot-id": new_id,
+        "timestamp-ms": now_ms,
+        "summary": pub_summary,
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    if cur_id is not None and cur_id != -1:
+        published["parent-snapshot-id"] = cur_id
+    if fmt == 2:
+        published["sequence-number"] = new_seq
+    meta = dict(meta)
+    meta["snapshots"] = snaps + [published]
+    meta["current-snapshot-id"] = new_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_id}
+    ]
+    if fmt == 2:
+        meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = now_ms
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return new_id
 
 
 def drop_ref(loc: str, name: str) -> int:
@@ -2113,21 +2385,66 @@ def expire_snapshots(
     maintenance (delta's VACUUM counterpart; time travel beyond the
     retention dies with the files, the documented trade). All decisions
     are driver-side metadata walks over manifest lists; file deletion is
-    one os.remove per orphan. Returns counts:
+    one os.remove per orphan.
+
+    Per-ref retention (spec ref fields, set via :func:`create_ref`):
+    refs older than their ``max-ref-age-ms`` age OUT of the sweep (the
+    ref is removed and its snapshot becomes expirable); surviving
+    branches additionally retain ``min-snapshots-to-keep`` ancestors
+    (default 1) and every ancestor younger than ``max-snapshot-age-ms``.
+    Refs without retention fields pin their snapshot until drop_ref —
+    the safe default. Returns counts:
     ``{"snapshots": n, "files": n}``."""
     meta = load_metadata(loc)
     snaps = list(meta.get("snapshots", []))
     if not snaps:
         return {"snapshots": 0, "files": 0}
+    now_ms = int(time.time() * 1000)
     current_id = meta.get("current-snapshot-id")
+    snaps_by_id = {s["snapshot-id"]: s for s in snaps}
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id") for s in snaps
+    }
     by_ts = sorted(snaps, key=lambda s: s["timestamp-ms"], reverse=True)
     keep_ids = {s["snapshot-id"] for s in by_ts[: max(retain_last, 1)]}
     keep_ids.add(current_id)
-    # spec retention rule: snapshots referenced by a branch or tag are
-    # never expired while the ref exists (drop_ref first to age them)
-    keep_ids.update(
-        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
-    )
+    # spec retention rules, per ref: a ref whose snapshot is older than
+    # its ``max-ref-age-ms`` AGES OUT of this sweep (the ref itself is
+    # removed — the escape hatch for long-lived audit tags); every
+    # surviving ref pins its snapshot, and a surviving BRANCH also
+    # retains its ancestry per ``min-snapshots-to-keep`` (default 1: the
+    # head) and ``max-snapshot-age-ms`` (ancestors younger than this).
+    # ``main`` never ages out (the spec reserves it for current state).
+    refs0 = dict(meta.get("refs") or {})
+    refs_kept: dict[str, dict] = {}
+    for rname, r in refs0.items():
+        s = snaps_by_id.get(r.get("snapshot-id"))
+        age_bound = r.get("max-ref-age-ms")
+        if (
+            rname != "main"
+            and age_bound is not None
+            and s is not None
+            and now_ms - s["timestamp-ms"] > int(age_bound)
+        ):
+            continue  # ref aged out — dropped by this sweep
+        refs_kept[rname] = r
+        keep_ids.add(r.get("snapshot-id"))
+        if r.get("type") == "branch":
+            min_keep = int(r.get("min-snapshots-to-keep", 1))
+            snap_age = r.get("max-snapshot-age-ms")
+            cur, depth, seen = r.get("snapshot-id"), 0, set()
+            while cur is not None and cur not in seen:
+                seen.add(cur)
+                s = snaps_by_id.get(cur)
+                if s is None:
+                    break
+                if depth < min_keep or (
+                    snap_age is not None
+                    and now_ms - s["timestamp-ms"] <= int(snap_age)
+                ):
+                    keep_ids.add(cur)
+                depth += 1
+                cur = parents.get(cur)
     kept, expired = [], []
     for s in snaps:
         if s["snapshot-id"] in keep_ids or (
@@ -2136,7 +2453,14 @@ def expire_snapshots(
             kept.append(s)
         else:
             expired.append(s)
+    refs_changed = refs_kept != refs0
+    if not expired and not refs_changed:
+        return {"snapshots": 0, "files": 0}
     if not expired:
+        # ref-only sweep: aged refs drop, no file walks needed
+        meta = dict(meta, refs=refs_kept)
+        meta["last-updated-ms"] = now_ms
+        _publish_metadata(loc, current_version(loc) + 1, meta)
         return {"snapshots": 0, "files": 0}
 
     def _referenced(snapshot_set) -> set[str]:
@@ -2164,12 +2488,14 @@ def expire_snapshots(
             pass
     meta = dict(meta)
     meta["snapshots"] = kept
+    if refs_changed:
+        meta["refs"] = refs_kept
     kept_ids = {s["snapshot-id"] for s in kept}
     meta["snapshot-log"] = [
         e for e in meta.get("snapshot-log", [])
         if e["snapshot-id"] in kept_ids
     ]
-    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["last-updated-ms"] = now_ms
     _publish_metadata(loc, current_version(loc) + 1, meta)
     return {"snapshots": len(expired), "files": n_files}
 

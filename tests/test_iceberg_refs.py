@@ -161,3 +161,135 @@ def test_format_version_3_refused_loudly(spark, loc):
         ice.IcebergUnsupportedFormatVersion, match="format-version 3"
     ):
         ice.read_iceberg(spark, loc)
+
+
+# ---------------------------------------------------------------------------
+# round 11: per-ref retention + wap.id cherry-pick
+# ---------------------------------------------------------------------------
+
+
+def test_aged_tag_expires_young_tag_pins(spark, loc):
+    import time
+
+    s_a = _write(spark, loc, range(3), mode="overwrite")
+    ice.create_tag(loc, "aged", max_ref_age_ms=1)
+    _write(spark, loc, [10])
+    s_b = ice.load_metadata(loc)["current-snapshot-id"]
+    ice.create_tag(loc, "pinned", snapshot_id=s_b, max_ref_age_ms=10**12)
+    _write(spark, loc, [20])
+    time.sleep(0.05)  # both tags' snapshots are now older than 1 ms
+    out = ice.expire_snapshots(
+        loc,
+        older_than_ms=ice.load_metadata(loc)["last-updated-ms"] + 1,
+        retain_last=1,
+    )
+    meta = ice.load_metadata(loc)
+    refs = meta["refs"]
+    assert "aged" not in refs  # ref aged out under max-ref-age-ms
+    assert "pinned" in refs  # younger bound still pins
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert s_a not in ids and s_b in ids
+    assert out["snapshots"] == 1
+    # the pinned snapshot stays readable, the aged one is gone
+    got = sorted(
+        r.id for r in ice.read_iceberg(spark, loc, ref="pinned").collect()
+    )
+    assert got == [0, 1, 2, 10]
+    with pytest.raises(ValueError):
+        ice.read_iceberg(spark, loc, snapshot_id=s_a)
+
+
+def test_branch_ancestor_retention(spark, loc):
+    import time
+
+    _write(spark, loc, range(2), mode="overwrite")
+    for ids in ([10], [11], [12]):
+        df = spark.createDataFrame(
+            [(i, f"s{i}") for i in ids], "id int, s string"
+        )
+        ice.write_iceberg(df.coalesce(1), loc, branch="dev")
+    # keep the branch head + 1 ancestor; older branch history expires
+    meta = ice.load_metadata(loc)
+    head = meta["refs"]["dev"]["snapshot-id"]
+    ice.create_branch(loc, "dev", snapshot_id=head, overwrite=True,
+                      min_snapshots_to_keep=2, max_snapshot_age_ms=1)
+    time.sleep(0.05)
+    ice.expire_snapshots(
+        loc,
+        older_than_ms=ice.load_metadata(loc)["last-updated-ms"] + 1,
+        retain_last=1,
+    )
+    meta = ice.load_metadata(loc)
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id")
+        for s in meta["snapshots"]
+    }
+    assert head in ids and parents[head] in ids  # head + 1 ancestor kept
+    assert len(ids) == 3  # plus current main; the fork-era rest expired
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc, ref="dev").collect())
+    assert got == [0, 1, 10, 11, 12]
+
+
+def test_retention_fields_rejected_on_tags(spark, loc):
+    _write(spark, loc, range(2), mode="overwrite")
+    with pytest.raises(ValueError, match="branch retention fields"):
+        ice.create_ref(loc, "t", kind="tag", min_snapshots_to_keep=3)
+
+
+def test_branch_write_preserves_retention_fields(spark, loc):
+    _write(spark, loc, range(2), mode="overwrite")
+    df10 = spark.createDataFrame([(10, "s10")], "id int, s string")
+    ice.write_iceberg(df10.coalesce(1), loc, branch="dev")
+    ice.create_branch(
+        loc, "dev",
+        snapshot_id=ice.load_metadata(loc)["refs"]["dev"]["snapshot-id"],
+        overwrite=True, min_snapshots_to_keep=5,
+    )
+    df11 = spark.createDataFrame([(11, "s11")], "id int, s string")
+    ice.write_iceberg(df11.coalesce(1), loc, branch="dev")
+    assert ice.load_metadata(loc)["refs"]["dev"]["min-snapshots-to-keep"] == 5
+
+
+def test_wap_stage_and_cherrypick(spark, loc):
+    _write(spark, loc, range(3), mode="overwrite")
+    df = spark.createDataFrame([(10, "s10")], "id int, s string")
+    staged = ice.write_iceberg(df.coalesce(1), loc, wap_id="job-42")
+    # staged: main untouched, no pointer moved
+    assert _ids(spark, loc) == [0, 1, 2]
+    meta = ice.load_metadata(loc)
+    assert meta["current-snapshot-id"] != staged
+    assert not any(
+        e["snapshot-id"] == staged for e in meta["snapshot-log"]
+    )
+    # audit by snapshot id: staged state = main + staged rows
+    assert _ids(spark, loc, snapshot_id=staged) == [0, 1, 2, 10]
+    # main ADVANCES between stage and publish — cherry-pick must keep it
+    _write(spark, loc, [20])
+    pub = ice.cherrypick_snapshot(loc, wap_id="job-42")
+    assert _ids(spark, loc) == [0, 1, 2, 10, 20]
+    summ = next(
+        s for s in ice.load_metadata(loc)["snapshots"]
+        if s["snapshot-id"] == pub
+    )["summary"]
+    assert summ["source-snapshot-id"] == str(staged)
+    assert summ["published-wap-id"] == "job-42"
+    # double publish refused
+    with pytest.raises(ValueError, match="already published"):
+        ice.cherrypick_snapshot(loc, snapshot_id=staged)
+
+
+def test_wap_guards(spark, loc):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    with pytest.raises(ValueError, match="does not exist"):
+        ice.write_iceberg(df, loc, wap_id="x")
+    _write(spark, loc, range(2), mode="overwrite")
+    with pytest.raises(ValueError, match="append only"):
+        ice.write_iceberg(df, loc, mode="overwrite", wap_id="x")
+    with pytest.raises(ValueError, match="two different staging models"):
+        ice.write_iceberg(df, loc, branch="b", wap_id="x")
+    # cherry-picking a published (non-staged) overwrite refuses
+    ov = ice.load_metadata(loc)["snapshots"][0]["snapshot-id"]
+    _write(spark, loc, [5])
+    with pytest.raises(ValueError, match="only append"):
+        ice.cherrypick_snapshot(loc, snapshot_id=ov)

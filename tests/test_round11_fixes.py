@@ -1,0 +1,415 @@
+"""Round-11 advisor fixes + judge order items, pinned.
+
+1. ``fast_forward`` is now actually FAST-forward: the moved ref's current
+   snapshot must be an ancestor of the branch head (walked over the
+   spec's ``parent-snapshot-id``), else the publish refuses instead of
+   silently dropping the commits that landed after the fork (lost
+   update).
+2. ``main`` is reserved for the current branch: ``create_tag(..,'main')``
+   refuses, and ``_publish_metadata``'s main-ref sync only advances a
+   BRANCH-typed main (a foreign tag named main stays pinned — tag
+   immutability).
+3. IcebergReader folds every ``options.*`` into the jar read (the
+   reference's foldLeft, IcebergReader.scala:26) and runs the branch/tag
+   exclusivity check BEFORE either path.
+4. Delta V2 checkpoints with a JSON top file
+   (``<v>.checkpoint.<uuid>.json`` — PROTOCOL.md allows either encoding)
+   are discovered and replayed; previously they were silently ignored
+   and reads died once pre-checkpoint commits were cleaned.
+5. Checkpoint replay is column-projected and batch-iterated
+   (_iter_checkpoint_actions) — a million-file checkpoint never
+   materializes as one driver-side pylist.
+6. ``clean_log`` reclaims ``_sidecars/`` parts no surviving checkpoint
+   references; ``expire_checkpoints=True`` opts into deleting
+   superseded checkpoints (their sidecars then reclaim as orphans).
+7. In-commit timestamps (``inCommitTimestamp`` writer feature):
+   enablement commit + properties, monotonic stamping at the commit
+   funnel, and timestamp time-travel that survives storage rewriting
+   file mtimes and the legacy commitInfo.timestamp field.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from spark_etl_framework_spark.sources import deltalog as dl
+from spark_etl_framework_spark.sources import iceberg as ice
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _iwrite(spark, loc, ids, mode="append", branch=None):
+    df = spark.createDataFrame([(i, f"s{i}") for i in ids], "id int, s string")
+    return ice.write_iceberg(df.coalesce(1), loc, mode=mode, branch=branch)
+
+
+def _dwrite(spark, path, ids, mode="append"):
+    df = spark.createDataFrame([(i,) for i in ids], "id int")
+    dl.write_delta(df.coalesce(1), path, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# 1. fast_forward ancestry guard
+# ---------------------------------------------------------------------------
+
+
+def test_fast_forward_refuses_when_target_advanced(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    _iwrite(spark, loc, [10, 11], branch="audit")  # forks from snapshot 1
+    _iwrite(spark, loc, [20])  # main advances PAST the fork point
+    with pytest.raises(ValueError, match="not an ancestor"):
+        ice.fast_forward(loc, "audit")
+    # the refused publish must not have moved main
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 1, 2, 20]
+
+
+def test_fast_forward_still_publishes_clean_branches(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    _iwrite(spark, loc, [10], branch="audit")
+    _iwrite(spark, loc, [11], branch="audit")  # two staged commits
+    ice.fast_forward(loc, "audit")
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 1, 2, 10, 11]
+
+
+def test_snapshots_record_parent_lineage(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    _iwrite(spark, loc, [3])
+    ice.delete_where(spark, loc, "id = 1")
+    snaps = ice.load_metadata(loc)["snapshots"]
+    assert "parent-snapshot-id" not in snaps[0]  # root has no parent
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
+
+
+# ---------------------------------------------------------------------------
+# 2. main is reserved for the current branch
+# ---------------------------------------------------------------------------
+
+
+def test_create_tag_main_refused(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    with pytest.raises(ValueError, match="reserved for the current branch"):
+        ice.create_tag(loc, "main")
+    ice.create_branch(loc, "main")  # a BRANCH named main is the spec norm
+
+
+def test_publish_sync_leaves_foreign_main_tag_pinned(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    meta = ice.load_metadata(loc)
+    pinned = meta["current-snapshot-id"]
+    # simulate FOREIGN metadata carrying a tag named main
+    meta = dict(meta, refs={"main": {"snapshot-id": pinned, "type": "tag"}})
+    ice._publish_metadata(loc, ice.current_version(loc) + 1, meta)
+    _iwrite(spark, loc, [9])  # a commit that syncs a branch-typed main
+    refs = ice.load_metadata(loc)["refs"]
+    assert refs["main"] == {"snapshot-id": pinned, "type": "tag"}
+
+
+# ---------------------------------------------------------------------------
+# 3. IcebergReader option forwarding on the jar path
+# ---------------------------------------------------------------------------
+
+
+class _SpyReader:
+    """Stands in for spark.read: records the format/options chain."""
+
+    def __init__(self, calls):
+        self.calls = calls
+        self._fmt = None
+        self._opts = {}
+
+    def format(self, fmt):
+        self._fmt = fmt
+        return self
+
+    def options(self, **kw):
+        self._opts.update(kw)
+        return self
+
+    def load(self, target):
+        self.calls.append((self._fmt, dict(self._opts), target))
+
+        class _DF:
+            schema = None
+
+            def filter(self, _):
+                return self
+
+        return _DF()
+
+
+def test_iceberg_reader_forwards_options_to_jar(spark, monkeypatch):
+    from pyspark.sql import SparkSession
+
+    from spark_etl_framework_spark.sources.connectors import IcebergReader
+
+    calls: list = []
+    monkeypatch.setattr(
+        SparkSession, "read", property(lambda self: _SpyReader(calls))
+    )
+    r = IcebergReader(table="/tmp/nowhere/t")
+    r._props["options.branch"] = "audit"
+    r._props["options.snapshotId"] = "42"
+    r.run(None, spark)
+    assert calls == [
+        ("iceberg", {"branch": "audit", "snapshotId": "42"}, "/tmp/nowhere/t")
+    ]
+
+
+def test_iceberg_reader_exclusivity_precedes_jar(spark, monkeypatch):
+    from pyspark.sql import SparkSession
+
+    from spark_etl_framework_spark.sources.connectors import IcebergReader
+
+    calls: list = []
+    monkeypatch.setattr(
+        SparkSession, "read", property(lambda self: _SpyReader(calls))
+    )
+    r = IcebergReader(table="/tmp/nowhere/t")
+    r._props["options.branch"] = "a"
+    r._props["options.tag"] = "b"
+    with pytest.raises(ValueError, match="not both"):
+        r.run(None, spark)
+    assert calls == []  # refused BEFORE the jar read
+
+
+# ---------------------------------------------------------------------------
+# 4. V2 checkpoint with a JSON top file
+# ---------------------------------------------------------------------------
+
+
+def test_v2_json_top_checkpoint_replay(spark, loc):
+    for i in range(3):
+        _dwrite(spark, loc, [i])
+    dl.delete_where(spark, loc, "id = 1", use_dvs=True)
+    v = dl.write_checkpoint_v2(loc, parts=2, top_format="json")
+    names = os.listdir(dl._log_dir(loc))
+    tops = [n for n in names if dl._CP_V2_JSON_RE.match(n)]
+    assert len(tops) == 1 and dl._checkpoint_version_of(tops[0]) == v
+    # the top is commit-file-shaped JSON: maps are objects, not kv lists
+    with open(os.path.join(dl._log_dir(loc), tops[0]), encoding="utf-8") as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert isinstance(md["configuration"], dict)
+    assert sum("sidecar" in a for a in acts) == 2
+    # replay MUST walk the json top -> sidecars once commits are cleaned
+    assert dl.clean_log(loc) == v
+    got = sorted(r.id for r in dl.read_delta(spark, loc).collect())
+    assert got == [0, 2]
+    ts = dl.table_changes  # noqa: F841  (module import sanity)
+
+
+def test_foreign_json_top_discovered(spark, loc):
+    """A json top written by ANOTHER writer (no _last_checkpoint update)
+    is still discovered by the directory scan."""
+    for i in range(2):
+        _dwrite(spark, loc, [i])
+    dl.write_checkpoint_v2(loc, top_format="json")
+    os.unlink(os.path.join(dl._log_dir(loc), "_last_checkpoint"))
+    for v in range(dl.latest_version(loc)):
+        p = dl._commit_path(loc, v)
+        if os.path.exists(p):
+            os.unlink(p)
+    got = sorted(r.id for r in dl.read_delta(spark, loc).collect())
+    assert got == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# 5. projected, batch-iterated checkpoint reads
+# ---------------------------------------------------------------------------
+
+
+def test_iter_checkpoint_actions_projects_columns(spark, loc):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a foreign checkpoint carrying an extra commitInfo column AND more
+    # rows than one batch: projection must drop the extra column and the
+    # iterator must stream without materializing the file
+    _dwrite(spark, loc, [0])
+    cp = dl._checkpoint_path(loc, 0)
+    fields = dl._checkpoint_pa_fields()
+    snap = dl.snapshot(loc, 0)
+    meta_rows, add_rows = dl._checkpoint_rows(snap)
+    rows = meta_rows + add_rows
+    rows += [
+        {"commitInfo": {"engineInfo": f"noise-{i}"}} for i in range(5000)
+    ]
+    schema = pa.schema(
+        [fields[k] for k in ("txn", "add", "metaData", "protocol")]
+        + [pa.field("commitInfo",
+                    pa.struct([pa.field("engineInfo", pa.string())]))]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp)
+    dl._write_last_checkpoint(loc, 0, len(rows))
+    acts = list(dl._iter_checkpoint_actions(cp, columns=("add", "metaData")))
+    assert all(set(a) <= {"add", "metaData"} for a in acts)
+    assert sum("add" in a for a in acts) == 1
+    # full replay through the noisy checkpoint still reconstructs state
+    assert [r.id for r in dl.read_delta(spark, loc).collect()] == [0]
+
+
+# ---------------------------------------------------------------------------
+# 6. clean_log reclaims superseded checkpoints + orphan sidecars
+# ---------------------------------------------------------------------------
+
+
+def test_clean_log_reclaims_orphan_sidecars(spark, loc):
+    for i in range(3):
+        _dwrite(spark, loc, [i])
+    dl.write_checkpoint_v2(loc, parts=2)
+    first_sidecars = set(os.listdir(dl._sidecar_dir(loc)))
+    _dwrite(spark, loc, [3])
+    v2 = dl.write_checkpoint_v2(loc, parts=2)
+    # default: superseded checkpoints (and their referenced sidecars)
+    # SURVIVE — time travel to their versions stays replayable
+    assert dl.clean_log(loc) == v2
+    assert first_sidecars <= set(os.listdir(dl._sidecar_dir(loc)))
+    # opt-in expiry reclaims the old top and its now-orphaned sidecars
+    removed = dl.clean_log(loc, expire_checkpoints=True)
+    names = os.listdir(dl._log_dir(loc))
+    tops = [n for n in names if dl._checkpoint_version_of(n) is not None]
+    assert len(tops) == 1 and dl._checkpoint_version_of(tops[0]) == v2
+    left = set(os.listdir(dl._sidecar_dir(loc)))
+    assert not (left & first_sidecars)  # orphans reclaimed
+    assert len(left) == 2  # the live parts stayed
+    assert removed == 1 + 2  # 1 old top + its 2 orphan sidecars
+    got = sorted(r.id for r in dl.read_delta(spark, loc).collect())
+    assert got == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# 7. in-commit timestamps
+# ---------------------------------------------------------------------------
+
+
+def test_ict_enablement_and_monotonic_stamping(spark, loc):
+    _dwrite(spark, loc, [0])
+    v = dl.enable_in_commit_timestamps(loc)
+    assert dl.enable_in_commit_timestamps(loc) == v  # idempotent
+    snap = dl.snapshot(loc)
+    assert "inCommitTimestamp" in snap.protocol["writerFeatures"]
+    conf = snap.configuration
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v)
+    assert conf["delta.inCommitTimestampEnablementTimestamp"] == str(
+        dl._ict_of_commit(loc, v)
+    )
+    _dwrite(spark, loc, [1])
+    _dwrite(spark, loc, [2])
+    icts = [dl._ict_of_commit(loc, x) for x in range(v, dl.latest_version(loc) + 1)]
+    assert all(x is not None for x in icts)
+    assert icts == sorted(icts) and len(set(icts)) == len(icts)
+    # pre-enablement commits carry none
+    assert dl._ict_of_commit(loc, 0) is None
+
+
+def test_ict_time_travel_survives_storage_drift(spark, loc):
+    _dwrite(spark, loc, [0])
+    v_en = dl.enable_in_commit_timestamps(loc)
+    _dwrite(spark, loc, [1])
+    v_last = dl.latest_version(loc)
+    ict_last = dl._ict_of_commit(loc, v_last)
+    # storage drift: scramble every commit's mtime AND the legacy
+    # commitInfo.timestamp field — the protocol says readers must use
+    # inCommitTimestamp once present, so resolution must not move
+    for v in range(v_last + 1):
+        p = dl._commit_path(loc, v)
+        acts = [json.loads(x) for x in open(p, encoding="utf-8") if x.strip()]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = 1_000  # epoch 1970
+        with open(p, "w", encoding="utf-8") as fh:
+            for a in acts:
+                fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+        os.utime(p, (1.0, 1.0))
+    assert dl._commit_timestamp(loc, v_last) == ict_last
+    got = dl.read_delta(spark, loc, timestamp_as_of=ict_last - 1)
+    assert sorted(r.id for r in got.collect()) == [0]  # pre-append state
+    got = dl.read_delta(spark, loc, timestamp_as_of=ict_last)
+    assert sorted(r.id for r in got.collect()) == [0, 1]
+    assert v_en >= 1
+
+
+# ---------------------------------------------------------------------------
+# 8. reader-feature protocol gate
+# ---------------------------------------------------------------------------
+
+
+def _commit_protocol(loc, proto):
+    v = dl.latest_version(loc) + 1
+    dl._publish_commit(loc, v, [{"protocol": proto}])
+
+
+def test_unknown_reader_feature_refused_loudly(spark, loc):
+    _dwrite(spark, loc, [0])
+    _commit_protocol(loc, {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["typeWidening"], "writerFeatures": ["typeWidening"],
+    })
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="typeWidening"):
+        dl.read_delta(spark, loc)
+
+
+def test_future_min_reader_version_refused(spark, loc):
+    _dwrite(spark, loc, [0])
+    _commit_protocol(loc, {"minReaderVersion": 4, "minWriterVersion": 7})
+    with pytest.raises(
+        dl.DeltaUnsupportedProtocol, match="minReaderVersion 4"
+    ):
+        dl.snapshot(loc)
+
+
+def test_supported_reader_features_still_read(spark, loc):
+    _dwrite(spark, loc, [0, 1])
+    dl.delete_where(spark, loc, "id = 0", use_dvs=True)  # installs DV feature
+    dl.write_checkpoint_v2(loc)  # installs v2Checkpoint
+    assert [r.id for r in dl.read_delta(spark, loc).collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# 9. domainMetadata: tracked, checkpoint-restated, writer feature
+# ---------------------------------------------------------------------------
+
+
+def test_domain_metadata_survives_checkpoint_and_cleanup(spark, loc):
+    _dwrite(spark, loc, [0, 1])
+    dl.set_domain_metadata(
+        loc, "delta.clustering", '{"clusteringColumns":[["id"]]}'
+    )
+    dl.set_domain_metadata(loc, "monitoring", '{"tool":"x"}')
+    dl.set_domain_metadata(loc, "monitoring", "", removed=True)
+    snap = dl.snapshot(loc)
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+    assert list(snap.domain_metadata) == ["delta.clustering"]
+    # the checkpoint must RESTATE the live domain or cleanup strips it
+    v = dl.write_checkpoint_v2(loc, parts=1)
+    assert dl.clean_log(loc) == v
+    snap2 = dl.snapshot(loc)
+    assert snap2.domain_metadata == snap.domain_metadata
+    assert snap2.domain_metadata["delta.clustering"]["configuration"] == (
+        '{"clusteringColumns":[["id"]]}'
+    )
+    # classic checkpoint path restates it too
+    _dwrite(spark, loc, [2])
+    dl._write_checkpoint(loc, dl.latest_version(loc))
+    dl.clean_log(loc)
+    assert list(dl.snapshot(loc).domain_metadata) == ["delta.clustering"]
+
+
+def test_domain_metadata_survives_json_top(spark, loc):
+    _dwrite(spark, loc, [0])
+    dl.set_domain_metadata(loc, "delta.clustering", '{"c":1}')
+    v = dl.write_checkpoint_v2(loc, top_format="json")
+    assert dl.clean_log(loc) == v
+    assert dl.snapshot(loc).domain_metadata["delta.clustering"][
+        "configuration"
+    ] == '{"c":1}'
