@@ -127,6 +127,7 @@ HEADLINE = [
     "iceberg_wap_cherrypick",        # wap.id stage + cherry-pick publish
     "delta_incommit_timestamp",      # ICT enable + stamped time travel
     "delta_v2_json_checkpoint_replay",  # V2 json top + sidecar replay
+    "delta_liquid_clustering",       # clustered write + pruned read
 ]
 
 

@@ -3502,3 +3502,86 @@ def delta_v2_json_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "delta_liquid_clustering",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey >= 5 AND n_nationkey <= 9
+    """,
+)
+def delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid clustering (round 11 — PROTOCOL.md § Clustered Table, the
+    ``clustering`` writer feature riding on domainMetadata; what current
+    delta-spark writers create with CLUSTER BY): nation lands clustered
+    by ``n_nationkey`` — the writer records ``delta.clustering``
+    metadata and range-clusters the files — then an APPEND without any
+    cluster option must re-apply the recorded layout. Asserted
+    in-query: the clustering feature + domain are in the log, file
+    key-ranges are disjoint (the stats ARE the skipping index), a
+    clustering-column predicate prunes files before the scan plans, and
+    the domain SURVIVES a V2 checkpoint + log cleanup (the
+    round-11 restatement rule — losing it would silently un-cluster the
+    table for every other engine). The returned rows are the pruned
+    filtered read. At 100 TB clustering is the partitioning that
+    doesn't explode into small files: layout rides file stats, not
+    directories."""
+    import json as _json
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_liquid_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # AQE rightly coalesces a 25-row range exchange to one file; pin a
+    # multi-file layout for the asserts, restoring the session exactly
+    prior = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    prior_n = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _dl.write_delta(
+            na.filter("n_nationkey < 13"), tbl, mode="overwrite",
+            cluster_by=["n_nationkey"],
+        )
+        _dl.write_delta(na.filter("n_nationkey >= 13"), tbl, mode="append")
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prior
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prior_n)
+    snap = _dl.snapshot(tbl)
+    assert {"clustering", "domainMetadata"} <= set(
+        snap.protocol["writerFeatures"]
+    ), "clustering feature not installed"
+    assert _json.loads(
+        snap.domain_metadata["delta.clustering"]["configuration"]
+    )["clusteringColumns"] == [["n_nationkey"]], "clustering domain wrong"
+    conj = _dl._parse_skippable("n_nationkey >= 5 AND n_nationkey <= 9")
+    surviving = [
+        f for f in snap.files if _dl._file_survives(f.stats, conj)
+    ]
+    assert 0 < len(surviving) < len(snap.files), (
+        f"clustered stats did not prune: {len(surviving)}/{len(snap.files)}"
+    )
+    v = _dl.write_checkpoint_v2(tbl)
+    removed = _dl.clean_log(tbl)
+    assert removed == v, f"expected {v} pruned commits, got {removed}"
+    assert "delta.clustering" in _dl.snapshot(tbl).domain_metadata, (
+        "clustering domain lost through checkpoint + cleanup"
+    )
+    out = _dl.read_delta(
+        spark, tbl, where="n_nationkey >= 5 AND n_nationkey <= 9"
+    )
+    return out.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )

@@ -98,19 +98,33 @@ class DeltaWriter(Actor):
     #: (the delta.columnMapping.mode TBLPROPERTY) — enables metadata-only
     #: RENAME/DROP COLUMN on the created table
     columnMapping: str | None = None
+    #: table-creation option (round 11): liquid-clustering columns — the
+    #: ``clustering`` writer feature's ``delta.clustering`` domain;
+    #: every write range-clusters on these so file stats prune
+    clusterBy: str | None = None
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.view or not (self.table or self.path):
             raise ValueError("DeltaWriter: view and table|path required")
         df = spark.table(self.view)
         ctx.reference(self.view)
+        ccols = [
+            c.strip() for c in (self.clusterBy or "").split(",") if c.strip()
+        ]
+        cols = [
+            c.strip() for c in (self.partitionBy or "").split(",") if c.strip()
+        ]
         try:
+            if ccols:
+                # the jar's liquid clustering goes through clusterBy on
+                # the v2 writer — not expressible on this v1 chain; the
+                # native writer owns it
+                raise RuntimeError("clusterBy uses the native delta writer")
             writer = df.write.format("delta")
             if self.columnMapping:
                 writer = writer.option(
                     "delta.columnMapping.mode", self.columnMapping
                 )
-            cols = [c.strip() for c in (self.partitionBy or "").split(",") if c.strip()]
             if cols:
                 writer = writer.partitionBy(*cols)
             if self.bucketBy_numBuckets and self.bucketBy_columns:
@@ -147,6 +161,7 @@ class DeltaWriter(Actor):
                 mode=self.mode,
                 partition_by=cols or None,
                 column_mapping=self.columnMapping,
+                cluster_by=ccols or None,
             )
             return None
         return None

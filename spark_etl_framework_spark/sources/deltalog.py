@@ -1186,8 +1186,22 @@ def write_delta(
     merge_schema: bool = False,
     column_mapping: str | None = None,
     generated_columns: dict[str, str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the delta table at ``path``; returns the version.
+
+    LIQUID CLUSTERING (PROTOCOL.md § Clustered Table — the ``clustering``
+    writer feature riding on domainMetadata): ``cluster_by=[cols]`` on
+    table CREATION records the clustering columns in the
+    ``delta.clustering`` metadata domain and range-clusters every write
+    (``repartitionByRange`` + ``sortWithinPartitions`` on the clustering
+    columns), so each file's min/max footer stats span a narrow key
+    range and ``where=`` data skipping prunes files on those columns —
+    the layout benefit hive partitioning gives, without the
+    small-file/partition-explosion cost at 100 TB key cardinalities.
+    Appends to a clustered table re-apply the recorded layout
+    automatically; clustered tables cannot also be hive-partitioned
+    (delta's rule), and changing the column set on append refuses.
 
     Data files are staged with Spark's own distributed parquet writer
     (hive-style partition dirs when ``partition_by``), moved under the
@@ -1235,6 +1249,18 @@ def write_delta(
     spark = df.sparkSession
     prev = latest_version(path)
     partition_by = list(partition_by or [])
+    cluster_by = list(cluster_by or [])
+    if cluster_by and partition_by:
+        raise ValueError(
+            "write_delta: a clustered table cannot also be "
+            "hive-partitioned (PROTOCOL.md Clustered Table rule)"
+        )
+    missing_cluster = set(cluster_by) - set(df.columns)
+    if missing_cluster:
+        raise ValueError(
+            f"write_delta: cluster_by columns {sorted(missing_cluster)} "
+            "not in the dataframe"
+        )
     evolved: T.StructType | None = None
     mapped_schema: T.StructType | None = None
     configuration: dict = {}
@@ -1260,6 +1286,24 @@ def write_delta(
                 f"partition columns {partition_by} != table's "
                 f"{snap.partition_columns}"
             )
+        dom = snap.domain_metadata.get("delta.clustering")
+        table_cluster = (
+            [
+                c[-1] if isinstance(c, list) else c
+                for c in json.loads(dom["configuration"]).get(
+                    "clusteringColumns", []
+                )
+            ]
+            if dom
+            else []
+        )
+        if cluster_by and cluster_by != table_cluster:
+            raise ValueError(
+                f"write_delta: cluster_by {cluster_by} != table's "
+                f"clustering columns {table_cluster} — the column set is "
+                "fixed at creation (ALTER CLUSTER BY is not supported)"
+            )
+        cluster_by = cluster_by or table_cluster
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return prev  # replayed batch — already committed, idempotent
         evolved = _check_write_schema(df.schema, snap.schema, merge_schema)
@@ -1315,6 +1359,13 @@ def write_delta(
                 fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
             mapped_schema = T.StructType(fields)
 
+    if cluster_by:
+        # the clustering LAYOUT: range-partition then sort so every file
+        # covers a narrow clustering-key range — its min/max stats become
+        # the skipping index. Plain built-in exchanges, no UDF.
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     constraints = dict(snap.check_constraints) if snap else {}
     constraints.update(gen_guards)
     adds = _stage_adds(
@@ -1329,13 +1380,36 @@ def write_delta(
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
                 "operation": op,
-                "operationParameters": {"mode": mode.upper()},
+                "operationParameters": (
+                    {"mode": mode.upper(),
+                     "clusterBy": json.dumps([[c] for c in cluster_by])}
+                    if cluster_by
+                    else {"mode": mode.upper()}
+                ),
                 "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
             }
         }
     ]
     if prev < 0:
-        if column_mapping:
+        if cluster_by:
+            # clustering is a TABLE FEATURE (writer 7): list every active
+            # feature, implied legacy ones included (the upgrade rule)
+            wfeat = {"appendOnly", "invariants", "clustering",
+                     "domainMetadata"}
+            rfeat: set[str] = set()
+            if column_mapping:
+                wfeat.add("columnMapping")
+                rfeat.add("columnMapping")
+            if generated_columns:
+                wfeat.update(("generatedColumns", "changeDataFeed"))
+            proto = {
+                "minReaderVersion": 3 if rfeat else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wfeat),
+            }
+            if rfeat:
+                proto["readerFeatures"] = sorted(rfeat)
+        elif column_mapping:
             # column mapping requires reader 2 / writer 5 (covers the
             # generated-column writer version 4 as well)
             proto = {"minReaderVersion": 2, "minWriterVersion": 5}
@@ -1356,6 +1430,18 @@ def write_delta(
                 }
             }
         )
+        if cluster_by:
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cluster_by]}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
     elif evolved is not None:
         # mergeSchema evolution: the commit re-states metaData with the
         # widened schema (same table id — the spec's evolution shape)
@@ -2988,11 +3074,18 @@ def _write_last_checkpoint(path: str, version: int, size: int) -> None:
 
 def _write_checkpoint(path: str, version: int) -> None:
     """Compact the snapshot into the classic single-file parquet
-    checkpoint + ``_last_checkpoint`` pointer."""
+    checkpoint + ``_last_checkpoint`` pointer — unless the table carries
+    the ``v2Checkpoint`` feature, in which case the V2 layout is the
+    table's declared checkpoint policy and the auto-checkpoint honors it
+    (PROTOCOL.md: v2Checkpoint writers checkpoint in the V2 naming; a
+    classic file here would surprise jar readers of the same table)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     snap = snapshot(path, version)
+    if "v2Checkpoint" in (snap.protocol.get("readerFeatures") or []):
+        _write_checkpoint_v2_body(path, version, snap, 1, "parquet")
+        return
     fields = _checkpoint_pa_fields()
     schema = pa.schema(
         [fields[k] for k in
@@ -3053,6 +3146,17 @@ def write_checkpoint_v2(
             path, version, _protocol_upgrade_actions(snap, "v2Checkpoint")
         )
         snap = snapshot(path, version)
+    return _write_checkpoint_v2_body(path, version, snap, parts, top_format)
+
+
+def _write_checkpoint_v2_body(
+    path: str, version: int, snap: Snapshot, parts: int, top_format: str
+) -> int:
+    """The V2 layout emission shared by the explicit API and the
+    policy-aware auto-checkpoint: sidecar parquet parts + one uuid-named
+    top file (parquet or json) + ``_last_checkpoint``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     fields = _checkpoint_pa_fields()
     meta_rows, add_rows = _checkpoint_rows(snap)

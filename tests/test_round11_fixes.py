@@ -413,3 +413,109 @@ def test_domain_metadata_survives_json_top(spark, loc):
     assert dl.snapshot(loc).domain_metadata["delta.clustering"][
         "configuration"
     ] == '{"c":1}'
+
+
+# ---------------------------------------------------------------------------
+# 10. liquid clustering (clustering writer feature + delta.clustering domain)
+# ---------------------------------------------------------------------------
+
+
+def _stats_range(f):
+    st = json.loads(f.stats)
+    return st["minValues"]["id"], st["maxValues"]["id"]
+
+
+def test_cluster_by_layout_and_domain(spark, loc):
+    # AQE rightly coalesces an 80-row range exchange to ONE partition;
+    # pin a multi-file layout so the disjointness property is visible
+    prior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled",
+                           "true")
+    prior_n = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _cluster_body(spark, loc)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prior
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prior_n)
+
+
+def _cluster_body(spark, loc):
+    df = spark.createDataFrame([(i,) for i in range(80)], "id int")
+    dl.write_delta(df, loc, mode="overwrite", cluster_by=["id"])
+    snap = dl.snapshot(loc)
+    assert {"clustering", "domainMetadata"} <= set(
+        snap.protocol["writerFeatures"]
+    )
+    assert json.loads(
+        snap.domain_metadata["delta.clustering"]["configuration"]
+    )["clusteringColumns"] == [["id"]]
+    # range clustering: file key-ranges are DISJOINT, so min/max stats
+    # form a skipping index over the clustering column
+    ranges = sorted(_stats_range(f) for f in snap.files)
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # appends RE-APPLY the recorded layout without re-passing cluster_by
+    df2 = spark.createDataFrame([(i,) for i in range(80, 160)], "id int")
+    dl.write_delta(df2, loc, mode="append")
+    snap2 = dl.snapshot(loc)
+    new_files = [f for f in snap2.files if f not in snap.files]
+    new_ranges = sorted(_stats_range(f) for f in new_files)
+    assert len(new_ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(new_ranges, new_ranges[1:]):
+        assert hi1 <= lo2
+    # data skipping actually prunes on the clustering column
+    conj = dl._parse_skippable("id >= 10 AND id <= 12")
+    surviving = [f for f in snap2.files if dl._file_survives(f.stats, conj)]
+    assert 0 < len(surviving) < len(snap2.files)
+    # and the domain survives checkpoint + log cleanup
+    v = dl.write_checkpoint_v2(loc)
+    dl.clean_log(loc)
+    assert "delta.clustering" in dl.snapshot(loc).domain_metadata
+    assert v >= 1
+
+
+def test_cluster_by_guards(spark, loc):
+    df = spark.createDataFrame([(1, 2)], "id int, g int")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        dl.write_delta(df, loc, mode="overwrite",
+                       cluster_by=["id"], partition_by=["g"])
+    with pytest.raises(ValueError, match="not in the dataframe"):
+        dl.write_delta(df, loc, mode="overwrite", cluster_by=["ghost"])
+    dl.write_delta(df, loc, mode="overwrite", cluster_by=["id"])
+    with pytest.raises(ValueError, match="fixed at creation"):
+        dl.write_delta(df, loc, mode="append", cluster_by=["g"])
+
+
+# ---------------------------------------------------------------------------
+# 11. auto-checkpoints honor the table's checkpoint policy
+# ---------------------------------------------------------------------------
+
+
+def test_auto_checkpoint_is_v2_on_v2_featured_table(spark, loc):
+    _dwrite(spark, loc, [0])
+    dl.write_checkpoint_v2(loc)  # installs the v2Checkpoint feature
+    # drive past the next CHECKPOINT_INTERVAL boundary: the automatic
+    # checkpoint must come out in the V2 naming, never classic
+    target = ((dl.latest_version(loc) // dl.CHECKPOINT_INTERVAL) + 1) * (
+        dl.CHECKPOINT_INTERVAL
+    )
+    i = 1
+    while dl.latest_version(loc) < target:
+        _dwrite(spark, loc, [i])
+        i += 1
+    names = os.listdir(dl._log_dir(loc))
+    assert not any(
+        n == f"{target:020d}.checkpoint.parquet" for n in names
+    ), "auto-checkpoint wrote a CLASSIC file on a v2Checkpoint table"
+    assert any(
+        (m := dl._CP_NAME_RE.match(n)) and m.group(2)
+        and int(m.group(1)) == target
+        for n in names
+    ), "no V2 auto-checkpoint at the interval boundary"
+    # replay through it still reconstructs the full state
+    dl.clean_log(loc)
+    assert dl.read_delta(spark, loc).count() == i
