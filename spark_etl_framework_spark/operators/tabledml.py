@@ -234,6 +234,9 @@ class IcebergDmlActor(_TableDmlBase):
         if op in ("optimize", "rewrite"):
             ice.rewrite_data_files(spark, loc)
             return None
+        if op == "rewritemanifests":
+            ice.rewrite_manifests(loc)
+            return None
         if op == "history":
             df = ice.read_meta(spark, loc, self.metadataTable)
             if self.view:

@@ -193,6 +193,27 @@ def _publish_metadata(loc: str, version: int, meta: dict) -> None:
         meta = dict(meta, refs=refs)
     d = _meta_dir(loc)
     os.makedirs(d, exist_ok=True)
+    # spec (Table Metadata → metadata-log): every commit appends the
+    # PREVIOUS metadata file so clients can walk metadata history
+    # (catalog rollback, debugging); bounded by the table property
+    # write.metadata.previous-versions-max (spec default 100) so the
+    # list never grows with table age unbounded
+    prev_file = os.path.join(d, f"v{version - 1}.metadata.json")
+    if version > 1 and os.path.exists(prev_file):
+        log = list(meta.get("metadata-log") or [])
+        log.append(
+            {
+                "timestamp-ms": int(os.path.getmtime(prev_file) * 1000),
+                "metadata-file": prev_file,
+            }
+        )
+        keep = int(
+            (meta.get("properties") or {}).get(
+                "write.metadata.previous-versions-max", 100
+            )
+        )
+        meta = dict(meta)
+        meta["metadata-log"] = log[-max(keep, 1):]
     tmp = os.path.join(d, f".{uuid.uuid4().hex}.json.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
@@ -291,6 +312,15 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": ["null", "long"], "default": None,
              "field-id": 1},
+            # spec fields 3/4: EXPLICIT data/file sequence numbers — null
+            # inherits from the manifest-list entry (ADDED rows); a
+            # rewrite_manifests consolidation writes them explicitly so
+            # files from different commits keep their own sequence in one
+            # shared manifest
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
             {
                 "name": "data_file",
                 "field-id": 2,
@@ -362,6 +392,10 @@ _MANIFEST_FILE_SCHEMA = {
          "default": None, "field-id": 506},
         {"name": "added_rows_count", "type": ["null", "long"], "default": None,
          "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 513},
+        {"name": "deleted_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 514},
     ],
 }
 
@@ -838,6 +872,8 @@ def write_iceberg(
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
         "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
 
     # ---- manifest list: previous manifests + new on append, new only on
@@ -922,6 +958,10 @@ def write_iceberg(
             mf2["added_data_files_count"] = 0
             mf2["existing_data_files_count"] = len(rewritten)
             mf2["deleted_data_files_count"] = len(live) - len(kept)
+            mf2["added_rows_count"] = 0
+            mf2["existing_rows_count"] = sum(
+                e["data_file"]["record_count"] for e in rewritten
+            )
             kept_manifests.append(mf2)
         prev = kept_manifests
     list_path = os.path.join(
@@ -940,6 +980,11 @@ def write_iceberg(
 
     # ---- new table metadata version
     summary = {"operation": "append" if mode == "append" else "overwrite"}
+    # spec §Snapshots: summary metrics (what the jar's tbl.snapshots
+    # surface shows) — added-* from this commit's entries, total-* summed
+    # from the final manifest list's per-manifest counts (driver-side,
+    # O(manifests), no file reads)
+    summary.update(_summary_metrics(entries, manifests))
     if wap_id is not None:
         summary["wap.id"] = str(wap_id)
     snapshot = {
@@ -998,6 +1043,38 @@ def write_iceberg(
         ]
     _publish_metadata(loc, v + 1, meta)
     return snapshot_id
+
+
+def _summary_metrics(entries: list[dict], manifests: list[dict]) -> dict:
+    """Spec §Snapshots summary fields: ``added-*`` from this commit's
+    staged entries, ``total-*`` from the snapshot's final manifest list
+    (added + existing counts per manifest — v1 and v2 field names both
+    handled). All values are STRINGS per the spec's summary map type."""
+    added_records = sum(e["data_file"]["record_count"] for e in entries)
+    added_bytes = sum(
+        e["data_file"].get("file_size_in_bytes", 0) for e in entries
+    )
+    total_files = total_records = 0
+    for mf in manifests:
+        if mf.get("content", 0) != 0:
+            continue  # delete manifests don't count data files
+        total_files += (
+            mf.get("added_files_count", mf.get("added_data_files_count"))
+            or 0
+        ) + (
+            mf.get("existing_files_count",
+                   mf.get("existing_data_files_count")) or 0
+        )
+        total_records += (mf.get("added_rows_count") or 0) + (
+            mf.get("existing_rows_count") or 0
+        )
+    return {
+        "added-data-files": str(len(entries)),
+        "added-records": str(added_records),
+        "added-files-size": str(added_bytes),
+        "total-data-files": str(total_files),
+        "total-records": str(total_records),
+    }
 
 
 def _as_v2_list_entry(mf: dict) -> dict:
@@ -1540,6 +1617,135 @@ def rewrite_data_files(spark: SparkSession, loc: str) -> int | None:
 # ---------------------------------------------------------------------------
 # read
 # ---------------------------------------------------------------------------
+
+
+def rewrite_manifests(loc: str) -> dict:
+    """Consolidate the current snapshot's DATA manifests — the jar's
+    ``rewrite_manifests`` procedure, the metadata-compaction half of
+    table maintenance (``rewrite_data_files`` is the data half): after
+    thousands of appends the manifest list holds one tiny manifest per
+    commit and scan PLANNING goes O(commits); this rewrites their live
+    entries (status=EXISTING, original snapshot ids kept) into ONE
+    consolidated manifest. On v2 tables every rewritten entry carries an
+    EXPLICIT data/file sequence number (spec manifest-entry fields 3/4
+    — resolved from its source manifest's inheritance), because the
+    consolidated manifest mixes commits and inheriting one list-entry
+    number would mis-sequence them: inflating a data file's sequence
+    wrongly exempts it from older position deletes. Delete manifests
+    carry over untouched. Publishes one ``replace`` snapshot — zero
+    data-file operations at any table size. Returns manifest counts
+    ``{"before": n, "after": n}``."""
+    meta = load_metadata(loc)
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id in (None, -1):
+        raise ValueError(f"rewrite_manifests: no current snapshot in {loc}")
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_id)
+    _s, _m, mlist = read_ocf(cur["manifest-list"])
+    fmt = meta.get("format-version", 1)
+    data = [mf for mf in mlist if mf.get("content", 0) == 0]
+    deletes = [mf for mf in mlist if mf.get("content", 0) != 0]
+    if len(data) <= 1:
+        return {"before": len(mlist), "after": len(mlist)}  # nothing to fold
+
+    now_ms = int(time.time() * 1000)
+    new_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    pfields = _partition_avro_fields(
+        iceberg_to_spark_schema(meta["schema"]), _spec_entries(meta)
+    )
+    partition_spec = meta.get("partition-spec", [])
+    entries: list[dict] = []
+    for mf in data:
+        mf_seq = (mf.get("sequence_number") or 0) if fmt == 2 else None
+        _es, _em, m_entries = read_ocf(mf["manifest_path"])
+        for e in m_entries:
+            if e["status"] == 2:
+                continue
+            e2 = dict(e, status=0)  # EXISTING, original snapshot_id kept
+            if fmt == 2:
+                # EXPLICIT per-entry sequence (spec fields 3/4): the
+                # consolidated manifest mixes commits, so inheritance
+                # from ONE list-entry number would mis-sequence them
+                seq = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else mf_seq
+                )
+                e2["sequence_number"] = seq
+                e2["file_sequence_number"] = (
+                    e.get("file_sequence_number")
+                    if e.get("file_sequence_number") is not None
+                    else seq
+                )
+            entries.append(e2)
+    new_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
+    write_ocf(
+        new_path,
+        _manifest_entry_schema(pfields),
+        entries,
+        metadata={
+            "schema": json.dumps(meta["schema"]),
+            "partition-spec": json.dumps(partition_spec),
+            "partition-spec-id": "0",
+            "format-version": str(fmt),
+            "content": "data",
+        },
+    )
+    entry = {
+        "manifest_path": new_path,
+        "manifest_length": os.path.getsize(new_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": new_id,
+        "added_data_files_count": 0,
+        "existing_data_files_count": len(entries),
+        "deleted_data_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": sum(
+            e["data_file"]["record_count"] for e in entries
+        ),
+        "deleted_rows_count": 0,
+    }
+    if fmt == 2:
+        entry["content"] = 0
+        entry["sequence_number"] = meta.get("last-sequence-number", 0) + 1
+        entry["min_sequence_number"] = min(
+            (e["sequence_number"] for e in entries), default=0
+        )
+    new_list = [entry] + deletes
+    list_path = os.path.join(
+        _meta_dir(loc), f"snap-{new_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    if fmt == 2:
+        write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2,
+                  [_as_v2_list_entry(mf) for mf in new_list],
+                  metadata={"format-version": "2"})
+    else:
+        write_ocf(list_path, _MANIFEST_FILE_SCHEMA, new_list,
+                  metadata={"format-version": "1"})
+    snapshot = {
+        "snapshot-id": new_id,
+        "parent-snapshot-id": cur_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(len(mlist)),
+            "manifests-created": str(len(new_list)),
+        },
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    meta = dict(meta)
+    if fmt == 2:
+        new_seq = meta.get("last-sequence-number", 0) + 1
+        snapshot["sequence-number"] = new_seq
+        meta["last-sequence-number"] = new_seq
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = new_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_id}
+    ]
+    meta["last-updated-ms"] = now_ms
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return {"before": len(mlist), "after": len(new_list)}
 
 
 def _live_files(meta: dict, snapshot: dict) -> list[dict]:
@@ -2520,13 +2726,14 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
                 s["timestamp-ms"],
                 s.get("summary", {}).get("operation"),
                 s["manifest-list"],
+                json.dumps(s.get("summary", {}), sort_keys=True),
             )
             for s in meta.get("snapshots", [])
         ]
         return spark.createDataFrame(
             rows,
             "snapshot_id long, sequence_number long, committed_at_ms long, "
-            "operation string, manifest_list string",
+            "operation string, manifest_list string, summary string",
         )
     if kind == "history":
         cur = meta.get("current-snapshot-id", -1)

@@ -519,3 +519,70 @@ def test_auto_checkpoint_is_v2_on_v2_featured_table(spark, loc):
     # replay through it still reconstructs the full state
     dl.clean_log(loc)
     assert dl.read_delta(spark, loc).count() == i
+
+
+# ---------------------------------------------------------------------------
+# 12. iceberg snapshot summaries, metadata-log, rewrite_manifests
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_summary_metrics(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    _iwrite(spark, loc, [3, 4])
+    snaps = ice.load_metadata(loc)["snapshots"]
+    s0, s1 = snaps[0]["summary"], snaps[1]["summary"]
+    assert (s0["added-records"], s0["total-records"]) == ("3", "3")
+    assert (s1["added-records"], s1["total-records"]) == ("2", "5")
+    assert s1["total-data-files"] == "2"
+    assert int(s1["added-files-size"]) > 0
+
+
+def test_metadata_log_appends_and_bounds(spark, loc):
+    for i in range(4):
+        _iwrite(spark, loc, [i], mode="overwrite" if i == 0 else "append")
+    meta = ice.load_metadata(loc)
+    log = meta["metadata-log"]
+    assert len(log) == 3  # v1..v3 recorded when v2..v4 published
+    assert all(os.path.exists(e["metadata-file"]) for e in log)
+    versions = [
+        int(e["metadata-file"].rsplit("v", 1)[1].split(".")[0]) for e in log
+    ]
+    assert versions == sorted(versions)
+
+
+def test_rewrite_manifests_consolidates(spark, loc):
+    for i in range(4):
+        _iwrite(spark, loc, [i], mode="overwrite" if i == 0 else "append")
+    before = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    out = ice.rewrite_manifests(loc)
+    assert out == {"before": 4, "after": 1}
+    assert sorted(r.id for r in ice.read_iceberg(spark, loc).collect()) == before
+    snap = ice.load_metadata(loc)["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    # idempotent: nothing left to fold
+    assert ice.rewrite_manifests(loc) == {"before": 1, "after": 1}
+
+
+def test_rewrite_manifests_respects_sequence_groups(spark, loc):
+    # v2 table with row-level deletes: data manifests from different
+    # sequence numbers must NOT merge (position deletes at an
+    # intermediate sequence would stop applying), delete manifests
+    # carry over, and the read stays exact
+    _iwrite(spark, loc, range(4), mode="overwrite")
+    ice.delete_where(spark, loc, "id = 1")  # v2 upgrade + delete manifest
+    _iwrite(spark, loc, [10])
+    _iwrite(spark, loc, [11])
+    before = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert before == [0, 2, 3, 10, 11]
+    out = ice.rewrite_manifests(loc)
+    assert out["after"] < out["before"]
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == before
+    # time travel to the pre-rewrite snapshot still works (replace kept it)
+    meta = ice.load_metadata(loc)
+    prev_snap = meta["snapshots"][-2]["snapshot-id"]
+    got_prev = sorted(
+        r.id
+        for r in ice.read_iceberg(spark, loc, snapshot_id=prev_snap).collect()
+    )
+    assert got_prev == before
