@@ -1473,6 +1473,20 @@ def write_delta(
         )
     actions.extend(adds)
     _publish_commit(path, version, actions)
+    # VersionChecksum sidecar (<v>.crc — what delta-spark writes per
+    # commit): post-state aggregates computed INCREMENTALLY from the
+    # prev snapshot + this commit's adds, never a fresh log replay
+    files_after = (
+        list(snap.files) if (snap is not None and mode == "append") else []
+    )
+    crc_files = [a["add"] for a in adds] + [
+        {"size": f.size} for f in files_after
+    ]
+    _write_version_checksum(
+        path, version,
+        num_files=len(crc_files),
+        table_size_bytes=sum(int(f.get("size", 0)) for f in crc_files),
+    )
 
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
@@ -2836,6 +2850,85 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     return version
 
 
+def _crc_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.crc")
+
+
+def _write_version_checksum(
+    path: str, version: int, num_files: int, table_size_bytes: int
+) -> None:
+    """Per-version checksum sidecar ``<v>.crc`` — the VersionChecksum
+    file delta-spark writes next to every commit: post-commit aggregates
+    (numFiles, tableSizeBytes, the commit's inCommitTimestamp when
+    stamped) a reader can verify a replay against without trusting its
+    own arithmetic. Best-effort per the format: versions without one are
+    simply unverified."""
+    crc = {
+        "tableSizeBytes": int(table_size_bytes),
+        "numFiles": int(num_files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "txnId": uuid.uuid4().hex,
+    }
+    ict = _ict_of_commit(path, version)
+    if ict is not None:
+        crc["inCommitTimestamp"] = ict
+    tmp = _crc_path(path, version) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(crc, fh, separators=(",", ":"))
+    os.replace(tmp, _crc_path(path, version))
+
+
+def validate_checksum(path: str, version: int | None = None) -> dict | None:
+    """Verify a replayed snapshot against its ``<v>.crc`` sidecar:
+    numFiles, tableSizeBytes, and (when both sides carry one) the
+    commit's inCommitTimestamp. Returns the parsed crc dict, None when
+    the version has no checksum (unverified is not an error — the file
+    is best-effort), and raises ``DeltaChecksumMismatch`` on divergence:
+    a replay that disagrees with the writer's own aggregates means a
+    corrupted/missing log element, and silently trusting it would
+    surface as wrong rows much later."""
+    if version is None:
+        version = latest_version(path)
+    p = _crc_path(path, version)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        crc = json.load(fh)
+    snap = snapshot(path, version)
+    got_files = len(snap.files)
+    got_bytes = sum(f.size for f in snap.files)
+    errors = []
+    if crc.get("numFiles") is not None and crc["numFiles"] != got_files:
+        errors.append(f"numFiles: crc {crc['numFiles']} != replay {got_files}")
+    if (
+        crc.get("tableSizeBytes") is not None
+        and crc["tableSizeBytes"] != got_bytes
+    ):
+        errors.append(
+            f"tableSizeBytes: crc {crc['tableSizeBytes']} != replay {got_bytes}"
+        )
+    ict = _ict_of_commit(path, version)
+    if (
+        crc.get("inCommitTimestamp") is not None
+        and ict is not None
+        and crc["inCommitTimestamp"] != ict
+    ):
+        errors.append(
+            f"inCommitTimestamp: crc {crc['inCommitTimestamp']} != commit {ict}"
+        )
+    if errors:
+        raise DeltaChecksumMismatch(
+            f"version {version} of {path} fails checksum verification: "
+            + "; ".join(errors)
+        )
+    return crc
+
+
+class DeltaChecksumMismatch(RuntimeError):
+    """A replayed snapshot disagrees with the writer's <v>.crc aggregates."""
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per surviving commit JSON — version,
     timestamp, operation, operationParameters (JSON string), and the
@@ -2857,7 +2950,8 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
                     ci = act["commitInfo"]
                     op = ci.get("operation")
                     params = json.dumps(ci.get("operationParameters") or {})
-                    ts = ci.get("timestamp")
+                    # ICT is the authoritative commit time once enabled
+                    ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 elif "add" in act:
                     n_add += 1
                 elif "remove" in act:
@@ -3326,7 +3420,8 @@ def clean_log(
     tops) — their sidecars then reclaim as orphans — at the documented
     cost that time travel to those exact versions dies with them (the
     jar's log-retention trade; default False keeps them replayable).
-    Returns total files removed."""
+    ``<v>.crc`` checksum sidecars die with their commit (not counted —
+    the return value counts commits, checkpoints and data sidecars)."""
     cp = _read_last_checkpoint(path)
     if cp is None:
         return 0
@@ -3337,6 +3432,9 @@ def clean_log(
         if os.path.exists(p):
             os.unlink(p)
             removed += 1
+        crc = _crc_path(path, v)
+        if os.path.exists(crc):  # checksum sidecar dies with its commit
+            os.unlink(crc)
     d = _log_dir(path)
     survivors: list[str] = []
     for name in sorted(os.listdir(d)):

@@ -586,3 +586,49 @@ def test_rewrite_manifests_respects_sequence_groups(spark, loc):
         for r in ice.read_iceberg(spark, loc, snapshot_id=prev_snap).collect()
     )
     assert got_prev == before
+
+
+# ---------------------------------------------------------------------------
+# 13. version checksum sidecars (<v>.crc)
+# ---------------------------------------------------------------------------
+
+
+def test_version_checksum_written_and_validates(spark, loc):
+    _dwrite(spark, loc, [0, 1])
+    _dwrite(spark, loc, [2])
+    for v in (0, 1):
+        assert os.path.exists(dl._crc_path(loc, v))
+        crc = dl.validate_checksum(loc, v)
+        assert crc["numFiles"] >= 1
+    crc = dl.validate_checksum(loc)
+    assert crc["numFiles"] == 2  # two coalesced single-file appends
+    # ICT commits record it in the crc and validate against the log
+    dl.enable_in_commit_timestamps(loc)
+    _dwrite(spark, loc, [3])
+    v = dl.latest_version(loc)
+    crc = dl.validate_checksum(loc, v)
+    assert crc["inCommitTimestamp"] == dl._ict_of_commit(loc, v)
+    # DML versions have no crc: unverified, not an error
+    dl.delete_where(spark, loc, "id = 0")
+    assert dl.validate_checksum(loc) is None
+
+
+def test_version_checksum_detects_divergence(spark, loc):
+    _dwrite(spark, loc, [0])
+    p = dl._crc_path(loc, 0)
+    crc = json.load(open(p, encoding="utf-8"))
+    crc["numFiles"] = 99
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump(crc, fh)
+    with pytest.raises(dl.DeltaChecksumMismatch, match="numFiles"):
+        dl.validate_checksum(loc, 0)
+
+
+def test_clean_log_removes_stale_crc(spark, loc):
+    for i in range(3):
+        _dwrite(spark, loc, [i])
+    v = dl.write_checkpoint_v2(loc)
+    removed = dl.clean_log(loc)
+    assert removed == v  # crc sidecars are NOT counted
+    for x in range(v):
+        assert not os.path.exists(dl._crc_path(loc, x))
