@@ -3585,3 +3585,72 @@ def delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
+
+
+@register(
+    "stream_delta_cdf",
+    oracle="""
+    SELECT 'insert' AS change_type, 0 AS commit_version,
+           COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'delete', 1, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_regionkey = 2
+    UNION ALL
+    SELECT 'update_preimage', 2, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    SELECT 'update_postimage', 2, COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Change Data Feed (round 11 — delta-spark's
+    ``readChangeFeed=true`` readStream, the CDC-pipeline backbone):
+    nation lands (v0), a deletion-vector DELETE retires region 2 (v1),
+    an UPDATE rewrites region 1 (v2, pre+post images) — then the
+    DeltaStreamReader actor consumes the WHOLE lifecycle as typed
+    change micro-batches (offsets are log versions, one task per
+    change/data file; cdc-action commits are described by their change
+    files alone, v0's inserts derive from its dataChange adds). The
+    memory-sink union must reproduce every change typed and versioned
+    exactly — the same oracle family as the batch
+    ``delta_change_data_feed``, proving stream/batch CDF parity. At
+    100 TB this is the incremental-consumer shape: downstream readers
+    ship each commit's change bytes, never rescan the table."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.deltalog import delete_where, update_where, write_delta
+    from ..streaming.readers import DeltaStreamReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_scdf_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1)
+    write_delta(na, tbl, mode="overwrite")
+    delete_where(spark, tbl, "n_regionkey = 2", use_dvs=True)
+    update_where(spark, tbl, "n_regionkey = 1", {"n_name": "upper(n_name)"})
+
+    r = DeltaStreamReader(path=tbl)
+    r._props["options.readChangeFeed"] = "true"
+    sdf = r.run(jctx, spark)
+    qname = f"delta_scdf_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )

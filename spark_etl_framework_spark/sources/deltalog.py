@@ -3578,16 +3578,160 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         return None
 
 
+class _DeltaCdfPartition(InputPartition):
+    def __init__(self, kind: str, abs_path: str, partition_values: dict,
+                 version: int, ts: int):
+        self.kind = kind
+        self.abs_path = abs_path
+        self.partition_values = partition_values
+        self.version = version
+        self.ts = ts
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    """STREAMING Change Data Feed — delta-spark's
+    ``readChangeFeed=true`` streaming source: offsets are log versions,
+    each batch emits the version slice's row-level changes typed as
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``, one
+    task per change/data file. The same reader rule as the batch
+    ``table_changes``: a commit carrying ``cdc`` actions is described by
+    those change files ALONE; commits without cdc derive — dataChange
+    adds are inserts, dataChange removes are deletes whose (pre-vacuum)
+    file contents re-read. The CDC-pipeline shape at 100 TB: downstream
+    incremental consumers read only each commit's change bytes, never
+    the table."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("delta CDF stream source requires a path option")
+        sv = options.get("startingversion", options.get("startingVersion", "0"))
+        self._starting = sv
+        snap = snapshot(self._path)
+        self._names = [f.name for f in snap.schema.fields]
+        self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
+        self._phys = snap.physical_of
+        self._partition_columns = list(snap.partition_columns)
+
+    def initialOffset(self):
+        if str(self._starting).lower() == "latest":
+            return {"version": latest_version(self._path)}
+        return {"version": int(self._starting) - 1}
+
+    def latestOffset(self):
+        return {"version": latest_version(self._path)}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_DeltaCdfPartition] = []
+        for v in range(max(lo + 1, 0), hi + 1):
+            cp = _commit_path(self._path, v)
+            if not os.path.exists(cp):
+                raise ValueError(
+                    f"delta CDF stream: commit {v} was cleaned from the "
+                    "log (raise startingVersion past the last checkpoint)"
+                )
+            acts = [json.loads(x) for x in open(cp, encoding="utf-8")
+                    if x.strip()]
+            ts = _commit_timestamp(self._path, v)
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc:
+                parts.extend(
+                    _DeltaCdfPartition(
+                        "cdc",
+                        os.path.join(self._path, unquote(c["path"])),
+                        {}, v, ts,
+                    )
+                    for c in cdc
+                )
+                continue
+            for a in acts:
+                if "add" in a and a["add"].get("dataChange", True):
+                    parts.append(
+                        _DeltaCdfPartition(
+                            "insert",
+                            os.path.join(
+                                self._path, unquote(a["add"]["path"])
+                            ),
+                            a["add"].get("partitionValues") or {}, v, ts,
+                        )
+                    )
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    parts.append(
+                        _DeltaCdfPartition(
+                            "delete",
+                            os.path.join(
+                                self._path, unquote(a["remove"]["path"])
+                            ),
+                            a["remove"].get("partitionValues") or {}, v, ts,
+                        )
+                    )
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        if partition.kind == "cdc":
+            # change files carry EVERY column inline (physical names on
+            # mapped tables; _change_type is CDF metadata, never mapped)
+            ct = cols["_change_type"]
+            for i in range(tbl.num_rows):
+                yield tuple(
+                    cols[self._phys.get(c, c)][i] for c in self._names
+                ) + (ct[i], partition.version, partition.ts)
+            return
+        pvals = {}
+        for c in self._names:
+            phys = self._phys.get(c, c)
+            if phys in partition.partition_values:
+                pvals[c] = _cast_partition_literal(
+                    partition.partition_values[phys], self._ptypes[c]
+                )
+            elif c in partition.partition_values:
+                pvals[c] = _cast_partition_literal(
+                    partition.partition_values[c], self._ptypes[c]
+                )
+        for i in range(tbl.num_rows):
+            yield tuple(
+                pvals[c] if c in pvals else cols[self._phys.get(c, c)][i]
+                for c in self._names
+            ) + (partition.kind, partition.version, partition.ts)
+
+    def commit(self, end) -> None:
+        return None
+
+
 class DeltaLogDataSource(DataSource):
     """``spark.readStream.format("deltalog")`` — options: path,
-    startingVersion (int | 'latest')."""
+    startingVersion (int | 'latest'), readChangeFeed (true streams
+    typed row-level changes instead of appended rows)."""
 
     @classmethod
     def name(cls) -> str:
         return "deltalog"
 
-    def schema(self):
-        return snapshot(self.options["path"]).schema
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed",
+                             self.options.get("readChangeFeed", "false"))
+        ).lower() == "true"
 
-    def streamReader(self, schema) -> DeltaLogStreamReader:
+    def schema(self):
+        base = snapshot(self.options["path"]).schema
+        if not self._cdf():
+            return base
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema):
+        if self._cdf():
+            return DeltaCdfStreamReader(self.options)
         return DeltaLogStreamReader(self.options)

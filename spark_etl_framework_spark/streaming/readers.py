@@ -94,7 +94,11 @@ class DeltaStreamReader(_StreamDecorators):
     the ``_delta_log`` takes over (sources/deltalog.py:
     DeltaLogStreamReader) — offsets are log versions, each batch reads
     the dataChange add-files of the new commits, one task per file.
-    Options pass through (``startingVersion`` int | 'latest')."""
+    Options pass through (``startingVersion`` int | 'latest';
+    ``readChangeFeed=true`` streams TYPED row-level changes —
+    ``_change_type``/``_commit_version``/``_commit_timestamp`` — via the
+    engine's CDF micro-batch source, delta-spark's streaming
+    readChangeFeed surface)."""
 
     path: str | None = None
     DEFERRED_KEYS = ("path",)
@@ -102,8 +106,14 @@ class DeltaStreamReader(_StreamDecorators):
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.path:
             raise ValueError("DeltaStreamReader: 'path' required")
+        cdf = str(
+            self._props.get("options.readChangeFeed", "false")
+        ).lower() == "true"
         try:
-            df = spark.readStream.format("delta").load(self.path)
+            reader = spark.readStream.format("delta")
+            if cdf:
+                reader = reader.option("readChangeFeed", "true")
+            df = reader.load(self.path)
             df.schema  # jar absence surfaces lazily — force analysis  # noqa: B018
             return self.decorate(df)
         except Exception:  # noqa: BLE001
@@ -115,6 +125,8 @@ class DeltaStreamReader(_StreamDecorators):
             sv = self._props.get("options.startingVersion")
             if sv is not None:
                 reader = reader.option("startingVersion", str(sv))
+            if cdf:
+                reader = reader.option("readChangeFeed", "true")
             return self.decorate(reader.load())
 
 

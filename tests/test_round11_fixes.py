@@ -632,3 +632,55 @@ def test_clean_log_removes_stale_crc(spark, loc):
     assert removed == v  # crc sidecars are NOT counted
     for x in range(v):
         assert not os.path.exists(dl._crc_path(loc, x))
+
+
+# ---------------------------------------------------------------------------
+# 14. streaming Change Data Feed parity with the batch table_changes
+# ---------------------------------------------------------------------------
+
+
+def test_stream_cdf_matches_batch_table_changes(spark, loc):
+    import uuid as _uuid
+
+    from spark_etl_framework_spark.sources.pysource import (
+        register_python_source,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(8)], "id int, s string"
+    )
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.delete_where(spark, loc, "id IN (2, 5)", use_dvs=True)
+    dl.update_where(spark, loc, "id = 1", {"s": "upper(s)"})
+
+    register_python_source(spark, dl.DeltaLogDataSource)
+    sdf = (
+        spark.readStream.format("deltalog")
+        .option("path", loc)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        sdf.columns
+    )
+    qname = f"cdf_{_uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.id, r.s, r._change_type, r._commit_version)
+        for r in spark.table(qname).collect()
+    }
+    batch = {
+        (r.id, r.s, r._change_type, r._commit_version)
+        for r in dl.table_changes(spark, loc, 0).collect()
+    }
+    assert streamed == batch
+    # the stream's commit timestamps follow the commit clock
+    ts = [
+        r._commit_timestamp
+        for r in spark.table(qname).orderBy("_commit_version").collect()
+    ]
+    assert ts == sorted(ts)
