@@ -684,3 +684,69 @@ def test_stream_cdf_matches_batch_table_changes(spark, loc):
         for r in spark.table(qname).orderBy("_commit_version").collect()
     ]
     assert ts == sorted(ts)
+
+
+# ---------------------------------------------------------------------------
+# 15. property pins: ICT strict monotonicity, ancestry walk
+# ---------------------------------------------------------------------------
+
+
+def test_ict_strictly_increases_under_rapid_commits(spark, loc):
+    _dwrite(spark, loc, [0])
+    dl.enable_in_commit_timestamps(loc)
+    v0 = dl.latest_version(loc)
+    # rapid same-millisecond commits: the funnel must still stamp a
+    # STRICTLY increasing chain (max(now, prev+1))
+    for i in range(12):
+        dl._publish_commit(
+            loc,
+            dl.latest_version(loc) + 1,
+            [{"commitInfo": {"timestamp": 0, "operation": f"NOOP{i}"}},
+             {"txn": {"appId": "rapid", "version": i}}],
+        )
+    icts = [
+        dl._ict_of_commit(loc, v)
+        for v in range(v0, dl.latest_version(loc) + 1)
+    ]
+    assert all(t is not None for t in icts)
+    assert all(b > a for a, b in zip(icts, icts[1:]))
+
+
+def test_is_ancestor_walk_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def trees(draw):
+        n = draw(st.integers(min_value=1, max_value=30))
+        parents = {0: None}
+        for i in range(1, n):
+            parents[i] = draw(st.integers(min_value=0, max_value=i - 1))
+        return parents
+
+    def meta_of(parents):
+        return {
+            "snapshots": [
+                {"snapshot-id": i,
+                 **({"parent-snapshot-id": p} if p is not None else {})}
+                for i, p in parents.items()
+            ]
+        }
+
+    @given(trees(), st.data())
+    @settings(max_examples=60, deadline=None)
+    def prop(parents, data):
+        meta = meta_of(parents)
+        a = data.draw(st.sampled_from(sorted(parents)))
+        b = data.draw(st.sampled_from(sorted(parents)))
+        chain, cur = set(), b
+        while cur is not None:
+            chain.add(cur)
+            cur = parents[cur]
+        assert ice._is_ancestor(meta, a, b) == (a in chain)
+        # reflexive; root is everyone's ancestor; unknown id never is
+        assert ice._is_ancestor(meta, b, b)
+        assert ice._is_ancestor(meta, 0, b)
+        assert not ice._is_ancestor(meta, 10**9, b)
+
+    prop()
