@@ -128,6 +128,7 @@ HEADLINE = [
     "delta_incommit_timestamp",      # ICT enable + stamped time travel
     "delta_v2_json_checkpoint_replay",  # V2 json top + sidecar replay
     "delta_liquid_clustering",       # clustered write + pruned read
+    "delta_uniform_iceberg",         # UniForm mirror + iceberg reads
 ]
 
 

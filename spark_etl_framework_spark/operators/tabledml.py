@@ -179,6 +179,9 @@ class DeltaDmlActor(_TableDmlBase):
         if op == "checkpointv2":
             dl.write_checkpoint_v2(loc, parts=int(self.checkpointParts))
             return None
+        if op == "enableuniform":
+            dl.enable_uniform(loc)
+            return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 
 

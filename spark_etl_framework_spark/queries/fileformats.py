@@ -3654,3 +3654,82 @@ def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "delta_uniform_iceberg",
+    oracle="""
+    SELECT 0 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey <> 1
+    UNION ALL
+    SELECT 1 AS step,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def delta_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UniForm (round 11 —
+    ``delta.universalFormat.enabledFormats=iceberg``, the one-copy /
+    two-front-doors table): nation minus region 3 lands as delta, the
+    DeltaDmlActor ``enableUniform`` op turns the mirror on, region 3
+    APPENDS and region 1 is COW-DELETED — each delta commit
+    automatically materializing iceberg metadata over the SAME parquet
+    files. Step 0 reads the final state through the IcebergReader actor
+    (a pure iceberg read of a delta-written table: no rows copied,
+    asserted in-query by path identity); step 1 time-travels the
+    ICEBERG history to the pre-delete snapshot by id — the mirror keeps
+    versioned history too, each snapshot stamped with the delta version
+    it mirrors. At 100 TB this is the lakehouse interop story: one data
+    copy serves both protocol ecosystems, and the sync is metadata-only
+    (O(live files) driver work, zero data movement)."""
+    import os as _os
+    import tempfile
+
+    from ..operators.tabledml import DeltaDmlActor
+    from ..sources import deltalog as _dl
+    from ..sources import iceberg as _ice
+    from ..sources.connectors import IcebergReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_uni_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1)
+    _dl.write_delta(na.filter("n_regionkey <> 3"), tbl, mode="overwrite")
+    DeltaDmlActor(op="enableUniform", path=tbl).run(jctx, spark)
+    _dl.write_delta(na.filter("n_regionkey = 3"), tbl, mode="append")
+    meta_pre = _ice.load_metadata(tbl)
+    pre_delete = meta_pre["current-snapshot-id"]
+    _dl.delete_where(spark, tbl, "n_regionkey = 1")  # COW — mirrors too
+
+    meta = _ice.load_metadata(tbl)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["delta-version"] == str(_dl.latest_version(tbl)), (
+        "iceberg mirror is not stamped with the delta version"
+    )
+    # ZERO COPIES: every iceberg data file IS a delta data file
+    delta_files = {f.path for f in _dl.snapshot(tbl).files}
+    ice_files, _d = _ice._scan_snapshot(meta, cur)
+    assert {
+        _os.path.relpath(f["file_path"], tbl) for f in ice_files
+    } == delta_files, "uniform mirror copied or missed data files"
+
+    def _step(step: int, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(step).alias("step"),
+            F.col("n_nationkey").cast("bigint").alias("k"),
+        )
+
+    out = _step(0, IcebergReader(table=tbl).run(jctx, spark))
+    out = out.unionByName(
+        _step(1, _ice.read_iceberg(spark, tbl, snapshot_id=pre_delete))
+    )
+    return out.groupBy("step").agg(
+        F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
+    )

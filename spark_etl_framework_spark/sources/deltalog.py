@@ -935,6 +935,18 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
         ) from e
     finally:
         os.unlink(tmp)
+    if os.path.exists(os.path.join(d, _UNIFORM_MARKER)):
+        # UniForm: the delta commit is durable — mirror it as iceberg
+        # metadata over the same files. A sync failure must name the
+        # split state loudly (delta committed, iceberg stale).
+        try:
+            sync_uniform_iceberg(path, version)
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                f"delta version {version} of {path} committed, but the "
+                f"UniForm iceberg sync failed — the iceberg view is stale "
+                f"until sync_uniform_iceberg() succeeds: {e}"
+            ) from e
 
 
 def _parse_hive_dirs(relpath: str) -> dict:
@@ -1866,6 +1878,14 @@ def delete_where(
     prev = latest_version(path)
     if prev < 0:
         raise FileNotFoundError(f"not a delta table: {path}")
+    if use_dvs and _uniform_enabled(path):
+        # guard BEFORE any commit: a DV result could not be mirrored to
+        # iceberg, and failing after the delta commit would split state
+        raise ValueError(
+            "delete_where: deletion vectors are disabled on UniForm "
+            "tables (iceberg metadata cannot express them) — use the "
+            "copy-on-write mode (use_dvs=False)"
+        )
     snap = snapshot(path)
     if not snap.files:
         return None
@@ -2927,6 +2947,248 @@ def validate_checksum(path: str, version: int | None = None) -> dict | None:
 
 class DeltaChecksumMismatch(RuntimeError):
     """A replayed snapshot disagrees with the writer's <v>.crc aggregates."""
+
+
+#: marker file caching delta.universalFormat.enabledFormats=iceberg so the
+#: commit funnel can test enablement with one stat() instead of a replay
+_UNIFORM_MARKER = ".uniform"
+
+
+def _uniform_enabled(path: str) -> bool:
+    return os.path.exists(os.path.join(_log_dir(path), _UNIFORM_MARKER))
+
+
+def enable_uniform(path: str) -> int:
+    """Delta UniForm (``delta.universalFormat.enabledFormats=iceberg``):
+    from this commit on, every delta commit also materializes ICEBERG
+    metadata over the SAME data files, so an iceberg reader of the same
+    directory sees the table natively — one copy of the data, two
+    protocol front doors. Constraints mirror delta's icebergCompatV2:
+    live deletion vectors refuse (a DV is not expressible in iceberg v2
+    metadata as delta writes it — ``purge_deletion_vectors`` first, and
+    DV deletes refuse on uniform tables), column-mapped tables refuse
+    (the parquet columns carry physical names an iceberg name-resolving
+    reader would miss). Returns the enablement commit's version and
+    performs the initial sync."""
+    snap = snapshot(path)
+    if any(f.deletion_vector for f in snap.files):
+        raise ValueError(
+            "enable_uniform: the table has live deletion vectors — not "
+            "expressible in iceberg metadata; run purge_deletion_vectors "
+            "first (delta's icebergCompatV2 rule)"
+        )
+    if snap.column_mapping_mode != "none":
+        raise ValueError(
+            "enable_uniform: column-mapped tables are unsupported — the "
+            "parquet columns carry physical names an iceberg "
+            "name-resolving reader would miss"
+        )
+    conf = dict(snap.configuration)
+    conf["delta.universalFormat.enabledFormats"] = "iceberg"
+    conf["delta.enableIcebergCompatV2"] = "true"
+    version = _commit_metadata_change(
+        path, snap, snap.schema, snap.partition_columns, conf,
+        "SET TBLPROPERTIES",
+        {"properties": json.dumps(
+            {"delta.universalFormat.enabledFormats": "iceberg"}
+        )},
+    )
+    marker = os.path.join(_log_dir(path), _UNIFORM_MARKER)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("iceberg\n")
+    sync_uniform_iceberg(path, version)
+    return version
+
+
+def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
+    """Materialize the delta snapshot at ``version`` as ICEBERG metadata
+    over the same data files (the UniForm sync): one manifest describing
+    every live file where it is — record counts and column BOUNDS lifted
+    from the delta add-action stats (no footer reads), identity
+    partition spec from the delta partition columns — plus a manifest
+    list and a new ``vN.metadata.json``; an existing iceberg history at
+    the location advances by one full-state snapshot stamped with the
+    delta version it mirrors (``delta-version`` in the summary). Zero
+    bytes of data move. Full-state per sync: O(live files) of driver
+    metadata per commit — correct at any size, and the incremental form
+    is an optimization, not a semantic (delta-spark's async UniForm sync
+    also lags writes; readers of either door always see a consistent
+    snapshot). Returns the iceberg snapshot id."""
+    from . import iceberg as ice
+
+    snap = snapshot(path, version)
+    if any(f.deletion_vector for f in snap.files):
+        raise ValueError(
+            "uniform sync: live deletion vectors are not expressible in "
+            "iceberg metadata — purge_deletion_vectors first"
+        )
+    schema = snap.schema
+    types_of = {f.name: f.dataType for f in schema.fields}
+    ice_schema = ice.spark_to_iceberg_schema(schema)
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+
+    def _bounds(stats_json):
+        if not stats_json:
+            return None, None
+        try:
+            d = json.loads(stats_json)
+        except ValueError:
+            return None, None
+        lower, upper = [], []
+        for side, out in ((d.get("minValues") or {}, lower),
+                          (d.get("maxValues") or {}, upper)):
+            for name, v in side.items():
+                ty = ice_types.get(name)
+                # only exactly-encodable NUMERIC types ride over: delta
+                # string max-stats may be writer-truncated, which would
+                # UNDER-bound an iceberg upper bound and prune wrongly;
+                # skipping a bound is an optimization lost, never a
+                # correctness loss
+                if v is None or ty not in ("int", "long", "float", "double"):
+                    continue
+                raw = ice._encode_bound(v, ty)
+                if raw is not None:
+                    out.append({"key": field_ids[name], "value": raw})
+        return (lower or None), (upper or None)
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in snap.files:
+        abs_path = os.path.join(path, f.path)
+        n_rows = None
+        if f.stats:
+            try:
+                n_rows = json.loads(f.stats).get("numRecords")
+            except ValueError:
+                n_rows = None
+        if n_rows is None:
+            n_rows = pq.ParquetFile(abs_path).metadata.num_rows
+        lower, upper = _bounds(f.stats)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": abs_path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: ice._partition_to_avro(
+                            snap.pv_get(f.partition_values, c), types_of[c]
+                        )
+                        for c in snap.partition_columns
+                    },
+                    "record_count": int(n_rows),
+                    "file_size_in_bytes": f.size,
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                },
+            }
+        )
+
+    spec_entries = [
+        {"source": c, "transform": "identity", "name": c, "param": None,
+         "result_dt": types_of[c]}
+        for c in snap.partition_columns
+    ]
+    pfields = ice._partition_avro_fields(schema, spec_entries)
+    partition_spec = [
+        {"name": c, "transform": "identity", "source-id": field_ids[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(snap.partition_columns)
+    ]
+    os.makedirs(ice._meta_dir(path), exist_ok=True)
+    manifest_path = os.path.join(
+        ice._meta_dir(path), f"{uuid.uuid4().hex}-m0.avro"
+    )
+    ice.write_ocf(
+        manifest_path,
+        ice._manifest_entry_schema(pfields),
+        entries,
+        metadata={
+            "schema": json.dumps(ice_schema),
+            "partition-spec": json.dumps(partition_spec),
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    list_path = os.path.join(
+        ice._meta_dir(path), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    list_entry = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in entries
+        ),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ice.write_ocf(list_path, ice._MANIFEST_FILE_SCHEMA, [list_entry],
+                  metadata={"format-version": "1"})
+    summary = {
+        "operation": "overwrite",
+        "delta-version": str(snap.version),
+        "added-data-files": str(len(entries)),
+        "added-records": str(list_entry["added_rows_count"]),
+        "total-data-files": str(len(entries)),
+        "total-records": str(list_entry["added_rows_count"]),
+    }
+    ice_snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "summary": summary,
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    v = ice.current_version(path)
+    if v == 0:
+        meta = {
+            "format-version": 1,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-updated-ms": now_ms,
+            "last-column-id": len(schema.fields),
+            "schema": ice_schema,
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-spec": partition_spec,
+            "default-spec-id": 0,
+            "properties": {"uniform-from": "delta"},
+            "current-snapshot-id": snapshot_id,
+            "snapshots": [ice_snapshot],
+            "snapshot-log": [
+                {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+            ],
+            "metadata-log": [],
+        }
+    else:
+        meta = dict(ice.load_metadata(path))
+        cur = meta.get("current-snapshot-id")
+        if cur is not None and cur != -1:
+            ice_snapshot["parent-snapshot-id"] = cur
+        meta["schema"] = ice_schema
+        meta["schemas"] = [ice_schema]
+        meta["last-column-id"] = len(schema.fields)
+        meta["partition-spec"] = partition_spec
+        meta["last-updated-ms"] = now_ms
+        meta["snapshots"] = list(meta.get("snapshots", [])) + [ice_snapshot]
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+    ice._publish_metadata(path, v + 1, meta)
+    return snapshot_id
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:

@@ -750,3 +750,73 @@ def test_is_ancestor_walk_properties():
         assert not ice._is_ancestor(meta, 10**9, b)
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# 16. Delta UniForm: one data copy, two protocol front doors
+# ---------------------------------------------------------------------------
+
+
+def test_uniform_iceberg_mirror_roundtrip(spark, loc):
+    _dwrite(spark, loc, [0, 1, 2])
+    dl.enable_uniform(loc)
+    # the same directory reads as a NATIVE iceberg table
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 1, 2]
+    # every delta commit advances the iceberg view automatically
+    _dwrite(spark, loc, [3, 4])
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 1, 2, 3, 4]
+    # copy-on-write DELETE mirrors too
+    dl.delete_where(spark, loc, "id = 1")
+    assert sorted(r.id for r in ice.read_iceberg(spark, loc).collect()) == [
+        0, 2, 3, 4,
+    ]
+    assert sorted(r.id for r in dl.read_delta(spark, loc).collect()) == [
+        0, 2, 3, 4,
+    ]
+    # the iceberg snapshot is stamped with the delta version it mirrors
+    meta = ice.load_metadata(loc)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["delta-version"] == str(dl.latest_version(loc))
+    # ZERO data copies: iceberg manifests point INTO the delta table
+    files = {f.path for f in dl.snapshot(loc).files}
+    data, _dels = ice._scan_snapshot(meta, cur)
+    assert {os.path.relpath(f["file_path"], loc) for f in data} == files
+
+
+def test_uniform_partitioned_and_pruned(spark, loc):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id int, g int"
+    )
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite", partition_by=["g"])
+    dl.enable_uniform(loc)
+    out = ice.read_iceberg(spark, loc, where="g = 1")
+    assert sorted(r.id for r in out.collect()) == [
+        i for i in range(30) if i % 3 == 1
+    ]
+    # numeric bounds rode over from the delta stats: id pruning works
+    meta = ice.load_metadata(loc)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data, _d = ice._scan_snapshot(meta, cur)
+    assert any(f.get("lower_bounds") for f in data)
+
+
+def test_uniform_guards(spark, loc):
+    _dwrite(spark, loc, [0, 1])
+    dl.delete_where(spark, loc, "id = 0", use_dvs=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        dl.enable_uniform(loc)
+    dl.purge_deletion_vectors(spark, loc)
+    dl.enable_uniform(loc)
+    with pytest.raises(ValueError, match="disabled on UniForm"):
+        dl.delete_where(spark, loc, "id = 1", use_dvs=True)
+    # COW delete is the supported path; the mirror follows it to empty
+    dl.delete_where(spark, loc, "id = 1")
+    assert ice.read_iceberg(spark, loc).count() == 0
