@@ -692,3 +692,66 @@ jobs:
         (s.get("summary") or {}).get("published-wap-id") == "yaml-wap-1"
         for s in meta["snapshots"]
     )
+
+
+def test_delta_uniform_and_clustering_actors(spark, sf_dir, tmp_path):
+    """Round-11 lifecycle ops as YAML actors: delta-writer ``clusterBy``
+    creates a liquid-clustered table, delta-dml ``enableUniform`` turns
+    on the iceberg mirror, and an iceberg-reader actor reads the
+    delta-written table natively — the declarative surface for the
+    clustering and UniForm subsystems."""
+    tbl = tmp_path / "nation_uni"
+    out = tmp_path / "ice_view.parquet"
+    ypath = tmp_path / "uni.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write_clustered
+        actor:
+          type: delta-writer
+          properties:
+            view: nation
+            path: "{tbl}"
+            mode: overwrite
+            clusterBy: n_nationkey
+        input-views: [nation]
+      - name: mirror
+        actor:
+          type: delta-dml
+          properties: {{op: enableUniform, path: "{tbl}"}}
+      - name: read_as_iceberg
+        actor:
+          type: iceberg-reader
+          properties: {{table: "{tbl}"}}
+        output-view: {{name: ice_view, global: false}}
+      - name: sink
+        actor:
+          type: file-writer
+          properties:
+            format: parquet
+            fileUri: "{out}"
+            mode: overwrite
+            view: ice_view
+        input-views: [ice_view]
+""")
+    run_pipeline_file(spark, str(ypath))
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    full = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert spark.read.parquet(str(out)).count() == full
+    snap = dl.snapshot(str(tbl))
+    assert {"clustering", "domainMetadata"} <= set(
+        snap.protocol["writerFeatures"]
+    )
+    assert snap.configuration["delta.universalFormat.enabledFormats"] == (
+        "iceberg"
+    )
