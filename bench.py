@@ -129,7 +129,13 @@ HEADLINE = [
     "delta_v2_json_checkpoint_replay",  # V2 json top + sidecar replay
     "delta_liquid_clustering",       # clustered write + pruned read
     "delta_uniform_iceberg",         # UniForm mirror + iceberg reads
+    "iceberg_incremental_scan",      # append-range CDC scan + refusals
 ]
+# BUDGET NOTE (round 11): the stdout JSON line is ~1965 chars at these 62
+# entries — the 2000-char driver-tail assert below has ~1 short entry of
+# headroom. Before adding to HEADLINE again, either rotate a stable
+# entry out or shorten the drift block; the assert fails loudly either
+# way, never silently at the driver.
 
 
 def main() -> None:

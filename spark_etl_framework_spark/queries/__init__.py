@@ -192,13 +192,13 @@ def _load_all() -> None:
 #: lifecycle rows land windowed in the registering commit), every slot
 #: refreshes the OLDEST evidence: ALL 24 remaining r4-vintage rows
 #: (events_*, pipeline_*, stream_* r4 leftovers, flatfile/jdbc/kafka
-#: roundtrips, corpus/text r4 rows), then the first 18 r5-vintage rows
+#: roundtrips, corpus/text r4 rows), then the first 17 r5-vintage rows
 #: in registration order. A fully-green round advances the oldest
 #: evidence vintage from r4 to r5.
 #:
 #: ROUND-12 ROTATION TODO — continue the r5 refresh with the r5 rows
-#: this window could not fit (ts_cusum_drift, window_rolling_median,
-#: vector_pq_ann_adc, join_bloom_prefilter,
+#: this window could not fit (text_bpe_encode_stats, ts_cusum_drift,
+#: window_rolling_median, vector_pq_ann_adc, join_bloom_prefilter,
 #: events_markov_transitions, graph_pagerank_bipartite,
 #: events_outlier_mad, pipeline_pii_scrub, pipeline_scd2_writeback,
 #: pipeline_export_jsonl, pipeline_bpe_writeback, the stream_* r5 rows,
@@ -217,6 +217,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_liquid_clustering",
     "stream_delta_cdf",
     "delta_uniform_iceberg",
+    "iceberg_incremental_scan",
     # r4-vintage (all 24 that round 10 could not fit)
     "events_outlier_iqr",
     "events_anomaly_zscore",
@@ -257,7 +258,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_countmin_freq",
     "text_heavyhitters_mg",
     "text_bpe_train_merges",
-    "text_bpe_encode_stats",
     "vector_semantic_dedup",
     "vector_pq_codes",
     "dedup_incremental_admission",

@@ -3733,3 +3733,59 @@ def delta_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("step").agg(
         F.count("*").alias("n_rows"), F.sum("k").alias("key_sum")
     )
+
+
+@register(
+    "iceberg_incremental_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_regionkey >= 1
+    """,
+)
+def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (round 11 — the jar's
+    ``IncrementalAppendScan`` / ``fromSnapshotExclusive``): nation lands
+    as a base overwrite (region 0) plus two appends (regions 1-2, then
+    3-4); scanning ``(base, current]`` must return exactly the two
+    appends' rows — the batch-CDC primitive where a downstream consumer
+    reads only the files the commits since its last sync ADDED (walked
+    over parent-snapshot-id lineage, typed partition reattach, zero
+    table rescans at 100 TB). Asserted in-query: a wap-staged snapshot
+    off the lineage refuses as non-ancestor, and a later OVERWRITE in
+    the range refuses loudly (its changes are not expressible as added
+    rows — the jar's rule)."""
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    loc = tempfile.mkdtemp(prefix="ice_incr_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1)
+    base = _ice.write_iceberg(na.filter("n_regionkey = 0"), loc,
+                              mode="overwrite")
+    _ice.write_iceberg(na.filter("n_regionkey IN (1, 2)"), loc)
+    _ice.write_iceberg(na.filter("n_regionkey IN (3, 4)"), loc)
+    staged = _ice.write_iceberg(
+        na.filter("n_regionkey = 0").limit(1), loc, wap_id="side"
+    )
+    try:
+        _ice.read_iceberg_incremental(spark, loc, staged)
+        raise AssertionError("off-lineage from-snapshot did not refuse")
+    except ValueError as e:
+        assert "not an ancestor" in str(e)
+    out = _ice.read_iceberg_incremental(spark, loc, base)
+    # a subsequent overwrite inside a WIDER range refuses loudly
+    _ice.write_iceberg(na.filter("n_regionkey = 0"), loc, mode="overwrite")
+    try:
+        _ice.read_iceberg_incremental(spark, loc, base)
+        raise AssertionError("overwrite in range did not refuse")
+    except ValueError as e:
+        assert "only append snapshots" in str(e)
+    return out.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )

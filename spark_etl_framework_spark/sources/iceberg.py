@@ -1999,6 +1999,112 @@ def read_iceberg(
     return df.filter(where) if where else df
 
 
+def read_iceberg_incremental(
+    spark: SparkSession,
+    loc: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental APPEND scan — the jar's ``IncrementalAppendScan`` /
+    ``fromSnapshotExclusive``: the rows ADDED by the snapshots in
+    ``(from, to]``, walked over ``parent-snapshot-id`` lineage. The
+    batch CDC primitive at 100 TB: a downstream consumer reads only the
+    appended files of the commits since its last sync, never the table.
+    Exactly like the jar, a non-append snapshot in the range (overwrite
+    / replace / delete — its changes are not expressible as added rows
+    alone) REFUSES loudly, and a ``from`` that is not an ancestor of
+    ``to`` (rollback crossed the range) refuses too."""
+    meta = load_metadata(loc)
+    snaps_by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    for sid, what in ((from_snapshot_id, "from"), (to_id, "to")):
+        if sid not in snaps_by_id:
+            raise ValueError(
+                f"read_iceberg_incremental: {what} snapshot {sid} not in "
+                "the table"
+            )
+    chain: list[dict] = []
+    cur, seen = to_id, set()
+    while cur is not None and cur != from_snapshot_id and cur not in seen:
+        seen.add(cur)
+        s = snaps_by_id.get(cur)
+        if s is None:
+            break
+        chain.append(s)
+        cur = s.get("parent-snapshot-id")
+    if cur != from_snapshot_id:
+        raise ValueError(
+            f"read_iceberg_incremental: snapshot {from_snapshot_id} is not "
+            f"an ancestor of {to_id} — the range crosses a rollback or "
+            "predates parent tracking; scan from a snapshot on the current "
+            "lineage"
+        )
+    schema = iceberg_to_spark_schema(meta["schema"])
+    files: list[dict] = []
+    for s in reversed(chain):  # oldest → newest, stable output order
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise ValueError(
+                f"read_iceberg_incremental: snapshot {s['snapshot-id']} is "
+                f"a {op!r} — only append snapshots are expressible as "
+                "added rows; split the scan at it (the jar's "
+                "IncrementalAppendScan rule)"
+            )
+        _sm, _mm, manifests = read_ocf(s["manifest-list"])
+        for mf in manifests:
+            if mf.get("content", 0) != 0:
+                continue
+            if (mf.get("added_snapshot_id") or 0) != s["snapshot-id"]:
+                continue  # carried-over manifest: its rows predate the range
+            _es, _em, entries = read_ocf(mf["manifest_path"])
+            files.extend(
+                dict(e["data_file"])
+                for e in entries
+                if e["status"] == 1
+                and (e.get("snapshot_id") in (None, s["snapshot-id"]))
+            )
+    if not files:
+        return spark.createDataFrame([], schema)
+    # materialize exactly like read_iceberg's no-deletes path: identity
+    # partition values broadcast onto input filenames, exchange-free scan
+    partition_cols = _identity_names(_spec_entries(meta))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_cols]
+    )
+    df = spark.read.schema(data_schema).parquet(
+        *[f["file_path"] for f in files]
+    )
+    if partition_cols:
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        df = df.withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        map_schema = T.StructType(
+            [T.StructField("__file_name", T.StringType(), False)]
+            + [T.StructField(c, ptypes[c], True) for c in partition_cols]
+        )
+        fmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f["file_path"]),
+                    *[
+                        _avro_to_partition(f["partition"].get(c), ptypes[c])
+                        for c in partition_cols
+                    ],
+                )
+                for f in files
+            ],
+            map_schema,
+        )
+        df = df.join(F.broadcast(fmap), "__file_name", "left")
+    return df.select(*[F.col(f.name) for f in schema.fields])
+
+
 def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict]):
     """Merge-on-read: subtract v2 delete files from the scan.
 

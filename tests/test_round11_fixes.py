@@ -820,3 +820,53 @@ def test_uniform_guards(spark, loc):
     # COW delete is the supported path; the mirror follows it to empty
     dl.delete_where(spark, loc, "id = 1")
     assert ice.read_iceberg(spark, loc).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 17. incremental append scan
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_append_scan(spark, loc):
+    s1 = _iwrite(spark, loc, [0, 1], mode="overwrite")
+    s2 = _iwrite(spark, loc, [2, 3])
+    s3 = _iwrite(spark, loc, [4])
+    got = sorted(
+        r.id
+        for r in ice.read_iceberg_incremental(spark, loc, s1).collect()
+    )
+    assert got == [2, 3, 4]
+    got = sorted(
+        r.id
+        for r in ice.read_iceberg_incremental(
+            spark, loc, s1, to_snapshot_id=s2
+        ).collect()
+    )
+    assert got == [2, 3]
+    # empty range is an empty frame with the table schema
+    assert ice.read_iceberg_incremental(spark, loc, s3).count() == 0
+    # a from-snapshot OFF the current lineage refuses: a wap-staged
+    # snapshot sits in the table but on no pointer's ancestry
+    df = spark.createDataFrame([(99, "x")], "id int, s string")
+    staged = ice.write_iceberg(df.coalesce(1), loc, wap_id="side")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        ice.read_iceberg_incremental(spark, loc, staged)
+    # an unknown id refuses by name
+    with pytest.raises(ValueError, match="not in the table"):
+        ice.read_iceberg_incremental(spark, loc, 12345, to_snapshot_id=s3)
+    # an overwrite inside the range refuses loudly
+    _iwrite(spark, loc, [9], mode="overwrite")
+    with pytest.raises(ValueError, match="only append snapshots"):
+        ice.read_iceberg_incremental(spark, loc, s1)
+
+
+def test_incremental_scan_partitioned(spark, loc):
+    df1 = spark.createDataFrame([(i, i % 2) for i in range(6)],
+                                "id int, g int")
+    s1 = ice.write_iceberg(df1.coalesce(1), loc, mode="overwrite",
+                           partition_by=["g"])
+    df2 = spark.createDataFrame([(10, 0), (11, 1)], "id int, g int")
+    ice.write_iceberg(df2.coalesce(1), loc, partition_by=["g"])
+    out = ice.read_iceberg_incremental(spark, loc, s1)
+    rows = sorted((r.id, r.g) for r in out.collect())
+    assert rows == [(10, 0), (11, 1)]  # typed partition values reattach
