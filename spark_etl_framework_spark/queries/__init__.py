@@ -186,7 +186,7 @@ def _load_all() -> None:
 #:
 #: ROUND-11 WINDOW (executing the round-10 TODO): vintages recomputed
 #: this round from CORRECTNESS_r1..r10 (latest-green round per query;
-#: union coverage stays 302/302 + the 4 round-11 registrations). Beyond
+#: union coverage stays 302/302 + the 8 round-11 registrations). Beyond
 #: the anchor and the round-11 registrations (freeze policy — the
 #: ref-retention / wap-cherrypick / in-commit-timestamp / json-V2-top
 #: lifecycle rows land windowed in the registering commit), every slot

@@ -228,10 +228,16 @@ class IcebergWriter(Actor):
             sort_cols = [e["source"] for e in parse_partition_spec(cols)]
             df = df.sortWithinPartitions(*sort_cols)
         try:
+            prior_wap = None
             if self.wapId:
                 # the jar stages wap.id commits via THIS session conf
                 # (plus write.wap.enabled on the table) — set it for the
-                # write so a jar session stages instead of publishing
+                # write so a jar session stages instead of publishing.
+                # Session conf is shared state: capture any value the
+                # user (or a concurrent actor) had set and RESTORE it
+                # after the write instead of unconditionally unsetting
+                # (round-11 advisor, low).
+                prior_wap = spark.conf.get("spark.wap.id", None)
                 spark.conf.set("spark.wap.id", str(self.wapId))
             try:
                 w = df.write.format("iceberg").mode(self.mode)
@@ -240,7 +246,10 @@ class IcebergWriter(Actor):
                 w.save(self.table)
             finally:
                 if self.wapId:
-                    spark.conf.unset("spark.wap.id")
+                    if prior_wap is None:
+                        spark.conf.unset("spark.wap.id")
+                    else:
+                        spark.conf.set("spark.wap.id", prior_wap)
         except Exception as e:  # noqa: BLE001
             target = self.table
             if not (os.sep in target or "/" in target):

@@ -1280,6 +1280,12 @@ def write_delta(
     gen_guards: dict[str, str] = {}
     if prev >= 0:
         snap = snapshot(path)
+        # carry the FULL table configuration into any metaData restate
+        # this commit makes (mergeSchema evolution re-states metaData):
+        # an empty dict here silently wipes delta.enableInCommitTimestamps,
+        # CHECK constraints, enablement properties and UniForm flags on a
+        # non-column-mapped table (round-11 advisor, medium)
+        configuration = dict(snap.configuration)
         if generated_columns:
             raise ValueError(
                 "generated_columns is a table-creation option"
@@ -1320,7 +1326,6 @@ def write_delta(
             return prev  # replayed batch — already committed, idempotent
         evolved = _check_write_schema(df.schema, snap.schema, merge_schema)
         if snap.column_mapping_mode != "none":
-            configuration = dict(snap.configuration)
             if evolved is not None:
                 # evolution on a mapped table: carried-over fields keep
                 # their metadata (evolved reuses table fields); NEW fields

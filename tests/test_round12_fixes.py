@@ -1,0 +1,254 @@
+"""Round-12 advisor fixes, pinned.
+
+1. ``cherrypick_snapshot`` re-attributes the picked manifests to the
+   PUBLISHED snapshot id (rewriting the manifest files and their ADDED
+   entries' ``snapshot_id``), exactly like the jar — so an incremental
+   append scan whose range covers the publish sees the cherry-picked
+   rows. Previously the staged manifests carried over verbatim and the
+   ``added_snapshot_id == snapshot-id`` filter silently contributed
+   zero files for that commit (round-11 advisor, high).
+2. ``write_delta`` seeds ``configuration`` from the current snapshot for
+   EVERY existing table, so a mergeSchema metaData restate carries
+   ``delta.enableInCommitTimestamps`` / CHECK constraints / UniForm
+   flags forward on non-column-mapped tables too (advisor, medium).
+3. ``IcebergWriter``'s wapId path restores any pre-existing session
+   ``spark.wap.id`` instead of unconditionally unsetting it (advisor,
+   low).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_etl_framework_spark.plans.context import JobContext, PipelineContext
+from spark_etl_framework_spark.sources import deltalog as dl
+from spark_etl_framework_spark.sources import iceberg as ice
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _iwrite(spark, loc, ids, mode="append", **kw):
+    df = spark.createDataFrame([(i, f"s{i}") for i in ids], "id int, s string")
+    return ice.write_iceberg(df.coalesce(1), loc, mode=mode, **kw)
+
+
+# ---------------------------------------------------------------------------
+# 1. cherry-pick re-attributes manifests to the published snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_cherrypick_rows_visible_to_incremental_scan(spark, loc):
+    _iwrite(spark, loc, range(3), mode="overwrite")
+    staged = _iwrite(spark, loc, [10], wap_id="job-9")
+    # main advances between stage and publish
+    _iwrite(spark, loc, [20])
+    pre_publish = ice.load_metadata(loc)["current-snapshot-id"]
+    pub = ice.cherrypick_snapshot(loc, wap_id="job-9")
+    # the CDC consumer's view: rows added by (pre_publish, pub]
+    inc = ice.read_iceberg_incremental(spark, loc, pre_publish, pub)
+    assert sorted(r.id for r in inc.collect()) == [10]
+    # and a wider range that includes the intermediate append
+    m0 = next(
+        s["snapshot-id"] for s in ice.load_metadata(loc)["snapshots"]
+        if s.get("parent-snapshot-id") is None
+    )
+    inc_all = ice.read_iceberg_incremental(spark, loc, m0, pub)
+    assert sorted(r.id for r in inc_all.collect()) == [10, 20]
+
+
+def test_cherrypick_rewrites_manifest_attribution(spark, loc):
+    from spark_etl_framework_spark.functions.avro_ocf import read_ocf
+
+    _iwrite(spark, loc, range(2), mode="overwrite")
+    staged = _iwrite(spark, loc, [7], wap_id="w1")
+    pub = ice.cherrypick_snapshot(loc, wap_id="w1")
+    meta = ice.load_metadata(loc)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == pub)
+    _s, _m, mlist = read_ocf(snap["manifest-list"])
+    picked = [m for m in mlist if m["added_snapshot_id"] == pub]
+    assert len(picked) == 1  # the published manifest is attributed to pub
+    assert not any(m["added_snapshot_id"] == staged for m in mlist)
+    _es, _em, entries = read_ocf(picked[0]["manifest_path"])
+    assert all(
+        e["snapshot_id"] == pub for e in entries if e["status"] == 1
+    )
+    # the published table still reads correctly end-to-end
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 1, 7]
+
+
+# ---------------------------------------------------------------------------
+# 2. mergeSchema append preserves the full table configuration
+# ---------------------------------------------------------------------------
+
+
+def test_mergeschema_append_preserves_configuration(spark, loc):
+    df = spark.createDataFrame([(1,)], "id int")
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.enable_in_commit_timestamps(loc)
+    conf_before = dict(dl.snapshot(loc).configuration)
+    assert conf_before["delta.enableInCommitTimestamps"] == "true"
+    # schema-evolving append on a NON-column-mapped table: the metaData
+    # restate must carry the configuration forward
+    df2 = spark.createDataFrame([(2, "x")], "id int, extra string")
+    dl.write_delta(df2.coalesce(1), loc, merge_schema=True)
+    snap = dl.snapshot(loc)
+    assert snap.configuration == conf_before
+    # and ICT stamping continues on the evolving commit itself + after
+    v_evolve = dl.latest_version(loc)
+    assert dl._ict_of_commit(loc, v_evolve) is not None
+    df3 = spark.createDataFrame([(3, "z")], "id int, extra string")
+    dl.write_delta(df3.coalesce(1), loc)
+    assert dl._ict_of_commit(loc, dl.latest_version(loc)) is not None
+
+
+def test_mergeschema_append_preserves_check_constraints(spark, loc):
+    df = spark.createDataFrame([(5,)], "id int")
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.add_check_constraint(spark, loc, "pos", "id > 0")
+    df2 = spark.createDataFrame([(6, "y")], "id int, tag string")
+    dl.write_delta(df2.coalesce(1), loc, merge_schema=True)
+    # the constraint survives the restate AND still enforces
+    assert dl.snapshot(loc).check_constraints == {"pos": "id > 0"}
+    bad = spark.createDataFrame([(-1, "n")], "id int, tag string")
+    with pytest.raises(Exception, match="pos|id > 0|CHECK"):
+        dl.write_delta(bad.coalesce(1), loc)
+
+
+# ---------------------------------------------------------------------------
+# 3. IcebergWriter restores a pre-existing session wap.id
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_writer_wap_restores_prior_session_conf(spark, loc):
+    from spark_etl_framework_spark.sinks.connectors import IcebergWriter
+
+    _iwrite(spark, loc, range(2), mode="overwrite")
+    spark.createDataFrame([(9, "s9")], "id int, s string").createOrReplaceTempView(
+        "_wap_in"
+    )
+    spark.conf.set("spark.wap.id", "user-held")
+    try:
+        IcebergWriter(view="_wap_in", table=loc, wapId="actor-job").run(
+            JobContext(PipelineContext(), spark), spark
+        )
+        assert spark.conf.get("spark.wap.id") == "user-held"
+    finally:
+        spark.conf.unset("spark.wap.id")
+    # and when the user held NO value, the conf ends unset
+    IcebergWriter(view="_wap_in", table=loc, wapId="actor-job2").run(
+        JobContext(PipelineContext(), spark), spark
+    )
+    assert spark.conf.get("spark.wap.id", None) is None
+
+
+# ---------------------------------------------------------------------------
+# 4. partition-spec evolution: resolve structured v2 specs, refuse evolved
+#    manifests (round-11 judge order item 2)
+# ---------------------------------------------------------------------------
+
+
+def _edit_meta(loc, fn):
+    import json
+    import os
+
+    d = os.path.join(loc, "metadata")
+    with open(os.path.join(d, "version-hint.text"), encoding="utf-8") as fh:
+        v = int(fh.read().strip())
+    p = os.path.join(d, f"v{v}.metadata.json")
+    with open(p, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    fn(meta)
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def _ipart_write(spark, loc, rows):
+    df = spark.createDataFrame(rows, "id int, grp string")
+    return ice.write_iceberg(
+        df.coalesce(1), loc, mode="overwrite", partition_by=["grp"]
+    )
+
+
+def test_v2_specs_list_only_metadata_reads_partitioning(spark, loc):
+    """A spec-compliant foreign v2 table writes only ``partition-specs``
+    + ``default-spec-id`` (the flat field is deprecated) — its identity
+    partition values must still materialize, not silently read as
+    unpartitioned."""
+    _ipart_write(spark, loc, [(1, "a"), (2, "b")])
+
+    def strip_flat(meta):
+        flat = meta.pop("partition-spec")
+        meta["partition-specs"] = [{"spec-id": 0, "fields": flat}]
+        meta["default-spec-id"] = 0
+
+    _edit_meta(loc, strip_flat)
+    got = sorted(
+        (r.id, r.grp) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_evolved_spec_manifest_refuses_loudly(spark, loc):
+    """Manifests written under a non-default spec whose fields differ
+    from the default's must refuse — resolving them with the default
+    field list mis-keys partition values (silent wrong rows)."""
+    _ipart_write(spark, loc, [(1, "a"), (2, "b")])
+
+    def evolve(meta):
+        flat = meta["partition-spec"]
+        evolved = [
+            {"name": "id_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1001}
+        ]
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": flat},
+            {"spec-id": 1, "fields": evolved},
+        ]
+        # the table EVOLVED: new default is spec 1, old manifests keep 0
+        meta["default-spec-id"] = 1
+        meta["partition-spec"] = evolved
+
+    _edit_meta(loc, evolve)
+    with pytest.raises(ice.IcebergUnsupportedPartitionSpec, match="spec 0"):
+        ice.read_iceberg(spark, loc).collect()
+
+
+def test_renumbered_identical_spec_resolves(spark, loc):
+    """A manifest spec-id that differs from the default but whose field
+    list is IDENTICAL (renumbering, not evolution) resolves silently."""
+    _ipart_write(spark, loc, [(1, "a"), (2, "b")])
+
+    def renumber(meta):
+        flat = meta["partition-spec"]
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": flat},
+            {"spec-id": 3, "fields": list(flat)},
+        ]
+        meta["default-spec-id"] = 3  # manifests still carry spec 0
+
+    _edit_meta(loc, renumber)
+    got = sorted(
+        (r.id, r.grp) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_corrupt_default_spec_id_refuses(spark, loc):
+    _ipart_write(spark, loc, [(1, "a")])
+
+    def corrupt(meta):
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": meta["partition-spec"]}
+        ]
+        meta.pop("partition-spec")
+        meta["default-spec-id"] = 9
+
+    _edit_meta(loc, corrupt)
+    with pytest.raises(
+        ice.IcebergUnsupportedPartitionSpec, match="default-spec-id 9"
+    ):
+        ice.read_iceberg(spark, loc).collect()
