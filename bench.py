@@ -82,9 +82,11 @@ HEADLINE = [
     "text_heavyhitters_mg",
     "graph_pagerank_bipartite",
     "vector_pc1_power_iteration",
-    # round 4 session-2 late additions — code-only ANN scan (PQ/ADC) and
-    # single-partitioning window algebra (interval union)
-    "vector_pq_ann_adc",
+    # round 4 session-2 late addition — single-partitioning window
+    # algebra (interval union). (vector_pq_ann_adc — the INLINE PQ/ADC
+    # variant whose number is dominated by Lloyd training — rotated out
+    # round 12 per the r11 budget order; vector_pq_ann_adc_steady below
+    # tracks the per-query ADC scan, the part that regresses with code.)
     "ts_interval_coverage",
     # the tokenizer-training flagship: vocab-sized iterative rounds
     "text_bpe_train_merges",
@@ -120,8 +122,10 @@ HEADLINE = [
     # 3 + the same precedent for the r11 registrations). All are
     # metadata-plane: the numbers track commit building, metadata
     # flips, checkpoint write/replay and ref walks — protocol cost.
-    "iceberg_ref_read",              # tag/branch-pinned snapshot reads
-    "iceberg_wap_publish",           # branch stage + fast_forward flip
+    # (iceberg_ref_read / iceberg_wap_publish rotated out round 12 per
+    # the r11 budget order: two rounds stable, and the r11 rows below —
+    # retention expire, wap.id cherry-pick — exercise supersets of the
+    # same ref-flip and staging machinery.)
     "delta_v2_checkpoint_replay",    # V2 parquet top + sidecar replay
     "iceberg_ref_retention_expire",  # per-ref retention expire sweep
     "iceberg_wap_cherrypick",        # wap.id stage + cherry-pick publish
@@ -130,12 +134,16 @@ HEADLINE = [
     "delta_liquid_clustering",       # clustered write + pruned read
     "delta_uniform_iceberg",         # UniForm mirror + iceberg reads
     "iceberg_incremental_scan",      # append-range CDC scan + refusals
+    # round 12: the new lifecycle subsystems under the bench the round
+    # they exist (standing precedent) — both metadata-plane numbers
+    "delta_type_widening",           # widen commit + dual-vintage read
+    "iceberg_spec_evolution",        # structured-spec resolve + refusal
 ]
-# BUDGET NOTE (round 11): the stdout JSON line is ~1965 chars at these 62
-# entries — the 2000-char driver-tail assert below has ~1 short entry of
-# headroom. Before adding to HEADLINE again, either rotate a stable
-# entry out or shorten the drift block; the assert fails loudly either
-# way, never silently at the driver.
+# BUDGET NOTE (round 12): the stdout JSON line is ~1939 chars at these 61
+# entries (3 rotated out, 2 added, drift block reshaped) — the 2000-char
+# driver-tail assert below keeps ~2 short entries of headroom. Before
+# adding to HEADLINE again, rotate a stable entry out; the assert fails
+# loudly either way, never silently at the driver.
 
 
 def main() -> None:
@@ -207,18 +215,27 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
-    # Self-adjudicating drift block (round-8 order): round-over-round
-    # comparisons kept needing a judge re-measure to separate box-epoch
-    # drift from code regressions, because the medians only survived as a
-    # truncated stderr fragment. Two scalars inside the parsed JSON fix
-    # that: med_over_min (median_total/min_total — ≫1 means the box was
-    # contended DURING this run, so absolute numbers are suspect) and the
-    # q1 sentinel min (a plan untouched since round 1 — if IT moved
-    # round-over-round, the box epoch moved, not the code).
+    # Self-adjudicating drift block (round-8 order, basket form round 12):
+    # round-over-round comparisons kept needing a judge re-measure to
+    # separate box-epoch drift from code regressions. Two scalars inside
+    # the parsed JSON fix that: med_over_min (median_total/min_total —
+    # ≫1 means the box was contended DURING this run, so absolute
+    # numbers are suspect) and basket_min — the summed mins of FOUR
+    # code-stable queries spanning 0.3–1.5 s runtimes (_DRIFT_BASKET:
+    # q1 scan-agg, window_running_sum window exchange,
+    # dedup_ngram_jaccard_topk shuffle-heavy join, delta_merge_upsert
+    # protocol DML). The r11 single-query sentinel (q1 alone, ±25%
+    # run-to-run) was too noisy to scale cross-round comparisons by; a
+    # 4-query sum averages the scheduler noise while each member's own
+    # min stays visible in "queries" for drill-down. Judge rule:
+    # BENCH_r{N}.basket_min / BENCH_r{N-1}.basket_min estimates the box
+    # epoch; per-query ratios far from that estimate are code.
     min_total = round(sum(timings.values()), 3)
+    basket = ("q1_pricing_summary", "window_running_sum",
+              "dedup_ngram_jaccard_topk", "delta_merge_upsert")
     drift = {
         "med_over_min": round(sum(medians.values()) / min_total, 3),
-        "sentinel_q1_min": timings["q1_pricing_summary"],
+        "basket_min": round(sum(timings[q] for q in basket), 3),
     }
     line = json.dumps(
         {

@@ -196,71 +196,83 @@ def _load_all() -> None:
 #: in registration order. A fully-green round advances the oldest
 #: evidence vintage from r4 to r5.
 #:
-#: ROUND-12 ROTATION TODO — continue the r5 refresh with the r5 rows
-#: this window could not fit (text_bpe_encode_stats, ts_cusum_drift,
-#: window_rolling_median, vector_pq_ann_adc, join_bloom_prefilter,
-#: events_markov_transitions, graph_pagerank_bipartite,
-#: events_outlier_mad, pipeline_pii_scrub, pipeline_scd2_writeback,
-#: pipeline_export_jsonl, pipeline_bpe_writeback, the stream_* r5 rows,
-#: corpus_chunk_dedup, corpus_unigram_surprisal, ...), then r6-vintage
-#: rows by age; recompute from the CORRECTNESS artifacts at rotation
-#: time and window any round-12 registrations at registration time
-#: (freeze policy).
+#: ROUND-12 WINDOW (executing the round-11 TODO): vintages recomputed
+#: this round from CORRECTNESS_r1..r11 (latest-green round per query;
+#: union coverage stays 310/310 + the 2 round-12 registrations —
+#: recomputed histogram: r5×31, r6×49, r7×49, r8×33, r9×49, r10×49,
+#: r11×50). Beyond the anchor and the round-12 registrations (freeze
+#: policy — the type-widening and spec-evolution lifecycle rows land
+#: windowed in the registering commit), every slot refreshes the
+#: OLDEST evidence: ALL 31 remaining r5-vintage rows (the round-11
+#: TODO's list), then the first 16 r6-vintage rows in registration
+#: order. A fully-green round advances the oldest evidence vintage
+#: from r5 to r6.
+#:
+#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 33 r6
+#: rows this window could not fit (dedup_keep_best_quality,
+#: vector_dim_stats, vector_pc1_power_iteration, vector_jl_project,
+#: vector_truncated_dim_recall, vector_ann_ivfpq,
+#: dedup_incremental_admission_steady, events_attribution_last_touch,
+#: events_cuped_adjustment, events_diff_in_diff, the stream_* r6 rows,
+#: the corpus_* r6 rows, the etl_* r6 rows, ...), then r7-vintage rows
+#: by age; recompute from the CORRECTNESS artifacts at rotation time
+#: and window any round-13 registrations at registration time (freeze
+#: policy).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # round-11 registrations (windowed at registration — freeze policy)
-    "iceberg_ref_retention_expire",
-    "iceberg_wap_cherrypick",
-    "delta_incommit_timestamp",
-    "delta_v2_json_checkpoint_replay",
-    "delta_liquid_clustering",
-    "stream_delta_cdf",
-    "delta_uniform_iceberg",
-    "iceberg_incremental_scan",
-    # r4-vintage (all 24 that round 10 could not fit)
-    "events_outlier_iqr",
-    "events_anomaly_zscore",
-    "events_retention_cohorts",
-    "pipeline_dedup_writeback",
-    "pipeline_containment_writeback",
-    "pipeline_validate_filter",
-    "pipeline_corpus_curation",
-    "stream_tumbling_window",
-    "stream_stateful_running_stats",
-    "stream_sliding_window_global",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_text_quality",
-    "flatfile_positional_roundtrip",
-    "jdbc_read_roundtrip",
-    "kafka_decode_roundtrip",
-    "corpus_decontaminate",
-    "text_tfidf_topk",
-    "text_pack_bins",
-    "corpus_mixture_weights",
-    "corpus_source_overlap",
-    "corpus_split_assign",
-    "text_bm25_topk",
-    "corpus_split_leakage",
-    # r5-vintage (registration order; the rest roll to round 12)
-    "agg_corr_covar",
-    "agg_mode_median_disc",
-    "multimodal_decode_bmp",
-    "multimodal_tar_index",
-    "multimodal_image_ahash",
-    "multimodal_tar_pack_roundtrip",
-    "multimodal_image_neardup_pairs",
-    "window_cume_dist_nth",
-    "ts_ewma_user_value",
-    "ts_rolling_features",
-    "text_quality_rules",
-    "text_countmin_freq",
-    "text_heavyhitters_mg",
-    "text_bpe_train_merges",
-    "vector_semantic_dedup",
-    "vector_pq_codes",
-    "dedup_incremental_admission",
+    # round-12 registrations (windowed at registration — freeze policy)
+    "delta_type_widening",
+    "iceberg_spec_evolution",
+    # r5-vintage (all 31 that round 11 could not fit, registration order)
+    "window_rolling_median",
+    "ts_cusum_drift",
+    "text_bpe_encode_stats",
+    "vector_pq_ann_adc",
+    "join_bloom_prefilter",
+    "events_markov_transitions",
+    "graph_pagerank_bipartite",
+    "events_outlier_mad",
+    "pipeline_pii_scrub",
+    "pipeline_scd2_writeback",
+    "pipeline_export_jsonl",
+    "pipeline_bpe_writeback",
+    "stream_pii_scrub",
+    "stream_stateful_ewma",
+    "stream_approx_distinct_users",
+    "stream_windowed_topk",
+    "stream_error_budget_burn",
+    "corpus_chunk_dedup",
+    "corpus_unigram_surprisal",
+    "corpus_hll_calibration",
+    "etl_scd2_merge",
+    "etl_snapshot_cdc",
+    "etl_profile_columns",
+    "etl_zorder_layout",
+    "etl_scd2_asof_enrich",
+    "etl_incremental_agg_maintenance",
+    "etl_constraint_validation",
+    "etl_partition_skew_report",
+    "etl_late_arriving_dimension",
+    "text_pii_redact",
+    "text_pii_incidence",
+    # r6-vintage (first 16 in registration order; the rest roll to r13)
+    "multimodal_audio_mulaw_decode",
+    "multimodal_image_channel_stats",
+    "multimodal_audio_decimate",
+    "multimodal_video_frame_sample",
+    "ts_event_gap_stats",
+    "ts_seasonal_profile",
+    "ts_interval_coverage",
+    "text_collocations_pmi",
+    "text_weighted_sample",
+    "text_char_entropy",
+    "text_rake_keywords",
+    "text_bigram_lm_eval",
+    "text_zipf_slope",
+    "text_langid_confusion",
+    "text_feature_hashing",
+    "dedup_lsh_eval_pr",
 )
 
 

