@@ -116,7 +116,8 @@ HEADLINE = [
     # round 9 flagships under the bench for the same reason: protocol
     # cost of the new subsystems must be regression-visible
     "iceberg_hidden_partitioning",  # transform write + pruned scan
-    "delta_column_mapping_rename",  # mapped write + metadata DDL + read
+    # (delta_column_mapping_rename rotated out round 12: three rounds
+    # stable, machinery pytest-covered; freed budget for the r12 rows)
     # rounds 10-11: the ref/WAP + modern-checkpoint/ICT lifecycle rows
     # under the bench the round they exist (the r10 judge's order item
     # 3 + the same precedent for the r11 registrations). All are
@@ -138,9 +139,10 @@ HEADLINE = [
     # they exist (standing precedent) — both metadata-plane numbers
     "delta_type_widening",           # widen commit + dual-vintage read
     "iceberg_spec_evolution",        # structured-spec resolve + refusal
+    "delta_identity_columns",        # map-side generation + hwm restate
 ]
-# BUDGET NOTE (round 12): the stdout JSON line is ~1939 chars at these 61
-# entries (3 rotated out, 2 added, drift block reshaped) — the 2000-char
+# BUDGET NOTE (round 12): the stdout JSON line is ~1937 chars at these 61
+# entries (4 rotated out, 3 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

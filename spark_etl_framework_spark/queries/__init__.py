@@ -198,19 +198,22 @@ def _load_all() -> None:
 #:
 #: ROUND-12 WINDOW (executing the round-11 TODO): vintages recomputed
 #: this round from CORRECTNESS_r1..r11 (latest-green round per query;
-#: union coverage stays 310/310 + the 2 round-12 registrations —
+#: union coverage stays 310/310 + the 3 round-12 registrations —
 #: recomputed histogram: r5×31, r6×49, r7×49, r8×33, r9×49, r10×49,
 #: r11×50). Beyond the anchor and the round-12 registrations (freeze
-#: policy — the type-widening and spec-evolution lifecycle rows land
-#: windowed in the registering commit), every slot refreshes the
-#: OLDEST evidence: ALL 31 remaining r5-vintage rows (the round-11
-#: TODO's list), then the first 16 r6-vintage rows in registration
-#: order. A fully-green round advances the oldest evidence vintage
-#: from r5 to r6.
+#: policy — the type-widening, spec-evolution and identity-column
+#: lifecycle rows land windowed in the registering commit), every slot
+#: refreshes the OLDEST evidence: ALL 31 remaining r5-vintage rows
+#: (the round-11 TODO's list), then 15 r6-vintage rows — the first 14
+#: in registration order plus dedup_lsh_eval_pr (the 16th; the 15th,
+#: text_feature_hashing, rolls to round 13 so the dedup_ family stays
+#: window-covered). A fully-green round advances the oldest evidence
+#: vintage from r5 to r6.
 #:
-#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 33 r6
-#: rows this window could not fit (dedup_keep_best_quality,
-#: vector_dim_stats, vector_pc1_power_iteration, vector_jl_project,
+#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 34 r6
+#: rows this window could not fit (text_feature_hashing,
+#: dedup_keep_best_quality, vector_dim_stats,
+#: vector_pc1_power_iteration, vector_jl_project,
 #: vector_truncated_dim_recall, vector_ann_ivfpq,
 #: dedup_incremental_admission_steady, events_attribution_last_touch,
 #: events_cuped_adjustment, events_diff_in_diff, the stream_* r6 rows,
@@ -224,6 +227,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-12 registrations (windowed at registration — freeze policy)
     "delta_type_widening",
     "iceberg_spec_evolution",
+    "delta_identity_columns",
     # r5-vintage (all 31 that round 11 could not fit, registration order)
     "window_rolling_median",
     "ts_cusum_drift",
@@ -271,7 +275,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lm_eval",
     "text_zipf_slope",
     "text_langid_confusion",
-    "text_feature_hashing",
     "dedup_lsh_eval_pr",
 )
 

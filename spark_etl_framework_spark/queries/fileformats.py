@@ -3952,3 +3952,68 @@ def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@register(
+    "delta_identity_columns",
+    oracle="""
+    SELECT CAST(100 + 10 * (ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1)
+                AS BIGINT) AS row_id,
+           n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT CAST(100 + 10 * (SELECT COUNT(*) FROM nation) AS BIGINT) AS row_id,
+           'EXTRA' AS name
+    """,
+)
+def delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (round 12 — PROTOCOL.md §Identity Columns,
+    writer v6): nation lands sorted into a table whose ``row_id`` is
+    GENERATED ALWAYS AS IDENTITY (START 100 STEP 10) — values generated
+    MAP-SIDE off the monotonically-increasing-id lattice (one pass, no
+    global row_number; the single-partition fixture makes them
+    contiguous and oracle-deterministic) — then a second append
+    continues beyond the high water mark, which is read back from the
+    STAGED ADDS' stats (zero extra scans) and restated in the same
+    commit's metaData (asserted in-query, plus the v6 protocol and an
+    explicit-insert refusal). At 100 TB: generation is embarrassingly
+    parallel and hwm maintenance costs one metadata field per commit —
+    the alternative (global row_number) serializes the write through
+    one task. Reference: delta-spark GENERATED ALWAYS AS IDENTITY."""
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_ident_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name").alias("name"),
+    )
+    n = na.count()
+    _dl.write_delta(
+        na.orderBy("n_nationkey").coalesce(1).select("name"), tbl,
+        mode="overwrite",
+        identity_columns={"row_id": {"start": 100, "step": 10}},
+    )
+    snap = _dl.snapshot(tbl)
+    assert snap.protocol["minWriterVersion"] == 6
+    md = snap.schema["row_id"].metadata
+    assert md["delta.identity.highWaterMark"] == 100 + 10 * (n - 1), md
+    # GENERATED ALWAYS: explicit values refuse loudly
+    try:
+        _dl.write_delta(
+            spark.createDataFrame([(1, "bad")], "row_id long, name string"),
+            tbl,
+        )
+        raise AssertionError("explicit identity insert did not refuse")
+    except ValueError as e:
+        assert "GENERATED ALWAYS" in str(e)
+    # the next append continues beyond the high water mark
+    _dl.write_delta(
+        spark.createDataFrame([("EXTRA",)], "name string").coalesce(1), tbl
+    )
+    snap2 = _dl.snapshot(tbl)
+    assert snap2.schema["row_id"].metadata[
+        "delta.identity.highWaterMark"
+    ] == 100 + 10 * n
+    return _dl.read_delta(spark, tbl).select("row_id", "name")

@@ -1050,6 +1050,120 @@ def _generated_guards(
     }
 
 
+def _identity_specs(schema: T.StructType) -> dict[str, dict]:
+    """Identity-column specs from field metadata (PROTOCOL.md §Identity
+    Columns, writer version 6): ``delta.identity.start`` /
+    ``delta.identity.step`` / ``delta.identity.highWaterMark`` /
+    ``delta.identity.allowExplicitInsert``."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "hwm": int(hwm) if hwm is not None else None,
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _identity_next(spec: dict) -> int:
+    """The next value to generate: the first point of the ``start +
+    k*step`` lattice strictly beyond the high water mark in the step
+    direction (an off-lattice hwm — explicit inserts with
+    allowExplicitInsert — rounds to the next lattice point)."""
+    start, step, hwm = spec["start"], spec["step"], spec.get("hwm")
+    if hwm is None:
+        return start
+    return start + ((hwm - start) // step + 1) * step
+
+
+def _fill_identity(df: DataFrame, specs: dict[str, dict]) -> DataFrame:
+    """Generate ABSENT identity columns map-side: ``next + mid*step``
+    over ``monotonically_increasing_id()`` — one pass, no exchange, no
+    window. Values are unique, lattice-aligned and beyond the high
+    water mark; gaps between partitions are spec-legal (identity values
+    are not guaranteed contiguous — the price of not serializing 100 TB
+    through one global row_number). Explicit values for a GENERATED
+    ALWAYS column refuse; BY DEFAULT (allowExplicitInsert) passes them
+    through and the post-stage high-water-mark sync accounts for them."""
+    for name, spec in specs.items():
+        if name in df.columns:
+            if not spec["allow_explicit"]:
+                raise ValueError(
+                    f"write_delta: column {name!r} is GENERATED ALWAYS AS "
+                    "IDENTITY — explicit values are rejected (create with "
+                    "allow_explicit=True for GENERATED BY DEFAULT)"
+                )
+            continue
+        nxt = _identity_next(spec)
+        df = df.withColumn(
+            name,
+            (
+                F.lit(nxt)
+                + F.monotonically_increasing_id() * F.lit(spec["step"])
+            ).cast("long"),
+        )
+    return df
+
+
+def _identity_hwm_updates(
+    df: DataFrame, adds: list[dict], specs: dict[str, dict]
+) -> dict[str, int]:
+    """New high water marks after this write, keyed by column — read
+    from the staged add actions' min/max stats (zero extra scans); an
+    add missing the stat (possible only on explicit-insert paths) falls
+    back to ONE aggregate over the input."""
+    out: dict[str, int] = {}
+    for name, spec in specs.items():
+        step, cur = spec["step"], spec.get("hwm")
+        side = "maxValues" if step > 0 else "minValues"
+        best = cur
+        missing = False
+        for a in adds:
+            st = a["add"].get("stats")
+            try:
+                v = json.loads(st).get(side, {}).get(name) if st else None
+            except ValueError:
+                v = None
+            if v is None:
+                if json.loads(st or "{}").get("numRecords", 1):
+                    missing = True
+                continue
+            v = int(v)
+            if best is None or (v > best if step > 0 else v < best):
+                best = v
+        if missing:
+            agg = F.max(name) if step > 0 else F.min(name)
+            row = df.select(agg.alias("v")).collect()
+            v = row[0].v if row else None
+            if v is not None:
+                v = int(v)
+                if best is None or (v > best if step > 0 else v < best):
+                    best = v
+        if best is not None and best != cur:
+            out[name] = best
+    return out
+
+
+def _with_identity_hwm(
+    schema: T.StructType, updates: dict[str, int]
+) -> T.StructType:
+    fields = []
+    for f in schema.fields:
+        if f.name in updates:
+            md = dict(f.metadata or {})
+            md["delta.identity.highWaterMark"] = updates[f.name]
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
 def _with_constraint_guards(df: DataFrame, constraints: dict[str, str]):
     """Fold CHECK-constraint enforcement INTO the write job — one
     codegen'd ``assert_true`` per constraint per row, no second scan
@@ -1208,8 +1322,23 @@ def write_delta(
     column_mapping: str | None = None,
     generated_columns: dict[str, str] | None = None,
     cluster_by: list[str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
 ) -> int:
     """Commit ``df`` to the delta table at ``path``; returns the version.
+
+    IDENTITY COLUMNS (PROTOCOL.md §Identity Columns, writer v6):
+    ``identity_columns={"id": {"start": 1, "step": 1,
+    "allow_explicit": False}}`` on CREATION stamps ``delta.identity.*``
+    into the field metadata (the column must be LONG and not a
+    partition column). Every write GENERATES absent identity values
+    map-side (``monotonically_increasing_id`` lattice — one pass, no
+    global sort; partition gaps are spec-legal) and restates
+    ``delta.identity.highWaterMark`` in the same commit, read from the
+    staged adds' stats (zero extra scans). GENERATED ALWAYS (the
+    default) rejects explicit values; ``allow_explicit=True`` is
+    GENERATED BY DEFAULT — explicit inserts pass through and the high
+    water mark accounts for them, off-lattice values rounding to the
+    next lattice point for future generation.
 
     LIQUID CLUSTERING (PROTOCOL.md § Clustered Table — the ``clustering``
     writer feature riding on domainMetadata): ``cluster_by=[cols]`` on
@@ -1299,6 +1428,13 @@ def write_delta(
             raise ValueError(
                 "generated_columns is a table-creation option"
             )
+        if identity_columns:
+            raise ValueError(
+                "identity_columns is a table-creation option"
+            )
+        id_specs = _identity_specs(snap.schema)
+        if id_specs:
+            df = _fill_identity(df, id_specs)
         gen = snap.generated_expressions
         if gen:
             gen_guards = _generated_guards(df, gen)  # BEFORE the fill
@@ -1364,6 +1500,35 @@ def write_delta(
             missing = set(generated_columns) - set(df.columns)
             if missing:  # pragma: no cover — fill adds them
                 raise ValueError(f"generated columns not derivable: {missing}")
+        id_specs = {}
+        if identity_columns:
+            for name, opt in identity_columns.items():
+                step = int(opt.get("step", 1))
+                if step == 0:
+                    raise ValueError(
+                        f"write_delta: identity column {name!r} step must "
+                        "be nonzero"
+                    )
+                if name in partition_by:
+                    raise ValueError(
+                        f"write_delta: identity column {name!r} cannot be "
+                        "a partition column (delta's rule)"
+                    )
+                if name in df.columns and not isinstance(
+                    df.schema[name].dataType, T.LongType
+                ):
+                    raise ValueError(
+                        f"write_delta: identity column {name!r} must be "
+                        "LONG (bigint), got "
+                        f"{df.schema[name].dataType.simpleString()}"
+                    )
+                id_specs[name] = {
+                    "start": int(opt.get("start", 1)),
+                    "step": step,
+                    "hwm": None,
+                    "allow_explicit": bool(opt.get("allow_explicit", False)),
+                }
+            df = _fill_identity(df, id_specs)
         if column_mapping:
             mapped_schema = T.StructType(
                 [_mapped_field(f, i + 1) for i, f in enumerate(df.schema.fields)]
@@ -1384,6 +1549,24 @@ def write_delta(
                     md["delta.generationExpression"] = generated_columns[f.name]
                 fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
             mapped_schema = T.StructType(fields)
+        if id_specs:
+            # stamp delta.identity.* into the field metadata (hwm lands
+            # after staging, read from the adds' stats)
+            base = mapped_schema or df.schema
+            fields = []
+            for f in base.fields:
+                md = dict(f.metadata or {})
+                if f.name in id_specs:
+                    s = id_specs[f.name]
+                    md["delta.identity.start"] = s["start"]
+                    md["delta.identity.step"] = s["step"]
+                    md["delta.identity.allowExplicitInsert"] = s[
+                        "allow_explicit"
+                    ]
+                fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, md)
+                )
+            mapped_schema = T.StructType(fields)
 
     if cluster_by:
         # the clustering LAYOUT: range-partition then sort so every file
@@ -1398,6 +1581,15 @@ def write_delta(
         df, path, partition_by, mapping=mapping,
         constraints=constraints or None,
     )
+    # identity high-water-mark sync: read from the staged adds' stats
+    # (no extra scan) and restate it in THIS commit's metaData
+    id_hwm = _identity_hwm_updates(df, adds, id_specs) if id_specs else {}
+    if id_hwm and prev < 0:
+        mapped_schema = _with_identity_hwm(
+            mapped_schema or df.schema, id_hwm
+        )
+    if id_hwm and evolved is not None:
+        evolved = _with_identity_hwm(evolved, id_hwm)
 
     version = prev + 1
     op = operation or ("WRITE" if mode == "append" else "OVERWRITE")
@@ -1428,6 +1620,8 @@ def write_delta(
                 rfeat.add("columnMapping")
             if generated_columns:
                 wfeat.update(("generatedColumns", "changeDataFeed"))
+            if id_specs:
+                wfeat.add("identityColumns")
             proto = {
                 "minReaderVersion": 3 if rfeat else 1,
                 "minWriterVersion": 7,
@@ -1435,6 +1629,14 @@ def write_delta(
             }
             if rfeat:
                 proto["readerFeatures"] = sorted(rfeat)
+        elif id_specs:
+            # identity columns are writer version 6 (covers generated
+            # columns' 4 and column mapping's 5; mapping still needs
+            # reader 2)
+            proto = {
+                "minReaderVersion": 2 if column_mapping else 1,
+                "minWriterVersion": 6,
+            }
         elif column_mapping:
             # column mapping requires reader 2 / writer 5 (covers the
             # generated-column writer version 4 as well)
@@ -1470,13 +1672,30 @@ def write_delta(
             )
     elif evolved is not None:
         # mergeSchema evolution: the commit re-states metaData with the
-        # widened schema (same table id — the spec's evolution shape)
+        # widened schema (same table id — the spec's evolution shape;
+        # identity hwm updates already folded into ``evolved`` above)
         actions.append(
             {
                 "metaData": {
                     "id": snap.metadata_id,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": configuration,
+                }
+            }
+        )
+    elif id_hwm:
+        # identity-only restate: the spec requires the high water mark
+        # to advance in the SAME commit as the rows it covers
+        actions.append(
+            {
+                "metaData": {
+                    "id": snap.metadata_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _with_identity_hwm(
+                        snap.schema, id_hwm
+                    ).json(),
                     "partitionColumns": partition_by,
                     "configuration": configuration,
                 }

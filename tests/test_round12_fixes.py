@@ -393,6 +393,122 @@ def test_uniform_append_syncs_incrementally(spark, loc):
     assert sorted(r.id for r in inc.collect()) == [10, 11]
 
 
+# ---------------------------------------------------------------------------
+# 7. delta identity columns (writer v6): map-side generation, stats-read
+#    high-water-mark sync, ALWAYS/BY DEFAULT policies
+# ---------------------------------------------------------------------------
+
+
+def test_identity_generation_and_high_water_mark(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "s string")
+    dl.write_delta(
+        df.coalesce(1), loc, mode="overwrite",
+        identity_columns={"id": {"start": 10, "step": 5}},
+    )
+    snap = dl.snapshot(loc)
+    assert snap.protocol["minWriterVersion"] == 6
+    md = snap.schema["id"].metadata
+    assert md["delta.identity.start"] == 10
+    assert md["delta.identity.step"] == 5
+    assert md["delta.identity.allowExplicitInsert"] is False
+    rows = {r.s: r.id for r in dl.read_delta(spark, loc).collect()}
+    # coalesce(1): mono ids are 0..n-1 → contiguous lattice values
+    assert sorted(rows.values()) == [10, 15, 20]
+    assert md["delta.identity.highWaterMark"] == 20
+    # the next append continues beyond the high water mark
+    dl.write_delta(
+        spark.createDataFrame([("d",)], "s string").coalesce(1), loc
+    )
+    snap2 = dl.snapshot(loc)
+    vals = sorted(r.id for r in dl.read_delta(spark, loc).collect())
+    assert vals == [10, 15, 20, 25]
+    assert snap2.schema["id"].metadata["delta.identity.highWaterMark"] == 25
+    # every value on the start + k*step lattice
+    assert all((v - 10) % 5 == 0 for v in vals)
+
+
+def test_identity_always_rejects_explicit_by_default_accepts(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    dl.write_delta(
+        spark.createDataFrame([("a",)], "s string").coalesce(1), loc,
+        mode="overwrite", identity_columns={"id": {}},
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        dl.write_delta(
+            spark.createDataFrame([(99, "x")], "id long, s string"), loc
+        )
+    # BY DEFAULT table: explicit values pass and lift the hwm, with the
+    # next generated value rounding to the lattice point beyond it
+    loc2 = loc + "_bydefault"
+    dl.write_delta(
+        spark.createDataFrame([("a",), ("b",)], "s string").coalesce(1),
+        loc2, mode="overwrite",
+        identity_columns={"id": {"start": 1, "step": 2,
+                                 "allow_explicit": True}},
+    )
+    dl.write_delta(
+        spark.createDataFrame([(100, "x")], "id long, s string").coalesce(1),
+        loc2,
+    )
+    snap = dl.snapshot(loc2)
+    assert snap.schema["id"].metadata["delta.identity.highWaterMark"] == 100
+    dl.write_delta(
+        spark.createDataFrame([("y",)], "s string").coalesce(1), loc2
+    )
+    vals = sorted(r.id for r in dl.read_delta(spark, loc2).collect())
+    # 1,3 generated; 100 explicit (off-lattice even); next generated 101
+    assert vals == [1, 3, 100, 101]
+
+
+def test_identity_validation_guards(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError, match="step must be nonzero"):
+        dl.write_delta(df, loc, mode="overwrite",
+                       identity_columns={"id": {"step": 0}})
+    with pytest.raises(ValueError, match="partition column"):
+        dl.write_delta(df, loc, mode="overwrite", partition_by=["id"],
+                       identity_columns={"id": {}})
+    with pytest.raises(ValueError, match="must be LONG"):
+        dl.write_delta(
+            spark.createDataFrame([(1, "a")], "id int, s string"), loc,
+            mode="overwrite",
+            identity_columns={"id": {"allow_explicit": True}},
+        )
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    with pytest.raises(ValueError, match="table-creation option"):
+        dl.write_delta(df, loc, identity_columns={"id": {}})
+
+
+def test_identity_negative_step_and_multi_partition_unique(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    dl.write_delta(
+        spark.createDataFrame([("a",), ("b",)], "s string").coalesce(1),
+        loc, mode="overwrite",
+        identity_columns={"id": {"start": 0, "step": -3}},
+    )
+    snap = dl.snapshot(loc)
+    assert sorted(r.id for r in dl.read_delta(spark, loc).collect()) == [-3, 0]
+    assert snap.schema["id"].metadata["delta.identity.highWaterMark"] == -3
+    # multi-partition write: values unique and beyond the hwm (gaps OK)
+    big = spark.createDataFrame([(f"r{i}",) for i in range(40)], "s string")
+    dl.write_delta(big.repartition(4), loc)
+    vals = [r.id for r in dl.read_delta(spark, loc).collect()]
+    assert len(vals) == len(set(vals)) == 42
+    gen = [v for v in vals if v not in (-3, 0)]
+    assert all(v < -3 for v in gen)  # negative step: beyond = below
+    assert all((v - 0) % -3 == 0 for v in gen)  # on the lattice
+    snap2 = dl.snapshot(loc)
+    assert snap2.schema["id"].metadata["delta.identity.highWaterMark"] == min(
+        vals
+    )
+
+
 def test_uniform_delete_falls_back_to_full_state(spark, loc):
     from spark_etl_framework_spark.sources import deltalog as dl
 
