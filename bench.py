@@ -49,8 +49,10 @@ HEADLINE = [
     "corpus_decontaminate",
     "text_tfidf_topk",
     "vector_srp_buckets",
-    # round 3 additions — provenance matrix, ANN quality eval, real codec
-    "corpus_source_overlap",
+    # round 3 additions — ANN quality eval, real codec
+    # (corpus_source_overlap rotated out round 12: long stable, and the
+    # corpus family stays covered by corpus_decontaminate +
+    # corpus_chunk_dedup above)
     "vector_ann_recall",
     "multimodal_decode_netpbm",
     # round 4 addition — the containment-policy write-back pipeline
@@ -140,9 +142,10 @@ HEADLINE = [
     "delta_type_widening",           # widen commit + dual-vintage read
     "iceberg_spec_evolution",        # structured-spec resolve + refusal
     "delta_identity_columns",        # map-side generation + hwm restate
+    "delta_variant_shred",           # variant store + shredding reads
 ]
-# BUDGET NOTE (round 12): the stdout JSON line is ~1937 chars at these 61
-# entries (4 rotated out, 3 added, drift block reshaped) — the 2000-char
+# BUDGET NOTE (round 12): the stdout JSON line is ~1933 chars at these 61
+# entries (5 rotated out, 4 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

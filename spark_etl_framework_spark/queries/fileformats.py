@@ -4017,3 +4017,49 @@ def delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta.identity.highWaterMark"
     ] == 100 + 10 * n
     return _dl.read_delta(spark, tbl).select("row_id", "name")
+
+
+@register(
+    "delta_variant_shred",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS k,
+           n_name AS name,
+           '{"k":' || n_nationkey || ',"name":"' || n_name || '"}' AS j
+    FROM nation
+    """,
+)
+def delta_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant data type (round 12 — PROTOCOL.md §Variant Data Type, the
+    ``variantType`` reader+writer feature): nation rows re-encode as
+    semi-structured JSON, parse into a VARIANT column, land in a delta
+    table (protocol 3/7 with variantType in BOTH feature lists,
+    asserted in-query), and read back with ``variant_get`` shredding +
+    a ``to_json`` round-trip that must reproduce the source JSON byte
+    for byte. Spark 4 owns the Variant binary encoding (parse, store,
+    extract — all JVM-side); the engine adds the protocol plumbing and
+    the footer-stats fallback (the local pyarrow predates the VARIANT
+    parquet logical type, so such adds carry no skipping stats — an
+    optimization lost, never correctness). At 100 TB: variant columns
+    keep schema-on-read flexibility with columnar storage — the
+    alternative is JSON strings re-parsed per query.
+    Reference: delta-spark's VariantType support."""
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_var_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").selectExpr(
+        "parse_json(concat('{\"k\":', n_nationkey, ',\"name\":\"', "
+        "n_name, '\"}')) AS v"
+    )
+    _dl.write_delta(na.coalesce(1), tbl, mode="overwrite")
+    snap = _dl.snapshot(tbl)
+    assert "variantType" in (snap.protocol.get("readerFeatures") or [])
+    assert "variantType" in (snap.protocol.get("writerFeatures") or [])
+    assert snap.schema["v"].dataType.typeName() == "variant"
+    out = _dl.read_delta(spark, tbl)
+    return out.selectExpr(
+        "CAST(variant_get(v, '$.k', 'int') AS INT) AS k",
+        "variant_get(v, '$.name', 'string') AS name",
+        "to_json(v) AS j",
+    )

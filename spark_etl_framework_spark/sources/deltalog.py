@@ -87,11 +87,15 @@ class DeltaUnsupportedProtocol(RuntimeError):
 #: CURRENT schema and Spark 4's parquet reader applies the spec's
 #: widening promotions to pre-widening files: INT32→long/double/decimal,
 #: float→double, decimal precision/scale widening, date→timestamp_ntz;
-#: see widen_column_type). Anything else (variantType, v3 features, …)
-#: must refuse loudly.
+#: see widen_column_type), variantType / variantType-preview (round 12
+#: — Spark 4 owns the Variant binary encoding natively: VariantType
+#: columns round-trip through the staged parquet and
+#: parse_json/variant_get/to_json run JVM-side). Anything else
+#: (collations, v3 features, …) must refuse loudly.
 _SUPPORTED_READER_FEATURES = frozenset(
     {"columnMapping", "deletionVectors", "v2Checkpoint", "timestampNtz",
-     "vacuumProtocolCheck", "typeWidening", "typeWidening-preview"}
+     "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
+     "variantType", "variantType-preview"}
 )
 _MAX_READER_VERSION = 3
 
@@ -960,16 +964,22 @@ def _parse_hive_dirs(relpath: str) -> dict:
     return vals
 
 
-def _file_stats(src: str) -> dict:
+def _file_stats(src: str) -> dict | None:
     """Delta's per-file stats JSON from the parquet footer: numRecords +
     minValues/maxValues/nullCount per column (the data-skipping input).
     Values serialize as JSON-natural types; dates/timestamps as ISO
     strings (they compare lexically, which is all skipping needs).
     Columns without footer min/max (e.g. binary) are simply absent —
-    absent stats can never prune a file."""
+    absent stats can never prune a file. Returns None when the local
+    pyarrow cannot even parse the footer (e.g. the VARIANT logical type
+    predates this pyarrow's thrift definitions) — the add action then
+    carries no stats, which loses skipping, never correctness."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(src).metadata
+    try:
+        md = pq.ParquetFile(src).metadata
+    except OSError:
+        return None
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
@@ -1246,7 +1256,16 @@ def _stage_adds(
                 dst = os.path.join(path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 stats = _file_stats(src)
-                if stats["numRecords"] == 0:
+                if stats is None:
+                    # footer unreadable locally (VARIANT logical type):
+                    # one tiny Spark count drops genuinely empty parts;
+                    # the add carries no stats (skipping lost, reads
+                    # stay correct)
+                    n = df.sparkSession.read.parquet(src).count()
+                    if n == 0:
+                        os.unlink(src)
+                        continue
+                elif stats["numRecords"] == 0:
                     os.unlink(src)
                     continue
                 shutil.move(src, dst)
@@ -1261,7 +1280,11 @@ def _stage_adds(
                             "size": os.path.getsize(dst),
                             "modificationTime": now_ms,
                             "dataChange": True,
-                            "stats": json.dumps(stats),
+                            **(
+                                {"stats": json.dumps(stats)}
+                                if stats is not None
+                                else {}
+                            ),
                         }
                     }
                 )
@@ -1568,6 +1591,23 @@ def write_delta(
                 )
             mapped_schema = T.StructType(fields)
 
+    # VARIANT columns (PROTOCOL.md §Variant Data Type): a reader+writer
+    # TABLE FEATURE — nested occurrences count too, hence the schema-JSON
+    # probe. Spark 4 owns the binary encoding end to end (VariantType
+    # columns round-trip through the staged parquet), so the write path
+    # needs only the protocol plumbing; checked BEFORE staging so a
+    # refusal never strands moved data files.
+    has_variant = '"variant"' in (mapped_schema or df.schema).json()
+    if prev >= 0 and has_variant and "variantType" not in (
+        snap.protocol.get("writerFeatures") or []
+    ):
+        raise ValueError(
+            "write_delta: the input carries VARIANT columns but the "
+            "table's protocol lacks the variantType feature — variant "
+            "is a table-creation capability (create the table with the "
+            "variant column present)"
+        )
+
     if cluster_by:
         # the clustering LAYOUT: range-partition then sort so every file
         # covers a narrow clustering-key range — its min/max stats become
@@ -1609,12 +1649,17 @@ def write_delta(
         }
     ]
     if prev < 0:
-        if cluster_by:
-            # clustering is a TABLE FEATURE (writer 7): list every active
-            # feature, implied legacy ones included (the upgrade rule)
-            wfeat = {"appendOnly", "invariants", "clustering",
-                     "domainMetadata"}
+        if cluster_by or has_variant:
+            # clustering / variant are TABLE FEATURES (writer 7): list
+            # every active feature, implied legacy ones included (the
+            # upgrade rule)
+            wfeat = {"appendOnly", "invariants"}
             rfeat: set[str] = set()
+            if cluster_by:
+                wfeat.update(("clustering", "domainMetadata"))
+            if has_variant:
+                wfeat.add("variantType")
+                rfeat.add("variantType")
             if column_mapping:
                 wfeat.add("columnMapping")
                 rfeat.add("columnMapping")
@@ -1917,7 +1962,13 @@ def _stage_cdc(
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
-                if pq.ParquetFile(src).metadata.num_rows == 0:
+                try:
+                    n_rows = pq.ParquetFile(src).metadata.num_rows
+                except OSError:
+                    # VARIANT footer unreadable by the local pyarrow —
+                    # one tiny Spark count decides empty-vs-keep
+                    n_rows = df_changes.sparkSession.read.parquet(src).count()
+                if n_rows == 0:
                     os.unlink(src)
                     continue
                 rel = os.path.join(

@@ -350,15 +350,17 @@ def _commit_protocol(loc, proto):
 
 
 def test_unknown_reader_feature_refused_loudly(spark, loc):
-    # variantType: a real delta reader feature this module does not
-    # implement (typeWidening, the round-11 example here, became a
-    # CAPABILITY in round 12 — widen_column_type + scan-time promotion)
+    # collations-preview: a real delta reader feature this module does
+    # not implement (the round-11 example here, typeWidening, and then
+    # the round-12 replacement, variantType, both became CAPABILITIES
+    # in round 12)
     _dwrite(spark, loc, [0])
     _commit_protocol(loc, {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["variantType"], "writerFeatures": ["variantType"],
+        "readerFeatures": ["collations-preview"],
+        "writerFeatures": ["collations-preview"],
     })
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="variantType"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="collations"):
         dl.read_delta(spark, loc)
 
 

@@ -309,14 +309,16 @@ def test_unknown_reader_feature_still_refuses(spark, loc):
         spark.createDataFrame([(1,)], "id int").coalesce(1), loc,
         mode="overwrite",
     )
-    # hand-install a feature this reader does NOT implement
+    # hand-install a feature this reader does NOT implement (variant
+    # became a capability later in round 12, so the unknown example is
+    # collations-preview)
     with open(os.path.join(loc, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["variantType"],
-            "writerFeatures": ["variantType"],
+            "readerFeatures": ["collations-preview"],
+            "writerFeatures": ["collations-preview"],
         }}) + "\n")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="variantType"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="collations"):
         dl.read_delta(spark, loc).collect()
 
 
@@ -391,6 +393,72 @@ def test_uniform_append_syncs_incrementally(spark, loc):
         spark, loc, cur0["snapshot-id"], cur1["snapshot-id"]
     )
     assert sorted(r.id for r in inc.collect()) == [10, 11]
+
+
+# ---------------------------------------------------------------------------
+# 6b. delta variantType: Spark 4 owns the Variant binary encoding — the
+#     engine adds the protocol plumbing and the feature gate flips to
+#     capability
+# ---------------------------------------------------------------------------
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "id int, j string").selectExpr(
+        "id", "parse_json(j) as v"
+    )
+
+
+def test_variant_table_roundtrip_and_protocol(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = _vdf(spark, [(1, '{"a":1,"b":[1,2]}'), (2, '{"a":2}')])
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    snap = dl.snapshot(loc)
+    assert "variantType" in snap.protocol["readerFeatures"]
+    assert "variantType" in snap.protocol["writerFeatures"]
+    assert snap.schema["v"].dataType.typeName() == "variant"
+    out = dl.read_delta(spark, loc).selectExpr(
+        "id", "to_json(v) as j", "variant_get(v, '$.a', 'int') as a"
+    )
+    got = sorted((r.id, r.j, r.a) for r in out.collect())
+    assert got == [(1, '{"a":1,"b":[1,2]}', 1), (2, '{"a":2}', 2)]
+    # appends keep working, and the table survives checkpoint + replay
+    dl.write_delta(_vdf(spark, [(3, '{"a":3}')]).coalesce(1), loc)
+    dl.write_checkpoint_v2(loc)
+    vals = sorted(
+        r.a for r in dl.read_delta(spark, loc)
+        .selectExpr("variant_get(v, '$.a', 'int') as a").collect()
+    )
+    assert vals == [1, 2, 3]
+
+
+def test_variant_append_to_plain_table_refuses(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    dl.write_delta(
+        spark.createDataFrame([(1,)], "id int").coalesce(1), loc,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="variantType"):
+        dl.write_delta(
+            _vdf(spark, [(2, '{"x":1}')]).coalesce(1), loc,
+            merge_schema=True,
+        )
+
+
+def test_variant_cow_delete(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    dl.write_delta(
+        _vdf(spark, [(i, f'{{"a":{i}}}') for i in range(4)]).coalesce(2),
+        loc, mode="overwrite",
+    )
+    dl.delete_where(spark, loc, "id = 2")
+    vals = sorted(
+        r.a for r in dl.read_delta(spark, loc)
+        .selectExpr("variant_get(v, '$.a', 'int') as a").collect()
+    )
+    assert vals == [0, 1, 3]
 
 
 # ---------------------------------------------------------------------------
