@@ -48,7 +48,8 @@ HEADLINE = [
     # unchanged, so r1/r2 per-query numbers stay comparable)
     "corpus_decontaminate",
     "text_tfidf_topk",
-    "vector_srp_buckets",
+    # (vector_srp_buckets rotated out round 12: long stable; five other
+    # vector_ rows remain benched)
     # round 3 additions — ANN quality eval, real codec
     # (corpus_source_overlap rotated out round 12: long stable, and the
     # corpus family stays covered by corpus_decontaminate +
@@ -143,9 +144,10 @@ HEADLINE = [
     "iceberg_spec_evolution",        # structured-spec resolve + refusal
     "delta_identity_columns",        # map-side generation + hwm restate
     "delta_variant_shred",           # variant store + shredding reads
+    "delta_row_tracking",            # id backfill + stable-id DML reads
 ]
-# BUDGET NOTE (round 12): the stdout JSON line is ~1933 chars at these 61
-# entries (5 rotated out, 4 added, drift block reshaped) — the 2000-char
+# BUDGET NOTE (round 12): the stdout JSON line is ~1936 chars at these 61
+# entries (6 rotated out, 5 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

@@ -86,7 +86,9 @@ class DeltaDmlActor(_TableDmlBase):
     ``enableColumnMapping``, metadata-only ``renameColumn``
     (``oldColumn``/``newColumn``) and ``dropColumn`` (``column``);
     ``checkpointV2`` (round 10) emits the sidecar checkpoint layout
-    (``checkpointParts``)."""
+    (``checkpointParts``); ``enableIct`` (in-commit timestamps) and
+    ``widenColumn`` (``column`` + ``newType`` — ALTER COLUMN TYPE via
+    the typeWidening feature, round 12)."""
 
     useDVs: bool = False
     oldColumn: str | None = None
@@ -97,6 +99,9 @@ class DeltaDmlActor(_TableDmlBase):
     partitionBy: str | None = None
     partitionSchema: str | None = None
     checkpointParts: int = 1
+    #: target type for op=widenColumn (round 12 — ALTER COLUMN TYPE,
+    #: the typeWidening feature; spec-allowed transitions only)
+    newType: str | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -181,6 +186,19 @@ class DeltaDmlActor(_TableDmlBase):
             return None
         if op == "enableuniform":
             dl.enable_uniform(loc)
+            return None
+        if op == "enableict":
+            dl.enable_in_commit_timestamps(loc)
+            return None
+        if op == "enablerowtracking":
+            dl.enable_row_tracking(spark, loc)
+            return None
+        if op == "widencolumn":
+            if not self.column or not self.newType:
+                raise ValueError(
+                    "DeltaDmlActor: widenColumn needs column and newType"
+                )
+            dl.widen_column_type(loc, self.column, self.newType)
             return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 

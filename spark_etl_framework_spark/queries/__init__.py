@@ -198,22 +198,22 @@ def _load_all() -> None:
 #:
 #: ROUND-12 WINDOW (executing the round-11 TODO): vintages recomputed
 #: this round from CORRECTNESS_r1..r11 (latest-green round per query;
-#: union coverage stays 310/310 + the 4 round-12 registrations —
+#: union coverage stays 310/310 + the 5 round-12 registrations —
 #: recomputed histogram: r5×31, r6×49, r7×49, r8×33, r9×49, r10×49,
 #: r11×50). Beyond the anchor and the round-12 registrations (freeze
-#: policy — the type-widening, spec-evolution, identity-column and
-#: variant lifecycle rows land windowed in the registering commit),
-#: every slot refreshes the OLDEST evidence: ALL 31 remaining
-#: r5-vintage rows (the round-11 TODO's list), then 14 r6-vintage rows
-#: — the first 13 in registration order plus dedup_lsh_eval_pr (the
-#: 16th; the 14th/15th, text_langid_confusion/text_feature_hashing,
-#: roll to round 13 so the dedup_ family stays window-covered). A
-#: fully-green round advances the oldest evidence vintage from r5
-#: to r6.
+#: policy — the type-widening, spec-evolution, identity-column,
+#: variant and row-tracking lifecycle rows land windowed in the
+#: registering commit), every slot refreshes the OLDEST evidence: ALL
+#: 31 remaining r5-vintage rows (the round-11 TODO's list), then 13
+#: r6-vintage rows — the first 12 in registration order plus
+#: dedup_lsh_eval_pr (the 16th; the 13th-15th,
+#: text_zipf_slope/text_langid_confusion/text_feature_hashing, roll to
+#: round 13 so the dedup_ family stays window-covered). A fully-green
+#: round advances the oldest evidence vintage from r5 to r6.
 #:
-#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 35 r6
-#: rows this window could not fit (text_langid_confusion,
-#: text_feature_hashing,
+#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 36 r6
+#: rows this window could not fit (text_zipf_slope,
+#: text_langid_confusion, text_feature_hashing,
 #: dedup_keep_best_quality, vector_dim_stats,
 #: vector_pc1_power_iteration, vector_jl_project,
 #: vector_truncated_dim_recall, vector_ann_ivfpq,
@@ -231,6 +231,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_spec_evolution",
     "delta_identity_columns",
     "delta_variant_shred",
+    "delta_row_tracking",
     # r5-vintage (all 31 that round 11 could not fit, registration order)
     "window_rolling_median",
     "ts_cusum_drift",
@@ -276,7 +277,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "text_rake_keywords",
     "text_bigram_lm_eval",
-    "text_zipf_slope",
     "dedup_lsh_eval_pr",
 )
 

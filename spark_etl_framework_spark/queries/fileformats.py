@@ -4063,3 +4063,68 @@ def delta_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant_get(v, '$.name', 'string') AS name",
         "to_json(v) AS j",
     )
+
+
+@register(
+    "delta_row_tracking",
+    oracle="""
+    SELECT k, name, row_id,
+           CASE WHEN regionkey = 2 THEN 2 ELSE 1 END AS rcv
+    FROM (
+        SELECT CAST(n_nationkey AS INT) AS k,
+               CASE WHEN n_regionkey = 2 THEN lower(n_name)
+                    ELSE n_name END AS name,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+                    AS BIGINT) AS row_id,
+               n_regionkey AS regionkey
+        FROM nation
+    )
+    WHERE k <> 5
+    """,
+)
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (round 12 — PROTOCOL.md §Row Tracking, the
+    ``rowTracking`` writer feature): nation lands sorted in one file,
+    ``enable_row_tracking`` backfills every live file with a
+    ``baseRowId`` block (row k's fresh id = baseRowId + k — the
+    single-file fixture makes ids 0..N-1, oracle-deterministic), an
+    UPDATE rewrites region 2's names and a DELETE drops one row — and
+    every surviving row's ``_row_id`` must be UNCHANGED through both
+    rewrites (the materialized-column preservation the spec exists
+    for), while ``_row_commit_version`` bumps only on the updated
+    rows. At 100 TB: stable row identity is the CDC join key — fresh
+    ids cost one stats-read hwm bump per commit, preservation rides
+    the same rewrite the DML already pays, and the id map is a
+    driver-small broadcast per scan. Reference: delta-spark row
+    tracking."""
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_rt_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("regionkey"),
+    )
+    _dl.write_delta(na.orderBy("k").coalesce(1), tbl, mode="overwrite")
+    _dl.enable_row_tracking(spark, tbl)
+    snap = _dl.snapshot(tbl)
+    assert "rowTracking" in (snap.protocol.get("writerFeatures") or [])
+    ids_before = {
+        r.k: r._row_id
+        for r in _dl.read_delta_with_row_ids(spark, tbl).collect()
+    }
+    _dl.update_where(spark, tbl, "regionkey = 2", {"name": "lower(name)"})
+    _dl.delete_where(spark, tbl, "k = 5")
+    out = _dl.read_delta_with_row_ids(spark, tbl)
+    ids_after = {r.k: r._row_id for r in out.collect()}
+    assert ids_after == {
+        k: v for k, v in ids_before.items() if k != 5
+    }, "row ids drifted across UPDATE/DELETE"
+    # versions are deterministic: v1 = enablement backfill, v2 = update
+    return out.select(
+        "k", "name",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("rcv"),
+    )

@@ -102,6 +102,14 @@ class DeltaWriter(Actor):
     #: ``clustering`` writer feature's ``delta.clustering`` domain;
     #: every write range-clusters on these so file stats prune
     clusterBy: str | None = None
+    #: table-creation option (round 12): GENERATED ... AS IDENTITY —
+    #: ``identityColumn`` names the column (LONG; generated map-side on
+    #: the start+k*step lattice, hwm restated per commit); start/step
+    #: default 1/1; ``identityAllowExplicit`` makes it BY DEFAULT
+    identityColumn: str | None = None
+    identityStart: int = 1
+    identityStep: int = 1
+    identityAllowExplicit: bool = False
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
         if not self.view or not (self.table or self.path):
@@ -115,11 +123,13 @@ class DeltaWriter(Actor):
             c.strip() for c in (self.partitionBy or "").split(",") if c.strip()
         ]
         try:
-            if ccols:
-                # the jar's liquid clustering goes through clusterBy on
-                # the v2 writer — not expressible on this v1 chain; the
-                # native writer owns it
-                raise RuntimeError("clusterBy uses the native delta writer")
+            if ccols or self.identityColumn:
+                # the jar's liquid clustering / identity generation go
+                # through v2-writer surfaces not expressible on this v1
+                # chain; the native writer owns them
+                raise RuntimeError(
+                    "clusterBy/identityColumn use the native delta writer"
+                )
             writer = df.write.format("delta")
             if self.columnMapping:
                 writer = writer.option(
@@ -155,6 +165,15 @@ class DeltaWriter(Actor):
                 )["location"]
             from ..sources.deltalog import write_delta
 
+            identity = None
+            if self.identityColumn:
+                identity = {
+                    self.identityColumn: {
+                        "start": int(self.identityStart),
+                        "step": int(self.identityStep),
+                        "allow_explicit": bool(self.identityAllowExplicit),
+                    }
+                }
             write_delta(
                 df,
                 target,
@@ -162,6 +181,7 @@ class DeltaWriter(Actor):
                 partition_by=cols or None,
                 column_mapping=self.columnMapping,
                 cluster_by=ccols or None,
+                identity_columns=identity,
             )
             return None
         return None

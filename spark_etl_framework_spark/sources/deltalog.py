@@ -115,6 +115,11 @@ class AddFile:
     #: deletionVector descriptor (PROTOCOL.md): dict with storageType
     #: ("u"/"i"/"p"), pathOrInlineDv, offset, sizeInBytes, cardinality
     deletion_vector: dict | None = None
+    #: row tracking (PROTOCOL.md §Row Tracking, round 12): the first
+    #: fresh row id of this file (row k's fresh id = baseRowId + k) and
+    #: the commit version backing fresh _row_commit_version values
+    base_row_id: int | None = None
+    default_row_commit_version: int | None = None
 
 
 @dataclass
@@ -202,6 +207,27 @@ class Snapshot:
             for k, v in self.configuration.items()
             if k.startswith(pre)
         }
+
+    @property
+    def row_tracking_enabled(self) -> bool:
+        """PROTOCOL.md §Row Tracking: enabled via the table property
+        (the ``rowTracking`` writer feature marks support; the property
+        marks ids as present on every live file and safe to expose)."""
+        return str(
+            self.configuration.get("delta.enableRowTracking", "false")
+        ).lower() == "true"
+
+    @property
+    def materialized_row_id_col(self) -> str | None:
+        return self.configuration.get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        )
+
+    @property
+    def materialized_rcv_col(self) -> str | None:
+        return self.configuration.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
 
     def pv_get(self, partition_values: dict, logical_col: str):
         """Partition value for a logical column: mapped tables key
@@ -372,6 +398,15 @@ def _apply_action(snap: Snapshot, act: dict, adds: dict) -> None:
             modification_time=int(a.get("modificationTime", 0)),
             stats=a.get("stats"),
             deletion_vector=dv,
+            base_row_id=(
+                int(a["baseRowId"]) if a.get("baseRowId") is not None
+                else None
+            ),
+            default_row_commit_version=(
+                int(a["defaultRowCommitVersion"])
+                if a.get("defaultRowCommitVersion") is not None
+                else None
+            ),
         )
     elif "remove" in act:
         adds.pop(unquote(act["remove"]["path"]), None)
@@ -653,8 +688,24 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
         )
     abs_paths = [os.path.join(path, f.path) for f in files]
     phys_of = snap.physical_of
+    # row tracking: read the MATERIALIZED id/version columns alongside
+    # the data (files written before enablement or by plain appends lack
+    # them — Spark fills null, and the fresh baseRowId+pos takes over)
+    rt = snap.row_tracking_enabled
+    mat_id = snap.materialized_row_id_col if rt else None
+    mat_rcv = snap.materialized_rcv_col if rt else None
+    scan_schema = snap.physical_data_schema
+    if rt:
+        scan_schema = T.StructType(
+            list(scan_schema.fields)
+            + [
+                T.StructField(c, T.LongType(), True)
+                for c in (mat_id, mat_rcv)
+                if c
+            ]
+        )
     df = (
-        spark.read.schema(snap.physical_data_schema)
+        spark.read.schema(scan_schema)
         .parquet(*abs_paths)
         .withColumn(
             "__file_name",
@@ -667,6 +718,7 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
     ]
     df = df.select(
         *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields],
+        *([F.col(c) for c in (mat_id, mat_rcv) if c] if rt else []),
         "__file_name",
         "__pos",
     )
@@ -692,6 +744,45 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
             map_schema,
         )
         df = df.join(F.broadcast(fmap), "__file_name", "left")
+    if rt:
+        # fresh ids: baseRowId + position, overridden by a materialized
+        # value when a rewrite carried the row's id forward (the spec's
+        # precedence). One more driver-small broadcast onto the same
+        # __file_name key — the fact scan stays exchange-free.
+        rmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f.path),
+                    f.base_row_id,
+                    f.default_row_commit_version,
+                )
+                for f in files
+            ],
+            T.StructType(
+                [
+                    T.StructField("__file_name", T.StringType(), False),
+                    T.StructField("__base_row_id", T.LongType(), True),
+                    T.StructField("__default_rcv", T.LongType(), True),
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(rmap), "__file_name", "left")
+        fresh_id = F.col("__base_row_id") + F.col("__pos")
+        fresh_rcv = F.col("__default_rcv")
+        df = (
+            df.withColumn(
+                "__row_id",
+                F.coalesce(F.col(mat_id), fresh_id) if mat_id else fresh_id,
+            )
+            .withColumn(
+                "__rcv",
+                F.coalesce(F.col(mat_rcv), fresh_rcv)
+                if mat_rcv
+                else fresh_rcv,
+            )
+            .drop("__base_row_id", "__default_rcv",
+                  *[c for c in (mat_id, mat_rcv) if c])
+        )
     return df
 
 
@@ -1631,6 +1722,15 @@ def write_delta(
     if id_hwm and evolved is not None:
         evolved = _with_identity_hwm(evolved, id_hwm)
 
+    # row tracking: every add gets a fresh baseRowId block past the high
+    # water mark (row k's fresh id = baseRowId + k — stats-read counts,
+    # no extra scan) and the hwm advances in the same commit's domain
+    rt_domain = (
+        _fresh_row_id_actions(df.sparkSession, path, snap, adds)
+        if snap is not None
+        else None
+    )
+
     version = prev + 1
     op = operation or ("WRITE" if mode == "append" else "OVERWRITE")
     actions: list[dict] = [
@@ -1746,6 +1846,8 @@ def write_delta(
                 }
             }
         )
+    if rt_domain is not None:
+        actions.append(rt_domain)
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     if mode == "overwrite" and snap is not None:
@@ -1850,25 +1952,28 @@ def _dv_commit_actions(
                 }
             }
         )
-        acts.append(
-            {
-                "add": {
-                    "path": _quote_path(f.path),
-                    "partitionValues": dict(f.partition_values),
-                    "size": f.size,
-                    "modificationTime": f.modification_time,
-                    "dataChange": True,
-                    "stats": f.stats,
-                    "deletionVector": {
-                        "storageType": "p",
-                        "pathOrInlineDv": r["dv_path"],
-                        "offset": r["offset"],
-                        "sizeInBytes": r["size"],
-                        "cardinality": r["card"],
-                    },
-                }
-            }
-        )
+        add = {
+            "path": _quote_path(f.path),
+            "partitionValues": dict(f.partition_values),
+            "size": f.size,
+            "modificationTime": f.modification_time,
+            "dataChange": True,
+            "stats": f.stats,
+            "deletionVector": {
+                "storageType": "p",
+                "pathOrInlineDv": r["dv_path"],
+                "offset": r["offset"],
+                "sizeInBytes": r["size"],
+                "cardinality": r["card"],
+            },
+        }
+        # row tracking: the re-added file is the SAME file — its
+        # baseRowId carries verbatim (surviving rows keep their ids)
+        if f.base_row_id is not None:
+            add["baseRowId"] = f.base_row_id
+        if f.default_row_commit_version is not None:
+            add["defaultRowCommitVersion"] = f.default_row_commit_version
+        acts.append({"add": add})
     return acts
 
 
@@ -2237,7 +2342,10 @@ def delete_where(
         survivors = (
             df.filter(F.col("__file_name").isin(list(affected)))
             .filter(~pred)
-            .select(*[F.col(f.name) for f in snap.schema.fields])
+            .select(
+                *[F.col(f.name) for f in snap.schema.fields],
+                *_materialize_row_ids(snap),
+            )
         )
         actions.extend(
             {
@@ -2250,12 +2358,14 @@ def delete_where(
             for f in snap.files
             if os.path.basename(f.path) in affected
         )
-        actions.extend(
-            _stage_adds(
-                survivors, path, snap.partition_columns, mapping=mapping,
-                constraints=snap.check_constraints,
-            )
+        new_adds = _stage_adds(
+            survivors, path, snap.partition_columns, mapping=mapping,
+            constraints=snap.check_constraints,
         )
+        rt_domain = _fresh_row_id_actions(spark, path, snap, new_adds)
+        actions.extend(new_adds)
+        if rt_domain is not None:
+            actions.append(rt_domain)
     version = prev + 1
     _publish_commit(path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -2264,6 +2374,21 @@ def delete_where(
         except DeltaConcurrentModification:  # pragma: no cover - benign race
             pass
     return version
+
+
+def _materialize_row_ids(snap: Snapshot, new_rcv: int | None = None):
+    """Select-list columns carrying ``__row_id``/``__rcv`` forward as
+    the table's MATERIALIZED row-tracking columns in a DML rewrite —
+    the spec's id-preservation mechanism. ``new_rcv`` stamps rewritten
+    (updated) rows with the committing version instead of the carried
+    one. Empty when row tracking is off."""
+    if not snap.row_tracking_enabled:
+        return []
+    rcv = F.lit(new_rcv).cast("long") if new_rcv is not None else F.col("__rcv")
+    return [
+        F.col("__row_id").alias(snap.materialized_row_id_col),
+        rcv.alias(snap.materialized_rcv_col),
+    ]
 
 
 def update_where(
@@ -2344,6 +2469,17 @@ def update_where(
         path,
         mapping=mapping,
     )
+    rt_carry = []
+    if snap.row_tracking_enabled:
+        # ids carry verbatim; the commit version bumps ONLY on rows the
+        # predicate actually updates (spec: unchanged rows in a
+        # rewritten file keep their version)
+        rt_carry = [
+            F.col("__row_id").alias(snap.materialized_row_id_col),
+            F.when(pred, F.lit(prev + 1).cast("long"))
+            .otherwise(F.col("__rcv"))
+            .alias(snap.materialized_rcv_col),
+        ]
     rewritten = df.filter(F.col("__file_name").isin(list(affected))).select(
         *[
             (
@@ -2354,7 +2490,8 @@ def update_where(
                 else F.col(f.name)
             )
             for f in snap.schema.fields
-        ]
+        ],
+        *rt_carry,
     )
     if gen:
         # generated columns recompute over the POST-assignment row (the
@@ -2365,7 +2502,13 @@ def update_where(
                 if f.name in gen
                 else F.col(f.name)
                 for f in snap.schema.fields
-            ]
+            ],
+            *(
+                [F.col(snap.materialized_row_id_col),
+                 F.col(snap.materialized_rcv_col)]
+                if rt_carry
+                else []
+            ),
         )
     adds = _stage_adds(
         rewritten, path, snap.partition_columns, mapping=mapping,
@@ -2395,7 +2538,10 @@ def update_where(
         for f in snap.files
         if os.path.basename(f.path) in affected
     )
+    rt_domain = _fresh_row_id_actions(spark, path, snap, adds)
     actions.extend(adds)
+    if rt_domain is not None:
+        actions.append(rt_domain)
     version = prev + 1
     _publish_commit(path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -2461,7 +2607,10 @@ def merge_upsert(
             survivors = (
                 df.filter(F.col("__file_name").isin(list(affected)))
                 .join(src.select(*keys).distinct(), keys, "left_anti")
-                .select(*[F.col(f.name) for f in snap.schema.fields])
+                .select(
+                    *[F.col(f.name) for f in snap.schema.fields],
+                    *_materialize_row_ids(snap),
+                )
             )
             adds.extend(
                 _stage_adds(
@@ -2473,9 +2622,26 @@ def merge_upsert(
     src_cons.update(
         {f"generated:{n}": f"{n} <=> ({e})" for n, e in gen.items()}
     )
+    src_staged = src
+    if snap.row_tracking_enabled and snap.files:
+        # matched source rows INHERIT the target row's id (rcv bumps to
+        # this commit); unmatched rows stay unmaterialized and pick up
+        # fresh baseRowId+pos ids — the spec's MERGE identity contract.
+        # One keys-shuffle join, same economy as the semi-joins above.
+        tgt_ids = df.groupBy(*keys).agg(
+            F.min("__row_id").alias("__tgt_row_id")
+        )
+        src_staged = src.join(tgt_ids, keys, "left").select(
+            *[F.col(f.name) for f in snap.schema.fields],
+            F.col("__tgt_row_id").alias(snap.materialized_row_id_col),
+            F.when(
+                F.col("__tgt_row_id").isNotNull(),
+                F.lit(prev + 1).cast("long"),
+            ).alias(snap.materialized_rcv_col),
+        )
     adds.extend(
         _stage_adds(
-            src, path, snap.partition_columns, mapping=mapping,
+            src_staged, path, snap.partition_columns, mapping=mapping,
             constraints=src_cons or None,
         )
     )
@@ -2535,7 +2701,10 @@ def merge_upsert(
         for f in snap.files
         if os.path.basename(f.path) in affected
     )
+    rt_domain = _fresh_row_id_actions(spark, path, snap, adds)
     actions.extend(adds)
+    if rt_domain is not None:
+        actions.append(rt_domain)
     version = prev + 1
     _publish_commit(path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -2800,6 +2969,187 @@ def widen_column_type(path: str, column: str, new_type) -> int:
             }
         },
     ]
+    _publish_commit(path, version, actions)
+    return version
+
+
+def _add_action_of(f: AddFile, data_change: bool = False) -> dict:
+    """An ``add`` action restating a live file exactly as the snapshot
+    holds it (DV, stats, row-tracking fields included)."""
+    a = {
+        "path": _quote_path(f.path),
+        "partitionValues": dict(f.partition_values),
+        "size": f.size,
+        "modificationTime": f.modification_time,
+        "dataChange": data_change,
+    }
+    if f.stats is not None:
+        a["stats"] = f.stats
+    if f.deletion_vector is not None:
+        a["deletionVector"] = f.deletion_vector
+    if f.base_row_id is not None:
+        a["baseRowId"] = f.base_row_id
+    if f.default_row_commit_version is not None:
+        a["defaultRowCommitVersion"] = f.default_row_commit_version
+    return a
+
+
+def _num_records_of(spark: SparkSession, path: str, f: AddFile) -> int:
+    if f.stats:
+        try:
+            n = json.loads(f.stats).get("numRecords")
+            if n is not None:
+                return int(n)
+        except ValueError:
+            pass
+    return spark.read.parquet(os.path.join(path, f.path)).count()
+
+
+def _row_id_hwm(snap: Snapshot) -> int:
+    dm = snap.domain_metadata.get("delta.rowTracking")
+    if not dm:
+        return -1
+    try:
+        return int(json.loads(dm["configuration"]).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _fresh_row_id_actions(
+    spark: SparkSession, path: str, snap: Snapshot, adds: list[dict]
+) -> dict | None:
+    """Assign fresh ``baseRowId`` blocks to a commit's add actions and
+    return the ``delta.rowTracking`` domain action advancing the high
+    water mark (None when row tracking is off). Counts come from the
+    adds' own stats — no extra scan; the rare stats-less add (variant
+    footer fallback) pays one count."""
+    if not snap.row_tracking_enabled:
+        return None
+    hwm = _row_id_hwm(snap)
+    for a in adds:
+        st = a["add"].get("stats")
+        try:
+            n = json.loads(st).get("numRecords") if st else None
+        except ValueError:
+            n = None
+        if n is None:
+            n = spark.read.parquet(
+                os.path.join(path, unquote(a["add"]["path"]))
+            ).count()
+        a["add"]["baseRowId"] = hwm + 1
+        a["add"]["defaultRowCommitVersion"] = snap.version + 1
+        hwm += int(n)
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+
+
+def read_delta_with_row_ids(
+    spark: SparkSession, path: str, version_as_of: int | None = None
+) -> DataFrame:
+    """Snapshot read with STABLE row identity attached: the table
+    columns plus ``_row_id`` / ``_row_commit_version`` (PROTOCOL.md
+    §Row Tracking). A row's id is ``baseRowId + position`` for files
+    that never rewrote, overridden by the MATERIALIZED columns a DML
+    rewrite carried forward — so the id survives UPDATE/MERGE/DELETE
+    and downstream CDC consumers can join change batches on it. The id
+    map is one driver-small broadcast per scan; the fact scan stays
+    exchange-free."""
+    snap = snapshot(path, version_as_of)
+    if not snap.row_tracking_enabled:
+        raise ValueError(
+            "read_delta_with_row_ids: row tracking is not enabled on "
+            f"{path} — run enable_row_tracking() first"
+        )
+    if not snap.files:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(snap.schema.fields)
+                + [
+                    T.StructField("_row_id", T.LongType(), True),
+                    T.StructField("_row_commit_version", T.LongType(), True),
+                ]
+            ),
+        )
+    df = _lineage_scan(spark, path, snap)
+    dv_files = [f for f in snap.files if f.deletion_vector]
+    if dv_files:
+        df = _subtract_dvs(spark, df, path, dv_files)
+    return df.select(
+        *[F.col(f.name) for f in snap.schema.fields],
+        F.col("__row_id").alias("_row_id"),
+        F.col("__rcv").alias("_row_commit_version"),
+    )
+
+
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """Upgrade an existing table to ROW TRACKING (PROTOCOL.md §Row
+    Tracking — the ``rowTracking`` writer feature riding on
+    domainMetadata): one metadata-only commit installs the feature,
+    sets ``delta.enableRowTracking`` plus the two materialized-column
+    names, BACKFILLS every live file with a ``baseRowId`` /
+    ``defaultRowCommitVersion`` (restated adds, dataChange=false — no
+    data moves; row k of a file has fresh id baseRowId+k), and records
+    the row-id high water mark in the ``delta.rowTracking`` domain.
+    Every later commit assigns fresh ids to its adds at the write
+    funnel; DML rewrites PRESERVE ids by materializing them into the
+    rewritten files (the spec's materialized-column mechanism), so a
+    row's ``_row_id`` is stable across UPDATE/MERGE/DELETE — the CDC
+    join key delta-spark's row tracking exists for. O(live files)
+    driver metadata once, at enablement. Returns the committed
+    version. Idempotent."""
+    snap = snapshot(path)
+    if snap.row_tracking_enabled:
+        return snap.version
+    version = latest_version(path) + 1
+    hwm = _row_id_hwm(snap)
+    restated: list[dict] = []
+    for f in snap.files:
+        if f.base_row_id is None:
+            n = _num_records_of(spark, path, f)
+            f.base_row_id = hwm + 1
+            f.default_row_commit_version = version
+            hwm += n
+        restated.append({"add": _add_action_of(f)})
+    upgrade = _protocol_upgrade_actions(
+        snap, writer_only=("rowTracking", "domainMetadata")
+    )
+    conf = dict(snap.configuration)
+    conf["delta.enableRowTracking"] = "true"
+    conf.setdefault(
+        "delta.rowTracking.materializedRowIdColumnName",
+        f"_row-id-col-{uuid.uuid4()}",
+    )
+    conf.setdefault(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        f"_row-commit-version-col-{uuid.uuid4()}",
+    )
+    actions = [
+        upgrade[0],
+        upgrade[1],
+        {
+            "metaData": {
+                "id": snap.metadata_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        },
+    ]
+    actions.extend(restated)
     _publish_commit(path, version, actions)
     return version
 
@@ -3206,6 +3556,9 @@ def restore_table(
         }
         if f.deletion_vector:
             add["deletionVector"] = dict(f.deletion_vector)
+        if f.base_row_id is not None:
+            add["baseRowId"] = f.base_row_id
+            add["defaultRowCommitVersion"] = f.default_row_commit_version
         actions.append({"add": add})
     # files live in BOTH versions but with different DV state must
     # re-add with the OLD descriptor (a later DV delete rolls back too)
@@ -3222,6 +3575,9 @@ def restore_table(
             }
             if fo.deletion_vector:
                 add["deletionVector"] = dict(fo.deletion_vector)
+            if fo.base_row_id is not None:
+                add["baseRowId"] = fo.base_row_id
+                add["defaultRowCommitVersion"] = fo.default_row_commit_version
             actions.append({"add": add})
     new_version = latest_version(path) + 1
     _publish_commit(path, new_version, actions)
@@ -3244,12 +3600,14 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
     df = _lineage_scan(spark, path, snap, files=dv_files)
     survivors = _subtract_dvs(spark, df, path, dv_files).select(
-        *[F.col(f.name) for f in snap.schema.fields]
+        *[F.col(f.name) for f in snap.schema.fields],
+        *_materialize_row_ids(snap),
     )
     adds = _stage_adds(
         survivors, path, snap.partition_columns, mapping=mapping,
         constraints=snap.check_constraints,
     )
+    rt_domain = _fresh_row_id_actions(spark, path, snap, adds)
     for a in adds:
         a["add"]["dataChange"] = False  # logically unchanged rewrite
     ts = int(time.time() * 1000)
@@ -3275,6 +3633,8 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
         if os.path.basename(f.path) in set(names)
     )
     actions.extend(adds)
+    if rt_domain is not None:
+        actions.append(rt_domain)
     version = prev + 1
     _publish_commit(path, version, actions)
     return version
@@ -3786,6 +4146,8 @@ def _checkpoint_pa_fields() -> dict:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field("defaultRowCommitVersion", pa.int64()),
                         pa.field(
                             "deletionVector",
                             pa.struct(
@@ -3898,6 +4260,8 @@ def _checkpoint_rows(snap: Snapshot) -> tuple[list[dict], list[dict]]:
                 "modificationTime": f.modification_time,
                 "dataChange": False,
                 "stats": f.stats,
+                "baseRowId": f.base_row_id,
+                "defaultRowCommitVersion": f.default_row_commit_version,
                 "deletionVector": f.deletion_vector,
             }
         }

@@ -755,3 +755,88 @@ jobs:
     assert snap.configuration["delta.universalFormat.enabledFormats"] == (
         "iceberg"
     )
+
+
+def test_delta_identity_widen_ict_actors(spark, sf_dir, tmp_path):
+    """Round-12 lifecycle ops as YAML actors: delta-writer
+    ``identityColumn`` creates a GENERATED ALWAYS AS IDENTITY table,
+    delta-dml ``widenColumn`` performs ALTER COLUMN TYPE through the
+    typeWidening feature, and ``enableIct`` installs in-commit
+    timestamps — the declarative surface for the round-12 delta
+    subsystems."""
+    tbl = tmp_path / "nation_ident"
+    out = tmp_path / "ident_view.parquet"
+    ypath = tmp_path / "ident.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: project
+        actor:
+          type: sql
+          properties:
+            sqlString: >
+              SELECT n_name AS name, CAST(n_regionkey AS INT) AS region
+              FROM nation
+        input-views: [nation]
+        output-view: {{name: slim, global: false}}
+      - name: write_identity
+        actor:
+          type: delta-writer
+          properties:
+            view: slim
+            path: "{tbl}"
+            mode: overwrite
+            identityColumn: row_id
+            identityStart: 5
+            identityStep: 5
+        input-views: [slim]
+      - name: widen
+        actor:
+          type: delta-dml
+          properties:
+            op: widenColumn
+            path: "{tbl}"
+            column: region
+            newType: long
+      - name: ict
+        actor:
+          type: delta-dml
+          properties: {{op: enableIct, path: "{tbl}"}}
+      - name: read_back
+        actor:
+          type: delta-reader
+          properties: {{path: "{tbl}"}}
+        output-view: {{name: back, global: false}}
+      - name: sink
+        actor:
+          type: file-writer
+          properties:
+            format: parquet
+            fileUri: "{out}"
+            mode: overwrite
+            view: back
+        input-views: [back]
+""")
+    run_pipeline_file(spark, str(ypath))
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    full = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    back = spark.read.parquet(str(out))
+    assert back.count() == full
+    ids = sorted(r.row_id for r in back.select("row_id").collect())
+    assert ids[0] == 5 and all((v - 5) % 5 == 0 for v in ids)
+    assert len(set(ids)) == full
+    snap = dl.snapshot(str(tbl))
+    assert snap.protocol["minWriterVersion"] >= 6
+    assert snap.schema["region"].dataType.simpleString() == "bigint"
+    assert "typeWidening" in (snap.protocol.get("readerFeatures") or [])
+    assert snap.configuration["delta.enableInCommitTimestamps"] == "true"

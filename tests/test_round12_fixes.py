@@ -577,6 +577,110 @@ def test_identity_negative_step_and_multi_partition_unique(spark, loc):
     )
 
 
+# ---------------------------------------------------------------------------
+# 8. delta row tracking: fresh baseRowId blocks, materialized
+#    preservation through DML, checkpoint survival
+# ---------------------------------------------------------------------------
+
+
+def _rt_ids(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    return {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dl.read_delta_with_row_ids(spark, loc).collect()
+    }
+
+
+def test_row_tracking_enable_backfill_and_fresh_ids(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)], "k int, v int")
+    dl.write_delta(df.repartition(2), loc, mode="overwrite")
+    v_en = dl.enable_row_tracking(spark, loc)
+    snap = dl.snapshot(loc)
+    assert "rowTracking" in snap.protocol["writerFeatures"]
+    assert snap.row_tracking_enabled
+    assert snap.materialized_row_id_col and snap.materialized_rcv_col
+    assert all(f.base_row_id is not None for f in snap.files)
+    ids = _rt_ids(spark, loc)
+    assert len(ids) == 6
+    rid = [i for i, _ in ids.values()]
+    assert len(set(rid)) == 6 and min(rid) == 0 and max(rid) == 5
+    assert all(rcv == v_en for _, rcv in ids.values())
+    # an append allocates past the high water mark
+    dl.write_delta(
+        spark.createDataFrame([(100, 1)], "k int, v int").coalesce(1), loc
+    )
+    ids2 = _rt_ids(spark, loc)
+    assert ids2[100][0] == 6  # next fresh block starts at hwm+1
+    assert all(ids2[k] == ids[k] for k in ids)  # old rows untouched
+
+
+def test_row_tracking_stable_across_update_delete(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([(i, i) for i in range(5)], "k int, v int")
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.enable_row_tracking(spark, loc)
+    before = _rt_ids(spark, loc)
+    v_upd = dl.update_where(spark, loc, "k = 2", {"v": "99"})
+    after = _rt_ids(spark, loc)
+    # every row keeps its id; only the updated row's version bumps
+    assert {k: i for k, (i, _) in after.items()} == {
+        k: i for k, (i, _) in before.items()
+    }
+    assert after[2][1] == v_upd
+    assert all(after[k][1] == before[k][1] for k in after if k != 2)
+    dl.delete_where(spark, loc, "k = 0")
+    final = _rt_ids(spark, loc)
+    assert 0 not in final
+    assert {k: v for k, v in after.items() if k != 0} == final
+
+
+def test_row_tracking_merge_inherits_target_ids(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    dl.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+        .coalesce(1), loc, mode="overwrite",
+    )
+    dl.enable_row_tracking(spark, loc)
+    before = _rt_ids(spark, loc)
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string")
+    v_m = dl.merge_upsert(spark, loc, src.coalesce(1), ["k"])
+    after = _rt_ids(spark, loc)
+    rows = {
+        r.k: r.s
+        for r in dl.read_delta(spark, loc).collect()
+    }
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    assert after[1] == before[1]            # untouched row: id + rcv keep
+    assert after[2][0] == before[2][0]      # matched row INHERITS its id
+    assert after[2][1] == v_m               # ...with the merge's version
+    assert after[3][0] > max(i for i, _ in before.values())  # fresh insert
+
+
+def test_row_tracking_survives_dv_and_checkpoint(spark, loc):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([(i, i) for i in range(5)], "k int, v int")
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    dl.enable_row_tracking(spark, loc)
+    before = _rt_ids(spark, loc)
+    dl.delete_where(spark, loc, "k = 1", use_dvs=True)
+    after = _rt_ids(spark, loc)
+    # DV delete: same physical file, survivors keep id AND version
+    assert after == {k: v for k, v in before.items() if k != 1}
+    # checkpoint + log cleanup: baseRowId must survive the replay
+    dl.write_checkpoint_v2(loc)
+    dl.clean_log(loc)
+    assert _rt_ids(spark, loc) == after
+    # purging the DV rewrites the file; ids still stable (materialized)
+    dl.purge_deletion_vectors(spark, loc)
+    assert _rt_ids(spark, loc) == after
+
+
 def test_uniform_delete_falls_back_to_full_state(spark, loc):
     from spark_etl_framework_spark.sources import deltalog as dl
 
