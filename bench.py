@@ -34,7 +34,9 @@ HEADLINE = [
     "window_topk_per_group",
     "window_running_sum",
     "ts_sessionize",
-    "ts_tumbling_window",
+    # (ts_tumbling_window rotated out round 12: r1-stable; the ts_
+    # family keeps sessionize/asof/band/interval/ewma coverage — freed
+    # budget for delta_optimize_zorder below)
     "ts_asof_join",
     "ts_band_join",
     "dedup_minhash_signatures",
@@ -145,6 +147,7 @@ HEADLINE = [
     "delta_identity_columns",        # map-side generation + hwm restate
     "delta_variant_shred",           # variant store + shredding reads
     "delta_row_tracking",            # id backfill + stable-id DML reads
+    "delta_optimize_zorder",         # bin-pack + z-order rewrite + prune
 ]
 # BUDGET NOTE (round 12): the stdout JSON line is ~1936 chars at these 61
 # entries (6 rotated out, 5 added, drift block reshaped) — the 2000-char

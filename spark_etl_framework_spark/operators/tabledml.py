@@ -81,8 +81,11 @@ class _TableDmlBase(Actor):
 class DeltaDmlActor(_TableDmlBase):
     """DML on a delta table through the pure-Python ``_delta_log``
     writer (sources/deltalog.py): pruned-COW / deletion-vector DELETE,
-    UPDATE, MERGE upsert, VACUUM, OPTIMIZE (purge DVs), DESCRIBE
-    HISTORY into a view, and the column-mapping DDL family (round 9):
+    UPDATE, MERGE upsert, VACUUM, OPTIMIZE (round 12: real bin-packing
+    compaction / ``zOrderBy`` layout rewrite via
+    :func:`deltalog.optimize_compact` — DV files always qualify, so it
+    subsumes the earlier purge-only behavior; ``targetSize``,
+    ``minFiles``), DESCRIBE HISTORY into a view, and the column-mapping DDL family (round 9):
     ``enableColumnMapping``, metadata-only ``renameColumn``
     (``oldColumn``/``newColumn``) and ``dropColumn`` (``column``);
     ``checkpointV2`` (round 10) emits the sidecar checkpoint layout
@@ -102,6 +105,12 @@ class DeltaDmlActor(_TableDmlBase):
     #: target type for op=widenColumn (round 12 — ALTER COLUMN TYPE,
     #: the typeWidening feature; spec-allowed transitions only)
     newType: str | None = None
+    #: op=optimize options (round 12 — real bin-pack/Z-ORDER OPTIMIZE):
+    #: comma-separated Z-ORDER columns, target output file size, and the
+    #: minimum small-file group size worth rewriting
+    zOrderBy: str | None = None
+    targetSize: int = 128 * 1024 * 1024
+    minFiles: int = 2
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -127,7 +136,19 @@ class DeltaDmlActor(_TableDmlBase):
             dl.vacuum(spark, loc, retention_ms=int(self.retentionMs))
             return None
         if op == "optimize":
-            dl.purge_deletion_vectors(spark, loc)
+            # full OPTIMIZE (round 12): bin-packing by default — DV
+            # files always qualify, so this subsumes the old purge-only
+            # behavior — or Z-ORDER when zOrderBy names columns
+            zcols = [
+                c.strip() for c in (self.zOrderBy or "").split(",")
+                if c.strip()
+            ]
+            dl.optimize_compact(
+                spark, loc,
+                target_file_size=int(self.targetSize),
+                min_files=int(self.minFiles),
+                zorder_by=zcols or None,
+            )
             return None
         if op == "history":
             df = dl.table_history(spark, loc)

@@ -4128,3 +4128,82 @@ def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_row_id").alias("row_id"),
         F.col("_row_commit_version").alias("rcv"),
     )
+
+
+@register(
+    "delta_optimize_zorder",
+    oracle="""
+    SELECT CAST(o_custkey % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE lifecycle (round 12 — the jar's bin-packing + Z-ORDER
+    layout maintenance): orders lands as FOUR small appends, each a
+    modulo slice spanning the full (custkey, totalprice) range — so
+    pre-optimize, every file's min/max footer covers everything and a
+    narrow predicate can skip nothing. ``optimize_compact()`` bin-packs
+    the four files into fewer (asserted, dataChange=false — time travel
+    to the pre-optimize version must still reproduce the data), then a
+    second OPTIMIZE ``zorder_by=["custkey", "cents"]`` re-lays the
+    table along the interleaved quantile-bucket key and the file list
+    PRUNED by a custkey stats probe must shrink (asserted). At 100 TB:
+    small-file compaction is O(selected bytes) with file count =
+    ceil(bytes/target) and the z-order rewrite is one
+    repartitionByRange exchange whose output footers give
+    multi-dimensional skipping — scan cost after 10k trickle appends
+    returns to O(files-that-match), not O(files-ever-written).
+    Reference: delta-spark OPTIMIZE / OPTIMIZE ZORDER BY."""
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_opt_") + "/orders"
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for m in range(4):  # four full-range slices -> four unskippable files
+        _dl.write_delta(
+            od.filter(F.col("okey") % 4 == m).coalesce(1), tbl, mode="append"
+        )
+    pre = _dl.snapshot(tbl)
+    assert len(pre.files) == 4, "fixture expects one file per append"
+
+    res = _dl.optimize_compact(spark, tbl)
+    assert res is not None and res["mode"] == "binpack"
+    assert res["filesAdded"] < res["filesRemoved"] == 4, "bin-pack must merge"
+    # logically unchanged: the pre-optimize version reads identically
+    v_pre = res["version"] - 1
+    n_now = _dl.read_delta(spark, tbl).count()
+    assert _dl.read_delta(spark, tbl, version_as_of=v_pre).count() == n_now
+
+    probe = [("custkey", "<", 100)]
+    res2 = _dl.optimize_compact(
+        spark, tbl, target_file_size=16 * 1024, zorder_by=["custkey", "cents"]
+    )
+    assert res2 is not None and res2["mode"] == "zorder"
+    snap = _dl.snapshot(tbl)
+    after_prune = [
+        f for f in snap.files if _dl._file_survives(f.stats, probe)
+    ]
+    if len(snap.files) >= 8:  # pruning is only observable past a few files
+        assert len(after_prune) <= len(snap.files) // 2, (
+            "a narrow custkey probe must prune most z-ordered files "
+            f"({len(after_prune)}/{len(snap.files)} survive)"
+        )
+    return (
+        _dl.read_delta(spark, tbl)
+        .groupBy((F.col("custkey") % 10).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("bucket")
+    )

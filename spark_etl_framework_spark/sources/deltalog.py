@@ -3640,6 +3640,227 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> int | None:
     return version
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
+    """Multi-column Morton/z-order key as a pure Column expression.
+
+    Each column is quantized to ``2^bits`` QUANTILE buckets (driver-side
+    ``approxQuantile`` boundaries — one bounded extra pass; equal-depth,
+    so skew cannot collapse the key space the way equal-width would),
+    then the bucket bits are interleaved round-robin across columns.
+    Sorting by the key makes consecutive rows cover small axis-aligned
+    hyper-rectangles in the column space, so every written file's
+    min/max footer spans ~2^-bits of EVERY dimension — multi-dimensional
+    data skipping, the thing a lexicographic sort gives only the leading
+    column. Bucketization is a driver-constant when-chain over ≤ 2^bits
+    boundaries and the interleave is shift/mask arithmetic — all inside
+    whole-stage codegen, no UDF, no extra shuffle."""
+    ncols = len(cols)
+    buckets = []
+    for c in cols:
+        dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[c]
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            num = F.col(c).cast("timestamp").cast("double")
+        elif isinstance(dt, T.NumericType):
+            num = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has type {dt.simpleString()} — "
+                "only numeric / date / timestamp columns are supported "
+                "(quantile quantization needs an orderable numeric axis)"
+            )
+        qcol = f"__zq_{c}"
+        qdf = df.select(num.alias(qcol))
+        n_b = (1 << bits) - 1
+        bounds = qdf.approxQuantile(
+            qcol, [i / (n_b + 1) for i in range(1, n_b + 1)], 0.01
+        )
+        # count of boundaries <= value == equal-depth bucket id in
+        # [0, 2^bits); NULLs sort first (bucket 0)
+        b = F.lit(0)
+        for t in bounds:
+            b = b + F.when(num >= F.lit(t), 1).otherwise(0)
+        buckets.append(b)
+    z = F.lit(0)
+    for bit in range(bits):
+        for i, b in enumerate(buckets):
+            pos = bit * ncols + i
+            z = z + F.shiftright(b, bit).bitwiseAND(F.lit(1)) * F.lit(1 << pos)
+    return z
+
+
+def optimize_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    zorder_by: list[str] | None = None,
+) -> dict | None:
+    """OPTIMIZE — the jar's layout-maintenance command (reference:
+    config-driven table maintenance in `etl/sink/DeltaWriter.scala`'s
+    option surface), two modes sharing one logically-unchanged-rewrite
+    commit (``dataChange=false``, like :func:`purge_deletion_vectors`):
+
+    - **bin-packing** (default): per partition tuple, every group of
+      ``>= min_files`` files under ``target_file_size`` (plus any
+      DV-carrying file — compaction folds the deletion vector away)
+      rewrites into ~``target_file_size`` files. Small-file compaction
+      is THE long-running-table scan fix: a table taking 10k 1 MB
+      appends reads 10k footers per query until compacted.
+    - **Z-ORDER** (``zorder_by=[cols]``): ALL live files rewrite,
+      range-partitioned + sorted by the interleaved quantile-bucket key
+      (:func:`_zorder_key`), so post-optimize file stats prune scans on
+      EVERY zorder dimension. On a liquid-clustered table (the
+      ``delta.clustering`` domain) ``zorder_by`` must be omitted — the
+      table's own clustering columns drive a range-cluster rewrite
+      instead, per the jar's OPTIMIZE-on-clustered-table behavior.
+
+    Row tracking survives (ids carried via the materialized columns,
+    fresh base ids assigned); column mapping, CHECK constraints and
+    generated columns are untouched (logically-unchanged rewrite needs
+    no re-validation). Returns ``{"version", "filesRemoved",
+    "filesAdded", "mode"}`` or None when nothing qualifies.
+
+    Scale shape: candidate selection is driver-side metadata over the
+    snapshot's add list (no scan); the rewrite is ONE distributed job
+    over only the selected bytes; output file count =
+    ceil(rewritten_bytes / target) — O(data rewritten), never O(table).
+    """
+    prev = latest_version(path)
+    snap = snapshot(path)
+    part_cols = snap.partition_columns
+
+    dom = snap.domain_metadata.get("delta.clustering")
+    cluster_cols = (
+        [
+            c[-1] if isinstance(c, list) else c
+            for c in json.loads(dom["configuration"]).get(
+                "clusteringColumns", []
+            )
+        ]
+        if dom
+        else []
+    )
+    if zorder_by and cluster_cols:
+        raise ValueError(
+            "OPTIMIZE zorder_by on a clustered table is not allowed — "
+            f"the table clusters by {cluster_cols}; plain OPTIMIZE "
+            "re-clusters on those columns"
+        )
+    if zorder_by:
+        bad = set(zorder_by) & set(part_cols)
+        if bad:
+            raise ValueError(
+                f"zorder_by columns {sorted(bad)} are partition columns — "
+                "z-ordering a constant-per-file axis is a no-op"
+            )
+        missing = set(zorder_by) - {f.name for f in snap.schema.fields}
+        if missing:
+            raise ValueError(f"zorder_by columns {sorted(missing)} not in table")
+
+    layout_cols = list(zorder_by or cluster_cols)
+    if layout_cols:
+        # layout rewrite: every live file participates
+        rewrite = list(snap.files)
+        mode = "zorder" if zorder_by else "cluster"
+    else:
+        # bin-packing: group small files by partition tuple
+        groups: dict[tuple, list[AddFile]] = {}
+        for f in snap.files:
+            if f.size < target_file_size or f.deletion_vector:
+                key = tuple(
+                    sorted((k, v) for k, v in (f.partition_values or {}).items())
+                )
+                groups.setdefault(key, []).append(f)
+        rewrite = [
+            f
+            for g in groups.values()
+            if len(g) >= min_files or any(x.deletion_vector for x in g)
+            for f in g
+        ]
+        mode = "binpack"
+    if not rewrite:
+        return None
+
+    mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
+    df = _lineage_scan(spark, path, snap, files=rewrite)
+    dv_files = [f for f in rewrite if f.deletion_vector]
+    if dv_files:
+        df = _subtract_dvs(spark, df, path, dv_files)
+    df = df.select(
+        *[F.col(f.name) for f in snap.schema.fields],
+        *_materialize_row_ids(snap),
+    )
+    total = sum(f.size for f in rewrite)
+    n_out = max(1, -(-total // max(1, target_file_size)))
+    if layout_cols:
+        zkey = (
+            _zorder_key(df, layout_cols)
+            if zorder_by
+            else None  # clustered: plain range on the clustering columns
+        )
+        if zkey is not None:
+            df = (
+                df.withColumn("__z", zkey)
+                .repartitionByRange(n_out, *(part_cols + ["__z"]))
+                .sortWithinPartitions(*(part_cols + ["__z"]))
+                .drop("__z")
+            )
+        else:
+            df = df.repartitionByRange(n_out, *layout_cols).sortWithinPartitions(
+                *layout_cols
+            )
+    elif part_cols:
+        # one spark partition per hash-of-partition-tuple: the staged
+        # partitionBy split then yields ONE file per tuple per partition
+        df = df.repartition(n_out, *part_cols)
+    else:
+        df = df.repartition(n_out)
+
+    adds = _stage_adds(df, path, part_cols, mapping=mapping)
+    rt_domain = _fresh_row_id_actions(spark, path, snap, adds)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    ts = int(time.time() * 1000)
+    params: dict = {"targetSize": str(target_file_size)}
+    if zorder_by:
+        params["zOrderBy"] = json.dumps(list(zorder_by))
+    if mode == "cluster":
+        params["clusterBy"] = json.dumps(cluster_cols)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": params,
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    rewritten = {os.path.basename(f.path) for f in rewrite}
+    actions.extend(
+        {
+            "remove": {
+                "path": _quote_path(f.path),
+                "deletionTimestamp": ts,
+                "dataChange": False,
+            }
+        }
+        for f in snap.files
+        if os.path.basename(f.path) in rewritten
+    )
+    actions.extend(adds)
+    if rt_domain is not None:
+        actions.append(rt_domain)
+    version = prev + 1
+    _publish_commit(path, version, actions)
+    return {
+        "version": version,
+        "filesRemoved": len(rewrite),
+        "filesAdded": len(adds),
+        "mode": mode,
+    }
+
+
 def _crc_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.crc")
 

@@ -1,0 +1,237 @@
+"""Delta OPTIMIZE (bin-pack / Z-ORDER / clustered re-cluster) and
+shallow CLONE — round-12 layout-maintenance surface.
+
+OPTIMIZE is a logically-unchanged rewrite (``dataChange=false``): data
+identical before/after, time travel to the pre-optimize version intact,
+file count strictly reduced (bin-pack) or stats-clustered (zorder).
+Shallow clone is a METADATA-ONLY copy: zero data files move, the clone
+reads the source's files by absolute path, and DML on either side never
+touches the other.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_framework_spark.sources import deltalog as dl
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _append(spark, loc, rows, **kw):
+    df = spark.createDataFrame(rows, "id int, k string, v double")
+    return dl.write_delta(df.coalesce(1), loc, mode="append", **kw)
+
+
+# ---------------------------------------------------------------------------
+# bin-packing
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_binpack_compacts_small_files(spark, loc):
+    for i in range(6):  # six single-file appends -> six small files
+        _append(spark, loc, [(i * 10 + j, f"k{j % 2}", float(j)) for j in range(5)])
+    pre = dl.snapshot(loc)
+    assert len(pre.files) == 6
+    before = dl.read_delta(spark, loc).orderBy("id").collect()
+
+    res = dl.optimize_compact(spark, loc)
+    assert res is not None and res["mode"] == "binpack"
+    assert res["filesRemoved"] == 6 and res["filesAdded"] < 6
+
+    post = dl.snapshot(loc)
+    assert len(post.files) == res["filesAdded"]
+    after = dl.read_delta(spark, loc).orderBy("id").collect()
+    assert after == before
+    # time travel to the pre-optimize version still sees the old layout
+    old = dl.read_delta(spark, loc, version_as_of=res["version"] - 1)
+    assert old.orderBy("id").collect() == before
+    # the rewrite is logically unchanged: dataChange=false on every action
+    with open(
+        os.path.join(loc, "_delta_log", f"{res['version']:020d}.json"),
+        encoding="utf-8",
+    ) as fh:
+        acts = [json.loads(ln) for ln in fh]
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    )
+    assert all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    )
+    assert any(
+        a["commitInfo"]["operation"] == "OPTIMIZE" for a in acts if "commitInfo" in a
+    )
+
+
+def test_optimize_binpack_respects_min_files_and_target(spark, loc):
+    _append(spark, loc, [(1, "a", 1.0)])
+    # one small file only -> below min_files, nothing to do
+    assert dl.optimize_compact(spark, loc) is None
+    _append(spark, loc, [(2, "b", 2.0)])
+    res = dl.optimize_compact(spark, loc)
+    assert res is not None and res["filesRemoved"] == 2
+    # already-large files are never candidates
+    assert dl.optimize_compact(spark, loc, target_file_size=1) is None
+
+
+def test_optimize_binpack_partitioned_groups_per_tuple(spark, loc):
+    for j in range(4):
+        df = spark.createDataFrame(
+            [(j * 2, "p1", 1.0), (j * 2 + 1, "p2", 2.0)], "id int, k string, v double"
+        )
+        dl.write_delta(df.repartition(2, "k"), loc, mode="append", partition_by=["k"])
+    pre = dl.snapshot(loc)
+    before = dl.read_delta(spark, loc).orderBy("id").collect()
+    res = dl.optimize_compact(spark, loc)
+    assert res is not None
+    post = dl.snapshot(loc)
+    assert len(post.files) < len(pre.files)
+    # partition values survive the rewrite
+    assert dl.read_delta(spark, loc).orderBy("id").collect() == before
+    assert dl.read_delta(spark, loc, where="k = 'p1'").count() == 4
+
+
+def test_optimize_folds_deletion_vectors(spark, loc):
+    _append(spark, loc, [(i, "a", float(i)) for i in range(10)])
+    _append(spark, loc, [(i, "b", float(i)) for i in range(10, 20)])
+    dl.delete_where(spark, loc, "id % 2 = 1", use_dvs=True)
+    assert any(f.deletion_vector for f in dl.snapshot(loc).files)
+    res = dl.optimize_compact(spark, loc)
+    assert res is not None
+    assert not any(f.deletion_vector for f in dl.snapshot(loc).files)
+    got = sorted(r.id for r in dl.read_delta(spark, loc).collect())
+    assert got == list(range(0, 20, 2))
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_zorder_rewrites_all_and_improves_skipping(spark, loc):
+    # two appends each covering the FULL (x, y) range: pre-optimize,
+    # every file's min/max spans everything and no file can be skipped
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(2):
+        rows = [
+            (i, str(rnd.randrange(100)), float(rnd.randrange(100)))
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "id int, k string, v double").withColumn(
+            "x", F.col("id") % 100
+        )
+        dl.write_delta(df.coalesce(1), loc, mode="append")
+    before = dl.read_delta(spark, loc).orderBy("id", "k", "v").collect()
+    res = dl.optimize_compact(
+        spark, loc, target_file_size=4 * 1024, zorder_by=["x", "v"]
+    )
+    assert res is not None and res["mode"] == "zorder"
+    assert res["filesRemoved"] == 2 and res["filesAdded"] > 1
+    assert dl.read_delta(spark, loc).orderBy("id", "k", "v").collect() == before
+
+    # skipping: a narrow x-predicate must now prune files via stats
+    snap = dl.snapshot(loc)
+    surviving = [
+        f
+        for f in snap.files
+        if dl._file_survives(f.stats, [("x", "<", 10)])
+    ]
+    assert len(surviving) < len(snap.files)
+
+
+def test_optimize_zorder_validates_columns(spark, loc):
+    df = spark.createDataFrame([(1, "a", 1.0)], "id int, k string, v double")
+    dl.write_delta(df, loc, mode="append", partition_by=["k"])
+    with pytest.raises(ValueError, match="partition columns"):
+        dl.optimize_compact(spark, loc, zorder_by=["k"])
+    with pytest.raises(ValueError, match="not in table"):
+        dl.optimize_compact(spark, loc, zorder_by=["nope"])
+    with pytest.raises(ValueError, match="only numeric"):
+        df2 = spark.createDataFrame([(1, "a", 1.0)], "id int, s string, v double")
+        loc2 = loc + "2"
+        dl.write_delta(df2, loc2, mode="append")
+        dl.optimize_compact(spark, loc2, zorder_by=["s"])
+
+
+def test_optimize_on_clustered_table_reclusters(spark, loc):
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}", float(i)) for i in range(30)], "id int, k string, v double"
+    )
+    dl.write_delta(df, loc, mode="append", cluster_by=["id"])
+    # appends accumulate files; OPTIMIZE re-clusters on the table's own cols
+    dl.write_delta(
+        spark.createDataFrame(
+            [(i, "x", 0.0) for i in range(30, 60)], "id int, k string, v double"
+        ),
+        loc,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="clustered table"):
+        dl.optimize_compact(spark, loc, zorder_by=["v"])
+    before = dl.read_delta(spark, loc).orderBy("id").collect()
+    res = dl.optimize_compact(spark, loc)
+    assert res is not None and res["mode"] == "cluster"
+    assert dl.read_delta(spark, loc).orderBy("id").collect() == before
+
+
+def test_optimize_preserves_row_ids(spark, loc):
+    _append(spark, loc, [(i, "a", float(i)) for i in range(8)])
+    dl.enable_row_tracking(spark, loc)
+    _append(spark, loc, [(i, "b", float(i)) for i in range(8, 16)])
+    ids_before = {
+        r.id: r._row_id
+        for r in dl.read_delta_with_row_ids(spark, loc).collect()
+    }
+    res = dl.optimize_compact(spark, loc)
+    assert res is not None
+    ids_after = {
+        r.id: r._row_id
+        for r in dl.read_delta_with_row_ids(spark, loc).collect()
+    }
+    assert ids_after == ids_before
+
+
+# ---------------------------------------------------------------------------
+# YAML actor surface
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_yaml_actor(spark, sf_dir, tmp_path):
+    """delta-dml op=optimize runs the real bin-pack/Z-ORDER OPTIMIZE
+    (round 12) — trickle appends, declarative compaction, row parity."""
+    from spark_etl_framework_spark.plans.runner import run_pipeline_file
+
+    tbl = tmp_path / "opt_tbl"
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 5 + j, float(j)) for j in range(5)], "id int, v double"
+        )
+        dl.write_delta(df.coalesce(1), str(tbl), mode="append")
+    assert len(dl.snapshot(str(tbl)).files) == 3
+    ypath = tmp_path / "opt.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: optimize
+        actor:
+          type: delta-dml
+          properties:
+            op: optimize
+            path: "{tbl}"
+            zOrderBy: "id, v"
+""")
+    run_pipeline_file(spark, str(ypath))
+    snap = dl.snapshot(str(tbl))
+    assert len(snap.files) < 3
+    assert dl.read_delta(spark, str(tbl)).count() == 15
