@@ -31,7 +31,10 @@ HEADLINE = [
     "q14_promo_share",
     "q18_large_orders",
     "q19_disjunctive_filter",
-    "window_topk_per_group",
+    # (window_topk_per_group rotated out round 12: r1-stable; the window
+    # family keeps running_sum — a drift-basket member — and the
+    # rolling-median/interval rows in the window — freed budget for
+    # delta_shallow_clone below)
     "window_running_sum",
     "ts_sessionize",
     # (ts_tumbling_window rotated out round 12: r1-stable; the ts_
@@ -148,9 +151,10 @@ HEADLINE = [
     "delta_variant_shred",           # variant store + shredding reads
     "delta_row_tracking",            # id backfill + stable-id DML reads
     "delta_optimize_zorder",         # bin-pack + z-order rewrite + prune
+    "delta_shallow_clone",           # zero-copy fork + isolated DML
 ]
-# BUDGET NOTE (round 12): the stdout JSON line is ~1936 chars at these 61
-# entries (6 rotated out, 5 added, drift block reshaped) — the 2000-char
+# BUDGET NOTE (round 12): the stdout JSON line is ~1940 chars at these 61
+# entries (8 rotated out, 7 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

@@ -111,6 +111,9 @@ class DeltaDmlActor(_TableDmlBase):
     zOrderBy: str | None = None
     targetSize: int = 128 * 1024 * 1024
     minFiles: int = 2
+    #: op=clone target (round 12 — SHALLOW CLONE; `path` is the source,
+    #: `version` optionally pins the cloned snapshot)
+    targetPath: str | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -213,6 +216,14 @@ class DeltaDmlActor(_TableDmlBase):
             return None
         if op == "enablerowtracking":
             dl.enable_row_tracking(spark, loc)
+            return None
+        if op == "clone":
+            if not self.targetPath:
+                raise ValueError("DeltaDmlActor: clone needs targetPath")
+            dl.shallow_clone(
+                spark, loc, self.targetPath,
+                version=int(self.version) if self.version is not None else None,
+            )
             return None
         if op == "widencolumn":
             if not self.column or not self.newType:

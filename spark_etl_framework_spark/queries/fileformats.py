@@ -4207,3 +4207,76 @@ def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "delta_shallow_clone",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE lifecycle (round 12 — the jar's zero-copy table
+    fork): customer lands as a delta table, ``shallow_clone`` forks it
+    with ZERO data files copied (asserted — the clone root contains no
+    parquet), a DELETE on the clone drops the BUILDING segment and an
+    append + DELETE on the SOURCE must stay invisible to the clone
+    (asserted both directions — the fork is immediately independent:
+    clone DML stages under the clone root and tombstones the absolute
+    references). At 100 TB: cloning is O(live-files) driver metadata —
+    a branch-for-experiment of a petabyte table costs a metadata
+    commit, not a copy; divergent writes pay only their own bytes.
+    Reference: delta-spark SHALLOW CLONE."""
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    base = tempfile.mkdtemp(prefix="delta_clone_")
+    src, dst = base + "/src", base + "/clone"
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    _dl.write_delta(cu, src, mode="overwrite")
+    n_src = _dl.read_delta(spark, src).count()
+
+    _dl.shallow_clone(spark, src, dst)
+    copied = [
+        n for r, _d, ns in __import__("os").walk(dst) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    ]
+    assert copied == [], "shallow clone must not copy data files"
+
+    _dl.delete_where(spark, dst, "segment = 'BUILDING'")
+    # source DML is invisible to the clone (and vice versa)
+    _dl.write_delta(
+        spark.createDataFrame(
+            [(10**9, "SENTINEL", 0)], "custkey long, segment string, bal_cents long"
+        ),
+        src, mode="append",
+    )
+    _dl.delete_where(spark, src, "custkey <= 100")
+    assert _dl.read_delta(spark, src).count() < n_src + 1
+    clone_df = _dl.read_delta(spark, dst)
+    assert clone_df.filter("segment = 'SENTINEL'").count() == 0, (
+        "source append leaked into the clone"
+    )
+    assert clone_df.filter("custkey <= 100").count() > 0, (
+        "source delete leaked into the clone"
+    )
+    return (
+        clone_df.groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("segment")
+    )

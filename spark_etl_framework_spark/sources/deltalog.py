@@ -3861,6 +3861,123 @@ def optimize_compact(
     }
 
 
+def shallow_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    timestamp_as_of: str | int | None = None,
+) -> int:
+    """SHALLOW CLONE — the jar's zero-copy table fork: ``dst`` gets its
+    own ``_delta_log`` whose version-0 ``add`` actions reference the
+    SOURCE's data files by ABSOLUTE path (the spec allows absolute
+    add paths; readers resolve them verbatim). No data bytes move —
+    cloning a 100 TB table is O(live-files) driver metadata. The clone
+    is immediately independent: DML stages its new files under the
+    clone root and tombstones the absolute references, so neither side's
+    writes are visible to the other. Deletion-vector descriptors are
+    rewritten to absolute ``storageType "p"`` form so the clone's scans
+    decode the source's DV files in place.
+
+    Protocol, schema (incl. identity/generated metadata), partition
+    columns, table properties, and domain metadata (clustering columns,
+    row-id high water mark) all carry over; the table id is FRESH (two
+    tables, two identities) and UniForm flags are stripped — the mirror
+    marker is per-directory state, re-enable on the clone explicitly.
+
+    CAVEAT (same as the jar's): VACUUM on the SOURCE can delete files
+    the clone still references — vacuum only walks its own root, so the
+    clone can never hurt the source, but source retention applies to
+    clone readers. Returns the clone's version (always 0)."""
+    src = os.path.abspath(src)
+    dst = os.path.abspath(dst)
+    if os.path.isdir(_log_dir(dst)) and latest_version(dst) >= 0:
+        raise ValueError(f"clone target {dst} is already a delta table")
+    if timestamp_as_of is not None and version is None:
+        if isinstance(timestamp_as_of, str):
+            ts = _dt.datetime.fromisoformat(timestamp_as_of)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts_ms = int(ts.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp_as_of)
+        version = _version_at_timestamp(src, ts_ms)
+    snap = snapshot(src, version)
+
+    configuration = {
+        k: v
+        for k, v in snap.configuration.items()
+        if not k.startswith("delta.universalFormat")
+    }
+    ts_now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts_now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "sourceVersion": str(snap.version),
+                    "isShallow": "true",
+                },
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        },
+        {"protocol": dict(snap.protocol)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": configuration,
+                "createdTime": ts_now,
+            }
+        },
+    ]
+    actions.extend(
+        {"domainMetadata": dict(d)} for d in snap.domain_metadata.values()
+    )
+    for f in snap.files:
+        a: dict = {
+            "path": _quote_path(os.path.join(src, f.path)),
+            "partitionValues": f.partition_values,
+            "size": f.size,
+            "modificationTime": f.modification_time,
+            "dataChange": True,
+        }
+        if f.stats:
+            a["stats"] = f.stats
+        if f.base_row_id is not None:
+            a["baseRowId"] = f.base_row_id
+        if f.default_row_commit_version is not None:
+            a["defaultRowCommitVersion"] = f.default_row_commit_version
+        dv = f.deletion_vector
+        if dv:
+            st = dv.get("storageType")
+            if st == "u":
+                from .roaring import z85_decode
+
+                suffix = dv["pathOrInlineDv"][-20:]
+                prefix = dv["pathOrInlineDv"][:-20]
+                u = uuid.UUID(bytes=z85_decode(suffix))
+                abs_dv = os.path.join(
+                    src, prefix, f"deletion_vector_{u}.bin"
+                ) if prefix else os.path.join(src, f"deletion_vector_{u}.bin")
+                dv = {**dv, "storageType": "p", "pathOrInlineDv": abs_dv}
+            elif st == "p" or st == "i":
+                dv = dict(dv)  # absolute / inline carry verbatim
+            else:  # pragma: no cover - unknown storage refuses loudly
+                raise NotImplementedError(
+                    f"cannot clone deletionVector storageType {st!r}"
+                )
+            a["deletionVector"] = dv
+        actions.append({"add": a})
+    os.makedirs(dst, exist_ok=True)
+    _publish_commit(dst, 0, actions)
+    return 0
+
+
 def _crc_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.crc")
 

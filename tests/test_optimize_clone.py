@@ -235,3 +235,138 @@ jobs:
     snap = dl.snapshot(str(tbl))
     assert len(snap.files) < 3
     assert dl.read_delta(spark, str(tbl)).count() == 15
+
+
+# ---------------------------------------------------------------------------
+# shallow clone
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_reads(spark, loc, tmp_path):
+    _append(spark, loc, [(i, "a", float(i)) for i in range(10)])
+    _append(spark, loc, [(i, "b", float(i)) for i in range(10, 20)])
+    dst = str(tmp_path / "clone")
+    assert dl.shallow_clone(spark, loc, dst) == 0
+    # zero data files under the clone root
+    data_files = [
+        n for r, _d, ns in os.walk(dst) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    ]
+    assert data_files == []
+    src_rows = dl.read_delta(spark, loc).orderBy("id").collect()
+    assert dl.read_delta(spark, dst).orderBy("id").collect() == src_rows
+    # fresh identity, carried schema
+    assert dl.snapshot(dst).metadata_id != dl.snapshot(loc).metadata_id
+    assert dl.snapshot(dst).schema == dl.snapshot(loc).schema
+
+
+def test_shallow_clone_isolated_dml_both_directions(spark, loc, tmp_path):
+    _append(spark, loc, [(i, "a", float(i)) for i in range(10)])
+    dst = str(tmp_path / "clone")
+    dl.shallow_clone(spark, loc, dst)
+    # DML on the clone: source untouched
+    dl.delete_where(spark, dst, "id >= 5")
+    assert dl.read_delta(spark, dst).count() == 5
+    assert dl.read_delta(spark, loc).count() == 10
+    # DML on the source: clone untouched
+    _append(spark, loc, [(i, "c", float(i)) for i in range(10, 15)])
+    dl.delete_where(spark, loc, "id = 0")
+    assert dl.read_delta(spark, loc).count() == 14
+    assert dl.read_delta(spark, dst).count() == 5
+    # the clone's rewrite landed under ITS root, not the source's
+    clone_files = dl.snapshot(dst).files
+    assert all(not os.path.isabs(f.path) or f.path.startswith(dst) or
+               f.path.startswith(loc) for f in clone_files)
+    assert any(not os.path.isabs(f.path) for f in clone_files), (
+        "the DELETE rewrite must stage under the clone root"
+    )
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, loc, tmp_path):
+    _append(spark, loc, [(i, "a", float(i)) for i in range(10)])
+    dl.delete_where(spark, loc, "id % 2 = 1", use_dvs=True)
+    dst = str(tmp_path / "clone")
+    dl.shallow_clone(spark, loc, dst)
+    got = sorted(r.id for r in dl.read_delta(spark, dst).collect())
+    assert got == [0, 2, 4, 6, 8]
+    # descriptors became absolute "p" form
+    dvs = [f.deletion_vector for f in dl.snapshot(dst).files if f.deletion_vector]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    assert all(os.path.isabs(d["pathOrInlineDv"]) for d in dvs)
+
+
+def test_shallow_clone_time_travel_source_version(spark, loc, tmp_path):
+    _append(spark, loc, [(1, "a", 1.0)])
+    _append(spark, loc, [(2, "b", 2.0)])
+    dst = str(tmp_path / "clone")
+    dl.shallow_clone(spark, loc, dst, version=0)
+    assert dl.read_delta(spark, dst).count() == 1
+    with pytest.raises(ValueError, match="already a delta table"):
+        dl.shallow_clone(spark, loc, dst)
+
+
+def test_shallow_clone_vacuum_never_touches_source(spark, loc, tmp_path):
+    _append(spark, loc, [(i, "a", float(i)) for i in range(10)])
+    dst = str(tmp_path / "clone")
+    dl.shallow_clone(spark, loc, dst)
+    dl.delete_where(spark, dst, "id < 5")  # tombstones the absolute refs
+    dl.vacuum(spark, dst, retention_ms=0)
+    # vacuum walks only the clone root — the source file is outside it,
+    # so the tombstoned ABSOLUTE reference is never unlinked (the only
+    # removable file is the clone's own _change_data CDC parquet)
+    assert dl.read_delta(spark, loc).count() == 10, "source data lost!"
+    assert dl.read_delta(spark, dst).count() == 5
+
+
+def test_shallow_clone_preserves_row_tracking_and_clustering(spark, loc, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"k{i%3}", float(i)) for i in range(12)], "id int, k string, v double"
+    )
+    dl.write_delta(df, loc, mode="overwrite", cluster_by=["id"])
+    dl.enable_row_tracking(spark, loc)
+    ids_src = {
+        r.id: r._row_id for r in dl.read_delta_with_row_ids(spark, loc).collect()
+    }
+    dst = str(tmp_path / "clone")
+    dl.shallow_clone(spark, loc, dst)
+    snap = dl.snapshot(dst)
+    assert "delta.clustering" in snap.domain_metadata
+    assert "delta.rowTracking" in snap.domain_metadata
+    ids_clone = {
+        r.id: r._row_id for r in dl.read_delta_with_row_ids(spark, dst).collect()
+    }
+    assert ids_clone == ids_src
+    # appends to the clone allocate FRESH ids past the carried hwm
+    dl.write_delta(
+        spark.createDataFrame([(100, "x", 0.0)], "id int, k string, v double"),
+        dst, mode="append",
+    )
+    ids_after = {
+        r.id: r._row_id for r in dl.read_delta_with_row_ids(spark, dst).collect()
+    }
+    assert ids_after[100] not in set(ids_src.values())
+
+
+def test_shallow_clone_yaml_actor(spark, tmp_path):
+    from spark_etl_framework_spark.plans.runner import run_pipeline_file
+
+    src = tmp_path / "src_tbl"
+    dst = tmp_path / "dst_tbl"
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id int, k string, v double")
+    dl.write_delta(df, str(src), mode="overwrite")
+    ypath = tmp_path / "clone.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: clone
+        actor:
+          type: delta-dml
+          properties:
+            op: clone
+            path: "{src}"
+            targetPath: "{dst}"
+""")
+    run_pipeline_file(spark, str(ypath))
+    assert dl.read_delta(spark, str(dst)).count() == 2
