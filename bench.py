@@ -42,7 +42,9 @@ HEADLINE = [
     # budget for delta_optimize_zorder below)
     "ts_asof_join",
     "ts_band_join",
-    "dedup_minhash_signatures",
+    # (dedup_minhash_signatures rotated out round 12: r1-stable, and its
+    # machinery is the first stage of dedup_lsh_pairs below — freed
+    # budget for iceberg_partitions_meta)
     "dedup_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard_topk",
@@ -58,8 +60,9 @@ HEADLINE = [
     # round 3 additions — ANN quality eval, real codec
     # (corpus_source_overlap rotated out round 12: long stable, and the
     # corpus family stays covered by corpus_decontaminate +
-    # corpus_chunk_dedup above)
-    "vector_ann_recall",
+    # corpus_chunk_dedup above; vector_ann_recall rotated out round 12:
+    # r3-stable eval row, the vector family keeps five benched rows —
+    # freed budget for iceberg_puffin_ndv below)
     "multimodal_decode_netpbm",
     # round 4 addition — the containment-policy write-back pipeline
     # (framework overhead + LSH + containment + parquet sink, end to end)
@@ -152,9 +155,11 @@ HEADLINE = [
     "delta_row_tracking",            # id backfill + stable-id DML reads
     "delta_optimize_zorder",         # bin-pack + z-order rewrite + prune
     "delta_shallow_clone",           # zero-copy fork + isolated DML
+    "iceberg_puffin_ndv",            # one-pass ANALYZE + stats reads
+    "iceberg_partitions_meta",       # metadata tables + delete compact
 ]
 # BUDGET NOTE (round 12): the stdout JSON line is ~1940 chars at these 61
-# entries (8 rotated out, 7 added, drift block reshaped) — the 2000-char
+# entries (10 rotated out, 9 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

@@ -238,8 +238,13 @@ class DeltaDmlActor(_TableDmlBase):
 class IcebergDmlActor(_TableDmlBase):
     """DML on an iceberg table through the pure-Python v2 writer
     (sources/iceberg.py): merge-on-read DELETE, atomic row-delta UPDATE,
-    equality-delete MERGE, REWRITE (fold deletes), metadata tables
-    into a view (``metadataTable``: snapshots | history | files), and
+    equality-delete MERGE, REWRITE (round 12: the jar's strategy surface
+    — ``strategy`` fold | binpack | sort | zorder with ``sortBy``/
+    ``zOrderBy``/``targetSize``; default folds deletes), position-delete
+    compaction (``rewritePositionDeletes``), Puffin statistics
+    (``analyze`` + ``columns``), metadata tables into a view
+    (``metadataTable``: snapshots | history | files | statistics | refs
+    | manifests | partitions), and
     the snapshot-ref family (round 10): ``createTag`` / ``createBranch``
     (``refName``, optional ``snapshotId``, ``overwriteRef``) and
     ``dropRef`` — the spec's refs map, read back through
@@ -251,6 +256,13 @@ class IcebergDmlActor(_TableDmlBase):
     commit onto main, the session half of write-audit-publish."""
 
     metadataTable: str = "snapshots"
+    #: op=optimize strategy surface (round 12 — the jar's
+    #: rewrite_data_files strategies) and op=analyze column list
+    strategy: str | None = None
+    sortBy: str | None = None
+    zOrderBy: str | None = None
+    targetSize: int = 128 * 1024 * 1024
+    columns: str | None = None
     snapshotId: int | None = None
     olderThanMs: int | None = None
     retainLast: int = 1
@@ -285,10 +297,39 @@ class IcebergDmlActor(_TableDmlBase):
             ice.merge_upsert(spark, loc, src, keys)
             return None
         if op in ("optimize", "rewrite"):
-            ice.rewrite_data_files(spark, loc)
+            # round 12: the jar's strategy surface — binpack / sort /
+            # zorder rewrites; default stays the delete-folding pass
+            zcols = [
+                c.strip() for c in (self.zOrderBy or "").split(",")
+                if c.strip()
+            ]
+            scols = [
+                c.strip() for c in (self.sortBy or "").split(",")
+                if c.strip()
+            ]
+            strategy = self.strategy or (
+                "zorder" if zcols else "sort" if scols else "fold"
+            )
+            ice.rewrite_data_files(
+                spark, loc, strategy=strategy,
+                sort_by=scols or None, zorder_by=zcols or None,
+                target_file_size=int(self.targetSize),
+            )
             return None
         if op == "rewritemanifests":
             ice.rewrite_manifests(loc)
+            return None
+        if op == "rewritepositiondeletes":
+            ice.rewrite_position_delete_files(spark, loc)
+            return None
+        if op == "analyze":
+            ice.analyze_table(
+                spark, loc,
+                columns=[
+                    c.strip() for c in (self.columns or "").split(",")
+                    if c.strip()
+                ] or None,
+            )
             return None
         if op == "history":
             df = ice.read_meta(spark, loc, self.metadataTable)

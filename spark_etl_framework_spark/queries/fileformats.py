@@ -4280,3 +4280,142 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "iceberg_puffin_ndv",
+    oracle="""
+    SELECT 'p_brand' AS col, CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS ndv_exact FROM part
+    UNION ALL
+    SELECT 'p_partkey', CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'p_size', CAST(COUNT(DISTINCT p_size) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'p_type', CAST(COUNT(DISTINCT p_type) AS BIGINT) FROM part
+    ORDER BY 1
+    """,
+)
+def iceberg_puffin_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puffin table statistics lifecycle (round 12 — the spec's
+    puffin-spec + the jar's compute_table_stats): part lands as an
+    iceberg table, ``analyze_table`` computes every column's NDV in ONE
+    distributed HyperLogLog++ pass and publishes a spec-layout Puffin
+    file (magic/blobs/JSON-footer) registered in table metadata's
+    ``statistics`` list; ``table_ndv`` reads the estimates back from
+    the blob ``ndv`` properties WITHOUT a data scan (asserted equal to
+    the analyze result, payload cross-checked) and each estimate must
+    sit within HLL++ tolerance of the exact count (asserted ≤5%). The
+    returned relation is the EXACT per-column NDV — oracle-checkable —
+    with the sketch bound enforced in-query. At 100 TB: cardinality
+    knowledge costs one ANALYZE pass, amortized across every broadcast
+    vs shuffle choice, LSH band sizing, and CBO decision that would
+    otherwise each pay a COUNT(DISTINCT); the stats themselves are KBs
+    of driver metadata tied to the snapshot lineage (expire drops them
+    with their snapshot)."""
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    tbl = tempfile.mkdtemp(prefix="ice_puffin_") + "/part"
+    pa = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    _ice.write_iceberg(pa, tbl, mode="overwrite")
+    cols = ["p_partkey", "p_brand", "p_type", "p_size"]
+    ndvs = _ice.analyze_table(spark, tbl, columns=cols)
+    assert _ice.table_ndv(tbl) == ndvs, "metadata read-back diverged"
+    # one Puffin stats file registered for the current snapshot
+    meta = _ice.load_metadata(tbl)
+    assert len(meta.get("statistics", [])) == 1
+
+    exact = (
+        _ice.read_iceberg(spark, tbl)
+        .agg(*[F.countDistinct(c).alias(c) for c in cols])
+        .collect()[0]
+    )
+    for c in cols:
+        err = abs(ndvs[c] - exact[c]) / max(1, exact[c])
+        assert err <= 0.05, f"{c}: sketch ndv {ndvs[c]} vs exact {exact[c]}"
+    rows = [(c, int(exact[c])) for c in sorted(cols)]
+    return spark.createDataFrame(rows, "col string, ndv_exact long").orderBy(
+        "col"
+    )
+
+
+@register(
+    "iceberg_partitions_meta",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) AS n_live,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE NOT (l_orderkey % 10 = 3)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables + position-delete compaction lifecycle (round 12
+    — the jar's ``tbl.partitions``/``.refs``/``.manifests`` surface and
+    its ``rewrite_position_delete_files`` procedure): lineitem lands as
+    an iceberg table partitioned by returnflag; the PARTITIONS metadata
+    table must report each partition's record count exactly (asserted
+    against the data — planning-time answers from manifests alone, no
+    data scan); two MoR DELETEs leave two position-delete files and the
+    compaction merges them into ONE sorted file (asserted: delete-file
+    count 2→1, scan results bit-identical before/after). At 100 TB:
+    partition row counts come from O(manifests) driver metadata — the
+    difference between answering "how big is each partition" in
+    milliseconds vs a full scan; and delete compaction caps the
+    anti-join fan-in at one file instead of one per trickle-DML commit.
+    Reference: iceberg-spec metadata tables; rewrite_position_delete_files."""
+    import json as _json
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    tbl = tempfile.mkdtemp(prefix="ice_parts_") + "/lineitem"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("orderkey"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    _ice.write_iceberg(li, tbl, mode="overwrite", partition_by=["returnflag"])
+
+    # partitions metadata == exact per-partition counts, zero data scan
+    parts = {
+        _json.loads(r.partition)["returnflag"]: int(r.record_count)
+        for r in _ice.read_meta(spark, tbl, "partitions").collect()
+    }
+    truth = {
+        r.returnflag: r.n
+        for r in li.groupBy("returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert parts == truth, f"partitions metadata {parts} != data {truth}"
+
+    # two trickle deletes -> two position-delete files -> compact to one
+    _ice.delete_where(spark, tbl, "orderkey % 10 = 3 and qty <= 25")
+    _ice.delete_where(spark, tbl, "orderkey % 10 = 3 and qty > 25")
+    meta = _ice.load_metadata(tbl)
+    _d, dels = _ice._scan_snapshot(meta, _ice._pick_snapshot(meta))
+    assert len(dels) == 2
+    pre = (
+        _ice.read_iceberg(spark, tbl)
+        .groupBy("returnflag")
+        .agg(F.count("*").alias("n_live"), F.sum("qty").alias("qty"))
+        .orderBy("returnflag")
+        .collect()
+    )
+    res = _ice.rewrite_position_delete_files(spark, tbl)
+    assert res is not None and res["before"] == 2 and res["after"] == 1
+    meta = _ice.load_metadata(tbl)
+    _d2, dels2 = _ice._scan_snapshot(meta, _ice._pick_snapshot(meta))
+    assert len(dels2) == 1
+    out = (
+        _ice.read_iceberg(spark, tbl)
+        .groupBy("returnflag")
+        .agg(F.count("*").alias("n_live"), F.sum("qty").cast("long").alias("qty"))
+        .orderBy("returnflag")
+    )
+    assert out.collect() == pre, "compaction changed scan results"
+    return out

@@ -1574,25 +1574,91 @@ def merge_upsert(
     )
 
 
-def rewrite_data_files(spark: SparkSession, loc: str) -> int | None:
-    """Maintenance compaction that FOLDS delete files away: the current
-    snapshot's live rows (position + equality deletes applied) restage
-    as fresh data files and commit as a full replacement snapshot with
-    no delete manifests — reads drop their per-scan anti-joins until
-    the next row-level operation. The jar's
-    ``rewrite_data_files``/``rewrite_position_delete_files`` pair
-    collapses to this one action at our manifest granularity. Returns
-    the snapshot id, or None when the table carries no deletes (nothing
-    to fold — no empty commits)."""
+def rewrite_data_files(
+    spark: SparkSession,
+    loc: str,
+    strategy: str = "fold",
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    target_file_size: int = 128 * 1024 * 1024,
+) -> int | None:
+    """Maintenance rewrite — the jar's ``rewrite_data_files`` procedure
+    with its strategy surface:
+
+    - ``fold`` (default): restage live rows (position + equality deletes
+      applied) ONLY when delete files exist, committing a replacement
+      snapshot with no delete manifests — reads drop their per-scan
+      anti-joins. None when the table carries no deletes.
+    - ``binpack``: always restage into ceil(live-bytes/target) files —
+      small-file compaction after trickle appends (the jar's default
+      strategy name).
+    - ``sort`` (``sort_by=[cols]``): restage range-partitioned + sorted,
+      so every file covers a narrow key range and its footer bounds
+      become the skipping index (:func:`_prune_files_by_bounds`).
+    - ``zorder`` (``zorder_by=[cols]``): restage along the multi-column
+      Morton key (equal-depth quantile buckets, bit-interleaved — the
+      same driver-constant codegen-friendly expression delta's OPTIMIZE
+      uses), giving file-level skipping on EVERY listed dimension.
+
+    All strategies fold deletes as a side effect (the restage reads
+    live rows). Scale shape: one distributed job over live bytes;
+    output file count is O(live-bytes/target); the commit is one
+    manifest + one list write. Returns the snapshot id, or None when
+    there is nothing to do."""
+    if strategy not in ("fold", "binpack", "sort", "zorder"):
+        raise ValueError(
+            f"rewrite_data_files: unknown strategy {strategy!r} "
+            "(fold | binpack | sort | zorder)"
+        )
     meta = load_metadata(loc)
     snap = _pick_snapshot(meta)
     _data, dels = _scan_snapshot(meta, snap)
-    if not dels:
+    if strategy == "fold" and not dels:
         return None
     df, schema = _mor_scan(spark, loc, meta, snap)
     if df is None:
         return None
     live = df.select(*[F.col(f.name) for f in schema.fields])
+
+    layout_cols = list(sort_by or []) if strategy == "sort" else list(
+        zorder_by or []
+    )
+    if strategy == "sort" and not layout_cols:
+        raise ValueError("rewrite_data_files: sort strategy needs sort_by")
+    if strategy == "zorder" and not layout_cols:
+        raise ValueError("rewrite_data_files: zorder strategy needs zorder_by")
+    if layout_cols:
+        identity_cols = set(_identity_names(_spec_entries(meta)))
+        names = {f.name for f in schema.fields}
+        missing = set(layout_cols) - names
+        if missing:
+            raise ValueError(
+                f"rewrite_data_files: columns {sorted(missing)} not in table"
+            )
+        bad = set(layout_cols) & identity_cols
+        if bad:
+            raise ValueError(
+                f"rewrite_data_files: {sorted(bad)} are identity partition "
+                "columns — constant per file, sorting them is a no-op"
+            )
+    if strategy != "fold":
+        total = sum(int(f["file_size_in_bytes"]) for f in _data)
+        n_out = max(1, -(-total // max(1, target_file_size)))
+        if strategy == "binpack":
+            live = live.repartition(n_out)
+        elif strategy == "sort":
+            live = live.repartitionByRange(
+                n_out, *layout_cols
+            ).sortWithinPartitions(*layout_cols)
+        else:  # zorder — share delta's quantile-bucket Morton key
+            from .deltalog import _zorder_key
+
+            live = (
+                live.withColumn("__z", _zorder_key(live, layout_cols))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
     spec = _spec_entries(meta)
@@ -1640,9 +1706,10 @@ def rewrite_data_files(spark: SparkSession, loc: str) -> int | None:
               metadata={"format-version": "2"})
     snapshot = {
         "snapshot-id": snapshot_id,
+        "parent-snapshot-id": snap["snapshot-id"],
         "sequence-number": new_seq,
         "timestamp-ms": now_ms,
-        "summary": {"operation": "replace"},
+        "summary": {"operation": "replace", "rewrite-strategy": strategy},
         "manifest-list": list_path,
         "schema-id": 0,
     }
@@ -1660,6 +1727,146 @@ def rewrite_data_files(spark: SparkSession, loc: str) -> int | None:
 # ---------------------------------------------------------------------------
 # read
 # ---------------------------------------------------------------------------
+
+
+def rewrite_position_delete_files(spark: SparkSession, loc: str) -> dict | None:
+    """Compact POSITION-DELETE files — the jar's
+    ``rewrite_position_delete_files`` procedure, the delete half of
+    maintenance (``rewrite_data_files`` rewrites data): every row-level
+    DELETE/UPDATE/MERGE adds one small delete file, so after thousands
+    of trickle deletes every scan pays an anti-join against thousands
+    of tiny parquet reads. This merges all live position deletes into
+    ONE sorted file, dropping DANGLING entries (deletes naming data
+    files no longer live — they accumulate after rewrite_data_files and
+    make every future scan pay for rows that cannot match).
+
+    Safe by the spec's sequencing rule: position deletes apply to data
+    files with sequence number <= theirs AND name exact (file, pos)
+    coordinates, so re-committing them at the NEW head sequence keeps
+    every named file covered. Equality deletes are NOT touched (their
+    strictly-older rule makes re-sequencing unsound) — a delete manifest
+    carrying any equality entry is kept verbatim. Data manifests carry
+    over byte-identical (zero data operations at any table size).
+    Returns {"before", "after", "dangling_dropped"} file counts, or
+    None when at most one clean position-delete file exists."""
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    _s, _m, mlist = read_ocf(snap["manifest-list"])
+    mlist = [_as_v2_list_entry(mf) for mf in mlist]
+    data_mfs = [mf for mf in mlist if mf.get("content", 0) == 0]
+    del_mfs = [mf for mf in mlist if mf.get("content", 0) == 1]
+    pure_pos: list[dict] = []
+    kept_mfs: list[dict] = []
+    pos_files: list[str] = []
+    n_pos_rows = 0
+    for mf in del_mfs:
+        _es, _em, entries = read_ocf(mf["manifest_path"])
+        live = [e for e in entries if e["status"] != 2]
+        if live and all(
+            int(e["data_file"].get("content", 0)) == 1 for e in live
+        ):
+            pure_pos.append(mf)
+            for e in live:
+                pos_files.append(e["data_file"]["file_path"])
+                n_pos_rows += int(e["data_file"]["record_count"])
+        else:
+            kept_mfs.append(mf)
+    if not pos_files:
+        return None
+
+    # live data paths (driver-small: one row per live file) prune
+    # dangling deletes via a broadcast semi-join
+    live_data, _deletes = _scan_snapshot(meta, snap)
+    live_paths = spark.createDataFrame(
+        [(f["file_path"],) for f in live_data], "file_path string"
+    )
+    dels = spark.read.schema("file_path string, pos long").parquet(*pos_files)
+    kept_rows = dels.join(F.broadcast(live_paths), "file_path", "left_semi")
+    merged = kept_rows.orderBy("file_path", "pos").coalesce(1)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    delete_entries, total = _stage_position_deletes(merged, loc, snapshot_id)
+    dangling = n_pos_rows - total
+    if len(pos_files) <= 1 and dangling == 0:
+        # one clean file already — undo the restage, nothing to do
+        for e in delete_entries:
+            try:
+                os.remove(e["data_file"]["file_path"])
+            except OSError:
+                pass
+        return None
+
+    if meta.get("format-version", 1) != 2:  # pragma: no cover - v2 by here
+        meta = _upgrade_meta_v2(meta)
+    new_seq = meta.get("last-sequence-number", 0) + 1
+    manifests = list(data_mfs) + list(kept_mfs)
+    if delete_entries:
+        manifest_path = os.path.join(
+            _meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro"
+        )
+        write_ocf(
+            manifest_path,
+            _delete_manifest_entry_schema(),
+            delete_entries,
+            metadata={
+                "schema": json.dumps(meta["schema"]),
+                "partition-spec": "[]",
+                "partition-spec-id": "1",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 1,
+                "content": 1,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(delete_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    list_path = os.path.join(
+        _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2, manifests,
+              metadata={"format-version": "2"})
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": snap["snapshot-id"],
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "replace",
+            "rewritten-delete-files": str(len(pos_files)),
+            "added-delete-files": str(len(delete_entries)),
+            "removed-position-deletes": str(dangling),
+        },
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    meta = dict(meta)
+    meta["last-updated-ms"] = now_ms
+    meta["last-sequence-number"] = new_seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return {
+        "before": len(pos_files),
+        "after": len(delete_entries),
+        "dangling_dropped": dangling,
+    }
 
 
 def rewrite_manifests(loc: str) -> dict:
@@ -2932,9 +3139,235 @@ def expire_snapshots(
         e for e in meta.get("snapshot-log", [])
         if e["snapshot-id"] in kept_ids
     ]
+    # Puffin statistics of expired snapshots die with them (spec: stats
+    # files are tied to a snapshot; a delisted file is unreachable)
+    if meta.get("statistics"):
+        kept_stats = []
+        for s in meta["statistics"]:
+            if s["snapshot-id"] in kept_ids:
+                kept_stats.append(s)
+            else:
+                try:
+                    os.remove(s["statistics-path"])
+                    n_files += 1
+                except OSError:
+                    pass
+        meta["statistics"] = kept_stats
     meta["last-updated-ms"] = now_ms
     _publish_metadata(loc, current_version(loc) + 1, meta)
     return {"snapshots": len(expired), "files": n_files}
+
+
+# ---------------------------------------------------------------------------
+# Puffin statistics files (the spec's puffin-spec: stats & index blobs)
+# ---------------------------------------------------------------------------
+
+_PUFFIN_MAGIC = b"PFA1"
+
+
+def _current_ice_schema(meta: dict) -> dict:
+    """The table's current iceberg schema dict — v1 `schema` field when
+    present, else resolved from `schemas` + `current-schema-id` (foreign
+    v2 metadata may omit the deprecated flat field)."""
+    if "schema" in meta:
+        return meta["schema"]
+    sid = meta.get("current-schema-id")
+    for sch in meta.get("schemas", []):
+        if sch.get("schema-id") == sid:
+            return sch
+    return meta["schemas"][-1]
+
+
+#: engine-native NDV blob: 8-byte little-endian unsigned count. The
+#: Puffin spec allows arbitrary blob types; the INTEROP channel is the
+#: blob metadata's ``ndv`` property, which is how the jar/Trino read the
+#: estimate without decoding the sketch bytes — any Puffin reader gets
+#: our number from the property, and our own reader cross-checks it
+#: against the payload.
+_NDV_BLOB_TYPE = "ndv-long-v1"
+
+
+def _write_puffin(
+    path: str, blobs: list[tuple[dict, bytes]], file_props: dict | None = None
+) -> tuple[int, int]:
+    """Write a spec-layout Puffin file: Magic, blob payloads, then the
+    footer (Magic, JSON FileMetadata payload, payload size int4 LE,
+    flags int4 [uncompressed], Magic). Returns (file size, footer size
+    from footer magic to EOF — what table metadata records)."""
+    import struct
+
+    metas: list[dict] = []
+    with open(path, "wb") as fh:
+        fh.write(_PUFFIN_MAGIC)
+        for bmeta, payload in blobs:
+            off = fh.tell()
+            fh.write(payload)
+            m = dict(bmeta)
+            m["offset"] = off
+            m["length"] = len(payload)
+            metas.append(m)
+        payload_json = json.dumps(
+            {"blobs": metas, "properties": dict(file_props or {})},
+            separators=(",", ":"),
+        ).encode("utf-8")
+        footer_start = fh.tell()
+        fh.write(_PUFFIN_MAGIC)
+        fh.write(payload_json)
+        fh.write(struct.pack("<i", len(payload_json)))
+        fh.write(struct.pack("<i", 0))  # flags: footer payload uncompressed
+        fh.write(_PUFFIN_MAGIC)
+        size = fh.tell()
+    return size, size - footer_start
+
+
+def read_puffin(path: str) -> dict:
+    """Parse a Puffin file's footer; returns the FileMetadata dict with
+    each blob's ``payload`` bytes attached (stats blobs are small by
+    construction — sketches, not data)."""
+    import struct
+
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        if head != _PUFFIN_MAGIC:
+            raise ValueError(f"{path}: not a Puffin file (bad magic)")
+        fh.seek(-12, os.SEEK_END)
+        size_raw = fh.read(4)
+        flags = struct.unpack("<i", fh.read(4))[0]
+        if fh.read(4) != _PUFFIN_MAGIC:
+            raise ValueError(f"{path}: corrupt Puffin footer (no end magic)")
+        if flags & 1:
+            raise NotImplementedError(
+                f"{path}: compressed Puffin footer payload not supported"
+            )
+        n = struct.unpack("<i", size_raw)[0]
+        fh.seek(-(12 + n), os.SEEK_END)
+        meta = json.loads(fh.read(n).decode("utf-8"))
+        for b in meta.get("blobs", []):
+            fh.seek(int(b["offset"]))
+            b["payload"] = fh.read(int(b["length"]))
+    return meta
+
+
+def analyze_table(
+    spark: SparkSession,
+    loc: str,
+    columns: list[str] | None = None,
+) -> dict[str, int]:
+    """ANALYZE — compute per-column NDV sketches for the CURRENT
+    snapshot and publish them as a Puffin statistics file registered in
+    table metadata (the spec's ``statistics`` list; the jar's
+    ``compute_table_stats`` procedure). Returns {column: ndv estimate}.
+
+    Scale shape: ONE distributed pass over the table computes every
+    column's estimate simultaneously (``approx_count_distinct`` —
+    HyperLogLog++ partial aggregation, map-side combined, ~2% default
+    error); the Puffin file is KBs of driver metadata. A CBO (or a
+    pipeline choosing broadcast vs shuffle joins, or a dedup stage
+    sizing its LSH band count) reads the estimate from the blob
+    properties without touching data — the entire point at 100 TB:
+    cardinality knowledge costs one ANALYZE, not a COUNT(DISTINCT) per
+    decision. Reference: iceberg-spec puffin-spec;
+    `etl/source/IcebergReader.scala` table-property surface."""
+    import struct
+
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    ice_schema = _current_ice_schema(meta)
+    names = [f["name"] for f in ice_schema["fields"]]
+    cols = list(columns or names)
+    missing = set(cols) - set(names)
+    if missing:
+        raise ValueError(f"analyze_table: unknown columns {sorted(missing)}")
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+
+    df = read_iceberg(spark, loc)
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    ndvs = {c: int(row[c]) for c in cols}
+
+    blobs = [
+        (
+            {
+                "type": _NDV_BLOB_TYPE,
+                "fields": [field_ids[c]],
+                "snapshot-id": snap["snapshot-id"],
+                "sequence-number": int(snap.get("sequence-number", 0)),
+                "properties": {"ndv": str(ndvs[c])},
+            },
+            struct.pack("<Q", ndvs[c]),
+        )
+        for c in cols
+    ]
+    stats_path = os.path.join(
+        _meta_dir(loc), f"{snap['snapshot-id']}-{uuid.uuid4().hex}.stats"
+    )
+    size, footer_size = _write_puffin(
+        stats_path, blobs, {"created-by": "spark-etl-framework-spark"}
+    )
+    entry = {
+        "snapshot-id": snap["snapshot-id"],
+        "statistics-path": stats_path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": footer_size,
+        "blob-metadata": [
+            {k: v for k, v in m.items() if k != "payload"}
+            for m, _p in blobs
+        ],
+    }
+    meta = dict(meta)
+    stats = [
+        s for s in meta.get("statistics", [])
+        if s["snapshot-id"] != snap["snapshot-id"]
+    ]
+    # spec: at most one statistics file per snapshot — replace, and
+    # unlink the superseded file (it is unreachable once delisted)
+    for s in meta.get("statistics", []):
+        if s["snapshot-id"] == snap["snapshot-id"]:
+            try:
+                os.remove(s["statistics-path"])
+            except OSError:
+                pass
+    stats.append(entry)
+    meta["statistics"] = stats
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return ndvs
+
+
+def table_ndv(loc: str, snapshot_id: int | None = None) -> dict[str, int]:
+    """Read per-column NDV estimates from the table's Puffin statistics
+    (driver metadata only — no data scan). Picks the statistics file of
+    ``snapshot_id`` (default: the current snapshot; falls back to the
+    NEWEST registered statistics when the exact snapshot has none — an
+    estimate from an ancestor beats no estimate, the jar's behavior).
+    Cross-checks each blob's ``ndv`` property against its payload."""
+    import struct
+
+    meta = load_metadata(loc)
+    stats = meta.get("statistics") or []
+    if not stats:
+        raise FileNotFoundError(f"{loc}: no statistics — run analyze_table")
+    want = snapshot_id
+    if want is None:
+        snap = _pick_snapshot(meta)
+        want = snap["snapshot-id"]
+    entry = next((s for s in stats if s["snapshot-id"] == want), stats[-1])
+    name_of = {f["id"]: f["name"] for f in _current_ice_schema(meta)["fields"]}
+    pf = read_puffin(entry["statistics-path"])
+    out: dict[str, int] = {}
+    for b in pf.get("blobs", []):
+        if b.get("type") != _NDV_BLOB_TYPE:
+            continue  # foreign blob types pass through untouched
+        prop = int(b.get("properties", {}).get("ndv", -1))
+        decoded = struct.unpack("<Q", b["payload"])[0]
+        if prop != decoded:
+            raise ValueError(
+                f"{entry['statistics-path']}: blob ndv property {prop} != "
+                f"payload {decoded} — corrupt statistics file"
+            )
+        out[name_of[b["fields"][0]]] = decoded
+    return out
 
 
 def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
@@ -2995,8 +3428,91 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             "partition string, record_count long, file_size_in_bytes long, "
             "sequence_number long",
         )
+    if kind == "refs":
+        refs = dict(meta.get("refs") or {})
+        cur = meta.get("current-snapshot-id")
+        if "main" not in refs and cur not in (None, -1):
+            # the spec reserves ``main`` for the current branch — report
+            # it even when no physical ref entry exists yet (jar parity)
+            refs["main"] = {"type": "branch", "snapshot-id": cur}
+        rows = [
+            (
+                name,
+                r.get("type"),
+                r.get("snapshot-id"),
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
+            for name, r in refs.items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_ref_age_ms long, min_snapshots_to_keep long, "
+            "max_snapshot_age_ms long",
+        )
+    if kind == "manifests":
+        snap = _pick_snapshot(meta)
+        _s, _m, mlist = read_ocf(snap["manifest-list"])
+        rows = [
+            (
+                mf["manifest_path"],
+                int(mf.get("manifest_length", 0)),
+                int(mf.get("partition_spec_id", 0)),
+                int(mf.get("content", 0)),
+                mf.get("added_snapshot_id"),
+                int(mf.get("added_files_count") or 0),
+                int(mf.get("existing_files_count") or 0),
+                int(mf.get("deleted_files_count") or 0),
+            )
+            for mf in mlist
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "added_snapshot_id long, added_files_count int, "
+            "existing_files_count int, deleted_files_count int",
+        )
+    if kind == "partitions":
+        data, deletes = _scan_snapshot(meta, _pick_snapshot(meta))
+        agg: dict[str, list[int]] = {}
+        for f in data:
+            key = json.dumps(f.get("partition", {}), sort_keys=True)
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += int(f["record_count"])
+            cur[1] += 1
+        rows = [
+            (k, v[0], v[1], sum(
+                int(d["record_count"]) for d in deletes
+            ) if i == 0 else None)
+            for i, (k, v) in enumerate(sorted(agg.items()))
+        ]
+        # position_delete_record_count is table-global (delete files are
+        # unpartitioned in this writer) — reported on the first row only
+        return spark.createDataFrame(
+            rows,
+            "partition string, record_count long, file_count long, "
+            "position_delete_record_count long",
+        )
+    if kind == "statistics":
+        rows = [
+            (
+                s["snapshot-id"],
+                s["statistics-path"],
+                int(s["file-size-in-bytes"]),
+                json.dumps(s.get("blob-metadata", []), sort_keys=True),
+            )
+            for s in meta.get("statistics", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, statistics_path string, "
+            "file_size_in_bytes long, blob_metadata string",
+        )
     raise ValueError(
-        f"unknown metadata table {kind!r} (snapshots | history | files)"
+        f"unknown metadata table {kind!r} (snapshots | history | files | "
+        "statistics | refs | manifests | partitions)"
     )
 
 
