@@ -322,6 +322,9 @@ class IcebergDmlActor(_TableDmlBase):
         if op == "rewritepositiondeletes":
             ice.rewrite_position_delete_files(spark, loc)
             return None
+        if op == "partitionstats":
+            ice.compute_partition_stats(spark, loc)
+            return None
         if op == "analyze":
             ice.analyze_table(
                 spark, loc,

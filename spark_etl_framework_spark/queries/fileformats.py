@@ -4393,6 +4393,17 @@ def iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     assert parts == truth, f"partitions metadata {parts} != data {truth}"
 
+    # partition-statistics FILE (spec metadata list): registering it must
+    # leave the metadata table's answers identical — served from one tiny
+    # parquet instead of the manifest walk
+    _ice.compute_partition_stats(spark, tbl)
+    assert len(_ice.load_metadata(tbl).get("partition-statistics", [])) == 1
+    fast = {
+        _json.loads(r.partition)["returnflag"]: int(r.record_count)
+        for r in _ice.read_meta(spark, tbl, "partitions").collect()
+    }
+    assert fast == truth, "partition-stats fast path diverged"
+
     # two trickle deletes -> two position-delete files -> compact to one
     _ice.delete_where(spark, tbl, "orderkey % 10 = 3 and qty <= 25")
     _ice.delete_where(spark, tbl, "orderkey % 10 = 3 and qty > 25")

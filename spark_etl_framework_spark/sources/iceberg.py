@@ -3139,20 +3139,21 @@ def expire_snapshots(
         e for e in meta.get("snapshot-log", [])
         if e["snapshot-id"] in kept_ids
     ]
-    # Puffin statistics of expired snapshots die with them (spec: stats
-    # files are tied to a snapshot; a delisted file is unreachable)
-    if meta.get("statistics"):
-        kept_stats = []
-        for s in meta["statistics"]:
-            if s["snapshot-id"] in kept_ids:
-                kept_stats.append(s)
-            else:
-                try:
-                    os.remove(s["statistics-path"])
-                    n_files += 1
-                except OSError:
-                    pass
-        meta["statistics"] = kept_stats
+    # Puffin + partition statistics of expired snapshots die with them
+    # (spec: stats files are tied to a snapshot; delisted = unreachable)
+    for stats_key in ("statistics", "partition-statistics"):
+        if meta.get(stats_key):
+            kept_stats = []
+            for s in meta[stats_key]:
+                if s["snapshot-id"] in kept_ids:
+                    kept_stats.append(s)
+                else:
+                    try:
+                        os.remove(s["statistics-path"])
+                        n_files += 1
+                    except OSError:
+                        pass
+            meta[stats_key] = kept_stats
     meta["last-updated-ms"] = now_ms
     _publish_metadata(loc, current_version(loc) + 1, meta)
     return {"snapshots": len(expired), "files": n_files}
@@ -3335,6 +3336,133 @@ def analyze_table(
     return ndvs
 
 
+def compute_partition_stats(spark: SparkSession, loc: str) -> dict:
+    """Partition statistics file — the spec's ``partition-statistics``
+    metadata list: one parquet per snapshot with a row per partition
+    tuple (spec field ids 1-12: partition struct, spec_id, data
+    record/file counts, total bytes, position/equality delete counts,
+    last-updated snapshot). Registered like Puffin stats (replace per
+    snapshot, superseded files unlinked). Answering "how big is every
+    partition" then costs one TINY parquet read instead of a manifest
+    walk — and the walk itself is already driver-side metadata, so the
+    file is strictly cheaper for repeat consumers (query planners,
+    compaction schedulers, skew monitors polling every few minutes).
+
+    Built driver-side from the manifest walk (O(manifests), no data
+    scan); delete files in this writer are unpartitioned, so their
+    counts land on the all-null partition row. Partition values are
+    stored in their canonical STRING rendering (this module's manifest
+    encoding) rather than the spec's unified typed struct — consumers
+    here read them back through read_meta, which emits JSON either
+    way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = load_metadata(loc)
+    snap = _pick_snapshot(meta)
+    data, deletes = _scan_snapshot(meta, snap)
+    entries = _spec_entries(meta)
+    pnames = [e["name"] for e in entries]
+
+    def _key(f: dict) -> tuple:
+        p = f.get("partition") or {}
+        return tuple(p.get(n) for n in pnames)
+
+    agg: dict[tuple, dict] = {}
+
+    def _row(key: tuple) -> dict:
+        return agg.setdefault(key, {
+            "data_record_count": 0, "data_file_count": 0,
+            "total_data_file_size_in_bytes": 0,
+            "position_delete_record_count": 0,
+            "position_delete_file_count": 0,
+            "equality_delete_record_count": 0,
+            "equality_delete_file_count": 0,
+        })
+
+    for f in data:
+        r = _row(_key(f))
+        r["data_record_count"] += int(f["record_count"])
+        r["data_file_count"] += 1
+        r["total_data_file_size_in_bytes"] += int(f["file_size_in_bytes"])
+    for d in deletes:
+        r = _row(_key(d))
+        if int(d.get("content", 0)) == 1:
+            r["position_delete_record_count"] += int(d["record_count"])
+            r["position_delete_file_count"] += 1
+        else:
+            r["equality_delete_record_count"] += int(d["record_count"])
+            r["equality_delete_file_count"] += 1
+
+    keys = sorted(agg, key=repr)
+    part_arr = pa.array(
+        [
+            {n: (str(k[i]) if k[i] is not None else None)
+             for i, n in enumerate(pnames)} or None
+            for k in keys
+        ],
+        type=pa.struct([pa.field(n, pa.string()) for n in pnames])
+        if pnames else pa.struct([pa.field("__unpartitioned", pa.string())]),
+    ) if pnames else pa.nulls(
+        len(keys), pa.struct([pa.field("__unpartitioned", pa.string())])
+    )
+    cols: dict = {"partition": part_arr, "spec_id": pa.array(
+        [int(meta.get("default-spec-id", 0))] * len(keys), pa.int32()
+    )}
+    for name, typ in [
+        ("data_record_count", pa.int64()),
+        ("data_file_count", pa.int32()),
+        ("total_data_file_size_in_bytes", pa.int64()),
+        ("position_delete_record_count", pa.int64()),
+        ("position_delete_file_count", pa.int32()),
+        ("equality_delete_record_count", pa.int64()),
+        ("equality_delete_file_count", pa.int32()),
+    ]:
+        cols[name] = pa.array([agg[k][name] for k in keys], typ)
+    cols["total_record_count"] = pa.array(
+        [
+            agg[k]["data_record_count"]
+            - agg[k]["position_delete_record_count"]
+            for k in keys
+        ],
+        pa.int64(),
+    )
+    now_ms = int(time.time() * 1000)
+    cols["last_updated_at"] = pa.array([now_ms] * len(keys), pa.int64())
+    cols["last_updated_snapshot_id"] = pa.array(
+        [snap["snapshot-id"]] * len(keys), pa.int64()
+    )
+    path = os.path.join(
+        _meta_dir(loc),
+        f"partition-stats-{snap['snapshot-id']}-{uuid.uuid4().hex}.parquet",
+    )
+    pq.write_table(pa.table(cols), path)
+
+    meta = dict(meta)
+    kept = []
+    for s in meta.get("partition-statistics", []):
+        if s["snapshot-id"] == snap["snapshot-id"]:
+            try:
+                os.remove(s["statistics-path"])
+            except OSError:
+                pass
+        else:
+            kept.append(s)
+    kept.append({
+        "snapshot-id": snap["snapshot-id"],
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+    })
+    meta["partition-statistics"] = kept
+    meta["last-updated-ms"] = now_ms
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return {
+        "path": path,
+        "partitions": len(keys),
+        "snapshot_id": snap["snapshot-id"],
+    }
+
+
 def table_ndv(loc: str, snapshot_id: int | None = None) -> dict[str, int]:
     """Read per-column NDV estimates from the table's Puffin statistics
     (driver metadata only — no data scan). Picks the statistics file of
@@ -3475,21 +3603,67 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             "existing_files_count int, deleted_files_count int",
         )
     if kind == "partitions":
+        # fast path: a registered partition-statistics file for the
+        # CURRENT snapshot answers from one tiny parquet read
+        cur = _pick_snapshot(meta)
+        entry = next(
+            (s for s in meta.get("partition-statistics", [])
+             if s["snapshot-id"] == cur["snapshot-id"]),
+            None,
+        )
+        if entry and os.path.exists(entry["statistics-path"]):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(entry["statistics-path"])
+            rows = [
+                (
+                    json.dumps(
+                        {
+                            k: v
+                            for k, v in (r["partition"] or {}).items()
+                            if v is not None
+                        },
+                        sort_keys=True,
+                    ),
+                    int(r["data_record_count"]),
+                    int(r["data_file_count"]),
+                    int(r["position_delete_record_count"]) or None,
+                )
+                for r in t.to_pylist()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition string, record_count long, file_count long, "
+                "position_delete_record_count long",
+            )
         data, deletes = _scan_snapshot(meta, _pick_snapshot(meta))
         agg: dict[str, list[int]] = {}
+
+        def _pkey(f: dict) -> str:
+            return json.dumps(
+                {
+                    k: str(v)
+                    for k, v in (f.get("partition") or {}).items()
+                    if v is not None
+                },
+                sort_keys=True,
+            )
+
         for f in data:
-            key = json.dumps(f.get("partition", {}), sort_keys=True)
-            cur = agg.setdefault(key, [0, 0])
-            cur[0] += int(f["record_count"])
-            cur[1] += 1
+            cur2 = agg.setdefault(_pkey(f), [0, 0, 0])
+            cur2[0] += int(f["record_count"])
+            cur2[1] += 1
+        for d in deletes:
+            if int(d.get("content", 0)) == 1:
+                # delete files are unpartitioned in this writer: their
+                # counts land on the "{}" partition row (spec treatment
+                # of files whose partition is unknown for a spec)
+                agg.setdefault(_pkey(d), [0, 0, 0])[2] += int(
+                    d["record_count"]
+                )
         rows = [
-            (k, v[0], v[1], sum(
-                int(d["record_count"]) for d in deletes
-            ) if i == 0 else None)
-            for i, (k, v) in enumerate(sorted(agg.items()))
+            (k, v[0], v[1], v[2] or None) for k, v in sorted(agg.items())
         ]
-        # position_delete_record_count is table-global (delete files are
-        # unpartitioned in this writer) — reported on the first row only
         return spark.createDataFrame(
             rows,
             "partition string, record_count long, file_count long, "

@@ -342,3 +342,62 @@ jobs:
     data, _ = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
     assert len(data) < 3
     assert set(ice.table_ndv(str(loc))) == {"id", "k"}
+
+
+# ---------------------------------------------------------------------------
+# partition statistics files
+# ---------------------------------------------------------------------------
+
+
+def test_partition_stats_file_roundtrip(spark, tmp_path):
+    import json as _json
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)], "id int, part string"
+    )
+    ice.write_iceberg(df.coalesce(1), loc, mode="append", partition_by=["part"])
+    slow = {r.partition: (r.record_count, r.file_count)
+            for r in ice.read_meta(spark, loc, "partitions").collect()}
+
+    res = ice.compute_partition_stats(spark, loc)
+    assert res["partitions"] == 3
+    meta = ice.load_metadata(loc)
+    assert len(meta["partition-statistics"]) == 1
+    entry = meta["partition-statistics"][0]
+    assert os.path.getsize(entry["statistics-path"]) == entry["file-size-in-bytes"]
+
+    # the registered file now serves the metadata table — identically
+    fast = {r.partition: (r.record_count, r.file_count)
+            for r in ice.read_meta(spark, loc, "partitions").collect()}
+    assert fast == slow
+    assert set(_json.loads(k)["part"] for k in fast) == {"a", "b", "c"}
+
+
+def test_partition_stats_with_deletes_and_expire(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(20)], "id int, part string"
+    )
+    ice.write_iceberg(df.coalesce(1), loc, mode="append", partition_by=["part"])
+    ice.delete_where(spark, loc, "id < 4")
+    ice.compute_partition_stats(spark, loc)
+    p_old = ice.load_metadata(loc)["partition-statistics"][0]["statistics-path"]
+    rows = {r.partition: r for r in
+            ice.read_meta(spark, loc, "partitions").collect()}
+    # delete counts land on the unpartitioned "{}" row
+    assert rows["{}"].position_delete_record_count == 4
+    assert sum(r.record_count for r in rows.values()) == 20
+
+    # stale snapshot -> fast path no longer applies; recompute replaces
+    ice.write_iceberg(
+        spark.createDataFrame([(100, "a")], "id int, part string"),
+        loc, mode="append", partition_by=["part"],
+    )
+    ice.compute_partition_stats(spark, loc)
+    meta = ice.load_metadata(loc)
+    assert len(meta["partition-statistics"]) == 2
+    ice.expire_snapshots(loc, retain_last=1)
+    meta = ice.load_metadata(loc)
+    assert len(meta["partition-statistics"]) == 1
+    assert not os.path.exists(p_old)
