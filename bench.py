@@ -46,7 +46,9 @@ HEADLINE = [
     # machinery is the first stage of dedup_lsh_pairs below — freed
     # budget for iceberg_partitions_meta)
     "dedup_lsh_pairs",
-    "dedup_simhash",
+    # (dedup_simhash rotated out round 12: r1-stable; the dedup family
+    # keeps five benched rows incl. the drift-basket jaccard row —
+    # freed budget for delta_drop_feature)
     "dedup_ngram_jaccard_topk",
     "vector_cosine_topk",
     "vector_ann_ivf",
@@ -157,9 +159,10 @@ HEADLINE = [
     "delta_shallow_clone",           # zero-copy fork + isolated DML
     "iceberg_puffin_ndv",            # one-pass ANALYZE + stats reads
     "iceberg_partitions_meta",       # metadata tables + delete compact
+    "delta_drop_feature",            # gated protocol downgrade + trunc
 ]
 # BUDGET NOTE (round 12): the stdout JSON line is ~1940 chars at these 61
-# entries (10 rotated out, 9 added, drift block reshaped) — the 2000-char
+# entries (11 rotated out, 10 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

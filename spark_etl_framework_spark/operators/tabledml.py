@@ -114,6 +114,10 @@ class DeltaDmlActor(_TableDmlBase):
     #: op=clone target (round 12 — SHALLOW CLONE; `path` is the source,
     #: `version` optionally pins the cloned snapshot)
     targetPath: str | None = None
+    #: op=dropFeature (round 12 — protocol downgrade; truncateHistory
+    #: required for reader-impacting features)
+    feature: str | None = None
+    truncateHistory: bool = False
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -216,6 +220,14 @@ class DeltaDmlActor(_TableDmlBase):
             return None
         if op == "enablerowtracking":
             dl.enable_row_tracking(spark, loc)
+            return None
+        if op == "dropfeature":
+            if not self.feature:
+                raise ValueError("DeltaDmlActor: dropFeature needs feature")
+            dl.drop_feature(
+                spark, loc, self.feature,
+                truncate_history=bool(self.truncateHistory),
+            )
             return None
         if op == "clone":
             if not self.targetPath:

@@ -3861,6 +3861,178 @@ def optimize_compact(
     }
 
 
+#: reader+writer features whose HISTORY can contain actions a post-drop
+#: reader must not see — dropping them requires truncate_history (the
+#: jar's two-phase DROP FEATURE contract, collapsed to one explicit call)
+_READER_FEATURES_NEED_TRUNCATE = frozenset(
+    {"deletionVectors", "typeWidening", "typeWidening-preview",
+     "v2Checkpoint"}
+)
+#: features this module refuses to drop: their state lives in every data
+#: file / schema field and only a full physical rewrite could remove it
+_UNDROPPABLE = frozenset(
+    {"columnMapping", "variantType", "variantType-preview",
+     "identityColumns", "generatedColumns"}
+)
+
+
+def drop_feature(
+    spark: SparkSession,
+    path: str,
+    feature: str,
+    truncate_history: bool = False,
+) -> int:
+    """ALTER TABLE DROP FEATURE — the protocol DOWNGRADE half of the
+    feature lifecycle (the jar's two-phase command collapsed into one
+    explicit call): validate that no TABLE STATE still depends on the
+    feature (refusing loudly with the cleanup command otherwise), strip
+    its configuration/domain traces, commit a protocol without it, and
+    — for reader-impacting features — truncate history so no surviving
+    commit carries actions a post-drop reader cannot honor
+    (``truncate_history=True`` writes a classic checkpoint at the drop
+    commit and deletes every earlier commit + superseded checkpoint;
+    time travel below the drop dies, the jar's documented trade).
+
+    Dependency gates (state must be CLEAN, not silently cleaned):
+    ``deletionVectors`` needs every DV purged (purge_deletion_vectors /
+    OPTIMIZE); ``checkConstraints`` needs all constraints dropped;
+    ``typeWidening`` needs no ``delta.typeChanges`` history on any
+    field (a physically-narrow file under a widened schema would
+    misread in a feature-less reader); ``columnMapping`` / variant /
+    identity are refused outright — their state lives in every file or
+    schema field. Writer-only features (``rowTracking``, ``clustering``,
+    ``checkConstraints``) drop without truncation; reader features
+    refuse unless ``truncate_history=True``. Returns the drop commit's
+    version."""
+    prev = latest_version(path)
+    snap = snapshot(path)
+    proto = dict(snap.protocol)
+    rfeat = set(proto.get("readerFeatures") or [])
+    wfeat = set(proto.get("writerFeatures") or [])
+    if feature in _UNDROPPABLE:
+        # refused by NAME, before the presence check: legacy protocols
+        # carry e.g. column mapping as version numbers, not feature lists
+        raise ValueError(
+            f"drop_feature: {feature!r} cannot be dropped — its state "
+            "lives in every data file / schema field and only a full "
+            "physical rewrite could remove it"
+        )
+    if feature not in (rfeat | wfeat):
+        raise ValueError(
+            f"drop_feature: {feature!r} is not in the table protocol "
+            f"(readerFeatures={sorted(rfeat)}, writerFeatures={sorted(wfeat)})"
+        )
+    if feature in _READER_FEATURES_NEED_TRUNCATE and not truncate_history:
+        raise ValueError(
+            f"drop_feature: {feature!r} is reader-impacting — history "
+            "below the drop can carry actions a post-drop reader must "
+            "not see; pass truncate_history=True (time travel below "
+            "the drop commit dies, the jar's documented trade)"
+        )
+
+    configuration = dict(snap.configuration)
+    domain_removals: list[dict] = []
+    if feature == "deletionVectors":
+        dv = [f for f in snap.files if f.deletion_vector]
+        if dv:
+            raise ValueError(
+                f"drop_feature: {len(dv)} files still carry deletion "
+                "vectors — run purge_deletion_vectors/OPTIMIZE first"
+            )
+        configuration.pop("delta.enableDeletionVectors", None)
+    elif feature == "checkConstraints":
+        if snap.check_constraints:
+            raise ValueError(
+                "drop_feature: CHECK constraints still defined "
+                f"({sorted(snap.check_constraints)}) — drop them first"
+            )
+    elif feature in ("typeWidening", "typeWidening-preview"):
+        dirty = [
+            f.name for f in snap.schema.fields
+            if (f.metadata or {}).get("delta.typeChanges")
+        ]
+        if dirty:
+            raise ValueError(
+                f"drop_feature: columns {dirty} carry type-change "
+                "history — files written before the widening are "
+                "physically narrow and a feature-less reader would "
+                "misread them; rewrite the table first"
+            )
+    elif feature == "rowTracking":
+        for k in list(configuration):
+            if k.startswith("delta.rowTracking"):
+                configuration.pop(k)
+        configuration.pop("delta.enableRowTracking", None)
+        if "delta.rowTracking" in snap.domain_metadata:
+            domain_removals.append({
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": "",
+                    "removed": True,
+                }
+            })
+    elif feature == "clustering":
+        if "delta.clustering" in snap.domain_metadata:
+            domain_removals.append({
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": "",
+                    "removed": True,
+                }
+            })
+    elif feature == "inCommitTimestamp":
+        for k in (
+            "delta.enableInCommitTimestamps",
+            "delta.inCommitTimestampEnablementVersion",
+            "delta.inCommitTimestampEnablementTimestamp",
+        ):
+            configuration.pop(k, None)
+    elif feature == "v2Checkpoint":
+        pass  # the truncation below replaces the top with a classic one
+
+    rfeat.discard(feature)
+    wfeat.discard(feature)
+    new_proto: dict = {
+        "minReaderVersion": 3 if rfeat else (
+            2 if "columnMapping" in wfeat else 1
+        ),
+        "minWriterVersion": 7 if wfeat else 2,
+    }
+    if rfeat:
+        new_proto["readerFeatures"] = sorted(rfeat)
+    if wfeat:
+        new_proto["writerFeatures"] = sorted(wfeat)
+
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DROP FEATURE",
+                "operationParameters": {"featureName": feature},
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        },
+        {"protocol": new_proto},
+        {
+            "metaData": {
+                "id": snap.metadata_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": configuration,
+            }
+        },
+    ]
+    actions.extend(domain_removals)
+    version = prev + 1
+    _publish_commit(path, version, actions)
+    if truncate_history:
+        _write_checkpoint(path, version)
+        clean_log(path, expire_checkpoints=True)
+    return version
+
+
 def shallow_clone(
     spark: SparkSession,
     src: str,
