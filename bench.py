@@ -41,7 +41,9 @@ HEADLINE = [
     # family keeps sessionize/asof/band/interval/ewma coverage — freed
     # budget for delta_optimize_zorder below)
     "ts_asof_join",
-    "ts_band_join",
+    # (ts_band_join rotated out round 12: r1-stable; asof/sessionize/
+    # interval/ewma keep the family covered — freed budget for
+    # stream_iceberg_cdf)
     # (dedup_minhash_signatures rotated out round 12: r1-stable, and its
     # machinery is the first stage of dedup_lsh_pairs below — freed
     # budget for iceberg_partitions_meta)
@@ -56,7 +58,9 @@ HEADLINE = [
     # round 2 additions — corpus-curation flagships (original 20 names
     # unchanged, so r1/r2 per-query numbers stay comparable)
     "corpus_decontaminate",
-    "text_tfidf_topk",
+    # (text_tfidf_topk rotated out round 12: r2-stable; the text family
+    # keeps quality/countmin/heavyhitters/bpe benched — freed budget
+    # for iceberg_changelog_scan)
     # (vector_srp_buckets rotated out round 12: long stable; five other
     # vector_ rows remain benched)
     # round 3 additions — ANN quality eval, real codec
@@ -160,9 +164,11 @@ HEADLINE = [
     "iceberg_puffin_ndv",            # one-pass ANALYZE + stats reads
     "iceberg_partitions_meta",       # metadata tables + delete compact
     "delta_drop_feature",            # gated protocol downgrade + trunc
+    "iceberg_changelog_scan",        # typed row-level CDC replay
+    "stream_iceberg_cdf",            # streaming changelog micro-batches
 ]
 # BUDGET NOTE (round 12): the stdout JSON line is ~1940 chars at these 61
-# entries (11 rotated out, 10 added, drift block reshaped) — the 2000-char
+# entries (13 rotated out, 12 added, drift block reshaped) — the 2000-char
 # driver-tail assert below keeps ~2 short entries of headroom. Before
 # adding to HEADLINE again, rotate a stable entry out; the assert fails
 # loudly either way, never silently at the driver.

@@ -4501,3 +4501,147 @@ def delta_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("name").alias("first_name"))
         .orderBy("regionkey")
     )
+
+
+@register(
+    "iceberg_changelog_scan",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS okey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 0 AS ordinal, 'insert' AS change_type,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM base
+    UNION ALL
+    SELECT 1, 'delete', COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM base WHERE okey % 7 = 0
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM base WHERE okey % 5 = 0 AND okey % 7 <> 0
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*), CAST(SUM(cents) + COUNT(*) AS BIGINT)
+    FROM base WHERE okey % 5 = 0 AND okey % 7 <> 0
+    ORDER BY 1, 2
+    """,
+)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan lifecycle (round 12 — the jar's
+    ``create_changelog_view``): orders lands as iceberg, a MoR DELETE
+    kills the %7 keys, an UPDATE bumps the %5 survivors — and the
+    changelog between table creation and head must render the history
+    as TYPED row changes: ordinal 0 inserts every row, ordinal 1 emits
+    the deleted rows' full PRE-IMAGES (recovered by joining the
+    position-delete coordinates back to the named files), ordinal 2
+    emits the update as its delete+insert pair (pre-image cents, then
+    cents+1). The whole relation is oracle-checked per
+    (ordinal, change_type) group. At 100 TB: each commit ships O(its
+    change) bytes — coordinate joins broadcast, compactions contribute
+    nothing — so downstream CDC consumers (index maintainers, cache
+    invalidation, incremental aggregates) replay exactly the logical
+    delta, never a table scan. Reference: iceberg-spec changelog scan."""
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    tbl = tempfile.mkdtemp(prefix="ice_cdc_") + "/orders"
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    _ice.write_iceberg(od, tbl, mode="overwrite")
+    _ice.delete_where(spark, tbl, "okey % 7 = 0")
+    _ice.update_where(spark, tbl, "okey % 5 = 0", {"cents": "cents + 1"})
+    out = _ice.read_iceberg_changelog(spark, tbl)
+    return (
+        out.groupBy(
+            F.col("_change_ordinal").cast("int").alias("ordinal"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("long").alias("cents"))
+        .orderBy("ordinal", "change_type")
+    )
+
+
+@register(
+    "stream_iceberg_cdf",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, n_regionkey AS r FROM nation
+    )
+    SELECT 0 AS ordinal, 'insert' AS change_type,
+           COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM base
+    UNION ALL
+    SELECT 1, 'delete', COUNT(*), CAST(SUM(k) AS BIGINT)
+    FROM base WHERE r = 2
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*), CAST(SUM(k) AS BIGINT)
+    FROM base WHERE r = 1
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*), CAST(SUM(k) AS BIGINT)
+    FROM base WHERE r = 1
+    ORDER BY 1, 2
+    """,
+)
+def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING iceberg changelog (round 12 — ``readChangeFeed=true``
+    on the snapshot-log micro-batch source, the streaming half of
+    :func:`read_iceberg_changelog` and the iceberg mirror of round 11's
+    delta streaming CDF): nation lands (snapshot 0), a MoR DELETE
+    retires region 2 (snapshot 1), an UPDATE rewrites region 1
+    (snapshot 2 — delete pre-image + insert post-image pair), a binpack
+    compaction follows (replace — MUST stream nothing) — and the
+    IcebergStreamReader actor consumes the whole lifecycle as typed
+    change micro-batches: position-delete coordinates recover full
+    pre-images executor-side (one task per file, pyarrow row-take, no
+    shuffle), compactions are silent. The memory-sink union is
+    oracle-checked per (ordinal, change_type) group — stream/batch
+    changelog parity is separately pinned by pytest. At 100 TB:
+    downstream CDC consumers ship each commit's change bytes only;
+    layout maintenance never re-emits rows."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources import iceberg as _ice
+    from ..streaming.readers import IcebergStreamReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="ice_scdf_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("r"),
+    ).coalesce(1)
+    _ice.write_iceberg(na, tbl, mode="overwrite")
+    _ice.delete_where(spark, tbl, "r = 2")
+    _ice.update_where(spark, tbl, "r = 1", {"name": "upper(name)"})
+    _ice.rewrite_data_files(spark, tbl, strategy="binpack")
+
+    r = IcebergStreamReader(table=tbl)
+    r._props["options.readChangeFeed"] = "true"
+    sdf = r.run(jctx, spark)
+    qname = f"ice_scdf_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(qname)
+    assert out.filter("_change_ordinal >= 3").count() == 0, (
+        "compaction (replace) snapshots must stream no changes"
+    )
+    return (
+        out.groupBy(
+            F.col("_change_ordinal").cast("int").alias("ordinal"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("key_sum"))
+        .orderBy("ordinal", "change_type")
+    )

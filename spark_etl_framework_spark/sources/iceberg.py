@@ -2405,6 +2405,210 @@ def read_iceberg_incremental(
     return df.select(*[F.col(f.name) for f in schema.fields])
 
 
+def read_iceberg_changelog(
+    spark: SparkSession,
+    loc: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """CHANGELOG scan — the jar's ``create_changelog_view``: typed
+    row-level changes between two snapshots (``from`` exclusive, ``to``
+    inclusive; None ``from`` = since table creation), INCLUDING the
+    row-delta commits :func:`read_iceberg_incremental` refuses. Output:
+    data columns + ``_change_type`` ('insert' | 'delete'),
+    ``_change_ordinal`` (commit order in range), ``_commit_snapshot_id``.
+    An UPDATE surfaces as its delete (pre-image) + insert pair, exactly
+    how the spec's changelog scan renders row deltas.
+
+    Per ancestor snapshot, the LOGICAL diff is computed from driver-side
+    metadata: ``replace`` snapshots (compaction, manifest rewrites,
+    delete-file compaction) are SKIPPED — they change layout, not rows;
+    appends contribute their added files as inserts; row-delta commits
+    contribute their added delete files as deletes — position deletes
+    join back to the named data files on (file, pos) to recover full
+    pre-images, equality deletes semi-join rows of strictly-older live
+    files on the key columns; dynamic/full overwrites contribute the
+    file-set diff both ways (removed files scan with the PARENT's
+    deletes applied, so rows already dead never re-emit as deletes).
+
+    Scale: each commit ships O(its change) bytes — added files, delete
+    coordinates, or removed files — never a table scan; coordinate
+    joins broadcast (delete sets are tiny next to data in any healthy
+    table)."""
+    meta = load_metadata(loc)
+    snaps_by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if to_id not in snaps_by_id:
+        raise ValueError(f"read_iceberg_changelog: to snapshot {to_id} not in table")
+    if from_snapshot_id is not None and from_snapshot_id not in snaps_by_id:
+        raise ValueError(
+            f"read_iceberg_changelog: from snapshot {from_snapshot_id} not in table"
+        )
+    chain: list[dict] = []
+    cur, seen = to_id, set()
+    while cur is not None and cur != from_snapshot_id and cur not in seen:
+        seen.add(cur)
+        s = snaps_by_id.get(cur)
+        if s is None:
+            break
+        chain.append(s)
+        cur = s.get("parent-snapshot-id")
+    if from_snapshot_id is not None and cur != from_snapshot_id:
+        raise ValueError(
+            f"read_iceberg_changelog: snapshot {from_snapshot_id} is not an "
+            f"ancestor of {to_id} — the range crosses a rollback"
+        )
+    schema = iceberg_to_spark_schema(meta["schema"])
+    partition_cols = _identity_names(_spec_entries(meta))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_cols]
+    )
+    ptypes = {f.name: f.dataType for f in schema.fields}
+
+    def _scan_files(files: list[dict], lineage: bool) -> DataFrame:
+        df = spark.read.schema(data_schema).parquet(
+            *[f["file_path"] for f in files]
+        )
+        df = df.withColumn(
+            "__file_name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        if lineage:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        if partition_cols or lineage:
+            # one driver-small broadcast carries the partition literals
+            # AND the file's data sequence number (_apply_deletes keys
+            # its older-than rules on __seq)
+            map_schema = T.StructType(
+                [T.StructField("__file_name", T.StringType(), False)]
+                + [T.StructField(c, ptypes[c], True) for c in partition_cols]
+                + ([T.StructField("__seq", T.LongType(), False)]
+                   if lineage else [])
+            )
+            fmap = spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(f["file_path"]),
+                        *[
+                            _avro_to_partition(f["partition"].get(c), ptypes[c])
+                            for c in partition_cols
+                        ],
+                        *([int(f.get("__seq", 0))] if lineage else []),
+                    )
+                    for f in files
+                ],
+                map_schema,
+            )
+            df = df.join(F.broadcast(fmap), "__file_name", "left")
+        return df
+
+    def _emit(df: DataFrame, change: str, ordinal: int, sid: int) -> DataFrame:
+        return df.select(
+            *[F.col(f.name) for f in schema.fields],
+            F.lit(change).alias("_change_type"),
+            F.lit(ordinal).cast("int").alias("_change_ordinal"),
+            F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+        )
+
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_change_ordinal", T.IntegerType(), False),
+            T.StructField("_commit_snapshot_id", T.LongType(), False),
+        ]
+    )
+    parts: list[DataFrame] = []
+    for ordinal, s in enumerate(reversed(chain)):  # oldest → newest
+        sid = s["snapshot-id"]
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue  # layout maintenance: no logical row change
+        parent_id = s.get("parent-snapshot-id")
+        parent = snaps_by_id.get(parent_id) if parent_id is not None else None
+        cur_data, cur_dels = _scan_snapshot(meta, s)
+        if parent is not None:
+            par_data, par_dels = _scan_snapshot(meta, parent)
+        else:
+            par_data, par_dels = [], []
+        cur_paths = {f["file_path"] for f in cur_data}
+        par_paths = {f["file_path"] for f in par_data}
+
+        added_files = [f for f in cur_data if f["file_path"] not in par_paths]
+        removed_files = [f for f in par_data if f["file_path"] not in cur_paths]
+        if added_files:
+            parts.append(_emit(_scan_files(added_files, False), "insert",
+                               ordinal, sid))
+        if removed_files:
+            # full rows LIVE at the parent: apply the parent's deletes so
+            # already-dead rows never re-emit
+            df = _scan_files(removed_files, True)
+            if par_dels:
+                df = _apply_deletes(spark, df, par_dels)
+            parts.append(_emit(df, "delete", ordinal, sid))
+
+        # delete files ADDED at this snapshot: row-level deletes
+        par_del_paths = {d["file_path"] for d in par_dels}
+        new_dels = [d for d in cur_dels if d["file_path"] not in par_del_paths]
+        pos_new = [d for d in new_dels if int(d.get("content", 0)) == 1]
+        eq_new = [d for d in new_dels if int(d.get("content", 0)) == 2]
+        if pos_new:
+            coords = spark.read.schema("file_path string, pos long").parquet(
+                *[d["file_path"] for d in pos_new]
+            ).select(
+                F.element_at(F.split("file_path", "/"), -1).alias("__file_name"),
+                F.col("pos").alias("__pos"),
+            )
+            # scan only the data files the coordinates actually name —
+            # driver-side read of the tiny coordinate relation's distinct
+            # file_path column keeps the victim scan O(affected files)
+            named = {
+                os.path.basename(r.file_path)
+                for d in pos_new
+                for r in spark.read.schema("file_path string, pos long")
+                .parquet(d["file_path"]).select("file_path").distinct()
+                .collect()
+            }
+            victims = [
+                f for f in par_data
+                if os.path.basename(f["file_path"]) in named
+            ]
+            df = _scan_files(victims, True).join(
+                F.broadcast(coords), ["__file_name", "__pos"], "left_semi"
+            )
+            parts.append(_emit(df, "delete", ordinal, sid))
+        for d in eq_new:
+            eq_ids = d.get("equality_ids") or []
+            name_of = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+            keys = [name_of[i] for i in eq_ids]
+            if not keys:
+                continue
+            keyrows = spark.read.parquet(d["file_path"]).select(*keys)
+            older = [
+                f for f in par_data
+                if int(f.get("__seq", 0)) < int(d.get("__seq", 0))
+            ]
+            if not older:
+                continue
+            df = _scan_files(older, True)
+            par_pos = [x for x in par_dels if int(x.get("content", 0)) == 1]
+            if par_pos:
+                df = _apply_deletes(spark, df, par_pos)
+            df = df.join(F.broadcast(keyrows), keys, "left_semi")
+            parts.append(_emit(df, "delete", ordinal, sid))
+
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict]):
     """Merge-on-read: subtract v2 delete files from the scan.
 
@@ -3707,6 +3911,37 @@ class _IceFilePartition(InputPartition):
         self.partition_values = partition_values
 
 
+class _IceChangePartition(InputPartition):
+    """One changelog work unit (streaming readChangeFeed):
+
+    - kind="insert": ``path`` is an added data file — rows stream as
+      inserts.
+    - kind="pos-delete": ``path`` is a position-delete file;
+      ``file_map`` maps named data-file basenames → (path,
+      partition_values) so the executor recovers full pre-images.
+    - kind="file-delete": ``path`` is a data file removed by an
+      overwrite; ``coord_paths`` carry the PARENT's position-delete
+      files so already-dead rows never re-emit.
+    - kind="eq-delete": ``path`` is an equality-delete file; ``keys``
+      name its columns and ``file_map`` the strictly-older live files
+      to probe.
+    """
+
+    def __init__(self, kind, path, pvals, sid, ordinal,
+                 file_map=None, coord_paths=None, keys=None, eq_dels=None):
+        self.kind = kind
+        self.path = path
+        self.partition_values = pvals or {}
+        self.sid = sid
+        self.ordinal = ordinal
+        self.file_map = file_map or {}
+        self.coord_paths = coord_paths or []
+        self.keys = keys or []
+        #: (delete_file_path, key_columns) pairs of the PARENT's equality
+        #: deletes that apply to this (strictly older) data file
+        self.eq_dels = eq_dels or []
+
+
 class IcebergLogStreamReader(DataSourceStreamReader):
     """Micro-batch source over the snapshot log: offsets are positions
     in the snapshots list, each batch reads the data files ADDED by the
@@ -3729,6 +3964,13 @@ class IcebergLogStreamReader(DataSourceStreamReader):
 
         self._skip_delete = _flag("streaming-skip-delete-snapshots")
         self._skip_overwrite = _flag("streaming-skip-overwrite-snapshots")
+        #: readChangeFeed=true streams TYPED row-level changes instead
+        #: of refusing row-delta snapshots (round 12 — the streaming
+        #: half of read_iceberg_changelog, mirroring delta's streaming
+        #: CDF source): each micro-batch ships the new snapshots'
+        #: inserts and full delete pre-images with
+        #: _change_type/_change_ordinal/_commit_snapshot_id attached.
+        self._cdf = _flag("readChangeFeed")
         meta = load_metadata(self._loc)
         self._schema = iceberg_to_spark_schema(meta["schema"])
         # only IDENTITY partition values are schema columns; transformed
@@ -3743,6 +3985,8 @@ class IcebergLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         meta = load_metadata(self._loc)
+        if self._cdf:
+            return self._change_partitions(meta, start, end)
         snaps = meta.get("snapshots", [])[int(start["pos"]) : int(end["pos"])]
         parts = []
         for idx, s in enumerate(snaps, start=int(start["pos"])):
@@ -3782,8 +4026,210 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                 )
         return parts
 
+    def _change_partitions(self, meta: dict, start, end):
+        """Changelog work units for the snapshots in [start, end) —
+        driver-side metadata only; every unit is O(one file)."""
+        snaps = meta.get("snapshots", [])
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        window = snaps[int(start["pos"]) : int(end["pos"])]
+        parts: list[_IceChangePartition] = []
+        name_of = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+        for idx, s in enumerate(window, start=int(start["pos"])):
+            sid = s["snapshot-id"]
+            op = s.get("summary", {}).get("operation", "append")
+            if op == "replace":
+                continue  # layout maintenance: no logical change
+            parent = by_id.get(s.get("parent-snapshot-id"))
+            cur_data, cur_dels = _scan_snapshot(meta, s)
+            if parent is not None:
+                par_data, par_dels = _scan_snapshot(meta, parent)
+            else:
+                par_data, par_dels = [], []
+            cur_paths = {f["file_path"] for f in cur_data}
+            par_paths = {f["file_path"] for f in par_data}
+            par_pos_paths = [
+                d["file_path"] for d in par_dels
+                if int(d.get("content", 0)) == 1
+            ]
+            par_eq = [
+                (
+                    d["file_path"],
+                    [name_of[i] for i in (d.get("equality_ids") or [])],
+                    int(d.get("__seq", 0)),
+                )
+                for d in par_dels
+                if int(d.get("content", 0)) == 2
+            ]
+
+            def _pv(f):
+                return {
+                    c: f.get("partition", {}).get(c) for c in self._pcols
+                }
+
+            for f in cur_data:
+                if f["file_path"] not in par_paths:
+                    parts.append(_IceChangePartition(
+                        "insert", f["file_path"], _pv(f), sid, idx))
+            for f in par_data:
+                if f["file_path"] not in cur_paths:
+                    parts.append(_IceChangePartition(
+                        "file-delete", f["file_path"], _pv(f), sid, idx,
+                        coord_paths=par_pos_paths,
+                        eq_dels=[
+                            (p, ks) for p, ks, dseq in par_eq
+                            if ks and dseq > int(f.get("__seq", 0))
+                        ]))
+            par_del_paths = {d["file_path"] for d in par_dels}
+            fmap = {
+                os.path.basename(f["file_path"]): (f["file_path"], _pv(f))
+                for f in par_data
+            }
+            for d in cur_dels:
+                if d["file_path"] in par_del_paths:
+                    continue
+                if int(d.get("content", 0)) == 1:
+                    parts.append(_IceChangePartition(
+                        "pos-delete", d["file_path"], {}, sid, idx,
+                        file_map=fmap, coord_paths=par_pos_paths))
+                else:
+                    keys = [name_of[i] for i in (d.get("equality_ids") or [])]
+                    older = {
+                        os.path.basename(f["file_path"]):
+                            (f["file_path"], _pv(f))
+                        for f in par_data
+                        if int(f.get("__seq", 0)) < int(d.get("__seq", 0))
+                    }
+                    if keys and older:
+                        parts.append(_IceChangePartition(
+                            "eq-delete", d["file_path"], {}, sid, idx,
+                            file_map=older, coord_paths=par_pos_paths,
+                            keys=keys))
+        return parts
+
+    def _load_cols(self, path: str):
+        """(columns dict, row count) of one parquet file, timestamps
+        localized for the Python-source serializer."""
+        import pyarrow.parquet as pq
+
+        ptypes = {f.name: f.dataType for f in self._schema.fields}
+        tbl = pq.read_table(path)
+        cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        for c, dt_ in ptypes.items():
+            if isinstance(dt_, T.TimestampType) and c in cols:
+                cols[c] = [
+                    v.replace(tzinfo=_dt.timezone.utc)
+                    if v is not None and v.tzinfo is None
+                    else v
+                    for v in cols[c]
+                ]
+        return cols, tbl.num_rows
+
+    def _dead_positions(self, coord_paths: list[str], basename: str) -> set:
+        """Positions named for ``basename`` by the given position-delete
+        files (executor-side, tiny by construction)."""
+        import pyarrow.parquet as pq
+
+        dead: set[int] = set()
+        for p in coord_paths:
+            t = pq.read_table(p)
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                if os.path.basename(fp) == basename:
+                    dead.add(int(pos))
+        return dead
+
+    def _emit_change(self, partition, path, pvals, rows_iter):
+        names = [f.name for f in self._schema.fields]
+        ptypes = {f.name: f.dataType for f in self._schema.fields}
+        typed_pv = {
+            c: _avro_to_partition(v, ptypes[c])
+            for c, v in (pvals or {}).items()
+            if c in self._pcols
+        }
+        change = (
+            "insert" if partition.kind == "insert" else "delete"
+        )
+        for cols, i in rows_iter:
+            yield tuple(
+                typed_pv[c] if c in typed_pv else cols[c][i] for c in names
+            ) + (change, partition.ordinal, partition.sid)
+
     def read(self, partition):
         import pyarrow.parquet as pq
+
+        if isinstance(partition, _IceChangePartition):
+            if partition.kind in ("insert", "file-delete"):
+                cols, n = self._load_cols(partition.path)
+                dead = (
+                    self._dead_positions(
+                        partition.coord_paths,
+                        os.path.basename(partition.path),
+                    )
+                    if partition.kind == "file-delete"
+                    else set()
+                )
+                # parent's EQUALITY deletes also exclude rows of this
+                # strictly-older removed file (same rule the batch
+                # changelog applies via _apply_deletes)
+                eq_kill: list[tuple[list[str], set]] = []
+                for p, ks in partition.eq_dels:
+                    t = pq.read_table(p)
+                    eq_kill.append(
+                        (ks, set(zip(*[t.column(k).to_pylist() for k in ks])))
+                    )
+                yield from self._emit_change(
+                    partition, partition.path, partition.partition_values,
+                    (
+                        (cols, i) for i in range(n)
+                        if i not in dead
+                        and not any(
+                            tuple(cols[k][i] for k in ks) in kill
+                            for ks, kill in eq_kill
+                        )
+                    ),
+                )
+                return
+            if partition.kind == "pos-delete":
+                t = pq.read_table(partition.path)
+                by_file: dict[str, list[int]] = {}
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    by_file.setdefault(os.path.basename(fp), []).append(
+                        int(pos)
+                    )
+                for base, positions in sorted(by_file.items()):
+                    if base not in partition.file_map:
+                        continue  # dangling coordinate: file already gone
+                    path, pvals = partition.file_map[base]
+                    cols, n = self._load_cols(path)
+                    yield from self._emit_change(
+                        partition, path, pvals,
+                        ((cols, i) for i in sorted(positions) if i < n),
+                    )
+                return
+            # eq-delete: probe strictly-older files for key matches
+            t = pq.read_table(partition.path)
+            keyset = set(
+                zip(*[t.column(k).to_pylist() for k in partition.keys])
+            )
+            for base, (path, pvals) in sorted(partition.file_map.items()):
+                cols, n = self._load_cols(path)
+                dead = self._dead_positions(partition.coord_paths, base)
+                yield from self._emit_change(
+                    partition, path, pvals,
+                    (
+                        (cols, i)
+                        for i in range(n)
+                        if i not in dead
+                        and tuple(cols[k][i] for k in partition.keys)
+                        in keyset
+                    ),
+                )
+            return
 
         names = [f.name for f in self._schema.fields]
         ptypes = {f.name: f.dataType for f in self._schema.fields}
@@ -3813,18 +4259,31 @@ class IcebergLogStreamReader(DataSourceStreamReader):
 
 
 class IcebergLogDataSource(DataSource):
-    """``spark.readStream.format("iceberglog")`` — option: path."""
+    """``spark.readStream.format("iceberglog")`` — options: path,
+    readChangeFeed (typed row-level change stream)."""
 
     @classmethod
     def name(cls) -> str:
         return "iceberglog"
 
     def schema(self):
-        return iceberg_to_spark_schema(
+        base = iceberg_to_spark_schema(
             load_metadata(self.options.get("path") or self.options["table"])[
                 "schema"
             ]
         )
+        if str(self.options.get("readchangefeed",
+                                self.options.get("readChangeFeed",
+                                                 "false"))).lower() == "true":
+            return T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_change_ordinal", T.IntegerType(), False),
+                    T.StructField("_commit_snapshot_id", T.LongType(), False),
+                ]
+            )
+        return base
 
     def streamReader(self, schema) -> IcebergLogStreamReader:
         return IcebergLogStreamReader(self.options)

@@ -158,11 +158,21 @@ class IcebergStreamReader(_StreamDecorators):
             from ..sources.pysource import register_python_source
 
             register_python_source(spark, IcebergLogDataSource)
-            return self.decorate(
-                spark.readStream.format("iceberglog")
-                .option("path", self.table)
-                .load()
+            reader = spark.readStream.format("iceberglog").option(
+                "path", self.table
             )
+            # pass-through flags: append-only skip options, and
+            # readChangeFeed=true (round 12) for the typed row-level
+            # change stream — the streaming half of the changelog scan
+            for key in (
+                "options.readChangeFeed",
+                "options.streaming-skip-delete-snapshots",
+                "options.streaming-skip-overwrite-snapshots",
+            ):
+                v = self._props.get(key)
+                if v is not None:
+                    reader = reader.option(key.split(".", 1)[1], str(v))
+            return self.decorate(reader.load())
 
 
 class RedisStreamReader(_StreamDecorators):
