@@ -30,7 +30,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q14_promo_share",
     "q18_large_orders",
-    "q19_disjunctive_filter",
+    # (q19_disjunctive_filter rotated out round 12: r1-stable; six
+    # TPC-H rows stay benched incl. the q1 drift anchor — freed budget
+    # for delta_log_compaction)
     # (window_topk_per_group rotated out round 12: r1-stable; the window
     # family keeps running_sum — a drift-basket member — and the
     # rolling-median/interval rows in the window — freed budget for
@@ -167,6 +169,7 @@ HEADLINE = [
     # same as every stream_* row: its 8.5 s at sf0.1 is fixed
     # micro-batch machinery latency over a 25-row nation table, which
     # tracks Structured Streaming overhead, not engine code)
+    "delta_log_compaction",          # minor-compaction replay proof
 ]
 # BUDGET NOTE (round 12): the stdout JSON line measured 1945 chars at
 # these 61 entries (12 rotated out, 11 added, drift block reshaped; the

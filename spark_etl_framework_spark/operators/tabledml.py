@@ -118,6 +118,10 @@ class DeltaDmlActor(_TableDmlBase):
     #: required for reader-impacting features)
     feature: str | None = None
     truncateHistory: bool = False
+    #: op=compactLog (round 12 — the spec's minor compactions:
+    #: <start>.<end>.compacted.json reconciled-action files)
+    startVersion: int | None = None
+    endVersion: int | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -220,6 +224,16 @@ class DeltaDmlActor(_TableDmlBase):
             return None
         if op == "enablerowtracking":
             dl.enable_row_tracking(spark, loc)
+            return None
+        if op == "compactlog":
+            if self.startVersion is None or self.endVersion is None:
+                raise ValueError(
+                    "DeltaDmlActor: compactLog needs startVersion and "
+                    "endVersion"
+                )
+            dl.write_log_compaction(
+                loc, int(self.startVersion), int(self.endVersion)
+            )
             return None
         if op == "dropfeature":
             if not self.feature:

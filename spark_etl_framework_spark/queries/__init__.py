@@ -204,26 +204,28 @@ def _load_all() -> None:
 #: policy — the type-widening, spec-evolution, identity-column,
 #: variant and row-tracking lifecycle rows land windowed in the
 #: registering commit), every slot refreshes the OLDEST evidence: ALL
-#: 31 remaining r5-vintage rows (the round-11 TODO's list), then 6
-#: r6-vintage rows — the first 5 in registration order plus
-#: dedup_lsh_eval_pr (the 16th; ts_seasonal_profile,
-#: ts_interval_coverage, text_collocations_pmi, text_weighted_sample,
-#: text_char_entropy, text_rake_keywords, text_bigram_lm_eval and the
-#: 13th-15th, text_zipf_slope/text_langid_confusion/
-#: text_feature_hashing, roll to round 13 so the dedup_ family stays
-#: window-covered; seven of those slots went to the late-registered
-#: delta_optimize_zorder, delta_shallow_clone, iceberg_puffin_ndv,
-#: iceberg_partitions_meta, delta_drop_feature,
-#: iceberg_changelog_scan and stream_iceberg_cdf under the freeze
-#: policy; ts_interval_coverage itself stays benched every round). A
+#: 31 remaining r5-vintage rows (the round-11 TODO's list), then 5
+#: r6-vintage rows — the first 4 in registration order plus
+#: dedup_lsh_eval_pr (the 16th; ts_event_gap_stats,
+#: ts_seasonal_profile, ts_interval_coverage, text_collocations_pmi,
+#: text_weighted_sample, text_char_entropy, text_rake_keywords,
+#: text_bigram_lm_eval and the 13th-15th, text_zipf_slope/
+#: text_langid_confusion/text_feature_hashing, roll to round 13 so the
+#: dedup_ family stays window-covered; eight of those slots went to
+#: the late-registered delta_optimize_zorder, delta_shallow_clone,
+#: iceberg_puffin_ndv, iceberg_partitions_meta, delta_drop_feature,
+#: iceberg_changelog_scan, stream_iceberg_cdf and
+#: delta_log_compaction under the freeze policy;
+#: ts_interval_coverage itself stays benched every round). A
 #: fully-green round advances the oldest evidence vintage from r5 to
 #: r6.
 #:
-#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 43 r6
-#: rows this window could not fit (ts_seasonal_profile,
-#: ts_interval_coverage, text_collocations_pmi, text_weighted_sample,
-#: text_char_entropy, text_rake_keywords, text_bigram_lm_eval,
-#: text_zipf_slope, text_langid_confusion, text_feature_hashing,
+#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 44 r6
+#: rows this window could not fit (ts_event_gap_stats,
+#: ts_seasonal_profile, ts_interval_coverage, text_collocations_pmi,
+#: text_weighted_sample, text_char_entropy, text_rake_keywords,
+#: text_bigram_lm_eval, text_zipf_slope, text_langid_confusion,
+#: text_feature_hashing,
 #: dedup_keep_best_quality, vector_dim_stats,
 #: vector_pc1_power_iteration, vector_jl_project,
 #: vector_truncated_dim_recall, vector_ann_ivfpq,
@@ -249,6 +251,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_drop_feature",
     "iceberg_changelog_scan",
     "stream_iceberg_cdf",
+    "delta_log_compaction",
     # r5-vintage (all 31 that round 11 could not fit, registration order)
     "window_rolling_median",
     "ts_cusum_drift",
@@ -286,7 +289,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_channel_stats",
     "multimodal_audio_decimate",
     "multimodal_video_frame_sample",
-    "ts_event_gap_stats",
     "dedup_lsh_eval_pr",
 )
 

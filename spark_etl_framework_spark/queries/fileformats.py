@@ -4637,3 +4637,70 @@ def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("key_sum"))
         .orderBy("ordinal", "change_type")
     )
+
+
+@register(
+    "delta_log_compaction",
+    oracle="""
+    SELECT CAST(n_regionkey AS INT) AS regionkey,
+           COUNT(*) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    WHERE n_nationkey <> 7
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-compaction lifecycle (round 12 — the spec's minor
+    compactions, ``<start>.<end>.compacted.json``): nation builds a
+    6-commit history (create + region-sliced appends + a COW DELETE +
+    an append), ``write_log_compaction(1, 4)`` reconciles that range's
+    actions into ONE file, and — the checkpoint-replay hard-proof
+    pattern — the covered commit files are then DELETED in-query, so
+    the snapshot read that follows physically must replay through the
+    compacted file (asserted: the gap versions refuse, the head and the
+    compaction-end version reconstruct exactly, and the DELETE's
+    tombstone survived reconciliation — the dropped row stays dropped).
+    At 100 TB: a checkpoint is O(live files) however small the range —
+    on a million-file table every checkpoint rewrites the world; a
+    compaction is O(actions in range), cheap enough to run every N
+    commits, and replay cost between checkpoints drops from O(commits)
+    file opens to O(commits/N). Reference: delta-spec minor log
+    compaction; delta-spark deltaLog.minorCompaction."""
+    import os as _os
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="delta_lc_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nationkey"),
+        F.col("n_regionkey").cast("int").alias("regionkey"),
+    )
+    _dl.write_delta(na.filter("regionkey = 0").coalesce(1), tbl, mode="append")
+    for r in (1, 2, 3):  # v1-v3
+        _dl.write_delta(
+            na.filter(F.col("regionkey") == r).coalesce(1), tbl, mode="append"
+        )
+    _dl.delete_where(spark, tbl, "nationkey = 7")  # v4
+    _dl.write_delta(na.filter("regionkey = 4").coalesce(1), tbl, mode="append")  # v5
+
+    _dl.write_log_compaction(tbl, 1, 4)
+    for v in range(1, 5):  # hard proof: the range must replay compacted
+        _os.unlink(_dl._commit_path(tbl, v))
+    try:
+        _dl.read_delta(spark, tbl, version_as_of=3).collect()
+        raise AssertionError("gap version must not reconstruct")
+    except FileNotFoundError:
+        pass
+    assert _dl.read_delta(spark, tbl, version_as_of=4).filter(
+        "nationkey = 7"
+    ).count() == 0, "the DELETE tombstone must survive reconciliation"
+    return (
+        _dl.read_delta(spark, tbl)
+        .groupBy("regionkey")
+        .agg(F.count("*").alias("n"),
+             F.sum("nationkey").cast("long").alias("key_sum"))
+        .orderBy("regionkey")
+    )

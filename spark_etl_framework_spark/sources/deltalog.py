@@ -478,6 +478,101 @@ def _iter_checkpoint_actions(
             yield {k: v for k, v in row.items() if v is not None}
 
 
+def _compaction_path(path: str, start: int, end: int) -> str:
+    return os.path.join(
+        _log_dir(path), f"{start:020d}.{end:020d}.compacted.json"
+    )
+
+
+def _compaction_ranges(path: str) -> dict[int, int]:
+    """start-version → LARGEST end-version of the log-compaction files
+    present (``<start>.<end>.compacted.json`` — the spec's minor
+    compactions: reconciled actions of a commit range, written so a
+    replay reads ONE file instead of end-start+1 without paying a full
+    checkpoint)."""
+    out: dict[int, int] = {}
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if not name.endswith(".compacted.json"):
+            continue
+        parts = name.split(".")
+        if len(parts) != 4:
+            continue
+        try:
+            s, e = int(parts[0]), int(parts[1])
+        except ValueError:
+            continue
+        if e > out.get(s, -1):
+            out[s] = e
+    return out
+
+
+def write_log_compaction(path: str, start: int, end: int) -> str:
+    """Write a LOG COMPACTION file ``<start>.<end>.compacted.json`` —
+    the spec's minor compaction (delta-spark's
+    ``deltaLog.minorCompaction``): the RECONCILED actions of the commit
+    range, exactly what replaying those commits yields — the latest
+    metaData/protocol (if restated in range), the latest txn per appId,
+    the latest domainMetadata per domain, one final ``add`` per file
+    live at ``end`` that changed in range, and one ``remove`` tombstone
+    per file removed in range and not re-added (a replay STARTING
+    before the range needs the tombstone to retire the file).
+
+    Why not just checkpoints: a checkpoint is O(live files) however
+    small the range — on a million-file table every checkpoint rewrites
+    the world. A compaction is O(actions in range): cheap enough to run
+    every N commits, and replay cost between checkpoints drops from
+    O(commits) file opens to O(commits/N). Returns the file path."""
+    latest = latest_version(path)
+    if not (0 <= start <= end <= latest):
+        raise ValueError(
+            f"write_log_compaction: range [{start}, {end}] outside the "
+            f"log [0, {latest}]"
+        )
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    meta_act: dict | None = None
+    proto_act: dict | None = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        with open(_commit_path(path, v), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    p = act["add"]["path"]
+                    adds[p] = act
+                    removes.pop(p, None)
+                elif "remove" in act:
+                    p = act["remove"]["path"]
+                    removes[p] = act
+                    adds.pop(p, None)
+                elif "metaData" in act:
+                    meta_act = act
+                elif "protocol" in act:
+                    proto_act = act
+                elif "txn" in act:
+                    txns[act["txn"]["appId"]] = act
+                elif "domainMetadata" in act:
+                    domains[act["domainMetadata"]["domain"]] = act
+    out = _compaction_path(path, start, end)
+    tmp = out + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for act in (proto_act, meta_act):
+            if act is not None:
+                fh.write(json.dumps(act, separators=(",", ":")) + "\n")
+        for group in (txns, domains, removes, adds):
+            for act in group.values():
+                fh.write(json.dumps(act, separators=(",", ":")) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
 def snapshot(path: str, version: int | None = None) -> Snapshot:
     """Reconstruct table state at ``version`` (default: latest)."""
     latest = latest_version(path)
@@ -525,12 +620,29 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             _apply_action(snap, act, adds)
         start = cp + 1
 
-    for v in range(start, version + 1):
+    # log-compaction files (minor compactions): when one STARTS exactly
+    # at the next version to replay and ends at or below the target, its
+    # reconciled actions stand in for the whole range — O(1) file opens
+    # for the covered commits (and the only way to read a log whose
+    # covered commits were cleaned)
+    compactions = _compaction_ranges(path)
+    v = start
+    while v <= version:
+        ce = compactions.get(v, -1)
+        if ce >= v and ce <= version:
+            with open(_compaction_path(path, v, ce), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        _apply_action(snap, json.loads(line), adds)
+            v = ce + 1
+            continue
         with open(_commit_path(path, v), encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if line:
                     _apply_action(snap, json.loads(line), adds)
+        v += 1
 
     snap.files = sorted(adds.values(), key=lambda a: a.path)
     # protocol gate (PROTOCOL.md Reader Version Requirements): a reader
@@ -5056,6 +5168,21 @@ def clean_log(
         crc = _crc_path(path, v)
         if os.path.exists(crc):  # checksum sidecar dies with its commit
             os.unlink(crc)
+    # log-compaction files wholly below the cutoff are folded into the
+    # checkpoint — stale read optimizations, reclaimed with the commits
+    # (walked directly: _compaction_ranges keeps only the max end per
+    # start, and the non-max duplicates must die too)
+    for name in sorted(os.listdir(_log_dir(path))):
+        if not name.endswith(".compacted.json"):
+            continue
+        parts = name.split(".")
+        try:
+            e = int(parts[1])
+        except (IndexError, ValueError):
+            continue
+        if e < cutoff:
+            os.unlink(os.path.join(_log_dir(path), name))
+            removed += 1
     d = _log_dir(path)
     survivors: list[str] = []
     for name in sorted(os.listdir(d)):

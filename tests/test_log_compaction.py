@@ -1,0 +1,122 @@
+"""Delta log-compaction files — the spec's minor compactions
+(``<start>.<end>.compacted.json``): reconciled actions of a commit
+range, preferred by the replay when coverage aligns.
+
+Hard-proof strategy (the checkpoint-replay precedent): DELETE the
+covered commits after compacting, so reconstruction physically must
+come from the compacted file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from spark_etl_framework_spark.sources import deltalog as dl
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _append(spark, loc, rows):
+    df = spark.createDataFrame(rows, "id int, v double")
+    return dl.write_delta(df.coalesce(1), loc, mode="append")
+
+
+def _build(spark, loc):
+    """8 commits: appends, a COW delete, an update, more appends."""
+    for i in range(4):  # v0-v3
+        _append(spark, loc, [(i * 10 + j, float(j)) for j in range(5)])
+    dl.delete_where(spark, loc, "id % 10 = 4")          # v4
+    dl.update_where(spark, loc, "id = 0", {"v": "99.0"})  # v5
+    _append(spark, loc, [(100, 1.0)])                    # v6
+    _append(spark, loc, [(101, 2.0)])                    # v7
+
+
+def test_compaction_replay_equivalence_and_hard_proof(spark, loc):
+    _build(spark, loc)
+    want = sorted((r.id, r.v) for r in dl.read_delta(spark, loc).collect())
+    p = dl.write_log_compaction(loc, 2, 6)
+    assert os.path.basename(p) == f"{2:020d}.{6:020d}.compacted.json"
+    # equivalence with the commits still present
+    assert sorted(
+        (r.id, r.v) for r in dl.read_delta(spark, loc).collect()
+    ) == want
+    # hard proof: delete the covered commits — replay MUST use the file
+    for v in range(2, 7):
+        os.unlink(dl._commit_path(loc, v))
+    got = sorted((r.id, r.v) for r in dl.read_delta(spark, loc).collect())
+    assert got == want
+    assert (0, 99.0) in got and all(i % 10 != 4 for i, _v in got)
+    # intermediate versions inside the gap are gone (documented trade)
+    with pytest.raises(Exception):
+        dl.read_delta(spark, loc, version_as_of=4).collect()
+    # versions at the compaction end (full coverage) still reconstruct
+    assert dl.read_delta(spark, loc, version_as_of=6).count() == len(want) - 1
+
+
+def test_compaction_reconciles_within_range(spark, loc):
+    _append(spark, loc, [(1, 1.0)])                  # v0
+    _append(spark, loc, [(2, 2.0)])                  # v1
+    dl.delete_where(spark, loc, "id = 2")            # v2: v1's file dies
+    dl.write_log_compaction(loc, 0, 2)
+    acts = [
+        json.loads(ln)
+        for ln in open(dl._compaction_path(loc, 0, 2), encoding="utf-8")
+    ]
+    adds = [a for a in acts if "add" in a]
+    removes = [a for a in acts if "remove" in a]
+    # the add+remove pair within range reconciles to the tombstone only
+    assert len(adds) == 1 and len(removes) == 1
+    assert any("metaData" in a for a in acts)
+    assert any("protocol" in a for a in acts)
+
+
+def test_compaction_range_validation_and_partial_use(spark, loc):
+    _build(spark, loc)
+    with pytest.raises(ValueError, match="outside the log"):
+        dl.write_log_compaction(loc, 5, 99)
+    dl.write_log_compaction(loc, 3, 7)
+    # time travel BELOW the compaction never touches it
+    assert dl.read_delta(spark, loc, version_as_of=2).count() == 15
+    # a compaction ending past the target version is ignored
+    assert dl.read_delta(spark, loc, version_as_of=5).count() > 0
+
+
+def test_compaction_preserves_checkpointed_tables(spark, loc):
+    _build(spark, loc)
+    dl.write_log_compaction(loc, 0, 3)
+    dl._write_checkpoint(loc, 5)
+    want = dl.read_delta(spark, loc).count()
+    # replay starts past the checkpoint; the compaction is irrelevant
+    assert dl.read_delta(spark, loc).count() == want
+    # clean_log reclaims the now-stale compacted file
+    n = dl.clean_log(loc)
+    assert n >= 1
+    assert not os.path.exists(dl._compaction_path(loc, 0, 3))
+    assert dl.read_delta(spark, loc).count() == want
+
+
+def test_compaction_keeps_domain_and_txn_state(spark, loc):
+    _append(spark, loc, [(1, 1.0)])
+    dl.enable_row_tracking(spark, loc)
+    _append(spark, loc, [(2, 2.0)])
+    want = {
+        r.id: r._row_id
+        for r in dl.read_delta_with_row_ids(spark, loc).collect()
+    }
+    # compact everything below the head (version discovery needs at
+    # least the newest commit file present)
+    end = dl.latest_version(loc) - 1
+    dl.write_log_compaction(loc, 0, end)
+    for v in range(0, end + 1):
+        os.unlink(dl._commit_path(loc, v))
+    got = {
+        r.id: r._row_id
+        for r in dl.read_delta_with_row_ids(spark, loc).collect()
+    }
+    assert got == want, "row-tracking domain hwm lost in compaction"
