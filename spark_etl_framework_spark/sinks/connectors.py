@@ -213,6 +213,11 @@ class IcebergWriter(Actor):
     #: ``spark.wap.id``); publish via IcebergDmlActor cherrypick. The
     #: jar path maps to the session conf.
     wapId: str | None = None
+    #: comma-separated WRITE-TIME SORT columns (round 12 — the spec's
+    #: sort-orders: rows sort within tasks and the order registers as
+    #: the table's default, so footer bounds prune from commit one; the
+    #: jar path maps to sortWithinPartitions before the write)
+    sortBy: str | None = None
 
     @staticmethod
     def _split_spec(s: str) -> list[str]:
@@ -247,6 +252,11 @@ class IcebergWriter(Actor):
 
             sort_cols = [e["source"] for e in parse_partition_spec(cols)]
             df = df.sortWithinPartitions(*sort_cols)
+        sort_by = [
+            c.strip() for c in (self.sortBy or "").split(",") if c.strip()
+        ]
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         try:
             prior_wap = None
             if self.wapId:
@@ -284,6 +294,6 @@ class IcebergWriter(Actor):
 
             write_iceberg(df, target, mode=self.mode,
                           partition_by=cols or None, branch=self.branch,
-                          wap_id=self.wapId)
+                          wap_id=self.wapId, sort_by=sort_by or None)
             return None
         return None

@@ -737,6 +737,34 @@ def _stage_data_entries(
     return entries
 
 
+def _register_sort_order(meta: dict, ice_schema: dict, cols: list[str]) -> int:
+    """Find-or-append a SORT ORDER (spec `sort-orders`: identity
+    transform, ascending, nulls-first per column) and make it the
+    default. Mutates ``meta``; returns the order id — table-level
+    metadata recording HOW the data is laid out, what compaction
+    planners and engines read to skip re-sorting sorted data."""
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    missing = [c for c in cols if c not in field_ids]
+    if missing:
+        raise ValueError(f"sort_by columns {missing} not in schema")
+    fields = [
+        {"transform": "identity", "source-id": field_ids[c],
+         "direction": "asc", "null-order": "nulls-first"}
+        for c in cols
+    ]
+    orders = list(meta.get("sort-orders") or [{"order-id": 0, "fields": []}])
+    for o in orders:
+        if o.get("fields") == fields:
+            meta["sort-orders"] = orders
+            meta["default-sort-order-id"] = o["order-id"]
+            return o["order-id"]
+    oid = max(o["order-id"] for o in orders) + 1
+    orders.append({"order-id": oid, "fields": fields})
+    meta["sort-orders"] = orders
+    meta["default-sort-order-id"] = oid
+    return oid
+
+
 def write_iceberg(
     df: DataFrame,
     loc: str,
@@ -745,6 +773,7 @@ def write_iceberg(
     merge_schema: bool = False,
     branch: str | None = None,
     wap_id: str | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -878,6 +907,15 @@ def write_iceberg(
             )
         e = dict(e, result_dt=result_type(e, schema[e["source"]].dataType))
         spec_entries.append(e)
+
+    if sort_by:
+        bad = [c for c in sort_by if c not in df.columns]
+        if bad:
+            raise ValueError(f"write_iceberg: sort_by columns {bad} not in df")
+        # the write-time sort order (spec sort-orders, registered below):
+        # each staged file covers a narrow key range, so its footer
+        # bounds drive planning-time skipping from the first commit
+        df = df.sortWithinPartitions(*sort_by)
 
     entries = _stage_data_entries(df, loc, schema, spec_entries, snapshot_id)
 
@@ -1062,6 +1100,8 @@ def write_iceberg(
         }
     meta = dict(meta)
     meta["last-updated-ms"] = now_ms
+    if sort_by:
+        _register_sort_order(meta, ice_schema, list(sort_by))
     if fmt == 2:
         meta["last-sequence-number"] = new_seq
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
@@ -1713,6 +1753,10 @@ def rewrite_data_files(
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if strategy == "sort":
+        # the rewrite's layout becomes the table's default sort order
+        # (spec sort-orders) — planners stop re-sorting sorted data
+        _register_sort_order(meta, meta["schema"], layout_cols)
     meta["last-updated-ms"] = now_ms
     meta["last-sequence-number"] = new_seq
     meta["current-snapshot-id"] = snapshot_id
