@@ -225,6 +225,18 @@ class DeltaDmlActor(_TableDmlBase):
         if op == "enablerowtracking":
             dl.enable_row_tracking(spark, loc)
             return None
+        if op == "setproperties":
+            props = {
+                k.split(".", 1)[1]: str(v)
+                for k, v in self._props.items()
+                if k.startswith("set.")
+            }
+            if not props:
+                raise ValueError(
+                    "DeltaDmlActor: setProperties needs set.<property>"
+                )
+            dl.set_table_properties(loc, props)
+            return None
         if op == "compactlog":
             if self.startVersion is None or self.endVersion is None:
                 raise ValueError(

@@ -573,6 +573,29 @@ def write_log_compaction(path: str, start: int, end: int) -> str:
     return out
 
 
+def _maybe_log_compaction(path: str, version: int, conf: dict) -> None:
+    """Opt-in auto minor-compaction at the commit tails: the
+    engine-native table property ``delta.logCompaction.interval=N``
+    (N >= 2) writes ``<v-N+1>.<v>.compacted.json`` after every N-th
+    commit — O(actions in the window) driver work, so trickle-append
+    tables keep replay at O(commits/N) file opens between checkpoints
+    without paying an O(live-files) checkpoint each time. Best-effort
+    (a failure never fails the already-durable commit)."""
+    try:
+        n = int((conf or {}).get("delta.logCompaction.interval", 0))
+    except (TypeError, ValueError):
+        return
+    if n < 2 or version < n - 1 or (version + 1) % n != 0:
+        return
+    start = version - n + 1
+    if os.path.exists(_compaction_path(path, start, version)):
+        return
+    try:
+        write_log_compaction(path, start, version)
+    except OSError:  # pragma: no cover - best-effort maintenance
+        pass
+
+
 def snapshot(path: str, version: int | None = None) -> Snapshot:
     """Reconstruct table state at ``version`` (default: latest)."""
     latest = latest_version(path)
@@ -1997,6 +2020,7 @@ def write_delta(
             _write_checkpoint(path, version)
         except DeltaConcurrentModification:  # pragma: no cover - benign race
             pass
+    _maybe_log_compaction(path, version, configuration)
     return version
 
 
@@ -2485,6 +2509,7 @@ def delete_where(
             _write_checkpoint(path, version)
         except DeltaConcurrentModification:  # pragma: no cover - benign race
             pass
+    _maybe_log_compaction(path, version, snap.configuration)
     return version
 
 
@@ -2661,6 +2686,7 @@ def update_where(
             _write_checkpoint(path, version)
         except DeltaConcurrentModification:  # pragma: no cover - benign race
             pass
+    _maybe_log_compaction(path, version, snap.configuration)
     return version
 
 
@@ -2824,6 +2850,7 @@ def merge_upsert(
             _write_checkpoint(path, version)
         except DeltaConcurrentModification:  # pragma: no cover - benign race
             pass
+    _maybe_log_compaction(path, version, snap.configuration)
     return version
 
 
@@ -2867,6 +2894,28 @@ def _commit_metadata_change(
     version = latest_version(path) + 1
     _publish_commit(path, version, actions)
     return version
+
+
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """Generic ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
+    table configuration as one metadata-only commit (the jar's surface
+    for free-form properties — retention windows, the engine-native
+    ``delta.logCompaction.interval`` auto-compaction cadence, user
+    annotations). Feature-backed properties have their dedicated
+    enable_* functions (which also install the protocol); this path
+    never touches the protocol. Returns the committed version."""
+    snap = snapshot(path)
+    conf = dict(snap.configuration)
+    conf.update({str(k): str(v) for k, v in props.items()})
+    return _commit_metadata_change(
+        path,
+        snap,
+        snap.schema,
+        snap.partition_columns,
+        conf,
+        "SET TBLPROPERTIES",
+        {"properties": json.dumps(dict(props), sort_keys=True)},
+    )
 
 
 def enable_column_mapping(path: str) -> int:

@@ -120,3 +120,64 @@ def test_compaction_keeps_domain_and_txn_state(spark, loc):
         for r in dl.read_delta_with_row_ids(spark, loc).collect()
     }
     assert got == want, "row-tracking domain hwm lost in compaction"
+
+
+def test_auto_compaction_policy(spark, loc):
+    _append(spark, loc, [(0, 0.0)])  # v0
+    dl.set_table_properties(loc, {"delta.logCompaction.interval": "3"})  # v1
+    for i in range(1, 8):  # v2-v8
+        _append(spark, loc, [(i, float(i))])
+    # windows anchor at version 0 (the checkpoint-interval convention):
+    # every (v+1) % 3 == 0 commit closes [v-2, v] — including the window
+    # that PREDATES the property (the commit-time config governs)
+    ranges = dl._compaction_ranges(loc)
+    assert ranges == {0: 2, 3: 5, 6: 8}
+    want = sorted(r.id for r in dl.read_delta(spark, loc).collect())
+    for v in range(0, 8):  # keep only the head commit + compactions
+        os.unlink(dl._commit_path(loc, v))
+    assert sorted(r.id for r in dl.read_delta(spark, loc).collect()) == want
+
+
+def test_auto_compaction_off_by_default(spark, loc):
+    for i in range(6):
+        _append(spark, loc, [(i, float(i))])
+    assert dl._compaction_ranges(loc) == {}
+
+
+def test_set_properties_and_compactlog_yaml_actor(spark, tmp_path):
+    from spark_etl_framework_spark.plans.runner import run_pipeline_file
+
+    loc = tmp_path / "t"
+    for i in range(4):
+        dl.write_delta(
+            spark.createDataFrame([(i, float(i))], "id int, v double"),
+            str(loc), mode="append",
+        )
+    ypath = tmp_path / "lc.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: props
+        actor:
+          type: delta-dml
+          properties:
+            op: setProperties
+            path: "{loc}"
+            set.delta.logCompaction.interval: "4"
+            set.custom.owner: "team-data"
+      - name: compact
+        actor:
+          type: delta-dml
+          properties:
+            op: compactLog
+            path: "{loc}"
+            startVersion: 0
+            endVersion: 3
+""")
+    run_pipeline_file(spark, str(ypath))
+    snap = dl.snapshot(str(loc))
+    assert snap.configuration["delta.logCompaction.interval"] == "4"
+    assert snap.configuration["custom.owner"] == "team-data"
+    assert os.path.exists(dl._compaction_path(str(loc), 0, 3))
