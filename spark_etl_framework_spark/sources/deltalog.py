@@ -5276,6 +5276,33 @@ class _DeltaFilePartition(InputPartition):
         self.partition_values = partition_values
 
 
+def _paced_latest(reader, head: int) -> dict:
+    """Rate-limited latestOffset shared by the log stream sources: with
+    ``maxVersionsPerTrigger=N`` each micro-batch advances at most N
+    versions past the last offset THIS reader handed out (re-synced to
+    the durably committed offset in ``commit()``, so a failed batch
+    never skips versions). Without the option the head returns directly.
+    The point at scale: a stream started with startingVersion=0 on a
+    100k-commit table otherwise plans its ENTIRE history as one giant
+    first micro-batch — pacing bounds every batch's task count and
+    checkpoint size.
+
+    CAVEAT (Python DataSourceStreamReader API): there is no admission
+    control (reportLatestOffset), so availableNow /
+    processAllAvailable may return between paced batches — a
+    continuously-running stream drains fully; one-shot drains should
+    poll until caught up."""
+    m = reader._max_per_trigger
+    if not m:
+        return {"version": head}
+    base = reader._paced_pos
+    if base is None:
+        base = int(reader.initialOffset()["version"])
+    nxt = min(head, base + m)
+    reader._paced_pos = nxt
+    return {"version": nxt}
+
+
 class DeltaLogStreamReader(DataSourceStreamReader):
     """Micro-batch source whose offsets are log versions — delta-spark's
     own streaming model (reference: etl/source/DeltaStreamReader.scala:
@@ -5302,6 +5329,11 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
         #: logical -> physical parquet column (identity unless mapped)
         self._phys = snap.physical_of
+        self._max_per_trigger = int(
+            options.get("maxversionspertrigger",
+                        options.get("maxVersionsPerTrigger", 0)) or 0
+        )
+        self._paced_pos = None
 
     def initialOffset(self):
         if str(self._starting).lower() == "latest":
@@ -5309,7 +5341,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         return {"version": int(self._starting) - 1}
 
     def latestOffset(self):
-        return {"version": latest_version(self._path)}
+        return _paced_latest(self, latest_version(self._path))
 
     def partitions(self, start, end):
         lo, hi = int(start["version"]), int(end["version"])
@@ -5372,6 +5404,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end) -> None:
+        # re-sync pacing to the durably committed offset: a failed or
+        # replayed batch can never skip versions
+        self._paced_pos = int(end["version"])
         return None
 
 
@@ -5409,6 +5444,11 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
         self._phys = snap.physical_of
         self._partition_columns = list(snap.partition_columns)
+        self._max_per_trigger = int(
+            options.get("maxversionspertrigger",
+                        options.get("maxVersionsPerTrigger", 0)) or 0
+        )
+        self._paced_pos = None
 
     def initialOffset(self):
         if str(self._starting).lower() == "latest":
@@ -5416,7 +5456,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         return {"version": int(self._starting) - 1}
 
     def latestOffset(self):
-        return {"version": latest_version(self._path)}
+        return _paced_latest(self, latest_version(self._path))
 
     def partitions(self, start, end):
         lo, hi = int(start["version"]), int(end["version"])
@@ -5497,6 +5537,9 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             ) + (partition.kind, partition.version, partition.ts)
 
     def commit(self, end) -> None:
+        # re-sync pacing to the durably committed offset: a failed or
+        # replayed batch can never skip versions
+        self._paced_pos = int(end["version"])
         return None
 
 

@@ -4015,6 +4015,11 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         #: inserts and full delete pre-images with
         #: _change_type/_change_ordinal/_commit_snapshot_id attached.
         self._cdf = _flag("readChangeFeed")
+        self._max_per_trigger = int(
+            options.get("maxsnapshotspertrigger",
+                        options.get("maxSnapshotsPerTrigger", 0)) or 0
+        )
+        self._paced_pos = None
         meta = load_metadata(self._loc)
         self._schema = iceberg_to_spark_schema(meta["schema"])
         # only IDENTITY partition values are schema columns; transformed
@@ -4025,7 +4030,17 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self):
-        return {"pos": len(load_metadata(self._loc).get("snapshots", []))}
+        head = len(load_metadata(self._loc).get("snapshots", []))
+        if not self._max_per_trigger:
+            return {"pos": head}
+        # paced: each micro-batch advances at most N snapshots past the
+        # last offset handed out (re-synced in commit() so failed
+        # batches never skip) — bounds first-batch size when tailing a
+        # long-history table from position 0
+        base = self._paced_pos if self._paced_pos is not None else 0
+        nxt = min(head, base + self._max_per_trigger)
+        self._paced_pos = nxt
+        return {"pos": nxt}
 
     def partitions(self, start, end):
         meta = load_metadata(self._loc)
@@ -4299,6 +4314,7 @@ class IcebergLogStreamReader(DataSourceStreamReader):
             yield tuple(pvals[c] if c in pvals else cols[c][i] for c in names)
 
     def commit(self, end) -> None:
+        self._paced_pos = int(end["pos"])
         return None
 
 
