@@ -2621,10 +2621,11 @@ def read_iceberg_changelog(
                 f for f in par_data
                 if os.path.basename(f["file_path"]) in named
             ]
-            df = _scan_files(victims, True).join(
-                F.broadcast(coords), ["__file_name", "__pos"], "left_semi"
-            )
-            parts.append(_emit(df, "delete", ordinal, sid))
+            if victims:  # every coordinate may dangle (foreign state)
+                df = _scan_files(victims, True).join(
+                    F.broadcast(coords), ["__file_name", "__pos"], "left_semi"
+                )
+                parts.append(_emit(df, "delete", ordinal, sid))
         for d in eq_new:
             eq_ids = d.get("equality_ids") or []
             name_of = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
