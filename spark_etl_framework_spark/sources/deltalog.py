@@ -4243,19 +4243,31 @@ def shallow_clone(
         if not k.startswith("delta.universalFormat")
     }
     ts_now = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": ts_now,
-                "operation": "CLONE",
-                "operationParameters": {
-                    "source": src,
-                    "sourceVersion": str(snap.version),
-                    "isShallow": "true",
-                },
-                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
-            }
+    commit_info: dict = {
+        "timestamp": ts_now,
+        "operation": "CLONE",
+        "operationParameters": {
+            "source": src,
+            "sourceVersion": str(snap.version),
+            "isShallow": "true",
         },
+        "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+    }
+    if str(
+        configuration.get("delta.enableInCommitTimestamps", "false")
+    ).lower() == "true":
+        # ICT enablement is per-LOG state: the source's enablement
+        # version points at a commit the clone does not have — re-pin it
+        # to the clone's own version 0, with the enablement timestamp
+        # equal to v0's inCommitTimestamp by construction (the same
+        # invariant enable_in_commit_timestamps establishes)
+        commit_info["inCommitTimestamp"] = ts_now
+        configuration["delta.inCommitTimestampEnablementVersion"] = "0"
+        configuration["delta.inCommitTimestampEnablementTimestamp"] = str(
+            ts_now
+        )
+    actions: list[dict] = [
+        {"commitInfo": commit_info},
         {"protocol": dict(snap.protocol)},
         {
             "metaData": {

@@ -2506,7 +2506,7 @@ def read_iceberg_changelog(
             f"read_iceberg_changelog: snapshot {from_snapshot_id} is not an "
             f"ancestor of {to_id} — the range crosses a rollback"
         )
-    schema = iceberg_to_spark_schema(meta["schema"])
+    schema = iceberg_to_spark_schema(_current_ice_schema(meta))
     partition_cols = _identity_names(_spec_entries(meta))
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in partition_cols]
@@ -2628,7 +2628,10 @@ def read_iceberg_changelog(
                 parts.append(_emit(df, "delete", ordinal, sid))
         for d in eq_new:
             eq_ids = d.get("equality_ids") or []
-            name_of = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+            name_of = {
+                f["id"]: f["name"]
+                for f in _current_ice_schema(meta)["fields"]
+            }
             keys = [name_of[i] for i in eq_ids]
             if not keys:
                 continue
@@ -4093,7 +4096,9 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         by_id = {s["snapshot-id"]: s for s in snaps}
         window = snaps[int(start["pos"]) : int(end["pos"])]
         parts: list[_IceChangePartition] = []
-        name_of = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+        name_of = {
+            f["id"]: f["name"] for f in _current_ice_schema(meta)["fields"]
+        }
         for idx, s in enumerate(window, start=int(start["pos"])):
             sid = s["snapshot-id"]
             op = s.get("summary", {}).get("operation", "append")

@@ -370,3 +370,25 @@ jobs:
 """)
     run_pipeline_file(spark, str(ypath))
     assert dl.read_delta(spark, str(dst)).count() == 2
+
+
+def test_shallow_clone_repins_ict_enablement(spark, loc, tmp_path):
+    _append(spark, loc, [(1, "a", 1.0)])
+    dl.enable_in_commit_timestamps(loc)
+    _append(spark, loc, [(2, "b", 2.0)])
+    dst = str(tmp_path / "clone")
+    dl.shallow_clone(spark, loc, dst)
+    conf = dl.snapshot(dst).configuration
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    # enablement re-pinned to the CLONE's own log (the source's
+    # enablement version names a commit the clone does not have)
+    assert conf["delta.inCommitTimestampEnablementVersion"] == "0"
+    ict0 = dl._ict_of_commit(dst, 0)
+    assert ict0 is not None
+    assert conf["delta.inCommitTimestampEnablementTimestamp"] == str(ict0)
+    # the monotonic chain continues on clone appends
+    dl.write_delta(
+        spark.createDataFrame([(3, "c", 3.0)], "id int, k string, v double"),
+        dst, mode="append",
+    )
+    assert dl._ict_of_commit(dst, 1) > ict0
