@@ -14,6 +14,7 @@ is Spark's own parquet/csv/json/text/binary scan):
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -24,6 +25,23 @@ from ..operators.base import Actor
 from ..plans.context import JobContext
 
 _FORMATS = ("csv", "json", "parquet", "avro", "orc", "text")
+
+log = logging.getLogger(__name__)
+
+
+def _hadoop_exists(spark: SparkSession, uri: str) -> bool:
+    """Driver-side existence check through the Hadoop FileSystem API —
+    works for any scheme the cluster's Hadoop conf resolves (local, HDFS,
+    s3a, ...), exactly the resolution ``spark.read.load`` would use. Any
+    error (bad scheme, auth) counts as "might exist": the real load then
+    runs and reports the real failure."""
+    try:
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+    except Exception:
+        return True
 
 #: positional DDL "user:1-9 string" → (name, start, length, type)
 _POS_FIELD = re.compile(r"^\s*(\w+)\s*:\s*(\d+)\s*-\s*(\d+)\s+(.+?)\s*$")
@@ -91,15 +109,38 @@ class FileReader(Actor):
         schema = self._schema()
         if schema is not None:
             reader = reader.schema(schema)
+        has_fallback = bool(
+            self.fallbackSqlString or (self.fallbackRead and schema is not None)
+        )
+        if has_fallback:
+            # Pre-check existence driver-side so the expected missing-path
+            # case falls back with ONE warning line instead of letting the
+            # JVM analyzer log a full FileNotFoundException stack trace
+            # (log4j WARN from FileStreamSink.hasMetadata) on a green run.
+            missing = [u for u in uris if not _hadoop_exists(spark, u)]
+            if missing:
+                log.warning(
+                    "FileReader: %d of %d input path(s) missing (e.g. %s) — "
+                    "using configured fallback without attempting the scan",
+                    len(missing), len(uris), missing[0],
+                )
+                return self._fallback(spark, schema)
         try:
             return reader.load(uris)
-        except Exception:
+        except Exception as e:
             # fallback-to-empty semantics (reference: FileReader.scala:92-119)
-            if self.fallbackSqlString:
-                return spark.sql(self.fallbackSqlString)
-            if self.fallbackRead and schema is not None:
-                return spark.createDataFrame([], schema)
+            if has_fallback:
+                log.warning(
+                    "FileReader: load failed (%s: %s) — using configured "
+                    "fallback", type(e).__name__, str(e).splitlines()[0],
+                )
+                return self._fallback(spark, schema)
             raise
+
+    def _fallback(self, spark: SparkSession, schema: T.StructType | None):
+        if self.fallbackSqlString:
+            return spark.sql(self.fallbackSqlString)
+        return spark.createDataFrame([], schema)
 
     def collect_metrics(self, df: DataFrame) -> dict[str, str]:
         """Per-file row counts (reference: FileReader.scala:109-119)."""
