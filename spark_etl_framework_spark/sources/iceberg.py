@@ -2454,6 +2454,9 @@ def read_iceberg_changelog(
     loc: str,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    compute_updates: bool = False,
+    identifier_columns: list[str] | None = None,
+    net_changes: bool = False,
 ) -> DataFrame:
     """CHANGELOG scan — the jar's ``create_changelog_view``: typed
     row-level changes between two snapshots (``from`` exclusive, ``to``
@@ -2463,6 +2466,24 @@ def read_iceberg_changelog(
     ``_change_ordinal`` (commit order in range), ``_commit_snapshot_id``.
     An UPDATE surfaces as its delete (pre-image) + insert pair, exactly
     how the spec's changelog scan renders row deltas.
+
+    ``compute_updates`` (the procedure's option of the same name, round
+    13): given ``identifier_columns`` (falls back to the schema's
+    ``identifier-field-ids`` when present), delete+insert pairs sharing
+    the identifier key WITHIN one commit fold into
+    ``update_preimage``/``update_postimage`` (this repo's CDF naming —
+    the jar renders the same pair as UPDATE_BEFORE/UPDATE_AFTER).
+    Carry-over rows — a row deleted and re-inserted bit-identically by
+    the same commit (copy-on-write rewrite residue) — are removed
+    first, exactly like the jar's iterator. Ambiguity (two deletes or
+    two inserts under one key in one commit) REFUSES loudly, as the jar
+    does. ``net_changes`` (mutually exclusive, like the jar): pairs of
+    bit-identical delete+insert rows cancel ACROSS the whole range and
+    each surviving row keeps its latest commit — a row inserted then
+    deleted inside the range vanishes. Both modes are pure DataFrame
+    post-passes over the raw changelog: one hash exchange keyed on the
+    identifier/content columns over O(change) rows, no extra table
+    scans.
 
     Per ancestor snapshot, the LOGICAL diff is computed from driver-side
     metadata: ``replace`` snapshots (compaction, manifest rewrites,
@@ -2479,7 +2500,24 @@ def read_iceberg_changelog(
     coordinates, or removed files — never a table scan; coordinate
     joins broadcast (delete sets are tiny next to data in any healthy
     table)."""
+    if compute_updates and net_changes:
+        raise ValueError(
+            "read_iceberg_changelog: net_changes must be False when "
+            "compute_updates is True (they answer different questions — "
+            "same rule as the jar's create_changelog_view)"
+        )
     meta = load_metadata(loc)
+    if compute_updates and not identifier_columns:
+        ice_schema0 = _current_ice_schema(meta)
+        ids = ice_schema0.get("identifier-field-ids") or []
+        name_of0 = {f["id"]: f["name"] for f in ice_schema0["fields"]}
+        identifier_columns = [name_of0[i] for i in ids if i in name_of0]
+        if not identifier_columns:
+            raise ValueError(
+                "read_iceberg_changelog: compute_updates needs identifier "
+                "columns — pass identifier_columns=[...] (the table schema "
+                "declares no identifier-field-ids)"
+            )
     snaps_by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     to_id = (
         to_snapshot_id
@@ -2650,11 +2688,111 @@ def read_iceberg_changelog(
             parts.append(_emit(df, "delete", ordinal, sid))
 
     if not parts:
-        return spark.createDataFrame([], out_schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        out = spark.createDataFrame([], out_schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    data_cols = [f.name for f in schema.fields]
+    if compute_updates:
+        bad = [c for c in identifier_columns if c not in data_cols]
+        if bad:
+            raise ValueError(
+                f"read_iceberg_changelog: identifier columns {bad} not in "
+                f"table schema {data_cols}"
+            )
+        out = _changelog_fold_updates(out, data_cols, identifier_columns)
+    elif net_changes:
+        out = _changelog_net_changes(out, data_cols)
     return out
+
+
+def _changelog_fold_updates(
+    df: DataFrame, data_cols: list[str], key_cols: list[str]
+) -> DataFrame:
+    """``compute_updates`` post-pass (the jar's ChangelogIterator): within
+    one commit ordinal, (1) cancel carry-over pairs — a row deleted and
+    re-inserted bit-identically by the same commit is copy-on-write
+    rewrite residue, not a change; (2) fold the surviving delete+insert
+    pair sharing the identifier key into update_preimage/update_postimage;
+    (3) REFUSE (executor-raised, no extra job) when a key has multiple
+    deletes or multiple inserts in one commit — folding would pair rows
+    arbitrarily, exactly the jar's error. Two window passes over O(change)
+    rows; the exchanges hash on (ordinal, content) then (ordinal, key)."""
+    from pyspark.sql import Window as W
+
+    grp = ["_change_ordinal", *data_cols]
+    w = W.partitionBy(*grp)
+    wt = W.partitionBy(*grp, "_change_type").orderBy(F.lit(1))
+    is_del = F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+    is_ins = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    df = (
+        df.withColumn("__n_del", F.sum(is_del).over(w))
+        .withColumn("__n_ins", F.sum(is_ins).over(w))
+        .withColumn("__rn", F.row_number().over(wt))
+        .where(F.col("__rn") > F.least("__n_del", "__n_ins"))
+        .drop("__n_del", "__n_ins", "__rn")
+    )
+    wk = W.partitionBy("_change_ordinal", *key_cols)
+    df = (
+        df.withColumn("__k_del", F.sum(is_del).over(wk))
+        .withColumn("__k_ins", F.sum(is_ins).over(wk))
+    )
+    both = (F.col("__k_del") >= 1) & (F.col("__k_ins") >= 1)
+    ambiguous = both & ((F.col("__k_del") > 1) | (F.col("__k_ins") > 1))
+    folded = (
+        F.when(
+            ambiguous,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "read_iceberg_changelog(compute_updates): multiple "
+                        "rows share identifier key ("
+                    ),
+                    F.concat_ws(
+                        ", ", *[F.col(c).cast("string") for c in key_cols]
+                    ),
+                    F.lit(") within one commit — cannot pair pre/post images"),
+                )
+            ).cast("string"),
+        )
+        .when(both & (F.col("_change_type") == "delete"),
+              F.lit("update_preimage"))
+        .when(both & (F.col("_change_type") == "insert"),
+              F.lit("update_postimage"))
+        .otherwise(F.col("_change_type"))
+    )
+    return (
+        df.withColumn("_change_type", folded)
+        .drop("__k_del", "__k_ins")
+    )
+
+
+def _changelog_net_changes(df: DataFrame, data_cols: list[str]) -> DataFrame:
+    """``net_changes`` post-pass (the jar's removeNetCarryovers): across
+    the WHOLE snapshot range, bit-identical delete+insert pairs cancel —
+    a row inserted then deleted inside the range vanishes; a row deleted
+    then re-inserted identically vanishes — and each surviving change
+    keeps its LATEST commit ordinal. One window pass hashing on the full
+    row content over O(change) rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*data_cols)
+    wt = W.partitionBy(*data_cols, "_change_type").orderBy(
+        F.col("_change_ordinal").desc(), F.col("_commit_snapshot_id").desc()
+    )
+    is_del = F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+    is_ins = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    n_mine = F.when(
+        F.col("_change_type") == "delete", F.col("__n_del")
+    ).otherwise(F.col("__n_ins"))
+    return (
+        df.withColumn("__n_del", F.sum(is_del).over(w))
+        .withColumn("__n_ins", F.sum(is_ins).over(w))
+        .withColumn("__rn", F.row_number().over(wt))
+        .where(F.col("__rn") <= n_mine - F.least("__n_del", "__n_ins"))
+        .drop("__n_del", "__n_ins", "__rn")
+    )
 
 
 def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict]):
