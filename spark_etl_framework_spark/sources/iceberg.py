@@ -136,7 +136,16 @@ def iceberg_to_spark_schema(ice: dict) -> T.StructType:
             p, s = ty[ty.index("(") + 1 : ty.index(")")].split(",")
             dt: T.DataType = T.DecimalType(int(p), int(s))
         else:
-            dt = _FROM_ICEBERG[ty]
+            try:
+                dt = _FROM_ICEBERG[ty]
+            except (KeyError, TypeError):
+                # v3 grew variant/geometry/geography/timestamp_ns/unknown —
+                # none implemented here; a silent fallback would misread
+                raise IcebergUnsupportedFormatVersion(
+                    f"iceberg column {f['name']!r} has type {ty!r}, which "
+                    "this reader does not implement (v3-era types are out "
+                    "of scope — see SUPPORTED_FORMAT_VERSIONS notes)"
+                ) from None
         out.append(T.StructField(f["name"], dt, not f.get("required", False)))
     return T.StructType(out)
 
@@ -158,10 +167,42 @@ def current_version(loc: str) -> int:
         return int(fh.read().strip())
 
 
-#: highest table ``format-version`` this module implements (v1 snapshots,
-#: v2 row-level deletes); v3 (row lineage / binary DVs / defaults) would
-#: silently misread — load_metadata refuses it loudly instead
-SUPPORTED_FORMAT_VERSIONS = (1, 2)
+#: table ``format-version``s this module implements: v1 snapshots, v2
+#: row-level deletes, and (round 13) the v3 slice this engine has real
+#: machinery for — row lineage (next-row-id / first_row_id inheritance,
+#: the delta row-tracking pattern) and binary deletion vectors (Puffin
+#: ``deletion-vector-v1`` blobs via the existing roaring codec). The v3
+#: features with NO machinery here — column default values, table
+#: encryption, the new variant/geometry/geography/timestamp_ns/unknown
+#: types — refuse loudly per feature instead of per version (the
+#: round-12 type-widening precedent: gate → capability, scoped).
+SUPPORTED_FORMAT_VERSIONS = (1, 2, 3)
+
+
+def _check_v3_scope(meta: dict, loc: str) -> None:
+    """Per-feature refusal for the v3 surface this module does NOT
+    implement — reading past any of these would silently misread (a
+    missing default misreads as null; an encrypted file as garbage)."""
+    if meta.get("encryption-keys"):
+        raise IcebergUnsupportedFormatVersion(
+            f"iceberg table {loc} declares encryption-keys (v3 table "
+            "encryption) — not implemented here; use a reader with key "
+            "management"
+        )
+    schemas = ([meta["schema"]] if "schema" in meta else []) + list(
+        meta.get("schemas", [])
+    )
+    for sch in schemas:
+        for f in sch.get("fields", []):
+            if f.get("initial-default") is not None or (
+                f.get("write-default") is not None
+            ):
+                raise IcebergUnsupportedFormatVersion(
+                    f"iceberg table {loc}: column {f['name']!r} carries a "
+                    "v3 default value (initial-default/write-default) — "
+                    "not implemented here; reading would substitute null "
+                    "for the declared default"
+                )
 
 
 def load_metadata(loc: str, version: int | None = None) -> dict:
@@ -176,11 +217,12 @@ def load_metadata(loc: str, version: int | None = None) -> dict:
     if fv not in SUPPORTED_FORMAT_VERSIONS:
         raise IcebergUnsupportedFormatVersion(
             f"iceberg table {loc} has format-version {fv}; this reader "
-            f"implements versions {list(SUPPORTED_FORMAT_VERSIONS)} — a v3+ "
-            "table (row lineage, binary deletion vectors, default values) "
-            "must not be read with v1/v2 semantics. Use a reader that "
-            "supports the table's format version."
+            f"implements versions {list(SUPPORTED_FORMAT_VERSIONS)} — a "
+            "newer table must not be read with older semantics. Use a "
+            "reader that supports the table's format version."
         )
+    if fv == 3:
+        _check_v3_scope(meta, loc)
     return meta
 
 
@@ -347,7 +389,19 @@ def _partition_avro_fields(
     return fields
 
 
-def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[dict], v3: bool = False
+) -> dict:
+    if v3:
+        # spec v3 §Manifests: first_row_id (field 142) — the starting
+        # _row_id assigned to the file's rows (row lineage); explicit
+        # values here mean readers never need manifest-list inheritance
+        partition_fields = list(partition_fields)
+        return _with_v3_entry_fields(
+            _manifest_entry_schema(partition_fields),
+            [{"name": "first_row_id", "type": ["null", "long"],
+              "default": None, "field-id": 142}],
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -472,9 +526,35 @@ _POS_DELETE_PATH_FID = 2147483546
 _POS_DELETE_POS_FID = 2147483545
 
 
-def _delete_manifest_entry_schema() -> dict:
+def _with_v3_entry_fields(schema: dict, extra: list[dict]) -> dict:
+    """Append v3 data_file fields to a manifest-entry avro schema."""
+    out = json.loads(json.dumps(schema))  # deep copy
+    for f in out["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"].extend(extra)
+            return out
+    raise AssertionError("manifest entry schema lacks data_file")
+
+
+def _delete_manifest_entry_schema(v3: bool = False) -> dict:
     """v2 manifest entry for DELETE files: data_file gains ``content``
-    (1 = position deletes, 2 = equality deletes) and ``equality_ids``."""
+    (1 = position deletes, 2 = equality deletes) and ``equality_ids``.
+    v3 adds the deletion-vector reference triplet (spec fields 143-145):
+    ``referenced_data_file`` names the ONE data file the DV applies to,
+    ``content_offset``/``content_size_in_bytes`` locate the
+    ``deletion-vector-v1`` blob inside its Puffin file."""
+    if v3:
+        return _with_v3_entry_fields(
+            _delete_manifest_entry_schema(),
+            [
+                {"name": "referenced_data_file", "type": ["null", "string"],
+                 "default": None, "field-id": 143},
+                {"name": "content_offset", "type": ["null", "long"],
+                 "default": None, "field-id": 144},
+                {"name": "content_size_in_bytes", "type": ["null", "long"],
+                 "default": None, "field-id": 145},
+            ],
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -919,6 +999,12 @@ def write_iceberg(
 
     entries = _stage_data_entries(df, loc, schema, spec_entries, snapshot_id)
 
+    fmt3 = bool(meta) and int(meta.get("format-version", 1)) >= 3
+    first_row_id = None
+    if fmt3:
+        meta = dict(meta)
+        first_row_id = _assign_first_row_ids(meta, entries)
+
     # ---- one manifest for this commit
     os.makedirs(_meta_dir(loc), exist_ok=True)
     pfields = _partition_avro_fields(schema, spec_entries)
@@ -934,7 +1020,7 @@ def write_iceberg(
     ]
     write_ocf(
         manifest_path,
-        _manifest_entry_schema(pfields),
+        _manifest_entry_schema(pfields, v3=fmt3),
         entries,
         metadata={
             "schema": json.dumps(ice_schema),
@@ -970,7 +1056,7 @@ def write_iceberg(
     # their snapshot ids, and the manifest-list entry preserves the
     # original sequence numbers so v2 inheritance stays exact.
     fmt = meta.get("format-version", 1) if meta else 1
-    new_seq = (meta.get("last-sequence-number", 0) + 1) if fmt == 2 else None
+    new_seq = (meta.get("last-sequence-number", 0) + 1) if fmt >= 2 else None
     prev: list[dict] = []
     base_id = (meta or {}).get("current-snapshot-id", -1)
     if branch is not None and meta:
@@ -1023,7 +1109,7 @@ def write_iceberg(
             )
             write_ocf(
                 new_path,
-                _manifest_entry_schema(pfields),
+                _manifest_entry_schema(pfields, v3=fmt3),
                 rewritten,
                 metadata={
                     "schema": json.dumps(ice_schema),
@@ -1048,7 +1134,7 @@ def write_iceberg(
     list_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
-    if fmt == 2:
+    if fmt >= 2:
         v2_new = _as_v2_list_entry(new_manifest)
         v2_new["sequence_number"] = v2_new["min_sequence_number"] = new_seq
         manifests = [_as_v2_list_entry(mf) for mf in prev] + [v2_new]
@@ -1075,11 +1161,13 @@ def write_iceberg(
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if first_row_id is not None:
+        snapshot["first-row-id"] = first_row_id
     if base_id != -1:
         # spec (Snapshots): parent-snapshot-id records COMMIT lineage —
         # what fast_forward's ancestry check and branch retention walk
         snapshot["parent-snapshot-id"] = base_id
-    if fmt == 2:
+    if fmt >= 2:
         snapshot["sequence-number"] = new_seq
     if meta is None:
         meta = {
@@ -1102,7 +1190,7 @@ def write_iceberg(
     meta["last-updated-ms"] = now_ms
     if sort_by:
         _register_sort_order(meta, ice_schema, list(sort_by))
-    if fmt == 2:
+    if fmt >= 2:
         meta["last-sequence-number"] = new_seq
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     if wap_id is not None:
@@ -1205,6 +1293,176 @@ def _upgrade_meta_v2(meta: dict) -> dict:
     return meta
 
 
+def upgrade_format_version(loc: str, to_version: int = 3) -> int:
+    """ALTER TABLE SET format-version — the jar's upgrade path. v1→v2
+    registers sequence numbers and the unpartitioned delete spec; →v3
+    additionally initializes ``next-row-id`` (row lineage): snapshots
+    committed AFTER the upgrade assign ``first_row_id`` to their data
+    files; pre-upgrade files keep null lineage (their rows read null
+    ``_row_id``), exactly the spec's upgrade rule. Downgrades refuse.
+    Returns the new format version. Reference: iceberg-spec §Table
+    Metadata format-version; the jar's
+    ``ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')``."""
+    meta = load_metadata(loc)
+    fv = int(meta.get("format-version", 1))
+    if to_version not in SUPPORTED_FORMAT_VERSIONS:
+        raise ValueError(
+            f"upgrade_format_version: target {to_version} not in "
+            f"{list(SUPPORTED_FORMAT_VERSIONS)}"
+        )
+    if to_version < fv:
+        raise ValueError(
+            f"upgrade_format_version: cannot downgrade v{fv} → "
+            f"v{to_version} (readers of the old version would misread "
+            "newer constructs)"
+        )
+    if to_version == fv:
+        return fv
+    meta = dict(meta)
+    if fv == 1:
+        meta = _upgrade_meta_v2(meta)
+    if to_version == 3:
+        meta["format-version"] = 3
+        # row lineage starts here: ids are assigned from next-row-id at
+        # each commit; nothing is assigned retroactively
+        meta.setdefault("next-row-id", 0)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(loc, current_version(loc) + 1, meta)
+    return to_version
+
+
+#: puffin-spec blob type for v3 position-delete bitmaps: a 4-byte BE
+#: length of (magic + vector), magic D1 D3 39 64, the 64-bit roaring
+#: bitmap in "portable" serialization, and a BE CRC-32 of magic+vector —
+#: bit-identical to delta's DV payload framing (sources/roaring.py
+#: encode_dv_blob/decode_dv_blob), which iceberg v3 adopted deliberately
+_DELETION_VECTOR_BLOB_TYPE = "deletion-vector-v1"
+
+
+def _prior_dv_map(meta: dict, snap: dict) -> dict[str, tuple[str, int, int]]:
+    """Current deletion vectors by referenced data file path:
+    ``{data file → (puffin path, blob offset, blob length)}`` — driver
+    metadata, one entry per DV'd file."""
+    _data, dels = _scan_snapshot(meta, snap)
+    out: dict[str, tuple[str, int, int]] = {}
+    for d in dels:
+        ref = d.get("referenced_data_file")
+        if int(d.get("content", 0)) == 1 and ref:
+            out[ref] = (
+                d["file_path"],
+                int(d.get("content_offset") or 0),
+                int(d.get("content_size_in_bytes") or 0),
+            )
+    return out
+
+
+def _stage_deletion_vectors(
+    spark: SparkSession,
+    matched: DataFrame,
+    loc: str,
+    snapshot_id: int,
+    prior_dvs: dict[str, tuple[str, int, int]],
+) -> tuple[list[dict], int]:
+    """Stage a (file_path, pos) DataFrame as v3 DELETION VECTORS: one
+    Puffin ``deletion-vector-v1`` blob per affected data file, all blobs
+    in ONE puffin file per commit (the spec's recommended layout).
+
+    The v3 replacement rule: a file's new DV must contain every
+    previously deleted position too, so each blob unions the prior DV's
+    positions (``prior_dvs``, driver-small descriptors captured by the
+    closure) before encoding. Encoding runs EXECUTOR-side per file group
+    (``applyInPandas`` — positions never materialize on the driver);
+    only the finished compressed bitmaps (KBs per file) collect, and one
+    driver write assembles the puffin file. Returns (delete manifest
+    entries carrying the spec's 143-145 reference triplet, newly-deleted
+    row count)."""
+    import pandas as pd
+
+    prior = dict(prior_dvs)
+
+    def fold(key, pdf):
+        from .roaring import decode_dv_blob, encode_dv_blob
+
+        fp = key[0]
+        positions = {int(p) for p in pdf["pos"]}
+        n_new = len(positions)
+        pr = prior.get(fp)
+        if pr is not None:
+            path, off, ln = pr
+            with open(path, "rb") as fh:
+                fh.seek(off)
+                buf = fh.read(ln)
+            positions |= decode_dv_blob(buf, 0)
+        return pd.DataFrame(
+            {
+                "file_path": [fp],
+                "blob": [encode_dv_blob(sorted(positions))],
+                "card": [len(positions)],
+                "n_new": [n_new],
+            }
+        )
+
+    rows = (
+        matched.groupBy("file_path")
+        .applyInPandas(
+            fold, "file_path string, blob binary, card long, n_new long"
+        )
+        .collect()
+    )
+    if not rows:
+        return [], 0
+    rows = sorted(rows, key=lambda r: r.file_path)
+    blobs = []
+    offsets: list[tuple[int, int]] = []  # (offset, length) per blob
+    off = len(_PUFFIN_MAGIC)
+    for r in rows:
+        payload = bytes(r.blob)
+        blobs.append(
+            (
+                {
+                    "type": _DELETION_VECTOR_BLOB_TYPE,
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": -1,
+                    "properties": {
+                        "referenced-data-file": r.file_path,
+                        "cardinality": str(int(r.card)),
+                    },
+                },
+                payload,
+            )
+        )
+        offsets.append((off, len(payload)))
+        off += len(payload)
+    dv_path = os.path.join(loc, "data", f"{uuid.uuid4().hex}-deletes.puffin")
+    os.makedirs(os.path.dirname(dv_path), exist_ok=True)
+    _write_puffin(dv_path, blobs)
+    size = os.path.getsize(dv_path)
+    entries = []
+    for r, (boff, blen) in zip(rows, offsets):
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit from the list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # position deletes (vector form)
+                    "file_path": dv_path,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": int(r.card),
+                    "file_size_in_bytes": size,
+                    "equality_ids": None,
+                    "referenced_data_file": r.file_path,
+                    "content_offset": boff,
+                    "content_size_in_bytes": blen,
+                },
+            }
+        )
+    return entries, int(sum(r.n_new for r in rows))
+
+
 def _stage_position_deletes(
     matched: DataFrame, loc: str, snapshot_id: int
 ) -> tuple[list[dict], int]:
@@ -1262,13 +1520,22 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
     files, cur_deletes = _scan_snapshot(meta, snap)
     if not files:
         return None, None
+    fmt3 = int(meta.get("format-version", 1)) >= 3
     schema = iceberg_to_spark_schema(meta["schema"])
     # only IDENTITY partition values reattach as data columns; transformed
     # entries (bucket/day/...) are derived metadata, never output columns
     partition_cols = _identity_names(_spec_entries(meta))
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in partition_cols]
-    )
+    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    if fmt3:
+        # v3 row lineage: files rewritten by UPDATE/compaction MATERIALIZE
+        # the lineage columns; older files read them as null and inherit
+        # from first_row_id/__seq instead (spec inheritance rule)
+        data_fields += [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField("_last_updated_sequence_number",
+                          T.LongType(), True),
+        ]
+    data_schema = T.StructType(data_fields)
     df = (
         spark.read.schema(data_schema)
         .parquet(*[f["file_path"] for f in files])
@@ -1284,6 +1551,8 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
         + [T.StructField(c, ptypes[c], True) for c in partition_cols]
         + [T.StructField("__seq", T.LongType(), False),
            T.StructField("__path", T.StringType(), False)]
+        + ([T.StructField("__first_row_id", T.LongType(), True)]
+           if fmt3 else [])
     )
     fmap = spark.createDataFrame(
         [
@@ -1293,6 +1562,7 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
                   for c in partition_cols],
                 int(f.get("__seq", 0)),
                 f["file_path"],
+                *([f.get("first_row_id")] if fmt3 else []),
             )
             for f in files
         ],
@@ -1303,6 +1573,78 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
         # rows already dead must neither re-match nor resurrect
         df = _apply_deletes(spark, df, cur_deletes)
     return df, schema
+
+
+def _assign_first_row_ids(meta: dict, entries: list[dict]) -> int | None:
+    """v3 row lineage (spec §Row Lineage): stamp ``first_row_id`` on this
+    commit's ADDED data entries from the table's ``next-row-id`` counter,
+    record_count apart, advancing the counter — pure metadata arithmetic,
+    no data pass. Mutates ``meta``. Returns the snapshot's first-row-id,
+    or None on a pre-v3 table."""
+    if int(meta.get("format-version", 1)) < 3:
+        return None
+    next_row = int(meta.get("next-row-id", 0))
+    first = next_row
+    for e in entries:
+        e["data_file"]["first_row_id"] = next_row
+        next_row += int(e["data_file"]["record_count"])
+    meta["next-row-id"] = next_row
+    return first
+
+
+def _drop_replaced_dvs(
+    loc: str, manifests: list[dict], replaced: set[str]
+) -> list[dict]:
+    """Rewrite prior DELETE manifests without the deletion-vector entries
+    whose ``referenced_data_file`` is being replaced by this commit (v3:
+    one DV per data file, the new DV's positions are a superset).
+    Untouched manifests pass through byte-identical; inherited sequence
+    numbers are made explicit on the survivors so the rewrite can never
+    change their delete semantics."""
+    out: list[dict] = []
+    for mf in manifests:
+        if mf.get("content", 0) != 1:
+            out.append(mf)
+            continue
+        _es, _em, m_entries = read_ocf(mf["manifest_path"])
+        live = [e for e in m_entries if e["status"] != 2]
+        kept = [
+            e for e in live
+            if e["data_file"].get("referenced_data_file") not in replaced
+        ]
+        if len(kept) == len(live):
+            out.append(mf)
+            continue
+        if not kept:
+            continue  # every entry replaced: manifest drops from the list
+        mf_seq = mf.get("sequence_number") or 0
+        rewritten = []
+        for e in kept:
+            e2 = dict(e, status=0)  # EXISTING
+            if e2.get("sequence_number") is None:
+                e2["sequence_number"] = mf_seq
+            if e2.get("file_sequence_number") is None:
+                e2["file_sequence_number"] = mf_seq
+            rewritten.append(e2)
+        new_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
+        write_ocf(
+            new_path,
+            _delete_manifest_entry_schema(v3=True),
+            rewritten,
+            metadata={"format-version": "3", "content": "deletes"},
+        )
+        mf2 = dict(mf)
+        mf2["manifest_path"] = new_path
+        mf2["manifest_length"] = os.path.getsize(new_path)
+        mf2["added_files_count"] = 0
+        mf2["existing_files_count"] = len(rewritten)
+        mf2["deleted_files_count"] = len(live) - len(kept)
+        mf2["added_rows_count"] = 0
+        mf2["existing_rows_count"] = sum(
+            e["data_file"]["record_count"] for e in rewritten
+        )
+        out.append(mf2)
+    return out
 
 
 def _commit_row_delta(
@@ -1319,17 +1661,30 @@ def _commit_row_delta(
     """Publish one v2 snapshot carrying a position-delete manifest and
     (optionally) a data manifest — the spec's row-delta commit shape
     (DELETE emits deletes only; UPDATE/MERGE emit both atomically)."""
-    if meta.get("format-version", 1) != 2:
+    if meta.get("format-version", 1) < 2:
         meta = _upgrade_meta_v2(meta)
+    fmt3 = int(meta.get("format-version", 1)) >= 3
     new_seq = meta.get("last-sequence-number", 0) + 1
 
     _s, _m, prev = read_ocf(snap["manifest-list"])
     manifests = [_as_v2_list_entry(mf) for mf in prev]
+    if fmt3:
+        # v3 invariant: at most ONE deletion vector per data file — the
+        # DV committed here REPLACES any prior DV for the same file (its
+        # positions are a superset), so prior delete manifests rewrite
+        # without the replaced entries (O(delete manifests), metadata)
+        replaced = {
+            e["data_file"].get("referenced_data_file")
+            for e in delete_entries
+            if e["data_file"].get("referenced_data_file")
+        }
+        if replaced:
+            manifests = _drop_replaced_dvs(loc, manifests, replaced)
 
     manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
         manifest_path,
-        _delete_manifest_entry_schema(),
+        _delete_manifest_entry_schema(v3=fmt3),
         delete_entries,
         metadata={
             "schema": json.dumps(meta["schema"]),
@@ -1356,7 +1711,10 @@ def _commit_row_delta(
             "deleted_rows_count": 0,
         }
     )
+    first_row_id = int(meta.get("next-row-id", 0)) if fmt3 else None
     if data_entries:
+        if fmt3:
+            _assign_first_row_ids(meta, data_entries)
         pfields = _partition_avro_fields(
             iceberg_to_spark_schema(meta["schema"]), _spec_entries(meta)
         )
@@ -1365,7 +1723,7 @@ def _commit_row_delta(
         )
         write_ocf(
             data_manifest,
-            _manifest_entry_schema(pfields),
+            _manifest_entry_schema(pfields, v3=fmt3),
             data_entries,
             metadata={
                 "schema": json.dumps(meta["schema"]),
@@ -1408,6 +1766,8 @@ def _commit_row_delta(
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if first_row_id is not None:
+        snapshot["first-row-id"] = first_row_id
     meta["last-updated-ms"] = now_ms
     meta["last-sequence-number"] = new_seq
     meta["current-snapshot-id"] = snapshot_id
@@ -1441,21 +1801,32 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
     df, schema = _mor_scan(spark, loc, meta, snap)
     if df is None:
         return None
-    matched = (
-        df.filter(predicate)
-        .select(F.col("__path").alias("file_path"),
-                F.col("__pos").alias("pos"))
-        # range-partition so each delete FILE is sorted by (file_path,
-        # pos) as the spec requires; AQE coalesces the tiny ones
-        .repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .withMetadata("file_path", {"parquet.field.id": _POS_DELETE_PATH_FID})
-        .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
-    )
-
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
-    delete_entries, total = _stage_position_deletes(matched, loc, snapshot_id)
+    if int(meta.get("format-version", 1)) >= 3:
+        # v3: position deletes MUST be deletion vectors (puffin blobs)
+        matched = df.filter(predicate).select(
+            F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        delete_entries, total = _stage_deletion_vectors(
+            spark, matched, loc, snapshot_id, _prior_dv_map(meta, snap)
+        )
+    else:
+        matched = (
+            df.filter(predicate)
+            .select(F.col("__path").alias("file_path"),
+                    F.col("__pos").alias("pos"))
+            # range-partition so each delete FILE is sorted by (file_path,
+            # pos) as the spec requires; AQE coalesces the tiny ones
+            .repartitionByRange("file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .withMetadata("file_path",
+                          {"parquet.field.id": _POS_DELETE_PATH_FID})
+            .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
+        )
+        delete_entries, total = _stage_position_deletes(
+            matched, loc, snapshot_id
+        )
     if not delete_entries:
         return None
 
@@ -1493,32 +1864,64 @@ def update_where(
 
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    fmt3 = int(meta.get("format-version", 1)) >= 3
 
-    coords = (
-        matched.select(
+    if fmt3:
+        coords = matched.select(
             F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
         )
-        .repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .withMetadata("file_path", {"parquet.field.id": _POS_DELETE_PATH_FID})
-        .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
-    )
-    delete_entries, total = _stage_position_deletes(coords, loc, snapshot_id)
+        delete_entries, total = _stage_deletion_vectors(
+            spark, coords, loc, snapshot_id, _prior_dv_map(meta, snap)
+        )
+    else:
+        coords = (
+            matched.select(
+                F.col("__path").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .repartitionByRange("file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .withMetadata("file_path",
+                          {"parquet.field.id": _POS_DELETE_PATH_FID})
+            .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
+        )
+        delete_entries, total = _stage_position_deletes(
+            coords, loc, snapshot_id
+        )
     if not delete_entries:
         return None
 
-    updated = matched.select(
-        *[
-            (
-                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
-                if f.name in assignments
-                else F.col(f.name)
-            )
-            for f in schema.fields
+    out_cols = [
+        (
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+        )
+        for f in schema.fields
+    ]
+    stage_schema = schema
+    if fmt3:
+        # v3 row lineage preservation (spec §Row Lineage): the rewritten
+        # copies MATERIALIZE their original _row_id (inherited or already
+        # materialized) and this commit's sequence number — computed from
+        # columns the MoR scan already carries, no extra pass
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        out_cols += [
+            F.coalesce(
+                F.col("_row_id"), F.col("__first_row_id") + F.col("__pos")
+            ).alias("_row_id"),
+            F.lit(new_seq).cast("long")
+            .alias("_last_updated_sequence_number"),
         ]
-    )
+        stage_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_row_id", T.LongType(), True),
+               T.StructField("_last_updated_sequence_number",
+                             T.LongType(), True)]
+        )
+    updated = matched.select(*out_cols)
     data_entries = _stage_data_entries(
-        updated, loc, schema, _spec_entries(meta), snapshot_id
+        updated, loc, stage_schema, _spec_entries(meta), snapshot_id
     )
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
@@ -1658,7 +2061,29 @@ def rewrite_data_files(
     df, schema = _mor_scan(spark, loc, meta, snap)
     if df is None:
         return None
-    live = df.select(*[F.col(f.name) for f in schema.fields])
+    fmt3 = int(meta.get("format-version", 1)) >= 3
+    live_cols = [F.col(f.name) for f in schema.fields]
+    stage_schema = schema
+    if fmt3:
+        # v3 row lineage preservation on compaction (spec §Row Lineage):
+        # rewritten copies MATERIALIZE their id + last-update sequence —
+        # a compaction changes layout, never lineage
+        live_cols += [
+            F.coalesce(
+                F.col("_row_id"), F.col("__first_row_id") + F.col("__pos")
+            ).alias("_row_id"),
+            F.coalesce(
+                F.col("_last_updated_sequence_number"),
+                F.when(F.col("__first_row_id").isNotNull(), F.col("__seq")),
+            ).alias("_last_updated_sequence_number"),
+        ]
+        stage_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_row_id", T.LongType(), True),
+               T.StructField("_last_updated_sequence_number",
+                             T.LongType(), True)]
+        )
+    live = df.select(*live_cols)
 
     layout_cols = list(sort_by or []) if strategy == "sort" else list(
         zorder_by or []
@@ -1703,16 +2128,19 @@ def rewrite_data_files(
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
     spec = _spec_entries(meta)
     data_entries = _stage_data_entries(
-        live, loc, schema, spec, snapshot_id
+        live, loc, stage_schema, spec, snapshot_id
     )
-    if meta.get("format-version", 1) != 2:
+    if meta.get("format-version", 1) < 2:
         meta = _upgrade_meta_v2(meta)
+    if fmt3:
+        meta = dict(meta)
+        _assign_first_row_ids(meta, data_entries)
     new_seq = meta.get("last-sequence-number", 0) + 1
     pfields = _partition_avro_fields(schema, spec)
     manifest_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
         manifest_path,
-        _manifest_entry_schema(pfields),
+        _manifest_entry_schema(pfields, v3=fmt3),
         data_entries,
         metadata={
             "schema": json.dumps(meta["schema"]),
@@ -1807,7 +2235,11 @@ def rewrite_position_delete_files(spark: SparkSession, loc: str) -> dict | None:
         _es, _em, entries = read_ocf(mf["manifest_path"])
         live = [e for e in entries if e["status"] != 2]
         if live and all(
-            int(e["data_file"].get("content", 0)) == 1 for e in live
+            int(e["data_file"].get("content", 0)) == 1
+            # v3 deletion vectors are puffin blobs, not parquet coordinate
+            # files — already one-per-data-file minimal; keep verbatim
+            and not e["data_file"].get("referenced_data_file")
+            for e in live
         ):
             pure_pos.append(mf)
             for e in live:
@@ -1841,7 +2273,7 @@ def rewrite_position_delete_files(spark: SparkSession, loc: str) -> dict | None:
                 pass
         return None
 
-    if meta.get("format-version", 1) != 2:  # pragma: no cover - v2 by here
+    if meta.get("format-version", 1) < 2:  # pragma: no cover - v2+ by here
         meta = _upgrade_meta_v2(meta)
     new_seq = meta.get("last-sequence-number", 0) + 1
     manifests = list(data_mfs) + list(kept_mfs)
@@ -1949,13 +2381,13 @@ def rewrite_manifests(loc: str) -> dict:
     partition_spec = meta.get("partition-spec", [])
     entries: list[dict] = []
     for mf in data:
-        mf_seq = (mf.get("sequence_number") or 0) if fmt == 2 else None
+        mf_seq = (mf.get("sequence_number") or 0) if fmt >= 2 else None
         _es, _em, m_entries = read_ocf(mf["manifest_path"])
         for e in m_entries:
             if e["status"] == 2:
                 continue
             e2 = dict(e, status=0)  # EXISTING, original snapshot_id kept
-            if fmt == 2:
+            if fmt >= 2:
                 # EXPLICIT per-entry sequence (spec fields 3/4): the
                 # consolidated manifest mixes commits, so inheritance
                 # from ONE list-entry number would mis-sequence them
@@ -1974,7 +2406,7 @@ def rewrite_manifests(loc: str) -> dict:
     new_path = os.path.join(_meta_dir(loc), f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
         new_path,
-        _manifest_entry_schema(pfields),
+        _manifest_entry_schema(pfields, v3=fmt >= 3),
         entries,
         metadata={
             "schema": json.dumps(meta["schema"]),
@@ -1998,7 +2430,7 @@ def rewrite_manifests(loc: str) -> dict:
         ),
         "deleted_rows_count": 0,
     }
-    if fmt == 2:
+    if fmt >= 2:
         entry["content"] = 0
         entry["sequence_number"] = meta.get("last-sequence-number", 0) + 1
         entry["min_sequence_number"] = min(
@@ -2008,7 +2440,7 @@ def rewrite_manifests(loc: str) -> dict:
     list_path = os.path.join(
         _meta_dir(loc), f"snap-{new_id}-1-{uuid.uuid4().hex}.avro"
     )
-    if fmt == 2:
+    if fmt >= 2:
         write_ocf(list_path, _MANIFEST_FILE_SCHEMA_V2,
                   [_as_v2_list_entry(mf) for mf in new_list],
                   metadata={"format-version": "2"})
@@ -2028,7 +2460,7 @@ def rewrite_manifests(loc: str) -> dict:
         "schema-id": 0,
     }
     meta = dict(meta)
-    if fmt == 2:
+    if fmt >= 2:
         new_seq = meta.get("last-sequence-number", 0) + 1
         snapshot["sequence-number"] = new_seq
         meta["last-sequence-number"] = new_seq
@@ -2275,13 +2707,24 @@ def read_iceberg(
     as_of_timestamp: int | None = None,
     where: str | None = None,
     ref: str | None = None,
+    with_row_lineage: bool = False,
 ) -> DataFrame:
     """Materialize a snapshot; identity partition values come TYPED from
     the manifests and broadcast onto ``input_file_name()`` — the fact
     scan stays exchange-free, any data layout reads correctly.
     ``where`` additionally DATA-SKIPS: the file list prunes against the
     manifests' column bounds before the scan plans (the jar's scan
-    planning does exactly this), then applies as a row filter."""
+    planning does exactly this), then applies as a row filter.
+
+    ``with_row_lineage`` (v3, round 13) appends the spec's two lineage
+    metadata columns: ``_row_id`` — materialized value when the file
+    carries one (UPDATE/compaction rewrites), else inherited as the
+    file's ``first_row_id`` + row position — and
+    ``_last_updated_sequence_number`` — materialized, else the file's
+    data sequence number. Files committed before the v3 upgrade have no
+    assigned first_row_id and read null lineage, per the upgrade rule.
+    Zero extra I/O: the ids ride the same broadcast file map and
+    ``_metadata.row_index`` the MoR machinery already uses."""
     meta = load_metadata(loc)
     schema = iceberg_to_spark_schema(meta["schema"])
     snap = _pick_snapshot(meta, snapshot_id, as_of_timestamp, ref)
@@ -2294,32 +2737,48 @@ def read_iceberg(
             files, meta, where,
             tz=spark.conf.get("spark.sql.session.timeZone", "UTC"),
         )
+    out_fields = list(schema.fields)
+    if with_row_lineage:
+        out_fields += [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField("_last_updated_sequence_number",
+                          T.LongType(), True),
+        ]
     if not files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], T.StructType(out_fields))
     # identity values reattach as data columns; TRANSFORMED partition
     # values (bucket/day/... — hidden partitioning) exist only for the
     # plan-time pruning above and never surface as output columns
     partition_cols = _identity_names(_spec_entries(meta))
     paths = [f["file_path"] for f in files]
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in partition_cols]
-    )
+    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    if with_row_lineage:
+        data_fields += [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField("_last_updated_sequence_number",
+                          T.LongType(), True),
+        ]
+    data_schema = T.StructType(data_fields)
     df = spark.read.schema(data_schema).parquet(*paths)
-    needs_meta = bool(partition_cols) or bool(delete_files)
+    needs_meta = (
+        bool(partition_cols) or bool(delete_files) or with_row_lineage
+    )
     if needs_meta:
         df = df.withColumn(
             "__file_name",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         )
-    if delete_files:
+    if delete_files or with_row_lineage:
         df = df.withColumn("__pos", F.col("_metadata.row_index"))
-    if partition_cols or delete_files:
+    if needs_meta:
         # one broadcast map: basename → typed partition values + data seq
         ptypes = {f.name: f.dataType for f in schema.fields}
         map_schema = T.StructType(
             [T.StructField("__file_name", T.StringType(), False)]
             + [T.StructField(c, ptypes[c], True) for c in partition_cols]
             + [T.StructField("__seq", T.LongType(), False)]
+            + ([T.StructField("__first_row_id", T.LongType(), True)]
+               if with_row_lineage else [])
         )
         fmap = spark.createDataFrame(
             [
@@ -2330,6 +2789,7 @@ def read_iceberg(
                         for c in partition_cols
                     ],
                     int(f.get("__seq", 0)),
+                    *([f.get("first_row_id")] if with_row_lineage else []),
                 )
                 for f in files
             ],
@@ -2338,7 +2798,20 @@ def read_iceberg(
         df = df.join(F.broadcast(fmap), "__file_name", "left")
     if delete_files:
         df = _apply_deletes(spark, df, delete_files)
-    df = df.select(*[F.col(f.name) for f in schema.fields])
+    out_cols = [F.col(f.name) for f in schema.fields]
+    if with_row_lineage:
+        out_cols += [
+            F.coalesce(
+                F.col("_row_id"), F.col("__first_row_id") + F.col("__pos")
+            ).alias("_row_id"),
+            # pre-upgrade files (no assigned first_row_id, nothing
+            # materialized) read NULL lineage, per the upgrade rule
+            F.coalesce(
+                F.col("_last_updated_sequence_number"),
+                F.when(F.col("__first_row_id").isNotNull(), F.col("__seq")),
+            ).alias("_last_updated_sequence_number"),
+        ]
+    df = df.select(*out_cols)
     return df.filter(where) if where else df
 
 
@@ -2633,11 +3106,46 @@ def read_iceberg_changelog(
                 df = _apply_deletes(spark, df, par_dels)
             parts.append(_emit(df, "delete", ordinal, sid))
 
-        # delete files ADDED at this snapshot: row-level deletes
-        par_del_paths = {d["file_path"] for d in par_dels}
-        new_dels = [d for d in cur_dels if d["file_path"] not in par_del_paths]
-        pos_new = [d for d in new_dels if int(d.get("content", 0)) == 1]
+        # delete files ADDED at this snapshot: row-level deletes.
+        # identity key includes the blob offset — a v3 commit packs many
+        # deletion vectors into ONE puffin file path
+        def _del_key(d: dict):
+            return (d["file_path"], d.get("content_offset"))
+
+        par_del_keys = {_del_key(d) for d in par_dels}
+        new_dels = [d for d in cur_dels if _del_key(d) not in par_del_keys]
+        pos_all = [d for d in new_dels if int(d.get("content", 0)) == 1]
+        pos_new = [d for d in pos_all if not d.get("referenced_data_file")]
+        dv_new = [d for d in pos_all if d.get("referenced_data_file")]
         eq_new = [d for d in new_dels if int(d.get("content", 0)) == 2]
+        if dv_new:
+            # v3 deletion vectors REPLACE the parent's DV for the same
+            # data file with a superset — the logical delta of this
+            # commit is (new DV) MINUS (parent DV), decoded executor-side
+            prior_map = {
+                d["referenced_data_file"]: (
+                    d["file_path"],
+                    int(d.get("content_offset") or 0),
+                    int(d.get("content_size_in_bytes") or 0),
+                )
+                for d in par_dels
+                if int(d.get("content", 0)) == 1
+                and d.get("referenced_data_file")
+            }
+            coords = _dv_delta_coords(spark, dv_new, prior_map)
+            named = {
+                os.path.basename(d["referenced_data_file"]) for d in dv_new
+            }
+            victims = [
+                f for f in par_data
+                if os.path.basename(f["file_path"]) in named
+            ]
+            if victims:
+                df = _scan_files(victims, True).join(
+                    F.broadcast(coords), ["__file_name", "__pos"],
+                    "left_semi",
+                )
+                parts.append(_emit(df, "delete", ordinal, sid))
         if pos_new:
             coords = spark.read.schema("file_path string, pos long").parquet(
                 *[d["file_path"] for d in pos_new]
@@ -2795,6 +3303,120 @@ def _changelog_net_changes(df: DataFrame, data_cols: list[str]) -> DataFrame:
     )
 
 
+def _dv_dead_positions(
+    spark: SparkSession, dv_files: list[dict]
+) -> DataFrame:
+    """Decode v3 deletion-vector blobs into a broadcastable
+    ``(__file_name, __pos, __del_seq)`` relation. Descriptors are
+    driver-small (one row per DV'd file); the bitmap decode runs
+    EXECUTOR-side in an Arrow batch — a DV can carry millions of
+    positions, they never materialize on the driver (the same shape as
+    deltalog's _subtract_dvs)."""
+    spec = spark.createDataFrame(
+        [
+            (
+                os.path.basename(d["referenced_data_file"]),
+                d["file_path"],
+                int(d.get("content_offset") or 0),
+                int(d.get("content_size_in_bytes") or 0),
+                int(d.get("__seq", 0)),
+            )
+            for d in dv_files
+        ],
+        "`__file_name` string, `__puffin` string, `__off` long, "
+        "`__len` long, `__del_seq` long",
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from .roaring import decode_dv_blob
+
+        for pdf in batches:
+            names: list[str] = []
+            poss: list[int] = []
+            seqs: list[int] = []
+            for name, path, off, _ln, seq in zip(
+                pdf["__file_name"], pdf["__puffin"], pdf["__off"],
+                pdf["__len"], pdf["__del_seq"],
+            ):
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    # decode_dv_blob reads its own BE length prefix and
+                    # verifies magic + CRC — _ln is the manifest's claim
+                    buf = fh.read(int(_ln)) if int(_ln) > 0 else fh.read()
+                for p in sorted(decode_dv_blob(buf, 0)):
+                    names.append(name)
+                    poss.append(p)
+                    seqs.append(int(seq))
+            yield pd.DataFrame(
+                {"__file_name": names, "__pos": poss, "__del_seq": seqs}
+            )
+
+    return F.broadcast(
+        spec.mapInPandas(
+            gen, "`__file_name` string, `__pos` long, `__del_seq` long"
+        )
+    )
+
+
+def _dv_delta_coords(
+    spark: SparkSession,
+    dv_entries: list[dict],
+    prior_map: dict[str, tuple[str, int, int]],
+) -> DataFrame:
+    """``(__file_name, __pos)`` rows NEWLY deleted by these deletion
+    vectors: each new DV's positions minus its predecessor's for the
+    same data file (v3 replacement rule — the new DV is a superset).
+    Descriptors are driver-small; bitmap decode + subtraction run
+    executor-side in Arrow batches."""
+    spec = spark.createDataFrame(
+        [
+            (
+                os.path.basename(d["referenced_data_file"]),
+                d["file_path"],
+                int(d.get("content_offset") or 0),
+                int(d.get("content_size_in_bytes") or 0),
+                *(prior_map.get(d["referenced_data_file"])
+                  or (None, None, None)),
+            )
+            for d in dv_entries
+        ],
+        "`__file_name` string, `__puffin` string, `__off` long, "
+        "`__len` long, `__p_puffin` string, `__p_off` long, `__p_len` long",
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from .roaring import decode_dv_blob
+
+        def _read(path, off, ln):
+            with open(path, "rb") as fh:
+                fh.seek(int(off))
+                buf = fh.read(int(ln)) if ln and int(ln) > 0 else fh.read()
+            return decode_dv_blob(buf, 0)
+
+        for pdf in batches:
+            names: list[str] = []
+            poss: list[int] = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                positions = _read(r["__puffin"], r["__off"], r["__len"])
+                if r["__p_puffin"] is not None and not pd.isna(
+                    r["__p_puffin"]
+                ):
+                    positions -= _read(
+                        r["__p_puffin"], r["__p_off"], r["__p_len"]
+                    )
+                for p in sorted(positions):
+                    names.append(r["__file_name"])
+                    poss.append(p)
+            yield pd.DataFrame({"__file_name": names, "__pos": poss})
+
+    return spec.mapInPandas(gen, "`__file_name` string, `__pos` long")
+
+
 def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict]):
     """Merge-on-read: subtract v2 delete files from the scan.
 
@@ -2810,8 +3432,24 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict])
     joins broadcast the delete side. A pathological delete set falls
     back to a shuffled anti-join via AQE — still no row of TEXT moves
     twice, only join keys."""
+    dv_files = [
+        f for f in delete_files
+        if f.get("content", 0) == 1 and f.get("referenced_data_file")
+    ]
+    if dv_files:
+        dead = _dv_dead_positions(spark, dv_files)
+        df = df.join(
+            dead,
+            on=[
+                df["__file_name"] == dead["__file_name"],
+                df["__pos"] == dead["__pos"],
+                dead["__del_seq"] >= df["__seq"],
+            ],
+            how="left_anti",
+        )
     pos_paths = [f["file_path"] for f in delete_files
-                 if f.get("content", 0) == 1]
+                 if f.get("content", 0) == 1
+                 and not f.get("referenced_data_file")]
     if pos_paths:
         dels = (
             spark.read.parquet(*pos_paths)
@@ -3321,7 +3959,7 @@ def cherrypick_snapshot(
         _meta_dir(loc), f"snap-{new_id}-1-{uuid.uuid4().hex}.avro"
     )
     new_seq = None
-    if fmt == 2:
+    if fmt >= 2:
         # the published commit gets the NEXT sequence number; the picked
         # manifests re-sequence to it (their staged sequence was never
         # published, so inheriting it could collide with main's history)
@@ -3352,7 +3990,7 @@ def cherrypick_snapshot(
     }
     if cur_id is not None and cur_id != -1:
         published["parent-snapshot-id"] = cur_id
-    if fmt == 2:
+    if fmt >= 2:
         published["sequence-number"] = new_seq
     meta = dict(meta)
     meta["snapshots"] = snaps + [published]
@@ -3360,7 +3998,7 @@ def cherrypick_snapshot(
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": now_ms, "snapshot-id": new_id}
     ]
-    if fmt == 2:
+    if fmt >= 2:
         meta["last-sequence-number"] = new_seq
     meta["last-updated-ms"] = now_ms
     _publish_metadata(loc, current_version(loc) + 1, meta)
@@ -4114,7 +4752,8 @@ class _IceChangePartition(InputPartition):
     """
 
     def __init__(self, kind, path, pvals, sid, ordinal,
-                 file_map=None, coord_paths=None, keys=None, eq_dels=None):
+                 file_map=None, coord_paths=None, keys=None, eq_dels=None,
+                 dv_blob=None, dv_prior=None, dv_ref=None, dv_coords=None):
         self.kind = kind
         self.path = path
         self.partition_values = pvals or {}
@@ -4126,6 +4765,15 @@ class _IceChangePartition(InputPartition):
         #: (delete_file_path, key_columns) pairs of the PARENT's equality
         #: deletes that apply to this (strictly older) data file
         self.eq_dels = eq_dels or []
+        #: kind="dv-delete" (v3): (offset, length) of the new DV blob in
+        #: ``path`` (a puffin file), the predecessor DV's (path, offset,
+        #: length) or None, and the referenced data file's basename
+        self.dv_blob = dv_blob
+        self.dv_prior = dv_prior
+        self.dv_ref = dv_ref
+        #: PARENT deletion vectors as (puffin, offset, length, basename) —
+        #: rows they kill are already dead for file-delete/eq-delete scans
+        self.dv_coords = dv_coords or []
 
 
 class IcebergLogStreamReader(DataSourceStreamReader):
@@ -4253,6 +4901,18 @@ class IcebergLogStreamReader(DataSourceStreamReader):
             par_pos_paths = [
                 d["file_path"] for d in par_dels
                 if int(d.get("content", 0)) == 1
+                and not d.get("referenced_data_file")
+            ]
+            par_dvs = [
+                (
+                    d["file_path"],
+                    int(d.get("content_offset") or 0),
+                    int(d.get("content_size_in_bytes") or 0),
+                    os.path.basename(d["referenced_data_file"]),
+                )
+                for d in par_dels
+                if int(d.get("content", 0)) == 1
+                and d.get("referenced_data_file")
             ]
             par_eq = [
                 (
@@ -4277,20 +4937,42 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                 if f["file_path"] not in cur_paths:
                     parts.append(_IceChangePartition(
                         "file-delete", f["file_path"], _pv(f), sid, idx,
-                        coord_paths=par_pos_paths,
+                        coord_paths=par_pos_paths, dv_coords=par_dvs,
                         eq_dels=[
                             (p, ks) for p, ks, dseq in par_eq
                             if ks and dseq > int(f.get("__seq", 0))
                         ]))
-            par_del_paths = {d["file_path"] for d in par_dels}
+            # identity key includes the blob offset — a v3 commit packs
+            # many deletion vectors into ONE puffin file path
+            par_del_keys = {
+                (d["file_path"], d.get("content_offset")) for d in par_dels
+            }
             fmap = {
                 os.path.basename(f["file_path"]): (f["file_path"], _pv(f))
                 for f in par_data
             }
             for d in cur_dels:
-                if d["file_path"] in par_del_paths:
+                if (d["file_path"], d.get("content_offset")) in par_del_keys:
                     continue
-                if int(d.get("content", 0)) == 1:
+                if int(d.get("content", 0)) == 1 and d.get(
+                    "referenced_data_file"
+                ):
+                    # v3 DV: the new vector REPLACES its predecessor with
+                    # a superset — the executor emits (new − prior) rows
+                    base = os.path.basename(d["referenced_data_file"])
+                    prior = next(
+                        ((p, o, ln) for p, o, ln, b in par_dvs if b == base),
+                        None,
+                    )
+                    parts.append(_IceChangePartition(
+                        "dv-delete", d["file_path"], {}, sid, idx,
+                        file_map=fmap,
+                        dv_blob=(
+                            int(d.get("content_offset") or 0),
+                            int(d.get("content_size_in_bytes") or 0),
+                        ),
+                        dv_prior=prior, dv_ref=base))
+                elif int(d.get("content", 0)) == 1:
                     parts.append(_IceChangePartition(
                         "pos-delete", d["file_path"], {}, sid, idx,
                         file_map=fmap, coord_paths=par_pos_paths))
@@ -4306,7 +4988,7 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                         parts.append(_IceChangePartition(
                             "eq-delete", d["file_path"], {}, sid, idx,
                             file_map=older, coord_paths=par_pos_paths,
-                            keys=keys))
+                            dv_coords=par_dvs, keys=keys))
         return parts
 
     def _load_cols(self, path: str):
@@ -4327,12 +5009,24 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                 ]
         return cols, tbl.num_rows
 
-    def _dead_positions(self, coord_paths: list[str], basename: str) -> set:
+    def _dead_positions(
+        self, coord_paths: list[str], basename: str, dv_coords=None
+    ) -> set:
         """Positions named for ``basename`` by the given position-delete
-        files (executor-side, tiny by construction)."""
+        files and deletion vectors (executor-side, tiny by
+        construction)."""
         import pyarrow.parquet as pq
 
+        from .roaring import decode_dv_blob
+
         dead: set[int] = set()
+        for puffin, off, ln, b in dv_coords or []:
+            if b != basename:
+                continue
+            with open(puffin, "rb") as fh:
+                fh.seek(int(off))
+                buf = fh.read(int(ln)) if int(ln) > 0 else fh.read()
+            dead |= decode_dv_blob(buf, 0)
         for p in coord_paths:
             t = pq.read_table(p)
             for fp, pos in zip(
@@ -4369,6 +5063,7 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                     self._dead_positions(
                         partition.coord_paths,
                         os.path.basename(partition.path),
+                        partition.dv_coords,
                     )
                     if partition.kind == "file-delete"
                     else set()
@@ -4393,6 +5088,31 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                         )
                     ),
                 )
+                return
+            if partition.kind == "dv-delete":
+                from .roaring import decode_dv_blob
+
+                def _blob(path, off, ln):
+                    with open(path, "rb") as fh:
+                        fh.seek(int(off))
+                        buf = (
+                            fh.read(int(ln)) if ln and int(ln) > 0
+                            else fh.read()
+                        )
+                    return decode_dv_blob(buf, 0)
+
+                off, ln = partition.dv_blob
+                positions = _blob(partition.path, off, ln)
+                if partition.dv_prior is not None:
+                    positions -= _blob(*partition.dv_prior)
+                base = partition.dv_ref
+                if base in partition.file_map:
+                    path, pvals = partition.file_map[base]
+                    cols, n = self._load_cols(path)
+                    yield from self._emit_change(
+                        partition, path, pvals,
+                        ((cols, i) for i in sorted(positions) if i < n),
+                    )
                 return
             if partition.kind == "pos-delete":
                 t = pq.read_table(partition.path)
@@ -4421,7 +5141,9 @@ class IcebergLogStreamReader(DataSourceStreamReader):
             )
             for base, (path, pvals) in sorted(partition.file_map.items()):
                 cols, n = self._load_cols(path)
-                dead = self._dead_positions(partition.coord_paths, base)
+                dead = self._dead_positions(
+                    partition.coord_paths, base, partition.dv_coords
+                )
                 yield from self._emit_change(
                     partition, path, pvals,
                     (

@@ -148,7 +148,10 @@ def test_reader_actor_branch_and_tag_options(spark, loc, sf_dir):
         r3.run(jctx, spark)
 
 
-def test_format_version_3_refused_loudly(spark, loc):
+def test_format_version_4_refused_loudly_v3_reads(spark, loc):
+    """Round 13 turned the v3 gate into scoped capability — a v3 table
+    with none of the out-of-scope features reads fine; v4 (which does
+    not exist upstream yet) still refuses loudly."""
     _write(spark, loc, range(2), mode="overwrite")
     v = ice.current_version(loc)
     p = os.path.join(loc, "metadata", f"v{v}.metadata.json")
@@ -157,8 +160,12 @@ def test_format_version_3_refused_loudly(spark, loc):
     meta["format-version"] = 3
     with open(p, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
+    assert ice.read_iceberg(spark, loc).count() == 2
+    meta["format-version"] = 4
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
     with pytest.raises(
-        ice.IcebergUnsupportedFormatVersion, match="format-version 3"
+        ice.IcebergUnsupportedFormatVersion, match="format-version 4"
     ):
         ice.read_iceberg(spark, loc)
 

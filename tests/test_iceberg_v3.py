@@ -1,0 +1,389 @@
+"""Iceberg format-version 3 — scoped capability (round 13).
+
+The v3 slice this engine has real machinery for, following the round-12
+type-widening precedent (gate → capability):
+
+- ``upgrade_format_version``: v1/v2 → v3 metadata upgrade (next-row-id
+  initialized, downgrades refuse).
+- Deletion vectors: on a v3 table every position delete is a Puffin
+  ``deletion-vector-v1`` blob (the roaring codec delta DVs already use —
+  iceberg adopted delta's byte framing); a file's new DV REPLACES its
+  predecessor with a superset and the prior manifest entry drops
+  (one-DV-per-file invariant). Reads subtract executor-side.
+- Row lineage: appends assign ``first_row_id`` from ``next-row-id``;
+  UPDATE/compaction rewrites MATERIALIZE ``_row_id`` /
+  ``_last_updated_sequence_number``; ``read_iceberg(...,
+  with_row_lineage=True)`` surfaces both, null for pre-upgrade files.
+- Changelog (batch + streaming): a DV commit's logical delta is
+  (new DV − prior DV), never a re-emit of previously dead rows.
+- Out-of-scope v3 features refuse loudly per feature: default values,
+  table encryption, the new variant/geometry/... column types.
+
+Reference: iceberg-spec v3 (row lineage, deletion vectors,
+puffin-spec deletion-vector-v1); the jar reads what it ships
+(etl/source/IcebergReader.scala:12-30).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from spark_etl_framework_spark.sources import iceberg as ice
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _write(spark, loc, rows, mode="append"):
+    df = spark.createDataFrame(rows, "id int, s string")
+    return ice.write_iceberg(df.coalesce(1), loc, mode=mode)
+
+
+def _v3(spark, loc, n=8):
+    _write(spark, loc, [(i, f"s{i}") for i in range(n)], mode="overwrite")
+    ice.upgrade_format_version(loc, 3)
+    return loc
+
+
+def _edit_meta(loc, fn):
+    v = ice.current_version(loc)
+    p = os.path.join(loc, "metadata", f"v{v}.metadata.json")
+    with open(p, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    fn(meta)
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+# ---------------------------------------------------------------------------
+# upgrade
+# ---------------------------------------------------------------------------
+
+
+def test_upgrade_v1_to_v3(spark, loc):
+    _write(spark, loc, [(1, "a")], mode="overwrite")
+    meta = ice.load_metadata(loc)
+    assert int(meta.get("format-version", 1)) == 1
+    assert ice.upgrade_format_version(loc, 3) == 3
+    meta = ice.load_metadata(loc)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 0
+    # v2 machinery registered on the way up
+    assert meta["last-sequence-number"] == 0
+    assert ice.read_iceberg(spark, loc).count() == 1
+
+
+def test_upgrade_v2_to_v3_and_idempotence(spark, loc):
+    _write(spark, loc, [(1, "a"), (2, "b")], mode="overwrite")
+    ice.delete_where(spark, loc, "id = 1")  # upgrades to v2
+    assert ice.load_metadata(loc)["format-version"] == 2
+    assert ice.upgrade_format_version(loc, 3) == 3
+    assert ice.upgrade_format_version(loc, 3) == 3  # no-op, no new version
+    assert ice.read_iceberg(spark, loc).count() == 1
+
+
+def test_downgrade_refuses(spark, loc):
+    _v3(spark, loc)
+    with pytest.raises(ValueError, match="downgrade"):
+        ice.upgrade_format_version(loc, 2)
+
+
+# ---------------------------------------------------------------------------
+# scoped refusals (foreign v3 metadata)
+# ---------------------------------------------------------------------------
+
+
+def test_default_values_refuse(spark, loc):
+    _v3(spark, loc)
+
+    def fn(meta):
+        for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+            if sch:
+                sch["fields"][1]["initial-default"] = "zz"
+
+    _edit_meta(loc, fn)
+    with pytest.raises(
+        ice.IcebergUnsupportedFormatVersion, match="default value"
+    ):
+        ice.read_iceberg(spark, loc)
+
+
+def test_encryption_refuses(spark, loc):
+    _v3(spark, loc)
+    _edit_meta(loc, lambda m: m.update(
+        {"encryption-keys": [{"key-id": "k1"}]}
+    ))
+    with pytest.raises(
+        ice.IcebergUnsupportedFormatVersion, match="encryption"
+    ):
+        ice.read_iceberg(spark, loc)
+
+
+def test_v3_new_types_refuse(spark, loc):
+    _v3(spark, loc)
+
+    def fn(meta):
+        for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+            if sch:
+                sch["fields"][1]["type"] = "variant"
+
+    _edit_meta(loc, fn)
+    with pytest.raises(
+        ice.IcebergUnsupportedFormatVersion, match="variant"
+    ):
+        ice.read_iceberg(spark, loc)
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def test_v3_delete_writes_puffin_dv(spark, loc):
+    _v3(spark, loc)
+    assert ice.delete_where(spark, loc, "id in (1, 5)") is not None
+    meta = ice.load_metadata(loc)
+    _files, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    assert len(dels) == 1
+    d = dels[0]
+    assert d["file_format"] == "PUFFIN"
+    assert d["referenced_data_file"].endswith(".parquet")
+    assert int(d["content_size_in_bytes"]) > 0
+    assert int(d["record_count"]) == 2
+    # blob is spec-framed: read it back through the puffin footer
+    pf = ice.read_puffin(d["file_path"])
+    blob = pf["blobs"][0]
+    assert blob["type"] == "deletion-vector-v1"
+    assert blob["properties"]["cardinality"] == "2"
+    from spark_etl_framework_spark.sources.roaring import decode_dv_blob
+
+    assert decode_dv_blob(bytes(blob["payload"]), 0) == {1, 5}
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 2, 3, 4, 6, 7]
+
+
+def test_second_dv_unions_and_replaces(spark, loc):
+    _v3(spark, loc)
+    ice.delete_where(spark, loc, "id in (1, 5)")
+    ice.delete_where(spark, loc, "id = 2")
+    meta = ice.load_metadata(loc)
+    _files, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    # one-DV-per-file invariant: the old entry dropped, the new one
+    # carries the union
+    assert len(dels) == 1
+    assert int(dels[0]["record_count"]) == 3
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 3, 4, 6, 7]
+
+
+def test_dv_update_roundtrip(spark, loc):
+    _v3(spark, loc)
+    ice.update_where(spark, loc, "id = 4", {"s": "'four'"})
+    got = {(r.id, r.s) for r in ice.read_iceberg(spark, loc).collect()}
+    assert (4, "four") in got and len(got) == 8
+
+
+def test_v2_parquet_deletes_coexist_with_dvs(spark, loc):
+    """A table upgraded mid-life keeps its v2-era parquet position
+    deletes; new commits add DVs — the scan subtracts both."""
+    _write(spark, loc, [(i, f"s{i}") for i in range(8)], mode="overwrite")
+    ice.delete_where(spark, loc, "id = 0")  # v2 parquet coordinates
+    ice.upgrade_format_version(loc, 3)
+    ice.delete_where(spark, loc, "id = 7")  # v3 DV
+    meta = ice.load_metadata(loc)
+    _files, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    kinds = sorted(
+        "dv" if d.get("referenced_data_file") else "parquet" for d in dels
+    )
+    assert kinds == ["dv", "parquet"]
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# row lineage
+# ---------------------------------------------------------------------------
+
+
+def test_appends_assign_row_ids(spark, loc):
+    _v3(spark, loc, n=3)  # pre-upgrade file: null lineage
+    _write(spark, loc, [(10, "x"), (11, "y")])
+    _write(spark, loc, [(12, "z")])
+    meta = ice.load_metadata(loc)
+    assert meta["next-row-id"] == 3
+    lin = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    assert lin[0] == (None, None) and lin[2] == (None, None)
+    assert lin[10][0] == 0 and lin[11][0] == 1 and lin[12][0] == 2
+    assert lin[12][1] is not None  # data sequence number inherited
+
+
+def test_update_preserves_row_id_bumps_sequence(spark, loc):
+    _v3(spark, loc, n=0 or 3)
+    _write(spark, loc, [(10, "x"), (11, "y")])
+    before = {
+        r.id: r._row_id
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    ice.update_where(spark, loc, "id = 11", {"s": "'Y'"})
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number, r.s)
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    assert after[11][0] == before[11]
+    assert after[11][2] == "Y"
+    assert after[10][0] == before[10]
+    # the rewritten copy's sequence advanced past the insert's
+    assert after[11][1] > after[10][1]
+
+
+def test_compaction_preserves_assigned_lineage(spark, loc):
+    """Assigned lineage survives compaction bit-for-bit; pre-upgrade
+    rows (never assigned) get ids LAZILY at their first rewrite — the
+    spec's lazy-assignment rule — stamped with the compaction's
+    sequence number."""
+    _v3(spark, loc, n=3)
+    _write(spark, loc, [(10, "x"), (11, "y")])
+    ice.delete_where(spark, loc, "id = 10")
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    assert before[0] == (None, None)  # pre-upgrade: unassigned
+    ice.rewrite_data_files(spark, loc, strategy="binpack")
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    assert after[11] == before[11]  # assigned: preserved exactly
+    ids = [v[0] for v in after.values()]
+    assert None not in ids and len(set(ids)) == len(ids)  # all assigned now
+    assert ice.load_metadata(loc)["next-row-id"] > 2
+
+
+def test_delete_only_commit_keeps_counter(spark, loc):
+    _v3(spark, loc, n=3)
+    _write(spark, loc, [(10, "x")])
+    n0 = ice.load_metadata(loc)["next-row-id"]
+    ice.delete_where(spark, loc, "id = 0")
+    meta = ice.load_metadata(loc)
+    assert meta["next-row-id"] == n0
+    snap = ice._pick_snapshot(meta)
+    assert snap["first-row-id"] == n0  # recorded even with no rows added
+
+
+# ---------------------------------------------------------------------------
+# changelog over DVs
+# ---------------------------------------------------------------------------
+
+
+def _mk_history(spark, loc):
+    _v3(spark, loc)
+    ice.delete_where(spark, loc, "id in (1, 2)")
+    ice.delete_where(spark, loc, "id = 3")
+    ice.update_where(spark, loc, "id = 4", {"s": "'u'"})
+
+
+_EXPECTED = sorted(
+    [(0, "insert", i) for i in range(8)]
+    + [(1, "delete", 1), (1, "delete", 2), (2, "delete", 3),
+       (3, "delete", 4), (3, "insert", 4)]
+)
+
+
+def test_batch_changelog_emits_dv_deltas_once(spark, loc):
+    _mk_history(spark, loc)
+    got = sorted(
+        (r._change_ordinal, r._change_type, r.id)
+        for r in ice.read_iceberg_changelog(spark, loc).collect()
+    )
+    assert got == _EXPECTED
+
+
+def test_stream_changelog_matches_batch_over_dvs(spark, loc):
+    import uuid as _uuid
+
+    from spark_etl_framework_spark.plans.context import (
+        JobContext,
+        PipelineContext,
+    )
+    from spark_etl_framework_spark.streaming.readers import (
+        IcebergStreamReader,
+    )
+
+    _mk_history(spark, loc)
+    ice.rewrite_data_files(spark, loc, strategy="binpack")  # streams nothing
+    r = IcebergStreamReader(table=loc)
+    r._props["options.readChangeFeed"] = "true"
+    sdf = r.run(JobContext(PipelineContext(), spark), spark)
+    qn = f"v3s_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r._change_ordinal, r._change_type, r.id)
+        for r in spark.sql(f"select * from {qn}").collect()
+    )
+    assert got == _EXPECTED
+
+
+def test_changelog_compute_updates_over_dvs(spark, loc):
+    _mk_history(spark, loc)
+    got = sorted(
+        (r._change_ordinal, r._change_type, r.id)
+        for r in ice.read_iceberg_changelog(
+            spark, loc, compute_updates=True, identifier_columns=["id"]
+        ).collect()
+    )
+    assert (3, "update_preimage", 4) in got
+    assert (3, "update_postimage", 4) in got
+
+
+# ---------------------------------------------------------------------------
+# maintenance interplay
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_position_deletes_keeps_dvs_verbatim(spark, loc):
+    _v3(spark, loc)
+    ice.delete_where(spark, loc, "id = 1")
+    assert ice.rewrite_position_delete_files(spark, loc) is None
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_rewrite_manifests_preserves_first_row_id(spark, loc):
+    _v3(spark, loc, n=2)
+    _write(spark, loc, [(10, "x")])
+    _write(spark, loc, [(11, "y")])
+    ice.rewrite_manifests(loc)
+    meta = ice.load_metadata(loc)
+    files, _dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    by_first = {f.get("first_row_id") for f in files}
+    assert 0 in by_first and 1 in by_first  # both appends' ids survive
+    lin = {
+        r.id: r._row_id
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    assert lin[10] == 0 and lin[11] == 1
