@@ -4453,13 +4453,18 @@ def enable_uniform(path: str) -> int:
     return version
 
 
-def _delta_append_range(path: str, from_v: int, to_v: int) -> set | None:
-    """The set of data-file paths ADDED by delta commits ``(from_v,
-    to_v]`` — or None when the range is not provably append-only
-    (a remove = rewrite/delete, a metaData = schema/partition change,
-    a missing commit JSON = cleaned log). O(changed commits), never a
+def _delta_change_range(
+    path: str, from_v: int, to_v: int
+) -> tuple[set, set] | None:
+    """The NET (added, removed) data-file path sets of delta commits
+    ``(from_v, to_v]`` — or None when the range is not incrementally
+    mirrorable (a metaData = schema/partition change, a missing commit
+    JSON = cleaned log). A path added then removed inside the range
+    nets to removed (a no-op against a mirror that never saw it);
+    removed then re-added nets to added. O(changed commits), never a
     snapshot replay."""
     added: set = set()
+    removed: set = set()
     for v in range(from_v + 1, to_v + 1):
         p = _commit_path(path, v)
         if not os.path.exists(p):
@@ -4470,11 +4475,17 @@ def _delta_append_range(path: str, from_v: int, to_v: int) -> set | None:
                 if not line:
                     continue
                 act = json.loads(line)
-                if "remove" in act or "metaData" in act:
+                if "metaData" in act:
                     return None
                 if "add" in act:
-                    added.add(unquote(act["add"]["path"]))
-    return added
+                    fp = unquote(act["add"]["path"])
+                    added.add(fp)
+                    removed.discard(fp)
+                elif "remove" in act:
+                    fp = unquote(act["remove"]["path"])
+                    removed.add(fp)
+                    added.discard(fp)
+    return added, removed
 
 
 def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
@@ -4488,15 +4499,17 @@ def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
     summary). Zero bytes of data move.
 
     INCREMENTAL when the delta range since the last synced version is
-    provably append-only (:func:`_delta_append_range`): ONE new
-    manifest holding just the appended files, the previous snapshot's
-    manifest-list entries carried over verbatim — O(appended) manifest
-    entries per commit, the same byte-reuse trick the iceberg writer
-    uses for dynamic overwrite (round-11 judge order item 8; before
-    this, a million-file table paid a full O(live) mirror on every
-    small append). Any remove / schema change / cleaned log falls back
-    to the always-correct full-state mirror. Returns the iceberg
-    snapshot id."""
+    pure add/remove commits (:func:`_delta_change_range`): ONE new
+    manifest holds just the appended files and — round 13's delete
+    half — only the prior manifests that actually NAME a removed file
+    are rewritten without those entries; everything else carries over
+    verbatim (byte-reuse, the same trick the iceberg writer uses for
+    dynamic overwrite). O(appended + affected manifests) per commit;
+    before round 12/13, a million-file table paid a full O(live)
+    mirror on every small append or delete. A schema/partition change
+    (metaData action) or a cleaned log falls back to the
+    always-correct full-state mirror. Returns the iceberg snapshot
+    id."""
     from . import iceberg as ice
 
     snap = snapshot(path, version)
@@ -4538,11 +4551,14 @@ def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
         return (lower or None), (upper or None)
 
     # ---- incremental eligibility: an existing mirror whose last synced
-    # delta version is behind us by an append-only range
+    # delta version is behind us by a range of pure add/remove commits
+    # (schema/partition changes and cleaned logs fall back to the
+    # always-correct full-state mirror)
     v = ice.current_version(path)
     prev_meta = prev_ice_snap = None
     files_to_mirror = snap.files
     incremental = False
+    removed_paths: set = set()
     if v > 0:
         prev_meta = ice.load_metadata(path)
         cur_id = prev_meta.get("current-snapshot-id")
@@ -4557,8 +4573,9 @@ def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
             else -1
         )
         if prev_ice_snap is not None and 0 <= prev_dv < snap.version:
-            added = _delta_append_range(path, prev_dv, snap.version)
-            if added is not None:
+            changes = _delta_change_range(path, prev_dv, snap.version)
+            if changes is not None:
+                added, removed_paths = changes
                 files_to_mirror = [
                     f for f in snap.files if f.path in added
                 ]
@@ -4614,11 +4631,69 @@ def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
     os.makedirs(ice._meta_dir(path), exist_ok=True)
     new_rows = sum(e["data_file"]["record_count"] for e in entries)
     list_entries: list[dict] = []
+    removed_files = removed_rows = 0
     if incremental:
         # byte-reuse: the previous snapshot's manifests carry over
         # verbatim (their avro files are never re-read or re-written);
-        # only the appended files get a new manifest
-        _ps, _pm, list_entries = ice.read_ocf(prev_ice_snap["manifest-list"])
+        # only the appended files get a new manifest. DELETE/rewrite
+        # commits (round 13): ONLY the manifests that actually name a
+        # removed file are rewritten without those entries — O(affected
+        # manifests + appended files), never an O(live) re-mirror
+        _ps, _pm, prev_list = ice.read_ocf(prev_ice_snap["manifest-list"])
+        if not removed_paths:
+            list_entries = prev_list
+        else:
+            removed_abs = {os.path.join(path, p) for p in removed_paths}
+            for mf in prev_list:
+                _es, _em, m_entries = ice.read_ocf(mf["manifest_path"])
+                live = [e for e in m_entries if e["status"] != 2]
+                kept = [
+                    e for e in live
+                    if e["data_file"]["file_path"] not in removed_abs
+                ]
+                if len(kept) == len(live):
+                    list_entries.append(mf)  # untouched: reuse verbatim
+                    continue
+                dropped = [
+                    e for e in live
+                    if e["data_file"]["file_path"] in removed_abs
+                ]
+                removed_files += len(dropped)
+                removed_rows += sum(
+                    int(e["data_file"]["record_count"]) for e in dropped
+                )
+                if not kept:
+                    continue  # fully emptied: drops from the list
+                rewritten = [dict(e, status=0) for e in kept]  # EXISTING
+                new_mpath = os.path.join(
+                    ice._meta_dir(path), f"{uuid.uuid4().hex}-m0.avro"
+                )
+                ice.write_ocf(
+                    new_mpath,
+                    ice._manifest_entry_schema(pfields),
+                    rewritten,
+                    metadata={
+                        "schema": json.dumps(ice_schema),
+                        "partition-spec": json.dumps(partition_spec),
+                        "partition-spec-id": "0",
+                        "format-version": "1",
+                        "content": "data",
+                    },
+                )
+                mf2 = dict(mf)
+                mf2["manifest_path"] = new_mpath
+                mf2["manifest_length"] = os.path.getsize(new_mpath)
+                mf2["added_data_files_count"] = 0
+                mf2["existing_data_files_count"] = len(rewritten)
+                mf2["deleted_data_files_count"] = len(dropped)
+                mf2["added_rows_count"] = 0
+                mf2["existing_rows_count"] = sum(
+                    int(e["data_file"]["record_count"]) for e in rewritten
+                )
+                mf2["deleted_rows_count"] = sum(
+                    int(e["data_file"]["record_count"]) for e in dropped
+                )
+                list_entries.append(mf2)
     if entries or not incremental:
         manifest_path = os.path.join(
             ice._meta_dir(path), f"{uuid.uuid4().hex}-m0.avro"
@@ -4658,20 +4733,34 @@ def sync_uniform_iceberg(path: str, version: int | None = None) -> int:
     # full-state path recomputes them exactly
     if incremental:
         prev_sum = prev_ice_snap.get("summary") or {}
-        total_files = int(prev_sum.get("total-data-files", 0)) + len(entries)
-        total_rows = int(prev_sum.get("total-records", 0)) + new_rows
+        total_files = (
+            int(prev_sum.get("total-data-files", 0))
+            + len(entries) - removed_files
+        )
+        total_rows = (
+            int(prev_sum.get("total-records", 0)) + new_rows - removed_rows
+        )
     else:
         total_files, total_rows = len(entries), new_rows
+    if incremental and not removed_files:
+        # pure appends ARE an iceberg append — consumable by
+        # read_iceberg_incremental like any append commit
+        op = "append"
+    elif incremental and not entries:
+        op = "delete"  # removals only
+    else:
+        op = "overwrite"
     summary = {
-        # the incremental sync IS an iceberg append (only added files) —
-        # consumable by read_iceberg_incremental like any append commit
-        "operation": "append" if incremental else "overwrite",
+        "operation": op,
         "delta-version": str(snap.version),
         "added-data-files": str(len(entries)),
         "added-records": str(new_rows),
         "total-data-files": str(total_files),
         "total-records": str(total_rows),
     }
+    if removed_files:
+        summary["deleted-data-files"] = str(removed_files)
+        summary["deleted-records"] = str(removed_rows)
     ice_snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,

@@ -681,7 +681,13 @@ def test_row_tracking_survives_dv_and_checkpoint(spark, loc):
     assert _rt_ids(spark, loc) == after
 
 
-def test_uniform_delete_falls_back_to_full_state(spark, loc):
+def test_uniform_delete_syncs_incrementally(spark, loc):
+    """Round 13 (the round-12 verdict's order item 8): a COW delete's
+    remove+add commit mirrors incrementally — ONLY the prior manifest
+    naming the removed file is rewritten without it, the untouched
+    manifest carries over byte-identical, and the rewritten file lands
+    in one new O(appended) manifest."""
+    from spark_etl_framework_spark.functions.avro_ocf import read_ocf
     from spark_etl_framework_spark.sources import deltalog as dl
 
     df = spark.createDataFrame([(i,) for i in range(6)], "id int")
@@ -690,12 +696,49 @@ def test_uniform_delete_falls_back_to_full_state(spark, loc):
     dl.write_delta(
         spark.createDataFrame([(100,)], "id int").coalesce(1), loc
     )
-    # COW delete rewrites files → remove actions → full-state resync
+    _meta1, _cur1, list1 = _mlist(loc)
+    assert len(list1) == 2  # base mirror + incremental append
+    append_manifest = list1[1]["manifest_path"]
+
+    # COW delete rewrites exactly one of the two base files
     dl.delete_where(spark, loc, "id = 2")
     meta, cur, entries = _mlist(loc)
     assert cur["summary"]["operation"] == "overwrite"
-    assert len(entries) == 1  # full mirror collapses back to one manifest
+    # base manifest REWRITTEN without the removed file, append manifest
+    # verbatim, one new manifest for the rewritten file
+    assert len(entries) == 3
+    assert append_manifest in [mf["manifest_path"] for mf in entries]
+    rewritten = [
+        mf for mf in entries
+        if mf.get("existing_data_files_count")
+        and mf.get("deleted_data_files_count")
+    ]
+    assert len(rewritten) == 1  # O(affected): exactly one manifest touched
+    _es, _em, kept = read_ocf(rewritten[0]["manifest_path"])
+    assert len(kept) == 1  # the sibling base file survived in place
     got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
     assert got == [0, 1, 3, 4, 5, 100]
-    # totals restate exactly from the full mirror
     assert cur["summary"]["total-records"] == "6"
+    assert cur["summary"]["deleted-data-files"] == "1"
+
+
+def test_uniform_schema_change_falls_back_to_full_state(spark, loc):
+    """metaData actions (schema evolution) are not incrementally
+    mirrorable — the sync restates the full live set, exactly once."""
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "id int")
+    dl.write_delta(df.coalesce(2), loc, mode="overwrite")
+    dl.enable_uniform(loc)
+    dl.write_delta(
+        spark.createDataFrame([(10, "x")], "id int, s string").coalesce(1),
+        loc, merge_schema=True,
+    )
+    meta, cur, entries = _mlist(loc)
+    assert cur["summary"]["operation"] == "overwrite"
+    assert len(entries) == 1  # full mirror collapses back to one manifest
+    assert cur["summary"]["total-records"] == "5"
+    got = sorted(
+        (r.id, r.s) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert got == [(0, None), (1, None), (2, None), (3, None), (10, "x")]
