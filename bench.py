@@ -151,12 +151,17 @@ HEADLINE = [
     "delta_v2_json_checkpoint_replay",  # V2 json top + sidecar replay
     "delta_liquid_clustering",       # clustered write + pruned read
     "delta_uniform_iceberg",         # UniForm mirror + iceberg reads
-    "iceberg_incremental_scan",      # append-range CDC scan + refusals
+    # (iceberg_incremental_scan rotated out round 13: two rounds
+    # stable, and the benched changelog rows below exercise supersets
+    # of the same snapshot-range walk — freed budget for
+    # iceberg_changelog_updates)
     # round 12: the new lifecycle subsystems under the bench the round
     # they exist (standing precedent) — both metadata-plane numbers
     "delta_type_widening",           # widen commit + dual-vintage read
     "iceberg_spec_evolution",        # structured-spec resolve + refusal
-    "delta_identity_columns",        # map-side generation + hwm restate
+    # (delta_identity_columns rotated out round 13 per the r12 verdict's
+    # budget note: 5.0 s of pure three-commit fixture cost, plan clean,
+    # machinery pytest-pinned — freed budget for iceberg_v3_lifecycle)
     "delta_variant_shred",           # variant store + shredding reads
     "delta_row_tracking",            # id backfill + stable-id DML reads
     "delta_optimize_zorder",         # bin-pack + z-order rewrite + prune
@@ -170,14 +175,22 @@ HEADLINE = [
     # micro-batch machinery latency over a 25-row nation table, which
     # tracks Structured Streaming overhead, not engine code)
     "delta_log_compaction",          # minor-compaction replay proof
+    # round 13: the new lifecycle subsystems under the bench the round
+    # they exist (standing precedent). Both are Python-stage-heavy
+    # protocol rows (applyInPandas commit staging + mapInPandas DV
+    # decodes over a 25-row nation fixture), so their band is higher
+    # than the r12 metadata rows: ~6.5 s / ~12 s at sf0.1 on a quiet
+    # box — the number tracks commit building + executor-side bitmap
+    # codec round-trips, the part that regresses with code.
+    "iceberg_changelog_updates",     # CDC update-fold + net-changes
+    "iceberg_v3_lifecycle",          # v3 upgrade + DV deletes + lineage
 ]
-# BUDGET NOTE (round 12): the stdout JSON line measured 1945 chars at
-# these 61 entries (12 rotated out, 11 added, drift block reshaped; the
-# round-12 lifecycle rows all land in the 1.0-3.8 s protocol band at
-# sf0.1) — the 2000-char
-# driver-tail assert below keeps ~2 short entries of headroom. Before
-# adding to HEADLINE again, rotate a stable entry out; the assert fails
-# loudly either way, never silently at the driver.
+# BUDGET NOTE (round 13): the stdout JSON line measured ~1990 chars at
+# these 61 entries (2 rotated out, 2 added; see the r13 rotation notes
+# inline) — the 2000-char driver-tail assert below keeps ~0-1 short
+# entries of headroom. Before adding to HEADLINE again, rotate a stable
+# entry out; the assert fails loudly either way, never silently at the
+# driver.
 
 
 def main() -> None:

@@ -220,76 +220,81 @@ def _load_all() -> None:
 #: fully-green round advances the oldest evidence vintage from r5 to
 #: r6.
 #:
-#: ROUND-13 ROTATION TODO — continue the r6 refresh with the 44 r6
-#: rows this window could not fit (ts_event_gap_stats,
-#: ts_seasonal_profile, ts_interval_coverage, text_collocations_pmi,
-#: text_weighted_sample, text_char_entropy, text_rake_keywords,
-#: text_bigram_lm_eval, text_zipf_slope, text_langid_confusion,
-#: text_feature_hashing,
-#: dedup_keep_best_quality, vector_dim_stats,
-#: vector_pc1_power_iteration, vector_jl_project,
-#: vector_truncated_dim_recall, vector_ann_ivfpq,
-#: dedup_incremental_admission_steady, events_attribution_last_touch,
-#: events_cuped_adjustment, events_diff_in_diff, the stream_* r6 rows,
-#: the corpus_* r6 rows, the etl_* r6 rows, ...), then r7-vintage rows
-#: by age; recompute from the CORRECTNESS artifacts at rotation time
-#: and window any round-13 registrations at registration time (freeze
-#: policy).
+#: ROUND-13 WINDOW (executing the round-12 TODO): vintages recomputed
+#: this round from CORRECTNESS_r1..r12 (latest-green round per query;
+#: union coverage 323/323 + the round-13 registrations — recomputed
+#: histogram: r6x44, r7x49, r8x33, r9x49, r10x49, r11x49, r12x50).
+#: Beyond the anchor and the round-13 registrations (freeze policy —
+#: the changelog-updates and v3 lifecycle rows land windowed in the
+#: registering commit), every slot refreshes the OLDEST evidence: ALL
+#: 44 remaining r6-vintage rows (the round-12 TODO's list, registration
+#: order), then the first r7-vintage rows in registration order as
+#: fill. A fully-green round advances the oldest evidence vintage from
+#: r6 to r7.
+#:
+#: ROUND-14 ROTATION TODO — continue with the 46 r7-vintage rows the
+#: round-13 window could not fit (agg_having, join_left_outer,
+#: join_full_outer, join_semi, join_anti, join_cross_small,
+#: setop_union_except_intersect, subquery_scalar_above_avg, the rest of
+#: the r7 relational/TPC-H block, the events_* r7 rows, the r7
+#: vector/pipeline rows), then r8-vintage rows by age; recompute from
+#: the CORRECTNESS artifacts at rotation time and window any round-14
+#: registrations at registration time (freeze policy).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # round-12 registrations (windowed at registration — freeze policy)
-    "delta_type_widening",
-    "iceberg_spec_evolution",
-    "delta_identity_columns",
-    "delta_variant_shred",
-    "delta_row_tracking",
-    "delta_optimize_zorder",
-    "delta_shallow_clone",
-    "iceberg_puffin_ndv",
-    "iceberg_partitions_meta",
-    "delta_drop_feature",
-    "iceberg_changelog_scan",
-    "stream_iceberg_cdf",
-    "delta_log_compaction",
-    # r5-vintage (all 31 that round 11 could not fit, registration order)
-    "window_rolling_median",
-    "ts_cusum_drift",
-    "text_bpe_encode_stats",
-    "vector_pq_ann_adc",
-    "join_bloom_prefilter",
-    "events_markov_transitions",
-    "graph_pagerank_bipartite",
-    "events_outlier_mad",
-    "pipeline_pii_scrub",
-    "pipeline_scd2_writeback",
-    "pipeline_export_jsonl",
-    "pipeline_bpe_writeback",
-    "stream_pii_scrub",
-    "stream_stateful_ewma",
-    "stream_approx_distinct_users",
-    "stream_windowed_topk",
-    "stream_error_budget_burn",
-    "corpus_chunk_dedup",
-    "corpus_unigram_surprisal",
-    "corpus_hll_calibration",
-    "etl_scd2_merge",
-    "etl_snapshot_cdc",
-    "etl_profile_columns",
-    "etl_zorder_layout",
-    "etl_scd2_asof_enrich",
-    "etl_incremental_agg_maintenance",
-    "etl_constraint_validation",
-    "etl_partition_skew_report",
-    "etl_late_arriving_dimension",
-    "text_pii_redact",
-    "text_pii_incidence",
-    # r6-vintage (first 16 in registration order; the rest roll to r13)
-    "multimodal_audio_mulaw_decode",
-    "multimodal_image_channel_stats",
-    "multimodal_audio_decimate",
-    "multimodal_video_frame_sample",
-    "dedup_lsh_eval_pr",
+    # round-13 registrations (windowed at registration — freeze policy)
+    "iceberg_changelog_updates",
+    "iceberg_v3_lifecycle",
+    # r6-vintage (ALL 44 remaining, registration order)
+    "ts_event_gap_stats",
+    "ts_seasonal_profile",
+    "ts_interval_coverage",
+    "text_collocations_pmi",
+    "text_weighted_sample",
+    "text_char_entropy",
+    "text_rake_keywords",
+    "text_bigram_lm_eval",
+    "text_zipf_slope",
+    "text_langid_confusion",
+    "text_feature_hashing",
+    "dedup_keep_best_quality",
+    "vector_dim_stats",
+    "vector_pc1_power_iteration",
+    "vector_jl_project",
+    "vector_truncated_dim_recall",
+    "vector_ann_ivfpq",
+    "dedup_incremental_admission_steady",
+    "events_attribution_last_touch",
+    "events_cuped_adjustment",
+    "events_diff_in_diff",
+    "stream_incremental_admission",
+    "stream_video_frame_sample",
+    "source_tar_datasource_roundtrip",
+    "stream_docfeed_source_roundtrip",
+    "kafka_avro_decode_roundtrip",
+    "stream_tar_autoload_roundtrip",
+    "corpus_shuffle_order",
+    "corpus_health_report",
+    "corpus_ngram_novelty",
+    "corpus_js_divergence",
+    "corpus_split_ks_test",
+    "corpus_template_prefixes",
+    "corpus_perplexity_buckets",
+    "corpus_perplexity_buckets_approx",
+    "corpus_decontaminate_fuzzy",
+    "corpus_decontaminate_bloom",
+    "corpus_token_budget_plan",
+    "etl_bucketed_colocated_join",
+    "etl_compaction_plan",
+    "etl_partitioned_layout_pruned_scan",
+    "etl_schema_evolution_read",
+    "etl_compaction_execute",
+    "etl_versioned_time_travel",
+    # r7-vintage fill (first in registration order)
+    "agg_global_stats",
+    "agg_rollup",
+    "agg_cube",
 )
 
 

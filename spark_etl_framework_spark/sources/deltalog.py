@@ -5391,8 +5391,10 @@ def _paced_latest(reader, head: int) -> dict:
     CAVEAT (Python DataSourceStreamReader API): there is no admission
     control (reportLatestOffset), so availableNow /
     processAllAvailable may return between paced batches — a
-    continuously-running stream drains fully; one-shot drains should
-    poll until caught up."""
+    continuously-running stream drains fully; for one-shot drains use
+    :func:`spark_etl_framework_spark.streaming.drain_until_current`,
+    which polls the running query against the table's metadata head
+    (round 13 — the caveat shipped as a tested utility)."""
     m = reader._max_per_trigger
     if not m:
         return {"version": head}
