@@ -225,7 +225,7 @@ def _load_all() -> None:
 #: union coverage 323/323 + the round-13 registrations — recomputed
 #: histogram: r6x44, r7x49, r8x33, r9x49, r10x49, r11x49, r12x50).
 #: Beyond the anchor and the round-13 registrations (freeze policy —
-#: the changelog-updates and v3 lifecycle rows land windowed in the
+#: the changelog-updates, v3 lifecycle and v3 defaults rows land in the
 #: registering commit), every slot refreshes the OLDEST evidence: ALL
 #: 44 remaining r6-vintage rows (the round-12 TODO's list, registration
 #: order), then the first r7-vintage rows in registration order as
@@ -246,6 +246,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-13 registrations (windowed at registration — freeze policy)
     "iceberg_changelog_updates",
     "iceberg_v3_lifecycle",
+    "iceberg_v3_defaults",
     # r6-vintage (ALL 44 remaining, registration order)
     "ts_event_gap_stats",
     "ts_seasonal_profile",
@@ -294,7 +295,6 @@ _PRIORITY: tuple[str, ...] = (
     # r7-vintage fill (first in registration order)
     "agg_global_stats",
     "agg_rollup",
-    "agg_cube",
 )
 
 

@@ -4889,3 +4889,97 @@ def iceberg_v3_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = _grouped("post")
     return pre.unionByName(post).orderBy("phase", "r")
+
+
+@register(
+    "iceberg_v3_defaults",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_regionkey AS r,
+               CASE WHEN n_regionkey <= 1 THEN 3
+                    WHEN n_regionkey = 4 THEN NULL
+                    ELSE CAST(n_nationkey % 3 AS INT) END AS grade
+        FROM nation
+    )
+    SELECT COALESCE(grade, -1) AS grade_bucket, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)
+def iceberg_v3_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 initial-default lifecycle (round 13 — the defaults half of the
+    gate→capability move; with DVs and row lineage this completes the
+    v3 read surface up to encryption/new-types, which stay refused):
+    nation regions 0-1 land, a FOREIGN writer's schema edit adds a
+    ``grade int`` column with ``initial-default 3`` (exactly the
+    metadata an external v3 engine leaves — no data rewritten), regions
+    2-4 then append WITH the column, region 4 carrying EXPLICIT nulls —
+    and the scan must render three vintages correctly at once:
+    pre-addition rows read the default (never null), post-addition rows
+    read stored values, and stored nulls STAY null (the -1 bucket). The
+    DML half is asserted in-query: ``update_where("grade = 3")`` must
+    match exactly the pre-addition rows — predicates see defaults
+    through the same MoR scan. At 100 TB: presence comes from the
+    manifests' value_counts maps when present (driver metadata, zero
+    I/O) with a per-file footer fallback, and substitution is ONE
+    column expression keyed on the broadcast file map's absence list —
+    no second scan, no exchange, no rewrite of a single data byte for
+    the schema change itself. Reference: iceberg-spec v3 §Default
+    values; the jar's add-column-with-default DDL."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    tbl = tempfile.mkdtemp(prefix="ice_v3d_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("r"),
+    )
+    _ice.write_iceberg(na.filter("r <= 1").coalesce(1), tbl,
+                       mode="overwrite")
+    _ice.upgrade_format_version(tbl, 3)
+    # the foreign schema edit: grade int, initial-default 3
+    v = _ice.current_version(tbl)
+    mp = _os.path.join(tbl, "metadata", f"v{v}.metadata.json")
+    with open(mp, encoding="utf-8") as fh:
+        meta = _json.load(fh)
+    for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+        if sch and not any(f["name"] == "grade" for f in sch["fields"]):
+            nid = max(f["id"] for f in sch["fields"]) + 1
+            sch["fields"].append({
+                "id": nid, "name": "grade", "required": False,
+                "type": "int", "initial-default": 3,
+            })
+    meta["last-column-id"] = max(
+        f["id"] for f in meta["schema"]["fields"]
+    )
+    with open(mp, "w", encoding="utf-8") as fh:
+        _json.dump(meta, fh)
+
+    _ice.write_iceberg(
+        na.filter("r >= 2").withColumn(
+            "grade",
+            F.when(F.col("r") == 4, F.lit(None).cast("int"))
+            .otherwise((F.col("k") % 3).cast("int")),
+        ).coalesce(1),
+        tbl, mode="append",
+    )
+    # DML sees defaults: exactly the pre-addition rows match grade = 3
+    n_pre = na.filter("r <= 1").count()
+    assert _ice.update_where(
+        spark, tbl, "grade = 3", {"name": "concat(name, '_d')"}
+    ) is not None
+    renamed = _ice.read_iceberg(spark, tbl).filter(
+        "name like '%_d'"
+    ).count()
+    assert renamed == n_pre, f"default-predicate DML hit {renamed} != {n_pre}"
+    return (
+        _ice.read_iceberg(spark, tbl)
+        .groupBy(F.coalesce(F.col("grade"), F.lit(-1)).alias("grade_bucket"))
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("key_sum"))
+        .orderBy("grade_bucket")
+    )

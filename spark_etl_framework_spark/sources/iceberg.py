@@ -179,6 +179,86 @@ def current_version(loc: str) -> int:
 SUPPORTED_FORMAT_VERSIONS = (1, 2, 3)
 
 
+#: v3 ``initial-default`` types this reader substitutes (JSON
+#: single-value serialization maps 1:1 onto a Spark literal); anything
+#: else refuses loudly in _check_v3_scope
+_DEFAULTABLE_TYPES = ("int", "long", "float", "double", "string", "boolean")
+
+
+def _initial_defaults(ice_schema: dict) -> list[tuple[str, object]]:
+    """``(column name, default value)`` for every field carrying a v3
+    ``initial-default`` — the value rows written BEFORE the field was
+    added must read (spec §Default values). Types pre-validated by
+    _check_v3_scope."""
+    return [
+        (f["name"], f["initial-default"])
+        for f in ice_schema.get("fields", [])
+        if f.get("initial-default") is not None
+    ]
+
+
+def _absent_default_cols(
+    files: list[dict], ice_schema: dict, names: list[str]
+) -> dict[str, list[str]]:
+    """Per data file (by basename): which of the defaulted columns are
+    PHYSICALLY ABSENT from the file (written before the field existed —
+    those rows read the initial-default; files that contain the column
+    read stored values, including genuine nulls).
+
+    Presence comes from driver metadata when the manifests carry it —
+    ``value_counts``/``null_value_counts``/``column_sizes`` keyed by
+    field id (real engines write these; a file whose maps omit the id
+    predates the column) — and falls back to ONE driver-side parquet
+    footer read per file otherwise. The fallback is O(stat-less files):
+    foreign tables written by the jar always carry the count maps, so
+    the footer path only pays for sloppy writers."""
+    ids = {
+        f["name"]: f["id"] for f in ice_schema.get("fields", [])
+        if f["name"] in names
+    }
+    out: dict[str, list[str]] = {}
+    for f in files:
+        absent: list[str] = []
+        known = False
+        for key in ("value_counts", "null_value_counts", "column_sizes"):
+            counts = f.get(key)
+            if counts:
+                present_ids = {int(e["key"]) for e in counts}
+                known = True
+                absent = [n for n, i in ids.items()
+                          if i not in present_ids]
+                break
+        if not known:
+            import pyarrow.parquet as pq
+
+            cols = set(
+                pq.ParquetFile(f["file_path"]).schema_arrow.names
+            )
+            absent = [n for n in names if n not in cols]
+        if absent:
+            out[os.path.basename(f["file_path"])] = absent
+    return out
+
+
+def _apply_initial_defaults(
+    df: DataFrame,
+    defaults: list[tuple[str, object]],
+    schema: T.StructType,
+) -> DataFrame:
+    """Substitute initial-defaults where ``__absent_cols`` (the broadcast
+    file map's per-file absence list) names the column — a pure column
+    expression on the already-joined scan, no extra pass or exchange."""
+    for name, val in defaults:
+        df = df.withColumn(
+            name,
+            F.when(
+                F.array_contains(F.col("__absent_cols"), name),
+                F.lit(val).cast(schema[name].dataType),
+            ).otherwise(F.col(name)),
+        )
+    return df
+
+
 def _check_v3_scope(meta: dict, loc: str) -> None:
     """Per-feature refusal for the v3 surface this module does NOT
     implement — reading past any of these would silently misread (a
@@ -194,14 +274,20 @@ def _check_v3_scope(meta: dict, loc: str) -> None:
     )
     for sch in schemas:
         for f in sch.get("fields", []):
-            if f.get("initial-default") is not None or (
-                f.get("write-default") is not None
+            # initial-default substitution is implemented (round 13) for
+            # primitive types; exotic defaults would silently misread.
+            # write-default only affects WRITERS filling absent columns —
+            # this engine's writer is schema-strict (absent columns
+            # refuse), so reads are unaffected and it passes through.
+            if (
+                f.get("initial-default") is not None
+                and f.get("type") not in _DEFAULTABLE_TYPES
             ):
                 raise IcebergUnsupportedFormatVersion(
-                    f"iceberg table {loc}: column {f['name']!r} carries a "
-                    "v3 default value (initial-default/write-default) — "
-                    "not implemented here; reading would substitute null "
-                    "for the declared default"
+                    f"iceberg table {loc}: column {f['name']!r} carries an "
+                    f"initial-default of type {f.get('type')!r} — only "
+                    f"{sorted(_DEFAULTABLE_TYPES)} defaults are "
+                    "implemented; reading would substitute a wrong value"
                 )
 
 
@@ -1545,6 +1631,16 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
         )
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
+    defaults = _initial_defaults(_current_ice_schema(meta))
+    absent_map: dict[str, list[str]] = {}
+    if defaults:
+        absent_map = _absent_default_cols(
+            files, _current_ice_schema(meta), [n for n, _ in defaults]
+        )
+        defaults = [
+            (n, v) for n, v in defaults
+            if any(n in a for a in absent_map.values())
+        ]
     ptypes = {f.name: f.dataType for f in schema.fields}
     map_schema = T.StructType(
         [T.StructField("__file_name", T.StringType(), False)]
@@ -1553,6 +1649,9 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
            T.StructField("__path", T.StringType(), False)]
         + ([T.StructField("__first_row_id", T.LongType(), True)]
            if fmt3 else [])
+        + ([T.StructField(
+                "__absent_cols", T.ArrayType(T.StringType()), False)]
+           if defaults else [])
     )
     fmap = spark.createDataFrame(
         [
@@ -1563,12 +1662,17 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
                 int(f.get("__seq", 0)),
                 f["file_path"],
                 *([f.get("first_row_id")] if fmt3 else []),
+                *([absent_map.get(os.path.basename(f["file_path"]), [])]
+                  if defaults else []),
             )
             for f in files
         ],
         map_schema,
     )
     df = df.join(F.broadcast(fmap), "__file_name", "left")
+    if defaults:
+        # DML predicates and rewrites must see the defaulted values
+        df = _apply_initial_defaults(df, defaults, schema)
     if cur_deletes:
         # rows already dead must neither re-match nor resurrect
         df = _apply_deletes(spark, df, cur_deletes)
@@ -2760,8 +2864,22 @@ def read_iceberg(
         ]
     data_schema = T.StructType(data_fields)
     df = spark.read.schema(data_schema).parquet(*paths)
+    # v3 initial-defaults: rows in files written BEFORE a defaulted
+    # column existed read the declared default, not null — the per-file
+    # absence list rides the same broadcast map as everything else
+    defaults = _initial_defaults(_current_ice_schema(meta))
+    absent_map: dict[str, list[str]] = {}
+    if defaults:
+        absent_map = _absent_default_cols(
+            files, _current_ice_schema(meta), [n for n, _ in defaults]
+        )
+        defaults = [
+            (n, v) for n, v in defaults
+            if any(n in a for a in absent_map.values())
+        ]
     needs_meta = (
         bool(partition_cols) or bool(delete_files) or with_row_lineage
+        or bool(defaults)
     )
     if needs_meta:
         df = df.withColumn(
@@ -2779,6 +2897,9 @@ def read_iceberg(
             + [T.StructField("__seq", T.LongType(), False)]
             + ([T.StructField("__first_row_id", T.LongType(), True)]
                if with_row_lineage else [])
+            + ([T.StructField(
+                    "__absent_cols", T.ArrayType(T.StringType()), False)]
+               if defaults else [])
         )
         fmap = spark.createDataFrame(
             [
@@ -2790,12 +2911,17 @@ def read_iceberg(
                     ],
                     int(f.get("__seq", 0)),
                     *([f.get("first_row_id")] if with_row_lineage else []),
+                    *([absent_map.get(
+                        os.path.basename(f["file_path"]), [])]
+                      if defaults else []),
                 )
                 for f in files
             ],
             map_schema,
         )
         df = df.join(F.broadcast(fmap), "__file_name", "left")
+    if defaults:
+        df = _apply_initial_defaults(df, defaults, schema)
     if delete_files:
         df = _apply_deletes(spark, df, delete_files)
     out_cols = [F.col(f.name) for f in schema.fields]
@@ -3024,6 +3150,8 @@ def read_iceberg_changelog(
     )
     ptypes = {f.name: f.dataType for f in schema.fields}
 
+    all_defaults = _initial_defaults(_current_ice_schema(meta))
+
     def _scan_files(files: list[dict], lineage: bool) -> DataFrame:
         df = spark.read.schema(data_schema).parquet(
             *[f["file_path"] for f in files]
@@ -3034,7 +3162,18 @@ def read_iceberg_changelog(
         )
         if lineage:
             df = df.withColumn("__pos", F.col("_metadata.row_index"))
-        if partition_cols or lineage:
+        # v3 initial-defaults: pre-addition files read the declared value
+        defaults = list(all_defaults)
+        absent_map: dict[str, list[str]] = {}
+        if defaults:
+            absent_map = _absent_default_cols(
+                files, _current_ice_schema(meta), [n for n, _ in defaults]
+            )
+            defaults = [
+                (n, v) for n, v in defaults
+                if any(n in a for a in absent_map.values())
+            ]
+        if partition_cols or lineage or defaults:
             # one driver-small broadcast carries the partition literals
             # AND the file's data sequence number (_apply_deletes keys
             # its older-than rules on __seq)
@@ -3043,6 +3182,9 @@ def read_iceberg_changelog(
                 + [T.StructField(c, ptypes[c], True) for c in partition_cols]
                 + ([T.StructField("__seq", T.LongType(), False)]
                    if lineage else [])
+                + ([T.StructField(
+                        "__absent_cols", T.ArrayType(T.StringType()), False)]
+                   if defaults else [])
             )
             fmap = spark.createDataFrame(
                 [
@@ -3053,12 +3195,17 @@ def read_iceberg_changelog(
                             for c in partition_cols
                         ],
                         *([int(f.get("__seq", 0))] if lineage else []),
+                        *([absent_map.get(
+                            os.path.basename(f["file_path"]), [])]
+                          if defaults else []),
                     )
                     for f in files
                 ],
                 map_schema,
             )
             df = df.join(F.broadcast(fmap), "__file_name", "left")
+        if defaults:
+            df = _apply_initial_defaults(df, defaults, schema)
         return df
 
     def _emit(df: DataFrame, change: str, ordinal: int, sid: int) -> DataFrame:
@@ -4811,6 +4958,12 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         )
         self._paced_pos = None
         meta = load_metadata(self._loc)
+        if _initial_defaults(_current_ice_schema(meta)):
+            raise NotImplementedError(
+                "iceberg streaming source: v3 initial-default columns are "
+                "not wired into the micro-batch reader yet — batch reads "
+                "(read_iceberg / read_iceberg_changelog) substitute them"
+            )
         self._schema = iceberg_to_spark_schema(meta["schema"])
         # only IDENTITY partition values are schema columns; transformed
         # fields (hidden partitioning) never surface as output columns

@@ -16,8 +16,11 @@ type-widening precedent (gate → capability):
   with_row_lineage=True)`` surfaces both, null for pre-upgrade files.
 - Changelog (batch + streaming): a DV commit's logical delta is
   (new DV − prior DV), never a re-emit of previously dead rows.
-- Out-of-scope v3 features refuse loudly per feature: default values,
-  table encryption, the new variant/geometry/... column types.
+- Default values: ``initial-default`` substitutes for rows in files
+  written before the column existed (presence from manifest count maps,
+  footer fallback); stored values — including nulls — win elsewhere.
+- Out-of-scope v3 features refuse loudly per feature: table encryption,
+  the new variant/geometry/... column types, non-primitive defaults.
 
 Reference: iceberg-spec v3 (row lineage, deletion vectors,
 puffin-spec deletion-vector-v1); the jar reads what it ships
@@ -98,7 +101,10 @@ def test_downgrade_refuses(spark, loc):
 # ---------------------------------------------------------------------------
 
 
-def test_default_values_refuse(spark, loc):
+def test_default_on_fully_present_column_is_noop(spark, loc):
+    """Round 13 turned the defaults refusal into capability: an
+    initial-default on a column EVERY file materializes never fires —
+    stored values (including nulls) win."""
     _v3(spark, loc)
 
     def fn(meta):
@@ -107,10 +113,8 @@ def test_default_values_refuse(spark, loc):
                 sch["fields"][1]["initial-default"] = "zz"
 
     _edit_meta(loc, fn)
-    with pytest.raises(
-        ice.IcebergUnsupportedFormatVersion, match="default value"
-    ):
-        ice.read_iceberg(spark, loc)
+    got = {r.id: r.s for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[0] == "s0" and "zz" not in got.values()
 
 
 def test_encryption_refuses(spark, loc):
@@ -387,3 +391,141 @@ def test_rewrite_manifests_preserves_first_row_id(spark, loc):
         ).collect()
     }
     assert lin[10] == 0 and lin[11] == 1
+
+
+# ---------------------------------------------------------------------------
+# v3 default values (initial-default read substitution)
+# ---------------------------------------------------------------------------
+
+
+def _add_defaulted_column(loc, name="flag", ice_type="int", default=7):
+    """Foreign-edit the table schema: a new column with an
+    initial-default, as an external v3 writer would leave it."""
+    def fn(meta):
+        for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+            if sch and not any(f["name"] == name for f in sch["fields"]):
+                nid = max(f["id"] for f in sch["fields"]) + 1
+                sch["fields"].append({
+                    "id": nid, "name": name, "required": False,
+                    "type": ice_type, "initial-default": default,
+                })
+        meta["last-column-id"] = max(
+            meta.get("last-column-id", 0),
+            max(f["id"] for f in meta["schema"]["fields"]),
+        )
+    _edit_meta(loc, fn)
+
+
+def test_initial_default_substitutes_for_preexisting_files(spark, loc):
+    _v3(spark, loc, n=3)  # files written BEFORE the column existed
+    _add_defaulted_column(loc)
+    # new files carry the column, including an EXPLICIT null
+    df = spark.createDataFrame(
+        [(10, "x", 1), (11, "y", None)], "id int, s string, flag int"
+    )
+    ice.write_iceberg(df.coalesce(1), loc, mode="append")
+    got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[0] == got[1] == got[2] == 7  # pre-addition rows: default
+    assert got[10] == 1
+    assert got[11] is None  # genuine stored null stays null
+
+
+def test_value_counts_presence_beats_footers(spark, loc):
+    """Manifest count maps are the presence authority when present — a
+    foreign manifest CLAIMING the column exists makes the scan read
+    stored values (null here), never the default."""
+    import json as _json
+
+    from spark_etl_framework_spark.functions.avro_ocf import (
+        read_ocf,
+        write_ocf,
+    )
+
+    _v3(spark, loc, n=2)
+    _add_defaulted_column(loc)
+    meta = ice.load_metadata(loc)
+    snap = ice._pick_snapshot(meta)
+    _s, _m, mlist = read_ocf(snap["manifest-list"])
+    flag_id = next(
+        f["id"] for f in meta["schema"]["fields"] if f["name"] == "flag"
+    )
+    sch, mmeta, entries = read_ocf(mlist[0]["manifest_path"])
+    # foreign shape: value_counts claims every column incl. flag
+    vc_field = {
+        "name": "value_counts", "field-id": 110, "default": None,
+        "type": ["null", {"type": "array", "items": {
+            "type": "record", "name": "k119_v120", "fields": [
+                {"name": "key", "type": "int", "field-id": 119},
+                {"name": "value", "type": "long", "field-id": 120},
+            ]}}],
+    }
+    sch2 = _json.loads(_json.dumps(sch))
+    for f in sch2["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"].append(vc_field)
+    for e in entries:
+        e["data_file"]["value_counts"] = [
+            {"key": fid, "value": 2}
+            for fid in (1, 2, flag_id)
+        ]
+    write_ocf(
+        mlist[0]["manifest_path"] + ".vc", sch2, entries,
+        metadata={
+            k: v for k, v in mmeta.items() if not k.startswith("avro.")
+        },
+    )
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.move(mlist[0]["manifest_path"] + ".vc",
+                 mlist[0]["manifest_path"])
+    got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
+    # the claim wins: stored values (column absent → parquet nulls)
+    assert got == {0: None, 1: None}
+    assert _os.path.exists(loc)  # silence unused-import lint
+
+
+def test_dml_sees_defaults(spark, loc):
+    _v3(spark, loc, n=3)
+    _add_defaulted_column(loc)
+    ice.write_iceberg(
+        spark.createDataFrame([(10, "x", 1)], "id int, s string, flag int")
+        .coalesce(1), loc, mode="append",
+    )
+    # predicate on the defaulted value must match pre-addition rows only
+    ice.update_where(spark, loc, "flag = 7", {"s": "'D'"})
+    got = {r.id: (r.s, r.flag) for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[0] == ("D", 7) and got[1] == ("D", 7) and got[2] == ("D", 7)
+    assert got[10] == ("x", 1)
+
+
+def test_changelog_sees_defaults(spark, loc):
+    _v3(spark, loc, n=2)
+    _add_defaulted_column(loc, default=9)
+    ice.delete_where(spark, loc, "id = 0")
+    got = sorted(
+        (r._change_ordinal, r._change_type, r.id, r.flag)
+        for r in ice.read_iceberg_changelog(spark, loc).collect()
+    )
+    assert (0, "insert", 0, 9) in got and (0, "insert", 1, 9) in got
+    assert (1, "delete", 0, 9) in got
+
+
+def test_unsupported_default_type_refuses(spark, loc):
+    _v3(spark, loc, n=1)
+    _add_defaulted_column(loc, name="d", ice_type="date", default=19000)
+    with pytest.raises(
+        ice.IcebergUnsupportedFormatVersion, match="initial-default"
+    ):
+        ice.read_iceberg(spark, loc)
+
+
+def test_streaming_refuses_defaulted_tables(spark, loc):
+    from spark_etl_framework_spark.sources.iceberg import (
+        IcebergLogStreamReader,
+    )
+
+    _v3(spark, loc, n=1)
+    _add_defaulted_column(loc)
+    with pytest.raises(NotImplementedError, match="initial-default"):
+        IcebergLogStreamReader({"path": loc})
