@@ -313,6 +313,12 @@ class IcebergDmlActor(_TableDmlBase):
     minSnapshotsToKeep: int | None = None
     maxSnapshotAgeMs: int | None = None
     wapId: str | None = None
+    #: op=addColumn / op=upgradeFormat (round 13): column name/type with
+    #: an optional v3 default; target format version
+    columnName: str | None = None
+    columnType: str | None = None
+    columnDefault: str | None = None
+    formatVersion: int = 3
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -356,6 +362,30 @@ class IcebergDmlActor(_TableDmlBase):
             return None
         if op == "rewritemanifests":
             ice.rewrite_manifests(loc)
+            return None
+        if op == "upgradeformat":
+            ice.upgrade_format_version(loc, int(self.formatVersion))
+            return None
+        if op == "addcolumn":
+            if not self.columnName or not self.columnType:
+                raise ValueError(
+                    "IcebergDmlActor: addColumn needs columnName + "
+                    "columnType"
+                )
+            default = self.columnDefault
+            if default is not None and self.columnType in (
+                "int", "long",
+            ):
+                default = int(default)
+            elif default is not None and self.columnType in (
+                "float", "double",
+            ):
+                default = float(default)
+            elif default is not None and self.columnType == "boolean":
+                default = str(default).lower() == "true"
+            ice.add_column(
+                loc, self.columnName, self.columnType, default=default
+            )
             return None
         if op == "rewritepositiondeletes":
             ice.rewrite_position_delete_files(spark, loc)

@@ -1029,6 +1029,19 @@ def write_iceberg(
                 )
         new = [f for f in df.schema.fields if f.name not in table_types]
         absent = [n for n in table_types if n not in write_types]
+        # v3 write-defaults: an omitted column carrying one FILLS instead
+        # of refusing (the spec's writer rule; add_column(default=) sets it)
+        wd = {
+            f["name"]: f["write-default"]
+            for f in meta["schema"]["fields"]
+            if f.get("write-default") is not None
+        }
+        fillable = [n for n in absent if n in wd]
+        for n in fillable:
+            df = df.withColumn(n, F.lit(wd[n]).cast(table_types[n]))
+        if fillable:
+            write_types = {f.name: f.dataType for f in df.schema.fields}
+            absent = [n for n in table_types if n not in write_types]
         if (new or absent) and not merge_schema:
             raise ValueError(
                 "schema mismatch: "
@@ -1694,6 +1707,69 @@ def _assign_first_row_ids(meta: dict, entries: list[dict]) -> int | None:
         next_row += int(e["data_file"]["record_count"])
     meta["next-row-id"] = next_row
     return first
+
+
+def add_column(
+    loc: str,
+    name: str,
+    ice_type: str,
+    default=None,
+    doc: str | None = None,
+) -> int:
+    """ALTER TABLE ADD COLUMN — a METADATA-ONLY change (new metadata
+    version, no snapshot, zero data bytes touched at any table size):
+    the column joins every schema with a FRESH field id
+    (``last-column-id`` advances; ids are never reused — the spec's
+    evolution rule) and existing rows read null. With ``default=`` (v3
+    only — the spec's Default values): ``initial-default`` makes every
+    pre-existing row read the default instead of null, and
+    ``write-default`` makes subsequent writes that OMIT the column fill
+    it — the jar's ``ADD COLUMN x INT DEFAULT 7``. Returns the new
+    metadata version. Reference: iceberg-spec §Schema Evolution +
+    §Default values."""
+    meta = load_metadata(loc)
+    known = ice_type in _FROM_ICEBERG or (
+        isinstance(ice_type, str) and ice_type.startswith("decimal")
+    )
+    if not known:
+        raise ValueError(f"add_column: unknown iceberg type {ice_type!r}")
+    if default is not None:
+        if int(meta.get("format-version", 1)) < 3:
+            raise ValueError(
+                "add_column: default values are a format-version 3 "
+                "feature — upgrade_format_version(loc, 3) first"
+            )
+        if ice_type not in _DEFAULTABLE_TYPES:
+            raise ValueError(
+                f"add_column: defaults for type {ice_type!r} are not "
+                f"implemented (supported: {sorted(_DEFAULTABLE_TYPES)})"
+            )
+    meta = dict(meta)
+    schemas = ([meta["schema"]] if "schema" in meta else []) + list(
+        meta.get("schemas", [])
+    )
+    if any(
+        f["name"] == name for sch in schemas for f in sch.get("fields", [])
+    ):
+        raise ValueError(f"add_column: column {name!r} already exists")
+    nid = int(meta.get("last-column-id", 0)) + 1
+    field = {"id": nid, "name": name, "required": False, "type": ice_type}
+    if doc:
+        field["doc"] = doc
+    if default is not None:
+        field["initial-default"] = default
+        field["write-default"] = default
+    seen: set[int] = set()
+    for sch in schemas:
+        if id(sch) in seen:
+            continue
+        seen.add(id(sch))
+        sch["fields"] = list(sch.get("fields", [])) + [dict(field)]
+    meta["last-column-id"] = nid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = current_version(loc) + 1
+    _publish_metadata(loc, version, meta)
+    return version
 
 
 def _drop_replaced_dvs(

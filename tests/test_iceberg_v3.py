@@ -529,3 +529,59 @@ def test_streaming_refuses_defaulted_tables(spark, loc):
     _add_defaulted_column(loc)
     with pytest.raises(NotImplementedError, match="initial-default"):
         IcebergLogStreamReader({"path": loc})
+
+
+# ---------------------------------------------------------------------------
+# add_column DDL (+ write-default fill)
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_metadata_only(spark, loc):
+    _write(spark, loc, [(1, "a")], mode="overwrite")
+    v0 = ice.current_version(loc)
+    n_snaps = len(ice.load_metadata(loc).get("snapshots", []))
+    ice.add_column(loc, "extra", "long")
+    meta = ice.load_metadata(loc)
+    assert ice.current_version(loc) == v0 + 1
+    assert len(meta.get("snapshots", [])) == n_snaps  # no snapshot
+    assert meta["last-column-id"] == 3  # fresh id, never reused
+    got = ice.read_iceberg(spark, loc).collect()
+    assert got[0].extra is None  # existing rows read null
+
+
+def test_add_column_with_default_end_to_end(spark, loc):
+    _v3(spark, loc, n=2)
+    ice.add_column(loc, "grade", "int", default=5)
+    # pre-existing rows read the initial-default
+    got = {r.id: r.grade for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {0: 5, 1: 5}
+    # a write that OMITS the column gets the write-default filled
+    ice.write_iceberg(
+        spark.createDataFrame([(10, "x")], "id int, s string").coalesce(1),
+        loc, mode="append",
+    )
+    # a write WITH the column keeps explicit values, including null
+    ice.write_iceberg(
+        spark.createDataFrame(
+            [(11, "y", 9), (12, "z", None)], "id int, s string, grade int"
+        ).coalesce(1),
+        loc, mode="append",
+    )
+    got = {r.id: r.grade for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {0: 5, 1: 5, 10: 5, 11: 9, 12: None}
+
+
+def test_add_column_default_requires_v3(spark, loc):
+    _write(spark, loc, [(1, "a")], mode="overwrite")
+    with pytest.raises(ValueError, match="format-version 3"):
+        ice.add_column(loc, "grade", "int", default=5)
+
+
+def test_add_column_refusals(spark, loc):
+    _v3(spark, loc, n=1)
+    with pytest.raises(ValueError, match="already exists"):
+        ice.add_column(loc, "s", "string")
+    with pytest.raises(ValueError, match="unknown iceberg type"):
+        ice.add_column(loc, "g", "geometry")
+    with pytest.raises(ValueError, match="not"):
+        ice.add_column(loc, "d", "date", default=100)

@@ -840,3 +840,59 @@ jobs:
     assert snap.schema["region"].dataType.simpleString() == "bigint"
     assert "typeWidening" in (snap.protocol.get("readerFeatures") or [])
     assert snap.configuration["delta.enableInCommitTimestamps"] == "true"
+
+
+def test_iceberg_v3_ddl_actor_pipeline(spark, sf_dir, tmp_path):
+    """Round-13 lifecycle ops as YAML actors: upgradeFormat flips the
+    table to v3, addColumn with a default is a metadata-only commit, and
+    a subsequent write that OMITS the column gets the write-default
+    filled while pre-existing rows read the initial-default."""
+    from spark_etl_framework_spark.plans.runner import run_pipeline_file
+    from spark_etl_framework_spark.sources.iceberg import (
+        load_metadata,
+        read_iceberg,
+    )
+
+    tbl = tmp_path / "nation_v3"
+    ypath = tmp_path / "iv3.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write
+        actor:
+          type: iceberg-writer
+          properties: {{view: nation, table: "{tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: upgrade
+        actor:
+          type: iceberg-dml
+          properties: {{op: upgradeFormat, path: "{tbl}", formatVersion: 3}}
+      - name: addcol
+        actor:
+          type: iceberg-dml
+          properties:
+            op: addColumn
+            path: "{tbl}"
+            columnName: grade
+            columnType: int
+            columnDefault: "5"
+      - name: append_without_column
+        actor:
+          type: iceberg-writer
+          properties: {{view: nation, table: "{tbl}", mode: append}}
+        input-views: [nation]
+""")
+    run_pipeline_file(spark, str(ypath))
+    meta = load_metadata(str(tbl))
+    assert meta["format-version"] == 3
+    grades = [r.grade for r in read_iceberg(spark, str(tbl)).collect()]
+    assert grades and all(g == 5 for g in grades)
