@@ -2238,12 +2238,22 @@ def table_changes(
     path: str,
     starting_version: int = 0,
     ending_version: int | None = None,
+    net_changes: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED: every row-level change in the version range as
     a DataFrame of the table columns plus ``_change_type`` (insert /
     delete / update_preimage / update_postimage), ``_commit_version``,
     ``_commit_timestamp`` (epoch ms) — delta's ``table_changes`` /
     ``readChangeFeed`` surface.
+
+    ``net_changes`` (round 13, mirroring the iceberg changelog option):
+    update pre/post images normalize to delete/insert of their content,
+    then bit-identical delete+insert pairs cancel across the WHOLE
+    range and each survivor keeps its latest commit — a row inserted
+    then deleted inside the range vanishes; an update nets to one
+    delete of the old content + one insert of the new (or nothing, if
+    a later change restores the original bytes). One window pass over
+    O(change) rows keyed on the row content; no second log replay.
 
     Per the spec's reader rule: a commit carrying ``cdc`` actions is
     described BY those change files alone (our DELETE/UPDATE/MERGE
@@ -2372,7 +2382,22 @@ def table_changes(
                 T.StructField("_commit_timestamp", T.LongType(), True),
             ]
         )
-        return spark.createDataFrame([], empty)
+        out = spark.createDataFrame([], empty)
+    if net_changes:
+        from .iceberg import _changelog_net_changes
+
+        meta_cols = {"_change_type", "_commit_version", "_commit_timestamp"}
+        data_cols = [c for c in out.columns if c not in meta_cols]
+        out = out.withColumn(
+            "_change_type",
+            F.when(F.col("_change_type") == "update_preimage", "delete")
+            .when(F.col("_change_type") == "update_postimage", "insert")
+            .otherwise(F.col("_change_type")),
+        )
+        out = _changelog_net_changes(
+            out, data_cols,
+            ordinal_col="_commit_version", tie_col="_commit_timestamp",
+        )
     return out
 
 

@@ -3499,18 +3499,25 @@ def _changelog_fold_updates(
     )
 
 
-def _changelog_net_changes(df: DataFrame, data_cols: list[str]) -> DataFrame:
+def _changelog_net_changes(
+    df: DataFrame,
+    data_cols: list[str],
+    ordinal_col: str = "_change_ordinal",
+    tie_col: str = "_commit_snapshot_id",
+) -> DataFrame:
     """``net_changes`` post-pass (the jar's removeNetCarryovers): across
     the WHOLE snapshot range, bit-identical delete+insert pairs cancel —
     a row inserted then deleted inside the range vanishes; a row deleted
     then re-inserted identically vanishes — and each surviving change
     keeps its LATEST commit ordinal. One window pass hashing on the full
-    row content over O(change) rows."""
+    row content over O(change) rows. Shared with delta's CDF (round 13 —
+    there the ordinal is ``_commit_version``), which normalizes its
+    update pre/post images to delete/insert first."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*data_cols)
     wt = W.partitionBy(*data_cols, "_change_type").orderBy(
-        F.col("_change_ordinal").desc(), F.col("_commit_snapshot_id").desc()
+        F.col(ordinal_col).desc(), F.col(tie_col).desc()
     )
     is_del = F.when(F.col("_change_type") == "delete", 1).otherwise(0)
     is_ins = F.when(F.col("_change_type") == "insert", 1).otherwise(0)

@@ -159,3 +159,65 @@ def test_identifier_field_ids_from_schema(spark, loc):
     got = _rows(spark, loc, compute_updates=True)
     assert (1, "update_preimage", 1, "a") in got
     assert (1, "update_postimage", 1, "A") in got
+
+
+# ---------------------------------------------------------------------------
+# delta CDF net_changes (round 13 — the same post-pass, shared helper)
+# ---------------------------------------------------------------------------
+
+
+def _dwrite(spark, loc, rows, mode="append"):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    df = spark.createDataFrame(rows, "id int, s string")
+    return dl.write_delta(df.coalesce(1), loc, mode=mode)
+
+
+def test_delta_cdf_net_changes(spark, tmp_path):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    loc = str(tmp_path / "t")
+    _dwrite(spark, loc, [(1, "a"), (2, "b")], mode="overwrite")
+    dl.delete_where(spark, loc, "id = 1")          # insert@0 + delete@1 cancel
+    dl.update_where(spark, loc, "id = 2", {"s": "'B'"})
+    raw = dl.table_changes(spark, loc)
+    types = {r._change_type for r in raw.collect()}
+    assert "update_preimage" in types and "update_postimage" in types
+    net = sorted(
+        (r._commit_version, r._change_type, r.id, r.s)
+        for r in dl.table_changes(spark, loc, net_changes=True).collect()
+    )
+    # id=1 vanished; id=2 nets to its post-update content only
+    assert net == [(2, "insert", 2, "B")]
+
+
+def test_delta_cdf_net_update_restoring_original_vanishes(spark, tmp_path):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    loc = str(tmp_path / "t")
+    _dwrite(spark, loc, [(1, "a")], mode="overwrite")
+    dl.update_where(spark, loc, "id = 1", {"s": "'x'"})
+    dl.update_where(spark, loc, "id = 1", {"s": "'a'"})  # restore bytes
+    net = sorted(
+        (r._change_type, r.id, r.s)
+        for r in dl.table_changes(
+            spark, loc, starting_version=1, net_changes=True
+        ).collect()
+    )
+    # within (v1..head): pre(a)+post(x) then pre(x)+post(a) — all cancel
+    assert net == []
+
+
+def test_delta_cdf_net_delete_of_preexisting_row_survives(spark, tmp_path):
+    from spark_etl_framework_spark.sources import deltalog as dl
+
+    loc = str(tmp_path / "t")
+    _dwrite(spark, loc, [(1, "a"), (2, "b")], mode="overwrite")
+    dl.delete_where(spark, loc, "id = 1")
+    net = sorted(
+        (r._change_type, r.id)
+        for r in dl.table_changes(
+            spark, loc, starting_version=1, net_changes=True
+        ).collect()
+    )
+    assert net == [("delete", 1)]

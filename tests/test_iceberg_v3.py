@@ -585,3 +585,37 @@ def test_add_column_refusals(spark, loc):
         ice.add_column(loc, "g", "geometry")
     with pytest.raises(ValueError, match="not"):
         ice.add_column(loc, "d", "date", default=100)
+
+
+# ---------------------------------------------------------------------------
+# expire_snapshots interplay: a puffin holding several DVs survives while
+# ANY of its blobs is still referenced by a live snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_expire_keeps_partially_referenced_puffin(spark, loc):
+    import os as _os
+
+    _v3(spark, loc)
+    # one commit DV-deletes from BOTH files → one puffin, two blobs
+    _write(spark, loc, [(100, "x")])  # second data file
+    ice.delete_where(spark, loc, "id = 1 or id = 100")
+    meta = ice.load_metadata(loc)
+    _f, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    assert len(dels) == 2
+    puffins = {d["file_path"] for d in dels}
+    assert len(puffins) == 1  # both DVs share one puffin
+    puffin = next(iter(puffins))
+    # replace only ONE file's DV (second delete touches the first file)
+    ice.delete_where(spark, loc, "id = 2")
+    # expire everything but the head: the old puffin still carries the
+    # live DV for the 100-file and must survive the orphan sweep
+    import time as _time
+
+    ice.expire_snapshots(
+        loc, older_than_ms=int(_time.time() * 1000) + 1000,
+        retain_last=1,
+    )
+    assert _os.path.exists(puffin)
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 3, 4, 5, 6, 7]
