@@ -4222,6 +4222,10 @@ def cherrypick_snapshot(
         published["parent-snapshot-id"] = cur_id
     if fmt >= 2:
         published["sequence-number"] = new_seq
+    if fmt >= 3:
+        # the picked entries carry their staged-commit row ids explicitly;
+        # the published snapshot records the counter position (v3 field)
+        published["first-row-id"] = int(meta.get("next-row-id", 0))
     meta = dict(meta)
     meta["snapshots"] = snaps + [published]
     meta["current-snapshot-id"] = new_id

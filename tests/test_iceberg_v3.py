@@ -619,3 +619,67 @@ def test_expire_keeps_partially_referenced_puffin(spark, loc):
     assert _os.path.exists(puffin)
     got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
     assert got == [0, 3, 4, 5, 6, 7]
+
+
+# ---------------------------------------------------------------------------
+# randomized invariant + plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_random_dv_delete_sequences_match_set_semantics(spark, loc):
+    """Property: any sequence of v3 DV deletes leaves exactly the rows a
+    plain set-subtraction model leaves — union/replacement arithmetic
+    can never resurrect or double-kill, and lineage ids never change."""
+    import random
+
+    rng = random.Random(13)
+    _v3(spark, loc, n=0 or 6)
+    _write(spark, loc, [(i, f"x{i}") for i in range(100, 106)])
+    alive = set(range(6)) | set(range(100, 106))
+    base_ids = {
+        r.id: r._row_id
+        for r in ice.read_iceberg(
+            spark, loc, with_row_lineage=True
+        ).collect()
+    }
+    for _ in range(4):
+        victims = rng.sample(sorted(alive), k=min(2, len(alive)))
+        ice.delete_where(
+            spark, loc, f"id in ({', '.join(map(str, victims))})"
+        )
+        alive -= set(victims)
+        got = {
+            r.id: r._row_id
+            for r in ice.read_iceberg(
+                spark, loc, with_row_lineage=True
+            ).collect()
+        }
+        assert set(got) == alive
+        assert all(got[k] == base_ids[k] for k in got)  # ids stable
+    # the whole history replays correctly through the changelog too
+    cdc = ice.read_iceberg_changelog(spark, loc)
+    net = {}
+    for r in cdc.collect():
+        if r._change_type == "insert":
+            net[r.id] = net.get(r.id, 0) + 1
+        else:
+            net[r.id] = net.get(r.id, 0) - 1
+    assert {k for k, v in net.items() if v > 0} == alive
+
+
+def test_v3_dv_scan_plan_shape(spark, loc):
+    """The DV subtraction must plan as a BROADCAST anti-join over the
+    decoded position relation — no cartesian, no shuffle of the fact
+    side for a small delete set."""
+    _v3(spark, loc)
+    ice.delete_where(spark, loc, "id in (1, 5)")
+    plan = ice.read_iceberg(spark, loc)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        "BroadcastHashJoin" in line and "LeftAnti" in line
+        for line in plan.splitlines()
+    ), plan
