@@ -4485,9 +4485,13 @@ def _delta_change_range(
     ``(from_v, to_v]`` — or None when the range is not incrementally
     mirrorable (a metaData = schema/partition change, a missing commit
     JSON = cleaned log). A path added then removed inside the range
-    nets to removed (a no-op against a mirror that never saw it);
-    removed then re-added nets to added. O(changed commits), never a
-    snapshot replay."""
+    nets to removed (a no-op against a mirror that never saw it). A
+    path removed then RE-ADDED (delta RESTORE shape) lands in BOTH
+    sets: the re-add needs a fresh manifest entry AND the removal must
+    still drop any prior-mirror entry for the same path — netting it
+    to added-only would leave the old entry alive next to the new one
+    and double-count the file's rows on read (round-14 ADVICE fix).
+    O(changed commits), never a snapshot replay."""
     added: set = set()
     removed: set = set()
     for v in range(from_v + 1, to_v + 1):
@@ -4505,7 +4509,9 @@ def _delta_change_range(
                 if "add" in act:
                     fp = unquote(act["add"]["path"])
                     added.add(fp)
-                    removed.discard(fp)
+                    # deliberately NOT removed.discard(fp): a re-added
+                    # path stays in `removed` so the prior mirror's
+                    # entry (if any) is dropped before the new one lands
                 elif "remove" in act:
                     fp = unquote(act["remove"]["path"])
                     removed.add(fp)

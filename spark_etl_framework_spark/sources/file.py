@@ -29,16 +29,31 @@ _FORMATS = ("csv", "json", "parquet", "avro", "orc", "text")
 log = logging.getLogger(__name__)
 
 
+#: glob metacharacters Hadoop's FileSystem.globStatus expands — a URI
+#: containing any of these must NOT be probed with fs.exists() (which
+#: treats the pattern as a literal path and reports "missing" even when
+#: matching files exist)
+_GLOB_CHARS = frozenset("*?[{")
+
+
 def _hadoop_exists(spark: SparkSession, uri: str) -> bool:
     """Driver-side existence check through the Hadoop FileSystem API —
     works for any scheme the cluster's Hadoop conf resolves (local, HDFS,
-    s3a, ...), exactly the resolution ``spark.read.load`` would use. Any
-    error (bad scheme, auth) counts as "might exist": the real load then
-    runs and reports the real failure."""
+    s3a, ...), exactly the resolution ``spark.read.load`` would use. Glob
+    URIs go through ``fs.globStatus`` (``fs.exists`` does not expand
+    wildcards, so a literal-path probe of ``data/*.parquet`` would report
+    "missing" even when matches exist). Any error (bad scheme, auth)
+    counts as "might exist": the real load then runs and reports the real
+    failure."""
     try:
         jvm = spark.sparkContext._jvm
         path = jvm.org.apache.hadoop.fs.Path(uri)
         fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if any(c in uri for c in _GLOB_CHARS):
+            matches = fs.globStatus(path)
+            # globStatus: null for a non-matching literal parent, empty
+            # array for a matching-parent/no-match pattern — both "missing"
+            return matches is not None and len(matches) > 0
         return bool(fs.exists(path))
     except Exception:
         return True

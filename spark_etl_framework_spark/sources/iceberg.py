@@ -205,36 +205,38 @@ def _absent_default_cols(
     those rows read the initial-default; files that contain the column
     read stored values, including genuine nulls).
 
-    Presence comes from driver metadata when the manifests carry it —
-    ``value_counts``/``null_value_counts``/``column_sizes`` keyed by
-    field id (real engines write these; a file whose maps omit the id
-    predates the column) — and falls back to ONE driver-side parquet
-    footer read per file otherwise. The fallback is O(stat-less files):
-    foreign tables written by the jar always carry the count maps, so
-    the footer path only pays for sloppy writers."""
+    The manifest count maps (``value_counts``/``null_value_counts``/
+    ``column_sizes``, keyed by field id) are POSITIVE evidence only: an
+    id present in any map proves the column is stored. An id missing
+    from the maps proves nothing — real engines legitimately suppress
+    per-column metrics (``write.metadata.metrics.mode=none``, or the
+    default cap on how many columns get stats), so concluding "absent"
+    from a missing id would silently substitute the initial-default for
+    stored values. Every id the maps cannot vouch for gets ONE
+    driver-side parquet footer read for that file. The footer path is
+    O(files written before the column existed + metrics-suppressed
+    files) — for a jar-written table with default metrics that is
+    exactly the pre-evolution files, a bounded set."""
     ids = {
         f["name"]: f["id"] for f in ice_schema.get("fields", [])
         if f["name"] in names
     }
     out: dict[str, list[str]] = {}
     for f in files:
-        absent: list[str] = []
-        known = False
+        present_ids: set[int] = set()
         for key in ("value_counts", "null_value_counts", "column_sizes"):
             counts = f.get(key)
             if counts:
-                present_ids = {int(e["key"]) for e in counts}
-                known = True
-                absent = [n for n, i in ids.items()
-                          if i not in present_ids]
-                break
-        if not known:
+                present_ids.update(int(e["key"]) for e in counts)
+        unknown = [n for n, i in ids.items() if i not in present_ids]
+        absent: list[str] = []
+        if unknown:
             import pyarrow.parquet as pq
 
             cols = set(
                 pq.ParquetFile(f["file_path"]).schema_arrow.names
             )
-            absent = [n for n in names if n not in cols]
+            absent = [n for n in unknown if n not in cols]
         if absent:
             out[os.path.basename(f["file_path"])] = absent
     return out
@@ -1718,9 +1720,13 @@ def add_column(
 ) -> int:
     """ALTER TABLE ADD COLUMN — a METADATA-ONLY change (new metadata
     version, no snapshot, zero data bytes touched at any table size):
-    the column joins every schema with a FRESH field id
-    (``last-column-id`` advances; ids are never reused — the spec's
-    evolution rule) and existing rows read null. With ``default=`` (v3
+    a NEW schema is registered with a fresh schema-id and becomes
+    current (``current-schema-id`` bumps; historical schemas stay
+    immutable, so a reader time-traveling by snapshot schema-id never
+    sees the column as having always existed — round-14 ADVICE fix);
+    the column gets a FRESH field id (``last-column-id`` advances; ids
+    are never reused — the spec's evolution rule) and existing rows
+    read null. With ``default=`` (v3
     only — the spec's Default values): ``initial-default`` makes every
     pre-existing row read the default instead of null, and
     ``write-default`` makes subsequent writes that OMIT the column fill
@@ -1759,12 +1765,31 @@ def add_column(
     if default is not None:
         field["initial-default"] = default
         field["write-default"] = default
-    seen: set[int] = set()
-    for sch in schemas:
-        if id(sch) in seen:
-            continue
-        seen.add(id(sch))
-        sch["fields"] = list(sch.get("fields", [])) + [dict(field)]
+    # spec §Schema Evolution: old schemas are IMMUTABLE — evolution
+    # registers a NEW schema with a fresh schema-id and points
+    # current-schema-id at it. meta['schema'] (the v1-style current
+    # schema this engine reads) tracks the new entry.
+    import copy as _copy
+
+    cur_sid = meta.get("current-schema-id")
+    cur_schema = meta.get("schema") or next(
+        s for s in meta.get("schemas", []) if s.get("schema-id") == cur_sid
+    )
+    new_schema = _copy.deepcopy(cur_schema)
+    new_schema["fields"] = list(new_schema.get("fields", [])) + [dict(field)]
+    used_sids = [s.get("schema-id", 0) for s in meta.get("schemas", [])]
+    used_sids.append(cur_schema.get("schema-id", 0))
+    new_sid = max(used_sids) + 1
+    new_schema["schema-id"] = new_sid
+    hist = list(meta.get("schemas", []))
+    if not any(
+        s.get("schema-id") == cur_schema.get("schema-id", 0) for s in hist
+    ):
+        cur_schema.setdefault("schema-id", 0)
+        hist.append(cur_schema)  # keep the pre-evolution schema reachable
+    meta["schemas"] = hist + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["schema"] = new_schema
     meta["last-column-id"] = nid
     meta["last-updated-ms"] = int(time.time() * 1000)
     version = current_version(loc) + 1
@@ -1822,6 +1847,20 @@ def _drop_replaced_dvs(
         mf2["added_rows_count"] = 0
         mf2["existing_rows_count"] = sum(
             e["data_file"]["record_count"] for e in rewritten
+        )
+        # list-level stats describe the REWRITTEN manifest, not the
+        # original: deleted counts = the replaced DV entries dropped
+        # here, min sequence number from the survivors' (now explicit)
+        # sequence numbers (round-14 ADVICE fix)
+        dropped = [
+            e for e in live
+            if e["data_file"].get("referenced_data_file") in replaced
+        ]
+        mf2["deleted_rows_count"] = sum(
+            e["data_file"]["record_count"] for e in dropped
+        )
+        mf2["min_sequence_number"] = min(
+            e["sequence_number"] for e in rewritten
         )
         out.append(mf2)
     return out
@@ -5045,12 +5084,13 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         )
         self._paced_pos = None
         meta = load_metadata(self._loc)
-        if _initial_defaults(_current_ice_schema(meta)):
-            raise NotImplementedError(
-                "iceberg streaming source: v3 initial-default columns are "
-                "not wired into the micro-batch reader yet — batch reads "
-                "(read_iceberg / read_iceberg_changelog) substitute them"
-            )
+        # v3 initial-defaults (round 14): the micro-batch reader opens
+        # each parquet file directly, so the footer IS the presence
+        # authority — a file that physically lacks a defaulted column
+        # emits the initial-default for its rows, matching the batch
+        # reader's substitution (load_metadata's _check_v3_scope already
+        # refused unsupported default types)
+        self._defaults = dict(_initial_defaults(_current_ice_schema(meta)))
         self._schema = iceberg_to_spark_schema(meta["schema"])
         # only IDENTITY partition values are schema columns; transformed
         # fields (hidden partitioning) never surface as output columns
@@ -5247,7 +5287,17 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                     else v
                     for v in cols[c]
                 ]
-        return cols, tbl.num_rows
+        return self._fill_absent(cols, tbl.num_rows), tbl.num_rows
+
+    def _fill_absent(self, cols: dict, n: int) -> dict:
+        """Schema columns the parquet file physically lacks read their
+        v3 initial-default (or null for plain late-added columns) —
+        identity partition columns excluded, they come from metadata."""
+        for f in self._schema.fields:
+            c = f.name
+            if c not in cols and c not in self._pcols:
+                cols[c] = [self._defaults.get(c)] * n
+        return cols
 
     def _dead_positions(
         self, coord_paths: list[str], basename: str, dv_coords=None
@@ -5411,6 +5461,7 @@ class IcebergLogStreamReader(DataSourceStreamReader):
                     else v
                     for v in cols[c]
                 ]
+        cols = self._fill_absent(cols, tbl.num_rows)
         pvals = {
             c: _avro_to_partition(v, ptypes[c])
             for c, v in partition.partition_values.items()

@@ -59,6 +59,16 @@ def drain_until_current(
         p = query.lastProgress
         if not p or not p.get("sources"):
             return -1
+        if len(p["sources"]) != 1:
+            # which source's offset should be compared against `table`'s
+            # head? Reading sources[0] silently would drain the WRONG
+            # source for a union/join-of-streams query (round-14 order
+            # item 7: fail loudly instead)
+            raise ValueError(
+                "drain_until_current supports single-source queries only "
+                f"— this query reports {len(p['sources'])} sources; drain "
+                "each source's query separately"
+            )
         end = p["sources"][0].get("endOffset")
         if end is None:
             return -1

@@ -117,3 +117,26 @@ def test_terminated_query_refuses(spark, tmp_path):
 def test_non_table_path_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="neither a delta"):
         drain_until_current(None, str(tmp_path))
+
+
+def test_multi_source_query_refuses(spark, tmp_path):
+    """Round-14 order item 7: a union/join-of-streams query reports
+    several sources — comparing sources[0] against one table's head
+    would silently drain the wrong source; refuse loudly instead."""
+    loc = str(tmp_path / "t")
+    _append(spark, loc, [(1, 1.0)])
+
+    class _TwoSourceQuery:
+        isActive = True
+        lastProgress = {
+            "sources": [
+                {"endOffset": '{"version": 5}'},
+                {"endOffset": '{"version": 3}'},
+            ]
+        }
+
+        def processAllAvailable(self):
+            return None
+
+    with pytest.raises(ValueError, match="single-source"):
+        drain_until_current(_TwoSourceQuery(), loc)

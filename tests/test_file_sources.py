@@ -59,6 +59,36 @@ def test_file_reader_fallback_empty(spark, jctx):
     assert df.count() == 0 and len(df.schema.fields) == 2
 
 
+def test_file_reader_fallback_glob_uri_still_reads(spark, jctx, tmp_path):
+    """Round-14 ADVICE (high): the driver-side existence pre-check must
+    expand glob URIs (fs.globStatus), not probe them as literal paths —
+    a fallback-configured reader over 'dir/*.parquet' with matching files
+    must return the DATA, not the silent fallback frame."""
+    spark.createDataFrame([(1, "a"), (2, "b")], "a int, b string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "g"))
+    r = FileReader(
+        format="parquet",
+        fileUri=f"{tmp_path}/g/*.parquet",
+        fallbackRead="true",
+        ddlSchemaString="a int, b string",
+    )
+    df = r.run(jctx, spark)
+    assert df.count() == 2
+
+
+def test_file_reader_fallback_glob_uri_no_match_falls_back(spark, jctx, tmp_path):
+    (tmp_path / "empty").mkdir()
+    r = FileReader(
+        format="parquet",
+        fileUri=f"{tmp_path}/empty/*.parquet",
+        fallbackRead="true",
+        ddlSchemaString="a int, b string",
+    )
+    df = r.run(jctx, spark)
+    assert df.count() == 0 and len(df.schema.fields) == 2
+
+
 def test_file_reader_rejects_bad_format(spark, jctx):
     with pytest.raises(ValueError, match="unsupported format"):
         FileReader(format="exotic", fileUri="/x").run(jctx, spark)

@@ -185,6 +185,34 @@ def test_second_dv_unions_and_replaces(spark, loc):
     assert got == [0, 3, 4, 6, 7]
 
 
+def test_drop_replaced_dvs_rewrites_list_stats(spark, loc):
+    """Round-14 ADVICE (low): the rewritten delete manifest's LIST entry
+    must describe the rewrite — deleted counts = the replaced DV entries
+    dropped here, min_sequence_number from the survivors — not carry the
+    original manifest's stale stats."""
+    _write(spark, loc, [(i, f"s{i}") for i in range(4)], mode="overwrite")
+    _write(spark, loc, [(i, f"s{i}") for i in range(10, 14)])
+    ice.upgrade_format_version(loc, 3)
+    ice.delete_where(spark, loc, "id in (0, 10)")  # 2 DVs, one manifest
+    ice.delete_where(spark, loc, "id = 1")         # replaces file A's DV
+    meta = ice.load_metadata(loc)
+    snap = ice._pick_snapshot(meta)
+    _s, _m, mlist = ice.read_ocf(snap["manifest-list"])
+    rew = [
+        mf for mf in mlist
+        if mf.get("content") == 1 and mf.get("existing_files_count") == 1
+    ]
+    assert len(rew) == 1
+    mf = rew[0]
+    assert mf["deleted_files_count"] == 1
+    assert mf["deleted_rows_count"] == 1   # A's replaced DV covered 1 row
+    assert mf["existing_rows_count"] == 1  # B's surviving DV covers 1 row
+    _es, _em, entries = ice.read_ocf(mf["manifest_path"])
+    assert mf["min_sequence_number"] == entries[0]["sequence_number"]
+    got = sorted(r.id for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [2, 3, 11, 12, 13]
+
+
 def test_dv_update_roundtrip(spark, loc):
     _v3(spark, loc)
     ice.update_where(spark, loc, "id = 4", {"s": "'four'"})
@@ -485,6 +513,66 @@ def test_value_counts_presence_beats_footers(spark, loc):
     assert _os.path.exists(loc)  # silence unused-import lint
 
 
+def test_suppressed_metrics_fall_back_to_footer(spark, loc):
+    """Round-14 ADVICE (medium): an id MISSING from the count maps is not
+    evidence of physical absence — engines suppress per-column metrics
+    (write.metadata.metrics.mode=none / the default stats-column cap). A
+    physically-present defaulted column whose metrics are suppressed must
+    read its STORED values (footer fallback), never the initial-default."""
+    import json as _json
+    import shutil as _shutil
+
+    from spark_etl_framework_spark.functions.avro_ocf import (
+        read_ocf,
+        write_ocf,
+    )
+
+    _v3(spark, loc, n=2)
+    _add_defaulted_column(loc)
+    # this file PHYSICALLY carries flag (stored 1 and null)
+    ice.write_iceberg(
+        spark.createDataFrame(
+            [(10, "x", 1), (11, "y", None)], "id int, s string, flag int"
+        ).coalesce(1), loc, mode="append",
+    )
+    # foreign-edit every manifest: value_counts present but listing only
+    # ids 1 and 2 — flag's metrics suppressed
+    meta = ice.load_metadata(loc)
+    snap = ice._pick_snapshot(meta)
+    _s, _m, mlist = read_ocf(snap["manifest-list"])
+    vc_field = {
+        "name": "value_counts", "field-id": 110, "default": None,
+        "type": ["null", {"type": "array", "items": {
+            "type": "record", "name": "k119_v120", "fields": [
+                {"name": "key", "type": "int", "field-id": 119},
+                {"name": "value", "type": "long", "field-id": 120},
+            ]}}],
+    }
+    for mf in mlist:
+        sch, mmeta, entries = read_ocf(mf["manifest_path"])
+        sch2 = _json.loads(_json.dumps(sch))
+        for f in sch2["fields"]:
+            if f["name"] == "data_file" and not any(
+                ff["name"] == "value_counts" for ff in f["type"]["fields"]
+            ):
+                f["type"]["fields"].append(vc_field)
+        for e in entries:
+            e["data_file"]["value_counts"] = [
+                {"key": fid, "value": 2} for fid in (1, 2)
+            ]
+        write_ocf(
+            mf["manifest_path"] + ".vc", sch2, entries,
+            metadata={
+                k: v for k, v in mmeta.items() if not k.startswith("avro.")
+            },
+        )
+        _shutil.move(mf["manifest_path"] + ".vc", mf["manifest_path"])
+    got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[0] == got[1] == 7       # truly-absent files: default
+    assert got[10] == 1                # stored value survives suppression
+    assert got[11] is None             # stored null is NOT the default
+
+
 def test_dml_sees_defaults(spark, loc):
     _v3(spark, loc, n=3)
     _add_defaulted_column(loc)
@@ -520,15 +608,45 @@ def test_unsupported_default_type_refuses(spark, loc):
         ice.read_iceberg(spark, loc)
 
 
-def test_streaming_refuses_defaulted_tables(spark, loc):
-    from spark_etl_framework_spark.sources.iceberg import (
-        IcebergLogStreamReader,
+def test_streaming_substitutes_defaults(spark, loc):
+    """Round-14 order item 3 (flips the round-13 refusal): the streaming
+    source substitutes v3 initial-defaults exactly like the batch reader
+    — a stream over a foreign-evolved defaulted table matches the batch
+    read row for row."""
+    import uuid as _uuid
+
+    from spark_etl_framework_spark.plans.context import (
+        JobContext,
+        PipelineContext,
+    )
+    from spark_etl_framework_spark.streaming.readers import (
+        IcebergStreamReader,
     )
 
-    _v3(spark, loc, n=1)
+    _v3(spark, loc, n=3)  # files written BEFORE the column existed
     _add_defaulted_column(loc)
-    with pytest.raises(NotImplementedError, match="initial-default"):
-        IcebergLogStreamReader({"path": loc})
+    # post-evolution file carries stored values incl. an explicit null
+    ice.write_iceberg(
+        spark.createDataFrame(
+            [(10, "x", 1), (11, "y", None)], "id int, s string, flag int"
+        ).coalesce(1), loc, mode="append",
+    )
+    r = IcebergStreamReader(table=loc)
+    sdf = r.run(JobContext(PipelineContext(), spark), spark)
+    qn = f"v3d_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.flag) for r in spark.sql(f"select * from {qn}").collect()
+    )
+    batch = sorted(
+        (r.id, r.flag) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert got == batch
+    assert got == [(0, 7), (1, 7), (2, 7), (10, 1), (11, None)]
 
 
 # ---------------------------------------------------------------------------
@@ -547,6 +665,32 @@ def test_add_column_metadata_only(spark, loc):
     assert meta["last-column-id"] == 3  # fresh id, never reused
     got = ice.read_iceberg(spark, loc).collect()
     assert got[0].extra is None  # existing rows read null
+
+
+def test_add_column_registers_new_schema_id(spark, loc):
+    """Round-14 ADVICE (low): evolution keeps old schemas IMMUTABLE — a
+    new schema entry with a fresh schema-id becomes current; a reader
+    time-traveling by the old schema-id must not see the new column."""
+    _v3(spark, loc, n=1)
+    before = ice.load_metadata(loc)
+    old_sid = before.get("current-schema-id", 0)
+    old_fields = [f["name"] for f in before["schema"]["fields"]]
+    ice.add_column(loc, "extra", "long")
+    meta = ice.load_metadata(loc)
+    new_sid = meta["current-schema-id"]
+    assert new_sid != old_sid
+    hist = next(s for s in meta["schemas"] if s.get("schema-id") == old_sid)
+    assert [f["name"] for f in hist["fields"]] == old_fields  # immutable
+    cur = next(s for s in meta["schemas"] if s.get("schema-id") == new_sid)
+    assert "extra" in [f["name"] for f in cur["fields"]]
+    assert meta["schema"]["schema-id"] == new_sid
+    # twice: ids keep advancing, history keeps growing
+    ice.add_column(loc, "extra2", "long")
+    meta2 = ice.load_metadata(loc)
+    assert meta2["current-schema-id"] == new_sid + 1
+    assert {s.get("schema-id") for s in meta2["schemas"]} >= {
+        old_sid, new_sid, new_sid + 1
+    }
 
 
 def test_add_column_with_default_end_to_end(spark, loc):
