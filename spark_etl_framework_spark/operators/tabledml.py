@@ -122,6 +122,11 @@ class DeltaDmlActor(_TableDmlBase):
     #: <start>.<end>.compacted.json reconciled-action files)
     startVersion: int | None = None
     endVersion: int | None = None
+    #: op=addColumn (round 14): column name/type with an optional
+    #: DEFAULT (the allowColumnDefaults writer feature)
+    columnName: str | None = None
+    columnType: str | None = None
+    columnDefault: str | None = None
     _FORMAT = "delta"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -269,6 +274,25 @@ class DeltaDmlActor(_TableDmlBase):
                     "DeltaDmlActor: widenColumn needs column and newType"
                 )
             dl.widen_column_type(loc, self.column, self.newType)
+            return None
+        if op == "addcolumn":
+            # ADD COLUMN [DEFAULT] (round 14 — the delta half of the
+            # iceberg addColumn op; allowColumnDefaults writer feature)
+            if not self.columnName or not self.columnType:
+                raise ValueError(
+                    "DeltaDmlActor: addColumn needs columnName + columnType"
+                )
+            default = self.columnDefault
+            ct = self.columnType.lower()
+            if default is not None and ct in ("int", "integer", "bigint",
+                                              "long"):
+                default = int(default)
+            elif default is not None and ct in ("float", "double"):
+                default = float(default)
+            elif default is not None and ct == "boolean":
+                default = str(default).lower() == "true"
+            dl.add_column(loc, self.columnName, self.columnType,
+                          default=default)
             return None
         raise ValueError(f"DeltaDmlActor: unknown op {self.op!r}")
 

@@ -232,69 +232,80 @@ def _load_all() -> None:
 #: fill. A fully-green round advances the oldest evidence vintage from
 #: r6 to r7.
 #:
-#: ROUND-14 ROTATION TODO — continue with the 46 r7-vintage rows the
-#: round-13 window could not fit (agg_having, join_left_outer,
-#: join_full_outer, join_semi, join_anti, join_cross_small,
-#: setop_union_except_intersect, subquery_scalar_above_avg, the rest of
-#: the r7 relational/TPC-H block, the events_* r7 rows, the r7
-#: vector/pipeline rows), then r8-vintage rows by age; recompute from
-#: the CORRECTNESS artifacts at rotation time and window any round-14
-#: registrations at registration time (freeze policy).
+#: ROUND-14 WINDOW (executing the round-13 TODO): vintages recomputed
+#: this round from CORRECTNESS_r1..r13 (latest-green round per query;
+#: union coverage 326/326 — recomputed histogram: r7x47, r8x33, r9x49,
+#: r10x49, r11x49, r12x49, r13x50). Beyond the anchor and the round-14
+#: registration (freeze policy — the delta_column_defaults lifecycle
+#: row lands windowed in the registering commit), every slot refreshes
+#: the OLDEST evidence: ALL 47 remaining r7-vintage rows (the
+#: round-13 TODO's list plus agg_cube, registration order), then the
+#: first r8-vintage row (distinct_pairs) as fill. A fully-green round
+#: advances the oldest evidence vintage from r7 to r8.
+#:
+#: ROUND-15 ROTATION TODO — continue with the 32 r8-vintage rows the
+#: round-14 window could not fit (topk_orders, scalar_string_funcs,
+#: date_funcs, scalar_regexp_funcs, agg_array_collect, the window/json
+#: r8 rows, the multimodal decode block, the dedup-span pair, the
+#: connector roundtrips, delta_history_audit, etl_dynamic_partition
+#: _overwrite, etl_versioned_vacuum), then r9-vintage rows by age;
+#: recompute from the CORRECTNESS artifacts at rotation time and window
+#: any round-15 registrations at registration time (freeze policy).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # round-13 registrations (windowed at registration — freeze policy)
-    "iceberg_changelog_updates",
-    "iceberg_v3_lifecycle",
-    "iceberg_v3_defaults",
-    # r6-vintage (ALL 44 remaining, registration order)
-    "ts_event_gap_stats",
-    "ts_seasonal_profile",
-    "ts_interval_coverage",
-    "text_collocations_pmi",
-    "text_weighted_sample",
-    "text_char_entropy",
-    "text_rake_keywords",
-    "text_bigram_lm_eval",
-    "text_zipf_slope",
-    "text_langid_confusion",
-    "text_feature_hashing",
-    "dedup_keep_best_quality",
-    "vector_dim_stats",
-    "vector_pc1_power_iteration",
-    "vector_jl_project",
-    "vector_truncated_dim_recall",
-    "vector_ann_ivfpq",
-    "dedup_incremental_admission_steady",
-    "events_attribution_last_touch",
-    "events_cuped_adjustment",
-    "events_diff_in_diff",
-    "stream_incremental_admission",
-    "stream_video_frame_sample",
-    "source_tar_datasource_roundtrip",
-    "stream_docfeed_source_roundtrip",
-    "kafka_avro_decode_roundtrip",
-    "stream_tar_autoload_roundtrip",
-    "corpus_shuffle_order",
-    "corpus_health_report",
-    "corpus_ngram_novelty",
-    "corpus_js_divergence",
-    "corpus_split_ks_test",
-    "corpus_template_prefixes",
-    "corpus_perplexity_buckets",
-    "corpus_perplexity_buckets_approx",
-    "corpus_decontaminate_fuzzy",
-    "corpus_decontaminate_bloom",
-    "corpus_token_budget_plan",
-    "etl_bucketed_colocated_join",
-    "etl_compaction_plan",
-    "etl_partitioned_layout_pruned_scan",
-    "etl_schema_evolution_read",
-    "etl_compaction_execute",
-    "etl_versioned_time_travel",
-    # r7-vintage fill (first in registration order)
-    "agg_global_stats",
-    "agg_rollup",
+    # round-14 registration (windowed at registration — freeze policy)
+    "delta_column_defaults",
+    # r7-vintage (ALL 47 remaining, registration order)
+    "agg_cube",
+    "agg_having",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross_small",
+    "setop_union_except_intersect",
+    "subquery_scalar_above_avg",
+    "subquery_in_filter",
+    "cte_chain",
+    "pivot_status_by_priority",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q10_returned_items",
+    "q4_priority_with_exists",
+    "agg_grouping_sets",
+    "agg_exact_percentiles",
+    "join_theta_ranges",
+    "unpivot_stack",
+    "agg_string_concat",
+    "join_null_safe_eq",
+    "subquery_correlated_max",
+    "multimodal_decode_bmp_rle",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q12_priority_case_sum",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "vector_ann_ivfpq_steady",
+    "vector_pq_ann_adc_steady",
+    "pipeline_ann_index_probe",
+    "pipeline_lsh_index_probe",
+    "events_approx_quantile_calibration",
+    "events_funnel_timebound",
+    "events_user_growth_curve",
+    "events_ab_ztest",
+    "events_top_paths_trigram",
+    "events_value_concentration",
+    "events_kaplan_meier",
+    "events_rfm_segments",
+    "events_error_budget_burn",
+    "events_peak_detection",
+    "events_dau_wau_stickiness",
+    "etl_incremental_join_maintenance",
+    # r8-vintage fill (first in registration order)
+    "distinct_pairs",
 )
 
 

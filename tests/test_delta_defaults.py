@@ -1,0 +1,214 @@
+"""Delta column defaults (round-14 order item 4 — the delta half of the
+iceberg ``add_column(default=)`` DDL; PROTOCOL.md §Column Default Values,
+the ``allowColumnDefaults`` writer feature).
+
+Contract: ``add_column(path, name, type, default=)`` is a metadata-only
+commit that installs the feature and stamps CURRENT_DEFAULT /
+EXISTS_DEFAULT into the field metadata. Reads substitute EXISTS_DEFAULT
+for files that physically predate the column (footer-verified, stats as
+positive evidence — the same rule as the iceberg side); writes that OMIT
+the column fill CURRENT_DEFAULT; row-level DML predicates see the
+defaults; tables carrying the metadata WITHOUT the feature flag refuse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+
+import pytest
+
+from spark_etl_framework_spark.sources import deltalog as dl
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _write(spark, loc, rows, mode="append", **kw):
+    df = spark.createDataFrame(rows, "id int, s string")
+    return dl.write_delta(df.coalesce(1), loc, mode=mode, **kw)
+
+
+def test_add_column_metadata_only(spark, loc):
+    _write(spark, loc, [(1, "a")], mode="overwrite")
+    v0 = dl.latest_version(loc)
+    n_files = len(dl.snapshot(loc).files)
+    dl.add_column(loc, "extra", "bigint")
+    assert dl.latest_version(loc) == v0 + 1
+    snap = dl.snapshot(loc)
+    assert len(snap.files) == n_files  # zero data bytes moved
+    got = dl.read_delta(spark, loc).collect()
+    assert got[0].extra is None  # plain late-added column reads null
+
+
+def test_add_column_default_end_to_end(spark, loc):
+    _write(spark, loc, [(0, "a"), (1, "b")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    snap = dl.snapshot(loc)
+    assert "allowColumnDefaults" in snap.protocol["writerFeatures"]
+    # pre-existing rows read EXISTS_DEFAULT
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 5}
+    # a write that OMITS the column fills CURRENT_DEFAULT
+    dl.write_delta(
+        spark.createDataFrame([(10, "x")], "id int, s string").coalesce(1),
+        loc,
+    )
+    # a write WITH the column keeps explicit values, including null
+    dl.write_delta(
+        spark.createDataFrame(
+            [(11, "y", 9), (12, "z", None)], "id int, s string, grade int"
+        ).coalesce(1),
+        loc,
+    )
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 5, 10: 5, 11: 9, 12: None}
+
+
+def test_dml_sees_defaults(spark, loc):
+    _write(spark, loc, [(0, "a"), (1, "b")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10, "x", 1)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )
+    # the defaulted value must match exactly the pre-addition rows
+    dl.update_where(spark, loc, "grade = 5", {"s": "'D'"})
+    got = {r.id: (r.s, r.grade) for r in dl.read_delta(spark, loc).collect()}
+    assert got[0] == ("D", 5) and got[1] == ("D", 5)
+    assert got[10] == ("x", 1)
+    # and after the COW rewrite materialized the column, reads still agree
+    dl.delete_where(spark, loc, "grade = 1")
+    assert sorted(
+        r.id for r in dl.read_delta(spark, loc).collect()
+    ) == [0, 1]
+
+
+def test_string_default_with_quote(spark, loc):
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "tag", "string", default="it's")
+    got = dl.read_delta(spark, loc).collect()
+    assert got[0].tag == "it's"
+
+
+def test_unsupported_default_type_refuses(spark, loc):
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    with pytest.raises(ValueError, match="not implemented"):
+        dl.add_column(loc, "d", "date", default=19000)
+
+
+def test_duplicate_column_refuses(spark, loc):
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    with pytest.raises(ValueError, match="already exists"):
+        dl.add_column(loc, "s", "string")
+
+
+def test_defaults_without_feature_refuse(spark, loc):
+    """A foreign table carrying CURRENT_DEFAULT/EXISTS_DEFAULT metadata
+    whose protocol never declared allowColumnDefaults is ill-formed —
+    reading would guess at semantics the writer never promised."""
+    from pyspark.sql import types as T
+
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    snap = dl.snapshot(loc)
+    bad = T.StructType(
+        list(snap.schema.fields)
+        + [T.StructField(
+            "grade", T.IntegerType(), True,
+            {"CURRENT_DEFAULT": "5", "EXISTS_DEFAULT": "5"},
+        )]
+    )
+    dl._commit_metadata_change(
+        loc, snap, bad, snap.partition_columns, dict(snap.configuration),
+        "ADD COLUMNS", {},
+    )
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="allowColumnDefaults"):
+        dl.read_delta(spark, loc).collect()
+
+
+def test_optimize_materializes_defaults(spark, loc):
+    """Compaction rewrites pre-addition rows THROUGH the defaulted scan,
+    so the compacted file materializes the column — and the absence map
+    (footer-checked) stops naming it."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    _write(spark, loc, [(1, "b")])
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.optimize_compact(spark, loc, min_files=2)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 5}
+    snap = dl.snapshot(loc)
+    import pyarrow.parquet as pq
+
+    live_cols = {
+        c
+        for f in snap.files
+        for c in pq.ParquetFile(
+            os.path.join(loc, f.path)
+        ).schema_arrow.names
+    }
+    assert "grade" in live_cols  # physically materialized by the rewrite
+
+
+def test_streaming_substitutes_defaults(spark, loc):
+    from spark_etl_framework_spark.sources.deltalog import DeltaLogDataSource
+    from spark_etl_framework_spark.sources.pysource import (
+        register_python_source,
+    )
+
+    _write(spark, loc, [(0, "a"), (1, "b")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10, "x", 1), (11, "y", None)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )
+    register_python_source(spark, DeltaLogDataSource)
+    qn = f"dcd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("deltalog").option("path", loc).load()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.grade) for r in spark.sql(f"select * from {qn}").collect()
+    )
+    batch = sorted(
+        (r.id, r.grade) for r in dl.read_delta(spark, loc).collect()
+    )
+    assert got == batch == [(0, 5), (1, 5), (10, 1), (11, None)]
+
+
+def test_stats_positive_evidence_only(spark, loc):
+    """A stats JSON that omits the defaulted column (metrics cap /
+    suppression) on a file that PHYSICALLY carries it must read stored
+    values — footer fallback, mirroring the iceberg round-14 fix."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10, "x", 1)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )
+    # foreign-edit the last commit: strip grade from every stats map
+    v = dl.latest_version(loc)
+    p = dl._commit_path(loc, v)
+    lines = []
+    with open(p, encoding="utf-8") as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "add" in act and act["add"].get("stats"):
+                st = json.loads(act["add"]["stats"])
+                for key in ("minValues", "maxValues", "nullCount"):
+                    (st.get(key) or {}).pop("grade", None)
+                act["add"]["stats"] = json.dumps(st)
+            lines.append(json.dumps(act))
+    os.remove(p)
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 10: 1}  # stored value survives suppression

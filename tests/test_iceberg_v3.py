@@ -220,6 +220,41 @@ def test_dv_update_roundtrip(spark, loc):
     assert (4, "four") in got and len(got) == 8
 
 
+def test_v3_equality_delete_and_dv_interplay(spark, loc):
+    """Round-14 order item 8: the v3 spec keeps EQUALITY deletes
+    alongside deletion vectors. One data file targeted by BOTH — a DV
+    (position 1) and a later equality delete (key id=2) — subtracts the
+    union; sequence-number semantics hold (the merge's own inserts, at
+    the SAME sequence number as its equality delete, survive it); and a
+    binpack compaction folds the whole mix without changing results."""
+    _v3(spark, loc)  # ids 0-7, one file
+    ice.delete_where(spark, loc, "id = 1")  # v3 DV on the base file
+    # CDC-style merge: equality delete on id + new data file, one commit
+    ice.merge_upsert(
+        spark, loc,
+        spark.createDataFrame([(2, "two")], "id int, s string"),
+        ["id"],
+    )
+    meta = ice.load_metadata(loc)
+    _f, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    kinds = sorted(int(d.get("content", 0)) for d in dels)
+    assert kinds == [1, 2]  # one DV (content=1) + one eq delete (content=2)
+    got = {r.id: r.s for r in ice.read_iceberg(spark, loc).collect()}
+    assert 1 not in got                   # DV position subtracted
+    assert got[2] == "two"                # eq delete killed the OLD row,
+    #                                       the same-seq insert survived
+    assert set(got) == {0, 2, 3, 4, 5, 6, 7}
+    # the DV and the eq delete target different kill-sets of the SAME
+    # base file — neither masks the other
+    before = dict(got)
+    ice.rewrite_data_files(spark, loc, strategy="binpack")
+    after = {r.id: r.s for r in ice.read_iceberg(spark, loc).collect()}
+    assert after == before
+    meta2 = ice.load_metadata(loc)
+    _f2, dels2 = ice._scan_snapshot(meta2, ice._pick_snapshot(meta2))
+    assert dels2 == []  # compaction folded both delete kinds
+
+
 def test_v2_parquet_deletes_coexist_with_dvs(spark, loc):
     """A table upgraded mid-life keeps its v2-era parquet position
     deletes; new commits add DVs — the scan subtracts both."""

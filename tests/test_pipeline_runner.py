@@ -896,3 +896,55 @@ jobs:
     assert meta["format-version"] == 3
     grades = [r.grade for r in read_iceberg(spark, str(tbl)).collect()]
     assert grades and all(g == 5 for g in grades)
+
+
+def test_delta_defaults_ddl_actor_pipeline(spark, sf_dir, tmp_path):
+    """Round 14: the delta addColumn-with-DEFAULT DDL as a pipeline
+    actor (the allowColumnDefaults writer feature) — a metadata-only
+    commit, a subsequent write that OMITS the column gets
+    CURRENT_DEFAULT filled, and pre-existing rows read EXISTS_DEFAULT."""
+    from spark_etl_framework_spark.plans.runner import run_pipeline_file
+    from spark_etl_framework_spark.sources.deltalog import (
+        read_delta,
+        snapshot,
+    )
+
+    tbl = tmp_path / "nation_dcd"
+    ypath = tmp_path / "dcd.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write
+        actor:
+          type: delta-writer
+          properties: {{view: nation, path: "{tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: addcol
+        actor:
+          type: delta-dml
+          properties:
+            op: addColumn
+            path: "{tbl}"
+            columnName: grade
+            columnType: int
+            columnDefault: "5"
+      - name: append_without_column
+        actor:
+          type: delta-writer
+          properties: {{view: nation, path: "{tbl}", mode: append}}
+        input-views: [nation]
+""")
+    run_pipeline_file(spark, str(ypath))
+    snap = snapshot(str(tbl))
+    assert "allowColumnDefaults" in snap.protocol["writerFeatures"]
+    grades = [r.grade for r in read_delta(spark, str(tbl)).collect()]
+    assert grades and all(g == 5 for g in grades)
