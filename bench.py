@@ -95,7 +95,10 @@ HEADLINE = [
     # round 4 session-2 additions — broadcast-probe join pruning,
     # candidate-recount sketch, iterative relational algebra (graph +
     # eigensolver): four more distinct shuffle economies
-    "join_bloom_prefilter",
+    # (join_bloom_prefilter rotated out round 14: ten rounds stable
+    # since r4, its broadcast-probe prefilter plan is plan-lint-pinned
+    # and the join family keeps five benched rows — freed budget for
+    # delta_column_defaults)
     "text_heavyhitters_mg",
     "graph_pagerank_bipartite",
     "vector_pc1_power_iteration",
@@ -130,9 +133,10 @@ HEADLINE = [
     "delta_data_skipping",       # stats-pruned scan over a 5-commit log
     "iceberg_row_level_delete",  # MoR write + position-delete subtraction
     "delta_merge_upsert",        # full MERGE: match, rewrite, commit
-    # round 9 flagships under the bench for the same reason: protocol
-    # cost of the new subsystems must be regression-visible
-    "iceberg_hidden_partitioning",  # transform write + pruned scan
+    # (iceberg_hidden_partitioning rotated out round 14: five rounds
+    # stable since r9, the transform machinery is pytest-pinned and the
+    # pruned-scan path stays benched via iceberg_partitions_meta /
+    # etl_partitioned rows — freed budget for iceberg_rename_drop)
     # (delta_column_mapping_rename rotated out round 12: three rounds
     # stable, machinery pytest-covered; freed budget for the r12 rows)
     # rounds 10-11: the ref/WAP + modern-checkpoint/ICT lifecycle rows
@@ -184,13 +188,19 @@ HEADLINE = [
     # codec round-trips, the part that regresses with code.
     "iceberg_changelog_updates",     # CDC update-fold + net-changes
     "iceberg_v3_lifecycle",          # v3 upgrade + DV deletes + lineage
+    # round 14: the new lifecycle subsystems under the bench the round
+    # they exist (standing precedent) — both protocol rows over the
+    # 25-row nation fixture; the numbers track DDL commit building,
+    # per-file vintage resolution and defaulted-scan substitution.
+    "delta_column_defaults",         # ADD COLUMN DEFAULT + 3-vintage read
+    "iceberg_rename_drop",           # rename/drop DDL + vintage union
 ]
-# BUDGET NOTE (round 13): the stdout JSON line measured ~1990 chars at
-# these 61 entries (2 rotated out, 2 added; see the r13 rotation notes
-# inline) — the 2000-char driver-tail assert below keeps ~0-1 short
-# entries of headroom. Before adding to HEADLINE again, rotate a stable
-# entry out; the assert fails loudly either way, never silently at the
-# driver.
+# BUDGET NOTE (round 14): the stdout JSON line measured ~1966 chars at
+# these 61 entries (2 rotated out, 2 added; see the r13/r14 rotation
+# notes inline) — the 2000-char driver-tail assert below keeps ~0-1
+# short entries of headroom. Before adding to HEADLINE again, rotate a
+# stable entry out; the assert fails loudly either way, never silently
+# at the driver.
 
 
 def main() -> None:

@@ -343,6 +343,11 @@ class IcebergDmlActor(_TableDmlBase):
     columnType: str | None = None
     columnDefault: str | None = None
     formatVersion: int = 3
+    #: op=renameColumn / op=dropColumn (round 14): metadata-only schema
+    #: evolution by field id — existing data files never rewrite
+    oldColumn: str | None = None
+    newColumn: str | None = None
+    column: str | None = None
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -410,6 +415,19 @@ class IcebergDmlActor(_TableDmlBase):
             ice.add_column(
                 loc, self.columnName, self.columnType, default=default
             )
+            return None
+        if op == "renamecolumn":
+            if not self.oldColumn or not self.newColumn:
+                raise ValueError(
+                    "IcebergDmlActor: renameColumn needs oldColumn + "
+                    "newColumn"
+                )
+            ice.rename_column(loc, self.oldColumn, self.newColumn)
+            return None
+        if op == "dropcolumn":
+            if not self.column:
+                raise ValueError("IcebergDmlActor: dropColumn needs column")
+            ice.drop_column(loc, self.column)
             return None
         if op == "rewritepositiondeletes":
             ice.rewrite_position_delete_files(spark, loc)

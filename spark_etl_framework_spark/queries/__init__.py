@@ -236,15 +236,16 @@ def _load_all() -> None:
 #: this round from CORRECTNESS_r1..r13 (latest-green round per query;
 #: union coverage 326/326 — recomputed histogram: r7x47, r8x33, r9x49,
 #: r10x49, r11x49, r12x49, r13x50). Beyond the anchor and the round-14
-#: registration (freeze policy — the delta_column_defaults lifecycle
-#: row lands windowed in the registering commit), every slot refreshes
-#: the OLDEST evidence: ALL 47 remaining r7-vintage rows (the
-#: round-13 TODO's list plus agg_cube, registration order), then the
-#: first r8-vintage row (distinct_pairs) as fill. A fully-green round
-#: advances the oldest evidence vintage from r7 to r8.
+#: registrations (freeze policy — the delta_column_defaults and
+#: iceberg_rename_drop lifecycle rows land windowed in their
+#: registering commits; the second displaced the distinct_pairs r8
+#: fill), every slot refreshes the OLDEST evidence: ALL 47 remaining
+#: r7-vintage rows (the round-13 TODO's list plus agg_cube,
+#: registration order). A fully-green round advances the oldest
+#: evidence vintage from r7 to r8.
 #:
-#: ROUND-15 ROTATION TODO — continue with the 32 r8-vintage rows the
-#: round-14 window could not fit (topk_orders, scalar_string_funcs,
+#: ROUND-15 ROTATION TODO — continue with the 33 r8-vintage rows the
+#: round-14 window could not fit (distinct_pairs, topk_orders, scalar_string_funcs,
 #: date_funcs, scalar_regexp_funcs, agg_array_collect, the window/json
 #: r8 rows, the multimodal decode block, the dedup-span pair, the
 #: connector roundtrips, delta_history_audit, etl_dynamic_partition
@@ -254,8 +255,9 @@ def _load_all() -> None:
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # round-14 registration (windowed at registration — freeze policy)
+    # round-14 registrations (windowed at registration — freeze policy)
     "delta_column_defaults",
+    "iceberg_rename_drop",
     # r7-vintage (ALL 47 remaining, registration order)
     "agg_cube",
     "agg_having",
@@ -304,8 +306,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_peak_detection",
     "events_dau_wau_stickiness",
     "etl_incremental_join_maintenance",
-    # r8-vintage fill (first in registration order)
-    "distinct_pairs",
 )
 
 

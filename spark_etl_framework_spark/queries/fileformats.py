@@ -5055,3 +5055,85 @@ def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("k").cast("long").alias("key_sum"))
         .orderBy("grade_bucket")
     )
+
+
+@register(
+    "iceberg_rename_drop",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_regionkey AS r,
+               CASE WHEN n_name >= 'M' THEN n_name || '_u'
+                    ELSE n_name END AS label
+        FROM nation
+    )
+    SELECT r, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN label >= 'M' THEN 1 ELSE 0 END) AS BIGINT)
+               AS marked
+    FROM base GROUP BY r ORDER BY r
+    """,
+)
+def iceberg_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME / DROP COLUMN lifecycle (round 14 — closes the documented
+    name-based-reader scope-out; spec §Schema Evolution: columns resolve
+    by FIELD ID, both DDLs are metadata-only): regions 0-1 land with
+    (k, name, r, extra), ``rename_column('name','label')`` registers a
+    new schema under a fresh schema-id (old schemas immutable, ids
+    unchanged, ZERO data bytes moved — asserted: no new snapshot),
+    regions 2-4 append under the NEW name, a DML UPDATE whose predicate
+    reads the renamed column hits rows in BOTH vintages (pre-rename
+    files store the old physical name; the scan resolves each file's
+    vintage and unions the groups by name), and ``drop_column('extra')``
+    removes a column without touching a file (old files keep the bytes;
+    reads stop projecting them — asserted: gone from the schema). At
+    100 TB: vintage resolution costs one driver-side footer read per
+    live file ONLY on tables whose history contains a rename (this
+    engine stamps ``parquet.field.id`` on every write, so resolution is
+    exact), the grouped scan adds no exchange (groups union by name),
+    and compaction retires the old vintage entirely. Reference:
+    iceberg-spec §Schema Evolution; the jar's ALTER TABLE surface."""
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    tbl = tempfile.mkdtemp(prefix="ice_rd_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("r"),
+        (F.col("n_nationkey") * 0.5).alias("extra"),
+    )
+    _ice.write_iceberg(na.filter("r <= 1").coalesce(1), tbl,
+                       mode="overwrite")
+    n_snaps = len(_ice.load_metadata(tbl).get("snapshots", []))
+    _ice.rename_column(tbl, "name", "label")
+    meta = _ice.load_metadata(tbl)
+    assert len(meta.get("snapshots", [])) == n_snaps, (
+        "rename must be metadata-only (no snapshot)"
+    )
+    assert any(  # old schema immutable, reachable by its schema-id
+        any(f["name"] == "name" for f in s["fields"])
+        for s in meta["schemas"]
+    )
+    _ice.write_iceberg(
+        na.filter("r >= 2").withColumnRenamed("name", "label").coalesce(1),
+        tbl, mode="append",
+    )
+    # DML through the renamed column: predicate + assignment hit BOTH
+    # vintages (pre-rename files resolve by field id / unambiguous name)
+    _ice.update_where(
+        spark, tbl, "label >= 'M'", {"label": "concat(label, '_u')"}
+    )
+    _ice.drop_column(tbl, "extra")
+    out = _ice.read_iceberg(spark, tbl)
+    assert "extra" not in out.columns, "dropped column must not project"
+    return (
+        out.groupBy("r")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum(
+                F.when(F.col("label").endswith("_u"), 1).otherwise(0)
+            ).cast("long").alias("marked"),
+        )
+        .orderBy("r")
+    )

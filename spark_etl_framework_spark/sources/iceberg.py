@@ -242,6 +242,154 @@ def _absent_default_cols(
     return out
 
 
+def _file_write_names(
+    meta: dict, files: list[dict], data_fields: list[tuple[int, str]]
+) -> dict[str, dict[str, str]] | None:
+    """Per data file (by path): {current name -> name to SCAN under} for
+    the given (field id, current name) pairs, only where they differ —
+    or None when schema history shows no rename / same-name re-add
+    touching these fields (the fast path: every table that never
+    renamed pays nothing).
+
+    The spec resolves columns by FIELD ID. Per file: the parquet
+    footer's stamped field ids when present (exact); otherwise by name,
+    which is safe only for names that map to ONE field id across the
+    whole schema history — an ambiguous name (drop + re-add) without
+    footer ids REFUSES rather than silently resurrecting another
+    column's bytes. A stamped file where the wanted id is absent but
+    the current NAME physically exists (it belongs to a dropped id)
+    scans under a masked placeholder so Spark null-fills it. Cost: one
+    driver-side footer read per live file, paid ONLY on tables whose
+    history contains a rename/re-add; compaction rewrites retire it."""
+    names_hist = _names_by_id_history(meta)
+    ids_hist = _ids_by_name_history(meta)
+    wanted = {
+        fid: cur for fid, cur in data_fields
+        if len(names_hist.get(fid, {cur})) > 1
+        or len(ids_hist.get(cur, {fid})) > 1
+    }
+    if not wanted:
+        return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, str]] = {}
+    for f in files:
+        path = f["file_path"]
+        arrow = pq.ParquetFile(path).schema_arrow
+        by_id: dict[int, str] = {}
+        for af in arrow:
+            md = af.metadata or {}
+            rid = md.get(b"PARQUET:field_id")
+            if rid is not None:
+                by_id[int(rid)] = af.name
+        cols = set(arrow.names)
+        ren: dict[str, str] = {}
+        for fid, cur in wanted.items():
+            if fid in by_id:
+                if by_id[fid] != cur:
+                    ren[cur] = by_id[fid]
+                continue
+            if by_id:
+                # id-stamped file lacking this id: the field is absent;
+                # if its CURRENT name exists physically it belongs to a
+                # different (dropped) id — mask so Spark null-fills
+                if cur in cols:
+                    ren[cur] = f"__masked_{fid}"
+                continue
+            cands = sorted(
+                n for n in names_hist.get(fid, {cur}) if n in cols
+            )
+            if not cands:
+                continue  # column physically absent: null/default fill
+            ambiguous = [
+                n for n in cands if len(ids_hist.get(n, {fid})) > 1
+            ]
+            if len(cands) > 1 or ambiguous:
+                raise ValueError(
+                    f"iceberg: cannot resolve column {cur!r} (field id "
+                    f"{fid}) in {os.path.basename(path)} — the file has "
+                    "no parquet field ids and the candidate names "
+                    f"{cands} are ambiguous across the table's schema "
+                    "history (rename/drop-re-add); rewrite the file "
+                    "(rewrite_data_files) to disambiguate"
+                )
+            if cands[0] != cur:
+                ren[cur] = cands[0]
+        if ren:
+            out[path] = ren
+    return out
+
+
+def _scan_data_files(
+    spark: SparkSession,
+    files: list[dict],
+    data_schema: T.StructType,
+    meta: dict,
+    need_file_name: bool = False,
+    need_pos: bool = False,
+) -> DataFrame:
+    """Scan data files under ``data_schema``'s CURRENT column names,
+    resolving renamed / re-added column VINTAGES per file: files group
+    by their write-name signature, each group scans with the write-time
+    names and aliases back, groups union by name. ``_metadata``-derived
+    columns (__file_name/__pos) attach INSIDE each group — the pseudo
+    column does not survive a union. Tables with no rename history take
+    a single plain scan (zero overhead — the common case)."""
+    schema_ids = {
+        f["name"]: int(f["id"]) for f in meta["schema"].get("fields", [])
+    }
+    data_fields = [
+        (schema_ids[f.name], f.name)
+        for f in data_schema.fields
+        if f.name in schema_ids
+    ]
+    renames = _file_write_names(meta, files, data_fields)
+
+    def _with_meta(df: DataFrame) -> DataFrame:
+        if need_file_name:
+            df = df.withColumn(
+                "__file_name",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+        if need_pos:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        return df
+
+    if not renames:
+        paths = [f["file_path"] for f in files]
+        return _with_meta(spark.read.schema(data_schema).parquet(*paths))
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sig = tuple(sorted((renames.get(f["file_path"]) or {}).items()))
+        groups.setdefault(sig, []).append(f["file_path"])
+    extras = (["__file_name"] if need_file_name else []) + (
+        ["__pos"] if need_pos else []
+    )
+    parts = []
+    for sig, paths in sorted(groups.items()):
+        wmap = dict(sig)
+        scan_schema = T.StructType([
+            T.StructField(
+                wmap.get(fld.name, fld.name), fld.dataType, True,
+                fld.metadata,
+            )
+            for fld in data_schema.fields
+        ])
+        g = _with_meta(spark.read.schema(scan_schema).parquet(*paths))
+        g = g.select(
+            *[
+                F.col(wmap.get(fld.name, fld.name)).alias(fld.name)
+                for fld in data_schema.fields
+            ],
+            *extras,
+        )
+        parts.append(g)
+    out = parts[0]
+    for g in parts[1:]:
+        out = out.unionByName(g)
+    return out
+
+
 def _apply_initial_defaults(
     df: DataFrame,
     defaults: list[tuple[str, object]],
@@ -810,6 +958,7 @@ def _stage_data_entries(
     schema: T.StructType,
     spec: list[dict],
     snapshot_id: int,
+    ice_fields: list[dict] | None = None,
 ) -> list[dict]:
     """Stage ``df`` with Spark's distributed writer, move the parquet
     files under ``data/`` with fresh uuid names, return their ADDED
@@ -842,11 +991,33 @@ def _stage_data_entries(
     }
     for c in identity_cols:
         result_dts[c] = schema[c].dataType
-    ice = spark_to_iceberg_schema(
-        T.StructType([f for f in schema.fields if f.name not in identity_cols])
-    )
-    field_ids = {f["name"]: f["id"] for f in ice["fields"]}
-    ice_types = {f["name"]: f["type"] for f in ice["fields"]}
+    if ice_fields is not None:
+        # the TABLE's real field ids (post-drop they are NOT positional:
+        # ids are never reused, so the positional fallback below would
+        # mis-key every bound after the gap) — round 14
+        field_ids = {
+            f["name"]: f["id"] for f in ice_fields
+            if f["name"] not in identity_cols
+        }
+        ice_types = {
+            f["name"]: f["type"] for f in ice_fields
+            if f["name"] not in identity_cols
+        }
+    else:
+        ice = spark_to_iceberg_schema(
+            T.StructType(
+                [f for f in schema.fields if f.name not in identity_cols]
+            )
+        )
+        field_ids = {f["name"]: f["id"] for f in ice["fields"]}
+        ice_types = {f["name"]: f["type"] for f in ice["fields"]}
+    # stamp the spec's parquet field ids into the data files (round 14):
+    # spark.sql.parquet.fieldId.write.enabled honors the column metadata,
+    # making every new file exactly id-resolvable after a future RENAME
+    # (this engine's _file_write_names, and any conformant foreign reader)
+    for c, fid in field_ids.items():
+        if c in df.columns:
+            df = df.withMetadata(c, {"parquet.field.id": int(fid)})
     try:
         w = df.write.mode("overwrite")
         if stage_by:
@@ -1098,7 +1269,10 @@ def write_iceberg(
         # bounds drive planning-time skipping from the first commit
         df = df.sortWithinPartitions(*sort_by)
 
-    entries = _stage_data_entries(df, loc, schema, spec_entries, snapshot_id)
+    entries = _stage_data_entries(
+        df, loc, schema, spec_entries, snapshot_id,
+        ice_fields=meta["schema"]["fields"] if meta else None,
+    )
 
     fmt3 = bool(meta) and int(meta.get("format-version", 1)) >= 3
     first_row_id = None
@@ -1637,14 +1811,9 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
                           T.LongType(), True),
         ]
     data_schema = T.StructType(data_fields)
-    df = (
-        spark.read.schema(data_schema)
-        .parquet(*[f["file_path"] for f in files])
-        .withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
-        .withColumn("__pos", F.col("_metadata.row_index"))
+    df = _scan_data_files(
+        spark, files, data_schema, meta,
+        need_file_name=True, need_pos=True,
     )
     defaults = _initial_defaults(_current_ice_schema(meta))
     absent_map: dict[str, list[str]] = {}
@@ -1751,12 +1920,10 @@ def add_column(
                 f"implemented (supported: {sorted(_DEFAULTABLE_TYPES)})"
             )
     meta = dict(meta)
-    schemas = ([meta["schema"]] if "schema" in meta else []) + list(
-        meta.get("schemas", [])
-    )
-    if any(
-        f["name"] == name for sch in schemas for f in sch.get("fields", [])
-    ):
+    # duplicate check against the CURRENT schema only: re-adding a name
+    # that a DROPPED field once carried is spec-legal (fresh id; reads
+    # disambiguate by field id — see _file_write_names)
+    if any(f["name"] == name for f in meta["schema"].get("fields", [])):
         raise ValueError(f"add_column: column {name!r} already exists")
     nid = int(meta.get("last-column-id", 0)) + 1
     field = {"id": nid, "name": name, "required": False, "type": ice_type}
@@ -1767,31 +1934,187 @@ def add_column(
         field["write-default"] = default
     # spec §Schema Evolution: old schemas are IMMUTABLE — evolution
     # registers a NEW schema with a fresh schema-id and points
-    # current-schema-id at it. meta['schema'] (the v1-style current
-    # schema this engine reads) tracks the new entry.
+    # current-schema-id at it (shared shape with rename/drop).
+    meta = _evolve_schema(
+        meta, [dict(f) for f in meta["schema"].get("fields", [])]
+        + [dict(field)],
+    )
+    meta["last-column-id"] = nid
+    version = current_version(loc) + 1
+    _publish_metadata(loc, version, meta)
+    return version
+
+
+def _schema_history(meta: dict) -> list[dict]:
+    """Every schema this table ever had (current + ``schemas`` history),
+    deduplicated by identity — the substrate for field-id → historical
+    names resolution."""
+    out = []
+    seen: set[int] = set()
+    for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+        if sch and id(sch) not in seen:
+            seen.add(id(sch))
+            out.append(sch)
+    return out
+
+
+def _names_by_id_history(meta: dict) -> dict[int, set[str]]:
+    """field id -> every name it carried across schema history. An id
+    with >1 name means a RENAME happened; resolution must then go
+    per-file (spec: columns resolve by field id, and data files written
+    before the rename store the old name)."""
+    out: dict[int, set[str]] = {}
+    for sch in _schema_history(meta):
+        for f in sch.get("fields", []):
+            out.setdefault(int(f["id"]), set()).add(f["name"])
+    return out
+
+
+def _ids_by_name_history(meta: dict) -> dict[str, set[int]]:
+    """name -> every field id that carried it across schema history. A
+    name claimed by >1 id (drop + re-add, or rename swaps) is AMBIGUOUS
+    for files that lack parquet field ids — name-based resolution would
+    silently read another column's data, so those files refuse."""
+    out: dict[str, set[int]] = {}
+    for sch in _schema_history(meta):
+        for f in sch.get("fields", []):
+            out.setdefault(f["name"], set()).add(int(f["id"]))
+    return out
+
+
+def _spec_source_ids(meta: dict) -> set[int]:
+    """Every source-id referenced by ANY partition spec (current and
+    historical) — rename/drop of these columns is refused (partition
+    metadata resolves identity values through the spec field NAME in
+    this engine's layout; see _stage_data_entries)."""
+    ids: set[int] = set()
+    for s in meta.get("partition-specs") or []:
+        for f in s.get("fields") or []:
+            if f.get("source-id") is not None:
+                ids.add(int(f["source-id"]))
+    for f in meta.get("partition-spec") or []:
+        if f.get("source-id") is not None:
+            ids.add(int(f["source-id"]))
+    return ids
+
+
+def _live_equality_ids(meta: dict) -> set[int]:
+    """Field ids referenced by the CURRENT snapshot's live equality
+    delete files (driver metadata walk, no data I/O)."""
+    if not meta.get("snapshots"):
+        return set()
+    try:
+        snap = _pick_snapshot(meta)
+    except ValueError:
+        return set()
+    _data, dels = _scan_snapshot(meta, snap)
+    out: set[int] = set()
+    for d in dels:
+        for i in d.get("equality_ids") or []:
+            out.add(int(i))
+    return out
+
+
+def _evolve_schema(meta: dict, new_fields: list[dict]) -> dict:
+    """Shared evolution commit shape (spec §Schema Evolution): register
+    a NEW schema with a fresh schema-id carrying ``new_fields``, point
+    ``current-schema-id`` at it, keep every historical schema untouched.
+    Returns the mutated meta (caller publishes)."""
     import copy as _copy
 
-    cur_sid = meta.get("current-schema-id")
     cur_schema = meta.get("schema") or next(
-        s for s in meta.get("schemas", []) if s.get("schema-id") == cur_sid
+        s for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id")
     )
     new_schema = _copy.deepcopy(cur_schema)
-    new_schema["fields"] = list(new_schema.get("fields", [])) + [dict(field)]
-    used_sids = [s.get("schema-id", 0) for s in meta.get("schemas", [])]
-    used_sids.append(cur_schema.get("schema-id", 0))
-    new_sid = max(used_sids) + 1
+    new_schema["fields"] = new_fields
+    used = [s.get("schema-id", 0) for s in meta.get("schemas", [])]
+    used.append(cur_schema.get("schema-id", 0))
+    new_sid = max(used) + 1
     new_schema["schema-id"] = new_sid
     hist = list(meta.get("schemas", []))
     if not any(
         s.get("schema-id") == cur_schema.get("schema-id", 0) for s in hist
     ):
         cur_schema.setdefault("schema-id", 0)
-        hist.append(cur_schema)  # keep the pre-evolution schema reachable
+        hist.append(cur_schema)
     meta["schemas"] = hist + [new_schema]
     meta["current-schema-id"] = new_sid
     meta["schema"] = new_schema
-    meta["last-column-id"] = nid
     meta["last-updated-ms"] = int(time.time() * 1000)
+    return meta
+
+
+def rename_column(loc: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY (spec §Schema
+    Evolution: columns resolve by FIELD ID, so a rename registers a new
+    schema with the same ids and never touches a data byte). Existing
+    data files keep the old physical name; reads resolve per-file
+    vintage (parquet field ids when stamped, unambiguous-name fallback
+    otherwise — see :func:`_file_write_names`). Refused when the column
+    sources a partition spec (this engine reattaches identity partition
+    values by spec-field name) or is keyed by a LIVE equality delete
+    (whose parquet stores the old name; compact deletes first). Returns
+    the new metadata version."""
+    meta = dict(load_metadata(loc))
+    fields = list(meta["schema"].get("fields", []))
+    fld = next((f for f in fields if f["name"] == old), None)
+    if fld is None:
+        raise ValueError(f"rename_column: no column {old!r}")
+    if any(f["name"] == new for f in fields):
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    fid = int(fld["id"])
+    if fid in _spec_source_ids(meta):
+        raise ValueError(
+            f"rename_column: {old!r} sources a partition spec — renaming "
+            "a partition source column is not supported (repartition via "
+            "a rewrite first)"
+        )
+    if fid in _live_equality_ids(meta):
+        raise ValueError(
+            f"rename_column: live equality delete files key on {old!r} "
+            "(their parquet stores the old name) — fold the deletes "
+            "first (rewrite_data_files)"
+        )
+    new_fields = [
+        dict(f, name=new) if f["name"] == old else dict(f) for f in fields
+    ]
+    meta = _evolve_schema(meta, new_fields)
+    version = current_version(loc) + 1
+    _publish_metadata(loc, version, meta)
+    return version
+
+
+def drop_column(loc: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — METADATA-ONLY (spec: the field leaves
+    the current schema; its id is never reused; data files keep the
+    column physically and reads simply stop projecting it). A later
+    add_column with the SAME name gets a fresh id — files carrying the
+    old column without parquet field ids become name-AMBIGUOUS and
+    refuse rather than silently resurrecting dropped data (see
+    :func:`_file_write_names`). Refused for partition-spec sources and
+    live-equality-delete keys, like rename. Returns the new metadata
+    version."""
+    meta = dict(load_metadata(loc))
+    fields = list(meta["schema"].get("fields", []))
+    fld = next((f for f in fields if f["name"] == name), None)
+    if fld is None:
+        raise ValueError(f"drop_column: no column {name!r}")
+    if len(fields) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    fid = int(fld["id"])
+    if fid in _spec_source_ids(meta):
+        raise ValueError(
+            f"drop_column: {name!r} sources a partition spec — dropping "
+            "a partition source column is not supported"
+        )
+    if fid in _live_equality_ids(meta):
+        raise ValueError(
+            f"drop_column: live equality delete files key on {name!r} — "
+            "fold the deletes first (rewrite_data_files)"
+        )
+    new_fields = [dict(f) for f in fields if f["name"] != name]
+    meta = _evolve_schema(meta, new_fields)
     version = current_version(loc) + 1
     _publish_metadata(loc, version, meta)
     return version
@@ -2140,7 +2463,8 @@ def update_where(
         )
     updated = matched.select(*out_cols)
     data_entries = _stage_data_entries(
-        updated, loc, stage_schema, _spec_entries(meta), snapshot_id
+        updated, loc, stage_schema, _spec_entries(meta), snapshot_id,
+        ice_fields=meta["schema"]["fields"],
     )
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
@@ -2228,7 +2552,8 @@ def merge_upsert(
     if not delete_entries:
         return None
     data_entries = _stage_data_entries(
-        src, loc, schema, _spec_entries(meta), snapshot_id
+        src, loc, schema, _spec_entries(meta), snapshot_id,
+        ice_fields=meta["schema"]["fields"],
     )
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
@@ -2347,7 +2672,8 @@ def rewrite_data_files(
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
     spec = _spec_entries(meta)
     data_entries = _stage_data_entries(
-        live, loc, stage_schema, spec, snapshot_id
+        live, loc, stage_schema, spec, snapshot_id,
+        ice_fields=meta["schema"]["fields"],
     )
     if meta.get("format-version", 1) < 2:
         meta = _upgrade_meta_v2(meta)
@@ -2969,7 +3295,6 @@ def read_iceberg(
     # values (bucket/day/... — hidden partitioning) exist only for the
     # plan-time pruning above and never surface as output columns
     partition_cols = _identity_names(_spec_entries(meta))
-    paths = [f["file_path"] for f in files]
     data_fields = [f for f in schema.fields if f.name not in partition_cols]
     if with_row_lineage:
         data_fields += [
@@ -2978,7 +3303,6 @@ def read_iceberg(
                           T.LongType(), True),
         ]
     data_schema = T.StructType(data_fields)
-    df = spark.read.schema(data_schema).parquet(*paths)
     # v3 initial-defaults: rows in files written BEFORE a defaulted
     # column existed read the declared default, not null — the per-file
     # absence list rides the same broadcast map as everything else
@@ -2996,13 +3320,13 @@ def read_iceberg(
         bool(partition_cols) or bool(delete_files) or with_row_lineage
         or bool(defaults)
     )
-    if needs_meta:
-        df = df.withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
-    if delete_files or with_row_lineage:
-        df = df.withColumn("__pos", F.col("_metadata.row_index"))
+    # the scan resolves renamed/re-added column vintages per file and
+    # attaches the _metadata-derived columns group-side (round 14)
+    df = _scan_data_files(
+        spark, files, data_schema, meta,
+        need_file_name=needs_meta,
+        need_pos=bool(delete_files) or with_row_lineage,
+    )
     if needs_meta:
         # one broadcast map: basename → typed partition values + data seq
         ptypes = {f.name: f.dataType for f in schema.fields}
@@ -3133,15 +3457,12 @@ def read_iceberg_incremental(
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in partition_cols]
     )
-    df = spark.read.schema(data_schema).parquet(
-        *[f["file_path"] for f in files]
+    df = _scan_data_files(
+        spark, files, data_schema, meta,
+        need_file_name=bool(partition_cols),
     )
     if partition_cols:
         ptypes = {f.name: f.dataType for f in schema.fields}
-        df = df.withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
         map_schema = T.StructType(
             [T.StructField("__file_name", T.StringType(), False)]
             + [T.StructField(c, ptypes[c], True) for c in partition_cols]
@@ -3268,15 +3589,10 @@ def read_iceberg_changelog(
     all_defaults = _initial_defaults(_current_ice_schema(meta))
 
     def _scan_files(files: list[dict], lineage: bool) -> DataFrame:
-        df = spark.read.schema(data_schema).parquet(
-            *[f["file_path"] for f in files]
+        df = _scan_data_files(
+            spark, files, data_schema, meta,
+            need_file_name=True, need_pos=lineage,
         )
-        df = df.withColumn(
-            "__file_name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
-        if lineage:
-            df = df.withColumn("__pos", F.col("_metadata.row_index"))
         # v3 initial-defaults: pre-addition files read the declared value
         defaults = list(all_defaults)
         absent_map: dict[str, list[str]] = {}
@@ -5092,6 +5408,19 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         # refused unsupported default types)
         self._defaults = dict(_initial_defaults(_current_ice_schema(meta)))
         self._schema = iceberg_to_spark_schema(meta["schema"])
+        # renamed/re-added column vintages (round 14): files written
+        # under an earlier schema resolve per file in _load_cols; the
+        # history flags make the common (never-renamed) path free
+        self._meta = meta
+        self._data_fields = [
+            (int(f["id"]), f["name"])
+            for f in meta["schema"].get("fields", [])
+        ]
+        nh, ih = _names_by_id_history(meta), _ids_by_name_history(meta)
+        self._vintage_check = any(
+            len(nh.get(i, {n})) > 1 or len(ih.get(n, {i})) > 1
+            for i, n in self._data_fields
+        )
         # only IDENTITY partition values are schema columns; transformed
         # fields (hidden partitioning) never surface as output columns
         self._pcols = _identity_names(_spec_entries(meta))
@@ -5272,13 +5601,24 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         return parts
 
     def _load_cols(self, path: str):
-        """(columns dict, row count) of one parquet file, timestamps
-        localized for the Python-source serializer."""
+        """(columns dict, row count) of one parquet file under CURRENT
+        column names — renamed/re-added vintages resolved per file
+        (field ids / unambiguous-name rule, _file_write_names) —
+        timestamps localized for the Python-source serializer."""
         import pyarrow.parquet as pq
 
         ptypes = {f.name: f.dataType for f in self._schema.fields}
         tbl = pq.read_table(path)
         cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        if self._vintage_check:
+            ren = _file_write_names(
+                self._meta, [{"file_path": path}], self._data_fields
+            ) or {}
+            for cur, wn in (ren.get(path) or {}).items():
+                vals = cols.pop(wn, None)  # None: masked (dropped id)
+                cols.pop(cur, None)  # never read another id's bytes
+                if vals is not None:
+                    cols[cur] = vals
         for c, dt_ in ptypes.items():
             if isinstance(dt_, T.TimestampType) and c in cols:
                 cols[c] = [
@@ -5448,26 +5788,16 @@ class IcebergLogStreamReader(DataSourceStreamReader):
 
         names = [f.name for f in self._schema.fields]
         ptypes = {f.name: f.dataType for f in self._schema.fields}
-        tbl = pq.read_table(partition.path)
-        cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
-        # pyarrow yields tz-NAIVE datetimes for timestamp[us]; Spark's
-        # Python-source serializer calls tz_convert on them and dies —
-        # localize to UTC (parquet timestamps are instant-based)
-        for c, dt_ in ptypes.items():
-            if isinstance(dt_, T.TimestampType) and c in cols:
-                cols[c] = [
-                    v.replace(tzinfo=_dt.timezone.utc)
-                    if v is not None and v.tzinfo is None
-                    else v
-                    for v in cols[c]
-                ]
-        cols = self._fill_absent(cols, tbl.num_rows)
+        # shared loader: vintage resolution + tz localization + absent
+        # fill (pyarrow yields tz-NAIVE datetimes the Python-source
+        # serializer would die on)
+        cols, n_rows = self._load_cols(partition.path)
         pvals = {
             c: _avro_to_partition(v, ptypes[c])
             for c, v in partition.partition_values.items()
             if c in self._pcols  # identity only — transforms are derived
         }
-        for i in range(tbl.num_rows):
+        for i in range(n_rows):
             yield tuple(pvals[c] if c in pvals else cols[c][i] for c in names)
 
     def commit(self, end) -> None:

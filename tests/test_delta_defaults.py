@@ -212,3 +212,51 @@ def test_stats_positive_evidence_only(spark, loc):
         fh.write("\n".join(lines) + "\n")
     got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
     assert got == {0: 5, 10: 1}  # stored value survives suppression
+
+
+def test_defaults_on_column_mapped_table(spark, loc):
+    """Interplay: add_column-with-default on a column-MAPPED table gets
+    a fresh mapping id + physical name, and the absence map keys on the
+    PHYSICAL name — reads still substitute, renames don't break it."""
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "id int, s string")
+    dl.write_delta(df.coalesce(1), loc, mode="overwrite",
+                   column_mapping="name")
+    dl.add_column(loc, "grade", "int", default=5)
+    snap = dl.snapshot(loc)
+    f = snap.schema["grade"]
+    assert (f.metadata or {}).get("delta.columnMapping.physicalName")
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 5}
+    # post-addition write stores under the physical name; read by logical
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10, "x", 1)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )
+    # rename the defaulted column — metadata-only; substitution follows
+    dl.rename_column(loc, "grade", "score")
+    got = {r.id: r.score for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 5, 10: 1}
+    # DML through the renamed defaulted column
+    dl.update_where(spark, loc, "score = 5", {"s": "'D'"})
+    got = {r.id: r.s for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: "D", 1: "D", 10: "x"}
+
+
+def test_cdf_documents_null_for_pre_addition_commits(spark, loc):
+    """table_changes projects the whole range onto the END schema with
+    columns-added-later reading as NULL for earlier commits (the
+    documented CDF rule) — the defaulted column follows that rule, not
+    the batch-scan substitution; this pin records the divergence as
+    deliberate."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10, "x", 1)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )
+    ch = dl.table_changes(spark, loc)
+    got = {(r.id, r._change_type): r.grade for r in ch.collect()}
+    assert got[(0, "insert")] is None  # CDF's documented null rule
+    assert got[(10, "insert")] == 1

@@ -948,3 +948,48 @@ jobs:
     assert "allowColumnDefaults" in snap.protocol["writerFeatures"]
     grades = [r.grade for r in read_delta(spark, str(tbl)).collect()]
     assert grades and all(g == 5 for g in grades)
+
+
+def test_iceberg_rename_drop_actor_pipeline(spark, sf_dir, tmp_path):
+    """Round 14: RENAME/DROP COLUMN as pipeline actor ops — both
+    metadata-only; the post-rename append lands under the new name and
+    reads union both vintages."""
+    from spark_etl_framework_spark.plans.runner import run_pipeline_file
+    from spark_etl_framework_spark.sources.iceberg import read_iceberg
+
+    tbl = tmp_path / "nation_rd"
+    ypath = tmp_path / "ird.yaml"
+    ypath.write_text(f"""
+version: 1.0.0
+jobs:
+  - name: main
+    actions:
+      - name: load
+        actor:
+          type: file-reader
+          properties:
+            format: parquet
+            fileUri: "{sf_dir}/nation.parquet"
+        output-view: {{name: nation, global: false}}
+      - name: write
+        actor:
+          type: iceberg-writer
+          properties: {{view: nation, table: "{tbl}", mode: overwrite}}
+        input-views: [nation]
+      - name: ren
+        actor:
+          type: iceberg-dml
+          properties:
+            op: renameColumn
+            path: "{tbl}"
+            oldColumn: n_name
+            newColumn: nation_name
+      - name: drop
+        actor:
+          type: iceberg-dml
+          properties: {{op: dropColumn, path: "{tbl}", column: n_regionkey}}
+""")
+    run_pipeline_file(spark, str(ypath))
+    df = read_iceberg(spark, str(tbl))
+    assert "nation_name" in df.columns and "n_regionkey" not in df.columns
+    assert df.count() == 25

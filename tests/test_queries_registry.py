@@ -104,15 +104,15 @@ def test_register_raises_on_duplicate_name():
 def test_priority_window_invariants():
     """The external gate checks exactly the first 50 registry entries, so
     lock what makes the window valid: it IS the priority block and every
-    slot has an oracle. Round-13 policy (the r12 judge's order item 1):
-    anchor + the round-13 registrations (freeze policy,
+    slot has an oracle. Round-14 policy (the r13 judge's order item 1):
+    anchor + the round-14 registrations (freeze policy,
     tests/test_registry_window.py) + the OLDEST-vintage evidence
-    computed from the CORRECTNESS artifacts — ALL 44 remaining
-    r6-vintage rows in registration order, then the first r7-vintage
-    rows as fill. The family list below is what THIS rotation targets
-    (the r6 block is ts/text/dedup/vector/events/stream/corpus/etl
-    heavy — delta_/multimodal_/pipeline_ rows are r11-r12 vintage and
-    deliberately NOT re-burned this window)."""
+    computed from the CORRECTNESS artifacts — ALL 47 remaining
+    r7-vintage rows in registration order. The family list below is
+    what THIS rotation targets (the r7 block is joins/set-ops/
+    subqueries/pivot/TPC-H/events/vector/pipeline heavy — the ts/text/
+    dedup/stream/corpus families are r13 vintage and deliberately NOT
+    re-burned this window)."""
     from spark_etl_framework_spark.queries import _PRIORITY
 
     window = list(QUERIES)[:50]
@@ -120,9 +120,9 @@ def test_priority_window_invariants():
     assert window == list(_PRIORITY)
     assert all(n in ORACLES for n in window)
     for family in (
-        "iceberg_", "stream_", "text_", "ts_", "dedup_",
-        "vector_", "q", "events_", "corpus_", "etl_", "agg_",
-        "kafka_", "source_",
+        "iceberg_", "delta_", "join_", "setop_", "subquery_", "cte_",
+        "pivot_", "unpivot_", "multimodal_", "vector_", "pipeline_",
+        "q", "events_", "etl_", "agg_",
     ):
         assert any(n.startswith(family) for n in window), f"family {family} fell out"
 
