@@ -343,11 +343,13 @@ class IcebergDmlActor(_TableDmlBase):
     columnType: str | None = None
     columnDefault: str | None = None
     formatVersion: int = 3
-    #: op=renameColumn / op=dropColumn (round 14): metadata-only schema
-    #: evolution by field id — existing data files never rewrite
+    #: op=renameColumn / op=dropColumn / op=updateColumnType (round 14):
+    #: metadata-only schema evolution by field id — existing data files
+    #: never rewrite
     oldColumn: str | None = None
     newColumn: str | None = None
     column: str | None = None
+    newType: str | None = None
     _FORMAT = "iceberg"
 
     def run(self, ctx: JobContext, spark: SparkSession) -> DataFrame | None:
@@ -428,6 +430,16 @@ class IcebergDmlActor(_TableDmlBase):
             if not self.column:
                 raise ValueError("IcebergDmlActor: dropColumn needs column")
             ice.drop_column(loc, self.column)
+            return None
+        if op == "updatecolumntype":
+            # ALTER COLUMN TYPE (round 14): spec type promotion —
+            # mirrors the delta actor's widenColumn
+            if not self.column or not self.newType:
+                raise ValueError(
+                    "IcebergDmlActor: updateColumnType needs column + "
+                    "newType"
+                )
+            ice.update_column_type(loc, self.column, self.newType)
             return None
         if op == "rewritepositiondeletes":
             ice.rewrite_position_delete_files(spark, loc)

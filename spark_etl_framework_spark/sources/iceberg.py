@@ -896,14 +896,17 @@ def _encode_bound(v, ice_type: str) -> bytes | None:
 def _decode_bound(raw: bytes, ice_type: str):
     if raw is None:
         return None
+    # spec §Schema Evolution (type promotion): bounds written BEFORE an
+    # int→long / float→double promotion keep their original 4-byte
+    # width — decode by raw width and promote the value on read
     if ice_type == "int":
         return _struct.unpack("<i", raw)[0]
     if ice_type == "long":
-        return _struct.unpack("<q", raw)[0]
+        return _struct.unpack("<i" if len(raw) == 4 else "<q", raw)[0]
     if ice_type == "float":
         return _struct.unpack("<f", raw)[0]
     if ice_type == "double":
-        return _struct.unpack("<d", raw)[0]
+        return _struct.unpack("<f" if len(raw) == 4 else "<d", raw)[0]
     if ice_type == "string":
         return raw.decode("utf-8")
     if ice_type == "date":
@@ -2078,6 +2081,47 @@ def rename_column(loc: str, old: str, new: str) -> int:
         )
     new_fields = [
         dict(f, name=new) if f["name"] == old else dict(f) for f in fields
+    ]
+    meta = _evolve_schema(meta, new_fields)
+    version = current_version(loc) + 1
+    _publish_metadata(loc, version, meta)
+    return version
+
+
+def update_column_type(loc: str, column: str, new_type: str) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE — METADATA-ONLY type PROMOTION
+    (spec §Schema Evolution: int→long, float→double, decimal precision
+    widening at the same scale; anything else refuses — narrowing would
+    silently truncate). Existing parquet keeps its narrow physical type:
+    Spark 4's vectorized reader applies the promotion at scan time (the
+    same mechanism the delta typeWidening path relies on), and manifest
+    bounds written before the promotion keep their 4-byte width —
+    :func:`_decode_bound` promotes them on read. Returns the new
+    metadata version."""
+    meta = dict(load_metadata(loc))
+    fields = list(meta["schema"].get("fields", []))
+    fld = next((f for f in fields if f["name"] == column), None)
+    if fld is None:
+        raise ValueError(f"update_column_type: no column {column!r}")
+    old = fld["type"]
+    ok = (old, new_type) in (("int", "long"), ("float", "double"))
+    if not ok and isinstance(old, str) and old.startswith("decimal"):
+        m_old = re.match(r"decimal\((\d+),\s*(\d+)\)", old)
+        m_new = re.match(r"decimal\((\d+),\s*(\d+)\)", str(new_type))
+        ok = bool(
+            m_old and m_new
+            and int(m_new.group(1)) >= int(m_old.group(1))
+            and int(m_new.group(2)) == int(m_old.group(2))
+        )
+    if not ok:
+        raise ValueError(
+            f"update_column_type: {old!r} -> {new_type!r} is not a "
+            "spec-allowed promotion (int->long, float->double, decimal "
+            "precision widening at the same scale)"
+        )
+    new_fields = [
+        dict(f, type=new_type) if f["name"] == column else dict(f)
+        for f in fields
     ]
     meta = _evolve_schema(meta, new_fields)
     version = current_version(loc) + 1

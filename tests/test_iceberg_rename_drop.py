@@ -9,8 +9,10 @@ now — `parquet.field.id` column metadata honored by Spark's writer),
 unambiguous-name fallback otherwise; a same-name re-add over a file
 without ids REFUSES rather than resurrecting the dropped column's
 bytes. Partition-spec sources and live-equality-delete keys refuse the
-DDL; name-only readers (streaming/changelog/incremental) refuse
-renamed-vintage tables until a rewrite restates the files.
+DDL; every reader — batch, DML, incremental, changelog, streaming —
+resolves renamed vintages the same way. ALTER COLUMN TYPE promotion
+(int→long, float→double, decimal precision widening) is covered at the
+bottom of this file.
 """
 
 from __future__ import annotations
@@ -250,3 +252,88 @@ def test_compaction_retires_vintage_groups(spark, loc):
     assert ren == {} or ren is None or not ren  # nothing left to resolve
     got = {(r.id, r.label) for r in ice.read_iceberg(spark, loc).collect()}
     assert got == {(0, "a"), (1, "b")}
+
+
+# ---------------------------------------------------------------------------
+# ALTER COLUMN TYPE (spec type promotion)
+# ---------------------------------------------------------------------------
+
+
+def test_promote_int_to_long_metadata_only(spark, loc):
+    _write(spark, loc, [(0, "a"), (7, "b")], mode="overwrite")
+    n_snaps = len(ice.load_metadata(loc).get("snapshots", []))
+    ice.update_column_type(loc, "id", "long")
+    meta = ice.load_metadata(loc)
+    assert len(meta.get("snapshots", [])) == n_snaps  # no snapshot
+    df = ice.read_iceberg(spark, loc)
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert sorted(r.id for r in df.collect()) == [0, 7]
+    # appends under the WIDE type coexist with narrow old files
+    ice.write_iceberg(
+        spark.createDataFrame([(2**40, "c")], "id long, s string")
+        .coalesce(1), loc, mode="append",
+    )
+    assert sorted(r.id for r in ice.read_iceberg(spark, loc).collect()) == [
+        0, 7, 2**40,
+    ]
+
+
+def test_promoted_bounds_still_prune(spark, loc):
+    """Bounds written before the promotion keep their 4-byte width —
+    data skipping must promote them on read, not crash or disable."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    _write(spark, loc, [(100, "b")])
+    ice.update_column_type(loc, "id", "long")
+    got = ice.read_iceberg(spark, loc, where="id >= 50")
+    assert [r.id for r in got.collect()] == [100]
+    meta = ice.load_metadata(loc)
+    files, _d = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    pruned = ice._prune_files_by_bounds(files, meta, "id >= 50")
+    assert len(pruned) == 1  # the id=0 file was PROVEN out by old bounds
+
+
+def test_promote_float_to_double_and_decimal(spark, loc):
+    df = spark.createDataFrame(
+        [(1, 1.5, None)], "id int, x float, d decimal(10,2)"
+    )
+    ice.write_iceberg(df.coalesce(1), loc, mode="overwrite")
+    ice.update_column_type(loc, "x", "double")
+    ice.update_column_type(loc, "d", "decimal(14, 2)")
+    got = ice.read_iceberg(spark, loc)
+    assert dict(got.dtypes)["x"] == "double"
+    assert dict(got.dtypes)["d"] == "decimal(14,2)"
+    assert abs(got.collect()[0].x - 1.5) < 1e-9
+
+
+def test_promotion_refusals(spark, loc):
+    df = spark.createDataFrame([(1, 1.5)], "id long, x double")
+    ice.write_iceberg(df.coalesce(1), loc, mode="overwrite")
+    with pytest.raises(ValueError, match="not a\n?.*promotion"):
+        ice.update_column_type(loc, "id", "int")  # narrowing
+    with pytest.raises(ValueError, match="promotion"):
+        ice.update_column_type(loc, "x", "float")
+    with pytest.raises(ValueError, match="no column"):
+        ice.update_column_type(loc, "zz", "long")
+
+
+def test_promote_then_rename_interplay(spark, loc):
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    ice.update_column_type(loc, "id", "long")
+    ice.rename_column(loc, "id", "key")
+    got = ice.read_iceberg(spark, loc)
+    assert dict(got.dtypes)["key"] == "bigint"
+    assert got.collect()[0].key == 0
+
+
+def test_update_column_type_actor(spark, loc):
+    from spark_etl_framework_spark.operators.tabledml import IcebergDmlActor
+    from spark_etl_framework_spark.plans.context import (
+        JobContext,
+        PipelineContext,
+    )
+
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    IcebergDmlActor(
+        op="updateColumnType", path=loc, column="id", newType="long"
+    ).run(JobContext(PipelineContext(), spark), spark)
+    assert dict(ice.read_iceberg(spark, loc).dtypes)["id"] == "bigint"
