@@ -3333,6 +3333,17 @@ def add_column(
     snap = snapshot(path)
     if name in [f.name for f in snap.schema.fields]:
         raise ValueError(f"add_column: column {name!r} already exists")
+    if default is not None and _uniform_enabled(path):
+        # the iceberg mirror's v1/v2 metadata cannot carry the default —
+        # an iceberg reader of the mirror would read NULL where the
+        # delta front door reads the default, a silent split-brain
+        # (same rule as DVs on UniForm tables)
+        raise ValueError(
+            "add_column: column defaults are disabled on UniForm tables "
+            "(the iceberg mirror cannot express EXISTS_DEFAULT — its "
+            "readers would silently read null) — disable UniForm or add "
+            "the column without a default"
+        )
     md: dict = {}
     if default is not None:
         if not isinstance(col_type, _DEFAULTABLE_DELTA_TYPES):
@@ -4732,6 +4743,13 @@ def enable_uniform(path: str) -> int:
             "enable_uniform: column-mapped tables are unsupported — the "
             "parquet columns carry physical names an iceberg "
             "name-resolving reader would miss"
+        )
+    if _exists_defaults(snap.schema):
+        raise ValueError(
+            "enable_uniform: the schema carries column defaults "
+            "(EXISTS_DEFAULT) — not expressible in the iceberg mirror's "
+            "metadata; an iceberg reader would silently read null where "
+            "delta reads the default"
         )
     conf = dict(snap.configuration)
     conf["delta.universalFormat.enabledFormats"] = "iceberg"

@@ -260,3 +260,20 @@ def test_cdf_documents_null_for_pre_addition_commits(spark, loc):
     got = {(r.id, r._change_type): r.grade for r in ch.collect()}
     assert got[(0, "insert")] is None  # CDF's documented null rule
     assert got[(10, "insert")] == 1
+
+
+def test_defaults_and_uniform_mutually_refuse(spark, loc):
+    """The iceberg mirror's metadata cannot carry EXISTS_DEFAULT — a
+    mirror reader would silently read null where delta reads the
+    default. Both orders refuse (the DV-on-UniForm rule)."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.enable_uniform(loc)
+    with pytest.raises(ValueError, match="UniForm"):
+        dl.add_column(loc, "grade", "int", default=5)
+    # the non-defaulted ADD COLUMN stays allowed (nulls mirror fine)
+    dl.add_column(loc, "extra", "int")
+    loc2 = loc + "2"
+    _write(spark, loc2, [(0, "a")], mode="overwrite")
+    dl.add_column(loc2, "grade", "int", default=5)
+    with pytest.raises(ValueError, match="EXISTS_DEFAULT"):
+        dl.enable_uniform(loc2)
