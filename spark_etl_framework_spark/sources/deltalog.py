@@ -2830,6 +2830,16 @@ def merge_upsert(
         # derive absent generated columns on the source; provided ones
         # are equality-enforced by the staging guard below
         source = _fill_generated(source, gen)
+    # column defaults: a source that OMITS a defaulted column fills
+    # CURRENT_DEFAULT — same rule as write_delta (round 14)
+    cur_defaults = _current_defaults(snap.schema)
+    fill = {n: s for n, s in cur_defaults.items() if n not in source.columns}
+    if fill:
+        _require_defaults_feature(snap, path, "merge into")
+        for n, sql in fill.items():
+            source = source.withColumn(
+                n, F.expr(sql).cast(snap.schema[n].dataType)
+            )
     src = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in snap.schema.fields]

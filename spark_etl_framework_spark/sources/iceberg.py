@@ -2540,6 +2540,19 @@ def merge_upsert(
     missing = [k for k in keys if k not in [f.name for f in schema.fields]]
     if missing:
         raise ValueError(f"MERGE keys not in table schema: {missing}")
+    # v3 write-defaults: a source that OMITS a defaulted column fills it
+    # instead of failing analysis — the same writer rule write_iceberg
+    # applies (round 14)
+    wd = {
+        f["name"]: f["write-default"]
+        for f in meta["schema"].get("fields", [])
+        if f.get("write-default") is not None
+        and f["name"] not in source.columns
+    }
+    for n, v in wd.items():
+        source = source.withColumn(
+            n, F.lit(v).cast(schema[n].dataType)
+        )
     src = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in schema.fields]

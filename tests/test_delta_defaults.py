@@ -277,3 +277,18 @@ def test_defaults_and_uniform_mutually_refuse(spark, loc):
     dl.add_column(loc2, "grade", "int", default=5)
     with pytest.raises(ValueError, match="EXISTS_DEFAULT"):
         dl.enable_uniform(loc2)
+
+
+def test_merge_fills_omitted_defaulted_column(spark, loc):
+    """MERGE with a source that OMITS the defaulted column fills
+    CURRENT_DEFAULT — the write_delta rule applied to the merge source
+    (previously an AnalysisException)."""
+    _write(spark, loc, [(0, "a"), (1, "b")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.merge_upsert(
+        spark, loc,
+        spark.createDataFrame([(1, "B"), (2, "c")], "id int, s string"),
+        ["id"],
+    )
+    got = {r.id: (r.s, r.grade) for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: ("a", 5), 1: ("B", 5), 2: ("c", 5)}

@@ -862,3 +862,18 @@ def test_v3_dv_scan_plan_shape(spark, loc):
         "BroadcastHashJoin" in line and "LeftAnti" in line
         for line in plan.splitlines()
     ), plan
+
+
+def test_merge_fills_omitted_write_default(spark, loc):
+    """MERGE with a source that OMITS a write-defaulted column fills it
+    — the write_iceberg rule applied to the merge source (previously an
+    AnalysisException)."""
+    _v3(spark, loc, n=2)
+    ice.add_column(loc, "grade", "int", default=7)
+    ice.merge_upsert(
+        spark, loc,
+        spark.createDataFrame([(0, "A"), (5, "e")], "id int, s string"),
+        ["id"],
+    )
+    got = {r.id: (r.s, r.grade) for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {0: ("A", 7), 1: ("s1", 7), 5: ("e", 7)}
