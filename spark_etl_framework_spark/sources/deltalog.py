@@ -5960,6 +5960,13 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.abs_path)
         cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        # columns added AFTER this commit read NULL for its changes —
+        # the batch table_changes rule (round 14: previously a KeyError
+        # on any late-added column, defaulted or not)
+        for c in self._names:
+            phys = self._phys.get(c, c)
+            if phys not in cols:
+                cols[phys] = [None] * tbl.num_rows
         if partition.kind == "cdc":
             # change files carry EVERY column inline (physical names on
             # mapped tables; _change_type is CDF metadata, never mapped)

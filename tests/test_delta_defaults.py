@@ -292,3 +292,35 @@ def test_merge_fills_omitted_defaulted_column(spark, loc):
     )
     got = {r.id: (r.s, r.grade) for r in dl.read_delta(spark, loc).collect()}
     assert got == {0: ("a", 5), 1: ("B", 5), 2: ("c", 5)}
+
+
+def test_cdf_stream_nulls_for_pre_addition_commits(spark, loc):
+    """Streaming CDF replaying commits from BEFORE an ADD COLUMN emits
+    NULL for the late-added column (the batch table_changes rule —
+    previously a KeyError killed the stream)."""
+    from spark_etl_framework_spark.sources.deltalog import DeltaLogDataSource
+    from spark_etl_framework_spark.sources.pysource import (
+        register_python_source,
+    )
+
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame([(10, "x", 1)], "id int, s string, grade int")
+        .coalesce(1), loc,
+    )
+    register_python_source(spark, DeltaLogDataSource)
+    qn = f"cdfd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("deltalog").option("path", loc)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r._change_type): r.grade
+        for r in spark.sql(f"select * from {qn}").collect()
+    }
+    assert got[(0, "insert")] is None  # pre-addition commit: null
+    assert got[(10, "insert")] == 1
