@@ -324,3 +324,30 @@ def test_cdf_stream_nulls_for_pre_addition_commits(spark, loc):
     }
     assert got[(0, "insert")] is None  # pre-addition commit: null
     assert got[(10, "insert")] == 1
+
+
+def test_defaults_survive_checkpoint_replay_and_clone(spark, loc):
+    """The feature flag and the default metadata ride the checkpoint's
+    restated protocol/metaData (replay from a cleaned log keeps both),
+    and a shallow clone carries them — an omitted-column write on the
+    CLONE fills the default too."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame([(1, "b", 2)], "id int, s string, grade int")
+        .coalesce(1), loc,
+    )
+    dl.write_checkpoint_v2(loc)
+    dl.clean_log(loc, expire_checkpoints=True)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 2}
+    snap = dl.snapshot(loc)
+    assert "allowColumnDefaults" in (snap.protocol.get("writerFeatures") or [])
+    tgt = loc + "_clone"
+    dl.shallow_clone(spark, loc, tgt)
+    dl.write_delta(
+        spark.createDataFrame([(9, "z")], "id int, s string").coalesce(1),
+        tgt,
+    )
+    got = {r.id: r.grade for r in dl.read_delta(spark, tgt).collect()}
+    assert got == {0: 5, 1: 2, 9: 5}
