@@ -441,6 +441,15 @@ class IcebergDmlActor(_TableDmlBase):
                 )
             ice.update_column_type(loc, self.column, self.newType)
             return None
+        if op == "setidentifierfields":
+            # SET IDENTIFIER FIELDS (round 14): the changelog
+            # compute_updates identity; empty `columns` clears it
+            cols = [
+                c.strip() for c in (self.columns or "").split(",")
+                if c.strip()
+            ]
+            ice.set_identifier_fields(loc, cols)
+            return None
         if op == "rewritepositiondeletes":
             ice.rewrite_position_delete_files(spark, loc)
             return None

@@ -2088,6 +2088,38 @@ def rename_column(loc: str, old: str, new: str) -> int:
     return version
 
 
+def set_identifier_fields(loc: str, columns: list[str]) -> int:
+    """ALTER TABLE SET IDENTIFIER FIELDS — registers the schema's
+    ``identifier-field-ids`` (spec §Identifier Field IDs: the row
+    identity the changelog's compute_updates folds on when the caller
+    names no identifier_columns). Metadata-only; float/double identity
+    refuses (the spec's rule — NaN breaks equality semantics). An empty
+    list CLEARS the declaration. Returns the new metadata version."""
+    meta = dict(load_metadata(loc))
+    fields = {f["name"]: f for f in meta["schema"].get("fields", [])}
+    missing = [c for c in columns if c not in fields]
+    if missing:
+        raise ValueError(f"set_identifier_fields: no columns {missing}")
+    bad = [c for c in columns if fields[c]["type"] in ("float", "double")]
+    if bad:
+        raise ValueError(
+            f"set_identifier_fields: {bad} are float/double — the spec "
+            "forbids floating-point identifier fields (NaN breaks "
+            "equality)"
+        )
+    meta = _evolve_schema(
+        meta, [dict(f) for f in meta["schema"].get("fields", [])]
+    )
+    ids = [int(fields[c]["id"]) for c in columns]
+    if ids:
+        meta["schema"]["identifier-field-ids"] = ids
+    else:
+        meta["schema"].pop("identifier-field-ids", None)
+    version = current_version(loc) + 1
+    _publish_metadata(loc, version, meta)
+    return version
+
+
 def update_column_type(loc: str, column: str, new_type: str) -> int:
     """ALTER TABLE ALTER COLUMN TYPE — METADATA-ONLY type PROMOTION
     (spec §Schema Evolution: int→long, float→double, decimal precision

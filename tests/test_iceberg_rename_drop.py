@@ -337,3 +337,51 @@ def test_update_column_type_actor(spark, loc):
         op="updateColumnType", path=loc, column="id", newType="long"
     ).run(JobContext(PipelineContext(), spark), spark)
     assert dict(ice.read_iceberg(spark, loc).dtypes)["id"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# SET IDENTIFIER FIELDS
+# ---------------------------------------------------------------------------
+
+
+def test_set_identifier_fields_feeds_changelog(spark, loc):
+    """SET IDENTIFIER FIELDS registers identifier-field-ids; the
+    changelog's compute_updates folds on them with no caller-side
+    identifier_columns."""
+    _write(spark, loc, [(0, "a"), (1, "b")], mode="overwrite")
+    ice.set_identifier_fields(loc, ["id"])
+    meta = ice.load_metadata(loc)
+    fid = {f["name"]: f["id"] for f in meta["schema"]["fields"]}["id"]
+    assert meta["schema"]["identifier-field-ids"] == [fid]
+    ice.update_where(spark, loc, "id = 1", {"s": "'B'"})
+    ch = ice.read_iceberg_changelog(spark, loc, compute_updates=True)
+    kinds = {r._change_type for r in ch.collect() if r.id == 1}
+    assert {"update_preimage", "update_postimage"} <= kinds
+    # clearing restores the refusal path
+    ice.set_identifier_fields(loc, [])
+    assert "identifier-field-ids" not in ice.load_metadata(loc)["schema"]
+    with pytest.raises(ValueError, match="identifier"):
+        ice.read_iceberg_changelog(spark, loc, compute_updates=True)
+
+
+def test_set_identifier_fields_refusals(spark, loc):
+    df = spark.createDataFrame([(0, 1.5)], "id int, x double")
+    ice.write_iceberg(df.coalesce(1), loc, mode="overwrite")
+    with pytest.raises(ValueError, match="float/double"):
+        ice.set_identifier_fields(loc, ["x"])
+    with pytest.raises(ValueError, match="no columns"):
+        ice.set_identifier_fields(loc, ["zz"])
+
+
+def test_set_identifier_fields_actor(spark, loc):
+    from spark_etl_framework_spark.operators.tabledml import IcebergDmlActor
+    from spark_etl_framework_spark.plans.context import (
+        JobContext,
+        PipelineContext,
+    )
+
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    IcebergDmlActor(
+        op="setIdentifierFields", path=loc, columns="id"
+    ).run(JobContext(PipelineContext(), spark), spark)
+    assert ice.load_metadata(loc)["schema"].get("identifier-field-ids")
