@@ -877,3 +877,33 @@ def test_merge_fills_omitted_write_default(spark, loc):
     )
     got = {r.id: (r.s, r.grade) for r in ice.read_iceberg(spark, loc).collect()}
     assert got == {0: ("A", 7), 1: ("s1", 7), 5: ("e", 7)}
+
+
+def test_differing_initial_and_write_defaults(spark, loc):
+    """The spec allows initial-default != write-default (a foreign
+    writer can evolve the write fill without rewriting history): reads
+    substitute the INITIAL default for pre-addition files while omitted
+    columns on new writes fill the WRITE default."""
+    _v3(spark, loc, n=2)
+
+    def fn(meta):
+        for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+            if sch and not any(f["name"] == "flag" for f in sch["fields"]):
+                nid = max(f["id"] for f in sch["fields"]) + 1
+                sch["fields"].append({
+                    "id": nid, "name": "flag", "required": False,
+                    "type": "int",
+                    "initial-default": 7, "write-default": 9,
+                })
+        meta["last-column-id"] = max(
+            f["id"] for f in meta["schema"]["fields"]
+        )
+    _edit_meta(loc, fn)
+    # omitted column on a new write: WRITE default fills
+    ice.write_iceberg(
+        spark.createDataFrame([(10, "x")], "id int, s string").coalesce(1),
+        loc, mode="append",
+    )
+    got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[0] == got[1] == 7   # pre-addition rows: INITIAL default
+    assert got[10] == 9            # omitted-column write: WRITE default
