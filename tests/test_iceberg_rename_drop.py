@@ -385,3 +385,28 @@ def test_set_identifier_fields_actor(spark, loc):
         op="setIdentifierFields", path=loc, columns="id"
     ).run(JobContext(PipelineContext(), spark), spark)
     assert ice.load_metadata(loc)["schema"].get("identifier-field-ids")
+
+
+def test_rename_with_v3_dvs_interplay(spark, loc):
+    """Deletion vectors + rename compose: DVs written BEFORE the rename
+    keep subtracting, DML through the renamed column writes new DVs on
+    the old-vintage file, and lineage + changelog stay coherent."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(6)], "id int, s string"
+    )
+    ice.write_iceberg(df.coalesce(1), loc, mode="overwrite")
+    ice.upgrade_format_version(loc, 3)
+    ice.delete_where(spark, loc, "id = 1")        # DV pre-rename
+    ice.rename_column(loc, "s", "label")
+    got = sorted(
+        (r.id, r.label) for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert got == [(0, "s0"), (2, "s2"), (3, "s3"), (4, "s4"), (5, "s5")]
+    ice.delete_where(spark, loc, "label = 's3'")  # DV THROUGH the rename
+    assert sorted(
+        r.id for r in ice.read_iceberg(spark, loc).collect()
+    ) == [0, 2, 4, 5]
+    lin = ice.read_iceberg(spark, loc, with_row_lineage=True)
+    assert "_row_id" in lin.columns and lin.count() == 4
+    ch = ice.read_iceberg_changelog(spark, loc)
+    assert "label" in ch.columns and ch.count() == 8  # 6 ins + 2 del
