@@ -351,3 +351,21 @@ def test_defaults_survive_checkpoint_replay_and_clone(spark, loc):
     )
     got = {r.id: r.grade for r in dl.read_delta(spark, tgt).collect()}
     assert got == {0: 5, 1: 2, 9: 5}
+
+
+def test_widen_defaulted_column(spark, loc):
+    """Type widening composes with defaults: the widened column keeps
+    CURRENT_DEFAULT/EXISTS_DEFAULT (cast to the wide type on read and
+    on omitted-column writes)."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.widen_column_type(loc, "grade", "bigint")
+    assert {r.id: r.grade for r in dl.read_delta(spark, loc).collect()} == {
+        0: 5,
+    }
+    dl.write_delta(
+        spark.createDataFrame([(9, "z")], "id int, s string").coalesce(1),
+        loc,
+    )
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 9: 5}

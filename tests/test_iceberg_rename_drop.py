@@ -410,3 +410,22 @@ def test_rename_with_v3_dvs_interplay(spark, loc):
     assert "_row_id" in lin.columns and lin.count() == 4
     ch = ice.read_iceberg_changelog(spark, loc)
     assert "label" in ch.columns and ch.count() == 8  # 6 ins + 2 del
+
+
+def test_promote_defaulted_column(spark, loc):
+    """Type promotion composes with v3 defaults: the promoted column
+    keeps initial/write defaults, cast to the wide type on read and on
+    omitted-column writes."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    ice.upgrade_format_version(loc, 3)
+    ice.add_column(loc, "grade", "int", default=7)
+    ice.update_column_type(loc, "grade", "long")
+    assert {
+        r.id: r.grade for r in ice.read_iceberg(spark, loc).collect()
+    } == {0: 7}
+    ice.write_iceberg(
+        spark.createDataFrame([(9, "z")], "id int, s string").coalesce(1),
+        loc, mode="append",
+    )
+    got = {r.id: r.grade for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {0: 7, 9: 7}
