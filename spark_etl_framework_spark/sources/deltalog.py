@@ -3056,6 +3056,18 @@ def enable_column_mapping(path: str) -> int:
     conf = dict(snap.configuration)
     conf["delta.columnMapping.mode"] = "name"
     conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    # a table-features protocol (writer 7 / feature lists) must GROW,
+    # never be replaced by the legacy 2/5 pair — that silently dropped
+    # every installed feature (allowColumnDefaults, clustering, ...)
+    # from the lists (round-14 fix)
+    if int(snap.protocol.get("minWriterVersion", 2)) >= 7 or (
+        snap.protocol.get("writerFeatures")
+    ):
+        proto = _protocol_upgrade_actions(snap, "columnMapping")[1][
+            "protocol"
+        ]
+    else:
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     return _commit_metadata_change(
         path,
         snap,
@@ -3064,7 +3076,7 @@ def enable_column_mapping(path: str) -> int:
         conf,
         "SET TBLPROPERTIES",
         {"properties": json.dumps({"delta.columnMapping.mode": "name"})},
-        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+        protocol=proto,
     )
 
 
@@ -4424,6 +4436,20 @@ def drop_feature(
             raise ValueError(
                 "drop_feature: CHECK constraints still defined "
                 f"({sorted(snap.check_constraints)}) — drop them first"
+            )
+    elif feature == "allowColumnDefaults":
+        carrying = sorted(
+            set(_exists_defaults(snap.schema)) | set(
+                _current_defaults(snap.schema)
+            )
+        )
+        if carrying:
+            raise ValueError(
+                f"drop_feature: columns {carrying} still carry "
+                "CURRENT_DEFAULT/EXISTS_DEFAULT metadata — dropping the "
+                "feature would leave an ill-formed table whose reads "
+                "refuse; rewrite the table or drop the defaulted "
+                "columns first"
             )
     elif feature in ("typeWidening", "typeWidening-preview"):
         dirty = [

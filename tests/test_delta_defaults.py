@@ -369,3 +369,24 @@ def test_widen_defaulted_column(spark, loc):
     )
     got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
     assert got == {0: 5, 9: 5}
+
+
+def test_drop_feature_gates_on_default_metadata(spark, loc):
+    """drop_feature('allowColumnDefaults') refuses while any field
+    carries default metadata — dropping the flag would strand an
+    ill-formed table whose reads refuse (the checkConstraints gate
+    shape). After a DROP COLUMN removes the carrier, the drop goes
+    through and reads work feature-less."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    with pytest.raises(ValueError, match="CURRENT_DEFAULT"):
+        dl.drop_feature(spark, loc, "allowColumnDefaults")
+    # shed the carrier: DROP COLUMN (mapping required by delta's rule)
+    dl.enable_column_mapping(loc)
+    dl.drop_column(loc, "grade")
+    dl.drop_feature(spark, loc, "allowColumnDefaults")
+    snap = dl.snapshot(loc)
+    assert "allowColumnDefaults" not in (
+        snap.protocol.get("writerFeatures") or []
+    )
+    assert {r.id for r in dl.read_delta(spark, loc).collect()} == {0}
