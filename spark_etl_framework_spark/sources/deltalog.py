@@ -2561,22 +2561,15 @@ def delete_where(
     by_name = {os.path.basename(f.path): f for f in snap.files}
     if use_dvs:
         # table-features protocol (3/7) must list EVERY active feature —
-        # a mapped table carries columnMapping alongside deletionVectors
-        rfeat = set(snap.protocol.get("readerFeatures") or [])
-        wfeat = set(snap.protocol.get("writerFeatures") or [])
-        rfeat.add("deletionVectors")
-        wfeat.add("deletionVectors")
+        # the shared upgrade shape restates the legacy-implied ones too
+        # (a 2/5 mapped table implies columnMapping/invariants/...; the
+        # old hand-built lists dropped them — round-14 fix)
+        upgrade = _protocol_upgrade_actions(snap, "deletionVectors")
+        proto = upgrade[1]["protocol"]
         if snap.column_mapping_mode != "none":
-            rfeat.add("columnMapping")
-            wfeat.add("columnMapping")
-        actions.insert(0, {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(rfeat),
-                "writerFeatures": sorted(wfeat),
-            }
-        })
+            for key in ("readerFeatures", "writerFeatures"):
+                proto[key] = sorted(set(proto[key]) | {"columnMapping"})
+        actions.insert(0, {"protocol": proto})
         actions.extend(
             _dv_commit_actions(
                 spark, path, df, pred, affected, by_name, ts
