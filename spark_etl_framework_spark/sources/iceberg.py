@@ -1437,7 +1437,10 @@ def write_iceberg(
         "timestamp-ms": now_ms,
         "summary": summary,
         "manifest-list": list_path,
-        "schema-id": 0,
+        # the spec records which schema the snapshot was written under —
+        # time-travel readers resolve columns by it (round 14: was a
+        # hardcoded 0, stale once schemas evolve with fresh ids)
+        "schema-id": (meta or {}).get("current-schema-id", 0),
     }
     if first_row_id is not None:
         snapshot["first-row-id"] = first_row_id
@@ -2382,7 +2385,7 @@ def _commit_row_delta(
         "timestamp-ms": now_ms,
         "summary": {"operation": operation},
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
     }
     if first_row_id is not None:
         snapshot["first-row-id"] = first_row_id
@@ -2813,7 +2816,7 @@ def rewrite_data_files(
         "timestamp-ms": now_ms,
         "summary": {"operation": "replace", "rewrite-strategy": strategy},
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
     }
     if strategy == "sort":
         # the rewrite's layout becomes the table's default sort order
@@ -2961,7 +2964,7 @@ def rewrite_position_delete_files(spark: SparkSession, loc: str) -> dict | None:
             "removed-position-deletes": str(dangling),
         },
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
     }
     meta = dict(meta)
     meta["last-updated-ms"] = now_ms
@@ -3091,7 +3094,7 @@ def rewrite_manifests(loc: str) -> dict:
             "manifests-created": str(len(new_list)),
         },
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
     }
     meta = dict(meta)
     if fmt >= 2:
@@ -4660,7 +4663,7 @@ def cherrypick_snapshot(
         "timestamp-ms": now_ms,
         "summary": pub_summary,
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
     }
     if cur_id is not None and cur_id != -1:
         published["parent-snapshot-id"] = cur_id

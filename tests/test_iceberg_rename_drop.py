@@ -429,3 +429,19 @@ def test_promote_defaulted_column(spark, loc):
     )
     got = {r.id: r.grade for r in ice.read_iceberg(spark, loc).collect()}
     assert got == {0: 7, 9: 7}
+
+
+def test_snapshots_record_current_schema_id(spark, loc):
+    """New snapshots stamp the CURRENT schema-id (spec: time-travel
+    readers resolve columns by the snapshot's schema) — was a hardcoded
+    0, stale once evolution registers fresh schema ids."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    ice.rename_column(loc, "s", "label")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, "b")], "id int, label string")
+        .coalesce(1), loc, mode="append",
+    )
+    meta = ice.load_metadata(loc)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    assert snaps[0]["schema-id"] == 0                # pre-rename write
+    assert snaps[-1]["schema-id"] == meta["current-schema-id"] != 0
