@@ -120,6 +120,15 @@ class AddFile:
     #: the commit version backing fresh _row_commit_version values
     base_row_id: int | None = None
     default_row_commit_version: int | None = None
+    #: replay-derived DATA vintage (never serialized): the commit version
+    #: at which this file's bytes were written — defaultRowCommitVersion
+    #: when stamped (preserved across dataChange=false restatements per
+    #: spec), else the commit version of the file's dataChange=true add
+    #: when the replay saw it in a plain commit file (checkpoint /
+    #: compaction replays lose the per-action version, so they leave this
+    #: None unless drcv carries it). Lets column-default reads decide
+    #: physical presence from the log instead of a parquet footer.
+    data_vintage: int | None = None
 
 
 @dataclass
@@ -142,6 +151,20 @@ class Snapshot:
     #: per-domain action or log cleanup silently strips another engine's
     #: clustering/monitoring state from the table
     domain_metadata: dict[str, dict] = field(default_factory=dict)
+    #: per LOGICAL column: the commit version whose metaData action first
+    #: carried its EXISTS_DEFAULT (round-15 order 2). ``default_since`` is
+    #: EXACT (the metaData was replayed from a plain commit file, whose
+    #: version is known); ``default_since_ub`` is an UPPER bound (a
+    #: checkpoint/compaction restates only the latest metaData — the DDL
+    #: happened at or before that file's end version). A file's
+    #: data_vintage >= ub proves the column present; data_vintage <
+    #: exact proves it absent; everything else falls back to one footer
+    #: read. Replay-derived, never serialized.
+    default_since: dict[str, int] = field(default_factory=dict)
+    default_since_ub: dict[str, int] = field(default_factory=dict)
+    #: every add/remove path this replay has seen — re-adds of a seen
+    #: path (RESTORE) re-publish OLD bytes and must stay undated
+    seen_paths: set = field(default_factory=set)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -380,7 +403,17 @@ def _commit_timestamp(path: str, version: int) -> int:
     return int(os.path.getmtime(p) * 1000)
 
 
-def _apply_action(snap: Snapshot, act: dict, adds: dict) -> None:
+def _apply_action(
+    snap: Snapshot,
+    act: dict,
+    adds: dict,
+    version: int | None = None,
+    exact: bool = True,
+) -> None:
+    """Fold one action into the replay. ``version`` is the commit the
+    action came from; ``exact=False`` marks checkpoint/compaction
+    sources, where ``version`` is only the file's END version (an upper
+    bound on when any restated metaData/add actually committed)."""
     if "add" in act:
         a = act["add"]
         pv = a.get("partitionValues") or {}
@@ -408,15 +441,63 @@ def _apply_action(snap: Snapshot, act: dict, adds: dict) -> None:
                 else None
             ),
         )
+        af = adds[unquote(a["path"])]
+        if af.default_row_commit_version is not None:
+            af.data_vintage = af.default_row_commit_version
+        elif (
+            exact
+            and version is not None
+            and a.get("dataChange")
+            and af.path not in snap.seen_paths
+        ):
+            # a FIRST-SEEN dataChange=true add IS the write of the
+            # file's bytes. Restatements stay undated: dataChange=false
+            # rewrites say nothing about byte age, and a dataChange=true
+            # RE-add of a path this replay already saw (RESTORE, or a
+            # clone/convert restating foreign bytes) re-publishes OLD
+            # bytes under a new commit version — trusting it would call
+            # a pre-DDL file post-DDL. Paths are write-once UUIDs, so
+            # "seen before" identifies the bytes exactly.
+            af.data_vintage = version
+        snap.seen_paths.add(af.path)
     elif "remove" in act:
-        adds.pop(unquote(act["remove"]["path"]), None)
+        p = unquote(act["remove"]["path"])
+        adds.pop(p, None)
+        # a tombstone proves the path's bytes predate this point — a
+        # later re-add (RESTORE) must not be mistaken for a fresh write
+        snap.seen_paths.add(p)
     elif "metaData" in act:
         m = act["metaData"]
+        old_defaulted = {
+            f.name
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("EXISTS_DEFAULT") is not None
+        }
         snap.schema = T.StructType.fromJson(json.loads(m["schemaString"]))
         snap.partition_columns = list(m.get("partitionColumns") or [])
         snap.metadata_id = m.get("id", "")
         conf = m.get("configuration") or {}
         snap.configuration = dict(conf) if not isinstance(conf, dict) else conf
+        # date each EXISTS_DEFAULT column's arrival (round-15 order 2):
+        # restatements of an already-defaulted column keep its vintage
+        now_defaulted = {
+            f.name
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("EXISTS_DEFAULT") is not None
+        }
+        for c in now_defaulted - old_defaulted:
+            if version is not None:
+                snap.default_since_ub[c] = version
+                if exact:
+                    snap.default_since[c] = version
+                else:
+                    snap.default_since.pop(c, None)
+            else:
+                snap.default_since.pop(c, None)
+                snap.default_since_ub.pop(c, None)
+        for c in old_defaulted - now_defaulted:
+            snap.default_since.pop(c, None)
+            snap.default_since_ub.pop(c, None)
     elif "protocol" in act:
         p = act["protocol"]
         snap.protocol = {
@@ -638,9 +719,9 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                     else os.path.join(_sidecar_dir(path), os.path.basename(p))
                 )
                 for sact in _iter_checkpoint_actions(sc_path):
-                    _apply_action(snap, sact, adds)
+                    _apply_action(snap, sact, adds, version=cp, exact=False)
                 continue
-            _apply_action(snap, act, adds)
+            _apply_action(snap, act, adds, version=cp, exact=False)
         start = cp + 1
 
     # log-compaction files (minor compactions): when one STARTS exactly
@@ -657,14 +738,17 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                 for line in fh:
                     line = line.strip()
                     if line:
-                        _apply_action(snap, json.loads(line), adds)
+                        _apply_action(
+                            snap, json.loads(line), adds,
+                            version=ce, exact=False,
+                        )
             v = ce + 1
             continue
         with open(_commit_path(path, v), encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if line:
-                    _apply_action(snap, json.loads(line), adds)
+                    _apply_action(snap, json.loads(line), adds, version=v)
         v += 1
 
     snap.files = sorted(adds.values(), key=lambda a: a.path)
@@ -864,7 +948,9 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
     if exists_defaults:
         _require_defaults_feature(snap, path, "modify")
         absent_map = _absent_default_files(
-            path, files, {n: phys_of.get(n, n) for n in exists_defaults}
+            path, files,
+            {n: phys_of.get(n, n) for n in exists_defaults},
+            snap=snap,
         )
         if absent_map:
             amap = spark.createDataFrame(
@@ -1040,6 +1126,7 @@ def read_delta(
         absent_map = _absent_default_files(
             path, files,
             {n: phys_of.get(n, n) for n in exists_defaults},
+            snap=snap,
         )
 
     def _sel_field(f: T.StructField):
@@ -3417,19 +3504,37 @@ def add_column(
 
 
 def _absent_default_files(
-    path: str, files: list, defaults_phys: dict[str, str]
+    path: str,
+    files: list,
+    defaults_phys: dict[str, str],
+    snap: "Snapshot | None" = None,
 ) -> dict[str, list[str]]:
     """Per data file (by basename): which defaulted columns are
     PHYSICALLY ABSENT (written before the column existed — those rows
     read EXISTS_DEFAULT; files that materialized the column read stored
-    values, including genuine nulls). Same evidence rule as the iceberg
-    side (round-14 ADVICE): the add-action stats maps
-    (minValues/maxValues/nullCount, keyed by PHYSICAL name) are POSITIVE
-    evidence of presence only — engines cap stats at
-    dataSkippingNumIndexedCols, so a name missing from them gets ONE
-    driver-side parquet footer read. O(pre-evolution +
-    stats-suppressed files), zero executor I/O."""
+    values, including genuine nulls). Evidence ladder (round-15 order 2
+    — the jar decides this from the log, not the data, cf.
+    ``etl/source/DeltaReader.scala:10-27``):
+
+    1. add-action stats maps (minValues/maxValues/nullCount, keyed by
+       PHYSICAL name) are POSITIVE evidence of presence only — engines
+       cap stats at dataSkippingNumIndexedCols (round-14 ADVICE);
+    2. log vintage: a file whose ``data_vintage`` (drcv, or the version
+       of its dataChange=true add) is >= the column's dated
+       EXISTS_DEFAULT arrival must contain the column — the
+       ``allowColumnDefaults`` writer gate means every post-DDL writer
+       materialized CURRENT_DEFAULT — and one written strictly before an
+       EXACTLY-dated arrival cannot;
+    3. only files the log cannot date (CONVERT/clone imports,
+       checkpoint-restated adds without row tracking) fall back to one
+       parquet footer read each, batched through a bounded thread pool.
+
+    O(undatable ∩ stats-suppressed files) footer I/O, zero executor
+    I/O."""
     out: dict[str, list[str]] = {}
+    since = snap.default_since if snap is not None else {}
+    since_ub = snap.default_since_ub if snap is not None else {}
+    residual: list[tuple] = []  # (f, [(logical, physical), ...])
     for f in files:
         present: set[str] = set()
         if f.stats:
@@ -3443,17 +3548,48 @@ def _absent_default_files(
             (n, p) for n, p in defaults_phys.items() if p not in present
         ]
         absent: list[str] = []
-        if unknown:
-            import pyarrow.parquet as pq
+        undated: list[tuple[str, str]] = []
+        for n, p in unknown:
+            v = f.data_vintage
+            exact, ub = since.get(n), since_ub.get(n)
+            if v is not None and exact is not None and v < exact:
+                # airtight in this direction even for restated bytes: an
+                # observed add version can only POSTdate the bytes, so
+                # bytes-at-or-before v < arrival ⇒ written pre-default
+                absent.append(n)
+                continue
+            if v is not None and exact is not None and v > exact:
+                continue  # strictly post-DDL write → materialized
+            if v is not None and exact is None and ub is not None and v > ub:
+                continue  # post-DDL by the upper bound too
+            # v == arrival is undecidable from the log (a CLONE/CREATE
+            # commit can restate pre-DDL bytes alongside the defaulted
+            # schema) — footer decides
+            undated.append((n, p))
+        if undated:
+            residual.append((f, absent, undated))
+        elif absent:
+            out[os.path.basename(f.path)] = absent
+    if residual:
+        import concurrent.futures as _cf
 
+        import pyarrow.parquet as pq
+
+        def _footer_absent(item):
+            f, absent, undated = item
             cols = set(
                 pq.ParquetFile(
                     os.path.join(path, f.path)
                 ).schema_arrow.names
             )
-            absent = [n for n, p in unknown if p not in cols]
-        if absent:
-            out[os.path.basename(f.path)] = absent
+            return f, absent + [n for n, p in undated if p not in cols]
+
+        with _cf.ThreadPoolExecutor(
+            max_workers=min(16, len(residual))
+        ) as pool:
+            for f, absent in pool.map(_footer_absent, residual):
+                if absent:
+                    out[os.path.basename(f.path)] = absent
     return out
 
 
@@ -4042,6 +4178,10 @@ def restore_table(
             add["deletionVector"] = dict(f.deletion_vector)
         if f.base_row_id is not None:
             add["baseRowId"] = f.base_row_id
+        if f.default_row_commit_version is not None:
+            # the original byte vintage — spec-preserved across re-adds,
+            # and what keeps column-default absence decidable from the
+            # log after a RESTORE
             add["defaultRowCommitVersion"] = f.default_row_commit_version
         actions.append({"add": add})
     # files live in BOTH versions but with different DV state must

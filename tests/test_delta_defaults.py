@@ -214,6 +214,104 @@ def test_stats_positive_evidence_only(spark, loc):
     assert got == {0: 5, 10: 1}  # stored value survives suppression
 
 
+def _count_footer_reads(monkeypatch):
+    """Monkeypatch pyarrow.parquet.ParquetFile with a counting wrapper."""
+    import pyarrow.parquet as pq
+
+    calls = {"n": 0}
+    real = pq.ParquetFile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    return calls
+
+
+def test_log_vintage_decides_absence_without_footer_reads(
+    spark, loc, monkeypatch
+):
+    """Round-15 order 2 pin: files the LOG can date never cost a parquet
+    footer read. The pre-DDL file (dataChange=true add at v0 < the
+    EXISTS_DEFAULT arrival at v1) is absent by vintage; the post-DDL
+    file (v2 >= v1) is present by vintage even when its stats suppress
+    the column — the jar decides the same question from the log
+    (etl/source/DeltaReader.scala:10-27)."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")            # v0
+    dl.add_column(loc, "grade", "int", default=5)               # v1
+    dl.write_delta(                                             # v2
+        spark.createDataFrame(
+            [(10, "x", 1)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )
+    # strip grade from the v2 stats so stats-positive-evidence can't
+    # answer — only the vintage tier stands between us and a footer read
+    v = dl.latest_version(loc)
+    p = dl._commit_path(loc, v)
+    lines = []
+    with open(p, encoding="utf-8") as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "add" in act and act["add"].get("stats"):
+                st = json.loads(act["add"]["stats"])
+                for key in ("minValues", "maxValues", "nullCount"):
+                    (st.get(key) or {}).pop("grade", None)
+                act["add"]["stats"] = json.dumps(st)
+            lines.append(json.dumps(act))
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    snap = dl.snapshot(loc)
+    assert snap.default_since.get("grade") == 1
+    calls = _count_footer_reads(monkeypatch)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 10: 1}
+    assert calls["n"] == 0  # both files decided from the log alone
+
+
+def test_undatable_files_still_footer_checked(spark, loc, monkeypatch):
+    """After checkpoint + log cleanup the replay loses per-add commit
+    versions and the EXISTS_DEFAULT arrival keeps only an upper bound —
+    undatable files fall back to (pooled) footer reads and the answers
+    stay right. The fallback is the CONVERT/clone-import path."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    dl.write_delta(
+        spark.createDataFrame([(1, "b", 2)], "id int, s string, grade int")
+        .coalesce(1), loc,
+    )
+    dl.write_checkpoint_v2(loc)
+    dl.clean_log(loc, expire_checkpoints=True)
+    snap = dl.snapshot(loc)
+    assert "grade" not in snap.default_since  # exact date lost
+    assert snap.default_since_ub.get("grade") is not None
+    calls = _count_footer_reads(monkeypatch)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 2}
+    assert calls["n"] >= 1  # the pre-DDL file had to be footer-verified
+
+
+def test_restore_readd_of_pre_ddl_file_stays_absent(
+    spark, loc, monkeypatch
+):
+    """A RESTORE re-adds old bytes with dataChange=true at a commit
+    AFTER the default arrived — the seen-paths guard keeps the re-add
+    undated (one footer read) instead of mistaking it for a post-DDL
+    write, so the pre-DDL rows keep reading EXISTS_DEFAULT."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")            # v0
+    dl.add_column(loc, "grade", "int", default=5)               # v1
+    dl.delete_where(spark, loc, "id = 0")                       # v2
+    assert dl.read_delta(spark, loc).count() == 0
+    dl.restore_table(spark, loc, 1)                             # v3 re-add
+    snap = dl.snapshot(loc)
+    assert snap.default_since.get("grade") == 1
+    assert all(f.data_vintage is None for f in snap.files)
+    calls = _count_footer_reads(monkeypatch)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5}
+    assert calls["n"] >= 1
+
+
 def test_defaults_on_column_mapped_table(spark, loc):
     """Interplay: add_column-with-default on a column-MAPPED table gets
     a fresh mapping id + physical name, and the absence map keys on the
