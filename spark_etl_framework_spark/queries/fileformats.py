@@ -5137,3 +5137,67 @@ def iceberg_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+@register(
+    "iceberg_v3_variant",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS k,
+           n_name AS name,
+           CASE WHEN n_regionkey >= 2 THEN CAST(n_nationkey AS INT) END AS vk,
+           CASE WHEN n_regionkey >= 2
+                THEN '{"k":' || n_nationkey || ',"name":"' || n_name || '"}'
+           END AS j
+    FROM nation
+    WHERE n_nationkey <> 5
+    """,
+)
+def iceberg_v3_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 variant type (round 15 — spec v3 §Variant; the
+    iceberg twin of ``delta_variant_shred``): nation's low-region rows
+    seed a v1 table which upgrades to format-version 3 and grows a
+    ``variant`` column via metadata-only ADD COLUMN (pre-existing rows
+    read null); the high-region rows append WITH parsed variant JSON;
+    a MoR DELETE (Puffin deletion vector) drops one pre-variant row;
+    the read shreds ``variant_get`` and round-trips ``to_json`` byte
+    for byte. Spark 4 owns the Variant binary encoding (parse, store,
+    extract — all JVM-side); the engine adds the v3 gates and the
+    footer fallbacks (the local pyarrow predates the VARIANT parquet
+    logical type, so variant files carry record counts via one Spark
+    count and no skipping bounds — an optimization lost, never
+    correctness). At 100 TB: variant keeps schema-on-read flexibility
+    with columnar storage, and the null-fill for pre-addition files is
+    pure schema projection — zero data rewritten by the DDL.
+    Reference: etl/source/IcebergReader.scala:12,23-30 (the jar reads
+    what a v3 writer wrote)."""
+    import tempfile
+
+    from ..sources import iceberg as _ice
+
+    tbl = tempfile.mkdtemp(prefix="ice_var_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("r"),
+    )
+    _ice.write_iceberg(
+        na.filter("r < 2").drop("r").coalesce(1), tbl, mode="overwrite"
+    )
+    _ice.upgrade_format_version(tbl, 3)
+    _ice.add_column(tbl, "v", "variant")
+    assert _ice.load_metadata(tbl)["format-version"] == 3
+    high = na.filter("r >= 2").selectExpr(
+        "k", "name",
+        """parse_json(concat('{"k":', k, ',"name":"', name, '"}')) AS v""",
+    )
+    _ice.write_iceberg(high.coalesce(1), tbl)
+    # MoR delete over a pre-variant file: DV + null-variant projection
+    _ice.delete_where(spark, tbl, "k = 5")
+    out = _ice.read_iceberg(spark, tbl)
+    assert out.schema["v"].dataType.typeName() == "variant"
+    return out.selectExpr(
+        "k",
+        "name",
+        "CAST(variant_get(v, '$.k', 'int') AS INT) AS vk",
+        "to_json(v) AS j",
+    )

@@ -3577,11 +3577,21 @@ def _absent_default_files(
 
         def _footer_absent(item):
             f, absent, undated = item
-            cols = set(
-                pq.ParquetFile(
-                    os.path.join(path, f.path)
-                ).schema_arrow.names
-            )
+            try:
+                cols = set(
+                    pq.ParquetFile(
+                        os.path.join(path, f.path)
+                    ).schema_arrow.names
+                )
+            except OSError:
+                # VARIANT footers are unreadable to this pyarrow — the
+                # JVM footer reader answers the same question
+                from pyspark.sql import SparkSession
+
+                cols = set(
+                    SparkSession.getActiveSession()
+                    .read.parquet(os.path.join(path, f.path)).schema.names
+                )
             return f, absent + [n for n, p in undated if p not in cols]
 
         with _cf.ThreadPoolExecutor(

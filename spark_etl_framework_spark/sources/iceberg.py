@@ -95,6 +95,7 @@ _TO_ICEBERG = {
     T.DateType: "date",
     T.TimestampType: "timestamptz",
     T.BinaryType: "binary",
+    T.VariantType: "variant",
 }
 _FROM_ICEBERG = {
     "int": T.IntegerType(),
@@ -107,6 +108,11 @@ _FROM_ICEBERG = {
     "timestamptz": T.TimestampType(),
     "timestamp": T.TimestampNTZType(),
     "binary": T.BinaryType(),
+    # v3 §Variant: Spark 4 owns the binary encoding natively (the delta
+    # round-12 precedent) — parquet stores the spec's metadata/value
+    # group, parse_json/variant_get/to_json run JVM-side. Gated to
+    # format-version 3 in _check_v3_scope / add_column / write_iceberg.
+    "variant": T.VariantType(),
 }
 
 
@@ -172,10 +178,11 @@ def current_version(loc: str) -> int:
 #: machinery for — row lineage (next-row-id / first_row_id inheritance,
 #: the delta row-tracking pattern) and binary deletion vectors (Puffin
 #: ``deletion-vector-v1`` blobs via the existing roaring codec). The v3
-#: features with NO machinery here — column default values, table
-#: encryption, the new variant/geometry/geography/timestamp_ns/unknown
-#: types — refuse loudly per feature instead of per version (the
-#: round-12 type-widening precedent: gate → capability, scoped).
+#: features with NO machinery here — table encryption, the new
+#: geometry/geography/timestamp_ns/unknown types — refuse loudly per
+#: feature instead of per version (the round-12 type-widening
+#: precedent: gate → capability, scoped). Column defaults landed in
+#: round 13 and the variant type in round 15 (Spark-native encoding).
 SUPPORTED_FORMAT_VERSIONS = (1, 2, 3)
 
 
@@ -233,9 +240,19 @@ def _absent_default_cols(
         if unknown:
             import pyarrow.parquet as pq
 
-            cols = set(
-                pq.ParquetFile(f["file_path"]).schema_arrow.names
-            )
+            try:
+                cols = set(
+                    pq.ParquetFile(f["file_path"]).schema_arrow.names
+                )
+            except OSError:
+                # VARIANT footers are unreadable to this pyarrow — the
+                # JVM footer reader answers the same question
+                from pyspark.sql import SparkSession
+
+                cols = set(
+                    SparkSession.getActiveSession()
+                    .read.parquet(f["file_path"]).schema.names
+                )
             absent = [n for n in unknown if n not in cols]
         if absent:
             out[os.path.basename(f["file_path"])] = absent
@@ -275,7 +292,18 @@ def _file_write_names(
     out: dict[str, dict[str, str]] = {}
     for f in files:
         path = f["file_path"]
-        arrow = pq.ParquetFile(path).schema_arrow
+        try:
+            arrow = pq.ParquetFile(path).schema_arrow
+        except OSError as e:
+            # VARIANT footers are unreadable to this pyarrow — a file we
+            # cannot inspect cannot be vintage-resolved; refuse rather
+            # than guess which bytes a renamed column maps to
+            raise ValueError(
+                f"iceberg: cannot read the parquet footer of "
+                f"{os.path.basename(path)} to resolve renamed columns "
+                f"({e}); rewrite the file (rewrite_data_files) to "
+                "disambiguate"
+            ) from e
         by_id: dict[int, str] = {}
         for af in arrow:
             md = af.metadata or {}
@@ -422,8 +450,18 @@ def _check_v3_scope(meta: dict, loc: str) -> None:
     schemas = ([meta["schema"]] if "schema" in meta else []) + list(
         meta.get("schemas", [])
     )
+    fv = int(meta.get("format-version", 1))
     for sch in schemas:
         for f in sch.get("fields", []):
+            # variant reads are implemented (round 15) but are a v3
+            # type — a v1/v2 table declaring one is malformed and its
+            # bytes untrustworthy
+            if f.get("type") == "variant" and fv < 3:
+                raise IcebergUnsupportedFormatVersion(
+                    f"iceberg table {loc}: column {f['name']!r} is "
+                    f"variant but the table is format-version {fv} — "
+                    "variant is a v3 type (spec §Variant)"
+                )
             # initial-default substitution is implemented (round 13) for
             # primitive types; exotic defaults would silently misread.
             # write-default only affects WRITERS filling absent columns —
@@ -457,8 +495,10 @@ def load_metadata(loc: str, version: int | None = None) -> dict:
             "newer table must not be read with older semantics. Use a "
             "reader that supports the table's format version."
         )
-    if fv == 3:
-        _check_v3_scope(meta, loc)
+    # v3-feature scope check runs for EVERY version: a v1/v2 table
+    # declaring a v3 construct (variant column) is malformed and must
+    # refuse too, not slide past the gate
+    _check_v3_scope(meta, loc)
     return meta
 
 
@@ -1035,7 +1075,14 @@ def _stage_data_entries(
                 src = os.path.join(root, name)
                 rel_dir = os.path.relpath(root, staging)
                 rel_dir = "" if rel_dir == "." else rel_dir
-                n_rows = pq.ParquetFile(src).metadata.num_rows
+                try:
+                    n_rows = pq.ParquetFile(src).metadata.num_rows
+                except OSError:
+                    # footer unreadable locally (the VARIANT parquet
+                    # logical type postdates this pyarrow): one tiny
+                    # Spark count stands in — skipping bounds lost,
+                    # correctness untouched (the delta _stage_adds rule)
+                    n_rows = df.sparkSession.read.parquet(src).count()
                 if n_rows == 0:
                     os.unlink(src)
                     continue
@@ -1051,7 +1098,10 @@ def _stage_data_entries(
                 pvals = _parse_hive_dirs(
                     os.path.relpath(dst, os.path.join(loc, "data"))
                 )
-                lower, upper = _footer_bounds(dst, field_ids, ice_types)
+                try:
+                    lower, upper = _footer_bounds(dst, field_ids, ice_types)
+                except OSError:
+                    lower, upper = None, None  # VARIANT footer, as above
                 entries.append(
                     {
                         "status": 1,  # ADDED
@@ -1226,6 +1276,15 @@ def write_iceberg(
                 + "— pass merge_schema=True to evolve"
             )
         if new:
+            if int(meta.get("format-version", 1)) < 3 and any(
+                isinstance(f.dataType, T.VariantType) for f in new
+            ):
+                raise ValueError(
+                    "write_iceberg: cannot evolve a variant column into "
+                    f"a format-version {meta.get('format-version', 1)} "
+                    "table — upgrade_format_version(loc, 3) first "
+                    "(spec §Variant)"
+                )
             meta = dict(meta)
             next_id = int(meta.get("last-column-id",
                                    len(meta["schema"]["fields"])))
@@ -1240,6 +1299,16 @@ def write_iceberg(
             meta["last-column-id"] = next_id
             schema = iceberg_to_spark_schema(meta["schema"])
     else:
+        if any(isinstance(f.dataType, T.VariantType) for f in df.schema.fields):
+            # creation starts every table at format-version 1; variant
+            # needs v3 machinery (row lineage plumbing, manifest v3
+            # fields) already installed before data lands
+            raise ValueError(
+                "write_iceberg: variant columns need a format-version 3 "
+                "table — create it without the variant column, "
+                "upgrade_format_version(loc, 3), add_column(loc, name, "
+                "'variant'), then append (spec §Variant)"
+            )
         meta = None
         schema = df.schema
 
@@ -1914,6 +1983,11 @@ def add_column(
     )
     if not known:
         raise ValueError(f"add_column: unknown iceberg type {ice_type!r}")
+    if ice_type == "variant" and int(meta.get("format-version", 1)) < 3:
+        raise ValueError(
+            "add_column: variant is a format-version 3 type — "
+            "upgrade_format_version(loc, 3) first (spec §Variant)"
+        )
     if default is not None:
         if int(meta.get("format-version", 1)) < 3:
             raise ValueError(
@@ -2109,6 +2183,12 @@ def set_identifier_fields(loc: str, columns: list[str]) -> int:
             f"set_identifier_fields: {bad} are float/double — the spec "
             "forbids floating-point identifier fields (NaN breaks "
             "equality)"
+        )
+    bad = [c for c in columns if fields[c]["type"] == "variant"]
+    if bad:
+        raise ValueError(
+            f"set_identifier_fields: {bad} are variant — identifier "
+            "fields must be primitive (spec §Identifier Field IDs)"
         )
     meta = _evolve_schema(
         meta, [dict(f) for f in meta["schema"].get("fields", [])]

@@ -129,9 +129,29 @@ def test_encryption_refuses(spark, loc):
 
 
 def test_v3_new_types_refuse(spark, loc):
+    """geometry/geography/timestamp_ns stay refused (variant is
+    implemented since round 15 — see test_iceberg_variant.py)."""
     _v3(spark, loc)
 
     def fn(meta):
+        for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
+            if sch:
+                sch["fields"][1]["type"] = "geometry"
+
+    _edit_meta(loc, fn)
+    with pytest.raises(
+        ice.IcebergUnsupportedFormatVersion, match="geometry"
+    ):
+        ice.read_iceberg(spark, loc)
+
+
+def test_variant_on_v2_table_refuses(spark, loc):
+    """A v1/v2 table declaring a variant column is malformed — refuse
+    instead of trusting its bytes (variant is a v3 type)."""
+    _v3(spark, loc)
+
+    def fn(meta):
+        meta["format-version"] = 2
         for sch in [meta.get("schema")] + list(meta.get("schemas", [])):
             if sch:
                 sch["fields"][1]["type"] = "variant"
