@@ -3657,6 +3657,105 @@ def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_delta_cdf_defaults",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_regionkey AS r
+        FROM nation
+    ),
+    blocks AS (
+        SELECT 'insert' AS change_type, 0 AS commit_version,
+               COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(NULL AS BIGINT) AS grade_sum
+        FROM base WHERE r < 3
+        UNION ALL
+        SELECT 'insert', 2, COUNT(*), CAST(SUM(k) AS BIGINT),
+               CAST(5 * COUNT(*) AS BIGINT)
+        FROM base WHERE r >= 3
+        UNION ALL
+        SELECT 'delete', 3, COUNT(*), CAST(SUM(k) AS BIGINT),
+               CAST(5 * COUNT(*) AS BIGINT)
+        FROM base WHERE r >= 3 AND k % 2 = 1
+    )
+    SELECT 'batch' AS src, * FROM blocks
+    UNION ALL
+    SELECT 'stream' AS src, * FROM blocks
+    ORDER BY 1, 2, 3
+    """,
+)
+def stream_delta_cdf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF over a column-defaults-evolved table (round 15
+    order 6 — the delta twin of r14's iceberg
+    ``test_streaming_substitutes_defaults``, now driver-visible):
+    nation's low regions land (v0), ``ADD COLUMN grade INT DEFAULT 5``
+    evolves the schema metadata-only (v1), the high regions append
+    OMITTING the column — the writer fills CURRENT_DEFAULT (v2) — and a
+    deletion-vector DELETE retires half of them (v3). The SAME history
+    is then read twice: batch ``table_changes`` and the
+    DeltaStreamReader CDF stream, each aggregated identically — the two
+    blocks must be byte-equal (and match the oracle): pre-addition
+    commits read NULL for the late-added column (the documented CDF
+    projection rule, deliberately NOT the batch-scan EXISTS_DEFAULT
+    substitution — pinned in tests/test_delta_defaults.py), post-DDL
+    commits read the materialized fill. At 100 TB: CDC consumers replay
+    history through schema evolution without a KeyError or a silent
+    wrong default — each commit ships its change bytes only.
+    Reference: delta-spark readChangeFeed + PROTOCOL.md §Column Default
+    Values."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.deltalog import (
+        add_column, delete_where, table_changes, write_delta,
+    )
+    from ..streaming.readers import DeltaStreamReader
+
+    jctx = JobContext(PipelineContext(), spark)
+    tbl = tempfile.mkdtemp(prefix="delta_scdfd_") + "/nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("r"),
+    ).coalesce(1)
+    write_delta(na.filter("r < 3"), tbl, mode="overwrite")      # v0
+    add_column(tbl, "grade", "int", default=5)                  # v1 (DDL)
+    write_delta(na.filter("r >= 3"), tbl)                       # v2 fills 5
+    delete_where(spark, tbl, "r >= 3 AND k % 2 = 1", use_dvs=True)  # v3
+
+    def _grouped(df: DataFrame, src: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(src).alias("src"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("grade").cast("long").alias("grade_sum"),
+        )
+
+    batch = _grouped(table_changes(spark, tbl), "batch")
+
+    reader = DeltaStreamReader(path=tbl)
+    reader._props["options.readChangeFeed"] = "true"
+    sdf = reader.run(jctx, spark)
+    qname = f"delta_scdfd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = _grouped(spark.table(qname), "stream")
+    return batch.unionByName(stream).orderBy(
+        "src", "change_type", "commit_version"
+    )
+
+
+@register(
     "delta_uniform_iceberg",
     oracle="""
     SELECT 0 AS step,
@@ -4733,6 +4832,20 @@ def delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'net', 1, 'insert', COUNT(*), CAST(SUM(k) AS BIGINT)
     FROM base WHERE r = 1
+    UNION ALL
+    SELECT 'updates_decl', 0, 'insert', COUNT(*), CAST(SUM(k) AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT 'updates_decl', 1, 'update_postimage', COUNT(*),
+           CAST(SUM(k) AS BIGINT)
+    FROM base WHERE r = 1
+    UNION ALL
+    SELECT 'updates_decl', 1, 'update_preimage', COUNT(*),
+           CAST(SUM(k) AS BIGINT)
+    FROM base WHERE r = 1
+    UNION ALL
+    SELECT 'updates_decl', 2, 'delete', COUNT(*), CAST(SUM(k) AS BIGINT)
+    FROM base WHERE r = 2
     ORDER BY 1, 2, 3
     """,
 )
@@ -4747,7 +4860,12 @@ def iceberg_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     while leaving the plain delete typed delete; ``net_changes`` must
     cancel region 2 entirely (inserted then deleted inside the range)
     and surface region 1 once, as its post-update content at the
-    update's ordinal. Mutual exclusion of the two options is asserted
+    update's ordinal. Round 15 (order 4): ``set_identifier_fields``
+    then DECLARES ``k`` as the schema's identifier-field-ids and the
+    fold re-runs with NO explicit columns — the ``updates_decl`` block
+    must reproduce the explicit-column block exactly (spec §Identifier
+    Field IDs: declared identity is the default fold key). Mutual
+    exclusion of the two options is asserted
     in-query (the jar's rule). At 100 TB: both modes are single
     window-pass post-passes over O(change) rows keyed on the
     identifier/content columns — no second table scan, no driver
@@ -4797,7 +4915,17 @@ def iceberg_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = _grouped(
         _ice.read_iceberg_changelog(spark, tbl, net_changes=True), "net"
     )
-    return upd.unionByName(net).orderBy("mode", "ordinal", "change_type")
+    # declared identity: identifier-field-ids becomes the fold key when
+    # the caller names none — must hash-match the explicit-column fold
+    _ice.set_identifier_fields(tbl, ["k"])
+    decl = _grouped(
+        _ice.read_iceberg_changelog(spark, tbl, compute_updates=True),
+        "updates_decl",
+    )
+    return (
+        upd.unionByName(net).unionByName(decl)
+        .orderBy("mode", "ordinal", "change_type")
+    )
 
 
 @register(

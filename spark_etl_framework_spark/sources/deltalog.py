@@ -3442,9 +3442,11 @@ def add_column(
         # (same rule as DVs on UniForm tables)
         raise ValueError(
             "add_column: column defaults are disabled on UniForm tables "
-            "(the iceberg mirror cannot express EXISTS_DEFAULT — its "
-            "readers would silently read null) — disable UniForm or add "
-            "the column without a default"
+            "(this engine's iceberg mirror is format-version 1, which "
+            "cannot express EXISTS_DEFAULT — its readers would silently "
+            "read null; a v3 mirror could carry it as initial-default/"
+            "write-default, but v3 mirror sync is not implemented) — "
+            "disable UniForm or add the column without a default"
         )
     md: dict = {}
     if default is not None:
@@ -4926,9 +4928,11 @@ def enable_uniform(path: str) -> int:
     if _exists_defaults(snap.schema):
         raise ValueError(
             "enable_uniform: the schema carries column defaults "
-            "(EXISTS_DEFAULT) — not expressible in the iceberg mirror's "
-            "metadata; an iceberg reader would silently read null where "
-            "delta reads the default"
+            "(EXISTS_DEFAULT) — not expressible in the format-version 1 "
+            "metadata this mirror writes; an iceberg reader would "
+            "silently read null where delta reads the default (a v3 "
+            "mirror could carry them as initial-default/write-default, "
+            "but v3 mirror sync is not implemented)"
         )
     conf = dict(snap.configuration)
     conf["delta.universalFormat.enabledFormats"] = "iceberg"

@@ -361,19 +361,21 @@ def test_cdf_documents_null_for_pre_addition_commits(spark, loc):
 
 
 def test_defaults_and_uniform_mutually_refuse(spark, loc):
-    """The iceberg mirror's metadata cannot carry EXISTS_DEFAULT — a
+    """The iceberg mirror's v1 metadata cannot carry EXISTS_DEFAULT — a
     mirror reader would silently read null where delta reads the
-    default. Both orders refuse (the DV-on-UniForm rule)."""
+    default. Both orders refuse (the DV-on-UniForm rule), and both
+    messages name the v3-mirror upgrade path (initial-default/
+    write-default) as the way out — round-15 order 7 pin."""
     _write(spark, loc, [(0, "a")], mode="overwrite")
     dl.enable_uniform(loc)
-    with pytest.raises(ValueError, match="UniForm"):
+    with pytest.raises(ValueError, match="initial-default"):
         dl.add_column(loc, "grade", "int", default=5)
     # the non-defaulted ADD COLUMN stays allowed (nulls mirror fine)
     dl.add_column(loc, "extra", "int")
     loc2 = loc + "2"
     _write(spark, loc2, [(0, "a")], mode="overwrite")
     dl.add_column(loc2, "grade", "int", default=5)
-    with pytest.raises(ValueError, match="EXISTS_DEFAULT"):
+    with pytest.raises(ValueError, match="initial-default"):
         dl.enable_uniform(loc2)
 
 
