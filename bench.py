@@ -162,7 +162,10 @@ HEADLINE = [
     # round 12: the new lifecycle subsystems under the bench the round
     # they exist (standing precedent) — both metadata-plane numbers
     "delta_type_widening",           # widen commit + dual-vintage read
-    "iceberg_spec_evolution",        # structured-spec resolve + refusal
+    # (iceberg_spec_evolution rotated out round 15: three rounds stable
+    # since r12, the structured-spec resolve + refusal machinery is
+    # pytest-pinned and the transform/pruning path stays benched via
+    # iceberg_partitions_meta — freed budget for iceberg_v3_variant)
     # (delta_identity_columns rotated out round 13 per the r12 verdict's
     # budget note: 5.0 s of pure three-commit fixture cost, plan clean,
     # machinery pytest-pinned — freed budget for iceberg_v3_lifecycle)
@@ -194,13 +197,23 @@ HEADLINE = [
     # per-file vintage resolution and defaulted-scan substitution.
     "delta_column_defaults",         # ADD COLUMN DEFAULT + 3-vintage read
     "iceberg_rename_drop",           # rename/drop DDL + vintage union
+    # round 15: the new lifecycle subsystem under the bench the round it
+    # exists (standing precedent) — a protocol row over the 25-row
+    # nation fixture; the number tracks v3 upgrade + metadata-only ADD
+    # COLUMN + variant staging (Spark-count fallback) + DV delete +
+    # variant_get reads. (stream_delta_cdf_defaults is driver-window-
+    # verified but NOT benched — the stream_* rule above.) NB
+    # iceberg_changelog_updates grew an updates_decl third changelog
+    # pass this round (order 4): expect ~1.3x on that row from the
+    # output change itself, not drift.
+    "iceberg_v3_variant",            # v3 variant DDL + append + DV read
 ]
-# BUDGET NOTE (round 14): the stdout JSON line measured ~1966 chars at
-# these 61 entries (2 rotated out, 2 added; see the r13/r14 rotation
-# notes inline) — the 2000-char driver-tail assert below keeps ~0-1
-# short entries of headroom. Before adding to HEADLINE again, rotate a
-# stable entry out; the assert fails loudly either way, never silently
-# at the driver.
+# BUDGET NOTE (round 15): the stdout JSON line measured ~1966 chars at
+# 61 entries in round 14; round 15 rotated iceberg_spec_evolution out
+# and iceberg_v3_variant in (61 entries again, name 3 chars shorter) —
+# the 2000-char driver-tail assert below keeps ~0-1 short entries of
+# headroom. Before adding to HEADLINE again, rotate a stable entry out;
+# the assert fails loudly either way, never silently at the driver.
 
 
 def main() -> None:

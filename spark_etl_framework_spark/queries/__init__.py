@@ -244,68 +244,84 @@ def _load_all() -> None:
 #: registration order). A fully-green round advances the oldest
 #: evidence vintage from r7 to r8.
 #:
-#: ROUND-15 ROTATION TODO — continue with the 33 r8-vintage rows the
-#: round-14 window could not fit (distinct_pairs, topk_orders, scalar_string_funcs,
-#: date_funcs, scalar_regexp_funcs, agg_array_collect, the window/json
-#: r8 rows, the multimodal decode block, the dedup-span pair, the
-#: connector roundtrips, delta_history_audit, etl_dynamic_partition
-#: _overwrite, etl_versioned_vacuum), then r9-vintage rows by age;
-#: recompute from the CORRECTNESS artifacts at rotation time and window
-#: any round-15 registrations at registration time (freeze policy).
+#: ROUND-15 WINDOW (executing the round-14 TODO): vintages recomputed
+#: this round from CORRECTNESS_r1..r14 (latest-green round per query;
+#: union coverage 328/328 — recomputed histogram: r8x33, r9x49, r10x49,
+#: r11x49, r12x49, r13x49, r14x50). Beyond the anchor and the round-15
+#: registrations (freeze policy — iceberg_v3_variant and
+#: stream_delta_cdf_defaults land windowed in their registering
+#: commits, and iceberg_changelog_updates re-windows because its output
+#: grew an updates_decl block this round), every slot refreshes the
+#: OLDEST evidence: ALL 33 remaining r8-vintage rows (the round-14
+#: TODO's list, registration order), then the first 13 r9-vintage rows
+#: in registration order as fill. A fully-green round advances the
+#: oldest evidence vintage from r8 to r9.
+#:
+#: ROUND-16 ROTATION TODO — continue with the 36 r9-vintage rows the
+#: round-15 window could not fit (the delta/iceberg lifecycle block
+#: registered rounds 8-9: delta_write_read_roundtrip … iceberg_
+#: expire_snapshots, kafka_zstd_roundtrip, stream_dedup_watermark,
+#: stream_stream_join, stream_jdbc_sink_batchid, the dedup_minhash/
+#: ngram pair, vector_label_centroids, vector_neardup_blocked,
+#: text_repetition_stats, text_stratified_sample,
+#: text_topk_quality_per_lang), then r10-vintage rows by age; recompute
+#: from the CORRECTNESS artifacts at rotation time and window any
+#: round-16 registrations at registration time (freeze policy).
 _PRIORITY: tuple[str, ...] = (
     # TPC-H anchor — every-round sentinel
     "q1_pricing_summary",
-    # round-14 registrations (windowed at registration — freeze policy)
-    "delta_column_defaults",
-    "iceberg_rename_drop",
-    # r7-vintage (ALL 47 remaining, registration order)
-    "agg_cube",
-    "agg_having",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross_small",
-    "setop_union_except_intersect",
-    "subquery_scalar_above_avg",
-    "subquery_in_filter",
-    "cte_chain",
-    "pivot_status_by_priority",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q10_returned_items",
-    "q4_priority_with_exists",
-    "agg_grouping_sets",
-    "agg_exact_percentiles",
-    "join_theta_ranges",
-    "unpivot_stack",
-    "agg_string_concat",
-    "join_null_safe_eq",
-    "subquery_correlated_max",
-    "multimodal_decode_bmp_rle",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q12_priority_case_sum",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "vector_ann_ivfpq_steady",
-    "vector_pq_ann_adc_steady",
-    "pipeline_ann_index_probe",
-    "pipeline_lsh_index_probe",
-    "events_approx_quantile_calibration",
-    "events_funnel_timebound",
-    "events_user_growth_curve",
-    "events_ab_ztest",
-    "events_top_paths_trigram",
-    "events_value_concentration",
-    "events_kaplan_meier",
-    "events_rfm_segments",
-    "events_error_budget_burn",
-    "events_peak_detection",
-    "events_dau_wau_stickiness",
-    "etl_incremental_join_maintenance",
+    # round-15 registrations / output changes (windowed — freeze policy)
+    "iceberg_v3_variant",
+    "stream_delta_cdf_defaults",
+    "iceberg_changelog_updates",
+    # r8-vintage (ALL 33 remaining, registration order)
+    "distinct_pairs",
+    "topk_orders",
+    "scalar_string_funcs",
+    "date_funcs",
+    "scalar_regexp_funcs",
+    "agg_array_collect",
+    "latest_event_per_user",
+    "window_percent_rank",
+    "window_first_last_value",
+    "json_extract_props",
+    "multimodal_decode_gif_lzw",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_video_mjpeg_sample",
+    "multimodal_audio_flac_decode",
+    "dedup_duplicate_spans",
+    "dedup_cut_duplicate_spans",
+    "flight_read_roundtrip",
+    "redis_read_roundtrip",
+    "stream_redis_xadd_roundtrip",
+    "stream_delta_autoload",
+    "kafka_read_roundtrip",
+    "kafka_avro_nested_roundtrip",
+    "stream_kafka_topic_roundtrip",
+    "mongo_read_roundtrip",
+    "stream_iceberg_autoload",
+    "hbase_read_roundtrip",
+    "stream_mongo_sink_roundtrip",
+    "stream_hbase_sink_roundtrip",
+    "kafka_avro_logical_roundtrip",
+    "delta_history_audit",
+    "etl_dynamic_partition_overwrite",
+    "etl_versioned_vacuum",
+    # r9-vintage fill (first 13 in registration order)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "window_lag_lead",
+    "ts_sliding_window",
+    "ts_sessionize",
+    "ts_band_join",
+    "ts_asof_join",
+    "text_quality_score",
+    "text_language_id",
+    "text_chunk_windows",
 )
 
 
