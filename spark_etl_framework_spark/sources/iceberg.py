@@ -205,7 +205,10 @@ def _initial_defaults(ice_schema: dict) -> list[tuple[str, object]]:
 
 
 def _absent_default_cols(
-    files: list[dict], ice_schema: dict, names: list[str]
+    files: list[dict],
+    ice_schema: dict,
+    names: list[str],
+    meta: dict | None = None,
 ) -> dict[str, list[str]]:
     """Per data file (by basename): which of the defaulted columns are
     PHYSICALLY ABSENT from the file (written before the field existed —
@@ -219,15 +222,43 @@ def _absent_default_cols(
     per-column metrics (``write.metadata.metrics.mode=none``, or the
     default cap on how many columns get stats), so concluding "absent"
     from a missing id would silently substitute the initial-default for
-    stored values. Every id the maps cannot vouch for gets ONE
-    driver-side parquet footer read for that file. The footer path is
-    O(files written before the column existed + metrics-suppressed
-    files) — for a jar-written table with default metrics that is
-    exactly the pre-evolution files, a bounded set."""
+    stored values.
+
+    Second tier (round 15 — the iceberg twin of the delta log-vintage
+    fix), ABSENT direction only: the WRITING snapshot's schema dates
+    the file against the field. Each entry's ``snapshot_id`` (preserved
+    verbatim on EXISTING restatements by compaction/overwrite
+    carry-over) maps to that snapshot's stamped ``schema-id``; a schema
+    that PREDATES the field cannot have produced a file containing its
+    id (ids are never reused) — ABSENT, zero I/O. The schema
+    CONTAINING the field proves nothing physical: the jar's read rule
+    is per-file id absence (a post-field file legitimately omitting an
+    optional column reads initial-default too), and foreign in-place
+    schema edits would forge "present" — so presence stays
+    stats-positive-or-footer.
+
+    The residual footer path is O((post-field ∪ undatable) ∩
+    metrics-suppressed files) — at 100 TB the first post-DDL read of a
+    metrics-capped million-file table costs zero footer fetches for
+    the entire pre-evolution set, the part that scales with the
+    table."""
     ids = {
         f["name"]: f["id"] for f in ice_schema.get("fields", [])
         if f["name"] in names
     }
+    schema_of_snap: dict = {}
+    fields_of_schema: dict = {}
+    if meta is not None:
+        schema_of_snap = {
+            s["snapshot-id"]: s.get("schema-id")
+            for s in meta.get("snapshots", [])
+            if s.get("schema-id") is not None
+        }
+        fields_of_schema = {
+            sch["schema-id"]: {f["id"] for f in sch.get("fields", [])}
+            for sch in meta.get("schemas", [])
+            if sch.get("schema-id") is not None
+        }
     out: dict[str, list[str]] = {}
     for f in files:
         present_ids: set[int] = set()
@@ -235,7 +266,23 @@ def _absent_default_cols(
             counts = f.get(key)
             if counts:
                 present_ids.update(int(e["key"]) for e in counts)
-        unknown = [n for n, i in ids.items() if i not in present_ids]
+        write_fields = fields_of_schema.get(
+            schema_of_snap.get(f.get("__snap"))
+        )
+        decided_absent: list[str] = []
+        unknown = []
+        for n, i in ids.items():
+            if i in present_ids:
+                continue  # stats-positive: physically stored
+            if write_fields is not None and i not in write_fields:
+                # the writing schema predates the field — the file
+                # cannot contain an id that did not exist yet
+                decided_absent.append(n)
+                continue
+            unknown.append(n)
+        if decided_absent and not unknown:
+            out[os.path.basename(f["file_path"])] = decided_absent
+            continue
         absent: list[str] = []
         if unknown:
             import pyarrow.parquet as pq
@@ -254,8 +301,8 @@ def _absent_default_cols(
                     .read.parquet(f["file_path"]).schema.names
                 )
             absent = [n for n in unknown if n not in cols]
-        if absent:
-            out[os.path.basename(f["file_path"])] = absent
+        if absent or decided_absent:
+            out[os.path.basename(f["file_path"])] = decided_absent + absent
     return out
 
 
@@ -1894,7 +1941,8 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
     absent_map: dict[str, list[str]] = {}
     if defaults:
         absent_map = _absent_default_cols(
-            files, _current_ice_schema(meta), [n for n, _ in defaults]
+            files, _current_ice_schema(meta), [n for n, _ in defaults],
+            meta=meta,
         )
         defaults = [
             (n, v) for n, v in defaults
@@ -3267,6 +3315,10 @@ def _scan_snapshot(meta: dict, snapshot: dict) -> tuple[list[dict], list[dict]]:
                 if e.get("sequence_number") is not None
                 else mf_seq
             )
+            # the snapshot that WROTE this file (preserved on EXISTING
+            # restatements) — dates the file against schema evolution
+            # for the column-defaults absence probe (round 15)
+            f["__snap"] = e.get("snapshot_id")
             if mf.get("content", 0) == 1 or f.get("content", 0) in (1, 2):
                 deletes.append(f)
             else:
@@ -3482,7 +3534,8 @@ def read_iceberg(
     absent_map: dict[str, list[str]] = {}
     if defaults:
         absent_map = _absent_default_cols(
-            files, _current_ice_schema(meta), [n for n, _ in defaults]
+            files, _current_ice_schema(meta), [n for n, _ in defaults],
+            meta=meta,
         )
         defaults = [
             (n, v) for n, v in defaults
@@ -3770,7 +3823,8 @@ def read_iceberg_changelog(
         absent_map: dict[str, list[str]] = {}
         if defaults:
             absent_map = _absent_default_cols(
-                files, _current_ice_schema(meta), [n for n, _ in defaults]
+                files, _current_ice_schema(meta), [n for n, _ in defaults],
+                meta=meta,
             )
             defaults = [
                 (n, v) for n, v in defaults

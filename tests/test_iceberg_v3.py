@@ -927,3 +927,38 @@ def test_differing_initial_and_write_defaults(spark, loc):
     got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
     assert got[0] == got[1] == 7   # pre-addition rows: INITIAL default
     assert got[10] == 9            # omitted-column write: WRITE default
+
+
+def test_schema_vintage_decides_absence_without_footer_reads(
+    spark, loc, monkeypatch
+):
+    """Round-15 twin of the delta log-vintage pin: files whose WRITING
+    snapshot's schema predates a defaulted field are absent by metadata
+    alone — the entire pre-evolution set costs ZERO parquet footer
+    reads. Post-DDL files without metrics still pay one footer each
+    (presence must stay physical: the jar's read rule is per-file id
+    absence, and native writes carry no value_counts)."""
+    import pyarrow.parquet as pq
+
+    _v3(spark, loc, n=3)                       # snapshot A, schema-id 0
+    ice.add_column(loc, "flag", "int", default=7)   # fresh schema-id
+    calls = {"n": 0}
+    real = pq.ParquetFile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {i: 7 for i in range(3)}
+    assert calls["n"] == 0  # pre-evolution file dated by schema vintage
+
+    # a post-DDL append (snapshot stamped with the NEW schema-id) is
+    # physically unknown without metrics — exactly one footer read
+    df = spark.createDataFrame([(10, "x", 1)], "id int, s string, flag int")
+    ice.write_iceberg(df.coalesce(1), loc, mode="append")
+    calls["n"] = 0
+    got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {0: 7, 1: 7, 2: 7, 10: 1}
+    assert calls["n"] == 1
