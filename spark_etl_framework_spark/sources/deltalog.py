@@ -485,8 +485,21 @@ def _apply_action(
             for f in snap.schema.fields
             if (f.metadata or {}).get("EXISTS_DEFAULT") is not None
         }
+        stamps = {
+            f.name: (f.metadata or {}).get("spark_etl.defaults.addedVersion")
+            for f in snap.schema.fields
+        }
         for c in now_defaulted - old_defaulted:
-            if version is not None:
+            stamp = stamps.get(c)
+            if isinstance(stamp, int) and (
+                version is None or stamp <= version
+            ):
+                # native arrival stamp in the field metadata: exact even
+                # when the metaData was restated by a checkpoint/
+                # compaction (sanity-bounded by the source's version)
+                snap.default_since[c] = stamp
+                snap.default_since_ub[c] = stamp
+            elif version is not None:
                 snap.default_since_ub[c] = version
                 if exact:
                     snap.default_since[c] = version
@@ -3457,7 +3470,13 @@ def add_column(
                 "(supported: int, bigint, float, double, string, boolean)"
             )
         lit = _default_sql_literal(default)
-        md = {"CURRENT_DEFAULT": lit, "EXISTS_DEFAULT": lit}
+        md = {"CURRENT_DEFAULT": lit, "EXISTS_DEFAULT": lit,
+              # engine-native arrival stamp (the delta.typeChanges
+              # tableVersion precedent): travels with the schemaString
+              # through checkpoints/compactions/clones, so replays that
+              # lose per-commit versions still date the default exactly
+              # and pre-DDL files never pay a footer read
+              "spark_etl.defaults.addedVersion": latest_version(path) + 1}
     new_field = T.StructField(name, col_type, True, md)
     conf = dict(snap.configuration)
     if snap.column_mapping_mode != "none":
@@ -4762,7 +4781,18 @@ def shallow_clone(
             "metaData": {
                 "id": uuid.uuid4().hex,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": snap.schema.json(),
+                # the defaults arrival stamp counts SOURCE log versions —
+                # meaningless against the clone's own commit numbering,
+                # so strip it (the clone's undated files footer-verify,
+                # exactly the pre-stamp behavior)
+                "schemaString": T.StructType([
+                    T.StructField(
+                        f.name, f.dataType, f.nullable,
+                        {k: v for k, v in (f.metadata or {}).items()
+                         if k != "spark_etl.defaults.addedVersion"},
+                    )
+                    for f in snap.schema.fields
+                ]).json(),
                 "partitionColumns": list(snap.partition_columns),
                 "configuration": configuration,
                 "createdTime": ts_now,

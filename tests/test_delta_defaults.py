@@ -215,14 +215,17 @@ def test_stats_positive_evidence_only(spark, loc):
 
 
 def _count_footer_reads(monkeypatch):
-    """Monkeypatch pyarrow.parquet.ParquetFile with a counting wrapper."""
+    """Monkeypatch pyarrow.parquet.ParquetFile with a counting wrapper.
+    Counts DATA file footers only — checkpoint parquet replays under
+    _delta_log are log reads, not the absence probe under test."""
     import pyarrow.parquet as pq
 
     calls = {"n": 0}
     real = pq.ParquetFile
 
     def counting(*a, **kw):
-        calls["n"] += 1
+        if a and isinstance(a[0], str) and "_delta_log" not in a[0]:
+            calls["n"] += 1
         return real(*a, **kw)
 
     monkeypatch.setattr(pq, "ParquetFile", counting)
@@ -269,13 +272,63 @@ def test_log_vintage_decides_absence_without_footer_reads(
     assert calls["n"] == 0  # both files decided from the log alone
 
 
+def _strip_arrival_stamp(loc, version):
+    """Foreign-edit commit ``version``: drop the engine-native
+    spark_etl.defaults.addedVersion stamp from the metaData's field
+    metadata — the shape a jar-written defaulted table has."""
+    p = dl._commit_path(loc, version)
+    lines = []
+    with open(p, encoding="utf-8") as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "metaData" in act:
+                sch = json.loads(act["metaData"]["schemaString"])
+                for f in sch["fields"]:
+                    (f.get("metadata") or {}).pop(
+                        "spark_etl.defaults.addedVersion", None
+                    )
+                act["metaData"]["schemaString"] = json.dumps(sch)
+            lines.append(json.dumps(act))
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_native_arrival_stamp_survives_checkpoint(spark, loc, monkeypatch):
+    """The field-metadata arrival stamp (the delta.typeChanges
+    tableVersion precedent) rides the checkpoint's restated metaData, so
+    a replay that lost every commit json still dates the default
+    EXACTLY. On a row-tracked table the checkpoint also preserves each
+    file's defaultRowCommitVersion — vintage d < arrival decides the
+    pre-DDL file absent with ZERO footer reads even after cleanup (the
+    100 TB shape: checkpointed million-file table, first post-DDL
+    read)."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")        # v0
+    dl.enable_row_tracking(spark, loc)                      # v1 (backfill)
+    dl.add_column(loc, "grade", "int", default=5)           # v2
+    dl.write_delta(
+        spark.createDataFrame([(1, "b", 2)], "id int, s string, grade int")
+        .coalesce(1), loc,
+    )                                                       # v3
+    dl.write_checkpoint_v2(loc)
+    dl.clean_log(loc, expire_checkpoints=True)
+    snap = dl.snapshot(loc)
+    assert snap.default_since.get("grade") == 2  # exact via the stamp
+    assert all(f.data_vintage is not None for f in snap.files)  # drcv
+    calls = _count_footer_reads(monkeypatch)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 2}
+    assert calls["n"] == 0
+
+
 def test_undatable_files_still_footer_checked(spark, loc, monkeypatch):
-    """After checkpoint + log cleanup the replay loses per-add commit
-    versions and the EXISTS_DEFAULT arrival keeps only an upper bound —
+    """A FOREIGN defaulted table (no engine arrival stamp) whose log was
+    checkpointed + cleaned keeps only an upper bound on the arrival —
     undatable files fall back to (pooled) footer reads and the answers
-    stay right. The fallback is the CONVERT/clone-import path."""
+    stay right. The fallback is the jar-written/convert/clone-import
+    path."""
     _write(spark, loc, [(0, "a")], mode="overwrite")
     dl.add_column(loc, "grade", "int", default=5)
+    _strip_arrival_stamp(loc, dl.latest_version(loc))
     dl.write_delta(
         spark.createDataFrame([(1, "b", 2)], "id int, s string, grade int")
         .coalesce(1), loc,
