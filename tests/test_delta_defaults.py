@@ -543,3 +543,114 @@ def test_drop_feature_gates_on_default_metadata(spark, loc):
         snap.protocol.get("writerFeatures") or []
     )
     assert {r.id for r in dl.read_delta(spark, loc).collect()} == {0}
+
+
+def test_defaults_vintage_random_lifecycle(spark, tmp_path):
+    """Model-based randomized lifecycle for the round-15 log-vintage
+    machinery (the tests/test_randomized_invariants.py pattern —
+    fixed-seed adversarial sequences the corpus never shows): random
+    interleavings of append / ADD COLUMN DEFAULT / DELETE / OPTIMIZE /
+    checkpoint+clean / RESTORE, then a read (and a clone read) that must
+    equal a driver-side dict model. Exercises every evidence tier: exact
+    arrival (commit replay + field stamp), first-seen dataChange=true
+    vintages, undated OPTIMIZE rewrites and RESTORE re-adds,
+    checkpoint-restated metaData, clone stamp-stripping. RESTORE is
+    schema-restoring: rolling back past the DDL drops the default and a
+    later op may re-add it."""
+    import random as _random
+
+    from spark_etl_framework_spark.sources import deltalog as _dl
+
+    for trial, seed in enumerate((11, 23, 37)):
+        rng = _random.Random(seed)
+        loc = str(tmp_path / f"t{trial}")
+        next_id = 0
+        has_default = False
+        model: dict[int, object] = {}
+
+        def _append(rows, with_grade, first=False):
+            schema = (
+                "id int, s string, grade int" if with_grade
+                else "id int, s string"
+            )
+            _dl.write_delta(
+                spark.createDataFrame(rows, schema).coalesce(1), loc,
+                mode="overwrite" if first else "append",
+            )
+
+        rows = [(i, f"s{i}") for i in range(4)]
+        _append(rows, with_grade=False, first=True)
+        model = {i: None for i in range(4)}
+        next_id = 4
+        # (log_version, model snapshot, has_default) after each commit
+        history = [(_dl.latest_version(loc), dict(model), has_default)]
+
+        for _ in range(rng.randint(6, 9)):
+            op = rng.choice(
+                ["append", "ddl", "delete", "optimize", "checkpoint",
+                 "restore"]
+            )
+            if op == "ddl":
+                if has_default:
+                    continue
+                _dl.add_column(loc, "grade", "int", default=5)
+                has_default = True
+                # pre-existing rows now read EXISTS_DEFAULT
+                model = {k: 5 if v is None else v for k, v in model.items()}
+            elif op == "append":
+                n = rng.randint(1, 3)
+                ids = list(range(next_id, next_id + n))
+                if has_default and rng.random() < 0.5:
+                    rows = [
+                        (i, f"x{i}", rng.choice([None, 1, 2])) for i in ids
+                    ]
+                    _append(rows, with_grade=True)
+                    for i, _, g in rows:
+                        model[i] = g  # explicit value, incl. real null
+                else:
+                    _append([(i, f"x{i}") for i in ids], with_grade=False)
+                    for i in ids:
+                        model[i] = 5 if has_default else None
+                next_id += n
+            elif op == "delete":
+                if not model:
+                    continue
+                victims = rng.sample(
+                    sorted(model), k=min(len(model), rng.randint(1, 3))
+                )
+                _dl.delete_where(
+                    spark, loc,
+                    f"id in ({', '.join(map(str, victims))})",
+                    use_dvs=rng.random() < 0.5,
+                )
+                for v in victims:
+                    model.pop(v)
+            elif op == "optimize":
+                _dl.optimize_compact(spark, loc, min_files=2)
+            elif op == "checkpoint":
+                _dl.write_checkpoint_v2(loc)
+                _dl.clean_log(loc, expire_checkpoints=True)
+                history = []  # pruned commits cannot be restore targets
+            elif op == "restore":
+                if not history:
+                    continue
+                v, snap_model, snap_flag = rng.choice(history)
+                try:
+                    _dl.restore_table(spark, loc, v)
+                except (ValueError, FileNotFoundError):
+                    continue  # cleaned/unreachable target: legal refusal
+                model = dict(snap_model)
+                has_default = snap_flag
+            history.append((_dl.latest_version(loc), dict(model),
+                            has_default))
+
+        def _read(path):
+            return {
+                r.id: (r.grade if has_default else None)
+                for r in _dl.read_delta(spark, path).collect()
+            }
+
+        assert _read(loc) == model, f"seed {seed}"
+        tgt = loc + "_clone"
+        _dl.shallow_clone(spark, loc, tgt)
+        assert _read(tgt) == model, f"seed {seed} clone"

@@ -962,3 +962,93 @@ def test_schema_vintage_decides_absence_without_footer_reads(
     got = {r.id: r.flag for r in ice.read_iceberg(spark, loc).collect()}
     assert got == {0: 7, 1: 7, 2: 7, 10: 1}
     assert calls["n"] == 1
+
+
+def test_defaults_vintage_random_lifecycle(spark, tmp_path):
+    """Iceberg twin of the delta randomized lifecycle: fixed-seed
+    interleavings of append / ADD COLUMN DEFAULT / MoR DELETE /
+    rewrite_data_files / rewrite_manifests / expire_snapshots against a
+    driver-side dict model — exercising the round-15 schema-vintage
+    absence tier (entry snapshot_id → schema-at-write) across entry
+    restatements and snapshot pruning."""
+    import random as _random
+
+    for trial, seed in enumerate((5, 17, 29)):
+        rng = _random.Random(seed)
+        loc = str(tmp_path / f"t{trial}")
+        next_id = 0
+        has_default = False
+        model: dict[int, object] = {}
+
+        def _append(rows, with_flag, first=False):
+            schema = (
+                "id int, s string, flag int" if with_flag
+                else "id int, s string"
+            )
+            ice.write_iceberg(
+                spark.createDataFrame(rows, schema).coalesce(1), loc,
+                mode="overwrite" if first else "append",
+            )
+
+        _append([(i, f"s{i}") for i in range(4)], False, first=True)
+        ice.upgrade_format_version(loc, 3)
+        model = {i: None for i in range(4)}
+        next_id = 4
+
+        for _ in range(rng.randint(6, 9)):
+            op = rng.choice(
+                ["append", "ddl", "delete", "rewrite", "manifests",
+                 "expire"]
+            )
+            if op == "ddl":
+                if has_default:
+                    continue
+                ice.add_column(loc, "flag", "int", default=7)
+                has_default = True
+                model = {k: 7 if v is None else v for k, v in model.items()}
+            elif op == "append":
+                n = rng.randint(1, 3)
+                ids = list(range(next_id, next_id + n))
+                if has_default and rng.random() < 0.5:
+                    rows = [
+                        (i, f"x{i}", rng.choice([None, 1, 2])) for i in ids
+                    ]
+                    _append(rows, True)
+                    for i, _, g in rows:
+                        model[i] = g
+                else:
+                    if has_default:
+                        # the native writer is schema-strict without a
+                        # write-default; add_column(default=) installs
+                        # one, so the omitted column fills 7
+                        _append([(i, f"x{i}") for i in ids], False)
+                        for i in ids:
+                            model[i] = 7
+                    else:
+                        _append([(i, f"x{i}") for i in ids], False)
+                        for i in ids:
+                            model[i] = None
+                next_id += n
+            elif op == "delete":
+                if not model:
+                    continue
+                victims = rng.sample(
+                    sorted(model), k=min(len(model), rng.randint(1, 3))
+                )
+                ice.delete_where(
+                    spark, loc, f"id in ({', '.join(map(str, victims))})"
+                )
+                for v in victims:
+                    model.pop(v)
+            elif op == "rewrite":
+                ice.rewrite_data_files(spark, loc)
+            elif op == "manifests":
+                ice.rewrite_manifests(loc)
+            elif op == "expire":
+                ice.expire_snapshots(loc, older_than_ms=None, retain_last=1)
+
+        got = {
+            r.id: (r.flag if has_default else None)
+            for r in ice.read_iceberg(spark, loc).collect()
+        }
+        assert got == model, f"seed {seed}: {got} != {model}"
