@@ -163,8 +163,13 @@ class Snapshot:
     default_since: dict[str, int] = field(default_factory=dict)
     default_since_ub: dict[str, int] = field(default_factory=dict)
     #: every add/remove path this replay has seen — re-adds of a seen
-    #: path (RESTORE) re-publish OLD bytes and must stay undated
+    #: path (RESTORE, DV update) re-publish OLD bytes and must not be
+    #: stamped with the re-add's commit version
     seen_paths: set = field(default_factory=set)
+    #: path -> the ORIGINAL data vintage established for it (paths are
+    #: write-once bytes, so the first vintage is the truth forever —
+    #: re-adds across any distance, DV updates, restores all reuse it)
+    path_vintages: dict = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -459,6 +464,13 @@ def _apply_action(
             # a pre-DDL file post-DDL. Paths are write-once UUIDs, so
             # "seen before" identifies the bytes exactly.
             af.data_vintage = version
+        elif af.data_vintage is None:
+            # restatement of a seen path (DV update, protocol-upgrade
+            # re-add, RESTORE): same path = same bytes — the ORIGINAL
+            # vintage, when the replay established one, is still true
+            af.data_vintage = snap.path_vintages.get(af.path)
+        if af.data_vintage is not None:
+            snap.path_vintages.setdefault(af.path, af.data_vintage)
         snap.seen_paths.add(af.path)
     elif "remove" in act:
         p = unquote(act["remove"]["path"])

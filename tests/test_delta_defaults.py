@@ -344,13 +344,49 @@ def test_undatable_files_still_footer_checked(spark, loc, monkeypatch):
     assert calls["n"] >= 1  # the pre-DDL file had to be footer-verified
 
 
+def test_dv_restatement_carries_vintage(spark, loc, monkeypatch):
+    """A DV delete re-adds the SAME path (same bytes) — the file's data
+    vintage carries through the restatement, so a stats-suppressed
+    post-DDL file still needs no footer read after row-level deletes."""
+    _write(spark, loc, [(0, "a")], mode="overwrite")            # v0
+    dl.add_column(loc, "grade", "int", default=5)               # v1
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10, "x", 1), (11, "y", 2)], "id int, s string, grade int"
+        ).coalesce(1), loc,
+    )                                                           # v2
+    # strip grade from the v2 stats (metrics suppression)
+    p = dl._commit_path(loc, dl.latest_version(loc))
+    lines = []
+    with open(p, encoding="utf-8") as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "add" in act and act["add"].get("stats"):
+                st = json.loads(act["add"]["stats"])
+                for key in ("minValues", "maxValues", "nullCount"):
+                    (st.get(key) or {}).pop("grade", None)
+                act["add"]["stats"] = json.dumps(st)
+            lines.append(json.dumps(act))
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    dl.delete_where(spark, loc, "id = 11", use_dvs=True)        # v3 DV
+    snap = dl.snapshot(loc)
+    assert all(f.data_vintage is not None for f in snap.files)
+    calls = _count_footer_reads(monkeypatch)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 10: 1}
+    assert calls["n"] == 0
+
+
 def test_restore_readd_of_pre_ddl_file_stays_absent(
     spark, loc, monkeypatch
 ):
     """A RESTORE re-adds old bytes with dataChange=true at a commit
-    AFTER the default arrived — the seen-paths guard keeps the re-add
-    undated (one footer read) instead of mistaking it for a post-DDL
-    write, so the pre-DDL rows keep reading EXISTS_DEFAULT."""
+    AFTER the default arrived — the seen-paths guard refuses to stamp
+    the restore's own version, and the path-vintage memory hands the
+    re-add its ORIGINAL v0 vintage instead (paths are write-once
+    bytes), so the pre-DDL rows keep reading EXISTS_DEFAULT with zero
+    footer reads."""
     _write(spark, loc, [(0, "a")], mode="overwrite")            # v0
     dl.add_column(loc, "grade", "int", default=5)               # v1
     dl.delete_where(spark, loc, "id = 0")                       # v2
@@ -358,11 +394,11 @@ def test_restore_readd_of_pre_ddl_file_stays_absent(
     dl.restore_table(spark, loc, 1)                             # v3 re-add
     snap = dl.snapshot(loc)
     assert snap.default_since.get("grade") == 1
-    assert all(f.data_vintage is None for f in snap.files)
+    assert [f.data_vintage for f in snap.files] == [0]  # original vintage
     calls = _count_footer_reads(monkeypatch)
     got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
     assert got == {0: 5}
-    assert calls["n"] >= 1
+    assert calls["n"] == 0
 
 
 def test_defaults_on_column_mapped_table(spark, loc):
