@@ -76,7 +76,13 @@ HEADLINE = [
     # round 4 additions — chunk dedup (text moves once), incremental LSH
     # admission (corpus-index probe), EWMA (applyInPandas recurrence),
     # SCD2 (single-join warehouse merge)
-    "corpus_chunk_dedup",
+    # (corpus_chunk_dedup rotated out round 15: eleven rounds stable
+    # since r4; the corpus family keeps corpus_decontaminate plus the
+    # new trigram flagship below — freed budget for it)
+    # round 15: interpolated trigram-LM perplexity — one token-stream
+    # exchange + the distinct-trigram model pyramid (five small joins),
+    # a different shuffle economy from every other benched corpus row
+    "corpus_trigram_perplexity",
     "dedup_incremental_admission",
     # round 5: the production shape — corpus index persisted to parquet
     # once per session; run 1 builds it, so the min-of-3 reported here is
@@ -210,8 +216,10 @@ HEADLINE = [
 ]
 # BUDGET NOTE (round 15): the stdout JSON line measured ~1966 chars at
 # 61 entries in round 14; round 15 rotated iceberg_spec_evolution out
-# and iceberg_v3_variant in (61 entries again, name 3 chars shorter) —
-# the 2000-char driver-tail assert below keeps ~0-1 short entries of
+# and iceberg_v3_variant in (61 entries again, name 3 chars shorter),
+# then swapped corpus_chunk_dedup (17 chars) for
+# corpus_trigram_perplexity (25 chars) — still ~1971, inside the
+# 2000-char driver-tail assert below with ~0-1 short entries of
 # headroom. Before adding to HEADLINE again, rotate a stable entry out;
 # the assert fails loudly either way, never silently at the driver.
 

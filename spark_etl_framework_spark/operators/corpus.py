@@ -524,6 +524,117 @@ def unigram_logprob(
     )
 
 
+#: Beginning-of-sequence padding for the trigram LM. Contains a space, so
+#: it can never collide with a real token (tokenization splits on \s+).
+_BOS = "<s> "
+
+
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.1, 0.3, 0.6),
+) -> DataFrame:
+    """Interpolated trigram-LM self-perplexity per document — the CCNet
+    quality axis (Wenzek et al., 2020) one model order up from
+    :func:`unigram_logprob`: mean surprisal in bits of each token under a
+    Jelinek-Mercer-interpolated MLE trigram model trained on the corpus
+    itself::
+
+        p(w | w2 w1) = l3*c(w2 w1 w)/c(w2 w1 .) + l2*c(w1 w)/c(w1 .)
+                       + l1*c(w)/N
+
+    with ``lambdas = (l1, l2, l3)``. Contexts at document start pad with
+    a BOS marker that cannot collide with a whitespace token. Training
+    corpus == scoring corpus, so the unigram term keeps every probability
+    positive without discounting. Templated/repetitive documents score
+    near zero bits; rare-context garbage scores high — a sharper
+    separation than the unigram axis because the trigram term sees word
+    ORDER, not just the marginal distribution.
+
+    Shuffle economics (the 100 TB story): every model quantity —
+    trigram, bigram, unigram, both context totals, N — derives from the
+    DISTINCT-trigram relation, so the exploded token stream crosses
+    exactly ONE exchange (the ``groupBy(doc, w2, w1, w)`` with map-side
+    partials); the model-side reaggregations and joins run over the
+    Zipf-bounded distinct-trigram relation, orders of magnitude smaller
+    than the corpus. Per-document scoring is one join on the trigram key
+    (co-partitioned with the tf relation) plus the final ``groupBy(doc)``.
+    In production the model side is trained on a clean sample, pruned to
+    top-K per context, and broadcast — the scoring pass then shuffles
+    nothing but the doc aggregation.
+    """
+    l1, l2, l3 = lambdas
+    t = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "").alias("_t"),
+    )
+    arr = F.col("_t")
+    grams = t.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                arr,
+                lambda x, i: F.struct(
+                    x.alias("w"),
+                    # element_at is 1-based; CASE branches evaluate lazily,
+                    # so the out-of-range index is never touched
+                    F.when(i >= 1, F.element_at(arr, i))
+                    .otherwise(F.lit(_BOS))
+                    .alias("w1"),
+                    F.when(i >= 2, F.element_at(arr, i - 1))
+                    .otherwise(F.lit(_BOS))
+                    .alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w", "g.w1", "g.w2")
+    # two consumers (model pyramid and the scoring join) — persist the
+    # narrow fixed-arity tf relation, not the exploded stream
+    dtf = scoped_persist(
+        grams.groupBy(id_col, "w2", "w1", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tri = scoped_persist(
+        dtf.groupBy("w2", "w1", "w").agg(F.sum("tf").alias("c3"))
+    )
+    ctx2 = tri.groupBy("w2", "w1").agg(F.sum("c3").alias("cc2"))
+    big = tri.groupBy("w1", "w").agg(F.sum("c3").alias("c2"))
+    ctx1 = tri.groupBy("w1").agg(F.sum("c3").alias("cc1"))
+    uni = tri.groupBy("w").agg(F.sum("c3").alias("c1"))
+    total = tri.agg(F.sum("c3").alias("n_total"))
+    # operand order mirrors the oracle SQL exactly — bit-identical doubles
+    # keep the round-6 hash compare honest
+    model = (
+        tri.join(ctx2, ["w2", "w1"])
+        .join(big, ["w1", "w"])
+        .join(ctx1, "w1")
+        .join(uni, "w")
+        .join(total)  # 1-row broadcast
+        .select(
+            "w2",
+            "w1",
+            "w",
+            (
+                -F.log2(
+                    F.lit(l3) * (F.col("c3") / F.col("cc2"))
+                    + F.lit(l2) * (F.col("c2") / F.col("cc1"))
+                    + F.lit(l1) * (F.col("c1") / F.col("n_total"))
+                )
+            ).alias("_bits"),
+        )
+    )
+    return (
+        dtf.join(model, ["w2", "w1", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("_bits")) / F.sum("tf"), 6
+            ).alias("bits_per_token"),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

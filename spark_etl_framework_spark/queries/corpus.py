@@ -434,6 +434,56 @@ def corpus_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_trigram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> lower(x)), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               t[i + 1] AS w,
+               CASE WHEN i >= 1 THEN t[i] ELSE '<s> ' END AS w1,
+               CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s> ' END AS w2
+        FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i FROM toks)
+    ),
+    dtf AS (SELECT doc_id, w2, w1, w, count(*) AS tf
+            FROM grams GROUP BY doc_id, w2, w1, w),
+    tri AS (SELECT w2, w1, w, sum(tf) AS c3 FROM dtf GROUP BY w2, w1, w),
+    ctx2 AS (SELECT w2, w1, sum(c3) AS cc2 FROM tri GROUP BY w2, w1),
+    big AS (SELECT w1, w, sum(c3) AS c2 FROM tri GROUP BY w1, w),
+    ctx1 AS (SELECT w1, sum(c3) AS cc1 FROM tri GROUP BY w1),
+    uni AS (SELECT w, sum(c3) AS c1 FROM tri GROUP BY w),
+    total AS (SELECT sum(c3) AS n_total FROM tri),
+    model AS (
+        SELECT tri.w2, tri.w1, tri.w,
+               -log2(0.6 * (tri.c3 / ctx2.cc2) + 0.3 * (big.c2 / ctx1.cc1)
+                     + 0.1 * (uni.c1 / total.n_total)) AS bits
+        FROM tri
+        JOIN ctx2 USING (w2, w1)
+        JOIN big USING (w1, w)
+        JOIN ctx1 USING (w1)
+        JOIN uni USING (w), total
+    )
+    SELECT dtf.doc_id, CAST(sum(dtf.tf) AS BIGINT) AS n_tokens,
+           round(sum(dtf.tf * model.bits) / sum(dtf.tf), 6) AS bits_per_token
+    FROM dtf JOIN model USING (w2, w1, w)
+    GROUP BY dtf.doc_id
+    """,
+)
+def corpus_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM self-perplexity per document (CCNet's
+    quality axis, Jelinek-Mercer 0.6/0.3/0.1 over trigram/bigram/unigram
+    MLE counts, BOS-padded contexts). The whole model pyramid derives
+    from the distinct-trigram relation, so the exploded token stream
+    crosses exactly one exchange (operators/corpus.py:trigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.trigram_logprob(docs, "doc_id", "text")
+
+
+@register(
     "corpus_shuffle_order",
     oracle="""
     WITH r AS (

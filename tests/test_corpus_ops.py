@@ -266,3 +266,77 @@ def test_weighted_sample_prefers_heavy_docs(spark, tmp_path):
     assert len(out) == 100
     n_heavy = sum(1 for r in out if r["doc_id"] < 100)
     assert n_heavy >= 90
+
+
+def _trigram_reference(corpus, lambdas=(0.1, 0.3, 0.6)):
+    """Pure-Python interpolated trigram LM — the operator's spec."""
+    import math
+    from collections import Counter
+
+    BOS = "<s> "
+    l1, l2, l3 = lambdas
+    streams = {
+        d: [t for t in text.lower().strip().split() if t]
+        for d, text in corpus
+    }
+    grams = []
+    for d, toks in streams.items():
+        for i, w in enumerate(toks):
+            w1 = toks[i - 1] if i >= 1 else BOS
+            w2 = toks[i - 2] if i >= 2 else BOS
+            grams.append((d, w2, w1, w))
+    c3 = Counter((w2, w1, w) for _, w2, w1, w in grams)
+    cc2 = Counter((w2, w1) for _, w2, w1, _ in grams)
+    c2 = Counter((w1, w) for _, _, w1, w in grams)
+    cc1 = Counter(w1 for _, _, w1, _ in grams)
+    c1 = Counter(w for _, _, _, w in grams)
+    n = len(grams)
+    out = {}
+    for d, toks in streams.items():
+        if not toks:
+            continue
+        bits = 0.0
+        for i, w in enumerate(toks):
+            w1 = toks[i - 1] if i >= 1 else BOS
+            w2 = toks[i - 2] if i >= 2 else BOS
+            p = (
+                l3 * (c3[(w2, w1, w)] / cc2[(w2, w1)])
+                + l2 * (c2[(w1, w)] / cc1[w1])
+                + l1 * (c1[w] / n)
+            )
+            bits += -math.log2(p)
+        out[d] = (len(toks), round(bits / len(toks), 6))
+    return out
+
+
+def test_trigram_perplexity_matches_reference(spark):
+    """Exact match (at the round-6 output precision) against a pure-Python
+    interpolated trigram LM on a corpus exercising BOS padding (1- and
+    2-token docs), repeated contexts, and case folding."""
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "THE CAT sat"),          # case folds into doc 1/2's contexts
+        (4, "zebra"),                # single token: both contexts are BOS
+        (5, "on on"),                # 2 tokens: w2 is BOS twice
+        (6, "entirely novel garbage tokens xqzw vvkp"),
+    ]
+    expect = _trigram_reference(corpus)
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in C.trigram_logprob(df).collect()
+    }
+    assert out == expect
+    # order sanity: templated text scores below novel-context garbage
+    assert out[1][1] < out[6][1]
+
+
+def test_trigram_perplexity_empty_and_null_docs_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.trigram_logprob(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_tokens"] == 4
