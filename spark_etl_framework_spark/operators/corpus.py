@@ -529,6 +529,37 @@ def unigram_logprob(
 _BOS = "<s> "
 
 
+def _gram_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared BOS-padded (doc, w2, w1, w) trigram stream — every trigram
+    scorer MUST tokenize and pad identically or the model join keys
+    diverge from the paired oracles. One explode, zero windows: the
+    per-position contexts come from an indexed ``transform`` over the
+    row-local token array (``element_at`` is 1-based; CASE branches
+    evaluate lazily, so the out-of-range index is never touched)."""
+    t = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "").alias("_t"),
+    )
+    arr = F.col("_t")
+    return t.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                arr,
+                lambda x, i: F.struct(
+                    x.alias("w"),
+                    F.when(i >= 1, F.element_at(arr, i))
+                    .otherwise(F.lit(_BOS))
+                    .alias("w1"),
+                    F.when(i >= 2, F.element_at(arr, i - 1))
+                    .otherwise(F.lit(_BOS))
+                    .alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w", "g.w1", "g.w2")
+
+
 def trigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -565,30 +596,7 @@ def trigram_logprob(
     nothing but the doc aggregation.
     """
     l1, l2, l3 = lambdas
-    t = df.select(
-        F.col(id_col),
-        F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "").alias("_t"),
-    )
-    arr = F.col("_t")
-    grams = t.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                arr,
-                lambda x, i: F.struct(
-                    x.alias("w"),
-                    # element_at is 1-based; CASE branches evaluate lazily,
-                    # so the out-of-range index is never touched
-                    F.when(i >= 1, F.element_at(arr, i))
-                    .otherwise(F.lit(_BOS))
-                    .alias("w1"),
-                    F.when(i >= 2, F.element_at(arr, i - 1))
-                    .otherwise(F.lit(_BOS))
-                    .alias("w2"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, "g.w", "g.w1", "g.w2")
+    grams = _gram_stream(df, id_col, text_col)
     # two consumers (model pyramid and the scoring join) — persist the
     # narrow fixed-arity tf relation, not the exploded stream
     dtf = scoped_persist(
@@ -632,6 +640,92 @@ def trigram_logprob(
                 F.sum(F.col("tf") * F.col("_bits")) / F.sum("tf"), 6
             ).alias("bits_per_token"),
         )
+    )
+
+
+def trigram_logprob_heldout(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 4,
+    lambdas: tuple[float, float, float] = (0.1, 0.3, 0.6),
+) -> DataFrame:
+    """The PRODUCTION serving shape of :func:`trigram_logprob` — the
+    CCNet deployment: the LM is trained on a clean reference corpus,
+    PRUNED to the top-``topk`` continuations per context (count desc,
+    word asc — fully deterministic), and BROADCAST to score a disjoint
+    held-out corpus map-side. Pruned-away and unseen n-gram terms
+    contribute zero mass (the stupid-backoff serving approximation);
+    the probability floor ``l1 * 0.5 / N`` (half a unigram count) keeps
+    the surprisal finite for fully-novel tokens, deterministically.
+    Output per held-out doc: token count, bits/token, and ``n_oov``
+    (tokens absent from the training vocabulary) for observability.
+
+    Why this is the 100 TB path: the full-model variant's scoring join
+    shuffles on the trigram key — correct, but at serving time the
+    model side is static while ingest batches stream through. Pruning
+    bounds the model at O(contexts x topk) rows, small enough to
+    broadcast, so the scoring pass is ONE exchange total (the held-out
+    token stream's own tf aggregation); the three model lookups are
+    map-side broadcast-hash probes and the finale is the per-doc
+    aggregation. Nothing about the held-out corpus's size changes the
+    model side.
+    """
+    l1, l2, l3 = lambdas
+    tr = scoped_persist(
+        _gram_stream(train, id_col, text_col)
+        .groupBy("w2", "w1", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    w_tri = W.partitionBy("w2", "w1").orderBy(F.desc("c3"), F.asc("w"))
+    tri_p = (
+        tr.join(
+            tr.groupBy("w2", "w1").agg(F.sum("c3").alias("cc2")), ["w2", "w1"]
+        )
+        .withColumn("_rn", F.row_number().over(w_tri))
+        .filter(F.col("_rn") <= topk)
+        .select("w2", "w1", "w", (F.col("c3") / F.col("cc2")).alias("p3"))
+    )
+    big = tr.groupBy("w1", "w").agg(F.sum("c3").alias("c2"))
+    w_big = W.partitionBy("w1").orderBy(F.desc("c2"), F.asc("w"))
+    big_p = (
+        big.join(tr.groupBy("w1").agg(F.sum("c3").alias("cc1")), "w1")
+        .withColumn("_rn", F.row_number().over(w_big))
+        .filter(F.col("_rn") <= topk)
+        .select("w1", "w", (F.col("c2") / F.col("cc1")).alias("p2"))
+    )
+    uni = tr.groupBy("w").agg(F.sum("c3").alias("c1"))
+    n_total = tr.agg(F.sum("c3").alias("n_total"))
+    stf = (
+        _gram_stream(score, id_col, text_col)
+        .groupBy(id_col, "w2", "w1", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        stf.join(F.broadcast(tri_p), ["w2", "w1", "w"], "left")
+        .join(F.broadcast(big_p), ["w1", "w"], "left")
+        .join(F.broadcast(uni), "w", "left")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "_p",
+            F.greatest(
+                F.lit(l3) * F.coalesce(F.col("p3"), F.lit(0.0))
+                + F.lit(l2) * F.coalesce(F.col("p2"), F.lit(0.0))
+                + F.lit(l1)
+                * (F.coalesce(F.col("c1"), F.lit(0)) / F.col("n_total")),
+                F.lit(l1) * (F.lit(0.5) / F.col("n_total")),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(F.col("tf") * (-F.log2("_p"))) / F.sum("tf"), 6).alias(
+            "bits_per_token"
+        ),
+        F.sum(F.when(F.col("c1").isNull(), F.col("tf")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_oov"),
     )
 
 

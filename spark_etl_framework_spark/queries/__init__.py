@@ -253,9 +253,10 @@ def _load_all() -> None:
 #: commits, and iceberg_changelog_updates re-windows because its output
 #: grew an updates_decl block this round), every slot refreshes the
 #: OLDEST evidence: ALL 33 remaining r8-vintage rows (the round-14
-#: TODO's list, registration order), then the first 12 r9-vintage rows
-#: in registration order as fill (the corpus_trigram_perplexity
-#: registration displaced text_chunk_windows, r9-green, back to the
+#: TODO's list, registration order), then the first 11 r9-vintage rows
+#: in registration order as fill (the corpus_trigram_perplexity and
+#: corpus_trigram_scored_heldout registrations displaced
+#: text_chunk_windows and text_language_id, both r9-green, back to the
 #: rotation queue). A fully-green round advances the oldest evidence
 #: vintage from r8 to r9.
 #:
@@ -263,9 +264,9 @@ def _load_all() -> None:
 #: round-15 window could not fit (the delta/iceberg lifecycle block
 #: registered rounds 8-9: delta_write_read_roundtrip … iceberg_
 #: expire_snapshots, kafka_zstd_roundtrip, stream_dedup_watermark,
-#: stream_stream_join, stream_jdbc_sink_batchid, text_chunk_windows
-#: (displaced from the r15 fill by corpus_trigram_perplexity), the
-#: dedup_minhash/
+#: stream_stream_join, stream_jdbc_sink_batchid, text_chunk_windows and
+#: text_language_id (displaced from the r15 fill by the two
+#: corpus_trigram registrations), the dedup_minhash/
 #: ngram pair, vector_label_centroids, vector_neardup_blocked,
 #: text_repetition_stats, text_stratified_sample,
 #: text_topk_quality_per_lang), then r10-vintage rows by age; recompute
@@ -279,6 +280,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_delta_cdf_defaults",
     "iceberg_changelog_updates",
     "corpus_trigram_perplexity",
+    "corpus_trigram_scored_heldout",
     # r8-vintage (ALL 33 remaining, registration order)
     "distinct_pairs",
     "topk_orders",
@@ -325,7 +327,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts_band_join",
     "ts_asof_join",
     "text_quality_score",
-    "text_language_id",
 )
 
 

@@ -483,6 +483,82 @@ def corpus_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.trigram_logprob(docs, "doc_id", "text")
 
 
+
+
+@register(
+    "corpus_trigram_scored_heldout",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                          x -> lower(x)), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               t[i + 1] AS w,
+               CASE WHEN i >= 1 THEN t[i] ELSE '<s> ' END AS w1,
+               CASE WHEN i >= 2 THEN t[i - 1] ELSE '<s> ' END AS w2
+        FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i FROM toks)
+    ),
+    tr AS (SELECT w2, w1, w, count(*) AS c3 FROM grams
+           WHERE doc_id % 10 < 8 GROUP BY w2, w1, w),
+    tri_p AS (
+        SELECT w2, w1, w, c3 / cc2 AS p3 FROM (
+            SELECT tr.w2, tr.w1, tr.w, tr.c3, s.cc2,
+                   row_number() OVER (PARTITION BY tr.w2, tr.w1
+                                      ORDER BY tr.c3 DESC, tr.w ASC) AS rn
+            FROM tr JOIN (SELECT w2, w1, sum(c3) AS cc2 FROM tr
+                          GROUP BY w2, w1) s USING (w2, w1)
+        ) WHERE rn <= 4
+    ),
+    big AS (SELECT w1, w, sum(c3) AS c2 FROM tr GROUP BY w1, w),
+    big_p AS (
+        SELECT w1, w, c2 / cc1 AS p2 FROM (
+            SELECT big.w1, big.w, big.c2, s.cc1,
+                   row_number() OVER (PARTITION BY big.w1
+                                      ORDER BY big.c2 DESC, big.w ASC) AS rn
+            FROM big JOIN (SELECT w1, sum(c3) AS cc1 FROM tr GROUP BY w1) s
+              USING (w1)
+        ) WHERE rn <= 4
+    ),
+    uni AS (SELECT w, sum(c3) AS c1 FROM tr GROUP BY w),
+    total AS (SELECT sum(c3) AS n_total FROM tr),
+    stf AS (SELECT doc_id, w2, w1, w, count(*) AS tf FROM grams
+            WHERE doc_id % 10 >= 8 GROUP BY doc_id, w2, w1, w),
+    scored AS (
+        SELECT stf.doc_id, stf.tf, uni.c1,
+               greatest(
+                   0.6 * coalesce(tri_p.p3, 0.0) + 0.3 * coalesce(big_p.p2, 0.0)
+                   + 0.1 * (coalesce(uni.c1, 0) / total.n_total),
+                   0.1 * (0.5 / total.n_total)) AS p
+        FROM stf
+        LEFT JOIN tri_p USING (w2, w1, w)
+        LEFT JOIN big_p USING (w1, w)
+        LEFT JOIN uni USING (w), total
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * (-log2(p))) / sum(tf), 6) AS bits_per_token,
+           CAST(sum(CASE WHEN c1 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+    FROM scored GROUP BY doc_id
+    """,
+)
+def corpus_trigram_scored_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned-broadcast trigram-LM serving (the CCNet deployment shape):
+    the model trains on the doc_id % 10 < 8 slice, prunes to the top-4
+    continuations per context (count desc, word asc — deterministic),
+    broadcasts, and scores the held-out 20% map-side; pruned/unseen
+    terms contribute zero mass and fully-novel tokens hit the
+    deterministic floor and are counted as OOV
+    (operators/corpus.py:trigram_logprob_heldout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.trigram_logprob_heldout(
+        docs.filter(F.col("doc_id") % 10 < 8),
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        topk=4,
+    )
+
+
 @register(
     "corpus_shuffle_order",
     oracle="""

@@ -340,3 +340,107 @@ def test_trigram_perplexity_empty_and_null_docs_drop(spark):
     out = {r["doc_id"]: r for r in C.trigram_logprob(df).collect()}
     assert set(out) == {1}
     assert out[1]["n_tokens"] == 4
+# To append to tests/test_corpus_ops.py
+
+
+def _trigram_heldout_reference(train, score, topk=4, lambdas=(0.1, 0.3, 0.6)):
+    """Pure-Python pruned-serving reference for trigram_logprob_heldout."""
+    import math
+    from collections import Counter, defaultdict
+
+    BOS = "<s> "
+    l1, l2, l3 = lambdas
+
+    def grams_of(corpus):
+        out = []
+        for d, text in corpus:
+            toks = [t for t in (text or "").lower().strip().split() if t]
+            for i, w in enumerate(toks):
+                w1 = toks[i - 1] if i >= 1 else BOS
+                w2 = toks[i - 2] if i >= 2 else BOS
+                out.append((d, w2, w1, w))
+        return out
+
+    tg = grams_of(train)
+    c3 = Counter((w2, w1, w) for _, w2, w1, w in tg)
+    cc2 = Counter((w2, w1) for _, w2, w1, _ in tg)
+    c2 = Counter((w1, w) for _, _, w1, w in tg)
+    cc1 = Counter(w1 for _, _, w1, _ in tg)
+    c1 = Counter(w for _, _, _, w in tg)
+    n = len(tg)
+
+    by_ctx2 = defaultdict(list)
+    for (w2, w1, w), c in c3.items():
+        by_ctx2[(w2, w1)].append((-c, w))
+    tri_p = {}
+    for ctx, lst in by_ctx2.items():
+        for negc, w in sorted(lst)[:topk]:
+            tri_p[(ctx[0], ctx[1], w)] = -negc / cc2[ctx]
+    by_ctx1 = defaultdict(list)
+    for (w1, w), c in c2.items():
+        by_ctx1[w1].append((-c, w))
+    big_p = {}
+    for w1, lst in by_ctx1.items():
+        for negc, w in sorted(lst)[:topk]:
+            big_p[(w1, w)] = -negc / cc1[w1]
+
+    agg = {}
+    for d, w2, w1, w in grams_of(score):
+        p = max(
+            l3 * tri_p.get((w2, w1, w), 0.0)
+            + l2 * big_p.get((w1, w), 0.0)
+            + l1 * (c1.get(w, 0) / n),
+            l1 * (0.5 / n),
+        )
+        tok, bits, oov = agg.get(d, (0, 0.0, 0))
+        agg[d] = (tok + 1, bits + -math.log2(p), oov + (1 if w not in c1 else 0))
+    return {
+        d: (tok, round(bits / tok, 6), oov) for d, (tok, bits, oov) in agg.items()
+    }
+
+
+def test_trigram_heldout_matches_reference(spark):
+    """Exact match (round-6 precision) against the pure-Python pruned
+    reference: pruning must drop the 5th continuation of the crowded
+    context, OOV tokens must hit the floor and be counted."""
+    train = [
+        # context (c, a) has 5 continuations with counts 1..5 -> topk=4
+        # prunes x1 from the trigram table; context (a,) likewise prunes
+        # the x1 bigram — the scored "c a x1" hits both pruned paths
+        (1, "c a x1 c a x2 c a x2 c a x3 c a x3 c a x3 c a x4 c a x4 "
+            "c a x4 c a x4 c a x5 c a x5 c a x5 c a x5 c a x5"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the hat"),
+    ]
+    score = [
+        (10, "the cat sat on the mat"),
+        (11, "c a x1 c a x5"),
+        (12, "zz yy zz"),  # fully OOV -> floor every token
+    ]
+    expect = _trigram_heldout_reference(train, score, topk=4)
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"], r["n_oov"])
+        for r in C.trigram_logprob_heldout(tdf, sdf, topk=4).collect()
+    }
+    assert out == expect
+    assert out[12][2] == 3  # every token OOV
+    assert out[10][1] < out[12][1]
+
+
+def test_trigram_heldout_plan_broadcasts_model(spark):
+    """The serving shape's contract: all three model lookups must be
+    broadcast-hash joins (map-side), never shuffle joins on the
+    held-out stream."""
+    train = spark.createDataFrame(
+        [(1, "a b c a b d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(2, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        C.trigram_logprob_heldout(train, score)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
