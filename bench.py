@@ -76,12 +76,14 @@ HEADLINE = [
     # round 4 additions — chunk dedup (text moves once), incremental LSH
     # admission (corpus-index probe), EWMA (applyInPandas recurrence),
     # SCD2 (single-join warehouse merge)
-    # (corpus_chunk_dedup rotated out round 15: eleven rounds stable
-    # since r4; the corpus family keeps corpus_decontaminate plus the
-    # new trigram flagship below — freed budget for it)
+    "corpus_chunk_dedup",
     # round 15: interpolated trigram-LM perplexity — one token-stream
     # exchange + the distinct-trigram model pyramid (five small joins),
-    # a different shuffle economy from every other benched corpus row
+    # a different shuffle economy from every other benched corpus row.
+    # (The build session rotated corpus_chunk_dedup out for this row;
+    # the optimization round restored it — bench entries are add-only —
+    # and funded the budget by trimming stdout per-query precision to
+    # 2 decimals instead.)
     "corpus_trigram_perplexity",
     "dedup_incremental_admission",
     # round 5: the production shape — corpus index persisted to parquet
@@ -168,10 +170,10 @@ HEADLINE = [
     # round 12: the new lifecycle subsystems under the bench the round
     # they exist (standing precedent) — both metadata-plane numbers
     "delta_type_widening",           # widen commit + dual-vintage read
-    # (iceberg_spec_evolution rotated out round 15: three rounds stable
-    # since r12, the structured-spec resolve + refusal machinery is
-    # pytest-pinned and the transform/pruning path stays benched via
-    # iceberg_partitions_meta — freed budget for iceberg_v3_variant)
+    "iceberg_spec_evolution",        # spec evolve + transform pruning
+    # (the build session rotated iceberg_spec_evolution out for
+    # iceberg_v3_variant; the optimization round restored it — bench
+    # entries are add-only — funded by the 2-decimal stdout trim)
     # (delta_identity_columns rotated out round 13 per the r12 verdict's
     # budget note: 5.0 s of pure three-commit fixture cost, plan clean,
     # machinery pytest-pinned — freed budget for iceberg_v3_lifecycle)
@@ -214,14 +216,17 @@ HEADLINE = [
     # output change itself, not drift.
     "iceberg_v3_variant",            # v3 variant DDL + append + DV read
 ]
-# BUDGET NOTE (round 15): the stdout JSON line measured ~1966 chars at
-# 61 entries in round 14; round 15 rotated iceberg_spec_evolution out
-# and iceberg_v3_variant in (61 entries again, name 3 chars shorter),
-# then swapped corpus_chunk_dedup (17 chars) for
-# corpus_trigram_perplexity (25 chars) — still ~1971, inside the
-# 2000-char driver-tail assert below with ~0-1 short entries of
-# headroom. Before adding to HEADLINE again, rotate a stable entry out;
-# the assert fails loudly either way, never silently at the driver.
+# BUDGET NOTE (round 15, optimization session): the contract is
+# ADD-ONLY — BENCH_r15 must contain every BENCH_r14 key — so the build
+# session's two rotations (corpus_chunk_dedup, iceberg_spec_evolution)
+# were restored and the two new rows kept: 63 entries. The char budget
+# for the extra ~58 chars comes from printing per-query seconds at
+# 2-decimal precision on the stdout line (a ±5 ms display trim, far
+# below scheduler noise on a shared box); the 3-decimal mins/medians
+# still go to stderr for humans, and "value"/"drift" keep 3 decimals.
+# Measured line: ~1950 chars — inside the 2000-char driver-tail assert
+# below. The assert fails loudly either way, never silently at the
+# driver.
 
 
 def main() -> None:
@@ -320,7 +325,10 @@ def main() -> None:
             "metric": "headline_queries_total",
             "value": min_total,
             "unit": "sec",
-            "queries": timings,
+            # 2-decimal per-query display keeps 63 entries inside the
+            # driver's 2000-char tail (see BUDGET NOTE); full 3-decimal
+            # mins are on stderr above.
+            "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "drift": drift,
         },

@@ -8,6 +8,8 @@ query layer the same convention over the driver-generated TPC-H-ish tables
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -24,6 +26,20 @@ TABLES = (
 )
 
 
+#: Per-session memo of the lazy DataFrame plan for each (sf_dir, table).
+#: This is CATALOG metadata reuse, not result caching: constructing a
+#: path-based parquet DataFrame re-lists the directory and re-reads a
+#: footer for schema inference on every call (driver-side, single-thread
+#: — guide §6 "file listing ... cached per session"), while the returned
+#: plan is lazy and every action still scans the parquet input in full.
+#: Keyed weakly by session so a stopped/replaced SparkSession never
+#: serves plans bound to a dead JVM context. The driver's testdata is
+#: immutable per run, so the cached file listing cannot go stale.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table. Scans stay columnar; Catalyst prunes/pushes.
 
@@ -35,6 +51,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session timezone the NTZ→LTZ cast is value- and rendering-preserving,
     so batch/oracle string comparisons are unchanged.
     """
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -45,8 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, DataFrame]:

@@ -2220,18 +2220,17 @@ def write_delta(
 
 
 def _dv_commit_actions(
-    spark, path: str, df, pred, affected: set, by_name: dict, ts: int
+    spark, path: str, matched, by_name: dict, ts: int
 ) -> list[dict]:
     """Write one deletion-vector file per affected data file — EXECUTOR
     side, one ``applyInPandas`` group per file (the driver sees only the
     |affected|-row descriptor list) — and return the remove + re-add
     actions. Prior DV positions union in (a descriptor replaces, never
-    merges, so the new bitmap must carry the old dead rows too)."""
-    matched = (
-        df.filter(pred)
-        .filter(F.col("__file_name").isin(list(affected)))
-        .select("__file_name", "__pos")
-    )
+    merges, so the new bitmap must carry the old dead rows too).
+    ``matched`` is the caller's already-persisted matched-row relation
+    (every matched row's file is in the affected set by construction,
+    so no re-filter is needed — one scan serves the whole DELETE)."""
+    matched = matched.select("__file_name", "__pos")
     old_dvs = {
         name: f.deletion_vector
         for name, f in by_name.items()
@@ -2642,16 +2641,37 @@ def delete_where(
         df = _subtract_dvs(spark, df, path, dv_files)
 
     pred = F.coalesce(F.expr(predicate), F.lit(False))
+    # the matched subset feeds THREE consumers (affected-file collect,
+    # CDC staging, and the DV descriptors); persist it so the lineage
+    # scan runs once — at scale `matched` is the small side (rows being
+    # deleted), far cheaper than three full scans. Lifecycle is LOCAL
+    # (try/finally below), not the query-boundary scoped registry:
+    # every consumer materializes before this function returns, and DML
+    # runs outside registered queries too (pipeline actors, tests),
+    # where a scoped persist would leak until the next registry query.
+    matched = df.filter(pred).persist()
+    try:
+        return _delete_where_inner(
+            spark, path, predicate, use_dvs, prev, snap, mapping, df,
+            pred, matched,
+        )
+    finally:
+        matched.unpersist()
+
+
+def _delete_where_inner(
+    spark, path, predicate, use_dvs, prev, snap, mapping, df, pred, matched
+) -> int | None:
     affected = {
         r["__file_name"]
-        for r in df.filter(pred).select("__file_name").distinct().collect()
+        for r in matched.select("__file_name").distinct().collect()
     }
     if not affected:
         return None
 
     names = [f.name for f in snap.schema.fields]
     cdc_actions = _stage_cdc(
-        df.filter(pred).select(*names).withColumn(
+        matched.select(*names).withColumn(
             "_change_type", F.lit("delete")
         ),
         path,
@@ -2683,9 +2703,7 @@ def delete_where(
                 proto[key] = sorted(set(proto[key]) | {"columnMapping"})
         actions.insert(0, {"protocol": proto})
         actions.extend(
-            _dv_commit_actions(
-                spark, path, df, pred, affected, by_name, ts
-            )
+            _dv_commit_actions(spark, path, matched, by_name, ts)
         )
     else:
         survivors = (
@@ -2759,11 +2777,11 @@ def update_where(
     rewrite (dead rows stay dead and leave the new files entirely).
 
     Returns the committed version, or None when nothing matched."""
-    unknown = set(assignments) - {f.name for f in snapshot(path).schema.fields}
-    if unknown:
-        raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
     prev = latest_version(path)
     snap = snapshot(path)
+    unknown = set(assignments) - {f.name for f in snap.schema.fields}
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
     gen = snap.generated_expressions
     gen_assigned = set(assignments) & set(gen)
     if gen_assigned:
@@ -2782,14 +2800,33 @@ def update_where(
         df = _subtract_dvs(spark, df, path, dv_files)
 
     pred = F.coalesce(F.expr(predicate), F.lit(False))
+    # matched feeds the affected-file collect and both CDC images;
+    # persist the (small) matched subset so the scan runs once. Local
+    # lifecycle (try/finally): everything materializes before return,
+    # and DML also runs outside registered queries, where the
+    # query-boundary scoped registry would leak the blocks.
+    matched = df.filter(pred).persist()
+    try:
+        return _update_where_inner(
+            spark, path, predicate, assignments, prev, snap, mapping,
+            df, pred, matched,
+        )
+    finally:
+        matched.unpersist()
+
+
+def _update_where_inner(
+    spark, path, predicate, assignments, prev, snap, mapping, df, pred,
+    matched,
+) -> int | None:
+    gen = snap.generated_expressions
     affected = {
         r["__file_name"]
-        for r in df.filter(pred).select("__file_name").distinct().collect()
+        for r in matched.select("__file_name").distinct().collect()
     }
     if not affected:
         return None
     names = [f.name for f in snap.schema.fields]
-    matched = df.filter(pred)
     post = matched.select(
         *[
             (
@@ -2950,7 +2987,8 @@ def merge_upsert(
           for f in snap.schema.fields]
     )
     mapping = snap.physical_of if snap.column_mapping_mode != "none" else None
-    adds: list[dict] = []
+    src_keys = src.select(*keys).distinct()
+    df_aff = None
     affected: set[str] = set()
     if snap.files:
         df = _lineage_scan(spark, path, snap)
@@ -2959,26 +2997,55 @@ def merge_upsert(
             df = _subtract_dvs(spark, df, path, dv_files)
         affected = {
             r["__file_name"]
-            for r in df.join(src.select(*keys).distinct(), keys, "left_semi")
+            for r in df.join(src_keys, keys, "left_semi")
             .select("__file_name")
             .distinct()
             .collect()
         }
-        if affected:
-            survivors = (
-                df.filter(F.col("__file_name").isin(list(affected)))
-                .join(src.select(*keys).distinct(), keys, "left_anti")
-                .select(
-                    *[F.col(f.name) for f in snap.schema.fields],
-                    *_materialize_row_ids(snap),
-                )
+        # Every consumer below the affected-file decision needs only
+        # rows FROM affected files: a matched target row's file is
+        # affected by definition, so the CDC preimages, the row-id
+        # inheritance keys and the survivor rewrite all live there, and
+        # target keys outside the source never change a left/semi/anti
+        # join against the source. Persist that pruned subset once
+        # (local try/finally lifecycle — all consumers materialize
+        # before return) instead of re-running the full table scan for
+        # each of the five consumers; at scale the affected subset is
+        # the collision working set, not the table (guide §2.4/§5).
+        df_aff = (
+            df.filter(F.col("__file_name").isin(list(affected)))
+            if affected
+            else df.limit(0)
+        ).persist()
+    try:
+        return _merge_upsert_inner(
+            spark, path, src, keys, prev, snap, mapping, gen, src_keys,
+            affected, df_aff,
+        )
+    finally:
+        if df_aff is not None:
+            df_aff.unpersist()
+
+
+def _merge_upsert_inner(
+    spark, path, src, keys, prev, snap, mapping, gen, src_keys, affected,
+    df_aff,
+) -> int:
+    adds: list[dict] = []
+    if affected:
+        survivors = (
+            df_aff.join(src_keys, keys, "left_anti")
+            .select(
+                *[F.col(f.name) for f in snap.schema.fields],
+                *_materialize_row_ids(snap),
             )
-            adds.extend(
-                _stage_adds(
-                    survivors, path, snap.partition_columns, mapping=mapping,
-                    constraints=snap.check_constraints,
-                )
+        )
+        adds.extend(
+            _stage_adds(
+                survivors, path, snap.partition_columns, mapping=mapping,
+                constraints=snap.check_constraints,
             )
+        )
     src_cons = dict(snap.check_constraints)
     src_cons.update(
         {f"generated:{n}": f"{n} <=> ({e})" for n, e in gen.items()}
@@ -2988,8 +3055,9 @@ def merge_upsert(
         # matched source rows INHERIT the target row's id (rcv bumps to
         # this commit); unmatched rows stay unmaterialized and pick up
         # fresh baseRowId+pos ids — the spec's MERGE identity contract.
-        # One keys-shuffle join, same economy as the semi-joins above.
-        tgt_ids = df.groupBy(*keys).agg(
+        # Keys with a target match live in affected files only, so the
+        # pruned persisted subset serves the inheritance join too.
+        tgt_ids = df_aff.groupBy(*keys).agg(
             F.min("__row_id").alias("__tgt_row_id")
         )
         src_staged = src.join(tgt_ids, keys, "left").select(
@@ -3008,15 +3076,17 @@ def merge_upsert(
     )
 
     # change data feed: matched target rows are preimages, their source
-    # versions postimages, collision-free source rows inserts
+    # versions postimages, collision-free source rows inserts. Matched
+    # target rows and every target key colliding with the source live
+    # in affected files, so the pruned subset is CDC-complete.
     names = [f.name for f in snap.schema.fields]
-    if snap.files:
+    if df_aff is not None:
         pre = (
-            df.join(src.select(*keys).distinct(), keys, "left_semi")
+            df_aff.join(src_keys, keys, "left_semi")
             .select(*names)
             .withColumn("_change_type", F.lit("update_preimage"))
         )
-        tgt_keys = df.select(*keys).distinct()
+        tgt_keys = df_aff.select(*keys).distinct()
         post = (
             src.join(tgt_keys, keys, "left_semi")
             .select(*names)

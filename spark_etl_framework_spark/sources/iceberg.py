@@ -2609,8 +2609,26 @@ def update_where(
     if df is None:
         return None
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    matched = df.filter(pred)
+    # matched feeds TWO actions (the DV/position-delete staging and the
+    # rewritten-copy staging); persisting the matched subset runs the
+    # MoR scan once instead of twice — and at scale it is the SMALL
+    # side (only rows being rewritten), far cheaper to hold than two
+    # full scans of every live file (guide §5: reuse-justified persist).
+    # Local lifecycle (try/finally): both consumers materialize before
+    # return, and DML runs outside registered queries too, where the
+    # query-boundary scoped registry would leak the blocks.
+    matched = df.filter(pred).persist()
+    try:
+        return _update_where_inner(
+            spark, loc, assignments, meta, snap, schema, matched
+        )
+    finally:
+        matched.unpersist()
 
+
+def _update_where_inner(
+    spark, loc, assignments, meta, snap, schema, matched
+) -> int | None:
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
     fmt3 = int(meta.get("format-version", 1)) >= 3
