@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..localrel import local_relation
 from ..operators import etl as E
 from . import dsum_sql, register
 
@@ -1049,7 +1050,7 @@ def etl_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_acctbal", F.col("c_acctbal") * 2
         )
-        new_row = spark.createDataFrame(
+        new_row = local_relation(spark, 
             [(-1, "MACHINERY", 999.99)], "c_custkey bigint, c_mktsegment string, c_acctbal double"
         )
         TL.merge_upsert(spark, base, upd.unionByName(new_row), "c_custkey")
@@ -1196,7 +1197,7 @@ def etl_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd1 = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_acctbal", F.col("c_acctbal") * 2
         )
-        new_row = spark.createDataFrame(
+        new_row = local_relation(spark, 
             [(-1, "MACHINERY", 999.99)],
             "c_custkey bigint, c_mktsegment string, c_acctbal double",
         )

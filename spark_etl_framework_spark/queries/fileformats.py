@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..localrel import local_relation
 from ..plans.context import JobContext, PipelineContext
 from . import dsum, register
 
@@ -2482,7 +2483,7 @@ def iceberg_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         # deletes the managed files the lazy plan still points at —
         # metadata-sized collect, not a data path
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         entry = _cat.resolve_table(spark, name)
         _cat.drop_table(spark, name)
@@ -4357,7 +4358,7 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     _dl.delete_where(spark, dst, "segment = 'BUILDING'")
     # source DML is invisible to the clone (and vice versa)
     _dl.write_delta(
-        spark.createDataFrame(
+        local_relation(spark, 
             [(10**9, "SENTINEL", 0)], "custkey long, segment string, bal_cents long"
         ),
         src, mode="append",
@@ -4436,7 +4437,7 @@ def iceberg_puffin_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         err = abs(ndvs[c] - exact[c]) / max(1, exact[c])
         assert err <= 0.05, f"{c}: sketch ndv {ndvs[c]} vs exact {exact[c]}"
     rows = [(c, int(exact[c])) for c in sorted(cols)]
-    return spark.createDataFrame(rows, "col string, ndv_exact long").orderBy(
+    return local_relation(spark, rows, "col string, ndv_exact long").orderBy(
         "col"
     )
 

@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..localrel import local_relation
+
 _LOG = "_delta_log"
 CHECKPOINT_INTERVAL = 10
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -978,7 +980,7 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
             snap=snap,
         )
         if absent_map:
-            amap = spark.createDataFrame(
+            amap = local_relation(spark, 
                 list(absent_map.items()),
                 T.StructType([
                     T.StructField("__file_name", T.StringType(), False),
@@ -1003,7 +1005,7 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
             [T.StructField("__file_name", T.StringType(), False)]
             + [T.StructField(c, ptypes[c], True) for c in snap.partition_columns]
         )
-        fmap = spark.createDataFrame(
+        fmap = local_relation(spark, 
             [
                 (
                     os.path.basename(f.path),
@@ -1024,7 +1026,7 @@ def _lineage_scan(spark, path: str, snap: Snapshot, files=None) -> DataFrame:
         # value when a rewrite carried the row's id forward (the spec's
         # precedence). One more driver-small broadcast onto the same
         # __file_name key — the fact scan stays exchange-free.
-        rmap = spark.createDataFrame(
+        rmap = local_relation(spark, 
             [
                 (
                     os.path.basename(f.path),
@@ -1168,7 +1170,7 @@ def read_delta(
         return base.alias(f.name)
 
     def _join_absent(df: DataFrame) -> DataFrame:
-        amap = spark.createDataFrame(
+        amap = local_relation(spark, 
             list(absent_map.items()),
             T.StructType([
                 T.StructField("__file_name", T.StringType(), False),
@@ -1213,7 +1215,7 @@ def read_delta(
             [T.StructField("__file_name", T.StringType(), False)]
             + [T.StructField(c, ptypes[c], True) for c in snap.partition_columns]
         )
-        fmap = spark.createDataFrame(
+        fmap = local_relation(spark, 
             [(b, *_literals(f)) for b, f in zip(basenames, files)],
             map_schema,
         )
@@ -2337,7 +2339,7 @@ def _subtract_dvs(spark, df, table_path: str, dv_files) -> DataFrame:
     total_card = sum(
         int((f.deletion_vector or {}).get("cardinality", 0)) for f in dv_files
     )
-    spec = spark.createDataFrame(rows, "`__file_name` string, `__dv` string")
+    spec = local_relation(spark, rows, "`__file_name` string, `__dv` string")
 
     def gen(batches):
         import pandas as pd
@@ -5452,7 +5454,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
                 elif "remove" in act:
                     n_remove += 1
         rows.append((v, ts, op, params, n_add, n_remove))
-    return spark.createDataFrame(
+    return local_relation(spark, 
         rows,
         "version int, timestamp long, operation string, "
         "operationParameters string, n_added_files int, n_removed_files int",

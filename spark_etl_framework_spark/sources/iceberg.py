@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.avro_ocf import read_ocf, write_ocf
+from ..localrel import local_relation
 
 
 class IcebergConcurrentModification(RuntimeError):
@@ -1960,7 +1961,7 @@ def _mor_scan(spark: SparkSession, loc: str, meta: dict, snap: dict):
                 "__absent_cols", T.ArrayType(T.StringType()), False)]
            if defaults else [])
     )
-    fmap = spark.createDataFrame(
+    fmap = local_relation(spark, 
         [
             (
                 os.path.basename(f["file_path"]),
@@ -2553,7 +2554,8 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
     if int(meta.get("format-version", 1)) >= 3:
-        # v3: position deletes MUST be deletion vectors (puffin blobs)
+        # v3: position deletes MUST be deletion vectors (puffin blobs).
+        # Single consumer, single pass — no persist needed.
         matched = df.filter(predicate).select(
             F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
         )
@@ -2561,21 +2563,33 @@ def delete_where(spark: SparkSession, loc: str, predicate: str) -> int | None:
             spark, matched, loc, snapshot_id, _prior_dv_map(meta, snap)
         )
     else:
-        matched = (
-            df.filter(predicate)
-            .select(F.col("__path").alias("file_path"),
-                    F.col("__pos").alias("pos"))
-            # range-partition so each delete FILE is sorted by (file_path,
-            # pos) as the spec requires; AQE coalesces the tiny ones
-            .repartitionByRange("file_path", "pos")
-            .sortWithinPartitions("file_path", "pos")
-            .withMetadata("file_path",
-                          {"parquet.field.id": _POS_DELETE_PATH_FID})
-            .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
-        )
-        delete_entries, total = _stage_position_deletes(
-            matched, loc, snapshot_id
-        )
+        # repartitionByRange SAMPLES its input before shuffling, so an
+        # unpersisted coordinate relation would run the MoR scan twice
+        # (once for range bounds, once for the staging write). Persist
+        # the matched coordinates — the DELETE working set, tiny next
+        # to the table — for the two passes (guide §5; local lifecycle,
+        # both materialize before return).
+        coords = df.filter(predicate).select(
+            F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+        ).persist()
+        try:
+            matched = (
+                coords
+                # range-partition so each delete FILE is sorted by
+                # (file_path, pos) as the spec requires; AQE coalesces
+                # the tiny ones
+                .repartitionByRange("file_path", "pos")
+                .sortWithinPartitions("file_path", "pos")
+                .withMetadata("file_path",
+                              {"parquet.field.id": _POS_DELETE_PATH_FID})
+                .withMetadata("pos",
+                              {"parquet.field.id": _POS_DELETE_POS_FID})
+            )
+            delete_entries, total = _stage_position_deletes(
+                matched, loc, snapshot_id
+            )
+        finally:
+            coords.unpersist()
     if not delete_entries:
         return None
 
@@ -3036,7 +3050,7 @@ def rewrite_position_delete_files(spark: SparkSession, loc: str) -> dict | None:
     # live data paths (driver-small: one row per live file) prune
     # dangling deletes via a broadcast semi-join
     live_data, _deletes = _scan_snapshot(meta, snap)
-    live_paths = spark.createDataFrame(
+    live_paths = local_relation(spark, 
         [(f["file_path"],) for f in live_data], "file_path string"
     )
     dels = spark.read.schema("file_path string, pos long").parquet(*pos_files)
@@ -3583,7 +3597,7 @@ def read_iceberg(
                     "__absent_cols", T.ArrayType(T.StringType()), False)]
                if defaults else [])
         )
-        fmap = spark.createDataFrame(
+        fmap = local_relation(spark, 
             [
                 (
                     os.path.basename(f["file_path"]),
@@ -3710,7 +3724,7 @@ def read_iceberg_incremental(
             [T.StructField("__file_name", T.StringType(), False)]
             + [T.StructField(c, ptypes[c], True) for c in partition_cols]
         )
-        fmap = spark.createDataFrame(
+        fmap = local_relation(spark, 
             [
                 (
                     os.path.basename(f["file_path"]),
@@ -3861,7 +3875,7 @@ def read_iceberg_changelog(
                         "__absent_cols", T.ArrayType(T.StringType()), False)]
                    if defaults else [])
             )
-            fmap = spark.createDataFrame(
+            fmap = local_relation(spark, 
                 [
                     (
                         os.path.basename(f["file_path"]),
@@ -3976,14 +3990,13 @@ def read_iceberg_changelog(
                 F.col("pos").alias("__pos"),
             )
             # scan only the data files the coordinates actually name —
-            # driver-side read of the tiny coordinate relation's distinct
-            # file_path column keeps the victim scan O(affected files)
+            # ONE job over the already-built coords relation collects
+            # the distinct referenced file names (O(affected files)).
+            # The previous shape launched a separate Spark read per
+            # delete file: N jobs of fixed latency for the same answer.
             named = {
-                os.path.basename(r.file_path)
-                for d in pos_new
-                for r in spark.read.schema("file_path string, pos long")
-                .parquet(d["file_path"]).select("file_path").distinct()
-                .collect()
+                r[0]
+                for r in coords.select("__file_name").distinct().collect()
             }
             victims = [
                 f for f in par_data
@@ -4141,7 +4154,7 @@ def _dv_dead_positions(
     EXECUTOR-side in an Arrow batch — a DV can carry millions of
     positions, they never materialize on the driver (the same shape as
     deltalog's _subtract_dvs)."""
-    spec = spark.createDataFrame(
+    spec = local_relation(spark, 
         [
             (
                 os.path.basename(d["referenced_data_file"]),
@@ -4199,7 +4212,7 @@ def _dv_delta_coords(
     same data file (v3 replacement rule — the new DV is a superset).
     Descriptors are driver-small; bitmap decode + subtraction run
     executor-side in Arrow batches."""
-    spec = spark.createDataFrame(
+    spec = local_relation(spark, 
         [
             (
                 os.path.basename(d["referenced_data_file"]),
@@ -4295,7 +4308,7 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, delete_files: list[dict])
             for f in delete_files
             if f.get("content", 0) == 1
         ]
-        seq_map = spark.createDataFrame(
+        seq_map = local_relation(spark, 
             seq_rows, "`__del_name` string, `__del_seq` long"
         )
         dels = (
@@ -5383,7 +5396,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             )
             for s in meta.get("snapshots", [])
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows,
             "snapshot_id long, sequence_number long, committed_at_ms long, "
             "operation string, manifest_list string, summary string",
@@ -5394,7 +5407,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] == cur)
             for e in meta.get("snapshot-log", [])
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows, "made_current_at_ms long, snapshot_id long, is_current boolean"
         )
     if kind == "files":
@@ -5411,7 +5424,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             )
             for f in data + deletes
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows,
             "content int, file_path string, file_format string, "
             "partition string, record_count long, file_size_in_bytes long, "
@@ -5435,7 +5448,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             )
             for name, r in refs.items()
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows,
             "name string, type string, snapshot_id long, "
             "max_ref_age_ms long, min_snapshots_to_keep long, "
@@ -5457,7 +5470,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             )
             for mf in mlist
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows,
             "path string, length long, partition_spec_id int, content int, "
             "added_snapshot_id long, added_files_count int, "
@@ -5492,7 +5505,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
                 )
                 for r in t.to_pylist()
             ]
-            return spark.createDataFrame(
+            return local_relation(spark, 
                 rows,
                 "partition string, record_count long, file_count long, "
                 "position_delete_record_count long",
@@ -5525,7 +5538,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
         rows = [
             (k, v[0], v[1], v[2] or None) for k, v in sorted(agg.items())
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows,
             "partition string, record_count long, file_count long, "
             "position_delete_record_count long",
@@ -5540,7 +5553,7 @@ def read_meta(spark: SparkSession, loc: str, kind: str) -> DataFrame:
             )
             for s in meta.get("statistics", [])
         ]
-        return spark.createDataFrame(
+        return local_relation(spark, 
             rows,
             "snapshot_id long, statistics_path string, "
             "file_size_in_bytes long, blob_metadata string",
