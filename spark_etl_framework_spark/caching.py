@@ -33,6 +33,8 @@ in the repo (driver, bench, checker) holds plans that long.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
@@ -70,6 +72,36 @@ def scoped_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         if rid not in before:
             _SCOPED_RDDS.append(after.get(rid))
     return out
+
+
+@contextmanager
+def scoped_region():
+    """Release, at region exit, exactly the scoped persists/checkpoints
+    created INSIDE the region — for callers (pipeline index-builder
+    actors) that fully materialize every output before returning and run
+    OUTSIDE the query registry, where nothing else would release their
+    training state until the next registered-query invocation. An
+    enclosing query's scoped entries are untouched: only the suffix of
+    the registries appended within the region is released. Safe eagerly —
+    including for checkpointed RDDs — because the region's outputs are
+    already written; no live plan references the region's blocks."""
+    n_df = len(_SCOPED)
+    n_rdd = len(_SCOPED_RDDS)
+    try:
+        yield
+    finally:
+        for df in _SCOPED[n_df:]:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        del _SCOPED[n_df:]
+        for rdd in _SCOPED_RDDS[n_rdd:]:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+        del _SCOPED_RDDS[n_rdd:]
 
 
 def release_scoped() -> int:

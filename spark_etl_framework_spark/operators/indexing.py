@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_region
+from ..localrel import local_relation
 from ..plans.context import JobContext
 from .base import Actor
 
@@ -84,7 +86,8 @@ class LshIndexBuilder(Actor):
             df.write.mode("overwrite").format("parquet").bucketBy(nb, key).sortBy(
                 key
             ).option("path", f"{self.path}/{part}").saveAsTable(name)
-        return spark.createDataFrame(
+        return local_relation(
+            spark,
             [
                 (
                     f"{self.tablePrefix}_buckets",
@@ -169,29 +172,34 @@ class AnnIndexBuilder(Actor):
             raise ValueError("AnnIndexBuilder: path required (index location)")
         ctx.reference(self.view)
         emb = spark.table(self.view)
-        codes, book = V.pq_codes(
-            emb,
-            self.idField,
-            self.vecField,
-            m=int(self.m),
-            sub=int(self.sub),
-            k=int(self.k),
-            iters=int(self.iters),
-            with_model=True,
-        )
-        codes = codes.withColumnRenamed(self.idField, "vec_id")
-        lab = emb.select(
-            F.col(self.idField).alias("vec_id"),
-            F.col(self.labelField).alias("label"),
-        )
-        codes.join(lab, "vec_id").write.mode("overwrite").parquet(
-            f"{self.path}/codes"
-        )
-        book.write.mode("overwrite").parquet(f"{self.path}/book")
-        V.coarse_centroids(emb, self.labelField, self.vecField).write.mode(
-            "overwrite"
-        ).parquet(f"{self.path}/cent")
-        return spark.createDataFrame(
+        # pq_codes(with_model=True) scope-persists its training state;
+        # actors run outside the query registry, so release it here — the
+        # writes below materialize every consumer before the region exits
+        with scoped_region():
+            codes, book = V.pq_codes(
+                emb,
+                self.idField,
+                self.vecField,
+                m=int(self.m),
+                sub=int(self.sub),
+                k=int(self.k),
+                iters=int(self.iters),
+                with_model=True,
+            )
+            codes = codes.withColumnRenamed(self.idField, "vec_id")
+            lab = emb.select(
+                F.col(self.idField).alias("vec_id"),
+                F.col(self.labelField).alias("label"),
+            )
+            codes.join(lab, "vec_id").write.mode("overwrite").parquet(
+                f"{self.path}/codes"
+            )
+            book.write.mode("overwrite").parquet(f"{self.path}/book")
+            V.coarse_centroids(emb, self.labelField, self.vecField).write.mode(
+                "overwrite"
+            ).parquet(f"{self.path}/cent")
+        return local_relation(
+            spark,
             [(f"{self.path}/codes", f"{self.path}/book", f"{self.path}/cent")],
             "codes_path string, book_path string, cent_path string",
         )

@@ -2361,8 +2361,16 @@ def _subtract_dvs(spark, df, table_path: str, dv_files) -> DataFrame:
     else:
         # spread the decode across the cluster before the shuffle join:
         # one descriptor row explodes into `cardinality` position rows,
-        # so repartition the POSITIONS, not the descriptors
-        dead = dead.repartition("__file_name", "__pos")
+        # so repartition the POSITIONS, not the descriptors. The join
+        # strategy must be pinned too: the Arrow LocalRelation under the
+        # MapInPandas carries tiny KNOWN stats (bytes of descriptor
+        # JSON), so the planner would auto-broadcast the decoded
+        # relation — the same multi-GB shipment the cardinality guard
+        # exists to prevent, just size-MISestimated instead of
+        # hint-forced. A shuffle hash join on (__file_name, __pos)
+        # builds per-partition maps from the already-partitioned
+        # positions instead.
+        dead = dead.repartition("__file_name", "__pos").hint("shuffle_hash")
     return df.join(
         dead,
         on=[df["__file_name"] == dead["__file_name"],
@@ -4394,25 +4402,34 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
     boundaries and the interleave is shift/mask arithmetic — all inside
     whole-stage codegen, no UDF, no extra shuffle."""
     ncols = len(cols)
-    buckets = []
+    types = {f.name: f.dataType for f in df.schema.fields}
+    nums = []
     for c in cols:
-        dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[c]
+        dt = types[c]
         if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-            num = F.col(c).cast("timestamp").cast("double")
+            nums.append(F.col(c).cast("timestamp").cast("double"))
         elif isinstance(dt, T.NumericType):
-            num = F.col(c).cast("double")
+            nums.append(F.col(c).cast("double"))
         else:
             raise ValueError(
                 f"zorder_by column {c!r} has type {dt.simpleString()} — "
                 "only numeric / date / timestamp columns are supported "
                 "(quantile quantization needs an orderable numeric axis)"
             )
-        qcol = f"__zq_{c}"
-        qdf = df.select(num.alias(qcol))
-        n_b = (1 << bits) - 1
-        bounds = qdf.approxQuantile(
-            qcol, [i / (n_b + 1) for i in range(1, n_b + 1)], 0.01
-        )
+    n_b = (1 << bits) - 1
+    # ONE quantile job computes every column's boundaries (the sketch is
+    # built per column either way, so the boundaries are identical to
+    # k separate calls) — k-1 fewer full passes over the table
+    qdf = df.select(
+        *[num.alias(f"__zq_{c}") for c, num in zip(cols, nums)]
+    )
+    all_bounds = qdf.approxQuantile(
+        [f"__zq_{c}" for c in cols],
+        [i / (n_b + 1) for i in range(1, n_b + 1)],
+        0.01,
+    )
+    buckets = []
+    for num, bounds in zip(nums, all_bounds):
         # count of boundaries <= value == equal-depth bucket id in
         # [0, 2^bits); NULLs sort first (bucket 0)
         b = F.lit(0)

@@ -132,3 +132,30 @@ def test_registry_resolves_index_actor_aliases():
     assert resolve_actor("lsh-index-probe") is LshIndexProbe
     assert resolve_actor("ann-index-builder") is AnnIndexBuilder
     assert resolve_actor("ann-index-probe") is AnnIndexProbe
+
+
+def test_ann_builder_releases_training_persists(spark, tmp_path):
+    """pq_codes(with_model=True) scope-persists its centroid relation;
+    the actor runs OUTSIDE the query registry, so it must release that
+    training state itself (caching.scoped_region) instead of leaking it
+    until the next registered-query invocation — while leaving any
+    enclosing scope's entries alone."""
+    from spark_etl_framework_spark.caching import _SCOPED, release_scoped
+
+    release_scoped()
+    release_scoped()
+    outer = spark.range(10).persist()
+    _SCOPED.append(outer)
+    outer.count()
+    jsc = spark.sparkContext._jsc
+    base = jsc.sc().getPersistentRDDs().size()
+    spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0], i % 2) for i in range(40)],
+        "vec_id long, embedding array<double>, label int",
+    ).createOrReplaceTempView("aix_leak_emb")
+    AnnIndexBuilder(
+        view="aix_leak_emb", path=str(tmp_path / "ann_leak"), m="4", sub="4",
+    ).run(_jctx(spark), spark)
+    assert jsc.sc().getPersistentRDDs().size() == base, "actor leaked scoped blocks"
+    assert _SCOPED == [outer], "actor disturbed the enclosing scope"
+    assert release_scoped() == 1
