@@ -75,10 +75,23 @@ def pagerank(
         )
     )
     for _ in range(iters):
+        # Join strategy pinned to SHUFFLE_HASH (guide §3.1): the planner
+        # otherwise sort-merge-joins, which sorts the HUGE edge relation
+        # once per iteration (and per join) even though it is already
+        # hash-partitioned by __src. A shuffled hash join builds its
+        # per-partition map from the hinted |V|-row deg/rank side and
+        # STREAMS the edges unsorted — measured A/B at sf0.1: 6 SMJ /
+        # 9 Sort → 6 SHJ / 0 Sort, ~15-20% faster warm, identical
+        # values. Scale-safe: the build side is one row per vertex
+        # (unique keys, no hot key) and AQE bounds partition sizes, so
+        # each per-partition map is |V|/P rows — the same quantity the
+        # rank shuffle already moves per round.
         contrib = (
-            e.join(deg, "__src")
+            e.join(deg.hint("shuffle_hash"), "__src")
             .join(
-                ranks.select(F.col("node").alias("__src"), "rank", "__n"),
+                ranks.select(
+                    F.col("node").alias("__src"), "rank", "__n"
+                ).hint("shuffle_hash"),
                 "__src",
             )
             .select(

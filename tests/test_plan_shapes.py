@@ -558,13 +558,23 @@ def test_heavy_hitters_recount_behind_broadcast_join(spark, sf_dir):
 
 
 def test_pagerank_edges_never_force_broadcast(spark, sf_dir):
-    """graph_pagerank_bipartite: the only forced broadcast is the 1-row
-    vertex-count relation — the edge/degree/rank relations stay unhinted
-    (AQE sizes them; at 100 TB they shuffle). No cartesian products."""
+    """graph_pagerank_bipartite: the only forced BROADCAST is the 1-row
+    vertex-count relation — the edge/degree/rank relations must never be
+    broadcast-hinted (at 100 TB they shuffle). The deg/rank join sides
+    carry a SHUFFLE_HASH strategy hint instead (round 15): the iteration
+    joins build per-partition maps from the |V|-row side and stream the
+    edge relation UNSORTED — the initial plan must show zero sort-merge
+    joins (each would sort the edge relation once per iteration). No
+    cartesian products."""
     df = QUERIES["graph_pagerank_bipartite"](spark, sf_dir)
     for h in _hint_subtrees(df):
-        assert "count(1)" in h or "__n" in h, h
+        if "strategy=broadcast" in h:
+            assert "count(1)" in h or "__n" in h, h
+        else:
+            assert "strategy=shuffle_hash" in h, h
     plan = _initial_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
 
 
