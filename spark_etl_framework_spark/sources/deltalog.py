@@ -4548,31 +4548,47 @@ def optimize_compact(
     )
     total = sum(f.size for f in rewrite)
     n_out = max(1, -(-total // max(1, target_file_size)))
+    persisted = None
     if layout_cols:
-        zkey = (
-            _zorder_key(df, layout_cols)
-            if zorder_by
-            else None  # clustered: plain range on the clustering columns
-        )
-        if zkey is not None:
-            df = (
-                df.withColumn("__z", zkey)
-                .repartitionByRange(n_out, *(part_cols + ["__z"]))
-                .sortWithinPartitions(*(part_cols + ["__z"]))
-                .drop("__z")
+        # A layout rewrite consumes its scan THREE times: the quantile
+        # boundary job (zorder only), repartitionByRange's range-bounds
+        # SAMPLING pass, and the staging write. Persist the working set
+        # — by definition exactly the bytes OPTIMIZE selected to rewrite
+        # — so the selected files are read once and the two extra passes
+        # hit memory/disk blocks instead of re-scanning (guide §5:
+        # reuse-justified persist; local try/finally lifecycle because
+        # OPTIMIZE also runs outside registered queries).
+        persisted = df.persist()
+        df = persisted
+    try:
+        if layout_cols:
+            zkey = (
+                _zorder_key(df, layout_cols)
+                if zorder_by
+                else None  # clustered: plain range on the clustering columns
             )
+            if zkey is not None:
+                df = (
+                    df.withColumn("__z", zkey)
+                    .repartitionByRange(n_out, *(part_cols + ["__z"]))
+                    .sortWithinPartitions(*(part_cols + ["__z"]))
+                    .drop("__z")
+                )
+            else:
+                df = df.repartitionByRange(n_out, *layout_cols).sortWithinPartitions(
+                    *layout_cols
+                )
+        elif part_cols:
+            # one spark partition per hash-of-partition-tuple: the staged
+            # partitionBy split then yields ONE file per tuple per partition
+            df = df.repartition(n_out, *part_cols)
         else:
-            df = df.repartitionByRange(n_out, *layout_cols).sortWithinPartitions(
-                *layout_cols
-            )
-    elif part_cols:
-        # one spark partition per hash-of-partition-tuple: the staged
-        # partitionBy split then yields ONE file per tuple per partition
-        df = df.repartition(n_out, *part_cols)
-    else:
-        df = df.repartition(n_out)
+            df = df.repartition(n_out)
 
-    adds = _stage_adds(df, path, part_cols, mapping=mapping)
+        adds = _stage_adds(df, path, part_cols, mapping=mapping)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     rt_domain = _fresh_row_id_actions(spark, path, snap, adds)
     for a in adds:
         a["add"]["dataChange"] = False

@@ -916,6 +916,31 @@ def _delete_manifest_entry_schema(v3: bool = False) -> dict:
                             "type": "array", "items": "int",
                             "element-id": 136}],
                          "default": None, "field-id": 135},
+                        # column bounds (spec fields 125/128) — for
+                        # position-delete files the file_path field's
+                        # bounds (2147483546) let scan planning target a
+                        # delete file to its data files without opening
+                        # it (the Java referencedDataFile() contract)
+                        {"name": "lower_bounds", "field-id": 125,
+                         "default": None,
+                         "type": ["null", {"type": "array", "items": {
+                             "type": "record", "name": "k126_v127",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 126},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 127},
+                             ]}}]},
+                        {"name": "upper_bounds", "field-id": 128,
+                         "default": None,
+                         "type": ["null", {"type": "array", "items": {
+                             "type": "record", "name": "k129_v130",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 129},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 130},
+                             ]}}]},
                     ],
                 },
             },
@@ -1865,7 +1890,18 @@ def _stage_position_deletes(
     matched: DataFrame, loc: str, snapshot_id: int
 ) -> tuple[list[dict], int]:
     """Stage a (file_path, pos) DataFrame as POSITION DELETE parquet files
-    under ``data/``; returns (manifest entries, total deleted rows)."""
+    under ``data/``; returns (manifest entries, total deleted rows).
+
+    Each entry carries ``lower_bounds``/``upper_bounds`` for the
+    reserved ``file_path`` field (2147483546), harvested from the staged
+    file's own parquet footer — the spec's scan-planning contract for
+    delete files. Readers (changelog victim discovery) then resolve
+    WHICH data files a delete file touches from manifest metadata alone,
+    with zero Spark jobs; the Java reader derives
+    ``referencedDataFile()`` from these same bounds. Footer min/max may
+    be truncated by the writer, but a truncated min is a prefix (still a
+    valid lower bound) and parquet increments a truncated max — range
+    checks stay conservative either way."""
     import pyarrow.parquet as pq
 
     staging = tempfile.mkdtemp(prefix="icedel_")
@@ -1878,10 +1914,35 @@ def _stage_position_deletes(
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
-                n_rows = pq.ParquetFile(src).metadata.num_rows
+                md = pq.ParquetFile(src).metadata
+                n_rows = md.num_rows
                 if n_rows == 0:
                     continue
                 total += n_rows
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        if col.path_in_schema != "file_path":
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        if lo is None or st.min < lo:
+                            lo = st.min
+                        if hi is None or st.max > hi:
+                            hi = st.max
+                bounds = {}
+                if lo is not None and hi is not None:
+                    key = _POS_DELETE_PATH_FID
+                    bounds = {
+                        "lower_bounds": [
+                            {"key": key, "value": str(lo).encode("utf-8")}
+                        ],
+                        "upper_bounds": [
+                            {"key": key, "value": str(hi).encode("utf-8")}
+                        ],
+                    }
                 dst = os.path.join(
                     loc, "data", f"{uuid.uuid4().hex}-deletes.parquet"
                 )
@@ -1901,6 +1962,7 @@ def _stage_position_deletes(
                             "record_count": n_rows,
                             "file_size_in_bytes": os.path.getsize(dst),
                             "equality_ids": None,
+                            **bounds,
                         },
                     }
                 )
@@ -2902,31 +2964,45 @@ def rewrite_data_files(
                 f"rewrite_data_files: {sorted(bad)} are identity partition "
                 "columns — constant per file, sorting them is a no-op"
             )
-    if strategy != "fold":
-        total = sum(int(f["file_size_in_bytes"]) for f in _data)
-        n_out = max(1, -(-total // max(1, target_file_size)))
-        if strategy == "binpack":
-            live = live.repartition(n_out)
-        elif strategy == "sort":
-            live = live.repartitionByRange(
-                n_out, *layout_cols
-            ).sortWithinPartitions(*layout_cols)
-        else:  # zorder — share delta's quantile-bucket Morton key
-            from .deltalog import _zorder_key
+    persisted = None
+    if strategy in ("sort", "zorder"):
+        # A layout rewrite consumes its MoR scan more than once: the
+        # zorder quantile job, repartitionByRange's range-bounds
+        # SAMPLING pass, and the staging write. Persist the working set
+        # — exactly the bytes the rewrite selected — so the files are
+        # read once and the extra passes hit cached blocks (guide §5;
+        # local try/finally lifecycle, mirrors delta optimize_compact).
+        persisted = live.persist()
+        live = persisted
+    try:
+        if strategy != "fold":
+            total = sum(int(f["file_size_in_bytes"]) for f in _data)
+            n_out = max(1, -(-total // max(1, target_file_size)))
+            if strategy == "binpack":
+                live = live.repartition(n_out)
+            elif strategy == "sort":
+                live = live.repartitionByRange(
+                    n_out, *layout_cols
+                ).sortWithinPartitions(*layout_cols)
+            else:  # zorder — share delta's quantile-bucket Morton key
+                from .deltalog import _zorder_key
 
-            live = (
-                live.withColumn("__z", _zorder_key(live, layout_cols))
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-    now_ms = int(time.time() * 1000)
-    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
-    spec = _spec_entries(meta)
-    data_entries = _stage_data_entries(
-        live, loc, stage_schema, spec, snapshot_id,
-        ice_fields=meta["schema"]["fields"],
-    )
+                live = (
+                    live.withColumn("__z", _zorder_key(live, layout_cols))
+                    .repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+        now_ms = int(time.time() * 1000)
+        snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+        spec = _spec_entries(meta)
+        data_entries = _stage_data_entries(
+            live, loc, stage_schema, spec, snapshot_id,
+            ice_fields=meta["schema"]["fields"],
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     if meta.get("format-version", 1) < 2:
         meta = _upgrade_meta_v2(meta)
     if fmt3:
@@ -3989,19 +4065,42 @@ def read_iceberg_changelog(
                 F.element_at(F.split("file_path", "/"), -1).alias("__file_name"),
                 F.col("pos").alias("__pos"),
             )
-            # scan only the data files the coordinates actually name —
-            # ONE job over the already-built coords relation collects
-            # the distinct referenced file names (O(affected files)).
-            # The previous shape launched a separate Spark read per
-            # delete file: N jobs of fixed latency for the same answer.
-            named = {
-                r[0]
-                for r in coords.select("__file_name").distinct().collect()
-            }
-            victims = [
-                f for f in par_data
-                if os.path.basename(f["file_path"]) in named
-            ]
+            # victim discovery — which parent data files these delete
+            # files touch. Preferred: ZERO-job metadata resolution from
+            # the delete manifests' file_path bounds (spec fields
+            # 125/128 on the reserved 2147483546 field — what the Java
+            # reader's referencedDataFile() derives from). Bounds are a
+            # range, so this can over-approximate; harmless, because the
+            # left_semi against the exact coordinates prunes every
+            # non-matching row. Only when a delete file (e.g. a foreign
+            # writer's) carries no bounds does the old shape run: ONE
+            # collect job over the already-built coords relation
+            # (O(affected files) driver rows).
+            ranges = []
+            for d in pos_new:
+                lo = next((e["value"] for e in (d.get("lower_bounds") or [])
+                           if e["key"] == _POS_DELETE_PATH_FID), None)
+                hi = next((e["value"] for e in (d.get("upper_bounds") or [])
+                           if e["key"] == _POS_DELETE_PATH_FID), None)
+                if lo is None or hi is None:
+                    ranges = None
+                    break
+                ranges.append((bytes(lo).decode("utf-8"),
+                               bytes(hi).decode("utf-8")))
+            if ranges is not None:
+                victims = [
+                    f for f in par_data
+                    if any(lo <= f["file_path"] <= hi for lo, hi in ranges)
+                ]
+            else:
+                named = {
+                    r[0]
+                    for r in coords.select("__file_name").distinct().collect()
+                }
+                victims = [
+                    f for f in par_data
+                    if os.path.basename(f["file_path"]) in named
+                ]
             if victims:  # every coordinate may dangle (foreign state)
                 df = _scan_files(victims, True).join(
                     F.broadcast(coords), ["__file_name", "__pos"], "left_semi"

@@ -190,3 +190,48 @@ def test_streaming_cdf_overwrite_and_equality(spark, loc):
     assert (1, "delete", 3) in got and (1, "insert", 3) in got
     assert (2, "insert", 50) in got
     assert sum(1 for o, t, _i in got if o == 2 and t == "delete") == 4
+
+
+def test_position_delete_manifest_carries_file_path_bounds(spark, loc):
+    """Round-15 optimization pin: v2 position-delete manifest entries
+    record lower/upper bounds for the reserved file_path field
+    (2147483546), and changelog victim discovery resolves the affected
+    data files from those bounds alone — zero Spark jobs, no collect.
+    The Java reader derives referencedDataFile() from the same bounds."""
+    _write(spark, loc, range(6))
+    ice.delete_where(spark, loc, "id in (1, 4)")
+    meta = ice.load_metadata(loc)
+    data, dels = ice._scan_snapshot(meta, ice._pick_snapshot(meta))
+    pos = [d for d in dels if int(d.get("content", 0)) == 1]
+    assert pos, "fixture must produce a v2 position delete"
+    data_paths = {f["file_path"] for f in data}
+    for d in pos:
+        lower = {e["key"]: e["value"] for e in (d.get("lower_bounds") or [])}
+        upper = {e["key"]: e["value"] for e in (d.get("upper_bounds") or [])}
+        lo = lower.get(ice._POS_DELETE_PATH_FID)
+        hi = upper.get(ice._POS_DELETE_PATH_FID)
+        assert lo is not None and hi is not None, "bounds must be recorded"
+        lo, hi = bytes(lo).decode(), bytes(hi).decode()
+        assert lo <= hi
+        # the fixture's single data file is inside the recorded range
+        assert any(lo <= p <= hi for p in data_paths)
+
+    # victim discovery must not fall back to the collect job when every
+    # delete entry carries bounds
+    calls = []
+    orig = ice.DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    got = None
+    try:
+        ice.DataFrame.collect = counting
+        df = ice.read_iceberg_changelog(spark, loc)
+    finally:
+        ice.DataFrame.collect = orig
+    assert not calls, "bounds present -> no victim-discovery collect"
+    got = sorted((r._change_ordinal, r._change_type, r.id)
+                 for r in df.collect())
+    assert (1, "delete", 1) in got and (1, "delete", 4) in got
