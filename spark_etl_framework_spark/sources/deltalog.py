@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..localrel import local_relation
+from ..parallel import run_concurrently
 
 _LOG = "_delta_log"
 CHECKPOINT_INTERVAL = 10
@@ -2680,12 +2681,8 @@ def _delete_where_inner(
         return None
 
     names = [f.name for f in snap.schema.fields]
-    cdc_actions = _stage_cdc(
-        matched.select(*names).withColumn(
-            "_change_type", F.lit("delete")
-        ),
-        path,
-        mapping=mapping,
+    cdc_df = matched.select(*names).withColumn(
+        "_change_type", F.lit("delete")
     )
 
     ts = int(time.time() * 1000)
@@ -2699,8 +2696,11 @@ def _delete_where_inner(
             }
         }
     ]
-    actions.extend(cdc_actions)
     by_name = {os.path.basename(f.path): f for f in snap.files}
+    # the CDC staging and the delete's own staging (DV encode | survivor
+    # rewrite) are INDEPENDENT jobs over the persisted matched subset —
+    # overlap them (guide §2.6); commit action order stays deterministic
+    # (assembled after both return)
     if use_dvs:
         # table-features protocol (3/7) must list EVERY active feature —
         # the shared upgrade shape restates the legacy-implied ones too
@@ -2711,10 +2711,13 @@ def _delete_where_inner(
         if snap.column_mapping_mode != "none":
             for key in ("readerFeatures", "writerFeatures"):
                 proto[key] = sorted(set(proto[key]) | {"columnMapping"})
-        actions.insert(0, {"protocol": proto})
-        actions.extend(
-            _dv_commit_actions(spark, path, matched, by_name, ts)
+        cdc_actions, dv_actions = run_concurrently(
+            lambda: _stage_cdc(cdc_df, path, mapping=mapping),
+            lambda: _dv_commit_actions(spark, path, matched, by_name, ts),
         )
+        actions.extend(cdc_actions)
+        actions.insert(0, {"protocol": proto})
+        actions.extend(dv_actions)
     else:
         survivors = (
             df.filter(F.col("__file_name").isin(list(affected)))
@@ -2724,6 +2727,14 @@ def _delete_where_inner(
                 *_materialize_row_ids(snap),
             )
         )
+        cdc_actions, new_adds = run_concurrently(
+            lambda: _stage_cdc(cdc_df, path, mapping=mapping),
+            lambda: _stage_adds(
+                survivors, path, snap.partition_columns, mapping=mapping,
+                constraints=snap.check_constraints,
+            ),
+        )
+        actions.extend(cdc_actions)
         actions.extend(
             {
                 "remove": {
@@ -2734,10 +2745,6 @@ def _delete_where_inner(
             }
             for f in snap.files
             if os.path.basename(f.path) in affected
-        )
-        new_adds = _stage_adds(
-            survivors, path, snap.partition_columns, mapping=mapping,
-            constraints=snap.check_constraints,
         )
         rt_domain = _fresh_row_id_actions(spark, path, snap, new_adds)
         actions.extend(new_adds)
@@ -2859,12 +2866,10 @@ def _update_where_inner(
             ]
         )
     post = post.withColumn("_change_type", F.lit("update_postimage"))
-    cdc_actions = _stage_cdc(
+    cdc_df = (
         matched.select(*names)
         .withColumn("_change_type", F.lit("update_preimage"))
-        .unionByName(post),
-        path,
-        mapping=mapping,
+        .unionByName(post)
     )
     rt_carry = []
     if snap.row_tracking_enabled:
@@ -2907,9 +2912,16 @@ def _update_where_inner(
                 else []
             ),
         )
-    adds = _stage_adds(
-        rewritten, path, snap.partition_columns, mapping=mapping,
-        constraints=snap.check_constraints,
+    # the CDC staging and the rewritten-file staging are INDEPENDENT
+    # write jobs over already-persisted/pruned inputs — overlap them so
+    # the second back-fills the first's task tail (guide §2.6); action
+    # order in the commit stays deterministic (assembled after both)
+    cdc_actions, adds = run_concurrently(
+        lambda: _stage_cdc(cdc_df, path, mapping=mapping),
+        lambda: _stage_adds(
+            rewritten, path, snap.partition_columns, mapping=mapping,
+            constraints=snap.check_constraints,
+        ),
     )
     ts = int(time.time() * 1000)
     actions: list[dict] = [
@@ -3078,12 +3090,6 @@ def _merge_upsert_inner(
                 F.lit(prev + 1).cast("long"),
             ).alias(snap.materialized_rcv_col),
         )
-    adds.extend(
-        _stage_adds(
-            src_staged, path, snap.partition_columns, mapping=mapping,
-            constraints=src_cons or None,
-        )
-    )
 
     # change data feed: matched target rows are preimages, their source
     # versions postimages, collision-free source rows inserts. Matched
@@ -3112,7 +3118,19 @@ def _merge_upsert_inner(
         changes = src.select(*names).withColumn(
             "_change_type", F.lit("insert")
         )
-    cdc_actions = _stage_cdc(changes, path, mapping=mapping)
+    # the source staging and the CDC staging are INDEPENDENT write jobs
+    # (df_aff is already cached by the survivor staging above, so
+    # neither recomputes the scan) — overlap them per guide §2.6; adds
+    # order (survivors, then source) and commit action order stay
+    # deterministic, assembled after both return
+    src_adds, cdc_actions = run_concurrently(
+        lambda: _stage_adds(
+            src_staged, path, snap.partition_columns, mapping=mapping,
+            constraints=src_cons or None,
+        ),
+        lambda: _stage_cdc(changes, path, mapping=mapping),
+    )
+    adds.extend(src_adds)
 
     ts = int(time.time() * 1000)
     actions: list[dict] = [

@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 
 from ..functions.avro_ocf import read_ocf, write_ocf
 from ..localrel import local_relation
+from ..parallel import run_concurrently
 
 
 class IcebergConcurrentModification(RuntimeError):
@@ -2713,7 +2714,7 @@ def _update_where_inner(
         coords = matched.select(
             F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
         )
-        delete_entries, total = _stage_deletion_vectors(
+        stage_deletes = lambda: _stage_deletion_vectors(  # noqa: E731
             spark, coords, loc, snapshot_id, _prior_dv_map(meta, snap)
         )
     else:
@@ -2728,11 +2729,9 @@ def _update_where_inner(
                           {"parquet.field.id": _POS_DELETE_PATH_FID})
             .withMetadata("pos", {"parquet.field.id": _POS_DELETE_POS_FID})
         )
-        delete_entries, total = _stage_position_deletes(
+        stage_deletes = lambda: _stage_position_deletes(  # noqa: E731
             coords, loc, snapshot_id
         )
-    if not delete_entries:
-        return None
 
     out_cols = [
         (
@@ -2763,10 +2762,25 @@ def _update_where_inner(
                              T.LongType(), True)]
         )
     updated = matched.select(*out_cols)
-    data_entries = _stage_data_entries(
-        updated, loc, stage_schema, _spec_entries(meta), snapshot_id,
-        ice_fields=meta["schema"]["fields"],
+    # the delete-coordinate staging and the rewritten-copy staging are
+    # INDEPENDENT jobs over the persisted matched subset — overlap them
+    # (guide §2.6). When nothing matched, BOTH stage zero rows (empty
+    # parts are unlinked, nothing reaches data/), so the no-commit exit
+    # below leaves no orphans.
+    (delete_entries, total), data_entries = run_concurrently(
+        stage_deletes,
+        lambda: _stage_data_entries(
+            updated, loc, stage_schema, _spec_entries(meta), snapshot_id,
+            ice_fields=meta["schema"]["fields"],
+        ),
     )
+    if not delete_entries:
+        for e in data_entries:  # paranoia: never orphan a staged file
+            try:
+                os.unlink(e["data_file"]["file_path"])
+            except OSError:
+                pass
+        return None
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
         delete_entries, total, data_entries, "overwrite",
@@ -2823,52 +2837,68 @@ def merge_upsert(
     eq = src.select(*keys).distinct()
     for k in keys:
         eq = eq.withMetadata(k, {"parquet.field.id": field_ids[k]})
-    staging = tempfile.mkdtemp(prefix="iceeq_")
-    delete_entries: list[dict] = []
-    total = 0
-    try:
-        eq.coalesce(1).write.mode("overwrite").parquet(staging)
-        import pyarrow.parquet as pq
+    def _stage_eq() -> tuple[list[dict], int]:
+        staging = tempfile.mkdtemp(prefix="iceeq_")
+        delete_entries: list[dict] = []
+        total = 0
+        try:
+            eq.coalesce(1).write.mode("overwrite").parquet(staging)
+            import pyarrow.parquet as pq
 
-        for root, _dirs, fnames in os.walk(staging):
-            for name in fnames:
-                if not name.endswith(".parquet"):
-                    continue
-                src_f = os.path.join(root, name)
-                n_rows = pq.ParquetFile(src_f).metadata.num_rows
-                if n_rows == 0:
-                    continue
-                total += n_rows
-                dst = os.path.join(
-                    loc, "data", f"{uuid.uuid4().hex}-eq-deletes.parquet"
-                )
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src_f, dst)
-                delete_entries.append(
-                    {
-                        "status": 1,
-                        "snapshot_id": snapshot_id,
-                        "sequence_number": None,
-                        "file_sequence_number": None,
-                        "data_file": {
-                            "content": 2,  # equality deletes
-                            "file_path": dst,
-                            "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": n_rows,
-                            "file_size_in_bytes": os.path.getsize(dst),
-                            "equality_ids": [field_ids[k] for k in keys],
-                        },
-                    }
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    if not delete_entries:
-        return None
-    data_entries = _stage_data_entries(
-        src, loc, schema, _spec_entries(meta), snapshot_id,
-        ice_fields=meta["schema"]["fields"],
+            for root, _dirs, fnames in os.walk(staging):
+                for name in fnames:
+                    if not name.endswith(".parquet"):
+                        continue
+                    src_f = os.path.join(root, name)
+                    n_rows = pq.ParquetFile(src_f).metadata.num_rows
+                    if n_rows == 0:
+                        continue
+                    total += n_rows
+                    dst = os.path.join(
+                        loc, "data", f"{uuid.uuid4().hex}-eq-deletes.parquet"
+                    )
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(src_f, dst)
+                    delete_entries.append(
+                        {
+                            "status": 1,
+                            "snapshot_id": snapshot_id,
+                            "sequence_number": None,
+                            "file_sequence_number": None,
+                            "data_file": {
+                                "content": 2,  # equality deletes
+                                "file_path": dst,
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": n_rows,
+                                "file_size_in_bytes": os.path.getsize(dst),
+                                "equality_ids": [field_ids[k] for k in keys],
+                            },
+                        }
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return delete_entries, total
+
+    # the equality-delete staging (O(source keys)) and the data staging
+    # (O(source)) are INDEPENDENT jobs — overlap them (guide §2.6); the
+    # sequential shape already scanned the source twice, so the overlap
+    # changes wall time, not work. An empty source stages zero rows on
+    # both sides; the no-commit exit cleans any staged stragglers.
+    (delete_entries, total), data_entries = run_concurrently(
+        _stage_eq,
+        lambda: _stage_data_entries(
+            src, loc, schema, _spec_entries(meta), snapshot_id,
+            ice_fields=meta["schema"]["fields"],
+        ),
     )
+    if not delete_entries:
+        for e in data_entries:
+            try:
+                os.unlink(e["data_file"]["file_path"])
+            except OSError:
+                pass
+        return None
     return _commit_row_delta(
         loc, meta, snap, snapshot_id, now_ms,
         delete_entries, total, data_entries, "overwrite",
