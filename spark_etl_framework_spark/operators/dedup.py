@@ -595,7 +595,7 @@ def build_corpus_lsh_index(
 def probe_corpus_lsh_index(
     buckets: DataFrame,
     shingles: DataFrame,
-    sizes: DataFrame,
+    sizes: DataFrame | None,
     increment: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -608,6 +608,16 @@ def probe_corpus_lsh_index(
     an ingest batch. All corpus-scale work happened at index-build time;
     the probe's cost is increment-bands x bucket joins plus candidate-only
     exact verification — the steady-state per-ingest cost at 100 TB.
+
+    ``sizes=None`` derives the per-document counts from the
+    candidate-restricted shingle relation instead (identical values: the
+    restriction is a semi-join on old_id, so a surviving document keeps
+    every one of its shingle rows). Pass the prebuilt relation when it is
+    a persisted index table (a tiny columnar scan beats re-aggregating
+    the shingle index); pass None when ``shingles`` is a derived lineage
+    (the inline composition), where the separate sizes consumer would
+    re-run the corpus-scale tokenize+hash pass a third time (guide §2.4:
+    one fewer full pass, zero result change).
 
     Returns ONE row per increment document: its best corpus match
     (highest verified Jaccard, smallest old id on ties; nulls when LSH
@@ -622,10 +632,11 @@ def probe_corpus_lsh_index(
         rows_per_band,
     )
     # cand/hs_new are multiply consumed but deliberately NOT persisted:
-    # an A/B at sf0.1 measured the cache barrier ~0.2 s SLOWER than
-    # recomputing the narrow tokenize/minhash lineage (same finding as
-    # operators/graph.py's pagerank note — fused codegen beats the cache
-    # for cheap narrow subtrees)
+    # A/Bs at sf0.1 (round 15, re-run round 16 under the cached-plan-AQE
+    # conf) measured the cache barrier SLOWER than recomputing the narrow
+    # tokenize/minhash lineage (round 16: min 3.4 s -> 6.2 s with both
+    # persisted) — fused codegen beats the cache for cheap narrow
+    # subtrees, same finding as operators/graph.py's pagerank note.
     cand = (
         ib.select(F.col(id_col).alias("new_id"), "band_id", "band_key")
         .join(buckets, ["band_id", "band_key"])
@@ -641,7 +652,18 @@ def probe_corpus_lsh_index(
     # shingle index per ingest batch (measured 1.2 s -> 0.6 s at sf0.1).
     old_ids = cand.select("old_id").distinct()
     shingles = shingles.join(old_ids, "old_id", "left_semi")
-    sizes = sizes.join(old_ids, "old_id", "left_semi")
+    if sizes is None:
+        # the semi-join keeps ALL shingle rows of every candidate doc,
+        # so counting the restricted relation gives the same n_old —
+        # and the restricted relation is candidate-bounded, so persist
+        # it for its two consumers (sizes + the intersection join)
+        # instead of running the corpus-scale shingle lineage twice
+        shingles = scoped_persist(shingles)
+        sizes = shingles.groupBy("old_id").agg(
+            F.count(F.lit(1)).alias("n_old")
+        )
+    else:
+        sizes = sizes.join(old_ids, "old_id", "left_semi")
 
     hs_new = hashed_shingles(increment, id_col, text_col, n).select(
         F.col(id_col).alias("new_id"), "shingle_key"
@@ -711,11 +733,21 @@ def incremental_lsh_matches(
 
     Returns ONE row per increment document — see
     :func:`probe_corpus_lsh_index`."""
-    buckets, shingles, sizes = build_corpus_lsh_index(
+    buckets, shingles, _sizes = build_corpus_lsh_index(
         corpus, id_col, text_col, n, k, rows_per_band, max_bucket
     )
+    # Inline composition economics differ from the steady probe (where
+    # every index relation is a cheap columnar re-scan): here buckets'
+    # lineage is the full corpus minhash+banding, and the probe consumes
+    # it from three lineage positions (candidate pairs feed the old-id
+    # restriction AND the intersection join) — measured 22 parquet scans
+    # of the documents table in one plan without reuse. Persist the
+    # narrow (band, sorted-id-list) relation so the corpus signature
+    # pass runs once (guide §5); sizes=None derives counts from the
+    # candidate-restricted shingles instead of a third corpus pass.
+    buckets = scoped_persist(buckets)
     return probe_corpus_lsh_index(
-        buckets, shingles, sizes, increment, id_col, text_col, n, k,
+        buckets, shingles, None, increment, id_col, text_col, n, k,
         rows_per_band, threshold,
     )
 

@@ -4907,20 +4907,27 @@ def iceberg_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("key_sum"),
         )
 
+    # ONE raw changelog serves all three folds (guide §5): the manifest
+    # walk + per-commit file scans ran once per fold before — 3x the
+    # protocol work for byte-identical raw rows (set_identifier_fields
+    # between the folds is metadata-only; it changes the DEFAULT fold
+    # key, never a changelog row). Build the O(change) raw relation
+    # once, persist it for the three consumers (scoped — released when
+    # the next registered query starts), and apply the same post-passes
+    # read_iceberg_changelog's options would.
+    from ..caching import scoped_persist as _sp
+
+    raw = _sp(_ice.read_iceberg_changelog(spark, tbl))
     upd = _grouped(
-        _ice.read_iceberg_changelog(
-            spark, tbl, compute_updates=True, identifier_columns=["k"]
-        ),
+        _ice.changelog_compute_updates(raw, identifier_columns=["k"]),
         "updates",
     )
-    net = _grouped(
-        _ice.read_iceberg_changelog(spark, tbl, net_changes=True), "net"
-    )
+    net = _grouped(_ice.changelog_net_changes(raw), "net")
     # declared identity: identifier-field-ids becomes the fold key when
     # the caller names none — must hash-match the explicit-column fold
     _ice.set_identifier_fields(tbl, ["k"])
     decl = _grouped(
-        _ice.read_iceberg_changelog(spark, tbl, compute_updates=True),
+        _ice.changelog_compute_updates(raw, loc=tbl),
         "updates_decl",
     )
     return (

@@ -22,6 +22,18 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize (coalesce post-shuffle partitions, split skew)
+    # INSIDE cached-plan materialization too: off by default upstream only
+    # to keep a cached relation's output partitioning stable for consumers
+    # that reuse it, which nothing here relies on — every scoped_persist
+    # working set is consumed by differently-keyed aggregates/joins. The
+    # default left every cached exchange at spark.sql.shuffle.partitions
+    # (= cores locally), so a corpus-scale cached relation fanned out into
+    # cores× tiny partitions and per-task overhead grew with the machine —
+    # the measured corpus_trigram_perplexity 8-core>32-core inversion
+    # (guide §2.2); with AQE sizing the cached exchanges by bytes the row
+    # runs 1.47x faster at 32 cores and scales flat.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: the reference runs Spark 3.5 semantics (permissive casts); our
     # SQL surface and oracle comparisons assume non-failing casts.

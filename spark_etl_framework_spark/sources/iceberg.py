@@ -1934,15 +1934,26 @@ def _stage_position_deletes(
                         if hi is None or st.max > hi:
                             hi = st.max
                 bounds = {}
-                if lo is not None and hi is not None:
+                # pyarrow surfaces BYTE_ARRAY statistics as str when the
+                # column carries a UTF8 annotation and as bytes when not;
+                # str(bytes) would bake the "b'...'" repr into the bound
+                # and silently shift the range. Encode strs, pass bytes
+                # through, and skip the bounds (falling back to the
+                # collect-based victim discovery) on any other type.
+                def _bound_bytes(v):
+                    if isinstance(v, bytes):
+                        return v
+                    if isinstance(v, str):
+                        return v.encode("utf-8")
+                    return None
+
+                blo = _bound_bytes(lo) if lo is not None else None
+                bhi = _bound_bytes(hi) if hi is not None else None
+                if blo is not None and bhi is not None:
                     key = _POS_DELETE_PATH_FID
                     bounds = {
-                        "lower_bounds": [
-                            {"key": key, "value": str(lo).encode("utf-8")}
-                        ],
-                        "upper_bounds": [
-                            {"key": key, "value": str(hi).encode("utf-8")}
-                        ],
+                        "lower_bounds": [{"key": key, "value": blo}],
+                        "upper_bounds": [{"key": key, "value": bhi}],
                     }
                 dst = os.path.join(
                     loc, "data", f"{uuid.uuid4().hex}-deletes.parquet"
@@ -4106,30 +4117,43 @@ def read_iceberg_changelog(
             # writer's) carries no bounds does the old shape run: ONE
             # collect job over the already-built coords relation
             # (O(affected files) driver rows).
-            ranges = []
+            # Bounded and boundless delete files resolve INDEPENDENTLY: a
+            # single foreign-written delete file without file_path bounds
+            # must not discard every other file's bounds and force the
+            # full collect fallback — only the boundless subset pays the
+            # (one) collect, restricted to its own coordinates.
+            ranges, boundless = [], []
             for d in pos_new:
                 lo = next((e["value"] for e in (d.get("lower_bounds") or [])
                            if e["key"] == _POS_DELETE_PATH_FID), None)
                 hi = next((e["value"] for e in (d.get("upper_bounds") or [])
                            if e["key"] == _POS_DELETE_PATH_FID), None)
                 if lo is None or hi is None:
-                    ranges = None
-                    break
-                ranges.append((bytes(lo).decode("utf-8"),
-                               bytes(hi).decode("utf-8")))
-            if ranges is not None:
-                victims = [
-                    f for f in par_data
-                    if any(lo <= f["file_path"] <= hi for lo, hi in ranges)
-                ]
-            else:
+                    boundless.append(d)
+                else:
+                    ranges.append((bytes(lo).decode("utf-8"),
+                                   bytes(hi).decode("utf-8")))
+            victims = [
+                f for f in par_data
+                if any(lo <= f["file_path"] <= hi for lo, hi in ranges)
+            ]
+            if boundless:
                 named = {
                     r[0]
-                    for r in coords.select("__file_name").distinct().collect()
+                    for r in spark.read.schema("file_path string, pos long")
+                    .parquet(*[d["file_path"] for d in boundless])
+                    .select(
+                        F.element_at(F.split("file_path", "/"), -1)
+                        .alias("__file_name")
+                    )
+                    .distinct()
+                    .collect()
                 }
-                victims = [
+                have = {f["file_path"] for f in victims}
+                victims += [
                     f for f in par_data
                     if os.path.basename(f["file_path"]) in named
+                    and f["file_path"] not in have
                 ]
             if victims:  # every coordinate may dangle (foreign state)
                 df = _scan_files(victims, True).join(
@@ -4165,18 +4189,75 @@ def read_iceberg_changelog(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-    data_cols = [f.name for f in schema.fields]
     if compute_updates:
-        bad = [c for c in identifier_columns if c not in data_cols]
-        if bad:
-            raise ValueError(
-                f"read_iceberg_changelog: identifier columns {bad} not in "
-                f"table schema {data_cols}"
-            )
-        out = _changelog_fold_updates(out, data_cols, identifier_columns)
+        out = changelog_compute_updates(
+            out, identifier_columns=identifier_columns
+        )
     elif net_changes:
-        out = _changelog_net_changes(out, data_cols)
+        out = changelog_net_changes(out)
     return out
+
+
+#: Metadata columns a raw changelog carries next to the data columns.
+_CHANGELOG_META_COLS = ("_change_type", "_change_ordinal",
+                        "_commit_snapshot_id")
+
+
+def declared_identifier_columns(loc: str) -> list[str]:
+    """Resolve the table's declared row identity — the current schema's
+    ``identifier-field-ids`` as column names (spec §Identifier Field
+    IDs). Raises when the schema declares none, with the same message
+    the changelog's ``compute_updates`` fallback uses."""
+    ice_schema = _current_ice_schema(load_metadata(loc))
+    ids = ice_schema.get("identifier-field-ids") or []
+    name_of = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    cols = [name_of[i] for i in ids if i in name_of]
+    if not cols:
+        raise ValueError(
+            "read_iceberg_changelog: compute_updates needs identifier "
+            "columns — pass identifier_columns=[...] (the table schema "
+            "declares no identifier-field-ids)"
+        )
+    return cols
+
+
+def changelog_compute_updates(
+    df: DataFrame,
+    loc: str | None = None,
+    identifier_columns: list[str] | None = None,
+) -> DataFrame:
+    """The ``compute_updates`` post-pass over an ALREADY-BUILT raw
+    changelog — exactly what ``read_iceberg_changelog(compute_updates=
+    True, ...)`` applies after constructing the raw typed changes. Split
+    out so several folds can share ONE raw changelog: build it once,
+    persist the O(change) relation, and fold it N ways instead of
+    re-walking the manifests and re-scanning the commit files per fold
+    (guide §5 — reuse-justified persist of a working set). When
+    ``identifier_columns`` is None the identity is resolved from
+    ``loc``'s schema declaration (:func:`declared_identifier_columns`),
+    matching the option-path fallback."""
+    if not identifier_columns:
+        if loc is None:
+            raise ValueError(
+                "changelog_compute_updates: pass identifier_columns or "
+                "loc (to resolve the schema's identifier-field-ids)"
+            )
+        identifier_columns = declared_identifier_columns(loc)
+    data_cols = [c for c in df.columns if c not in _CHANGELOG_META_COLS]
+    bad = [c for c in identifier_columns if c not in data_cols]
+    if bad:
+        raise ValueError(
+            f"read_iceberg_changelog: identifier columns {bad} not in "
+            f"table schema {data_cols}"
+        )
+    return _changelog_fold_updates(df, data_cols, identifier_columns)
+
+
+def changelog_net_changes(df: DataFrame) -> DataFrame:
+    """The ``net_changes`` post-pass over an already-built raw changelog
+    (see :func:`changelog_compute_updates` for why it is split out)."""
+    data_cols = [c for c in df.columns if c not in _CHANGELOG_META_COLS]
+    return _changelog_net_changes(df, data_cols)
 
 
 def _changelog_fold_updates(

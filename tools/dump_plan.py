@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for registered queries to plans/r15/.
+"""Dump .explain("formatted") for registered queries to plans/r16/.
 
 Usage: python tools/dump_plan.py <suffix> <query> [query ...]
-Writes plans/r15/<query>_<suffix>.txt (suffix = before|after).
+Writes plans/r16/<query>_<suffix>.txt (suffix = before|after).
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ def main() -> None:
     suffix, names = sys.argv[1], sys.argv[2:]
     sf = "/root/testdata/sf0.1"
     spark = get_session("plans")
-    out_dir = REPO / "plans" / "r15"
+    out_dir = REPO / "plans" / "r16"
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf)
@@ -29,7 +29,7 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         (out_dir / f"{name}_{suffix}.txt").write_text(plan)
-        print(f"wrote plans/r15/{name}_{suffix}.txt ({len(plan)} chars)")
+        print(f"wrote plans/r16/{name}_{suffix}.txt ({len(plan)} chars)")
 
 
 if __name__ == "__main__":
