@@ -304,18 +304,31 @@ def main() -> None:
     # the parsed JSON fix that: med_over_min (median_total/min_total —
     # ≫1 means the box was contended DURING this run, so absolute
     # numbers are suspect) and basket_min — the summed mins of FOUR
-    # code-stable queries spanning 0.3–1.5 s runtimes (_DRIFT_BASKET:
-    # q1 scan-agg, window_running_sum window exchange,
-    # dedup_ngram_jaccard_topk shuffle-heavy join, delta_merge_upsert
-    # protocol DML). The r11 single-query sentinel (q1 alone, ±25%
-    # run-to-run) was too noisy to scale cross-round comparisons by; a
-    # 4-query sum averages the scheduler noise while each member's own
-    # min stays visible in "queries" for drill-down. Judge rule:
-    # BENCH_r{N}.basket_min / BENCH_r{N-1}.basket_min estimates the box
-    # epoch; per-query ratios far from that estimate are code.
+    # code-stable queries spanning 0.2–3 s runtimes. The r11
+    # single-query sentinel (q1 alone, ±25% run-to-run) was too noisy to
+    # scale cross-round comparisons by; a 4-query sum averages the
+    # scheduler noise while each member's own min stays visible in
+    # "queries" for drill-down. Judge rule: BENCH_r{N}.basket_min /
+    # BENCH_r{N-1}.basket_min estimates the box epoch; per-query ratios
+    # far from that estimate are code.
+    # RE-CHARTERED round 16 (the r15 verdict's order item 7): the r12
+    # basket had 3 of 4 members sitting on paths the r15 round optimized
+    # (q1/window_running_sum via the catalog plan cache,
+    # delta_merge_upsert via the MERGE rewrite), which broke the "basket
+    # estimates the box, not the code" rule. New members' OPERATOR code
+    # is untouched in r16 — dedup_ngram_jaccard_topk (shuffle-heavy
+    # inverted-index join, the one surviving r15 member),
+    # vector_pq_ann_adc_steady (columnar code-relation scan + broadcast
+    # ADC), etl_bucketed_colocated_join (zero-exchange bucketed join),
+    # delta_data_skipping (metadata-plane log replay + pruned scan).
+    # NB the r16 session-level AQE-for-cached-plans conf shifts every
+    # row once (including these), so the basket re-bases THIS round;
+    # from r16 on its members' paths are code-stable again. Basket
+    # membership is harness-internal adjudication metadata — the
+    # add-only contract governs the "queries" dict, which is unchanged.
     min_total = round(sum(timings.values()), 3)
-    basket = ("q1_pricing_summary", "window_running_sum",
-              "dedup_ngram_jaccard_topk", "delta_merge_upsert")
+    basket = ("dedup_ngram_jaccard_topk", "vector_pq_ann_adc_steady",
+              "etl_bucketed_colocated_join", "delta_data_skipping")
     drift = {
         "med_over_min": round(sum(medians.values()) / min_total, 3),
         "basket_min": round(sum(timings[q] for q in basket), 3),

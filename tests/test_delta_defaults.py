@@ -690,3 +690,45 @@ def test_defaults_vintage_random_lifecycle(spark, tmp_path):
         tgt = loc + "_clone"
         _dl.shallow_clone(spark, loc, tgt)
         assert _read(tgt) == model, f"seed {seed} clone"
+
+
+def test_all_undatable_import_reads_each_footer_once_pooled(
+    spark, loc, monkeypatch
+):
+    """Round-16 pin (the r15 verdict's order item 10): the WORST defaults
+    case — a foreign/clone-imported table where NO file is log-datable —
+    must read each data file's footer EXACTLY once (never once per
+    consumer of the absence map) and through the bounded thread pool,
+    so a regression to serial per-consumer footer reads cannot land
+    silently. 3 pre-DDL files, arrival stamp stripped, log checkpointed
+    and cleaned: only the footer can answer for every file."""
+    import concurrent.futures as cf
+
+    for i in range(3):
+        _write(spark, loc, [(i, f"s{i}")],
+               mode="append" if i else "overwrite")
+    dl.add_column(loc, "grade", "int", default=5)
+    _strip_arrival_stamp(loc, dl.latest_version(loc))
+    dl.write_checkpoint_v2(loc)
+    dl.clean_log(loc, expire_checkpoints=True)
+    snap = dl.snapshot(loc)
+    assert "grade" not in snap.default_since  # exact date lost
+    assert len(snap.files) == 3
+
+    pools: list[int | None] = []
+    real_pool = cf.ThreadPoolExecutor
+
+    class CapturingPool(real_pool):
+        def __init__(self, max_workers=None, **kw):
+            pools.append(max_workers)
+            super().__init__(max_workers=max_workers, **kw)
+
+    monkeypatch.setattr(cf, "ThreadPoolExecutor", CapturingPool)
+    calls = _count_footer_reads(monkeypatch)
+    got = {r.id: r.grade for r in dl.read_delta(spark, loc).collect()}
+    assert got == {0: 5, 1: 5, 2: 5}
+    # exactly once per undatable file — the absence map is computed one
+    # time and shared by every consumer
+    assert calls["n"] == 3
+    # and the reads went through the bounded pool (min(16, |residual|))
+    assert 3 in pools
