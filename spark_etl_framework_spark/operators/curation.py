@@ -107,24 +107,23 @@ def containment_drop_ids(
     # on the next registered-query invocation, caching.py)
     cand = scoped_persist(D.lsh_candidate_pairs(bands, id_col))
     hsh = scoped_persist(D.hashed_shingles(df, id_col, text_col, n))
-    # Only documents that appear in a candidate pair matter downstream —
-    # pre-restrict the corpus-scale shingle index with an UNHINTED
-    # semi-join on the candidate id set before the intersection join
-    # (guide §3.2, the same restriction the incremental-admission probe
-    # measured 2x on): AQE broadcasts the small id set at runtime, and
-    # the (id, shingle_key) exchanges under the intersection carry
-    # candidate docs only instead of the whole corpus index. Sizes and
-    # containment ratios are unchanged — the restriction is per-document,
-    # so a surviving document keeps every one of its shingle rows.
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    hsh_c = hsh.join(cand_ids, id_col, "left_semi")
-    sizes = hsh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = hsh_c.select(F.col(id_col).alias("id_a"), "shingle_key")
-    b = hsh_c.select(F.col(id_col).alias("id_b"), "shingle_key")
+    sizes = hsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hsh.select(F.col(id_col).alias("id_a"), "shingle_key")
+    # The a side is restricted implicitly (the intersection join's first
+    # leg is an inner join with the candidate pairs), but the b side was
+    # the FULL corpus shingle index exchanged on (id_b, shingle_key) —
+    # pre-restrict it with an UNHINTED semi-join on the candidate id_b
+    # set before that exchange (guide §3.2, the same restriction the
+    # incremental-admission probe measured 2x on): AQE broadcasts the
+    # small id set at runtime, so the widest exchange under the
+    # intersection carries candidate docs only instead of the whole
+    # corpus index. Ratios are unchanged — the restriction is
+    # per-document, so a surviving document keeps every shingle row.
+    b = hsh.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("id_b"), "shingle_key")
     inter = (
         cand.join(a, "id_a")
         .join(b, ["id_b", "shingle_key"])

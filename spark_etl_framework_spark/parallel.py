@@ -16,9 +16,18 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 
 
-def run_concurrently(*thunks):
+def run_concurrently(*thunks, cleanup=None):
     """Run the zero-arg callables concurrently; return their results in
-    order. With one thunk, call it inline (no pool overhead)."""
+    order. With one thunk, call it inline (no pool overhead).
+
+    ``cleanup``: optional per-thunk callables, positionally matching
+    ``thunks``. When one thunk raises, siblings that SUCCEEDED have
+    already produced side effects the caller will never commit (staged
+    data files moved under the table root) — each successful thunk's
+    cleanup is invoked with its result before the error propagates, so
+    a failed DML leaves no orphaned files behind (round-16 ADVICE).
+    Cleanup errors are swallowed: the original failure is the story.
+    """
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
@@ -33,5 +42,13 @@ def run_concurrently(*thunks):
             except Exception as e:  # noqa: BLE001 - re-raised below
                 errors.append(e)
         if errors:
+            for i, f in enumerate(futures):
+                if cleanup is None or cleanup[i] is None:
+                    continue
+                if f.exception() is None:
+                    try:
+                        cleanup[i](f.result())
+                    except Exception:  # noqa: BLE001 - best-effort
+                        pass
             raise errors[0]
         return results

@@ -2380,6 +2380,28 @@ def _subtract_dvs(spark, df, table_path: str, dv_files) -> DataFrame:
     )
 
 
+def _unlink_staged(path: str):
+    """Cleanup callable for run_concurrently: unlink the NEWLY-STAGED
+    files referenced by a thunk's cdc/add actions when a sibling thunk
+    failed — an uncommitted staged file is unreferenced garbage (round-16
+    ADVICE: the unlink previously ran only on the empty-delete early
+    return, so every failed DML orphaned its successful sibling's
+    files). Only for thunks whose add/cdc actions reference files THEY
+    created; never for DV re-adds, which restate live data files."""
+
+    def _clean(actions):
+        for a in actions:
+            body = a.get("cdc") or a.get("add")
+            if not body:
+                continue
+            try:
+                os.unlink(os.path.join(path, unquote(body["path"])))
+            except OSError:
+                pass
+
+    return _clean
+
+
 def _stage_cdc(
     df_changes: DataFrame, path: str, mapping: dict[str, str] | None = None
 ) -> list[dict]:
@@ -2714,6 +2736,8 @@ def _delete_where_inner(
         cdc_actions, dv_actions = run_concurrently(
             lambda: _stage_cdc(cdc_df, path, mapping=mapping),
             lambda: _dv_commit_actions(spark, path, matched, by_name, ts),
+            # DV re-adds restate LIVE data files — never unlink those
+            cleanup=[_unlink_staged(path), None],
         )
         actions.extend(cdc_actions)
         actions.insert(0, {"protocol": proto})
@@ -2733,6 +2757,7 @@ def _delete_where_inner(
                 survivors, path, snap.partition_columns, mapping=mapping,
                 constraints=snap.check_constraints,
             ),
+            cleanup=[_unlink_staged(path), _unlink_staged(path)],
         )
         actions.extend(cdc_actions)
         actions.extend(
@@ -2922,6 +2947,7 @@ def _update_where_inner(
             rewritten, path, snap.partition_columns, mapping=mapping,
             constraints=snap.check_constraints,
         ),
+        cleanup=[_unlink_staged(path), _unlink_staged(path)],
     )
     ts = int(time.time() * 1000)
     actions: list[dict] = [
@@ -3129,6 +3155,7 @@ def _merge_upsert_inner(
             constraints=src_cons or None,
         ),
         lambda: _stage_cdc(changes, path, mapping=mapping),
+        cleanup=[_unlink_staged(path), _unlink_staged(path)],
     )
     adds.extend(src_adds)
 

@@ -2784,6 +2784,7 @@ def _update_where_inner(
             updated, loc, stage_schema, _spec_entries(meta), snapshot_id,
             ice_fields=meta["schema"]["fields"],
         ),
+        cleanup=[_unlink_staged_entries, _unlink_staged_entries],
     )
     if not delete_entries:
         for e in data_entries:  # paranoia: never orphan a staged file
@@ -2796,6 +2797,22 @@ def _update_where_inner(
         loc, meta, snap, snapshot_id, now_ms,
         delete_entries, total, data_entries, "overwrite",
     )
+
+
+def _unlink_staged_entries(res):
+    """Cleanup callable for run_concurrently: unlink the staged files a
+    SUCCESSFUL thunk moved under the table's data/ when its sibling
+    failed — uncommitted staged files are unreferenced garbage (round-16
+    ADVICE: previously only the empty-delete early return unlinked, so
+    every failed DML orphaned its sibling's files). Accepts either an
+    entry list or the (entries, total) pair the delete-staging thunks
+    return."""
+    entries = res[0] if isinstance(res, tuple) else res
+    for e in entries or []:
+        try:
+            os.unlink(e["data_file"]["file_path"])
+        except (OSError, KeyError, TypeError):
+            pass
 
 
 def merge_upsert(
@@ -2902,6 +2919,7 @@ def merge_upsert(
             src, loc, schema, _spec_entries(meta), snapshot_id,
             ice_fields=meta["schema"]["fields"],
         ),
+        cleanup=[_unlink_staged_entries, _unlink_staged_entries],
     )
     if not delete_entries:
         for e in data_entries:

@@ -80,3 +80,37 @@ def test_zip_with_index_global_and_grouped(spark, sf_dir):
     mx = per.groupBy("c_nationkey").max("idx").collect()
     counts = dict(df.groupBy("c_nationkey").count().collect())
     assert all(r["max(idx)"] == counts[r["c_nationkey"]] for r in mx)
+
+
+def test_run_concurrently_cleanup_on_sibling_failure(tmp_path):
+    """Round-16 ADVICE pin: when one thunk raises, siblings that
+    succeeded have their cleanup invoked with their result (staged files
+    unlinked), the original error propagates, and cleanup never runs on
+    the success path."""
+    import pytest
+
+    from spark_etl_framework_spark.parallel import run_concurrently
+
+    staged = tmp_path / "staged.parquet"
+
+    def ok():
+        staged.write_text("bytes")
+        return [str(staged)]
+
+    def boom():
+        raise RuntimeError("sibling failed")
+
+    def clean(paths):
+        import os
+
+        for p in paths:
+            os.unlink(p)
+
+    with pytest.raises(RuntimeError, match="sibling failed"):
+        run_concurrently(ok, boom, cleanup=[clean, None])
+    assert not staged.exists(), "failed DML must not orphan staged files"
+
+    # success path: cleanup untouched
+    out = run_concurrently(ok, lambda: "fine", cleanup=[clean, None])
+    assert out == [[str(staged)], "fine"]
+    assert staged.exists()
